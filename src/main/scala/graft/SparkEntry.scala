@@ -13,7 +13,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  def querySets: Seq[QuerySet] = Seq(Relational)
+  def querySets: Seq[QuerySet] = Seq(Relational, VectorQueries)
 
   private lazy val all: Seq[Q] = querySets.flatMap(_.queries)
 

@@ -144,16 +144,18 @@ object Relational extends QuerySet {
       |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
-  /** Anti join (NOT EXISTS). */
+  /** Anti join (NOT EXISTS): customers with no large order. */
   private def q08(s: SparkSession, d: String): DataFrame =
     t(s, d, "customer")
-      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(t(s, d, "orders").filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
 
   private val q08Sql =
     """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
       |ORDER BY c_custkey""".stripMargin
 
   /** A3: the denormalized salesOrderCount invariant (Customer.cs:21) —

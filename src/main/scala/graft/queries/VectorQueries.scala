@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.functions.VectorFunctions._
+import graft.search.{IvfIndex, VectorSearch}
+
+/** Vector-search operator coverage (SURVEY §2.8: V2/V3 + the ANN/near-dup
+  * extensions). Oracle parity trick: DuckDB's list_cosine_similarity over
+  * lists cast to DOUBLE accumulates exactly like our codegen'd expression
+  * (sequential double), so raw sims are bit-identical and top-k ordering
+  * is deterministic without rounding; we round to 6dp only for display.
+  */
+object VectorQueries extends QuerySet {
+
+  /** DuckDB: embedding list cast to double elements. */
+  private def dl(c: String) = s"list_transform($c, x -> CAST(x AS DOUBLE))"
+
+  private def probeVec(s: SparkSession, d: String, id: Long): Array[Float] =
+    t(s, d, "embeddings").filter(col("vec_id") === id)
+      .head().getSeq[Float](1).toArray
+
+  /** V2/W2: exact brute-force cosine top-10, single probe. */
+  private def q30(s: SparkSession, d: String): DataFrame = {
+    val probe = probeVec(s, d, 0L)
+    VectorSearch.exactTopK(t(s, d, "embeddings"), "embedding", "vec_id", probe, 10)
+      .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim"))
+  }
+
+  private val q30Sql =
+    s"""WITH q AS (SELECT ${dl("embedding")} AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, label,
+       |  round(list_cosine_similarity(${dl("embedding")}, qv), 6) AS sim
+       |FROM embeddings, q
+       |ORDER BY list_cosine_similarity(${dl("embedding")}, qv) DESC, vec_id
+       |LIMIT 10""".stripMargin
+
+  /** J2 generalized: multi-probe k-NN join, window form. */
+  private def q31(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    VectorSearch.knnJoinWindow(
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      e, "vec_id", "embedding", 3)
+      .select(col("probe_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  private val knnJoinSql =
+    s"""WITH p AS (SELECT vec_id AS probe_id, ${dl("embedding")} AS pv
+       |           FROM embeddings WHERE vec_id < 5),
+       |s AS (SELECT p.probe_id, e.vec_id,
+       |        list_cosine_similarity(${dl("e.embedding")}, p.pv) AS rsim
+       |      FROM embeddings e, p)
+       |SELECT probe_id, vec_id, round(rsim, 6) AS sim, rn FROM (
+       |  SELECT probe_id, vec_id, rsim,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY rsim DESC, vec_id) AS rn
+       |  FROM s) x
+       |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
+
+  /** Same semantics through the bounded-heap partial aggregate (the
+    * shuffle-light 100-TB path) — shares q31's oracle by design. */
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    VectorSearch.knnJoinAgg(
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      e, "vec_id", "embedding", 3)
+      .select(col("probe_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  /** V3: IVF index — train centroids, prune to nprobe lists, exact top-k
+    * within. ANN ≠ exact, so no SQL oracle (rows-only + ScalaTest recall
+    * gate vs brute force). */
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings").cache()
+    val idx = IvfIndex.train(e, "embedding", "vec_id", numLists = 16, iters = 3, multiAssign = 4)
+    val probe = probeVec(s, d, 0L)
+    idx.search(idx.assign(e, "embedding"), "embedding", "vec_id", probe, 10, nprobe = 4)
+      .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Vector norm maintenance column (our analog of index-build-time
+    * precomputation, SURVEY §1.3). */
+  private def q34(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"), round(l2_norm(col("embedding")), 6).as("norm"))
+      .orderBy(col("vec_id"))
+
+  private val q34Sql =
+    s"""SELECT vec_id,
+       |  round(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')), 6) AS norm
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** Embedding-cosine near-duplicate pairs, label-blocked (the blocked
+    * similarity self-join used for near-dedup at scale: block first so
+    * the pair space is |block|² not n²). */
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val a = e.select(col("vec_id").as("a_id"), col("label"), col("embedding").as("__va"))
+    val b = e.select(col("vec_id").as("b_id"), col("label"), col("embedding").as("__vb"))
+    a.join(b, Seq("label"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("rsim", cosine_sim(col("__va"), col("__vb")))
+      .filter(col("rsim") > 0.3)
+      .select(col("label"), col("a_id"), col("b_id"), round(col("rsim"), 6).as("sim"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val q35Sql =
+    s"""SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
+       |  round(list_cosine_similarity(${dl("a.embedding")}, ${dl("b.embedding")}), 6) AS sim
+       |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(${dl("a.embedding")}, ${dl("b.embedding")}) > 0.3
+       |ORDER BY a_id, b_id""".stripMargin
+
+  override val queries: Seq[Q] = Seq(
+    Q("q30_knn_exact", q30, Some(q30Sql), headline = true),
+    Q("q31_knn_join_window", q31, Some(knnJoinSql)),
+    Q("q32_knn_join_agg", q32, Some(knnJoinSql), headline = true),
+    Q("q33_knn_ivf", q33, None),
+    Q("q34_vector_norms", q34, Some(q34Sql)),
+    Q("q35_neardup_embedding", q35, Some(q35Sql), headline = true))
+}

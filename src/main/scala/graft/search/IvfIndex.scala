@@ -1,0 +1,137 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.{cosine_sim, l2_dist_sq}
+
+/** Deterministic DataFrame K-Means for IVF centroid training.
+  *
+  * The reference's IVF index (`numLists`, MongoDbService.cs:144-167) is
+  * built server-side; our analog trains centroids with a few Lloyd
+  * iterations expressed as Spark plans. Deterministic by construction:
+  * init takes the k lowest-id vectors, and each iteration's element-wise
+  * means use exact per-position sums (double) over a deterministic
+  * groupBy — so the same data yields the same centroids on any cluster
+  * layout up to float-sum associativity (assignment flips from that are
+  * possible only for points equidistant to centroids; irrelevant to
+  * recall).
+  */
+object SimpleKMeans {
+
+  /** Train k centroids. Keeps the data distributed; only k×dims
+    * aggregates ever reach the driver per iteration. */
+  def fit(df: DataFrame, vecCol: String, idCol: String, k: Int, iters: Int = 5): Array[Array[Float]] = {
+    var centroids: Array[Array[Float]] = df
+      .select(col(idCol), col(vecCol))
+      .orderBy(col(idCol))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+
+    for (_ <- 1 to iters) {
+      val assigned = assign(df, vecCol, centroids)
+      val sums = assigned
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = Array.tabulate(k)(i => centroids(i).map(_.toDouble))
+      sums.foreach { r =>
+        val c = r.getInt(0); val p = r.getInt(1)
+        next(c)(p) = r.getDouble(2) / r.getLong(3)
+      }
+      // spherical k-means: the search metric is cosine (ref index
+      // `similarity: COS`), so centroids live on the unit sphere too
+      centroids = next.map { c =>
+        val n = math.sqrt(c.map(x => x * x).sum)
+        if (n == 0.0) c.map(_.toFloat) else c.map(x => (x / n).toFloat)
+      }
+    }
+    centroids
+  }
+
+  /** Append `centroid_id` = argmax cosine to the broadcast centroid
+    * literals (matches the search metric). k is small (reference default
+    * numLists=2), so the argmax is an unrolled expression tree — stays
+    * inside whole-stage codegen. */
+  def assign(df: DataFrame, vecCol: String, centroids: Array[Array[Float]]): DataFrame = {
+    val sims = array(centroids.map(c => cosine_sim(col(vecCol), typedlit(c))): _*)
+    df.withColumn("centroid_id",
+      (array_position(sims, array_max(sims)) - 1).cast("int"))
+  }
+}
+
+/** IVF (inverted-file) vector index: corpus partitioned by nearest
+  * centroid; probes scan only the `nprobe` nearest lists (partition
+  * pruning — the 100-TB path where brute force is O(n·d) per probe).
+  * Analog of MongoDbService.cs:144-167 (`kind: vector-ivf`).
+  *
+  * `multiAssign` > 1 replicates each vector into its m nearest lists
+  * (soft assignment): storage ×m buys recall on weakly-clustered data —
+  * the TESTDATA embeddings are near-uniform on the sphere, where hard
+  * IVF recall is capped at ~the scan fraction. Searches over a
+  * multi-assigned index dedup candidates by id before the top-k. */
+final case class IvfIndex(centroids: Array[Array[Float]], multiAssign: Int = 1) {
+
+  def numLists: Int = centroids.length
+
+  /** Corpus + centroid_id (one row per assigned list). */
+  def assign(df: DataFrame, vecCol: String): DataFrame =
+    if (multiAssign <= 1) SimpleKMeans.assign(df, vecCol, centroids)
+    else {
+      val k = centroids.length
+      val sims = array(centroids.map(c => cosine_sim(col(vecCol), typedlit(c))): _*)
+      val zipped = zip_with(sims, sequence(lit(0), lit(k - 1)),
+        (s, i) => struct(s.as("s"), i.as("i")))
+      val sorted = array_sort(zipped, (a, b) =>
+        when(a("s") > b("s"), -1).when(a("s") < b("s"), 1)
+          .otherwise(a("i") - b("i")).cast("int"))
+      df.withColumn("centroid_id",
+        explode(transform(slice(sorted, 1, multiAssign), x => x("i"))))
+    }
+
+  /** Materialize the index: corpus + centroid_id, written partitioned by
+    * centroid_id so searches prune whole directories at plan time. */
+  def write(df: DataFrame, vecCol: String, path: String): Unit =
+    assign(df, vecCol)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** Centroid lists nearest to the probe, by cosine (matches the search
+    * metric, not the training metric — standard IVF practice). */
+  def nearestLists(probe: Array[Float], nprobe: Int): Seq[Int] = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    centroids.zipWithIndex
+      .map { case (c, i) => (cos(probe, c), i) }
+      .sortBy { case (s, i) => (-s, i) }
+      .take(nprobe)
+      .map(_._2)
+      .toSeq
+  }
+
+  /** ANN search: prune to nprobe lists, exact top-k within. On a
+    * partitioned index table the `isin` filter becomes partition pruning
+    * (zero IO for unprobed lists). Multi-assigned indexes dedup candidate
+    * ids first (a candidate may live in several probed lists). */
+  def search(indexed: DataFrame, vecCol: String, idCol: String,
+             probe: Array[Float], k: Int, nprobe: Int = 1): DataFrame = {
+    val lists = nearestLists(probe, nprobe)
+    val pruned = indexed.filter(col("centroid_id").isin(lists: _*))
+    val cand = if (multiAssign <= 1) pruned else pruned.dropDuplicates(idCol)
+    VectorSearch.exactTopK(cand, vecCol, idCol, probe, k)
+  }
+}
+
+object IvfIndex {
+  /** Train an IVF index over a corpus (the reference's index-build V3). */
+  def train(df: DataFrame, vecCol: String, idCol: String,
+            numLists: Int, iters: Int = 5, multiAssign: Int = 1): IvfIndex =
+    IvfIndex(SimpleKMeans.fit(df, vecCol, idCol, numLists, iters), multiAssign)
+}
