@@ -13,7 +13,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  def querySets: Seq[QuerySet] = Seq(Relational, VectorQueries)
+  def querySets: Seq[QuerySet] = Seq(Relational, VectorQueries, TextQueries)
 
   private lazy val all: Seq[Q] = querySets.flatMap(_.queries)
 

@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** Training-data pipeline operators: dedup (exact / n-gram Jaccard /
+  * MinHash-LSH / SimHash), language ID, quality scoring, token stats,
+  * fingerprinting — all over the `documents` table.
+  *
+  * Oracle notes: Jaccard pair queries verify against exact SQL joins
+  * (LSH's verified output equals the exact answer with p≈1 at the
+  * thresholds used — see Dedup.minhashLshPairs). SimHash is seeded-hash-
+  * dependent, hence rows-only + ScalaTest containment checks.
+  */
+object TextQueries extends QuerySet {
+
+  private val bpePattern = " ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Exact dedup by full text (hash groupBy, one shuffle). */
+  private def q40(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(t(s, d, "documents"), "doc_id", Seq("text"))
+      .select(col("keeper_id"), col("n_copies"))
+      .orderBy(col("keeper_id"))
+
+  private val q40Sql =
+    """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin
+
+  /** Exact word-3-gram Jaccard near-dup pairs (relational shingle join). */
+  private def q41(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  private def jaccardSql(threshold: String) =
+    s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |           FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+       |       FROM w WHERE len(w) >= 3),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT a_id, b_id,
+       |  round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = a_id
+       |JOIN sizes sb ON sb.doc_id = b_id
+       |WHERE c * 1.0 / (sa.n + sb.n - c) >= $threshold
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** MinHash+LSH near-dup pairs, exact-verified (oracle: the exact join —
+    * see probability note on Dedup.minhashLshPairs). */
+  private def q42(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+        n = 3, numHashes = 24, bands = 8, threshold = 0.85)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** SimHash near-dup pairs (seeded-hash-dependent: rows-only check;
+    * ScalaTest asserts containment vs exact Jaccard pairs). */
+  private def q43(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", n = 3, maxHamming = 3)
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** Language ID by stopword score, argmax with alphabetical tie-break. */
+  private def q44(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  private val q44Sql = {
+    def sl(lang: String) =
+      StopwordLists.toMap.apply(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    val langs = StopwordLists.map(_._1) // already alphabetical
+    val scores = langs.map(l => s"len(list_intersect(w, ${sl(l)})) AS s_$l").mkString(",\n  ")
+    val g = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN s_$l = $g THEN '$l'").mkString("\n  ")
+    s"""WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+       |           FROM documents),
+       |sc AS (SELECT doc_id,
+       |  $scores
+       |FROM w)
+       |SELECT doc_id, CASE WHEN $g = 0 THEN 'und'
+       |  $cases
+       |  END AS lang_pred
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality features: word count, mean word length, alnum ratio,
+    * stopword hits. */
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    val feats = qualityFeatures(col("text"))
+    t(s, d, "documents")
+      .select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+      .select(col("doc_id"), col("n_words"),
+        round(col("mean_word_len"), 6).as("mean_word_len"),
+        round(col("alnum_ratio"), 6).as("alnum_ratio"), col("stopword_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q45Sql = {
+    val en = StopwordLists.toMap.apply("en").map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH f AS (SELECT doc_id,
+       |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+       |  length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS n_alnum,
+       |  length(text) AS n_chars,
+       |  len(list_intersect(list_filter(string_split(lower(text), ' '), x -> x <> ''), $en)) AS stopword_hits
+       |FROM documents)
+       |SELECT doc_id, n_words,
+       |  round(CASE WHEN n_words = 0 THEN 0.0 ELSE n_alnum * 1.0 / n_words END, 6) AS mean_word_len,
+       |  round(CASE WHEN n_chars = 0 THEN 0.0 ELSE n_alnum * 1.0 / n_chars END, 6) AS alnum_ratio,
+       |  stopword_hits
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token counting: whitespace words + BPE-ish regex lexer count. */
+  private def q46(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        size(words(col("text"))).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  private val q46Sql =
+    s"""SELECT doc_id,
+       |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+       |  len(regexp_extract_all(text, '$bpePattern')) AS bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Rolling polynomial document fingerprint (exact integer fold). */
+  private def q47(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  private val q47Sql =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Corpus stats rollup by source over derived text features. */
+  private def q48(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("source"), size(words(col("text"))).as("nw"), col("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("sum_words"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+
+  private val q48Sql =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS sum_words,
+      |  SUM(n_chars) AS sum_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  override val queries: Seq[Q] = Seq(
+    Q("q40_dedup_exact", q40, Some(q40Sql)),
+    Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
+    Q("q42_dedup_minhash_lsh", q42, Some(jaccardSql("0.85")), headline = true),
+    Q("q43_dedup_simhash", q43, None),
+    Q("q44_lang_id", q44, Some(q44Sql)),
+    Q("q45_quality_score", q45, Some(q45Sql)),
+    Q("q46_token_stats", q46, Some(q46Sql)),
+    Q("q47_fingerprint", q47, Some(q47Sql)),
+    Q("q48_corpus_stats", q48, Some(q48Sql)))
+}

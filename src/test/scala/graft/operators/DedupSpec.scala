@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+import graft.Tables.t
+import graft.functions.TextFunctions._
+
+class DedupSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  /** documents + planted near-dups: 9001 is a 1-word edit of doc 1,
+    * 9002 an exact copy of doc 2, 9003 unrelated. */
+  private lazy val planted = {
+    val docs = t(spark, sf, "documents").select("doc_id", "text")
+    val base = docs.filter($"doc_id".isin(1, 2)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val extra = Seq(
+      (9001L, base(1).replaceFirst("\\w+", "zzz")),
+      (9002L, base(2)),
+      (9003L, "completely unrelated tiny text")).toDF("doc_id", "text")
+    docs.union(extra).cache()
+  }
+
+  test("exact dedup finds the exact copy") {
+    val groups = Dedup.exact(planted, "doc_id", Seq("text"))
+      .filter($"n_copies" > 1).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("keeper_id") == 2L)
+    assert(groups.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("ngram Jaccard finds planted near-dup and exact pair") {
+    val pairs = Dedup.ngramJaccardPairs(planted, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 9001L)))
+    assert(pairs.contains((2L, 9002L)))
+  }
+
+  test("MinHash LSH output == exact jaccard join output at threshold") {
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"a_id", $"b_id", round($"jaccard", 9)).orderBy($"a_id", $"b_id")
+        .collect().toSeq
+    val lsh = norm(Dedup.minhashLshPairs(planted, "doc_id", "text", 3, 24, 8, 0.8))
+    val exact = norm(Dedup.ngramJaccardPairs(planted, "doc_id", "text", 3, 0.8))
+    assert(lsh == exact)
+  }
+
+  test("SimHash pairs: exact copy at hamming 0; all pairs high-jaccard") {
+    val sh = Dedup.simhashPairs(planted, "doc_id", "text", 3, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    assert(sh.exists { case (a, b, h) => a == 2L && b == 9002L && h == 0L })
+    // every simhash pair should also be a >=0.5-jaccard pair (no junk)
+    val jac = Dedup.ngramJaccardPairs(planted, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    sh.foreach { case (a, b, _) => assert(jac.contains((a, b)), s"($a,$b)") }
+  }
+
+  test("langId picks en for English-stopword text, und for none") {
+    val df = Seq(
+      (1, "the cat and the dog of a house"),
+      (2, "xyzzy plugh qwerty")).toDF("id", "text")
+      .select($"id", langId($"text").as("l")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(df(1) == "en")
+    assert(df(2) == "und")
+  }
+}
