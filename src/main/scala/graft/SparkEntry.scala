@@ -13,13 +13,15 @@ import graft.queries._
   */
 object SparkEntry {
 
-  def querySets: Seq[QuerySet] = Seq(Relational, VectorQueries, TextQueries)
+  def querySets: Seq[QuerySet] = Seq(Relational, VectorQueries, TextQueries, RagQueries)
 
   private lazy val all: Seq[Q] = querySets.flatMap(_.queries)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001: the §7.2 RAG slice —
+    * batch-embed the documents corpus, embed a probe question, exact
+    * cosine top-10. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    all.head.fn(spark, "/root/testdata/sf0.001")
+    queries("q60_rag_retrieval")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

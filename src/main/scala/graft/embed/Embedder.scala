@@ -84,8 +84,9 @@ object Embed {
     * partition (V1/V4). Works on any row shape; schema-preserving plus one
     * column. The row goes through an internal batch buffer so a remote
     * embedder could amortize one HTTP call per `batchSize` texts. */
-  def withEmbedding(df: DataFrame, textCol: String, outputCol: String,
+  def withEmbedding(df0: DataFrame, textCol: String, outputCol: String,
                     embedder: Embedder, batchSize: Int = 256): DataFrame = {
+    val df = if (df0.columns.contains(outputCol)) df0.drop(outputCol) else df0
     val schema = df.schema.add(StructField(outputCol, ArrayType(FloatType, containsNull = false)))
     val enc = Encoders.row(schema)
     val idx = df.schema.fieldIndex(textCol)

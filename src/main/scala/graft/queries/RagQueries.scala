@@ -1,0 +1,71 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.embed.{Embed, HashProjectionEmbedder}
+import graft.search.VectorSearch
+import graft.store.DocumentStore
+
+/** RAG-lifecycle + mutable-store operators (SURVEY §2.1 S5/S6, §2.8 V1/V4,
+  * §3.1/§3.2) expressed as verifiable queries over the testdata tables.
+  */
+object RagQueries extends QuerySet {
+
+  private val embedder = HashProjectionEmbedder(dims = 64)
+
+  /** §3.2 ingest + V2 search, end to end: batch-embed the documents
+    * corpus (V4), embed the probe text (V1), exact top-10 (V2). Embedder
+    * output is engine-defined => rows-only check + ScalaTest goldens. */
+  private def q60(s: SparkSession, d: String): DataFrame = {
+    val docs = Embed.withEmbedding(t(s, d, "documents"), "text", "vector", embedder)
+    val probe = embedder.embedOne("spark query filter join window")
+    VectorSearch.exactTopK(docs, "vector", "doc_id", probe, 10)
+      .select(col("doc_id"), col("lang"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** S5 upsert through the versioned store: replace one part row, insert
+    * a new one, read the committed snapshot back. The oracle states the
+    * same semantics relationally (anti-join ∪ updates). */
+  private def q61(s: SparkSession, d: String): DataFrame = {
+    val store = new DocumentStore(s, Files.createTempDirectory("graft-q61").toString)
+    store.create("part", t(s, d, "part"), partitionCol = Some("p_brand"))
+    import s.implicits._
+    val updates = Seq(
+      (1L, "updated part one", "Brand#99", "UPDATED", 1, 1.0),
+      (999999L, "brand new part", "Brand#99", "NEW", 2, 2.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    store.upsert("part", updates, keys = Seq("p_partkey"))
+    store.read("part")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val q61Sql =
+    """SELECT p_partkey, p_name, p_brand FROM (
+      |  SELECT p_partkey, p_name, p_brand FROM part WHERE p_partkey NOT IN (1, 999999)
+      |  UNION ALL SELECT 1 AS p_partkey, 'updated part one' AS p_name, 'Brand#99' AS p_brand
+      |  UNION ALL SELECT 999999 AS p_partkey, 'brand new part' AS p_name, 'Brand#99' AS p_brand)
+      |ORDER BY p_partkey""".stripMargin
+
+  /** S6/S7 delete through the versioned store (point + predicate). */
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    val store = new DocumentStore(s, Files.createTempDirectory("graft-q62").toString)
+    store.create("supplier", t(s, d, "supplier"))
+    store.delete("supplier", col("s_suppkey") === 1 || col("s_acctbal") < 0)
+    store.read("supplier")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val q62Sql =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE NOT (s_suppkey = 1 OR s_acctbal < 0)
+      |ORDER BY s_suppkey""".stripMargin
+
+  override val queries: Seq[Q] = Seq(
+    Q("q60_rag_retrieval", q60, None, headline = true),
+    Q("q61_store_upsert", q61, Some(q61Sql)),
+    Q("q62_store_delete", q62, Some(q62Sql)))
+}

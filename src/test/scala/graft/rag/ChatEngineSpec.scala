@@ -1,0 +1,134 @@
+package graft.rag
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+import graft.model.Product
+import graft.store.DocumentStore
+
+/** Golden end-to-end slice (SURVEY §7.2) + the Cosmic-Socks add/remove
+  * scenario (README.md:184-194, FIXTURES.md A). */
+class ChatEngineSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def products: Seq[Product] = Seq(
+    Product("p1", "c-socks", "Clothing, Socks", "SK-1", "Racing Socks, L",
+      "red racing socks for the road", 8.99),
+    Product("p2", "c-socks", "Clothing, Socks", "SK-2", "Racing Socks, M",
+      "red racing socks for the road medium", 8.99),
+    Product("p3", "c-socks", "Clothing, Socks", "SK-3", "Mountain Socks, L",
+      "warm mountain socks wool", 9.99),
+    Product("p4", "c-socks", "Clothing, Socks", "SK-4", "Mountain Socks, M",
+      "warm mountain socks wool medium", 9.99),
+    Product("p5", "c-bikes", "Bikes, Mountain", "BK-1", "Mountain-100 Silver",
+      "full suspension mountain bike", 3399.99),
+    Product("p6", "c-bikes", "Bikes, Road", "BK-2", "Road-550 Red",
+      "lightweight road bike carbon", 1120.49),
+    Product("p7", "c-helmets", "Accessories, Helmets", "HL-1", "Sport Helmet",
+      "protective sport helmet", 34.99),
+    Product("p8", "c-helmets", "Accessories, Helmets", "HL-2", "Tour Helmet",
+      "aero tour helmet", 44.99))
+
+  private def newEngine() = {
+    val store = new DocumentStore(spark, Files.createTempDirectory("graft-rag").toString)
+    val eng = new ChatEngine(spark, store, maxSearchResults = 4)
+    eng.ingest("products",
+      products.toDS().toDF().withColumn("doc_text",
+        org.apache.spark.sql.functions.concat_ws(" ",
+          org.apache.spark.sql.functions.col("name"),
+          org.apache.spark.sql.functions.col("description"),
+          org.apache.spark.sql.functions.col("categoryName"))),
+      textCol = "doc_text", partitionCol = Some("categoryId"))
+    (eng, store)
+  }
+
+  test("flagship slice: search -> prompts -> completion -> persisted TX") {
+    val (eng, store) = newEngine()
+    val sid = eng.createSession()
+    val reply = eng.complete(sid, "products", "What kind of socks do you have?")
+    assert(reply.Sender.contains("Assistant"))
+    assert(reply.Text.exists(_.nonEmpty))
+    // TX1: one commit wrote session + 2 messages
+    val rows = store.read(eng.CompletionsTable)
+    assert(rows.filter("Type = 'Message'").count() == 2)
+    // A1: TokensUsed = prompt.Tokens + completion.PromptTokens + completion.Tokens
+    val used = eng.tokensUsed(sid)
+    assert(used > 0)
+    val msgs = rows.filter("Type = 'Message'")
+      .select("Tokens", "PromptTokens", "Sender").collect()
+    val expected = msgs.map { r =>
+      if (r.getString(2) == "User") r.getInt(0) else r.getInt(0) + r.getInt(1)
+    }.sum
+    assert(used == expected)
+  }
+
+  test("retrieval is relevant: socks query retrieves socks corpus text") {
+    val (eng, _) = newEngine()
+    val payload = eng.vectorSearch("products", "warm wool mountain socks")
+    val sockHits = payload.split("\\{").count(_.contains("Socks"))
+    assert(sockHits >= 2, s"payload: ${payload.take(200)}")
+  }
+
+  test("cosmic socks add/remove scenario (README.md:184-194)") {
+    val (eng, store) = newEngine()
+    def sockCount(): Int =
+      eng.vectorSearch("products", "socks").split("\\{").count(_.contains("Socks"))
+    val before = sockCount()
+    // add: upsert keyed (categoryId, id) like UpsertProductAsync
+    val sock = Seq(Product("99", "c-socks", "Clothing, Socks", "SO-R999-M",
+      "Cosmic Racing Socks, M", "The product called Cosmic Racing Socks, M", 6.00))
+    val withText = sock.toDS().toDF().withColumn("doc_text",
+      org.apache.spark.sql.functions.concat_ws(" ",
+        org.apache.spark.sql.functions.col("name"),
+        org.apache.spark.sql.functions.col("description"),
+        org.apache.spark.sql.functions.col("categoryName")))
+    val embedded = graft.embed.Embed.withEmbedding(
+      withText, "doc_text", "vector", graft.embed.HashProjectionEmbedder(dims = 64))
+    store.upsert("products", embedded, keys = Seq("categoryId", "id"))
+    val after = sockCount()
+    assert(after >= before) // new sock is searchable immediately
+    // remove (DeleteProductAsync)
+    store.delete("products",
+      org.apache.spark.sql.functions.col("id") === "99", touchedParts = Some(Seq("c-socks")))
+    assert(sockCount() == before)
+  }
+
+  test("conversation history obeys the reference budget quirk (W1)") {
+    import java.sql.Timestamp
+    val msgs = Seq(
+      (new Timestamp(1000L), 300, "m1"),
+      (new Timestamp(2000L), 300, "m2"),
+      (new Timestamp(3000L), 300, "m3"),
+      (new Timestamp(4000L), 300, "m4"))
+    // budget 1000: newest-first running sums 300,600,900,1200 -> keep 3
+    assert(TokenBudget.conversationHistory(msgs, 1000) == "m2\nm3\nm4")
+    // budget 900: third message increments to 900 <= 900 -> still kept
+    assert(TokenBudget.conversationHistory(msgs, 900) == "m2\nm3\nm4")
+    // budget 899 -> keep 2
+    assert(TokenBudget.conversationHistory(msgs, 899) == "m3\nm4")
+  }
+
+  test("buildPrompts trims proportionally, never the user prompt (T5)") {
+    val rag = ("data " * 600).trim // 1200 tokens under the fallback lexer
+    val conv = ("chat " * 300).trim
+    val user = "the question"
+    val (aug, convUser) = TokenBudget.buildPrompts(user, conv, rag, maxCompletionTokens = 1000)
+    val total = graft.functions.Tokenizer.count(aug) +
+      graft.functions.Tokenizer.count(convUser)
+    assert(convUser.endsWith("\n" + user)) // prompt intact, at the end
+    assert(graft.functions.Tokenizer.count(aug) < 1200)
+    assert(total <= 1000) // buffer math keeps us under budget
+    // under-budget passthrough
+    val (aug2, cu2) = TokenBudget.buildPrompts(user, "small talk", "tiny rag", 2000)
+    assert(aug2 == "tiny rag" && cu2 == "small talk\n" + user)
+  }
+
+  test("summarize-and-rename agent strips non-alphanumerics (X4)") {
+    val (eng, _) = newEngine()
+    val sid = eng.createSession()
+    eng.complete(sid, "products", "What bikes do you have?")
+    val name = eng.summarizeSessionName(sid)
+    assert(name.nonEmpty)
+    assert(!name.exists(c => !c.isLetterOrDigit && !c.isWhitespace))
+  }
+}

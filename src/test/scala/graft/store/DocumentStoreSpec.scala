@@ -1,0 +1,91 @@
+package graft.store
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+class DocumentStoreSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def freshStore() =
+    new DocumentStore(spark, Files.createTempDirectory("graft-store").toString)
+
+  test("create + read round trip") {
+    val s = freshStore()
+    s.create("t", Seq((1L, "a"), (2L, "b")).toDF("id", "x"))
+    assert(s.read("t").orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("upsert replaces matching keys and inserts new ones (S5)") {
+    val s = freshStore()
+    s.create("t", Seq((1L, "a"), (2L, "b")).toDF("id", "x"))
+    s.upsert("t", Seq((2L, "B2"), (3L, "c")).toDF("id", "x"), Seq("id"))
+    assert(s.read("t").orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+    assert(s.version("t") == 2)
+  }
+
+  test("upsert is idempotent") {
+    val s = freshStore()
+    s.create("t", Seq((1L, "a")).toDF("id", "x"))
+    s.upsert("t", Seq((1L, "A")).toDF("id", "x"), Seq("id"))
+    s.upsert("t", Seq((1L, "A")).toDF("id", "x"), Seq("id"))
+    assert(s.read("t").as[(Long, String)].collect().toSeq == Seq((1L, "A")))
+  }
+
+  test("compound keys (categoryId,id) semantics of the reference upsert") {
+    val s = freshStore()
+    s.create("t", Seq(("c1", "p1", 1.0), ("c1", "p2", 2.0)).toDF("categoryId", "id", "price"))
+    // same id under a DIFFERENT category: inserts, does not replace
+    s.upsert("t", Seq(("c2", "p1", 9.0)).toDF("categoryId", "id", "price"),
+      Seq("categoryId", "id"))
+    assert(s.read("t").count() == 3)
+    s.upsert("t", Seq(("c1", "p1", 5.0)).toDF("categoryId", "id", "price"),
+      Seq("categoryId", "id"))
+    val p = s.read("t").filter($"categoryId" === "c1" && $"id" === "p1")
+      .select("price").as[Double].collect()
+    assert(p.toSeq == Seq(5.0))
+  }
+
+  test("delete point + bulk (S6/S7)") {
+    val s = freshStore()
+    s.create("t", Seq((1L, "s1"), (2L, "s1"), (3L, "s2")).toDF("id", "sess"))
+    s.delete("t", col("id") === 1L)
+    assert(s.read("t").count() == 2)
+    s.delete("t", col("sess") === "s1") // cascade-style bulk
+    assert(s.read("t").as[(Long, String)].collect().toSeq == Seq((3L, "s2")))
+  }
+
+  test("partition pruning: upsert rewrites only touched partitions") {
+    val s = freshStore()
+    s.create("t", Seq((1L, "pa", "x"), (2L, "pb", "y")).toDF("id", "part", "v"),
+      partitionCol = Some("part"))
+    s.upsert("t", Seq((2L, "pb", "Y2")).toDF("id", "part", "v"), Seq("id"))
+    // version advanced, and the pa segment from v1 is still referenced
+    assert(s.version("t") == 2)
+    assert(s.read("t").orderBy("id").as[(Long, String, String)].collect().toSeq ==
+      Seq((1L, "pa", "x"), (2L, "pb", "Y2")))
+  }
+
+  test("upsert that moves a row across partitions removes the stale copy") {
+    val s = freshStore()
+    s.create("t", Seq((1L, "pa", "x"), (2L, "pb", "y")).toDF("id", "part", "v"),
+      partitionCol = Some("part"))
+    // key does NOT include the partition column; row 1 migrates pa -> pc
+    s.upsert("t", Seq((1L, "pc", "X9")).toDF("id", "part", "v"), Seq("id"))
+    val rows = s.read("t").orderBy("id").as[(Long, String, String)].collect().toSeq
+    assert(rows == Seq((1L, "pc", "X9"), (2L, "pb", "y")))
+  }
+
+  test("snapshot isolation: reader sees old version until commit") {
+    val s = freshStore()
+    s.create("t", Seq((1L, "a")).toDF("id", "x"))
+    val before = s.read("t").collect()
+    s.upsert("t", Seq((1L, "B")).toDF("id", "x"), Seq("id"))
+    // the pre-commit collected snapshot is unchanged; a fresh read sees v2
+    assert(before.map(_.getString(1)).toSeq == Seq("a"))
+    assert(s.read("t").collect().map(_.getString(1)).toSeq == Seq("B"))
+  }
+}
