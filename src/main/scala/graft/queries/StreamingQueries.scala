@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.multimodal.Multimodal
+
+/** Streaming-adjacent and multimodal operator coverage.
+  *
+  * q50 is the batch form of the streaming windowed aggregation (same
+  * plan Structured Streaming runs incrementally — see
+  * graft.streaming.EventStream.windowedStats and its spec, which checks
+  * stream output == this batch answer). q70 drives the binary-column
+  * decode plumbing with a SQL-arithmetic oracle (the fake codec's
+  * features are pure functions of the payload).
+  */
+object StreamingQueries extends QuerySet {
+
+  /** Hourly tumbling-window stats over events (batch form of the
+    * streaming agg; window().start == date_trunc('hour') for aligned
+    * tumbling windows). */
+  private def q50(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  private val q50Sql =
+    """SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** Multimodal plumbing: text bytes as the opaque binary payload,
+    * batched fake-decode to typed features (schema/batching/partitioning
+    * are the real contract; the codec is the documented stub). */
+  private def q70(s: SparkSession, d: String): DataFrame = {
+    val media = t(s, d, "documents")
+      .select(col("doc_id"), lit("image").as("kind"),
+        encode(col("text"), "UTF-8").as("bytes"))
+    Multimodal.withFeatures(media, "bytes", "kind")
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"), col("checksum"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q70Sql =
+    """SELECT doc_id,
+      |  CAST(strlen(text) AS INT) AS n_bytes,
+      |  CAST(strlen(text) % 640 AS INT) AS width,
+      |  CAST((strlen(text) * 7) % 480 AS INT) AS height,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS checksum
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  override val queries: Seq[Q] = Seq(
+    Q("q50_hourly_window_stats", q50, Some(q50Sql), headline = true),
+    Q("q70_multimodal_features", q70, Some(q70Sql)))
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+import graft.Tables.t
+import graft.store.DocumentStore
+
+class EventStreamSpec extends AnyFunSuite with SparkSuite {
+
+  /** File-stream sources need a directory; stage the single parquet file
+    * into one (this is also the natural shape of a landing zone). */
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("graft-events")
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    dir.toString
+  }
+
+  test("windowed stats: streaming output equals the batch plan") {
+    val stream = EventStream.windowedStats(EventStream.source(spark, eventsDir))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("win_out").start()
+    q.processAllAvailable(); q.stop()
+    // append mode only emits windows the watermark has passed; compare
+    // those against the same batch aggregation
+    val got = spark.table("win_out")
+      .select("window_start", "event_type", "n", "total")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = t(spark, sf, "events")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got.nonEmpty)
+    assert(got.subsetOf(batch))
+    // all but the final (unclosed) windows must have been emitted
+    assert(got.size >= batch.size - 5)
+  }
+
+  test("stateful running totals equal batch sums after draining (A1)") {
+    val totals = EventStream.runningTotals(spark, EventStream.source(spark, eventsDir))
+    val q = totals.writeStream.outputMode("update")
+      .format("memory").queryName("tot_out").start()
+    q.processAllAvailable(); q.stop()
+    // last emitted state per user == batch sum
+    val got = spark.table("tot_out").groupBy("user_id")
+      .agg(last("running_total").as("rt"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = t(spark, sf, "events").groupBy("user_id")
+      .agg(sum("value").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == batch.keySet)
+    got.foreach { case (u, v) => assert(math.abs(v - batch(u)) < 1e-6, s"user $u") }
+  }
+
+  test("foreachBatch upsert sink lands every event exactly once") {
+    val store = new DocumentStore(spark, Files.createTempDirectory("graft-sink").toString)
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val q = EventStream.upsertSink(
+      EventStream.source(spark, eventsDir), store, "events_sink",
+      keys = Seq("event_id"), checkpoint = ckpt)
+    q.awaitTermination()
+    val n = store.read("events_sink").count()
+    assert(n == t(spark, sf, "events").count())
+    // re-run with the same checkpoint: no new data, count unchanged
+    val q2 = EventStream.upsertSink(
+      EventStream.source(spark, eventsDir), store, "events_sink",
+      keys = Seq("event_id"), checkpoint = ckpt)
+    q2.awaitTermination()
+    assert(store.read("events_sink").count() == n)
+  }
+}
