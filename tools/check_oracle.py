@@ -19,7 +19,9 @@ for p in glob.glob(f"{sf}/*.parquet"):
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = 0
 for name, sql in sorted(oracle.items()):
-    rdir = f"{out}/{name}"
+    rdir = f"{out}/{name}.parquet"
+    if not os.path.isdir(rdir):
+        rdir = f"{out}/{name}"
     if not os.path.isdir(rdir):
         print(f"FAIL {name}: no spark output"); fails += 1; continue
     try:
