@@ -10,7 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one JVM-wide SparkSession; parallel suites race on the
+// default-session slot (GraftExtensionsSpec must own it briefly).
+Test / parallelExecution := false
 run / fork := true
+// Bench/Verify stdout must pass through unprefixed (the driver parses
+// Bench's single JSON line; sbt's default logger would prepend "[info]").
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

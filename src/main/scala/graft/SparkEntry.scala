@@ -14,7 +14,8 @@ import graft.queries._
 object SparkEntry {
 
   def querySets: Seq[QuerySet] =
-    Seq(Relational, VectorQueries, TextQueries, RagQueries, StreamingQueries)
+    Seq(Relational, AdvancedQueries, VectorQueries, TextQueries, RagQueries,
+      StreamingQueries)
 
   private lazy val all: Seq[Q] = querySets.flatMap(_.queries)
 

@@ -63,8 +63,12 @@ object Dedup {
                       n: Int = 3, numHashes: Int = 24, bands: Int = 8,
                       threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // shingles are hashed to longs once up front: the k per-seed minhash
+    // passes then hash an 8-byte long instead of re-hashing the string,
+    // and candidate verification shuffles long arrays, not text
     val base = df.select(col(idCol).as("doc"),
-      array_distinct(shingles(col(textCol), n)).as("sh"))
+      array_distinct(transform(array_distinct(shingles(col(textCol), n)),
+        s => xxhash64Seeded(3L, s))).as("sh"))
     val sig = base.withColumn("sig", minhashSignature(col("sh"), numHashes))
       .withColumn("band_key", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
       .select(col("doc"), col("band_key"))

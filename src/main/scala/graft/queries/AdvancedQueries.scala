@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.operators.{AsOfJoin, SaltedJoin}
+
+/** Ordered-analytics operators beyond the reference's fixed surface:
+  * as-of join, gap sessionization, exact quantiles, correlated-subquery
+  * decorrelation. These are the time-series/training-pipeline shapes a
+  * 100 TB engine needs; each has an exact DuckDB oracle.
+  */
+object AdvancedQueries extends QuerySet {
+
+  /** As-of join: each purchase event picks up the latest prior (<=) view
+    * event of the same user — single-shuffle union-sort plan, see
+    * [[graft.operators.AsOfJoin]]. Oracle is DuckDB's native ASOF JOIN.
+    * (ts is unique per user in TESTDATA, so the match is unambiguous.) */
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_event_id"),
+        col("value").as("view_value"))
+    AsOfJoin.leftAsOf(purchases, views, keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        rightCols = Seq("view_event_id", "view_value"), prefix = "")
+      .select(col("event_id"), col("user_id"), col("view_event_id"), col("view_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q23Sql =
+    """SELECT p.event_id, p.user_id, v.event_id AS view_event_id, v.value AS view_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  /** Gap-based sessionization: a new session starts after >6h of user
+    * inactivity. lag -> flag -> running sum -> per-session rollup; one
+    * shuffle on user_id shared by both windows and the final groupBy. */
+  private def q24(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 6L * 3600 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("is_new")).over(run))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  private val q24Sql =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR ts - LAG(ts) OVER w > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM g)
+      |SELECT user_id, session_idx, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM sess GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
+  /** Exact linear-interpolated quantiles per group. Parity trick: quantile
+    * positions are dyadic (k/4), and inputs are scaled to integer cents,
+    * so the interpolation (1-f)*a + f*b is exact in double arithmetic in
+    * both engines — no rounding needed. */
+  private def q25(s: SparkSession, d: String): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100).cast("bigint")
+    t(s, d, "lineitem")
+      .withColumn("__cents", cents)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(__cents, 0.25)").as("p25_cents"),
+        expr("percentile(__cents, 0.5)").as("p50_cents"),
+        expr("percentile(__cents, 0.75)").as("p75_cents"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q25Sql =
+    """SELECT l_returnflag,
+      |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25) AS p25_cents,
+      |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS p50_cents,
+      |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75) AS p75_cents,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Correlated scalar subquery (TPC-H Q17 shape), decorrelated into an
+    * aggregate + broadcast-join plan: lineitems cheaper than 20% of their
+    * part's average quantity. Thresholds go through exact DECIMAL sums so
+    * both engines compare against bit-identical doubles. */
+  private def q26(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val thresholds = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((lit(0.2) * sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("threshold"))
+    li.join(broadcast(t(s, d, "part")).filter(col("p_brand") === "Brand#13"),
+        col("l_partkey") === col("p_partkey"))
+      .join(thresholds, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("threshold"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0)
+        .as("avg_yearly"))
+  }
+
+  private val q26Sql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#13'
+      |  AND l_quantity < (
+      |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+      |    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""".stripMargin
+
+  /** Skew-resistant salted join: results are identical to a plain join by
+    * construction, so the oracle is the plain SQL join — the salting is a
+    * physical-plan property (hot keys spread over `salts` reducers). */
+  private def q27(s: SparkSession, d: String): DataFrame =
+    SaltedJoin.inner(t(s, d, "lineitem"), t(s, d, "supplier")
+        .withColumnRenamed("s_suppkey", "l_suppkey"), Seq("l_suppkey"), salts = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy(col("s_nationkey"))
+
+  private val q27Sql =
+    """SELECT s_nationkey, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  /** Sketch aggregates for 100 TB profiling: HyperLogLog++ distinct
+    * counts. Approximate => rows-only check; the ScalaTest gate asserts
+    * <5% error vs exact on the same data. */
+  private def q28(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+
+  override val queries: Seq[Q] = Seq(
+    Q("q23_asof_join", q23, Some(q23Sql), headline = true),
+    Q("q24_sessionize", q24, Some(q24Sql)),
+    Q("q25_percentiles", q25, Some(q25Sql)),
+    Q("q26_corr_subquery", q26, Some(q26Sql)),
+    Q("q27_skew_salted_join", q27, Some(q27Sql)),
+    Q("q28_approx_distinct", q28, None))
+}

@@ -31,7 +31,8 @@ object TextQueries extends QuerySet {
 
   /** Exact word-3-gram Jaccard near-dup pairs (relational shingle join). */
   private def q41(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+    Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.8,
+        hashShingles = true)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
 

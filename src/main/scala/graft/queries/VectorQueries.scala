@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.functions.VectorFunctions._
-import graft.search.{IvfIndex, VectorSearch}
+import graft.search.{HyperplaneLsh, IvfIndex, VectorSearch}
 
 /** Vector-search operator coverage (SURVEY §2.8: V2/V3 + the ANN/near-dup
   * extensions). Oracle parity trick: DuckDB's list_cosine_similarity over
@@ -80,6 +80,17 @@ object VectorQueries extends QuerySet {
       .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim"))
   }
 
+  /** V3 alternate: random-hyperplane LSH ANN — bucket-filter then exact
+    * top-k among candidates (ANN => rows-only check; ScalaTest holds the
+    * recall gate vs brute force). */
+  private def q36(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val lsh = HyperplaneLsh(dims = 64, bits = 8, numTables = 8)
+    val probe = probeVec(s, d, 0L)
+    lsh.search(lsh.assign(e, "embedding"), "embedding", "vec_id", probe, 10)
+      .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Vector norm maintenance column (our analog of index-build-time
     * precomputation, SURVEY §1.3). */
   private def q34(s: SparkSession, d: String): DataFrame =
@@ -119,6 +130,7 @@ object VectorQueries extends QuerySet {
     Q("q31_knn_join_window", q31, Some(knnJoinSql)),
     Q("q32_knn_join_agg", q32, Some(knnJoinSql), headline = true),
     Q("q33_knn_ivf", q33, None),
+    Q("q36_knn_lsh", q36, None),
     Q("q34_vector_norms", q34, Some(q34Sql)),
     Q("q35_neardup_embedding", q35, Some(q35Sql), headline = true))
 }

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+class AsOfJoinSpec extends AnyFunSuite with SparkSuite {
+
+  private def mk(rows: Seq[(Long, Long, Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("id", "key", "t", "payload")
+      .withColumn("t", timestamp_micros(col("t") * 1000000))
+  }
+
+  test("picks the latest right row at or before the left time, per key") {
+    val left = mk(Seq((1L, 1L, 10L, "l1"), (2L, 1L, 20L, "l2"), (3L, 2L, 15L, "l3")))
+    val right = mk(Seq((100L, 1L, 5L, "r5"), (101L, 1L, 12L, "r12"),
+      (102L, 1L, 25L, "r25"), (103L, 3L, 1L, "other-key")))
+    val out = AsOfJoin.leftAsOf(left, right, Seq("key"), "t", "t",
+        Seq("id", "payload"), prefix = "r_")
+      .orderBy(col("id")).collect()
+    assert(out.length == 3)
+    // left t=10 -> r5 (t=5); t=20 -> r12; key 2 has no right rows -> null
+    assert(out(0).getAs[String]("r_payload") == "r5")
+    assert(out(1).getAs[String]("r_payload") == "r12")
+    assert(out(2).isNullAt(out(2).fieldIndex("r_payload")))
+  }
+
+  test("inclusive: a right row at exactly the left time matches") {
+    val left = mk(Seq((1L, 1L, 10L, "l")))
+    val right = mk(Seq((100L, 1L, 10L, "same-instant"), (101L, 1L, 9L, "earlier")))
+    val out = AsOfJoin.leftAsOf(left, right, Seq("key"), "t", "t",
+      Seq("payload"), prefix = "r_").collect()
+    assert(out.head.getAs[String]("r_payload") == "same-instant")
+  }
+
+  test("all left rows survive (left-join semantics)") {
+    val left = mk((1L to 50L).map(i => (i, i % 5, i, s"l$i")))
+    val right = mk(Seq((100L, 0L, 3L, "r")))
+    val n = AsOfJoin.leftAsOf(left, right, Seq("key"), "t", "t",
+      Seq("payload")).count()
+    assert(n == 50)
+  }
+}
