@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.functions.TextExpressions._
 
 /** Deduplication operators for training-data pipelines.
   *
@@ -22,6 +23,15 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Spread the per-document compute (shingling, hashing, minhash
+    * passes) across the cluster before it runs: a single-file /
+    * single-row-group source otherwise pins the whole CPU-bound stage to
+    * one task (parquet cannot split inside a row group). The shuffled
+    * payload is the raw text — tiny next to the shingle streams derived
+    * from it. */
+  private def spread(df: DataFrame, idCol: String): DataFrame =
+    df.repartition(col(idCol))
+
   /** Exact dedup: one representative (min id) per distinct key. */
   def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
     df.groupBy(keyCols.map(col): _*)
@@ -33,10 +43,20 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         hashShingles: Boolean = false): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"),
-        explode(array_distinct(shingles(col(textCol), n))).as("s"))
-      .select(col("doc"), (if (hashShingles) xxhash64Seeded(3L, col("s")) else col("s")).as("s"))
-      .distinct()
+    // NOT cached: the pair join is a self-join of an identical subplan,
+    // so Catalyst's ReuseExchange already computes+shuffles it once;
+    // a cache layer here measurably slows the query by splitting the
+    // exchange reuse into separate cache scans.
+    // Hashed path: shingle_hashes emits per-doc DISTINCT hashes, so the
+    // (doc, s) rows are already distinct — no dedup shuffle needed.
+    val sh =
+      if (hashShingles)
+        spread(df, idCol).select(col(idCol).as("doc"),
+          explode(shingle_hashes(col(textCol), n)).as("s"))
+      else
+        spread(df, idCol).select(col(idCol).as("doc"),
+            explode(array_distinct(shingles(col(textCol), n))).as("s"))
+          .distinct()
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
@@ -66,12 +86,16 @@ object Dedup {
     // shingles are hashed to longs once up front: the k per-seed minhash
     // passes then hash an 8-byte long instead of re-hashing the string,
     // and candidate verification shuffles long arrays, not text
-    val base = df.select(col(idCol).as("doc"),
-      array_distinct(transform(array_distinct(shingles(col(textCol), n)),
-        s => xxhash64Seeded(3L, s))).as("sh"))
-    val sig = base.withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .withColumn("band_key", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
+    // cached: base feeds signature computation AND both verification
+    // joins; sig feeds both sides of the band-bucket self-join — without
+    // the caches the k minhash passes run 4x per document
+    val base = spread(df, idCol).select(col(idCol).as("doc"),
+      shingle_hashes(col(textCol), n).as("sh"))
+      .cache()
+    val sig = base.withColumn("sig", minhash_sig(col("sh"), numHashes))
+      .withColumn("band_key", explode(lsh_band_keys(col("sig"), bands, rowsPerBand)))
       .select(col("doc"), col("band_key"))
+      .cache()
     val cand = sig.as("a").join(sig.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("a_id"), col("b.doc").as("b_id"))
@@ -92,8 +116,8 @@ object Dedup {
     * in practice). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, maxHamming: Int = 3): DataFrame = {
-    val sig = df.select(col(idCol).as("doc"),
-      simhash64(array_distinct(shingles(col(textCol), n))).as("sig"))
+    val sig = spread(df, idCol).select(col(idCol).as("doc"),
+      simhash64_fast(shingle_hashes(col(textCol), n, seed = 7L)).as("sig"))
     val chunked = sig.select(col("doc"), col("sig"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("ci"),
