@@ -56,6 +56,35 @@ class EventStreamSpec extends AnyFunSuite with SparkSuite {
     got.foreach { case (u, v) => assert(math.abs(v - batch(u)) < 1e-6, s"user $u") }
   }
 
+  test("streaming sessionization: closed sessions match the batch answer") {
+    val gapMin = 360 // 6h, matches q24_sessionize
+    val stream = EventStream.sessionize(spark, EventStream.source(spark, eventsDir), gapMin)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sess_out")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getInt(3)))
+      .toSet
+    // batch oracle: same lag/cumsum sessionization as q24
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val batch = t(spark, sf, "events")
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s", when(col("prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev")) > gapMin * 60L * 1000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"), count(lit(1)).cast("int").as("n"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3), r.getInt(4)))
+      .toSet
+    // streaming emits only sessions the watermark closed; they must all
+    // be real sessions, and most sessions should have closed
+    assert(got.nonEmpty)
+    assert(got.subsetOf(batch), s"junk sessions: ${got.diff(batch).take(3)}")
+    assert(got.size >= batch.size / 2)
+  }
+
   test("foreachBatch upsert sink lands every event exactly once") {
     val store = new DocumentStore(spark, Files.createTempDirectory("graft-sink").toString)
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
