@@ -152,11 +152,30 @@ object AdvancedQueries extends QuerySet {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
       .orderBy(col("l_returnflag"))
 
+  /** Full outer join: customers without orders AND orphan order keys both
+    * survive (completes the join-type inventory: inner/semi/anti/left
+    * variants live in q05-q08). */
+  private def q29(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_custkey"), col("c_name"))
+      .join(t(s, d, "orders").filter(col("o_totalprice") > 450000.0)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+
+  private val q29Sql =
+    """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+      |FROM customer FULL OUTER JOIN
+      |  (SELECT * FROM orders WHERE o_totalprice > 450000.0) o
+      |  ON c_custkey = o_custkey
+      |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q23_asof_join", q23, Some(q23Sql), headline = true),
     Q("q24_sessionize", q24, Some(q24Sql)),
     Q("q25_percentiles", q25, Some(q25Sql)),
     Q("q26_corr_subquery", q26, Some(q26Sql)),
     Q("q27_skew_salted_join", q27, Some(q27Sql)),
-    Q("q28_approx_distinct", q28, None))
+    Q("q28_approx_distinct", q28, None),
+    Q("q29_full_outer_join", q29, Some(q29Sql)))
 }

@@ -162,6 +162,26 @@ object TextQueries extends QuerySet {
       |  SUM(n_chars) AS sum_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** Pivot: doc counts per source × language (wide-format reshape; the
+    * oracle states it as conditional aggregation, which is also exactly
+    * the plan Spark compiles a pivot to). */
+  private def q49(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .groupBy(col("source"))
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("source"))
+
+  private val q49Sql =
+    """SELECT source,
+      |  COUNT(*) FILTER (WHERE lang = 'de') AS de,
+      |  COUNT(*) FILTER (WHERE lang = 'en') AS en,
+      |  COUNT(*) FILTER (WHERE lang = 'es') AS es,
+      |  COUNT(*) FILTER (WHERE lang = 'fr') AS fr,
+      |  COUNT(*) FILTER (WHERE lang = 'zh') AS zh
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -171,5 +191,6 @@ object TextQueries extends QuerySet {
     Q("q45_quality_score", q45, Some(q45Sql)),
     Q("q46_token_stats", q46, Some(q46Sql)),
     Q("q47_fingerprint", q47, Some(q47Sql)),
-    Q("q48_corpus_stats", q48, Some(q48Sql)))
+    Q("q48_corpus_stats", q48, Some(q48Sql)),
+    Q("q49_pivot_lang", q49, Some(q49Sql)))
 }
