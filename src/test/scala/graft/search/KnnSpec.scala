@@ -56,6 +56,28 @@ class KnnSpec extends AnyFunSuite with SparkSuite {
     assert(mean >= 0.95, s"mean recall $mean")
   }
 
+  test("IVF written index: plan-time partition pruning on centroid_id dirs") {
+    val idx = IvfIndex.train(emb, "embedding", "vec_id",
+      numLists = 8, iters = 2, multiAssign = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    idx.write(emb, "embedding", path)
+    val indexed = idx.read(spark, path)
+    val hits = idx.search(indexed, "embedding", "vec_id", probe, 10, nprobe = 2)
+    assert(hits.count() == 10)
+    // the physical scan must carry the centroid_id partition filter, so
+    // unprobed list directories are never opened
+    val scan = hits.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("centroid_id"),
+      s"no partition filter in scan:\n$scan")
+    // and ANN answer == exact answer restricted to the probed lists
+    val lists = idx.nearestLists(probe, 2)
+    val pruned = indexed.filter(col("centroid_id").isin(lists: _*)).dropDuplicates("vec_id")
+    val expect = VectorSearch.exactTopK(pruned, "embedding", "vec_id", probe, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hits.collect().map(_.getLong(0)).toSeq == expect)
+  }
+
   test("IVF partition pruning: searched rows < index rows") {
     val idx = IvfIndex.train(emb, "embedding", "vec_id",
       numLists = 16, iters = 3, multiAssign = 4)
