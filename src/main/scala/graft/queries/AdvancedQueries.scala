@@ -172,10 +172,10 @@ object AdvancedQueries extends QuerySet {
 
   override val queries: Seq[Q] = Seq(
     Q("q23_asof_join", q23, Some(q23Sql), headline = true),
-    Q("q24_sessionize", q24, Some(q24Sql)),
+    Q("q24_sessionize", q24, Some(q24Sql), headline = true),
     Q("q25_percentiles", q25, Some(q25Sql)),
     Q("q26_corr_subquery", q26, Some(q26Sql)),
-    Q("q27_skew_salted_join", q27, Some(q27Sql)),
+    Q("q27_skew_salted_join", q27, Some(q27Sql), headline = true),
     Q("q28_approx_distinct", q28, None),
     Q("q29_full_outer_join", q29, Some(q29Sql)))
 }
