@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // opt-in ANN rewrite: cosine top-k over a written IVF index ->
+    // centroid-pruned scan (spark.graft.ivf.rewrite.enabled=true)
+    ext.injectOptimizerRule(spark => graft.search.IvfTopKRewrite(spark))
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two float vectors"),
       (xs: Seq[Expression]) => DotProduct(xs(0), xs(1))))

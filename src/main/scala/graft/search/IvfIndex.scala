@@ -91,10 +91,14 @@ final case class IvfIndex(centroids: Array[Array[Float]], multiAssign: Int = 1) 
     }
 
   /** Materialize the index: corpus + centroid_id, written partitioned by
-    * centroid_id so searches prune whole directories at plan time. */
-  def write(df: DataFrame, vecCol: String, path: String): Unit =
+    * centroid_id so searches prune whole directories at plan time. Also
+    * writes the [[IvfIndex.Sidecar]] so [[graft.search.IvfTopKRewrite]]
+    * can recover the centroids from the bare path. */
+  def write(df: DataFrame, vecCol: String, path: String): Unit = {
     assign(df, vecCol)
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    IvfIndex.writeSidecar(df.sparkSession, path, this)
+  }
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
@@ -134,4 +138,36 @@ object IvfIndex {
   def train(df: DataFrame, vecCol: String, idCol: String,
             numLists: Int, iters: Int = 5, multiAssign: Int = 1): IvfIndex =
     IvfIndex(SimpleKMeans.fit(df, vecCol, idCol, numLists, iters), multiAssign)
+
+  /** Index metadata persisted next to the data (plain text, not JSON, so
+    * no parser dependency): line 1 = multiAssign, then one
+    * comma-separated centroid per line. Written/read through the Hadoop
+    * FS API so any storage the index lives on works. */
+  val SidecarFile = "_ivf_sidecar"
+
+  def writeSidecar(spark: SparkSession, path: String, idx: IvfIndex): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, SidecarFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try {
+      val body = (idx.multiAssign.toString +:
+        idx.centroids.toSeq.map(_.mkString(","))).mkString("\n")
+      out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+  }
+
+  def readSidecar(spark: SparkSession, path: String): Option[IvfIndex] = {
+    val p = new org.apache.hadoop.fs.Path(path, SidecarFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+        Some(IvfIndex(
+          lines.tail.map(_.split(",").map(_.toFloat)).toArray,
+          lines.head.trim.toInt))
+      } finally in.close()
+    }
+  }
 }
