@@ -35,13 +35,21 @@ object AsOfJoin {
                rightCols: Seq[String], prefix: String = "asof_"): DataFrame = {
     val leftCols = left.columns.toSeq
     val carry = struct(rightCols.map(col): _*)
+    val carryType = right.select(carry).schema.head.dataType
 
-    val l = left
+    // SQL equi-join semantics: NULL keys never match. The window would
+    // group NULL keys together and wrongly pair them, so NULL-key left
+    // rows bypass the join (kept, with null payload — left-join shape)
+    // and NULL-key right rows are dropped.
+    val nullKey = keys.map(col(_).isNull).reduce(_ || _)
+    val leftNull = left.filter(nullKey).select(leftCols.map(col) ++
+      rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"$prefix$c")): _*)
+
+    val l = left.filter(!nullKey)
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-      .withColumn("__carry", lit(null).cast(
-        right.select(carry).schema.head.dataType))
-    val r = right
+      .withColumn("__carry", lit(null).cast(carryType))
+    val r = right.filter(!nullKey)
       .select(keys.map(col) :+ col(rightTime).as("__t") :+ carry.as("__carry"): _*)
       .withColumn("__side", lit(0))
 
@@ -57,5 +65,6 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
         rightCols.map(c => col(s"__m.$c").as(s"$prefix$c")): _*)
+      .unionByName(leftNull)
   }
 }

@@ -15,6 +15,13 @@ import graft.functions.TextExpressions._
   *    exact Jaccard verification of candidates only;
   *  - SimHash: 64-bit fingerprints, chunk-blocked Hamming pairs.
   *
+  * Contract: `idCol` must uniquely identify rows — duplicate-id inputs
+  * double-count shingle intersections (dedup the id first if unsure).
+  * The MinHash path caches two small intermediates (signatures, hashed
+  * shingles) for the lifetime of the returned plan; callers running many
+  * dedup passes in one session should `spark.catalog.clearCache()`
+  * between them.
+  *
   * Scale notes: the LSH band join shuffles (docs × bands) short rows —
   * independent of pair count — and candidate verification touches only
   * colliding pairs, so the n² pair space is never materialized. Shingle

@@ -106,9 +106,11 @@ object AdvancedQueries extends QuerySet {
     * both engines compare against bit-identical doubles. */
   private def q26(s: SparkSession, d: String): DataFrame = {
     val li = t(s, d, "lineitem")
+    // parenthesization must match the oracle exactly — 0.2 * (sum/count),
+    // not (0.2*sum)/count — double arithmetic is not associative
     val thresholds = li.groupBy(col("l_partkey").as("t_partkey"))
-      .agg((lit(0.2) * sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
-        count(lit(1))).as("threshold"))
+      .agg((lit(0.2) * (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+        count(lit(1)))).as("threshold"))
     li.join(broadcast(t(s, d, "part")).filter(col("p_brand") === "Brand#13"),
         col("l_partkey") === col("p_partkey"))
       .join(thresholds, col("l_partkey") === col("t_partkey"))

@@ -33,14 +33,15 @@ case class IvfTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def nprobe: Int =
     spark.conf.getOption("spark.graft.ivf.nprobe").map(_.toInt).getOrElse(1)
 
-  private val sidecars =
-    scala.collection.concurrent.TrieMap.empty[String, Option[IvfIndex]]
-
+  // deliberately uncached: an index rewritten in place (write is
+  // mode=overwrite) must be re-read, and a path that gains a sidecar
+  // later must start matching. The read is one small-file FS round trip
+  // and only happens for plans already matching the top-k shape —
+  // comparable to the file listing Spark itself does at plan time.
   private def sidecarFor(rel: LogicalRelation): Option[IvfIndex] =
     rel.relation match {
       case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
-        val root = fs.location.rootPaths.head.toString
-        sidecars.getOrElseUpdate(root, IvfIndex.readSidecar(spark, root))
+        IvfIndex.readSidecar(spark, fs.location.rootPaths.head.toString)
           .filter(_.multiAssign <= 1)
       case _ => None
     }

@@ -100,11 +100,18 @@ object EventStream {
             var cur = state.getOption
             ts.foreach { t =>
               cur match {
-                case Some(s) if t - s.end <= gapUs =>
-                  cur = Some(SessState(s.start, math.max(s.end, t), s.n + 1))
-                case Some(s) =>
+                // merge = within gap of the session INTERVAL, extending
+                // either end — a late (out-of-order but within-watermark)
+                // event can precede the open session's start
+                case Some(s) if t >= s.start - gapUs && t - s.end <= gapUs =>
+                  cur = Some(SessState(math.min(s.start, t), math.max(s.end, t), s.n + 1))
+                case Some(s) if t > s.end =>
                   closed ::= UserSession(user, toTs(s.start), toTs(s.end), s.n)
                   cur = Some(SessState(t, t, 1))
+                case Some(_) =>
+                  // straggler older than start-gap: its own (already past)
+                  // session; emit closed without disturbing the open one
+                  closed ::= UserSession(user, toTs(t), toTs(t), 1)
                 case None => cur = Some(SessState(t, t, 1))
               }
             }

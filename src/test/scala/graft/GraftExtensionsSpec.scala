@@ -34,6 +34,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(1) - 6.0) < 1e-12)
       assert(math.abs(r.getDouble(2) - 5.0) < 1e-12)
       assert(math.abs(r.getDouble(3) - 4.0) < 1e-12)
+      // wrong arity => proper AnalysisException, not IndexOutOfBounds
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT cosine_sim(array(CAST(1.0 AS FLOAT)))").head()
+      }
+      assert(e.getMessage.contains("cosine_sim"))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -34,6 +34,19 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSuite {
     assert(out.head.getAs[String]("r_payload") == "same-instant")
   }
 
+  test("NULL keys never match (SQL equi-join semantics)") {
+    import org.apache.spark.sql.types.LongType
+    val left = mk(Seq((1L, 1L, 10L, "l1"), (2L, 0L, 20L, "l2")))
+      .withColumn("key", when(col("key") === 0L, lit(null).cast(LongType)).otherwise(col("key")))
+    val right = mk(Seq((100L, 1L, 5L, "r"), (101L, 0L, 5L, "rnull")))
+      .withColumn("key", when(col("key") === 0L, lit(null).cast(LongType)).otherwise(col("key")))
+    val out = AsOfJoin.leftAsOf(left, right, Seq("key"), "t", "t",
+      Seq("payload"), prefix = "r_").orderBy(col("id")).collect()
+    assert(out.length == 2) // left-join: NULL-key left row kept...
+    assert(out(0).getAs[String]("r_payload") == "r")
+    assert(out(1).isNullAt(out(1).fieldIndex("r_payload"))) // ...but matches nothing
+  }
+
   test("all left rows survive (left-join semantics)") {
     val left = mk((1L to 50L).map(i => (i, i % 5, i, s"l$i")))
     val right = mk(Seq((100L, 0L, 3L, "r")))
