@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines.
+  *
+  * `df.randomSplit` draws per-row Bernoulli samples whose outcome depends
+  * on partition layout — re-running after a repartition reshuffles the
+  * split, which silently leaks validation data into training sets. These
+  * splits hash a STABLE ID instead: the same row lands in the same split
+  * on any cluster, any partitioning, any engine (the arithmetic is plain
+  * 64-bit integer math, so an external system — or the DuckDB oracle —
+  * reproduces it exactly).
+  *
+  * Hash: Knuth multiplicative (id * 2654435761 mod 2^32), then bucket
+  * mod `buckets`. Not cryptographic — fine for splitting, not for
+  * adversarial inputs.
+  */
+object Splits {
+
+  private val KnuthC = 2654435761L
+  private val TwoTo32 = 4294967296L
+
+  /** Stable bucket in [0, buckets) from a non-negative integer id. */
+  def hashBucket(id: Column, buckets: Int): Column =
+    pmod(pmod(id.cast("long") * KnuthC, lit(TwoTo32)), lit(buckets.toLong)).cast("int")
+
+  /** Append a `split` column: fractions like Seq("train" -> 0.8,
+    * "val" -> 0.1, "test" -> 0.1) (must sum to ~1; resolved on a
+    * 0-99 bucket grid). */
+  def withSplit(df: DataFrame, idCol: String,
+                fractions: Seq[(String, Double)] = Seq(
+                  "train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val bounds = fractions.scanLeft(0)((acc, f) => acc + math.round(f._2 * 100).toInt)
+    val b = hashBucket(col(idCol), 100)
+    val expr = fractions.zip(bounds.sliding(2).toSeq).foldLeft(lit(null).cast("string")) {
+      case (acc, ((name, _), Seq(lo, hi))) =>
+        when(b >= lo && b < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+}

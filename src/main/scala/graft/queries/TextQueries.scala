@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.functions.TextFunctions._
-import graft.operators.Dedup
+import graft.operators.{Dedup, Splits}
 
 /** Training-data pipeline operators: dedup (exact / n-gram Jaccard /
   * MinHash-LSH / SimHash), language ID, quality scoring, token stats,
@@ -182,6 +182,20 @@ object TextQueries extends QuerySet {
       |  COUNT(*) FILTER (WHERE lang = 'zh') AS zh
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** Deterministic hash train/val/test split — reproducible across
+    * engines/partitionings (vs randomSplit), hence SQL-oracle-exact. */
+  private def q51(s: SparkSession, d: String): DataFrame =
+    Splits.withSplit(t(s, d, "documents"), "doc_id")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"))
+
+  private val q51Sql =
+    """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+      |FROM (SELECT n_chars, (doc_id * 2654435761) % 4294967296 % 100 AS b FROM documents)
+      |GROUP BY 1 ORDER BY split""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -192,5 +206,6 @@ object TextQueries extends QuerySet {
     Q("q46_token_stats", q46, Some(q46Sql)),
     Q("q47_fingerprint", q47, Some(q47Sql)),
     Q("q48_corpus_stats", q48, Some(q48Sql)),
-    Q("q49_pivot_lang", q49, Some(q49Sql)))
+    Q("q49_pivot_lang", q49, Some(q49Sql)),
+    Q("q51_train_split", q51, Some(q51Sql)))
 }
