@@ -163,4 +163,35 @@ class DocumentStore(spark: SparkSession, root: String) {
   }
 
   def version(table: String): Int = currentVersion(table)
+
+  /** Garbage-collect segment directories referenced only by manifests
+    * older than the `keepVersions` most recent ones, then drop those
+    * manifests. Old snapshots stay readable down to the retention
+    * horizon (time travel); beyond it, storage is reclaimed — without
+    * this, a COW store's storage grows with write count, not data size.
+    * Safe wrt the single-writer contract: only dirs unreferenced by ALL
+    * retained manifests are deleted, and `_CURRENT` is never touched. */
+  def vacuum(table: String, keepVersions: Int = 1): Unit = {
+    require(keepVersions >= 1, "must keep at least the current version")
+    val cur = currentVersion(table)
+    val vd = tdir(table).resolve("_versions")
+    if (!Files.exists(vd)) return
+    val all = Files.list(vd).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
+        s.stripPrefix("v").stripSuffix(".manifest").toInt }
+      .toSeq.sorted
+    val (drop, keep) = all.partition(v => v <= cur - keepVersions)
+    if (drop.isEmpty) return
+    val live = keep.flatMap(v => manifest(table, v).values).toSet
+    val dead = drop.flatMap(v => manifest(table, v).values).toSet -- live
+    dead.foreach { dir =>
+      val p = Paths.get(dir)
+      if (Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
+    }
+    drop.foreach(v => Files.deleteIfExists(vd.resolve(s"v$v.manifest")))
+  }
 }

@@ -79,6 +79,33 @@ class DocumentStoreSpec extends AnyFunSuite with SparkSuite {
     assert(rows == Seq((1L, "pc", "X9"), (2L, "pb", "y")))
   }
 
+  test("vacuum reclaims unreferenced segments, keeps current snapshot intact") {
+    val root = Files.createTempDirectory("graft-store").toString
+    val s = new DocumentStore(spark, root)
+    s.create("t", Seq((1L, "pa", "a"), (2L, "pb", "b")).toDF("id", "part", "v"),
+      partitionCol = Some("part"))
+    s.upsert("t", Seq((1L, "pa", "A2")).toDF("id", "part", "v"), Seq("id"))
+    s.upsert("t", Seq((1L, "pa", "A3")).toDF("id", "part", "v"), Seq("id"))
+    def segDirs() = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(java.nio.file.Paths.get(root, "t", "data")).iterator().asScala
+        .count(_.getFileName.toString.startsWith("__part="))
+    }
+    val before = segDirs()
+    s.vacuum("t", keepVersions = 1)
+    val after = segDirs()
+    assert(after < before, s"vacuum freed nothing ($before -> $after)")
+    // current snapshot unchanged: pa's latest + pb's original (shared
+    // across manifests, so it must have survived the GC)
+    assert(s.read("t").orderBy("id").as[(Long, String, String)].collect().toSeq ==
+      Seq((1L, "pa", "A3"), (2L, "pb", "b")))
+    // old manifests gone, current still readable by version
+    assert(s.version("t") == 3)
+    // idempotent
+    s.vacuum("t", keepVersions = 1)
+    assert(s.read("t").count() == 2)
+  }
+
   test("snapshot isolation: reader sees old version until commit") {
     val s = freshStore()
     s.create("t", Seq((1L, "a")).toDF("id", "x"))
