@@ -172,6 +172,81 @@ object AdvancedQueries extends QuerySet {
       |  ON c_custkey = o_custkey
       |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin
 
+  /** TPC-H Q3 shape (shipping priority): selective dim filter,
+    * fact⋈fact⋈dim, grouped revenue, global top-10 — the canonical
+    * "join then top-k" OLAP plan. */
+  private def q52(s: SparkSession, d: String): DataFrame = {
+    val cutoff = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    t(s, d, "lineitem").filter(col("l_shipdate") > lit(cutoff))
+      .join(t(s, d, "orders").filter(col("o_orderdate") < lit(cutoff)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      ).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q52Sql =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** Conditional aggregation (TPC-H Q12 shape): CASE buckets inside the
+    * aggregate, one pass over the fact. */
+  private def q53(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+          .as("high_priority"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+          .as("low_priority"))
+      .orderBy(col("o_orderstatus"))
+
+  private val q53Sql =
+    """SELECT o_orderstatus,
+      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_priority,
+      |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_priority
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Funnel: purchases preceded by a view from the same user within 1h —
+    * the bounded range self-join of product analytics. The time bound
+    * caps the pair space (vs the unbounded as-of which q23 covers). */
+  private def q54(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+    p.join(v, Seq("user_id"))
+      .filter(col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("p_id")).distinct()
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("converted_purchases"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q54Sql =
+    """SELECT user_id, COUNT(*) AS converted_purchases FROM (
+      |  SELECT DISTINCT p.user_id, p.event_id
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |    ON p.user_id = v.user_id
+      |   AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q23_asof_join", q23, Some(q23Sql), headline = true),
     Q("q24_sessionize", q24, Some(q24Sql), headline = true),
@@ -179,5 +254,8 @@ object AdvancedQueries extends QuerySet {
     Q("q26_corr_subquery", q26, Some(q26Sql)),
     Q("q27_skew_salted_join", q27, Some(q27Sql), headline = true),
     Q("q28_approx_distinct", q28, None),
-    Q("q29_full_outer_join", q29, Some(q29Sql)))
+    Q("q29_full_outer_join", q29, Some(q29Sql)),
+    Q("q52_tpch_q3_topk", q52, Some(q52Sql), headline = true),
+    Q("q53_case_agg", q53, Some(q53Sql)),
+    Q("q54_funnel_range_join", q54, Some(q54Sql)))
 }
