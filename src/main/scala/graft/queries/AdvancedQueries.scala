@@ -13,6 +13,10 @@ import graft.operators.{AsOfJoin, SaltedJoin}
   */
 object AdvancedQueries extends QuerySet {
 
+  // exact money accumulation: double -> decimal(18,2) -> sum -> double
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
   /** As-of join: each purchase event picks up the latest prior (<=) view
     * event of the same user — single-shuffle union-sort plan, see
     * [[graft.operators.AsOfJoin]]. Oracle is DuckDB's native ASOF JOIN.
@@ -247,6 +251,56 @@ object AdvancedQueries extends QuerySet {
       |   AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR)
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** CUBE grouping sets (complements q21's ROLLUP). */
+  private def q55(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  private val q55Sql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** Statistical moments — correlation and sample stddev — computed from
+    * EXACT decimal power sums so both engines derive identical doubles
+    * (the built-in corr/stddev stream partial doubles whose accumulation
+    * order differs per engine/partitioning). */
+  private def q56(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(28,4)")
+    val y = col("l_extendedprice").cast("decimal(28,4)")
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * x).cast("double").as("sxx"), sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 9).as("corr_qty_price"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 6)
+          .as("stddev_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q56Sql =
+    """WITH m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS corr_qty_price,
+      |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q23_asof_join", q23, Some(q23Sql), headline = true),
     Q("q24_sessionize", q24, Some(q24Sql), headline = true),
@@ -257,5 +311,7 @@ object AdvancedQueries extends QuerySet {
     Q("q29_full_outer_join", q29, Some(q29Sql)),
     Q("q52_tpch_q3_topk", q52, Some(q52Sql), headline = true),
     Q("q53_case_agg", q53, Some(q53Sql)),
-    Q("q54_funnel_range_join", q54, Some(q54Sql)))
+    Q("q54_funnel_range_join", q54, Some(q54Sql)),
+    Q("q55_cube", q55, Some(q55Sql)),
+    Q("q56_stats_moments", q56, Some(q56Sql)))
 }
