@@ -86,7 +86,14 @@ object Embed {
     * embedder could amortize one HTTP call per `batchSize` texts. */
   def withEmbedding(df0: DataFrame, textCol: String, outputCol: String,
                     embedder: Embedder, batchSize: Int = 256): DataFrame = {
-    val df = if (df0.columns.contains(outputCol)) df0.drop(outputCol) else df0
+    val df1 = if (df0.columns.contains(outputCol)) df0.drop(outputCol) else df0
+    // embedding is the CPU-heaviest per-row stage in the ingest path; a
+    // single-file (or single-row-group) source would otherwise pin it to
+    // one task — spread first, the raw text shuffle is cheap next to the
+    // embed compute (same rationale as Dedup.spread)
+    val parallelism = df1.sparkSession.sparkContext.defaultParallelism
+    val df = if (df1.rdd.getNumPartitions < parallelism)
+      df1.repartition(parallelism) else df1
     val schema = df.schema.add(StructField(outputCol, ArrayType(FloatType, containsNull = false)))
     val enc = Encoders.row(schema)
     val idx = df.schema.fieldIndex(textCol)

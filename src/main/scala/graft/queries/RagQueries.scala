@@ -64,8 +64,24 @@ object RagQueries extends QuerySet {
       |WHERE NOT (s_suppkey = 1 OR s_acctbal < 0)
       |ORDER BY s_suppkey""".stripMargin
 
+  /** Ingest throughput at the reference's production dims: batch-embed
+    * the corpus at 1536-d (ada-002 width, MongoDbService.cs:136) and
+    * validate unit norms. The reference's sequential per-doc loop takes
+    * 5-10 min for a corpus this size (README.md:154); this is the
+    * flagship batch win, so it is a bench headline. Embedder-defined
+    * output => rows-only check. */
+  private val embedder1536 = HashProjectionEmbedder(dims = 1536)
+  private def q64(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.l2_norm
+    Embed.withEmbedding(t(s, d, "documents"), "text", "vector", embedder1536)
+      .select(col("doc_id"), round(l2_norm(col("vector")), 6).as("norm"))
+      .filter(col("norm") > 0.999999 && col("norm") < 1.000001)
+      .orderBy(col("doc_id"))
+  }
+
   override val queries: Seq[Q] = Seq(
     Q("q60_rag_retrieval", q60, None, headline = true),
+    Q("q64_ingest_embed_1536", q64, None, headline = true),
     Q("q61_store_upsert", q61, Some(q61Sql)),
     Q("q62_store_delete", q62, Some(q62Sql)))
 }
