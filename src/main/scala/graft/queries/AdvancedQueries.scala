@@ -301,6 +301,21 @@ object AdvancedQueries extends QuerySet {
       |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  /** Pattern predicates (LIKE prefix/infix, regexp) — absent from the
+    * reference's pure-equality surface (SURVEY §2.2), first-class here. */
+  private def q57(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .filter(col("p_name").like("%gold%") ||
+        (col("p_brand").like("Brand#1%") && col("p_type").rlike("^ECONOMY")))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"))
+      .orderBy(col("p_partkey"))
+
+  private val q57Sql =
+    """SELECT p_partkey, p_name, p_brand, p_type FROM part
+      |WHERE p_name LIKE '%gold%'
+      |   OR (p_brand LIKE 'Brand#1%' AND regexp_matches(p_type, '^ECONOMY'))
+      |ORDER BY p_partkey""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q23_asof_join", q23, Some(q23Sql), headline = true),
     Q("q24_sessionize", q24, Some(q24Sql), headline = true),
@@ -313,5 +328,6 @@ object AdvancedQueries extends QuerySet {
     Q("q53_case_agg", q53, Some(q53Sql)),
     Q("q54_funnel_range_join", q54, Some(q54Sql)),
     Q("q55_cube", q55, Some(q55Sql)),
+    Q("q57_pattern_predicates", q57, Some(q57Sql)),
     Q("q56_stats_moments", q56, Some(q56Sql)))
 }
