@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   * (time, side) — right rows sort before left rows at equal timestamps,
   * which yields the inclusive (`<=`) semantics.
   *
+  * Right rows tied on (key, time) are ordered by the full carried payload
+  * (struct comparison), so the winner — the last one — is deterministic
+  * across runs and partitionings: ties resolve to the greatest payload.
+  *
   * Scale: one shuffle on the key (both sides co-partitioned by the same
   * exchange), one per-partition sort, zero row amplification — vs the
   * naive `left.join(right, key && r.ts <= l.ts)` + argmax which
@@ -34,6 +38,18 @@ object AsOfJoin {
                leftTime: String, rightTime: String,
                rightCols: Seq[String], prefix: String = "asof_"): DataFrame = {
     val leftCols = left.columns.toSeq
+
+    // Working columns must not collide with user columns: withColumn
+    // silently REPLACES a same-named column, corrupting the result.
+    val taken = (leftCols ++ right.columns).toSet
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(n => !taken.contains(n)).get
+    val cT = fresh("__graft_asof_t")
+    val cSide = fresh("__graft_asof_side")
+    val cCarry = fresh("__graft_asof_carry")
+    val cM = fresh("__graft_asof_m")
+
     val carry = struct(rightCols.map(col): _*)
     val carryType = right.select(carry).schema.head.dataType
 
@@ -46,25 +62,36 @@ object AsOfJoin {
       rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"$prefix$c")): _*)
 
     val l = left.filter(!nullKey)
-      .withColumn("__t", col(leftTime))
-      .withColumn("__side", lit(1))
-      .withColumn("__carry", lit(null).cast(carryType))
+      .withColumn(cT, col(leftTime))
+      .withColumn(cSide, lit(1))
+      .withColumn(cCarry, lit(null).cast(carryType))
     val r = right.filter(!nullKey)
-      .select(keys.map(col) :+ col(rightTime).as("__t") :+ carry.as("__carry"): _*)
-      .withColumn("__side", lit(0))
+      .select(keys.map(col) :+ col(rightTime).as(cT) :+ carry.as(cCarry): _*)
+      .withColumn(cSide, lit(0))
 
     // unionByName fills the left-payload columns with null on right rows
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
+    // Tiebreak: among right rows sharing (key, time), order by the carried
+    // payload so `last` picks a deterministic winner. Left rows carry
+    // null; nulls_first keeps them ordered before any right payload at
+    // the same (t, side) — irrelevant in practice since side splits them.
+    // Skipped when the payload type is unorderable (map fields): those
+    // ties stay partition-order-dependent, as documented.
+    val orderable =
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(carryType)
+    val ordering =
+      if (orderable) Seq(col(cT).asc, col(cSide).asc, col(cCarry).asc_nulls_first)
+      else Seq(col(cT).asc, col(cSide).asc)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     unioned
-      .withColumn("__m", last(col("__carry"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+      .withColumn(cM, last(col(cCarry), ignoreNulls = true).over(w))
+      .filter(col(cSide) === 1)
       .select(leftCols.map(col) ++
-        rightCols.map(c => col(s"__m.$c").as(s"$prefix$c")): _*)
+        rightCols.map(c => col(s"$cM.$c").as(s"$prefix$c")): _*)
       .unionByName(leftNull)
   }
 }

@@ -19,8 +19,9 @@ import graft.functions.TextExpressions._
   * double-count shingle intersections (dedup the id first if unsure).
   * The MinHash path caches two small intermediates (signatures, hashed
   * shingles) for the lifetime of the returned plan; callers running many
-  * dedup passes in one session should `spark.catalog.clearCache()`
-  * between them.
+  * dedup passes in one session should use [[minhashLshPairsManaged]] and
+  * invoke its cleanup thunk after consuming the result (or fall back to
+  * `spark.catalog.clearCache()`).
   *
   * Scale notes: the LSH band join shuffles (docs × bands) short rows —
   * independent of pair count — and candidate verification touches only
@@ -88,7 +89,18 @@ object Dedup {
     * on this). */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 24, bands: Int = 8,
-                      threshold: Double = 0.8): DataFrame = {
+                      threshold: Double = 0.8): DataFrame =
+    minhashLshPairsManaged(df, idCol, textCol, n, numHashes, bands, threshold)._1
+
+  /** As [[minhashLshPairs]], plus a cleanup thunk that unpersists the two
+    * cached intermediates. Call it once the returned plan has been fully
+    * consumed (action completed); long-lived sessions running many dedup
+    * passes otherwise accumulate executor storage memory. The plain
+    * [[minhashLshPairs]] overload leaves the caches alive for the session
+    * (or until `spark.catalog.clearCache()`). */
+  def minhashLshPairsManaged(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, numHashes: Int = 24, bands: Int = 8,
+                      threshold: Double = 0.8): (DataFrame, () => Unit) = {
     val rowsPerBand = numHashes / bands
     // shingles are hashed to longs once up front: the k per-seed minhash
     // passes then hash an 8-byte long instead of re-hashing the string,
@@ -110,10 +122,11 @@ object Dedup {
     val withSh = cand
       .join(base.select(col("doc").as("a_id"), col("sh").as("sha")), "a_id")
       .join(base.select(col("doc").as("b_id"), col("sh").as("shb")), "b_id")
-    withSh
+    val out = withSh
       .withColumn("jaccard", jaccard(col("sha"), col("shb")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+    (out, () => { sig.unpersist(); base.unpersist(); () })
   }
 
   /** SimHash near-dup pairs: 64-bit signature, blocked on 16-bit chunks.

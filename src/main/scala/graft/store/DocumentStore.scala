@@ -157,7 +157,11 @@ class DocumentStore(spark: SparkSession, root: String) {
       case None => m0
     }
     if (victims.isEmpty) return
-    val remaining = spark.read.parquet(victims.values.toSeq: _*).filter(!predicate)
+    // SQL DELETE semantics: remove only rows where the predicate is TRUE.
+    // A bare !predicate would also drop rows where it evaluates to NULL
+    // (e.g. a NULL column in col("price") > 100) — silent data loss.
+    val remaining = spark.read.parquet(victims.values.toSeq: _*)
+      .filter(!coalesce(predicate, lit(false)))
     val written = writeSegments(table, remaining, v, pc)
     commit(table, v, (m0 -- victims.keySet) ++ written)
   }

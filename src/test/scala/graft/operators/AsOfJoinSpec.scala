@@ -54,4 +54,30 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSuite {
       Seq("payload")).count()
     assert(n == 50)
   }
+
+  test("user columns named like internals (__t, __side) pass through intact") {
+    val left = mk(Seq((1L, 1L, 10L, "l1")))
+      .withColumn("__t", lit("user-t")).withColumn("__side", lit("user-side"))
+    val right = mk(Seq((100L, 1L, 5L, "r5"))).withColumn("__carry", lit("user-carry"))
+    val out = AsOfJoin.leftAsOf(left, right, Seq("key"), "t", "t",
+      Seq("payload", "__carry"), prefix = "r_").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("__t") == "user-t")
+    assert(out.head.getAs[String]("__side") == "user-side")
+    assert(out.head.getAs[String]("r_payload") == "r5")
+    assert(out.head.getAs[String]("r___carry") == "user-carry")
+  }
+
+  test("right rows tied on (key, time) resolve deterministically (greatest payload)") {
+    val left = mk(Seq((1L, 1L, 10L, "l")))
+    // two right rows at the same instant — repartition shuffles their
+    // arrival order; the winner must still be stable
+    val right = mk(Seq((100L, 1L, 10L, "aaa"), (101L, 1L, 10L, "zzz")))
+    (1 to 3).foreach { p =>
+      val out = AsOfJoin.leftAsOf(left, right.repartition(p), Seq("key"),
+        "t", "t", Seq("id", "payload"), prefix = "r_").collect()
+      assert(out.head.getAs[Long]("r_id") == 101L, s"partitions=$p")
+      assert(out.head.getAs[String]("r_payload") == "zzz")
+    }
+  }
 }

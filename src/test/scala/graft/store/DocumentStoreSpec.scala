@@ -58,6 +58,15 @@ class DocumentStoreSpec extends AnyFunSuite with SparkSuite {
     assert(s.read("t").as[(Long, String)].collect().toSeq == Seq((3L, "s2")))
   }
 
+  test("delete keeps rows where the predicate evaluates to NULL (SQL semantics)") {
+    val s = freshStore()
+    s.create("t", Seq((1L, Some(50.0)), (2L, Some(200.0)), (3L, None))
+      .toDF("id", "price"))
+    s.delete("t", col("price") > 100.0)
+    // row 3 (NULL price): predicate is NULL, not TRUE — must survive
+    assert(s.read("t").select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("partition pruning: upsert rewrites only touched partitions") {
     val s = freshStore()
     s.create("t", Seq((1L, "pa", "x"), (2L, "pb", "y")).toDF("id", "part", "v"),

@@ -19,11 +19,13 @@ for p in glob.glob(f"{sf}/*.parquet"):
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = 0
 for name, sql in sorted(oracle.items()):
-    rdir = f"{out}/{name}.parquet"
+    # Driver contract: the oracle key IS the result directory name
+    # ("<query>.parquet"). No suffix fallbacks here — if the key doesn't
+    # name an existing output dir, the driver would report no_oracle, so
+    # we must fail loudly on the exact same condition.
+    rdir = f"{out}/{name}"
     if not os.path.isdir(rdir):
-        rdir = f"{out}/{name}"
-    if not os.path.isdir(rdir):
-        print(f"FAIL {name}: no spark output"); fails += 1; continue
+        print(f"FAIL {name}: no spark output at {rdir}"); fails += 1; continue
     try:
         got = pd.read_parquet(rdir)
         want = con.execute(sql).df()
