@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword relevance ranking over a document corpus: TF-IDF and BM25.
+  *
+  * The reference retrieves by vector similarity only (MongoDbService.cs:
+  * 194-227); a production retrieval engine pairs that with lexical
+  * ranking (BM25) and fuses the two (see [[graft.search.HybridSearch]]).
+  * Both rankers here are pure relational plans — no per-row state, no
+  * UDFs in the hot path — so Catalyst handles pushdown/codegen and the
+  * shapes scale:
+  *
+  *  - tokenization is a generate (explode) — no shuffle;
+  *  - term frequencies: one shuffle on (doc, term) with map-side
+  *    partial aggregation;
+  *  - document frequencies / corpus stats are tiny aggregates that
+  *    broadcast back into the score join (no second shuffle of the
+  *    token stream);
+  *  - per-term partial scores are summed through exact DECIMAL(28,12)
+  *    accumulation so the result is independent of aggregation order
+  *    (floating-point sums are not associative; a hash aggregate may
+  *    combine in any order).
+  *
+  * Determinism: given the same corpus, every output column is
+  * bit-reproducible across partitionings — required for the external
+  * DuckDB oracle and for training-data reproducibility.
+  */
+object KeywordRank {
+
+  /** Lowercased alphanumeric terms, one row per (id, term) occurrence. */
+  def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(
+      regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))).as("term"))
+
+  /** (id, term, tf) — occurrence counts per document. */
+  def termFreq(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokens(df, idCol, textCol).groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Exact decimal accumulation of a double: deterministic under any
+    * aggregation order (see class doc). */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(28,12)")).cast("double")
+
+  /** TF-IDF scores, top `topK` terms per document.
+    *
+    * score = tf * ln(N / df); ranking key is the score rounded to 6dp
+    * (then term asc) so rank boundaries are stable across engines.
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
+    val tf = termFreq(df, idCol, textCol)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.select(countDistinct(col(idCol)).as("n"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") *
+        log(col("n").cast("double") / col("df").cast("double")), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col(idCol), col("term"), col("tfidf"), col("rnk"))
+  }
+
+  /** BM25 scores of every document containing at least one query term.
+    *
+    * idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+    * score(d) = Σ_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * len/avgLen))
+    *
+    * The per-term partial is pure double arithmetic (deterministic);
+    * the per-document sum goes through decimal accumulation.
+    * Output: (id, score) — raw double, callers round for display.
+    *
+    * For oracle parity keep `k1`/`b` binary-exact (multiples of 1/4 —
+    * default k1=1.25, b=0.75): their decimal renderings then parse to the
+    * identical doubles in any SQL dialect, whatever the literal type.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    val tf = termFreq(df, idCol, textCol)
+    val lens = tokens(df, idCol, textCol).groupBy(col(idCol))
+      .agg(count(lit(1)).as("len"))
+    val stats = lens.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("len").cast("double")).as("avg_len"))
+    val qterms = queryTerms.distinct
+    val dfreq = tf.filter(col("term").isin(qterms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val partial = tf.filter(col("term").isin(qterms: _*))
+      .join(broadcast(dfreq), "term")
+      .join(lens, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("part_score",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avg_len"))))
+    partial.groupBy(col(idCol)).agg(dsum(col("part_score")).as("score"))
+  }
+
+  /** The DuckDB-dialect oracle fragments mirroring the plans above —
+    * kept next to the Scala so formula drift breaks visibly. `table`
+    * must expose (idCol, textCol). */
+  object Sql {
+    def tokensCte(table: String, idCol: String, textCol: String): String =
+      s"""tok AS (SELECT $idCol, unnest(regexp_extract_all(lower($textCol), '[a-z0-9]+')) AS term
+         |       FROM $table)""".stripMargin
+
+    /** Mirrors [[KeywordRank.bm25]] operation-for-operation. Every
+      * arithmetic step is forced to DOUBLE (a bare `0.5` literal is
+      * DECIMAL in DuckDB, and decimal math would diverge from Spark's
+      * double math); expression nesting matches the Scala parse tree so
+      * IEEE evaluation order is identical. */
+    def bm25(table: String, idCol: String, textCol: String,
+             queryTerms: Seq[String], k1: Double = 1.25, b: Double = 0.75): String = {
+      require(k1 * 4 == (k1 * 4).floor && b * 4 == (b * 4).floor,
+        "k1 and b must be binary-exact (multiples of 0.25) for oracle parity")
+      val terms = queryTerms.distinct.map(t => s"'$t'").mkString(", ")
+      s"""WITH ${tokensCte(table, idCol, textCol)},
+         |tf AS (SELECT $idCol, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |lens AS (SELECT $idCol, COUNT(*) AS len FROM tok GROUP BY 1),
+         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |                 AVG(CAST(len AS DOUBLE)) AS avg_len FROM lens),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf
+         |          WHERE term IN ($terms) GROUP BY 1),
+         |partial AS (
+         |  SELECT tf.$idCol,
+         |    ln(1.0 + (n_docs - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+         |      (CAST(tf AS DOUBLE) * ${k1 + 1.0}) /
+         |      (tf + $k1 * (${1.0 - b} + $b * CAST(len AS DOUBLE) / avg_len)) AS part_score
+         |  FROM tf
+         |  JOIN dfreq USING (term)
+         |  JOIN lens USING ($idCol), stats
+         |  WHERE term IN ($terms))
+         |SELECT $idCol,
+         |  CAST(SUM(CAST(part_score AS DECIMAL(28,12))) AS DOUBLE) AS score
+         |FROM partial GROUP BY $idCol""".stripMargin
+    }
+  }
+}

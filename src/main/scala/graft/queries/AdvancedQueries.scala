@@ -316,6 +316,128 @@ object AdvancedQueries extends QuerySet {
       |   OR (p_brand LIKE 'Brand#1%' AND regexp_matches(p_type, '^ECONOMY'))
       |ORDER BY p_partkey""".stripMargin
 
+  /** Full ordered-analytics window surface: lead/lag, first/last value
+    * with explicit frames, ntile, percent_rank, cume_dist — one shuffle
+    * on user_id shared by every window (same partitioning + ordering). */
+  private def q58(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "events")
+      .filter(col("user_id") < 30)
+      .select(col("event_id"), col("user_id"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        first(col("value")).over(run).as("first_v"),
+        last(col("value")).over(full).as("last_v"),
+        ntile(4).over(w).as("tile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q58Sql =
+    """SELECT event_id, user_id,
+      |  lag(value, 1) OVER w AS prev_value,
+      |  lead(value, 1) OVER w AS next_value,
+      |  first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_v,
+      |  last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v,
+      |  ntile(4) OVER w AS tile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM events WHERE user_id < 30
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
+  /** Explicit GROUPING SETS (beyond q21 rollup / q55 cube) with
+    * grouping() markers, via the SQL surface. */
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "customer").createOrReplaceTempView("customer")
+    s.sql(q59Sql)
+  }
+
+  private val q59Sql =
+    """SELECT c_mktsegment, c_nationkey,
+      |  CAST(grouping(c_mktsegment) AS INTEGER) AS g_seg,
+      |  CAST(grouping(c_nationkey) AS INTEGER) AS g_nat,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      |FROM customer
+      |GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment),
+      |  (c_nationkey), ())
+      |ORDER BY g_seg, g_nat, c_mktsegment ASC NULLS FIRST,
+      |  c_nationkey ASC NULLS FIRST""".stripMargin
+
+  /** Calendar/date function surface (absent from the reference — its only
+    * timestamp is Message.TimeStamp): truncation, field extraction,
+    * day-of-week normalization, date arithmetic with month clamping. */
+  private def q63(s: SparkSession, d: String): DataFrame = {
+    val od = col("o_orderdate").cast("date")
+    t(s, d, "orders")
+      .filter(col("o_orderkey") <= 3000)
+      .select(col("o_orderkey"),
+        od.as("od"),
+        trunc(od, "month").as("month_start"),
+        year(od).as("yr"), quarter(od).as("qtr"), month(od).as("mo"),
+        dayofmonth(od).as("dom"),
+        (dayofweek(od) - 1).as("dow"), // normalize: 0 = Sunday, both engines
+        datediff(od, lit(java.sql.Date.valueOf("2020-01-01"))).as("days_since"),
+        last_day(od).as("month_end"),
+        add_months(od, 2).as("plus2m"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q63Sql =
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS od,
+      |  date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+      |  year(CAST(o_orderdate AS DATE)) AS yr,
+      |  quarter(CAST(o_orderdate AS DATE)) AS qtr,
+      |  month(CAST(o_orderdate AS DATE)) AS mo,
+      |  dayofmonth(CAST(o_orderdate AS DATE)) AS dom,
+      |  dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+      |  date_diff('day', DATE '2020-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m
+      |FROM orders WHERE o_orderkey <= 3000
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Wide-to-long reshape: conditional aggregation into per-priority
+    * columns, then unpivot (melt) back to rows — the Dataset.unpivot
+    * operator; oracle is the relational UNION ALL equivalent. */
+  private def q68(s: SparkSession, d: String): DataFrame = {
+    def bucket(p: String) =
+      dsum(when(col("o_orderpriority") === p, col("o_totalprice")))
+    t(s, d, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(bucket("1-URGENT").as("urgent"), bucket("2-HIGH").as("high"),
+        bucket("3-MEDIUM").as("medium"))
+      .unpivot(Array(col("o_orderstatus")),
+        Array(col("urgent"), col("high"), col("medium")),
+        "priority_class", "total")
+      .orderBy(col("o_orderstatus"), col("priority_class"))
+  }
+
+  private val q68Sql =
+    """WITH wide AS (
+      |  SELECT o_orderstatus,
+      |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+      |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS urgent,
+      |    CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+      |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS high,
+      |    CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+      |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS medium
+      |  FROM orders GROUP BY o_orderstatus)
+      |SELECT * FROM (
+      |  SELECT o_orderstatus, 'urgent' AS priority_class, urgent AS total FROM wide
+      |  UNION ALL
+      |  SELECT o_orderstatus, 'high', high FROM wide
+      |  UNION ALL
+      |  SELECT o_orderstatus, 'medium', medium FROM wide)
+      |ORDER BY o_orderstatus, priority_class""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q23_asof_join", q23, Some(q23Sql), headline = true),
     Q("q24_sessionize", q24, Some(q24Sql), headline = true),
@@ -329,5 +451,9 @@ object AdvancedQueries extends QuerySet {
     Q("q54_funnel_range_join", q54, Some(q54Sql)),
     Q("q55_cube", q55, Some(q55Sql)),
     Q("q57_pattern_predicates", q57, Some(q57Sql)),
-    Q("q56_stats_moments", q56, Some(q56Sql)))
+    Q("q56_stats_moments", q56, Some(q56Sql)),
+    Q("q58_window_analytics", q58, Some(q58Sql)),
+    Q("q59_grouping_sets", q59, Some(q59Sql)),
+    Q("q63_datetime_funcs", q63, Some(q63Sql)),
+    Q("q68_unpivot", q68, Some(q68Sql)))
 }

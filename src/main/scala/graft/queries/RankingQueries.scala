@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.functions.VectorFunctions.cosine_sim
+import graft.operators.KeywordRank
+import graft.search.HybridSearch
+
+/** Lexical relevance ranking + hybrid retrieval — the keyword complement
+  * to the reference's vector-only search (MongoDbService.cs:194-227) and
+  * the standard production pairing (BM25 + ANN + rank fusion).
+  *
+  * Oracle parity: TF-IDF/BM25 scores are deterministic by construction
+  * (see [[KeywordRank]] — decimal-accumulated sums, rank keys rounded
+  * before comparison); the vector leg reuses the double-cast
+  * `list_cosine_similarity` trick from [[VectorQueries]] so raw sims are
+  * bit-identical and RRF fuses identical ranks.
+  */
+object RankingQueries extends QuerySet {
+
+  private val queryTerms = Seq("vector", "join", "spark")
+
+  /** DuckDB: embedding list cast to double elements (bit-matches the
+    * codegen'd cosine_sim). */
+  private def dl(c: String) = s"list_transform($c, x -> CAST(x AS DOUBLE))"
+
+  /** TF-IDF: top-3 characteristic terms per document. */
+  private def q65(s: SparkSession, d: String): DataFrame =
+    KeywordRank.tfidf(t(s, d, "documents"), "doc_id", "text", topK = 3)
+      .orderBy(col("doc_id"), col("rnk"))
+
+  private val q65Sql =
+    s"""WITH ${KeywordRank.Sql.tokensCte("documents", "doc_id", "text")},
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term,
+       |    round(CAST(tf AS DOUBLE) *
+       |      ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+       |  FROM tf JOIN dfreq USING (term), n)
+       |SELECT doc_id, term, tfidf, rnk FROM (
+       |  SELECT doc_id, term, tfidf,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY tfidf DESC, term) AS rnk
+       |  FROM scored) x
+       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
+  /** BM25 top-20 documents for a 3-term keyword query. */
+  private def q66(s: SparkSession, d: String): DataFrame =
+    KeywordRank.bm25(t(s, d, "documents"), "doc_id", "text", queryTerms)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(round(col("score"), 6).desc, col("doc_id"))
+      .limit(20)
+
+  private val q66Sql =
+    s"""SELECT doc_id, round(score, 6) AS score
+       |FROM (${KeywordRank.Sql.bm25("documents", "doc_id", "text", queryTerms)}) b
+       |ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Hybrid retrieval: BM25 top-50 + cosine top-50 fused with RRF(k=60),
+    * final top-10. The scalable shape: each leg is TakeOrdered (heap
+    * top-N, no global sort), the window re-rank touches <= 50 rows, and
+    * the fusion aggregates <= 100 short rows. */
+  private def q67(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val emb = t(s, d, "embeddings")
+
+    val kwScores = KeywordRank.bm25(docs, "doc_id", "text", queryTerms)
+    val kwTop = kwScores.orderBy(col("score").desc, col("doc_id")).limit(50)
+    val kwRank = kwTop.withColumn("rnk",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rnk"))
+
+    val probe = emb.filter(col("vec_id") === 0L)
+      .head().getSeq[Float](1).toArray
+    val vecScores = emb.select(col("vec_id").as("doc_id"),
+      cosine_sim(col("embedding"), typedlit(probe)).as("sim"))
+    val vecTop = vecScores.orderBy(col("sim").desc, col("doc_id")).limit(50)
+    val vecRank = vecTop.withColumn("rnk",
+      row_number().over(Window.orderBy(col("sim").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rnk"))
+
+    HybridSearch.rrf(Seq(kwRank, vecRank), "doc_id", "rnk", k = 60)
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  private val q67Sql =
+    s"""WITH kw AS (SELECT * FROM (
+       |  ${KeywordRank.Sql.bm25("documents", "doc_id", "text", queryTerms)}) b),
+       |krank AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+       |  FROM kw),
+       |q AS (SELECT ${dl("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+       |vsim AS (SELECT vec_id AS doc_id,
+       |    list_cosine_similarity(${dl("embedding")}, qv) AS sim
+       |  FROM embeddings, q),
+       |vrank AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rnk
+       |  FROM vsim),
+       |contrib AS (
+       |  SELECT doc_id, 1.0 / (CAST(60 AS DOUBLE) + CAST(rnk AS DOUBLE)) AS c
+       |  FROM krank WHERE rnk <= 50
+       |  UNION ALL
+       |  SELECT doc_id, 1.0 / (CAST(60 AS DOUBLE) + CAST(rnk AS DOUBLE)) AS c
+       |  FROM vrank WHERE rnk <= 50)
+       |SELECT doc_id, rrf_score, n_lists FROM (
+       |  SELECT doc_id,
+       |    SUM(c) AS rrf_score,
+       |    COUNT(*) AS n_lists
+       |  FROM contrib GROUP BY doc_id) f
+       |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin
+
+  override val queries: Seq[Q] = Seq(
+    Q("q65_tfidf", q65, Some(q65Sql), headline = true),
+    Q("q66_bm25", q66, Some(q66Sql)),
+    Q("q67_hybrid_rrf", q67, Some(q67Sql), headline = true))
+}

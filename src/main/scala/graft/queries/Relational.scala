@@ -383,6 +383,63 @@ object Relational extends QuerySet {
       |FROM events WHERE user_id < 20
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Correlated EXISTS / NOT EXISTS subqueries, decorrelated by Catalyst
+    * into semi/anti joins (check RewriteCorrelatedScalarSubquery +
+    * RewritePredicateSubquery in the optimized plan). Expressed through
+    * the SQL surface on purpose — the DataFrame API has no EXISTS. */
+  private def q37(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "customer").createOrReplaceTempView("customer")
+    t(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql(q37Sql)
+  }
+
+  private val q37Sql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Argument-extreme and positional aggregates: max_by / min_by (with a
+    * collision-free composite ordering key — acctbal alone can tie) and
+    * exact median. */
+  private def q38(s: SparkSession, d: String): DataFrame = {
+    // acctbal has 2 decimals and custkey < 1e6: acctbal*1e8 + custkey is
+    // injective, so the arg extremes are unique (no tie nondeterminism)
+    val key = col("c_acctbal") * lit(100000000.0) + col("c_custkey")
+    t(s, d, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        max_by(col("c_name"), key).as("richest"),
+        min_by(col("c_name"), key).as("poorest"),
+        round(median(col("c_acctbal")), 6).as("med_bal"),
+        count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q38Sql =
+    """SELECT c_mktsegment,
+      |  arg_max(c_name, c_acctbal * 100000000.0 + c_custkey) AS richest,
+      |  arg_min(c_name, c_acctbal * 100000000.0 + c_custkey) AS poorest,
+      |  round(median(c_acctbal), 6) AS med_bal,
+      |  COUNT(*) AS n
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Edit-distance (fuzzy) matching: nearest part names to a probe
+    * string — the approximate-string cousin of the engine's similarity
+    * surface. */
+  private def q39(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .select(col("p_partkey"), col("p_name"),
+        levenshtein(col("p_name"), lit("small ring")).as("dist"))
+      .orderBy(col("dist"), col("p_partkey"))
+      .limit(15)
+
+  private val q39Sql =
+    """SELECT p_partkey, p_name, levenshtein(p_name, 'small ring') AS dist
+      |FROM part ORDER BY dist, p_partkey LIMIT 15""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q01_agg_pricing", q01, Some(q01Sql), headline = true),
     Q("q02_filter_scan", q02, Some(q02Sql)),
@@ -405,5 +462,8 @@ object Relational extends QuerySet {
     Q("q19_explode_wordcount", q19, Some(q19Sql)),
     Q("q20_json_extract", q20, Some(q20Sql)),
     Q("q21_rollup", q21, Some(q21Sql)),
-    Q("q22_string_agg_fold", q22, Some(q22Sql)))
+    Q("q22_string_agg_fold", q22, Some(q22Sql)),
+    Q("q37_exists_subquery", q37, Some(q37Sql)),
+    Q("q38_argmax_median", q38, Some(q38Sql)),
+    Q("q39_fuzzy_levenshtein", q39, Some(q39Sql)))
 }
