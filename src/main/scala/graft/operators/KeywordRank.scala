@@ -45,24 +45,73 @@ object KeywordRank {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(28,12)")).cast("double")
 
+  /** The tokenized corpus aggregated once into the three tables every
+    * ranking query needs — a search engine indexes once and serves many
+    * queries; re-tokenizing 100 TB per query is the wrong shape. `tf` and
+    * `lens` are cached (each feeds 2-3 plan branches that Catalyst's
+    * ReuseExchange cannot dedupe once constraint-inferred filters
+    * specialize them); call [[KeywordIndex.close]] to release, or write
+    * the tables out and reload for a persistent index. */
+  final case class KeywordIndex(tf: DataFrame, lens: DataFrame, stats: DataFrame,
+                                idCol: String) {
+    def close(): Unit = { tf.unpersist(); lens.unpersist(); () }
+  }
+
+  /** @param persist cache the index tables (serve-path default); pass
+    *                 false for a one-shot pure plan. */
+  def buildIndex(df: DataFrame, idCol: String, textCol: String,
+                 persist: Boolean = true): KeywordIndex = {
+    val tf0 = termFreq(df, idCol, textCol)
+    val tf = if (persist) tf0.cache() else tf0
+    val lens0 = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("len"))
+    val lens = if (persist) lens0.cache() else lens0
+    val stats = lens.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("len").cast("double")).as("avg_len"))
+    KeywordIndex(tf, lens, stats, idCol)
+  }
+
+  /** BM25 against a prebuilt [[KeywordIndex]] — the serve-path shape:
+    * one scan of the (small) tf index filtered to the query terms, tiny
+    * broadcast joins, no corpus scan at all. */
+  def bm25Indexed(idx: KeywordIndex, queryTerms: Seq[String],
+                  k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    val qterms = queryTerms.distinct
+    val tfq = idx.tf.filter(col("term").isin(qterms: _*))
+    val dfreq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val partial = tfq
+      .join(broadcast(dfreq), "term")
+      .join(idx.lens, idx.idCol)
+      .crossJoin(broadcast(idx.stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("part_score",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avg_len"))))
+    partial.groupBy(col(idx.idCol)).agg(dsum(col("part_score")).as("score"))
+  }
+
   /** TF-IDF scores, top `topK` terms per document.
     *
-    * score = tf * ln(N / df); ranking key is the score rounded to 6dp
-    * (then term asc) so rank boundaries are stable across engines.
+    * score = tf * ln(N / df) with N = documents bearing at least one
+    * token; ranking key is the score rounded to 6dp (then term asc) so
+    * rank boundaries are stable across engines.
     */
-  def tfidf(df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
-    val tf = termFreq(df, idCol, textCol)
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = df.select(countDistinct(col(idCol)).as("n"))
-    val scored = tf.join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(n))
+  def tfidf(df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame =
+    tfidfIndexed(buildIndex(df, idCol, textCol, persist = false), topK)
+
+  /** TF-IDF against a prebuilt [[KeywordIndex]] (see [[tfidf]]). */
+  def tfidfIndexed(idx: KeywordIndex, topK: Int): DataFrame = {
+    val dfreq = idx.tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = idx.tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(idx.stats))
       .withColumn("tfidf", round(col("tf") *
-        log(col("n").cast("double") / col("df").cast("double")), 6))
-    val w = Window.partitionBy(col(idCol))
+        log(col("n_docs") / col("df").cast("double")), 6))
+    val w = Window.partitionBy(col(idx.idCol))
       .orderBy(col("tfidf").desc, col("term").asc)
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
-      .select(col(idCol), col("term"), col("tfidf"), col("rnk"))
+      .select(col(idx.idCol), col("term"), col("tfidf"), col("rnk"))
   }
 
   /** BM25 scores of every document containing at least one query term.
@@ -79,27 +128,8 @@ object KeywordRank {
     * identical doubles in any SQL dialect, whatever the literal type.
     */
   def bm25(df: DataFrame, idCol: String, textCol: String,
-           queryTerms: Seq[String], k1: Double = 1.25, b: Double = 0.75): DataFrame = {
-    val tf = termFreq(df, idCol, textCol)
-    val lens = tokens(df, idCol, textCol).groupBy(col(idCol))
-      .agg(count(lit(1)).as("len"))
-    val stats = lens.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      avg(col("len").cast("double")).as("avg_len"))
-    val qterms = queryTerms.distinct
-    val dfreq = tf.filter(col("term").isin(qterms: _*))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val partial = tf.filter(col("term").isin(qterms: _*))
-      .join(broadcast(dfreq), "term")
-      .join(lens, idCol)
-      .crossJoin(broadcast(stats))
-      .withColumn("idf", log(lit(1.0) +
-        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("part_score",
-        col("idf") * (col("tf") * lit(k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avg_len"))))
-    partial.groupBy(col(idCol)).agg(dsum(col("part_score")).as("score"))
-  }
+           queryTerms: Seq[String], k1: Double = 1.25, b: Double = 0.75): DataFrame =
+    bm25Indexed(buildIndex(df, idCol, textCol, persist = false), queryTerms, k1, b)
 
   /** The DuckDB-dialect oracle fragments mirroring the plans above —
     * kept next to the Scala so formula drift breaks visibly. `table`
@@ -121,7 +151,7 @@ object KeywordRank {
       val terms = queryTerms.distinct.map(t => s"'$t'").mkString(", ")
       s"""WITH ${tokensCte(table, idCol, textCol)},
          |tf AS (SELECT $idCol, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-         |lens AS (SELECT $idCol, COUNT(*) AS len FROM tok GROUP BY 1),
+         |lens AS (SELECT $idCol, SUM(tf) AS len FROM tf GROUP BY 1),
          |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
          |                 AVG(CAST(len AS DOUBLE)) AS avg_len FROM lens),
          |dfreq AS (SELECT term, COUNT(*) AS df FROM tf

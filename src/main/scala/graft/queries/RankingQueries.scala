@@ -26,20 +26,24 @@ object RankingQueries extends QuerySet {
     * codegen'd cosine_sim). */
   private def dl(c: String) = s"list_transform($c, x -> CAST(x AS DOUBLE))"
 
-  /** TF-IDF: top-3 characteristic terms per document. */
+  /** TF-IDF: top-3 characteristic terms per document. Uses the cached
+    * keyword index (tf feeds both the df-counts and the score join and
+    * ReuseExchange can't dedupe them — see KeywordRank.KeywordIndex);
+    * the verify/bench harnesses clear the cache between queries. */
   private def q65(s: SparkSession, d: String): DataFrame =
-    KeywordRank.tfidf(t(s, d, "documents"), "doc_id", "text", topK = 3)
+    KeywordRank.tfidfIndexed(
+        KeywordRank.buildIndex(t(s, d, "documents"), "doc_id", "text"), topK = 3)
       .orderBy(col("doc_id"), col("rnk"))
 
   private val q65Sql =
     s"""WITH ${KeywordRank.Sql.tokensCte("documents", "doc_id", "text")},
        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-       |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+       |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tok),
        |scored AS (
        |  SELECT doc_id, term,
        |    round(CAST(tf AS DOUBLE) *
-       |      ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+       |      ln(n_docs / CAST(df AS DOUBLE)), 6) AS tfidf
        |  FROM tf JOIN dfreq USING (term), n)
        |SELECT doc_id, term, tfidf, rnk FROM (
        |  SELECT doc_id, term, tfidf,
@@ -48,9 +52,11 @@ object RankingQueries extends QuerySet {
        |  FROM scored) x
        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
-  /** BM25 top-20 documents for a 3-term keyword query. */
+  /** BM25 top-20 documents for a 3-term keyword query (cached index —
+    * the serve-path shape: index once, score many). */
   private def q66(s: SparkSession, d: String): DataFrame =
-    KeywordRank.bm25(t(s, d, "documents"), "doc_id", "text", queryTerms)
+    KeywordRank.bm25Indexed(
+        KeywordRank.buildIndex(t(s, d, "documents"), "doc_id", "text"), queryTerms)
       .select(col("doc_id"), round(col("score"), 6).as("score"))
       .orderBy(round(col("score"), 6).desc, col("doc_id"))
       .limit(20)
@@ -68,7 +74,8 @@ object RankingQueries extends QuerySet {
     val docs = t(s, d, "documents")
     val emb = t(s, d, "embeddings")
 
-    val kwScores = KeywordRank.bm25(docs, "doc_id", "text", queryTerms)
+    val kwScores = KeywordRank.bm25Indexed(
+      KeywordRank.buildIndex(docs, "doc_id", "text"), queryTerms)
     val kwTop = kwScores.orderBy(col("score").desc, col("doc_id")).limit(50)
     val kwRank = kwTop.withColumn("rnk",
       row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
