@@ -125,6 +125,23 @@ object EventStream {
       }.toDF()
   }
 
+  /** (d) Streaming exact dedup, state bounded by the watermark: an event
+    * id seen once within the watermark horizon is dropped on re-arrival;
+    * state for ids older than the horizon is evicted (unbounded
+    * `dropDuplicates` state would OOM a 100 TB/day stream). `tsCol` must
+    * be the event-time column the watermark is defined on. */
+  def dedup(events: DataFrame, keyCols: Seq[String], tsCol: String = "ts",
+            watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** (e) Stream-static enrichment join: the static dimension is planned
+    * as a broadcast per micro-batch (re-resolved each batch, so slowly-
+    * changing dimensions pick up updates); no stream-side shuffle. */
+  def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
   /** (c) foreachBatch upsert sink: each micro-batch is one atomic store
     * commit (the streaming form of the reference's vectorize-on-write
     * add path). */

@@ -101,4 +101,39 @@ class EventStreamSpec extends AnyFunSuite with SparkSuite {
     q2.awaitTermination()
     assert(store.read("events_sink").count() == n)
   }
+
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    // stage the events file TWICE: every event arrives duplicated
+    val dir = Files.createTempDirectory("graft-dup")
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("a.parquet"))
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("b.parquet"))
+    val deduped = EventStream.dedup(
+      EventStream.source(spark, dir.toString), Seq("event_id"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_out")
+    val expected = t(spark, sf, "events").count()
+    assert(got.count() == expected) // 2x input, each id exactly once
+    assert(got.select("event_id").distinct().count() == expected)
+  }
+
+  test("stream-static enrichment join matches the batch join") {
+    val dim = t(spark, sf, "events")
+      .select(col("user_id")).distinct()
+      .withColumn("segment", concat(lit("seg_"), col("user_id") % 4))
+    val enriched = EventStream.enrich(
+      EventStream.source(spark, eventsDir).select("event_id", "user_id"),
+      dim, Seq("user_id"))
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enrich_out")
+    assert(got.count() == t(spark, sf, "events").count()) // 1:1 join, no loss
+    assert(got.filter(col("segment").isNull).count() == 0)
+    val sample = got.filter(col("user_id") === 7L).select("segment").head().getString(0)
+    assert(sample == "seg_3")
+  }
 }
