@@ -41,4 +41,27 @@ object Splits {
     }
     df.withColumn("split", expr)
   }
+
+  /** Deterministic stratified sample: keep a per-stratum fraction of
+    * rows, chosen by the stable id hash (NOT `sampleBy`, whose Bernoulli
+    * draws depend on partition layout). Fractions are resolved on a
+    * 0-9999 bucket grid (0.01% granularity); strata absent from the map
+    * fall back to `defaultFraction`. A pure narrow filter: no shuffle,
+    * fully pushdown-friendly, reproducible by any engine.
+    *
+    * Rebalancing a skewed corpus (e.g. downsampling the dominant
+    * language before training) is this operator with per-stratum
+    * fractions ∝ targetShare/currentShare. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0, 1]")
+    val b = hashBucket(col(idCol), 10000)
+    def cut(f: Double) = math.round(f * 10000).toInt
+    val threshold = fractions.toSeq.sortBy(_._1).foldLeft(lit(cut(defaultFraction))) {
+      case (acc, (stratum, f)) => when(col(strataCol) === stratum, lit(cut(f))).otherwise(acc)
+    }
+    df.filter(b < threshold)
+  }
 }

@@ -196,6 +196,21 @@ object TextQueries extends QuerySet {
       |FROM (SELECT n_chars, (doc_id * 2654435761) % 4294967296 % 100 AS b FROM documents)
       |GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** Deterministic stratified sampling: rebalance the corpus by language
+    * (downsample dominant en, keep most of the rest) with the stable id
+    * hash — same rows selected on any partitioning or engine. */
+  private def q69(s: SparkSession, d: String): DataFrame =
+    Splits.stratifiedSample(t(s, d, "documents"), "doc_id", "lang",
+        Map("en" -> 0.25, "zh" -> 0.4), defaultFraction = 0.6)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  private val q69Sql =
+    """SELECT doc_id, lang FROM documents
+      |WHERE (doc_id * 2654435761) % 4294967296 % 10000 <
+      |  CASE WHEN lang = 'en' THEN 2500 WHEN lang = 'zh' THEN 4000 ELSE 6000 END
+      |ORDER BY doc_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -207,5 +222,6 @@ object TextQueries extends QuerySet {
     Q("q47_fingerprint", q47, Some(q47Sql)),
     Q("q48_corpus_stats", q48, Some(q48Sql)),
     Q("q49_pivot_lang", q49, Some(q49Sql)),
-    Q("q51_train_split", q51, Some(q51Sql)))
+    Q("q51_train_split", q51, Some(q51Sql)),
+    Q("q69_stratified_sample", q69, Some(q69Sql)))
 }

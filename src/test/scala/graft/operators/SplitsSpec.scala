@@ -31,4 +31,33 @@ class SplitsSpec extends AnyFunSuite with SparkSuite {
     val out = Splits.withSplit(t(spark, sf, "documents"), "doc_id")
     assert(out.select("doc_id").distinct().count() == out.count())
   }
+
+  test("stratified sample is stable under repartitioning") {
+    val docs = t(spark, sf, "documents")
+    val fr = Map("en" -> 0.25, "zh" -> 0.4)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Splits.stratifiedSample(df, "doc_id", "lang", fr, defaultFraction = 0.6)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(docs) == ids(docs.repartition(13, col("lang"))))
+  }
+
+  test("stratified sample respects per-stratum fractions") {
+    val docs = t(spark, sf, "documents")
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Splits.stratifiedSample(docs, "doc_id", "lang",
+        Map("en" -> 0.25), defaultFraction = 0.6)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // small strata at sf0.001 -> generous tolerance; the point is the
+    // en fraction is far below the default strata's
+    assert(kept("en").toDouble / total("en") < 0.45)
+    assert(kept("de").toDouble / total("de") > 0.35)
+  }
+
+  test("stratified sample with defaultFraction 0 keeps only mapped strata") {
+    val out = Splits.stratifiedSample(t(spark, sf, "documents"),
+      "doc_id", "lang", Map("fr" -> 1.0))
+    assert(out.select("lang").distinct().collect().map(_.getString(0)).toSeq == Seq("fr"))
+  }
 }
