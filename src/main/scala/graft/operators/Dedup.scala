@@ -65,6 +65,10 @@ object Dedup {
         spread(df, idCol).select(col(idCol).as("doc"),
             explode(array_distinct(shingles(col(textCol), n))).as("s"))
           .distinct()
+    // sizes derive from the SAME sh object: AQE's ReuseExchange computes
+    // the shingle stream once and fans it out (measured: recomputing the
+    // counts as size(shingle_hashes(...)) narrow scans is SLOWER — it
+    // re-shingles per side where the reused exchange was free)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))

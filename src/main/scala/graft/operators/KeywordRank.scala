@@ -61,7 +61,12 @@ object KeywordRank {
     *                 false for a one-shot pure plan. */
   def buildIndex(df: DataFrame, idCol: String, textCol: String,
                  persist: Boolean = true): KeywordIndex = {
-    val tf0 = termFreq(df, idCol, textCol)
+    // spread the tokenize+explode stage: a single-file (single-row-group)
+    // corpus otherwise runs it in ONE task regardless of cluster size;
+    // explicit count because AQE coalesces a count-less repartition of a
+    // small-bytes input back to ~1 partition
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val tf0 = termFreq(df.repartition(n, col(idCol)), idCol, textCol)
     val tf = if (persist) tf0.cache() else tf0
     val lens0 = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("len"))
     val lens = if (persist) lens0.cache() else lens0
