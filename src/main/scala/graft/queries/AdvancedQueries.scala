@@ -438,6 +438,51 @@ object AdvancedQueries extends QuerySet {
       |  SELECT o_orderstatus, 'medium', medium FROM wide)
       |ORDER BY o_orderstatus, priority_class""".stripMargin
 
+  /** Time-based RANGE window frame: per-user trailing-1-hour event count
+    * and value sum at every event. The frame is expressed over epoch
+    * micros (numeric range), which both engines evaluate identically —
+    * and the shape is the streaming-analytics staple (rolling features
+    * for training data). */
+  private def q71(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, Window.currentRow)
+    t(s, d, "events")
+      .filter(col("user_id") < 40)
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("sum_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q71Sql =
+    """SELECT event_id, user_id,
+      |  COUNT(*) OVER w AS n_1h,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+      |FROM events WHERE user_id < 40
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other — the MERGE-key semantics a plain equi-join cannot
+    * express. */
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+      .select(nullif(col("c_nationkey") % 5, lit(0)).as("k"))
+    val sup = t(s, d, "supplier")
+      .select(nullif(col("s_nationkey") % 5, lit(0)).as("k2"))
+    c.join(sup, col("k") <=> col("k2"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
+  private val q72Sql =
+    """SELECT k, COUNT(*) AS n
+      |FROM (SELECT nullif(c_nationkey % 5, 0) AS k FROM customer) c
+      |JOIN (SELECT nullif(s_nationkey % 5, 0) AS k2 FROM supplier) s
+      |  ON k IS NOT DISTINCT FROM k2
+      |GROUP BY k ORDER BY k ASC NULLS FIRST""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q23_asof_join", q23, Some(q23Sql), headline = true),
     Q("q24_sessionize", q24, Some(q24Sql), headline = true),
@@ -455,5 +500,7 @@ object AdvancedQueries extends QuerySet {
     Q("q58_window_analytics", q58, Some(q58Sql)),
     Q("q59_grouping_sets", q59, Some(q59Sql)),
     Q("q63_datetime_funcs", q63, Some(q63Sql)),
-    Q("q68_unpivot", q68, Some(q68Sql)))
+    Q("q68_unpivot", q68, Some(q68Sql)),
+    Q("q71_range_frame_window", q71, Some(q71Sql)),
+    Q("q72_nullsafe_join", q72, Some(q72Sql)))
 }
