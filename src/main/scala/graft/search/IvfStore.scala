@@ -1,0 +1,63 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.store.DocumentStore
+
+/** IVF index living in the versioned [[DocumentStore]]: the reference's
+  * point add/remove path (AddRemoveData.cs:64-105 — "searchable in near
+  * real-time") done scale-correctly.
+  *
+  * The corpus is stored partitioned by `centroid_id`. Incremental
+  * maintenance then has the right cost model:
+  *  - `add` assigns new vectors to their (frozen) centroids and upserts —
+  *    the COW store rewrites ONLY the touched centroid partitions, and
+  *    the commit is one atomic manifest swap, after which the vectors are
+  *    immediately searchable;
+  *  - `remove` locates the victims' partitions with a pruned key scan and
+  *    rewrites only those;
+  *  - `search` reads only the `nprobe` probed centroid partitions via
+  *    manifest-level pruning (unprobed segments are never listed).
+  *
+  * Centroids are frozen at build time (standard IVF practice — drift is
+  * handled by periodic rebuild, not per-write retraining; the reference
+  * likewise never retrains its index on add/remove).
+  */
+final class IvfStore(store: DocumentStore, table: String, val index: IvfIndex,
+                     vecCol: String, idCol: String) {
+
+  /** Bulk build: assign every vector, write partitioned by centroid. */
+  def build(df: DataFrame): Unit =
+    store.create(table, index.assign(df, vecCol), partitionCol = Some("centroid_id"))
+
+  /** Incremental add/replace (vectorize-on-write upstream of this call).
+    * Keyed on id ALONE: a re-embedded vector can land on a different
+    * centroid, and keying on (id, centroid) would strand the stale copy
+    * in its old partition. The store detects the partition move with a
+    * column-pruned key scan and rewrites old + new partitions. */
+  def add(df: DataFrame): Unit =
+    store.upsert(table, index.assign(df, vecCol), keys = Seq(idCol))
+
+  /** Point/bulk remove by id. The victims' partitions are located with a
+    * column-pruned id scan so the rewrite touches only those. */
+  def remove(ids: Seq[Long]): Unit = {
+    val parts = store.read(table)
+      .filter(col(idCol).isin(ids: _*))
+      .select(col("centroid_id").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (parts.nonEmpty)
+      store.delete(table, col(idCol).isin(ids: _*), touchedParts = Some(parts))
+  }
+
+  /** ANN search over the stored index: only the nprobe nearest centroid
+    * partitions are read (manifest pruning), exact top-k within them. */
+  def search(probe: Array[Float], k: Int, nprobe: Int = 1): DataFrame = {
+    val lists = index.nearestLists(probe, nprobe).map(_.toString)
+    val pruned = store.readPartitions(table, lists)
+    if (pruned.columns.isEmpty) pruned
+    else {
+      val cand = if (index.multiAssign <= 1) pruned else pruned.dropDuplicates(idCol)
+      VectorSearch.exactTopK(cand, vecCol, idCol, probe, k)
+    }
+  }
+}

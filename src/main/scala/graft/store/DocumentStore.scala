@@ -102,6 +102,18 @@ class DocumentStore(spark: SparkSession, root: String) {
     else spark.read.parquet(m.values.toSeq: _*)
   }
 
+  /** Snapshot read restricted to the named partition-key values —
+    * manifest-level partition pruning: segment dirs of other partitions
+    * are never even listed, let alone opened. The IVF search path reads
+    * only its nprobe centroid partitions through this. */
+  def readPartitions(table: String, partKeys: Seq[String]): DataFrame = {
+    val m = manifest(table, currentVersion(table))
+    val safe = partKeys.map(_.replaceAll("[^A-Za-z0-9_\\-]", "_")).toSet
+    val dirs = m.filter { case (k, _) => safe.contains(k) }.values.toSeq
+    if (dirs.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(dirs: _*)
+  }
+
   /** S5: keyed upsert (ReplaceOne(IsUpsert=true) analog). Only partitions
     * containing updated keys are rewritten; the rest of the table is
     * carried by manifest reference. */
