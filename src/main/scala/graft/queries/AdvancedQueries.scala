@@ -483,6 +483,23 @@ object AdvancedQueries extends QuerySet {
       |  ON k IS NOT DISTINCT FROM k2
       |GROUP BY k ORDER BY k ASC NULLS FIRST""".stripMargin
 
+  /** Approximate percentiles (GK/QuantileSummaries sketch): the one-pass
+    * mergeable scale path beside exact q25 (which needs a per-group sort
+    * of the full column). Sketches merge associatively, so the shuffle
+    * carries one ~accuracy-sized summary per partition per group — not
+    * the data. Approximate => no SQL oracle (DuckDB's sketch differs);
+    * rows-only check here, tolerance vs exact asserted in ScalaTest. */
+  private def q73(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("approx_p"))
+      .select(col("l_returnflag"),
+        col("approx_p").getItem(0).as("p50"),
+        col("approx_p").getItem(1).as("p95"),
+        col("approx_p").getItem(2).as("p99"))
+      .orderBy(col("l_returnflag"))
+
   override val queries: Seq[Q] = Seq(
     Q("q23_asof_join", q23, Some(q23Sql), headline = true),
     Q("q24_sessionize", q24, Some(q24Sql), headline = true),
@@ -502,5 +519,6 @@ object AdvancedQueries extends QuerySet {
     Q("q63_datetime_funcs", q63, Some(q63Sql)),
     Q("q68_unpivot", q68, Some(q68Sql)),
     Q("q71_range_frame_window", q71, Some(q71Sql)),
-    Q("q72_nullsafe_join", q72, Some(q72Sql)))
+    Q("q72_nullsafe_join", q72, Some(q72Sql)),
+    Q("q73_approx_percentiles", q73, None))
 }
