@@ -48,9 +48,19 @@ object Dedup {
   /** Exact n-gram Jaccard pairs ≥ threshold via distinct-shingle join.
     * Mirrors the pure-SQL form (intersection counts + inclusion-
     * exclusion), so it is DuckDB-verifiable. */
+  /** @param maxDf drop shingles occurring in more than this many
+    *               documents before the pair join. The self-join's cost
+    *               is Σ df², so one stopword-ish shingle shared by 1M
+    *               docs alone yields 10^12 pairs — at scale a df cap is
+    *               what keeps the join bounded. Capped shingles still
+    *               count toward each document's size, so Jaccard is
+    *               under-estimated (never over): the output is a SUBSET
+    *               of the uncapped pairs (high-similarity pairs share
+    *               plenty of rare shingles and survive). None = exact. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
-                        hashShingles: Boolean = false): DataFrame = {
+                        hashShingles: Boolean = false,
+                        maxDf: Option[Long] = None): DataFrame = {
     // NOT cached: the pair join is a self-join of an identical subplan,
     // so Catalyst's ReuseExchange already computes+shuffles it once;
     // a cache layer here measurably slows the query by splitting the
@@ -70,7 +80,17 @@ object Dedup {
     // counts as size(shingle_hashes(...)) narrow scans is SLOWER — it
     // re-shingles per side where the reused exchange was free)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    // df cap: joinable shingle stream excludes the hot (stopword-ish)
+    // shingles whose df² pair blowup dominates the join at scale; sizes
+    // above intentionally still count them (Jaccard under-estimates)
+    val joinable = maxDf match {
+      case None => sh
+      case Some(cap) =>
+        val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("s"))
+        sh.join(broadcast(hot), Seq("s"), "left_anti")
+    }
+    val inter = joinable.as("a").join(joinable.as("b"),
         col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("a_id"), col("b.doc").as("b_id"))
       .agg(count(lit(1)).as("c"))

@@ -37,6 +37,17 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(pairs.contains((2L, 9002L)))
   }
 
+  test("df-capped Jaccard: subset of exact pairs, planted dups survive") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = ids(Dedup.ngramJaccardPairs(planted, "doc_id", "text", 3, 0.5))
+    val capped = ids(Dedup.ngramJaccardPairs(planted, "doc_id", "text", 3, 0.5,
+      maxDf = Some(20L)))
+    assert(capped.subsetOf(exact)) // under-estimates, never invents pairs
+    assert(capped.contains((1L, 9001L))) // near-dups share rare shingles
+    assert(capped.contains((2L, 9002L)))
+  }
+
   test("MinHash LSH output == exact jaccard join output at threshold") {
     def norm(df: org.apache.spark.sql.DataFrame) =
       df.select($"a_id", $"b_id", round($"jaccard", 9)).orderBy($"a_id", $"b_id")
