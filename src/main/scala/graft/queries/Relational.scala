@@ -440,6 +440,54 @@ object Relational extends QuerySet {
     """SELECT p_partkey, p_name, levenshtein(p_name, 'small ring') AS dist
       |FROM part ORDER BY dist, p_partkey LIMIT 15""".stripMargin
 
+  /** TPC-H Q18 shape (large-volume customers): HAVING over a fact-table
+    * aggregate, then joins back to the dimensions. The HAVING filter
+    * runs map-side-combined BEFORE the joins, so only qualifying order
+    * keys (a tiny set) ever join — the right order at 100 TB. */
+  private def q74(s: SparkSession, d: String): DataFrame = {
+    val big = t(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
+      .filter(col("total_qty") > 150.0) // HAVING
+    big
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  private val q74Sql =
+    """SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS od, total_qty
+      |FROM (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150.0) big
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** Text normalization for training pipelines: lowercase, strip
+    * non-printable/control bytes, collapse whitespace runs, trim.
+    * Kept to ASCII-safe character classes so Java regex and RE2 agree. */
+  private def q75(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^\\x20-\\x7e]", " "), "\\s+", " ")).as("clean_text"))
+      .withColumn("clean_len", length(col("clean_text")))
+      .orderBy(col("doc_id"))
+
+  private val q75Sql =
+    """SELECT doc_id, clean_text, CAST(strlen(clean_text) AS INT) AS clean_len
+      |FROM (SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^\x20-\x7e]', ' ', 'g'), '\s+', ' ', 'g')) AS clean_text
+      |  FROM documents) x
+      |ORDER BY doc_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q01_agg_pricing", q01, Some(q01Sql), headline = true),
     Q("q02_filter_scan", q02, Some(q02Sql)),
@@ -465,5 +513,7 @@ object Relational extends QuerySet {
     Q("q22_string_agg_fold", q22, Some(q22Sql)),
     Q("q37_exists_subquery", q37, Some(q37Sql)),
     Q("q38_argmax_median", q38, Some(q38Sql)),
-    Q("q39_fuzzy_levenshtein", q39, Some(q39Sql)))
+    Q("q39_fuzzy_levenshtein", q39, Some(q39Sql)),
+    Q("q74_tpch_q18_having", q74, Some(q74Sql)),
+    Q("q75_normalize_text", q75, Some(q75Sql)))
 }
