@@ -500,6 +500,32 @@ object AdvancedQueries extends QuerySet {
         col("approx_p").getItem(2).as("p99"))
       .orderBy(col("l_returnflag"))
 
+  /** Bucketed co-located join: both sides written bucket-sorted by the
+    * join key (the shuffle paid once at write time), then joined with NO
+    * exchange on either side (plan-asserted in BucketingSpec; here the
+    * result correctness rides the oracle gate). The write-once/join-many
+    * amortization is the point at 100 TB. */
+  private def q76(s: SparkSession, d: String): DataFrame = {
+    graft.store.Bucketing.writeBucketed(
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
+      "q76_li", "l_orderkey", 16)
+    graft.store.Bucketing.writeBucketed(
+      t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus")),
+      "q76_ord", "o_orderkey", 16)
+    s.table("q76_li")
+      .join(s.table("q76_ord"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(dsum(col("l_extendedprice")).as("rev"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val q76Sql =
+    """SELECT o_orderstatus,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+      |  COUNT(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q23_asof_join", q23, Some(q23Sql), headline = true),
     Q("q24_sessionize", q24, Some(q24Sql), headline = true),
@@ -520,5 +546,6 @@ object AdvancedQueries extends QuerySet {
     Q("q68_unpivot", q68, Some(q68Sql)),
     Q("q71_range_frame_window", q71, Some(q71Sql)),
     Q("q72_nullsafe_join", q72, Some(q72Sql)),
-    Q("q73_approx_percentiles", q73, None))
+    Q("q73_approx_percentiles", q73, None),
+    Q("q76_bucketed_join", q76, Some(q76Sql)))
 }
