@@ -68,6 +68,33 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSuite {
     assert(out.head.getAs[String]("r___carry") == "user-carry")
   }
 
+  test("randomized equivalence vs brute-force range-join + argmax") {
+    val rnd = new scala.util.Random(42)
+    // random keys/times WITH collisions to stress ties and empty matches;
+    // payload equals id so the deterministic tiebreak (greatest payload)
+    // maps to greatest id — mirrored in the brute-force maxBy below
+    val left = mk((1L to 300L).map(i =>
+      (i, rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, s"l$i")))
+    val right = mk((1000L until 1200L).map(i =>
+      (i, rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, s"r$i")))
+    val got = AsOfJoin.leftAsOf(left, right, Seq("key"), "t", "t",
+        Seq("id"), prefix = "r_")
+      .select("id", "r_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    val rightRows = right.select("id", "key", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+    val expected = left.select("id", "key", "t").collect().map { r =>
+      val (lid, lk, lt) = (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime)
+      val matches = rightRows.filter { case (_, rk, rt) => rk == lk && rt <= lt }
+      // latest time; among ties the greatest payload (= struct ordering
+      // over (id) here) wins
+      lid -> (if (matches.isEmpty) -1L
+              else matches.maxBy { case (rid, _, rt) => (rt, rid) }._1)
+    }.toMap
+    assert(got == expected)
+  }
+
   test("right rows tied on (key, time) resolve deterministically (greatest payload)") {
     val left = mk(Seq((1L, 1L, 10L, "l")))
     // two right rows at the same instant — repartition shuffles their
