@@ -131,6 +131,43 @@ final case class IvfIndex(centroids: Array[Array[Float]], multiAssign: Int = 1) 
     val cand = if (multiAssign <= 1) pruned else pruned.dropDuplicates(idCol)
     VectorSearch.exactTopK(cand, vecCol, idCol, probe, k)
   }
+
+  /** Batched multi-probe ANN: each probe pairs only with its nprobe
+    * nearest centroid lists, so the join fans out probes×(corpus/numLists
+    * ×nprobe) rows — vs the probes×corpus cross product of the brute
+    * force [[VectorSearch.knnJoinAgg]]. The probe→list assignment is an
+    * expression over the broadcast centroid literals (no driver loop per
+    * probe), the probe side broadcasts, and the bounded-heap partial
+    * aggregate keeps the shuffle at partitions×probes×k rows. With
+    * nprobe = numLists and multiAssign = 1 the result equals the exact
+    * multi-probe join (spec-asserted). */
+  def searchMany(indexed: DataFrame, vecCol: String, idCol: String,
+                 probes: DataFrame, probeIdCol: String, probeVecCol: String,
+                 k: Int, nprobe: Int = 1): DataFrame = {
+    val nc = centroids.length
+    val p0 = probes.select(col(probeIdCol).as("probe_id"),
+      col(probeVecCol).as("__pvec"))
+    val sims = array(centroids.map(c => cosine_sim(col("__pvec"), typedlit(c))): _*)
+    val zipped = zip_with(sims, sequence(lit(0), lit(nc - 1)),
+      (s, i) => struct(s.as("s"), i.as("i")))
+    val sorted = array_sort(zipped, (a, b) =>
+      when(a("s") > b("s"), -1).when(a("s") < b("s"), 1)
+        .otherwise(a("i") - b("i")).cast("int"))
+    val plists = p0.withColumn("centroid_id",
+      explode(transform(slice(sorted, 1, math.min(nprobe, nc)), x => x("i"))))
+
+    val cand0 = indexed.join(broadcast(plists), "centroid_id")
+    val cand = if (multiAssign <= 1) cand0
+               else cand0.dropDuplicates("probe_id", idCol)
+    val topk = udaf(new VectorSearch.TopKAgg(k))
+    cand
+      .withColumn("sim", cosine_sim(col(vecCol), col("__pvec")))
+      .groupBy(col("probe_id"))
+      .agg(topk(col(idCol).cast("long"), col("sim")).as("hits"))
+      .select(col("probe_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("probe_id"), col("hit._1").as(idCol), col("hit._2").as("sim"),
+        (col("pos") + 1).as("rn"))
+  }
 }
 
 object IvfIndex {

@@ -19,10 +19,21 @@ object Bucketing {
     * sized so one bucket of the LARGER table fits an executor's memory
     * (e.g. 100 TB / 4096 buckets ≈ 24 GB splits, each bucket further
     * split by files). */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // An in-memory catalog forgets tables across sessions while the
+    // warehouse directory persists; saveAsTable then refuses to "create"
+    // over the stale location. Drop both the catalog entry and any
+    // leftover directory so the write is idempotent across sessions.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 }

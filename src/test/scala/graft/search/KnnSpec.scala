@@ -56,6 +56,41 @@ class KnnSpec extends AnyFunSuite with SparkSuite {
     assert(mean >= 0.95, s"mean recall $mean")
   }
 
+  test("searchMany at nprobe=numLists equals the exact multi-probe join") {
+    val idx = IvfIndex.train(emb, "embedding", "vec_id", numLists = 4, iters = 2)
+    val indexed = idx.assign(emb, "embedding")
+    val probes = emb.filter(col("vec_id") < 8)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("probe_id"), col("vec_id").cast("long"), col("rn"), round(col("sim"), 9))
+      .orderBy(col("probe_id"), col("rn"))
+      .collect().toSeq
+    val exact = norm(VectorSearch.knnJoinWindow(
+      probes, "vec_id", "embedding", emb, "vec_id", "embedding", 5))
+    val full = norm(idx.searchMany(indexed, "embedding", "vec_id",
+      probes, "vec_id", "embedding", k = 5, nprobe = 4))
+    assert(full == exact) // all lists probed => no approximation
+  }
+
+  test("searchMany (multi-assign) batched recall@10 >= 0.95 vs brute force") {
+    val idx = IvfIndex.train(emb, "embedding", "vec_id",
+      numLists = 16, iters = 3, multiAssign = 4)
+    val indexed = idx.assign(emb, "embedding").cache()
+    val probes = emb.filter(col("vec_id") < 20)
+    val ann = idx.searchMany(indexed, "embedding", "vec_id",
+        probes, "vec_id", "embedding", k = 10, nprobe = 4)
+      .select("probe_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = probes.collect().map { r =>
+      val (pid, p) = (r.getLong(0), r.getSeq[Float](1).toArray)
+      val exact = VectorSearch.exactTopK(emb, "embedding", "vec_id", p, 10)
+        .collect().map(_.getLong(0)).toSet
+      (exact intersect ann.getOrElse(pid, Set.empty)).size / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.95, s"mean recall $mean")
+    indexed.unpersist()
+  }
+
   test("IVF written index: plan-time partition pruning on centroid_id dirs") {
     val idx = IvfIndex.train(emb, "embedding", "vec_id",
       numLists = 8, iters = 2, multiAssign = 2)
