@@ -526,6 +526,120 @@ object AdvancedQueries extends QuerySet {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Ratio-to-report: each nation's share of its region's supplier
+    * balance — group aggregate divided by a windowed total over the
+    * enclosing group (both sums decimal-exact, the division IEEE-exact,
+    * so no rounding is needed for parity). */
+  private def q77(s: SparkSession, d: String): DataFrame = {
+    // the per-nation AND the windowed region totals both stay DECIMAL
+    // (exact, order-independent); doubles appear only at the final
+    // division — a double window-sum differs in the last ulp between
+    // engines because they add in different orders
+    val byNation = t(s, d, "supplier")
+      .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("s_acctbal").cast("decimal(18,2)")).as("bal_dec"))
+    byNation
+      .withColumn("region_share", col("bal_dec").cast("double") /
+        sum(col("bal_dec")).over(Window.partitionBy(col("r_name"))).cast("double"))
+      .select(col("r_name"), col("n_name"),
+        col("bal_dec").cast("double").as("bal"), col("region_share"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val q77Sql =
+    """WITH byn AS (
+      |  SELECT r_name, n_name,
+      |    SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS bal_dec
+      |  FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY r_name, n_name)
+      |SELECT r_name, n_name, CAST(bal_dec AS DOUBLE) AS bal,
+      |  CAST(bal_dec AS DOUBLE) /
+      |    CAST(SUM(bal_dec) OVER (PARTITION BY r_name) AS DOUBLE) AS region_share
+      |FROM byn ORDER BY r_name, n_name""".stripMargin
+
+  /** Time-series densification: an hourly spine per user (min..max event
+    * hour) left-joined to hourly counts, gaps zero-filled — the standard
+    * pre-step for rolling features over sparse activity. The spine is
+    * sequence+explode (generated, never materialized on the driver). */
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events").filter(col("user_id") < 5)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+    val bounds = e.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+    val spine = bounds.select(col("user_id"),
+      explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    val counts = e.groupBy(col("user_id"), col("hour")).agg(count(lit(1)).as("n"))
+    spine.join(counts, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  private val q78Sql =
+    """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hour
+      |           FROM events WHERE user_id < 5),
+      |bounds AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+      |           FROM e GROUP BY user_id),
+      |spine AS (SELECT user_id,
+      |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      |  FROM bounds),
+      |counts AS (SELECT user_id, hour, COUNT(*) AS n FROM e GROUP BY 1, 2)
+      |SELECT spine.user_id, spine.hour, COALESCE(counts.n, 0) AS n
+      |FROM spine LEFT JOIN counts USING (user_id, hour)
+      |ORDER BY user_id, hour""".stripMargin
+
+  /** Boolean/conditional aggregates: count_if, bool_and, bool_or. */
+  private def q79(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(count_if(col("value") > 250.0).as("n_big"),
+        bool_and(col("value") > 0.0).as("all_positive"),
+        bool_or(col("value") > 480.0).as("any_near_max"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  private val q79Sql =
+    """SELECT event_type,
+      |  count_if(value > 250.0) AS n_big,
+      |  bool_and(value > 0.0) AS all_positive,
+      |  bool_or(value > 480.0) AS any_near_max,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Forward fill (last-observation-carried-forward): per-user gap
+    * imputation of a sparse measure with `last(_, ignoreNulls)` over the
+    * running frame — one shuffle, the time-series cousin of q23's as-of
+    * carry. Nulls are synthesized deterministically (k % 7) since the
+    * testdata props are fully populated. */
+  private def q80(s: SparkSession, d: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    val kn = when(k % 7 === 0, lit(null).cast("long")).otherwise(k)
+    t(s, d, "events")
+      .filter(col("user_id") < 40)
+      .select(col("event_id"), col("user_id"), kn.as("k_sparse"))
+      .withColumn("k_filled", last(col("k_sparse"), ignoreNulls = true).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("event_id"))
+  }
+
+  private val q80Sql =
+    """SELECT event_id, user_id, k_sparse,
+      |  last_value(k_sparse IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k_filled
+      |FROM (
+      |  SELECT event_id, user_id,
+      |    CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+      |         THEN NULL
+      |         ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k_sparse
+      |  FROM events WHERE user_id < 40) x
+      |ORDER BY event_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q23_asof_join", q23, Some(q23Sql), headline = true),
     Q("q24_sessionize", q24, Some(q24Sql), headline = true),
@@ -547,5 +661,9 @@ object AdvancedQueries extends QuerySet {
     Q("q71_range_frame_window", q71, Some(q71Sql)),
     Q("q72_nullsafe_join", q72, Some(q72Sql)),
     Q("q73_approx_percentiles", q73, None),
-    Q("q76_bucketed_join", q76, Some(q76Sql)))
+    Q("q76_bucketed_join", q76, Some(q76Sql)),
+    Q("q77_ratio_to_report", q77, Some(q77Sql)),
+    Q("q78_densify_timeseries", q78, Some(q78Sql)),
+    Q("q79_boolean_aggs", q79, Some(q79Sql)),
+    Q("q80_forward_fill", q80, Some(q80Sql)))
 }
