@@ -76,9 +76,13 @@ object KeywordRank {
     KeywordIndex(tf, lens, stats, idCol)
   }
 
-  /** BM25 against a prebuilt [[KeywordIndex]] — the serve-path shape:
-    * one scan of the (small) tf index filtered to the query terms, tiny
-    * broadcast joins, no corpus scan at all. */
+  /** BM25 against a prebuilt [[KeywordIndex]] — the serve-path shape: no
+    * corpus scan; one pass over the tf index filtered to the query terms
+    * (the posting lists). dfreq (≤ one row per query term) and the
+    * one-row stats broadcast; the posting-list⋈lens join is left
+    * unhinted — AQE broadcasts the posting side when it is small and
+    * falls back to a key-partitioned shuffle join when a common term
+    * makes it corpus-sized (a forced broadcast would OOM there). */
   def bm25Indexed(idx: KeywordIndex, queryTerms: Seq[String],
                   k1: Double = 1.25, b: Double = 0.75): DataFrame = {
     val qterms = queryTerms.distinct
@@ -105,10 +109,15 @@ object KeywordRank {
   def tfidf(df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame =
     tfidfIndexed(buildIndex(df, idCol, textCol, persist = false), topK)
 
-  /** TF-IDF against a prebuilt [[KeywordIndex]] (see [[tfidf]]). */
+  /** TF-IDF against a prebuilt [[KeywordIndex]] (see [[tfidf]]). Unlike
+    * the per-query dfreq in [[bm25Indexed]], this dfreq spans the WHOLE
+    * vocabulary — never force-broadcast it (10^8+ distinct terms at
+    * corpus scale would OOM the driver); both sides of the term join are
+    * already term-partitioned aggregates, so AQE picks the right
+    * strategy. */
   def tfidfIndexed(idx: KeywordIndex, topK: Int): DataFrame = {
     val dfreq = idx.tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = idx.tf.join(broadcast(dfreq), "term")
+    val scored = idx.tf.join(dfreq, "term")
       .crossJoin(broadcast(idx.stats))
       .withColumn("tfidf", round(col("tf") *
         log(col("n_docs") / col("df").cast("double")), 6))

@@ -13,18 +13,24 @@ import org.apache.spark.sql.functions._
   * 64-bit integer math, so an external system — or the DuckDB oracle —
   * reproduces it exactly).
   *
-  * Hash: Knuth multiplicative (id * 2654435761 mod 2^32), then bucket
-  * mod `buckets`. Not cryptographic — fine for splitting, not for
+  * Hash: Knuth multiplicative ((id mod 2^31) * 2654435761 mod 2^32),
+  * then bucket mod `buckets`. The 2^31 pre-reduction keeps the product
+  * under 2^63, so the arithmetic never overflows SIGNED 64-bit — engines
+  * that error on overflow (DuckDB, ANSI SQL) reproduce it verbatim,
+  * which an unreduced id*K (wrap-around semantics) would break for ids
+  * above ~3.5e9. Not cryptographic — fine for splitting, not for
   * adversarial inputs.
   */
 object Splits {
 
   private val KnuthC = 2654435761L
+  private val TwoTo31 = 2147483648L
   private val TwoTo32 = 4294967296L
 
   /** Stable bucket in [0, buckets) from a non-negative integer id. */
   def hashBucket(id: Column, buckets: Int): Column =
-    pmod(pmod(id.cast("long") * KnuthC, lit(TwoTo32)), lit(buckets.toLong)).cast("int")
+    pmod(pmod(pmod(id.cast("long"), lit(TwoTo31)) * KnuthC, lit(TwoTo32)),
+      lit(buckets.toLong)).cast("int")
 
   /** Append a `split` column: fractions like Seq("train" -> 0.8,
     * "val" -> 0.1, "test" -> 0.1) (must sum to ~1; resolved on a

@@ -58,7 +58,7 @@ object RankingQueries extends QuerySet {
     KeywordRank.bm25Indexed(
         KeywordRank.buildIndex(t(s, d, "documents"), "doc_id", "text"), queryTerms)
       .select(col("doc_id"), round(col("score"), 6).as("score"))
-      .orderBy(round(col("score"), 6).desc, col("doc_id"))
+      .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
 
   private val q66Sql =

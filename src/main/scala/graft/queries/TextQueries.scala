@@ -193,7 +193,9 @@ object TextQueries extends QuerySet {
   private val q51Sql =
     """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
       |  COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
-      |FROM (SELECT n_chars, (doc_id * 2654435761) % 4294967296 % 100 AS b FROM documents)
+      |FROM (SELECT n_chars,
+      |        (doc_id % 2147483648) * 2654435761 % 4294967296 % 100 AS b
+      |      FROM documents)
       |GROUP BY 1 ORDER BY split""".stripMargin
 
   /** Deterministic stratified sampling: rebalance the corpus by language
@@ -207,7 +209,7 @@ object TextQueries extends QuerySet {
 
   private val q69Sql =
     """SELECT doc_id, lang FROM documents
-      |WHERE (doc_id * 2654435761) % 4294967296 % 10000 <
+      |WHERE (doc_id % 2147483648) * 2654435761 % 4294967296 % 10000 <
       |  CASE WHEN lang = 'en' THEN 2500 WHEN lang = 'zh' THEN 4000 ELSE 6000 END
       |ORDER BY doc_id""".stripMargin
 

@@ -144,6 +144,12 @@ final case class IvfIndex(centroids: Array[Array[Float]], multiAssign: Int = 1) 
   def searchMany(indexed: DataFrame, vecCol: String, idCol: String,
                  probes: DataFrame, probeIdCol: String, probeVecCol: String,
                  k: Int, nprobe: Int = 1): DataFrame = {
+    // the output contract names columns (probe_id, idCol, sim, rn) and the
+    // probe vector travels as __pvec through the join — corpus columns
+    // with those names would be silently clobbered or made ambiguous
+    val reserved = Seq("probe_id", "sim", "rn", "__pvec")
+    require(!reserved.exists(indexed.columns.contains),
+      s"corpus columns may not be named any of ${reserved.mkString(", ")}")
     val nc = centroids.length
     val p0 = probes.select(col(probeIdCol).as("probe_id"),
       col(probeVecCol).as("__pvec"))

@@ -110,8 +110,11 @@ class DocumentStore(spark: SparkSession, root: String) {
     val m = manifest(table, currentVersion(table))
     val safe = partKeys.map(_.replaceAll("[^A-Za-z0-9_\\-]", "_")).toSet
     val dirs = m.filter { case (k, _) => safe.contains(k) }.values.toSeq
-    if (dirs.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(dirs: _*)
+    if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
+    // no matching partitions: keep the TABLE's schema (a zero-column
+    // emptyDataFrame would crash callers selecting result columns)
+    else if (m.nonEmpty) read(table).limit(0)
+    else spark.emptyDataFrame
   }
 
   /** S5: keyed upsert (ReplaceOne(IsUpsert=true) analog). Only partitions
