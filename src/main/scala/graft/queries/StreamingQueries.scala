@@ -56,7 +56,29 @@ object StreamingQueries extends QuerySet {
       |    (a, b) -> (a * 31 + b) % 1000000007) AS checksum
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Multimodal frame sampling: every 4th 16-byte slice of the payload,
+    * capped at 6 frames (the partition-parallel frame-extraction shape;
+    * document text bytes stand in for video payloads — all-ASCII in the
+    * testdata, so byte offsets mirror to substr in the oracle). */
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    val media = t(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+    Multimodal.sampleFrames(media, "bytes", everyK = 4, maxFrames = 6)
+      .select(col("doc_id"), col("n_sampled"),
+        element_at(col("frames"), 1).cast("string").as("first_frame"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q81Sql =
+    """SELECT doc_id,
+      |  CASE WHEN strlen(text) = 0 THEN 0
+      |       ELSE LEAST(6, CAST(ceil(strlen(text) / 64.0) AS INT)) END AS n_sampled,
+      |  CASE WHEN strlen(text) = 0 THEN NULL
+      |       ELSE substr(text, 1, 16) END AS first_frame
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q50_hourly_window_stats", q50, Some(q50Sql), headline = true),
-    Q("q70_multimodal_features", q70, Some(q70Sql)))
+    Q("q70_multimodal_features", q70, Some(q70Sql)),
+    Q("q81_frame_sample", q81, Some(q81Sql)))
 }
