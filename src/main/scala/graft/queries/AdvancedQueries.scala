@@ -71,8 +71,8 @@ object AdvancedQueries extends QuerySet {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sess AS (
       |  SELECT user_id, ts,
-      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
       |  FROM g)
       |SELECT user_id, session_idx, COUNT(*) AS n_events,
       |  MIN(ts) AS session_start, MAX(ts) AS session_end
@@ -220,8 +220,8 @@ object AdvancedQueries extends QuerySet {
 
   private val q53Sql =
     """SELECT o_orderstatus,
-      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_priority,
-      |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_priority
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_priority,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_priority
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   /** Funnel: purchases preceded by a view from the same user within 1h —
@@ -603,7 +603,7 @@ object AdvancedQueries extends QuerySet {
 
   private val q79Sql =
     """SELECT event_type,
-      |  count_if(value > 250.0) AS n_big,
+      |  CAST(count_if(value > 250.0) AS BIGINT) AS n_big,
       |  bool_and(value > 0.0) AS all_positive,
       |  bool_or(value > 480.0) AS any_near_max,
       |  COUNT(*) AS n

@@ -158,8 +158,8 @@ object TextQueries extends QuerySet {
 
   private val q48Sql =
     """SELECT source, COUNT(*) AS n_docs,
-      |  SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS sum_words,
-      |  SUM(n_chars) AS sum_chars
+      |  CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS sum_words,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   /** Pivot: doc counts per source × language (wide-format reshape; the
@@ -192,7 +192,7 @@ object TextQueries extends QuerySet {
 
   private val q51Sql =
     """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
-      |  COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM (SELECT n_chars,
       |        (doc_id % 2147483648) * 2654435761 % 4294967296 % 100 AS b
       |      FROM documents)
