@@ -41,6 +41,9 @@ final class IvfStore(store: DocumentStore, table: String, val index: IvfIndex,
   /** Point/bulk remove by id. The victims' partitions are located with a
     * column-pruned id scan so the rewrite touches only those. */
   def remove(ids: Seq[Long]): Unit = {
+    // A missing/empty table reads as a zero-column frame, where the id
+    // filter would fail analysis — removing from nothing is a no-op.
+    if (!store.exists(table) || store.read(table).columns.isEmpty) return
     val parts = store.read(table)
       .filter(col(idCol).isin(ids: _*))
       .select(col("centroid_id").cast("string")).distinct()

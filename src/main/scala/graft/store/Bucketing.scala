@@ -25,9 +25,21 @@ object Bucketing {
     // warehouse directory persists; saveAsTable then refuses to "create"
     // over the stale location. Drop both the catalog entry and any
     // leftover directory so the write is idempotent across sessions.
+    // Warehouse-path math only holds for unqualified names in the default
+    // database — a db-qualified name resolves elsewhere and the delete
+    // below could miss (or hit a sibling path). Resolve the real location
+    // from the catalog when the table still exists; otherwise fall back to
+    // the default-db layout, which is all an absent table can occupy.
+    require(!table.contains("."),
+      s"writeBucketed expects an unqualified default-db table name, got '$table'")
+    val catalog = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val loc: org.apache.hadoop.fs.Path =
+      if (catalog.tableExists(ident))
+        new org.apache.hadoop.fs.Path(catalog.getTableMetadata(ident).location)
+      else new org.apache.hadoop.fs.Path(
+        spark.sessionState.conf.warehousePath, table.toLowerCase)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.conf.warehousePath, table.toLowerCase)
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")

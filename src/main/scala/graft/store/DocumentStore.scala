@@ -1,8 +1,7 @@
 package graft.store
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -20,37 +19,62 @@ import org.apache.spark.sql.functions._
   * Every mutation commits a NEW manifest that reuses the segment dirs of
   * untouched partitions and points touched partitions at freshly written
   * dirs — so an upsert of one session rewrites one partition, not 100 TB.
-  * The commit is a single atomic `_CURRENT` swap (write temp + ATOMIC_MOVE),
-  * which is the TX1 transaction: readers see the old version until the
-  * swap, and a crash mid-write leaves garbage segments but a consistent
-  * table. Single-writer by design (the reference's app tier is too).
+  * The commit is a single atomic `_CURRENT` swap (write temp + rename
+  * with Options.Rename.OVERWRITE), which is the TX1 transaction: readers
+  * see the old version until the swap, and a crash mid-write leaves
+  * garbage segments but a consistent table. Single-writer by design (the
+  * reference's app tier is too).
+  *
+  * All metadata IO goes through the Hadoop FileSystem API (resolved from
+  * the root path's scheme), so the store works unchanged on local disk,
+  * HDFS, or any object store with a Hadoop connector — the same contract
+  * the IVF sidecar uses (IvfIndex.writeSidecar). Rename-atomicity is the
+  * storage layer's: real on HDFS/local posix; on S3-like stores the
+  * single-writer contract carries the guarantee instead.
   */
 class DocumentStore(spark: SparkSession, root: String) {
 
-  private def tdir(table: String): Path = Paths.get(root, table)
+  private val hconf = spark.sessionState.newHadoopConf()
+  private val fs: FileSystem = new HPath(root).getFileSystem(hconf)
+  private val rootPath: HPath = fs.makeQualified(new HPath(root))
+  // FileContext provides rename-with-overwrite (FileSystem.rename refuses
+  // an existing destination on HDFS) — the ATOMIC_MOVE analog.
+  private lazy val fc: FileContext = FileContext.getFileContext(rootPath.toUri, hconf)
 
-  private def currentVersion(table: String): Int = {
-    val f = tdir(table).resolve("_CURRENT")
-    if (Files.exists(f)) new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.toInt
-    else 0
+  private def tdir(table: String): HPath = new HPath(rootPath, table)
+
+  private def readString(p: HPath): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8))
+      finally in.close()
+    }
+
+  private def writeString(p: HPath, body: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
+  private def currentVersion(table: String): Int =
+    readString(new HPath(tdir(table), "_CURRENT")).map(_.trim.toInt).getOrElse(0)
+
   private def manifest(table: String, v: Int): Map[String, String] = {
-    val f = tdir(table).resolve("_versions").resolve(s"v$v.manifest")
-    Files.readAllLines(f, StandardCharsets.UTF_8).asScala
+    val f = new HPath(new HPath(tdir(table), "_versions"), s"v$v.manifest")
+    readString(f).getOrElse("").split("\n").iterator
       .filter(_.nonEmpty).map { l =>
         val Array(k, dir) = l.split("\t", 2); k -> dir
       }.toMap
   }
 
   private def commit(table: String, v: Int, m: Map[String, String]): Unit = {
-    val vd = tdir(table).resolve("_versions"); Files.createDirectories(vd)
+    val vd = new HPath(tdir(table), "_versions"); fs.mkdirs(vd)
     val body = m.toSeq.sorted.map { case (k, d) => s"$k\t$d" }.mkString("\n")
-    Files.write(vd.resolve(s"v$v.manifest"), body.getBytes(StandardCharsets.UTF_8))
-    val tmp = tdir(table).resolve(s"_CURRENT.tmp$v")
-    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, tdir(table).resolve("_CURRENT"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    writeString(new HPath(vd, s"v$v.manifest"), body)
+    val tmp = new HPath(tdir(table), s"_CURRENT.tmp$v")
+    writeString(tmp, v.toString)
+    fc.rename(tmp, new HPath(tdir(table), "_CURRENT"), Options.Rename.OVERWRITE)
   }
 
   /** The partition key expression: user column, or a single bucket for
@@ -63,37 +87,33 @@ class DocumentStore(spark: SparkSession, root: String) {
 
   private def writeSegments(table: String, df: DataFrame, v: Int,
                             partitionCol: Option[String]): Map[String, String] = {
-    val out = tdir(table).resolve("data").resolve(s"v$v").toString
+    val out = new HPath(new HPath(tdir(table), "data"), s"v$v")
     df.withColumn("__part", partExpr(partitionCol))
-      .write.mode("overwrite").partitionBy("__part").parquet(out)
+      .write.mode("overwrite").partitionBy("__part").parquet(out.toString)
     // enumerate written partitions
-    Files.list(Paths.get(out)).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("__part="))
-      .map { p =>
-        val key = p.getFileName.toString.stripPrefix("__part=")
-        key -> p.toString
+    fs.listStatus(out).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__part="))
+      .map { st =>
+        val key = st.getPath.getName.stripPrefix("__part=")
+        key -> st.getPath.toString
       }.toMap
   }
 
-  def exists(table: String): Boolean = Files.exists(tdir(table).resolve("_CURRENT"))
+  def exists(table: String): Boolean = fs.exists(new HPath(tdir(table), "_CURRENT"))
 
   /** Create/replace the table (bulk load — the §3.2 ingest sink). */
   def create(table: String, df: DataFrame, partitionCol: Option[String] = None): Unit = {
     val v = currentVersion(table) + 1
-    Files.createDirectories(tdir(table))
+    fs.mkdirs(tdir(table))
     savePartCol(table, partitionCol)
     commit(table, v, writeSegments(table, df, v, partitionCol))
   }
 
   private def savePartCol(table: String, pc: Option[String]): Unit =
-    Files.write(tdir(table).resolve("_PARTCOL"),
-      pc.getOrElse("").getBytes(StandardCharsets.UTF_8))
+    writeString(new HPath(tdir(table), "_PARTCOL"), pc.getOrElse(""))
 
-  private def partCol(table: String): Option[String] = {
-    val f = tdir(table).resolve("_PARTCOL")
-    if (!Files.exists(f)) None
-    else Option(new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
-  }
+  private def partCol(table: String): Option[String] =
+    readString(new HPath(tdir(table), "_PARTCOL")).map(_.trim).filter(_.nonEmpty)
 
   /** Snapshot read of the current version (no partial states visible). */
   def read(table: String): DataFrame = {
@@ -193,10 +213,10 @@ class DocumentStore(spark: SparkSession, root: String) {
   def vacuum(table: String, keepVersions: Int = 1): Unit = {
     require(keepVersions >= 1, "must keep at least the current version")
     val cur = currentVersion(table)
-    val vd = tdir(table).resolve("_versions")
-    if (!Files.exists(vd)) return
-    val all = Files.list(vd).iterator().asScala
-      .map(_.getFileName.toString)
+    val vd = new HPath(tdir(table), "_versions")
+    if (!fs.exists(vd)) return
+    val all = fs.listStatus(vd).iterator
+      .map(_.getPath.getName)
       .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
         s.stripPrefix("v").stripSuffix(".manifest").toInt }
       .toSeq.sorted
@@ -205,12 +225,10 @@ class DocumentStore(spark: SparkSession, root: String) {
     val live = keep.flatMap(v => manifest(table, v).values).toSet
     val dead = drop.flatMap(v => manifest(table, v).values).toSet -- live
     dead.foreach { dir =>
-      val p = Paths.get(dir)
-      if (Files.exists(p)) {
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.delete)
-      }
+      val p = new HPath(dir)
+      val dfs = p.getFileSystem(hconf)
+      if (dfs.exists(p)) dfs.delete(p, true)
     }
-    drop.foreach(v => Files.deleteIfExists(vd.resolve(s"v$v.manifest")))
+    drop.foreach(v => fs.delete(new HPath(vd, s"v$v.manifest"), false))
   }
 }

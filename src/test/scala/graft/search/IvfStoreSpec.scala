@@ -62,6 +62,15 @@ class IvfStoreSpec extends AnyFunSuite with SparkSuite {
     assert(scanned.nonEmpty)
   }
 
+  test("remove on a missing or empty table is a no-op") {
+    val emb = t(spark, sf, "embeddings")
+    val idx = IvfIndex.train(emb, "embedding", "vec_id", numLists = 2, iters = 1)
+    val store = new DocumentStore(spark, Files.createTempDirectory("graft-ivf-empty").toString)
+    val ivf = new IvfStore(store, "nope", idx, "embedding", "vec_id")
+    ivf.remove(Seq(1L, 2L)) // must not throw on the absent table
+    assert(!store.exists("nope"))
+  }
+
   test("upsert moving a vector across centroids leaves no stale copy") {
     val (ivf, store, emb) = freshIvf()
     // re-embed vec 5 as the opposite of its current vector: guaranteed

@@ -115,6 +115,27 @@ class DocumentStoreSpec extends AnyFunSuite with SparkSuite {
     assert(s.read("t").count() == 2)
   }
 
+  test("full lifecycle against an explicit file:///-scheme Hadoop path") {
+    // The store must run on cluster storage (HDFS/S3) — all metadata IO
+    // goes through the Hadoop FS API, exercised here via a qualified URI
+    // root rather than a bare local path.
+    val root = "file://" + Files.createTempDirectory("graft-store-hfs").toString
+    val s = new DocumentStore(spark, root)
+    s.create("t", Seq((1L, "pa", "x"), (2L, "pb", "y")).toDF("id", "part", "v"),
+      partitionCol = Some("part"))
+    assert(s.exists("t"))
+    s.upsert("t", Seq((1L, "pa", "X2"), (3L, "pc", "z")).toDF("id", "part", "v"),
+      Seq("id", "part"))
+    s.delete("t", col("id") === 2L, touchedParts = Some(Seq("pb")))
+    assert(s.read("t").orderBy("id").as[(Long, String, String)].collect().toSeq ==
+      Seq((1L, "pa", "X2"), (3L, "pc", "z")))
+    assert(s.readPartitions("t", Seq("pc")).as[(Long, String, String)]
+      .collect().toSeq == Seq((3L, "pc", "z")))
+    s.vacuum("t", keepVersions = 1)
+    assert(s.read("t").count() == 2)
+    assert(s.version("t") == 3)
+  }
+
   test("snapshot isolation: reader sees old version until commit") {
     val s = freshStore()
     s.create("t", Seq((1L, "a")).toDF("id", "x"))
