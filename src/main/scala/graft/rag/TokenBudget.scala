@@ -16,13 +16,12 @@ object TokenBudget {
     *  - user prompt is never trimmed; joined with "\n" (Environment.NewLine).
     */
   def buildPrompts(userPrompt: String, conversation: String, retrievedData: String,
-                   maxCompletionTokens: Int): (String, String) = {
+                   maxCompletionTokens: Int,
+                   codec: graft.functions.TokenCodec = Tokenizer): (String, String) = {
     val bufferTokens = 200
-    val ragVectors = Tokenizer.encode(retrievedData)
-    val ragTokens = ragVectors.size
-    val convVectors = Tokenizer.encode(conversation)
-    val convTokens = convVectors.size
-    val userPromptTokens = Tokenizer.count(userPrompt)
+    val ragTokens = codec.count(retrievedData)
+    val convTokens = codec.count(conversation)
+    val userPromptTokens = codec.count(userPrompt)
 
     val totalTokens = ragTokens + convTokens + userPromptTokens + bufferTokens
     if (totalTokens > maxCompletionTokens) {
@@ -32,9 +31,9 @@ object TokenBudget {
       val newRagTokens = math.rint((ragTokens - ragTokenPct * tokensToReduce).toDouble).toInt
       val newConvTokens = math.rint((convTokens - conTokenPct * tokensToReduce).toDouble).toInt
 
-      val augmented = Tokenizer.decode(ragVectors.take(newRagTokens))
-      val offset = convVectors.size - newConvTokens
-      val trimmedConv = Tokenizer.decode(convVectors.slice(offset, offset + newConvTokens))
+      val augmented = codec.truncateHead(retrievedData, newRagTokens)
+      val offset = convTokens - newConvTokens
+      val trimmedConv = codec.slice(conversation, offset, offset + newConvTokens)
       (augmented, trimmedConv + "\n" + userPrompt)
     } else {
       (retrievedData, conversation + "\n" + userPrompt)
