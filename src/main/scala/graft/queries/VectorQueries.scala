@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.functions.VectorFunctions._
-import graft.search.{HyperplaneLsh, IvfIndex, VectorSearch}
+import graft.search.{HyperplaneLsh, IvfIndex, IvfStore, VectorSearch}
+import graft.store.DocumentStore
 
 /** Vector-search operator coverage (SURVEY §2.8: V2/V3 + the ANN/near-dup
   * extensions). Oracle parity trick: DuckDB's list_cosine_similarity over
@@ -69,26 +70,53 @@ object VectorQueries extends QuerySet {
       .orderBy(col("probe_id"), col("rn"))
   }
 
-  /** V3: IVF index — train centroids, prune to nprobe lists, exact top-k
-    * within. ANN ≠ exact, so no SQL oracle (rows-only + ScalaTest recall
-    * gate vs brute force). */
+  /** ANN answers have no SQL oracle (approximate ≠ exact), so the gate
+    * carries its own teeth: the ANN result is emitted ONLY if its recall
+    * against in-query exact top-k clears `minRecall` — a recall
+    * regression zeroes `spark_rows`, which the driver sees without any
+    * oracle. The membership count is k rows: driver-scale by design. */
+  private def recallGate(ann: DataFrame, exact: DataFrame, k: Int,
+                         minRecall: Double): DataFrame = {
+    val hits = ann.select("vec_id").join(exact.select("vec_id"), "vec_id").count()
+    if (hits >= math.ceil(minRecall * k).toLong) ann else ann.limit(0)
+  }
+
+  /** V3: IVF index over the PERSISTED path — train, write the centroid
+    * sidecar + centroid-partitioned store, read both back, search with
+    * manifest-level partition pruning. The whole production surface
+    * (sidecar round-trip, store build, pruned read) rides the driver
+    * gate, not just the in-memory assign/search pair. */
   private def q33(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings").cache()
     val idx = IvfIndex.train(e, "embedding", "vec_id", numLists = 16, iters = 3, multiAssign = 4)
+    val root = java.nio.file.Files.createTempDirectory("graft-q33-ivf").toString
+    IvfIndex.writeSidecar(s, root, idx)
+    val loaded = IvfIndex.readSidecar(s, root)
+      .getOrElse(sys.error("IVF sidecar did not round-trip"))
+    val ivf = new IvfStore(new DocumentStore(s, root), "vecs", loaded, "embedding", "vec_id")
+    ivf.build(e)
     val probe = probeVec(s, d, 0L)
-    idx.search(idx.assign(e, "embedding"), "embedding", "vec_id", probe, 10, nprobe = 4)
+    val ann = ivf.search(probe, 10, nprobe = 4)
       .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim"))
+    val exact = VectorSearch.exactTopK(e, "embedding", "vec_id", probe, 10)
+    val gated = recallGate(ann, exact, 10, 0.95)
+    e.unpersist()
+    gated
   }
 
   /** V3 alternate: random-hyperplane LSH ANN — bucket-filter then exact
-    * top-k among candidates (ANN => rows-only check; ScalaTest holds the
-    * recall gate vs brute force). */
+    * top-k among candidates, behind the same in-query recall gate. */
   private def q36(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "embeddings")
+    val e = t(s, d, "embeddings").cache()
     val lsh = HyperplaneLsh(dims = 64, bits = 8, numTables = 8)
     val probe = probeVec(s, d, 0L)
-    lsh.search(lsh.assign(e, "embedding"), "embedding", "vec_id", probe, 10)
+    val ann = lsh.search(lsh.assign(e, "embedding"), "embedding", "vec_id", probe, 10,
+        probeRadius = 3)
       .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim"))
+    val exact = VectorSearch.exactTopK(e, "embedding", "vec_id", probe, 10)
+    val gated = recallGate(ann, exact, 10, 0.95)
+    e.unpersist()
+    gated
   }
 
   /** Vector norm maintenance column (our analog of index-build-time
