@@ -85,7 +85,9 @@ object Embed {
     * column. The row goes through an internal batch buffer so a remote
     * embedder could amortize one HTTP call per `batchSize` texts. */
   def withEmbedding(df0: DataFrame, textCol: String, outputCol: String,
-                    embedder: Embedder, batchSize: Int = 256): DataFrame = {
+                    embedder: Embedder, batchSize: Int = 256,
+                    maxInputTokens: Option[Int] = None,
+                    codec: graft.functions.TokenCodec = graft.functions.Tokenizer): DataFrame = {
     val df1 = if (df0.columns.contains(outputCol)) df0.drop(outputCol) else df0
     // embedding is the CPU-heaviest per-row stage in the ingest path; a
     // single-file (or single-row-group) source would otherwise pin it to
@@ -97,9 +99,16 @@ object Embed {
     val schema = df.schema.add(StructField(outputCol, ArrayType(FloatType, containsNull = false)))
     val enc = Encoders.row(schema)
     val idx = df.schema.fieldIndex(textCol)
+    // MaxEmbeddingTokens contract (appsettings.json:17): over-long texts
+    // are head-truncated in token space BEFORE the model call, so one
+    // oversized document can't fail (or silently degrade) a whole batch.
+    val cap: String => String = maxInputTokens match {
+      case Some(n) => s => if (s == null) s else codec.truncateHead(s, n)
+      case None => identity
+    }
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { rows =>
-        val vecs = embedder.embed(rows.map(r => r.getAs[String](idx)))
+        val vecs = embedder.embed(rows.map(r => cap(r.getAs[String](idx))))
         rows.lazyZip(vecs).map((r, v) => Row.fromSeq(r.toSeq :+ v.toSeq))
       }
     }(enc)

@@ -41,11 +41,30 @@ class ChatEngine(
     completions: CompletionClient = new EchoCompletionClient,
     maxConversationTokens: Int = 1000, // appsettings.json:15
     maxCompletionTokens: Int = 2000, // appsettings.json:16
-    maxSearchResults: Int = 10) { // appsettings.json:23
+    maxSearchResults: Int = 10, // appsettings.json:23
+    maxEmbeddingTokens: Int = 8000) { // appsettings.json:17
 
   import spark.implicits._
 
   val CompletionsTable = "completions"
+
+  // TX2 cache-aside (ChatService.cs:15, :45-73): the session/message
+  // table is read once per mutation epoch, not once per call. Safe
+  // because the COW store's segment files are immutable — the cached
+  // plan can never see torn state; mutations invalidate wholesale.
+  private var completionsCache: Option[DataFrame] = None
+
+  private def completionsDF: DataFrame = completionsCache.getOrElse {
+    val df = store.read(CompletionsTable)
+    val cached = if (df.columns.isEmpty) df else df.cache()
+    completionsCache = Some(cached)
+    cached
+  }
+
+  private def invalidateCompletions(): Unit = {
+    completionsCache.foreach(df => if (df.columns.nonEmpty) df.unpersist())
+    completionsCache = None
+  }
 
   // retail system prompt, OpenAiService.cs:26-36
   val systemPrompt: String =
@@ -56,7 +75,8 @@ class ChatEngine(
   /** §3.2 ingest: corpus table = docs + one batched embed stage (V4). */
   def ingest(table: String, docs: DataFrame, textCol: String,
              partitionCol: Option[String] = None): Unit = {
-    val withVec = Embed.withEmbedding(docs, textCol, "vector", embedder)
+    val withVec = Embed.withEmbedding(docs, textCol, "vector", embedder,
+      maxInputTokens = Some(maxEmbeddingTokens))
     store.create(table, withVec, partitionCol)
   }
 
@@ -68,11 +88,12 @@ class ChatEngine(
     else
       store.upsert(CompletionsTable, Seq(CompletionRow.session(id, name)).toDS().toDF(),
         keys = Seq("Type", "SessionId", "Id"))
+    invalidateCompletions()
     id
   }
 
   private def sessionMessages(sessionId: String): Seq[CompletionRow] = {
-    val df = store.read(CompletionsTable)
+    val df = completionsDF
     if (df.columns.isEmpty) Seq.empty
     else df.filter(col("Type") === CompletionRow.TypeMessage &&
         col("SessionId") === sessionId) // J1
@@ -83,7 +104,8 @@ class ChatEngine(
     * and id (P1's `$project {_id:0, vector:0}`), space-join stringified
     * hits (A4). */
   def vectorSearch(table: String, question: String, idCol: String = "id"): String = {
-    val qv = embedder.embed(Seq(question)).head
+    val qv = embedder.embed(
+      Seq(graft.functions.Tokenizer.truncateHead(question, maxEmbeddingTokens))).head
     val corpus = store.read(table)
     val hits = VectorSearch.exactTopK(corpus, "vector", idCol, qv, maxSearchResults)
       .drop("vector", "sim", idCol)
@@ -115,7 +137,7 @@ class ChatEngine(
       ts = new Timestamp(now.getTime + 1), id = UUID.randomUUID().toString)
 
     // A1 running total + TX1 single-commit (session + 2 messages)
-    val prevUsed = store.read(CompletionsTable)
+    val prevUsed = completionsDF
       .filter(col("Type") === CompletionRow.TypeSession && col("SessionId") === sessionId)
       .select("TokensUsed", "Name").as[(Option[Int], Option[String])]
       .collect().headOption.getOrElse((Some(0), Some("New Chat")))
@@ -126,6 +148,7 @@ class ChatEngine(
     store.upsert(CompletionsTable,
       Seq(sessionRow, promptMessage, completionMessage).toDS().toDF(),
       keys = Seq("Type", "SessionId", "Id"))
+    invalidateCompletions()
     completionMessage
   }
 
@@ -139,11 +162,12 @@ class ChatEngine(
     store.upsert(CompletionsTable,
       Seq(sessionTokensRow(sessionId, name)).toDS().toDF(),
       keys = Seq("Type", "SessionId", "Id"))
+    invalidateCompletions()
     name
   }
 
   private def sessionTokensRow(sessionId: String, name: String): CompletionRow = {
-    val used = store.read(CompletionsTable)
+    val used = completionsDF
       .filter(col("Type") === CompletionRow.TypeSession && col("SessionId") === sessionId)
       .select("TokensUsed").as[Option[Int]].collect().headOption.flatten.getOrElse(0)
     CompletionRow.session(sessionId, name, used)
@@ -151,7 +175,7 @@ class ChatEngine(
 
   /** Session TokensUsed (NavMenu.razor:63 surface). */
   def tokensUsed(sessionId: String): Int =
-    store.read(CompletionsTable)
+    completionsDF
       .filter(col("Type") === CompletionRow.TypeSession && col("SessionId") === sessionId)
       .select("TokensUsed").as[Option[Int]].collect().headOption.flatten.getOrElse(0)
 }

@@ -123,6 +123,37 @@ class ChatEngineSpec extends AnyFunSuite with SparkSuite {
     assert(aug2 == "tiny rag" && cu2 == "small talk\n" + user)
   }
 
+  test("TX2 cache-aside: one store read per mutation epoch (ChatService.cs:45-73)") {
+    class CountingStore(root: String) extends DocumentStore(spark, root) {
+      val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def read(table: String) = {
+        if (table == "completions") reads.incrementAndGet()
+        super.read(table)
+      }
+    }
+    val store = new CountingStore(Files.createTempDirectory("graft-rag-cache").toString)
+    val eng = new ChatEngine(spark, store, maxSearchResults = 4)
+    eng.ingest("products", products.toDS().toDF().withColumn("doc_text",
+      org.apache.spark.sql.functions.col("description")), textCol = "doc_text")
+    val sid = eng.createSession()
+    eng.complete(sid, "products", "What socks do you have?")
+    val afterComplete = store.reads.get()
+    val used = eng.tokensUsed(sid)
+    eng.tokensUsed(sid); eng.tokensUsed(sid); eng.tokensUsed(sid)
+    // repeated reads hit the cache: exactly ONE store read for all four
+    assert(store.reads.get() == afterComplete + 1,
+      s"expected 1 read for 4 tokensUsed calls, saw ${store.reads.get() - afterComplete}")
+    // and the cached answer still reflects the last mutation
+    assert(used > 0 && eng.tokensUsed(sid) == used)
+    // a new mutation invalidates: next read goes back to the store
+    eng.complete(sid, "products", "And helmets?")
+    val afterSecond = store.reads.get()
+    eng.tokensUsed(sid)
+    assert(store.reads.get() == afterSecond + 1)
+    eng.tokensUsed(sid)
+    assert(store.reads.get() == afterSecond + 1)
+  }
+
   test("summarize-and-rename agent strips non-alphanumerics (X4)") {
     val (eng, _) = newEngine()
     val sid = eng.createSession()
