@@ -21,10 +21,12 @@ object Bench {
       try { qmap(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
     }
-    // best of two: absorbs first-run codegen compilation per query shape
+    // median of three: absorbs first-run codegen compilation AND one-off
+    // co-scheduling noise (best-of-2 let a single lucky run under-report
+    // and a single slow outlier distort round-over-round comparisons)
     val results = names.map { name =>
-      val ts = Seq(once(name), once(name))
-      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+      val ts = Seq(once(name), once(name), once(name))
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
