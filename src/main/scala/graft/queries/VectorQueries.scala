@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.functions.VectorFunctions._
-import graft.search.{HyperplaneLsh, IvfIndex, IvfStore, VectorSearch}
+import graft.search.{HnswIndex, HyperplaneLsh, IvfIndex, IvfStore, VectorSearch}
 import graft.store.DocumentStore
 
 /** Vector-search operator coverage (SURVEY §2.8: V2/V3 + the ANN/near-dup
@@ -74,11 +74,17 @@ object VectorQueries extends QuerySet {
     * carries its own teeth: the ANN result is emitted ONLY if its recall
     * against in-query exact top-k clears `minRecall` — a recall
     * regression zeroes `spark_rows`, which the driver sees without any
-    * oracle. The membership count is k rows: driver-scale by design. */
+    * oracle. The membership count is k rows: driver-scale by design.
+    *
+    * Threshold is `floor(minRecall·k)` hits — exactly the stated recall,
+    * not a silent round-up to perfection. Membership comparison is
+    * well-defined because both sides tie-break by id at the k boundary
+    * ([[VectorSearch.exactTopK]] orders by (sim desc, id); every ANN
+    * searcher sorts candidates by (-sim, id) before `take(k)`). */
   private def recallGate(ann: DataFrame, exact: DataFrame, k: Int,
                          minRecall: Double): DataFrame = {
     val hits = ann.select("vec_id").join(exact.select("vec_id"), "vec_id").count()
-    if (hits >= math.ceil(minRecall * k).toLong) ann else ann.limit(0)
+    if (hits >= math.floor(minRecall * k).toLong) ann else ann.limit(0)
   }
 
   /** V3: IVF index over the PERSISTED path — train, write the centroid
@@ -113,6 +119,32 @@ object VectorQueries extends QuerySet {
     val ann = lsh.search(lsh.assign(e, "embedding"), "embedding", "vec_id", probe, 10,
         probeRadius = 3)
       .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim"))
+    val exact = VectorSearch.exactTopK(e, "embedding", "vec_id", probe, 10)
+    val gated = recallGate(ann, exact, 10, 0.95)
+    e.unpersist()
+    gated
+  }
+
+  /** V3 third index kind: segmented HNSW over the PERSISTED path —
+    * build one graph per segment, write graph table + params sidecar,
+    * read both back, beam-search the loaded graphs at the reference
+    * defaults (m=16, efConstruction=64; MongoDbService.cs:133-134) —
+    * behind the same in-query recall gate as q33/q36. */
+  private def q82(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings").cache()
+    val params = HnswIndex.Params(m = 16, efConstruction = 64, numSegments = 8)
+    val graphs = HnswIndex.build(e, "embedding", "vec_id", params)
+    val root = java.nio.file.Files.createTempDirectory("graft-q82-hnsw").toString
+    HnswIndex.write(graphs, root, params)
+    val loaded = HnswIndex.read(s, root)
+    val loadedParams = HnswIndex.readParams(s, root)
+      .getOrElse(sys.error("HNSW sidecar did not round-trip"))
+    require(loadedParams == params, s"sidecar params drifted: $loadedParams")
+    val probe = probeVec(s, d, 0L)
+    val ann = HnswIndex.search(loaded, probe, 10, ef = loadedParams.efConstruction)
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
     val exact = VectorSearch.exactTopK(e, "embedding", "vec_id", probe, 10)
     val gated = recallGate(ann, exact, 10, 0.95)
     e.unpersist()
@@ -157,8 +189,9 @@ object VectorQueries extends QuerySet {
     Q("q30_knn_exact", q30, Some(q30Sql), headline = true),
     Q("q31_knn_join_window", q31, Some(knnJoinSql)),
     Q("q32_knn_join_agg", q32, Some(knnJoinSql), headline = true),
-    Q("q33_knn_ivf", q33, None),
+    Q("q33_knn_ivf", q33, None, headline = true),
     Q("q36_knn_lsh", q36, None),
+    Q("q82_knn_hnsw", q82, None, headline = true),
     Q("q34_vector_norms", q34, Some(q34Sql)),
     Q("q35_neardup_embedding", q35, Some(q35Sql), headline = true))
 }
