@@ -145,6 +145,54 @@ object KeywordRank {
            queryTerms: Seq[String], k1: Double = 1.25, b: Double = 0.75): DataFrame =
     bm25Indexed(buildIndex(df, idCol, textCol, persist = false), queryTerms, k1, b)
 
+  /** One-shot BM25 for a KNOWN small term set — the cold-path complement
+    * to [[bm25Indexed]]. Instead of materializing the full (doc, term)
+    * tf index (a shuffle carrying one row per distinct term occurrence)
+    * only to filter it down to the query terms, this pivots the query
+    * terms into conditional aggregates so the ONLY shuffle is keyed by
+    * document id and carries one short row per document:
+    * (id, len, tf_term1..tf_termK). Corpus stats (n_docs, avg_len) and
+    * per-term dfs come from one extra one-row aggregate over that tiny
+    * cached table. At 100 TB the savings is the difference between
+    * shuffling ~tokens-many rows and ~docs-many rows.
+    *
+    * Bit-parity with [[bm25Indexed]]: per-term partials use the identical
+    * expression tree (same IEEE evaluation order) and the per-document
+    * sum goes through the same exact DECIMAL(28,12) accumulation, which
+    * is order-independent — so scores match the indexed path and the SQL
+    * oracle bit-for-bit. Use the indexed path when terms are many or
+    * unknown in advance (the pivot adds one column per query term). */
+  def bm25Direct(df: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    val qterms = queryTerms.distinct
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val toks = tokens(df.repartition(n, col(idCol)), idCol, textCol)
+    val tfCols = qterms.zipWithIndex.map { case (t, i) =>
+      count(when(col("term") === t, 1)).as(s"__tf_$i")
+    }
+    val perDoc = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("len"), tfCols: _*)
+      .cache()
+    val dfCols = qterms.indices.map(i =>
+      count(when(col(s"__tf_$i") > 0, 1)).as(s"__df_$i"))
+    val stats = perDoc.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (avg(col("len").cast("double")).as("avg_len") +: dfCols): _*)
+    val partials = qterms.indices.map { i =>
+      val tf = col(s"__tf_$i"); val dfq = col(s"__df_$i")
+      val idf = log(lit(1.0) + (col("n_docs") - dfq + lit(0.5)) / (dfq + lit(0.5)))
+      val part = idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avg_len")))
+      when(tf > 0, part.cast("decimal(28,12)"))
+        .otherwise(lit(BigDecimal(0)).cast("decimal(28,12)"))
+    }
+    perDoc
+      .filter(qterms.indices.map(i => col(s"__tf_$i") > 0).reduce(_ || _))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        partials.reduce(_ + _).cast("double").as("score"))
+  }
+
   /** The DuckDB-dialect oracle fragments mirroring the plans above —
     * kept next to the Scala so formula drift breaks visibly. `table`
     * must expose (idCol, textCol). */

@@ -74,8 +74,10 @@ object RankingQueries extends QuerySet {
     val docs = t(s, d, "documents")
     val emb = t(s, d, "embeddings")
 
-    val kwScores = KeywordRank.bm25Indexed(
-      KeywordRank.buildIndex(docs, "doc_id", "text"), queryTerms)
+    // one-shot hybrid query → cold-path BM25: one doc-keyed shuffle of
+    // pivoted query-term tfs instead of the full (doc, term) index
+    // (bit-identical scores — see KeywordRank.bm25Direct)
+    val kwScores = KeywordRank.bm25Direct(docs, "doc_id", "text", queryTerms)
     val kwTop = kwScores.orderBy(col("score").desc, col("doc_id")).limit(50)
     val kwRank = kwTop.withColumn("rnk",
       row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))

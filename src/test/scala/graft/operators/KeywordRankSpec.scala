@@ -55,4 +55,26 @@ class KeywordRankSpec extends AnyFunSuite with SparkSuite {
       .as[(Long, Double)].collect().toMap
     assert(out(1L) > out(2L))
   }
+
+  test("bm25Direct is bit-identical to the indexed path on real docs") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val terms = Seq("vector", "join", "spark", "spark") // dup: distinct-ness
+    val direct = KeywordRank.bm25Direct(docs, "doc_id", "text", terms)
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    val idx = KeywordRank.buildIndex(docs, "doc_id", "text")
+    val indexed = KeywordRank.bm25Indexed(idx, terms)
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    idx.close()
+    assert(direct.nonEmpty)
+    assert(direct.sameElements(indexed)) // ids AND raw double scores
+  }
+
+  test("bm25Direct: docs containing no query term are absent") {
+    val docs = Seq(
+      (1L, "alpha beta"),
+      (2L, "gamma delta")).toDF("id", "text")
+    val out = KeywordRank.bm25Direct(docs, "id", "text", Seq("alpha"))
+      .as[(Long, Double)].collect().toMap
+    assert(out.keySet == Set(1L))
+  }
 }
