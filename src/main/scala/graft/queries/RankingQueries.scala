@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
-import graft.functions.VectorFunctions.cosine_sim
 import graft.operators.KeywordRank
 import graft.search.HybridSearch
 
@@ -85,12 +84,12 @@ object RankingQueries extends QuerySet {
 
     val probe = emb.filter(col("vec_id") === 0L)
       .head().getSeq[Float](1).toArray
-    val vecScores = emb.select(col("vec_id").as("doc_id"),
-      cosine_sim(col("embedding"), typedlit(probe)).as("sim"))
-    val vecTop = vecScores.orderBy(col("sim").desc, col("doc_id")).limit(50)
-    val vecRank = vecTop.withColumn("rnk",
-      row_number().over(Window.orderBy(col("sim").desc, col("doc_id"))))
-      .select(col("doc_id"), col("rnk"))
+    // vector leg through the strategy seam (ExactSearcher here; the
+    // serve path swaps in IvfSearcher/HnswSearcher — HybridSearchSpec
+    // asserts fused-answer agreement across all three)
+    val vecRank = HybridSearch.vectorLeg(graft.search.ExactSearcher,
+      emb.select(col("vec_id").as("doc_id"), col("embedding")),
+      "embedding", "doc_id", probe, 50)
 
     HybridSearch.rrf(Seq(kwRank, vecRank), "doc_id", "rnk", k = 60)
       .orderBy(col("rrf_score").desc, col("doc_id"))

@@ -7,7 +7,6 @@ import org.apache.spark.sql.functions._
 import graft.embed.{Embed, Embedder, HashProjectionEmbedder}
 import graft.functions.Tokenizer
 import graft.model.CompletionRow
-import graft.search.VectorSearch
 import graft.store.DocumentStore
 
 /** Pluggable completion model (OpenAiService.cs:163-209). Tests use the
@@ -42,7 +41,14 @@ class ChatEngine(
     maxConversationTokens: Int = 1000, // appsettings.json:15
     maxCompletionTokens: Int = 2000, // appsettings.json:16
     maxSearchResults: Int = 10, // appsettings.json:23
-    maxEmbeddingTokens: Int = 8000) { // appsettings.json:17
+    maxEmbeddingTokens: Int = 8000, // appsettings.json:17
+    // config-selected retrieval strategy (appsettings.json:24 analog):
+    // exact scan by default; IvfSearcher/HnswSearcher for indexed serving
+    searcher: graft.search.VectorSearcher = graft.search.ExactSearcher,
+    // ONE codec for both sides of the MaxEmbeddingTokens contract —
+    // ingest's document cap and the query-side truncation must count
+    // tokens identically or the two halves of the budget disagree
+    codec: graft.functions.TokenCodec = Tokenizer) {
 
   import spark.implicits._
 
@@ -76,7 +82,7 @@ class ChatEngine(
   def ingest(table: String, docs: DataFrame, textCol: String,
              partitionCol: Option[String] = None): Unit = {
     val withVec = Embed.withEmbedding(docs, textCol, "vector", embedder,
-      maxInputTokens = Some(maxEmbeddingTokens))
+      maxInputTokens = Some(maxEmbeddingTokens), codec = codec)
     store.create(table, withVec, partitionCol)
   }
 
@@ -105,9 +111,9 @@ class ChatEngine(
     * hits (A4). */
   def vectorSearch(table: String, question: String, idCol: String = "id"): String = {
     val qv = embedder.embed(
-      Seq(graft.functions.Tokenizer.truncateHead(question, maxEmbeddingTokens))).head
+      Seq(codec.truncateHead(question, maxEmbeddingTokens))).head
     val corpus = store.read(table)
-    val hits = VectorSearch.exactTopK(corpus, "vector", idCol, qv, maxSearchResults)
+    val hits = searcher.topK(corpus, "vector", idCol, qv, maxSearchResults)
       .drop("vector", "sim", idCol)
     val jsons = hits.toJSON.collect() // k rows only
     jsons.mkString(" ")

@@ -1,6 +1,7 @@
 package graft.search
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Hybrid retrieval: fuse independently-ranked candidate lists (lexical
@@ -37,4 +38,16 @@ object HybridSearch {
       .agg(sum(col("c")).as("rrf_score"),
         count(lit(1)).as("n_lists"))
   }
+
+  /** The vector leg of a hybrid query as a ranked list ready for [[rrf]],
+    * under any [[VectorSearcher]] strategy (exact | ivf | hnsw) — the
+    * hybrid analog of the reference's config-selected index kind. The
+    * rank window runs over the already-top-N rows (≤ topN, driver-scale);
+    * the corpus-scale work happens inside the searcher. */
+  def vectorLeg(searcher: VectorSearcher, corpus: DataFrame,
+                vecCol: String, idCol: String,
+                probe: Array[Float], topN: Int): DataFrame =
+    searcher.topK(corpus, vecCol, idCol, probe, topN)
+      .withColumn("rnk", row_number().over(Window.orderBy(col("sim").desc, col(idCol))))
+      .select(col(idCol), col("rnk"))
 }

@@ -162,4 +162,44 @@ class ChatEngineSpec extends AnyFunSuite with SparkSuite {
     assert(name.nonEmpty)
     assert(!name.exists(c => !c.isLetterOrDigit && !c.isWhitespace))
   }
+
+  test("retrieval strategies (exact | ivf | hnsw) agree at recall >= 0.95") {
+    import org.apache.spark.sql.functions.col
+    import graft.search.{ExactSearcher, HnswIndex, HnswSearcher, IvfIndex, IvfSearcher, IvfStore}
+    val store = new DocumentStore(spark, Files.createTempDirectory("graft-rag-strat").toString)
+    val exactEng = new ChatEngine(spark, store)
+    // numeric-id corpus (HNSW ids must cast to long)
+    val docs = graft.Tables.t(spark, sf, "documents").select("doc_id", "text")
+    exactEng.ingest("docs", docs, textCol = "text")
+    val corpus = store.read("docs")
+
+    val ivfIdx = IvfIndex.train(corpus, "vector", "doc_id",
+      numLists = 8, iters = 2, multiAssign = 2)
+    val ivf = new IvfStore(store, "docs_ivf", ivfIdx, "vector", "doc_id")
+    ivf.build(corpus)
+    val graphs = HnswIndex.build(corpus, "vector", "doc_id").cache()
+
+    val engines = Map(
+      "ivf" -> new ChatEngine(spark, store, searcher = new IvfSearcher(ivf, nprobe = 4)),
+      "hnsw" -> new ChatEngine(spark, store, searcher = new HnswSearcher(graphs)))
+
+    val question = "vector similarity search with spark joins"
+    val qv = graft.embed.HashProjectionEmbedder(dims = 64).embedOne(question)
+    val exactIds = ExactSearcher.topK(corpus, "vector", "doc_id", qv, 10)
+      .select(col("doc_id")).as[Long].collect().toSet
+    for ((kind, eng) <- engines) {
+      val annIds = (kind match {
+        case "ivf" => new IvfSearcher(ivf, nprobe = 4)
+        case _ => new HnswSearcher(graphs)
+      }).topK(corpus, "vector", "doc_id", qv, 10)
+        .select(col("doc_id")).as[Long].collect().toSet
+      val hits = (annIds intersect exactIds).size
+      assert(hits >= math.floor(0.95 * 10).toInt, s"$kind recall: $hits/10")
+      // end-to-end lifecycle is green under the ANN strategy
+      val sid = eng.createSession()
+      val reply = eng.complete(sid, "docs", question, idCol = "doc_id")
+      assert(reply.Sender.contains("Assistant") && reply.Text.exists(_.nonEmpty))
+    }
+    graphs.unpersist()
+  }
 }

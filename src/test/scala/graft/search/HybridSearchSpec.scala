@@ -31,4 +31,43 @@ class HybridSearchSpec extends AnyFunSuite with SparkSuite {
       .orderBy($"rrf_score".desc).as[(Long, Double, Long)].collect().map(_._1).toSeq
     assert(out == Seq(1L, 2L, 3L))
   }
+
+  test("hybrid fusion agrees across vector-leg strategies (exact|ivf|hnsw)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.Tables.t
+    import graft.operators.KeywordRank
+    import graft.store.DocumentStore
+
+    val emb = t(spark, sf, "embeddings")
+      .select($"vec_id".as("doc_id"), $"embedding").cache()
+    val docs = t(spark, sf, "documents")
+    val probe = emb.filter($"doc_id" === 0L).head().getSeq[Float](1).toArray
+    val kwRank = KeywordRank.bm25Direct(docs, "doc_id", "text", Seq("vector", "join", "spark"))
+      .orderBy($"score".desc, $"doc_id").limit(50)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"score".desc, $"doc_id")))
+      .select($"doc_id", $"rnk").cache()
+
+    val ivfIdx = IvfIndex.train(emb, "embedding", "doc_id", numLists = 8, iters = 2, multiAssign = 2)
+    val store = new DocumentStore(spark, Files.createTempDirectory("graft-hybrid").toString)
+    val ivf = new IvfStore(store, "vecs", ivfIdx, "embedding", "doc_id")
+    ivf.build(emb)
+    val graphs = HnswIndex.build(emb, "embedding", "doc_id").cache()
+
+    def fusedTop10(s: VectorSearcher): Set[Long] = {
+      val vecRank = HybridSearch.vectorLeg(s, emb, "embedding", "doc_id", probe, 50)
+      HybridSearch.rrf(Seq(kwRank, vecRank), "doc_id", "rnk")
+        .orderBy($"rrf_score".desc, $"doc_id").limit(10)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    val exact = fusedTop10(ExactSearcher)
+    for ((kind, s) <- Seq("ivf" -> new IvfSearcher(ivf, nprobe = 4),
+                          "hnsw" -> new HnswSearcher(graphs))) {
+      val fused = fusedTop10(s)
+      val hits = (fused intersect exact).size
+      assert(hits >= math.floor(0.95 * 10).toInt, s"$kind fused agreement: $hits/10")
+    }
+    kwRank.unpersist(); graphs.unpersist(); emb.unpersist()
+  }
 }
