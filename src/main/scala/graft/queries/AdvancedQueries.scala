@@ -149,14 +149,32 @@ object AdvancedQueries extends QuerySet {
       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
   /** Sketch aggregates for 100 TB profiling: HyperLogLog++ distinct
-    * counts. Approximate => rows-only check; the ScalaTest gate asserts
-    * <5% error vs exact on the same data. */
-  private def q28(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
-      .orderBy(col("l_returnflag"))
+    * counts. Approximate => no SQL oracle, so the gate carries its own
+    * teeth (same pattern as the ANN recall gates in
+    * [[VectorQueries]]): rows are emitted ONLY if every group's
+    * relative error vs in-query exact distinct is ≤ 5% — an accuracy
+    * regression zeroes `spark_rows`, which the driver sees. Exact
+    * distinct is affordable at gate scale; the error check compares one
+    * row per group (driver-scale). */
+  private def q28(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    // rsd=0.01: measured worst-group error ≤0.9% at sf0.01/sf0.1 (the
+    // default 0.05 sketch misses the 5% bound on l_orderkey) — 5× margin
+    // under the gate, still a fixed-size sketch per group
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+    val offBound = approx.join(exact, "l_returnflag")
+      .filter(
+        abs(col("approx_parts") - col("exact_parts")) / col("exact_parts") > lit(0.05) ||
+        abs(col("approx_orders") - col("exact_orders")) / col("exact_orders") > lit(0.05))
+      .count()
+    val out = approx.orderBy(col("l_returnflag"))
+    if (offBound == 0L) out else out.limit(0)
+  }
 
   /** Full outer join: customers without orders AND orphan order keys both
     * survive (completes the join-type inventory: inner/semi/anti/left

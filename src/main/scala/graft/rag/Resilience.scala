@@ -27,15 +27,28 @@ final case class RetryPolicy(
 
   /** Run `op`, retrying on exception with capped exponential backoff
     * (delay doubles per attempt). Deterministic — no jitter — so task
-    * behavior reproduces exactly. */
+    * behavior reproduces exactly.
+    *
+    * [[InterruptedException]] is NOT retried: it is how Spark cancels a
+    * task (kill/speculation/stage abort). Swallowing it would delay
+    * cancellation by up to maxAttempts×maxDelay and lose the interrupt
+    * flag — restore the flag and rethrow immediately instead. */
   def apply[T](op: => T): T = {
     var attempt = 1
     while (true) {
       try return op
       catch {
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw e
         case e: Exception if attempt < maxAttempts =>
           val delay = math.min(maxDelayMs, baseDelayMs << math.min(attempt - 1, 20))
-          sleeper(delay)
+          try sleeper(delay)
+          catch {
+            case ie: InterruptedException =>
+              Thread.currentThread().interrupt()
+              throw ie
+          }
           attempt += 1
         case e: Exception =>
           throw new RuntimeException(

@@ -61,8 +61,14 @@ class DocumentStore(spark: SparkSession, root: String) {
     readString(new HPath(tdir(table), "_CURRENT")).map(_.trim.toInt).getOrElse(0)
 
   private def manifest(table: String, v: Int): Map[String, String] = {
+    if (v == 0) return Map.empty // table never created
     val f = new HPath(new HPath(tdir(table), "_versions"), s"v$v.manifest")
-    readString(f).getOrElse("").split("\n").iterator
+    // a committed version MUST have its manifest: reading a corrupted
+    // table (_CURRENT pointing at a missing manifest) as empty would
+    // silently turn data loss into an empty-table answer
+    val body = readString(f).getOrElse(throw new IllegalStateException(
+      s"table '$table' is corrupted: _CURRENT points at version $v but $f is missing"))
+    body.split("\n").iterator
       .filter(_.nonEmpty).map { l =>
         val Array(k, dir) = l.split("\t", 2); k -> dir
       }.toMap
@@ -221,7 +227,6 @@ class DocumentStore(spark: SparkSession, root: String) {
         s.stripPrefix("v").stripSuffix(".manifest").toInt }
       .toSeq.sorted
     val (drop, keep) = all.partition(v => v <= cur - keepVersions)
-    if (drop.isEmpty) return
     val live = keep.flatMap(v => manifest(table, v).values).toSet
     val dead = drop.flatMap(v => manifest(table, v).values).toSet -- live
     dead.foreach { dir =>
@@ -230,5 +235,18 @@ class DocumentStore(spark: SparkSession, root: String) {
       if (dfs.exists(p)) dfs.delete(p, true)
     }
     drop.foreach(v => fs.delete(new HPath(vd, s"v$v.manifest"), false))
+    // Crash-garbage sweep: a mutation that died between writeSegments and
+    // commit leaves a data/v<K> dir referenced by NO manifest, which the
+    // manifest-driven pass above can never reach. Under the single-writer
+    // contract no write is in flight during vacuum, so any version dir
+    // not referenced by a retained manifest is garbage.
+    val dataDir = new HPath(tdir(table), "data")
+    if (fs.exists(dataDir)) {
+      fs.listStatus(dataDir).iterator.filter(_.isDirectory).foreach { st =>
+        val prefix = st.getPath.toString
+        val referenced = live.exists(d => d == prefix || d.startsWith(prefix + "/"))
+        if (!referenced) fs.delete(st.getPath, true)
+      }
+    }
   }
 }

@@ -78,6 +78,29 @@ class ResilienceSpec extends AnyFunSuite with SparkSuite {
     assert(calls.get() == 3)
   }
 
+  test("InterruptedException is not retried: flag restored, rethrown at once") {
+    Thread.interrupted() // clear any stale flag
+    val attempts = new AtomicInteger(0)
+    val p = RetryPolicy(maxAttempts = 10, sleeper = _ => ())
+    intercept[InterruptedException] {
+      p { attempts.incrementAndGet(); throw new InterruptedException("task killed") }
+    }
+    assert(attempts.get() == 1, "an interrupt must not be counted as a retryable failure")
+    assert(Thread.interrupted(), "interrupt flag must be restored") // also clears it
+  }
+
+  test("interrupt during backoff sleep aborts the retry loop") {
+    Thread.interrupted()
+    val attempts = new AtomicInteger(0)
+    val p = RetryPolicy(maxAttempts = 10, baseDelayMs = 10,
+      sleeper = _ => throw new InterruptedException("interrupted in sleep"))
+    intercept[InterruptedException] {
+      p { attempts.incrementAndGet(); throw new RuntimeException("transient") }
+    }
+    assert(attempts.get() == 1)
+    assert(Thread.interrupted())
+  }
+
   test("MaxEmbeddingTokens caps the embed input (appsettings.json:17)") {
     // distinct tokens — truncation must change the (normalized) vector
     val long = (1 to 100).map(i => s"tok$i").mkString(" ")

@@ -115,6 +115,33 @@ class DocumentStoreSpec extends AnyFunSuite with SparkSuite {
     assert(s.read("t").count() == 2)
   }
 
+  test("vacuum sweeps crash garbage: segment dirs with no manifest") {
+    val root = Files.createTempDirectory("graft-store").toString
+    val s = new DocumentStore(spark, root)
+    s.create("t", Seq((1L, "a"), (2L, "b")).toDF("id", "x"))
+    // simulate a mutation that died between writeSegments and commit:
+    // a data/v99 dir exists but no manifest references it
+    val orphan = java.nio.file.Paths.get(root, "t", "data", "v99")
+    Seq((9L, "junk")).toDF("id", "x").withColumn("__part", lit("all"))
+      .write.partitionBy("__part").parquet(orphan.toString)
+    assert(java.nio.file.Files.exists(orphan))
+    s.vacuum("t", keepVersions = 1)
+    assert(!java.nio.file.Files.exists(orphan), "orphan segment dir not collected")
+    // table intact
+    assert(s.read("t").orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("a committed version with a missing manifest fails loudly, not as empty") {
+    val root = Files.createTempDirectory("graft-store").toString
+    val s = new DocumentStore(spark, root)
+    s.create("t", Seq((1L, "a")).toDF("id", "x"))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "t", "_versions", "v1.manifest"))
+    val e = intercept[IllegalStateException] { s.read("t").count() }
+    assert(e.getMessage.contains("corrupted"))
+  }
+
   test("full lifecycle against an explicit file:///-scheme Hadoop path") {
     // The store must run on cluster storage (HDFS/S3) — all metadata IO
     // goes through the Hadoop FS API, exercised here via a qualified URI
