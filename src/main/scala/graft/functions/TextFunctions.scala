@@ -23,13 +23,15 @@ object TextFunctions {
 
   /** Word n-gram shingles: ["a b c", "b c d", ...]. Distinct not applied
     * (callers choose set vs bag semantics). */
-  def shingles(text: Column, n: Int): Column = {
-    val w = words(text)
+  def shingles(text: Column, n: Int): Column = shinglesOf(words(text), n)
+
+  /** As [[shingles]], over an already-split word array (lets callers
+    * reuse one `words` computation across several signals). */
+  def shinglesOf(w: Column, n: Int): Column =
     when(size(w) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(0), size(w) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
-  }
 
   /** MinHash signature: for each seed s_i, min over shingles of
     * xxhash64(shingle, s_i). Array stays columnar; no explode. */

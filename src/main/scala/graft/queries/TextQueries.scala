@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Splits}
+import graft.operators.{Decontaminate, Dedup, QualityFilters, Splits}
 
 /** Training-data pipeline operators: dedup (exact / n-gram Jaccard /
   * MinHash-LSH / SimHash), language ID, quality scoring, token stats,
@@ -213,6 +213,57 @@ object TextQueries extends QuerySet {
       |  CASE WHEN lang = 'en' THEN 2500 WHEN lang = 'zh' THEN 4000 ELSE 6000 END
       |ORDER BY doc_id""".stripMargin
 
+  /** Benchmark decontamination: the deterministic test split is the
+    * "benchmark"; training docs sharing any word-3-gram with it are
+    * flagged with their shared-shingle count (n-gram overlap
+    * decontamination — the GPT-3/Llama pre-training hygiene step). */
+  private def q83(s: SparkSession, d: String): DataFrame = {
+    val sp = Splits.withSplit(t(s, d, "documents"), "doc_id")
+    Decontaminate.sharedNgrams(
+        sp.filter(col("split") === "train"),
+        sp.filter(col("split") === "test"),
+        "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q83Sql =
+    """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |           FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+      |       FROM w WHERE len(w) >= 3),
+      |b AS (SELECT doc_id, (doc_id % 2147483648) * 2654435761 % 4294967296 % 100 AS b
+      |      FROM documents),
+      |tr AS (SELECT sh.doc_id, s FROM sh JOIN b USING (doc_id) WHERE b.b < 80),
+      |te AS (SELECT DISTINCT s FROM sh JOIN b USING (doc_id) WHERE b.b >= 90)
+      |SELECT tr.doc_id, COUNT(*) AS shared_ngrams
+      |FROM tr JOIN te USING (s)
+      |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin
+
+  /** Gopher-style repetition quality signals: duplicate-word fraction
+    * and top-bigram coverage per document. */
+  private def q84(s: SparkSession, d: String): DataFrame =
+    QualityFilters.repetitionSignals(t(s, d, "documents"), "doc_id", "text")
+      .select(col("doc_id"),
+        round(col("dup_word_frac"), 6).as("dup_word_frac"),
+        round(col("top_bigram_frac"), 6).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+
+  private val q84Sql =
+    """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |           FROM documents),
+      |ws AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct FROM w),
+      |bg AS (SELECT doc_id,
+      |         unnest(list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM w WHERE len(w) >= 2),
+      |bc AS (SELECT doc_id, s, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      |bs AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bg FROM bc GROUP BY 1)
+      |SELECT ws.doc_id,
+      |  round(CASE WHEN n_words = 0 THEN 0.0
+      |    ELSE 1.0 - CAST(n_distinct AS DOUBLE) / n_words END, 6) AS dup_word_frac,
+      |  round(coalesce(CAST(top_c AS DOUBLE) / n_bg, 0.0), 6) AS top_bigram_frac
+      |FROM ws LEFT JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -225,5 +276,7 @@ object TextQueries extends QuerySet {
     Q("q48_corpus_stats", q48, Some(q48Sql)),
     Q("q49_pivot_lang", q49, Some(q49Sql)),
     Q("q51_train_split", q51, Some(q51Sql)),
-    Q("q69_stratified_sample", q69, Some(q69Sql)))
+    Q("q69_stratified_sample", q69, Some(q69Sql)),
+    Q("q83_decontaminate", q83, Some(q83Sql)),
+    Q("q84_repetition_filter", q84, Some(q84Sql)))
 }
