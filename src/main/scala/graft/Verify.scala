@@ -10,7 +10,12 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus, "graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration filter: SPARK_GRAFT_ONLY=q85,q86 restricts the run
+    // (and the dumped oracle json) to queries whose name starts with one
+    // of the prefixes. Unset (the driver) = full gate.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    def keep(name: String): Boolean = only.forall(_.exists(name.startsWith))
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       spark.catalog.clearCache() // queries that cache must not pin memory across the run
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
@@ -33,7 +38,7 @@ object Verify {
     // Key each entry by the OUTPUT DIRECTORY name ("<name>.parquet"), which
     // is the key the driver uses for results — a bare query name here means
     // every query silently degrades to "no_oracle" (round-1 failure mode).
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(s"$k.parquet")}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

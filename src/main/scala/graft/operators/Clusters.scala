@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected-components cluster resolution for dedup pipelines.
+  *
+  * The dedup operators ([[Dedup]]) emit near-duplicate PAIRS; dropping
+  * duplicates needs one canonical keeper per transitive CLUSTER (A~B,
+  * B~C ⇒ {A,B,C} even when A and C were never compared). The reference
+  * has no analog (its store dedups by `id` only, SharedLib upsert
+  * semantics); this is the standard corpus-dedup step between pair
+  * generation and keeper selection.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+  * published shuffle-native CC algorithm. Each round is two
+  * groupBy-min/join passes over the edge list; convergence is
+  * O(log² n) rounds (observed ≤ a handful on dedup graphs, whose
+  * components are tiny and dense). No driver-side graph state: the
+  * only `collect` is the per-round convergence checksum (2 longs).
+  *
+  * Scale notes: every round shuffles the current edge list on one key —
+  * edges only shrink (toward star edges (node → root)), so cost is
+  * bounded by the initial pair count, not n². `localCheckpoint`
+  * truncates lineage each round so the plan does not deepen with
+  * iteration count (on a cluster with a checkpoint dir configured,
+  * `df.checkpoint()` is the durable alternative; local truncation is
+  * the right default for an iterative refinement whose input is
+  * recomputable).
+  */
+object Clusters {
+
+  /** Star-contract one round. `largeStar` connects every neighbor
+    * strictly larger than the center to the center's minimum; `smallStar`
+    * (dir = edges oriented large→small) connects all smaller neighbors
+    * and the center to the minimum. Both preserve connectivity and
+    * monotonically pull components toward their minimum id. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val adj = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val m = adj.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("mn"))
+    adj.join(m, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("mn").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  private def smallStar(edges: DataFrame): DataFrame = {
+    // orient big→small so each group holds a center and its smaller nbrs
+    val dir = edges.select(
+      greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+    val m = dir.groupBy("u").agg(min(col("v")).as("mn"))
+    val nbrEdges = dir.join(m, "u")
+      .select(col("v").as("u"), col("mn").as("v"))
+    val centerEdges = m.select(col("u"), col("mn").as("v"))
+    nbrEdges.union(centerEdges)
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Resolve connected components of the undirected pair list `edges`
+    * ((aCol, bCol), any orientation, duplicates fine). Returns one row
+    * per node of `nodes`: (idCol, cluster_id) with cluster_id = the
+    * minimum node id in the component; nodes in no pair are their own
+    * singleton cluster. */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+                          edges: DataFrame, aCol: String, bCol: String,
+                          maxRounds: Int = 50): DataFrame = {
+    val spark = nodes.sparkSession
+    var e = edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var prev = checksum(e)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val cur = checksum(next)
+      converged = cur == prev
+      prev = cur
+      e.unpersist()
+      e = next
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    // converged edge list is a star forest: (node → root). Roots and
+    // singletons map to themselves via the left join.
+    val labels = e.select(greatest(col("u"), col("v")).as("id"),
+        least(col("u"), col("v")).as("root"))
+      .groupBy("id").agg(min(col("root")).as("root"))
+    nodes.select(col(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("root"), col(idCol).cast("long")).as("cluster_id"))
+  }
+
+  /** Order-independent convergence fingerprint of an edge list: count
+    * plus XOR of per-edge hashes (overflow-free, order-free; edges are
+    * distinct so cancellation needs a 64-bit hash collision). Driver
+    * sees 2 longs per round. */
+  private def checksum(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Convenience: one keeper (min id) per cluster joined back to pair
+    * clusters — the "drop duplicates, keep canonical" corpus step. */
+  def keepers(nodes: DataFrame, idCol: String,
+              edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    connectedComponents(nodes, idCol, edges, aCol, bCol)
+      .filter(col(idCol) === col("cluster_id"))
+      .select(col(idCol))
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.functions.TextFunctions._
-import graft.operators.{Decontaminate, Dedup, QualityFilters, Splits}
+import graft.operators.{Clusters, Decontaminate, Dedup, Packing, QualityFilters, Splits}
 
 /** Training-data pipeline operators: dedup (exact / n-gram Jaccard /
   * MinHash-LSH / SimHash), language ID, quality scoring, token stats,
@@ -36,8 +36,11 @@ object TextQueries extends QuerySet {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
 
-  private def jaccardSql(threshold: String) =
-    s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  /** Shared CTE chain computing exact word-3-gram Jaccard pairs ≥ the
+    * given threshold (used by q41/q42's oracle and, transitively, by
+    * q85's connected-components oracle). */
+  private def pairCtes(threshold: String) =
+    s"""w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
        |           FROM documents),
        |sh AS (SELECT DISTINCT doc_id,
        |         unnest(list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
@@ -45,14 +48,17 @@ object TextQueries extends QuerySet {
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |          GROUP BY 1, 2)
-       |SELECT a_id, b_id,
-       |  round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
-       |FROM inter
-       |JOIN sizes sa ON sa.doc_id = a_id
-       |JOIN sizes sb ON sb.doc_id = b_id
-       |WHERE c * 1.0 / (sa.n + sb.n - c) >= $threshold
-       |ORDER BY a_id, b_id""".stripMargin
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT a_id, b_id, c * 1.0 / (sa.n + sb.n - c) AS jac
+       |          FROM inter
+       |          JOIN sizes sa ON sa.doc_id = a_id
+       |          JOIN sizes sb ON sb.doc_id = b_id
+       |          WHERE c * 1.0 / (sa.n + sb.n - c) >= $threshold)""".stripMargin
+
+  private def jaccardSql(threshold: String) =
+    s"""WITH ${pairCtes(threshold)}
+       |SELECT a_id, b_id, round(jac, 6) AS jaccard
+       |FROM pairs ORDER BY a_id, b_id""".stripMargin
 
   /** MinHash+LSH near-dup pairs, exact-verified (oracle: the exact join —
     * see probability note on Dedup.minhashLshPairs). */
@@ -264,6 +270,49 @@ object TextQueries extends QuerySet {
       |  round(coalesce(CAST(top_c AS DOUBLE) / n_bg, 0.0), 6) AS top_bigram_frac
       |FROM ws LEFT JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Dedup CLUSTER resolution: near-dup pairs (the q41 set) → transitive
+    * connected components via alternating large-star/small-star — the
+    * step between pair generation and "keep one per cluster". Oracle:
+    * transitive closure by recursive CTE, min reachable id per node. */
+  private def q85(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.8, hashShingles = true)
+    Clusters.connectedComponents(docs, "doc_id", pairs, "a_id", "b_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q85Sql =
+    s"""WITH RECURSIVE ${pairCtes("0.8")},
+       |e AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |      UNION ALL SELECT b_id, a_id FROM pairs),
+       |r(u, v) AS (SELECT doc_id, doc_id FROM documents
+       |            UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u)
+       |SELECT u AS doc_id, MIN(v) AS cluster_id
+       |FROM r GROUP BY u ORDER BY doc_id""".stripMargin
+
+  /** Sequence packing (concat-then-chunk, seqLen=512): distributed
+    * two-phase global offset vs the oracle's single window cumsum —
+    * identical layout row-for-row. */
+  private def q86(s: SparkSession, d: String): DataFrame =
+    Packing.concatChunk(t(s, d, "documents"), "doc_id", "text", seqLen = 512L)
+      .orderBy(col("seq_id"), col("doc_id"))
+
+  private val q86Sql =
+    """WITH wc AS (SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
+      |  FROM documents),
+      |s AS (SELECT doc_id, n,
+      |        CAST(SUM(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS start
+      |      FROM wc WHERE n > 0),
+      |x AS (SELECT doc_id, n, start,
+      |        unnest(range(start // 512, (start + n - 1) // 512 + 1)) AS seq_id
+      |      FROM s)
+      |SELECT seq_id, doc_id,
+      |  GREATEST(start - seq_id * 512, 0) AS begin_in_seq,
+      |  LEAST(start + n, (seq_id + 1) * 512) - GREATEST(start, seq_id * 512) AS n_tokens
+      |FROM x ORDER BY seq_id, doc_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -278,5 +327,7 @@ object TextQueries extends QuerySet {
     Q("q51_train_split", q51, Some(q51Sql)),
     Q("q69_stratified_sample", q69, Some(q69Sql)),
     Q("q83_decontaminate", q83, Some(q83Sql)),
-    Q("q84_repetition_filter", q84, Some(q84Sql)))
+    Q("q84_repetition_filter", q84, Some(q84Sql)),
+    Q("q85_dedup_clusters", q85, Some(q85Sql), headline = true),
+    Q("q86_pack_sequences", q86, Some(q86Sql)))
 }
