@@ -313,6 +313,60 @@ object TextQueries extends QuerySet {
       |  LEAST(start + n, (seq_id + 1) * 512) - GREATEST(start, seq_id * 512) AS n_tokens
       |FROM x ORDER BY seq_id, doc_id""".stripMargin
 
+  /** PII redaction over deterministic synthetic PII (the testdata corpus
+    * carries none, so both engines derive the same email/IP/phone-bearing
+    * text from customer columns, then redact + count). */
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.PiiFunctions._
+    val raw = concat(
+      col("c_name"), lit(" <user"), col("c_custkey"), lit("@example.com> ip 10.0."),
+      col("c_nationkey"), lit("."), col("c_custkey") % 200, lit(" tel 555-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"))
+    val counts = piiCounts(raw).map { case (n, c) => c.cast("long").as(n) }
+    t(s, d, "customer")
+      .select(col("c_custkey") +: redactPii(raw).as("redacted") +: counts: _*)
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q87Sql = {
+    import graft.functions.PiiFunctions._
+    s"""WITH raw AS (SELECT c_custkey,
+       |  c_name || ' <user' || c_custkey || '@example.com> ip 10.0.' || c_nationkey
+       |    || '.' || (c_custkey % 200) || ' tel 555-'
+       |    || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS t
+       |  FROM customer),
+       |steps AS (SELECT c_custkey, t,
+       |    regexp_replace(t, '$EmailRe', '<EMAIL>', 'g') AS t1,
+       |    regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+       |      '$Ipv4Re', '<IP>', 'g') AS t2
+       |  FROM raw)
+       |SELECT c_custkey,
+       |  regexp_replace(t2, '$PhoneRe', '<PHONE>', 'g') AS redacted,
+       |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t1, '$Ipv4Re')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS BIGINT) AS n_phones
+       |FROM steps ORDER BY c_custkey""".stripMargin
+  }
+
+  /** Sliding word-window chunking for RAG ingestion (size=40, stride=30:
+    * 10-word overlap), verified chunk-for-chunk against list slicing. */
+  private def q88(s: SparkSession, d: String): DataFrame =
+    graft.operators.Chunker.slidingWordChunks(
+        t(s, d, "documents"), "doc_id", "text", size = 40, stride = 30)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  private val q88Sql =
+    """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |           FROM documents),
+      |n AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS len,
+      |        1 + (GREATEST(CAST(len(w) AS BIGINT) - 40, 0) + 29) // 30 AS nc
+      |      FROM w),
+      |x AS (SELECT doc_id, w, unnest(range(0, nc)) AS chunk_id FROM n)
+      |SELECT doc_id, chunk_id,
+      |  array_to_string(w[(chunk_id * 30 + 1):(chunk_id * 30 + 40)], ' ') AS chunk_text,
+      |  CAST(len(w[(chunk_id * 30 + 1):(chunk_id * 30 + 40)]) AS BIGINT) AS n_words
+      |FROM x ORDER BY doc_id, chunk_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -329,5 +383,7 @@ object TextQueries extends QuerySet {
     Q("q83_decontaminate", q83, Some(q83Sql)),
     Q("q84_repetition_filter", q84, Some(q84Sql)),
     Q("q85_dedup_clusters", q85, Some(q85Sql), headline = true),
-    Q("q86_pack_sequences", q86, Some(q86Sql)))
+    Q("q86_pack_sequences", q86, Some(q86Sql)),
+    Q("q87_pii_redact", q87, Some(q87Sql)),
+    Q("q88_chunk_sliding", q88, Some(q88Sql)))
 }
