@@ -167,6 +167,113 @@ case class L2Norm(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Symmetric int8 quantization of an embedding: scale = maxAbs/127,
+  * q[i] = round(v[i]/scale) ∈ [-127, 127], packed as BINARY (1536-d
+  * drops 6 KB → 1.5 KB + 4 B — the 4× that decides whether a 100 TB
+  * corpus's vectors fit executor memory). Build-time only (runs once
+  * per vector at ingest), so interpreted eval is fine; the per-pair
+  * search loop is [[CosineSimI8]], which is codegen'd. */
+case class QuantizeI8(child: Expression) extends UnaryExpression
+    with codegen.CodegenFallback {
+  override def prettyName: String = "vec_quantize_i8"
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", FloatType, nullable = false),
+    StructField("q", BinaryType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<float>, got $other")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var maxAbs = 0f; var i = 0
+    while (i < n) { val v = math.abs(x.getFloat(i)); if (v > maxAbs) maxAbs = v; i += 1 }
+    val scale = maxAbs / 127f
+    val q = new Array[Byte](n)
+    if (scale > 0f) {
+      i = 0
+      while (i < n) {
+        val r = math.round(x.getFloat(i) / scale)
+        q(i) = math.max(-127, math.min(127, r)).toByte
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(scale, q)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Cosine over two int8-quantized vectors. Cosine is scale-invariant,
+  * so the per-vector scales cancel and the whole-stage-codegen'd loop
+  * runs on bytes with long accumulators — the quantized scan's hot
+  * inner loop (4× less memory traffic than the float path). */
+case class CosineSimI8(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "cosine_sim_i8"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName expects (binary, binary), got $other")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]; val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+    while (i < n) {
+      val xv = x(i).toLong; val yv = y(i).toLong
+      dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+    }
+    if (na == 0L || nb == 0L) 0.0
+    else dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |long $dot = 0L; long $na = 0L; long $nb = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $xv = (long) $a[$i];
+         |  long $yv = (long) $b[$i];
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |${ev.value} = ($na == 0L || $nb == 0L) ? 0.0
+         |  : $dot / (java.lang.Math.sqrt((double) $na) * java.lang.Math.sqrt((double) $nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Inverse of [[QuantizeI8]]: q[i]·scale back to array<float> (error
+  * ≤ scale/2 per element — spec'd, not assumed). Diagnostic path. */
+case class DequantizeI8(left: Expression, right: Expression) extends BinaryExpression
+    with codegen.CodegenFallback {
+  override def prettyName: String = "vec_dequantize_i8"
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, FloatType) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName expects (binary, float), got $other")
+  }
+
+  override def nullSafeEval(a: Any, s: Any): Any = {
+    val q = a.asInstanceOf[Array[Byte]]; val scale = s.asInstanceOf[Float]
+    val out = new Array[Float](q.length)
+    var i = 0
+    while (i < q.length) { out(i) = q(i) * scale; i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-API + SQL-registry surface for the vector expressions. */
 object VectorFunctions {
   private def e(c: Column): Expression = GraftSqlBridge.expression(c)
@@ -176,6 +283,9 @@ object VectorFunctions {
   def cosine_sim(a: Column, b: Column): Column = col(CosineSimilarity(e(a), e(b)))
   def l2_dist_sq(a: Column, b: Column): Column = col(L2DistanceSq(e(a), e(b)))
   def l2_norm(a: Column): Column = col(L2Norm(e(a)))
+  def vec_quantize_i8(a: Column): Column = col(QuantizeI8(e(a)))
+  def cosine_sim_i8(a: Column, b: Column): Column = col(CosineSimI8(e(a), e(b)))
+  def vec_dequantize_i8(q: Column, scale: Column): Column = col(DequantizeI8(e(q), e(scale)))
 
   /** Register as SQL functions so `spark.sql("... cosine_sim(a,b) ...")` works. */
   def register(spark: SparkSession): Unit = {
@@ -184,5 +294,8 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction("cosine_sim", xs => CosineSimilarity(xs(0), xs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("l2_dist_sq", xs => L2DistanceSq(xs(0), xs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("l2_norm", xs => L2Norm(xs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_quantize_i8", xs => QuantizeI8(xs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim_i8", xs => CosineSimI8(xs(0), xs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_dequantize_i8", xs => DequantizeI8(xs(0), xs(1)), "scala_udf")
   }
 }

@@ -151,6 +151,27 @@ object VectorQueries extends QuerySet {
     gated
   }
 
+  /** Quantized scan path: symmetric int8 quantization (4× less vector
+    * memory — what makes a 100 TB corpus's embeddings fit executor RAM)
+    * with codegen'd byte-loop cosine, recall-gated against the exact
+    * float top-k. Cosine is scale-invariant so the per-vector scales
+    * cancel in the similarity; they ride along for dequantization. */
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings").cache()
+    val qz = e.select(col("vec_id"), col("label"),
+      vec_quantize_i8(col("embedding")).as("qv"))
+    val probeQ = qz.filter(col("vec_id") === 0L).select(col("qv.q")).head().getAs[Array[Byte]](0)
+    val ann = qz
+      .withColumn("rsim", cosine_sim_i8(col("qv.q"), lit(probeQ)))
+      .orderBy(col("rsim").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("label"), round(col("rsim"), 6).as("sim"))
+    val exact = VectorSearch.exactTopK(e, "embedding", "vec_id", probeVec(s, d, 0L), 10)
+    val gated = recallGate(ann, exact, 10, 0.9)
+    e.unpersist()
+    gated
+  }
+
   /** Vector norm maintenance column (our analog of index-build-time
     * precomputation, SURVEY §1.3). */
   private def q34(s: SparkSession, d: String): DataFrame =
@@ -192,6 +213,7 @@ object VectorQueries extends QuerySet {
     Q("q33_knn_ivf", q33, None, headline = true),
     Q("q36_knn_lsh", q36, None),
     Q("q82_knn_hnsw", q82, None, headline = true),
+    Q("q89_knn_quantized", q89, None, headline = true),
     Q("q34_vector_norms", q34, Some(q34Sql)),
     Q("q35_neardup_embedding", q35, Some(q35Sql), headline = true))
 }
