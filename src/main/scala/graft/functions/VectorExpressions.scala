@@ -170,11 +170,10 @@ case class L2Norm(child: Expression) extends UnaryExpression {
 /** Symmetric int8 quantization of an embedding: scale = maxAbs/127,
   * q[i] = round(v[i]/scale) ∈ [-127, 127], packed as BINARY (1536-d
   * drops 6 KB → 1.5 KB + 4 B — the 4× that decides whether a 100 TB
-  * corpus's vectors fit executor memory). Build-time only (runs once
-  * per vector at ingest), so interpreted eval is fine; the per-pair
-  * search loop is [[CosineSimI8]], which is codegen'd. */
-case class QuantizeI8(child: Expression) extends UnaryExpression
-    with codegen.CodegenFallback {
+  * corpus's vectors fit executor memory). Codegen'd so a fused
+  * quantize-and-score projection stays inside whole-stage codegen
+  * (a fallback here would de-compile the entire enclosing Project). */
+case class QuantizeI8(child: Expression) extends UnaryExpression {
   override def prettyName: String = "vec_quantize_i8"
   override def dataType: DataType = StructType(Seq(
     StructField("scale", FloatType, nullable = false),
@@ -201,6 +200,31 @@ case class QuantizeI8(child: Expression) extends UnaryExpression
     }
     org.apache.spark.sql.catalyst.InternalRow(scale, q)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j"); val n = ctx.freshName("n")
+      val maxAbs = ctx.freshName("maxAbs"); val scale = ctx.freshName("scale")
+      val q = ctx.freshName("q"); val v = ctx.freshName("v"); val r = ctx.freshName("r")
+      s"""
+         |int $n = $a.numElements();
+         |float $maxAbs = 0f;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  float $v = java.lang.Math.abs($a.getFloat($i));
+         |  if ($v > $maxAbs) $maxAbs = $v;
+         |}
+         |float $scale = $maxAbs / 127f;
+         |byte[] $q = new byte[$n];
+         |if ($scale > 0f) {
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    int $r = java.lang.Math.round($a.getFloat($j) / $scale);
+         |    $q[$j] = (byte) java.lang.Math.max(-127, java.lang.Math.min(127, $r));
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { $scale, $q });
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

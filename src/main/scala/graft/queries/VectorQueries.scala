@@ -158,6 +158,10 @@ object VectorQueries extends QuerySet {
     * cancel in the similarity; they ride along for dequantization. */
   private def q89(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings").cache()
+    // Quantize fuses into the scoring projection — both expressions are
+    // codegen'd, so the whole scan→score pass is one WholeStageCodegen
+    // span ending in a TakeOrderedAndProject k-heap (production would
+    // materialize qv once at ingest; the serve loop is identical).
     val qz = e.select(col("vec_id"), col("label"),
       vec_quantize_i8(col("embedding")).as("qv"))
     val probeQ = qz.filter(col("vec_id") === 0L).select(col("qv.q")).head().getAs[Array[Byte]](0)
