@@ -64,37 +64,75 @@ object Clusters {
     * ((aCol, bCol), any orientation, duplicates fine). Returns one row
     * per node of `nodes`: (idCol, cluster_id) with cluster_id = the
     * minimum node id in the component; nodes in no pair are their own
-    * singleton cluster. */
+    * singleton cluster.
+    *
+    * Size-adaptive: near-dup edge lists are usually a sliver of the
+    * corpus (a few % near-dup rate), so when the deduped edge count is
+    * ≤ `driverMaxEdges` (default 1M pairs ≈ 16 MB — unambiguously
+    * driver-scale) the components are solved with an in-memory
+    * union-find and broadcast back, skipping the star rounds' ~6
+    * shuffle stages each. Larger graphs take the distributed star
+    * loop. Both paths produce identical labels (spec-asserted). */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, aCol: String, bCol: String,
-                          maxRounds: Int = 50): DataFrame = {
-    val spark = nodes.sparkSession
+                          maxRounds: Int = 50,
+                          driverMaxEdges: Long = 1L << 20): DataFrame = {
+    // lazy checkpoint: the first checksum (which also decides the path)
+    // is the action that materializes the canonical edge list
     var e = edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var prev = checksum(e)
-    var converged = false
-    var round = 0
-    while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      val cur = checksum(next)
-      converged = cur == prev
-      prev = cur
-      e.unpersist()
-      e = next
-      round += 1
-    }
-    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
-    // converged edge list is a star forest: (node → root). Roots and
-    // singletons map to themselves via the left join.
-    val labels = e.select(greatest(col("u"), col("v")).as("id"),
-        least(col("u"), col("v")).as("root"))
-      .groupBy("id").agg(min(col("root")).as("root"))
+    val labels =
+      if (prev._1 <= driverMaxEdges) driverUnionFind(nodes.sparkSession, e)
+      else {
+        var converged = false
+        var round = 0
+        while (!converged && round < maxRounds) {
+          val next = smallStar(largeStar(e)).localCheckpoint(false)
+          val cur = checksum(next)
+          converged = cur == prev
+          prev = cur
+          e.unpersist()
+          e = next
+          round += 1
+        }
+        require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+        // converged edge list is a star forest: (node → root). Roots and
+        // singletons map to themselves via the left join below.
+        e.select(greatest(col("u"), col("v")).as("id"),
+            least(col("u"), col("v")).as("root"))
+          .groupBy("id").agg(min(col("root")).as("root"))
+      }
     nodes.select(col(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("root"), col(idCol).cast("long")).as("cluster_id"))
+  }
+
+  /** Small-graph path: collect the (already deduped, driver-scale) edge
+    * list, solve with union-find (iterative find + path compression, so
+    * long chains cannot overflow the stack), return (id, root) rows for
+    * the nodes that appear in edges — singletons fall out of the caller's
+    * left join. The result is broadcast-size by construction. */
+  private def driverUnionFind(spark: SparkSession, e: DataFrame): DataFrame = {
+    import spark.implicits._
+    val pairs = e.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) x = parent.getOrElse(x, x)
+      var y = x0 // path compression
+      while (parent.getOrElse(y, y) != y) { val p = parent(y); parent(y) = x; y = p }
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toArray.distinct
+    ids.map(id => (id, find(id))).toSeq.toDF("id", "root")
   }
 
   /** Order-independent convergence fingerprint of an edge list: count

@@ -10,11 +10,13 @@ import graft.SparkSuite
 class ClustersSpec extends AnyFunSuite with SparkSuite {
   import spark.implicits._
 
+  /** driverMax = 0 forces the distributed star loop; the default takes
+    * the driver union-find path on these graph sizes. */
   private def run(nodes: Seq[Long], edges: Seq[(Long, Long)],
-                  parts: Int = 4): Map[Long, Long] = {
+                  parts: Int = 4, driverMax: Long = 1L << 20): Map[Long, Long] = {
     val n = nodes.toDF("id").repartition(parts)
     val e = edges.toDF("a", "b").repartition(parts)
-    Clusters.connectedComponents(n, "id", e, "a", "b")
+    Clusters.connectedComponents(n, "id", e, "a", "b", driverMaxEdges = driverMax)
       .as[(Long, Long)].collect().toMap
   }
 
@@ -39,16 +41,18 @@ class ClustersSpec extends AnyFunSuite with SparkSuite {
   test("long chain (worst-case diameter) converges and matches union-find") {
     val nodes = (0L until 64L)
     val edges = (0L until 63L).map(i => (i + 1, i)) // descending orientation
+    assert(run(nodes, edges, driverMax = 0L) == reference(nodes, edges))
     assert(run(nodes, edges) == reference(nodes, edges))
   }
 
-  test("random graph matches union-find under different partitionings") {
+  test("random graph: distributed star loop == driver union-find == reference") {
     val rnd = new scala.util.Random(42)
     val nodes = (0L until 200L)
     val edges = Seq.fill(150)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
       .filter { case (a, b) => a != b }
     val want = reference(nodes, edges)
-    assert(run(nodes, edges, parts = 1) == want)
+    assert(run(nodes, edges, parts = 1, driverMax = 0L) == want)
+    assert(run(nodes, edges, parts = 7, driverMax = 0L) == want)
     assert(run(nodes, edges, parts = 7) == want)
   }
 
