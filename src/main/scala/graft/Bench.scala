@@ -21,11 +21,16 @@ object Bench {
       try { qmap(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
     }
-    // median of three: absorbs first-run codegen compilation AND one-off
-    // co-scheduling noise (best-of-2 let a single lucky run under-report
-    // and a single slow outlier distort round-over-round comparisons)
+    // median of three, INTERLEAVED: three full passes over the headline
+    // list, per-query median across passes. Back-to-back repeats let one
+    // multi-second co-scheduling stall poison all three samples of a
+    // single query (observed: the same query swinging 0.7 s ↔ 7.7 s
+    // between bench invocations with zero code change); interleaving
+    // spreads a transient stall across different queries' single runs,
+    // which the per-query median then rejects.
+    val passes = Seq.fill(3)(names.map(n => n -> once(n)).toMap)
     val results = names.map { name =>
-      val ts = Seq(once(name), once(name), once(name))
+      val ts = passes.map(_(name))
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -151,4 +151,19 @@ object Clusters {
     connectedComponents(nodes, idCol, edges, aCol, bCol)
       .filter(col(idCol) === col("cluster_id"))
       .select(col(idCol))
+
+  /** The full near-dedup pass a corpus pipeline actually runs: MinHash-
+    * LSH candidate pairs → transitive cluster resolution → keep the
+    * minimum-id document of every cluster, all other columns intact.
+    * Semi-join against the keeper set, so the corpus rows shuffle once
+    * on the id. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, numHashes: Int = 24, bands: Int = 8,
+                         threshold: Double = 0.8): DataFrame = {
+    val (pairs, cleanup) =
+      Dedup.minhashLshPairsManaged(df, idCol, textCol, n, numHashes, bands, threshold)
+    val keep = keepers(df, idCol, pairs, "a_id", "b_id").localCheckpoint()
+    cleanup()
+    df.join(keep, Seq(idCol), "left_semi")
+  }
 }

@@ -383,7 +383,7 @@ object TextQueries extends QuerySet {
     Q("q83_decontaminate", q83, Some(q83Sql)),
     Q("q84_repetition_filter", q84, Some(q84Sql)),
     Q("q85_dedup_clusters", q85, Some(q85Sql), headline = true),
-    Q("q86_pack_sequences", q86, Some(q86Sql)),
+    Q("q86_pack_sequences", q86, Some(q86Sql), headline = true),
     Q("q87_pii_redact", q87, Some(q87Sql)),
     Q("q88_chunk_sliding", q88, Some(q88Sql)))
 }

@@ -68,6 +68,19 @@ class ClustersSpec extends AnyFunSuite with SparkSuite {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("dropNearDuplicates keeps one doc per near-dup cluster, columns intact") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "a"),
+      (2L, "alpha beta gamma delta epsilon zeta", "b"),   // dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta", "c"), // near-dup of 1/2
+      (4L, "totally different content about spark plans", "d"))
+      .toDF("doc_id", "text", "tag")
+    val out = Clusters.dropNearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 4L))
+    assert(out.map(_.getString(2)).toSeq == Seq("a", "d")) // payload survives
+  }
+
   test("keepers returns exactly one representative (the min) per cluster") {
     val nodes = (1L to 6L)
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L))
