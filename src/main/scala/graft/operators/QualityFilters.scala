@@ -44,4 +44,39 @@ object QualityFilters {
         coalesce(col("top_c").cast("double") / col("n_bg"), lit(0.0))
           .as("top_bigram_frac"))
   }
+
+  /** Unigram rarity score — the cheap perplexity proxy (CCNet-style:
+    * documents whose words are corpus-rare score high; gibberish and
+    * over-common boilerplate separate from mid-band prose). Per word
+    * occurrence, rarity = bitlen(total corpus occurrences) −
+    * bitlen(corpus frequency of the word) — an integer floor(log2)
+    * bucketing of −log2 p(w) that is EXACT in both engines (binary-
+    * string length, no floating log at bucket boundaries), so the score
+    * itself is SQL-oracle-exact; the only double is one final division
+    * per document.
+    *
+    * Output: (idCol, n_words, rarity_sum: long, mean_rarity: double).
+    * Empty docs score 0. Scale shape: one shuffle for the corpus
+    * frequency table (vocabulary-sized, map-side combined), one
+    * word-keyed join of the occurrence stream against it, one doc-keyed
+    * partial-agg shuffle — nothing driver-side, nothing n². */
+  def unigramRarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val occ = df
+      .repartition(col(idCol)) // spread the per-doc compute (Dedup.spread)
+      .select(col(idCol), explode(words(col(textCol))).as("w"))
+    val cf = occ.groupBy(col("w")).agg(count(lit(1)).as("cf"))
+    val total = occ.agg(count(lit(1))).head().getLong(0)
+    val totalBits = lit(java.lang.Long.toBinaryString(math.max(total, 1L)).length)
+    val scored = occ.join(cf, "w")
+      .select(col(idCol), (totalBits - length(bin(col("cf")))).cast("long").as("r"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("r")).as("rarity_sum"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("rarity_sum"), lit(0L)).as("rarity_sum"),
+        coalesce(round(col("rarity_sum").cast("double") / col("n_words"), 6), lit(0.0))
+          .as("mean_rarity"))
+  }
 }

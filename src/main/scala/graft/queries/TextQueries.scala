@@ -367,6 +367,29 @@ object TextQueries extends QuerySet {
       |  CAST(len(w[(chunk_id * 30 + 1):(chunk_id * 30 + 40)]) AS BIGINT) AS n_words
       |FROM x ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Unigram rarity quality score (CCNet-style perplexity proxy) with
+    * integer-exact floor(log2) bucketing via binary-string length — the
+    * whole score is oracle-exact; only the final mean divides. */
+  private def q90(s: SparkSession, d: String): DataFrame =
+    QualityFilters.unigramRarity(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val q90Sql =
+    """WITH occ AS (SELECT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |  FROM documents),
+      |cf AS (SELECT w, COUNT(*) AS cf FROM occ GROUP BY w),
+      |tot AS (SELECT length(bin(COUNT(*))) AS tb FROM occ),
+      |sc AS (SELECT doc_id, CAST(tb - length(bin(cf)) AS BIGINT) AS r
+      |       FROM occ JOIN cf USING (w) CROSS JOIN tot),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(r) AS BIGINT) AS rarity_sum
+      |        FROM sc GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+      |  CAST(COALESCE(rarity_sum, 0) AS BIGINT) AS rarity_sum,
+      |  COALESCE(round(CAST(rarity_sum AS DOUBLE) / n_words, 6), 0.0) AS mean_rarity
+      |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -385,5 +408,6 @@ object TextQueries extends QuerySet {
     Q("q85_dedup_clusters", q85, Some(q85Sql), headline = true),
     Q("q86_pack_sequences", q86, Some(q86Sql), headline = true),
     Q("q87_pii_redact", q87, Some(q87Sql)),
-    Q("q88_chunk_sliding", q88, Some(q88Sql)))
+    Q("q88_chunk_sliding", q88, Some(q88Sql)),
+    Q("q90_rarity_score", q90, Some(q90Sql)))
 }

@@ -5,6 +5,21 @@ import graft.SparkSuite
 
 /** Gopher-style repetition signals, hand-computed. */
 class QualityFiltersSpec extends AnyFunSuite with SparkSuite {
+
+  test("unigramRarity: hand-computed buckets; rare words score higher") {
+    import spark.implicits._
+    // corpus: "a" ×4, "b" ×2, "rare" ×1, total 7 occurrences -> tb=3
+    // rarity: a -> 3-3=0, b -> 3-2=1, rare -> 3-1=2
+    val docs = Seq(
+      (1L, "a a a a"), (2L, "b b rare"), (3L, "")).toDF("doc_id", "text")
+    val got = QualityFilters.unigramRarity(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 0L, 0.0),            // 4 common words, zero rarity
+      (2L, 3L, 4L, 1.333333),       // 1+1+2, mean rounded to 6dp
+      (3L, 0L, 0L, 0.0)))           // empty doc scores 0
+  }
+
   import spark.implicits._
 
   private def signals(rows: (Long, String)*): Map[Long, (Double, Double)] =
