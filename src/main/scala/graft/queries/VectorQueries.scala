@@ -176,6 +176,40 @@ object VectorQueries extends QuerySet {
     gated
   }
 
+  /** Hard-negative mining for contrastive embedding training: per
+    * anchor, the k most-similar vectors with a DIFFERENT label (the
+    * classic in-batch hard negatives, done corpus-wide). Pure
+    * composition of existing ops — broadcast anchors × codegen cosine →
+    * per-anchor rank window with the label-mismatch predicate pushed
+    * below the rank, so the heap never sees would-be positives. */
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val anchors = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("label").as("__plabel"),
+        col("embedding").as("__pv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("rsim").desc, col("vec_id"))
+    e.join(broadcast(anchors), col("label") =!= col("__plabel"))
+      .withColumn("rsim", cosine_sim(col("embedding"), col("__pv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("probe_id"), col("vec_id"), col("label"),
+        round(col("rsim"), 6).as("sim"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  private val q91Sql =
+    s"""WITH p AS (SELECT vec_id AS probe_id, label AS plabel, ${dl("embedding")} AS pv
+       |           FROM embeddings WHERE vec_id < 5),
+       |s AS (SELECT p.probe_id, e.vec_id, e.label,
+       |        list_cosine_similarity(${dl("e.embedding")}, p.pv) AS rsim
+       |      FROM embeddings e JOIN p ON e.label <> p.plabel)
+       |SELECT probe_id, vec_id, label, round(rsim, 6) AS sim, rn FROM (
+       |  SELECT probe_id, vec_id, label, rsim,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY rsim DESC, vec_id) AS rn
+       |  FROM s) x
+       |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
+
   /** Vector norm maintenance column (our analog of index-build-time
     * precomputation, SURVEY §1.3). */
   private def q34(s: SparkSession, d: String): DataFrame =
@@ -219,5 +253,6 @@ object VectorQueries extends QuerySet {
     Q("q82_knn_hnsw", q82, None, headline = true),
     Q("q89_knn_quantized", q89, None, headline = true),
     Q("q34_vector_norms", q34, Some(q34Sql)),
+    Q("q91_hard_negatives", q91, Some(q91Sql)),
     Q("q35_neardup_embedding", q35, Some(q35Sql), headline = true))
 }
