@@ -106,6 +106,45 @@ class ChatEngine(
       .as[CompletionRow].collect().toSeq
   }
 
+  /** Chunked ingest: split long documents into overlapping word windows
+    * BEFORE embedding, so the unit of retrieval is the chunk (the
+    * reference embeds whole documents because its corpus is small —
+    * ChatService vectorizes per-document; at corpus scale chunk-level
+    * vectors are what keep the embedding inside its token cap and the
+    * retrieval granular). Chunk rows keep the parent id for doc-level
+    * grouping at serve time. */
+  def ingestChunked(table: String, docs: DataFrame, idCol: String, textCol: String,
+                    chunkSize: Int = 256, stride: Int = 192,
+                    partitionCol: Option[String] = None): Unit = {
+    val chunks = graft.operators.Chunker
+      .slidingWordChunks(docs, idCol, textCol, chunkSize, stride)
+      .withColumn("chunk_key",
+        concat(col(idCol).cast("string"), lit("#"), col("chunk_id")))
+    val withVec = Embed.withEmbedding(chunks, "chunk_text", "vector", embedder,
+      maxInputTokens = Some(maxEmbeddingTokens), codec = codec)
+    store.create(table, withVec, partitionCol)
+  }
+
+  /** Chunk-level search, document-level answer: top chunks by cosine,
+    * then one row per parent document scored by its BEST chunk (max
+    * sim) — the standard chunked-RAG dedup, so one long document can't
+    * flood the context window with k near-identical windows. Search
+    * depth is `chunkFanout`×k chunks (driver-bounded either way). */
+  def vectorSearchChunked(table: String, question: String,
+                          idCol: String = "id", chunkFanout: Int = 3): DataFrame = {
+    val qv = embedder.embed(
+      Seq(codec.truncateHead(question, maxEmbeddingTokens))).head
+    val chunks = store.read(table)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("sim").desc, col("chunk_key"))
+    searcher.topK(chunks, "vector", "chunk_key", qv, maxSearchResults * chunkFanout)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1) // best chunk per parent doc
+      .drop("__rn", "vector")
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(maxSearchResults)
+  }
+
   /** V2: embed the question, cosine top-k over the corpus, strip vector
     * and id (P1's `$project {_id:0, vector:0}`), space-join stringified
     * hits (A4). */

@@ -163,6 +163,25 @@ class ChatEngineSpec extends AnyFunSuite with SparkSuite {
     assert(!name.exists(c => !c.isLetterOrDigit && !c.isWhitespace))
   }
 
+  test("chunked ingest + doc-level retrieval: best chunk wins, no duplicate docs") {
+    import org.apache.spark.sql.functions.col
+    val store = new DocumentStore(spark, Files.createTempDirectory("graft-chunked").toString)
+    val eng = new ChatEngine(spark, store)
+    val filler = (1 to 30).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$filler zebra quagga okapi giraffe $filler"), // phrase buried mid-doc
+      (2L, "unrelated text about spark shuffle plans and joins"),
+      (3L, "more unrelated text on parquet row groups")).toDF("doc_id", "text")
+    eng.ingestChunked("chunks", docs, "doc_id", "text", chunkSize = 8, stride = 6)
+    // every chunk row carries parent id + key; doc 1 yields several chunks
+    assert(store.read("chunks").filter(col("doc_id") === 1L).count() > 5)
+
+    val hits = eng.vectorSearchChunked("chunks", "zebra quagga okapi giraffe", idCol = "doc_id")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(hits.distinct == hits, "one row per parent document")
+    assert(hits.head == 1L, s"doc with the matching chunk must rank first, got $hits")
+  }
+
   test("retrieval strategies (exact | ivf | hnsw | quantized) agree at recall >= 0.9") {
     import org.apache.spark.sql.functions.col
     import graft.search.{ExactSearcher, HnswIndex, HnswSearcher, IvfIndex, IvfSearcher, IvfStore, QuantizedSearcher}
