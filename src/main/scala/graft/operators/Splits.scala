@@ -48,6 +48,26 @@ object Splits {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic global shuffle: order the corpus by the seeded stable
+    * hash of its id — the reproducible "shuffle the training data" step
+    * (same order on any cluster, any partitioning, any engine; a new
+    * `seed` gives an independent order). Spark executes the orderBy as
+    * range-partition + per-partition sort — the scalable distributed
+    * sort, never a single-task collapse. Ties are impossible: the
+    * secondary key is the unique id itself.
+    *
+    * The seed XORs into the id BEFORE the multiply: an additive
+    * post-multiply seed would only rotate the key space, leaving the
+    * ORDER unchanged (caught by spec) — the multiply must see a
+    * different input per seed to yield an independent permutation. */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long = 0L): DataFrame = {
+    val mixed = pmod(col(idCol).cast("long"), lit(TwoTo31))
+      .bitwiseXOR(lit(((seed % TwoTo31) + TwoTo31) % TwoTo31))
+    val key = pmod(mixed * KnuthC, lit(TwoTo32))
+    df.withColumn("shuffle_key", key)
+      .orderBy(col("shuffle_key"), col(idCol))
+  }
+
   /** Deterministic stratified sample: keep a per-stratum fraction of
     * rows, chosen by the stable id hash (NOT `sampleBy`, whose Bernoulli
     * draws depend on partition layout). Fractions are resolved on a

@@ -390,6 +390,17 @@ object TextQueries extends QuerySet {
       |  COALESCE(round(CAST(rarity_sum AS DOUBLE) / n_words, 6), 0.0) AS mean_rarity
       |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Reproducible global shuffle for training order: seeded stable-hash
+    * sort, engine-reproducible (distributed range-partition sort). */
+  private def q92(s: SparkSession, d: String): DataFrame =
+    Splits.deterministicShuffle(
+      t(s, d, "documents").select(col("doc_id"), col("lang")), "doc_id", seed = 7L)
+
+  private val q92Sql =
+    """SELECT doc_id, lang,
+      |  (xor(doc_id % 2147483648, 7) * 2654435761) % 4294967296 AS shuffle_key
+      |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -409,5 +420,6 @@ object TextQueries extends QuerySet {
     Q("q86_pack_sequences", q86, Some(q86Sql), headline = true),
     Q("q87_pii_redact", q87, Some(q87Sql)),
     Q("q88_chunk_sliding", q88, Some(q88Sql)),
-    Q("q90_rarity_score", q90, Some(q90Sql)))
+    Q("q90_rarity_score", q90, Some(q90Sql)),
+    Q("q92_shuffle_order", q92, Some(q92Sql)))
 }

@@ -55,6 +55,21 @@ class SplitsSpec extends AnyFunSuite with SparkSuite {
     assert(kept("de").toDouble / total("de") > 0.35)
   }
 
+  test("deterministic shuffle: permutation, partition-invariant, seed-sensitive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ids = (0L until 500L)
+    val df = ids.toDF("id")
+    def order(parts: Int, seed: Long): Seq[Long] =
+      Splits.deterministicShuffle(df.repartition(parts), "id", seed)
+        .select("id").as[Long].collect().toSeq
+    val o1 = order(1, 7L)
+    assert(o1.sorted == ids)               // a permutation, nothing dropped
+    assert(o1 != ids)                      // actually shuffled
+    assert(order(13, 7L) == o1)            // partition-layout invariant
+    assert(order(13, 8L) != o1)            // a new seed is a new order
+  }
+
   test("stratified sample with defaultFraction 0 keeps only mapped strata") {
     val out = Splits.stratifiedSample(t(spark, sf, "documents"),
       "doc_id", "lang", Map("fr" -> 1.0))
