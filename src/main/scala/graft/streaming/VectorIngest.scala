@@ -43,10 +43,15 @@ object VectorIngest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val one = onePerKey(batch, idCol, versionCol)
+          // persist: upsert walks its input up to three times (partition
+          // discovery, victim scan, segment write) and the embed pass is
+          // the expensive stage — without the pin it would rerun per walk
           val withVec = Embed.withEmbedding(one, textCol, vectorCol, embedder,
-            maxInputTokens = maxInputTokens, codec = codec)
-          if (store.exists(table)) store.upsert(table, withVec, Seq(idCol))
-          else store.create(table, withVec, partitionCol)
+            maxInputTokens = maxInputTokens, codec = codec).persist()
+          try {
+            if (store.exists(table)) store.upsert(table, withVec, Seq(idCol))
+            else store.create(table, withVec, partitionCol)
+          } finally withVec.unpersist()
         }
         ()
       }
