@@ -56,12 +56,13 @@ object Packing {
     val totals = local.groupBy(col("pid")).agg(max(col("local_cum")).as("tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     // exclusive prefix sum of partition totals = per-pid base offset
-    // (range partitions are ordered by id, so pid order IS id order)
-    val bases = totals.map(_._1).zip(totals.map(_._2).scanLeft(0L)(_ + _)).toMap
-    val baseCol = totals.map(_._1).foldRight(lit(0L)) {
-      case (pid, elseC) => when(col("pid") === pid, lit(bases(pid))).otherwise(elseC)
-    }
-    val placed = local.withColumn("start", col("local_cum") - col("n") + baseCol)
+    // (range partitions are ordered by id, so pid order IS id order).
+    // Shipped back as a broadcast join, NOT a per-pid when-chain: with
+    // thousands of partitions the case expression would blow up codegen.
+    val bases = totals.map(_._1).zip(totals.map(_._2).scanLeft(0L)(_ + _))
+    val basesDf = spark.createDataFrame(bases.toSeq).toDF("pid", "base")
+    val placed = local.join(broadcast(basesDf), "pid")
+      .withColumn("start", col("local_cum") - col("n") + col("base"))
     // explode each doc over the sequences its token span overlaps
     placed
       .withColumn("seq_id",

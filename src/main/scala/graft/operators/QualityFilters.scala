@@ -65,10 +65,12 @@ object QualityFilters {
       .repartition(col(idCol)) // spread the per-doc compute (Dedup.spread)
       .select(col(idCol), explode(words(col(textCol))).as("w"))
     val cf = occ.groupBy(col("w")).agg(count(lit(1)).as("cf"))
-    val total = occ.agg(count(lit(1))).head().getLong(0)
-    val totalBits = lit(java.lang.Long.toBinaryString(math.max(total, 1L)).length)
-    val scored = occ.join(cf, "w")
-      .select(col(idCol), (totalBits - length(bin(col("cf")))).cast("long").as("r"))
+    // total-corpus bit length as a broadcast 1-row aggregate (derived
+    // from cf, so the occurrence stream is scanned once) — keeping it in
+    // the plan avoids a separate driver-side pre-action per call
+    val tot = cf.agg(length(bin(greatest(sum(col("cf")), lit(1L)))).as("__tb"))
+    val scored = occ.join(cf, "w").crossJoin(broadcast(tot))
+      .select(col(idCol), (col("__tb") - length(bin(col("cf")))).cast("long").as("r"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("r")).as("rarity_sum"))
     df.select(col(idCol))
