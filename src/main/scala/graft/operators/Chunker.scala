@@ -22,7 +22,10 @@ object Chunker {
   def slidingWordChunks(df: DataFrame, idCol: String, textCol: String,
                         size: Int, stride: Int): DataFrame = {
     require(size > 0 && stride > 0, s"size/stride must be positive: $size/$stride")
-    val withWords = df.select(col(idCol), words(col(textCol)).as("__w"))
+    // null text behaves like empty text (one empty chunk) — without the
+    // coalesce a null doc's chunk count is null and the row silently
+    // vanishes at the explode, inconsistently with "" (one empty chunk)
+    val withWords = df.select(col(idCol), words(coalesce(col(textCol), lit(""))).as("__w"))
       .withColumn("__len", org.apache.spark.sql.functions.size(col("__w")).cast("long"))
     val nChunks = (lit(1L) +
       floor((greatest(col("__len") - size, lit(0L)) + (stride - 1)) / lit(stride))).cast("long")

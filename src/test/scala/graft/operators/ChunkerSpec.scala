@@ -43,6 +43,10 @@ class ChunkerSpec extends AnyFunSuite with SparkSuite {
     assert(chunks("", 10, 5) == Seq((0L, "", 0L)))
   }
 
+  test("null text behaves exactly like empty text") {
+    assert(chunks(null, 10, 5) == Seq((0L, "", 0L)))
+  }
+
   test("stride == size: disjoint partition of the words") {
     val got = chunks((1 to 9).map("x" + _).mkString(" "), 3, 3)
     assert(got.map(_._3).sum == 9L && got.size == 3)
