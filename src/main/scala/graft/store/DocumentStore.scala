@@ -128,6 +128,32 @@ class DocumentStore(spark: SparkSession, root: String) {
     else spark.read.parquet(m.values.toSeq: _*)
   }
 
+  /** Time-travel read: the table exactly as of committed version `v`
+    * (1-based; `version(table)` is the newest). COW segments are
+    * immutable, so the snapshot is consistent by construction. Valid
+    * while `v`'s manifest survives [[vacuum]]'s retention horizon;
+    * asking for a reclaimed version fails loudly (missing manifest),
+    * never silently serves partial data. */
+  def readVersion(table: String, v: Int): DataFrame = {
+    val cur = currentVersion(table)
+    require(v >= 1 && v <= cur, s"version $v out of range 1..$cur for table '$table'")
+    val m = manifest(table, v)
+    if (m.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(m.values.toSeq: _*)
+  }
+
+  /** Committed versions whose manifests are currently retained
+    * (readable via [[readVersion]]), ascending. */
+  def versions(table: String): Seq[Int] = {
+    val vd = new HPath(tdir(table), "_versions")
+    if (!fs.exists(vd)) Seq.empty
+    else fs.listStatus(vd).iterator
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
+        s.stripPrefix("v").stripSuffix(".manifest").toInt }
+      .toSeq.sorted
+  }
+
   /** Snapshot read restricted to the named partition-key values —
     * manifest-level partition pruning: segment dirs of other partitions
     * are never even listed, let alone opened. The IVF search path reads

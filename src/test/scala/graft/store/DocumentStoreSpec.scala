@@ -88,6 +88,26 @@ class DocumentStoreSpec extends AnyFunSuite with SparkSuite {
     assert(rows == Seq((1L, "pc", "X9"), (2L, "pb", "y")))
   }
 
+  test("time travel: readVersion serves each retained snapshot exactly") {
+    val s = freshStore()
+    s.create("t", Seq((1L, "a"), (2L, "b")).toDF("id", "x"))          // v1
+    s.upsert("t", Seq((2L, "B2"), (3L, "c")).toDF("id", "x"), Seq("id")) // v2
+    s.delete("t", col("id") === 1L)                                   // v3
+    assert(s.versions("t") == Seq(1, 2, 3))
+    assert(s.readVersion("t", 1).orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    assert(s.readVersion("t", 2).orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+    assert(s.readVersion("t", 3).orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((2L, "B2"), (3L, "c")))
+    intercept[IllegalArgumentException](s.readVersion("t", 4))
+    // past the vacuum horizon: reclaimed versions fail loudly
+    s.vacuum("t", keepVersions = 1)
+    assert(s.versions("t") == Seq(3))
+    intercept[IllegalStateException](s.readVersion("t", 1))
+    assert(s.readVersion("t", 3).count() == 2) // current snapshot intact
+  }
+
   test("vacuum reclaims unreferenced segments, keeps current snapshot intact") {
     val root = Files.createTempDirectory("graft-store").toString
     val s = new DocumentStore(spark, root)
