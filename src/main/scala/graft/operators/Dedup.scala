@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.functions.TextExpressions._
+import graft.functions.VectorFunctions.cosine_sim
 
 /** Deduplication operators for training-data pipelines.
   *
@@ -151,6 +152,104 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
     (out, () => { sig.unpersist(); base.unpersist(); () })
+  }
+
+  /** Incremental exact dedup: rows of `batch` whose content key does not
+    * already occur in `corpus` — the per-ingest novelty filter that runs
+    * when new data arrives and a deduped corpus already exists. The
+    * corpus — the 100 TB side — is NEVER shuffled: its scan is reduced
+    * by a broadcast semi-join against the batch's (small) key set, and
+    * only the colliding keys — bounded by the batch's key cardinality,
+    * not the corpus's — flow into the distinct and back into a
+    * batch-scale anti-join. The naive `batch.join(corpus, keys,
+    * "left_anti")` form shuffles the ENTIRE corpus on the key instead. */
+  def novelAgainst(batch: DataFrame, corpus: DataFrame,
+                   keyCols: Seq[String]): DataFrame = {
+    val batchKeys = batch.select(keyCols.map(col): _*).distinct()
+    val colliding = corpus.select(keyCols.map(col): _*)
+      .join(broadcast(batchKeys), keyCols, "left_semi")
+      .distinct()
+    batch.join(broadcast(colliding), keyCols, "left_anti")
+  }
+
+  /** Per-document near-dup signatures — the state an incremental dedup
+    * pipeline persists (e.g. as a [[graft.store.DocumentStore]] table)
+    * so arriving batches never re-shingle the corpus: `(doc, sh, sig)`
+    * with the hashed shingle set and the MinHash signature. Band keys
+    * are deliberately NOT materialized — they are a narrow expression
+    * over `sig` ([[graft.functions.TextFunctions.lsh_band_keys]]), so
+    * storing them would multiply the table by `bands` for something a
+    * scan recomputes for free. */
+  def minhashSignatureTable(df: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3, numHashes: Int = 24): DataFrame =
+    spread(df, idCol).select(col(idCol).as("doc"),
+        shingle_hashes(col(textCol), n).as("sh"))
+      .withColumn("sig", minhash_sig(col("sh"), numHashes))
+
+  /** Incremental MinHash-LSH near-dup pairs: a new `batch` against a
+    * persisted corpus signature table ([[minhashSignatureTable]], SAME
+    * n/numHashes). Returns `(b_id, c_id, jaccard)` batch→corpus pairs
+    * with exact-verified Jaccard ≥ threshold.
+    *
+    * Scale shape: the corpus signature table is scanned narrowly twice
+    * (band-key derivation + shingle fetch) but never shuffled — batch
+    * band keys broadcast into the candidate join, and only colliding
+    * corpus docs (batch-scale) are semi-joined out for verification. So
+    * ingest cost tracks the batch, not the 100 TB behind it. */
+  def minhashLshPairsAgainst(batch: DataFrame, idCol: String, textCol: String,
+                             corpusSig: DataFrame,
+                             n: Int = 3, numHashes: Int = 24, bands: Int = 8,
+                             threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def bandKeys(sig: DataFrame, as: String) =
+      sig.select(col("doc").as(as),
+        explode(lsh_band_keys(col("sig"), bands, rowsPerBand)).as("band_key"))
+    // batch signatures feed the candidate join AND verification: cache
+    // (batch-scale) so the k minhash passes run once per document
+    val batchSig = minhashSignatureTable(batch, idCol, textCol, n, numHashes).cache()
+    val cand = bandKeys(corpusSig, "c_id")
+      .join(broadcast(bandKeys(batchSig, "b_id")), Seq("band_key"))
+      .select(col("b_id"), col("c_id"))
+      .distinct()
+    val corpusHit = corpusSig.select(col("doc").as("c_id"), col("sh").as("shc"))
+      .join(broadcast(cand.select(col("c_id")).distinct()), Seq("c_id"), "left_semi")
+    val out = cand
+      .join(corpusHit, "c_id")
+      .join(batchSig.select(col("doc").as("b_id"), col("sh").as("shb")), "b_id")
+      .withColumn("jaccard", jaccard(col("shb"), col("shc")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("b_id"), col("c_id"), col("jaccard"))
+    out
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+    * embedding clustering. K-means the corpus embeddings (the IVF
+    * trainer — same spherical Lloyd), generate within-cluster pairs with
+    * cosine ≥ `tau`, resolve transitive duplicate groups, keep the
+    * minimum-id member of each. Survivors keep all input columns.
+    *
+    * The clustering IS the blocking: pair space is Σ|cluster|², never
+    * n² — at 100 TB, `numClusters` scales with the corpus to keep
+    * blocks bounded (the paper uses ~10⁵ clusters for 10⁹ docs).
+    * Cross-cluster near-dups are missed by design — that approximation
+    * is what makes semantic dedup tractable at scale. */
+  def semantic(df: DataFrame, idCol: String, vecCol: String,
+               numClusters: Int = 16, tau: Double = 0.95,
+               iters: Int = 3): DataFrame = {
+    import graft.search.SimpleKMeans
+    val centroids = SimpleKMeans.fit(df, vecCol, idCol, numClusters, iters)
+    val assigned = SimpleKMeans.assign(df, vecCol, centroids)
+    val a = assigned.select(col(idCol).as("a_id"), col("centroid_id"),
+      col(vecCol).as("__va"))
+    val b = assigned.select(col(idCol).as("b_id"), col("centroid_id"),
+      col(vecCol).as("__vb"))
+    val pairs = a.join(b, Seq("centroid_id"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("__sim", cosine_sim(col("__va"), col("__vb")))
+      .filter(col("__sim") >= tau)
+      .select(col("a_id"), col("b_id"))
+    val keep = Clusters.keepers(df, idCol, pairs, "a_id", "b_id").localCheckpoint()
+    df.join(keep, Seq(idCol), "left_semi")
   }
 
   /** SimHash near-dup pairs: 64-bit signature, blocked on 16-bit chunks.

@@ -68,6 +68,62 @@ object Splits {
       .orderBy(col("shuffle_key"), col(idCol))
   }
 
+  /** Deterministic mixture resampling: repeat or thin rows so each group
+    * (source / domain / language) contributes `weight ×` its current
+    * rows — the data-mixing step that turns corpus proportions into
+    * training proportions, with OVERSAMPLING (weight > 1) expressed as
+    * real row repetition the way a training loader consumes it.
+    *
+    * Weight w gives every row `floor(w)` copies plus one more for a
+    * deterministic `frac(w)` share of rows (stable id hash on a 0-9999
+    * grid — NOT Bernoulli, so the realized mix survives repartitioning
+    * and is engine-reproducible); w < 1 is plain deterministic
+    * downsampling. Pure narrow ops — the copy count is a literal CASE
+    * over the group column and the copies come from
+    * `explode(sequence(...))` — zero shuffle at any scale. `copy_id`
+    * distinguishes repeats so a downstream [[deterministicShuffle]]
+    * (keyed on id and copy_id) can spread them across the epoch. */
+  def resampleByWeight(df: DataFrame, idCol: String, groupCol: String,
+                       weights: Map[String, Double],
+                       defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0),
+      "weights must be non-negative")
+    def whole(w: Double) = math.floor(w).toLong
+    def cut(w: Double) = math.round((w - math.floor(w)) * 10000).toInt
+    val sorted = weights.toSeq.sortBy(_._1)
+    val base = sorted.foldLeft(lit(whole(defaultWeight))) {
+      case (acc, (g, w)) => when(col(groupCol) === g, lit(whole(w))).otherwise(acc)
+    }
+    val extraCut = sorted.foldLeft(lit(cut(defaultWeight))) {
+      case (acc, (g, w)) => when(col(groupCol) === g, lit(cut(w))).otherwise(acc)
+    }
+    val b = hashBucket(col(idCol), 10000)
+    df.withColumn("__repeats",
+        base + when(b < extraCut, lit(1L)).otherwise(lit(0L)))
+      .filter(col("__repeats") > 0)
+      .withColumn("copy_id", explode(sequence(lit(0L), col("__repeats") - 1)))
+      .drop("__repeats")
+  }
+
+  /** Temperature-flattened mixture weights for [[resampleByWeight]]:
+    * group g with corpus share p_g gets target share p_g^alpha / Σ p^alpha
+    * (alpha = 1 keeps the corpus mix, alpha = 0 equalizes groups, the
+    * usual range is 0.3-0.7 — the multilingual-training "sampling
+    * temperature"), returned as per-row weights w_g = target/p_g scaled
+    * so the expected output row count equals the input's. One
+    * count-per-group aggregate reaches the driver (group-cardinality
+    * rows); everything downstream is the narrow resample. */
+  def temperatureWeights(df: DataFrame, groupCol: String,
+                         alpha: Double): Map[String, Double] = {
+    require(alpha >= 0, "alpha must be non-negative")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val total = counts.values.sum
+    val q = counts.map { case (g, n) => g -> math.pow(n / total, alpha) }
+    val z = q.values.sum
+    counts.map { case (g, n) => g -> (q(g) / z) * total / n }
+  }
+
   /** Deterministic stratified sample: keep a per-stratum fraction of
     * rows, chosen by the stable id hash (NOT `sampleBy`, whose Bernoulli
     * draws depend on partition layout). Fractions are resolved on a

@@ -154,6 +154,23 @@ class DocumentStore(spark: SparkSession, root: String) {
       .toSeq.sorted
   }
 
+  /** Row-level diff between two retained versions (`fromV` < `toV`
+    * typically, but any pair works): the table schema plus a `change`
+    * column of 'added' / 'removed' — the pipeline-audit view of what a
+    * mutation epoch actually did. Multiplicity-aware (`exceptAll`), so a
+    * duplicate row inserted twice shows up twice. Cost: one hash
+    * aggregation over the two snapshots' rows — there is no cheaper
+    * general answer for a format whose segments are content-addressed
+    * per partition, and unchanged partitions could be pruned by
+    * comparing manifests first (not done: manifest dirs differ whenever
+    * the partition was REWRITTEN, not only when rows changed). */
+  def diff(table: String, fromV: Int, toV: Int): DataFrame = {
+    val before = readVersion(table, fromV)
+    val after = readVersion(table, toV)
+    after.exceptAll(before).withColumn("change", lit("added"))
+      .unionByName(before.exceptAll(after).withColumn("change", lit("removed")))
+  }
+
   /** Snapshot read restricted to the named partition-key values —
     * manifest-level partition pruning: segment dirs of other partitions
     * are never even listed, let alone opened. The IVF search path reads
