@@ -67,6 +67,51 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     sh.foreach { case (a, b, _) => assert(jac.contains((a, b)), s"($a,$b)") }
   }
 
+  test("incremental LSH vs corpus == full-corpus pairs crossing the split") {
+    val corpus = planted.filter($"doc_id" < 9000)
+    val batch = planted.filter($"doc_id" >= 9000)
+    val corpusSig = Dedup.minhashSignatureTable(corpus, "doc_id", "text", 3, 24)
+    val inc = Dedup.minhashLshPairsAgainst(batch, "doc_id", "text", corpusSig,
+        3, 24, 8, 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e9)))
+      .toSet
+    // full-corpus pairs restricted to those crossing the batch/corpus
+    // boundary; a_id < b_id and batch ids are larger, so a is corpus-side
+    val full = Dedup.minhashLshPairs(planted, "doc_id", "text", 3, 24, 8, 0.8)
+      .filter($"b_id" >= 9000 && $"a_id" < 9000)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(0), math.rint(r.getDouble(2) * 1e9)))
+      .toSet
+    assert(inc == full)
+    assert(inc.exists { case (b, c, _) => b == 9001L && c == 1L }) // planted edit
+    assert(inc.exists { case (b, c, _) => b == 9002L && c == 2L }) // planted copy
+    spark.catalog.clearCache()
+  }
+
+  test("novelAgainst keeps only batch rows whose key is unseen in corpus") {
+    val corpus = planted.filter($"doc_id" < 9000)
+    val batch = planted.filter($"doc_id" >= 9000)
+    val novel = Dedup.novelAgainst(batch, corpus, Seq("text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 9002 is an exact copy of doc 2; 9001 (one-word edit) and 9003 are novel
+    assert(novel == Set(9001L, 9003L))
+  }
+
+  test("semantic dedup drops a planted embedding duplicate, keeps min id") {
+    val e = t(spark, sf, "embeddings").select($"vec_id", $"embedding")
+    val dupVec = e.filter($"vec_id" === 7).head().getSeq[Float](1)
+    val withDup = e.union(Seq((99991L, dupVec)).toDF("vec_id", "embedding"))
+    val kept = Dedup.semantic(withDup, "vec_id", "embedding",
+        numClusters = 8, tau = 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // identical vectors always share a cluster, so the dup is caught even
+    // though cluster blocking is approximate for merely-similar pairs
+    assert(kept.contains(7L) && !kept.contains(99991L))
+    // near-uniform sphere vectors never reach tau=0.999: nothing else drops
+    assert(kept.size == withDup.count() - 1)
+  }
+
   test("langId picks en for English-stopword text, und for none") {
     val df = Seq(
       (1, "the cat and the dog of a house"),
