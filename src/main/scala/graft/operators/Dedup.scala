@@ -237,7 +237,8 @@ object Dedup {
                numClusters: Int = 16, tau: Double = 0.95,
                iters: Int = 3): DataFrame = {
     import graft.search.SimpleKMeans
-    val centroids = SimpleKMeans.fit(df, vecCol, idCol, numClusters, iters)
+    val centroids = SimpleKMeans.fit(df, vecCol, idCol, numClusters, iters,
+      maxTrainPoints = 256 * numClusters)
     val assigned = SimpleKMeans.assign(df, vecCol, centroids)
     val a = assigned.select(col(idCol).as("a_id"), col("centroid_id"),
       col(vecCol).as("__va"))

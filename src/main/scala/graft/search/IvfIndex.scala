@@ -18,27 +18,72 @@ import graft.functions.VectorFunctions.{cosine_sim, l2_dist_sq}
   */
 object SimpleKMeans {
 
+  /** Elementwise vector sum + count per group. The shuffle carries one
+    * (dims-double, count) buffer per (centroid, task) instead of the
+    * n×dims rows a posexplode/groupBy form shuffles — at 100 TB the
+    * difference between "k small arrays per task" and "re-shuffling the
+    * corpus once per Lloyd iteration". */
+  private class VecSumAgg extends org.apache.spark.sql.expressions.Aggregator[
+      Seq[Float], (Array[Double], Long), (Seq[Double], Long)] {
+    override def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
+    override def reduce(b: (Array[Double], Long), a: Seq[Float]): (Array[Double], Long) = {
+      val s = if (b._1.length == 0) new Array[Double](a.length) else b._1
+      var i = 0; while (i < a.length) { s(i) += a(i); i += 1 }
+      (s, b._2 + 1)
+    }
+    override def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) =
+      if (x._1.length == 0) y
+      else if (y._1.length == 0) x
+      else {
+        var i = 0; while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
+        (x._1, x._2 + y._2)
+      }
+    override def finish(r: (Array[Double], Long)): (Seq[Double], Long) = (r._1.toSeq, r._2)
+    override def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Seq[Double], Long)]()
+  }
+
   /** Train k centroids. Keeps the data distributed; only k×dims
-    * aggregates ever reach the driver per iteration. */
-  def fit(df: DataFrame, vecCol: String, idCol: String, k: Int, iters: Int = 5): Array[Array[Float]] = {
-    var centroids: Array[Array[Float]] = df
+    * aggregates ever reach the driver per iteration.
+    *
+    * `maxTrainPoints` > 0 trains on a deterministic pseudo-random sample
+    * of that many vectors (ordered by xxhash64 of the id — same sample on
+    * any cluster layout) instead of the full corpus: standard IVF
+    * practice (k-means needs ~10²-10³ points per centroid to place
+    * lists well; scanning 100 TB per Lloyd iteration buys nothing), and
+    * the sample is pinned with a lazy localCheckpoint so iterations
+    * re-scan the sample, never the corpus. 0 = train on everything. */
+  def fit(df: DataFrame, vecCol: String, idCol: String, k: Int, iters: Int = 5,
+          maxTrainPoints: Int = 0): Array[Array[Float]] = {
+    val data =
+      if (maxTrainPoints <= 0) df
+      else df.select(col(idCol), col(vecCol))
+        .orderBy(xxhash64(col(idCol)), col(idCol))
+        .limit(maxTrainPoints)
+        .localCheckpoint(false)
+    var centroids: Array[Array[Float]] = data
       .select(col(idCol), col(vecCol))
       .orderBy(col(idCol))
       .limit(k)
       .collect()
       .map(_.getSeq[Float](1).toArray)
 
+    val vsum = udaf(new VecSumAgg)
     for (_ <- 1 to iters) {
-      val assigned = assign(df, vecCol, centroids)
+      val assigned = assign(data, vecCol, centroids)
       val sums = assigned
-        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
-        .groupBy(col("centroid_id"), col("pos"))
-        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("centroid_id"))
+        .agg(vsum(col(vecCol)).as("sn"))
         .collect()
       val next = Array.tabulate(k)(i => centroids(i).map(_.toDouble))
       sums.foreach { r =>
-        val c = r.getInt(0); val p = r.getInt(1)
-        next(c)(p) = r.getDouble(2) / r.getLong(3)
+        val c = r.getInt(0)
+        val sn = r.getStruct(1)
+        val s = sn.getSeq[Double](0); val n = sn.getLong(1)
+        var p = 0
+        while (p < s.length) { next(c)(p) = s(p) / n; p += 1 }
       }
       // spherical k-means: the search metric is cosine (ref index
       // `similarity: COS`), so centroids live on the unit sphere too
@@ -177,10 +222,16 @@ final case class IvfIndex(centroids: Array[Array[Float]], multiAssign: Int = 1) 
 }
 
 object IvfIndex {
-  /** Train an IVF index over a corpus (the reference's index-build V3). */
+  /** Train an IVF index over a corpus (the reference's index-build V3).
+    * Centroids train on a deterministic sample of `trainPointsPerList ×
+    * numLists` vectors (the faiss-style rule of thumb): at corpus sizes
+    * below the cap this is exact full-data training; at 100 TB it is
+    * what keeps index build cost independent of corpus size. */
   def train(df: DataFrame, vecCol: String, idCol: String,
-            numLists: Int, iters: Int = 5, multiAssign: Int = 1): IvfIndex =
-    IvfIndex(SimpleKMeans.fit(df, vecCol, idCol, numLists, iters), multiAssign)
+            numLists: Int, iters: Int = 5, multiAssign: Int = 1,
+            trainPointsPerList: Int = 256): IvfIndex =
+    IvfIndex(SimpleKMeans.fit(df, vecCol, idCol, numLists, iters,
+      maxTrainPoints = math.max(0, trainPointsPerList) * numLists), multiAssign)
 
   /** Index metadata persisted next to the data (plain text, not JSON, so
     * no parser dependency): line 1 = multiAssign, then one
