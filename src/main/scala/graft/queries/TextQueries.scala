@@ -401,6 +401,125 @@ object TextQueries extends QuerySet {
       |  (xor(doc_id % 2147483648, 7) * 2654435761) % 4294967296 AS shuffle_key
       |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin
 
+  /** Incremental near-dedup: a "new batch" (doc_id ≡ 0 mod 10) against
+    * the persisted MinHash signature table of the standing corpus (the
+    * other 90%). The corpus side is never shuffled — batch band keys
+    * broadcast into the candidate join ([[Dedup.minhashLshPairsAgainst]]),
+    * so ingest cost tracks the batch. Oracle: exact word-3-gram Jaccard
+    * pairs crossing the split (LSH candidate recall ≈1 at 0.85 — the
+    * same probability argument as q42). */
+  private def q93(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val sig = Dedup.minhashSignatureTable(corpus, "doc_id", "text", 3, 24)
+    Dedup.minhashLshPairsAgainst(batch, "doc_id", "text", sig,
+        n = 3, numHashes = 24, bands = 8, threshold = 0.85)
+      .select(col("b_id"), col("c_id"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("b_id"), col("c_id"))
+  }
+
+  private val q93Sql =
+    s"""WITH ${pairCtes("0.85")}
+       |SELECT CASE WHEN a_id % 10 = 0 THEN a_id ELSE b_id END AS b_id,
+       |       CASE WHEN a_id % 10 = 0 THEN b_id ELSE a_id END AS c_id,
+       |       round(jac, 6) AS jaccard
+       |FROM pairs WHERE (a_id % 10 = 0) <> (b_id % 10 = 0)
+       |ORDER BY b_id, c_id""".stripMargin
+
+  /** Bigram-LM surprisal scoring (the KenLM-style quality signal, made
+    * oracle-exact): P(w2|w1) estimated as c(w1,w2)/c(w1,·) over the
+    * corpus itself, per-token surprisal bucketed to floor(log2(c1/c2))+1
+    * via binary-string length — integer arithmetic end to end (the q90
+    * trick), so the score is bit-identical across engines; only the
+    * final mean divides. A real trained LM plugs into the same dataflow
+    * (counts table → join → per-doc sum). */
+  private def q96(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val words = split(col("text"), " ")
+    val w = docs.select(col("doc_id"),
+      filter(words, x => x =!= "").as("w"))
+    val bg = w.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(
+        zip_with(slice(col("w"), lit(1), size(col("w")) - 1),
+                 slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val scored = bg
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .select(col("doc_id"),
+        length(bin((col("c1") / col("c2")).cast("long"))).cast("long").as("r"))
+    val agg = scored.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"), sum(col("r")).as("surprisal_sum"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("surprisal_sum"), lit(0L)).as("surprisal_sum"),
+        coalesce(round(col("surprisal_sum").cast("double") / col("n_bigrams"), 6),
+          lit(0.0)).as("mean_surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q96Sql =
+    """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |           FROM documents),
+      |bg AS (SELECT doc_id,
+      |         unnest(list_transform(range(len(w) - 1),
+      |           i -> {'w1': w[i+1], 'w2': w[i+2]})) AS b
+      |       FROM w WHERE len(w) >= 2),
+      |p AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM p GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      |sc AS (SELECT doc_id, CAST(length(bin(c1 // c2)) AS BIGINT) AS r
+      |       FROM p JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(r) AS BIGINT) AS surprisal_sum
+      |        FROM sc GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(COALESCE(surprisal_sum, 0) AS BIGINT) AS surprisal_sum,
+      |  COALESCE(round(CAST(surprisal_sum AS DOUBLE) / n_bigrams, 6), 0.0) AS mean_surprisal
+      |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Domain-mix sampling for training-data curation: per-source quotas
+    * from log₂-bucketed counts (an integer-exact "temperature" that
+    * flattens domain imbalance the way T>1 sampling does, without any
+    * float in the quota math), filled deterministically by the q92
+    * shuffle key so the draw is reproducible and oracle-checkable. */
+  private def q97(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+    val total = lit(200L)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("w", length(bin(col("n"))).cast("long"))
+    val sumW = counts.agg(sum(col("w"))).head().getLong(0)
+    val quotas = counts.withColumn("quota", (total * col("w")).cast("long") / lit(sumW))
+      .select(col("source"), col("quota").cast("long").as("quota"))
+    val key = pmod((col("doc_id") % lit(2147483648L)).bitwiseXOR(lit(7L)) * lit(2654435761L),
+      lit(4294967296L))
+    val w = Window.partitionBy(col("source")).orderBy(col("shuffle_key"), col("doc_id"))
+    docs.withColumn("shuffle_key", key)
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(quotas), Seq("source"))
+      .filter(col("rn") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("rn").cast("long").as("rn"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  private val q97Sql =
+    """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+      |w AS (SELECT source, CAST(length(bin(n)) AS BIGINT) AS w FROM c),
+      |q AS (SELECT source, (200 * w) // (SELECT SUM(w) FROM w) AS quota FROM w),
+      |r AS (SELECT source, doc_id,
+      |        ROW_NUMBER() OVER (PARTITION BY source
+      |          ORDER BY (xor(doc_id % 2147483648, 7) * 2654435761) % 4294967296, doc_id) AS rn
+      |      FROM documents)
+      |SELECT source, doc_id, CAST(rn AS BIGINT) AS rn
+      |FROM r JOIN q USING (source)
+      |WHERE rn <= quota ORDER BY source, rn""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -421,5 +540,8 @@ object TextQueries extends QuerySet {
     Q("q87_pii_redact", q87, Some(q87Sql)),
     Q("q88_chunk_sliding", q88, Some(q88Sql)),
     Q("q90_rarity_score", q90, Some(q90Sql)),
-    Q("q92_shuffle_order", q92, Some(q92Sql)))
+    Q("q92_shuffle_order", q92, Some(q92Sql)),
+    Q("q93_dedup_incremental", q93, Some(q93Sql)),
+    Q("q96_lm_surprisal", q96, Some(q96Sql)),
+    Q("q97_domain_mix", q97, Some(q97Sql)))
 }

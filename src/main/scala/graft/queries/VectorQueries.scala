@@ -210,6 +210,26 @@ object VectorQueries extends QuerySet {
        |  FROM s) x
        |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
 
+  /** SemDeDup (semantic dedup via k-means blocking) made hash-checkable:
+    * the query plants exact copies of vectors 0-9 under shifted ids, runs
+    * [[graft.operators.Dedup.semantic]] at tau=0.999, and the correct
+    * answer is exactly the original corpus — identical vectors always
+    * share a cluster (so every planted copy is caught), the min-id
+    * keeper is the original, and near-uniform sphere vectors never reach
+    * 0.999 (so nothing else drops). A wrong drop OR a missed planted
+    * copy breaks the oracle hash. */
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    graft.operators.Dedup.semantic(e.union(planted), "vec_id", "embedding",
+        numClusters = 8, tau = 0.999)
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q94Sql = "SELECT vec_id FROM embeddings ORDER BY vec_id"
+
   /** Vector norm maintenance column (our analog of index-build-time
     * precomputation, SURVEY §1.3). */
   private def q34(s: SparkSession, d: String): DataFrame =
@@ -252,6 +272,7 @@ object VectorQueries extends QuerySet {
     Q("q36_knn_lsh", q36, None),
     Q("q82_knn_hnsw", q82, None, headline = true),
     Q("q89_knn_quantized", q89, None, headline = true),
+    Q("q94_semantic_dedup", q94, Some(q94Sql)),
     Q("q34_vector_norms", q34, Some(q34Sql)),
     Q("q91_hard_negatives", q91, Some(q91Sql)),
     Q("q35_neardup_embedding", q35, Some(q35Sql), headline = true))
