@@ -298,6 +298,52 @@ case class DequantizeI8(left: Expression, right: Expression) extends BinaryExpre
     copy(left = l, right = r)
 }
 
+/** Asymmetric-distance (ADC) dot product for product-quantized vectors:
+  * codes[s] indexes the query's precomputed per-subspace lookup table
+  * (lut laid out as m × ks, flattened), so the scan's inner loop is m
+  * table lookups — no float math per dimension. This is the PQ scan
+  * kernel (Jégou et al., "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011): at 100 TB the corpus is m bytes/vector and the
+  * per-candidate cost is O(m), not O(dims). Codegen'd so the whole
+  * scan→score→top-k pass stays in one WholeStageCodegen span. */
+case class PqAdcDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "pq_adc_dot"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (binary codes, array<float> lut), got $other")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[Array[Byte]]
+    val lut = b.asInstanceOf[ArrayData]
+    val m = codes.length
+    val ks = if (m == 0) 0 else lut.numElements() / m
+    var acc = 0.0; var s = 0
+    while (s < m) { acc += lut.getFloat(s * ks + (codes(s) & 0xFF)); s += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s"); val m = ctx.freshName("m")
+      val ks = ctx.freshName("ks"); val acc = ctx.freshName("acc")
+      s"""
+         |int $m = $a.length;
+         |int $ks = ($m == 0) ? 0 : $b.numElements() / $m;
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  $acc += (double) $b.getFloat($s * $ks + ($a[$s] & 0xFF));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-API + SQL-registry surface for the vector expressions. */
 object VectorFunctions {
   private def e(c: Column): Expression = GraftSqlBridge.expression(c)
@@ -310,6 +356,7 @@ object VectorFunctions {
   def vec_quantize_i8(a: Column): Column = col(QuantizeI8(e(a)))
   def cosine_sim_i8(a: Column, b: Column): Column = col(CosineSimI8(e(a), e(b)))
   def vec_dequantize_i8(q: Column, scale: Column): Column = col(DequantizeI8(e(q), e(scale)))
+  def pq_adc_dot(codes: Column, lut: Column): Column = col(PqAdcDot(e(codes), e(lut)))
 
   /** Register as SQL functions so `spark.sql("... cosine_sim(a,b) ...")` works. */
   def register(spark: SparkSession): Unit = {
@@ -321,5 +368,6 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction("vec_quantize_i8", xs => QuantizeI8(xs(0)), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim_i8", xs => CosineSimI8(xs(0), xs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_dequantize_i8", xs => DequantizeI8(xs(0), xs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("pq_adc_dot", xs => PqAdcDot(xs(0), xs(1)), "scala_udf")
   }
 }

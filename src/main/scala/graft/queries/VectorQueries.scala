@@ -210,6 +210,33 @@ object VectorQueries extends QuerySet {
        |  FROM s) x
        |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
 
+  /** Product-quantization ANN ([[graft.search.PqIndex]]): train on a
+    * bounded sample, persist + reload the codebook sidecar, encode the
+    * corpus to m one-byte codes (16× compression at dsub=4 — the path
+    * by which a 100 TB corpus's vectors fit executor memory), ADC-scan
+    * a 100-wide shortlist, exact-rerank to top-10 — behind the same
+    * in-query recall gate as q33/q36/q82. */
+  private def q95(s: SparkSession, d: String): DataFrame = {
+    import graft.search.PqIndex
+    val e = t(s, d, "embeddings").cache()
+    val dims = e.head().getSeq[Float](1).length
+    val cb = PqIndex.train(e, "embedding", "vec_id", m = dims / 4, ks = 16, iters = 5)
+    val root = java.nio.file.Files.createTempDirectory("graft-q95-pq").toString
+    PqIndex.writeSidecar(s, root, cb)
+    val loaded = PqIndex.readSidecar(s, root)
+      .getOrElse(sys.error("PQ sidecar did not round-trip"))
+    val encoded = PqIndex.encode(loaded, e, "embedding")
+      .select(col("vec_id"), col("pq_codes"), col("norm"))
+    val probe = probeVec(s, d, 0L)
+    val ann = PqIndex.searchRerank(loaded, encoded, e, "embedding", "vec_id",
+        probe, 10, shortlist = 100)
+      .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim"))
+    val exact = VectorSearch.exactTopK(e, "embedding", "vec_id", probe, 10)
+    val gated = recallGate(ann, exact, 10, 0.9)
+    e.unpersist()
+    gated
+  }
+
   /** SemDeDup (semantic dedup via k-means blocking) made hash-checkable:
     * the query plants exact copies of vectors 0-9 under shifted ids, runs
     * [[graft.operators.Dedup.semantic]] at tau=0.999, and the correct
@@ -272,6 +299,7 @@ object VectorQueries extends QuerySet {
     Q("q36_knn_lsh", q36, None),
     Q("q82_knn_hnsw", q82, None, headline = true),
     Q("q89_knn_quantized", q89, None, headline = true),
+    Q("q95_knn_pq", q95, None, headline = true),
     Q("q94_semantic_dedup", q94, Some(q94Sql)),
     Q("q34_vector_norms", q34, Some(q34Sql)),
     Q("q91_hard_negatives", q91, Some(q91Sql)),

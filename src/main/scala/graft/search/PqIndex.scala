@@ -1,0 +1,226 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.{cosine_sim, l2_norm, pq_adc_dot}
+
+/** Product-quantization (PQ) vector index — the extreme-compression ANN
+  * path (Jégou et al., "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011; the faiss `IndexPQ`/`IndexIVFPQ` family).
+  *
+  * The vector is split into `m` subspaces of `dsub` dims; each subspace
+  * is quantized to one of `ks ≤ 256` learned centroids, so a 1536-d
+  * float vector (6 KB) becomes `m` bytes of codes + one stored norm —
+  * at m=96 a 64× compression. That factor, not speed alone, is the
+  * 100 TB story: the coded corpus fits executor memory where floats
+  * cannot, and the scan kernel ([[graft.functions.PqAdcDot]]) is m
+  * table lookups per candidate instead of dims multiplies.
+  *
+  * Division of labor (same shape as the reference's server-side index
+  * build, MongoDbService.cs:144-167, re-expressed for Spark):
+  *  - TRAIN on the driver over a bounded deterministic sample (k-means
+  *    per subspace wants ~10²-10³ points per centroid; training cost
+  *    must not track corpus size — same rationale as
+  *    [[SimpleKMeans.fit]]'s sample cap);
+  *  - ENCODE distributed (one narrow pass over the corpus with the
+  *    codebook broadcast in the UDF closure — the ingest-time step);
+  *  - SEARCH distributed: ADC scan → shortlist top-`shortlist` by
+  *    approximate score (a per-task k-heap, `TakeOrderedAndProject`) →
+  *    EXACT cosine rerank of the shortlist only (the standard
+  *    PQ-then-refine serve pipeline; recall is set by the shortlist
+  *    size, tail latency by the coded scan).
+  *
+  * Determinism: the training sample is xxhash64-ordered, subspace
+  * k-means init takes the sample's first `ks` subvectors, and Lloyd
+  * runs sequentially on the driver — same data ⇒ same codebook, on any
+  * cluster layout.
+  */
+final case class PqCodebook(dsub: Int, centroids: Array[Array[Array[Float]]]) {
+  def m: Int = centroids.length
+  def ks: Int = centroids.head.length
+  def dims: Int = m * dsub
+
+  /** Flattened per-query lookup table: lut[s*ks + j] = dot(query_sub_s,
+    * centroid_sj). Computed once per probe on the driver (m×ks×dsub
+    * flops), broadcast as a literal into the scan. */
+  def lookupTable(query: Array[Float]): Array[Float] = {
+    require(query.length == dims, s"query dims ${query.length} != codebook dims $dims")
+    val lut = new Array[Float](m * ks)
+    var s = 0
+    while (s < m) {
+      var j = 0
+      while (j < ks) {
+        val c = centroids(s)(j)
+        var dot = 0.0; var i = 0
+        while (i < dsub) { dot += query(s * dsub + i).toDouble * c(i); i += 1 }
+        lut(s * ks + j) = dot.toFloat
+        j += 1
+      }
+      s += 1
+    }
+    lut
+  }
+
+  /** Nearest-centroid code per subspace (L2 in the subspace — the PQ
+    * training metric; ties break to the lower code, matching train). */
+  def encodeOne(v: Array[Float]): Array[Byte] = {
+    val codes = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      var best = 0; var bestD = Double.MaxValue
+      var j = 0
+      while (j < ks) {
+        val c = centroids(s)(j)
+        var d = 0.0; var i = 0
+        while (i < dsub) {
+          val t = v(s * dsub + i).toDouble - c(i); d += t * t; i += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      codes(s) = best.toByte
+      s += 1
+    }
+    codes
+  }
+}
+
+object PqIndex {
+
+  /** Train a PQ codebook on a deterministic sample of the corpus.
+    * `maxTrainPoints` bounds what reaches the driver (vectors × dims
+    * floats — 2048 × 1536 ≈ 12 MB); per-subspace Lloyd then runs
+    * locally. Empty clusters keep their previous centroid. */
+  def train(df: DataFrame, vecCol: String, idCol: String,
+            m: Int, ks: Int, iters: Int = 5,
+            maxTrainPoints: Int = 2048): PqCodebook = {
+    val sample = df.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(maxTrainPoints)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(sample.nonEmpty, "PQ training needs at least one vector")
+    val dims = sample.head.length
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val dsub = dims / m
+    val kk = math.min(ks, sample.length)
+
+    val centroids = Array.tabulate(m) { s =>
+      // init: the sample's first kk subvectors of this subspace
+      val cents = Array.tabulate(kk)(j => {
+        val c = new Array[Float](dsub)
+        System.arraycopy(sample(j), s * dsub, c, 0, dsub); c
+      })
+      var it = 0
+      val assignBuf = new Array[Int](sample.length)
+      while (it < iters) {
+        // assign
+        var p = 0
+        while (p < sample.length) {
+          val v = sample(p)
+          var best = 0; var bestD = Double.MaxValue
+          var j = 0
+          while (j < kk) {
+            var d = 0.0; var i = 0
+            while (i < dsub) {
+              val t = v(s * dsub + i).toDouble - cents(j)(i); d += t * t; i += 1
+            }
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          assignBuf(p) = best
+          p += 1
+        }
+        // update
+        val sums = Array.fill(kk)(new Array[Double](dsub))
+        val ns = new Array[Long](kk)
+        p = 0
+        while (p < sample.length) {
+          val j = assignBuf(p); val v = sample(p)
+          var i = 0
+          while (i < dsub) { sums(j)(i) += v(s * dsub + i); i += 1 }
+          ns(j) += 1
+          p += 1
+        }
+        var j = 0
+        while (j < kk) {
+          if (ns(j) > 0) {
+            var i = 0
+            while (i < dsub) { cents(j)(i) = (sums(j)(i) / ns(j)).toFloat; i += 1 }
+          }
+          j += 1
+        }
+        it += 1
+      }
+      cents
+    }
+    PqCodebook(dsub, centroids)
+  }
+
+  /** Encode the corpus: `(…, pq_codes BINARY, norm DOUBLE)`. The exact
+    * norm rides along (8 bytes) so cosine needs no second pass; codes
+    * are an ingest-time UDF (one call per row — not a per-element hot
+    * loop; the serve-path kernel is the codegen'd ADC expression). */
+  def encode(cb: PqCodebook, df: DataFrame, vecCol: String): DataFrame = {
+    val enc = udf((v: Seq[Float]) => cb.encodeOne(v.toArray))
+    df.withColumn("pq_codes", enc(col(vecCol)))
+      .withColumn("norm", l2_norm(col(vecCol)))
+  }
+
+  /** ADC scan + exact rerank. `encoded` carries (idCol, pq_codes, norm);
+    * `corpus` is the float-vector source used ONLY for the shortlist
+    * rerank (broadcast semi-join on the shortlist ids — point lookups,
+    * never a corpus scan). Returns exact-cosine top-k of the shortlist,
+    * ordered (sim desc, id) like [[VectorSearch.exactTopK]]. */
+  def searchRerank(cb: PqCodebook, encoded: DataFrame,
+                   corpus: DataFrame, vecCol: String, idCol: String,
+                   probe: Array[Float], k: Int, shortlist: Int): DataFrame = {
+    val lut = cb.lookupTable(probe)
+    var qn = 0.0; var i = 0
+    while (i < probe.length) { qn += probe(i).toDouble * probe(i); i += 1 }
+    val qnorm = math.sqrt(qn)
+    val approx = encoded
+      .withColumn("adc_sim",
+        pq_adc_dot(col("pq_codes"), typedlit(lut)) / (col("norm") * lit(qnorm)))
+      .orderBy(col("adc_sim").desc, col(idCol))
+      .limit(shortlist)
+      .select(col(idCol))
+    VectorSearch.exactTopK(
+      corpus.join(broadcast(approx), Seq(idCol), "left_semi"),
+      vecCol, idCol, probe, k)
+  }
+
+  /** Codebook sidecar (same plain-text scheme as [[IvfIndex]]): line 1 =
+    * `dsub`, then one comma-separated centroid per line in (subspace,
+    * code) row-major order, ks inferred from the line count ÷ m... ks is
+    * written explicitly as line 2 to keep the format self-describing. */
+  val SidecarFile = "_pq_sidecar"
+
+  def writeSidecar(spark: SparkSession, path: String, cb: PqCodebook): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, SidecarFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try {
+      val body = (Seq(cb.dsub.toString, cb.ks.toString) ++
+        cb.centroids.iterator.flatMap(_.iterator.map(_.mkString(",")))).mkString("\n")
+      out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+  }
+
+  def readSidecar(spark: SparkSession, path: String): Option[PqCodebook] = {
+    val p = new org.apache.hadoop.fs.Path(path, SidecarFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
+        val dsub = lines(0).trim.toInt
+        val ks = lines(1).trim.toInt
+        val flat = lines.drop(2).map(_.split(",").map(_.toFloat))
+        require(flat.length % ks == 0, s"corrupt PQ sidecar: ${flat.length} rows, ks=$ks")
+        Some(PqCodebook(dsub, flat.grouped(ks).map(_.toArray).toArray))
+      } finally in.close()
+    }
+  }
+}

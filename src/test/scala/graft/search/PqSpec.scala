@@ -1,0 +1,83 @@
+package graft.search
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+import graft.Tables.t
+import graft.functions.VectorFunctions.pq_adc_dot
+
+class PqSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = t(spark, sf, "embeddings").cache()
+  // dsub=4: 64-d testdata vectors -> m=16 one-byte codes (16x compression)
+  private lazy val cb = {
+    val dims = emb.head().getSeq[Float](1).length
+    PqIndex.train(emb, "embedding", "vec_id", m = dims / 4, ks = 16, iters = 5)
+  }
+  private lazy val encoded = PqIndex.encode(cb, emb, "embedding")
+    .select($"vec_id", $"pq_codes", $"norm").cache()
+
+  private def probe(id: Long): Array[Float] =
+    emb.filter($"vec_id" === id).head().getSeq[Float](1).toArray
+
+  test("ADC expression equals the per-row lookup sum (codegen path)") {
+    val q = probe(3L)
+    val lut = cb.lookupTable(q)
+    val viaExpr = encoded.orderBy($"vec_id").limit(20)
+      .select($"vec_id", pq_adc_dot($"pq_codes", typedlit(lut)).as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = encoded.orderBy($"vec_id").limit(20)
+      .select($"vec_id", $"pq_codes").collect()
+    rows.foreach { r =>
+      val codes = r.getAs[Array[Byte]](1)
+      val expect = codes.zipWithIndex.map { case (c, s) => lut(s * cb.ks + (c & 0xFF)).toDouble }.sum
+      assert(math.abs(viaExpr(r.getLong(0)) - expect) < 1e-9)
+    }
+  }
+
+  test("distributed encode matches driver encodeOne") {
+    val sample = emb.filter($"vec_id" < 20).select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val enc = encoded.filter($"vec_id" < 20).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    sample.foreach { case (id, v) =>
+      assert(java.util.Arrays.equals(enc(id), cb.encodeOne(v)), s"vec $id")
+    }
+  }
+
+  test("codebook sidecar round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    PqIndex.writeSidecar(spark, dir, cb)
+    val back = PqIndex.readSidecar(spark, dir).get
+    assert(back.dsub == cb.dsub && back.m == cb.m && back.ks == cb.ks)
+    (0 until cb.m).foreach { s =>
+      (0 until cb.ks).foreach { j =>
+        assert(back.centroids(s)(j).toSeq == cb.centroids(s)(j).toSeq)
+      }
+    }
+  }
+
+  test("shortlist = corpus makes rerank identical to exact top-k") {
+    val q = probe(0L)
+    val n = emb.count().toInt
+    val got = PqIndex.searchRerank(cb, encoded, emb, "embedding", "vec_id", q, 10, n)
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    val exact = VectorSearch.exactTopK(emb, "embedding", "vec_id", q, 10)
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == exact)
+  }
+
+  test("recall@10 over 5 probes >= 0.9 with a 100-wide shortlist") {
+    val recalls = (0L until 5L).map { pid =>
+      val q = probe(pid)
+      val ann = PqIndex.searchRerank(cb, encoded, emb, "embedding", "vec_id", q, 10, 100)
+        .select($"vec_id").collect().map(_.getLong(0)).toSet
+      val exact = VectorSearch.exactTopK(emb, "embedding", "vec_id", q, 10)
+        .select($"vec_id").collect().map(_.getLong(0)).toSet
+      ann.intersect(exact).size / 10.0
+    }
+    info(s"per-probe recall@10: ${recalls.mkString(", ")}")
+    assert(recalls.sum / recalls.size >= 0.9, s"mean recall ${recalls.sum / recalls.size}")
+  }
+}
