@@ -142,6 +142,31 @@ object EventStream {
   def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     events.join(broadcast(dim), keys, "left")
 
+  /** (f) Stream-stream interval join, both sides watermarked so Spark
+    * evicts buffered rows once the watermark clears the interval bound
+    * (an unbounded stream-stream join buffers one side forever — the
+    * canonical streaming-state OOM at 100 TB/day). Pairs each `right`
+    * row with the same-key `left` rows whose event time falls within
+    * `[r_ts − before, r_ts]` — the streaming form of the batch funnel
+    * range join (q54). Output columns are prefixed `l_`/`r_`. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   tsCol: String = "ts", idCol: String = "event_id",
+                   before: String = "1 hour",
+                   watermark: String = "10 minutes"): DataFrame = {
+    val l = left.select(col(key).as("l_key"), col(tsCol).as("l_ts"),
+        col(idCol).as("l_id"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col(key).as("r_key"), col(tsCol).as("r_ts"),
+        col(idCol).as("r_id"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("l_ts") <= col("r_ts") &&
+        col("l_ts") >= col("r_ts") - expr(s"INTERVAL $before"))
+      .select(col("l_key").as("key"), col("l_id"), col("r_id"),
+        col("l_ts"), col("r_ts"))
+  }
+
   /** (c) foreachBatch upsert sink: each micro-batch is one atomic store
     * commit (the streaming form of the reference's vectorize-on-write
     * add path). */

@@ -85,6 +85,31 @@ class EventStreamSpec extends AnyFunSuite with SparkSuite {
     assert(got.size >= batch.size / 2)
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    val src = EventStream.source(spark, eventsDir)
+    val joined = EventStream.intervalJoin(
+      src.filter(col("event_type") === "view"),
+      src.filter(col("event_type") === "purchase"),
+      "user_id")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssj_out").select("l_id", "r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = t(spark, sf, "events")
+    val bv = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("l_id"), col("ts").as("l_ts"))
+    val bp = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("r_id"), col("ts").as("r_ts"))
+    val batch = bv.join(bp, Seq("user_id"))
+      .filter(col("l_ts") <= col("r_ts") &&
+        col("l_ts") >= col("r_ts") - expr("INTERVAL 1 HOUR"))
+      .select("l_id", "r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+    assert(got == batch)
+  }
+
   test("foreachBatch upsert sink lands every event exactly once") {
     val store = new DocumentStore(spark, Files.createTempDirectory("graft-sink").toString)
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
