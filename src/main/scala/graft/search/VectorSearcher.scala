@@ -79,6 +79,23 @@ object QuantizedSearcher extends VectorSearcher {
   }
 }
 
+/** Serves from a PQ-encoded table ([[PqIndex.encode]]) + codebook: a
+  * codegen'd ADC lookup-table scan over the m-byte codes shortlists
+  * candidates, then the exact rerank touches the float corpus for only
+  * ≤`shortlist` point lookups. The coded table is the 100 TB resident
+  * set (16× smaller at dsub=4); recall is set by `shortlist` (gated at
+  * q95). */
+final class PqSearcher(cb: PqCodebook, encoded: DataFrame, shortlist: Int = 100)
+    extends VectorSearcher {
+  override def topK(corpus: DataFrame, vecCol: String, idCol: String,
+                    probe: Array[Float], k: Int): DataFrame =
+    // recall at depth k needs headroom ABOVE k: a shortlist of ~2k keeps
+    // boundary ranks unstable (ADC ties reshuffle the tail), so the
+    // effective shortlist floors at 4k regardless of configuration
+    PqIndex.searchRerank(cb, encoded, corpus, vecCol, idCol, probe, k,
+      math.max(shortlist, 4 * k))
+}
+
 /** Serves from prebuilt [[HnswIndex]] segment graphs. The graphs store
   * only (id, vector); payload columns come from a broadcast join of the
   * k hits back into the corpus. Ids must be castable to long (the same

@@ -48,6 +48,20 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(capped.contains((2L, 9002L)))
   }
 
+  test("prefix-filtered Jaccard join == unfiltered join (exact, both thresholds)") {
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"a_id", $"b_id", round($"jaccard", 9)).orderBy($"a_id", $"b_id")
+        .collect().toSeq
+    for (t <- Seq(0.5, 0.8)) {
+      val plain = norm(Dedup.ngramJaccardPairs(planted, "doc_id", "text", 3, t,
+        hashShingles = true))
+      val pref = norm(Dedup.ngramJaccardPairs(planted, "doc_id", "text", 3, t,
+        hashShingles = true, prefixFilter = true))
+      assert(pref == plain, s"threshold $t")
+      assert(plain.nonEmpty)
+    }
+  }
+
   test("MinHash LSH output == exact jaccard join output at threshold") {
     def norm(df: org.apache.spark.sql.DataFrame) =
       df.select($"a_id", $"b_id", round($"jaccard", 9)).orderBy($"a_id", $"b_id")

@@ -182,9 +182,9 @@ class ChatEngineSpec extends AnyFunSuite with SparkSuite {
     assert(hits.head == 1L, s"doc with the matching chunk must rank first, got $hits")
   }
 
-  test("retrieval strategies (exact | ivf | hnsw | quantized) agree at recall >= 0.9") {
+  test("retrieval strategies (exact | ivf | hnsw | quantized | pq) agree at recall >= 0.9") {
     import org.apache.spark.sql.functions.col
-    import graft.search.{ExactSearcher, HnswIndex, HnswSearcher, IvfIndex, IvfSearcher, IvfStore, QuantizedSearcher}
+    import graft.search.{ExactSearcher, HnswIndex, HnswSearcher, IvfIndex, IvfSearcher, IvfStore, PqIndex, PqSearcher, QuantizedSearcher}
     val store = new DocumentStore(spark, Files.createTempDirectory("graft-rag-strat").toString)
     val exactEng = new ChatEngine(spark, store)
     // numeric-id corpus (HNSW ids must cast to long)
@@ -197,11 +197,16 @@ class ChatEngineSpec extends AnyFunSuite with SparkSuite {
     val ivf = new IvfStore(store, "docs_ivf", ivfIdx, "vector", "doc_id")
     ivf.build(corpus)
     val graphs = HnswIndex.build(corpus, "vector", "doc_id").cache()
+    val cb = PqIndex.train(corpus, "vector", "doc_id", m = 16, ks = 16)
+    val encoded = PqIndex.encode(cb, corpus, "vector")
+      .select(col("doc_id"), col("pq_codes"), col("norm")).cache()
+    def pqSearcher = new PqSearcher(cb, encoded)
 
     val engines = Map(
       "ivf" -> new ChatEngine(spark, store, searcher = new IvfSearcher(ivf, nprobe = 4)),
       "hnsw" -> new ChatEngine(spark, store, searcher = new HnswSearcher(graphs)),
-      "quantized" -> new ChatEngine(spark, store, searcher = QuantizedSearcher))
+      "quantized" -> new ChatEngine(spark, store, searcher = QuantizedSearcher),
+      "pq" -> new ChatEngine(spark, store, searcher = pqSearcher))
 
     val question = "vector similarity search with spark joins"
     val qv = graft.embed.HashProjectionEmbedder(dims = 64).embedOne(question)
@@ -211,6 +216,7 @@ class ChatEngineSpec extends AnyFunSuite with SparkSuite {
       val annIds = (kind match {
         case "ivf" => new IvfSearcher(ivf, nprobe = 4)
         case "hnsw" => new HnswSearcher(graphs)
+        case "pq" => pqSearcher
         case _ => QuantizedSearcher
       }).topK(corpus, "vector", "doc_id", qv, 10)
         .select(col("doc_id")).as[Long].collect().toSet

@@ -32,7 +32,7 @@ class HybridSearchSpec extends AnyFunSuite with SparkSuite {
     assert(out == Seq(1L, 2L, 3L))
   }
 
-  test("hybrid fusion agrees across vector-leg strategies (exact|ivf|hnsw|quantized)") {
+  test("hybrid fusion agrees across vector-leg strategies (exact|ivf|hnsw|quantized|pq)") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions._
     import graft.Tables.t
@@ -54,6 +54,9 @@ class HybridSearchSpec extends AnyFunSuite with SparkSuite {
     val ivf = new IvfStore(store, "vecs", ivfIdx, "embedding", "doc_id")
     ivf.build(emb)
     val graphs = HnswIndex.build(emb, "embedding", "doc_id").cache()
+    val cb = PqIndex.train(emb, "embedding", "doc_id", m = 16, ks = 16)
+    val encoded = PqIndex.encode(cb, emb, "embedding")
+      .select($"doc_id", $"pq_codes", $"norm").cache()
 
     def fusedTop10(s: VectorSearcher): Set[Long] = {
       val vecRank = HybridSearch.vectorLeg(s, emb, "embedding", "doc_id", probe, 50)
@@ -64,11 +67,12 @@ class HybridSearchSpec extends AnyFunSuite with SparkSuite {
     val exact = fusedTop10(ExactSearcher)
     for ((kind, s) <- Seq("ivf" -> new IvfSearcher(ivf, nprobe = 4),
                           "hnsw" -> new HnswSearcher(graphs),
-                          "quantized" -> QuantizedSearcher)) {
+                          "quantized" -> QuantizedSearcher,
+                          "pq" -> new PqSearcher(cb, encoded))) {
       val fused = fusedTop10(s)
       val hits = (fused intersect exact).size
       assert(hits >= math.floor(0.9 * 10).toInt, s"$kind fused agreement: $hits/10")
     }
-    kwRank.unpersist(); graphs.unpersist(); emb.unpersist()
+    kwRank.unpersist(); graphs.unpersist(); encoded.unpersist(); emb.unpersist()
   }
 }
