@@ -65,9 +65,15 @@ object Dedup {
     *               pair with J ≥ t provably shares its smallest common
     *               shingle inside both prefixes), and candidates are
     *               then verified with the full shingle sets. The join
-    *               cost drops from Σdf² to Σdf_prefix² (measured 9× at
-    *               sf0.1; the gap widens with corpus size because hot
-    *               shingles never enter the join). Requires
+    *               cost drops from Σdf² to Σdf_prefix² (measured 9×
+    *               fewer join pairs at sf0.1) at the price of three
+    *               extra linear shuffles (df counts, per-doc rank
+    *               window, candidate verification). At gate scale the
+    *               linear passes dominate and the direct join is
+    *               faster (measured — q41 keeps prefixFilter=false);
+    *               the filter is the lever for corpora whose hot
+    *               shingles make Σdf² quadratic-ish, where the join
+    *               term dwarfs everything linear. Requires
     *               `hashShingles`. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,

@@ -32,7 +32,7 @@ object TextQueries extends QuerySet {
   /** Exact word-3-gram Jaccard near-dup pairs (relational shingle join). */
   private def q41(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.8,
-        hashShingles = true, prefixFilter = true)
+        hashShingles = true)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
 
@@ -277,7 +277,7 @@ object TextQueries extends QuerySet {
   private def q85(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
-      threshold = 0.8, hashShingles = true, prefixFilter = true)
+      threshold = 0.8, hashShingles = true)
     Clusters.connectedComponents(docs, "doc_id", pairs, "a_id", "b_id")
       .orderBy(col("doc_id"))
   }
