@@ -64,6 +64,28 @@ object RagQueries extends QuerySet {
       |WHERE NOT (s_suppkey = 1 OR s_acctbal < 0)
       |ORDER BY s_suppkey""".stripMargin
 
+  /** Time travel over the versioned COW store: superseded snapshots stay
+    * readable until vacuumed, so v1 (pre-delete) and v2 (post-delete)
+    * serve their exact committed states side by side — the audit/
+    * reproducibility read path a training pipeline needs ("which corpus
+    * version did this run train on?"). */
+  private def q99(s: SparkSession, d: String): DataFrame = {
+    val store = new DocumentStore(s, Files.createTempDirectory("graft-q99").toString)
+    store.create("supplier", t(s, d, "supplier"))
+    store.delete("supplier", col("s_acctbal") < 0)
+    val v1 = store.readVersion("supplier", 1)
+      .select(lit(1L).as("v"), col("s_suppkey"))
+    val v2 = store.readVersion("supplier", 2)
+      .select(lit(2L).as("v"), col("s_suppkey"))
+    v1.union(v2).orderBy(col("v"), col("s_suppkey"))
+  }
+
+  private val q99Sql =
+    """SELECT CAST(1 AS BIGINT) AS v, s_suppkey FROM supplier
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS v, s_suppkey FROM supplier WHERE NOT (s_acctbal < 0)
+      |ORDER BY v, s_suppkey""".stripMargin
+
   /** Ingest throughput at the reference's production dims: batch-embed
     * the corpus at 1536-d (ada-002 width, MongoDbService.cs:136) and
     * validate unit norms. The reference's sequential per-doc loop takes
@@ -83,5 +105,6 @@ object RagQueries extends QuerySet {
     Q("q60_rag_retrieval", q60, None, headline = true),
     Q("q64_ingest_embed_1536", q64, None, headline = true),
     Q("q61_store_upsert", q61, Some(q61Sql)),
-    Q("q62_store_delete", q62, Some(q62Sql)))
+    Q("q62_store_delete", q62, Some(q62Sql)),
+    Q("q99_store_time_travel", q99, Some(q99Sql)))
 }

@@ -210,6 +210,26 @@ object VectorQueries extends QuerySet {
        |  FROM s) x
        |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
 
+  /** Batched multi-probe IVF search through the whole pruned-join
+    * dataflow — probe→list assignment computed as an expression over the
+    * broadcast centroid literals, candidate join pruned per probe,
+    * bounded-heap top-k. At nprobe = numLists every list is probed, so
+    * the answer PROVABLY equals the exact multi-probe join no matter
+    * where k-means training converged — which is what lets the batched
+    * path ride the q31/q32 hash oracle end to end (partial-probe recall
+    * is spec-covered in KnnSpec). */
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings").cache()
+    val idx = IvfIndex.train(e, "embedding", "vec_id", numLists = 8, iters = 2)
+    val indexed = idx.assign(e, "embedding")
+    val out = idx.searchMany(indexed, "embedding", "vec_id",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3, nprobe = 8)
+      .select(col("probe_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+    e.unpersist()
+    out
+  }
+
   /** Product-quantization ANN ([[graft.search.PqIndex]]): train on a
     * bounded sample, persist + reload the codebook sidecar, encode the
     * corpus to m one-byte codes (16× compression at dsub=4 — the path
@@ -300,6 +320,7 @@ object VectorQueries extends QuerySet {
     Q("q82_knn_hnsw", q82, None, headline = true),
     Q("q89_knn_quantized", q89, None, headline = true),
     Q("q95_knn_pq", q95, None, headline = true),
+    Q("q98_knn_ivf_batch", q98, Some(knnJoinSql)),
     Q("q94_semantic_dedup", q94, Some(q94Sql)),
     Q("q34_vector_norms", q34, Some(q34Sql)),
     Q("q91_hard_negatives", q91, Some(q91Sql)),
