@@ -520,6 +520,55 @@ object TextQueries extends QuerySet {
       |FROM r JOIN q USING (source)
       |WHERE rn <= quota ORDER BY source, rn""".stripMargin
 
+  /** Cross-document duplicated-span statistics — the substring-level
+    * dedup signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", at span granularity): every 20-word
+    * window hashed, a span present in ≥2 documents is duplicated text.
+    * Per doc: distinct spans, duplicated spans, duplicated fraction —
+    * the removal decision is then a filter on `dup_frac`. The engine
+    * joins 8-byte span hashes (the scale path: the df shuffle carries
+    * longs, not 120-char strings); the oracle recomputes with string
+    * spans — identical counts absent a 64-bit collision (the same
+    * equivalence q41 rides). */
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val spans = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions.shingle_hashes(col("text"), 20)).as("h"))
+    val hot = spans.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val tot = spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    val dup = spans.join(hot, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    docs.select(col("doc_id"))
+      .join(tot, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_spans"),
+        coalesce(round(col("n_dup").cast("double") / col("n_spans"), 6), lit(0.0))
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q100Sql =
+    """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |           FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(len(w) - 19),
+      |           i -> array_to_string(w[(i+1):(i+20)], ' '))) AS s
+      |       FROM w WHERE len(w) >= 20),
+      |df AS (SELECT s, COUNT(*) AS nd FROM sh GROUP BY s),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM sh GROUP BY doc_id),
+      |dup AS (SELECT doc_id, COUNT(*) AS n_dup
+      |        FROM sh JOIN df USING (s) WHERE nd >= 2 GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+      |  CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_spans,
+      |  COALESCE(round(CAST(n_dup AS DOUBLE) / n_spans, 6), 0.0) AS dup_frac
+      |FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN dup USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -543,5 +592,6 @@ object TextQueries extends QuerySet {
     Q("q92_shuffle_order", q92, Some(q92Sql)),
     Q("q93_dedup_incremental", q93, Some(q93Sql)),
     Q("q96_lm_surprisal", q96, Some(q96Sql)),
-    Q("q97_domain_mix", q97, Some(q97Sql)))
+    Q("q97_domain_mix", q97, Some(q97Sql)),
+    Q("q100_span_dedup", q100, Some(q100Sql)))
 }
