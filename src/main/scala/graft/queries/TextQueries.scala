@@ -591,7 +591,7 @@ object TextQueries extends QuerySet {
     Q("q90_rarity_score", q90, Some(q90Sql)),
     Q("q92_shuffle_order", q92, Some(q92Sql)),
     Q("q93_dedup_incremental", q93, Some(q93Sql)),
-    Q("q96_lm_surprisal", q96, Some(q96Sql)),
+    Q("q96_lm_surprisal", q96, Some(q96Sql), headline = true),
     Q("q97_domain_mix", q97, Some(q97Sql)),
-    Q("q100_span_dedup", q100, Some(q100Sql)))
+    Q("q100_span_dedup", q100, Some(q100Sql), headline = true))
 }
