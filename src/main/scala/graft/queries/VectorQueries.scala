@@ -81,8 +81,11 @@ object VectorQueries extends QuerySet {
     * well-defined because both sides tie-break by id at the k boundary
     * ([[VectorSearch.exactTopK]] orders by (sim desc, id); every ANN
     * searcher sorts candidates by (-sim, id) before `take(k)`). */
-  private def recallGate(ann: DataFrame, exact: DataFrame, k: Int,
+  private def recallGate(ann0: DataFrame, exact: DataFrame, k: Int,
                          minRecall: Double): DataFrame = {
+    // the k-row ANN result is consumed twice (recall count here, then the
+    // caller's emit): cache it so the index search runs once, not twice
+    val ann = ann0.cache()
     val hits = ann.select("vec_id").join(exact.select("vec_id"), "vec_id").count()
     if (hits >= math.floor(minRecall * k).toLong) ann else ann.limit(0)
   }
