@@ -49,9 +49,16 @@ object Packing {
       .repartitionByRange(parts, col("id"))
       .withColumn("pid", spark_partition_id())
     // per-partition running sums: every window group is one partition's
-    // rows — parallel across pids, never a single global sort
+    // rows — parallel across pids, never a single global sort.
+    // Lazily checkpointed: the totals collect below materializes it, the
+    // final emit then reuses the SAME materialized layout — without this
+    // the range shuffle + window run twice, and the base offsets would
+    // silently depend on two executions of the range sampler agreeing on
+    // partition boundaries. The pinned rows are (id, n, pid, cum) — four
+    // longs per document, metadata-scale next to the corpus.
     val local = wc.withColumn("local_cum",
       sum(col("n")).over(Window.partitionBy(col("pid")).orderBy(col("id"))))
+      .localCheckpoint(false)
     // partition totals -> exclusive base offsets (numPartitions rows)
     val totals = local.groupBy(col("pid")).agg(max(col("local_cum")).as("tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
