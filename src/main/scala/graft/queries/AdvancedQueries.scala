@@ -161,9 +161,13 @@ object AdvancedQueries extends QuerySet {
     // rsd=0.01: measured worst-group error ≤0.9% at sf0.01/sf0.1 (the
     // default 0.05 sketch misses the 5% bound on l_orderkey) — 5× margin
     // under the gate, still a fixed-size sketch per group
+    // group-cardinality rows, consumed by the bound check AND the emit:
+    // cached so the sketch pass over lineitem runs once (same rationale
+    // as the recall gate's cache)
     val approx = li.groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"))
+      .cache()
     val exact = li.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("exact_parts"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
