@@ -569,6 +569,36 @@ object TextQueries extends QuerySet {
       |FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN dup USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Mixture resampling — the data-mixing step that turns corpus
+    * proportions into training proportions, with oversampling expressed
+    * as real row repetition the way a training loader consumes it:
+    * floor(w) copies per row plus a deterministic fractional top-up on
+    * the 0-9999 id-hash grid. Fixed literal weights here so the
+    * distributed repetition machinery rides a hash oracle;
+    * [[graft.operators.Splits.temperatureWeights]] (the driver-side
+    * weight derivation) is spec-covered. */
+  private def q101(s: SparkSession, d: String): DataFrame =
+    Splits.resampleByWeight(
+        t(s, d, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang",
+        weights = Map("en" -> 0.25, "de" -> 1.5, "zh" -> 2.0),
+        defaultWeight = 1.0)
+      .select(col("doc_id"), col("lang"), col("copy_id"))
+      .orderBy(col("doc_id"), col("copy_id"))
+
+  private val q101Sql =
+    """WITH x AS (SELECT doc_id, lang,
+      |  (doc_id % 2147483648) * 2654435761 % 4294967296 % 10000 AS b FROM documents),
+      |r AS (SELECT doc_id, lang,
+      |  CASE WHEN lang = 'en' THEN 0 WHEN lang = 'de' THEN 1
+      |       WHEN lang = 'zh' THEN 2 ELSE 1 END
+      |  + CASE WHEN b < CASE WHEN lang = 'en' THEN 2500 WHEN lang = 'de' THEN 5000
+      |                       WHEN lang = 'zh' THEN 0 ELSE 0 END
+      |         THEN 1 ELSE 0 END AS reps
+      |  FROM x)
+      |SELECT doc_id, lang, CAST(unnest(range(reps)) AS BIGINT) AS copy_id
+      |FROM r WHERE reps > 0 ORDER BY doc_id, copy_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -593,5 +623,6 @@ object TextQueries extends QuerySet {
     Q("q93_dedup_incremental", q93, Some(q93Sql)),
     Q("q96_lm_surprisal", q96, Some(q96Sql), headline = true),
     Q("q97_domain_mix", q97, Some(q97Sql)),
-    Q("q100_span_dedup", q100, Some(q100Sql), headline = true))
+    Q("q100_span_dedup", q100, Some(q100Sql), headline = true),
+    Q("q101_mixture_resample", q101, Some(q101Sql)))
 }

@@ -75,4 +75,54 @@ class SplitsSpec extends AnyFunSuite with SparkSuite {
       "doc_id", "lang", Map("fr" -> 1.0))
     assert(out.select("lang").distinct().collect().map(_.getString(0)).toSeq == Seq("fr"))
   }
+
+  test("temperatureWeights: alpha=1 is identity, alpha=0 equalizes, count-preserving") {
+    val docs = t(spark, sf, "documents").select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+
+    val w1 = Splits.temperatureWeights(docs, "lang", alpha = 1.0)
+    w1.values.foreach(w => assert(math.abs(w - 1.0) < 1e-9))
+
+    val w0 = Splits.temperatureWeights(docs, "lang", alpha = 0.0)
+    // target share is uniform: every group's expected rows = total/k
+    val k = counts.size
+    w0.foreach { case (g, w) =>
+      assert(math.abs(counts(g) * w - total / k) < 1e-6 * total, s"group $g")
+    }
+
+    // expected output row count equals the input's at any alpha
+    val w5 = Splits.temperatureWeights(docs, "lang", alpha = 0.5)
+    val expTotal = counts.map { case (g, n) => n * w5(g) }.sum
+    assert(math.abs(expTotal - total) < 1e-6 * total)
+  }
+
+  test("resampleByWeight: floor copies + fractional top-up, deterministic") {
+    val docs = t(spark, sf, "documents").select(col("doc_id"), col("lang"))
+    val n = docs.count()
+    // weight 1.0 everywhere = identity (one copy_id 0 per row)
+    val id = Splits.resampleByWeight(docs, "doc_id", "lang", Map.empty)
+    assert(id.count() == n)
+    assert(id.select("copy_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
+
+    // weight 2.5: every row 2 or 3 copies; realized total within the
+    // 0.01%-grid tolerance of 2.5n; identical across invocations
+    val up = Splits.resampleByWeight(docs, "doc_id", "lang",
+      Map.empty, defaultWeight = 2.5)
+    val perDoc = up.groupBy("doc_id").count()
+      .collect().map(_.getLong(1)).distinct.sorted
+    assert(perDoc.forall(c => c == 2L || c == 3L))
+    assert(math.abs(up.count() - 2.5 * n) <= 0.05 * n)
+    val again = Splits.resampleByWeight(docs, "doc_id", "lang",
+      Map.empty, defaultWeight = 2.5)
+    assert(up.orderBy("doc_id", "copy_id").collect().toSeq ==
+      again.orderBy("doc_id", "copy_id").collect().toSeq)
+
+    // weight 0 drops the group entirely
+    val zeroed = Splits.resampleByWeight(docs, "doc_id", "lang",
+      Map("en" -> 0.0), defaultWeight = 1.0)
+    assert(zeroed.filter(col("lang") === "en").count() == 0)
+    assert(zeroed.count() == docs.filter(col("lang") =!= "en").count())
+  }
 }
