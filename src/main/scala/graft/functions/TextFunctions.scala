@@ -33,23 +33,6 @@ object TextFunctions {
         sequence(lit(0), size(w) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
 
-  /** MinHash signature: for each seed s_i, min over shingles of
-    * xxhash64(shingle, s_i). Array stays columnar; no explode. */
-  def minhashSignature(shingleCol: Column, numHashes: Int, baseSeed: Long = 0L): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingleCol, s => xxhash64Seeded(baseSeed + i, s)))
-    }: _*)
-
-  /** LSH band keys: signature split into `bands` contiguous rows-per-band
-    * groups, each band hashed to one long. Docs sharing any band key are
-    * candidate duplicates. */
-  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      xxhash64Seeded(1000L + b,
-        concat_ws(",", transform(
-          slice(signature, b * rowsPerBand + 1, rowsPerBand), x => x.cast("string"))))
-    }: _*)
-
   /** SimHash-64 over word shingles: per bit, sum ±1 weighted by each
     * shingle-hash's bit; sign pattern packs into one long. */
   def simhash64(shingleCol: Column): Column = {
