@@ -599,6 +599,24 @@ object TextQueries extends QuerySet {
       |SELECT doc_id, lang, CAST(unnest(range(reps)) AS BIGINT) AS copy_id
       |FROM r WHERE reps > 0 ORDER BY doc_id, copy_id""".stripMargin
 
+  /** Exact top-20 corpus words via sketch-then-verify heavy hitters
+    * ([[graft.operators.Frequency.heavyHitters]]) — no vocabulary-sized
+    * shuffle: a bounded per-task frequent-items summary nominates
+    * candidates (no false negatives above the support), exact counting
+    * touches candidate rows only. Oracle: the full groupBy top-20. */
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    val tokens = t(s, d, "documents")
+      .select(explode(words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    graft.operators.Frequency.heavyHitters(tokens, "w", k = 20, support = 0.01)
+  }
+
+  private val q102Sql =
+    """WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |           FROM documents)
+      |SELECT w, COUNT(*) AS cnt FROM w GROUP BY w
+      |ORDER BY cnt DESC, w LIMIT 20""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -624,5 +642,6 @@ object TextQueries extends QuerySet {
     Q("q96_lm_surprisal", q96, Some(q96Sql), headline = true),
     Q("q97_domain_mix", q97, Some(q97Sql)),
     Q("q100_span_dedup", q100, Some(q100Sql), headline = true),
-    Q("q101_mixture_resample", q101, Some(q101Sql)))
+    Q("q101_mixture_resample", q101, Some(q101Sql)),
+    Q("q102_heavy_hitters", q102, Some(q102Sql)))
 }
