@@ -114,10 +114,15 @@ object VectorQueries extends QuerySet {
   }
 
   /** V3 alternate: random-hyperplane LSH ANN — bucket-filter then exact
-    * top-k among candidates, behind the same in-query recall gate. */
+    * top-k among candidates, behind the same in-query recall gate. The
+    * hyperplane bank round-trips through its sidecar so the persisted
+    * path is exercised like q33/q82/q95. */
   private def q36(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings").cache()
-    val lsh = HyperplaneLsh(dims = 64, bits = 8, numTables = 8)
+    val root = java.nio.file.Files.createTempDirectory("graft-q36-lsh").toString
+    HyperplaneLsh.writeSidecar(s, root, HyperplaneLsh(dims = 64, bits = 8, numTables = 8))
+    val lsh = HyperplaneLsh.readSidecar(s, root)
+      .getOrElse(sys.error("LSH sidecar did not round-trip"))
     val probe = probeVec(s, d, 0L)
     val ann = lsh.search(lsh.assign(e, "embedding"), "embedding", "vec_id", probe, 10,
         probeRadius = 3)

@@ -82,4 +82,39 @@ object HyperplaneLsh {
     val rnd = new java.util.Random(seed)
     HyperplaneLsh(Array.fill(numTables, bits, dims)(rnd.nextGaussian().toFloat))
   }
+
+  /** Hyperplane-bank sidecar (same plain-text scheme as the IVF/PQ
+    * sidecars, Hadoop-FS end to end): header `numTables bits`, then one
+    * comma-separated plane per line in (table, bit) row-major order.
+    * Persisting the planes (not just a seed) keeps custom banks valid. */
+  val SidecarFile = "_lsh_sidecar"
+
+  def writeSidecar(spark: org.apache.spark.sql.SparkSession, path: String,
+                   lsh: HyperplaneLsh): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, SidecarFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try {
+      val body = (s"${lsh.numTables} ${lsh.bits}" +:
+        lsh.planes.iterator.flatMap(_.iterator.map(_.mkString(","))).toSeq).mkString("\n")
+      out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+  }
+
+  def readSidecar(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Option[HyperplaneLsh] = {
+    val p = new org.apache.hadoop.fs.Path(path, SidecarFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
+        val Array(nt, bits) = lines.head.trim.split(" ").map(_.toInt)
+        val flat = lines.tail.map(_.split(",").map(_.toFloat))
+        require(flat.length == nt * bits, s"corrupt LSH sidecar: ${flat.length} rows")
+        Some(HyperplaneLsh(flat.grouped(bits).map(_.toArray).toArray))
+      } finally in.close()
+    }
+  }
 }

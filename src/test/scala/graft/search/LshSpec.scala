@@ -45,4 +45,17 @@ class LshSpec extends AnyFunSuite with SparkSuite {
       assert(row.getAs[Int](s"lsh_k$i") == expect(i), s"table $i")
     }
   }
+
+  test("hyperplane-bank sidecar round-trips bit-exactly") {
+    val lsh = HyperplaneLsh(dims = 64, bits = 8, numTables = 4, seed = 9L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-sc").toString
+    HyperplaneLsh.writeSidecar(spark, dir, lsh)
+    val back = HyperplaneLsh.readSidecar(spark, dir).get
+    assert(back.numTables == lsh.numTables && back.bits == lsh.bits)
+    for (t <- 0 until lsh.numTables; b <- 0 until lsh.bits)
+      assert(back.planes(t)(b).toSeq == lsh.planes(t)(b).toSeq, s"plane ($t,$b)")
+    // and the reloaded bank keys a probe identically
+    val probe = emb.filter(col("vec_id") === 3).head().getSeq[Float](1).toArray
+    assert(back.keysOf(probe).toSeq == lsh.keysOf(probe).toSeq)
+  }
 }
