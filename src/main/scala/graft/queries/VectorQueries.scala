@@ -265,6 +265,32 @@ object VectorQueries extends QuerySet {
     gated
   }
 
+  /** IVF+PQ composed serve topology ([[graft.search.IvfPq]], the faiss
+    * IndexIVFPQ shape): centroid partitioning prunes which segments are
+    * read, PQ codes shrink what survivors scan (floats never enter the
+    * index table), exact rerank restores precision — the full
+    * production lifecycle (train both, build the coded store, pruned
+    * search) behind the usual recall gate. */
+  private def q103(s: SparkSession, d: String): DataFrame = {
+    import graft.search.{IvfPq, PqIndex}
+    val e = t(s, d, "embeddings").cache()
+    val dims = e.head().getSeq[Float](1).length
+    val cb = PqIndex.train(e, "embedding", "vec_id", m = dims / 4, ks = 16, iters = 5)
+    val ivf = IvfIndex.train(e, "embedding", "vec_id", numLists = 16, iters = 3,
+      multiAssign = 4)
+    val store = new DocumentStore(s,
+      java.nio.file.Files.createTempDirectory("graft-q103-ivfpq").toString)
+    val idx = new IvfPq(ivf, cb, store, "ivfpq", "embedding", "vec_id")
+    idx.build(e)
+    val probe = probeVec(s, d, 0L)
+    val ann = idx.search(e, probe, 10, nprobe = 4, shortlist = 100)
+      .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim"))
+    val exact = VectorSearch.exactTopK(e, "embedding", "vec_id", probe, 10)
+    val gated = recallGate(ann, exact, 10, 0.9)
+    e.unpersist()
+    gated
+  }
+
   /** SemDeDup (semantic dedup via k-means blocking) made hash-checkable:
     * the query plants exact copies of vectors 0-9 under shifted ids, runs
     * [[graft.operators.Dedup.semantic]] at tau=0.999, and the correct
@@ -329,6 +355,7 @@ object VectorQueries extends QuerySet {
     Q("q89_knn_quantized", q89, None, headline = true),
     Q("q95_knn_pq", q95, None, headline = true),
     Q("q98_knn_ivf_batch", q98, Some(knnJoinSql)),
+    Q("q103_knn_ivfpq", q103, None, headline = true),
     Q("q94_semantic_dedup", q94, Some(q94Sql)),
     Q("q34_vector_norms", q34, Some(q34Sql)),
     Q("q91_hard_negatives", q91, Some(q91Sql)),

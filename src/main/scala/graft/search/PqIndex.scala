@@ -85,6 +85,50 @@ final case class PqCodebook(dsub: Int, centroids: Array[Array[Array[Float]]]) {
   }
 }
 
+/** IVF + PQ composition — the production 100 TB serve topology (the
+  * faiss `IndexIVFPQ` family): centroid partitioning prunes which index
+  * segments are READ at all, PQ codes shrink what the survivors scan
+  * (m bytes + a norm per vector — the float corpus never enters the
+  * index table), and the exact rerank against the float corpus restores
+  * precision for the final k. Each knob owns one axis: `nprobe` trades
+  * IO for recall, `shortlist` trades rerank cost for recall, `m`/`ks`
+  * trade index size for ADC fidelity.
+  */
+final class IvfPq(val ivf: IvfIndex, val cb: PqCodebook,
+                  store: graft.store.DocumentStore, table: String,
+                  vecCol: String, idCol: String) {
+
+  /** Materialize the coded index: (id, codes, norm) partitioned by
+    * centroid — floats deliberately excluded. */
+  def build(df: DataFrame): Unit = {
+    val coded = ivf.assign(PqIndex.encode(cb, df, vecCol), vecCol)
+      .select(col(idCol), col("pq_codes"), col("norm"), col("centroid_id"))
+    store.create(table, coded, partitionCol = Some("centroid_id"))
+  }
+
+  /** Prune → ADC-scan → shortlist → exact rerank. `corpus` supplies the
+    * float vectors for the ≤`shortlist` rerank lookups only. */
+  def search(corpus: DataFrame, probe: Array[Float], k: Int,
+             nprobe: Int = 4, shortlist: Int = 100): DataFrame = {
+    val lists = ivf.nearestLists(probe, nprobe).map(_.toString)
+    val pruned0 = store.readPartitions(table, lists)
+    val pruned = if (ivf.multiAssign <= 1) pruned0 else pruned0.dropDuplicates(idCol)
+    val lut = cb.lookupTable(probe)
+    var qn = 0.0; var i = 0
+    while (i < probe.length) { qn += probe(i).toDouble * probe(i); i += 1 }
+    val ids = pruned
+      .withColumn("adc_sim",
+        graft.functions.VectorFunctions.pq_adc_dot(col("pq_codes"), typedlit(lut))
+          / (col("norm") * lit(math.sqrt(qn))))
+      .orderBy(col("adc_sim").desc, col(idCol))
+      .limit(shortlist)
+      .select(col(idCol))
+    VectorSearch.exactTopK(
+      corpus.join(broadcast(ids), Seq(idCol), "left_semi"),
+      vecCol, idCol, probe, k)
+  }
+}
+
 object PqIndex {
 
   /** Train a PQ codebook on a deterministic sample of the corpus.

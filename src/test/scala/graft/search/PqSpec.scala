@@ -68,6 +68,29 @@ class PqSpec extends AnyFunSuite with SparkSuite {
     assert(got == exact)
   }
 
+  test("IVF+PQ: exact at full probe + full shortlist; recall holds pruned") {
+    import graft.store.DocumentStore
+    val ivf = IvfIndex.train(emb, "embedding", "vec_id",
+      numLists = 8, iters = 2, multiAssign = 2)
+    val store = new DocumentStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-ivfpq").toString)
+    val idx = new IvfPq(ivf, cb, store, "ivfpq", "embedding", "vec_id")
+    idx.build(emb)
+    val q = probe(0L)
+    val n = emb.count().toInt
+    val exact = VectorSearch.exactTopK(emb, "embedding", "vec_id", q, 10)
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    // every list probed + corpus-wide shortlist => rerank sees every
+    // candidate => exactly the brute-force answer
+    val full = idx.search(emb, q, 10, nprobe = 8, shortlist = n)
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    assert(full == exact)
+    // the pruned production shape keeps recall
+    val pruned = idx.search(emb, q, 10, nprobe = 4, shortlist = 100)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(pruned.intersect(exact.toSet).size >= 9)
+  }
+
   test("recall@10 over 5 probes >= 0.9 with a 100-wide shortlist") {
     val recalls = (0L until 5L).map { pid =>
       val q = probe(pid)
