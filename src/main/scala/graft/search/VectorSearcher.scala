@@ -96,6 +96,17 @@ final class PqSearcher(cb: PqCodebook, encoded: DataFrame, shortlist: Int = 100)
       math.max(shortlist, 4 * k))
 }
 
+/** Serves from a persisted [[IvfPq]] index: nprobe-pruned partition
+  * read → ADC scan over m-byte codes → shortlist → exact rerank against
+  * the corpus (the faiss IndexIVFPQ topology — the default shape when
+  * both IO pruning and vector compression matter at once). */
+final class IvfPqSearcher(idx: IvfPq, nprobe: Int = 4, shortlist: Int = 100)
+    extends VectorSearcher {
+  override def topK(corpus: DataFrame, vecCol: String, idCol: String,
+                    probe: Array[Float], k: Int): DataFrame =
+    idx.search(corpus, probe, k, nprobe, math.max(shortlist, 4 * k))
+}
+
 /** Serves from prebuilt [[HnswIndex]] segment graphs. The graphs store
   * only (id, vector); payload columns come from a broadcast join of the
   * k hits back into the corpus. Ids must be castable to long (the same

@@ -32,7 +32,7 @@ class HybridSearchSpec extends AnyFunSuite with SparkSuite {
     assert(out == Seq(1L, 2L, 3L))
   }
 
-  test("hybrid fusion agrees across vector-leg strategies (exact|ivf|hnsw|quantized|pq)") {
+  test("hybrid fusion agrees across vector-leg strategies (exact|ivf|hnsw|quantized|pq|ivfpq)") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions._
     import graft.Tables.t
@@ -57,6 +57,10 @@ class HybridSearchSpec extends AnyFunSuite with SparkSuite {
     val cb = PqIndex.train(emb, "embedding", "doc_id", m = 16, ks = 16)
     val encoded = PqIndex.encode(cb, emb, "embedding")
       .select($"doc_id", $"pq_codes", $"norm").cache()
+    val ivfpq = new IvfPq(ivfIdx, cb,
+      new DocumentStore(spark, Files.createTempDirectory("graft-hybrid-ivfpq").toString),
+      "ivfpq", "embedding", "doc_id")
+    ivfpq.build(emb)
 
     def fusedTop10(s: VectorSearcher): Set[Long] = {
       val vecRank = HybridSearch.vectorLeg(s, emb, "embedding", "doc_id", probe, 50)
@@ -68,7 +72,8 @@ class HybridSearchSpec extends AnyFunSuite with SparkSuite {
     for ((kind, s) <- Seq("ivf" -> new IvfSearcher(ivf, nprobe = 4),
                           "hnsw" -> new HnswSearcher(graphs),
                           "quantized" -> QuantizedSearcher,
-                          "pq" -> new PqSearcher(cb, encoded))) {
+                          "pq" -> new PqSearcher(cb, encoded),
+                          "ivfpq" -> new IvfPqSearcher(ivfpq, nprobe = 6))) {
       val fused = fusedTop10(s)
       val hits = (fused intersect exact).size
       assert(hits >= math.floor(0.9 * 10).toInt, s"$kind fused agreement: $hits/10")
