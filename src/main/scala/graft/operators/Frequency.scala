@@ -29,14 +29,34 @@ import org.apache.spark.sql.functions._
 object Frequency {
 
   /** Exact top-k by frequency via sketch-then-verify. `valueCol` should
-    * be the already-atomized value (explode upstream). */
+    * be the already-atomized value (explode upstream).
+    *
+    * UNCONDITIONALLY exact: the sketch guarantee (no false negatives
+    * above `support`) makes the fast path correct only while the true
+    * k-th value's share exceeds `support` — and that promise is CHECKED,
+    * not assumed. If the verified k-th candidate count clears
+    * `support·n`, any value that could outrank it had share > support
+    * and therefore was a candidate, so the fast answer is the true
+    * top-k. Otherwise the guarantee may have been broken and the
+    * operator pays the full vocabulary groupBy instead of returning a
+    * silently wrong answer. */
   def heavyHitters(df: DataFrame, valueCol: String, k: Int,
                    support: Double = 0.01): DataFrame = {
     require(k > 0 && support > 0 && support < 1, s"bad k=$k / support=$support")
+    val n = df.count()
     val cand = df.stat.freqItems(Array(valueCol), support)
       .head().getSeq[Any](0)
-    df.filter(col(valueCol).isin(cand: _*))
+    val verified = df.filter(col(valueCol).isin(cand: _*))
       .groupBy(col(valueCol))
+      .agg(count(lit(1)).as("cnt"))
+      .cache()
+    val top = verified
+      .orderBy(col("cnt").desc, col(valueCol))
+      .limit(k)
+    val topCounts = top.select(col("cnt")).collect().map(_.getLong(0))
+    val sound = topCounts.length >= k && topCounts.min > support * n
+    if (sound) top
+    else df.groupBy(col(valueCol))           // guarantee broken: exact path
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col(valueCol))
       .limit(k)

@@ -30,6 +30,15 @@ class FrequencySpec extends AnyFunSuite with SparkSuite {
     assert(got == exactTop(10))
   }
 
+  test("a broken support promise falls back to the exact path, never lies") {
+    // support 0.2: nothing clears 20% share, the candidate set cannot
+    // cover the true top-10 — the operator must detect it and still
+    // return the exact answer via the fallback
+    val got = Frequency.heavyHitters(tokens, "w", 10, support = 0.2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == exactTop(10))
+  }
+
   test("counts are exact, not estimates") {
     val hh = Frequency.heavyHitters(tokens, "w", 5, 0.01)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
