@@ -487,23 +487,23 @@ object TextQueries extends QuerySet {
     * from log₂-bucketed counts (an integer-exact "temperature" that
     * flattens domain imbalance the way T>1 sampling does, without any
     * float in the quota math), filled deterministically by the q92
-    * shuffle key so the draw is reproducible and oracle-checkable. */
+    * shuffle key so the draw is reproducible and oracle-checkable.
+    * Executes through [[graft.operators.DomainMix.sampled]]: a
+    * hash-threshold pre-filter bounds the rank window to ~4·quota
+    * survivors per source (never the corpus), with a checked bit-exact
+    * fallback — the oracle below is the direct full-window form, so the
+    * driver verifies the sampled plan against the naive one. */
   private def q97(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
     val total = lit(200L)
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
       .withColumn("w", length(bin(col("n"))).cast("long"))
     val sumW = counts.agg(sum(col("w"))).head().getLong(0)
     val quotas = counts.withColumn("quota", (total * col("w")).cast("long") / lit(sumW))
-      .select(col("source"), col("quota").cast("long").as("quota"))
+      .select(col("source"), col("quota").cast("long").as("quota"), col("n"))
     val key = pmod((col("doc_id") % lit(2147483648L)).bitwiseXOR(lit(7L)) * lit(2654435761L),
       lit(4294967296L))
-    val w = Window.partitionBy(col("source")).orderBy(col("shuffle_key"), col("doc_id"))
-    docs.withColumn("shuffle_key", key)
-      .withColumn("rn", row_number().over(w))
-      .join(broadcast(quotas), Seq("source"))
-      .filter(col("rn") <= col("quota"))
+    graft.operators.DomainMix.sampled(docs, quotas, key)
       .select(col("source"), col("doc_id"), col("rn").cast("long").as("rn"))
       .orderBy(col("source"), col("rn"))
   }
