@@ -34,7 +34,9 @@ object Multimodal {
   }
 
   /** Deterministic fake: features are pure arithmetic on the payload —
-    * replaces `???` so pipelines run end-to-end and hash-stably. */
+    * replaces `???` so pipelines run end-to-end and hash-stably. Still
+    * the stand-in for audio/video (no codec libs in this container);
+    * images decode for real via [[ImageIoCodec]]. */
   object FakeCodec extends MediaCodec {
     override def decode(kind: String, bytes: Array[Byte]): MediaFeatures = {
       val n = if (bytes == null) 0 else bytes.length
@@ -42,6 +44,60 @@ object Multimodal {
       while (i < n) { sum = (sum * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
       MediaFeatures(n, n % 640, (n * 7) % 480, sum)
     }
+  }
+
+  /** REAL image decode on the JDK's `javax.imageio` — PNG/BMP/GIF/JPEG
+    * with zero new dependencies. width/height come from the decoded
+    * raster; checksum is the blue-channel sum over all pixels, so for
+    * lossless formats (PNG/BMP) it is reproducible from whatever formula
+    * generated the pixels — which is what lets [[syntheticPng]]-driven
+    * gates hold the decode to a closed-form oracle. An undecodable
+    * payload fails loudly (null from ImageIO.read) rather than emitting
+    * fake zeros as if it had decoded. */
+  object ImageIoCodec extends MediaCodec {
+    override def decode(kind: String, bytes: Array[Byte]): MediaFeatures = {
+      if (bytes == null || bytes.isEmpty) return MediaFeatures(0, 0, 0, 0L)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"undecodable image payload (${bytes.length} bytes)")
+      var sum = 0L; var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+        y += 1
+      }
+      MediaFeatures(bytes.length, img.getWidth, img.getHeight, sum)
+    }
+  }
+
+  /** Production routing: images through the real [[ImageIoCodec]],
+    * audio/video through the documented [[FakeCodec]] stand-in. */
+  object KindDispatchCodec extends MediaCodec {
+    override def decode(kind: String, bytes: Array[Byte]): MediaFeatures =
+      if (kind == "image") ImageIoCodec.decode(kind, bytes)
+      else FakeCodec.decode(kind, bytes)
+  }
+
+  /** Deterministic grayscale PNG: pixel (x,y) = (x·31 + y·17 + seed) mod
+    * 256 on all three channels. PNG is lossless, so the decoded
+    * blue-channel checksum equals Σ over pixels of that formula — a sum
+    * any engine (or the DuckDB oracle) computes without a decoder. */
+  def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad image dims ${w}x$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (((x * 31 + y * 17 + seed) % 256 + 256) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Batched decode/feature-extract stage: binary column in, typed

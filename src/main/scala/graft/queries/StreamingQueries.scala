@@ -33,27 +33,43 @@ object StreamingQueries extends QuerySet {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
-  /** Multimodal plumbing: text bytes as the opaque binary payload,
-    * batched fake-decode to typed features (schema/batching/partitioning
-    * are the real contract; the codec is the documented stub). */
+  /** Multimodal decode: image rows are REAL PNGs (deterministic pixel
+    * formula, encoded in a generation stage) decoded by the JDK ImageIO
+    * codec — width/height/checksum come from the decoded raster, and the
+    * oracle recomputes them from the generation formula in closed form
+    * (PNG is lossless). Audio rows keep text bytes through the
+    * documented FakeCodec stand-in, so both branches of the kind
+    * dispatch are driver-checked. */
   private def q70(s: SparkSession, d: String): DataFrame = {
+    val gen = udf { (id: Long, text: String) =>
+      if (id % 4 == 0) text.getBytes("UTF-8")
+      else Multimodal.syntheticPng(id, (8 + id % 24).toInt, (8 + (id * 3) % 16).toInt)
+    }
     val media = t(s, d, "documents")
-      .select(col("doc_id"), lit("image").as("kind"),
-        encode(col("text"), "UTF-8").as("bytes"))
-    Multimodal.withFeatures(media, "bytes", "kind")
-      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"), col("checksum"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, lit("audio")).otherwise(lit("image")).as("kind"),
+        gen(col("doc_id"), col("text")).as("bytes"))
+    Multimodal.withFeatures(media, "bytes", "kind", Multimodal.KindDispatchCodec)
+      .select(col("doc_id"), col("kind"), col("width"), col("height"), col("checksum"))
       .orderBy(col("doc_id"))
   }
 
   private val q70Sql =
     """SELECT doc_id,
-      |  CAST(strlen(text) AS INT) AS n_bytes,
-      |  CAST(strlen(text) % 640 AS INT) AS width,
-      |  CAST((strlen(text) * 7) % 480 AS INT) AS height,
-      |  list_reduce(
-      |    list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-      |    (a, b) -> (a * 31 + b) % 1000000007) AS checksum
+      |  CASE WHEN doc_id % 4 = 0 THEN 'audio' ELSE 'image' END AS kind,
+      |  CASE WHEN doc_id % 4 = 0 THEN CAST(strlen(text) % 640 AS INT)
+      |       ELSE CAST(8 + doc_id % 24 AS INT) END AS width,
+      |  CASE WHEN doc_id % 4 = 0 THEN CAST((strlen(text) * 7) % 480 AS INT)
+      |       ELSE CAST(8 + (doc_id * 3) % 16 AS INT) END AS height,
+      |  CASE WHEN doc_id % 4 = 0 THEN
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007)
+      |  ELSE CAST(list_sum(flatten(list_transform(range(8 + (doc_id * 3) % 16), y ->
+      |    list_transform(range(8 + doc_id % 24), x ->
+      |      (x * 31 + y * 17 + doc_id) % 256)))) AS BIGINT)
+      |  END AS checksum
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Multimodal frame sampling: every 4th 16-byte slice of the payload,

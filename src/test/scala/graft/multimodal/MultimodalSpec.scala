@@ -23,6 +23,55 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(out(1)._3 != out(2)._3) // checksums discriminate payloads
   }
 
+  test("ImageIoCodec decodes a real PNG: raster dims + closed-form checksum") {
+    val (seed, w, h) = (42L, 20, 13)
+    val png = Multimodal.syntheticPng(seed, w, h)
+    // PNG magic: this is a real encoded image, not arithmetic on text bytes
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val f = Multimodal.ImageIoCodec.decode("image", png)
+    assert(f.width == w && f.height == h && f.n_bytes == png.length)
+    val expected = (for { y <- 0 until h; x <- 0 until w }
+      yield (x * 31 + y * 17 + seed) % 256).sum
+    assert(f.checksum == expected)
+  }
+
+  test("ImageIoCodec decodes BMP too (second lossless container)") {
+    val img = new java.awt.image.BufferedImage(
+      7, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for { y <- 0 until 5; x <- 0 until 7 } img.setRGB(x, y, (x + y * 7) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val f = Multimodal.ImageIoCodec.decode("image", bos.toByteArray)
+    assert(f.width == 7 && f.height == 5)
+    assert(f.checksum == (0 until 35).map(_ % 256).sum)
+  }
+
+  test("ImageIoCodec fails loudly on an undecodable payload") {
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIoCodec.decode("image", Array.tabulate(64)(_.toByte))
+    }
+  }
+
+  test("KindDispatchCodec: images decode for real, audio keeps the fake") {
+    val png = Multimodal.syntheticPng(7L, 10, 10)
+    assert(Multimodal.KindDispatchCodec.decode("image", png) ==
+      Multimodal.ImageIoCodec.decode("image", png))
+    val audio = Array.tabulate(100)(_.toByte)
+    assert(Multimodal.KindDispatchCodec.decode("audio", audio) ==
+      Multimodal.FakeCodec.decode("audio", audio))
+  }
+
+  test("withFeatures end-to-end with the real codec: decoded dims per row") {
+    import spark.implicits._
+    val rows = Seq((1L, "image", Multimodal.syntheticPng(1L, 9, 4)),
+      (2L, "image", Multimodal.syntheticPng(2L, 30, 22)))
+      .toDF("media_id", "kind", "bytes")
+    val out = Multimodal.withFeatures(rows, "bytes", "kind", Multimodal.ImageIoCodec)
+      .select("media_id", "width", "height")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(out(1L) == ((9, 4)) && out(2L) == ((30, 22)))
+  }
+
   test("sampleFrames: every k-th 16-byte slice, bounded by maxFrames and length") {
     val out = Multimodal.sampleFrames(media, "bytes", everyK = 2, maxFrames = 5)
       .select("media_id", "n_sampled", "frames")
