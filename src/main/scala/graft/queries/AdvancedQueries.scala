@@ -509,18 +509,46 @@ object AdvancedQueries extends QuerySet {
     * mergeable scale path beside exact q25 (which needs a per-group sort
     * of the full column). Sketches merge associatively, so the shuffle
     * carries one ~accuracy-sized summary per partition per group — not
-    * the data. Approximate => no SQL oracle (DuckDB's sketch differs);
-    * rows-only check here, tolerance vs exact asserted in ScalaTest. */
-  private def q73(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
-      .groupBy(col("l_returnflag"))
+    * the data. Approximate => no SQL oracle (DuckDB's sketch differs),
+    * so the accuracy promise is gated IN-QUERY (q28 pattern): the GK
+    * guarantee is rank error ≤ n/accuracy, so each approx value must lie
+    * between the exact interpolated percentiles at q ∓ δ, where
+    * δ = 1/accuracy + 2/min(group n). The 2/n term converts ranks to
+    * interpolated fractions: percentile_approx returns a REAL element at
+    * rank within εn of the target, and the element at rank k equals the
+    * interpolated percentile at (k−1)/(n−1), which q ∓ (ε + 2/n)
+    * brackets for any n ≥ 2. Any value outside its bracket zeroes the
+    * output, which the driver sees as a row-count regression. Exact
+    * brackets are cheap at gate scale; at 100 TB a user runs the sketch
+    * alone — the gate is the test harness, not the operator. */
+  private def q73(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val accuracy = 10000
+    val minN = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n"))).head().getLong(0)
+    val eps = 1.0 / accuracy + 2.0 / minN
+    val qs = Seq(0.5, 0.95, 0.99)
+    val approx = li.groupBy(col("l_returnflag"))
       .agg(percentile_approx(col("l_extendedprice"),
-        array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("approx_p"))
-      .select(col("l_returnflag"),
+        array(qs.map(lit): _*), lit(accuracy)).as("approx_p"))
+      .cache()
+    val brackets = li.groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_extendedprice"),
+          array(qs.map(q => lit(math.max(0.0, q - eps))): _*)).as("lo"),
+        percentile(col("l_extendedprice"),
+          array(qs.map(q => lit(math.min(1.0, q + eps))): _*)).as("hi"))
+    val offBound = approx.join(brackets, "l_returnflag")
+      .filter(qs.indices.map(i =>
+        col("approx_p").getItem(i) < col("lo").getItem(i) ||
+          col("approx_p").getItem(i) > col("hi").getItem(i)).reduce(_ || _))
+      .count()
+    val out = approx.select(col("l_returnflag"),
         col("approx_p").getItem(0).as("p50"),
         col("approx_p").getItem(1).as("p95"),
         col("approx_p").getItem(2).as("p99"))
       .orderBy(col("l_returnflag"))
+    if (offBound == 0L) out else out.limit(0)
+  }
 
   /** Bucketed co-located join: both sides written bucket-sorted by the
     * join key (the shuffle paid once at write time), then joined with NO

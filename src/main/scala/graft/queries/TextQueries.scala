@@ -68,11 +68,43 @@ object TextQueries extends QuerySet {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
 
-  /** SimHash near-dup pairs (seeded-hash-dependent: rows-only check;
-    * ScalaTest asserts containment vs exact Jaccard pairs). */
-  private def q43(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", n = 3, maxHamming = 3)
+  /** SimHash near-dup discovery made driver-checkable (q94 planted-dup
+    * pattern): exact copies of docs 0-24 are planted under shifted ids —
+    * identical text means identical simhash, so each planted pair MUST
+    * surface at Hamming 0 (a 0-distance pair shares every 16-bit chunk,
+    * so the blocked join cannot miss it). The in-query gate zeroes the
+    * output unless all 25 planted pairs were discovered by the real
+    * pipeline (signature → chunk block join → Hamming filter); the
+    * emitted rows are the identical-text pair slice, which DuckDB
+    * recomputes with a text self-join — no hash needed. Organic
+    * near-dup pairs at Hamming 1-3 stay covered by DedupSpec's
+    * containment-in-exact-Jaccard assertion. */
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val corpus = docs.union(planted)
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", n = 3, maxHamming = 3)
+    val plantedFound = pairs.filter(
+      col("b_id") === col("a_id") + 1000000L &&
+        col("a_id") < 25 && col("hamming") === 0).count()
+    val gated = if (plantedFound == 25L) pairs else pairs.limit(0)
+    val texts = corpus
+    gated
+      .join(texts.select(col("doc_id").as("a_id"), col("text").as("__ta")), Seq("a_id"))
+      .join(texts.select(col("doc_id").as("b_id"), col("text").as("__tb")), Seq("b_id"))
+      .filter(col("__ta") === col("__tb"))
+      .select(col("a_id"), col("b_id"), col("hamming"))
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val q43Sql =
+    """WITH c AS (SELECT doc_id, text FROM documents
+      |           UNION ALL
+      |           SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(0 AS INT) AS hamming
+      |FROM c a JOIN c b ON a.text = b.text AND a.doc_id < b.doc_id
+      |ORDER BY a_id, b_id""".stripMargin
 
   /** Language ID by stopword score, argmax with alphabetical tie-break. */
   private def q44(s: SparkSession, d: String): DataFrame =
@@ -621,7 +653,7 @@ object TextQueries extends QuerySet {
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
     Q("q42_dedup_minhash_lsh", q42, Some(jaccardSql("0.85")), headline = true),
-    Q("q43_dedup_simhash", q43, None),
+    Q("q43_dedup_simhash", q43, Some(q43Sql)),
     Q("q44_lang_id", q44, Some(q44Sql)),
     Q("q45_quality_score", q45, Some(q45Sql)),
     Q("q46_token_stats", q46, Some(q46Sql)),
