@@ -670,10 +670,10 @@ object TextQueries extends QuerySet {
     Q("q88_chunk_sliding", q88, Some(q88Sql)),
     Q("q90_rarity_score", q90, Some(q90Sql)),
     Q("q92_shuffle_order", q92, Some(q92Sql)),
-    Q("q93_dedup_incremental", q93, Some(q93Sql)),
+    Q("q93_dedup_incremental", q93, Some(q93Sql), headline = true),
     Q("q96_lm_surprisal", q96, Some(q96Sql), headline = true),
-    Q("q97_domain_mix", q97, Some(q97Sql)),
+    Q("q97_domain_mix", q97, Some(q97Sql), headline = true),
     Q("q100_span_dedup", q100, Some(q100Sql), headline = true),
-    Q("q101_mixture_resample", q101, Some(q101Sql)),
-    Q("q102_heavy_hitters", q102, Some(q102Sql)))
+    Q("q101_mixture_resample", q101, Some(q101Sql), headline = true),
+    Q("q102_heavy_hitters", q102, Some(q102Sql), headline = true))
 }

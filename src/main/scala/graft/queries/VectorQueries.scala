@@ -356,7 +356,7 @@ object VectorQueries extends QuerySet {
     Q("q95_knn_pq", q95, None, headline = true),
     Q("q98_knn_ivf_batch", q98, Some(knnJoinSql)),
     Q("q103_knn_ivfpq", q103, None, headline = true),
-    Q("q94_semantic_dedup", q94, Some(q94Sql)),
+    Q("q94_semantic_dedup", q94, Some(q94Sql), headline = true),
     Q("q34_vector_norms", q34, Some(q34Sql)),
     Q("q91_hard_negatives", q91, Some(q91Sql)),
     Q("q35_neardup_embedding", q35, Some(q35Sql), headline = true))
