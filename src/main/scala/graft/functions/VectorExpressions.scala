@@ -344,6 +344,78 @@ case class PqAdcDot(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = l, right = r)
 }
 
+/** Ingest-time PQ encoder: nearest-centroid code per subspace (L2 in the
+  * subspace, ties to the lower code — bit-identical to
+  * `PqCodebook.encodeOne`, spec-asserted). The codebook rides as a
+  * referenced flat float[] (m × ks × dsub row-major), NOT a Literal, so
+  * the plan string stays readable and the generated code indexes one
+  * flat array. Codegen matters here because encode is the one pass that
+  * touches every float of a 100 TB corpus: keeping it inside
+  * whole-stage codegen (no ScalaUDF boxing of a 1536-element Seq per
+  * row) is worth ~the same factor as the ADC scan's lookup kernel. */
+case class PqEncode(child: Expression, centroids: Array[Float],
+                    m: Int, ks: Int, dsub: Int) extends UnaryExpression {
+  override def prettyName: String = "pq_encode"
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<float>, got $other")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val codes = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      var best = 0; var bestD = Double.MaxValue
+      var j = 0
+      while (j < ks) {
+        val base = (s * ks + j) * dsub
+        var d = 0.0; var i = 0
+        while (i < dsub) {
+          val t = x.getFloat(s * dsub + i).toDouble - centroids(base + i)
+          d += t * t; i += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      codes(s) = best.toByte
+      s += 1
+    }
+    codes
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("pqCentroids", centroids, "float[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("s"); val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val base = ctx.freshName("base"); val d = ctx.freshName("d")
+      val t = ctx.freshName("t"); val q = ctx.freshName("q")
+      s"""
+         |byte[] $q = new byte[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $best = 0; double $bestD = Double.MAX_VALUE;
+         |  for (int $j = 0; $j < $ks; $j++) {
+         |    int $base = ($s * $ks + $j) * $dsub;
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $dsub; $i++) {
+         |      double $t = (double) $a.getFloat($s * $dsub + $i)
+         |        - (double) $cents[$base + $i];
+         |      $d += $t * $t;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $j; }
+         |  }
+         |  $q[$s] = (byte) $best;
+         |}
+         |${ev.value} = $q;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API + SQL-registry surface for the vector expressions. */
 object VectorFunctions {
   private def e(c: Column): Expression = GraftSqlBridge.expression(c)
@@ -357,6 +429,8 @@ object VectorFunctions {
   def cosine_sim_i8(a: Column, b: Column): Column = col(CosineSimI8(e(a), e(b)))
   def vec_dequantize_i8(q: Column, scale: Column): Column = col(DequantizeI8(e(q), e(scale)))
   def pq_adc_dot(codes: Column, lut: Column): Column = col(PqAdcDot(e(codes), e(lut)))
+  def pq_encode(v: Column, centroids: Array[Float], m: Int, ks: Int, dsub: Int): Column =
+    col(PqEncode(e(v), centroids, m, ks, dsub))
 
   /** Register as SQL functions so `spark.sql("... cosine_sim(a,b) ...")` works. */
   def register(spark: SparkSession): Unit = {

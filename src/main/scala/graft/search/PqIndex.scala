@@ -61,6 +61,22 @@ final case class PqCodebook(dsub: Int, centroids: Array[Array[Array[Float]]]) {
     lut
   }
 
+  /** Centroids flattened (m × ks × dsub row-major) — the layout
+    * [[graft.functions.PqEncode]] indexes in generated code. */
+  def flat: Array[Float] = {
+    val out = new Array[Float](m * ks * dsub)
+    var s = 0
+    while (s < m) {
+      var j = 0
+      while (j < ks) {
+        System.arraycopy(centroids(s)(j), 0, out, (s * ks + j) * dsub, dsub)
+        j += 1
+      }
+      s += 1
+    }
+    out
+  }
+
   /** Nearest-centroid code per subspace (L2 in the subspace — the PQ
     * training metric; ties break to the lower code, matching train). */
   def encodeOne(v: Array[Float]): Array[Byte] = {
@@ -202,14 +218,16 @@ object PqIndex {
   }
 
   /** Encode the corpus: `(…, pq_codes BINARY, norm DOUBLE)`. The exact
-    * norm rides along (8 bytes) so cosine needs no second pass; codes
-    * are an ingest-time UDF (one call per row — not a per-element hot
-    * loop; the serve-path kernel is the codegen'd ADC expression). */
-  def encode(cb: PqCodebook, df: DataFrame, vecCol: String): DataFrame = {
-    val enc = udf((v: Seq[Float]) => cb.encodeOne(v.toArray))
-    df.withColumn("pq_codes", enc(col(vecCol)))
+    * norm rides along (8 bytes) so cosine needs no second pass. Both
+    * columns are codegen Catalyst expressions ([[graft.functions.PqEncode]]
+    * / [[graft.functions.L2Norm]]) so the one pass that touches every
+    * float of the corpus stays inside whole-stage codegen — no ScalaUDF
+    * boxing a dims-element Seq per row (PqSpec asserts the plan is
+    * UDF-free and bit-parity with `PqCodebook.encodeOne`). */
+  def encode(cb: PqCodebook, df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("pq_codes",
+        graft.functions.VectorFunctions.pq_encode(col(vecCol), cb.flat, cb.m, cb.ks, cb.dsub))
       .withColumn("norm", l2_norm(col(vecCol)))
-  }
 
   /** ADC scan + exact rerank. `encoded` carries (idCol, pq_codes, norm);
     * `corpus` is the float-vector source used ONLY for the shortlist

@@ -46,6 +46,22 @@ class PqSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("encode plan is UDF-free and the interpreted expression agrees") {
+    // the ingest pass that touches every corpus float must stay in
+    // whole-stage codegen: no ScalaUDF node anywhere in the plan
+    val plan = PqIndex.encode(cb, emb, "embedding").queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    // interpreted eval (the non-codegen fallback) == driver encodeOne
+    val v = probe(7L)
+    val expr = graft.functions.PqEncode(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      cb.flat, cb.m, cb.ks, cb.dsub)
+    val got = expr.eval(null).asInstanceOf[Array[Byte]]
+    assert(java.util.Arrays.equals(got, cb.encodeOne(v)))
+  }
+
   test("codebook sidecar round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
     PqIndex.writeSidecar(spark, dir, cb)
