@@ -78,8 +78,13 @@ object RankingQueries extends QuerySet {
     // (bit-identical scores — see KeywordRank.bm25Direct)
     val kwScores = KeywordRank.bm25Direct(docs, "doc_id", "text", queryTerms)
     val kwTop = kwScores.orderBy(col("score").desc, col("doc_id")).limit(50)
+    // partitionBy(id*0): deliberate single partition over ≤ 50 rows —
+    // suppresses the benign WindowExec warning without hiding real ones
+    // (non-foldable on purpose; see HybridSearch.vectorLeg)
     val kwRank = kwTop.withColumn("rnk",
-      row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      row_number().over(
+        Window.partitionBy(col("doc_id") * lit(0))
+          .orderBy(col("score").desc, col("doc_id"))))
       .select(col("doc_id"), col("rnk"))
 
     val probe = emb.filter(col("vec_id") === 0L)

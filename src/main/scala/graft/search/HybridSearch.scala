@@ -48,6 +48,12 @@ object HybridSearch {
                 vecCol: String, idCol: String,
                 probe: Array[Float], topN: Int): DataFrame =
     searcher.topK(corpus, vecCol, idCol, probe, topN)
-      .withColumn("rnk", row_number().over(Window.orderBy(col("sim").desc, col(idCol))))
+      // partitionBy(id*0) = intentionally-single-partition over ≤ topN
+      // rows; keeps WindowExec's empty-partition-spec warning out of the
+      // bench logs so a REAL corpus-scale global window stays loud. The
+      // key must be NON-foldable — EliminateWindowPartitions strips a
+      // foldable lit(0) and the warning returns.
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col(idCol) * lit(0)).orderBy(col("sim").desc, col(idCol))))
       .select(col(idCol), col("rnk"))
 }

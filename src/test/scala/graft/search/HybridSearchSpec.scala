@@ -46,7 +46,8 @@ class HybridSearchSpec extends AnyFunSuite with SparkSuite {
     val kwRank = KeywordRank.bm25Direct(docs, "doc_id", "text", Seq("vector", "join", "spark"))
       .orderBy($"score".desc, $"doc_id").limit(50)
       .withColumn("rnk", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy($"score".desc, $"doc_id")))
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id" * lit(0)).orderBy($"score".desc, $"doc_id")))
       .select($"doc_id", $"rnk").cache()
 
     val ivfIdx = IvfIndex.train(emb, "embedding", "doc_id", numLists = 8, iters = 2, multiAssign = 2)
