@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -11,11 +13,13 @@ import org.apache.spark.sql.functions._
   * shuffle (and the skew of its hottest keys) is the cost. Instead:
   *
   *  1. one narrow pass builds a bounded frequent-items summary per
-  *     partition (Karp/Shenker/Papadimitriou counting via
-  *     `Dataset.stat.freqItems` — state per task is O(1/support),
-  *     independent of vocabulary), whose merge GUARANTEES every value
-  *     with share > `support` survives as a candidate (false positives
-  *     possible, false negatives impossible);
+  *     partition (Misra-Gries / Karp-Shenker-Papadimitriou counting —
+  *     state per task is O(1/support), independent of vocabulary) and
+  *     the partition's row count in the same iterator sweep; the driver
+  *     merge GUARANTEES every value with share > `support` survives as
+  *     a candidate (false positives possible, false negatives
+  *     impossible — the guarantee is preserved under summary merge,
+  *     errors add);
   *  2. exact counting then aggregates ONLY rows matching the ≤1/support
   *     candidates (the `isin` filter pushes to the scan), so the shuffle
   *     carries candidate keys, not the vocabulary.
@@ -28,6 +32,28 @@ import org.apache.spark.sql.functions._
   */
 object Frequency {
 
+  /** Misra-Gries insert with a bounded map (same merge algebra as
+    * Spark's internal `FreqItemCounter`): above `cap` keys, admitting a
+    * new key costs every survivor its minimum — the classic counter
+    * decrement, so any key with true count > n/cap cannot be evicted
+    * to zero. Works for merging whole summaries too (count > 1). */
+  private def mgAdd(map: mutable.HashMap[Any, Long], key: Any,
+                    count: Long, cap: Int): Unit = {
+    map.get(key) match {
+      case Some(c) => map(key) = c + count
+      case None if map.size < cap => map(key) = count
+      case None =>
+        val minCount = if (map.isEmpty) 0L else map.values.min
+        if (count >= minCount) {
+          map(key) = count
+          map.filterInPlace((_, v) => v > minCount)
+          map.mapValuesInPlace((_, v) => v - minCount)
+        } else {
+          map.mapValuesInPlace((_, v) => v - count)
+        }
+    }
+  }
+
   /** Exact top-k by frequency via sketch-then-verify. `valueCol` should
     * be the already-atomized value (explode upstream).
     *
@@ -39,13 +65,31 @@ object Frequency {
     * and therefore was a candidate, so the fast answer is the true
     * top-k. Otherwise the guarantee may have been broken and the
     * operator pays the full vocabulary groupBy instead of returning a
-    * silently wrong answer. */
+    * silently wrong answer.
+    *
+    * Cost: ONE narrow corpus pass (fused sketch + row count — `n` rides
+    * the same iterator, no separate `df.count()` scan) + one
+    * candidate-filtered pass for exact verification. The driver holds
+    * partitions × (1/support) summary entries — KB-scale even at
+    * thousands of tasks. */
   def heavyHitters(df: DataFrame, valueCol: String, k: Int,
                    support: Double = 0.01): DataFrame = {
     require(k > 0 && support > 0 && support < 1, s"bad k=$k / support=$support")
-    val n = df.count()
-    val cand = df.stat.freqItems(Array(valueCol), support)
-      .head().getSeq[Any](0)
+    val cap = math.max(k, math.ceil(1.0 / support).toInt)
+    // one fused pass: per-partition (bounded summary, row count)
+    val summaries = df.select(col(valueCol)).rdd.mapPartitions { it =>
+      val m = new mutable.HashMap[Any, Long]
+      var c = 0L
+      it.foreach { r => mgAdd(m, r.get(0), 1L, cap); c += 1L }
+      Iterator.single((m.toSeq, c))
+    }.collect()
+    val merged = new mutable.HashMap[Any, Long]
+    var n = 0L
+    summaries.foreach { case (m, c) =>
+      n += c
+      m.foreach { case (key, v) => mgAdd(merged, key, v, cap) }
+    }
+    val cand = merged.keys.toSeq
     val verified = df.filter(col(valueCol).isin(cand: _*))
       .groupBy(col(valueCol))
       .agg(count(lit(1)).as("cnt"))
