@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   * batch through the codec, so a real decoder amortizes native-library
   * calls exactly like an Arrow batch would).
   *
-  * The actual codecs (JPEG decode, audio resample, video frame-sample)
-  * are NOT in this container — [[MediaCodec]] isolates them behind a
-  * trait and ships a deterministic fake so the Spark-side contract
-  * (schema, batching, partitioning, null handling) is real and tested;
-  * swap in a JNI/FFM codec without touching the pipeline.
+  * Codecs live behind the [[MediaCodec]] seam: images decode for REAL
+  * via the JDK's `javax.imageio` ([[ImageIoCodec]]), WAV audio for REAL
+  * via `javax.sound.sampled` ([[WavCodec]]) — both zero-dependency.
+  * Video codecs are NOT in this container, so that kind ships a
+  * deterministic fake ([[FakeCodec]]); the Spark-side contract (schema,
+  * batching, partitioning, null handling) is identical on every branch,
+  * so a JNI/FFM video codec swaps in without touching the pipeline.
   */
 object Multimodal {
 
@@ -26,8 +28,11 @@ object Multimodal {
       StructField("width", IntegerType), StructField("height", IntegerType),
       StructField("sample_rate", IntegerType), StructField("n_frames", IntegerType))))))
 
-  /** Decoded, engine-facing features for one media payload. */
-  case class MediaFeatures(n_bytes: Int, width: Int, height: Int, checksum: Long)
+  /** Decoded, engine-facing features for one media payload. Image
+    * decodes fill width/height, audio decodes fill sample_rate/n_frames;
+    * the unused axis stays 0 so one schema serves every kind. */
+  case class MediaFeatures(n_bytes: Int, width: Int, height: Int, checksum: Long,
+                           sample_rate: Int = 0, n_frames: Int = 0)
 
   trait MediaCodec extends Serializable {
     def decode(kind: String, bytes: Array[Byte]): MediaFeatures
@@ -35,8 +40,9 @@ object Multimodal {
 
   /** Deterministic fake: features are pure arithmetic on the payload —
     * replaces `???` so pipelines run end-to-end and hash-stably. Still
-    * the stand-in for audio/video (no codec libs in this container);
-    * images decode for real via [[ImageIoCodec]]. */
+    * the stand-in for video (no video codec libs in this container);
+    * images decode for real via [[ImageIoCodec]], WAV audio via
+    * [[WavCodec]]. */
   object FakeCodec extends MediaCodec {
     override def decode(kind: String, bytes: Array[Byte]): MediaFeatures = {
       val n = if (bytes == null) 0 else bytes.length
@@ -69,12 +75,48 @@ object Multimodal {
     }
   }
 
-  /** Production routing: images through the real [[ImageIoCodec]],
-    * audio/video through the documented [[FakeCodec]] stand-in. */
+  /** REAL audio decode on the JDK's `javax.sound.sampled` — WAV/AIFF/AU
+    * container parse + PCM samples with zero new dependencies (stream
+    * parsing needs no audio device, so it runs headless). sample_rate
+    * and n_frames come from the decoded format/stream; checksum is the
+    * sum of the signed 16-bit samples across all channels — PCM is
+    * lossless, so a closed-form generator ([[syntheticWav]]) makes the
+    * decode oracle-checkable the same way PNG pixels are. Undecodable
+    * or non-16-bit payloads fail loudly rather than emitting zeros. */
+  object WavCodec extends MediaCodec {
+    override def decode(kind: String, bytes: Array[Byte]): MediaFeatures = {
+      if (bytes == null || bytes.isEmpty) return MediaFeatures(0, 0, 0, 0L)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          && fmt.getSampleSizeInBits == 16,
+          s"unsupported audio encoding ${fmt.getEncoding}/${fmt.getSampleSizeInBits}bit")
+        val data = ais.readAllBytes()
+        var sum = 0L; var i = 0
+        while (i + 1 < data.length) {
+          val s =
+            if (fmt.isBigEndian) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+            else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+          sum += s; i += 2
+        }
+        MediaFeatures(bytes.length, 0, 0, sum,
+          fmt.getSampleRate.toInt, (data.length / fmt.getFrameSize).toInt)
+      } finally ais.close()
+    }
+  }
+
+  /** Production routing: images through the real [[ImageIoCodec]], audio
+    * through the real [[WavCodec]], video through the documented
+    * [[FakeCodec]] stand-in (no video codec libs in this container). */
   object KindDispatchCodec extends MediaCodec {
     override def decode(kind: String, bytes: Array[Byte]): MediaFeatures =
-      if (kind == "image") ImageIoCodec.decode(kind, bytes)
-      else FakeCodec.decode(kind, bytes)
+      kind match {
+        case "image" => ImageIoCodec.decode(kind, bytes)
+        case "audio" => WavCodec.decode(kind, bytes)
+        case _ => FakeCodec.decode(kind, bytes)
+      }
   }
 
   /** Deterministic grayscale PNG: pixel (x,y) = (x·31 + y·17 + seed) mod
@@ -100,6 +142,30 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic 16-bit mono PCM WAV: sample(i) = ((i·13 + seed·7)
+    * mod 4096) − 2048. PCM is lossless, so the decoded sample-sum
+    * checksum equals Σ over i of that formula — computable by any
+    * engine (or the DuckDB oracle) without an audio stack. */
+  def syntheticWav(seed: Long, sampleRate: Int, nFrames: Int): Array[Byte] = {
+    require(sampleRate > 0 && nFrames > 0, s"bad wav shape $sampleRate/$nFrames")
+    val data = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s = (((i * 13L + seed * 7L) % 4096L) - 2048L).toShort
+      data(2 * i) = (s & 0xff).toByte            // little-endian
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Batched decode/feature-extract stage: binary column in, typed
     * feature columns out. Batch shape mirrors mapInPandas: the codec
     * sees `batchSize` payloads per call. */
@@ -108,6 +174,7 @@ object Multimodal {
     val schema = df.schema
       .add("n_bytes", IntegerType).add("width", IntegerType)
       .add("height", IntegerType).add("checksum", LongType)
+      .add("sample_rate", IntegerType).add("n_frames", IntegerType)
     val enc = Encoders.row(schema)
     val bIdx = df.schema.fieldIndex(bytesCol)
     val kIdx = df.schema.fieldIndex(kindCol)
@@ -115,7 +182,8 @@ object Multimodal {
       it.grouped(batchSize).flatMap { rows =>
         rows.map { r =>
           val f = codec.decode(r.getString(kIdx), r.getAs[Array[Byte]](bIdx))
-          Row.fromSeq(r.toSeq ++ Seq[Any](f.n_bytes, f.width, f.height, f.checksum))
+          Row.fromSeq(r.toSeq ++ Seq[Any](
+            f.n_bytes, f.width, f.height, f.checksum, f.sample_rate, f.n_frames))
         }
       }
     }(enc)

@@ -33,35 +33,47 @@ object StreamingQueries extends QuerySet {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
-  /** Multimodal decode: image rows are REAL PNGs (deterministic pixel
-    * formula, encoded in a generation stage) decoded by the JDK ImageIO
-    * codec — width/height/checksum come from the decoded raster, and the
-    * oracle recomputes them from the generation formula in closed form
-    * (PNG is lossless). Audio rows keep text bytes through the
-    * documented FakeCodec stand-in, so both branches of the kind
-    * dispatch are driver-checked. */
+  /** Multimodal decode across ALL THREE kind branches: image rows are
+    * REAL PNGs decoded by the JDK ImageIO codec, audio rows are REAL
+    * 16-bit PCM WAVs decoded by the JDK sampled-sound codec, video rows
+    * keep text bytes through the documented FakeCodec stand-in. Every
+    * generated payload follows a closed-form formula (PNG and PCM are
+    * lossless), so the oracle recomputes width/height/checksum/
+    * sample_rate/n_frames without any decoder — a real decode bug on
+    * any branch breaks the hash. */
   private def q70(s: SparkSession, d: String): DataFrame = {
     val gen = udf { (id: Long, text: String) =>
-      if (id % 4 == 0) text.getBytes("UTF-8")
+      if (id % 4 == 0)
+        Multimodal.syntheticWav(id, (8000 + (id % 3) * 4000).toInt, (50 + id % 100).toInt)
+      else if (id % 4 == 2) text.getBytes("UTF-8")
       else Multimodal.syntheticPng(id, (8 + id % 24).toInt, (8 + (id * 3) % 16).toInt)
     }
     val media = t(s, d, "documents")
       .select(col("doc_id"),
-        when(col("doc_id") % 4 === 0, lit("audio")).otherwise(lit("image")).as("kind"),
+        when(col("doc_id") % 4 === 0, lit("audio"))
+          .when(col("doc_id") % 4 === 2, lit("video"))
+          .otherwise(lit("image")).as("kind"),
         gen(col("doc_id"), col("text")).as("bytes"))
     Multimodal.withFeatures(media, "bytes", "kind", Multimodal.KindDispatchCodec)
-      .select(col("doc_id"), col("kind"), col("width"), col("height"), col("checksum"))
+      .select(col("doc_id"), col("kind"), col("width"), col("height"),
+        col("checksum"), col("sample_rate"), col("n_frames"))
       .orderBy(col("doc_id"))
   }
 
   private val q70Sql =
     """SELECT doc_id,
-      |  CASE WHEN doc_id % 4 = 0 THEN 'audio' ELSE 'image' END AS kind,
-      |  CASE WHEN doc_id % 4 = 0 THEN CAST(strlen(text) % 640 AS INT)
+      |  CASE WHEN doc_id % 4 = 0 THEN 'audio'
+      |       WHEN doc_id % 4 = 2 THEN 'video' ELSE 'image' END AS kind,
+      |  CASE WHEN doc_id % 4 = 0 THEN 0
+      |       WHEN doc_id % 4 = 2 THEN CAST(strlen(text) % 640 AS INT)
       |       ELSE CAST(8 + doc_id % 24 AS INT) END AS width,
-      |  CASE WHEN doc_id % 4 = 0 THEN CAST((strlen(text) * 7) % 480 AS INT)
+      |  CASE WHEN doc_id % 4 = 0 THEN 0
+      |       WHEN doc_id % 4 = 2 THEN CAST((strlen(text) * 7) % 480 AS INT)
       |       ELSE CAST(8 + (doc_id * 3) % 16 AS INT) END AS height,
       |  CASE WHEN doc_id % 4 = 0 THEN
+      |    CAST(list_sum(list_transform(range(50 + doc_id % 100), i ->
+      |      ((i * 13 + doc_id * 7) % 4096) - 2048)) AS BIGINT)
+      |  WHEN doc_id % 4 = 2 THEN
       |    list_reduce(
       |      list_prepend(CAST(0 AS BIGINT),
       |        list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
@@ -69,7 +81,11 @@ object StreamingQueries extends QuerySet {
       |  ELSE CAST(list_sum(flatten(list_transform(range(8 + (doc_id * 3) % 16), y ->
       |    list_transform(range(8 + doc_id % 24), x ->
       |      (x * 31 + y * 17 + doc_id) % 256)))) AS BIGINT)
-      |  END AS checksum
+      |  END AS checksum,
+      |  CASE WHEN doc_id % 4 = 0 THEN CAST(8000 + (doc_id % 3) * 4000 AS INT)
+      |       ELSE 0 END AS sample_rate,
+      |  CASE WHEN doc_id % 4 = 0 THEN CAST(50 + doc_id % 100 AS INT)
+      |       ELSE 0 END AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Multimodal frame sampling: every 4th 16-byte slice of the payload,

@@ -52,13 +52,35 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
-  test("KindDispatchCodec: images decode for real, audio keeps the fake") {
+  test("WavCodec decodes a real WAV: format fields + closed-form sample sum") {
+    val (seed, rate, frames) = (42L, 16000, 120)
+    val wav = Multimodal.syntheticWav(seed, rate, frames)
+    // RIFF/WAVE magic: a real container, not arithmetic on raw bytes
+    assert(wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' && wav(3) == 'F')
+    assert(wav(8) == 'W' && wav(9) == 'A' && wav(10) == 'V' && wav(11) == 'E')
+    val f = Multimodal.WavCodec.decode("audio", wav)
+    assert(f.sample_rate == rate && f.n_frames == frames && f.n_bytes == wav.length)
+    assert(f.width == 0 && f.height == 0)
+    val expected = (0 until frames).map(i => ((i * 13L + seed * 7L) % 4096L) - 2048L).sum
+    assert(f.checksum == expected)
+  }
+
+  test("WavCodec fails loudly on an undecodable payload") {
+    intercept[Exception] {
+      Multimodal.WavCodec.decode("audio", Array.tabulate(64)(_.toByte))
+    }
+  }
+
+  test("KindDispatchCodec: image and audio decode for real, video keeps the fake") {
     val png = Multimodal.syntheticPng(7L, 10, 10)
     assert(Multimodal.KindDispatchCodec.decode("image", png) ==
       Multimodal.ImageIoCodec.decode("image", png))
-    val audio = Array.tabulate(100)(_.toByte)
-    assert(Multimodal.KindDispatchCodec.decode("audio", audio) ==
-      Multimodal.FakeCodec.decode("audio", audio))
+    val wav = Multimodal.syntheticWav(7L, 8000, 50)
+    assert(Multimodal.KindDispatchCodec.decode("audio", wav) ==
+      Multimodal.WavCodec.decode("audio", wav))
+    val video = Array.tabulate(100)(_.toByte)
+    assert(Multimodal.KindDispatchCodec.decode("video", video) ==
+      Multimodal.FakeCodec.decode("video", video))
   }
 
   test("withFeatures end-to-end with the real codec: decoded dims per row") {
