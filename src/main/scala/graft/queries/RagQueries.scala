@@ -86,6 +86,59 @@ object RagQueries extends QuerySet {
       |SELECT CAST(2 AS BIGINT) AS v, s_suppkey FROM supplier WHERE NOT (s_acctbal < 0)
       |ORDER BY v, s_suppkey""".stripMargin
 
+  /** Store compaction (OPTIMIZE analog): a fragmented table — every
+    * partition written by many tasks — compacts into ~maxFileBytes files
+    * behind the same atomic version swap every mutation uses. The
+    * in-query gate zeroes the output unless compaction actually
+    * committed AND reduced the physical file count, so a silent no-op
+    * regression is driver-visible; the oracle checks the rewrite lost or
+    * changed no rows. */
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    val store = new DocumentStore(s, Files.createTempDirectory("graft-q104").toString)
+    store.create("orders", t(s, d, "orders").repartition(16),
+      partitionCol = Some("o_orderpriority"))
+    val filesBefore = store.fileStats("orders").map(_._2).sum
+    val committed = store.compact("orders")
+    val filesAfter = store.fileStats("orders").map(_._2).sum
+    store.read("orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      .filter(lit(committed && filesAfter < filesBefore))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q104Sql =
+    """SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Min/max data-skipping read: orders stored with a custkey-clustered
+    * partition key, analyzed, then range-read — partitions whose
+    * recorded [min,max] misses the range are never listed. The gate
+    * zeroes the output unless pruning actually skipped partitions; the
+    * oracle recomputes the range from the raw table, so over- OR
+    * under-reading both fail the hash. */
+  private def q105(s: SparkSession, d: String): DataFrame = {
+    val store = new DocumentStore(s, Files.createTempDirectory("graft-q105").toString)
+    // bucket width 100 keeps >= 2 partitions down to sf0.001 (150
+    // customers); the 10..80 range sits inside bucket 0, so pruning
+    // must skip at least one partition at every scale
+    val clustered = t(s, d, "orders")
+      .withColumn("ck_bucket", floor(col("o_custkey") / 100).cast("long"))
+    store.create("orders_ck", clustered, partitionCol = Some("ck_bucket"))
+    store.analyze("orders_ck", Seq("o_custkey"))
+    val (kept, total) = store.statsPrunedParts("orders_ck", "o_custkey", 10L, 80L)
+    store.readRange("orders_ck", "o_custkey", 10L, 80L)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      .filter(lit(kept.size < total))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q105Sql =
+    """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      |FROM orders WHERE o_custkey >= 10 AND o_custkey <= 80
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Ingest throughput at the reference's production dims: batch-embed
     * the corpus at 1536-d (ada-002 width, MongoDbService.cs:136) and
     * validate unit norms. The reference's sequential per-doc loop takes
@@ -106,5 +159,7 @@ object RagQueries extends QuerySet {
     Q("q64_ingest_embed_1536", q64, None, headline = true),
     Q("q61_store_upsert", q61, Some(q61Sql)),
     Q("q62_store_delete", q62, Some(q62Sql)),
-    Q("q99_store_time_travel", q99, Some(q99Sql)))
+    Q("q99_store_time_travel", q99, Some(q99Sql)),
+    Q("q104_store_compact", q104, Some(q104Sql)),
+    Q("q105_store_skipping", q105, Some(q105Sql)))
 }

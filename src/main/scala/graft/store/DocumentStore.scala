@@ -252,6 +252,139 @@ class DocumentStore(spark: SparkSession, root: String) {
 
   def version(table: String): Int = currentVersion(table)
 
+  /** Per-partition physical layout: (partition key, file count, bytes).
+    * Metadata-only (one listing per partition dir, no data read) — the
+    * health check an operator runs before deciding to [[compact]]. */
+  def fileStats(table: String): Seq[(String, Int, Long)] =
+    manifest(table, currentVersion(table)).toSeq.sortBy(_._1).map { case (k, dir) =>
+      val files = fs.listStatus(new HPath(dir))
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      (k, files.length, files.map(_.getLen).sum)
+    }
+
+  /** OPTIMIZE-analog: rewrite fragmented partitions into ~`maxFileBytes`
+    * files and commit the result as a new version. A COW store that
+    * upserts continuously accumulates small files (every touched
+    * partition is rewritten by however many tasks held its rows); at
+    * 100 TB the resulting per-file overhead (open/footer/seek per task)
+    * dominates scan cost, so compaction is a first-class store op —
+    * same role as Delta/Iceberg OPTIMIZE.
+    *
+    * Scale shape: victims are chosen from file listings ONLY (no data
+    * read) — a partition is fragmented iff its file count exceeds
+    * ceil(bytes/maxFileBytes). Only victim partitions are read and
+    * rewritten; everything else is carried by manifest reference. The
+    * rewrite salts rows into ceil(bytes/maxFileBytes) slots per
+    * partition (hash of the full row — deterministic, no row key
+    * needed), so a giant partition compacts through many parallel tasks
+    * instead of funneling into one. Readers are unaffected: the commit
+    * is the same atomic `_CURRENT` swap every mutation uses, and old
+    * versions stay time-travelable until [[vacuum]].
+    *
+    * Returns true iff a new version was committed (false = nothing
+    * fragmented; calling again is a no-op, so compaction is idempotent
+    * until the next mutation). */
+  def compact(table: String, maxFileBytes: Long = 128L << 20): Boolean = {
+    require(maxFileBytes > 0, s"bad maxFileBytes $maxFileBytes")
+    val pc = partCol(table)
+    val v0 = currentVersion(table); val v = v0 + 1
+    val m0 = manifest(table, v0)
+    if (m0.isEmpty) return false
+    def idealFiles(bytes: Long): Int =
+      math.max(1, math.ceil(bytes.toDouble / maxFileBytes).toInt)
+    val victims = fileStats(table).filter { case (_, n, bytes) => n > idealFiles(bytes) }
+    if (victims.isEmpty) return false
+    val slotsByPart = victims.map { case (k, _, bytes) => k -> idealFiles(bytes) }.toMap
+    val victimDirs = victims.map { case (k, _, _) => m0(k) }
+    val df0 = spark.read.parquet(victimDirs: _*)
+    import spark.implicits._
+    val slotsDf = slotsByPart.toSeq.toDF("__part", "__slots")
+    val salted = df0.withColumn("__part", partExpr(pc))
+      .join(broadcast(slotsDf), Seq("__part"))
+      .withColumn("__slot", pmod(xxhash64(struct(df0.columns.map(col): _*)), col("__slots")))
+      .repartition(slotsByPart.values.sum, col("__part"), col("__slot"))
+      .drop("__part", "__slots", "__slot")
+    val written = writeSegments(table, salted, v, pc)
+    commit(table, v, (m0 -- slotsByPart.keySet) ++ written)
+    true
+  }
+
+  /** Collect per-partition min/max statistics for `cols` (numeric/date
+    * columns) over the CURRENT version and persist them as the version's
+    * stats sidecar. One column-pruned scan; the collected result is one
+    * row per partition — driver-trivial at any corpus size. Stats are
+    * keyed to the version they describe: any later mutation makes them
+    * silently unused (never wrong), until the next analyze. */
+  def analyze(table: String, cols: Seq[String]): Unit = {
+    val v = currentVersion(table)
+    val m = manifest(table, v)
+    if (m.isEmpty || cols.isEmpty) return
+    val pc = partCol(table)
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"__min_$c"),
+      max(col(c)).cast("double").as(s"__max_$c")))
+    val rows = spark.read.parquet(m.values.toSeq: _*)
+      .groupBy(partExpr(pc).as("__part"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val lines = rows.flatMap { r =>
+      val part = r.getString(0)
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        val lo = r.get(1 + 2 * i); val hi = r.get(2 + 2 * i)
+        if (lo == null || hi == null) None // all-null column: no evidence
+        else Some(s"$part\t$c\t$lo\t$hi")
+      }
+    }
+    writeString(new HPath(new HPath(tdir(table), "_versions"), s"v$v.stats"),
+      lines.mkString("\n"))
+  }
+
+  private def readStats(table: String, v: Int): Option[Map[(String, String), (Double, Double)]] =
+    readString(new HPath(new HPath(tdir(table), "_versions"), s"v$v.stats")).map { body =>
+      body.split("\n").iterator.filter(_.nonEmpty).map { l =>
+        val Array(p, c, lo, hi) = l.split("\t", 4)
+        (p, c) -> (lo.toDouble, hi.toDouble)
+      }.toMap
+    }
+
+  /** Partition keys a `column BETWEEN lo AND hi` read must touch, by
+    * min/max stats overlap, plus the total partition count. Pruning is
+    * evidence-based: a partition survives unless its recorded [min,max]
+    * provably misses the range — no stats (never analyzed, stale
+    * version, all-null column) keeps the partition, so the answer can
+    * only over-read, never drop rows. */
+  def statsPrunedParts(table: String, column: String, lo: Any, hi: Any): (Seq[String], Int) = {
+    val v = currentVersion(table)
+    val m = manifest(table, v)
+    val l = lo.toString.toDouble; val h = hi.toString.toDouble
+    readStats(table, v) match {
+      case None => (m.keys.toSeq.sorted, m.size)
+      case Some(st) =>
+        val kept = m.keys.filter { p =>
+          st.get((p, column)) match {
+            case Some((mn, mx)) => mx >= l && mn <= h
+            case None => true
+          }
+        }.toSeq.sorted
+        (kept, m.size)
+    }
+  }
+
+  /** Data-skipping range read: `column BETWEEN lo AND hi` touching only
+    * the partitions whose analyzed min/max overlaps the range — the
+    * manifest-level analog of parquet row-group pruning, one level
+    * higher: skipped partitions are never listed, let alone opened. The
+    * skipped-partition fraction is the 100 TB win: a range over a
+    * clustered column reads O(selectivity) of the corpus. Falls back to
+    * the full partition set (still filtered, still correct) when stats
+    * are absent or stale. Numeric/date columns only — same contract as
+    * [[analyze]]. */
+  def readRange(table: String, column: String, lo: Any, hi: Any): DataFrame = {
+    val (kept, _) = statsPrunedParts(table, column, lo, hi)
+    readPartitions(table, kept)
+      .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
   /** Garbage-collect segment directories referenced only by manifests
     * older than the `keepVersions` most recent ones, then drop those
     * manifests. Old snapshots stay readable down to the retention
@@ -277,7 +410,10 @@ class DocumentStore(spark: SparkSession, root: String) {
       val dfs = p.getFileSystem(hconf)
       if (dfs.exists(p)) dfs.delete(p, true)
     }
-    drop.foreach(v => fs.delete(new HPath(vd, s"v$v.manifest"), false))
+    drop.foreach { v =>
+      fs.delete(new HPath(vd, s"v$v.manifest"), false)
+      fs.delete(new HPath(vd, s"v$v.stats"), false) // stats ride their version
+    }
     // Crash-garbage sweep: a mutation that died between writeSegments and
     // commit leaves a data/v<K> dir referenced by NO manifest, which the
     // manifest-driven pass above can never reach. Under the single-writer
