@@ -52,6 +52,81 @@ object DomainMix {
       .drop("shuffle_key", "quota")
   }
 
+  /** Reference form of [[tokenBudget]]: full-corpus per-source running
+    * token sum in hash order. A document is selected while the
+    * cumulative token count BEFORE it is under the budget, so the
+    * selection is the minimal hash-order prefix whose total reaches the
+    * budget (the whole source when it cannot). This is the
+    * training-mix primitive stated in tokens ("30B web + 5B code")
+    * rather than document counts — budgets are token budgets.
+    * `budgets` carries (`sourceCol`, `budget_tokens`). */
+  def tokenBudgetDirect(docs: DataFrame, budgets: DataFrame, key: Column,
+                        tokenCol: String, sourceCol: String = "source",
+                        idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("shuffle_key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.withColumn("shuffle_key", key)
+      .withColumn("cum_before", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .join(broadcast(budgets.select(col(sourceCol), col("budget_tokens"))), Seq(sourceCol))
+      .filter(col("cum_before") < col("budget_tokens"))
+      .drop("shuffle_key", "cum_before", "budget_tokens")
+  }
+
+  /** Scale path for token budgets — same checked pre-filter shape as
+    * [[sampled]], with token mass in place of row counts: keep each
+    * source's smallest `(4·budget + 4096) / total_tokens` fraction of
+    * the key space (expected survivor tokens ≈ 4·budget), run the
+    * cumulative-sum window over survivors only, and verify each source's
+    * survivors cover its budget.
+    *
+    * Why the fast path is bit-exact when the check passes: survivors
+    * are ALL rows with key below the threshold. Every row selected by
+    * the full-order prefix must itself be a survivor — if some selected
+    * row sat above the threshold, every survivor would precede it in
+    * the order, and the survivors' ≥-budget token total would have
+    * exhausted the budget before reaching it. And for any survivor,
+    * all earlier rows in the full order are also survivors, so the
+    * windowed cumulative sums agree row-for-row with [[tokenBudgetDirect]].
+    * A deficient source (token mass concentrated in high keys, or a
+    * stale `total_tokens`) pays the direct window instead of returning
+    * a silently under-budget sample.
+    *
+    * `budgets` carries (`sourceCol`, `budget_tokens`, `total_tokens`);
+    * the caller already aggregated totals to set budgets — one
+    * group-cardinality-sized frame. A source whose total cannot cover
+    * the budget keeps its whole row set (threshold caps at 2^32), which
+    * is exactly what the direct form selects there. */
+  def tokenBudget(docs: DataFrame, budgets: DataFrame, key: Column,
+                  tokenCol: String, sourceCol: String = "source",
+                  idCol: String = "doc_id"): DataFrame = {
+    val withThresh = budgets.withColumn("thresh",
+      least(lit(TwoTo32),
+        ceil(lit(TwoTo32.toDouble) * (col("budget_tokens") * 4 + 4096) / col("total_tokens"))
+          .cast("long")))
+    val survivors = docs.withColumn("shuffle_key", key)
+      .join(broadcast(withThresh.select(col(sourceCol), col("budget_tokens"), col("thresh"))),
+        Seq(sourceCol))
+      .filter(col("shuffle_key") < col("thresh"))
+    // Verified-or-exact: sound iff survivors cover the budget, OR the
+    // threshold kept the source whole (then survivors == the source).
+    val kept = survivors.groupBy(col(sourceCol)).agg(sum(col(tokenCol)).as("kept_tokens"))
+    val deficient = withThresh
+      .join(broadcast(kept), Seq(sourceCol), "left")
+      .filter(col("thresh") < lit(TwoTo32) &&
+        coalesce(col("kept_tokens"), lit(0L)) < col("budget_tokens"))
+      .limit(1).count() > 0
+    if (deficient) tokenBudgetDirect(docs, budgets, key, tokenCol, sourceCol, idCol)
+    else {
+      val w = Window.partitionBy(col(sourceCol))
+        .orderBy(col("shuffle_key"), col(idCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      survivors.withColumn("cum_before", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+        .filter(col("cum_before") < col("budget_tokens"))
+        .drop("shuffle_key", "cum_before", "budget_tokens", "thresh")
+    }
+  }
+
   /** Scale path: pre-filter to expected `4·quota + 64` survivors per
     * source, rank survivors, verify every source filled its quota; any
     * shortfall falls back to [[direct]]. Output is bit-identical to

@@ -552,6 +552,43 @@ object TextQueries extends QuerySet {
       |FROM r JOIN q USING (source)
       |WHERE rn <= quota ORDER BY source, rn""".stripMargin
 
+  /** Token-budget domain mix — the training-mix primitive stated in
+    * TOKENS rather than document counts ("30B web + 5B code"): each
+    * source contributes its minimal deterministic-hash-order document
+    * prefix whose token total reaches the source's budget. Executes
+    * through [[graft.operators.DomainMix.tokenBudget]]: a
+    * hash-threshold pre-filter sized by token mass bounds the
+    * cumulative-sum window to ~4·budget survivor tokens per source
+    * (never the corpus), with the same checked bit-exact fallback as
+    * q97 — the oracle is the direct full-window form, so the driver
+    * verifies the bounded plan against the naive one. */
+  private def q106(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("n_tokens"))
+    val budgets = docs.groupBy("source").agg(sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("budget_tokens", (col("total_tokens") / lit(8)).cast("long") + 100L)
+    val key = pmod((col("doc_id") % lit(2147483648L)).bitwiseXOR(lit(7L)) * lit(2654435761L),
+      lit(4294967296L))
+    graft.operators.DomainMix.tokenBudget(docs, budgets, key, "n_tokens")
+      .select(col("source"), col("doc_id"), col("n_tokens"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  private val q106Sql =
+    """WITH d AS (SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |t AS (SELECT source, SUM(n_tokens) AS total FROM d GROUP BY source),
+      |b AS (SELECT source, total // 8 + 100 AS budget FROM t),
+      |r AS (SELECT source, doc_id, n_tokens,
+      |        COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+      |          ORDER BY (xor(doc_id % 2147483648, 7) * 2654435761) % 4294967296, doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |      FROM d)
+      |SELECT source, doc_id, n_tokens FROM r JOIN b USING (source)
+      |WHERE cum_before < budget ORDER BY source, doc_id""".stripMargin
+
   /** Cross-document duplicated-span statistics — the substring-level
     * dedup signal (Lee et al. 2022, "Deduplicating Training Data Makes
     * Language Models Better", at span granularity): every 20-word
@@ -675,5 +712,6 @@ object TextQueries extends QuerySet {
     Q("q97_domain_mix", q97, Some(q97Sql), headline = true),
     Q("q100_span_dedup", q100, Some(q100Sql), headline = true),
     Q("q101_mixture_resample", q101, Some(q101Sql), headline = true),
-    Q("q102_heavy_hitters", q102, Some(q102Sql), headline = true))
+    Q("q102_heavy_hitters", q102, Some(q102Sql), headline = true),
+    Q("q106_token_budget_mix", q106, Some(q106Sql)))
 }
