@@ -345,6 +345,37 @@ object VectorQueries extends QuerySet {
        |WHERE list_cosine_similarity(${dl("a.embedding")}, ${dl("b.embedding")}) > 0.3
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Grouped embedding pooling (class prototypes; the same dataflow
+    * mean-pools chunk embeddings into document embeddings) through
+    * [[graft.operators.Pooling]]'s typed partial aggregate — the
+    * shuffle carries one dense (dims, count) buffer per (label, task),
+    * never the n×dims element rows a posexplode→groupBy(label, pos)
+    * plan would move. The gate pools on an exact 2^-20 integer grid:
+    * double × 2^20 is a pure exponent shift (no rounding), floor and Σ
+    * are integer-exact, so the oracle recomputes identical numbers from
+    * unnest+SUM; the float mean-pool serve path is spec-checked
+    * (PoolingSpec). */
+  private def q107(s: SparkSession, d: String): DataFrame = {
+    val quantized = t(s, d, "embeddings")
+      .select(col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1048576)).cast("long")).as("q"))
+    graft.operators.Pooling.sumPoolLong(quantized, Seq("label"), "q")
+      .select(col("label"), col("n"), posexplode(col("sums")).as(Seq("pos", "sum_q")))
+      .select(col("label"), col("pos").cast("long").as("pos"), col("sum_q"), col("n"))
+      .orderBy(col("label"), col("pos"))
+  }
+
+  private val q107Sql =
+    """WITH e AS (SELECT label,
+      |    unnest(list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))) AS el,
+      |    unnest(range(len(embedding))) AS pos
+      |  FROM embeddings)
+      |SELECT label, CAST(pos AS BIGINT) AS pos,
+      |  CAST(SUM(el) AS BIGINT) AS sum_q, COUNT(*) AS n
+      |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q30_knn_exact", q30, Some(q30Sql), headline = true),
     Q("q31_knn_join_window", q31, Some(knnJoinSql)),
@@ -359,5 +390,6 @@ object VectorQueries extends QuerySet {
     Q("q94_semantic_dedup", q94, Some(q94Sql), headline = true),
     Q("q34_vector_norms", q34, Some(q34Sql)),
     Q("q91_hard_negatives", q91, Some(q91Sql)),
-    Q("q35_neardup_embedding", q35, Some(q35Sql), headline = true))
+    Q("q35_neardup_embedding", q35, Some(q35Sql), headline = true),
+    Q("q107_embed_pool", q107, Some(q107Sql)))
 }
