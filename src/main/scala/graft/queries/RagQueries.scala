@@ -160,6 +160,6 @@ object RagQueries extends QuerySet {
     Q("q61_store_upsert", q61, Some(q61Sql)),
     Q("q62_store_delete", q62, Some(q62Sql)),
     Q("q99_store_time_travel", q99, Some(q99Sql)),
-    Q("q104_store_compact", q104, Some(q104Sql)),
-    Q("q105_store_skipping", q105, Some(q105Sql)))
+    Q("q104_store_compact", q104, Some(q104Sql), headline = true),
+    Q("q105_store_skipping", q105, Some(q105Sql), headline = true))
 }

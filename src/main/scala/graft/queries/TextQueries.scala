@@ -713,5 +713,5 @@ object TextQueries extends QuerySet {
     Q("q100_span_dedup", q100, Some(q100Sql), headline = true),
     Q("q101_mixture_resample", q101, Some(q101Sql), headline = true),
     Q("q102_heavy_hitters", q102, Some(q102Sql), headline = true),
-    Q("q106_token_budget_mix", q106, Some(q106Sql)))
+    Q("q106_token_budget_mix", q106, Some(q106Sql), headline = true))
 }

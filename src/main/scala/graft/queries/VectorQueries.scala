@@ -391,5 +391,5 @@ object VectorQueries extends QuerySet {
     Q("q34_vector_norms", q34, Some(q34Sql)),
     Q("q91_hard_negatives", q91, Some(q91Sql)),
     Q("q35_neardup_embedding", q35, Some(q35Sql), headline = true),
-    Q("q107_embed_pool", q107, Some(q107Sql)))
+    Q("q107_embed_pool", q107, Some(q107Sql), headline = true))
 }

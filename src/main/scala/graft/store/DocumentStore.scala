@@ -2,8 +2,9 @@ package graft.store
 
 import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Versioned copy-on-write parquet store: the engine's answer to the
   * reference's mutable MongoDB collections (S4-S7, TX1;
@@ -92,11 +93,25 @@ class DocumentStore(spark: SparkSession, root: String) {
   }
 
   private def writeSegments(table: String, df: DataFrame, v: Int,
-                            partitionCol: Option[String]): Map[String, String] = {
+                            partitionCol: Option[String],
+                            sortBy: Seq[String] = Nil): Map[String, String] = {
     val out = new HPath(new HPath(tdir(table), "data"), s"v$v")
-    df.withColumn("__part", partExpr(partitionCol))
-      .write.mode("overwrite").partitionBy("__part").parquet(out.toString)
-    // enumerate written partitions
+    val keyed = df.withColumn("__part", partExpr(partitionCol))
+    // the dynamic-partition writer sorts each task by __part (unstably)
+    // unless the incoming ordering already leads with it — so clustering
+    // must be expressed as (__part, sortBy...) HERE, where the writer
+    // recognizes the prefix and skips its own sort
+    val prepared =
+      if (sortBy.isEmpty) keyed
+      else keyed.sortWithinPartitions(col("__part") +: sortBy.map(col): _*)
+    prepared.write.mode("overwrite").partitionBy("__part").parquet(out.toString)
+    // the version's logical schema rides next to its manifest: reads
+    // NEVER infer (or merge) schemas from data files — at 100 TB footer
+    // sniffing across segment dirs is an IO pass of its own, and schema
+    // evolution (upsert adding a column) would otherwise depend on which
+    // segment the reader lists first
+    val vd = new HPath(tdir(table), "_versions"); fs.mkdirs(vd)
+    writeString(new HPath(vd, s"v$v.schema"), df.schema.json)
     fs.listStatus(out).iterator
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("__part="))
       .map { st =>
@@ -104,6 +119,23 @@ class DocumentStore(spark: SparkSession, root: String) {
         key -> st.getPath.toString
       }.toMap
   }
+
+  /** The committed logical schema of version `v` (minus the physical
+    * `__part` layout column). None for tables written before schema
+    * tracking — readers then fall back to parquet inference. */
+  private def schemaOf(table: String, v: Int): Option[StructType] =
+    readString(new HPath(new HPath(tdir(table), "_versions"), s"v$v.schema"))
+      .map(s => StructType(DataType.fromJson(s).asInstanceOf[StructType]
+        .filterNot(_.name == "__part")))
+
+  /** Read segment dirs under version `v`'s committed schema: old files
+    * missing a later-added column yield nulls (standard parquet column
+    * clipping), and no footer is ever opened for schema discovery. */
+  private def readDirs(table: String, v: Int, dirs: Seq[String]): DataFrame =
+    schemaOf(table, v) match {
+      case Some(sc) => spark.read.schema(sc).parquet(dirs: _*)
+      case None => spark.read.parquet(dirs: _*)
+    }
 
   def exists(table: String): Boolean = fs.exists(new HPath(tdir(table), "_CURRENT"))
 
@@ -123,9 +155,10 @@ class DocumentStore(spark: SparkSession, root: String) {
 
   /** Snapshot read of the current version (no partial states visible). */
   def read(table: String): DataFrame = {
-    val m = manifest(table, currentVersion(table))
+    val v = currentVersion(table)
+    val m = manifest(table, v)
     if (m.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(m.values.toSeq: _*)
+    else readDirs(table, v, m.values.toSeq)
   }
 
   /** Time-travel read: the table exactly as of committed version `v`
@@ -139,7 +172,7 @@ class DocumentStore(spark: SparkSession, root: String) {
     require(v >= 1 && v <= cur, s"version $v out of range 1..$cur for table '$table'")
     val m = manifest(table, v)
     if (m.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(m.values.toSeq: _*)
+    else readDirs(table, v, m.values.toSeq)
   }
 
   /** Committed versions whose manifests are currently retained
@@ -176,10 +209,11 @@ class DocumentStore(spark: SparkSession, root: String) {
     * are never even listed, let alone opened. The IVF search path reads
     * only its nprobe centroid partitions through this. */
   def readPartitions(table: String, partKeys: Seq[String]): DataFrame = {
-    val m = manifest(table, currentVersion(table))
+    val v = currentVersion(table)
+    val m = manifest(table, v)
     val safe = partKeys.map(_.replaceAll("[^A-Za-z0-9_\\-]", "_")).toSet
     val dirs = m.filter { case (k, _) => safe.contains(k) }.values.toSeq
-    if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
+    if (dirs.nonEmpty) readDirs(table, v, dirs)
     // no matching partitions: keep the TABLE's schema (a zero-column
     // emptyDataFrame would crash callers selecting result columns)
     else if (m.nonEmpty) read(table).limit(0)
@@ -188,7 +222,14 @@ class DocumentStore(spark: SparkSession, root: String) {
 
   /** S5: keyed upsert (ReplaceOne(IsUpsert=true) analog). Only partitions
     * containing updated keys are rewritten; the rest of the table is
-    * carried by manifest reference. */
+    * carried by manifest reference.
+    *
+    * Schema evolution (add-only, the Delta `mergeSchema` semantics):
+    * updates may carry NEW columns — the committed schema becomes the
+    * union, and rows in untouched partitions read back with nulls for
+    * the added column (schema-clipped read, no rewrite). Updates may
+    * also omit existing columns (filled null on the inserted rows).
+    * Type changes fail loudly in the union resolution. */
   def upsert(table: String, updates: DataFrame, keys: Seq[String]): Unit = {
     val pc = partCol(table)
     val v0 = currentVersion(table); val v = v0 + 1
@@ -206,22 +247,28 @@ class DocumentStore(spark: SparkSession, root: String) {
       else {
         val restDirs = m0.filter { case (k, _) => !updatePartKeys.contains(k) }.values.toSeq
         if (restDirs.isEmpty) updatePartKeys
-        else updatePartKeys ++ spark.read.parquet(restDirs: _*)
+        else updatePartKeys ++ readDirs(table, v0, restDirs)
           .join(updates.select(keys.map(col): _*).distinct(), keys, "left_semi")
           .select(partExpr(pc).as("__part")).distinct()
           .collect().map(_.getString(0))
       }
     val touchedDirs = m0.filter { case (k, _) => touchedKeys.contains(k) }.values.toSeq
-    val existing =
-      if (touchedDirs.isEmpty) None
-      else Some(spark.read.parquet(touchedDirs: _*))
-    val merged = existing match {
-      case None => updates
-      case Some(cur) =>
-        val kept = cur.join(updates.select(keys.map(col): _*).distinct(),
-          keys, "left_anti")
-        kept.unionByName(updates.select(kept.columns.map(col): _*))
-    }
+    // the survivor side always carries the TABLE's schema — when no
+    // partition is touched it is an empty frame of that schema, so an
+    // insert-only update into fresh partitions can never narrow the
+    // committed schema for the rest of the table
+    val tableSchema: Option[StructType] =
+      if (m0.isEmpty) None
+      else schemaOf(table, v0).orElse(Some(readDirs(table, v0, m0.values.toSeq).schema))
+    val kept =
+      if (touchedDirs.nonEmpty)
+        readDirs(table, v0, touchedDirs)
+          .join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      else tableSchema match {
+        case Some(sc) => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sc)
+        case None => updates.limit(0)
+      }
+    val merged = kept.unionByName(updates, allowMissingColumns = true)
     val written = writeSegments(table, merged, v, pc)
     commit(table, v, (m0 -- touchedKeys) ++ written)
   }
@@ -244,7 +291,7 @@ class DocumentStore(spark: SparkSession, root: String) {
     // SQL DELETE semantics: remove only rows where the predicate is TRUE.
     // A bare !predicate would also drop rows where it evaluates to NULL
     // (e.g. a NULL column in col("price") > 100) — silent data loss.
-    val remaining = spark.read.parquet(victims.values.toSeq: _*)
+    val remaining = readDirs(table, v0, victims.values.toSeq)
       .filter(!coalesce(predicate, lit(false)))
     val written = writeSegments(table, remaining, v, pc)
     commit(table, v, (m0 -- victims.keySet) ++ written)
@@ -281,10 +328,18 @@ class DocumentStore(spark: SparkSession, root: String) {
     * is the same atomic `_CURRENT` swap every mutation uses, and old
     * versions stay time-travelable until [[vacuum]].
     *
+    * `sortBy` additionally clusters rows within each rewritten file
+    * (Z-order-lite: a plain within-task sort), tightening parquet
+    * row-group min/max on those columns so the file-internal pruning
+    * layer composes with [[readRange]]'s partition-level skipping.
+    * Compaction also normalizes old files to the current committed
+    * schema (evolved columns get materialized nulls).
+    *
     * Returns true iff a new version was committed (false = nothing
     * fragmented; calling again is a no-op, so compaction is idempotent
     * until the next mutation). */
-  def compact(table: String, maxFileBytes: Long = 128L << 20): Boolean = {
+  def compact(table: String, maxFileBytes: Long = 128L << 20,
+              sortBy: Seq[String] = Nil): Boolean = {
     require(maxFileBytes > 0, s"bad maxFileBytes $maxFileBytes")
     val pc = partCol(table)
     val v0 = currentVersion(table); val v = v0 + 1
@@ -296,7 +351,7 @@ class DocumentStore(spark: SparkSession, root: String) {
     if (victims.isEmpty) return false
     val slotsByPart = victims.map { case (k, _, bytes) => k -> idealFiles(bytes) }.toMap
     val victimDirs = victims.map { case (k, _, _) => m0(k) }
-    val df0 = spark.read.parquet(victimDirs: _*)
+    val df0 = readDirs(table, v0, victimDirs)
     import spark.implicits._
     val slotsDf = slotsByPart.toSeq.toDF("__part", "__slots")
     val salted = df0.withColumn("__part", partExpr(pc))
@@ -304,7 +359,9 @@ class DocumentStore(spark: SparkSession, root: String) {
       .withColumn("__slot", pmod(xxhash64(struct(df0.columns.map(col): _*)), col("__slots")))
       .repartition(slotsByPart.values.sum, col("__part"), col("__slot"))
       .drop("__part", "__slots", "__slot")
-    val written = writeSegments(table, salted, v, pc)
+    // clustering (sortBy) happens inside writeSegments, where the write
+    // task's (__part, sortBy...) sort survives the dynamic-partition writer
+    val written = writeSegments(table, salted, v, pc, sortBy)
     commit(table, v, (m0 -- slotsByPart.keySet) ++ written)
     true
   }
@@ -412,7 +469,8 @@ class DocumentStore(spark: SparkSession, root: String) {
     }
     drop.foreach { v =>
       fs.delete(new HPath(vd, s"v$v.manifest"), false)
-      fs.delete(new HPath(vd, s"v$v.stats"), false) // stats ride their version
+      fs.delete(new HPath(vd, s"v$v.stats"), false)  // sidecars ride their
+      fs.delete(new HPath(vd, s"v$v.schema"), false) // version's lifetime
     }
     // Crash-garbage sweep: a mutation that died between writeSegments and
     // commit leaves a data/v<K> dir referenced by NO manifest, which the

@@ -64,6 +64,58 @@ class CompactionSpec extends AnyFunSuite with SparkSuite {
     assert(s.read("t").count() == 600)
   }
 
+  test("sorted compaction clusters rows within every rewritten file") {
+    val s = freshStore()
+    // payload shuffled so pre-compaction files are NOT id-clustered
+    val df = spark.range(600)
+      .select($"id", ($"id" / 200).cast("long").as("bucket"),
+        concat(lit("row"), $"id").as("payload"))
+      .repartition(8)
+    s.create("t", df, partitionCol = Some("bucket"))
+    assert(s.compact("t", sortBy = Seq("id")))
+    val perFile = s.read("t")
+      .select($"id", input_file_name().as("f"))
+      .collect().groupBy(_.getString(1))
+      .map { case (_, rows) => rows.map(_.getLong(0)).toSeq }
+    assert(perFile.nonEmpty)
+    perFile.foreach(ids => assert(ids == ids.sorted, "file not id-clustered"))
+  }
+
+  test("upsert evolves the schema: added column reads as null on old rows") {
+    val s = freshStore()
+    fragmented(s)
+    import org.apache.spark.sql.functions.{col => c}
+    // new column `score` arrives with an update batch
+    s.upsert("t",
+      Seq((9999L, 2L, "fresh", 0.5)).toDF("id", "bucket", "payload", "score"),
+      keys = Seq("id"))
+    val out = s.read("t")
+    assert(out.columns.contains("score"))
+    assert(out.filter(c("id") === 9999L).select("score").head().getDouble(0) == 0.5)
+    // untouched partitions (bucket 0/1) were never rewritten, yet read
+    // back under the evolved schema with nulls
+    assert(out.filter(c("bucket") === 0L && c("score").isNull).count() == 200)
+    // time travel still serves v1 under ITS schema — no score column
+    assert(!s.readVersion("t", 1).columns.contains("score"))
+    // updates omitting an existing column null-fill the inserted row
+    s.upsert("t", Seq((10000L, 2L)).toDF("id", "bucket"), keys = Seq("id"))
+    val r = s.read("t").filter(c("id") === 10000L).select("payload", "score").head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(s.read("t").count() == 602)
+  }
+
+  test("insert into a fresh partition cannot narrow the committed schema") {
+    val s = freshStore()
+    fragmented(s)
+    // no existing partition is touched (bucket 9 is new) and the batch
+    // lacks `payload` — the table schema must keep it anyway
+    s.upsert("t", Seq((7777L, 9L)).toDF("id", "bucket"), keys = Seq("id"))
+    val out = s.read("t")
+    assert(out.columns.toSet == Set("id", "bucket", "payload"))
+    assert(out.count() == 601)
+    assert(out.filter($"id" === 7777L).select("payload").head().isNullAt(0))
+  }
+
   test("analyze + readRange prunes partitions and matches the full-scan filter") {
     val s = freshStore()
     fragmented(s)
