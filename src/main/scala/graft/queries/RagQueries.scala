@@ -119,11 +119,16 @@ object RagQueries extends QuerySet {
     * under-reading both fail the hash. */
   private def q105(s: SparkSession, d: String): DataFrame = {
     val store = new DocumentStore(s, Files.createTempDirectory("graft-q105").toString)
-    // bucket width 100 keeps >= 2 partitions down to sf0.001 (150
-    // customers); the 10..80 range sits inside bucket 0, so pruning
-    // must skip at least one partition at every scale
-    val clustered = t(s, d, "orders")
-      .withColumn("ck_bucket", floor(col("o_custkey") / 100).cast("long"))
+    // adaptive bucket width: ~10 partitions at any scale (never fewer
+    // than 2 — width floors at 100 and custkeys reach 150 even at
+    // sf0.001); the 10..80 range sits inside bucket 0, so pruning must
+    // skip at least one partition at every scale. Width only shapes the
+    // Spark-side layout — the oracle recounts from the raw table.
+    val orders = t(s, d, "orders")
+    val width = math.max(100L,
+      orders.agg(max(col("o_custkey"))).head().getLong(0) / 10)
+    val clustered = orders
+      .withColumn("ck_bucket", floor(col("o_custkey") / width).cast("long"))
     store.create("orders_ck", clustered, partitionCol = Some("ck_bucket"))
     store.analyze("orders_ck", Seq("o_custkey"))
     val (kept, total) = store.statsPrunedParts("orders_ck", "o_custkey", 10L, 80L)
@@ -138,6 +143,30 @@ object RagQueries extends QuerySet {
     """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
       |FROM orders WHERE o_custkey >= 10 AND o_custkey <= 80
       |ORDER BY o_orderkey""".stripMargin
+
+  /** Partial-column merge ($set) through the versioned store — the
+    * UpdateOne-$set half of the reference's mutation surface (vectorize-
+    * on-write enriches existing documents in place): matched rows get
+    * the named column overwritten, everything else — other columns,
+    * unmatched rows, unmatched update keys — is untouched. The oracle
+    * states the same semantics with a CASE over a left join. */
+  private def q108(s: SparkSession, d: String): DataFrame = {
+    val store = new DocumentStore(s, Files.createTempDirectory("graft-q108").toString)
+    store.create("supplier", t(s, d, "supplier"), partitionCol = Some("s_nationkey"))
+    import s.implicits._
+    val updates = Seq((1L, "flagged supplier"), (5L, "flagged supplier"),
+      (999999L, "ghost")).toDF("s_suppkey", "s_name")
+    store.mergeSet("supplier", updates, keys = Seq("s_suppkey"), setCols = Seq("s_name"))
+    store.read("supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val q108Sql =
+    """SELECT s_suppkey,
+      |  CASE WHEN s_suppkey IN (1, 5) THEN 'flagged supplier' ELSE s_name END AS s_name,
+      |  s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
 
   /** Ingest throughput at the reference's production dims: batch-embed
     * the corpus at 1536-d (ada-002 width, MongoDbService.cs:136) and
@@ -161,5 +190,6 @@ object RagQueries extends QuerySet {
     Q("q62_store_delete", q62, Some(q62Sql)),
     Q("q99_store_time_travel", q99, Some(q99Sql)),
     Q("q104_store_compact", q104, Some(q104Sql), headline = true),
-    Q("q105_store_skipping", q105, Some(q105Sql), headline = true))
+    Q("q105_store_skipping", q105, Some(q105Sql), headline = true),
+    Q("q108_store_merge_set", q108, Some(q108Sql)))
 }

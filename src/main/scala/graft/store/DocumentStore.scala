@@ -273,6 +273,52 @@ class DocumentStore(spark: SparkSession, root: String) {
     commit(table, v, (m0 -- touchedKeys) ++ written)
   }
 
+  /** Partial-column merge — the `$set` half of the reference's update
+    * surface (UpdateOne `$set` on the vector field when vectorize-on-
+    * write enriches an existing document, vs ReplaceOne for whole-doc
+    * upserts = [[upsert]]). Rows matching `keys` get `setCols`
+    * overwritten from `updates` (nulls in `updates` DO set null — $set
+    * semantics, not coalesce); non-matching table rows keep their
+    * values; update rows with no match are ignored (upsert=false).
+    * Only partitions containing matched keys are rewritten. */
+  def mergeSet(table: String, updates: DataFrame, keys: Seq[String],
+               setCols: Seq[String]): Unit = {
+    require(setCols.nonEmpty && setCols.intersect(keys).isEmpty,
+      s"setCols must be non-empty and disjoint from keys: $setCols / $keys")
+    val pc = partCol(table)
+    val v0 = currentVersion(table); val v = v0 + 1
+    val m0 = manifest(table, v0)
+    if (m0.isEmpty) return
+    // one row per key (a multi-valued $set batch is caller error);
+    // the join side stays un-hinted — AQE broadcasts a small batch and
+    // shuffles a corpus-scale one
+    val u = updates.select((keys ++ setCols).map(col): _*)
+      .dropDuplicates(keys)
+      .withColumn("__matched", lit(true))
+    // victims: partitions holding a matched key. When the partition
+    // column is part of the key, updates' own partitions bound the set;
+    // otherwise locate them with a column-pruned key scan.
+    val touchedKeys: Set[String] =
+      if (pc.nonEmpty && keys.contains(pc.get))
+        updates.select(partExpr(pc).as("__part")).distinct()
+          .collect().map(_.getString(0)).toSet
+      else readDirs(table, v0, m0.values.toSeq)
+        .join(updates.select(keys.map(col): _*).distinct(), keys, "left_semi")
+        .select(partExpr(pc).as("__part")).distinct()
+        .collect().map(_.getString(0)).toSet
+    val touchedDirs = m0.filter { case (k, _) => touchedKeys.contains(k) }.values.toSeq
+    if (touchedDirs.isEmpty) return
+    val cur = readDirs(table, v0, touchedDirs)
+    val renamed = setCols.foldLeft(u)((d, c) => d.withColumnRenamed(c, s"__set_$c"))
+    val merged0 = cur.join(renamed, keys, "left")
+    val merged = setCols.foldLeft(merged0) { (d, c) =>
+      d.withColumn(c, when(col("__matched"), col(s"__set_$c")).otherwise(col(c)))
+    }.drop("__matched" +: setCols.map(c => s"__set_$c"): _*)
+      .select(cur.columns.map(col): _*)
+    val written = writeSegments(table, merged, v, pc)
+    commit(table, v, (m0 -- touchedKeys) ++ written)
+  }
+
   /** S6/S7: delete rows matching the predicate (point or bulk). The scan
     * prunes to partitions that may match only when the predicate binds
     * the partition column via the caller-supplied hint. */

@@ -116,6 +116,30 @@ class CompactionSpec extends AnyFunSuite with SparkSuite {
     assert(out.filter($"id" === 7777L).select("payload").head().isNullAt(0))
   }
 
+  test("mergeSet overwrites only the named columns on matched rows ($set)") {
+    val s = freshStore()
+    fragmented(s)
+    import org.apache.spark.sql.functions.{col => c}
+    val before = s.read("t").filter(c("id") === 5L).select("payload").head().getString(0)
+    s.mergeSet("t",
+      Seq((10L, "SET10"), (250L, "SET250"), (123456L, "ghost"))
+        .toDF("id", "payload"),
+      keys = Seq("id"), setCols = Seq("payload"))
+    val out = s.read("t")
+    assert(out.count() == 600) // no inserts (upsert=false), no deletes
+    assert(out.filter(c("id") === 10L).select("payload").head().getString(0) == "SET10")
+    assert(out.filter(c("id") === 250L).select("payload").head().getString(0) == "SET250")
+    // untouched rows keep their values; unmatched update keys are ignored
+    assert(out.filter(c("id") === 5L).select("payload").head().getString(0) == before)
+    assert(out.filter(c("payload") === "ghost").count() == 0)
+    // $set semantics: an explicit null SETS null, it doesn't coalesce
+    s.mergeSet("t", Seq((10L, null.asInstanceOf[String])).toDF("id", "payload"),
+      keys = Seq("id"), setCols = Seq("payload"))
+    assert(s.read("t").filter(c("id") === 10L).select("payload").head().isNullAt(0))
+    // only the matched partitions were rewritten
+    assert(s.version("t") == 3)
+  }
+
   test("analyze + readRange prunes partitions and matches the full-scan filter") {
     val s = freshStore()
     fragmented(s)
