@@ -323,6 +323,49 @@ object TextQueries extends QuerySet {
        |SELECT u AS doc_id, MIN(v) AS cluster_id
        |FROM r GROUP BY u ORDER BY doc_id""".stripMargin
 
+  /** Dedup cluster REPRESENTATIVE selection — the keep-policy step after
+    * q85's resolution: production dedup keeps the best member of each
+    * near-dup cluster (here: most tokens, ties to the lower id — a total
+    * order, so the choice is deterministic in both engines), not the
+    * arbitrary min-id. Composition of existing ops: CC labels ⋈ token
+    * counts → one groupBy with an argmax over a composite key; the
+    * representative step adds a single doc-cardinality aggregation on
+    * top of the audited q85 plan. */
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.8, hashShingles = true)
+    val clusters = Clusters.connectedComponents(docs, "doc_id", pairs, "a_id", "b_id")
+    val wc = docs.select(col("doc_id"),
+      size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("n_tokens"))
+    clusters.join(wc, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        max_by(col("doc_id"), struct(col("n_tokens"), (-col("doc_id")).as("nid"))).as("rep_id"),
+        count(lit(1)).as("size"),
+        max(col("n_tokens")).as("rep_tokens"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private val q109Sql =
+    s"""WITH RECURSIVE ${pairCtes("0.8")},
+       |e AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |      UNION ALL SELECT b_id, a_id FROM pairs),
+       |r(u, v) AS (SELECT doc_id, doc_id FROM documents
+       |            UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+       |cl AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM r GROUP BY u),
+       |wc AS (SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |rk AS (SELECT cluster_id, doc_id, n_tokens,
+       |         ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |           ORDER BY n_tokens DESC, doc_id) AS rn,
+       |         COUNT(*) OVER (PARTITION BY cluster_id) AS size
+       |       FROM cl JOIN wc USING (doc_id))
+       |SELECT cluster_id, doc_id AS rep_id, CAST(size AS BIGINT) AS size,
+       |  n_tokens AS rep_tokens
+       |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
   /** Sequence packing (concat-then-chunk, seqLen=512): distributed
     * two-phase global offset vs the oracle's single window cumsum —
     * identical layout row-for-row. */
@@ -713,5 +756,6 @@ object TextQueries extends QuerySet {
     Q("q100_span_dedup", q100, Some(q100Sql), headline = true),
     Q("q101_mixture_resample", q101, Some(q101Sql), headline = true),
     Q("q102_heavy_hitters", q102, Some(q102Sql), headline = true),
-    Q("q106_token_budget_mix", q106, Some(q106Sql), headline = true))
+    Q("q106_token_budget_mix", q106, Some(q106Sql), headline = true),
+    Q("q109_cluster_representative", q109, Some(q109Sql)))
 }
