@@ -48,6 +48,35 @@ object Splits {
     df.withColumn("split", expr)
   }
 
+  /** Engine-reproducible key for a STRING column: the polynomial rolling
+    * hash Σ (acc·31 + ascii) mod 1e9+7 — plain integer arithmetic any
+    * engine replays exactly (DuckDB: list_reduce over string_split; the
+    * q70 checksum pattern). Result < 2^31, so it feeds [[hashBucket]]
+    * without pre-reduction concerns. Not cryptographic. */
+  def stringKey(c: Column): Column =
+    aggregate(filter(split(c, ""), ch => ch =!= ""), lit(0L),
+      (acc, ch) => pmod(acc * 31 + ascii(ch), lit(1000000007L)))
+
+  /** Leakage-safe GROUP-wise split (sklearn GroupShuffleSplit
+    * semantics): every row follows its GROUP's bucket, so all documents
+    * of one source/domain/author land in the SAME split — row-level
+    * splitting leaks near-duplicate content across train/val when a
+    * group's documents correlate, which is exactly when dedup-aware
+    * evaluation matters. A pure narrow projection over the group
+    * column: no shuffle, no group table, reproducible by any engine. */
+  def withGroupSplit(df: DataFrame, groupCol: String,
+                     fractions: Seq[(String, Double)] = Seq(
+                       "train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val bounds = fractions.scanLeft(0)((acc, f) => acc + math.round(f._2 * 100).toInt)
+    val b = hashBucket(stringKey(col(groupCol)), 100)
+    val expr = fractions.zip(bounds.sliding(2).toSeq).foldLeft(lit(null).cast("string")) {
+      case (acc, ((name, _), Seq(lo, hi))) =>
+        when(b >= lo && b < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Deterministic global shuffle: order the corpus by the seeded stable
     * hash of its id — the reproducible "shuffle the training data" step
     * (same order on any cluster, any partitioning, any engine; a new

@@ -595,6 +595,35 @@ object TextQueries extends QuerySet {
       |FROM r JOIN q USING (source)
       |WHERE rn <= quota ORDER BY source, rn""".stripMargin
 
+  /** Leakage-safe group split: all documents of one source land in one
+    * split (sklearn GroupShuffleSplit semantics) — row-level hashing
+    * leaks correlated near-duplicates across train/val. The group key
+    * is the engine-reproducible polynomial string hash, so the oracle
+    * replays bucket assignment exactly; the per-(source, split) roll-up
+    * makes the one-split-per-source invariant directly visible in the
+    * compared rows. */
+  private def q110(s: SparkSession, d: String): DataFrame =
+    graft.operators.Splits.withGroupSplit(
+        t(s, d, "documents").select(col("doc_id"), col("source")), "source")
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("split"))
+
+  private val q110Sql =
+    """WITH k AS (SELECT source,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(source, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) AS key
+      |  FROM documents),
+      |b AS (SELECT source,
+      |    (((key % 2147483648) * 2654435761) % 4294967296) % 100 AS bucket FROM k),
+      |s AS (SELECT source,
+      |    CASE WHEN bucket < 80 THEN 'train'
+      |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      |  FROM b)
+      |SELECT source, split, COUNT(*) AS n_docs
+      |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin
+
   /** Token-budget domain mix — the training-mix primitive stated in
     * TOKENS rather than document counts ("30B web + 5B code"): each
     * source contributes its minimal deterministic-hash-order document
@@ -757,5 +786,6 @@ object TextQueries extends QuerySet {
     Q("q101_mixture_resample", q101, Some(q101Sql), headline = true),
     Q("q102_heavy_hitters", q102, Some(q102Sql), headline = true),
     Q("q106_token_budget_mix", q106, Some(q106Sql), headline = true),
-    Q("q109_cluster_representative", q109, Some(q109Sql)))
+    Q("q109_cluster_representative", q109, Some(q109Sql)),
+    Q("q110_group_split", q110, Some(q110Sql)))
 }

@@ -32,6 +32,31 @@ class SplitsSpec extends AnyFunSuite with SparkSuite {
     assert(out.select("doc_id").distinct().count() == out.count())
   }
 
+  test("group split: every group lands wholly in one split, stable under repartitioning") {
+    val docs = t(spark, sf, "documents")
+    val out = Splits.withGroupSplit(docs, "source")
+    // leakage safety: one split per source
+    val perSource = out.groupBy("source")
+      .agg(countDistinct(col("split")).as("k")).collect()
+    assert(perSource.nonEmpty)
+    perSource.foreach(r => assert(r.getLong(1) == 1L, s"source ${r.getString(0)} straddles splits"))
+    assert(out.filter(col("split").isNull).count() == 0)
+    def assignment(df: org.apache.spark.sql.DataFrame) =
+      Splits.withGroupSplit(df, "source").select("source", "split")
+        .distinct().collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(assignment(docs) == assignment(docs.repartition(17, col("doc_id"))))
+  }
+
+  test("stringKey matches a driver-side polynomial hash replay") {
+    import spark.implicits._
+    val words = Seq("web", "code", "wiki", "", "a b c").toDF("s")
+    val got = words.select(col("s"), Splits.stringKey(col("s")).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def poly(s: String): Long =
+      s.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toInt) % 1000000007L)
+    got.foreach { case (s, k) => assert(k == poly(s), s"'$s'") }
+  }
+
   test("stratified sample is stable under repartitioning") {
     val docs = t(spark, sf, "documents")
     val fr = Map("en" -> 0.25, "zh" -> 0.4)
