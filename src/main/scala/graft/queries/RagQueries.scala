@@ -144,6 +144,38 @@ object RagQueries extends QuerySet {
       |FROM orders WHERE o_custkey >= 10 AND o_custkey <= 80
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Row-level diff between two committed store versions — the pipeline
+    * audit view of what a mutation epoch did ("what changed between the
+    * corpus my last run trained on and today's"): multiplicity-aware
+    * added/removed rows across a delete + an upsert. The oracle restates
+    * both snapshots relationally and diffs them with EXCEPT ALL. */
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    val store = new DocumentStore(s, Files.createTempDirectory("graft-q111").toString)
+    store.create("supplier", t(s, d, "supplier"))
+    store.delete("supplier", col("s_acctbal") < 0)
+    import s.implicits._
+    store.upsert("supplier",
+      Seq((1L, "renamed one", 0, 100.0))
+        .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      keys = Seq("s_suppkey"))
+    store.diff("supplier", 1, 3)
+      .select(col("s_suppkey"), col("s_name"), col("change"))
+      .orderBy(col("change"), col("s_suppkey"))
+  }
+
+  private val q111Sql =
+    """WITH v1 AS (SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier),
+      |v2 AS (SELECT * FROM v1 WHERE NOT (s_acctbal < 0)),
+      |v3 AS (SELECT * FROM v2 WHERE s_suppkey <> 1
+      |       UNION ALL SELECT CAST(1 AS BIGINT), 'renamed one',
+      |         CAST(0 AS INT), CAST(100.0 AS DOUBLE)),
+      |adds AS (SELECT s_suppkey, s_name, 'added' AS change
+      |         FROM (SELECT * FROM v3 EXCEPT ALL SELECT * FROM v1)),
+      |rems AS (SELECT s_suppkey, s_name, 'removed' AS change
+      |         FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v3))
+      |SELECT * FROM adds UNION ALL SELECT * FROM rems
+      |ORDER BY change, s_suppkey""".stripMargin
+
   /** Partial-column merge ($set) through the versioned store — the
     * UpdateOne-$set half of the reference's mutation surface (vectorize-
     * on-write enriches existing documents in place): matched rows get
@@ -191,5 +223,6 @@ object RagQueries extends QuerySet {
     Q("q99_store_time_travel", q99, Some(q99Sql)),
     Q("q104_store_compact", q104, Some(q104Sql), headline = true),
     Q("q105_store_skipping", q105, Some(q105Sql), headline = true),
-    Q("q108_store_merge_set", q108, Some(q108Sql)))
+    Q("q108_store_merge_set", q108, Some(q108Sql)),
+    Q("q111_store_diff", q111, Some(q111Sql)))
 }
