@@ -62,6 +62,28 @@ class IvfStoreSpec extends AnyFunSuite with SparkSuite {
     assert(scanned.nonEmpty)
   }
 
+  test("compaction after incremental churn: fewer files, identical search") {
+    val (ivf, store, emb) = freshIvf()
+    val probe = emb.filter($"vec_id" === 1L).head().getSeq[Float](1).toArray
+    // churn: many small add batches fragment the touched partitions
+    (0 until 6).foreach { i =>
+      val batch = Seq((100000L + i, probe.map(_ + i * 0.01f).toSeq, 7))
+        .toDF("vec_id", "embedding", "label")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+      ivf.add(batch)
+    }
+    val before = ivf.search(probe, 10, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    val filesBefore = store.fileStats("vecs").map(_._2).sum
+    // the index table is a normal store table: OPTIMIZE applies directly
+    assert(store.compact("vecs"))
+    val filesAfter = store.fileStats("vecs").map(_._2).sum
+    assert(filesAfter < filesBefore, s"$filesBefore -> $filesAfter")
+    val after = ivf.search(probe, 10, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(after == before) // serve answer unchanged by layout
+  }
+
   test("remove on a missing or empty table is a no-op") {
     val emb = t(spark, sf, "embeddings")
     val idx = IvfIndex.train(emb, "embedding", "vec_id", numLists = 2, iters = 1)
