@@ -26,7 +26,12 @@ import graft.store.DocumentStore
   * stage, spread across the cluster by [[Embed.withEmbedding]]) and one
   * keyed upsert (rewrites only the partitions holding touched keys).
   * State lives in the store + checkpoint, not executor memory, so an
-  * arbitrarily long-running stream holds no growing state.
+  * arbitrarily long-running stream holds no growing state. Each
+  * micro-batch's rewrite leaves however many files its tasks wrote, so
+  * a long-running stream fragments its touched partitions —
+  * `compactEvery = n` folds the OPTIMIZE pass into every n-th batch
+  * (a normal committed version; readers never block, replays stay
+  * idempotent because compaction moves no rows).
   */
 object VectorIngest {
 
@@ -37,10 +42,12 @@ object VectorIngest {
             versionCol: Option[String] = None,
             maxInputTokens: Option[Int] = None,
             codec: graft.functions.TokenCodec = graft.functions.Tokenizer,
-            partitionCol: Option[String] = None): StreamingQuery =
+            partitionCol: Option[String] = None,
+            compactEvery: Int = 0,
+            compactMaxFileBytes: Long = 128L << 20): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val one = onePerKey(batch, idCol, versionCol)
           // persist: upsert walks its input up to three times (partition
@@ -52,6 +59,10 @@ object VectorIngest {
             if (store.exists(table)) store.upsert(table, withVec, Seq(idCol))
             else store.create(table, withVec, partitionCol)
           } finally withVec.unpersist()
+          // keyed on batchId so a replayed batch repeats the same
+          // decision — compaction itself is row-preserving either way
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+            store.compact(table, compactMaxFileBytes)
         }
         ()
       }

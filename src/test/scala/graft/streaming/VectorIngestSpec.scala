@@ -57,6 +57,28 @@ class VectorIngestSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("compactEvery folds OPTIMIZE into the stream: files bounded, rows intact") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val store = new DocumentStore(spark, Files.createTempDirectory("graft-vi4").toString)
+    val q = VectorIngest.start(in.toDF().toDF("doc_id", "text"), store, "docs",
+      embedder, "doc_id", "text",
+      Files.createTempDirectory("graft-vi4-ckpt").toString,
+      compactEvery = 3)
+    try {
+      // 6 micro-batches of small upserts -> two compaction points
+      (0 until 6).foreach { b =>
+        in.addData((100L + b, s"doc $b"), (200L + b, s"other $b"))
+        q.processAllAvailable()
+      }
+      assert(store.read("docs").count() == 12)
+      // batch ids 2 and 5 compacted; the unpartitioned table is one
+      // partition, so its file count is back at the ideal single file
+      val files = store.fileStats("docs").map(_._2).sum
+      assert(files == 1, s"expected compacted layout, got $files files")
+    } finally q.stop()
+  }
+
   test("replaying the same payload converges (idempotent keyed sink)") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, String)]
