@@ -376,6 +376,56 @@ object VectorQueries extends QuerySet {
       |  CAST(SUM(el) AS BIGINT) AS sum_q, COUNT(*) AS n
       |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
+  /** FILTERED vector search — the metadata-predicate + top-k shape every
+    * production vector store serves ("nearest products IN this
+    * category"). Spark-first this is simply predicate-then-topK: the
+    * filter sits UNDER the scan (pushed to parquet), the similarity
+    * projection runs only over survivors, and the per-task k-heap never
+    * sees excluded rows — no post-filtering a wider candidate list like
+    * bolt-on vector stores do. */
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    val probe = probeVec(s, d, 0L)
+    VectorSearch.exactTopK(
+        t(s, d, "embeddings").filter(col("label") === 2),
+        "embedding", "vec_id", probe, 10)
+      .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim"))
+  }
+
+  private val q112Sql =
+    s"""WITH q AS (SELECT ${dl("embedding")} AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, label,
+       |  round(list_cosine_similarity(${dl("embedding")}, qv), 6) AS sim
+       |FROM embeddings, q
+       |WHERE label = 2
+       |ORDER BY list_cosine_similarity(${dl("embedding")}, qv) DESC, vec_id
+       |LIMIT 10""".stripMargin
+
+  /** Multi-vector (late-interaction) retrieval: a document is its SET of
+    * vectors and its score is the max similarity over them (the
+    * MaxSim/ColBERT reduction; same shape as best-chunk retrieval in
+    * ChatEngine.vectorSearchChunked). One scan pass scores every vector
+    * inside codegen, then a map-side-combined max per group — the
+    * shuffle carries one row per document, not per vector. */
+  private def q113(s: SparkSession, d: String): DataFrame = {
+    val probe = probeVec(s, d, 0L)
+    t(s, d, "embeddings")
+      .withColumn("__sim", cosine_sim(col("embedding"), typedlit(probe)))
+      .groupBy(col("label"))
+      .agg(max(col("__sim")).as("maxsim"), count(lit(1)).as("n_vectors"))
+      .select(col("label"), round(col("maxsim"), 6).as("sim"), col("n_vectors"))
+      .orderBy(col("sim").desc, col("label"))
+      .limit(5)
+  }
+
+  private val q113Sql =
+    s"""WITH q AS (SELECT ${dl("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+       |s AS (SELECT label,
+       |        MAX(list_cosine_similarity(${dl("embedding")}, qv)) AS m,
+       |        COUNT(*) AS n_vectors
+       |      FROM embeddings, q GROUP BY label)
+       |SELECT label, round(m, 6) AS sim, n_vectors
+       |FROM s ORDER BY round(m, 6) DESC, label LIMIT 5""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q30_knn_exact", q30, Some(q30Sql), headline = true),
     Q("q31_knn_join_window", q31, Some(knnJoinSql)),
@@ -391,5 +441,7 @@ object VectorQueries extends QuerySet {
     Q("q34_vector_norms", q34, Some(q34Sql)),
     Q("q91_hard_negatives", q91, Some(q91Sql)),
     Q("q35_neardup_embedding", q35, Some(q35Sql), headline = true),
-    Q("q107_embed_pool", q107, Some(q107Sql), headline = true))
+    Q("q107_embed_pool", q107, Some(q107Sql), headline = true),
+    Q("q112_knn_filtered", q112, Some(q112Sql)),
+    Q("q113_maxsim_multivector", q113, Some(q113Sql)))
 }
