@@ -385,9 +385,9 @@ object VectorQueries extends QuerySet {
     * bolt-on vector stores do. */
   private def q112(s: SparkSession, d: String): DataFrame = {
     val probe = probeVec(s, d, 0L)
-    VectorSearch.exactTopK(
-        t(s, d, "embeddings").filter(col("label") === 2),
-        "embedding", "vec_id", probe, 10)
+    graft.search.ExactSearcher.topKWhere(
+        t(s, d, "embeddings"), "embedding", "vec_id", probe, 10,
+        col("label") === 2)
       .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim"))
   }
 

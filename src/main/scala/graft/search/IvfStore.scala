@@ -53,13 +53,18 @@ final class IvfStore(store: DocumentStore, table: String, val index: IvfIndex,
   }
 
   /** ANN search over the stored index: only the nprobe nearest centroid
-    * partitions are read (manifest pruning), exact top-k within them. */
-  def search(probe: Array[Float], k: Int, nprobe: Int = 1): DataFrame = {
+    * partitions are read (manifest pruning), exact top-k within them.
+    * `pred` (filtered search) applies to the pruned candidate stream —
+    * the store rows carry the full corpus columns, so partition pruning
+    * and the metadata predicate compose in one scan. */
+  def search(probe: Array[Float], k: Int, nprobe: Int = 1,
+             pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val lists = index.nearestLists(probe, nprobe).map(_.toString)
     val pruned = store.readPartitions(table, lists)
     if (pruned.columns.isEmpty) pruned
     else {
-      val cand = if (index.multiAssign <= 1) pruned else pruned.dropDuplicates(idCol)
+      val cand0 = if (index.multiAssign <= 1) pruned else pruned.dropDuplicates(idCol)
+      val cand = pred.map(cand0.filter).getOrElse(cand0)
       VectorSearch.exactTopK(cand, vecCol, idCol, probe, k)
     }
   }

@@ -123,12 +123,19 @@ final class IvfPq(val ivf: IvfIndex, val cb: PqCodebook,
   }
 
   /** Prune → ADC-scan → shortlist → exact rerank. `corpus` supplies the
-    * float vectors for the ≤`shortlist` rerank lookups only. */
+    * float vectors for the ≤`shortlist` rerank lookups only.
+    * `allowedIds` (filtered search) semi-joins the coded candidates
+    * BEFORE the shortlist, so a selective metadata predicate cannot
+    * crowd the shortlist with rows the caller will discard. */
   def search(corpus: DataFrame, probe: Array[Float], k: Int,
-             nprobe: Int = 4, shortlist: Int = 100): DataFrame = {
+             nprobe: Int = 4, shortlist: Int = 100,
+             allowedIds: Option[DataFrame] = None): DataFrame = {
     val lists = ivf.nearestLists(probe, nprobe).map(_.toString)
     val pruned0 = store.readPartitions(table, lists)
-    val pruned = if (ivf.multiAssign <= 1) pruned0 else pruned0.dropDuplicates(idCol)
+    val pruned1 = if (ivf.multiAssign <= 1) pruned0 else pruned0.dropDuplicates(idCol)
+    val pruned = allowedIds
+      .map(a => pruned1.join(a.select(col(idCol)), Seq(idCol), "left_semi"))
+      .getOrElse(pruned1)
     val lut = cb.lookupTable(probe)
     var qn = 0.0; var i = 0
     while (i < probe.length) { qn += probe(i).toDouble * probe(i); i += 1 }

@@ -20,6 +20,19 @@ import org.apache.spark.sql.functions._
 trait VectorSearcher extends Serializable {
   def topK(corpus: DataFrame, vecCol: String, idCol: String,
            probe: Array[Float], k: Int): DataFrame
+
+  /** FILTERED search: rows failing `pred` are excluded BEFORE ranking —
+    * the metadata-predicate + top-k shape every production vector store
+    * serves. The default filters the scanned corpus (exact for the
+    * corpus-scanning strategies: the predicate pushes to the scan and
+    * the k-heap never sees excluded rows); index-backed strategies
+    * override to filter their candidate streams instead of post-
+    * filtering a k-sized answer below k (recall vs the filtered exact
+    * scan is spec-gated, FilteredSearchSpec). */
+  def topKWhere(corpus: DataFrame, vecCol: String, idCol: String,
+                probe: Array[Float], k: Int,
+                pred: org.apache.spark.sql.Column): DataFrame =
+    topK(corpus.filter(pred), vecCol, idCol, probe, k)
 }
 
 /** Brute-force scan — always exact, reads the whole corpus once. */
@@ -37,6 +50,15 @@ final class IvfSearcher(ivf: IvfStore, nprobe: Int = 4) extends VectorSearcher {
   override def topK(corpus: DataFrame, vecCol: String, idCol: String,
                     probe: Array[Float], k: Int): DataFrame =
     ivf.search(probe, k, nprobe).drop("centroid_id")
+
+  /** The store holds full corpus rows, so the predicate applies to the
+    * nprobe-pruned candidate stream directly — partition pruning and
+    * the filter compose; recall wrt the filtered exact scan is the same
+    * nprobe trade as unfiltered search. */
+  override def topKWhere(corpus: DataFrame, vecCol: String, idCol: String,
+                         probe: Array[Float], k: Int,
+                         pred: org.apache.spark.sql.Column): DataFrame =
+    ivf.search(probe, k, nprobe, pred = Some(pred)).drop("centroid_id")
 }
 
 /** Brute-force scan over int8-quantized vectors: same single-pass
@@ -94,6 +116,20 @@ final class PqSearcher(cb: PqCodebook, encoded: DataFrame, shortlist: Int = 100)
     // effective shortlist floors at 4k regardless of configuration
     PqIndex.searchRerank(cb, encoded, corpus, vecCol, idCol, probe, k,
       math.max(shortlist, 4 * k))
+
+  /** The coded table carries no payload columns, so the predicate is
+    * resolved against the corpus and applied to the ADC scan as an id
+    * semi-join BEFORE shortlisting — a shortlist crowded out by
+    * non-matching ids would starve the rerank below k. AQE picks the
+    * semi-join strategy by the filtered side's size. */
+  override def topKWhere(corpus: DataFrame, vecCol: String, idCol: String,
+                         probe: Array[Float], k: Int,
+                         pred: org.apache.spark.sql.Column): DataFrame = {
+    val allowed = corpus.filter(pred)
+    PqIndex.searchRerank(cb,
+      encoded.join(allowed.select(col(idCol)), Seq(idCol), "left_semi"),
+      allowed, vecCol, idCol, probe, k, math.max(shortlist, 4 * k))
+  }
 }
 
 /** Serves from a persisted [[IvfPq]] index: nprobe-pruned partition
@@ -105,6 +141,17 @@ final class IvfPqSearcher(idx: IvfPq, nprobe: Int = 4, shortlist: Int = 100)
   override def topK(corpus: DataFrame, vecCol: String, idCol: String,
                     probe: Array[Float], k: Int): DataFrame =
     idx.search(corpus, probe, k, nprobe, math.max(shortlist, 4 * k))
+
+  /** Same id-semi-join placement as [[PqSearcher]]: the predicate
+    * filters the nprobe-pruned coded candidates BEFORE the ADC
+    * shortlist, and the rerank runs against the filtered corpus. */
+  override def topKWhere(corpus: DataFrame, vecCol: String, idCol: String,
+                         probe: Array[Float], k: Int,
+                         pred: org.apache.spark.sql.Column): DataFrame = {
+    val allowed = corpus.filter(pred)
+    idx.search(allowed, probe, k, nprobe, math.max(shortlist, 4 * k),
+      allowedIds = Some(allowed.select(col(idCol))))
+  }
 }
 
 /** Serves from prebuilt [[HnswIndex]] segment graphs. The graphs store
@@ -120,5 +167,35 @@ final class HnswSearcher(graphs: DataFrame, ef: Int = 64) extends VectorSearcher
       .join(broadcast(hits), col(idCol).cast("long") === col("__hnsw_id"))
       .drop("__hnsw_id")
       .orderBy(col("sim").desc, col(idCol))
+  }
+
+  /** The graph walk cannot see the predicate mid-traversal (standard
+    * HNSW limitation), so the filtered form over-fetches and keeps the
+    * predicate's survivors — ADAPTIVELY: start at 4k candidates and
+    * quadruple until k survive or the graph is exhausted (the walk
+    * returned fewer hits than asked). A fixed over-fetch silently
+    * under-recalls on selective predicates; the widening loop makes
+    * cost track selectivity instead (each round is one more graph walk
+    * + one broadcast join). A predicate selective enough to loop many
+    * times wants the IVF or exact path — the seam makes that a
+    * one-line swap. */
+  override def topKWhere(corpus: DataFrame, vecCol: String, idCol: String,
+                         probe: Array[Float], k: Int,
+                         pred: org.apache.spark.sql.Column): DataFrame = {
+    val filtered = corpus.filter(pred)
+    var fetch = 4 * k
+    while (true) {
+      val hits = HnswIndex.search(graphs, probe, fetch, math.max(ef, 2 * fetch))
+        .withColumnRenamed("vec_id", "__hnsw_id")
+      val walked = hits.count()
+      val joined = filtered
+        .join(broadcast(hits), col(idCol).cast("long") === col("__hnsw_id"))
+        .drop("__hnsw_id")
+        .orderBy(col("sim").desc, col(idCol))
+        .limit(k)
+      if (joined.count() >= k || walked < fetch) return joined
+      fetch *= 4
+    }
+    sys.error("unreachable")
   }
 }
