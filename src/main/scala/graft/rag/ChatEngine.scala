@@ -147,13 +147,22 @@ class ChatEngine(
 
   /** V2: embed the question, cosine top-k over the corpus, strip vector
     * and id (P1's `$project {_id:0, vector:0}`), space-join stringified
-    * hits (A4). */
-  def vectorSearch(table: String, question: String, idCol: String = "id"): String = {
+    * hits (A4). `filter` scopes retrieval to matching rows (the
+    * reference's data model is category-keyed — (categoryId, _id)
+    * compound keys throughout MongoDbService.cs — and scoping "nearest
+    * products IN this category" is the filtered-search shape every
+    * vector store serves); it rides [[VectorSearcher.topKWhere]], so
+    * each index strategy filters its own candidate stream. */
+  def vectorSearch(table: String, question: String, idCol: String = "id",
+                   filter: Option[org.apache.spark.sql.Column] = None): String = {
     val qv = embedder.embed(
       Seq(codec.truncateHead(question, maxEmbeddingTokens))).head
     val corpus = store.read(table)
-    val hits = searcher.topK(corpus, "vector", idCol, qv, maxSearchResults)
-      .drop("vector", "sim", idCol)
+    val hits0 = filter match {
+      case Some(p) => searcher.topKWhere(corpus, "vector", idCol, qv, maxSearchResults, p)
+      case None => searcher.topK(corpus, "vector", idCol, qv, maxSearchResults)
+    }
+    val hits = hits0.drop("vector", "sim", idCol)
     val jsons = hits.toJSON.collect() // k rows only
     jsons.mkString(" ")
   }

@@ -69,6 +69,18 @@ class ChatEngineSpec extends AnyFunSuite with SparkSuite {
     assert(sockHits >= 2, s"payload: ${payload.take(200)}")
   }
 
+  test("filtered retrieval scopes hits to the predicate's category") {
+    import org.apache.spark.sql.functions.col
+    val (eng, _) = newEngine()
+    // the category filter must hold even when the question pulls
+    // strongly toward another category's rows
+    val payload = eng.vectorSearch("products", "warm wool mountain socks",
+      filter = Some(col("categoryId") === "c-bikes"))
+    assert(payload.nonEmpty)
+    assert(!payload.contains("Socks"), s"payload leaked: ${payload.take(200)}")
+    assert(payload.contains("Bikes"))
+  }
+
   test("cosmic socks add/remove scenario (README.md:184-194)") {
     val (eng, store) = newEngine()
     def sockCount(): Int =
