@@ -426,6 +426,47 @@ object VectorQueries extends QuerySet {
        |SELECT label, round(m, 6) AS sim, n_vectors
        |FROM s ORDER BY round(m, 6) DESC, label LIMIT 5""".stripMargin
 
+  /** Retrieval evaluation (recall@10 / MRR@10) of the k-NN serve path
+    * against label-match qrels — the trec_eval loop a pipeline runs
+    * after every index or embedding change. Hit counts and 1/rank are
+    * exact rationals, so the metrics hash-match the oracle's recount. */
+  private def q114(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val probes = e.filter(col("vec_id") < 5)
+    val results = VectorSearch.knnJoinWindow(
+      probes, "vec_id", "embedding", e, "vec_id", "embedding", 10)
+      .select(col("probe_id"), col("vec_id").as("doc_id"), col("rn"))
+    val qrels = probes.select(col("vec_id").as("probe_id"), col("label"))
+      .join(e.select(col("vec_id").as("doc_id"), col("label")), "label")
+      .select(col("probe_id"), col("doc_id"))
+    graft.operators.IrMetrics.evaluate(results, qrels, k = 10)
+      .orderBy(col("probe_id"))
+  }
+
+  private val q114Sql =
+    s"""WITH p AS (SELECT vec_id AS probe_id, label, ${dl("embedding")} AS pv
+       |           FROM embeddings WHERE vec_id < 5),
+       |r AS (SELECT p.probe_id, e.vec_id AS doc_id,
+       |        ROW_NUMBER() OVER (PARTITION BY p.probe_id
+       |          ORDER BY list_cosine_similarity(${dl("e.embedding")}, p.pv) DESC,
+       |            e.vec_id) AS rn
+       |      FROM embeddings e, p),
+       |qrels AS (SELECT p.probe_id, e.vec_id AS doc_id
+       |          FROM embeddings e JOIN p ON e.label = p.label),
+       |ink AS (SELECT r.probe_id, r.rn,
+       |          CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+       |        FROM r LEFT JOIN qrels q
+       |          ON r.probe_id = q.probe_id AND r.doc_id = q.doc_id
+       |        WHERE r.rn <= 10),
+       |pp AS (SELECT probe_id, SUM(rel) AS hits,
+       |         MIN(CASE WHEN rel = 1 THEN rn END) AS frr
+       |       FROM ink GROUP BY probe_id),
+       |nr AS (SELECT probe_id, COUNT(*) AS n_rel FROM qrels GROUP BY probe_id)
+       |SELECT nr.probe_id, n_rel, CAST(COALESCE(hits, 0) AS BIGINT) AS hits,
+       |  round(CAST(COALESCE(hits, 0) AS DOUBLE) / n_rel, 6) AS recall_at_k,
+       |  round(COALESCE(CAST(1 AS DOUBLE) / frr, 0.0), 6) AS mrr
+       |FROM nr LEFT JOIN pp USING (probe_id) ORDER BY probe_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q30_knn_exact", q30, Some(q30Sql), headline = true),
     Q("q31_knn_join_window", q31, Some(knnJoinSql)),
@@ -443,5 +484,6 @@ object VectorQueries extends QuerySet {
     Q("q35_neardup_embedding", q35, Some(q35Sql), headline = true),
     Q("q107_embed_pool", q107, Some(q107Sql), headline = true),
     Q("q112_knn_filtered", q112, Some(q112Sql)),
-    Q("q113_maxsim_multivector", q113, Some(q113Sql)))
+    Q("q113_maxsim_multivector", q113, Some(q113Sql)),
+    Q("q114_ir_metrics", q114, Some(q114Sql)))
 }
