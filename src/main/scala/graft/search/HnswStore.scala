@@ -28,18 +28,21 @@ import org.apache.spark.sql.functions._
   *    in-place HNSW deletion breaks the navigability invariants the
   *    insert heuristic maintains, which is why no production system
   *    does it.
-  *  - '''rebuild threshold''': when tombstones exceed
-  *    `maxTombstoneFrac` of live rows, the store compacts — live
-  *    (id, vector) rows are extracted from the segments (latest
-  *    generation per id, tombstone rule applied) to a scratch parquet,
-  *    the base is rebuilt from it at generation 0 with the configured
-  *    segment count, and tombstones truncate. This bounds the serve
-  *    over-fetch, the tombstone broadcast, and the accumulating segment
-  *    count, amortizing one rebuild over many cheap incremental writes.
+  *  - '''rebuild thresholds''': the store compacts — live (id, vector)
+  *    rows are extracted from the segments (latest generation per id,
+  *    tombstone rule applied) to a scratch parquet, the base is rebuilt
+  *    from it at generation 0 with the configured segment count, and
+  *    tombstones truncate — when EITHER trigger fires: tombstones
+  *    exceed `maxTombstoneFrac` of live rows (delete-heavy churn), or
+  *    the segment count exceeds `maxSegments` (insert-only churn: every
+  *    add appends segments and serve cost is linear in their count —
+  *    the Lucene merge-policy trigger). Both bounds amortize one
+  *    rebuild over many cheap incremental writes.
   */
 final class HnswStore(spark: SparkSession, path: String,
                       params: HnswIndex.Params = HnswIndex.Params(),
-                      maxTombstoneFrac: Double = 0.2) {
+                      maxTombstoneFrac: Double = 0.2,
+                      maxSegments: Int = 64) {
   import spark.implicits._
   import HnswStore.SegRow
 
@@ -148,9 +151,13 @@ final class HnswStore(spark: SparkSession, path: String,
 
   private def maybeRebuild(): Unit = {
     val tombs = readTombstones()
-    if (tombs.isEmpty) return
-    val liveCnt = liveVectors.count()
-    if (liveCnt > 0 && tombs.size.toDouble / liveCnt > maxTombstoneFrac) {
+    val tooManySegments = segmentCount > maxSegments
+    if (tombs.isEmpty && !tooManySegments) return
+    val tombTrip = tombs.nonEmpty && {
+      val liveCnt = liveVectors.count()
+      liveCnt > 0 && tombs.size.toDouble / liveCnt > maxTombstoneFrac
+    }
+    if (tombTrip || tooManySegments) {
       // Compact through a scratch parquet: build() overwrites the very
       // files liveVectors reads, so the snapshot must be durable first.
       val tmp = s"$path/compact_tmp"

@@ -101,6 +101,27 @@ class HnswStoreSpec extends AnyFunSuite with SparkSuite {
     assert(recallSum / 3 >= 0.95, s"mean recall ${recallSum / 3} < 0.95 after cycles")
   }
 
+  test("segment count past threshold triggers a merging rebuild (insert-only churn)") {
+    val store = new HnswStore(spark,
+      Files.createTempDirectory("graft-hnsw-segs").toString,
+      HnswIndex.Params(m = 8, efConstruction = 48, numSegments = 4),
+      maxSegments = 6)
+    store.build(emb, "embedding", "vec_id")
+    val base = vecOf(5L)
+    // pure inserts: no tombstones, yet segments accumulate per batch
+    (0 until 5).foreach { i =>
+      val batch = Seq((50000L + i, base.map(_ + (i + 1) * 0.01f).toSeq, 9))
+        .toDF("vec_id", "embedding", "label")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+      store.add(batch, "embedding", "vec_id")
+    }
+    assert(store.segmentCount <= 6, s"merge never fired: ${store.segmentCount} segments")
+    assert(store.tombstoneCount == 0)
+    // every inserted id survives the merge and stays searchable
+    val got = hits(store, base, 10).toSet
+    (0 until 5).foreach(i => assert(got.contains(50000L + i), s"lost id ${50000 + i}"))
+  }
+
   test("tombstone fraction past threshold triggers a compacting rebuild") {
     val store = fresh(frac = 0.05)
     val victims = (0L until 50L).toSeq // 10% of 500 >> 5% threshold
