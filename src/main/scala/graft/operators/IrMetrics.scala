@@ -21,20 +21,47 @@ import org.apache.spark.sql.functions._
   */
 object IrMetrics {
 
-  /** Per-probe recall@k and MRR@k. `results` carries (probeCol, docCol,
-    * rankCol) with rank starting at 1; `qrels` carries (probeCol,
-    * docCol) — one row per relevant document. Probes present in qrels
-    * but absent from results score 0 (never silently dropped). */
+  /** lcm(1..k) — every rank ≤ k divides it, so precision terms scale to
+    * integers. Fits a signed 64-bit comfortably through k = 40. */
+  private[operators] def rankLcm(k: Int): Long = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (1L to k).foldLeft(1L)((acc, i) => acc / gcd(acc, i) * i)
+  }
+
+  /** Per-probe recall@k, MRR@k and AP@k (average precision). `results`
+    * carries (probeCol, docCol, rankCol) with rank starting at 1;
+    * `qrels` carries (probeCol, docCol) — one row per relevant
+    * document. Probes present in qrels but absent from results score 0
+    * (never silently dropped).
+    *
+    * AP stays exact the same way the engine's other float-adjacent
+    * oracles do: each precision term hits_i/i is scaled by lcm(1..k)
+    * into an INTEGER (every rank divides the lcm), the per-probe sum is
+    * integer addition (associative — partitioning- and engine-
+    * independent), and only the final single division produces a
+    * double. A naive Σ of double precisions would drift in the last
+    * ulp with aggregation order. */
   def evaluate(results: DataFrame, qrels: DataFrame, k: Int,
                probeCol: String = "probe_id", docCol: String = "doc_id",
                rankCol: String = "rn"): DataFrame = {
-    require(k > 0, s"bad k=$k")
+    require(k > 0 && k <= 40, s"bad k=$k (rank lcm overflows past 40)")
+    val l = rankLcm(k)
     val rel = qrels.select(col(probeCol), col(docCol)).withColumn("__rel", lit(1))
     val inK = results.filter(col(rankCol) <= k)
       .join(rel, Seq(probeCol, docCol), "left")
-    val perProbe = inK.groupBy(col(probeCol)).agg(
+    // cumulative hits at each rank — the precision numerator
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(probeCol)).orderBy(col(rankCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val withCum = inK.withColumn("__cumhits",
+      sum(coalesce(col("__rel"), lit(0))).over(w))
+    val perProbe = withCum.groupBy(col(probeCol)).agg(
       sum(coalesce(col("__rel"), lit(0))).as("__hits"),
-      min(when(col("__rel") === 1, col(rankCol))).as("__frr"))
+      min(when(col("__rel") === 1, col(rankCol))).as("__frr"),
+      // Σ over relevant ranks of cumhits·(lcm/rank) — exact integers
+      sum(when(col("__rel") === 1,
+        col("__cumhits") * (lit(l) / col(rankCol).cast("long")).cast("long"))
+        .otherwise(lit(0L))).as("__apnum"))
     val nRel = qrels.groupBy(col(probeCol)).agg(count(lit(1)).as("n_rel"))
     nRel.join(perProbe, Seq(probeCol), "left")
       .select(col(probeCol),
@@ -42,6 +69,8 @@ object IrMetrics {
         coalesce(col("__hits"), lit(0L)).cast("long").as("hits"),
         round(coalesce(col("__hits"), lit(0L)).cast("double") / col("n_rel"), 6)
           .as("recall_at_k"),
-        round(coalesce(lit(1.0) / col("__frr"), lit(0.0)), 6).as("mrr"))
+        round(coalesce(lit(1.0) / col("__frr"), lit(0.0)), 6).as("mrr"),
+        round(coalesce(col("__apnum"), lit(0L)).cast("double")
+          / (lit(l.toDouble) * col("n_rel")), 6).as("ap"))
   }
 }

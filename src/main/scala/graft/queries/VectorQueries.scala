@@ -458,13 +458,19 @@ object VectorQueries extends QuerySet {
        |        FROM r LEFT JOIN qrels q
        |          ON r.probe_id = q.probe_id AND r.doc_id = q.doc_id
        |        WHERE r.rn <= 10),
+       |ink2 AS (SELECT probe_id, rn, rel,
+       |           SUM(rel) OVER (PARTITION BY probe_id ORDER BY rn
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumhits
+       |         FROM ink),
        |pp AS (SELECT probe_id, SUM(rel) AS hits,
-       |         MIN(CASE WHEN rel = 1 THEN rn END) AS frr
-       |       FROM ink GROUP BY probe_id),
+       |         MIN(CASE WHEN rel = 1 THEN rn END) AS frr,
+       |         SUM(CASE WHEN rel = 1 THEN cumhits * (2520 // rn) ELSE 0 END) AS apnum
+       |       FROM ink2 GROUP BY probe_id),
        |nr AS (SELECT probe_id, COUNT(*) AS n_rel FROM qrels GROUP BY probe_id)
        |SELECT nr.probe_id, n_rel, CAST(COALESCE(hits, 0) AS BIGINT) AS hits,
        |  round(CAST(COALESCE(hits, 0) AS DOUBLE) / n_rel, 6) AS recall_at_k,
-       |  round(COALESCE(CAST(1 AS DOUBLE) / frr, 0.0), 6) AS mrr
+       |  round(COALESCE(CAST(1 AS DOUBLE) / frr, 0.0), 6) AS mrr,
+       |  round(CAST(COALESCE(apnum, 0) AS DOUBLE) / (2520.0 * n_rel), 6) AS ap
        |FROM nr LEFT JOIN pp USING (probe_id) ORDER BY probe_id""".stripMargin
 
   override val queries: Seq[Q] = Seq(

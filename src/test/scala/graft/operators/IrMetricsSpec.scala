@@ -6,11 +6,11 @@ import graft.SparkSuite
 class IrMetricsSpec extends AnyFunSuite with SparkSuite {
   import spark.implicits._
 
-  test("recall@k and MRR match hand-computed values") {
+  test("recall@k, MRR and AP match hand-computed values") {
     // probe 1: rel docs {10, 20, 30}; results rank 1=99, 2=20, 3=10
-    //   -> hits 2, recall 2/3, mrr 1/2
-    // probe 2: rel docs {40}; results never hit -> 0, 0
-    // probe 3: rel docs {50, 60}; first result relevant -> mrr 1.0
+    //   -> hits 2, recall 2/3, mrr 1/2, ap (1/2 + 2/3)/3 = 0.388889
+    // probe 2: rel docs {40}; results never hit -> all zero
+    // probe 3: rel docs {50, 60}; first result relevant -> mrr 1, ap 1/2
     val results = Seq(
       (1L, 99L, 1), (1L, 20L, 2), (1L, 10L, 3),
       (2L, 99L, 1), (2L, 98L, 2),
@@ -21,25 +21,35 @@ class IrMetricsSpec extends AnyFunSuite with SparkSuite {
       (3L, 50L), (3L, 60L)).toDF("probe_id", "doc_id")
     val out = IrMetrics.evaluate(results, qrels, k = 10)
       .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
-    assert(out(1L) == ((3L, 2L, 0.666667, 0.5)))
-    assert(out(2L) == ((1L, 0L, 0.0, 0.0)))
-    assert(out(3L) == ((2L, 1L, 0.5, 1.0)))
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out(1L) == ((3L, 2L, 0.666667, 0.5, 0.388889)))
+    assert(out(2L) == ((1L, 0L, 0.0, 0.0, 0.0)))
+    assert(out(3L) == ((2L, 1L, 0.5, 1.0, 0.5)))
   }
 
   test("ranks beyond k are ignored; probes missing from results score zero") {
     val results = Seq((1L, 10L, 11)).toDF("probe_id", "doc_id", "rn") // rank > k
     val qrels = Seq((1L, 10L), (2L, 20L)).toDF("probe_id", "doc_id")
     val out = IrMetrics.evaluate(results, qrels, k = 10)
-      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
-    assert(out(1L) == ((0L, 0.0, 0.0)))
-    assert(out(2L) == ((0L, 0.0, 0.0))) // probe absent from results, still reported
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out(1L) == ((0L, 0.0, 0.0, 0.0)))
+    assert(out(2L) == ((0L, 0.0, 0.0, 0.0))) // probe absent from results, still reported
   }
 
-  test("perfect retrieval scores recall 1 and mrr 1") {
+  test("perfect retrieval scores recall 1, mrr 1 and ap 1") {
     val results = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("probe_id", "doc_id", "rn")
     val qrels = Seq((1L, 10L), (1L, 11L)).toDF("probe_id", "doc_id")
     val r = IrMetrics.evaluate(results, qrels, k = 10).head()
-    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0)
+  }
+
+  test("rankLcm: every rank divides it; overflow guarded") {
+    assert(IrMetrics.rankLcm(10) == 2520L)
+    (1 to 40).foreach(k => (1 to k).foreach(i =>
+      assert(IrMetrics.rankLcm(k) % i == 0)))
+    intercept[IllegalArgumentException] {
+      IrMetrics.evaluate(null, null, 41)
+    }
   }
 }
