@@ -21,6 +21,33 @@ import org.apache.spark.sql.functions._
   */
 object IrMetrics {
 
+  /** Per-probe nDCG@k with binary relevance: DCG = Σ_{rel ranks} 1/log2(r+1),
+    * IDCG = the same sum over ranks 1..min(n_rel, k). Lives OUTSIDE the
+    * oracle-facing [[evaluate]] on purpose — libm log drift makes nDCG
+    * epsilon-comparable, not hash-comparable (spec-tested with a
+    * tolerance instead). */
+  def ndcg(results: DataFrame, qrels: DataFrame, k: Int,
+           probeCol: String = "probe_id", docCol: String = "doc_id",
+           rankCol: String = "rn"): DataFrame = {
+    require(k > 0, s"bad k=$k")
+    val rel = qrels.select(col(probeCol), col(docCol)).withColumn("__rel", lit(1))
+    val dcg = results.filter(col(rankCol) <= k)
+      .join(rel, Seq(probeCol, docCol), "left")
+      .groupBy(col(probeCol))
+      .agg(sum(when(col("__rel") === 1,
+        lit(1.0) / log2(col(rankCol).cast("double") + 1.0)).otherwise(lit(0.0)))
+        .as("__dcg"))
+    val nRel = qrels.groupBy(col(probeCol)).agg(count(lit(1)).as("n_rel"))
+    // ideal DCG: all relevant docs at the top ranks
+    val idcg = nRel.withColumn("__ideal", least(col("n_rel"), lit(k.toLong)))
+      .withColumn("__idcg",
+        aggregate(sequence(lit(1L), col("__ideal")), lit(0.0d),
+          (acc, r) => acc + lit(1.0) / log2(r.cast("double") + 1.0)))
+    idcg.join(dcg, Seq(probeCol), "left")
+      .select(col(probeCol), col("n_rel"),
+        (coalesce(col("__dcg"), lit(0.0)) / col("__idcg")).as("ndcg"))
+  }
+
   /** lcm(1..k) — every rank ≤ k divides it, so precision terms scale to
     * integers. Fits a signed 64-bit comfortably through k = 40. */
   private[operators] def rankLcm(k: Int): Long = {

@@ -44,6 +44,23 @@ class IrMetricsSpec extends AnyFunSuite with SparkSuite {
     assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0)
   }
 
+  test("ndcg matches a hand computation within epsilon") {
+    // probe 1: rel {10, 20}; hits at ranks 2 and 3
+    // DCG  = 1/log2(3) + 1/log2(4); IDCG = 1/log2(2) + 1/log2(3)
+    val results = Seq((1L, 99L, 1), (1L, 10L, 2), (1L, 20L, 3))
+      .toDF("probe_id", "doc_id", "rn")
+    val qrels = Seq((1L, 10L), (1L, 20L)).toDF("probe_id", "doc_id")
+    val got = IrMetrics.ndcg(results, qrels, k = 10).head().getDouble(2)
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val want = (1.0 / log2(3) + 1.0 / log2(4)) / (1.0 / log2(2) + 1.0 / log2(3))
+    assert(math.abs(got - want) < 1e-9, s"$got vs $want")
+    // perfect ranking scores 1 exactly (DCG == IDCG termwise)
+    val perfect = IrMetrics.ndcg(
+      Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("probe_id", "doc_id", "rn"),
+      qrels, k = 10).head().getDouble(2)
+    assert(math.abs(perfect - 1.0) < 1e-12)
+  }
+
   test("rankLcm: every rank divides it; overflow guarded") {
     assert(IrMetrics.rankLcm(10) == 2520L)
     (1 to 40).foreach(k => (1 to k).foreach(i =>
