@@ -166,6 +166,95 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** REAL image resize: decode via ImageIO, nearest-neighbor sample the
+    * raster down by an integer `factor` (src pixel = dst pixel ×
+    * factor — deterministic integer mapping, no library-dependent
+    * pixel-center rounding), re-encode PNG. Lossless in both directions
+    * for the sampled pixels, so a closed-form generator stays
+    * closed-form through the resize. */
+  def resizePngNN(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, s"bad factor $factor")
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(src != null, s"undecodable image payload (${bytes.length} bytes)")
+    val dw = math.max(1, src.getWidth / factor)
+    val dh = math.max(1, src.getHeight / factor)
+    val dst = new java.awt.image.BufferedImage(
+      dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < dh) {
+      var x = 0
+      while (x < dw) {
+        dst.setRGB(x, y, src.getRGB(x * factor, y * factor))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio resample: decode the 16-bit PCM stream, keep every
+    * `factor`-th frame (decimation from frame 0 — the integer analog of
+    * the image path), re-encode WAV at rate/factor. */
+  def resampleWavNN(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, s"bad factor $factor")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        && fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"unsupported audio for resample: ${fmt.getEncoding}/${fmt.getChannels}ch")
+      val data = ais.readAllBytes()
+      val nFrames = data.length / 2
+      val outN = (nFrames + factor - 1) / factor
+      val out = new Array[Byte](outN * 2)
+      var i = 0
+      while (i < outN) {
+        out(2 * i) = data(2 * i * factor)
+        out(2 * i + 1) = data(2 * i * factor + 1)
+        i += 1
+      }
+      val outFmt = new javax.sound.sampled.AudioFormat(
+        math.max(1f, fmt.getSampleRate / factor), 16, 1, true, fmt.isBigEndian)
+      val outAis = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(out), outFmt, outN.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        outAis, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    } finally ais.close()
+  }
+
+  /** Batched media downscale stage: image rows resize (NN raster
+    * sample), audio rows resample (frame decimation), other kinds pass
+    * through untouched — same partition-parallel batch shape as
+    * [[withFeatures]]. The output column carries REAL re-encoded
+    * containers, so it feeds [[withFeatures]] for verification. */
+  def withDownscaled(df: DataFrame, bytesCol: String, kindCol: String,
+                     factor: Int, outCol: String = "bytes_small",
+                     batchSize: Int = 64): DataFrame = {
+    val schema = df.schema.add(outCol, BinaryType)
+    val enc = Encoders.row(schema)
+    val bIdx = df.schema.fieldIndex(bytesCol)
+    val kIdx = df.schema.fieldIndex(kindCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](bIdx)
+          val small = r.getString(kIdx) match {
+            case _ if bytes == null || bytes.isEmpty => bytes
+            case "image" => resizePngNN(bytes, factor)
+            case "audio" => resampleWavNN(bytes, factor)
+            case _ => bytes
+          }
+          Row.fromSeq(r.toSeq :+ small)
+        }
+      }
+    }(enc)
+  }
+
   /** Batched decode/feature-extract stage: binary column in, typed
     * feature columns out. Batch shape mirrors mapInPandas: the codec
     * sees `batchSize` payloads per call. */

@@ -88,6 +88,52 @@ object StreamingQueries extends QuerySet {
       |       ELSE 0 END AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Multimodal downscale: REAL image resize (nearest-neighbor raster
+    * sample + PNG re-encode) and REAL audio resample (PCM frame
+    * decimation + WAV re-encode), verified by decoding the transformed
+    * containers AGAIN through the real codecs. The integer sampling
+    * maps (src pixel = 2·dst pixel; src frame = 2·dst frame) keep the
+    * generators' closed forms closed, so the oracle recomputes the
+    * post-resize dims/rate/frames/checksums with no media stack. */
+  private def q115(s: SparkSession, d: String): DataFrame = {
+    val gen = udf { (id: Long) =>
+      if (id % 2 == 0)
+        Multimodal.syntheticWav(id, (8000 + (id % 3) * 4000).toInt, (50 + id % 100).toInt)
+      else
+        Multimodal.syntheticPng(id, (8 + id % 24).toInt, (8 + (id * 3) % 16).toInt)
+    }
+    val media = t(s, d, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("audio")).otherwise(lit("image")).as("kind"),
+        gen(col("doc_id")).as("bytes"))
+    val small = Multimodal.withDownscaled(media, "bytes", "kind", factor = 2)
+    Multimodal.withFeatures(small, "bytes_small", "kind", Multimodal.KindDispatchCodec)
+      .select(col("doc_id"), col("kind"), col("width"), col("height"),
+        col("checksum"), col("sample_rate"), col("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q115Sql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'image' END AS kind,
+      |  CASE WHEN doc_id % 2 = 0 THEN 0
+      |       ELSE CAST((8 + doc_id % 24) // 2 AS INT) END AS width,
+      |  CASE WHEN doc_id % 2 = 0 THEN 0
+      |       ELSE CAST((8 + (doc_id * 3) % 16) // 2 AS INT) END AS height,
+      |  CASE WHEN doc_id % 2 = 0 THEN
+      |    CAST(list_sum(list_transform(range((50 + doc_id % 100 + 1) // 2), i ->
+      |      ((2 * i * 13 + doc_id * 7) % 4096) - 2048)) AS BIGINT)
+      |  ELSE
+      |    CAST(list_sum(flatten(list_transform(range((8 + (doc_id * 3) % 16) // 2), y ->
+      |      list_transform(range((8 + doc_id % 24) // 2), x ->
+      |        (62 * x + 34 * y + doc_id) % 256)))) AS BIGINT)
+      |  END AS checksum,
+      |  CASE WHEN doc_id % 2 = 0 THEN CAST((8000 + (doc_id % 3) * 4000) // 2 AS INT)
+      |       ELSE 0 END AS sample_rate,
+      |  CASE WHEN doc_id % 2 = 0 THEN CAST((50 + doc_id % 100 + 1) // 2 AS INT)
+      |       ELSE 0 END AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Multimodal frame sampling: every 4th 16-byte slice of the payload,
     * capped at 6 frames (the partition-parallel frame-extraction shape;
     * document text bytes stand in for video payloads — all-ASCII in the
@@ -112,5 +158,6 @@ object StreamingQueries extends QuerySet {
   override val queries: Seq[Q] = Seq(
     Q("q50_hourly_window_stats", q50, Some(q50Sql), headline = true),
     Q("q70_multimodal_features", q70, Some(q70Sql)),
-    Q("q81_frame_sample", q81, Some(q81Sql)))
+    Q("q81_frame_sample", q81, Some(q81Sql)),
+    Q("q115_multimodal_resize", q115, Some(q115Sql)))
 }

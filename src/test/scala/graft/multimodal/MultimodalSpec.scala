@@ -94,6 +94,41 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(out(1L) == ((9, 4)) && out(2L) == ((30, 22)))
   }
 
+  test("resizePngNN: real raster downscale, closed form survives the round trip") {
+    val (seed, w, h) = (11L, 21, 14)
+    val small = Multimodal.resizePngNN(Multimodal.syntheticPng(seed, w, h), 2)
+    val f = Multimodal.ImageIoCodec.decode("image", small)
+    assert(f.width == w / 2 && f.height == h / 2)
+    val expected = (for { y <- 0 until h / 2; x <- 0 until w / 2 }
+      yield ((2 * x) * 31 + (2 * y) * 17 + seed) % 256).sum
+    assert(f.checksum == expected)
+  }
+
+  test("resampleWavNN: frame decimation halves rate and keeps the closed form") {
+    val (seed, rate, frames) = (11L, 16000, 121)
+    val small = Multimodal.resampleWavNN(Multimodal.syntheticWav(seed, rate, frames), 2)
+    val f = Multimodal.WavCodec.decode("audio", small)
+    val outN = (frames + 1) / 2
+    assert(f.sample_rate == rate / 2 && f.n_frames == outN)
+    val expected = (0 until outN)
+      .map(i => ((2L * i * 13L + seed * 7L) % 4096L) - 2048L).sum
+    assert(f.checksum == expected)
+  }
+
+  test("withDownscaled routes by kind and passes video through untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "image", Multimodal.syntheticPng(1L, 10, 8)),
+      (2L, "audio", Multimodal.syntheticWav(2L, 8000, 40)),
+      (3L, "video", Array.tabulate(64)(_.toByte)))
+      .toDF("media_id", "kind", "bytes")
+    val out = Multimodal.withDownscaled(rows, "bytes", "kind", factor = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes_small")).toMap
+    assert(Multimodal.ImageIoCodec.decode("image", out(1L)).width == 5)
+    assert(Multimodal.WavCodec.decode("audio", out(2L)).n_frames == 20)
+    assert(out(3L).toSeq == Array.tabulate(64)(_.toByte).toSeq) // passthrough
+  }
+
   test("sampleFrames: every k-th 16-byte slice, bounded by maxFrames and length") {
     val out = Multimodal.sampleFrames(media, "bytes", everyK = 2, maxFrames = 5)
       .select("media_id", "n_sampled", "frames")
