@@ -52,6 +52,43 @@ final class IvfStore(store: DocumentStore, table: String, val index: IvfIndex,
       store.delete(table, col(idCol).isin(ids: _*), touchedParts = Some(parts))
   }
 
+  /** Mean cosine of each stored vector to ITS assigned centroid — the
+    * index-health scalar. Frozen centroids (standard IVF practice) stay
+    * optimal only while ingest resembles the training distribution;
+    * continuous drift pushes vectors toward list boundaries, recall
+    * decays at fixed nprobe, and THIS number is the signal. One narrow
+    * scan with the centroids broadcast back by id; cost is a corpus
+    * pass, so it is the periodic health check, not a per-write one. */
+  def assignmentQuality: Double = {
+    if (!store.exists(table)) return 0.0
+    val rows = store.read(table)
+    if (rows.columns.isEmpty) return 0.0
+    val spark = rows.sparkSession
+    val cents = index.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    val cdf = spark.createDataFrame(cents).toDF("centroid_id", "__cent")
+      .withColumn("__cent", col("__cent").cast("array<float>"))
+    rows.join(broadcast(cdf), "centroid_id")
+      .agg(avg(graft.functions.VectorFunctions.cosine_sim(col(vecCol), col("__cent"))))
+      .head().getDouble(0)
+  }
+
+  /** Retrain the centroids on the CURRENT corpus and rebuild the index
+    * table — the drift remedy (the per-write alternative, updating
+    * centroids incrementally, destabilizes every existing assignment;
+    * production IVF systems retrain periodically instead). Safe against
+    * the read-while-overwrite hazard because the store is COW: the
+    * rebuild writes a new version while the old segment files keep
+    * serving the extraction scan. Returns the wrapper around the fresh
+    * index; the old one keeps serving until dropped. */
+  def rebuilt(iters: Int = 5, trainPointsPerList: Int = 256): IvfStore = {
+    val rows = store.read(table).drop("centroid_id").dropDuplicates(idCol)
+    val fresh = IvfIndex.train(rows, vecCol, idCol, index.numLists, iters,
+      index.multiAssign, trainPointsPerList)
+    val next = new IvfStore(store, table, fresh, vecCol, idCol)
+    next.build(rows)
+    next
+  }
+
   /** ANN search over the stored index: only the nprobe nearest centroid
     * partitions are read (manifest pruning), exact top-k within them.
     * `pred` (filtered search) applies to the pruned candidate stream —

@@ -84,6 +84,35 @@ class IvfStoreSpec extends AnyFunSuite with SparkSuite {
     assert(after == before) // serve answer unchanged by layout
   }
 
+  test("retrain-rebuild recovers assignment quality after distribution drift") {
+    val (ivf, _, emb) = freshIvf()
+    val dims = emb.head().getSeq[Float](1).length
+    val q0 = ivf.assignmentQuality
+    assert(q0 > 0.0 && q0 <= 1.0)
+    // drift: a TIGHT new cluster (basis direction e7 + jitter) the
+    // frozen centroids never trained on — the stale index scatters it
+    // across whatever list is least-far, the retrained one gives it a
+    // centroid of its own
+    val batch = (0 until 150).map { i =>
+      val v = Array.fill(dims)(0f)
+      v(7) = 1f; v(i % dims) += 0.01f
+      (70000L + i, v.toSeq, 3)
+    }.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    ivf.add(batch)
+    val qDrift = ivf.assignmentQuality
+    info(s"quality: built $q0 -> drifted $qDrift")
+    // retrain on the current corpus: the planted cluster earns a
+    // centroid, so mean assignment similarity must rise clearly
+    val fresh = ivf.rebuilt(iters = 3)
+    val qNew = fresh.assignmentQuality
+    assert(qNew > qDrift + 0.05, s"rebuild did not recover: $qDrift -> $qNew")
+    // the fresh index still serves (old wrapper valid until dropped)
+    val probe = emb.filter($"vec_id" === 0L).head().getSeq[Float](1).toArray
+    val hits = fresh.search(probe, 10, nprobe = 4).select("vec_id").as[Long].collect()
+    assert(hits.length == 10 && hits.contains(0L))
+  }
+
   test("remove on a missing or empty table is a no-op") {
     val emb = t(spark, sf, "embeddings")
     val idx = IvfIndex.train(emb, "embedding", "vec_id", numLists = 2, iters = 1)
