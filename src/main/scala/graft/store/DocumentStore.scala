@@ -482,10 +482,23 @@ class DocumentStore(spark: SparkSession, root: String) {
     * the full partition set (still filtered, still correct) when stats
     * are absent or stale. Numeric/date columns only — same contract as
     * [[analyze]]. */
-  def readRange(table: String, column: String, lo: Any, hi: Any): DataFrame = {
-    val (kept, _) = statsPrunedParts(table, column, lo, hi)
-    readPartitions(table, kept)
-      .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  def readRange(table: String, column: String, lo: Any, hi: Any): DataFrame =
+    readWhere(table, Seq((column, lo, hi)))
+
+  /** Conjunctive multi-column data-skipping read: a partition survives
+    * only if EVERY range's recorded stats overlap it (kept sets
+    * intersect), and each missing-stats column keeps its partitions —
+    * pruning composes but the over-read-never-drop guarantee is
+    * per-column. All ranges are re-applied as row filters. */
+  def readWhere(table: String, ranges: Seq[(String, Any, Any)]): DataFrame = {
+    require(ranges.nonEmpty, "need at least one range")
+    val kept = ranges
+      .map { case (c, lo, hi) => statsPrunedParts(table, c, lo, hi)._1.toSet }
+      .reduce(_ intersect _)
+    val pred = ranges
+      .map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) }
+      .reduce(_ && _)
+    readPartitions(table, kept.toSeq.sorted).filter(pred)
   }
 
   /** Garbage-collect segment directories referenced only by manifests

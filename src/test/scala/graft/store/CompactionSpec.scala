@@ -153,6 +153,28 @@ class CompactionSpec extends AnyFunSuite with SparkSuite {
     assert(got == want && got.size == 201)
   }
 
+  test("readWhere: conjunctive ranges intersect their pruned sets, rows exact") {
+    val s = freshStore()
+    fragmented(s) // id 0..599, bucket = id/200; id and bucket co-clustered
+    s.analyze("t", Seq("id", "bucket"))
+    // id in [50,250] keeps buckets {0,1}; bucket in [1,2] keeps {1,2};
+    // the conjunction must touch ONLY bucket 1
+    val got = s.readWhere("t", Seq(("id", 50L, 250L), ("bucket", 1L, 2L)))
+      .orderBy("id").as[(Long, Long, String)].collect().toSeq
+    val want = s.read("t")
+      .filter($"id" >= 50 && $"id" <= 250 && $"bucket" >= 1 && $"bucket" <= 2)
+      .orderBy("id").as[(Long, Long, String)].collect().toSeq
+    assert(got == want && got.size == 51) // ids 200..250
+    // pruning really intersected: a column with no stats keeps all, so
+    // dropping the analyze for one column must not lose rows either
+    val s2 = freshStore()
+    fragmented(s2)
+    s2.analyze("t", Seq("id")) // bucket un-analyzed: its prune keeps all
+    val got2 = s2.readWhere("t", Seq(("id", 50L, 250L), ("bucket", 1L, 2L)))
+      .orderBy("id").as[(Long, Long, String)].collect().toSeq
+    assert(got2 == want)
+  }
+
   test("readRange without stats falls back to the full partition set, still exact") {
     val s = freshStore()
     fragmented(s) // no analyze
