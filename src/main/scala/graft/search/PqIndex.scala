@@ -259,6 +259,39 @@ object PqIndex {
       vecCol, idCol, probe, k)
   }
 
+  /** Mean squared reconstruction error of the codebook over a corpus —
+    * the PQ analog of [[IvfStore.assignmentQuality]]: quantization
+    * error per vector is Σ over subspaces of ||v_s − centroid(code_s)||²
+    * (exactly what training minimized), so a drifting corpus shows up
+    * as this number climbing and the remedy is the same
+    * retrain-and-re-encode. One narrow codegen pass (encode) plus an
+    * interpreted reconstruction distance on a BOUNDED deterministic
+    * sample — health checks must not cost a full 100 TB decode. */
+  def reconstructionError(cb: PqCodebook, df: DataFrame, vecCol: String,
+                          idCol: String, sampleSize: Int = 2048): Double = {
+    val sample = df.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(sample.nonEmpty, "reconstruction error needs at least one vector")
+    var total = 0.0
+    sample.foreach { v =>
+      val codes = cb.encodeOne(v)
+      var s = 0
+      while (s < cb.m) {
+        val c = cb.centroids(s)(codes(s) & 0xFF)
+        var i = 0
+        while (i < cb.dsub) {
+          val t = v(s * cb.dsub + i).toDouble - c(i)
+          total += t * t; i += 1
+        }
+        s += 1
+      }
+    }
+    total / sample.length
+  }
+
   /** Codebook sidecar (same plain-text scheme as [[IvfIndex]]): line 1 =
     * `dsub`, then one comma-separated centroid per line in (subspace,
     * code) row-major order, ks inferred from the line count ÷ m... ks is

@@ -62,6 +62,23 @@ class PqSpec extends AnyFunSuite with SparkSuite {
     assert(java.util.Arrays.equals(got, cb.encodeOne(v)))
   }
 
+  test("reconstruction error: finer codebooks reconstruct better; drift raises it") {
+    val dims = emb.head().getSeq[Float](1).length
+    val coarse = PqIndex.train(emb, "embedding", "vec_id", m = dims / 16, ks = 4, iters = 3)
+    val err = PqIndex.reconstructionError(cb, emb, "embedding", "vec_id")
+    val errCoarse = PqIndex.reconstructionError(coarse, emb, "embedding", "vec_id")
+    assert(err > 0.0 && errCoarse > err,
+      s"coarser codebook should reconstruct worse: $errCoarse vs $err")
+    // a corpus the codebook never saw reconstructs worse than its own
+    import spark.implicits._
+    val alien = (0 until 256).map { i =>
+      val v = Array.fill(dims)(0f); v(i % dims) = 5f; (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val errAlien = PqIndex.reconstructionError(cb, alien, "embedding", "vec_id")
+    assert(errAlien > err, s"drift not visible: $errAlien vs $err")
+  }
+
   test("codebook sidecar round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
     PqIndex.writeSidecar(spark, dir, cb)
