@@ -690,6 +690,35 @@ object AdvancedQueries extends QuerySet {
       |  FROM events WHERE user_id < 40) x
       |ORDER BY event_id""".stripMargin
 
+  /** Cohort retention — the classic product-analytics matrix: users
+    * bucketed by first-activity week, counted again at each later week
+    * offset. Two aggregations over ONE user-keyed shuffle lineage: the
+    * first-week min is a groupBy, the (user, week) activity set
+    * dedups map-side, and offsets are exact integer day arithmetic
+    * (date_trunc('week') is ISO-Monday in both engines). */
+  private def q116(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    ev.join(cohort, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  private val q116Sql =
+    """WITH ev AS (SELECT DISTINCT user_id,
+      |    CAST(DATE_TRUNC('week', ts) AS DATE) AS wk FROM events),
+      |c AS (SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY user_id)
+      |SELECT cohort_week,
+      |  CAST(DATEDIFF('day', cohort_week, wk) // 7 AS BIGINT) AS week_offset,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM ev JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q23_asof_join", q23, Some(q23Sql), headline = true),
     Q("q24_sessionize", q24, Some(q24Sql), headline = true),
@@ -715,5 +744,6 @@ object AdvancedQueries extends QuerySet {
     Q("q77_ratio_to_report", q77, Some(q77Sql)),
     Q("q78_densify_timeseries", q78, Some(q78Sql)),
     Q("q79_boolean_aggs", q79, Some(q79Sql)),
-    Q("q80_forward_fill", q80, Some(q80Sql)))
+    Q("q80_forward_fill", q80, Some(q80Sql)),
+    Q("q116_cohort_retention", q116, Some(q116Sql)))
 }
