@@ -176,6 +176,36 @@ object RagQueries extends QuerySet {
       |SELECT * FROM adds UNION ALL SELECT * FROM rems
       |ORDER BY change, s_suppkey""".stripMargin
 
+  /** Storage-reclamation lifecycle: three committed versions, vacuum
+    * retaining two — retained snapshots must keep serving exactly,
+    * reclaimed ones must fail loudly (not read as empty), and the
+    * current read must be unaffected. The in-query gate encodes those
+    * invariants; the oracle recounts the surviving state. Without
+    * vacuum a COW store's storage grows with write count, not data
+    * size — this is the op that makes the versioned store viable at
+    * 100 TB. */
+  private def q117(s: SparkSession, d: String): DataFrame = {
+    val store = new DocumentStore(s, Files.createTempDirectory("graft-q117").toString)
+    store.create("supplier", t(s, d, "supplier"))           // v1
+    store.delete("supplier", col("s_acctbal") < 0)          // v2
+    store.delete("supplier", col("s_suppkey") % 10 === 0)   // v3
+    store.vacuum("supplier", keepVersions = 2)
+    val reclaimedFailsLoudly =
+      try { store.readVersion("supplier", 1).count(); false }
+      catch { case _: IllegalStateException => true }
+    val retainedServes = store.readVersion("supplier", 2).count() ==
+      t(s, d, "supplier").filter(!(col("s_acctbal") < 0)).count()
+    store.read("supplier")
+      .select(col("s_suppkey"), col("s_name"))
+      .filter(lit(reclaimedFailsLoudly && retainedServes))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val q117Sql =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE NOT (s_acctbal < 0) AND NOT (s_suppkey % 10 = 0)
+      |ORDER BY s_suppkey""".stripMargin
+
   /** Partial-column merge ($set) through the versioned store — the
     * UpdateOne-$set half of the reference's mutation surface (vectorize-
     * on-write enriches existing documents in place): matched rows get
@@ -224,5 +254,6 @@ object RagQueries extends QuerySet {
     Q("q104_store_compact", q104, Some(q104Sql), headline = true),
     Q("q105_store_skipping", q105, Some(q105Sql), headline = true),
     Q("q108_store_merge_set", q108, Some(q108Sql)),
-    Q("q111_store_diff", q111, Some(q111Sql)))
+    Q("q111_store_diff", q111, Some(q111Sql)),
+    Q("q117_store_vacuum", q117, Some(q117Sql)))
 }
