@@ -176,6 +176,40 @@ object RagQueries extends QuerySet {
       |SELECT * FROM adds UNION ALL SELECT * FROM rems
       |ORDER BY change, s_suppkey""".stripMargin
 
+  /** Streaming vectorize-on-write, driver-gated end-to-end: the corpus
+    * arrives as TWO micro-batches on a real Structured Streaming source
+    * plus a REPLAYED slice (at-least-once delivery), flows through the
+    * embed + keyed-upsert sink, and the committed store must converge
+    * to exactly one row per document — the oracle recounts the input
+    * table, so a duplicate or dropped document breaks the hash. The
+    * streaming specs cover semantics in depth; this puts the
+    * change-feed path itself under the driver's correctness gate. */
+  private def q118(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val store = new DocumentStore(s, Files.createTempDirectory("graft-q118").toString)
+    val q = graft.streaming.VectorIngest.start(
+      in.toDF().toDF("doc_id", "text"), store, "docs",
+      HashProjectionEmbedder(dims = 16), "doc_id", "text",
+      Files.createTempDirectory("graft-q118-ckpt").toString)
+    try {
+      val rows = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq
+      in.addData(rows.take(rows.size / 2): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(rows.size / 2): _*)
+      in.addData(rows.take(50): _*) // replayed delivery of current state
+      q.processAllAvailable()
+    } finally q.stop()
+    store.read("docs")
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q118Sql =
+    "SELECT doc_id, text FROM documents ORDER BY doc_id"
+
   /** Storage-reclamation lifecycle: three committed versions, vacuum
     * retaining two — retained snapshots must keep serving exactly,
     * reclaimed ones must fail loudly (not read as empty), and the
@@ -255,5 +289,6 @@ object RagQueries extends QuerySet {
     Q("q105_store_skipping", q105, Some(q105Sql), headline = true),
     Q("q108_store_merge_set", q108, Some(q108Sql)),
     Q("q111_store_diff", q111, Some(q111Sql)),
-    Q("q117_store_vacuum", q117, Some(q117Sql)))
+    Q("q117_store_vacuum", q117, Some(q117Sql)),
+    Q("q118_streaming_ingest", q118, Some(q118Sql)))
 }
