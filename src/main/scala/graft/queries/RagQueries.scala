@@ -210,6 +210,61 @@ object RagQueries extends QuerySet {
   private val q118Sql =
     "SELECT doc_id, text FROM documents ORDER BY doc_id"
 
+  /** Streaming gap-sessionization, driver-gated with an EXACT oracle:
+    * the stateful stream (flatMapGroupsWithState + event-time timeout)
+    * only emits sessions the watermark has closed, so the gate appends
+    * two far-future sentinel batches — the first jumps the global
+    * watermark past every session's gap, the second runs the timeout
+    * sweep under it — after which the emitted set IS the complete batch
+    * answer (the sentinel's own user filtered out). Session identity is
+    * tie-order-robust: equal timestamps land in the same session
+    * regardless of intra-batch order, so (start, end, n) hash-match the
+    * window-based recount. */
+  private def q119(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    val sess = graft.streaming.EventStream.sessionize(
+      s, in.toDF().toDF("user_id", "ts"), gapMinutes = 360)
+    val qname = "q119_out"
+    val qy = sess.writeStream.outputMode("append")
+      .format("memory").queryName(qname).start()
+    try {
+      val rows = t(s, d, "events").select(col("user_id"), col("ts"))
+        .as[(Long, java.sql.Timestamp)].collect().toSeq
+      in.addData(rows: _*)
+      qy.processAllAvailable()
+      val maxMs = rows.map(_._2.getTime).max
+      in.addData((-1L, new java.sql.Timestamp(maxMs + 30L * 24 * 3600 * 1000)))
+      qy.processAllAvailable()
+      in.addData((-1L, new java.sql.Timestamp(maxMs + 60L * 24 * 3600 * 1000)))
+      qy.processAllAvailable()
+    } finally qy.stop()
+    s.table(qname)
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events").cast("long").as("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  private val q119Sql =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR ts - LAG(ts) OVER w > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM g)
+      |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Storage-reclamation lifecycle: three committed versions, vacuum
     * retaining two — retained snapshots must keep serving exactly,
     * reclaimed ones must fail loudly (not read as empty), and the
@@ -290,5 +345,6 @@ object RagQueries extends QuerySet {
     Q("q108_store_merge_set", q108, Some(q108Sql)),
     Q("q111_store_diff", q111, Some(q111Sql)),
     Q("q117_store_vacuum", q117, Some(q117Sql)),
-    Q("q118_streaming_ingest", q118, Some(q118Sql)))
+    Q("q118_streaming_ingest", q118, Some(q118Sql)),
+    Q("q119_streaming_sessionize", q119, Some(q119Sql)))
 }
