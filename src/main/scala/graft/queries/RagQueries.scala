@@ -265,6 +265,46 @@ object RagQueries extends QuerySet {
       |FROM sess GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Streaming windowed aggregation, driver-gated hash-exactly: the
+    * watermarked tumbling-window agg only emits closed windows, so the
+    * same sentinel flush as q119 drains every window; values aggregate
+    * as DECIMAL inside the stream (bit-exact across engines and
+    * micro-batch orders) and cast to double once at the end — the same
+    * parity discipline as batch q50, whose oracle this reuses. */
+  private def q120(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String, Double)]
+    val src = in.toDF().toDF("ts", "event_type", "value")
+      .withColumn("value", col("value").cast("decimal(18,2)"))
+    val agg = graft.streaming.EventStream.windowedStats(src)
+    val qy = agg.writeStream.outputMode("append")
+      .format("memory").queryName("q120_out").start()
+    try {
+      val rows = t(s, d, "events").select(col("ts"), col("event_type"), col("value"))
+        .as[(java.sql.Timestamp, String, Double)].collect().toSeq
+      in.addData(rows: _*)
+      qy.processAllAvailable()
+      val maxMs = rows.map(_._1.getTime).max
+      in.addData((new java.sql.Timestamp(maxMs + 30L * 24 * 3600 * 1000), "__sentinel", 0.0))
+      qy.processAllAvailable()
+      in.addData((new java.sql.Timestamp(maxMs + 60L * 24 * 3600 * 1000), "__sentinel", 0.0))
+      qy.processAllAvailable()
+    } finally qy.stop()
+    s.table("q120_out")
+      .filter(col("event_type") =!= "__sentinel")
+      .select(col("window_start"), col("event_type"), col("n"),
+        col("total").cast("double").as("total"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  private val q120Sql =
+    """SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
   /** Storage-reclamation lifecycle: three committed versions, vacuum
     * retaining two — retained snapshots must keep serving exactly,
     * reclaimed ones must fail loudly (not read as empty), and the
@@ -346,5 +386,6 @@ object RagQueries extends QuerySet {
     Q("q111_store_diff", q111, Some(q111Sql)),
     Q("q117_store_vacuum", q117, Some(q117Sql)),
     Q("q118_streaming_ingest", q118, Some(q118Sql)),
-    Q("q119_streaming_sessionize", q119, Some(q119Sql)))
+    Q("q119_streaming_sessionize", q119, Some(q119Sql)),
+    Q("q120_streaming_window_agg", q120, Some(q120Sql)))
 }
