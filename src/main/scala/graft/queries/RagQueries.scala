@@ -305,6 +305,37 @@ object RagQueries extends QuerySet {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** Streaming exact dedup under the driver gate: every event arrives
+    * TWICE in the same micro-batch plus once more in a replay batch —
+    * dropDuplicatesWithinWatermark must keep exactly one row per
+    * event_id, and the oracle is simply the distinct input. The replay
+    * lands within the watermark horizon on purpose (dedup state still
+    * holds the ids); horizon eviction itself is spec territory. */
+  private def q121(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val deduped = graft.streaming.EventStream.dedup(
+      in.toDF().toDF("event_id", "ts", "event_type"), Seq("event_id"))
+    val qy = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("q121_out").start()
+    try {
+      val rows = t(s, d, "events").select(col("event_id"), col("ts"), col("event_type"))
+        .as[(Long, java.sql.Timestamp, String)].collect().toSeq
+      in.addData(rows ++ rows: _*) // in-batch duplicates
+      qy.processAllAvailable()
+      in.addData(rows.take(200): _*) // replayed delivery, inside the horizon
+      qy.processAllAvailable()
+    } finally qy.stop()
+    s.table("q121_out")
+      .select(col("event_id"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q121Sql =
+    "SELECT event_id, event_type FROM events ORDER BY event_id"
+
   /** Storage-reclamation lifecycle: three committed versions, vacuum
     * retaining two — retained snapshots must keep serving exactly,
     * reclaimed ones must fail loudly (not read as empty), and the
@@ -387,5 +418,6 @@ object RagQueries extends QuerySet {
     Q("q117_store_vacuum", q117, Some(q117Sql)),
     Q("q118_streaming_ingest", q118, Some(q118Sql)),
     Q("q119_streaming_sessionize", q119, Some(q119Sql)),
-    Q("q120_streaming_window_agg", q120, Some(q120Sql)))
+    Q("q120_streaming_window_agg", q120, Some(q120Sql)),
+    Q("q121_streaming_dedup", q121, Some(q121Sql)))
 }
