@@ -661,6 +661,54 @@ object TextQueries extends QuerySet {
       |SELECT source, doc_id, n_tokens FROM r JOIN b USING (source)
       |WHERE cum_before < budget ORDER BY source, doc_id""".stripMargin
 
+  /** End-to-end curation pipeline — the capstone composition: quality
+    * filter → exact dedup (keep min-id copy) → leakage-safe group split
+    * → per-(source, split) corpus accounting, all ONE Spark DAG built
+    * from the engine's own operators. What it proves is that the
+    * operators COMPOSE: every stage is narrow or single-shuffle, the
+    * split assignment rides the dedup survivors without a second scan,
+    * and the oracle replays the whole chain relationally — a semantic
+    * change to ANY stage breaks the hash. */
+  private def q122(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("n_tokens"))
+    // stage 1: quality floor (Gopher-style min length)
+    val filtered = docs.filter(col("n_tokens") >= 20)
+    // stage 2: exact dedup — survivors are the min-id copy per text
+    val keepers = graft.operators.Dedup.exact(filtered, "doc_id", Seq("text"))
+      .select(col("keeper_id").as("doc_id"))
+    val deduped = filtered.join(keepers, "doc_id")
+    // stage 3: leakage-safe split (whole sources stay together)
+    val assigned = graft.operators.Splits.withGroupSplit(deduped, "source")
+    // stage 4: corpus accounting per (source, split)
+    assigned.groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  private val q122Sql =
+    """WITH d AS (SELECT doc_id, source, text,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |f AS (SELECT * FROM d WHERE n_tokens >= 20),
+      |k AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text),
+      |dd AS (SELECT f.* FROM f JOIN k USING (doc_id)),
+      |h AS (SELECT *,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(source, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) AS key
+      |  FROM dd),
+      |sp AS (SELECT source, n_tokens,
+      |    CASE WHEN (((key % 2147483648) * 2654435761) % 4294967296) % 100 < 80
+      |           THEN 'train'
+      |         WHEN (((key % 2147483648) * 2654435761) % 4294967296) % 100 < 90
+      |           THEN 'val' ELSE 'test' END AS split
+      |  FROM h)
+      |SELECT source, split, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      |FROM sp GROUP BY source, split ORDER BY source, split""".stripMargin
+
   /** Cross-document duplicated-span statistics — the substring-level
     * dedup signal (Lee et al. 2022, "Deduplicating Training Data Makes
     * Language Models Better", at span granularity): every 20-word
@@ -787,5 +835,6 @@ object TextQueries extends QuerySet {
     Q("q102_heavy_hitters", q102, Some(q102Sql), headline = true),
     Q("q106_token_budget_mix", q106, Some(q106Sql), headline = true),
     Q("q109_cluster_representative", q109, Some(q109Sql)),
-    Q("q110_group_split", q110, Some(q110Sql)))
+    Q("q110_group_split", q110, Some(q110Sql)),
+    Q("q122_pipeline_e2e", q122, Some(q122Sql), headline = true))
 }
