@@ -12,11 +12,17 @@ import org.apache.spark.sql.types._
   *
   * Codecs live behind the [[MediaCodec]] seam: images decode for REAL
   * via the JDK's `javax.imageio` ([[ImageIoCodec]]), WAV audio for REAL
-  * via `javax.sound.sampled` ([[WavCodec]]) — both zero-dependency.
-  * Video codecs are NOT in this container, so that kind ships a
-  * deterministic fake ([[FakeCodec]]); the Spark-side contract (schema,
-  * batching, partitioning, null handling) is identical on every branch,
-  * so a JNI/FFM video codec swaps in without touching the pipeline.
+  * via `javax.sound.sampled` ([[WavCodec]]), and video for REAL via
+  * multi-frame containers the JDK's ImageIO can parse — animated GIF —
+  * through [[GifVideoCodec]] (`ImageReader.getNumImages(true)` /
+  * `read(i)`): real frame counts, real per-frame rasters, per-frame
+  * pixel checksums, all zero-dependency. Containers ImageIO cannot
+  * parse fail LOUDLY (no silent fake features); [[FakeCodec]] remains
+  * only as the documented stand-in for `kind` values outside
+  * image/audio/video. The Spark-side contract (schema, batching,
+  * partitioning, null handling) is identical on every branch, so a
+  * JNI/FFM codec for MP4-class containers swaps in without touching
+  * the pipeline.
   */
 object Multimodal {
 
@@ -39,10 +45,11 @@ object Multimodal {
   }
 
   /** Deterministic fake: features are pure arithmetic on the payload —
-    * replaces `???` so pipelines run end-to-end and hash-stably. Still
-    * the stand-in for video (no video codec libs in this container);
-    * images decode for real via [[ImageIoCodec]], WAV audio via
-    * [[WavCodec]]. */
+    * replaces `???` so pipelines run end-to-end and hash-stably. Only
+    * reachable for `kind` values outside image/audio/video; every real
+    * kind routes through a real JDK decoder ([[ImageIoCodec]],
+    * [[WavCodec]], [[GifVideoCodec]]) that fails loudly on payloads it
+    * cannot parse. */
   object FakeCodec extends MediaCodec {
     override def decode(kind: String, bytes: Array[Byte]): MediaFeatures = {
       val n = if (bytes == null) 0 else bytes.length
@@ -107,14 +114,65 @@ object Multimodal {
     }
   }
 
-  /** Production routing: images through the real [[ImageIoCodec]], audio
-    * through the real [[WavCodec]], video through the documented
-    * [[FakeCodec]] stand-in (no video codec libs in this container). */
+  /** Open an ImageIO reader over an in-memory container, failing loudly
+    * when no installed reader understands the bytes — an unparseable
+    * video payload must never silently degrade to fake features. */
+  private def openReader(bytes: Array[Byte])
+      : (javax.imageio.ImageReader, javax.imageio.stream.ImageInputStream) = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    require(readers.hasNext, s"undecodable video payload (${bytes.length} bytes)")
+    val r = readers.next()
+    r.setInput(iis)
+    (r, iis)
+  }
+
+  /** REAL video decode for multi-frame containers the JDK's ImageIO can
+    * parse (animated GIF) — `ImageReader.getNumImages(true)` for the
+    * real frame count, `read(i)` for each frame's real raster, with
+    * zero new dependencies. width/height come from frame 0; checksum
+    * folds the per-frame blue-channel pixel sums across ALL frames, so
+    * a bug in frame iteration, frame dims, or any frame's pixels breaks
+    * it. [[syntheticGif]] writes frames against an identity grayscale
+    * palette (GIF's LZW is lossless), so the checksum stays closed-form
+    * for the oracle. Unparseable containers fail loudly via
+    * [[openReader]]. */
+  object GifVideoCodec extends MediaCodec {
+    override def decode(kind: String, bytes: Array[Byte]): MediaFeatures = {
+      if (bytes == null || bytes.isEmpty) return MediaFeatures(0, 0, 0, 0L)
+      val (r, iis) = openReader(bytes)
+      try {
+        val n = r.getNumImages(true)
+        require(n > 0, "video container with zero decodable frames")
+        var sum = 0L; var w = 0; var h = 0; var i = 0
+        while (i < n) {
+          val img = r.read(i)
+          if (i == 0) { w = img.getWidth; h = img.getHeight }
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+            y += 1
+          }
+          i += 1
+        }
+        MediaFeatures(bytes.length, w, h, sum, 0, n)
+      } finally { r.dispose(); iis.close() }
+    }
+  }
+
+  /** Production routing: every real media kind through a real JDK
+    * decoder — images via [[ImageIoCodec]], audio via [[WavCodec]],
+    * video via [[GifVideoCodec]] (each failing loudly on payloads it
+    * cannot parse); only unknown kinds fall to the documented
+    * [[FakeCodec]] stand-in. */
   object KindDispatchCodec extends MediaCodec {
     override def decode(kind: String, bytes: Array[Byte]): MediaFeatures =
       kind match {
         case "image" => ImageIoCodec.decode(kind, bytes)
         case "audio" => WavCodec.decode(kind, bytes)
+        case "video" => GifVideoCodec.decode(kind, bytes)
         case _ => FakeCodec.decode(kind, bytes)
       }
   }
@@ -164,6 +222,126 @@ object Multimodal {
     javax.sound.sampled.AudioSystem.write(
       ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
+  }
+
+  /** Identity grayscale palette: index v renders as (v,v,v). GIF stores
+    * at most 256 palette entries, so this palette round-trips every
+    * 8-bit gray losslessly — and unlike TYPE_BYTE_GRAY, an indexed
+    * image's getRGB does NO gray→sRGB gamma conversion, so the decoded
+    * channel value IS the generator's formula value. */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** Encode frames as one animated GIF via the JDK's ImageIO sequence
+    * writer (`prepareWriteSequence`/`writeToSequence`). Interlacing is
+    * explicitly DISABLED: the JDK's GIF writer emits wrong row order
+    * for interlaced frames with small heights (rows land on the
+    * interlace passes of a taller image), which would corrupt the
+    * round-trip this codec is oracle-checked on. */
+  private def writeGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    require(frames.nonEmpty, "cannot encode a zero-frame video")
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), param)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Deterministic grayscale animated GIF: frame f, pixel (x,y) =
+    * (x·31 + y·17 + f·11 + seed) mod 256 against the identity gray
+    * palette. GIF's LZW + a 256-entry palette are lossless, so the
+    * decoded all-frames checksum equals Σ over (f,y,x) of that
+    * formula — a sum any engine (or the DuckDB oracle) computes
+    * without a decoder. */
+  def syntheticGif(seed: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && nFrames > 0, s"bad video shape ${w}x$h/$nFrames")
+    val cm = grayPalette
+    val frames = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0,
+            (((x * 31 + y * 17 + f * 11 + seed) % 256 + 256) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+    writeGif(frames)
+  }
+
+  /** REAL video temporal downsample: decode every frame via the real
+    * reader, keep every `factor`-th (decimation from frame 0 — the
+    * frame-axis analog of [[resampleWavNN]]), re-encode as an animated
+    * GIF. The kept frames' rasters pass through untouched, so a
+    * closed-form generator stays closed-form with f ↦ factor·j. */
+  def decimateGifFrames(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, s"bad factor $factor")
+    val (r, iis) = openReader(bytes)
+    try {
+      val n = r.getNumImages(true)
+      require(n > 0, "video container with zero decodable frames")
+      writeGif((0 until n by factor).map(r.read))
+    } finally { r.dispose(); iis.close() }
+  }
+
+  /** REAL frame sampling over video payloads: decode every `everyK`-th
+    * frame (up to `maxFrames`) through the real reader and emit its
+    * pixel checksum — the distributed frame-extraction stage, batched
+    * like [[withFeatures]] so a native decoder amortizes per-batch.
+    * Output columns: `n_sampled` (frames actually decoded) and
+    * `frame_sums` (per-sampled-frame blue-channel pixel sums, in frame
+    * order). */
+  def sampleVideoFrames(df: DataFrame, bytesCol: String, everyK: Int,
+                        maxFrames: Int, batchSize: Int = 64): DataFrame = {
+    require(everyK >= 1 && maxFrames >= 1, s"bad sampling $everyK/$maxFrames")
+    val schema = df.schema
+      .add("n_sampled", IntegerType)
+      .add("frame_sums", ArrayType(LongType, containsNull = false))
+    val enc = Encoders.row(schema)
+    val bIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { rows =>
+        rows.map { row =>
+          val bytes = row.getAs[Array[Byte]](bIdx)
+          val sums: Seq[Long] =
+            if (bytes == null || bytes.isEmpty) Seq.empty
+            else {
+              val (r, iis) = openReader(bytes)
+              try {
+                val n = r.getNumImages(true)
+                (0 until n by everyK).take(maxFrames).map { i =>
+                  val img = r.read(i)
+                  var sum = 0L; var y = 0
+                  while (y < img.getHeight) {
+                    var x = 0
+                    while (x < img.getWidth) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+                    y += 1
+                  }
+                  sum
+                }
+              } finally { r.dispose(); iis.close() }
+            }
+          Row.fromSeq(row.toSeq ++ Seq[Any](sums.length, sums))
+        }
+      }
+    }(enc)
   }
 
   /** REAL image resize: decode via ImageIO, nearest-neighbor sample the
@@ -228,8 +406,9 @@ object Multimodal {
   }
 
   /** Batched media downscale stage: image rows resize (NN raster
-    * sample), audio rows resample (frame decimation), other kinds pass
-    * through untouched — same partition-parallel batch shape as
+    * sample), audio rows resample (PCM frame decimation), video rows
+    * temporally downsample (REAL GIF frame decimation), other kinds
+    * pass through untouched — same partition-parallel batch shape as
     * [[withFeatures]]. The output column carries REAL re-encoded
     * containers, so it feeds [[withFeatures]] for verification. */
   def withDownscaled(df: DataFrame, bytesCol: String, kindCol: String,
@@ -247,6 +426,7 @@ object Multimodal {
             case _ if bytes == null || bytes.isEmpty => bytes
             case "image" => resizePngNN(bytes, factor)
             case "audio" => resampleWavNN(bytes, factor)
+            case "video" => decimateGifFrames(bytes, factor)
             case _ => bytes
           }
           Row.fromSeq(r.toSeq :+ small)

@@ -10,9 +10,11 @@ import graft.multimodal.Multimodal
   * q50 is the batch form of the streaming windowed aggregation (same
   * plan Structured Streaming runs incrementally — see
   * graft.streaming.EventStream.windowedStats and its spec, which checks
-  * stream output == this batch answer). q70 drives the binary-column
-  * decode plumbing with a SQL-arithmetic oracle (the fake codec's
-  * features are pure functions of the payload).
+  * stream output == this batch answer). q70/q81/q115 drive the
+  * binary-column decode plumbing with REAL JDK decoders on every kind
+  * branch (ImageIO PNG, javax.sound WAV, multi-frame animated GIF);
+  * the generators' closed forms give each decode a SQL-arithmetic
+  * oracle because the containers are lossless.
   */
 object StreamingQueries extends QuerySet {
 
@@ -33,19 +35,22 @@ object StreamingQueries extends QuerySet {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
-  /** Multimodal decode across ALL THREE kind branches: image rows are
-    * REAL PNGs decoded by the JDK ImageIO codec, audio rows are REAL
-    * 16-bit PCM WAVs decoded by the JDK sampled-sound codec, video rows
-    * keep text bytes through the documented FakeCodec stand-in. Every
-    * generated payload follows a closed-form formula (PNG and PCM are
-    * lossless), so the oracle recomputes width/height/checksum/
-    * sample_rate/n_frames without any decoder — a real decode bug on
-    * any branch breaks the hash. */
+  /** Multimodal decode across ALL THREE kind branches — every branch a
+    * REAL JDK decoder: image rows are PNGs through ImageIO, audio rows
+    * are 16-bit PCM WAVs through javax.sound, video rows are
+    * multi-frame animated GIFs through ImageReader.getNumImages/read(i)
+    * (real frame counts, real per-frame rasters). Every generated
+    * payload follows a closed-form formula (PNG, PCM and
+    * palette-indexed GIF are all lossless), so the oracle recomputes
+    * width/height/checksum/sample_rate/n_frames without any decoder —
+    * a real decode bug on any branch breaks the hash. */
   private def q70(s: SparkSession, d: String): DataFrame = {
-    val gen = udf { (id: Long, text: String) =>
+    val gen = udf { (id: Long) =>
       if (id % 4 == 0)
         Multimodal.syntheticWav(id, (8000 + (id % 3) * 4000).toInt, (50 + id % 100).toInt)
-      else if (id % 4 == 2) text.getBytes("UTF-8")
+      else if (id % 4 == 2)
+        Multimodal.syntheticGif(id, (6 + id % 10).toInt, (4 + (id * 3) % 8).toInt,
+          (2 + id % 4).toInt)
       else Multimodal.syntheticPng(id, (8 + id % 24).toInt, (8 + (id * 3) % 16).toInt)
     }
     val media = t(s, d, "documents")
@@ -53,7 +58,7 @@ object StreamingQueries extends QuerySet {
         when(col("doc_id") % 4 === 0, lit("audio"))
           .when(col("doc_id") % 4 === 2, lit("video"))
           .otherwise(lit("image")).as("kind"),
-        gen(col("doc_id"), col("text")).as("bytes"))
+        gen(col("doc_id")).as("bytes"))
     Multimodal.withFeatures(media, "bytes", "kind", Multimodal.KindDispatchCodec)
       .select(col("doc_id"), col("kind"), col("width"), col("height"),
         col("checksum"), col("sample_rate"), col("n_frames"))
@@ -65,19 +70,19 @@ object StreamingQueries extends QuerySet {
       |  CASE WHEN doc_id % 4 = 0 THEN 'audio'
       |       WHEN doc_id % 4 = 2 THEN 'video' ELSE 'image' END AS kind,
       |  CASE WHEN doc_id % 4 = 0 THEN 0
-      |       WHEN doc_id % 4 = 2 THEN CAST(strlen(text) % 640 AS INT)
+      |       WHEN doc_id % 4 = 2 THEN CAST(6 + doc_id % 10 AS INT)
       |       ELSE CAST(8 + doc_id % 24 AS INT) END AS width,
       |  CASE WHEN doc_id % 4 = 0 THEN 0
-      |       WHEN doc_id % 4 = 2 THEN CAST((strlen(text) * 7) % 480 AS INT)
+      |       WHEN doc_id % 4 = 2 THEN CAST(4 + (doc_id * 3) % 8 AS INT)
       |       ELSE CAST(8 + (doc_id * 3) % 16 AS INT) END AS height,
       |  CASE WHEN doc_id % 4 = 0 THEN
       |    CAST(list_sum(list_transform(range(50 + doc_id % 100), i ->
       |      ((i * 13 + doc_id * 7) % 4096) - 2048)) AS BIGINT)
       |  WHEN doc_id % 4 = 2 THEN
-      |    list_reduce(
-      |      list_prepend(CAST(0 AS BIGINT),
-      |        list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-      |      (a, b) -> (a * 31 + b) % 1000000007)
+      |    CAST(list_sum(flatten(list_transform(range(2 + doc_id % 4), f ->
+      |      flatten(list_transform(range(4 + (doc_id * 3) % 8), y ->
+      |        list_transform(range(6 + doc_id % 10), x ->
+      |          (x * 31 + y * 17 + f * 11 + doc_id) % 256)))))) AS BIGINT)
       |  ELSE CAST(list_sum(flatten(list_transform(range(8 + (doc_id * 3) % 16), y ->
       |    list_transform(range(8 + doc_id % 24), x ->
       |      (x * 31 + y * 17 + doc_id) % 256)))) AS BIGINT)
@@ -85,26 +90,35 @@ object StreamingQueries extends QuerySet {
       |  CASE WHEN doc_id % 4 = 0 THEN CAST(8000 + (doc_id % 3) * 4000 AS INT)
       |       ELSE 0 END AS sample_rate,
       |  CASE WHEN doc_id % 4 = 0 THEN CAST(50 + doc_id % 100 AS INT)
+      |       WHEN doc_id % 4 = 2 THEN CAST(2 + doc_id % 4 AS INT)
       |       ELSE 0 END AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Multimodal downscale: REAL image resize (nearest-neighbor raster
-    * sample + PNG re-encode) and REAL audio resample (PCM frame
-    * decimation + WAV re-encode), verified by decoding the transformed
-    * containers AGAIN through the real codecs. The integer sampling
-    * maps (src pixel = 2·dst pixel; src frame = 2·dst frame) keep the
-    * generators' closed forms closed, so the oracle recomputes the
-    * post-resize dims/rate/frames/checksums with no media stack. */
+  /** Multimodal downscale across ALL THREE kinds — REAL image resize
+    * (nearest-neighbor raster sample + PNG re-encode), REAL audio
+    * resample (PCM frame decimation + WAV re-encode), REAL video
+    * temporal downsample (per-frame ImageIO decode, keep every 2nd
+    * frame, animated-GIF re-encode) — verified by decoding the
+    * transformed containers AGAIN through the real codecs. The integer
+    * sampling maps (src pixel = 2·dst pixel; src frame = 2·dst frame)
+    * keep the generators' closed forms closed, so the oracle recomputes
+    * the post-transform dims/rate/frames/checksums with no media
+    * stack. */
   private def q115(s: SparkSession, d: String): DataFrame = {
     val gen = udf { (id: Long) =>
-      if (id % 2 == 0)
-        Multimodal.syntheticWav(id, (8000 + (id % 3) * 4000).toInt, (50 + id % 100).toInt)
+      if (id % 3 == 0)
+        Multimodal.syntheticWav(id, (8000 + (id % 5) * 2000).toInt, (50 + id % 100).toInt)
+      else if (id % 3 == 2)
+        Multimodal.syntheticGif(id, (6 + id % 10).toInt, (4 + (id * 3) % 8).toInt,
+          (5 + id % 6).toInt)
       else
         Multimodal.syntheticPng(id, (8 + id % 24).toInt, (8 + (id * 3) % 16).toInt)
     }
     val media = t(s, d, "documents")
       .select(col("doc_id"),
-        when(col("doc_id") % 2 === 0, lit("audio")).otherwise(lit("image")).as("kind"),
+        when(col("doc_id") % 3 === 0, lit("audio"))
+          .when(col("doc_id") % 3 === 2, lit("video"))
+          .otherwise(lit("image")).as("kind"),
         gen(col("doc_id")).as("bytes"))
     val small = Multimodal.withDownscaled(media, "bytes", "kind", factor = 2)
     Multimodal.withFeatures(small, "bytes_small", "kind", Multimodal.KindDispatchCodec)
@@ -115,44 +129,66 @@ object StreamingQueries extends QuerySet {
 
   private val q115Sql =
     """SELECT doc_id,
-      |  CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'image' END AS kind,
-      |  CASE WHEN doc_id % 2 = 0 THEN 0
+      |  CASE WHEN doc_id % 3 = 0 THEN 'audio'
+      |       WHEN doc_id % 3 = 2 THEN 'video' ELSE 'image' END AS kind,
+      |  CASE WHEN doc_id % 3 = 0 THEN 0
+      |       WHEN doc_id % 3 = 2 THEN CAST(6 + doc_id % 10 AS INT)
       |       ELSE CAST((8 + doc_id % 24) // 2 AS INT) END AS width,
-      |  CASE WHEN doc_id % 2 = 0 THEN 0
+      |  CASE WHEN doc_id % 3 = 0 THEN 0
+      |       WHEN doc_id % 3 = 2 THEN CAST(4 + (doc_id * 3) % 8 AS INT)
       |       ELSE CAST((8 + (doc_id * 3) % 16) // 2 AS INT) END AS height,
-      |  CASE WHEN doc_id % 2 = 0 THEN
-      |    CAST(list_sum(list_transform(range((50 + doc_id % 100 + 1) // 2), i ->
+      |  CASE WHEN doc_id % 3 = 0 THEN
+    CAST(list_sum(list_transform(range((50 + doc_id % 100 + 1) // 2), i ->
       |      ((2 * i * 13 + doc_id * 7) % 4096) - 2048)) AS BIGINT)
+      |  WHEN doc_id % 3 = 2 THEN
+      |    CAST(list_sum(flatten(list_transform(range((5 + doc_id % 6 + 1) // 2), j ->
+      |      flatten(list_transform(range(4 + (doc_id * 3) % 8), y ->
+      |        list_transform(range(6 + doc_id % 10), x ->
+      |          (x * 31 + y * 17 + (2 * j) * 11 + doc_id) % 256)))))) AS BIGINT)
       |  ELSE
       |    CAST(list_sum(flatten(list_transform(range((8 + (doc_id * 3) % 16) // 2), y ->
       |      list_transform(range((8 + doc_id % 24) // 2), x ->
       |        (62 * x + 34 * y + doc_id) % 256)))) AS BIGINT)
       |  END AS checksum,
-      |  CASE WHEN doc_id % 2 = 0 THEN CAST((8000 + (doc_id % 3) * 4000) // 2 AS INT)
+      |  CASE WHEN doc_id % 3 = 0 THEN CAST((8000 + (doc_id % 5) * 2000) // 2 AS INT)
       |       ELSE 0 END AS sample_rate,
-      |  CASE WHEN doc_id % 2 = 0 THEN CAST((50 + doc_id % 100 + 1) // 2 AS INT)
+      |  CASE WHEN doc_id % 3 = 0 THEN CAST((50 + doc_id % 100 + 1) // 2 AS INT)
+      |       WHEN doc_id % 3 = 2 THEN CAST((5 + doc_id % 6 + 1) // 2 AS INT)
       |       ELSE 0 END AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Multimodal frame sampling: every 4th 16-byte slice of the payload,
-    * capped at 6 frames (the partition-parallel frame-extraction shape;
-    * document text bytes stand in for video payloads — all-ASCII in the
-    * testdata, so byte offsets mirror to substr in the oracle). */
+  /** REAL video frame sampling: every 4th frame of a multi-frame
+    * animated GIF (capped at 6), each sampled frame DECODED through the
+    * JDK ImageReader and reduced to its pixel checksum — the
+    * distributed frame-extraction stage with a real decoder in the
+    * loop. The generator's closed form makes both the sampled-frame
+    * count and every per-frame checksum oracle-computable without a
+    * media stack (frame j of the sample is source frame 4·j). */
   private def q81(s: SparkSession, d: String): DataFrame = {
-    val media = t(s, d, "documents")
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
-    Multimodal.sampleFrames(media, "bytes", everyK = 4, maxFrames = 6)
+    val gen = udf { (id: Long) =>
+      Multimodal.syntheticGif(id, (5 + id % 8).toInt, (4 + id % 6).toInt,
+        (3 + id % 20).toInt)
+    }
+    val media = t(s, d, "documents").select(col("doc_id"), gen(col("doc_id")).as("bytes"))
+    Multimodal.sampleVideoFrames(media, "bytes", everyK = 4, maxFrames = 6)
       .select(col("doc_id"), col("n_sampled"),
-        element_at(col("frames"), 1).cast("string").as("first_frame"))
+        element_at(col("frame_sums"), 1).as("first_sum"),
+        aggregate(col("frame_sums"), lit(0L), (a, b) => a + b).as("total_sum"))
       .orderBy(col("doc_id"))
   }
 
   private val q81Sql =
     """SELECT doc_id,
-      |  CASE WHEN strlen(text) = 0 THEN 0
-      |       ELSE LEAST(6, CAST(ceil(strlen(text) / 64.0) AS INT)) END AS n_sampled,
-      |  CASE WHEN strlen(text) = 0 THEN NULL
-      |       ELSE substr(text, 1, 16) END AS first_frame
+      |  LEAST(6, CAST(ceil((3 + doc_id % 20) / 4.0) AS INT)) AS n_sampled,
+      |  CAST(list_sum(flatten(list_transform(range(4 + doc_id % 6), y ->
+      |    list_transform(range(5 + doc_id % 8), x ->
+      |      (x * 31 + y * 17 + doc_id) % 256)))) AS BIGINT) AS first_sum,
+      |  CAST(list_sum(flatten(list_transform(
+      |    range(LEAST(6, CAST(ceil((3 + doc_id % 20) / 4.0) AS INT))), j ->
+      |      flatten(list_transform(range(4 + doc_id % 6), y ->
+      |        list_transform(range(5 + doc_id % 8), x ->
+      |          (x * 31 + y * 17 + (4 * j) * 11 + doc_id) % 256)))))) AS BIGINT)
+      |    AS total_sum
       |FROM documents ORDER BY doc_id""".stripMargin
 
   override val queries: Seq[Q] = Seq(

@@ -71,16 +71,62 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
-  test("KindDispatchCodec: image and audio decode for real, video keeps the fake") {
+  test("KindDispatchCodec: image, audio AND video all decode for real") {
     val png = Multimodal.syntheticPng(7L, 10, 10)
     assert(Multimodal.KindDispatchCodec.decode("image", png) ==
       Multimodal.ImageIoCodec.decode("image", png))
     val wav = Multimodal.syntheticWav(7L, 8000, 50)
     assert(Multimodal.KindDispatchCodec.decode("audio", wav) ==
       Multimodal.WavCodec.decode("audio", wav))
-    val video = Array.tabulate(100)(_.toByte)
-    assert(Multimodal.KindDispatchCodec.decode("video", video) ==
-      Multimodal.FakeCodec.decode("video", video))
+    val gif = Multimodal.syntheticGif(7L, 8, 6, 4)
+    assert(Multimodal.KindDispatchCodec.decode("video", gif) ==
+      Multimodal.GifVideoCodec.decode("video", gif))
+    assert(Multimodal.GifVideoCodec.decode("video", gif).n_frames == 4)
+  }
+
+  test("GifVideoCodec decodes a real animated GIF: frame count, dims, checksum") {
+    val (seed, w, h, nf) = (42L, 12, 9, 5)
+    val gif = Multimodal.syntheticGif(seed, w, h, nf)
+    // GIF89a magic: a real multi-frame container, not arithmetic on bytes
+    assert(gif(0) == 'G' && gif(1) == 'I' && gif(2) == 'F' && gif(3) == '8')
+    val f = Multimodal.GifVideoCodec.decode("video", gif)
+    assert(f.width == w && f.height == h && f.n_frames == nf && f.n_bytes == gif.length)
+    assert(f.sample_rate == 0)
+    val expected = (for { fr <- 0 until nf; y <- 0 until h; x <- 0 until w }
+      yield (x * 31 + y * 17 + fr * 11 + seed) % 256).sum
+    assert(f.checksum == expected)
+  }
+
+  test("GifVideoCodec fails loudly on an undecodable video payload") {
+    intercept[IllegalArgumentException] {
+      Multimodal.GifVideoCodec.decode("video", Array.tabulate(100)(_.toByte))
+    }
+  }
+
+  test("decimateGifFrames: real temporal downsample keeps the closed form") {
+    val (seed, w, h, nf) = (11L, 10, 7, 7)
+    val small = Multimodal.decimateGifFrames(Multimodal.syntheticGif(seed, w, h, nf), 2)
+    val f = Multimodal.GifVideoCodec.decode("video", small)
+    assert(f.width == w && f.height == h && f.n_frames == (nf + 1) / 2)
+    val expected = (for { j <- 0 until (nf + 1) / 2; y <- 0 until h; x <- 0 until w }
+      yield (x * 31 + y * 17 + (2 * j) * 11 + seed) % 256).sum
+    assert(f.checksum == expected)
+  }
+
+  test("sampleVideoFrames: real per-frame decode, every k-th frame, capped") {
+    import spark.implicits._
+    val (seed, w, h, nf) = (3L, 6, 5, 11)
+    val rows = Seq((1L, Multimodal.syntheticGif(seed, w, h, nf)),
+      (2L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "bytes")
+    val out = Multimodal.sampleVideoFrames(rows, "bytes", everyK = 4, maxFrames = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // frames 0 and 4 of 11 (cap 2 wins over ceil(11/4)=3)
+    assert(out(1L).getAs[Int]("n_sampled") == 2)
+    val frameSum = (fr: Int) => (for { y <- 0 until h; x <- 0 until w }
+      yield (x * 31 + y * 17 + fr * 11 + seed) % 256).sum.toLong
+    assert(out(1L).getSeq[Long](out(1L).fieldIndex("frame_sums")) ==
+      Seq(frameSum(0), frameSum(4)))
+    assert(out(2L).getAs[Int]("n_sampled") == 0) // null payload -> zero frames
   }
 
   test("withFeatures end-to-end with the real codec: decoded dims per row") {
@@ -115,18 +161,20 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(f.checksum == expected)
   }
 
-  test("withDownscaled routes by kind and passes video through untouched") {
+  test("withDownscaled routes all three real kinds; unknown kinds pass through") {
     import spark.implicits._
     val rows = Seq(
       (1L, "image", Multimodal.syntheticPng(1L, 10, 8)),
       (2L, "audio", Multimodal.syntheticWav(2L, 8000, 40)),
-      (3L, "video", Array.tabulate(64)(_.toByte)))
+      (3L, "video", Multimodal.syntheticGif(3L, 6, 4, 9)),
+      (4L, "text", Array.tabulate(64)(_.toByte)))
       .toDF("media_id", "kind", "bytes")
     val out = Multimodal.withDownscaled(rows, "bytes", "kind", factor = 2)
       .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes_small")).toMap
     assert(Multimodal.ImageIoCodec.decode("image", out(1L)).width == 5)
     assert(Multimodal.WavCodec.decode("audio", out(2L)).n_frames == 20)
-    assert(out(3L).toSeq == Array.tabulate(64)(_.toByte).toSeq) // passthrough
+    assert(Multimodal.GifVideoCodec.decode("video", out(3L)).n_frames == 5)
+    assert(out(4L).toSeq == Array.tabulate(64)(_.toByte).toSeq) // passthrough
   }
 
   test("sampleFrames: every k-th 16-byte slice, bounded by maxFrames and length") {
