@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   *     a candidate (false positives possible, false negatives
   *     impossible — the guarantee is preserved under summary merge,
   *     errors add);
-  *  2. exact counting then aggregates ONLY rows matching the ≤1/support
-  *     candidates (the `isin` filter pushes to the scan), so the shuffle
-  *     carries candidate keys, not the vocabulary.
+  *  2. exact counting then aggregates ONLY rows matching the ≤2/support
+  *     candidates (the `isin` filter pushes to the scan; the cap is
+  *     sized for the TWO-phase merge error — see heavyHitters), so the
+  *     shuffle carries candidate keys, not the vocabulary.
   *
   * The result is EXACTLY the true top-k (count desc, value asc)
   * whenever the true k-th value's share exceeds `support` — the caller
@@ -75,7 +76,15 @@ object Frequency {
   def heavyHitters(df: DataFrame, valueCol: String, k: Int,
                    support: Double = 0.01): DataFrame = {
     require(k > 0 && support > 0 && support < 1, s"bad k=$k / support=$support")
-    val cap = math.max(k, math.ceil(1.0 / support).toInt)
+    // Two-phase error budget: per-partition sketches undercount by at
+    // most Σ n_p/cap = n/cap, and replaying the summaries through one
+    // more bounded merge adds another ≤ n/cap — so a value can be
+    // evicted from the merged candidate set only if its true count is
+    // ≤ 2n/cap. cap ≥ 2/support makes that bound ≤ support·n, which is
+    // exactly what the soundness check below relies on (a single-pass
+    // 1/support cap would let a value in (support, 2·support] vanish
+    // while the check still passed — silently wrong top-k).
+    val cap = math.max(k, math.ceil(2.0 / support).toInt)
     // one fused pass: per-partition (bounded summary, row count)
     val summaries = df.select(col(valueCol)).rdd.mapPartitions { it =>
       val m = new mutable.HashMap[Any, Long]
@@ -90,7 +99,16 @@ object Frequency {
       m.foreach { case (key, v) => mgAdd(merged, key, v, cap) }
     }
     val cand = merged.keys.toSeq
-    val verified = df.filter(col(valueCol).isin(cand: _*))
+    // isin never matches NULL, so a frequent-null column needs the
+    // null candidate verified through an explicit isNull disjunct —
+    // otherwise null's exact count silently drops out of the top-k
+    // while the soundness check can still pass.
+    val (nullCand, nonNullCand) = cand.partition(_ == null)
+    val candPred = {
+      val base = if (nonNullCand.nonEmpty) col(valueCol).isin(nonNullCand: _*) else lit(false)
+      if (nullCand.nonEmpty) base || col(valueCol).isNull else base
+    }
+    val verified = df.filter(candPred)
       .groupBy(col(valueCol))
       .agg(count(lit(1)).as("cnt"))
       .cache()

@@ -183,18 +183,26 @@ final class HnswSearcher(graphs: DataFrame, ef: Int = 64) extends VectorSearcher
                          probe: Array[Float], k: Int,
                          pred: org.apache.spark.sql.Column): DataFrame = {
     val filtered = corpus.filter(pred)
-    var fetch = 4 * k
+    // widening is bounded: 16M candidates is far past any sane broadcast
+    // join, and the cap also keeps fetch from overflowing Int on a graph
+    // big enough to keep answering `fetch` hits every round
+    val maxFetch = 1 << 24
+    var fetch = math.min(4 * k, maxFetch)
     while (true) {
+      // checkpoint the walk result: each round counts it AND joins it,
+      // and the returned frame is re-evaluated by the caller — without
+      // truncation the graph walk would run 3× per round
       val hits = HnswIndex.search(graphs, probe, fetch, math.max(ef, 2 * fetch))
         .withColumnRenamed("vec_id", "__hnsw_id")
+        .localCheckpoint()
       val walked = hits.count()
       val joined = filtered
         .join(broadcast(hits), col(idCol).cast("long") === col("__hnsw_id"))
         .drop("__hnsw_id")
         .orderBy(col("sim").desc, col(idCol))
         .limit(k)
-      if (joined.count() >= k || walked < fetch) return joined
-      fetch *= 4
+      if (joined.count() >= k || walked < fetch || fetch >= maxFetch) return joined
+      fetch = math.min(fetch * 4, maxFetch)
     }
     sys.error("unreachable")
   }

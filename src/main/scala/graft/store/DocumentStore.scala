@@ -20,11 +20,18 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Every mutation commits a NEW manifest that reuses the segment dirs of
   * untouched partitions and points touched partitions at freshly written
   * dirs — so an upsert of one session rewrites one partition, not 100 TB.
-  * The commit is a single atomic `_CURRENT` swap (write temp + rename
-  * with Options.Rename.OVERWRITE), which is the TX1 transaction: readers
-  * see the old version until the swap, and a crash mid-write leaves
-  * garbage segments but a consistent table. Single-writer by design (the
-  * reference's app tier is too).
+  * The commit is the TX1 transaction with OPTIMISTIC CONCURRENCY
+  * (the reference's TX1 is a real Mongo transaction,
+  * MongoDbService.cs:563-592): every mutation records the version it
+  * read, writes its segments under an attempt-unique directory, and then
+  * claims its target epoch by an atomic no-overwrite directory rename
+  * (`v<N>.claim`) — the rename is the compare-and-swap, so of two racing
+  * committers exactly one owns `v+1`. The loser deletes its orphan
+  * segments and throws ConcurrentModificationException (fail loudly,
+  * never lose a mutation silently). The winner then swaps `_CURRENT`
+  * atomically (write temp + rename with Options.Rename.OVERWRITE);
+  * readers see the old version until the swap, and a crash mid-write
+  * leaves garbage segments but a consistent table.
   *
   * All metadata IO goes through the Hadoop FileSystem API (resolved from
   * the root path's scheme), so the store works unchanged on local disk,
@@ -61,7 +68,7 @@ class DocumentStore(spark: SparkSession, root: String) {
   private def currentVersion(table: String): Int =
     readString(new HPath(tdir(table), "_CURRENT")).map(_.trim.toInt).getOrElse(0)
 
-  private def manifest(table: String, v: Int): Map[String, String] = {
+  private[store] def manifest(table: String, v: Int): Map[String, String] = {
     if (v == 0) return Map.empty // table never created
     val f = new HPath(new HPath(tdir(table), "_versions"), s"v$v.manifest")
     // a committed version MUST have its manifest: reading a corrupted
@@ -75,10 +82,63 @@ class DocumentStore(spark: SparkSession, root: String) {
       }.toMap
   }
 
-  private def commit(table: String, v: Int, m: Map[String, String]): Unit = {
+  /** Commit manifest `m` as version `v = base + 1`, with `base` the
+    * version this mutation READ. The epoch claim is a DIRECTORY rename
+    * without overwrite (`.claim-v<N>-<token>` → `v<N>.claim`) — the CAS
+    * primitive: POSIX rename atomically refuses a non-empty destination
+    * directory (the marker file inside guarantees non-emptiness), and
+    * HDFS refuses any existing destination at the namenode, so of two
+    * racing committers exactly one owns epoch `v`. (A FILE rename is
+    * NOT a CAS on local filesystems: POSIX rename overwrites files
+    * silently.) Only the claim winner writes `v$v.manifest` and swaps
+    * `_CURRENT`. A losing committer deletes its own just-written
+    * segment dirs (the entries of `m` not carried from the base
+    * manifest) and fails loudly; it never publishes, so no mutation
+    * epoch is silently lost. Crash debris (a claimed epoch whose
+    * `_CURRENT` swap never happened) blocks the epoch until [[vacuum]]
+    * clears it — commit NEVER clears a claim itself, because a claim it
+    * cannot distinguish from debris may belong to a live committer
+    * between claim and swap. */
+  private[store] def commit(table: String, base: Int, v: Int, m: Map[String, String],
+                     schemaJson: Option[String]): Unit = {
+    require(v == base + 1, s"commit must target base+1 (got base=$base v=$v)")
     val vd = new HPath(tdir(table), "_versions"); fs.mkdirs(vd)
+    val token = java.util.UUID.randomUUID().toString
+    val claimDir = new HPath(vd, s"v$v.claim")
+    val tmpDir = new HPath(vd, s".claim-v$v-$token")
+    fs.mkdirs(tmpDir)
+    writeString(new HPath(tmpDir, "owner"), token) // non-empty: un-replaceable
+    def claim(): Boolean =
+      try { fc.rename(tmpDir, claimDir); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException if fs.exists(claimDir) => false
+      }
+    val owned = claim()
+    // NOTE deliberately NO automatic debris-clearing here: a claim that
+    // exists while _CURRENT < v could be a crashed commit's debris — or
+    // a LIVE committer between its claim and its swap. Guessing "debris"
+    // and clearing it would silently destroy the live committer's epoch
+    // (the exact lost-update this CAS exists to prevent). Crash debris
+    // is cleared by [[vacuum]], which runs with no writers in flight.
+    if (!owned) {
+      // lost the race: drop the segment dirs this attempt wrote (the
+      // manifest entries not carried over from the base version)
+      fs.delete(tmpDir, true)
+      val carried = manifest(table, base).values.toSet
+      m.values.toSet.diff(carried).foreach { dir =>
+        val p = new HPath(dir)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent commit on table '$table': read version $base but epoch $v " +
+          s"was claimed by another writer; mutation NOT applied (segments cleaned). " +
+          s"If no writer is live, the claim is crash debris — run vacuum to clear it")
+    }
     val body = m.toSeq.sorted.map { case (k, d) => s"$k\t$d" }.mkString("\n")
     writeString(new HPath(vd, s"v$v.manifest"), body)
+    schemaJson.foreach(js => writeString(new HPath(vd, s"v$v.schema"), js))
+    refreshStats(table, base, v, m)
     val tmp = new HPath(tdir(table), s"_CURRENT.tmp$v")
     writeString(tmp, v.toString)
     fc.rename(tmp, new HPath(tdir(table), "_CURRENT"), Options.Rename.OVERWRITE)
@@ -92,10 +152,21 @@ class DocumentStore(spark: SparkSession, root: String) {
     case None => lit("all")
   }
 
-  private def writeSegments(table: String, df: DataFrame, v: Int,
+  /** Write `df`'s segments under an ATTEMPT-UNIQUE directory
+    * (`data/v<N>-<token>`): two optimistic committers racing toward the
+    * same epoch must never share a physical dir, or the loser's write
+    * would clobber the winner's data before the CAS even runs. Returns
+    * the partition→dir map plus the schema JSON for the commit to
+    * publish — the version's logical schema rides next to its manifest
+    * so reads NEVER infer (or merge) schemas from data files: at 100 TB
+    * footer sniffing across segment dirs is an IO pass of its own, and
+    * schema evolution (upsert adding a column) would otherwise depend
+    * on which segment the reader lists first. */
+  private[store] def writeSegments(table: String, df: DataFrame, v: Int,
                             partitionCol: Option[String],
-                            sortBy: Seq[String] = Nil): Map[String, String] = {
-    val out = new HPath(new HPath(tdir(table), "data"), s"v$v")
+                            sortBy: Seq[String] = Nil): (Map[String, String], String) = {
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val out = new HPath(new HPath(tdir(table), "data"), s"v$v-$token")
     val keyed = df.withColumn("__part", partExpr(partitionCol))
     // the dynamic-partition writer sorts each task by __part (unstably)
     // unless the incoming ordering already leads with it — so clustering
@@ -105,19 +176,13 @@ class DocumentStore(spark: SparkSession, root: String) {
       if (sortBy.isEmpty) keyed
       else keyed.sortWithinPartitions(col("__part") +: sortBy.map(col): _*)
     prepared.write.mode("overwrite").partitionBy("__part").parquet(out.toString)
-    // the version's logical schema rides next to its manifest: reads
-    // NEVER infer (or merge) schemas from data files — at 100 TB footer
-    // sniffing across segment dirs is an IO pass of its own, and schema
-    // evolution (upsert adding a column) would otherwise depend on which
-    // segment the reader lists first
-    val vd = new HPath(tdir(table), "_versions"); fs.mkdirs(vd)
-    writeString(new HPath(vd, s"v$v.schema"), df.schema.json)
-    fs.listStatus(out).iterator
+    val parts = fs.listStatus(out).iterator
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("__part="))
       .map { st =>
         val key = st.getPath.getName.stripPrefix("__part=")
         key -> st.getPath.toString
       }.toMap
+    (parts, df.schema.json)
   }
 
   /** The committed logical schema of version `v` (minus the physical
@@ -141,10 +206,11 @@ class DocumentStore(spark: SparkSession, root: String) {
 
   /** Create/replace the table (bulk load — the §3.2 ingest sink). */
   def create(table: String, df: DataFrame, partitionCol: Option[String] = None): Unit = {
-    val v = currentVersion(table) + 1
+    val v0 = currentVersion(table); val v = v0 + 1
     fs.mkdirs(tdir(table))
     savePartCol(table, partitionCol)
-    commit(table, v, writeSegments(table, df, v, partitionCol))
+    val (written, schema) = writeSegments(table, df, v, partitionCol)
+    commit(table, v0, v, written, Some(schema))
   }
 
   private def savePartCol(table: String, pc: Option[String]): Unit =
@@ -269,8 +335,8 @@ class DocumentStore(spark: SparkSession, root: String) {
         case None => updates.limit(0)
       }
     val merged = kept.unionByName(updates, allowMissingColumns = true)
-    val written = writeSegments(table, merged, v, pc)
-    commit(table, v, (m0 -- touchedKeys) ++ written)
+    val (written, schema) = writeSegments(table, merged, v, pc)
+    commit(table, v0, v, (m0 -- touchedKeys) ++ written, Some(schema))
   }
 
   /** Partial-column merge — the `$set` half of the reference's update
@@ -315,8 +381,8 @@ class DocumentStore(spark: SparkSession, root: String) {
       d.withColumn(c, when(col("__matched"), col(s"__set_$c")).otherwise(col(c)))
     }.drop("__matched" +: setCols.map(c => s"__set_$c"): _*)
       .select(cur.columns.map(col): _*)
-    val written = writeSegments(table, merged, v, pc)
-    commit(table, v, (m0 -- touchedKeys) ++ written)
+    val (written, schema) = writeSegments(table, merged, v, pc)
+    commit(table, v0, v, (m0 -- touchedKeys) ++ written, Some(schema))
   }
 
   /** S6/S7: delete rows matching the predicate (point or bulk). The scan
@@ -339,8 +405,8 @@ class DocumentStore(spark: SparkSession, root: String) {
     // (e.g. a NULL column in col("price") > 100) — silent data loss.
     val remaining = readDirs(table, v0, victims.values.toSeq)
       .filter(!coalesce(predicate, lit(false)))
-    val written = writeSegments(table, remaining, v, pc)
-    commit(table, v, (m0 -- victims.keySet) ++ written)
+    val (written, schema) = writeSegments(table, remaining, v, pc)
+    commit(table, v0, v, (m0 -- victims.keySet) ++ written, Some(schema))
   }
 
   def version(table: String): Int = currentVersion(table)
@@ -407,8 +473,8 @@ class DocumentStore(spark: SparkSession, root: String) {
       .drop("__part", "__slots", "__slot")
     // clustering (sortBy) happens inside writeSegments, where the write
     // task's (__part, sortBy...) sort survives the dynamic-partition writer
-    val written = writeSegments(table, salted, v, pc, sortBy)
-    commit(table, v, (m0 -- slotsByPart.keySet) ++ written)
+    val (written, schema) = writeSegments(table, salted, v, pc, sortBy)
+    commit(table, v0, v, (m0 -- slotsByPart.keySet) ++ written, Some(schema))
     true
   }
 
@@ -422,24 +488,61 @@ class DocumentStore(spark: SparkSession, root: String) {
     val v = currentVersion(table)
     val m = manifest(table, v)
     if (m.isEmpty || cols.isEmpty) return
+    writeString(new HPath(new HPath(tdir(table), "_versions"), s"v$v.stats"),
+      statsLines(table, v, m.values.toSeq, cols).mkString("\n"))
+  }
+
+  /** One column-pruned min/max scan over `dirs`, one stats line per
+    * (partition, column). Reads through the version's COMMITTED schema
+    * ([[readDirs]]) — parquet footer inference on an evolved table
+    * would sample an arbitrary segment's schema and either throw or
+    * nondeterministically skip stats for old partitions. */
+  private def statsLines(table: String, v: Int, dirs: Seq[String],
+                         cols: Seq[String]): Seq[String] = {
     val pc = partCol(table)
-    val aggs = cols.flatMap(c => Seq(
+    val df = readDirs(table, v, dirs)
+    val present = cols.filter(df.columns.contains)
+    if (present.isEmpty) return Seq.empty
+    val aggs = present.flatMap(c => Seq(
       min(col(c)).cast("double").as(s"__min_$c"),
       max(col(c)).cast("double").as(s"__max_$c")))
-    val rows = spark.read.parquet(m.values.toSeq: _*)
-      .groupBy(partExpr(pc).as("__part"))
+    df.groupBy(partExpr(pc).as("__part"))
       .agg(aggs.head, aggs.tail: _*)
-      .collect()
-    val lines = rows.flatMap { r =>
-      val part = r.getString(0)
-      cols.zipWithIndex.flatMap { case (c, i) =>
-        val lo = r.get(1 + 2 * i); val hi = r.get(2 + 2 * i)
-        if (lo == null || hi == null) None // all-null column: no evidence
-        else Some(s"$part\t$c\t$lo\t$hi")
+      .collect().toSeq
+      .flatMap { r =>
+        val part = r.getString(0)
+        present.zipWithIndex.flatMap { case (c, i) =>
+          val lo = r.get(1 + 2 * i); val hi = r.get(2 + 2 * i)
+          if (lo == null || hi == null) None // all-null column: no evidence
+          else Some(s"$part\t$c\t$lo\t$hi")
+        }
       }
-    }
+  }
+
+  /** Carry the stats sidecar across a commit: columns analyzed at the
+    * base version stay analyzed at the new one, so [[readRange]] never
+    * silently degrades to a full listing after a mutation epoch.
+    * Incremental — partitions whose segment dir is CARRIED from the
+    * base manifest keep their stats rows verbatim; only new/rewritten
+    * partitions are scanned (column-pruned), so refresh cost tracks the
+    * mutation, not the table size. Runs before the `_CURRENT` swap, so
+    * a version is never visible without its stats. */
+  private def refreshStats(table: String, base: Int, v: Int,
+                           m: Map[String, String]): Unit = {
+    val baseStats = readStats(table, base).getOrElse(return)
+    val cols = baseStats.keys.map(_._2).toSeq.distinct.sorted
+    if (cols.isEmpty) return
+    val mBase = manifest(table, base)
+    val (carried, changed) = m.partition { case (k, d) => mBase.get(k).contains(d) }
+    val carriedLines = for {
+      k <- carried.keys.toSeq.sorted; c <- cols
+      (lo, hi) <- baseStats.get((k, c))
+    } yield s"$k\t$c\t$lo\t$hi"
+    val changedLines =
+      if (changed.isEmpty) Seq.empty
+      else statsLines(table, v, changed.values.toSeq, cols)
     writeString(new HPath(new HPath(tdir(table), "_versions"), s"v$v.stats"),
-      lines.mkString("\n"))
+      (carriedLines ++ changedLines).mkString("\n"))
   }
 
   private def readStats(table: String, v: Int): Option[Map[(String, String), (Double, Double)]] =
@@ -463,9 +566,15 @@ class DocumentStore(spark: SparkSession, root: String) {
     readStats(table, v) match {
       case None => (m.keys.toSeq.sorted, m.size)
       case Some(st) =>
+        // stats are stored as doubles: a long beyond 2^53 rounds, so the
+        // kept-side bounds are widened by 2 ulps before comparing —
+        // rounding can then only OVER-read, never drop a partition that
+        // actually contains matching rows (the documented guarantee)
+        def up(x: Double) = Math.nextUp(Math.nextUp(x))
+        def dn(x: Double) = Math.nextDown(Math.nextDown(x))
         val kept = m.keys.filter { p =>
           st.get((p, column)) match {
-            case Some((mn, mx)) => mx >= l && mn <= h
+            case Some((mn, mx)) => up(mx) >= l && dn(mn) <= h
             case None => true
           }
         }.toSeq.sorted
@@ -506,13 +615,27 @@ class DocumentStore(spark: SparkSession, root: String) {
     * manifests. Old snapshots stay readable down to the retention
     * horizon (time travel); beyond it, storage is reclaimed — without
     * this, a COW store's storage grows with write count, not data size.
-    * Safe wrt the single-writer contract: only dirs unreferenced by ALL
-    * retained manifests are deleted, and `_CURRENT` is never touched. */
+    * Only dirs unreferenced by ALL retained manifests are deleted, and
+    * `_CURRENT` is never touched. Vacuum is a maintenance op: run it
+    * with no mutation in flight (an optimistic committer's not-yet-
+    * claimed attempt dir looks like crash garbage to the sweep). */
   def vacuum(table: String, keepVersions: Int = 1): Unit = {
     require(keepVersions >= 1, "must keep at least the current version")
     val cur = currentVersion(table)
     val vd = new HPath(tdir(table), "_versions")
     if (!fs.exists(vd)) return
+    // Uncommitted-epoch debris: claims/manifests/sidecars for versions
+    // ABOVE _CURRENT are the remains of a commit that crashed between
+    // its claim and its swap (with no writer in flight nothing live can
+    // hold them). Clearing them here — and only here — is what unblocks
+    // the next committer without commit itself ever guessing.
+    fs.listStatus(vd).iterator.map(_.getPath.getName).foreach { name =>
+      val ver = "^v(\\d+)\\.(manifest|schema|stats|claim)$".r
+      name match {
+        case ver(n, _) if n.toInt > cur => fs.delete(new HPath(vd, name), true)
+        case _ => if (name.startsWith(".claim-")) fs.delete(new HPath(vd, name), true)
+      }
+    }
     val all = fs.listStatus(vd).iterator
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
@@ -530,12 +653,14 @@ class DocumentStore(spark: SparkSession, root: String) {
       fs.delete(new HPath(vd, s"v$v.manifest"), false)
       fs.delete(new HPath(vd, s"v$v.stats"), false)  // sidecars ride their
       fs.delete(new HPath(vd, s"v$v.schema"), false) // version's lifetime
+      fs.delete(new HPath(vd, s"v$v.claim"), true)   // epoch-claim marker
     }
     // Crash-garbage sweep: a mutation that died between writeSegments and
-    // commit leaves a data/v<K> dir referenced by NO manifest, which the
-    // manifest-driven pass above can never reach. Under the single-writer
-    // contract no write is in flight during vacuum, so any version dir
-    // not referenced by a retained manifest is garbage.
+    // commit (or lost the CAS race before its cleanup ran) leaves a
+    // data/v<K>-<token> dir referenced by NO manifest, which the
+    // manifest-driven pass above can never reach. With no mutation in
+    // flight during vacuum, any attempt dir not referenced by a retained
+    // manifest is garbage.
     val dataDir = new HPath(tdir(table), "data")
     if (fs.exists(dataDir)) {
       fs.listStatus(dataDir).iterator.filter(_.isDirectory).foreach { st =>

@@ -39,6 +39,35 @@ class FrequencySpec extends AnyFunSuite with SparkSuite {
     assert(got == exactTop(10))
   }
 
+  test("a frequent NULL is verified and ranked like any other value") {
+    import spark.implicits._
+    // null is the single most frequent "value": it must appear in the
+    // top-k with its exact count (isin alone would silently drop it)
+    val vals = (Seq.fill(40)(null.asInstanceOf[String]) ++
+      Seq.fill(25)("a") ++ Seq.fill(15)("b") ++ (1 to 20).map(i => s"rare$i"))
+    val df = vals.toDF("w").repartition(7)
+    val got = Frequency.heavyHitters(df, "w", k = 3, support = 0.05)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSeq
+    assert(got == Seq((None, 40L), (Some("a"), 25L), (Some("b"), 15L)))
+  }
+
+  test("adversarial merge error cannot fake soundness (cap sized for 2 phases)") {
+    import spark.implicits._
+    // many partitions × many near-threshold values: with a 1/support
+    // cap the merged sketch could evict a value in (support, 2·support]
+    // yet still pass the soundness check; the 2/support cap keeps every
+    // above-support value a candidate, so the fast path stays exact
+    val vals = (1 to 30).flatMap(i => Seq.fill(30 + i)(s"v$i")) ++
+      (1 to 400).map(i => s"noise$i")
+    val df = vals.toDF("w").repartition(13)
+    val exact = df.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = Frequency.heavyHitters(df, "w", k = 8, support = 0.02)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == exact)
+  }
+
   test("counts are exact, not estimates") {
     val hh = Frequency.heavyHitters(tokens, "w", 5, 0.01)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -183,17 +183,22 @@ class CompactionSpec extends AnyFunSuite with SparkSuite {
     assert(s.readRange("t", "id", 50L, 250L).count() == 201)
   }
 
-  test("stats go stale-safe after a mutation: fallback, never wrong") {
+  test("stats auto-refresh across a mutation: pruning holds, never lies") {
     val s = freshStore()
     fragmented(s)
     s.analyze("t", Seq("id"))
-    // move a row's id ACROSS the range boundary: stale stats would lie
+    val (kept0, total) = s.statsPrunedParts("t", "id", 50L, 250L)
+    assert(kept0.size < total)
+    // move a row's id ACROSS the range boundary: the commit refreshes the
+    // rewritten partition's stats, so pruning stays BOTH live and correct
+    // (stale stats would lie; dropped stats would degrade to full listing)
     s.upsert("t", Seq((1000L, 2L, "moved")).toDF("id", "bucket", "payload"), Seq("payload"))
-    val (kept, total) = s.statsPrunedParts("t", "id", 50L, 250L)
-    assert(kept.size == total) // new version has no stats -> keep all
-    assert(s.readRange("t", "id", 50L, 250L).count() == 201)
-    // re-analyze restores pruning on the new version
-    s.analyze("t", Seq("id"))
-    assert(s.statsPrunedParts("t", "id", 50L, 250L)._1.size < total)
+    val (kept, totalAfter) = s.statsPrunedParts("t", "id", 50L, 250L)
+    assert(kept.size < totalAfter) // still pruning immediately, no re-analyze
+    assert(s.readRange("t", "id", 50L, 250L).count() == 201) // and still exact
+    // the rewritten partition's refreshed max now excludes it from a range
+    // it used to match only via the moved row's OLD value... and includes
+    // it for the moved row's NEW value
+    assert(s.readRange("t", "id", 999L, 1001L).count() == 1)
   }
 }
