@@ -400,6 +400,81 @@ object VectorQueries extends QuerySet {
        |ORDER BY list_cosine_similarity(${dl("embedding")}, qv) DESC, vec_id
        |LIMIT 10""".stripMargin
 
+  /** FILTERED **batched** ANN — production RAG serves probe BATCHES with
+    * per-tenant metadata predicates, not single probes. The predicate
+    * rides [[IvfIndex.searchMany]]'s candidate stream: it filters the
+    * indexed rows BELOW the probe join (pushed to the index scan,
+    * composed with nprobe pruning), so each probe's k-heap only ever
+    * sees predicate survivors — never the post-filtered k-sized answer
+    * that starves selective predicates. At nprobe = numLists every list
+    * is probed, so the result PROVABLY equals the exact filtered
+    * multi-probe join and rides a full DuckDB hash oracle; partial-probe
+    * agreement with the per-probe filtered searchers is spec-covered
+    * (FilteredSearchSpec). */
+  private def q123(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings").cache()
+    val idx = IvfIndex.train(e, "embedding", "vec_id", numLists = 8, iters = 2)
+    val indexed = idx.assign(e, "embedding")
+    val out = idx.searchMany(indexed, "embedding", "vec_id",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3, nprobe = 8,
+        pred = Some(col("label") === 2))
+      .select(col("probe_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+    e.unpersist()
+    out
+  }
+
+  private val q123Sql =
+    s"""WITH p AS (SELECT vec_id AS probe_id, ${dl("embedding")} AS pv
+       |           FROM embeddings WHERE vec_id < 5),
+       |s AS (SELECT p.probe_id, e.vec_id,
+       |        list_cosine_similarity(${dl("e.embedding")}, p.pv) AS rsim
+       |      FROM embeddings e, p WHERE e.label = 2)
+       |SELECT probe_id, vec_id, round(rsim, 6) AS sim, rn FROM (
+       |  SELECT probe_id, vec_id, rsim,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY rsim DESC, vec_id) AS rn
+       |  FROM s) x
+       |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
+
+  /** Recall AUTO-TUNING ([[graft.search.RecallTuner]]): the serve
+    * parameter (IVF nprobe) chosen by MEASURING recall@k on held-out
+    * probes against exact ground truth — the reference's static
+    * HNSW-vs-IVF config choice (appsettings.json:24) made data-driven.
+    * Driver-gated via the q73 bracket pattern: the query re-verifies
+    * IN-QUERY that (a) the tuner's chosen nprobe meets the target while
+    * every smaller measured candidate missed it (minimality), (b) the
+    * measured curve prefix is monotone non-decreasing (IVF candidate
+    * sets only grow), and (c) recall at full probe is exactly 1.0; any
+    * violation zeroes the output. The emitted rows are the full-probe
+    * batched search — provably the exact multi-probe join — so the
+    * query rides the same DuckDB hash oracle as q98/q31. */
+  private def q124(s: SparkSession, d: String): DataFrame = {
+    import graft.search.RecallTuner
+    val e = t(s, d, "embeddings").cache()
+    val idx = IvfIndex.train(e, "embedding", "vec_id", numLists = 8, iters = 2)
+    val indexed = idx.assign(e, "embedding").cache()
+    val probes = e.filter(col("vec_id") < 5)
+    val truth = VectorSearch.knnJoinWindow(
+      probes, "vec_id", "embedding", e, "vec_id", "embedding", 3)
+      .select(col("probe_id"), col("vec_id"))
+    val tuned = RecallTuner.tuneIvfNprobe(idx, indexed, "embedding", "vec_id",
+      probes, "vec_id", "embedding", k = 3, target = 0.9, truth)
+    val fullRecall = RecallTuner.meanRecall(
+      idx.searchMany(indexed, "embedding", "vec_id",
+        probes, "vec_id", "embedding", 3, nprobe = 8), truth, 3)
+    val sound = tuned.recall >= 0.9 &&
+      tuned.curve.init.forall(_._2 < 0.9) &&
+      tuned.curve.map(_._2).sliding(2).forall {
+        case Seq(a, b) => b >= a; case _ => true } &&
+      fullRecall == 1.0
+    val out = idx.searchMany(indexed, "embedding", "vec_id",
+        probes, "vec_id", "embedding", k = 3, nprobe = 8)
+      .select(col("probe_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+    indexed.unpersist(); e.unpersist()
+    if (sound) out else out.limit(0) // gate: a broken tuner yields zero rows
+  }
+
   /** Multi-vector (late-interaction) retrieval: a document is its SET of
     * vectors and its score is the max similarity over them (the
     * MaxSim/ColBERT reduction; same shape as best-chunk retrieval in
@@ -490,6 +565,8 @@ object VectorQueries extends QuerySet {
     Q("q35_neardup_embedding", q35, Some(q35Sql), headline = true),
     Q("q107_embed_pool", q107, Some(q107Sql), headline = true),
     Q("q112_knn_filtered", q112, Some(q112Sql)),
+    Q("q123_knn_filtered_batch", q123, Some(q123Sql)),
+    Q("q124_recall_autotune", q124, Some(knnJoinSql)),
     Q("q113_maxsim_multivector", q113, Some(q113Sql)),
     Q("q114_ir_metrics", q114, Some(q114Sql)))
 }

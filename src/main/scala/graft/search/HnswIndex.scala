@@ -163,6 +163,65 @@ object HnswIndex {
         (col("pos") + 1).as("rn"))
   }
 
+  /** Batched FILTERED multi-probe ANN — the per-tenant RAG serve shape
+    * ("top-k per probe WHERE <predicate>") for a graph that cannot see
+    * predicates mid-traversal (standard HNSW limitation). Same adaptive
+    * over-fetch as [[graft.search.HnswSearcher.topKWhere]], but across
+    * the whole probe BATCH at once: every round walks the graphs for
+    * ALL still-unsatisfied probes (one distributed pass), keeps the
+    * candidates surviving the predicate (an id join against the
+    * filtered corpus — the candidate stream is filtered, never a
+    * k-sized answer), and retires the probes with ≥k survivors or an
+    * exhausted walk; the rest widen 4× and go again. Cost tracks each
+    * probe's own predicate selectivity instead of the batch's worst
+    * case. Output matches [[searchMany]]: (probe_id, vec_id, sim, rn),
+    * rn ranked AFTER filtering. */
+  def searchManyWhere(graphs: DataFrame, probes: DataFrame,
+                      probeIdCol: String, probeVecCol: String,
+                      k: Int, ef: Int,
+                      corpus: DataFrame, idCol: String,
+                      pred: org.apache.spark.sql.Column): DataFrame = {
+    val allowed = corpus.filter(pred)
+      .select(col(idCol).cast("long").as("vec_id")).distinct()
+    val maxFetch = 1 << 24
+    var fetch = math.min(math.max(4 * k, k), maxFetch)
+    var remaining = probes.select(col(probeIdCol).as(probeIdCol),
+      col(probeVecCol).as(probeVecCol))
+    var acc: Option[DataFrame] = None
+    while (!remaining.isEmpty) {
+      // checkpoint: the round's walk feeds a count, a join, and the
+      // accumulated result — without truncation it would re-run per use
+      val raw = searchMany(graphs, remaining, probeIdCol, probeVecCol,
+        fetch, math.max(ef, 2 * fetch)).localCheckpoint()
+      val kept = raw.join(allowed, "vec_id")
+      val stats = raw.groupBy("probe_id").agg(count(lit(1)).as("walked"))
+        .join(kept.groupBy("probe_id").agg(count(lit(1)).as("kept")),
+          Seq("probe_id"), "left")
+        .na.fill(0L, Seq("kept"))
+        .collect() // one row per in-flight probe — driver-trivial
+      val done = stats.filter { r =>
+        r.getAs[Long]("kept") >= k || r.getAs[Long]("walked") < fetch ||
+          fetch >= maxFetch
+      }.map(_.getAs[Long]("probe_id")).toSeq
+      if (done.nonEmpty) {
+        val settled = kept.filter(col("probe_id").isin(done: _*))
+          .select(col("probe_id"), col("vec_id"), col("sim"))
+        acc = Some(acc.map(_.unionByName(settled)).getOrElse(settled))
+        remaining = remaining.filter(!col(probeIdCol).cast("long").isin(done: _*))
+      }
+      fetch = math.min(fetch * 4, maxFetch)
+    }
+    val spark = graphs.sparkSession
+    import spark.implicits._
+    val base = acc.getOrElse(Seq.empty[(Long, Long, Double)]
+      .toDF("probe_id", "vec_id", "sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+    base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id"), col("sim"), col("rn"))
+  }
+
   private def segments(graphs: DataFrame): Dataset[SegmentGraph] = {
     val spark = graphs.sparkSession
     import spark.implicits._

@@ -1,6 +1,6 @@
 package graft.search
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions.{cosine_sim, l2_dist_sq}
 
@@ -185,10 +185,18 @@ final case class IvfIndex(centroids: Array[Array[Float]], multiAssign: Int = 1) 
     * probe), the probe side broadcasts, and the bounded-heap partial
     * aggregate keeps the shuffle at partitions×probes×k rows. With
     * nprobe = numLists and multiAssign = 1 the result equals the exact
-    * multi-probe join (spec-asserted). */
+    * multi-probe join (spec-asserted).
+    *
+    * `pred` serves the production batch shape "top-k PER probe WHERE
+    * <metadata predicate>" (per-tenant RAG): the predicate filters the
+    * indexed rows BELOW the probe join — it pushes to the index scan,
+    * composes with the nprobe partition pruning, and the per-probe
+    * k-heap never sees excluded rows. Post-filtering a k-sized answer
+    * would starve selective predicates below k; this never does. */
   def searchMany(indexed: DataFrame, vecCol: String, idCol: String,
                  probes: DataFrame, probeIdCol: String, probeVecCol: String,
-                 k: Int, nprobe: Int = 1): DataFrame = {
+                 k: Int, nprobe: Int = 1,
+                 pred: Option[Column] = None): DataFrame = {
     // the output contract names columns (probe_id, idCol, sim, rn) and the
     // probe vector travels as __pvec through the join — corpus columns
     // with those names would be silently clobbered or made ambiguous
@@ -207,7 +215,8 @@ final case class IvfIndex(centroids: Array[Array[Float]], multiAssign: Int = 1) 
     val plists = p0.withColumn("centroid_id",
       explode(transform(slice(sorted, 1, math.min(nprobe, nc)), x => x("i"))))
 
-    val cand0 = indexed.join(broadcast(plists), "centroid_id")
+    val base = pred.map(indexed.filter).getOrElse(indexed)
+    val cand0 = base.join(broadcast(plists), "centroid_id")
     val cand = if (multiAssign <= 1) cand0
                else cand0.dropDuplicates("probe_id", idCol)
     val topk = udaf(new VectorSearch.TopKAgg(k))

@@ -49,6 +49,50 @@ class FilteredSearchSpec extends AnyFunSuite with SparkSuite {
     assert(got == want && got.size == 10)
   }
 
+  test("batched filtered IVF agrees with per-probe topKWhere (same index, same nprobe)") {
+    val ivfIdx = IvfIndex.train(emb, "embedding", "vec_id", numLists = 8, iters = 2)
+    val indexed = ivfIdx.assign(emb, "embedding").cache()
+    val probes = emb.filter($"vec_id" < 5)
+    val batched = ivfIdx.searchMany(indexed, "embedding", "vec_id",
+        probes, "vec_id", "embedding", k = 5, nprobe = 6, pred = Some(pred))
+      .select($"probe_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val allowed = emb.filter(pred).select($"vec_id").as[Long].collect().toSet
+    for (pid <- 0L until 5L) {
+      val pv = emb.filter($"vec_id" === pid).head().getSeq[Float](1).toArray
+      // the batched candidate stream filters BEFORE the heap, so it must
+      // agree EXACTLY with predicate-then-topK over the same pruned lists
+      val want = VectorSearch.exactTopK(
+        indexed.filter($"centroid_id".isin(ivfIdx.nearestLists(pv, 6): _*))
+          .dropDuplicates("vec_id").filter(pred),
+        "embedding", "vec_id", pv, 5)
+        .select($"vec_id").as[Long].collect().toSet
+      assert(batched(pid) == want, s"probe $pid")
+      assert(batched(pid).forall(allowed), s"probe $pid returned excluded rows")
+    }
+    indexed.unpersist()
+  }
+
+  test("batched filtered HNSW agrees with the per-probe adaptive topKWhere") {
+    val graphs = HnswIndex.build(emb, "embedding", "vec_id").cache()
+    val probes = emb.filter($"vec_id" < 5)
+    val batched = HnswIndex.searchManyWhere(graphs, probes, "vec_id", "embedding",
+        k = 5, ef = 64, corpus = emb, idCol = "vec_id", pred = pred)
+      .select($"probe_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val allowed = emb.filter(pred).select($"vec_id").as[Long].collect().toSet
+    val perProbe = new HnswSearcher(graphs)
+    for (pid <- 0L until 5L) {
+      val pv = emb.filter($"vec_id" === pid).head().getSeq[Float](1).toArray
+      val single = perProbe.topKWhere(emb, "embedding", "vec_id", pv, 5, pred)
+        .select($"vec_id").as[Long].collect().toSet
+      assert(batched(pid).forall(allowed), s"probe $pid returned excluded rows")
+      val overlap = (batched(pid) intersect single).size / 5.0
+      assert(overlap >= 0.8, s"probe $pid batched/per-probe overlap $overlap")
+    }
+    graphs.unpersist()
+  }
+
   test("every strategy: all hits satisfy the predicate; recall >= 0.9 vs filtered exact") {
     val exact = ExactSearcher.topKWhere(emb, "embedding", "vec_id", probe, 10, pred)
       .select($"vec_id").as[Long].collect().toSet
