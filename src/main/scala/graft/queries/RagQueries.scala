@@ -15,14 +15,55 @@ object RagQueries extends QuerySet {
 
   private val embedder = HashProjectionEmbedder(dims = 64)
 
+  /** Stage `df` into `dir` as parquet files with a fixed modification
+    * time, for the streaming gates: FileStreamSource orders files by
+    * (modTime, path), and within one write job the part index is the
+    * path order — so staged groups become DETERMINISTIC micro-batches
+    * under maxFilesPerTrigger, with `byRange` giving ascending
+    * event-time file order (file k+1's min ≥ file k's max, so
+    * sequential batches never drop rows behind the 10-minute
+    * watermark). This is how the gates feed the REAL file-source path
+    * at any sf with no driver-side collect. */
+  private def stage(df: DataFrame, dir: java.io.File, modTime: Long,
+                    byRange: Option[org.apache.spark.sql.Column] = None,
+                    nFiles: Int = 4): Unit = {
+    val tmp = Files.createTempDirectory("graft-stage").toFile
+    val out = byRange match {
+      case Some(c) => df.repartitionByRange(nFiles, c)
+      case None => df.repartition(nFiles)
+    }
+    out.write.mode("overwrite").parquet(tmp.toString)
+    // one mod time PER file, ascending in part-index (= range) order:
+    // the source's tie-break on equal mod times is not contractual, and
+    // an out-of-order range file would drop rows behind the watermark
+    tmp.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        val dst = new java.io.File(dir, f.getName)
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(modTime + i * 1000L)
+      }
+  }
+
   /** §3.2 ingest + V2 search, end to end: batch-embed the documents
     * corpus (V4), embed the probe text (V1), exact top-10 (V2). Embedder
-    * output is engine-defined => rows-only check + ScalaTest goldens. */
+    * output is engine-defined => rows-only driver check — but the query
+    * GATES itself: the embedded corpus is persisted through the
+    * versioned store, read back, and the identical search must
+    * reproduce the in-memory answer row-for-row (ids, langs, rounded
+    * sims); any drift across the write/read boundary zeroes the output,
+    * so the driver's rows>0 check sees a round-trip failure. */
   private def q60(s: SparkSession, d: String): DataFrame = {
     val docs = Embed.withEmbedding(t(s, d, "documents"), "text", "vector", embedder)
     val probe = embedder.embedOne("spark query filter join window")
-    VectorSearch.exactTopK(docs, "vector", "doc_id", probe, 10)
-      .select(col("doc_id"), col("lang"), round(col("sim"), 6).as("sim"))
+    def top10(corpus: DataFrame): DataFrame =
+      VectorSearch.exactTopK(corpus, "vector", "doc_id", probe, 10)
+        .select(col("doc_id"), col("lang"), round(col("sim"), 6).as("sim"))
+    val mem = top10(docs)
+    val store = new DocumentStore(s, Files.createTempDirectory("graft-q60").toString)
+    store.create("docs", docs)
+    val roundTripExact = // k rows each side — driver-trivial compare
+      mem.collect().toSeq == top10(store.read("docs")).collect().toSeq
+    if (roundTripExact) mem else mem.limit(0)
   }
 
   /** S5 upsert through the versioned store: replace one part row, insert
@@ -210,37 +251,37 @@ object RagQueries extends QuerySet {
   private val q118Sql =
     "SELECT doc_id, text FROM documents ORDER BY doc_id"
 
-  /** Streaming gap-sessionization, driver-gated with an EXACT oracle:
-    * the stateful stream (flatMapGroupsWithState + event-time timeout)
-    * only emits sessions the watermark has closed, so the gate appends
-    * two far-future sentinel batches — the first jumps the global
+  /** Streaming gap-sessionization over a REAL file source, driver-gated
+    * with an EXACT oracle: the events table is staged as time-RANGED
+    * parquet files (ascending per-file event time, one file per
+    * micro-batch via maxFilesPerTrigger=1 — genuinely incremental
+    * arrival that can never drop a row behind the watermark), followed
+    * by two far-future sentinel files — the first jumps the global
     * watermark past every session's gap, the second runs the timeout
     * sweep under it — after which the emitted set IS the complete batch
-    * answer (the sentinel's own user filtered out). Session identity is
-    * tie-order-robust: equal timestamps land in the same session
-    * regardless of intra-batch order, so (start, end, n) hash-match the
-    * window-based recount. */
+    * answer (the sentinel's own user filtered out). No driver-side
+    * collect: the gate harness scales with sf. Session identity is
+    * tie-order-robust, so (start, end, n) hash-match the window-based
+    * recount. */
   private def q119(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-    val in = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, java.sql.Timestamp)]
-    val sess = graft.streaming.EventStream.sessionize(
-      s, in.toDF().toDF("user_id", "ts"), gapMinutes = 360)
+    val dir = Files.createTempDirectory("graft-q119-src").toFile
+    val ev = t(s, d, "events").select(col("user_id"), col("ts"))
+    val maxMs = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val base = System.currentTimeMillis()
+    stage(ev, dir, base, byRange = Some(col("ts")))
+    def sentinel(offsetDays: Long): DataFrame =
+      Seq((-1L, new java.sql.Timestamp(maxMs + offsetDays * 24 * 3600 * 1000)))
+        .toDF("user_id", "ts")
+    stage(sentinel(30), dir, base + 60000, nFiles = 1)
+    stage(sentinel(60), dir, base + 120000, nFiles = 1)
+    val src = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val sess = graft.streaming.EventStream.sessionize(s, src, gapMinutes = 360)
     val qname = "q119_out"
     val qy = sess.writeStream.outputMode("append")
       .format("memory").queryName(qname).start()
-    try {
-      val rows = t(s, d, "events").select(col("user_id"), col("ts"))
-        .as[(Long, java.sql.Timestamp)].collect().toSeq
-      in.addData(rows: _*)
-      qy.processAllAvailable()
-      val maxMs = rows.map(_._2.getTime).max
-      in.addData((-1L, new java.sql.Timestamp(maxMs + 30L * 24 * 3600 * 1000)))
-      qy.processAllAvailable()
-      in.addData((-1L, new java.sql.Timestamp(maxMs + 60L * 24 * 3600 * 1000)))
-      qy.processAllAvailable()
-    } finally qy.stop()
+    try qy.processAllAvailable() finally qy.stop()
     s.table(qname)
       .filter(col("user_id") =!= -1L)
       .select(col("user_id"), col("session_start"), col("session_end"),
@@ -265,33 +306,36 @@ object RagQueries extends QuerySet {
       |FROM sess GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
-  /** Streaming windowed aggregation, driver-gated hash-exactly: the
-    * watermarked tumbling-window agg only emits closed windows, so the
-    * same sentinel flush as q119 drains every window; values aggregate
-    * as DECIMAL inside the stream (bit-exact across engines and
-    * micro-batch orders) and cast to double once at the end — the same
-    * parity discipline as batch q50, whose oracle this reuses. */
+  /** Streaming windowed aggregation over a REAL file source (same
+    * time-ranged staging as q119, one file per micro-batch, no driver
+    * collect), driver-gated hash-exactly: the watermarked tumbling-
+    * window agg only emits closed windows, so the same sentinel-file
+    * flush as q119 drains every window; values aggregate as DECIMAL
+    * inside the stream (bit-exact across engines and micro-batch
+    * orders) and cast to double once at the end — the same parity
+    * discipline as batch q50, whose oracle this reuses. */
   private def q120(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-    val in = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(java.sql.Timestamp, String, Double)]
-    val src = in.toDF().toDF("ts", "event_type", "value")
-      .withColumn("value", col("value").cast("decimal(18,2)"))
+    val dir = Files.createTempDirectory("graft-q120-src").toFile
+    val ev = t(s, d, "events")
+      .select(col("ts"), col("event_type"),
+        col("value").cast("decimal(18,2)").as("value"))
+    val maxMs = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val base = System.currentTimeMillis()
+    stage(ev, dir, base, byRange = Some(col("ts")))
+    def sentinel(offsetDays: Long): DataFrame =
+      Seq((new java.sql.Timestamp(maxMs + offsetDays * 24 * 3600 * 1000),
+        "__sentinel", BigDecimal(0)))
+        .toDF("ts", "event_type", "value")
+        .select(col("ts"), col("event_type"), col("value").cast("decimal(18,2)"))
+    stage(sentinel(30), dir, base + 60000, nFiles = 1)
+    stage(sentinel(60), dir, base + 120000, nFiles = 1)
+    val src = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
     val agg = graft.streaming.EventStream.windowedStats(src)
     val qy = agg.writeStream.outputMode("append")
       .format("memory").queryName("q120_out").start()
-    try {
-      val rows = t(s, d, "events").select(col("ts"), col("event_type"), col("value"))
-        .as[(java.sql.Timestamp, String, Double)].collect().toSeq
-      in.addData(rows: _*)
-      qy.processAllAvailable()
-      val maxMs = rows.map(_._1.getTime).max
-      in.addData((new java.sql.Timestamp(maxMs + 30L * 24 * 3600 * 1000), "__sentinel", 0.0))
-      qy.processAllAvailable()
-      in.addData((new java.sql.Timestamp(maxMs + 60L * 24 * 3600 * 1000), "__sentinel", 0.0))
-      qy.processAllAvailable()
-    } finally qy.stop()
+    try qy.processAllAvailable() finally qy.stop()
     s.table("q120_out")
       .filter(col("event_type") =!= "__sentinel")
       .select(col("window_start"), col("event_type"), col("n"),
@@ -305,29 +349,26 @@ object RagQueries extends QuerySet {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
-  /** Streaming exact dedup under the driver gate: every event arrives
-    * TWICE in the same micro-batch plus once more in a replay batch —
-    * dropDuplicatesWithinWatermark must keep exactly one row per
-    * event_id, and the oracle is simply the distinct input. The replay
-    * lands within the watermark horizon on purpose (dedup state still
-    * holds the ids); horizon eviction itself is spec territory. */
+  /** Streaming exact dedup over a REAL file source, under the driver
+    * gate: every event arrives TWICE in the first micro-batch (the
+    * staged files carry the doubled table; maxFilesPerTrigger covers
+    * them all in one trigger) plus once more in a later-staged replay
+    * file — dropDuplicatesWithinWatermark must keep exactly one row per
+    * event_id, and the oracle is simply the distinct input. No driver
+    * collect: the doubled table and the replay slice are staged by
+    * Spark writes. Horizon eviction itself is spec territory. */
   private def q121(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-    val in = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, java.sql.Timestamp, String)]
-    val deduped = graft.streaming.EventStream.dedup(
-      in.toDF().toDF("event_id", "ts", "event_type"), Seq("event_id"))
+    val dir = Files.createTempDirectory("graft-q121-src").toFile
+    val ev = t(s, d, "events").select(col("event_id"), col("ts"), col("event_type"))
+    val base = System.currentTimeMillis()
+    stage(ev.union(ev), dir, base) // in-batch duplicates, 4 files
+    stage(ev.orderBy(col("event_id")).limit(200), dir, base + 60000, nFiles = 1)
+    val src = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "4").parquet(dir.toString)
+    val deduped = graft.streaming.EventStream.dedup(src, Seq("event_id"))
     val qy = deduped.writeStream.outputMode("append")
       .format("memory").queryName("q121_out").start()
-    try {
-      val rows = t(s, d, "events").select(col("event_id"), col("ts"), col("event_type"))
-        .as[(Long, java.sql.Timestamp, String)].collect().toSeq
-      in.addData(rows ++ rows: _*) // in-batch duplicates
-      qy.processAllAvailable()
-      in.addData(rows.take(200): _*) // replayed delivery, inside the horizon
-      qy.processAllAvailable()
-    } finally qy.stop()
+    try qy.processAllAvailable() finally qy.stop()
     s.table("q121_out")
       .select(col("event_id"), col("event_type"))
       .orderBy(col("event_id"))
@@ -395,14 +436,28 @@ object RagQueries extends QuerySet {
     * validate unit norms. The reference's sequential per-doc loop takes
     * 5-10 min for a corpus this size (README.md:154); this is the
     * flagship batch win, so it is a bench headline. Embedder-defined
-    * output => rows-only check. */
+    * output => rows-only driver check — but the query GATES itself: the
+    * 1536-d embeddings are persisted and read back, and an xxhash64
+    * fold over (doc_id, vector) must match the in-memory corpus exactly
+    * (array<float> parquet round-trips bit-exactly); any write/read
+    * drift zeroes the output under the driver's rows>0 check. */
   private val embedder1536 = HashProjectionEmbedder(dims = 1536)
   private def q64(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFunctions.l2_norm
-    Embed.withEmbedding(t(s, d, "documents"), "text", "vector", embedder1536)
+    val emb = Embed.withEmbedding(t(s, d, "documents"), "text", "vector", embedder1536)
+    val store = new DocumentStore(s, Files.createTempDirectory("graft-q64").toString)
+    store.create("emb", emb.select(col("doc_id"), col("vector")))
+    def corpusHash(df: DataFrame): Long = // XOR fold: associative, no overflow
+      df.withColumn("__h", xxhash64(col("doc_id"), col("vector")))
+        .agg(expr("bit_xor(__h)")).head().getLong(0)
+    val roundTripExact =
+      corpusHash(emb.select(col("doc_id"), col("vector"))) ==
+        corpusHash(store.read("emb"))
+    val out = emb
       .select(col("doc_id"), round(l2_norm(col("vector")), 6).as("norm"))
       .filter(col("norm") > 0.999999 && col("norm") < 1.000001)
       .orderBy(col("doc_id"))
+    if (roundTripExact) out else out.limit(0)
   }
 
   override val queries: Seq[Q] = Seq(
