@@ -377,6 +377,75 @@ object RagQueries extends QuerySet {
   private val q121Sql =
     "SELECT event_id, event_type FROM events ORDER BY event_id"
 
+  /** Stream-stream INTERVAL JOIN under the driver gate: views and
+    * purchases arrive as two REAL file-source streams (time-ranged
+    * staging, no driver collect), and the watermarked interval join —
+    * the plan whose state eviction is what makes a stream-stream join
+    * survivable at 100 TB/day — must emit exactly the batch range-join
+    * answer. Inner-join matches emit when both sides have arrived, so
+    * the whole real span rides one trigger per side; eviction behavior
+    * under multi-batch arrival is spec territory (EventStreamSpec). */
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val base = System.currentTimeMillis()
+    val dirL = Files.createTempDirectory("graft-q125-l").toFile
+    val dirR = Files.createTempDirectory("graft-q125-r").toFile
+    stage(views, dirL, base, byRange = Some(col("ts")))
+    stage(purchases, dirR, base, byRange = Some(col("ts")))
+    val l = s.readStream.schema(views.schema)
+      .option("maxFilesPerTrigger", "8").parquet(dirL.toString)
+    val r = s.readStream.schema(purchases.schema)
+      .option("maxFilesPerTrigger", "8").parquet(dirR.toString)
+    val joined = graft.streaming.EventStream.intervalJoin(
+      l, r, key = "user_id", before = "1 hour")
+    val qy = joined.writeStream.outputMode("append")
+      .format("memory").queryName("q125_out").start()
+    try qy.processAllAvailable() finally qy.stop()
+    s.table("q125_out")
+      .select(col("key"), col("l_id"), col("r_id"))
+      .orderBy(col("key"), col("l_id"), col("r_id"))
+  }
+
+  private val q125Sql =
+    """SELECT l.user_id AS key, l.event_id AS l_id, r.event_id AS r_id
+      |FROM events l JOIN events r
+      |  ON l.user_id = r.user_id
+      | AND l.event_type = 'view' AND r.event_type = 'purchase'
+      | AND l.ts <= r.ts AND l.ts >= r.ts - INTERVAL 1 HOUR
+      |ORDER BY key, l_id, r_id""".stripMargin
+
+  /** Stream-static ENRICHMENT join under the driver gate: the event
+    * stream (REAL file source, staged, no driver collect) broadcast-
+    * joins the customer dimension per micro-batch — no stream-side
+    * shuffle, and a slowly-changing dimension is re-resolved each
+    * batch. The oracle is the plain batch left join. */
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val dim = t(s, d, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_name"), col("c_mktsegment"))
+    val dir = Files.createTempDirectory("graft-q126-src").toFile
+    stage(ev, dir, System.currentTimeMillis())
+    val src = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "2").parquet(dir.toString)
+    val enriched = graft.streaming.EventStream.enrich(src, dim, Seq("user_id"))
+    val qy = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("q126_out").start()
+    try qy.processAllAvailable() finally qy.stop()
+    s.table("q126_out")
+      .select(col("event_id"), col("user_id"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q126Sql =
+    """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY e.event_id""".stripMargin
+
   /** Storage-reclamation lifecycle: three committed versions, vacuum
     * retaining two — retained snapshots must keep serving exactly,
     * reclaimed ones must fail loudly (not read as empty), and the
@@ -474,5 +543,7 @@ object RagQueries extends QuerySet {
     Q("q118_streaming_ingest", q118, Some(q118Sql)),
     Q("q119_streaming_sessionize", q119, Some(q119Sql)),
     Q("q120_streaming_window_agg", q120, Some(q120Sql)),
-    Q("q121_streaming_dedup", q121, Some(q121Sql)))
+    Q("q121_streaming_dedup", q121, Some(q121Sql)),
+    Q("q125_streaming_interval_join", q125, Some(q125Sql)),
+    Q("q126_streaming_enrich", q126, Some(q126Sql)))
 }
