@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off 10× scale smoke: grounds PLANS.md's analytic 100×-scale
+  * arguments with an EMPIRICAL point. Builds an sf1-equivalent dataset
+  * (10× sf0.1) under /tmp and runs the heaviest gate operators once
+  * each, reporting wall time plus the observable scale counters
+  * (DomainMix fallback count; the store/compaction and recall gates are
+  * in-query — zero rows = a broken invariant at scale).
+  *
+  * The scaled tables preserve each operator's workload SHAPE instead of
+  * multiplying its answer:
+  *  - documents ×10: copy 0 is verbatim; copies 1-9 RELABEL the
+  *    vocabulary (word → per-copy hashed token). Word order and
+  *    per-copy document structure are preserved exactly, so the shingle
+  *    df distribution is isomorphic to the original and duplicates
+  *    WITHIN a copy survive; across copies the vocabularies are
+  *    disjoint, so no spurious cross-copy near-duplicates — the dedup
+  *    pair space scales ~10×, not ~100×. (A word-SORT shuffle was
+  *    measured pathological: sorting every doc by one per-copy hash
+  *    order canonicalizes common-word runs into corpus-wide hot
+  *    shingles, and the pair join goes quadratic.)
+  *  - embeddings ×10: copy c flips the sign of a per-copy hashed half
+  *    of the dimensions — an orthogonal (diagonal ±1) transform, so
+  *    similarities WITHIN a copy are preserved EXACTLY
+  *    (⟨s·x, s·y⟩ = ⟨x, y⟩) while cross-copy similarity ≈ 0 (the ±
+  *    terms cancel), and semantic-dedup cluster structure scales
+  *    linearly. (A cyclic ROTATION was measured wrong here: these
+  *    synthetic vectors autocorrelate, so rotated copies are near-dups
+  *    of their source and dedup collapses the copies.)
+  *  - orders ×10: key-shifted verbatim copies (compaction cares about
+  *    bytes and fragmentation, not values).
+  *
+  * Usage: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleSmoke"`
+  * (optional args: srcDir outDir). Prints one JSON line.
+  */
+object ScaleSmoke {
+
+  private val Copies = 10
+  private val IdStride = 100000000L
+
+  private def scaleDocuments(src: DataFrame): DataFrame =
+    (0 until Copies).map { c =>
+      if (c == 0) src
+      else src.select(
+        (col("doc_id") + lit(c.toLong * IdStride)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          w => lower(hex(xxhash64(w, lit(c)))))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+
+  private def scaleEmbeddings(src: DataFrame): DataFrame =
+    (0 until Copies).map { c =>
+      if (c == 0) src
+      else src.select(
+        (col("vec_id") + lit(c.toLong * IdStride)).as("vec_id"),
+        expr(s"transform(embedding, (x, i) -> " +
+          s"CASE WHEN pmod(xxhash64(i, $c), 2) = 0 THEN x ELSE -x END)")
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+
+  private def scaleOrders(src: DataFrame): DataFrame =
+    (0 until Copies).map { c =>
+      if (c == 0) src
+      else src.withColumn("o_orderkey", col("o_orderkey") + lit(c.toLong * IdStride))
+    }.reduce(_ unionByName _)
+
+  private def buildIfMissing(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    val out = new java.io.File(outDir)
+    if (new java.io.File(out, "_READY").exists()) return
+    out.mkdirs()
+    def write(df: DataFrame, name: String): Unit =
+      df.repartition(32).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    write(scaleDocuments(spark.read.parquet(s"$srcDir/documents.parquet")), "documents")
+    write(scaleEmbeddings(spark.read.parquet(s"$srcDir/embeddings.parquet")), "embeddings")
+    write(scaleOrders(spark.read.parquet(s"$srcDir/orders.parquet")), "orders")
+    // remaining tables ride along verbatim (small; queries under smoke
+    // only scale documents/embeddings/orders)
+    new java.io.File(srcDir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .filterNot(f => Seq("documents", "embeddings", "orders")
+        .contains(f.getName.stripSuffix(".parquet")))
+      .foreach { f =>
+        val dst = new java.io.File(out, f.getName).toPath
+        if (!java.nio.file.Files.exists(dst))
+          java.nio.file.Files.createSymbolicLink(dst, f.toPath)
+      }
+    java.nio.file.Files.writeString(new java.io.File(out, "_READY").toPath, "ok")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("/tmp/graft-sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.local(cpus, "graft-scale-smoke")
+    buildIfMissing(spark, srcDir, outDir)
+    val names = Seq("q41_dedup_ngram_jaccard", "q85_dedup_clusters",
+      "q94_semantic_dedup", "q33_knn_ivf", "q103_knn_ivfpq",
+      "q104_store_compact", "q97_domain_mix", "q106_token_budget_mix")
+    val qmap = SparkEntry.queries
+    qmap("q01_agg_pricing")(spark, outDir).count() // warm-up: codegen/JIT
+    val results = names.map { name =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val rows = try qmap(name)(spark, outDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[smoke] $name failed: ${e.getMessage}"); -1L }
+      val secs = (System.nanoTime() - t0) / 1e9
+      (name, secs, rows)
+    }
+    // Remedy probe for the expected q103 finding: the gate query pins
+    // nprobe=4/shortlist=100, and at 10× corpus that fixed operating
+    // point can drop below the 0.9 recall gate (rows=0 above — the gate
+    // failing LOUDLY is the designed behavior). The production answer is
+    // the round's RecallTuner: measure recall at the new scale and take
+    // the minimal nprobe that restores the target.
+    val tuned = try {
+      import graft.search.{IvfIndex, IvfPq, PqIndex, RecallTuner, VectorSearch}
+      val e = spark.read.parquet(s"$outDir/embeddings.parquet").cache()
+      val dims = e.head().getSeq[Float](1).length
+      val cb = PqIndex.train(e, "embedding", "vec_id", m = dims / 4, ks = 16, iters = 5)
+      val ivf = IvfIndex.train(e, "embedding", "vec_id", numLists = 16, iters = 3,
+        multiAssign = 4)
+      val store = new graft.store.DocumentStore(spark,
+        java.nio.file.Files.createTempDirectory("graft-smoke-ivfpq").toString)
+      val idx = new IvfPq(ivf, cb, store, "ivfpq", "embedding", "vec_id")
+      idx.build(e)
+      val probes = e.filter(col("vec_id") < 5)
+      val truth = VectorSearch.knnJoinWindow(
+        probes, "vec_id", "embedding", e, "vec_id", "embedding", 10)
+        .select(col("probe_id"), col("vec_id")).cache()
+      val pvs = probes.select(col("vec_id"), col("embedding"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+      def run(nprobe: Int): DataFrame = pvs.map { case (pid, pv) =>
+        idx.search(e, pv, 10, nprobe, shortlist = 400)
+          .select(lit(pid).as("probe_id"), col("vec_id"), col("sim"))
+      }.reduce(_ unionByName _).withColumn("rn", row_number().over(w))
+      val t0 = System.nanoTime()
+      val tn = RecallTuner.tune(Seq(1, 2, 4, 8, 16), target = 0.9, k = 10, truth, run)
+      val secs = (System.nanoTime() - t0) / 1e9
+      f""","ivfpq_tuned":{"nprobe":${tn.param},"recall":${tn.recall}%.4f,"sec":$secs%.2f,""" +
+        s""""curve":"${tn.curve.map { case (p, r) => f"$p->$r%.3f" }.mkString(" ")}"}"""
+    } catch { case e: Throwable =>
+      s""","ivfpq_tuned":{"error":"${e.getMessage.take(80).replace('"', ' ')}"}""" }
+    val qs = results.map { case (n, s, r) =>
+      "\"" + n + "\":{\"sec\":" + f"$s%.2f" + ",\"rows\":" + r + "}"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_smoke","sf":"$outDir","copies":$Copies,""" +
+      s""""queries":$qs,"domainmix_fallbacks":${graft.operators.DomainMix.fallbacks.get()}""" +
+      tuned + "}")
+    spark.stop()
+  }
+}

@@ -38,6 +38,14 @@ object DomainMix {
 
   private val TwoTo32 = 4294967296L
 
+  /** Observability counter: how many times the verified-or-exact check
+    * found a deficient source and fell back to the direct window this
+    * JVM. The scale smoke (graft.ScaleSmoke) reads it to confirm the
+    * fast path's fallback rate stays ~0 as sf grows — the margin's
+    * Chernoff argument, measured. Driver-side only (the check and the
+    * branch both run on the driver). */
+  val fallbacks = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Reference form: full-corpus per-source rank window. Exact by
     * construction; the scale-unsafe shape [[sampled]] is checked
     * against (and falls back to). `key` must be a deterministic
@@ -116,7 +124,10 @@ object DomainMix {
       .filter(col("thresh") < lit(TwoTo32) &&
         coalesce(col("kept_tokens"), lit(0L)) < col("budget_tokens"))
       .limit(1).count() > 0
-    if (deficient) tokenBudgetDirect(docs, budgets, key, tokenCol, sourceCol, idCol)
+    if (deficient) {
+      fallbacks.incrementAndGet()
+      tokenBudgetDirect(docs, budgets, key, tokenCol, sourceCol, idCol)
+    }
     else {
       val w = Window.partitionBy(col(sourceCol))
         .orderBy(col("shuffle_key"), col(idCol))
@@ -152,7 +163,10 @@ object DomainMix {
       .join(broadcast(kept), Seq(sourceCol), "left")
       .filter(coalesce(col("kept"), lit(0L)) < col("quota"))
       .limit(1).count() > 0
-    if (deficient) direct(docs, quotas, key, sourceCol, idCol)
+    if (deficient) {
+      fallbacks.incrementAndGet()
+      direct(docs, quotas, key, sourceCol, idCol)
+    }
     else {
       val w = Window.partitionBy(col(sourceCol)).orderBy(col("shuffle_key"), col(idCol))
       survivors.withColumn("rn", row_number().over(w))
