@@ -719,6 +719,86 @@ object AdvancedQueries extends QuerySet {
       |FROM ev JOIN c USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** Data-contract quarantine over the ingest batch: four expectations
+    * (range cap, enum membership, payload shape, FK existence) checked
+    * in ONE codegen projection via [[graft.operators.Expectations]];
+    * the FK rule is a broadcast semi-join flag, so nothing about the
+    * contract scan shuffles. Emits the quarantined rows with their
+    * sorted violation lists — the audit trail a 100 TB ingest keeps
+    * instead of aborting the load (reference deserializes blind,
+    * MongoDbService.cs:479-520). */
+  private def q127(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Expectations
+    import graft.operators.Expectations.Rule
+    val custKeys = t(s, d, "customer").select(col("c_custkey")).distinct()
+    val flagged = t(s, d, "events")
+      .join(broadcast(custKeys), col("user_id") === col("c_custkey"), "left")
+    val rules = Seq(
+      Rule("value_cap", col("value") <= 300),
+      Rule("type_known", col("event_type").isin("view", "click", "purchase", "signup")),
+      Rule("props_k_range",
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").between(0, 79)),
+      Rule("user_fk", col("c_custkey").isNotNull))
+    Expectations.annotate(flagged, rules)
+      .filter(size(col("violations")) > 0)
+      .select(col("event_id"), array_join(col("violations"), ",").as("violations"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q127Sql =
+    """WITH fk AS (SELECT DISTINCT c_custkey FROM customer),
+      |a AS (
+      |  SELECT e.event_id,
+      |    list_filter([
+      |      CASE WHEN coalesce(TRY_CAST(regexp_extract(e.props, '"k": (\d+)', 1) AS BIGINT) BETWEEN 0 AND 79, false) THEN NULL ELSE 'props_k_range' END,
+      |      CASE WHEN coalesce(e.event_type IN ('view','click','purchase','signup'), false) THEN NULL ELSE 'type_known' END,
+      |      CASE WHEN f.c_custkey IS NOT NULL THEN NULL ELSE 'user_fk' END,
+      |      CASE WHEN coalesce(e.value <= 300, false) THEN NULL ELSE 'value_cap' END
+      |    ], x -> x IS NOT NULL) AS v
+      |  FROM events e LEFT JOIN fk f ON e.user_id = f.c_custkey)
+      |SELECT event_id, array_to_string(v, ',') AS violations
+      |FROM a WHERE len(v) > 0 ORDER BY event_id""".stripMargin
+
+  /** SCD type-2 history build from the event stream via
+    * [[graft.operators.Scd2]]: per-user event_type runs become validity
+    * intervals (valid_from/valid_to/version/is_current). One user-keyed
+    * shuffle shared by the run-detection lag, run numbering, per-run
+    * rollup, and the valid_to lead. */
+  private def q128(s: SparkSession, d: String): DataFrame =
+    graft.operators.Scd2.fromChanges(t(s, d, "events"),
+        keyCol = "user_id", tsCol = "ts",
+        stateCols = Seq("event_type"), tieCol = "event_id")
+      // warehouse "high date" sentinel for the open interval (2200-01-01:
+      // within datetime64[ns] range, unlike 9999-12-31, and NULL-free
+      // for the driver compare)
+      .withColumn("valid_to",
+        coalesce(col("valid_to"), lit("2200-01-01 00:00:00").cast("timestamp")))
+      .orderBy(col("user_id"), col("version"))
+
+  private val q128Sql =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN LAG(event_type) OVER w IS NULL
+      |           OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |r AS (
+      |  SELECT user_id, ts, event_type,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+      |  FROM g),
+      |runs AS (
+      |  SELECT user_id, version, MIN(event_type) AS event_type,
+      |    MIN(ts) AS valid_from
+      |  FROM r GROUP BY user_id, version)
+      |SELECT user_id, event_type, valid_from,
+      |  COALESCE(LEAD(valid_from) OVER wv,
+      |    TIMESTAMP '2200-01-01 00:00:00') AS valid_to, version,
+      |  (LEAD(valid_from) OVER wv IS NULL) AS is_current
+      |FROM runs
+      |WINDOW wv AS (PARTITION BY user_id ORDER BY valid_from)
+      |ORDER BY user_id, version""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q23_asof_join", q23, Some(q23Sql), headline = true),
     Q("q24_sessionize", q24, Some(q24Sql), headline = true),
@@ -745,5 +825,7 @@ object AdvancedQueries extends QuerySet {
     Q("q78_densify_timeseries", q78, Some(q78Sql)),
     Q("q79_boolean_aggs", q79, Some(q79Sql)),
     Q("q80_forward_fill", q80, Some(q80Sql)),
-    Q("q116_cohort_retention", q116, Some(q116Sql)))
+    Q("q116_cohort_retention", q116, Some(q116Sql)),
+    Q("q127_expectations_quarantine", q127, Some(q127Sql)),
+    Q("q128_scd2_history", q128, Some(q128Sql)))
 }

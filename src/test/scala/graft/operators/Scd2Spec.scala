@@ -1,0 +1,61 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+class Scd2Spec extends AnyFunSuite with SparkSuite {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def changes = {
+    import spark.implicits._
+    Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "bronze"),
+      (1L, ts("2024-01-02 00:00:00"), 2L, "bronze"), // restated: no new interval
+      (1L, ts("2024-01-03 00:00:00"), 3L, "gold"),
+      (1L, ts("2024-01-04 00:00:00"), 4L, "bronze"), // back: NEW interval (type 2)
+      (2L, ts("2024-01-01 00:00:00"), 5L, "silver")
+    ).toDF("key", "ts", "seq", "tier")
+  }
+
+  private def history = Scd2.fromChanges(changes, "key", "ts", Seq("tier"), "seq")
+
+  test("consecutive duplicate states collapse; revisited states open new intervals") {
+    val rows = history.filter(col("key") === 1)
+      .orderBy("version")
+      .select("tier", "valid_from", "valid_to", "version", "is_current")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("bronze", "gold", "bronze"))
+    assert(rows.map(_.getLong(3)).toSeq == Seq(1L, 2L, 3L))
+    // intervals chain: each valid_to == next valid_from, last open
+    assert(rows(0).getTimestamp(2) == rows(1).getTimestamp(1))
+    assert(rows(1).getTimestamp(2) == rows(2).getTimestamp(1))
+    assert(rows(2).isNullAt(2) && rows(2).getBoolean(4))
+  }
+
+  test("exactly one open (is_current) interval per key") {
+    val open = history.filter(col("is_current")).groupBy("key").count().collect()
+    assert(open.forall(_.getLong(1) == 1L))
+    assert(open.map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("as-of lookup through the history reproduces the event-time state") {
+    // probe at a time inside each interval; join on interval containment
+    import spark.implicits._
+    val probes = Seq((1L, ts("2024-01-02 12:00:00")), (1L, ts("2024-01-05 00:00:00")),
+      (2L, ts("2024-06-01 00:00:00"))).toDF("key", "at")
+    val got = probes.join(history, Seq("key"))
+      .filter(col("at") >= col("valid_from") &&
+        (col("valid_to").isNull || col("at") < col("valid_to")))
+      .orderBy("key", "at").select("tier").as[String].collect()
+    assert(got.toSeq == Seq("bronze", "bronze", "silver"))
+  }
+
+  test("one shuffle: a single Exchange below the final sort lineage") {
+    val plan = history.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 key shuffle, got $exchanges:\n$plan")
+  }
+}
