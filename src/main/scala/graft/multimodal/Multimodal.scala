@@ -200,6 +200,33 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Brightness-shifted variant family for the perceptual-hash gates:
+    * pixel (x,y) = (x·23 + y·11 + seed·37) mod 200 + delta, delta ∈
+    * [0, 56). The base term never exceeds 199 and delta keeps the sum
+    * < 256, so there is NO mod-256 wraparound — adjacent-pixel ORDER is
+    * identical for every delta, which is exactly the invariance dHash
+    * promises (and the closed form the oracle replays without a
+    * decoder; PNG is lossless). */
+  def syntheticPngBrightness(seed: Long, delta: Int, w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad image dims ${w}x$h")
+    require(delta >= 0 && delta < 56, s"delta $delta would wrap mod 256")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((((x * 23 + y * 11 + seed * 37) % 200 + 200) % 200) + delta).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Deterministic 16-bit mono PCM WAV: sample(i) = ((i·13 + seed·7)
     * mod 4096) − 2048. PCM is lossless, so the decoded sample-sum
     * checksum equals Σ over i of that formula — computable by any

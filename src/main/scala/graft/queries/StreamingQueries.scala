@@ -191,9 +191,56 @@ object StreamingQueries extends QuerySet {
       |    AS total_sum
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Perceptual image dedup over REALLY decoded pixels: each doc
+    * renders one of 40 base patterns at a per-doc brightness shift, and
+    * [[graft.multimodal.PerceptualHash]] dHash-buckets them — the
+    * brightness-shifted copies of a pattern collapse into one group,
+    * which is the whole point of a gradient hash. The decode is real
+    * ImageIO; the oracle replays the 9×8 downsample + adjacent-pixel
+    * comparisons from the generator's closed form (delta drops out of
+    * the comparisons by design, so the oracle needn't carry it).
+    * Shuffle carries (doc_id, 8-byte hash) — pixels stay in the decode
+    * task. */
+  private def q129(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gen = udf { (id: Long) =>
+      val p = (id % 40).toInt
+      Multimodal.syntheticPngBrightness(p, ((id / 40) % 40).toInt,
+        10 + (p % 3) * 7, 9 + (p % 4) * 5)
+    }
+    val media = t(s, d, "documents")
+      .select(col("doc_id"), gen(col("doc_id")).as("bytes"))
+    val w = Window.partitionBy(col("dhash"))
+    graft.multimodal.PerceptualHash.withDhash(media, "bytes")
+      .drop("bytes", "dhash_bits")
+      .withColumn("rep_id", min(col("doc_id")).over(w))
+      .withColumn("group_n", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q129Sql =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 40 AS p,
+      |    CAST(10 + (doc_id % 40) % 3 * 7 AS BIGINT) AS w,
+      |    CAST(9 + (doc_id % 40) % 4 * 5 AS BIGINT) AS h
+      |  FROM documents),
+      |hx AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_transform(range(8), y ->
+      |      lower(lpad(hex(CAST(list_sum(list_transform(range(8), x ->
+      |        CASE WHEN ((x*w)//9*23 + (y*h)//8*11 + p*37) % 200
+      |                 < (((x+1)*w)//9*23 + (y*h)//8*11 + p*37) % 200
+      |        THEN (1<<x) ELSE 0 END)) AS BIGINT)), 2, '0'))), '') AS dhash
+      |  FROM d)
+      |SELECT doc_id, dhash,
+      |  MIN(doc_id) OVER (PARTITION BY dhash) AS rep_id,
+      |  COUNT(*) OVER (PARTITION BY dhash) AS group_n
+      |FROM hx ORDER BY doc_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q50_hourly_window_stats", q50, Some(q50Sql), headline = true),
     Q("q70_multimodal_features", q70, Some(q70Sql)),
     Q("q81_frame_sample", q81, Some(q81Sql)),
-    Q("q115_multimodal_resize", q115, Some(q115Sql)))
+    Q("q115_multimodal_resize", q115, Some(q115Sql)),
+    Q("q129_image_phash_dedup", q129, Some(q129Sql)))
 }
