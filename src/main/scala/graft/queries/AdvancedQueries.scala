@@ -799,6 +799,33 @@ object AdvancedQueries extends QuerySet {
       |WINDOW wv AS (PARTITION BY user_id ORDER BY valid_from)
       |ORDER BY user_id, version""".stripMargin
 
+  /** Bloom-pruned fact join via [[graft.operators.BloomPrune]]: the
+    * fact scan drops non-urgent-order lineitems at the scan through the
+    * codegen BloomFilterMightContain probe (a kB broadcast sketch), so
+    * the join Exchange carries matches + fpp·n rows instead of the full
+    * fact. Answer identical to the plain join by construction (false
+    * positives die in the exact join) — the oracle is the plain SQL
+    * join, same physical-property pattern as q27's salted join. */
+  private def q131(s: SparkSession, d: String): DataFrame = {
+    val urgent = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    graft.operators.BloomPrune.prunedJoin(
+        t(s, d, "lineitem"), urgent, "l_orderkey", "o_orderkey", fpp = 0.01)
+      .groupBy(month(col("o_orderdate")).as("order_month"))
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        ).cast("double").as("revenue"))
+      .orderBy(col("order_month"))
+  }
+
+  private val q131Sql =
+    """SELECT CAST(MONTH(o_orderdate) AS INT) AS order_month, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY order_month""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q23_asof_join", q23, Some(q23Sql), headline = true),
     Q("q24_sessionize", q24, Some(q24Sql), headline = true),
@@ -827,5 +854,6 @@ object AdvancedQueries extends QuerySet {
     Q("q80_forward_fill", q80, Some(q80Sql)),
     Q("q116_cohort_retention", q116, Some(q116Sql)),
     Q("q127_expectations_quarantine", q127, Some(q127Sql)),
-    Q("q128_scd2_history", q128, Some(q128Sql)))
+    Q("q128_scd2_history", q128, Some(q128Sql)),
+    Q("q131_bloom_pruned_join", q131, Some(q131Sql), headline = true))
 }

@@ -548,6 +548,41 @@ object VectorQueries extends QuerySet {
        |  round(CAST(COALESCE(apnum, 0) AS DOUBLE) / (2520.0 * n_rel), 6) AS ap
        |FROM nr LEFT JOIN pp USING (probe_id) ORDER BY probe_id""".stripMargin
 
+  /** Per-label centroid outliers via [[graft.operators.Outliers]]: the
+    * 5 rows per label farthest (exact scaled integer distance ‖n·x−S‖²
+    * on the 2^-14 grid — ranks identically to distance-to-mean, no
+    * division) from their class centroid. One corpus pass for the sum
+    * vectors + one broadcast join back; the label-cleanup scan of
+    * training-data curation. */
+  private def q130(s: SparkSession, d: String): DataFrame =
+    graft.operators.Outliers.topByCentroidDistance(
+        t(s, d, "embeddings"), "label", "embedding", "vec_id", m = 5)
+      .orderBy(col("label"), col("rnk"))
+
+  private val q130Sql =
+    """WITH g AS (
+      |  SELECT vec_id, label,
+      |    unnest(list_transform(embedding,
+      |      v -> CAST(floor(CAST(v AS DOUBLE) * 16384) AS BIGINT))) AS xv,
+      |    unnest(range(len(embedding))) AS dim
+      |  FROM embeddings),
+      |c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+      |s AS (SELECT label, dim, CAST(SUM(xv) AS BIGINT) AS sv
+      |      FROM g GROUP BY label, dim),
+      |d AS (
+      |  SELECT g.vec_id, g.label,
+      |    CAST(SUM((c.n * g.xv - s.sv) * (c.n * g.xv - s.sv)) AS BIGINT) AS d2
+      |  FROM g JOIN s ON g.label = s.label AND g.dim = s.dim
+      |         JOIN c ON g.label = c.label
+      |  GROUP BY g.vec_id, g.label),
+      |r AS (
+      |  SELECT label, vec_id, d2,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id)
+      |      AS INT) AS rnk
+      |  FROM d)
+      |SELECT label, vec_id, d2, rnk FROM r WHERE rnk <= 5
+      |ORDER BY label, rnk""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q30_knn_exact", q30, Some(q30Sql), headline = true),
     Q("q31_knn_join_window", q31, Some(knnJoinSql)),
@@ -568,5 +603,6 @@ object VectorQueries extends QuerySet {
     Q("q123_knn_filtered_batch", q123, Some(q123Sql)),
     Q("q124_recall_autotune", q124, Some(knnJoinSql)),
     Q("q113_maxsim_multivector", q113, Some(q113Sql)),
-    Q("q114_ir_metrics", q114, Some(q114Sql)))
+    Q("q114_ir_metrics", q114, Some(q114Sql)),
+    Q("q130_embedding_outliers", q130, Some(q130Sql)))
 }
