@@ -217,6 +217,50 @@ object RagQueries extends QuerySet {
       |SELECT * FROM adds UNION ALL SELECT * FROM rems
       |ORDER BY change, s_suppkey""".stripMargin
 
+  /** Keyed change feed between store versions — the "what moved since
+    * the version I last processed" subscription an incremental
+    * vectorizer/indexer consumes instead of rescanning (the scale form
+    * of the reference's mutate-then-revectorize endpoint,
+    * AddRemoveData.cs). A delete epoch plus one upsert epoch carrying
+    * an update, an IDENTICAL restatement, and a fresh insert must feed
+    * out as exactly delete/update/insert rows — the restated key must
+    * emit NOTHING (null-safe struct compare), which the oracle's
+    * relational replay checks hash-exactly. */
+  private def q132(s: SparkSession, d: String): DataFrame = {
+    val store = new DocumentStore(s, Files.createTempDirectory("graft-q132").toString)
+    store.create("supplier", t(s, d, "supplier"))
+    store.delete("supplier", col("s_acctbal") < 0)                       // v2
+    import s.implicits._
+    val restated = store.read("supplier").filter(col("s_suppkey") === 2)
+    val mutated = Seq((1L, "renamed one", 0, 100.0), (999999L, "brand new", 3, 1.5))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    store.upsert("supplier", mutated.unionByName(restated), Seq("s_suppkey")) // v3
+    store.changeFeed("supplier", 1, 3, keys = Seq("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("s_acctbal").cast("double").as("s_acctbal"), col("change"))
+      .orderBy(col("change"), col("s_suppkey"))
+  }
+
+  private val q132Sql =
+    """WITH v1 AS (SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier),
+      |v2 AS (SELECT * FROM v1 WHERE NOT (s_acctbal < 0)),
+      |v3 AS (SELECT * FROM v2 WHERE s_suppkey <> 1
+      |       UNION ALL SELECT CAST(1 AS BIGINT), 'renamed one',
+      |         CAST(0 AS INT), CAST(100.0 AS DOUBLE)
+      |       UNION ALL SELECT CAST(999999 AS BIGINT), 'brand new',
+      |         CAST(3 AS INT), CAST(1.5 AS DOUBLE)),
+      |j AS (
+      |  SELECT COALESCE(a.s_suppkey, b.s_suppkey) AS s_suppkey,
+      |    a.s_name, CAST(a.s_acctbal AS DOUBLE) AS s_acctbal,
+      |    CASE WHEN b.s_suppkey IS NULL THEN 'insert'
+      |         WHEN a.s_suppkey IS NULL THEN 'delete'
+      |         WHEN (b.s_name, b.s_nationkey, b.s_acctbal) IS DISTINCT FROM
+      |              (a.s_name, a.s_nationkey, a.s_acctbal) THEN 'update'
+      |    END AS change
+      |  FROM v1 b FULL OUTER JOIN v3 a ON b.s_suppkey = a.s_suppkey)
+      |SELECT s_suppkey, s_name, s_acctbal, change FROM j
+      |WHERE change IS NOT NULL ORDER BY change, s_suppkey""".stripMargin
+
   /** Streaming vectorize-on-write, driver-gated end-to-end: the corpus
     * arrives as TWO micro-batches on a real Structured Streaming source
     * plus a REPLAYED slice (at-least-once delivery), flows through the
@@ -539,6 +583,7 @@ object RagQueries extends QuerySet {
     Q("q105_store_skipping", q105, Some(q105Sql), headline = true),
     Q("q108_store_merge_set", q108, Some(q108Sql)),
     Q("q111_store_diff", q111, Some(q111Sql)),
+    Q("q132_store_changefeed", q132, Some(q132Sql)),
     Q("q117_store_vacuum", q117, Some(q117Sql)),
     Q("q118_streaming_ingest", q118, Some(q118Sql)),
     Q("q119_streaming_sessionize", q119, Some(q119Sql)),

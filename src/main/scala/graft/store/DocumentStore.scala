@@ -270,6 +270,53 @@ class DocumentStore(spark: SparkSession, root: String) {
       .unionByName(before.exceptAll(after).withColumn("change", lit("removed")))
   }
 
+  /** Keyed change feed between two retained versions: per-key rows
+    * classified 'insert' / 'update' / 'delete', carrying the AFTER
+    * image (nulls for deletes) — the consumer-facing face of [[diff]].
+    * This is what lets downstream maintenance touch only what moved:
+    * the reference re-vectorizes documents its add/remove endpoint
+    * mutated (Vectorize/AddRemoveData.cs:25-50); at 100 TB the
+    * vectorizer/indexer must subscribe to "which keys changed since the
+    * version I last processed" rather than rescan, and this read is
+    * that subscription (pair it with [[graft.streaming.VectorIngest]]
+    * or an index store's incremental add/remove).
+    *
+    * Cost: ONE key-shuffle full-outer join of the two snapshots —
+    * after-images compare to before-images as structs (null-safe), so
+    * restated rows (upserts that wrote identical values) emit nothing.
+    * Schema evolution: compares on `toV`'s committed columns; a column
+    * added between the versions reads as null on the before side, so a
+    * row whose only change is the backfilled value classifies as
+    * 'update' (correct — a consumer must reprocess it). */
+  def changeFeed(table: String, fromV: Int, toV: Int, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "changeFeed needs key columns")
+    val after0 = readVersion(table, toV)
+    val before0 = readVersion(table, fromV)
+    // an empty snapshot (all rows deleted) reads as a zero-column frame;
+    // take the schema from whichever side has one (toV wins — its
+    // committed schema is the feed's shape)
+    val shaped = if (after0.columns.nonEmpty) after0 else before0
+    require(shaped.columns.nonEmpty, s"both versions of '$table' are empty")
+    val cols = shaped.columns.toSeq
+    val nonKey = cols.filterNot(keys.contains)
+    def align(df: DataFrame): DataFrame =
+      if (df.columns.isEmpty) shaped.limit(0)
+      else shaped.limit(0).unionByName(df, allowMissingColumns = true)
+        .select(cols.map(col): _*)
+    val after = align(after0)
+    val before = align(before0)
+    def packed(df: DataFrame, tag: String) =
+      df.select(keys.map(col) :+ struct(nonKey.map(col): _*).as(tag): _*)
+    val joined = packed(before, "__b").join(packed(after, "__a"), keys, "full_outer")
+    joined
+      .withColumn("change",
+        when(col("__b").isNull, lit("insert"))
+          .when(col("__a").isNull, lit("delete"))
+          .when(!(col("__b") <=> col("__a")), lit("update")))
+      .filter(col("change").isNotNull)
+      .select(keys.map(col) ++ nonKey.map(c => col(s"__a.$c").as(c)) :+ col("change"): _*)
+  }
+
   /** Snapshot read restricted to the named partition-key values —
     * manifest-level partition pruning: segment dirs of other partitions
     * are never even listed, let alone opened. The IVF search path reads
