@@ -185,6 +185,38 @@ object RagQueries extends QuerySet {
       |FROM orders WHERE o_custkey >= 10 AND o_custkey <= 80
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Z-order multi-column skipping: orders laid out by the Morton
+    * interleave of (o_custkey, o_totalprice) via [[graft.store.ZOrder]]
+    * — each partition covers a value-space quadrant, so the min/max
+    * sidecar is tight on BOTH columns and `readWhere` prunes on both
+    * (q105's linear clustering can only ever prune its one sort
+    * column). The gate zeroes the output unless BOTH single-column
+    * prunings actually skipped partitions; the oracle recounts the
+    * combined range from the raw table, so over- or under-reading
+    * fails the hash. */
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    val store = new DocumentStore(s, Files.createTempDirectory("graft-q133").toString)
+    val z = graft.store.ZOrder.withZBucket(
+      t(s, d, "orders"), "o_custkey", "o_totalprice", log2Buckets = 4)
+    store.create("orders_z", z, partitionCol = Some("zbucket"))
+    store.analyze("orders_z", Seq("o_custkey", "o_totalprice"))
+    val (kc, tc) = store.statsPrunedParts("orders_z", "o_custkey", 10L, 80L)
+    val (kp, tp) = store.statsPrunedParts("orders_z", "o_totalprice", 1000.0, 20000.0)
+    store.readWhere("orders_z",
+        Seq(("o_custkey", 10L, 80L), ("o_totalprice", 1000.0, 20000.0)))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      .filter(lit(kc.size < tc && kp.size < tp))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q133Sql =
+    """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      |FROM orders
+      |WHERE o_custkey >= 10 AND o_custkey <= 80
+      |  AND o_totalprice >= 1000 AND o_totalprice <= 20000
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Row-level diff between two committed store versions — the pipeline
     * audit view of what a mutation epoch did ("what changed between the
     * corpus my last run trained on and today's"): multiplicity-aware
@@ -584,6 +616,7 @@ object RagQueries extends QuerySet {
     Q("q108_store_merge_set", q108, Some(q108Sql)),
     Q("q111_store_diff", q111, Some(q111Sql)),
     Q("q132_store_changefeed", q132, Some(q132Sql)),
+    Q("q133_zorder_skipping", q133, Some(q133Sql)),
     Q("q117_store_vacuum", q117, Some(q117Sql)),
     Q("q118_streaming_ingest", q118, Some(q118Sql)),
     Q("q119_streaming_sessionize", q119, Some(q119Sql)),
