@@ -583,6 +583,47 @@ object VectorQueries extends QuerySet {
       |SELECT label, vec_id, d2, rnk FROM r WHERE rnk <= 5
       |ORDER BY label, rnk""".stripMargin
 
+  /** MMR-diversified retrieval via [[graft.operators.Mmr]]: top-20
+    * shortlist by exact gridded-integer query similarity (codegen dot +
+    * TakeOrdered k-heap — the only corpus pass), then the greedy
+    * λ=1/2 marginal-relevance selection of 10, all integer arithmetic
+    * so the oracle's recursive-CTE replay of the same greedy is
+    * hash-exact. Bounded driver work = O(k·C) over C grid vectors,
+    * the PQ-rerank cost shape. */
+  private def q134(s: SparkSession, d: String): DataFrame =
+    graft.operators.Mmr.diversifiedTopK(t(s, d, "embeddings"),
+      "vec_id", "embedding", probeVec(s, d, 0), k = 10, shortlist = 20)
+
+  private val q134Sql =
+    """WITH RECURSIVE g AS (
+      |  SELECT vec_id AS id,
+      |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)*16384) AS BIGINT)) AS gv
+      |  FROM embeddings),
+      |q AS (SELECT gv AS qv FROM g WHERE id = 0),
+      |scored AS (
+      |  SELECT id, gv,
+      |    CAST(list_sum(list_transform(list_zip(gv, (SELECT qv FROM q)), z -> z[1]*z[2])) AS BIGINT) AS qsim
+      |  FROM g),
+      |cand AS (SELECT id, gv, qsim FROM scored ORDER BY qsim DESC, id LIMIT 20),
+      |pair AS (
+      |  SELECT a.id AS a_id, b.id AS b_id,
+      |    CAST(list_sum(list_transform(list_zip(a.gv, b.gv), z -> z[1]*z[2])) AS BIGINT) AS dot
+      |  FROM cand a JOIN cand b ON a.id <> b.id),
+      |sel(step, id, qsim, selected) AS (
+      |  SELECT 1, id, qsim, [id] FROM (SELECT id, qsim FROM cand ORDER BY qsim DESC, id LIMIT 1)
+      |  UNION ALL
+      |  SELECT sel.step + 1, pick.id, pick.qsim, list_append(sel.selected, pick.id)
+      |  FROM sel, LATERAL (
+      |    SELECT c.id, c.qsim,
+      |      c.qsim - (SELECT MAX(p.dot) FROM pair p
+      |                WHERE p.a_id = c.id AND list_contains(sel.selected, p.b_id)) AS score
+      |    FROM cand c
+      |    WHERE NOT list_contains(sel.selected, c.id)
+      |    ORDER BY score DESC, c.id
+      |    LIMIT 1) pick
+      |  WHERE sel.step < 10)
+      |SELECT step AS rnk, id, qsim FROM sel ORDER BY rnk""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q30_knn_exact", q30, Some(q30Sql), headline = true),
     Q("q31_knn_join_window", q31, Some(knnJoinSql)),
@@ -604,5 +645,6 @@ object VectorQueries extends QuerySet {
     Q("q124_recall_autotune", q124, Some(knnJoinSql)),
     Q("q113_maxsim_multivector", q113, Some(q113Sql)),
     Q("q114_ir_metrics", q114, Some(q114Sql)),
-    Q("q130_embedding_outliers", q130, Some(q130Sql)))
+    Q("q130_embedding_outliers", q130, Some(q130Sql)),
+    Q("q134_mmr_diversified", q134, Some(q134Sql)))
 }
