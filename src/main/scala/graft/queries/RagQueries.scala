@@ -494,6 +494,57 @@ object RagQueries extends QuerySet {
       | AND l.ts <= r.ts AND l.ts >= r.ts - INTERVAL 1 HOUR
       |ORDER BY key, l_id, r_id""".stripMargin
 
+  /** Stream-stream LEFT OUTER interval join — the negative answer as a
+    * stream: a view with no purchase inside its hour emits
+    * null-extended exactly when the watermark makes that decidable
+    * (and that same eviction bound caps the buffered state). Real dual
+    * file sources; sentinel rows on BOTH streams advance the global
+    * watermark past the data so every pending "no" flushes (the q119
+    * two-batch pattern: first batch moves the watermark, second runs
+    * the eviction sweep). Oracle: the batch LEFT range join. */
+  private def q135(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, d, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val maxMs = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val base = System.currentTimeMillis()
+    val dirL = Files.createTempDirectory("graft-q135-l").toFile
+    val dirR = Files.createTempDirectory("graft-q135-r").toFile
+    stage(views, dirL, base, byRange = Some(col("ts")))
+    stage(purchases, dirR, base, byRange = Some(col("ts")))
+    def sentinel(offsetDays: Long): DataFrame =
+      Seq((-1L, new java.sql.Timestamp(maxMs + offsetDays * 24 * 3600 * 1000), -1L))
+        .toDF("user_id", "ts", "event_id")
+    Seq(dirL, dirR).foreach { dir =>
+      stage(sentinel(30), dir, base + 60000, nFiles = 1)
+      stage(sentinel(60), dir, base + 120000, nFiles = 1)
+    }
+    val l = s.readStream.schema(views.schema)
+      .option("maxFilesPerTrigger", "2").parquet(dirL.toString)
+    val r = s.readStream.schema(purchases.schema)
+      .option("maxFilesPerTrigger", "2").parquet(dirR.toString)
+    val joined = graft.streaming.EventStream.intervalJoin(
+      l, r, key = "user_id", before = "1 hour", joinType = "left_outer")
+    val qy = joined.writeStream.outputMode("append")
+      .format("memory").queryName("q135_out").start()
+    try qy.processAllAvailable() finally qy.stop()
+    s.table("q135_out")
+      .filter(col("key") =!= -1L)
+      .select(col("key"), col("l_id"), col("r_id"))
+      .orderBy(col("key"), col("l_id"), col("r_id"))
+  }
+
+  private val q135Sql =
+    """SELECT l.user_id AS key, l.event_id AS l_id, r.event_id AS r_id
+      |FROM (SELECT * FROM events WHERE event_type = 'view') l
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id
+      | AND l.ts <= r.ts AND l.ts >= r.ts - INTERVAL 1 HOUR
+      |ORDER BY key, l_id, r_id""".stripMargin
+
   /** Stream-static ENRICHMENT join under the driver gate: the event
     * stream (REAL file source, staged, no driver collect) broadcast-
     * joins the customer dimension per micro-batch — no stream-side
@@ -623,5 +674,6 @@ object RagQueries extends QuerySet {
     Q("q120_streaming_window_agg", q120, Some(q120Sql)),
     Q("q121_streaming_dedup", q121, Some(q121Sql)),
     Q("q125_streaming_interval_join", q125, Some(q125Sql)),
+    Q("q135_streaming_outer_join", q135, Some(q135Sql)),
     Q("q126_streaming_enrich", q126, Some(q126Sql)))
 }

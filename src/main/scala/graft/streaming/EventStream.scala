@@ -152,17 +152,24 @@ object EventStream {
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    tsCol: String = "ts", idCol: String = "event_id",
                    before: String = "1 hour",
-                   watermark: String = "10 minutes"): DataFrame = {
+                   watermark: String = "10 minutes",
+                   joinType: String = "inner"): DataFrame = {
     val l = left.select(col(key).as("l_key"), col(tsCol).as("l_ts"),
         col(idCol).as("l_id"))
       .withWatermark("l_ts", watermark)
     val r = right.select(col(key).as("r_key"), col(tsCol).as("r_ts"),
         col(idCol).as("r_id"))
       .withWatermark("r_ts", watermark)
+    // leftOuter: an unmatched left row emits null-extended only once the
+    // watermark clears l_ts + before (no future right row can match it) —
+    // the same eviction bound that caps the buffered state, so "did this
+    // view convert within the hour: NO" is itself a streaming answer,
+    // delivered exactly when it becomes decidable
     l.join(r,
       col("l_key") === col("r_key") &&
         col("l_ts") <= col("r_ts") &&
-        col("l_ts") >= col("r_ts") - expr(s"INTERVAL $before"))
+        col("l_ts") >= col("r_ts") - expr(s"INTERVAL $before"),
+      joinType)
       .select(col("l_key").as("key"), col("l_id"), col("r_id"),
         col("l_ts"), col("r_ts"))
   }

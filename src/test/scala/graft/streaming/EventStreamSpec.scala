@@ -110,6 +110,38 @@ class EventStreamSpec extends AnyFunSuite with SparkSuite {
     assert(got == batch)
   }
 
+  test("left-outer interval join: matches exact, negatives only for true non-converters") {
+    val src = EventStream.source(spark, eventsDir)
+    val joined = EventStream.intervalJoin(
+      src.filter(col("event_type") === "view"),
+      src.filter(col("event_type") === "purchase"),
+      "user_id", joinType = "left_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("soj_out").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("soj_out").select("l_id", "r_id").collect()
+    val gotMatched = rows.filter(!_.isNullAt(1)).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotNulls = rows.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+    val e = t(spark, sf, "events")
+    val bv = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("l_id"), col("ts").as("l_ts"))
+    val bp = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("r_id"), col("ts").as("r_ts"))
+    val batchMatched = bv.join(bp, Seq("user_id"))
+      .filter(col("l_ts") <= col("r_ts") &&
+        col("l_ts") >= col("r_ts") - expr("INTERVAL 1 HOUR"))
+      .select("l_id", "r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotMatched == batchMatched)
+    // null-extended rows may be held back by the final watermark (no
+    // sentinel here — q135 gates the full flush), but every one emitted
+    // must be a TRUE non-converter
+    val trueNulls = bv.select("l_id").collect().map(_.getLong(0)).toSet --
+      batchMatched.map(_._1)
+    assert(gotNulls.subsetOf(trueNulls),
+      s"false negatives emitted: ${gotNulls.diff(trueNulls).take(3)}")
+  }
+
   test("foreachBatch upsert sink lands every event exactly once") {
     val store = new DocumentStore(spark, Files.createTempDirectory("graft-sink").toString)
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
