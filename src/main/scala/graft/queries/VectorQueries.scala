@@ -624,6 +624,31 @@ object VectorQueries extends QuerySet {
       |  WHERE sel.step < 10)
       |SELECT step AS rnk, id, qsim FROM sel ORDER BY rnk""".stripMargin
 
+  /** JL random projection 64→16 via
+    * [[graft.operators.RandomProjection]]: the exact integer gate face —
+    * deterministic polynomial-parity sign matrix, projection = Σ ±grid
+    * in one narrow codegen projection (no shuffle, no UDF). The oracle
+    * replays the identical BIGINT arithmetic, so a single sign or sum
+    * drift breaks the hash; the JL distance-preservation property is
+    * spec-checked on the float face. */
+  private def q136(s: SparkSession, d: String): DataFrame =
+    graft.operators.RandomProjection.projectGrid(
+        t(s, d, "embeddings"), "embedding", inDims = 64, outDims = 16)
+      .select(col("vec_id"),
+        array_join(transform(col("proj"), _.cast("string")), ",").as("proj"))
+      .orderBy(col("vec_id"))
+
+  private val q136Sql =
+    """SELECT vec_id,
+      |  array_to_string(list_transform(range(16), j ->
+      |    CAST(list_sum(list_transform(list_zip(
+      |      list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)*16384) AS BIGINT)),
+      |      range(64)), z ->
+      |      CASE WHEN (z[2]*2654435761 + j*1013904223 + z[2]*j*2246822519 + 7)
+      |             % 1000000007 % 2 = 0
+      |        THEN z[1] ELSE -z[1] END)) AS BIGINT)), ',') AS proj
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q30_knn_exact", q30, Some(q30Sql), headline = true),
     Q("q31_knn_join_window", q31, Some(knnJoinSql)),
@@ -646,5 +671,6 @@ object VectorQueries extends QuerySet {
     Q("q113_maxsim_multivector", q113, Some(q113Sql)),
     Q("q114_ir_metrics", q114, Some(q114Sql)),
     Q("q130_embedding_outliers", q130, Some(q130Sql)),
-    Q("q134_mmr_diversified", q134, Some(q134Sql)))
+    Q("q134_mmr_diversified", q134, Some(q134Sql)),
+    Q("q136_random_projection", q136, Some(q136Sql)))
 }
