@@ -836,5 +836,44 @@ object TextQueries extends QuerySet {
     Q("q106_token_budget_mix", q106, Some(q106Sql), headline = true),
     Q("q109_cluster_representative", q109, Some(q109Sql)),
     Q("q110_group_split", q110, Some(q110Sql)),
-    Q("q122_pipeline_e2e", q122, Some(q122Sql), headline = true))
+    Q("q122_pipeline_e2e", q122, Some(q122Sql), headline = true),
+    Q("q137_bpe_train", q137, Some(q137Sql)))
+
+  /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
+    * merges induced from the documents corpus (one corpus pass for the
+    * word-frequency table, then vocab-bounded iterations). The merge
+    * table IS the output; the oracle replays training verbatim as
+    * unrolled CTE steps (pair-count argmax + literal replace per step),
+    * so a wrong count, tie-break, or merge application at ANY step
+    * changes every later merge and breaks the hash. */
+  private def q137(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.BpeTrainer
+    val words = BpeTrainer.wordFreqs(t(s, d, "documents"), "text")
+    val (merges, _) = BpeTrainer.train(words, numMerges = 12)
+    import s.implicits._
+    merges.toDF("step", "pair").orderBy(col("step"))
+  }
+
+  // lazy: declared below the `queries` val, which captures it at init
+  private lazy val q137Sql: String = {
+    val steps = 12
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """words AS MATERIALIZED (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w)""".stripMargin,
+      """w0 AS MATERIALIZED (SELECT array_to_string(list_transform(range(length(w)), i -> w[i+1]), ' ') AS toks, cnt FROM words)""")
+    val sel = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (s <- 1 to steps) {
+      ctes += s"""p$s AS MATERIALIZED (
+        |  SELECT z[1] || ' ' || z[2] AS pr, SUM(cnt) AS c
+        |  FROM (SELECT unnest(list_zip(string_split(toks,' '), string_split(toks,' ')[2:])) AS z, cnt FROM w${s - 1})
+        |  WHERE z[2] IS NOT NULL GROUP BY 1)""".stripMargin
+      ctes += s"b$s AS (SELECT pr FROM p$s ORDER BY c DESC, pr LIMIT 1)"
+      ctes += s"""w$s AS MATERIALIZED (SELECT replace(toks, (SELECT pr FROM b$s), replace((SELECT pr FROM b$s),' ','~')) AS toks, cnt FROM w${s - 1})"""
+      sel += s"SELECT $s AS step, (SELECT pr FROM b$s) AS pair"
+    }
+    "WITH " + ctes.mkString(",\n") + "\n" +
+      sel.mkString(" UNION ALL ") + " ORDER BY step"
+  }
 }
