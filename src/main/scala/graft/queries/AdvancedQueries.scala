@@ -826,6 +826,57 @@ object AdvancedQueries extends QuerySet {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY 1 ORDER BY order_month""".stripMargin
 
+  /** Linear-interpolated hourly resample of each user's event values
+    * via [[graft.operators.Interpolate]] — one union-sort shuffle
+    * serves both neighbor scans; exact-grid observations pass through
+    * untouched. Oracle replays the identical window + IEEE expression. */
+  private def q138(s: SparkSession, d: String): DataFrame =
+    graft.operators.Interpolate.linearGrid(
+        t(s, d, "events").filter(col("user_id") < 20),
+        "user_id", "ts", "value")
+      .select(col("user_id"), col("ts"), round(col("vi"), 6).as("vi"))
+      .orderBy(col("user_id"), col("ts"))
+
+  private val q138Sql =
+    """WITH obs AS (
+      |  SELECT user_id AS k, ts, CAST(value AS DOUBLE) AS v, 0 AS tag
+      |  FROM events WHERE user_id < 20),
+      |bounds AS (
+      |  SELECT k, MIN(ts) AS tmin, MAX(ts) AS tmax FROM obs GROUP BY k),
+      |grid AS (
+      |  SELECT k,
+      |    CASE WHEN date_trunc('hour', tmin) < tmin
+      |         THEN date_trunc('hour', tmin) + INTERVAL 1 HOUR
+      |         ELSE date_trunc('hour', tmin) END AS g0,
+      |    date_trunc('hour', tmax) AS g1
+      |  FROM bounds),
+      |spine AS (
+      |  SELECT k, unnest(generate_series(g0, g1, INTERVAL 1 HOUR)) AS ts,
+      |    CAST(NULL AS DOUBLE) AS v, 1 AS tag
+      |  FROM grid WHERE g0 <= g1),
+      |u AS (SELECT * FROM obs UNION ALL SELECT * FROM spine),
+      |n AS (
+      |  SELECT k, ts, tag,
+      |    last_value(CASE WHEN tag = 0 THEN epoch_us(ts) END IGNORE NULLS)
+      |      OVER wb AS t0,
+      |    last_value(CASE WHEN tag = 0 THEN v END IGNORE NULLS) OVER wb AS v0,
+      |    first_value(CASE WHEN tag = 0 THEN epoch_us(ts) END IGNORE NULLS)
+      |      OVER wf AS t1,
+      |    first_value(CASE WHEN tag = 0 THEN v END IGNORE NULLS) OVER wf AS v1
+      |  FROM u
+      |  WINDOW
+      |    wb AS (PARTITION BY k ORDER BY ts, tag
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wf AS (PARTITION BY k ORDER BY ts, tag
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT k AS user_id, ts,
+      |  round(CASE WHEN t0 = epoch_us(ts) THEN v0
+      |    ELSE v0 + (v1 - v0) *
+      |      (CAST(epoch_us(ts) - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE))
+      |  END, 6) AS vi
+      |FROM n WHERE tag = 1
+      |ORDER BY user_id, ts""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q23_asof_join", q23, Some(q23Sql), headline = true),
     Q("q24_sessionize", q24, Some(q24Sql), headline = true),
@@ -855,5 +906,6 @@ object AdvancedQueries extends QuerySet {
     Q("q116_cohort_retention", q116, Some(q116Sql)),
     Q("q127_expectations_quarantine", q127, Some(q127Sql)),
     Q("q128_scd2_history", q128, Some(q128Sql)),
-    Q("q131_bloom_pruned_join", q131, Some(q131Sql), headline = true))
+    Q("q131_bloom_pruned_join", q131, Some(q131Sql), headline = true),
+    Q("q138_linear_interpolate", q138, Some(q138Sql)))
 }
