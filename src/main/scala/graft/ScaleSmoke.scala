@@ -98,7 +98,12 @@ object ScaleSmoke {
     buildIfMissing(spark, srcDir, outDir)
     val names = Seq("q41_dedup_ngram_jaccard", "q85_dedup_clusters",
       "q94_semantic_dedup", "q33_knn_ivf", "q103_knn_ivfpq",
-      "q104_store_compact", "q97_domain_mix", "q106_token_budget_mix")
+      "q104_store_compact", "q97_domain_mix", "q106_token_budget_mix",
+      // r7 additions: q129 = 10× real image decodes + hash grouping;
+      // q137 = BPE training where the relabeled copies make the
+      // vocabulary itself 10× (the vocab-bounded-iteration claim's
+      // worst case — word count AND distinct words both scale)
+      "q129_image_phash_dedup", "q137_bpe_train")
     val qmap = SparkEntry.queries
     qmap("q01_agg_pricing")(spark, outDir).count() // warm-up: codegen/JIT
     val results = names.map { name =>
