@@ -293,6 +293,71 @@ object RagQueries extends QuerySet {
       |SELECT s_suppkey, s_name, s_acctbal, change FROM j
       |WHERE change IS NOT NULL ORDER BY change, s_suppkey""".stripMargin
 
+  /** End-to-end incremental index sync — the composition the change
+    * feed exists for: source-of-truth vector store mutates (delete +
+    * re-embed + insert epochs), [[DocumentStore.changeFeed]] feeds
+    * EXACTLY the touched keys to the [[graft.search.IvfStore]]'s
+    * add/remove maintenance, and search over the synced index must
+    * reproduce exact brute force over the mutated corpus (nprobe =
+    * numLists ⇒ IVF search IS exact, so the oracle replays the
+    * mutations relationally and computes top-k — hash-exact, q30
+    * shape). In-query gate: the synced index corpus must EQUAL the
+    * source's current version row-for-row (both-ways exceptAll), so a
+    * leaked delete or dropped upsert zeroes the output even when the
+    * stale row isn't in the top-k. */
+  private def q139(s: SparkSession, d: String): DataFrame = {
+    import graft.search.{IvfIndex, IvfStore}
+    val e = t(s, d, "embeddings")
+    val src = new DocumentStore(s, Files.createTempDirectory("graft-q139-src").toString)
+    src.create("vecs", e)                                               // v1
+    val idxStore = new DocumentStore(s, Files.createTempDirectory("graft-q139-idx").toString)
+    val idx = new IvfStore(idxStore, "ivf",
+      IvfIndex.train(e, "embedding", "vec_id", numLists = 8, iters = 3, multiAssign = 1),
+      "embedding", "vec_id")
+    idx.build(e)
+    src.delete("vecs", col("vec_id") % 17 === 3)                        // v2
+    val changed = e.filter(col("vec_id") % 13 === 1)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+    val inserted = e.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.5f)).as("embedding"), col("label"))
+    src.upsert("vecs", changed.unionByName(inserted), keys = Seq("vec_id")) // v3
+    val feed = src.changeFeed("vecs", 1, 3, Seq("vec_id")).cache()
+    idx.remove(feed.filter(col("change") === "delete")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq)
+    idx.add(feed.filter(col("change").isin("insert", "update"))
+      .select(col("vec_id"), col("embedding"), col("label")))
+    val cur = src.read("vecs")
+    val idxCur = idxStore.read("ivf").select(col("vec_id"), col("embedding"), col("label"))
+    val synced = idxCur.exceptAll(cur).isEmpty && cur.exceptAll(idxCur).isEmpty
+    val probe = e.filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).toArray
+    val res = idx.search(probe, 10, nprobe = 8)
+      .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim"))
+    if (synced) res else res.limit(0)
+  }
+
+  private val q139Sql = {
+    def dl(c: String) = s"list_transform($c, x -> CAST(x AS DOUBLE))"
+    s"""WITH v3 AS (
+       |  SELECT vec_id, embedding, label FROM embeddings
+       |    WHERE NOT (vec_id % 17 = 3) AND NOT (vec_id % 13 = 1)
+       |  UNION ALL
+       |  SELECT vec_id, list_transform(embedding, x -> -x) AS embedding, label
+       |    FROM embeddings WHERE vec_id % 13 = 1
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |    list_transform(embedding, x -> CAST(x * CAST(0.5 AS FLOAT) AS FLOAT)) AS embedding,
+       |    label
+       |    FROM embeddings WHERE vec_id < 20),
+       |q AS (SELECT ${dl("embedding")} AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, label,
+       |  round(list_cosine_similarity(${dl("embedding")}, qv), 6) AS sim
+       |FROM v3, q
+       |ORDER BY list_cosine_similarity(${dl("embedding")}, qv) DESC, vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   /** Streaming vectorize-on-write, driver-gated end-to-end: the corpus
     * arrives as TWO micro-batches on a real Structured Streaming source
     * plus a REPLAYED slice (at-least-once delivery), flows through the
@@ -668,6 +733,7 @@ object RagQueries extends QuerySet {
     Q("q111_store_diff", q111, Some(q111Sql)),
     Q("q132_store_changefeed", q132, Some(q132Sql)),
     Q("q133_zorder_skipping", q133, Some(q133Sql)),
+    Q("q139_incremental_index_sync", q139, Some(q139Sql)),
     Q("q117_store_vacuum", q117, Some(q117Sql)),
     Q("q118_streaming_ingest", q118, Some(q118Sql)),
     Q("q119_streaming_sessionize", q119, Some(q119Sql)),
