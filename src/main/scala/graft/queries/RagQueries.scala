@@ -293,6 +293,46 @@ object RagQueries extends QuerySet {
       |SELECT s_suppkey, s_name, s_acctbal, change FROM j
       |WHERE change IS NOT NULL ORDER BY change, s_suppkey""".stripMargin
 
+  /** Streaming CDC apply-changes: a mixed upsert/delete mutation stream
+    * (real file source, seq-ordered batches) applied to the versioned
+    * store through [[graft.streaming.EventStream.cdcApplySink]] — the
+    * reference's full add/remove surface as a stream. Keys hit all
+    * three shapes: plain insert, insert-then-modify, and
+    * insert-(modify-)then-delete (keys divisible by 35 exercise the
+    * within/cross-batch collapse to a net delete). The oracle replays
+    * the net effect relationally; a mis-ordered or dropped op changes
+    * the surviving rows and breaks the hash. */
+  private def q140(s: SparkSession, d: String): DataFrame = {
+    val sup = t(s, d, "supplier")
+    val base = sup.withColumn("op", lit("upsert")).withColumn("seq", col("s_suppkey"))
+    val mods = sup.filter(col("s_suppkey") % 7 === 0)
+      .withColumn("s_name", concat(lit("mod "), col("s_name")))
+      .withColumn("op", lit("upsert")).withColumn("seq", col("s_suppkey") + 100000L)
+    val dels = sup.filter(col("s_suppkey") % 5 === 0)
+      .withColumn("op", lit("delete")).withColumn("seq", col("s_suppkey") + 200000L)
+    val changes = base.unionByName(mods).unionByName(dels)
+    val dir = Files.createTempDirectory("graft-q140-src").toFile
+    stage(changes, dir, System.currentTimeMillis(), byRange = Some(col("seq")))
+    val src = s.readStream.schema(changes.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val store = new DocumentStore(s, Files.createTempDirectory("graft-q140").toString)
+    val qy = graft.streaming.EventStream.cdcApplySink(src, store, "sup",
+      keys = Seq("s_suppkey"), opCol = "op", seqCol = "seq",
+      checkpoint = Files.createTempDirectory("graft-q140-ckpt").toString)
+    qy.awaitTermination()
+    store.read("sup")
+      .select(col("s_suppkey"), col("s_name"),
+        col("s_acctbal").cast("double").as("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val q140Sql =
+    """SELECT s_suppkey,
+      |  CASE WHEN s_suppkey % 7 = 0 THEN 'mod ' || s_name ELSE s_name END AS s_name,
+      |  CAST(s_acctbal AS DOUBLE) AS s_acctbal
+      |FROM supplier WHERE NOT (s_suppkey % 5 = 0)
+      |ORDER BY s_suppkey""".stripMargin
+
   /** End-to-end incremental index sync — the composition the change
     * feed exists for: source-of-truth vector store mutates (delete +
     * re-embed + insert epochs), [[DocumentStore.changeFeed]] feeds
@@ -734,6 +774,7 @@ object RagQueries extends QuerySet {
     Q("q132_store_changefeed", q132, Some(q132Sql)),
     Q("q133_zorder_skipping", q133, Some(q133Sql)),
     Q("q139_incremental_index_sync", q139, Some(q139Sql)),
+    Q("q140_streaming_cdc_apply", q140, Some(q140Sql)),
     Q("q117_store_vacuum", q117, Some(q117Sql)),
     Q("q118_streaming_ingest", q118, Some(q118Sql)),
     Q("q119_streaming_sessionize", q119, Some(q119Sql)),

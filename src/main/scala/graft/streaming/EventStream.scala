@@ -190,4 +190,45 @@ object EventStream {
         }
       }
       .start()
+
+  /** (g) CDC apply-changes sink: a mixed mutation stream (rows tagged
+    * `opCol` ∈ {'upsert','delete'}, ordered by `seqCol`) applied to the
+    * versioned store — the full AddRemoveData.cs surface (add AND
+    * remove) as a stream, and the write half of the APPLY CHANGES
+    * pattern. Within each micro-batch the LAST operation per key wins
+    * (standard CDC batch-collapse: an upsert superseded by a delete in
+    * the same batch nets to the delete — without the collapse the two
+    * would apply in arbitrary order); each micro-batch is one-or-two
+    * atomic store commits, replay-idempotent because the collapse is
+    * deterministic and upsert/delete are keyed. */
+  def cdcApplySink(changes: DataFrame, store: DocumentStore, table: String,
+                   keys: Seq[String], opCol: String, seqCol: String,
+                   checkpoint: String): StreamingQuery =
+    changes.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+          val latest = batch.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn").cache()
+          val ups = latest.filter(col(opCol) === "upsert").drop(opCol, seqCol)
+          val dels = latest.filter(col(opCol) === "delete")
+            .select(keys.map(col): _*)
+          if (!ups.isEmpty) {
+            if (store.exists(table)) store.upsert(table, ups, keys)
+            else store.create(table, ups)
+          }
+          if (store.exists(table) && !dels.isEmpty) {
+            require(keys.size == 1, "delete collapse implemented for single-column keys")
+            val ids = dels.collect().map(_.get(0)).toSeq
+            store.delete(table, col(keys.head).isin(ids: _*))
+          }
+          latest.unpersist()
+          ()
+        }
+      }
+      .start()
 }

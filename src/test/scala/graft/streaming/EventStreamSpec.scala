@@ -142,6 +142,28 @@ class EventStreamSpec extends AnyFunSuite with SparkSuite {
       s"false negatives emitted: ${gotNulls.diff(trueNulls).take(3)}")
   }
 
+  test("cdc apply collapses within-batch conflicts to the last op per key") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String, Long)]
+    val store = new DocumentStore(spark, Files.createTempDirectory("graft-cdc").toString)
+    val q = EventStream.cdcApplySink(
+      in.toDF().toDF("id", "payload", "op", "seq"), store, "t",
+      keys = Seq("id"), opCol = "op", seqCol = "seq",
+      checkpoint = Files.createTempDirectory("graft-cdc-ckpt").toString)
+    // ONE batch containing: plain insert; insert superseded by delete;
+    // delete superseded by re-insert; update chain
+    in.addData(
+      (1L, "a", "upsert", 1L),
+      (2L, "b", "upsert", 2L), (2L, "b2", "delete", 3L),
+      (3L, "c", "delete", 4L), (3L, "c2", "upsert", 5L),
+      (4L, "d", "upsert", 6L), (4L, "d2", "upsert", 7L))
+    q.awaitTermination()
+    val got = store.read("t").select("id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 3L -> "c2", 4L -> "d2"))
+  }
+
   test("foreachBatch upsert sink lands every event exactly once") {
     val store = new DocumentStore(spark, Files.createTempDirectory("graft-sink").toString)
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
