@@ -293,6 +293,62 @@ object RagQueries extends QuerySet {
       |SELECT s_suppkey, s_name, s_acctbal, change FROM j
       |WHERE change IS NOT NULL ORDER BY change, s_suppkey""".stripMargin
 
+  /** Incremental materialized-view maintenance via
+    * [[graft.store.IncrementalView]]: a grouped count/sum view over the
+    * orders store stays in sync through a delete + upsert epoch by
+    * applying CHANGE-FEED deltas only (before-images semi-joined from
+    * the old snapshot — cost tracks the delta, the fact is never
+    * rescanned). The reference hand-maintains exactly one such view
+    * (customers.salesOrderCount, MongoDbService.cs:370-392). In-query
+    * gate: the maintained state equals a from-scratch recompute of the
+    * current version (both-ways exceptAll over exact DECIMAL sums);
+    * oracle replays the net state relationally. */
+  private def q141(s: SparkSession, d: String): DataFrame = {
+    import graft.store.IncrementalView
+    val orders = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderpriority"), col("o_totalprice"))
+    val src = new DocumentStore(s, Files.createTempDirectory("graft-q141-src").toString)
+    val st = new DocumentStore(s, Files.createTempDirectory("graft-q141-st").toString)
+    src.create("orders", orders)                                       // v1
+    IncrementalView.initialize(src, "orders", st, "agg",
+      "o_orderpriority", "o_totalprice")
+    src.delete("orders", col("o_orderkey") % 11 === 5)                 // v2
+    val changed = orders.filter(col("o_orderkey") % 13 === 2)
+      .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+    val inserted = orders.filter(col("o_orderkey") < 50)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"), col("o_custkey"),
+        lit("9-NEW").as("o_orderpriority"), col("o_totalprice"))
+    src.upsert("orders", changed.unionByName(inserted), keys = Seq("o_orderkey")) // v3
+    IncrementalView.maintain(src, "orders", 1, 3, "o_orderkey",
+      "o_orderpriority", "o_totalprice", st, "agg")
+    val recomputed = src.read("orders").groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_val"))
+    val cur = st.read("agg")
+    val synced = cur.exceptAll(recomputed).isEmpty &&
+      recomputed.exceptAll(cur).isEmpty
+    val out = cur.select(col("o_orderpriority"), col("cnt"),
+        col("sum_val").cast("double").as("sum_val"))
+      .orderBy(col("o_orderpriority"))
+    if (synced) out else out.limit(0)
+  }
+
+  private val q141Sql =
+    """WITH final AS (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice + 100.0 AS p
+      |    FROM orders WHERE o_orderkey % 13 = 2
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice AS p
+      |    FROM orders WHERE NOT (o_orderkey % 13 = 2) AND NOT (o_orderkey % 11 = 5)
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, '9-NEW', o_totalprice AS p
+      |    FROM orders WHERE o_orderkey < 50)
+      |SELECT o_orderpriority, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+      |FROM final GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Streaming CDC apply-changes: a mixed upsert/delete mutation stream
     * (real file source, seq-ordered batches) applied to the versioned
     * store through [[graft.streaming.EventStream.cdcApplySink]] — the
@@ -775,6 +831,7 @@ object RagQueries extends QuerySet {
     Q("q133_zorder_skipping", q133, Some(q133Sql)),
     Q("q139_incremental_index_sync", q139, Some(q139Sql)),
     Q("q140_streaming_cdc_apply", q140, Some(q140Sql)),
+    Q("q141_incremental_view", q141, Some(q141Sql)),
     Q("q117_store_vacuum", q117, Some(q117Sql)),
     Q("q118_streaming_ingest", q118, Some(q118Sql)),
     Q("q119_streaming_sessionize", q119, Some(q119Sql)),
