@@ -242,5 +242,41 @@ object StreamingQueries extends QuerySet {
     Q("q70_multimodal_features", q70, Some(q70Sql)),
     Q("q81_frame_sample", q81, Some(q81Sql)),
     Q("q115_multimodal_resize", q115, Some(q115Sql)),
-    Q("q129_image_phash_dedup", q129, Some(q129Sql)))
+    Q("q129_image_phash_dedup", q129, Some(q129Sql)),
+    Q("q142_audio_frame_features", q142, Some(q142Sql)))
+
+  /** Frame-level energy + zero-crossing features over REALLY decoded
+    * PCM via [[graft.multimodal.AudioFeatures]] (the VAD/silence-trim
+    * signals): every doc renders a closed-form WAV, the real
+    * javax.sound parse decodes it, and 32-sample frames yield integer
+    * Σs² and sign-flip counts — the oracle recomputes both from the
+    * generator formula with no audio stack, so a decode or framing bug
+    * anywhere breaks the hash. */
+  private def q142(s: SparkSession, d: String): DataFrame = {
+    val gen = udf { (id: Long) =>
+      Multimodal.syntheticWav(id, (8000 + (id % 3) * 4000).toInt, (50 + id % 100).toInt)
+    }
+    val media = t(s, d, "documents")
+      .select(col("doc_id"), gen(col("doc_id")).as("bytes"))
+    graft.multimodal.AudioFeatures.withFrameFeatures(media, "bytes", frameLen = 32)
+      .select(col("doc_id"), col("frame_idx"), col("energy"), col("crossings"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  private lazy val q142Sql = // lazy: declared below the `queries` val
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    list_transform(range(50 + doc_id % 100),
+      |      i -> CAST((i*13 + doc_id*7) % 4096 - 2048 AS BIGINT)) AS smp
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, unnest(range(len(smp) // 32)) AS frame_idx, smp
+      |  FROM s WHERE len(smp) >= 32)
+      |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+      |  CAST(list_sum(list_transform(smp[frame_idx*32+1 : frame_idx*32+32],
+      |    x -> x*x)) AS BIGINT) AS energy,
+      |  CAST(len(list_filter(range(31), i ->
+      |    (smp[frame_idx*32+i+1] >= 0) <> (smp[frame_idx*32+i+2] >= 0)))
+      |    AS INT) AS crossings
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 }
