@@ -243,7 +243,8 @@ object StreamingQueries extends QuerySet {
     Q("q81_frame_sample", q81, Some(q81Sql)),
     Q("q115_multimodal_resize", q115, Some(q115Sql)),
     Q("q129_image_phash_dedup", q129, Some(q129Sql)),
-    Q("q142_audio_frame_features", q142, Some(q142Sql)))
+    Q("q142_audio_frame_features", q142, Some(q142Sql)),
+    Q("q143_video_scene_deltas", q143, Some(q143Sql)))
 
   /** Frame-level energy + zero-crossing features over REALLY decoded
     * PCM via [[graft.multimodal.AudioFeatures]] (the VAD/silence-trim
@@ -278,5 +279,32 @@ object StreamingQueries extends QuerySet {
       |  CAST(len(list_filter(range(31), i ->
       |    (smp[frame_idx*32+i+1] >= 0) <> (smp[frame_idx*32+i+2] >= 0)))
       |    AS INT) AS crossings
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+  /** Frame-to-frame pixel deltas over the REAL multi-frame video
+    * decode via [[graft.multimodal.VideoFeatures]] — the scene-change /
+    * static-clip signal, computed with two frames in memory per clip.
+    * The oracle recomputes every per-pixel absolute difference from
+    * the lossless GIF generator formula, so a bug in frame iteration,
+    * raster access, or the differencing breaks the hash. */
+  private def q143(s: SparkSession, d: String): DataFrame = {
+    val gen = udf { (id: Long) =>
+      Multimodal.syntheticGif(id, (6 + id % 10).toInt, (4 + (id * 3) % 8).toInt,
+        (2 + id % 4).toInt)
+    }
+    val media = t(s, d, "documents")
+      .select(col("doc_id"), gen(col("doc_id")).as("bytes"))
+    graft.multimodal.VideoFeatures.withFrameDeltas(media, "bytes")
+      .select(col("doc_id"), col("frame_idx"), col("delta"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  private lazy val q143Sql = // lazy: declared below the `queries` val
+    """WITH f AS (
+      |  SELECT doc_id, unnest(range(1, 2 + doc_id % 4)) AS fi FROM documents)
+      |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+      |  CAST(list_sum(flatten(list_transform(range(4 + (doc_id*3) % 8), y ->
+      |    list_transform(range(6 + doc_id % 10), x ->
+      |      abs((x*31 + y*17 + doc_id + fi*11) % 256
+      |        - (x*31 + y*17 + doc_id + (fi-1)*11) % 256))))) AS BIGINT) AS delta
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 }
