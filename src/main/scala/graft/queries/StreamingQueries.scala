@@ -244,7 +244,8 @@ object StreamingQueries extends QuerySet {
     Q("q115_multimodal_resize", q115, Some(q115Sql)),
     Q("q129_image_phash_dedup", q129, Some(q129Sql)),
     Q("q142_audio_frame_features", q142, Some(q142Sql)),
-    Q("q143_video_scene_deltas", q143, Some(q143Sql)))
+    Q("q143_video_scene_deltas", q143, Some(q143Sql)),
+    Q("q144_audio_segments", q144, Some(q144Sql)))
 
   /** Frame-level energy + zero-crossing features over REALLY decoded
     * PCM via [[graft.multimodal.AudioFeatures]] (the VAD/silence-trim
@@ -307,4 +308,67 @@ object StreamingQueries extends QuerySet {
       |      abs((x*31 + y*17 + doc_id + fi*11) % 256
       |        - (x*31 + y*17 + doc_id + (fi-1)*11) % 256))))) AS BIGINT) AS delta
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+  /** Silence-segmentation (VAD utterance cutting) COMPOSED relationally
+    * on q142's frame features: non-silent frames (energy ≥ 4·10⁷)
+    * sessionize into contiguous runs via the lag→flag→cumsum window
+    * (q24's shape), each segment reporting its frame span and total
+    * energy — the "cut speech into utterances" preprocessing step,
+    * demonstrating that decoded-media features are ordinary relational
+    * rows the engine's window machinery composes over. All integers;
+    * the oracle replays decode-formula → threshold → segmentation
+    * exactly. */
+  private def q144(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gen = udf { (id: Long) =>
+      Multimodal.syntheticWav(id, (8000 + (id % 3) * 4000).toInt, (50 + id % 100).toInt)
+    }
+    val media = t(s, d, "documents")
+      .select(col("doc_id"), gen(col("doc_id")).as("bytes"))
+    val frames = graft.multimodal.AudioFeatures
+      .withFrameFeatures(media, "bytes", frameLen = 32)
+      .filter(col("energy") >= 40000000L)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frames
+      .withColumn("prev", lag(col("frame_idx"), 1).over(w))
+      .withColumn("newseg",
+        when(col("prev").isNull || col("frame_idx") - col("prev") > 1, 1).otherwise(0))
+      .withColumn("seg", sum(col("newseg")).over(run))
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(min(col("frame_idx")).as("seg_start"),
+        max(col("frame_idx")).as("seg_end"),
+        count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("energy_sum"))
+      .orderBy(col("doc_id"), col("seg"))
+  }
+
+  private lazy val q144Sql = // lazy: declared below the `queries` val
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    list_transform(range(50 + doc_id % 100),
+      |      i -> CAST((i*13 + doc_id*7) % 4096 - 2048 AS BIGINT)) AS smp
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, unnest(range(len(smp) // 32)) AS frame_idx, smp
+      |  FROM s WHERE len(smp) >= 32),
+      |fe AS (
+      |  SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+      |    CAST(list_sum(list_transform(smp[frame_idx*32+1 : frame_idx*32+32],
+      |      x -> x*x)) AS BIGINT) AS energy
+      |  FROM f),
+      |nf AS (SELECT * FROM fe WHERE energy >= 40000000),
+      |g AS (
+      |  SELECT doc_id, frame_idx, energy,
+      |    CASE WHEN LAG(frame_idx) OVER w IS NULL
+      |           OR frame_idx - LAG(frame_idx) OVER w > 1 THEN 1 ELSE 0 END AS newseg
+      |  FROM nf WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+      |r AS (
+      |  SELECT doc_id, frame_idx, energy,
+      |    CAST(SUM(newseg) OVER (PARTITION BY doc_id ORDER BY frame_idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg
+      |  FROM g)
+      |SELECT doc_id, seg, MIN(frame_idx) AS seg_start, MAX(frame_idx) AS seg_end,
+      |  COUNT(*) AS n_frames, CAST(SUM(energy) AS BIGINT) AS energy_sum
+      |FROM r GROUP BY doc_id, seg
+      |ORDER BY doc_id, seg""".stripMargin
 }
