@@ -456,6 +456,43 @@ class DocumentStore(spark: SparkSession, root: String) {
     commit(table, v0, v, (m0 -- victims.keySet) ++ written, Some(schema))
   }
 
+  /** Keyed bulk delete — the anti-join form of S6/S7 for key sets too
+    * large (or too compound) for a predicate literal: rows whose key
+    * tuple appears in `keysDf` are removed. Victim location mirrors
+    * [[upsert]]: when the partition column is part of the key the key
+    * frame's own partitions bound the victims; otherwise a column-pruned
+    * key scan locates them. Only victim partitions are read and
+    * rewritten (anti-joined against the key frame), so the keys never
+    * visit the driver — a retention purge of millions of keys (the CDC
+    * delete-batch shape) stays distributed end-to-end. Compound keys are
+    * first-class: the reference's own mutation key is
+    * (Type, SessionId, Id) (MongoDbService.cs:573-575). Null key values
+    * never match (SQL equi-join semantics), same as the predicate form's
+    * null-is-not-deleted rule. */
+  def delete(table: String, keysDf: DataFrame, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "keyed delete needs key columns")
+    val pc = partCol(table)
+    val v0 = currentVersion(table); val v = v0 + 1
+    val m0 = manifest(table, v0)
+    if (m0.isEmpty) return
+    val keySet = keysDf.select(keys.map(col): _*).distinct()
+    val touchedKeys: Set[String] =
+      if (pc.isEmpty) Set("all")
+      else if (keys.contains(pc.get))
+        keySet.select(partExpr(pc).as("__part")).distinct()
+          .collect().map(_.getString(0)).toSet
+      else readDirs(table, v0, m0.values.toSeq)
+        .join(keySet, keys, "left_semi")
+        .select(partExpr(pc).as("__part")).distinct()
+        .collect().map(_.getString(0)).toSet
+    val touchedDirs = m0.filter { case (k, _) => touchedKeys.contains(k) }.values.toSeq
+    if (touchedDirs.isEmpty) return
+    val remaining = readDirs(table, v0, touchedDirs)
+      .join(keySet, keys, "left_anti")
+    val (written, schema) = writeSegments(table, remaining, v, pc)
+    commit(table, v0, v, (m0 -- touchedKeys) ++ written, Some(schema))
+  }
+
   def version(table: String): Int = currentVersion(table)
 
   /** Per-partition physical layout: (partition key, file count, bytes).

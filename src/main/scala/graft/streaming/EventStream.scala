@@ -221,11 +221,13 @@ object EventStream {
             if (store.exists(table)) store.upsert(table, ups, keys)
             else store.create(table, ups)
           }
-          if (store.exists(table) && !dels.isEmpty) {
-            require(keys.size == 1, "delete collapse implemented for single-column keys")
-            val ids = dels.collect().map(_.get(0)).toSeq
-            store.delete(table, col(keys.head).isin(ids: _*))
-          }
+          // keyed anti-join delete: the delete keys stay a DataFrame end
+          // to end (no driver collect, no isin expression tree), and the
+          // key may be compound — the reference's own mutation key is
+          // (Type, SessionId, Id) (MongoDbService.cs:573-575). A
+          // delete-heavy micro-batch (retention purge, tenant
+          // offboarding) costs one anti-join over the touched partitions.
+          if (store.exists(table) && !dels.isEmpty) store.delete(table, dels, keys)
           latest.unpersist()
           ()
         }

@@ -58,6 +58,47 @@ class DocumentStoreSpec extends AnyFunSuite with SparkSuite {
     assert(s.read("t").as[(Long, String)].collect().toSeq == Seq((3L, "s2")))
   }
 
+  test("keyed delete: compound keys, anti-join semantics (CDC delete shape)") {
+    val s = freshStore()
+    s.create("t", Seq(("Message", 1L, 10L, "a"), ("Message", 1L, 11L, "b"),
+      ("Message", 2L, 10L, "c"), ("Session", 1L, 10L, "d"))
+      .toDF("typ", "session_id", "id", "payload"))
+    // the reference's own mutation key shape: (Type, SessionId, Id)
+    s.delete("t",
+      Seq(("Message", 1L, 10L), ("Session", 1L, 10L)).toDF("typ", "session_id", "id"),
+      Seq("typ", "session_id", "id"))
+    assert(s.read("t").orderBy("id", "session_id").as[(String, Long, Long, String)]
+      .collect().toSeq ==
+      Seq(("Message", 2L, 10L, "c"), ("Message", 1L, 11L, "b")))
+    // keys with no match: version still advances only when partitions touched
+    val v = s.version("t")
+    s.delete("t", Seq(("Nope", 9L, 9L)).toDF("typ", "session_id", "id"),
+      Seq("typ", "session_id", "id"))
+    assert(s.read("t").count() == 2)
+    assert(s.version("t") >= v) // unpartitioned table: single partition rewritten
+  }
+
+  test("keyed delete prunes to the key's partitions when partition col is in the key") {
+    val s = freshStore()
+    s.create("t", Seq((1L, "pa", "x"), (2L, "pb", "y"), (3L, "pc", "z"))
+      .toDF("id", "part", "v"), partitionCol = Some("part"))
+    val m1 = s.manifest("t", 1)
+    s.delete("t", Seq((2L, "pb")).toDF("id", "part"), Seq("part", "id"))
+    val m2 = s.manifest("t", 2)
+    // untouched partitions carried by manifest reference, not rewritten
+    assert(m2("pa") == m1("pa") && m2("pc") == m1("pc"))
+    assert(m2.get("pb") != m1.get("pb"))
+    assert(s.read("t").select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("keyed delete: null key values never match (SQL equi-join semantics)") {
+    val s = freshStore()
+    s.create("t", Seq((Some(1L), "a"), (None, "b")).toDF("id", "x"))
+    s.delete("t", Seq[Option[Long]](None, Some(1L)).toDF("id"), Seq("id"))
+    // the null-keyed row survives: null = null is not TRUE
+    assert(s.read("t").select("x").as[String].collect().toSeq == Seq("b"))
+  }
+
   test("delete keeps rows where the predicate evaluates to NULL (SQL semantics)") {
     val s = freshStore()
     s.create("t", Seq((1L, Some(50.0)), (2L, Some(200.0)), (3L, None))

@@ -164,6 +164,37 @@ class EventStreamSpec extends AnyFunSuite with SparkSuite {
     assert(got == Map(1L -> "a", 3L -> "c2", 4L -> "d2"))
   }
 
+  test("cdc apply: compound keys and a delete-heavy batch stay distributed") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Long, String, String, Long)]
+    val store = new DocumentStore(spark, Files.createTempDirectory("graft-cdc2").toString)
+    val ckpt = Files.createTempDirectory("graft-cdc2-ckpt").toString
+    def run(): Unit = EventStream.cdcApplySink(
+      in.toDF().toDF("typ", "session_id", "id", "payload", "op", "seq"), store, "t",
+      keys = Seq("typ", "session_id", "id"), opCol = "op", seqCol = "seq",
+      checkpoint = ckpt).awaitTermination()
+    // batch 1: 500 upserts under the reference's (Type, SessionId, Id) key
+    in.addData((0 until 500).map(i =>
+      ("Message", (i % 10).toLong, i.toLong, s"p$i", "upsert", i.toLong)))
+    run()
+    assert(store.read("t").count() == 500)
+    // batch 2: delete-heavy (retention-purge shape) — 400 of 500 keys go
+    in.addData((0 until 500).filterNot(_ % 5 == 0).map(i =>
+      ("Message", (i % 10).toLong, i.toLong, "", "delete", 1000L + i)))
+    run()
+    val left = store.read("t").select("id").as[Long].collect().sorted.toSeq
+    assert(left == (0 until 500).filter(_ % 5 == 0).map(_.toLong))
+    // same-id different-session row must be untouched by a compound delete
+    in.addData(Seq(
+      ("Message", 99L, 0L, "other-session", "upsert", 2000L),
+      ("Message", 0L, 0L, "", "delete", 2001L)))
+    run()
+    val ids0 = store.read("t").filter(col("id") === 0L)
+      .select("session_id").as[Long].collect().toSet
+    assert(ids0 == Set(99L))
+  }
+
   test("foreachBatch upsert sink lands every event exactly once") {
     val store = new DocumentStore(spark, Files.createTempDirectory("graft-sink").toString)
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
