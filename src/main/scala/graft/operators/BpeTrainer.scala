@@ -16,12 +16,15 @@ import org.apache.spark.sql.functions._
   * every merge iteration then runs on that vocab-bounded table only —
   * adjacent-pair counts weighted by word frequency, argmax pair
   * (count desc, pair asc — deterministic), merge applied as a
-  * left-to-right non-overlapping literal replace. Words are
+  * boundary-anchored left-to-right literal replace. Words are
   * represented as space-joined token strings and merged tokens join
-  * with '~', so token boundaries stay unambiguous and the merge is one
-  * string `replace` — the exact same primitive every SQL engine has,
-  * which is what lets the gate's DuckDB oracle replay training
-  * verbatim (unrolled step CTEs).
+  * with '~'; the merge replaces ` left right ` (space-delimited on BOTH
+  * sides, over the space-padded word) so a pair can only ever match
+  * whole tokens — a bare `replace(toks, "h e", "h~e")` would also fire
+  * inside "t~h e", corrupting a multi-char token across its boundary.
+  * The primitive stays plain string `replace`, which every SQL engine
+  * has, so the gate's DuckDB oracle replays training verbatim
+  * (unrolled step CTEs).
   *
   * Scale: the corpus is touched exactly once; each of the k iterations
   * aggregates the word table (cached; lineage adds one `replace` per
@@ -40,6 +43,31 @@ object BpeTrainer {
   private def charInit(words: DataFrame): DataFrame =
     words.select(concat_ws(" ", split(col("w"), "")).as("toks"), col("cnt"))
 
+  /** Apply one merge to a space-joined token column, anchored to token
+    * boundaries: over the space-padded string, ` left right ` →
+    * ` left~right `, TWICE, then strip the padding. Why twice reaches
+    * the fixpoint: a left-to-right literal replace consumes the match's
+    * trailing space, so the immediately following occurrence in a run
+    * (`l r l r l r`) loses its leading space and is skipped — but two
+    * misses can never be consecutive (a miss consumes nothing, so the
+    * next occurrence keeps its padding), hence after pass one every
+    * missed occurrence is flanked by merged tokens with both spaces
+    * intact, and pass two catches them all. Merging cannot create new
+    * occurrences of the same pair (`l~r` is a different symbol), so no
+    * third pass is ever needed. Identical semantics in DuckDB's
+    * `replace`, which is what lets the oracle replay this verbatim. */
+  private[operators] def mergeExpr(toksCol: org.apache.spark.sql.Column,
+                                   pr: String): org.apache.spark.sql.Column = {
+    val pat = lit(s" $pr ")
+    val rep = lit(s" ${pr.replace(' ', '~')} ")
+    val padded = concat(lit(" "), toksCol, lit(" "))
+    val once = call_function("replace", padded, pat, rep)
+    val twice = call_function("replace", once, pat, rep)
+    // tokens are non-empty (no internal leading/trailing spaces): trim
+    // removes exactly the sentinel padding
+    trim(twice)
+  }
+
   /** Learn `numMerges` merges; returns (step, "left right") in training
     * order plus the final word table (toks still space-joined). */
   def train(words: DataFrame, numMerges: Int): (Seq[(Int, String)], DataFrame) = {
@@ -57,11 +85,7 @@ object BpeTrainer {
       if (top.nonEmpty) {
         val pr = top.head.getString(0)
         merges += ((step, pr))
-        // literal (non-regex) replace-all: left-to-right non-overlapping,
-        // the exact semantics of SQL `replace` — which is why the oracle
-        // can replay training verbatim
-        cur = cur.withColumn("toks",
-          call_function("replace", col("toks"), lit(pr), lit(pr.replace(' ', '~'))))
+        cur = cur.withColumn("toks", mergeExpr(col("toks"), pr))
       }
     }
     (merges.toSeq, cur)
@@ -72,7 +96,6 @@ object BpeTrainer {
   def applyMerges(df: DataFrame, toksCol: String,
                   merges: Seq[(Int, String)]): DataFrame =
     merges.sortBy(_._1).foldLeft(df) { case (d, (_, pr)) =>
-      d.withColumn(toksCol,
-        call_function("replace", col(toksCol), lit(pr), lit(pr.replace(' ', '~'))))
+      d.withColumn(toksCol, mergeExpr(col(toksCol), pr))
     }
 }

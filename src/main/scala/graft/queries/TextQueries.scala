@@ -870,7 +870,13 @@ object TextQueries extends QuerySet {
         |  FROM (SELECT unnest(list_zip(string_split(toks,' '), string_split(toks,' ')[2:])) AS z, cnt FROM w${s - 1})
         |  WHERE z[2] IS NOT NULL GROUP BY 1)""".stripMargin
       ctes += s"b$s AS (SELECT pr FROM p$s ORDER BY c DESC, pr LIMIT 1)"
-      ctes += s"""w$s AS MATERIALIZED (SELECT replace(toks, (SELECT pr FROM b$s), replace((SELECT pr FROM b$s),' ','~')) AS toks, cnt FROM w${s - 1})"""
+      // boundary-anchored merge, exactly as BpeTrainer.mergeExpr: pad the
+      // word with sentinel spaces, replace ' left right ' -> ' left~right '
+      // twice (two passes reach the fixpoint for adjacent runs), trim
+      ctes += s"""b${s}x AS (SELECT ' ' || pr || ' ' AS pat, ' ' || replace(pr,' ','~') || ' ' AS rep FROM b$s)"""
+      ctes += s"""w$s AS MATERIALIZED (SELECT trim(replace(replace(' ' || toks || ' ',
+        |  (SELECT pat FROM b${s}x), (SELECT rep FROM b${s}x)),
+        |  (SELECT pat FROM b${s}x), (SELECT rep FROM b${s}x))) AS toks, cnt FROM w${s - 1})""".stripMargin
       sel += s"SELECT $s AS step, (SELECT pr FROM b$s) AS pair"
     }
     "WITH " + ctes.mkString(",\n") + "\n" +

@@ -34,6 +34,35 @@ class BpeTrainerSpec extends AnyFunSuite with SparkSuite {
     assert(toks == "a~a a")
   }
 
+  test("merges never fire across token boundaries") {
+    import spark.implicits._
+    // after merging (t,h) the word 'the' is 't~h e'; a boundary-blind
+    // replace of the next merge 'h e' would corrupt it to 't~h~e',
+    // applying a merge never learned for (t~h, e)
+    val toks = Seq(("t~h e", 1L), ("b c~x", 1L)).toDF("toks", "cnt")
+    val out = BpeTrainer.applyMerges(toks, "toks", Seq((1, "h e"), (2, "b c")))
+      .select("toks").as[String].collect().toSet
+    assert(out == Set("t~h e", "b c~x"))
+    // and the anchored replace still merges real whole-token occurrences
+    val real = BpeTrainer.applyMerges(
+      Seq(("h e h e l", 1L)).toDF("toks", "cnt"), "toks", Seq((1, "h e")))
+      .select("toks").as[String].collect().head
+    assert(real == "h~e h~e l") // adjacent run: second pass catches occurrence 2
+  }
+
+  test("cross-boundary pairs are counted and applied consistently (end-to-end)") {
+    // merge 1: (t,h) c=12. 'the' becomes 't~h e', whose ONLY pair is
+    // (t~h, e) — counting (zip over split tokens) sees that. Merge 2:
+    // (h,e) c=5 from 'xhe' (ties (x,h) c=5, lexicographic) must then
+    // apply ONLY to 'x h e', not inside 't~h e' (which contains the
+    // substring "h e" across its token boundary).
+    val words = freqs("th" -> 10L, "the" -> 2L, "xhe" -> 5L)
+    val (merges, finalWords) = BpeTrainer.train(words, 2)
+    assert(merges.map(_._2) == Seq("t h", "h e"))
+    val out = finalWords.select("toks").collect().map(_.getString(0)).toSet
+    assert(out == Set("t~h", "t~h e", "x h~e"))
+  }
+
   test("applyMerges reproduces training's final representation") {
     val words = freqs("abab" -> 10L, "abc" -> 5L, "ba" -> 2L)
     val (merges, finalWords) = BpeTrainer.train(words, 3)
