@@ -30,9 +30,14 @@ object AudioFeatures {
       new java.io.ByteArrayInputStream(bytes))
     try {
       val fmt = ais.getFormat
+      // mono required too: a multi-channel stream would silently
+      // interleave channels into one sample sequence, summing frame
+      // energy across channels and counting channel-to-channel sign
+      // flips as crossings — wrong VAD features instead of a loud failure
       require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-        && fmt.getSampleSizeInBits == 16,
-        s"unsupported audio encoding ${fmt.getEncoding}/${fmt.getSampleSizeInBits}bit")
+        && fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"unsupported audio format ${fmt.getEncoding}/${fmt.getSampleSizeInBits}bit/" +
+          s"${fmt.getChannels}ch (need mono 16-bit signed PCM)")
       val data = ais.readAllBytes()
       val out = new Array[Int](data.length / 2)
       var i = 0

@@ -52,7 +52,12 @@ object Scd2 {
       .groupBy(col(keyCol), col("__run"))
       .agg(min(col(tsCol)).as("valid_from"),
         stateCols.map(c => first(col(c)).as(c)): _*)
-    val wr = Window.partitionBy(col(keyCol)).orderBy(col("valid_from"))
+    // valid_to ordering includes __run (the deterministic event-order run
+    // number): two runs of one key can START at the same timestamp
+    // (distinct states at equal ts, tie-broken by tieCol upstream), and
+    // ordering by valid_from alone would make the lead — hence version
+    // chaining — nondeterministic for them
+    val wr = Window.partitionBy(col(keyCol)).orderBy(col("valid_from"), col("__run"))
     runs
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wr))
       .withColumn("version", col("__run"))

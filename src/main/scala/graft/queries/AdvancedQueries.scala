@@ -796,7 +796,7 @@ object AdvancedQueries extends QuerySet {
       |    TIMESTAMP '2200-01-01 00:00:00') AS valid_to, version,
       |  (LEAD(valid_from) OVER wv IS NULL) AS is_current
       |FROM runs
-      |WINDOW wv AS (PARTITION BY user_id ORDER BY valid_from)
+      |WINDOW wv AS (PARTITION BY user_id ORDER BY valid_from, version)
       |ORDER BY user_id, version""".stripMargin
 
   /** Bloom-pruned fact join via [[graft.operators.BloomPrune]]: the

@@ -194,10 +194,16 @@ object HnswIndex {
       val raw = searchMany(graphs, remaining, probeIdCol, probeVecCol,
         fetch, math.max(ef, 2 * fetch)).localCheckpoint()
       val kept = raw.join(allowed, "vec_id")
-      val stats = raw.groupBy("probe_id").agg(count(lit(1)).as("walked"))
+      // stats keyed off `remaining`, not the walk output: a probe whose
+      // walk returns zero rows (empty/degenerate graph) must still appear
+      // — with walked=0 < fetch it retires on the first round instead of
+      // spinning the loop forever once fetch pins at maxFetch
+      val stats = remaining.select(col(probeIdCol).cast("long").as("probe_id"))
+        .join(raw.groupBy("probe_id").agg(count(lit(1)).as("walked")),
+          Seq("probe_id"), "left")
         .join(kept.groupBy("probe_id").agg(count(lit(1)).as("kept")),
           Seq("probe_id"), "left")
-        .na.fill(0L, Seq("kept"))
+        .na.fill(0L, Seq("walked", "kept"))
         .collect() // one row per in-flight probe — driver-trivial
       val done = stats.filter { r =>
         r.getAs[Long]("kept") >= k || r.getAs[Long]("walked") < fetch ||

@@ -53,6 +53,28 @@ class Scd2Spec extends AnyFunSuite with SparkSuite {
     assert(got.toSeq == Seq("bronze", "bronze", "silver"))
   }
 
+  test("two runs starting at the same timestamp chain deterministically by run order") {
+    import spark.implicits._
+    // key 7: two DISTINCT states at the same ts (tie-broken by seq), then
+    // a third state later. Runs 1 and 2 share valid_from; the valid_to
+    // lead must follow event order (__run), not an arbitrary equal-ts pick.
+    val df = Seq(
+      (7L, ts("2024-03-01 00:00:00"), 1L, "a"),
+      (7L, ts("2024-03-01 00:00:00"), 2L, "b"),
+      (7L, ts("2024-03-05 00:00:00"), 3L, "c")
+    ).toDF("key", "ts", "seq", "tier")
+    val rows = Scd2.fromChanges(df, "key", "ts", Seq("tier"), "seq")
+      .orderBy("version")
+      .select("tier", "valid_from", "valid_to", "version", "is_current")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    assert(rows.map(_.getLong(3)).toSeq == Seq(1L, 2L, 3L))
+    // chaining follows run order: a→(same ts)=b's start, b→c's start, c open
+    assert(rows(0).getTimestamp(2) == ts("2024-03-01 00:00:00"))
+    assert(rows(1).getTimestamp(2) == ts("2024-03-05 00:00:00"))
+    assert(rows(2).isNullAt(2) && rows(2).getBoolean(4))
+  }
+
   test("one shuffle: a single Exchange below the final sort lineage") {
     val plan = history.queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length

@@ -93,6 +93,17 @@ class FilteredSearchSpec extends AnyFunSuite with SparkSuite {
     graphs.unpersist()
   }
 
+  test("batched filtered HNSW terminates on an empty graph (zero-hit probes retire)") {
+    // an empty segment set walks zero rows for every probe; the retire
+    // logic must see those probes (walked=0 < fetch) and settle them
+    // with no hits instead of widening fetch forever
+    val graphs = HnswIndex.build(emb.filter($"vec_id" < 0), "embedding", "vec_id")
+    val probes = emb.filter($"vec_id" < 3)
+    val out = HnswIndex.searchManyWhere(graphs, probes, "vec_id", "embedding",
+      k = 5, ef = 64, corpus = emb, idCol = "vec_id", pred = pred)
+    assert(out.isEmpty)
+  }
+
   test("every strategy: all hits satisfy the predicate; recall >= 0.9 vs filtered exact") {
     val exact = ExactSearcher.topKWhere(emb, "embedding", "vec_id", probe, 10, pred)
       .select($"vec_id").as[Long].collect().toSet
