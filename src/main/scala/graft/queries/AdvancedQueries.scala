@@ -877,6 +877,69 @@ object AdvancedQueries extends QuerySet {
       |FROM n WHERE tag = 1
       |ORDER BY user_id, ts""".stripMargin
 
+  /** The customers table with deterministic synthetic coordinates — the
+    * reference's `Location` GeoJSON point (Customer.cs:79-89) re-derived
+    * from c_custkey so the DuckDB oracle computes bit-identical inputs
+    * (integer → double, divide, add: all IEEE-correctly-rounded in both
+    * engines). Jittered pseudo-grid: no two points are mathematically
+    * equidistant from a probe, so near-boundary/near-tie decisions are
+    * stable across engines' last-ulp trig differences. */
+  private def custGeo(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(
+      col("c_custkey"),
+      (((col("c_custkey") * 37) % 1400) / 10.0 - 70.0 + 0.05).as("lat"),
+      (((col("c_custkey") * 91) % 3600) / 10.0 - 180.0 + 0.05).as("lon"))
+
+  private val custGeoSql =
+    """geo AS (SELECT c_custkey,
+      |  ((c_custkey * 37) % 1400) / 10.0 - 70.0 + 0.05 AS lat,
+      |  ((c_custkey * 91) % 3600) / 10.0 - 180.0 + 0.05 AS lon
+      |  FROM customer)""".stripMargin
+
+  /** Radius filter over the Location field via [[graft.operators.Geo]]:
+    * customers within 2500 km of a store at (10.05, 20.05). Two-phase
+    * plan — sargable bounding box, then exact haversine refine; the
+    * oracle replays the identical closed-form trig, and the compared
+    * output is the integer membership (the boundary decisions ARE the
+    * distance math under test). */
+  private def q145(s: SparkSession, d: String): DataFrame =
+    graft.operators.Geo.withinRadius(custGeo(s, d), "lat", "lon",
+        centerLat = 10.05, centerLon = 20.05, radiusKm = 2500.0)
+      .select(col("c_custkey"))
+      .orderBy(col("c_custkey"))
+
+  private val q145Sql =
+    s"""WITH $custGeoSql
+       |SELECT c_custkey FROM geo
+       |WHERE ${graft.operators.Geo.haversineSql("lat", "lon", "10.05", "20.05")} <= 2500.0
+       |ORDER BY c_custkey""".stripMargin
+
+  /** Nearest-8 customers per probe by great-circle distance
+    * ([[graft.operators.Geo.nearestK]]): probes broadcast, map-side
+    * partial top-k, only k-sized heaps shuffle. Compared output is
+    * (probe, neighbor, rank) — integer rank order over the jittered
+    * coordinates is ulp-stable. */
+  private def q146(s: SparkSession, d: String): DataFrame = {
+    val g = custGeo(s, d)
+    graft.operators.Geo.nearestK(g, "c_custkey", "lat", "lon",
+        g.filter(col("c_custkey") <= 5), "c_custkey", "lat", "lon", k = 8)
+      .select(col("probe_id"), col("c_custkey"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  private val q146Sql =
+    s"""WITH $custGeoSql,
+       |p AS (SELECT c_custkey AS probe_id, lat AS plat, lon AS plon
+       |      FROM geo WHERE c_custkey <= 5),
+       |d AS (SELECT p.probe_id, g.c_custkey,
+       |        ${graft.operators.Geo.haversineSql("g.lat", "g.lon", "p.plat", "p.plon")} AS dist
+       |      FROM geo g CROSS JOIN p),
+       |r AS (SELECT probe_id, c_custkey,
+       |        ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY dist, c_custkey) AS rn
+       |      FROM d)
+       |SELECT probe_id, c_custkey, rn FROM r WHERE rn <= 8
+       |ORDER BY probe_id, rn""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q23_asof_join", q23, Some(q23Sql), headline = true),
     Q("q24_sessionize", q24, Some(q24Sql), headline = true),
@@ -907,5 +970,7 @@ object AdvancedQueries extends QuerySet {
     Q("q127_expectations_quarantine", q127, Some(q127Sql)),
     Q("q128_scd2_history", q128, Some(q128Sql)),
     Q("q131_bloom_pruned_join", q131, Some(q131Sql), headline = true),
-    Q("q138_linear_interpolate", q138, Some(q138Sql)))
+    Q("q138_linear_interpolate", q138, Some(q138Sql)),
+    Q("q145_geo_radius", q145, Some(q145Sql)),
+    Q("q146_geo_nearest", q146, Some(q146Sql)))
 }
