@@ -877,6 +877,69 @@ object AdvancedQueries extends QuerySet {
       |FROM n WHERE tag = 1
       |ORDER BY user_id, ts""".stripMargin
 
+  /** SCD2 × as-of composition — the stated purpose of the q128 history
+    * build: point-in-time lookups. Probes (purchase events shifted +3h,
+    * so the looked-up state is a non-trivial mix of same-run and
+    * later-run answers) join the SCD2 validity intervals on
+    * `valid_from <= ts < valid_to` (NULL valid_to = open). In-query
+    * gate: the interval answer must equal the as-of join against the
+    * RAW change events ([[graft.operators.AsOfJoin]]) — any drift
+    * between the two lookup paths zeroes the output. The history side
+    * enters the lookup join already partitioned by user_id (SCD2's own
+    * window shuffle), so the interval lookup adds only the probe-side
+    * exchange — plan-asserted in Scd2Spec. */
+  private def q147(s: SparkSession, d: String): DataFrame = {
+    val events = t(s, d, "events")
+    val hist = graft.operators.Scd2.fromChanges(events, "user_id", "ts",
+      Seq("event_type"), "event_id")
+    val probes = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        (col("ts") + expr("INTERVAL 3 HOURS")).as("ts"))
+    val pit = probes.join(hist.withColumnRenamed("user_id", "h_user"),
+        probes("user_id") === col("h_user") &&
+          col("ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("state_at_ts"), col("version"))
+    val asof = AsOfJoin.leftAsOf(probes,
+      events.select(col("user_id"), col("ts"), col("event_type").as("raw_state")),
+      Seq("user_id"), "ts", "ts", Seq("raw_state"))
+    val mismatches = pit.join(
+        asof.select(col("event_id"), col("asof_raw_state")), Seq("event_id"))
+      .filter(!(col("state_at_ts") <=> col("asof_raw_state")))
+    val out = pit.orderBy(col("event_id"))
+    if (mismatches.isEmpty) out else out.limit(0)
+  }
+
+  private val q147Sql =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN LAG(event_type) OVER w IS NULL
+      |           OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |r AS (
+      |  SELECT user_id, ts, event_type,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+      |  FROM g),
+      |runs AS (
+      |  SELECT user_id, version, MIN(event_type) AS event_type,
+      |    MIN(ts) AS valid_from
+      |  FROM r GROUP BY user_id, version),
+      |hist AS (
+      |  SELECT user_id, event_type, valid_from,
+      |    LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, version) AS valid_to,
+      |    version
+      |  FROM runs),
+      |probes AS (
+      |  SELECT user_id, event_id, ts + INTERVAL 3 HOUR AS ts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.user_id, p.event_id, p.ts, h.event_type AS state_at_ts, h.version
+      |FROM probes p JOIN hist h ON p.user_id = h.user_id
+      |  AND p.ts >= h.valid_from AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+      |ORDER BY p.event_id""".stripMargin
+
   /** The customers table with deterministic synthetic coordinates — the
     * reference's `Location` GeoJSON point (Customer.cs:79-89) re-derived
     * from c_custkey so the DuckDB oracle computes bit-identical inputs
@@ -972,5 +1035,6 @@ object AdvancedQueries extends QuerySet {
     Q("q131_bloom_pruned_join", q131, Some(q131Sql), headline = true),
     Q("q138_linear_interpolate", q138, Some(q138Sql)),
     Q("q145_geo_radius", q145, Some(q145Sql)),
-    Q("q146_geo_nearest", q146, Some(q146Sql)))
+    Q("q146_geo_nearest", q146, Some(q146Sql)),
+    Q("q147_scd2_asof", q147, Some(q147Sql)))
 }

@@ -75,6 +75,26 @@ class Scd2Spec extends AnyFunSuite with SparkSuite {
     assert(rows(2).isNullAt(2) && rows(2).getBoolean(4))
   }
 
+  test("point-in-time interval lookup adds no shuffle over the history") {
+    import spark.implicits._
+    // the lookup join must not re-shuffle the history: a small probe set
+    // broadcasts (the serve shape — SCD2's own window Exchange stays the
+    // plan's ONLY hash shuffle); a corpus-scale probe side would SMJ,
+    // reusing the history's existing key partitioning either way
+    val probes = Seq((1L, ts("2024-01-03 12:00:00")), (2L, ts("2024-02-01 00:00:00")))
+      .toDF("key", "at")
+    val pit = probes.join(history.withColumnRenamed("key", "h_key"),
+      probes("key") === col("h_key") &&
+        col("at") >= col("valid_from") &&
+        (col("valid_to").isNull || col("at") < col("valid_to")))
+    val plan = pit.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"history re-shuffled: $exchanges hash exchanges:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"probe side not broadcast:\n$plan")
+    val got = pit.select(col("key"), col("tier")).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "gold"), (2L, "silver")))
+  }
+
   test("one shuffle: a single Exchange below the final sort lineage") {
     val plan = history.queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
