@@ -185,36 +185,41 @@ object RagQueries extends QuerySet {
       |FROM orders WHERE o_custkey >= 10 AND o_custkey <= 80
       |ORDER BY o_orderkey""".stripMargin
 
-  /** Z-order multi-column skipping: orders laid out by the Morton
-    * interleave of (o_custkey, o_totalprice) via [[graft.store.ZOrder]]
-    * — each partition covers a value-space quadrant, so the min/max
-    * sidecar is tight on BOTH columns and `readWhere` prunes on both
-    * (q105's linear clustering can only ever prune its one sort
-    * column). The gate zeroes the output unless BOTH single-column
-    * prunings actually skipped partitions; the oracle recounts the
-    * combined range from the raw table, so over- or under-reading
-    * fails the hash. */
+  /** Z-order multi-column skipping: orders laid out by the round-robin
+    * Morton interleave of (o_custkey, o_totalprice, o_orderkey) via
+    * [[graft.store.ZOrder]] — each partition covers a value-space
+    * orthant, so the min/max sidecar is tight on ALL THREE columns and
+    * `readWhere` prunes on any of them (q105's linear clustering can
+    * only ever prune its one sort column). The gate zeroes the output
+    * unless EVERY single-column pruning actually skipped partitions;
+    * the oracle recounts the combined range from the raw table, so
+    * over- or under-reading fails the hash. */
   private def q133(s: SparkSession, d: String): DataFrame = {
     val store = new DocumentStore(s, Files.createTempDirectory("graft-q133").toString)
     val z = graft.store.ZOrder.withZBucket(
-      t(s, d, "orders"), "o_custkey", "o_totalprice", log2Buckets = 4)
+      t(s, d, "orders"), Seq("o_custkey", "o_totalprice", "o_orderkey"), log2Buckets = 4)
     store.create("orders_z", z, partitionCol = Some("zbucket"))
-    store.analyze("orders_z", Seq("o_custkey", "o_totalprice"))
-    val (kc, tc) = store.statsPrunedParts("orders_z", "o_custkey", 10L, 80L)
+    store.analyze("orders_z", Seq("o_custkey", "o_totalprice", "o_orderkey"))
+    val hiKey = t(s, d, "orders").agg(max(col("o_orderkey"))).head().getLong(0) / 2
+    val (kc, tc) = store.statsPrunedParts("orders_z", "o_custkey", 10L, 60L)
     val (kp, tp) = store.statsPrunedParts("orders_z", "o_totalprice", 1000.0, 20000.0)
+    val (kk, tk) = store.statsPrunedParts("orders_z", "o_orderkey", 0L, hiKey)
     store.readWhere("orders_z",
-        Seq(("o_custkey", 10L, 80L), ("o_totalprice", 1000.0, 20000.0)))
+        Seq(("o_custkey", 10L, 60L), ("o_totalprice", 1000.0, 20000.0),
+          ("o_orderkey", 0L, hiKey)))
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_totalprice").cast("double").as("o_totalprice"))
-      .filter(lit(kc.size < tc && kp.size < tp))
+      .filter(lit(kc.size < tc && kp.size < tp && kk.size < tk))
       .orderBy(col("o_orderkey"))
   }
 
   private val q133Sql =
     """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
       |FROM orders
-      |WHERE o_custkey >= 10 AND o_custkey <= 80
+      |WHERE o_custkey >= 10 AND o_custkey <= 60
       |  AND o_totalprice >= 1000 AND o_totalprice <= 20000
+      |  AND o_orderkey >= 0
+      |  AND o_orderkey <= (SELECT MAX(o_orderkey) // 2 FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
   /** Row-level diff between two committed store versions — the pipeline

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * the multi-column generalization of the linear clustering
   * [[DocumentStore.readRange]] prunes on (q105 clusters by one column;
   * a range on any OTHER column then reads everything). After z-order
-  * layout, each partition covers a quadrant of the value space, so its
+  * layout, each partition covers an orthant of the value space, so its
   * min/max sidecar stats are tight on EVERY participating column and
   * `readWhere` prunes on any of them — the OPTIMIZE ZORDER layout of
   * lakehouse tables, built from plain Catalyst bit arithmetic.
@@ -16,38 +16,54 @@ import org.apache.spark.sql.functions._
   * Mechanics: per column, values normalize to a `bits`-wide integer
   * rank via driver-fetched min/max (one narrow agg pass; layout only —
   * correctness never depends on the normalization because readers
-  * re-filter), then the classic shift-mask spread interleaves them into
-  * the z-value. Fixed-width bucket = top log2(buckets) bits of z: no
-  * sampling, so the layout is deterministic for a given dataset.
-  * Everything is codegen integer ops — no UDFs in the write path.
+  * re-filter), then round-robin bit interleave: bit j of column i lands
+  * at z position j·n + i. Per-column width is min(16, 62/n) bits, so
+  * the z-value always fits a non-negative long (2 cols → 32 z bits,
+  * identical to the classic 2×16 Morton code; 3 cols → 48; 4 → 60).
+  * Fixed-width bucket = top log2Buckets bits of z: no sampling, so the
+  * layout is deterministic for a given dataset. Everything is codegen
+  * integer ops — no UDFs in the write path.
   */
 object ZOrder {
 
-  /** Spread the low 16 bits of `c` to even bit positions (Morton). */
-  private def spread16(c: Column): Column = {
-    var x = c.bitwiseAND(lit(0xFFFFL))
-    x = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00FF00FFL))
-    x = (x.bitwiseOR(shiftleft(x, 4))).bitwiseAND(lit(0x0F0F0F0FL))
-    x = (x.bitwiseOR(shiftleft(x, 2))).bitwiseAND(lit(0x33333333L))
-    (x.bitwiseOR(shiftleft(x, 1))).bitwiseAND(lit(0x55555555L))
-  }
-
-  /** Adds `zval` (interleaved 2×16-bit Morton code) and `zbucket`
-    * (its top log2Buckets bits) for two numeric columns. */
-  def withZBucket(df: DataFrame, colA: String, colB: String,
-                  log2Buckets: Int): DataFrame = {
-    require(log2Buckets >= 1 && log2Buckets <= 16, s"bad log2Buckets=$log2Buckets")
-    val mm = df.agg(
-      min(col(colA).cast("double")), max(col(colA).cast("double")),
-      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+  /** Adds `zval` (round-robin interleaved Morton code over `cols`, in
+    * listed order) and `zbucket` (its top log2Buckets bits) for any
+    * list of 2+ numeric columns — the arbitrary-column-list form
+    * lakehouse OPTIMIZE ZORDER takes. */
+  def withZBucket(df: DataFrame, cols: Seq[String], log2Buckets: Int): DataFrame = {
+    val n = cols.size
+    require(n >= 2, s"z-order needs at least 2 columns, got $cols")
+    val bits = math.min(16, 62 / n)
+    val zwidth = n * bits
+    require(log2Buckets >= 1 && log2Buckets <= math.min(16, zwidth),
+      s"bad log2Buckets=$log2Buckets for $n columns ($zwidth z bits)")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val mm = df.agg(aggs.head, aggs.tail: _*).head()
+    val scale = 1L << bits
     def rank(c: String, lo: Double, hi: Double): Column = {
       val span = if (hi > lo) hi - lo else 1.0
-      least(floor((col(c).cast("double") - lit(lo)) / lit(span) * 65536).cast("long"),
-        lit(65535L))
+      least(floor((col(c).cast("double") - lit(lo)) / lit(span) * scale).cast("long"),
+        lit(scale - 1))
     }
-    df.withColumn("zval",
-        spread16(rank(colA, mm.getDouble(0), mm.getDouble(1)))
-          .bitwiseOR(shiftleft(spread16(rank(colB, mm.getDouble(2), mm.getDouble(3))), 1)))
-      .withColumn("zbucket", shiftrightunsigned(col("zval"), 32 - log2Buckets))
+    // materialize ranks once as working columns: the interleave reads
+    // each rank `bits` times, and duplicating the rank expression that
+    // many times would bloat the codegen tree for nothing
+    val ranked = cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      d.withColumn(s"__zr$i", rank(c, mm.getDouble(2 * i), mm.getDouble(2 * i + 1)))
+    }
+    def interleave(i: Int): Column =
+      (0 until bits).map { j =>
+        shiftleft(shiftrightunsigned(col(s"__zr$i"), j).bitwiseAND(lit(1L)), j * n + i)
+      }.reduce(_ bitwiseOR _)
+    ranked
+      .withColumn("zval", (0 until n).map(interleave).reduce(_ bitwiseOR _))
+      .withColumn("zbucket", shiftrightunsigned(col("zval"), zwidth - log2Buckets))
+      .drop((0 until n).map(i => s"__zr$i"): _*)
   }
+
+  /** Two-column form (the classic 2×16-bit Morton code). */
+  def withZBucket(df: DataFrame, colA: String, colB: String,
+                  log2Buckets: Int): DataFrame =
+    withZBucket(df, Seq(colA, colB), log2Buckets)
 }
