@@ -292,16 +292,27 @@ object Dedup {
     * minimum-id member of each. Survivors keep all input columns.
     *
     * The clustering IS the blocking: pair space is Σ|cluster|², never
-    * n² — at 100 TB, `numClusters` scales with the corpus to keep
-    * blocks bounded (the paper uses ~10⁵ clusters for 10⁹ docs).
+    * n² — so the cluster count MUST scale with the corpus to keep
+    * blocks bounded (the paper uses ~10⁵ clusters for 10⁹ docs). The
+    * default (`numClusters = 0`) applies [[autoClusters]]:
+    * max(8, ⌈n / 1024⌉), making ~targetClusterSize-row blocks the
+    * default behavior rather than a knob users must remember — the sf1
+    * scale smoke measured exactly this failure mode with a pinned
+    * count (PLANS.md). An explicit positive `numClusters` overrides.
     * Cross-cluster near-dups are missed by design — that approximation
     * is what makes semantic dedup tractable at scale. */
   def semantic(df: DataFrame, idCol: String, vecCol: String,
-               numClusters: Int = 16, tau: Double = 0.95,
-               iters: Int = 3): DataFrame = {
+               numClusters: Int = 0, tau: Double = 0.95,
+               iters: Int = 3, targetClusterSize: Int = 1024): DataFrame = {
     import graft.search.SimpleKMeans
-    val centroids = SimpleKMeans.fit(df, vecCol, idCol, numClusters, iters,
-      maxTrainPoints = 256 * numClusters)
+    // auto-scale costs one column-pruned count — negligible beside the
+    // k-means pass, and it is what keeps Σ|cluster|² ≈ n·target instead
+    // of n²/k0 as the corpus grows
+    val k =
+      if (numClusters > 0) numClusters
+      else autoClusters(df.select(idCol).count(), targetClusterSize = targetClusterSize)
+    val centroids = SimpleKMeans.fit(df, vecCol, idCol, k, iters,
+      maxTrainPoints = 256 * k)
     val assigned = SimpleKMeans.assign(df, vecCol, centroids)
     val a = assigned.select(col(idCol).as("a_id"), col("centroid_id"),
       col(vecCol).as("__va"))
@@ -314,6 +325,16 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
     val keep = Clusters.keepers(df, idCol, pairs, "a_id", "b_id").localCheckpoint()
     df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** The [[semantic]] auto-scale rule: enough clusters for
+    * ~`targetClusterSize`-row blocks, never fewer than `k0` — keeps the
+    * within-cluster pair space Σ|cluster|² ≈ n·targetClusterSize,
+    * linear in the corpus. */
+  def autoClusters(n: Long, k0: Int = 8, targetClusterSize: Int = 1024): Int = {
+    require(k0 >= 1 && targetClusterSize >= 1, s"bad k0=$k0/target=$targetClusterSize")
+    math.max(k0.toLong, (n + targetClusterSize - 1) / targetClusterSize)
+      .min(Int.MaxValue).toInt
   }
 
   /** SimHash near-dup pairs: 64-bit signature, blocked on 16-bit chunks.

@@ -303,8 +303,10 @@ object VectorQueries extends QuerySet {
     val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
     val planted = e.filter(col("vec_id") < 10)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    // numClusters auto-scales (max(8, n/1024) — the sf1-measured rule);
+    // identical vectors share a cluster at ANY k, so the gate holds
     graft.operators.Dedup.semantic(e.union(planted), "vec_id", "embedding",
-        numClusters = 8, tau = 0.999)
+        tau = 0.999)
       .select(col("vec_id"))
       .orderBy(col("vec_id"))
   }

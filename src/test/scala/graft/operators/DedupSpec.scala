@@ -126,6 +126,25 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(kept.size == withDup.count() - 1)
   }
 
+  test("semantic dedup auto-scales its cluster count with the corpus") {
+    // the rule itself: ~targetClusterSize-row blocks, floored at k0
+    assert(Dedup.autoClusters(0) == 8)
+    assert(Dedup.autoClusters(5000) == 8)          // small corpus: floor wins
+    assert(Dedup.autoClusters(8192) == 8)
+    assert(Dedup.autoClusters(8193) == 9)          // ceil division
+    assert(Dedup.autoClusters(1000000) == 977)     // ~n/1024: linear growth
+    assert(Dedup.autoClusters(10000000) == 9766)   // 10x corpus -> 10x clusters
+    assert(Dedup.autoClusters(100, k0 = 2, targetClusterSize = 10) == 10)
+    // and the auto default still catches planted exact duplicates
+    val e = t(spark, sf, "embeddings").select($"vec_id", $"embedding")
+    val dupVec = e.filter($"vec_id" === 7).head().getSeq[Float](1)
+    val withDup = e.union(Seq((99991L, dupVec)).toDF("vec_id", "embedding"))
+    val kept = Dedup.semantic(withDup, "vec_id", "embedding", tau = 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(7L) && !kept.contains(99991L))
+    assert(kept.size == withDup.count() - 1)
+  }
+
   test("langId picks en for English-stopword text, und for none") {
     val df = Seq(
       (1, "the cat and the dog of a house"),
