@@ -299,15 +299,18 @@ object RagQueries extends QuerySet {
       |WHERE change IS NOT NULL ORDER BY change, s_suppkey""".stripMargin
 
   /** Incremental materialized-view maintenance via
-    * [[graft.store.IncrementalView]]: a grouped count/sum view over the
-    * orders store stays in sync through a delete + upsert epoch by
-    * applying CHANGE-FEED deltas only (before-images semi-joined from
-    * the old snapshot — cost tracks the delta, the fact is never
-    * rescanned). The reference hand-maintains exactly one such view
-    * (customers.salesOrderCount, MongoDbService.cs:370-392). In-query
-    * gate: the maintained state equals a from-scratch recompute of the
-    * current version (both-ways exceptAll over exact DECIMAL sums);
-    * oracle replays the net state relationally. */
+    * [[graft.store.IncrementalView]]: a grouped count/sum/min/max (+
+    * HLL distinct-customer sketch) view over the orders store stays in
+    * sync through a delete + upsert epoch by applying CHANGE-FEED
+    * deltas only (before-images semi-joined from the old snapshot —
+    * cost tracks the delta; min/max recount only groups whose extremum
+    * left; the fact is never rescanned wholesale). The reference
+    * hand-maintains exactly one such view (customers.salesOrderCount,
+    * MongoDbService.cs:370-392). In-query gate: the maintained exact
+    * aggregates bit-equal a from-scratch recompute (both-ways
+    * exceptAll over DECIMAL), the HLL estimate stays within 5% of the
+    * exact distinct recount per group; oracle replays the net state
+    * (count/sum/avg/min/max) relationally. */
   private def q141(s: SparkSession, d: String): DataFrame = {
     import graft.store.IncrementalView
     val orders = t(s, d, "orders")
@@ -317,7 +320,7 @@ object RagQueries extends QuerySet {
     val st = new DocumentStore(s, Files.createTempDirectory("graft-q141-st").toString)
     src.create("orders", orders)                                       // v1
     IncrementalView.initialize(src, "orders", st, "agg",
-      "o_orderpriority", "o_totalprice")
+      "o_orderpriority", "o_totalprice", distinctCol = Some("o_custkey"))
     src.delete("orders", col("o_orderkey") % 11 === 5)                 // v2
     val changed = orders.filter(col("o_orderkey") % 13 === 2)
       .withColumn("o_totalprice", col("o_totalprice") + 100.0)
@@ -326,15 +329,29 @@ object RagQueries extends QuerySet {
         lit("9-NEW").as("o_orderpriority"), col("o_totalprice"))
     src.upsert("orders", changed.unionByName(inserted), keys = Seq("o_orderkey")) // v3
     IncrementalView.maintain(src, "orders", 1, 3, "o_orderkey",
-      "o_orderpriority", "o_totalprice", st, "agg")
+      "o_orderpriority", "o_totalprice", st, "agg", distinctCol = Some("o_custkey"))
+    val dec = col("o_totalprice").cast("decimal(18,2)")
     val recomputed = src.read("orders").groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("cnt"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_val"))
-    val cur = st.read("agg")
-    val synced = cur.exceptAll(recomputed).isEmpty &&
-      recomputed.exceptAll(cur).isEmpty
+      .agg(count(lit(1)).as("cnt"), sum(dec).as("sum_val"),
+        min(dec).as("min_val"), max(dec).as("max_val"),
+        countDistinct(col("o_custkey")).as("nd_exact"))
+    val cur = IncrementalView.derived(st.read("agg"))
+    val exact = cur.drop("nd_sketch", "nd", "avg_val")
+    val exactWant = recomputed.drop("nd_exact")
+    // maintained exact aggregates bit-equal the recompute; the HLL
+    // distinct estimate stays within 5% of the exact recount per group
+    val synced = exact.exceptAll(exactWant).isEmpty &&
+      exactWant.exceptAll(exact).isEmpty &&
+      cur.select(col("o_orderpriority"), col("nd"))
+        .join(recomputed.select(col("o_orderpriority"), col("nd_exact")),
+          Seq("o_orderpriority"))
+        .filter(abs(col("nd") - col("nd_exact")) > col("nd_exact") * 0.05)
+        .isEmpty
     val out = cur.select(col("o_orderpriority"), col("cnt"),
-        col("sum_val").cast("double").as("sum_val"))
+        col("sum_val").cast("double").as("sum_val"),
+        col("avg_val"),
+        col("min_val").cast("double").as("min_val"),
+        col("max_val").cast("double").as("max_val"))
       .orderBy(col("o_orderpriority"))
     if (synced) out else out.limit(0)
   }
@@ -350,7 +367,10 @@ object RagQueries extends QuerySet {
       |  SELECT o_orderkey + 10000000, '9-NEW', o_totalprice AS p
       |    FROM orders WHERE o_orderkey < 50)
       |SELECT o_orderpriority, COUNT(*) AS cnt,
-      |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+      |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+      |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_val,
+      |  CAST(MIN(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS min_val,
+      |  CAST(MAX(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS max_val
       |FROM final GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 

@@ -47,6 +47,60 @@ class IncrementalViewSpec extends AnyFunSuite with SparkSuite {
     assert(state(st) == recomputed)
   }
 
+  private def fullState(st: DocumentStore) =
+    IncrementalView.derived(st.read("agg")).collect().map { r =>
+      r.getAs[String]("g") -> ((r.getAs[Long]("cnt"),
+        r.getAs[java.math.BigDecimal]("sum_val").doubleValue(),
+        r.getAs[java.math.BigDecimal]("min_val").doubleValue(),
+        r.getAs[java.math.BigDecimal]("max_val").doubleValue(),
+        r.getAs[Double]("avg_val")))
+    }.toMap
+
+  test("delete of the max triggers the recount fallback and stays exact") {
+    import spark.implicits._
+    val (src, st) = stores()
+    src.create("t", Seq((1L, "a", 10.0), (2L, "a", 50.0), (3L, "a", 30.0),
+      (4L, "b", 5.0)).toDF("id", "g", "v"))
+    IncrementalView.initialize(src, "t", st, "agg", "g", "v")
+    src.delete("t", col("id") === 2) // removes a's MAX
+    IncrementalView.maintain(src, "t", 1, 2, "id", "g", "v", st, "agg")
+    assert(fullState(st) == Map(
+      "a" -> ((2L, 40.0, 10.0, 30.0, 20.0)),
+      "b" -> ((1L, 5.0, 5.0, 5.0, 5.0))))
+  }
+
+  test("insert-only epoch maintains min/max incrementally, avg derives") {
+    import spark.implicits._
+    val (src, st) = stores()
+    src.create("t", Seq((1L, "a", 10.0), (2L, "a", 30.0)).toDF("id", "g", "v"))
+    IncrementalView.initialize(src, "t", st, "agg", "g", "v")
+    src.upsert("t", Seq((3L, "a", 5.0), (4L, "a", 99.0)).toDF("id", "g", "v"),
+      Seq("id")) // both new extremes arrive by insert: no recount needed
+    IncrementalView.maintain(src, "t", 1, 2, "id", "g", "v", st, "agg")
+    assert(fullState(st) == Map("a" -> ((4L, 144.0, 5.0, 99.0, 36.0))))
+  }
+
+  test("distinct sketch: insert-only epochs union; a removal rebuilds") {
+    import spark.implicits._
+    val (src, st) = stores()
+    src.create("t", Seq((1L, "a", 1.0, 100L), (2L, "a", 2.0, 200L))
+      .toDF("id", "g", "v", "d"))
+    IncrementalView.initialize(src, "t", st, "agg", "g", "v", Some("d"))
+    def nd(): Long = IncrementalView.derived(st.read("agg"))
+      .select("nd").head().getLong(0)
+    assert(nd() == 2L)
+    // insert-only: a new distinct value and a duplicate of an existing one
+    src.upsert("t", Seq((3L, "a", 3.0, 300L), (4L, "a", 4.0, 200L))
+      .toDF("id", "g", "v", "d"), Seq("id"))
+    IncrementalView.maintain(src, "t", 1, 2, "id", "g", "v", st, "agg", Some("d"))
+    assert(nd() == 3L) // HLL exact at tiny cardinalities; union caught the dup
+    // a removal forces the sketch rebuild (HLL cannot forget): the only
+    // row carrying d=100 leaves, and the estimate must follow
+    src.delete("t", col("id") === 1)
+    IncrementalView.maintain(src, "t", 2, 3, "id", "g", "v", st, "agg", Some("d"))
+    assert(nd() == 2L)
+  }
+
   test("an epoch with a no-op restatement leaves the view untouched") {
     import spark.implicits._
     val (src, st) = stores()
