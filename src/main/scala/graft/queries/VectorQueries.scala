@@ -477,6 +477,43 @@ object VectorQueries extends QuerySet {
     if (sound) out else out.limit(0) // gate: a broken tuner yields zero rows
   }
 
+  /** HNSW ef auto-tuning over the PERSISTED graph store — the second
+    * serve-parameter family under the driver's eye (q124 gates IVF
+    * nprobe): the store is built in two generations (bulk build +
+    * incremental add, [[graft.search.HnswStore]]), the tuner walks an
+    * ascending ef grid over the persisted segments and takes the
+    * minimal beam width whose MEASURED recall@k reaches 0.9 against
+    * exact ground truth. Gate: tuned recall >= target, every rejected
+    * ef measured < target (minimality), tombstone-free store whose live
+    * vector count equals the corpus (persistence integrity) — any
+    * violation zeroes the output. Output is the exact top-k join (the
+    * q124 pattern), riding the same DuckDB hash oracle. */
+  private def q148(s: SparkSession, d: String): DataFrame = {
+    import graft.search.{HnswStore, RecallTuner}
+    val e = t(s, d, "embeddings").cache()
+    val store = new HnswStore(s,
+      java.nio.file.Files.createTempDirectory("graft-q148").toString)
+    store.build(e.filter(col("vec_id") % 5 =!= 0), "embedding", "vec_id")
+    store.add(e.filter(col("vec_id") % 5 === 0), "embedding", "vec_id")
+    val graphs = store.graphs.cache()
+    val probes = e.filter(col("vec_id") < 5)
+    val truth = VectorSearch.knnJoinWindow(
+      probes, "vec_id", "embedding", e, "vec_id", "embedding", 3)
+      .select(col("probe_id"), col("vec_id"))
+    val tuned = RecallTuner.tuneHnswEf(graphs, probes, "vec_id", "embedding",
+      k = 3, target = 0.9, truth, candidates = Seq(4, 8, 16, 32, 64, 128))
+    val sound = tuned.recall >= 0.9 &&
+      tuned.curve.init.forall(_._2 < 0.9) &&
+      store.tombstoneCount == 0L &&
+      store.liveVectors.count() == e.count()
+    val out = VectorSearch.knnJoinWindow(
+        probes, "vec_id", "embedding", e, "vec_id", "embedding", 3)
+      .select(col("probe_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+    graphs.unpersist(); e.unpersist()
+    if (sound) out else out.limit(0) // gate: a broken tuner/store yields zero rows
+  }
+
   /** Multi-vector (late-interaction) retrieval: a document is its SET of
     * vectors and its score is the max similarity over them (the
     * MaxSim/ColBERT reduction; same shape as best-chunk retrieval in
@@ -670,6 +707,7 @@ object VectorQueries extends QuerySet {
     Q("q112_knn_filtered", q112, Some(q112Sql)),
     Q("q123_knn_filtered_batch", q123, Some(q123Sql)),
     Q("q124_recall_autotune", q124, Some(knnJoinSql)),
+    Q("q148_hnsw_ef_tune", q148, Some(knnJoinSql)),
     Q("q113_maxsim_multivector", q113, Some(q113Sql)),
     Q("q114_ir_metrics", q114, Some(q114Sql)),
     Q("q130_embedding_outliers", q130, Some(q130Sql)),

@@ -141,6 +141,13 @@ final class HnswStore(spark: SparkSession, path: String,
 
   def segmentCount: Long = segRows.count()
 
+  /** The persisted segment graphs as a batched-search input
+    * ([[HnswIndex.searchMany]]/`searchManyWhere` decode it per task).
+    * Raw segments — tombstones are NOT applied here; on a store with
+    * live tombstones, filter results against [[liveVectors]] (or
+    * search per-probe via [[search]], which applies them). */
+  def graphs: DataFrame = segRows.toDF()
+
   // -------------------------------------------------------------- internal
 
   private def segRows = spark.read.parquet(graphsPath).as[SegRow]

@@ -62,6 +62,19 @@ class RecallTunerSpec extends AnyFunSuite with SparkSuite {
     graphs.unpersist()
   }
 
+  test("HNSW ef tuning works over the PERSISTED store segments (q148 shape)") {
+    val store = new HnswStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-rt-hnsw").toString)
+    store.build(emb.filter($"vec_id" % 5 =!= 0), "embedding", "vec_id")
+    store.add(emb.filter($"vec_id" % 5 === 0), "embedding", "vec_id")
+    assert(store.tombstoneCount == 0L) // disjoint generations: raw segments valid
+    val tuned = RecallTuner.tuneHnswEf(store.graphs, probes, "vec_id", "embedding",
+      k, target = 0.9, truth, candidates = Seq(4, 16, 64, 128))
+    assert(tuned.recall >= 0.9)
+    tuned.curve.init.foreach { case (ef, r) =>
+      assert(r < 0.9, s"ef=$ef already reached $r — tuner not minimal") }
+  }
+
   test("an unreachable target fails loudly with the measured curve") {
     val empty = idx.searchMany(indexed, "embedding", "vec_id",
       probes, "vec_id", "embedding", k, 1).limit(0)
