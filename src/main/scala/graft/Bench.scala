@@ -28,7 +28,22 @@ object Bench {
     // between bench invocations with zero code change); interleaving
     // spreads a transient stall across different queries' single runs,
     // which the per-query median then rejects.
-    val passes = Seq.fill(3)(names.map(n => n -> once(n)).toMap)
+    //
+    // Self-documentation: the JSON carries each pass's total and the
+    // OS 1-min load average sampled before the run and after every
+    // pass, so a contention-inflated capture is machine-readable as
+    // such (three rounds running, interpreting the driver number has
+    // needed a manual re-run; cold/contended signatures are a uniform
+    // per-query multiplier + elevated loadavg, see PLANS.md).
+    def loadavg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loads = scala.collection.mutable.ArrayBuffer(loadavg)
+    val passes = Seq.fill(3) {
+      val p = names.map(n => n -> once(n)).toMap
+      loads += loadavg
+      p
+    }
     val results = names.map { name =>
       val ts = passes.map(_(name))
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1))
@@ -36,7 +51,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(d: Double): String = "%.3f".format(d)
+    val passTotals = passes.map(p => fmt(names.map(n => math.max(p(n), 0.0)).sum))
+      .mkString("[", ",", "]")
+    val loadsJson = loads.map(fmt).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passTotals,"loadavg":$loadsJson,"cpus":$cpus}""")
     spark.stop()
   }
 }
