@@ -72,6 +72,78 @@ object Geo {
       .filter(haversineKm(col(latCol), col(lonCol), lit(centerLat), lit(centerLon)) <= lit(radiusKm))
   }
 
+  /** All-pairs radius join between two corpus-scale point tables —
+    * "every (a, b) with dist(a,b) <= radiusKm" — WITHOUT the n² cross
+    * join [[nearestK]]'s broadcast shape would need: the sphere is
+    * gridded into latitude bands of height dLat = radius expressed as
+    * meridian degrees, each band split into equal longitude cells wide
+    * enough that two in-radius points can never sit more than one cell
+    * apart; the join is then a plain equi-join on (band, cell) — a
+    * hash shuffle on cell keys, candidate count bounded by local point
+    * density, not table size.
+    *
+    * Soundness of the one-cell bound (no false negatives): haversine
+    * gives hav(d/R) = hav(dphi) + cos(phi1)cos(phi2)·hav(dlmb), so
+    * d <= r forces dphi <= r/R (the band bound) and
+    * sin(dlmb/2) <= sin(r/2R)/(cos phi1 · cos phi2)^(1/2)... bounded
+    * here by the WORST |lat| either endpoint can have — the band's own
+    * extent widened by one full band (the partner may sit one band
+    * over): dlmb <= 2·asin(min(1, sin(r/2R)/cos(worstLat))). Cell width
+    * is at least that bound (floor on the cell COUNT only widens
+    * cells), so the partner's cell index differs by at most 1. Bands
+    * whose bound degenerates (worstLat -> 90, ratio >= 1) collapse to a
+    * single cell — polar caps are compared exhaustively, correct and
+    * cheap (they hold O(cos) of a uniform corpus). Longitude wraps
+    * modulo the band's cell count, so the +-180 antimeridian is seam-
+    * free. The right side replicates to its 3x3 (band, cell)
+    * neighborhood, deduped; the left keeps its single home cell, so a
+    * qualifying pair is emitted exactly once.
+    *
+    * Output: left row id, right row id, both sides' coordinates kept
+    * under `a_`/`b_` prefixes. Self-join callers dedupe mirror pairs
+    * with `a_id < b_id` downstream. */
+  def radiusJoin(left: DataFrame, leftIdCol: String, leftLat: String, leftLon: String,
+                 right: DataFrame, rightIdCol: String, rightLat: String, rightLon: String,
+                 radiusKm: Double): DataFrame = {
+    require(radiusKm > 0, s"bad radius $radiusKm")
+    val dLat = math.toDegrees(radiusKm / EarthRadiusKm)
+    val nBands = math.max(1, math.ceil(180.0 / dLat).toInt)
+    val halfSin = math.sin(radiusKm / (2 * EarthRadiusKm))
+    // band -> longitude cell count, same closed form both sides
+    def cellsOf(band: Column): Column = {
+      val worst = least(lit(90.0),
+        greatest(abs(band * dLat - 90), abs((band + 1) * dLat - 90)) + lit(dLat))
+      val ratio = lit(halfSin) / cos(radians(worst))
+      val width = when(ratio >= 1, lit(360.0)).otherwise(degrees(asin(ratio)) * 2)
+      greatest(lit(1L), floor(lit(360.0) / width))
+    }
+    def bandOf(latC: Column): Column =
+      least(lit(nBands - 1L), greatest(lit(0L), floor((latC + 90) / dLat)))
+    def idxIn(lonC: Column, cells: Column): Column =
+      pmod(floor((lonC + 180) * cells / 360.0), cells)
+
+    val a = left.select(col(leftIdCol).as("a_id"),
+        col(leftLat).as("a_lat"), col(leftLon).as("a_lon"))
+      .withColumn("__band", bandOf(col("a_lat")))
+      .withColumn("__cell", idxIn(col("a_lon"), cellsOf(col("__band"))))
+    val b0 = right.select(col(rightIdCol).as("b_id"),
+      col(rightLat).as("b_lat"), col(rightLon).as("b_lon"))
+    // replicate right rows to the 3x3 neighborhood: neighbor band's own
+    // cell count decides the lon index (band widths differ), wrap modulo
+    val b = b0
+      .withColumn("__db", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__band", bandOf(col("b_lat")) + col("__db"))
+      .filter(col("__band") >= 0 && col("__band") <= lit(nBands - 1L))
+      .withColumn("__cells", cellsOf(col("__band")))
+      .withColumn("__dc", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__cell", pmod(idxIn(col("b_lon"), col("__cells")) + col("__dc"), col("__cells")))
+      .select(col("b_id"), col("b_lat"), col("b_lon"), col("__band"), col("__cell"))
+      .dropDuplicates("b_id", "__band", "__cell")
+    a.join(b, Seq("__band", "__cell"))
+      .filter(haversineKm(col("a_lat"), col("a_lon"), col("b_lat"), col("b_lon")) <= lit(radiusKm))
+      .drop("__band", "__cell")
+  }
+
   /** Nearest-k points per probe by great-circle distance — the serve
     * shape (few probes, corpus-scale points): probes broadcast, each
     * point computes its distance to every probe in one pass, map-side

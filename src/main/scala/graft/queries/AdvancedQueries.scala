@@ -1003,6 +1003,31 @@ object AdvancedQueries extends QuerySet {
        |SELECT probe_id, c_custkey, rn FROM r WHERE rn <= 8
        |ORDER BY probe_id, rn""".stripMargin
 
+  /** All-pairs geo radius join ([[graft.operators.Geo.radiusJoin]]):
+    * customer pairs within 800 km, cell-grid equi-join + haversine
+    * refine — the table×table companion to q145/q146 (those serve one
+    * center / few probes; this one scales to corpus×corpus because the
+    * shuffle key is the spatial cell, never the cross product). The
+    * oracle replays the O(n²) cross join in DuckDB — affordable at the
+    * verify SF, and exactly the plan shape the operator exists to
+    * avoid at scale. Compared output is the pair membership (the
+    * boundary decisions are the shared closed-form trig). */
+  private def q149(s: SparkSession, d: String): DataFrame = {
+    val g = custGeo(s, d)
+    graft.operators.Geo.radiusJoin(g, "c_custkey", "lat", "lon",
+        g, "c_custkey", "lat", "lon", radiusKm = 800.0)
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val q149Sql =
+    s"""WITH $custGeoSql
+       |SELECT g1.c_custkey AS a_id, g2.c_custkey AS b_id
+       |FROM geo g1 JOIN geo g2 ON g1.c_custkey < g2.c_custkey
+       |WHERE ${graft.operators.Geo.haversineSql("g1.lat", "g1.lon", "g2.lat", "g2.lon")} <= 800.0
+       |ORDER BY a_id, b_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q23_asof_join", q23, Some(q23Sql), headline = true),
     Q("q24_sessionize", q24, Some(q24Sql), headline = true),
@@ -1036,5 +1061,6 @@ object AdvancedQueries extends QuerySet {
     Q("q138_linear_interpolate", q138, Some(q138Sql)),
     Q("q145_geo_radius", q145, Some(q145Sql)),
     Q("q146_geo_nearest", q146, Some(q146Sql)),
-    Q("q147_scd2_asof", q147, Some(q147Sql)))
+    Q("q147_scd2_asof", q147, Some(q147Sql)),
+    Q("q149_geo_radius_join", q149, Some(q149Sql)))
 }

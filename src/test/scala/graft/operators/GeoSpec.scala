@@ -89,4 +89,50 @@ class GeoSpec extends AnyFunSuite with SparkSuite {
       .select("dist_km").head().getDouble(0)
     assert(math.abs(d - 343.5565) < 0.01)
   }
+
+  // deterministic pseudo-random globe coverage: includes polar caps and
+  // both sides of the antimeridian (lat in [-90, 90), lon in [-180, 180))
+  private def globePts(n: Int) =
+    (1 to n).map { i =>
+      (i.toLong, ((i * 7919) % 1800) / 10.0 - 90.0, ((i * 104729) % 3600) / 10.0 - 180.0)
+    }.toDF("id", "lat", "lon")
+
+  private def brutePairs(pts: org.apache.spark.sql.DataFrame, r: Double): Set[(Long, Long)] = {
+    val a = pts.select(col("id").as("a_id"), col("lat").as("a_lat"), col("lon").as("a_lon"))
+    val b = pts.select(col("id").as("b_id"), col("lat").as("b_lat"), col("lon").as("b_lon"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .filter(Geo.haversineKm(col("a_lat"), col("a_lon"), col("b_lat"), col("b_lon")) <= lit(r))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+  }
+
+  test("radiusJoin equals the brute-force cross join, each pair exactly once") {
+    for (r <- Seq(300.0, 1200.0, 5000.0)) {
+      val pts = globePts(180)
+      val got = Geo.radiusJoin(pts, "id", "lat", "lon", pts, "id", "lat", "lon", r)
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+      val want = brutePairs(pts, r)
+      assert(got.size == got.toSet.size, s"r=$r: duplicate pair emitted")
+      assert(got.toSet == want, s"r=$r: got ${got.size} want ${want.size}")
+      assert(want.nonEmpty, s"r=$r: vacuous fixture")
+    }
+  }
+
+  test("radiusJoin finds antimeridian and polar-cap pairs") {
+    val pts = Seq((1L, 0.0, 179.9), (2L, 0.0, -179.9), // ~22 km across the seam
+      (3L, 89.6, 10.0), (4L, 89.7, -170.0),            // near-pole, lon far apart
+      (5L, -45.0, 0.0)).toDF("id", "lat", "lon")
+    val got = Geo.radiusJoin(pts, "id", "lat", "lon", pts, "id", "lat", "lon", 150.0)
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("radiusJoin across two distinct tables keeps both coordinate sets") {
+    val stores = Seq((10L, 48.85, 2.35)).toDF("sid", "slat", "slon")
+    val custs = Seq((1L, 48.80, 2.30), (2L, 51.50, -0.13)).toDF("cid", "clat", "clon")
+    val got = Geo.radiusJoin(stores, "sid", "slat", "slon", custs, "cid", "clat", "clon", 50.0)
+    assert(got.columns.toSet == Set("a_id", "a_lat", "a_lon", "b_id", "b_lat", "b_lon"))
+    assert(got.select("a_id", "b_id").as[(Long, Long)].collect().toSeq == Seq((10L, 1L)))
+  }
 }
