@@ -185,6 +185,52 @@ object RagQueries extends QuerySet {
       |FROM orders WHERE o_custkey >= 10 AND o_custkey <= 80
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Bloom-sidecar point-lookup skipping
+    * ([[DocumentStore.analyzeBloom]]/[[DocumentStore.readByKeys]]): the
+    * orders table clustered by CUSTKEY buckets, then looked up by five
+    * scattered ORDERKEYS — the case min/max stats (q105) cannot prune,
+    * because a sequentially-assigned key's [min,max] spans every
+    * custkey partition. The per-partition Bloom sketch says "provably
+    * absent" per key, so the lookup touches only the partitions that
+    * actually hold one of the five orders (plus fpp noise). The gate
+    * zeroes the output unless pruning skipped partitions; the oracle
+    * recomputes the same five quartile-ranked keys and replays the IN
+    * filter on the raw table. */
+  private def q150(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val store = new DocumentStore(s, Files.createTempDirectory("graft-q150").toString)
+    val orders = t(s, d, "orders")
+    val width = math.max(100L,
+      orders.agg(max(col("o_custkey"))).head().getLong(0) / 10)
+    val clustered = orders
+      .withColumn("ck_bucket", floor(col("o_custkey") / width).cast("long"))
+    store.create("orders_bl", clustered, partitionCol = Some("ck_bucket"))
+    store.analyzeBloom("orders_bl", "o_orderkey",
+      expectedItemsPerPartition = 1L << 20, fpp = 0.01)
+    val cnt = orders.count()
+    val keys = orders.select(col("o_orderkey"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("o_orderkey"))))
+      .filter(col("rn").isin(1L, cnt / 4, cnt / 2, 3 * cnt / 4, cnt))
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
+    val (kept, total) = store.bloomPrunedParts("orders_bl", "o_orderkey", keys)
+    store.readByKeys("orders_bl", "o_orderkey", keys)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      .filter(lit(kept.size < total))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q150Sql =
+    """WITH ranked AS (
+      |  SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn,
+      |         COUNT(*) OVER () AS n
+      |  FROM orders),
+      |k AS (SELECT o_orderkey FROM ranked
+      |      WHERE rn IN (1, n // 4, n // 2, 3 * n // 4, n))
+      |SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      |FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM k)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Z-order multi-column skipping: orders laid out by the round-robin
     * Morton interleave of (o_custkey, o_totalprice, o_orderkey) via
     * [[graft.store.ZOrder]] — each partition covers a value-space
@@ -850,6 +896,7 @@ object RagQueries extends QuerySet {
     Q("q99_store_time_travel", q99, Some(q99Sql)),
     Q("q104_store_compact", q104, Some(q104Sql), headline = true),
     Q("q105_store_skipping", q105, Some(q105Sql), headline = true),
+    Q("q150_store_bloom_lookup", q150, Some(q150Sql)),
     Q("q108_store_merge_set", q108, Some(q108Sql)),
     Q("q111_store_diff", q111, Some(q111Sql)),
     Q("q132_store_changefeed", q132, Some(q132Sql)),

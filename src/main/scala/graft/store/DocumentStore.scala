@@ -5,6 +5,7 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.util.sketch
 
 /** Versioned copy-on-write parquet store: the engine's answer to the
   * reference's mutable MongoDB collections (S4-S7, TX1;
@@ -139,6 +140,7 @@ class DocumentStore(spark: SparkSession, root: String) {
     writeString(new HPath(vd, s"v$v.manifest"), body)
     schemaJson.foreach(js => writeString(new HPath(vd, s"v$v.schema"), js))
     refreshStats(table, base, v, m)
+    refreshBlooms(table, base, v, m)
     val tmp = new HPath(tdir(table), s"_CURRENT.tmp$v")
     writeString(tmp, v.toString)
     fc.rename(tmp, new HPath(tdir(table), "_CURRENT"), Options.Rename.OVERWRITE)
@@ -694,6 +696,157 @@ class DocumentStore(spark: SparkSession, root: String) {
     readPartitions(table, kept.toSeq.sorted).filter(pred)
   }
 
+  /** Build a per-partition Bloom-filter sidecar for `column` over the
+    * CURRENT version — point-lookup skipping for HIGH-CARDINALITY
+    * columns the table is NOT clustered by, where [[analyze]]'s min/max
+    * is useless (a scattered key's range covers every partition). One
+    * column-pruned pass; per partition only the kB-sized serialized
+    * sketch reaches the driver sidecar, never the keys. Keys are hashed
+    * through `xxhash64(cast(column AS string))` — the identical
+    * expression [[bloomPrunedParts]] replays driver-side, so build and
+    * probe can never disagree on the hash domain. Integral and string
+    * key columns only (float casts format differently across paths).
+    * Like [[analyze]], the sidecar is carried and incrementally
+    * refreshed across commits ([[refreshBlooms]]): carried partitions
+    * keep their sketch verbatim, rewritten ones are rescanned. */
+  def analyzeBloom(table: String, column: String,
+                   expectedItemsPerPartition: Long = 1L << 22,
+                   fpp: Double = 0.03): Unit = {
+    require(column.matches("[A-Za-z0-9_]+"), s"unsafe column name '$column'")
+    require(expectedItemsPerPartition > 0 && fpp > 0 && fpp < 1,
+      s"bad bloom params ($expectedItemsPerPartition, $fpp)")
+    val v = currentVersion(table)
+    val m = manifest(table, v)
+    if (m.isEmpty) return
+    val numBits = sketch.BloomFilter.create(expectedItemsPerPartition, fpp).bitSize()
+    val lines = bloomLines(table, v, m.values.toSeq, column,
+      expectedItemsPerPartition, numBits)
+    if (lines.isEmpty) return // column absent from the committed schema
+    writeString(new HPath(new HPath(tdir(table), "_versions"), s"v$v.bloom.$column"),
+      (s"__meta\t$expectedItemsPerPartition\t$numBits" +: lines).mkString("\n"))
+  }
+
+  /** One pass over `dirs`: per store-partition serialized Bloom sketch
+    * of `column`, via Spark's own BloomFilterAggregate (the runtime-
+    * filter kernel) — partial sketches merge map-side, the shuffle
+    * carries bit arrays, not keys. */
+  private def bloomLines(table: String, v: Int, dirs: Seq[String], column: String,
+                         items: Long, numBits: Long): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val pc = partCol(table)
+    val df = readDirs(table, v, dirs)
+    if (!df.columns.contains(column)) return Seq.empty
+    val child = org.apache.spark.sql.GraftSqlBridge.expression(
+      xxhash64(col(column).cast("string")))
+    val agg = org.apache.spark.sql.GraftSqlBridge.column(
+      new BloomFilterAggregate(child, CatLit(items), CatLit(numBits))
+        .toAggregateExpression())
+    df.groupBy(partExpr(pc).as("__part")).agg(agg.as("__bloom"))
+      .collect().toSeq.flatMap { r =>
+        Option(r.get(1)).map { b =>
+          val b64 = java.util.Base64.getEncoder
+            .encodeToString(b.asInstanceOf[Array[Byte]])
+          s"${r.getString(0)}\t$b64"
+        }
+      }
+  }
+
+  private def readBlooms(table: String, v: Int,
+                         column: String): Option[Map[String, sketch.BloomFilter]] =
+    readString(new HPath(new HPath(tdir(table), "_versions"), s"v$v.bloom.$column"))
+      .map { body =>
+        body.split("\n").iterator
+          .filter(l => l.nonEmpty && !l.startsWith("__meta"))
+          .map { l =>
+            val Array(p, b64) = l.split("\t", 2)
+            p -> sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(java.util.Base64.getDecoder.decode(b64)))
+          }.toMap
+      }
+
+  /** Carry the Bloom sidecars across a commit, mirroring
+    * [[refreshStats]]: partitions whose segment dir is carried keep
+    * their sketch lines verbatim; only rewritten partitions are
+    * rescanned, so refresh cost tracks the mutation, not the table. */
+  private def refreshBlooms(table: String, base: Int, v: Int,
+                            m: Map[String, String]): Unit = {
+    val vd = new HPath(tdir(table), "_versions")
+    if (!fs.exists(vd)) return
+    val prefix = s"v$base.bloom."
+    val sidecars = fs.listStatus(vd).iterator.map(_.getPath.getName)
+      .filter(_.startsWith(prefix)).toSeq
+    if (sidecars.isEmpty) return
+    val mBase = manifest(table, base)
+    val (carried, changed) = m.partition { case (k, d) => mBase.get(k).contains(d) }
+    for {
+      f <- sidecars
+      body <- readString(new HPath(vd, f))
+      column = f.stripPrefix(prefix)
+      lines = body.split("\n").toSeq.filter(_.nonEmpty)
+      meta <- lines.find(_.startsWith("__meta\t"))
+    } {
+      val Array(_, itemsS, bitsS) = meta.split("\t", 3)
+      val carriedLines = lines.filter { l =>
+        val p = l.split("\t", 2)(0)
+        p != "__meta" && carried.contains(p)
+      }
+      val changedLines =
+        if (changed.isEmpty) Seq.empty
+        else bloomLines(table, v, changed.values.toSeq, column, itemsS.toLong, bitsS.toLong)
+      writeString(new HPath(vd, s"v$v.bloom.$column"),
+        (meta +: (carriedLines ++ changedLines)).mkString("\n"))
+    }
+  }
+
+  /** Partition keys a `column IN (values)` lookup must touch, by Bloom
+    * membership, plus the total count. Evidence-based like
+    * [[statsPrunedParts]]: a partition survives unless its sketch says
+    * NO value can be present — no sidecar (never analyzed, stale
+    * version) or a partition without a sketch line keeps everything, so
+    * pruning can only over-read (fpp false positives), never drop a row
+    * that exists. Values are hashed exactly as the build side hashed
+    * the column (xxhash64 over the string form). */
+  def bloomPrunedParts(table: String, column: String,
+                       values: Seq[Any]): (Seq[String], Int) = {
+    require(values.nonEmpty, "need at least one lookup value")
+    import org.apache.spark.sql.catalyst.expressions.{XxHash64, Literal => CatLit}
+    val v = currentVersion(table)
+    val m = manifest(table, v)
+    readBlooms(table, v, column) match {
+      case None => (m.keys.toSeq.sorted, m.size)
+      case Some(bfs) =>
+        val hashes = values.map { x =>
+          new XxHash64(Seq(CatLit.create(x.toString,
+            org.apache.spark.sql.types.StringType))).eval(null).asInstanceOf[Long]
+        }
+        val kept = m.keys.filter { p =>
+          bfs.get(p) match {
+            case Some(bf) => hashes.exists(bf.mightContainLong)
+            case None => true
+          }
+        }.toSeq.sorted
+        (kept, m.size)
+    }
+  }
+
+  /** Bloom-pruned point lookup: `column IN (values)` touching only the
+    * partitions whose sketch might hold one of the values — the store's
+    * answer to "fetch these N documents by id" on a table clustered by
+    * something else entirely. Falls back to the full partition set when
+    * no sidecar exists (still filtered, still correct). */
+  def readByKeys(table: String, column: String, values: Seq[Any]): DataFrame = {
+    val (kept, _) = bloomPrunedParts(table, column, values)
+    val base =
+      if (kept.nonEmpty) readPartitions(table, kept)
+      else schemaOf(table, currentVersion(table)) match {
+        case Some(sc) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], sc)
+        case None => read(table).filter(lit(false))
+      }
+    base.filter(col(column).isin(values: _*))
+  }
+
   /** Garbage-collect segment directories referenced only by manifests
     * older than the `keepVersions` most recent ones, then drop those
     * manifests. Old snapshots stay readable down to the retention
@@ -714,7 +867,7 @@ class DocumentStore(spark: SparkSession, root: String) {
     // hold them). Clearing them here — and only here — is what unblocks
     // the next committer without commit itself ever guessing.
     fs.listStatus(vd).iterator.map(_.getPath.getName).foreach { name =>
-      val ver = "^v(\\d+)\\.(manifest|schema|stats|claim)$".r
+      val ver = "^v(\\d+)\\.(manifest|schema|stats|claim|bloom\\..+)$".r
       name match {
         case ver(n, _) if n.toInt > cur => fs.delete(new HPath(vd, name), true)
         case _ => if (name.startsWith(".claim-")) fs.delete(new HPath(vd, name), true)
@@ -733,11 +886,15 @@ class DocumentStore(spark: SparkSession, root: String) {
       val dfs = p.getFileSystem(hconf)
       if (dfs.exists(p)) dfs.delete(p, true)
     }
+    val bloomFiles = fs.listStatus(vd).iterator.map(_.getPath.getName)
+      .filter(_.matches("^v\\d+\\.bloom\\..+$")).toSeq
     drop.foreach { v =>
       fs.delete(new HPath(vd, s"v$v.manifest"), false)
       fs.delete(new HPath(vd, s"v$v.stats"), false)  // sidecars ride their
       fs.delete(new HPath(vd, s"v$v.schema"), false) // version's lifetime
       fs.delete(new HPath(vd, s"v$v.claim"), true)   // epoch-claim marker
+      bloomFiles.filter(_.startsWith(s"v$v.bloom."))
+        .foreach(f => fs.delete(new HPath(vd, f), false))
     }
     // Crash-garbage sweep: a mutation that died between writeSegments and
     // commit (or lost the CAS race before its cleanup ran) leaves a
