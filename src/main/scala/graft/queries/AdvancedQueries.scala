@@ -1028,6 +1028,41 @@ object AdvancedQueries extends QuerySet {
        |WHERE ${graft.operators.Geo.haversineSql("g1.lat", "g1.lon", "g2.lat", "g2.lon")} <= 800.0
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** One-pass corpus profile ([[graft.operators.Profiler]]): row/null/
+    * exact-distinct counts plus numeric value ranges and string length
+    * ranges for every documents column — the trust-but-verify summary a
+    * pipeline runs on a new corpus drop. The plan under test is the
+    * scale shape: one unpivoted scan, one (column, value)-keyed
+    * shuffle (map-side collapsed), NOT per-column jobs or a
+    * multi-distinct Expand. The oracle recomputes each column's row
+    * with a plain per-column aggregate and unions them. */
+  private def q151(s: SparkSession, d: String): DataFrame =
+    graft.operators.Profiler.profile(t(s, d, "documents"),
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+
+  private val q151Sql =
+    """SELECT 'doc_id' AS column, COUNT(*) AS n_rows, COUNT(doc_id) AS n_nonnull,
+      |  COUNT(DISTINCT doc_id) AS n_distinct,
+      |  CAST(MIN(doc_id) AS DOUBLE) AS min_d, CAST(MAX(doc_id) AS DOUBLE) AS max_d
+      |FROM documents
+      |UNION ALL
+      |SELECT 'lang', COUNT(*), COUNT(lang), COUNT(DISTINCT lang),
+      |  CAST(MIN(LENGTH(lang)) AS DOUBLE), CAST(MAX(LENGTH(lang)) AS DOUBLE)
+      |FROM documents
+      |UNION ALL
+      |SELECT 'n_chars', COUNT(*), COUNT(n_chars), COUNT(DISTINCT n_chars),
+      |  CAST(MIN(n_chars) AS DOUBLE), CAST(MAX(n_chars) AS DOUBLE)
+      |FROM documents
+      |UNION ALL
+      |SELECT 'source', COUNT(*), COUNT(source), COUNT(DISTINCT source),
+      |  CAST(MIN(LENGTH(source)) AS DOUBLE), CAST(MAX(LENGTH(source)) AS DOUBLE)
+      |FROM documents
+      |UNION ALL
+      |SELECT 'text', COUNT(*), COUNT(text), COUNT(DISTINCT text),
+      |  CAST(MIN(LENGTH(text)) AS DOUBLE), CAST(MAX(LENGTH(text)) AS DOUBLE)
+      |FROM documents
+      |ORDER BY "column"""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q23_asof_join", q23, Some(q23Sql), headline = true),
     Q("q24_sessionize", q24, Some(q24Sql), headline = true),
@@ -1062,5 +1097,6 @@ object AdvancedQueries extends QuerySet {
     Q("q145_geo_radius", q145, Some(q145Sql)),
     Q("q146_geo_nearest", q146, Some(q146Sql)),
     Q("q147_scd2_asof", q147, Some(q147Sql)),
-    Q("q149_geo_radius_join", q149, Some(q149Sql)))
+    Q("q149_geo_radius_join", q149, Some(q149Sql)),
+    Q("q151_profile_corpus", q151, Some(q151Sql)))
 }
