@@ -1063,6 +1063,38 @@ object AdvancedQueries extends QuerySet {
       |FROM documents
       |ORDER BY "column"""".stripMargin
 
+  /** Rolling z-score anomaly flags over per-user event telemetry
+    * ([[graft.operators.Anomaly.rollingZ]]): each value tested against
+    * its own trailing-20 history at 3 sigma, in exact integer
+    * arithmetic on cent-scaled values — so the flag set hash-matches a
+    * DuckDB replay of the same integer inequality, with no fp
+    * stddev/sqrt divergence possible. One shuffle (user partition). */
+  private def q152(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"),
+      round(col("value") * 100).cast("long").as("vs"))
+    graft.operators.Anomaly.rollingZ(e, Seq("user_id"), Seq("ts", "event_id"),
+        "vs", window = 20, k = 3, minPeriods = 8)
+      .filter(col("is_anomaly"))
+      .select(col("event_id"), col("user_id"), col("vs"), col("n_prev"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q152Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS vs
+      |  FROM events),
+      |w AS (
+      |  SELECT event_id, user_id, vs,
+      |    COUNT(vs) OVER win AS n,
+      |    CAST(SUM(vs) OVER win AS BIGINT) AS s,
+      |    CAST(SUM(vs * vs) OVER win AS BIGINT) AS q
+      |  FROM e
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, user_id, vs, n AS n_prev FROM w
+      |WHERE n >= 8 AND (n * vs - s) * (n * vs - s) > 9 * (n * q - s * s)
+      |ORDER BY event_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q23_asof_join", q23, Some(q23Sql), headline = true),
     Q("q24_sessionize", q24, Some(q24Sql), headline = true),
@@ -1098,5 +1130,6 @@ object AdvancedQueries extends QuerySet {
     Q("q146_geo_nearest", q146, Some(q146Sql)),
     Q("q147_scd2_asof", q147, Some(q147Sql)),
     Q("q149_geo_radius_join", q149, Some(q149Sql)),
-    Q("q151_profile_corpus", q151, Some(q151Sql)))
+    Q("q151_profile_corpus", q151, Some(q151Sql)),
+    Q("q152_rolling_zscore", q152, Some(q152Sql)))
 }
