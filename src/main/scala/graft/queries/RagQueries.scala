@@ -726,6 +726,36 @@ object RagQueries extends QuerySet {
       | AND l.ts <= r.ts AND l.ts >= r.ts - INTERVAL 1 HOUR
       |ORDER BY key, l_id, r_id""".stripMargin
 
+  /** Emit-once streaming threshold alerts under the driver gate
+    * ([[graft.streaming.EventStream.thresholdAlerts]]): events arrive
+    * as a REAL time-ranged file source in four micro-batches
+    * (maxFilesPerTrigger=1), and each user's 50th event — and only
+    * that event, exactly once, wherever the crossing falls relative to
+    * batch boundaries — must fire. Stateful emit-once is the semantics
+    * a plain streaming aggregation cannot express; the oracle is the
+    * batch ROW_NUMBER()=50 replay. */
+  private def q153(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").select(col("user_id"), col("event_id"), col("ts"))
+    val dir = Files.createTempDirectory("graft-q153-src").toFile
+    stage(ev, dir, System.currentTimeMillis(), byRange = Some(col("ts")))
+    val src = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val alerts = graft.streaming.EventStream.thresholdAlerts(s, src, threshold = 50)
+    val qy = alerts.writeStream.outputMode("append")
+      .format("memory").queryName("q153_out").start()
+    try qy.processAllAvailable() finally qy.stop()
+    s.table("q153_out").select(col("user_id"), col("event_id"), col("n_at"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q153Sql =
+    """WITH r AS (
+      |  SELECT user_id, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |SELECT user_id, event_id, 50 AS n_at FROM r WHERE rn = 50
+      |ORDER BY user_id""".stripMargin
+
   /** Stream-stream LEFT OUTER interval join — the negative answer as a
     * stream: a view with no purchase inside its hour emits
     * null-extended exactly when the watermark makes that decidable
@@ -911,5 +941,6 @@ object RagQueries extends QuerySet {
     Q("q121_streaming_dedup", q121, Some(q121Sql)),
     Q("q125_streaming_interval_join", q125, Some(q125Sql)),
     Q("q135_streaming_outer_join", q135, Some(q135Sql)),
+    Q("q153_streaming_threshold", q153, Some(q153Sql)),
     Q("q126_streaming_enrich", q126, Some(q126Sql)))
 }

@@ -15,6 +15,13 @@ case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
 /** Open-session state carried between micro-batches. */
 case class SessState(start: Long, end: Long, n: Int)
 
+/** Emit-once threshold crossing: the key's `threshold`-th event.
+  * Top-level for the same encoder-codegen reason as [[UserSession]]. */
+case class ThresholdAlert(user_id: Long, event_id: Long, n_at: Int)
+
+/** Per-key cumulative arrival count carried between micro-batches. */
+case class CountState(n: Long)
+
 /** Structured-Streaming extension (SURVEY §2.12).
   *
   * The reference has no streaming engine — its "near real-time" story is
@@ -121,6 +128,45 @@ object EventStream {
               state.setTimeoutTimestamp((s.end + gapUs) / 1000L)
             }
             closed.reverseIterator
+          }
+      }.toDF()
+  }
+
+  /** (b3) Emit-ONCE threshold alerts: fire exactly one row per key, at
+    * the moment its cumulative event count crosses `threshold` — the
+    * "user hit their rate cap" / "document family exceeded N versions"
+    * monitor. This is genuinely stateful-emit-once semantics: a plain
+    * streaming aggregation restates the count every batch and cannot
+    * express "only the crossing", so the operator rides
+    * flatMapGroupsWithState with one counter per key (state is a single
+    * long — bounded by key cardinality, not stream length).
+    *
+    * The emitted row identifies the CROSSING EVENT: within a batch rows
+    * are ordered by (ts, event_id); across batches arrival order stands
+    * in for event time, so determinism requires the source's batches be
+    * event-time ordered (time-partitioned arrival — the same contract
+    * the session gates stage with `byRange`). */
+  def thresholdAlerts(spark: SparkSession, events: DataFrame,
+                      threshold: Int): DataFrame = {
+    require(threshold >= 1, s"bad threshold $threshold")
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    val typed = events.select(col("user_id"), col("event_id"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[CountState, ThresholdAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[CountState]) =>
+          val prev = state.getOption.map(_.n).getOrElse(0L)
+          val batch = rows.toSeq
+          state.update(CountState(prev + batch.size))
+          if (prev >= threshold || prev + batch.size < threshold) Iterator.empty
+          else {
+            val sorted = batch
+              .sortBy(r => (DateTimeUtils.fromJavaTimestamp(r._3), r._2))
+            Iterator(ThresholdAlert(user,
+              sorted((threshold - prev - 1).toInt)._2, threshold))
           }
       }.toDF()
   }

@@ -246,4 +246,32 @@ class EventStreamSpec extends AnyFunSuite with SparkSuite {
     val sample = got.filter(col("user_id") === 7L).select("segment").head().getString(0)
     assert(sample == "seg_3")
   }
+
+  test("threshold alerts fire exactly once, at the crossing event, across batches") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val alerts = EventStream.thresholdAlerts(
+      spark, in.toDF().toDF("user_id", "event_id", "ts"), threshold = 3)
+    val q = alerts.writeStream.outputMode("append")
+      .format("memory").queryName("thresh_out").start()
+    // batch 1: user 1 gets 2 events (below), user 2 gets 4 (crosses at
+    // its 3rd-by-(ts,id) — out-of-order within the batch on purpose)
+    in.addData((1L, 10L, ts(1)), (1L, 11L, ts(2)),
+      (2L, 23L, ts(4)), (2L, 21L, ts(2)), (2L, 22L, ts(3)), (2L, 20L, ts(1)))
+    q.processAllAvailable()
+    // batch 2: user 1 crosses with its 3rd event; user 2 adds more
+    // events and must NOT re-fire
+    in.addData((1L, 12L, ts(5)), (2L, 24L, ts(6)), (2L, 25L, ts(7)))
+    q.processAllAvailable()
+    // batch 3: user 3 never reaches the threshold
+    in.addData((3L, 30L, ts(8)))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("thresh_out")
+      .select("user_id", "event_id", "n_at")
+      .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 12L, 3), (2L, 22L, 3)))
+  }
 }
