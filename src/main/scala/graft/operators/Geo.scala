@@ -72,6 +72,50 @@ object Geo {
       .filter(haversineKm(col(latCol), col(lonCol), lit(centerLat), lit(centerLon)) <= lit(radiusKm))
   }
 
+  /** Point-in-polygon membership (geofencing) by ray casting — PNPOLY
+    * (W. R. Franklin's even-odd rule): a point is inside iff an
+    * eastward ray crosses an odd number of polygon edges. The polygon
+    * is a CONSTANT (a geofence, not a column), so the edge loop unrolls
+    * into a codegen-friendly sum of per-edge CASE terms over plain
+    * lat/lon arithmetic — no UDF, no explode, the whole test inlines
+    * into the scan's WholeStageCodegen. Planar lon/lat semantics
+    * (consistent with the oracle's replay); fences crossing the
+    * antimeridian must be split by the caller. Horizontal edges
+    * (yi == yj) are dropped at BUILD time: their straddle test
+    * `(yi > lat) != (yj > lat)` is identically false, so the term is a
+    * constant 0 — emitting it would only add a degenerate /0 division
+    * for the optimizer to fold away. Vertices are listed in either
+    * winding order, unclosed (last→first edge is implicit). */
+  def withinPolygon(lat: Column, lon: Column, poly: Seq[(Double, Double)]): Column = {
+    require(poly.size >= 3, s"polygon needs >= 3 vertices, got ${poly.size}")
+    val crossings = polyEdges(poly).map { case ((yi, xi), (yj, xj)) =>
+      when((lit(yi) > lat) =!= (lit(yj) > lat) &&
+        lon < lit(xj - xi) * (lat - lit(yi)) / lit(yj - yi) + lit(xi), 1)
+        .otherwise(0)
+    }.reduce(_ + _)
+    crossings % 2 === 1
+  }
+
+  /** Non-horizontal edges of the (implicitly closed) polygon. Dropping
+    * yi == yj edges can never empty the list: a polygon of only
+    * horizontal edges would be a degenerate line. */
+  private def polyEdges(poly: Seq[(Double, Double)]): Seq[((Double, Double), (Double, Double))] =
+    poly.indices.map(i => (poly(i), poly((i + 1) % poly.size)))
+      .filter { case ((yi, _), (yj, _)) => yi != yj }
+
+  /** The DuckDB replay of [[withinPolygon]] — identical per-edge
+    * expression shape (same constant folding: dx and dy are literal
+    * differences, the intercept is dx·(lat−yi)/dy + xi), so boundary
+    * decisions round identically in both engines. */
+  def withinPolygonSql(latS: String, lonS: String,
+                       poly: Seq[(Double, Double)]): String = {
+    val terms = polyEdges(poly).map { case ((yi, xi), (yj, xj)) =>
+      s"(CASE WHEN (($yi > $latS) != ($yj > $latS)) AND " +
+        s"$lonS < ${xj - xi} * ($latS - $yi) / ${yj - yi} + $xi THEN 1 ELSE 0 END)"
+    }
+    s"((${terms.mkString(" + ")}) % 2 = 1)"
+  }
+
   /** All-pairs radius join between two corpus-scale point tables —
     * "every (a, b) with dist(a,b) <= radiusKm" — WITHOUT the n² cross
     * join [[nearestK]]'s broadcast shape would need: the sphere is

@@ -1095,6 +1095,28 @@ object AdvancedQueries extends QuerySet {
       |WHERE n >= 8 AND (n * vs - s) * (n * vs - s) > 9 * (n * q - s * s)
       |ORDER BY event_id""".stripMargin
 
+  /** Geofence membership ([[graft.operators.Geo.withinPolygon]]):
+    * customers inside a concave pentagon, by ray casting unrolled into
+    * per-edge codegen CASE terms (the polygon is a constant, so the
+    * whole even-odd test inlines into the scan — no UDF, no explode).
+    * The oracle replays the identical per-edge expression shape, so
+    * boundary roundings agree. */
+  private def q154(s: SparkSession, d: String): DataFrame =
+    custGeo(s, d)
+      .filter(graft.operators.Geo.withinPolygon(col("lat"), col("lon"), geofencePoly))
+      .select(col("c_custkey"))
+      .orderBy(col("c_custkey"))
+
+  // concave pentagon over the mid-lat band (notch at the east side)
+  private val geofencePoly = Seq(
+    (5.0, -20.0), (35.0, -10.0), (30.0, 25.0), (15.0, 5.0), (0.0, 20.0))
+
+  private val q154Sql =
+    s"""WITH $custGeoSql
+       |SELECT c_custkey FROM geo
+       |WHERE ${graft.operators.Geo.withinPolygonSql("lat", "lon", geofencePoly)}
+       |ORDER BY c_custkey""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q23_asof_join", q23, Some(q23Sql), headline = true),
     Q("q24_sessionize", q24, Some(q24Sql), headline = true),
@@ -1131,5 +1153,6 @@ object AdvancedQueries extends QuerySet {
     Q("q147_scd2_asof", q147, Some(q147Sql)),
     Q("q149_geo_radius_join", q149, Some(q149Sql)),
     Q("q151_profile_corpus", q151, Some(q151Sql)),
-    Q("q152_rolling_zscore", q152, Some(q152Sql)))
+    Q("q152_rolling_zscore", q152, Some(q152Sql)),
+    Q("q154_geo_fence", q154, Some(q154Sql)))
 }

@@ -128,6 +128,48 @@ class GeoSpec extends AnyFunSuite with SparkSuite {
     assert(got == Set((1L, 2L), (3L, 4L)))
   }
 
+  test("withinPolygon: convex, concave, horizontal-edge, and winding cases") {
+    val pts = Seq(
+      (1L, 0.5, 0.5),   // center of unit square
+      (2L, 1.5, 0.5),   // above
+      (3L, -0.5, 0.5),  // below
+      (4L, 0.5, 1.5),   // right
+      (5L, 0.5, -0.5),  // left
+      (6L, 0.25, 0.75), // inside
+      (7L, 2.0, 2.0)    // far outside
+    ).toDF("id", "lat", "lon")
+    val square = Seq((0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0))
+    def in(poly: Seq[(Double, Double)]): Set[Long] =
+      pts.filter(Geo.withinPolygon(col("lat"), col("lon"), poly))
+        .select("id").as[Long].collect().toSet
+    assert(in(square) == Set(1L, 6L))
+    assert(in(square.reverse) == Set(1L, 6L)) // winding-independent
+    // concave L-shape: the notch (0.5..1, 0.5..1) is OUTSIDE
+    val lShape = Seq((0.0, 0.0), (0.0, 1.0), (0.5, 1.0), (0.5, 0.5),
+      (1.0, 0.5), (1.0, 0.0))
+    assert(in(lShape) == Set(6L)) // (0.5,0.5)-corner point 1 excluded; 6 inside
+    // triangle with a horizontal edge: no division blow-up
+    val tri = Seq((0.0, 0.0), (0.0, 1.0), (1.0, 0.5))
+    assert(in(tri) == Set(1L, 6L))
+  }
+
+  test("withinPolygon agrees with an independent java.awt implementation") {
+    val poly = Seq((10.0, 20.0), (15.0, 35.0), (30.0, 30.0), (25.0, 10.0), (18.0, 15.0))
+    val path = new java.awt.geom.Path2D.Double()
+    path.moveTo(poly.head._2, poly.head._1)
+    poly.tail.foreach { case (y, x) => path.lineTo(x, y) }
+    path.closePath()
+    val pts = (1 to 400).map { i =>
+      (i.toLong, ((i * 7919) % 300) / 10.0 + 5.0, ((i * 104729) % 350) / 10.0 + 5.0)
+    }
+    val got = pts.toDF("id", "lat", "lon")
+      .filter(Geo.withinPolygon(col("lat"), col("lon"), poly))
+      .select("id").as[Long].collect().toSet
+    val want = pts.filter { case (_, la, lo) => path.contains(lo, la) }.map(_._1).toSet
+    assert(got == want)
+    assert(want.nonEmpty && want.size < pts.size)
+  }
+
   test("radiusJoin across two distinct tables keeps both coordinate sets") {
     val stores = Seq((10L, 48.85, 2.35)).toDF("sid", "slat", "slon")
     val custs = Seq((1L, 48.80, 2.30), (2L, 51.50, -0.13)).toDF("cid", "clat", "clon")
