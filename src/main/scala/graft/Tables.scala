@@ -13,15 +13,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads via
-    * `spark.sql.legacy.parquet.nanosAsLong` (see [[GraftSession]]); we
-    * normalize it back to a micro-precision TimestampType column so every
-    * query sees a plain timestamp. */
+  /** `events.ts` has shipped in two parquet encodings across testdata
+    * generations: TIMESTAMP(NANOS) (readable only via
+    * `spark.sql.legacy.parquet.nanosAsLong`, see [[GraftSession]]) and
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false (which Spark 4 infers
+    * as TIMESTAMP_NTZ). Normalize BOTH to a plain micro-precision
+    * TimestampType column: watermarks, `unix_micros`, and range frames
+    * require the instant-typed TIMESTAMP, and the session timezone is
+    * pinned to UTC so the NTZ→LTZ cast preserves wall-clock values. */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 }

@@ -35,15 +35,21 @@ case class CountState(n: Long)
 object EventStream {
 
   /** File-stream source over an events-shaped directory. File streams
-    * need an explicit schema; we reuse the batch-inferred one (nanos ts
-    * arrives as long under the session's nanosAsLong conf and is rebuilt
-    * to a micro-precision timestamp like Tables.t). */
+    * need an explicit schema; we reuse the batch-inferred one and
+    * normalize `ts` exactly like Tables.t: nanos-as-long is rebuilt to a
+    * micro-precision timestamp, and TIMESTAMP_NTZ (micros parquet with
+    * isAdjustedToUTC=false) is cast to the instant-typed TIMESTAMP that
+    * `withWatermark` requires (session tz is UTC, so wall values hold). */
   def source(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(dir).schema
     val raw = spark.readStream.schema(schema).parquet(dir)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** (a) Watermarked sliding-window aggregation: event counts + value
