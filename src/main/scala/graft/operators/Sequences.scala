@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequential-pattern mining over ordered event streams.
+  *
+  * The reference's completion history is an ordered per-session message
+  * sequence (Session.Messages, reference SharedLib/Models/Session.cs) that
+  * its UI only replays; an analytics engine over the same data answers
+  * "what follows what" — the first-order Markov transition structure of
+  * user/session behavior (funnel drop-off, navigation loops, next-action
+  * prediction priors).
+  *
+  * Scale shape: one window shuffle keyed by the (high-cardinality)
+  * sequence id to order each sequence locally, then one map-side-combined
+  * aggregate over (from, to) pairs whose cardinality is |states|² — tiny
+  * regardless of corpus size. No self-join, no explode of full sequences,
+  * no driver state: 100 TB of events costs two shuffles, the second one
+  * bounded by the state vocabulary.
+  */
+object Sequences {
+
+  /** First-order transition counts and probabilities.
+    *
+    * For each sequence (grouped by `partitionCols`, ordered by
+    * `orderCols`), count consecutive `stateCol` pairs. `prob` is the
+    * row-conditional transition probability P(to | from), rounded to 6
+    * decimals (the single fp op; counts stay exact BIGINT).
+    */
+  def transitions(df: DataFrame, partitionCols: Seq[String],
+                  orderCols: Seq[String], stateCol: String): DataFrame = {
+    require(partitionCols.nonEmpty && orderCols.nonEmpty, "need keys")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val counts = df
+      .withColumn("__from", lag(col(stateCol), 1).over(w))
+      .filter(col("__from").isNotNull)
+      .groupBy(col("__from").as("from_state"), col(stateCol).as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy(col("from_state"))
+    counts.withColumn("prob",
+      round(col("n").cast("double") / sum(col("n")).over(byFrom).cast("double"), 6))
+  }
+
+  /** Top transitions per source state (ties broken by target state) —
+    * the "most likely next action" table a product-analytics user asks
+    * for. One extra window over the |states|²-bounded counts table. */
+  def topTransitions(df: DataFrame, partitionCols: Seq[String],
+                     orderCols: Seq[String], stateCol: String, k: Int): DataFrame = {
+    val t = transitions(df, partitionCols, orderCols, stateCol)
+    val w = Window.partitionBy(col("from_state"))
+      .orderBy(col("n").desc, col("to_state"))
+    t.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

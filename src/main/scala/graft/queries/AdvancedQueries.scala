@@ -1117,6 +1117,82 @@ object AdvancedQueries extends QuerySet {
        |WHERE ${graft.operators.Geo.withinPolygonSql("lat", "lon", geofencePoly)}
        |ORDER BY c_custkey""".stripMargin
 
+  /** PageRank over the supplier↔part co-supply graph
+    * ([[graft.operators.PageRank]]): bidirectional bipartite edges from
+    * lineitem (supplier 2k ↔ part 2k+1 in one node-id space), 5
+    * iterations, damping 0.85, ranks in exact BIGINT micro-units — the
+    * link-graph quality prior of a training pipeline, computed with two
+    * bounded shuffles per iteration and replayed exactly by the oracle's
+    * unrolled integer CTEs (no fp, so engines agree bit-for-bit). */
+  private def q155(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select(col("l_suppkey"), col("l_partkey"))
+    val edges = li.select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      .union(li.select((col("l_partkey") * 2 + 1).as("src"), (col("l_suppkey") * 2).as("dst")))
+    graft.operators.PageRank.run(edges, "src", "dst", iterations = 5)
+      .select(
+        when(pmod(col("node"), lit(2)) === 0, lit("supplier")).otherwise(lit("part")).as("kind"),
+        expr("node div 2").as("entity_id"), col("pr"))
+      .orderBy(col("pr").desc, col("kind"), col("entity_id"))
+      .limit(30)
+  }
+
+  private val q155Sql = {
+    val edges =
+      """SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+        |   UNION SELECT DISTINCT l_partkey * 2 + 1, l_suppkey * 2 FROM lineitem""".stripMargin
+    s"""WITH ${graft.operators.PageRank.oracleCtes(edges, iterations = 5)}
+       |SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END AS kind,
+       |  node // 2 AS entity_id, pr
+       |FROM r5 ORDER BY pr DESC, kind, entity_id LIMIT 30""".stripMargin
+  }
+
+  /** First-order Markov transition structure of per-user event sequences
+    * ([[graft.operators.Sequences.transitions]]): what follows what, with
+    * exact counts and row-conditional probabilities. One high-cardinality
+    * window shuffle + one |states|²-bounded aggregate. */
+  private def q156(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sequences.transitions(t(s, d, "events"),
+        partitionCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+        stateCol = "event_type")
+      .orderBy(col("from_state"), col("to_state"))
+
+  private val q156Sql =
+    """WITH s AS (
+      |  SELECT event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |c AS (
+      |  SELECT prev AS from_state, event_type AS to_state, COUNT(*) AS n
+      |  FROM s WHERE prev IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_state, to_state, n,
+      |  round(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_state) AS DOUBLE), 6) AS prob
+      |FROM c ORDER BY from_state, to_state""".stripMargin
+
+  /** Pareto skyline of urgent orders on (price, recency)
+    * ([[graft.operators.Skyline]]): the orders no other urgent order
+    * beats on both criteria. Two-phase local-frontier prune — never the
+    * O(n²) self-join the oracle replays (affordable only at verify SF,
+    * which is exactly why the operator exists). */
+  private def q160(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate").cast("timestamp").cast("long").as("od"))
+    graft.operators.Skyline.skyline(o, Seq("o_totalprice", "od"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q160Sql =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_totalprice, CAST(epoch(o_orderdate) AS BIGINT) AS od
+      |  FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT o_orderkey, o_totalprice, od FROM o a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM o b
+      |  WHERE b.o_totalprice >= a.o_totalprice AND b.od >= a.od
+      |    AND (b.o_totalprice > a.o_totalprice OR b.od > a.od))
+      |ORDER BY o_orderkey""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q23_asof_join", q23, Some(q23Sql), headline = true),
     Q("q24_sessionize", q24, Some(q24Sql), headline = true),
@@ -1154,5 +1230,8 @@ object AdvancedQueries extends QuerySet {
     Q("q149_geo_radius_join", q149, Some(q149Sql)),
     Q("q151_profile_corpus", q151, Some(q151Sql)),
     Q("q152_rolling_zscore", q152, Some(q152Sql)),
-    Q("q154_geo_fence", q154, Some(q154Sql)))
+    Q("q154_geo_fence", q154, Some(q154Sql)),
+    Q("q155_pagerank", q155, Some(q155Sql), headline = true),
+    Q("q156_markov_transitions", q156, Some(q156Sql)),
+    Q("q160_skyline", q160, Some(q160Sql)))
 }
