@@ -97,6 +97,35 @@ object Splits {
       .orderBy(col("shuffle_key"), col(idCol))
   }
 
+  /** Deterministic per-group bottom-k sample: the k rows with the
+    * smallest seeded stable-hash key in each group — EXACTLY k per group
+    * (vs [[stratifiedSample]]'s fractional expectation), uniform because
+    * the hash order is unrelated to any data order.
+    *
+    * This is the distributed, mergeable form of reservoir sampling:
+    * bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B)) (min-k of a
+    * union is the min-k of the per-part min-ks), so incremental
+    * pipelines keep a standing k-row sample per group and fold each new
+    * batch in without rescanning history — the same anti-rescan shape
+    * as the engine's incremental views. One shuffle (group window);
+    * `sample_rank` is the stable enumeration order for downstream
+    * subsampling (rank ≤ m is the same sample with k=m).
+    *
+    * Arithmetic is [[deterministicShuffle]]'s seeded Knuth hash — plain
+    * integer ops any engine replays exactly. */
+  def bottomKSample(df: DataFrame, idCol: String, groupCol: String,
+                    k: Int, seed: Long = 0L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val mixed = pmod(col(idCol).cast("long"), lit(TwoTo31))
+      .bitwiseXOR(lit(((seed % TwoTo31) + TwoTo31) % TwoTo31))
+    val key = pmod(mixed * KnuthC, lit(TwoTo32))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(key.asc, col(idCol).asc)
+    df.withColumn("sample_key", key)
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Deterministic mixture resampling: repeat or thin rows so each group
     * (source / domain / language) contributes `weight ×` its current
     * rows — the data-mixing step that turns corpus proportions into
