@@ -806,6 +806,60 @@ object TextQueries extends QuerySet {
       |SELECT w, COUNT(*) AS cnt FROM w GROUP BY w
       |ORDER BY cnt DESC, w LIMIT 20""".stripMargin
 
+  /** Deterministic per-group bottom-k sample
+    * ([[graft.operators.Splits.bottomKSample]]): exactly 25 uniform docs
+    * per source, chosen by seeded stable-hash order — the mergeable
+    * distributed reservoir (bottom-k of a union is the bottom-k of
+    * merged bottom-ks), replayed exactly by the oracle's integer hash. */
+  private def q157(s: SparkSession, d: String): DataFrame =
+    Splits.bottomKSample(t(s, d, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source", k = 25, seed = 11L)
+      .select(col("doc_id"), col("source"), col("sample_key"),
+        col("sample_rank").cast("long").as("sample_rank"))
+      .orderBy(col("source"), col("sample_rank"))
+
+  private val q157Sql =
+    """WITH h AS (
+      |  SELECT doc_id, source,
+      |    (xor(doc_id % 2147483648, 11) * 2654435761) % 4294967296 AS sample_key
+      |  FROM documents),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY sample_key, doc_id) AS sample_rank
+      |  FROM h)
+      |SELECT doc_id, source, sample_key, sample_rank FROM r
+      |WHERE sample_rank <= 25 ORDER BY source, sample_rank""".stripMargin
+
+  /** Persisted inverted index build + conjunctive keyword serve
+    * ([[graft.search.InvertedIndex]]): postings partitioned by term
+    * bucket, exact-integer TF·IDF (bits(N)−bits(df) weights — the rare
+    * query term dominates, the stopword-common ones contribute tf·0),
+    * AND semantics, top-10. The full persisted lifecycle runs inside
+    * the timing, like the vector store gates. */
+  private def q159(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q159").toString
+    graft.search.InvertedIndex.build(t(s, d, "documents"), "doc_id", "text", dir)
+    graft.search.InvertedIndex.search(s, dir, Seq("dup", "vector", "merge"), k = 10)
+  }
+
+  private val q159Sql =
+    """WITH occ AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      |  FROM documents),
+      |n AS (SELECT COUNT(*) AS nd FROM documents),
+      |tfq AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM occ
+      |  WHERE term IN ('dup', 'vector', 'merge') GROUP BY 1, 2),
+      |dfq AS (
+      |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM occ
+      |  WHERE term IN ('dup', 'vector', 'merge') GROUP BY 1),
+      |w AS (SELECT term, CAST(length(bin(nd)) - length(bin(df)) AS INTEGER) AS w
+      |      FROM dfq CROSS JOIN n),
+      |sc AS (
+      |  SELECT doc_id, CAST(SUM(tf * w) AS BIGINT) AS score
+      |  FROM tfq JOIN w USING (term) GROUP BY doc_id
+      |  HAVING COUNT(DISTINCT term) = 3)
+      |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -837,7 +891,9 @@ object TextQueries extends QuerySet {
     Q("q109_cluster_representative", q109, Some(q109Sql)),
     Q("q110_group_split", q110, Some(q110Sql)),
     Q("q122_pipeline_e2e", q122, Some(q122Sql), headline = true),
-    Q("q137_bpe_train", q137, Some(q137Sql)))
+    Q("q137_bpe_train", q137, Some(q137Sql)),
+    Q("q157_bottomk_sample", q157, Some(q157Sql)),
+    Q("q159_inverted_index", q159, Some(q159Sql), headline = true))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the
