@@ -918,6 +918,35 @@ object RagQueries extends QuerySet {
     if (roundTripExact) out else out.limit(0)
   }
 
+  /** Lossless CSV round trip ([[graft.sources.CsvRoundTrip]]): a payload
+    * deliberately containing the separator, the quote char, an embedded
+    * newline, a trailing backslash, plus NULL and empty-string rows —
+    * written RFC-4180 and read back schema-pinned. The oracle recomputes
+    * the payload straight from parquet, so any write- or read-side
+    * corruption (quote mangling, record split, NULL/empty collapse)
+    * breaks the hash. */
+  private def q158(s: SparkSession, d: String): DataFrame = {
+    val tricky = t(s, d, "customer").select(
+      col("c_custkey"),
+      when(pmod(col("c_custkey"), lit(5)) === 0, lit(null).cast("string"))
+        .when(pmod(col("c_custkey"), lit(5)) === 1, lit(""))
+        .otherwise(concat(col("c_name"), lit(",\""), lit("\n"),
+          col("c_mktsegment"), lit("\\"))).as("payload"),
+      col("c_acctbal"))
+    val dir = Files.createTempDirectory("graft-q158").toString + "/csv"
+    graft.sources.CsvRoundTrip.write(tricky, dir)
+    graft.sources.CsvRoundTrip.read(s, dir, tricky.schema)
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q158Sql =
+    """SELECT c_custkey,
+      |  CASE WHEN c_custkey % 5 = 0 THEN NULL
+      |       WHEN c_custkey % 5 = 1 THEN ''
+      |       ELSE c_name || ',"' || chr(10) || c_mktsegment || '\' END AS payload,
+      |  c_acctbal
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q60_rag_retrieval", q60, None, headline = true),
     Q("q64_ingest_embed_1536", q64, None, headline = true),
@@ -942,5 +971,6 @@ object RagQueries extends QuerySet {
     Q("q125_streaming_interval_join", q125, Some(q125Sql)),
     Q("q135_streaming_outer_join", q135, Some(q135Sql)),
     Q("q153_streaming_threshold", q153, Some(q153Sql)),
-    Q("q126_streaming_enrich", q126, Some(q126Sql)))
+    Q("q126_streaming_enrich", q126, Some(q126Sql)),
+    Q("q158_csv_roundtrip", q158, Some(q158Sql)))
 }
