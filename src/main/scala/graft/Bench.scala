@@ -8,7 +8,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus, "graft-bench")
+    // Local-iteration filter, mirroring Verify's: SPARK_GRAFT_ONLY=q155
+    // times only matching headline queries. Unset (the driver) = all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val names = SparkEntry.headlineQueries
+      .filter(n => only.forall(_.exists(n.startsWith)))
     val qmap = SparkEntry.queries
     // one warm-up pass over a cheap query to absorb codegen/JIT cost
     qmap(names.head)(spark, sfDir).count()

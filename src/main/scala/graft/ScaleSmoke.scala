@@ -68,6 +68,20 @@ object ScaleSmoke {
       else src.withColumn("o_orderkey", col("o_orderkey") + lit(c.toLong * IdStride))
     }.reduce(_ unionByName _)
 
+  /** lineitem ×10 with supplier/part keys shifted per copy: ten DISJOINT
+    * copies of the co-supply graph — nodes and edges both ×10 with the
+    * degree distribution preserved exactly, so PageRank's per-iteration
+    * join/aggregate cost scales with edges and the rank structure of
+    * each copy is isomorphic to the original (r9). */
+  private def scaleLineitem(src: DataFrame): DataFrame =
+    (0 until Copies).map { c =>
+      if (c == 0) src
+      else src
+        .withColumn("l_orderkey", col("l_orderkey") + lit(c.toLong * IdStride))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(c.toLong * IdStride))
+        .withColumn("l_partkey", col("l_partkey") + lit(c.toLong * IdStride))
+    }.reduce(_ unionByName _)
+
   private def buildIfMissing(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     val out = new java.io.File(outDir)
     if (new java.io.File(out, "_READY").exists()) return
@@ -77,10 +91,11 @@ object ScaleSmoke {
     write(scaleDocuments(spark.read.parquet(s"$srcDir/documents.parquet")), "documents")
     write(scaleEmbeddings(spark.read.parquet(s"$srcDir/embeddings.parquet")), "embeddings")
     write(scaleOrders(spark.read.parquet(s"$srcDir/orders.parquet")), "orders")
+    write(scaleLineitem(spark.read.parquet(s"$srcDir/lineitem.parquet")), "lineitem")
     // remaining tables ride along verbatim (small; queries under smoke
     // only scale documents/embeddings/orders)
     new java.io.File(srcDir).listFiles().filter(_.getName.endsWith(".parquet"))
-      .filterNot(f => Seq("documents", "embeddings", "orders")
+      .filterNot(f => Seq("documents", "embeddings", "orders", "lineitem")
         .contains(f.getName.stripSuffix(".parquet")))
       .foreach { f =>
         val dst = new java.io.File(out, f.getName).toPath
@@ -92,7 +107,7 @@ object ScaleSmoke {
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val outDir = args.lift(1).getOrElse("/tmp/graft-sf1")
+    val outDir = args.lift(1).getOrElse("/tmp/graft-sf1-r9") // new dir: r9 scales lineitem too
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus, "graft-scale-smoke")
     buildIfMissing(spark, srcDir, outDir)
@@ -103,7 +118,16 @@ object ScaleSmoke {
       // q137 = BPE training where the relabeled copies make the
       // vocabulary itself 10× (the vocab-bounded-iteration claim's
       // worst case — word count AND distinct words both scale)
-      "q129_image_phash_dedup", "q137_bpe_train")
+      "q129_image_phash_dedup", "q137_bpe_train",
+      // r9 additions: q155 = PageRank over 10 disjoint graph copies
+      // (edges ×10, 5 iterations of join+agg); q159 = inverted index
+      // over the relabeled corpus (distinct terms ×10 — the build's
+      // wordcount shuffle and the bucket layout both scale, while the
+      // serve still prunes to the queried terms' buckets); q160 =
+      // skyline with every frontier point duplicated ×10 (orders are
+      // key-shifted verbatim copies — the local-prune's tie handling
+      // is the stressed path, frontier ×10 but still tiny)
+      "q155_pagerank", "q159_inverted_index", "q160_skyline")
     val qmap = SparkEntry.queries
     qmap("q01_agg_pricing")(spark, outDir).count() // warm-up: codegen/JIT
     val results = names.map { name =>

@@ -53,12 +53,15 @@ object PageRank {
     require(dampNum > 0 && dampNum < dampDen, "damping must be in (0,1)")
     val spark = edges.sparkSession
 
+    // Out-degree is a per-SOURCE property: fold it into the edge table
+    // ONCE (a window over the source key costs one shuffle at build),
+    // so each iteration joins a single (src, dst, outdeg) relation —
+    // not edges ⋈ ranks ⋈ outdeg.
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
-      .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -69,18 +72,28 @@ object PageRank {
     require(n > 0, "empty graph")
     val base = (dampDen - dampNum) * scale / (dampDen * n) // positives: truncation == floor
 
+    // The rank table is one row per NODE — orders of magnitude smaller
+    // than the edge table on any natural graph. Up to ~50M nodes
+    // (~16 B/row) broadcasting it turns every iteration into a NARROW
+    // map over the cached edges plus ONE aggregate shuffle; beyond
+    // that, fall back to a hash join on src and let AQE pick the
+    // strategy. The iteration count is small and fixed, so lineage is
+    // cut by materializing each rank table before dropping the last.
+    val broadcastRanks = n <= 50000000L
+
     var ranks = nodes.withColumn("pr", lit(scale / n))
       .persist(StorageLevel.MEMORY_AND_DISK)
     ranks.count()
 
     (1 to iterations).foreach { _ =>
+      val r = ranks.withColumnRenamed("node", "src")
       val contribs = e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
+        .join(if (broadcastRanks) broadcast(r) else r, "src")
         .selectExpr("dst", "pr div outdeg AS c")
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
       val next = nodes
-        .join(contribs, nodes("node") === contribs("dst"), "left")
+        .join(if (broadcastRanks) broadcast(contribs) else contribs,
+          nodes("node") === contribs("dst"), "left")
         .selectExpr("node",
           s"$base + ($dampNum * coalesce(sc, CAST(0 AS BIGINT))) div $dampDen AS pr")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -89,7 +102,6 @@ object PageRank {
       ranks = next
     }
     e.unpersist(blocking = false)
-    outdeg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     ranks
   }

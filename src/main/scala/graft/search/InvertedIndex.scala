@@ -42,11 +42,17 @@ object InvertedIndex {
     import spark.implicits._
     Seq((buckets, n)).toDF("buckets", "n_docs")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // repartition BY BUCKET before the partitioned write: each bucket
+    // lands as one coherent file run instead of every write task
+    // spraying a sliver into every bucket directory (tasks × buckets
+    // small files — the classic partitionBy mistake at scale)
     val postings = docs
       .select(col(idCol).as("doc_id"), explode(terms(textCol)).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", Splits.hashBucket(Splits.stringKey(col("term")), buckets))
+      .repartition(col("bucket"))
+      .persist()
     postings.write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$dir/postings")
     postings
@@ -55,6 +61,7 @@ object InvertedIndex {
       .withColumn("w", length(bin(lit(n))) - length(bin(col("df"))))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$dir/terms")
+    postings.unpersist(blocking = false)
   }
 
   /** Driver-side replica of Splits.stringKey ∘ hashBucket for a query
