@@ -127,8 +127,40 @@ object RankingQueries extends QuerySet {
        |  FROM contrib GROUP BY doc_id) f
        |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Index-served BM25 ([[graft.search.InvertedIndex.searchBm25]]): the
+    * q66 ranking served from the persisted bucket-pruned postings instead
+    * of a corpus rescan — doc lengths ride in the posting rows, df
+    * aggregates over the in-flight posting lists, and the corpus stats
+    * are two literals from the maintained meta row, so serving cost
+    * tracks the query terms' posting lists, never the corpus. Built with
+    * the alnum tokenizer (= [[KeywordRank.tokens]]) so scores are
+    * BIT-IDENTICAL to the cold path on any corpus. In-query gate: the
+    * served scores must equal [[KeywordRank.bm25Direct]]'s over the FULL
+    * candidate set (both-ways exceptAll on the raw doubles) — any drift
+    * in stats maintenance or expression shape zeroes the output. */
+  private def q162(s: SparkSession, d: String): DataFrame = {
+    import graft.search.InvertedIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-q162").toString
+    val docs = t(s, d, "documents")
+    InvertedIndex.build(docs, "doc_id", "text", dir, tok = InvertedIndex.TokAlnum)
+    val served = InvertedIndex.searchBm25(s, dir, queryTerms).cache()
+    val cold = KeywordRank.bm25Direct(docs, "doc_id", "text", queryTerms)
+    val equal = served.exceptAll(cold).isEmpty && cold.exceptAll(served).isEmpty
+    val top = served
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+    if (equal) top else top.limit(0)
+  }
+
+  private val q162Sql =
+    s"""SELECT doc_id, round(score, 6) AS score
+       |FROM (${KeywordRank.Sql.bm25("documents", "doc_id", "text", queryTerms)}) b
+       |ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q65_tfidf", q65, Some(q65Sql), headline = true),
     Q("q66_bm25", q66, Some(q66Sql)),
-    Q("q67_hybrid_rrf", q67, Some(q67Sql), headline = true))
+    Q("q67_hybrid_rrf", q67, Some(q67Sql), headline = true),
+    Q("q162_bm25_index_served", q162, Some(q162Sql)))
 }

@@ -860,6 +860,85 @@ object TextQueries extends QuerySet {
       |  HAVING COUNT(DISTINCT term) = 3)
       |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Incremental inverted-index maintenance from the store change feed —
+    * the reference's AddRemoveData near-real-time contract
+    * (AddRemoveData.cs:64-105, README.md:182-194) applied to keyword
+    * search, the q139 pattern: the source-of-truth corpus mutates
+    * (delete + edit + insert epochs), [[graft.store.DocumentStore.changeFeed]]
+    * emits exactly the touched keys, and
+    * [[graft.search.InvertedIndex.remove]]/[[graft.search.InvertedIndex.add]]
+    * rewrite only the touched term buckets (COW — untouched buckets are
+    * carried by manifest reference). In-query gate: postings, docmap AND
+    * meta must hash-equal a FULL REBUILD over the mutated corpus
+    * (both-ways exceptAll), so a stale posting or drifted corpus stat
+    * zeroes the output even when it isn't in the top-k. The ranked query
+    * asks for a term that exists only post-sync ("graftnewterm"), so
+    * adds are proven searchable; the oracle replays the mutations
+    * relationally and re-derives the exact-integer tf·idf ranking. */
+  private def q161(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.search.InvertedIndex
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val src = new graft.store.DocumentStore(s,
+      Files.createTempDirectory("graft-q161-src").toString)
+    src.create("docs", docs)                                          // v1
+    val dir = Files.createTempDirectory("graft-q161-idx").toString
+    InvertedIndex.build(docs, "doc_id", "text", dir)
+    src.delete("docs", col("doc_id") % 17 === 3)                      // v2
+    val changed = docs.filter(col("doc_id") % 13 === 1)
+      .withColumn("text", concat(col("text"), lit(" graftnewterm")))
+    val inserted = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("graftnewterm table "), col("text")).as("text"))
+    src.upsert("docs", changed.unionByName(inserted), keys = Seq("doc_id")) // v3
+    val feed = src.changeFeed("docs", 1, 3, Seq("doc_id")).cache()
+    InvertedIndex.remove(s, dir,
+      feed.filter(col("change") === "delete").select("doc_id")
+        .collect().map(_.getLong(0)).toSeq)
+    InvertedIndex.add(s, dir,
+      feed.filter(col("change").isin("insert", "update"))
+        .select(col("doc_id"), col("text")), "doc_id", "text")
+    feed.unpersist(blocking = false)
+    val dir2 = Files.createTempDirectory("graft-q161-rebuild").toString
+    InvertedIndex.build(src.read("docs"), "doc_id", "text", dir2)
+    val sA = new graft.store.DocumentStore(s, dir)
+    val sB = new graft.store.DocumentStore(s, dir2)
+    val synced = Seq("postings", "docmap", "meta").forall { tb =>
+      val a = sA.read(tb); val b = sB.read(tb)
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    }
+    val res = InvertedIndex.search(s, dir, Seq("graftnewterm", "table"), k = 10)
+    if (synced) res else res.limit(0)
+  }
+
+  private val q161Sql =
+    """WITH v3 AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE NOT (doc_id % 17 = 3) AND NOT (doc_id % 13 = 1)
+      |  UNION ALL
+      |  SELECT doc_id, text || ' graftnewterm' AS text FROM documents
+      |  WHERE doc_id % 13 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, 'graftnewterm table ' || text AS text
+      |  FROM documents WHERE doc_id < 20),
+      |occ AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      |  FROM v3),
+      |n AS (SELECT COUNT(*) AS nd FROM v3),
+      |tfq AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM occ
+      |  WHERE term IN ('graftnewterm', 'table') GROUP BY 1, 2),
+      |dfq AS (
+      |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM occ
+      |  WHERE term IN ('graftnewterm', 'table') GROUP BY 1),
+      |w AS (SELECT term, CAST(length(bin(nd)) - length(bin(df)) AS INTEGER) AS w
+      |      FROM dfq CROSS JOIN n),
+      |sc AS (
+      |  SELECT doc_id, CAST(SUM(tf * w) AS BIGINT) AS score
+      |  FROM tfq JOIN w USING (term) GROUP BY doc_id
+      |  HAVING COUNT(DISTINCT term) = 2)
+      |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -893,7 +972,8 @@ object TextQueries extends QuerySet {
     Q("q122_pipeline_e2e", q122, Some(q122Sql), headline = true),
     Q("q137_bpe_train", q137, Some(q137Sql)),
     Q("q157_bottomk_sample", q157, Some(q157Sql)),
-    Q("q159_inverted_index", q159, Some(q159Sql), headline = true))
+    Q("q159_inverted_index", q159, Some(q159Sql), headline = true),
+    Q("q161_inverted_index_sync", q161, Some(q161Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the

@@ -1,93 +1,271 @@
 package graft.search
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 import graft.operators.Splits
+import graft.store.DocumentStore
 
 /** Persisted inverted index: the keyword-retrieval counterpart of the
   * vector stores (IvfStore/HnswStore) — build once over the corpus,
-  * serve term queries reading only the term's partitions.
+  * serve term queries reading only the term's partitions, and maintain
+  * the index incrementally from the store's change feed.
   *
   * The reference delegates keyword search entirely to Cosmos `$search`
-  * (reference Search/CognitiveSearch*); the engine owns it: postings are
-  * a parquet table partitioned by a stable TERM BUCKET, so a query for k
-  * terms prunes the scan to ≤ k buckets of ~1/B of the index — the
-  * partition-manifest discipline every store in this engine uses. At 100
-  * TB the build is one wordcount-shaped shuffle (map-side combined),
-  * and serving cost tracks the queried terms' posting lists, never the
-  * corpus.
+  * (MongoDbService.cs:194-227) and keeps its index "searchable in near
+  * real-time" through point add/remove (AddRemoveData.cs:64-105); the
+  * engine owns both halves. The index lives in the versioned COW
+  * [[DocumentStore]] as three tables:
   *
-  * Scoring is exact-integer TF·IDF: idf weight = bits(N) − bits(df)
-  * (floor-log2 via binary-string length — the q90 rarity idiom), score =
-  * Σ tf·w over the query terms, so the ranking is bit-reproducible and
-  * SQL-replayable. AND semantics: a hit must contain every query term.
+  *   postings  (bucket, term, doc_id, tf, len)  partitioned by term bucket
+  *   docmap    (dbucket, doc_id, len, buckets)  partitioned by doc bucket
+  *   meta      (buckets, n_docs, n_tokened, total_len, tok)  one row
+  *
+  * A query for k terms prunes the postings scan to ≤ k buckets of ~1/B of
+  * the index (manifest-level pruning — unqueried buckets are never even
+  * listed). `docmap` is the forward map that makes REMOVAL scale: it
+  * records which term buckets each document's postings live in, so
+  * deleting a document rewrites exactly those buckets instead of scanning
+  * the index (the same "victims from listings only" discipline as the
+  * store's compaction). Document length `len` is denormalized into each
+  * posting row — +8 bytes per posting buys BM25 serving with ZERO joins
+  * beyond the tiny per-term df aggregate.
+  *
+  * Incremental maintenance (the IvfStore.add/remove pattern — COW: only
+  * touched partitions are rewritten, one atomic manifest swap each):
+  *  - [[add]] upserts documents (insert or replace): old postings of
+  *    re-added docs are dropped from exactly their old buckets (via
+  *    docmap), fresh postings land in their new buckets;
+  *  - [[remove]] deletes documents from exactly the buckets docmap names.
+  * Corpus stats (n_docs / n_tokened / total_len) are maintained by exact
+  * integer delta — never a rescan — so df/idf NEVER serve stale: document
+  * frequency is computed live from the posting lists the query already
+  * reads (one extra aggregate over in-flight data), and the corpus-size
+  * terms come from the transactionally-maintained meta row. There is no
+  * refresh threshold to tune because nothing drifts. Mutations are
+  * single-writer (the store's CAS makes racing writers fail loudly, not
+  * corrupt); one logical mutation is 3-4 store commits, so a crash
+  * between them leaves a visibly half-synced index — re-run the sync (all
+  * operations are idempotent re-applications of the same delta).
+  *
+  * Scoring:
+  *  - [[search]] — conjunctive exact-integer TF·IDF: idf weight =
+  *    bits(N) − bits(df) (floor-log2 via binary-string length — the q90
+  *    rarity idiom), score = Σ tf·w, bit-reproducible and SQL-replayable;
+  *    a hit must contain every query term.
+  *  - [[searchBm25]] — disjunctive BM25 over the same pruned postings,
+  *    bit-identical to the cold-path [[graft.operators.KeywordRank]]
+  *    scores: identical expression tree (same IEEE evaluation order) and
+  *    the same exact DECIMAL(28,12) per-document accumulation. Exactness
+  *    condition: avg_len here is total_len/n_tokened in double arithmetic,
+  *    equal to the cold path's avg() while total_len < 2^53 (9e15 tokens —
+  *    three orders of magnitude past a 100 TB corpus).
   */
 object InvertedIndex {
 
-  /** Tokenize = the engine's standard whitespace atomization (empty
-    * tokens dropped); callers normalize upstream if needed. */
-  private def terms(textCol: String) =
-    filter(split(col(textCol), " "), t => t =!= "")
+  /** Tokenizer modes — persisted in meta so maintenance can never
+    * tokenize differently than the build did. */
+  val TokWhitespace = "ws"
+  /** Lowercased alphanumeric runs — exactly
+    * [[graft.operators.KeywordRank.tokens]], for BM25 bit-parity. */
+  val TokAlnum = "alnum"
 
-  /** Build postings + term stats under `dir`:
-    *   postings/  (term, doc_id, tf) partitioned by bucket
-    *   terms/     (term, df, w)      partitioned by bucket
-    *   meta/      (buckets, n_docs)  one row
-    * `w` bakes in the corpus size at build time; `meta` pins the bucket
-    * count so serve-side routing can never disagree with the layout. */
-  def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
-            buckets: Int = 64): Unit = {
-    val spark = docs.sparkSession
-    val n = docs.count()
+  private def termsExpr(tok: String, textCol: Column): Column = tok match {
+    case TokWhitespace => filter(split(textCol, " "), t => t =!= "")
+    case TokAlnum => regexp_extract_all(lower(textCol), lit("[a-z0-9]+"), lit(0))
+    case other => throw new IllegalArgumentException(s"unknown tokenizer '$other'")
+  }
+
+  private final case class Meta(buckets: Int, nDocs: Long, nTokened: Long,
+                                totalLen: Long, tok: String)
+
+  private def readMeta(store: DocumentStore): Meta = {
+    val r = store.read("meta").head()
+    Meta(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+  }
+
+  private def writeMeta(store: DocumentStore, m: Meta): Unit = {
+    val spark = store.spark
     import spark.implicits._
-    Seq((buckets, n)).toDF("buckets", "n_docs")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    // repartition BY BUCKET before the partitioned write: each bucket
-    // lands as one coherent file run instead of every write task
-    // spraying a sliver into every bucket directory (tasks × buckets
-    // small files — the classic partitionBy mistake at scale)
-    val postings = docs
-      .select(col(idCol).as("doc_id"), explode(terms(textCol)).as("term"))
+    store.create("meta", Seq((m.buckets, m.nDocs, m.nTokened, m.totalLen, m.tok))
+      .toDF("buckets", "n_docs", "n_tokened", "total_len", "tok").coalesce(1))
+  }
+
+  /** Term → bucket routing, computed by the ENGINE'S OWN column
+    * expressions on a local DataFrame — the build side and the serve side
+    * share one implementation, so routing can never silently drift from
+    * the layout (a hand-maintained driver replica of the hash would
+    * return empty results, not an error, the day either copy changed;
+    * UTF-16 vs code-point iteration already made non-BMP terms diverge
+    * once). Cost: one LocalTableScan job over ≤ |terms| rows. */
+  def termBuckets(spark: SparkSession, terms: Seq[String], buckets: Int): Map[String, Int] = {
+    import spark.implicits._
+    terms.distinct.toDF("term")
+      .withColumn("bucket", Splits.hashBucket(Splits.stringKey(col("term")), buckets))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+  }
+
+  /** Doc id → docmap bucket, same one-implementation rule as
+    * [[termBuckets]]. */
+  private def docBuckets(spark: SparkSession, ids: Seq[Long], buckets: Int): Map[Long, Int] = {
+    import spark.implicits._
+    ids.distinct.toDF("doc_id")
+      .withColumn("dbucket", Splits.hashBucket(col("doc_id"), buckets))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  /** (bucket, term, doc_id, tf, len) for a batch of documents — the
+    * wordcount shuffle plus one doc-keyed window for the length. */
+  private def postingsOf(docs: DataFrame, idCol: String, textCol: String,
+                         tok: String, buckets: Int): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(termsExpr(tok, col(textCol))).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", Splits.hashBucket(Splits.stringKey(col("term")), buckets))
-      .repartition(col("bucket"))
-      .persist()
-    postings.write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$dir/postings")
-    postings
-      .groupBy(col("bucket"), col("term"))
-      .agg(count(lit(1)).as("df"))
-      .withColumn("w", length(bin(lit(n))) - length(bin(col("df"))))
-      .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$dir/terms")
-    postings.unpersist(blocking = false)
+      .withColumn("len", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      .select(col("bucket"), col("term"), col("doc_id"), col("tf"), col("len"))
+
+  /** (dbucket, doc_id, len, buckets) for a batch — includes token-less
+    * documents (len 0, empty bucket list) so corpus counts stay exact. */
+  private def docmapOf(docs: DataFrame, idCol: String, post: DataFrame,
+                       buckets: Int): DataFrame = {
+    val perDoc = post.groupBy(col("doc_id"))
+      .agg(first(col("len")).as("len"),
+        sort_array(collect_set(col("bucket"))).as("buckets"))
+    docs.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        Splits.hashBucket(col("doc_id"), buckets).as("dbucket"),
+        col("doc_id"),
+        coalesce(col("len"), lit(0L)).as("len"),
+        coalesce(col("buckets"), array().cast("array<int>")).as("buckets"))
   }
 
-  /** Driver-side replica of Splits.stringKey ∘ hashBucket for a query
-    * term — computes which partitions to read without touching data. */
-  def bucketOf(term: String, buckets: Int = 64): Int = {
-    val key = term.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L)
-    ((key % 2147483648L) * 2654435761L % 4294967296L % buckets).toInt
+  /** Full build under `dir`. `repartition(bucket)` before the partitioned
+    * write keeps each bucket one coherent file run instead of every write
+    * task spraying a sliver into every bucket directory (tasks × buckets
+    * small files — the classic partitionBy mistake at scale). */
+  def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
+            buckets: Int = 64, tok: String = TokWhitespace): Unit = {
+    val spark = docs.sparkSession
+    val store = new DocumentStore(spark, dir)
+    val nAll = docs.count()
+    val post = postingsOf(docs, idCol, textCol, tok, buckets).persist()
+    val dmap = docmapOf(docs, idCol, post, buckets).persist()
+    val st = dmap.agg(
+      count(when(col("len") > 0, 1)).as("n_tokened"),
+      coalesce(sum(col("len")), lit(0L)).as("total_len")).head()
+    store.create("postings", post.repartition(col("bucket")),
+      partitionCol = Some("bucket"))
+    store.create("docmap", dmap.repartition(col("dbucket")),
+      partitionCol = Some("dbucket"))
+    writeMeta(store, Meta(buckets, nAll, st.getLong(0), st.getLong(1), tok))
+    post.unpersist(blocking = false)
+    dmap.unpersist(blocking = false)
   }
 
-  /** Conjunctive (all-terms) top-k: read only the query terms' buckets
-    * (bucket count comes from the index's own meta — the routing can
-    * never drift from the layout), join the tiny term-stats side
-    * broadcast, aggregate per doc. */
+  /** Docmap rows for a set of ids: manifest-pruned to the ids' dbuckets,
+    * delta-bounded collect (one short row per existing victim). */
+  private def victimRows(store: DocumentStore, ids: Seq[Long],
+                         meta: Meta): Array[(Long, Long, Seq[Int])] = {
+    if (ids.isEmpty) return Array.empty
+    val dbs = docBuckets(store.spark, ids, meta.buckets).values.toSeq.distinct
+    val dm = store.readPartitions("docmap", dbs.map(_.toString))
+    if (dm.columns.isEmpty) Array.empty
+    else dm.filter(col("doc_id").isin(ids.map(java.lang.Long.valueOf): _*))
+      .select(col("doc_id"), col("len"), col("buckets"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2)))
+  }
+
+  /** Incremental add/replace of documents (insert-or-update — the change
+    * feed's `insert`/`update` rows go here verbatim). Old postings of
+    * re-added documents are dropped from exactly their old term buckets
+    * (located via docmap, never a scan); fresh postings are upserted into
+    * their new buckets. Corpus stats move by exact integer delta. */
+  def add(spark: SparkSession, dir: String, docs: DataFrame,
+          idCol: String, textCol: String): Unit = {
+    val store = new DocumentStore(spark, dir)
+    val meta = readMeta(store)
+    val batch = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("__text")).dropDuplicates("doc_id").persist()
+    try {
+      val ids = batch.select("doc_id").collect().map(_.getLong(0)).toSeq
+      if (ids.isEmpty) return
+      val victims = victimRows(store, ids, meta)
+      // 1. drop re-added docs' old postings from exactly their old buckets
+      val oldBuckets = victims.flatMap(_._3).distinct
+      if (oldBuckets.nonEmpty)
+        store.delete("postings",
+          col("doc_id").isin(victims.map(v => java.lang.Long.valueOf(v._1)): _*),
+          touchedParts = Some(oldBuckets.map(_.toString)))
+      // 2. fresh postings + docmap rows for the batch
+      val post = postingsOf(batch, "doc_id", "__text", meta.tok, meta.buckets).persist()
+      val dmap = docmapOf(batch, "doc_id", post, meta.buckets)
+      store.upsert("postings", post, keys = Seq("bucket", "term", "doc_id"))
+      store.upsert("docmap", dmap, keys = Seq("dbucket", "doc_id"))
+      // 3. exact stat delta: batch contribution minus victim contribution
+      val st = post.groupBy(col("doc_id")).agg(first(col("len")).as("len"))
+        .agg(count(lit(1)).as("nt"), coalesce(sum(col("len")), lit(0L)).as("tl")).head()
+      post.unpersist(blocking = false)
+      writeMeta(store, meta.copy(
+        nDocs = meta.nDocs + ids.size - victims.length,
+        nTokened = meta.nTokened + st.getLong(0) - victims.count(_._2 > 0),
+        totalLen = meta.totalLen + st.getLong(1) - victims.map(_._2).sum))
+    } finally batch.unpersist(blocking = false)
+  }
+
+  /** Incremental removal by id: docmap names exactly the term buckets
+    * holding the victims' postings — only those (plus the victims' docmap
+    * buckets) are rewritten. Unknown ids are a no-op. */
+  def remove(spark: SparkSession, dir: String, ids: Seq[Long]): Unit = {
+    if (ids.isEmpty) return
+    val store = new DocumentStore(spark, dir)
+    val meta = readMeta(store)
+    val victims = victimRows(store, ids, meta)
+    if (victims.isEmpty) return
+    val victimIds = victims.map(v => java.lang.Long.valueOf(v._1)).toSeq
+    val oldBuckets = victims.flatMap(_._3).distinct
+    if (oldBuckets.nonEmpty)
+      store.delete("postings", col("doc_id").isin(victimIds: _*),
+        touchedParts = Some(oldBuckets.map(_.toString)))
+    val dbs = docBuckets(spark, victims.map(_._1).toSeq, meta.buckets)
+      .values.toSeq.distinct
+    store.delete("docmap", col("doc_id").isin(victimIds: _*),
+      touchedParts = Some(dbs.map(_.toString)))
+    writeMeta(store, meta.copy(
+      nDocs = meta.nDocs - victims.length,
+      nTokened = meta.nTokened - victims.count(_._2 > 0),
+      totalLen = meta.totalLen - victims.map(_._2).sum))
+  }
+
+  /** The pruned posting stream for a term set: ≤ |terms| buckets read via
+    * manifest pruning, then the term filter. */
+  private def prunedPostings(store: DocumentStore, meta: Meta,
+                             terms: Seq[String]): DataFrame = {
+    val bs = termBuckets(store.spark, terms, meta.buckets).values.toSeq.distinct
+    val post = store.readPartitions("postings", bs.map(_.toString))
+    if (post.columns.isEmpty) post
+    else post.filter(col("term").isin(terms: _*))
+  }
+
+  /** Conjunctive (all-terms) top-k, exact-integer TF·IDF. df is computed
+    * live from the posting lists the query already reads (never stale);
+    * N comes from the maintained meta row. */
   def search(spark: SparkSession, dir: String, queryTerms: Seq[String],
              k: Int): DataFrame = {
     require(queryTerms.nonEmpty, "need at least one term")
-    val buckets = spark.read.parquet(s"$dir/meta")
-      .select(col("buckets")).head().getInt(0)
+    val store = new DocumentStore(spark, dir)
+    val meta = readMeta(store)
     val distinctTerms = queryTerms.distinct
-    val bs = distinctTerms.map(bucketOf(_, buckets)).distinct
-    val post = spark.read.parquet(s"$dir/postings")
-      .filter(col("bucket").isin(bs.map(Integer.valueOf): _*) &&
-        col("term").isin(distinctTerms: _*))
-    val stats = spark.read.parquet(s"$dir/terms")
-      .filter(col("bucket").isin(bs.map(Integer.valueOf): _*) &&
-        col("term").isin(distinctTerms: _*))
+    val post = prunedPostings(store, meta, distinctTerms)
+    if (post.columns.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("doc_id", LongType), StructField("score", LongType))))
+    val stats = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("w", length(bin(lit(meta.nDocs))) - length(bin(col("df"))))
       .select(col("term"), col("w"))
     post.join(broadcast(stats), "term")
       .groupBy(col("doc_id"))
@@ -97,5 +275,38 @@ object InvertedIndex {
       .select(col("doc_id"), col("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Disjunctive BM25 over the pruned postings — the index-served form of
+    * [[graft.operators.KeywordRank.bm25Direct]], bit-identical scores
+    * (same expression tree, same DECIMAL(28,12) accumulation): every
+    * document containing ≥1 query term, (doc_id, score). Serving cost
+    * tracks the query terms' posting lists: `len` rides in the posting
+    * row, df is an aggregate over the in-flight postings, and the corpus
+    * stats are two literals from meta — no corpus-sized join anywhere. */
+  def searchBm25(spark: SparkSession, dir: String, queryTerms: Seq[String],
+                 k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one term")
+    val store = new DocumentStore(spark, dir)
+    val meta = readMeta(store)
+    require(meta.nTokened > 0, "index has no tokenized documents")
+    val distinctTerms = queryTerms.distinct
+    val post = prunedPostings(store, meta, distinctTerms)
+    if (post.columns.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("doc_id", LongType), StructField("score", DoubleType))))
+    val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // literals mirroring KeywordRank's stats columns: n_docs as double,
+    // avg_len = total/n in double arithmetic (== avg() while total<2^53)
+    val nDocs = lit(meta.nTokened.toDouble)
+    val avgLen = lit(meta.totalLen.toDouble / meta.nTokened)
+    post.join(broadcast(dfreq), "term")
+      .withColumn("idf", log(lit(1.0) +
+        (nDocs - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("part_score",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / avgLen)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("part_score").cast("decimal(28,12)")).cast("double").as("score"))
   }
 }

@@ -41,7 +41,7 @@ import org.apache.spark.util.sketch
   * storage layer's: real on HDFS/local posix; on S3-like stores the
   * single-writer contract carries the guarantee instead.
   */
-class DocumentStore(spark: SparkSession, root: String) {
+class DocumentStore(val spark: SparkSession, root: String) {
 
   private val hconf = spark.sessionState.newHadoopConf()
   private val fs: FileSystem = new HPath(root).getFileSystem(hconf)
@@ -496,6 +496,14 @@ class DocumentStore(spark: SparkSession, root: String) {
   }
 
   def version(table: String): Int = currentVersion(table)
+
+  /** Current version's physical layout: partition key → segment dir.
+    * Metadata-only (one manifest read). Lets callers and specs assert
+    * COW locality: a mutation that touches partition P must leave every
+    * other partition's segment dir ENTRY unchanged (carried by manifest
+    * reference, bytes never rewritten). */
+  def layout(table: String): Map[String, String] =
+    manifest(table, currentVersion(table))
 
   /** Per-partition physical layout: (partition key, file count, bytes).
     * Metadata-only (one listing per partition dir, no data read) — the

@@ -67,6 +67,14 @@ class KeywordRankSpec extends AnyFunSuite with SparkSuite {
     idx.close()
     assert(direct.nonEmpty)
     assert(direct.sameElements(indexed)) // ids AND raw double scores
+    // third leg: the PERSISTED index serve path (bucket-pruned postings,
+    // corpus stats from the maintained meta row) — same raw doubles
+    val dir = java.nio.file.Files.createTempDirectory("graft-kw-served").toString
+    graft.search.InvertedIndex.build(docs, "doc_id", "text", dir,
+      tok = graft.search.InvertedIndex.TokAlnum)
+    val served = graft.search.InvertedIndex.searchBm25(spark, dir, terms)
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    assert(direct.sameElements(served))
   }
 
   test("bm25Direct: docs containing no query term are absent") {

@@ -4,10 +4,12 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkSuite
+import graft.operators.KeywordRank
+import graft.store.DocumentStore
 
 class InvertedIndexSpec extends AnyFunSuite with SparkSuite {
 
-  private lazy val corpus = {
+  private def corpus = {
     import spark.implicits._
     Seq(
       (1L, "apple banana apple cherry"),
@@ -39,24 +41,22 @@ class InvertedIndexSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("rare terms outweigh common ones") {
-    // durian df=2 → w = 3-2=1... rare vs apple same here; use single-term
-    // ranking: tf decides within equal weights
     val got = InvertedIndex.search(spark, dir, Seq("apple"), k = 2)
       .collect().map(r => r.getLong(0)).toSeq
     assert(got == Seq(4L, 1L)) // tf 3 then tf 2
   }
 
-  test("serve prunes to the query terms' buckets") {
-    val terms = Seq("apple")
-    val b = InvertedIndex.bucketOf("apple", 8)
-    val post = spark.read.parquet(s"$dir/postings")
-      .filter(col("bucket") === b && col("term") === "apple")
-    // the driver-side bucket matches where the build actually put the term
+  test("serve prunes to the query terms' buckets (layout agreement)") {
+    val store = new DocumentStore(spark, dir)
+    val b = InvertedIndex.termBuckets(spark, Seq("apple"), 8)("apple")
+    // the routing expression agrees with where the build put the term
+    val post = store.readPartitions("postings", Seq(b.toString))
+      .filter(col("term") === "apple")
     assert(post.count() == 3) // docs 1, 2, 4
     // and a wrong bucket finds nothing (layout is really bucket-partitioned)
-    val wrong = spark.read.parquet(s"$dir/postings")
-      .filter(col("bucket") === ((b + 1) % 8) && col("term") === "apple")
-    assert(wrong.count() == 0)
+    val wrong = store.readPartitions("postings", Seq(((b + 1) % 8).toString))
+      .filter(col("term") === "apple")
+    assert(wrong.columns.isEmpty || wrong.count() == 0)
   }
 
   test("duplicate query terms collapse; unknown term empties the result") {
@@ -64,5 +64,143 @@ class InvertedIndexSpec extends AnyFunSuite with SparkSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(dup == Set(1L, 2L, 4L))
     assert(InvertedIndex.search(spark, dir, Seq("apple", "zzz"), k = 10).count() == 0)
+  }
+
+  test("non-BMP terms route to the same bucket at build and serve") {
+    // emoji + CJK terms: UTF-16 code-unit vs code-point folding disagree
+    // here — one shared Column expression makes drift impossible
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-invidx-bmp").toString
+    val docs = Seq((1L, "漢字 🦄 plain"), (2L, "🦄 🦄 other")).toDF("doc_id", "text")
+    InvertedIndex.build(docs, "doc_id", "text", d, buckets = 8)
+    val uni = InvertedIndex.search(spark, d, Seq("🦄"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(uni.map(_._1).toSet == Set(1L, 2L)) // found, not silently empty
+    val cjk = InvertedIndex.search(spark, d, Seq("漢字"), k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(cjk == Seq(1L))
+  }
+
+  // ---- incremental maintenance ----------------------------------------
+
+  private def freshIndex(): String = {
+    val d = Files.createTempDirectory("graft-invidx-inc").toString
+    InvertedIndex.build(corpus, "doc_id", "text", d, buckets = 8)
+    d
+  }
+
+  private def tableHashEq(a: String, b: String, table: String): Boolean = {
+    val sa = new DocumentStore(spark, a).read(table)
+    val sb = new DocumentStore(spark, b).read(table)
+    sa.exceptAll(sb).isEmpty && sb.exceptAll(sa).isEmpty
+  }
+
+  test("add: new document is immediately searchable (tf·idf and BM25)") {
+    import spark.implicits._
+    val d = freshIndex()
+    InvertedIndex.add(spark, d, Seq((6L, "elderberry apple")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val got = InvertedIndex.search(spark, d, Seq("elderberry"), k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(6L))
+    val bm = InvertedIndex.searchBm25(spark, d, Seq("elderberry"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(bm == Seq(6L))
+  }
+
+  test("add of an existing id replaces its postings (stale terms gone)") {
+    import spark.implicits._
+    val d = freshIndex()
+    // doc 5 was "durian" → becomes "fig"
+    InvertedIndex.add(spark, d, Seq((5L, "fig")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(InvertedIndex.search(spark, d, Seq("fig"), k = 10)
+      .collect().map(_.getLong(0)).toSeq == Seq(5L))
+    val durian = InvertedIndex.search(spark, d, Seq("durian"), k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(durian == Set(3L)) // doc 5's stale durian posting is gone
+  }
+
+  test("remove: document vanishes from results; unknown id is a no-op") {
+    val d = freshIndex()
+    InvertedIndex.remove(spark, d, Seq(4L, 999L))
+    val got = InvertedIndex.search(spark, d, Seq("apple"), k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+  }
+
+  test("mutations converge to the full-rebuild index (postings, docmap, meta)") {
+    import spark.implicits._
+    val d = freshIndex()
+    InvertedIndex.remove(spark, d, Seq(3L))
+    InvertedIndex.add(spark, d,
+      Seq((5L, "fig grape"), (7L, "apple grape")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    // reference: rebuild from scratch over the mutated corpus
+    val cur = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "apple banana"),
+      (4L, "apple apple apple banana cherry"),
+      (5L, "fig grape"),
+      (7L, "apple grape")
+    ).toDF("doc_id", "text")
+    val d2 = Files.createTempDirectory("graft-invidx-rebuild").toString
+    InvertedIndex.build(cur, "doc_id", "text", d2, buckets = 8)
+    Seq("postings", "docmap", "meta").foreach { t =>
+      assert(tableHashEq(d, d2, t), s"table $t diverged from rebuild")
+    }
+  }
+
+  test("COW locality: untouched term buckets keep their segment dirs") {
+    import spark.implicits._
+    val d = freshIndex()
+    val store = new DocumentStore(spark, d)
+    val before = store.layout("postings")
+    val touched = InvertedIndex.termBuckets(spark, Seq("kiwi"), 8)
+      .values.map(_.toString).toSet
+    assert(before.keySet.diff(touched).nonEmpty, "test needs an untouched bucket")
+    InvertedIndex.add(spark, d, Seq((8L, "kiwi")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val after = store.layout("postings")
+    before.keySet.diff(touched).foreach { bucket =>
+      assert(after(bucket) == before(bucket),
+        s"untouched bucket $bucket was rewritten")
+    }
+  }
+
+  test("BM25 serve is bit-identical to the cold path on a punctuated corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The QUICK brown-fox, jumps; over the lazy dog!"),
+      (2L, "quick quick dog?"),
+      (3L, "Nothing relevant here at all."),
+      (4L, "Dog... dog... DOG (and fox).")
+    ).toDF("doc_id", "text")
+    val d = Files.createTempDirectory("graft-invidx-bm25").toString
+    InvertedIndex.build(docs, "doc_id", "text", d, buckets = 8,
+      tok = InvertedIndex.TokAlnum)
+    val terms = Seq("quick", "dog")
+    val served = InvertedIndex.searchBm25(spark, d, terms)
+    val cold = KeywordRank.bm25Direct(docs, "doc_id", "text", terms)
+    val indexed = KeywordRank.bm25Indexed(
+      KeywordRank.buildIndex(docs, "doc_id", "text", persist = false), terms)
+    assert(served.exceptAll(cold).isEmpty && cold.exceptAll(served).isEmpty,
+      "served vs bm25Direct diverged")
+    assert(served.exceptAll(indexed).isEmpty && indexed.exceptAll(served).isEmpty,
+      "served vs bm25Indexed diverged")
+    // and maintenance preserves parity: mutate, compare against cold path
+    InvertedIndex.remove(spark, d, Seq(3L))
+    InvertedIndex.add(spark, d, Seq((5L, "A dog. A fox. A QUICK end."))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    val mutated = Seq(
+      (1L, "The QUICK brown-fox, jumps; over the lazy dog!"),
+      (2L, "quick quick dog?"),
+      (4L, "Dog... dog... DOG (and fox)."),
+      (5L, "A dog. A fox. A QUICK end.")
+    ).toDF("doc_id", "text")
+    val served2 = InvertedIndex.searchBm25(spark, d, terms)
+    val cold2 = KeywordRank.bm25Direct(mutated, "doc_id", "text", terms)
+    assert(served2.exceptAll(cold2).isEmpty && cold2.exceptAll(served2).isEmpty,
+      "post-mutation served vs cold path diverged")
   }
 }
