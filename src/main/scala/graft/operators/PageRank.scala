@@ -36,21 +36,48 @@ import org.apache.spark.storage.StorageLevel
   * graph, which has no dangling nodes by construction).
   *
   * 100 TB shape: per iteration cost is one co-partitioned join + one
-  * bounded aggregate; lineage is cut by materializing each iteration
-  * (persist + count, previous iteration unpersisted), so K iterations
-  * never replay the chain and the plan depth stays constant.
+  * bounded aggregate; lineage AND logical plan are cut by eagerly
+  * local-checkpointing each iteration (a leaf LogicalRDD — persist+count
+  * caches rows but leaves the plan tree growing, which OOMs plan
+  * analysis around iteration 50), so K iterations never replay the
+  * chain and plan depth is genuinely constant at any K.
   */
 object PageRank {
 
-  /** Run `iterations` PageRank steps over a directed edge list.
+  /** Run up to `iterations` PageRank steps over a directed edge list.
     * Returns (node BIGINT, pr BIGINT) with Σ pr ≤ scale (exact integer
     * truncation loss only). Self-loops and duplicate edges are legal;
-    * duplicates are collapsed. */
+    * duplicates are collapsed.
+    *
+    * The returned DataFrame is an eager local checkpoint: its blocks
+    * (MEMORY_AND_DISK) back every later action without replaying the
+    * fixpoint, and they are reclaimed by the ContextCleaner once the
+    * caller drops the reference — no explicit unpersist needed, and
+    * nothing is pinned in the CacheManager across invocations.
+    *
+    * `redistributeDangling = true` switches to the mass-conserving
+    * variant: each iteration the dangling nodes' aggregate rank S is
+    * fed back uniformly, rᵢ₊₁(v) += dampNum·(S div N) inside the damped
+    * term — still exact integer arithmetic (S is one scalar aggregate
+    * per iteration over the already-materialized rank table), so the
+    * unrolled SQL oracle replays it verbatim ([[oracleCtes]] with
+    * `redistribute = true`).
+    *
+    * `toleranceMicro > 0` adds an L1 stopping rule: after each
+    * iteration, Σ|rᵢ−rᵢ₋₁| (exact BIGINT — both tables are
+    * materialized integers) is compared against the tolerance and the
+    * walk stops early once the trajectory moved less than it. Cost: one
+    * extra co-partitioned join + scalar aggregate per iteration —
+    * pay it when iteration count is data-dependent, skip it (default)
+    * when the count is fixed and SQL-replayable. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           iterations: Int, dampNum: Long = 85L, dampDen: Long = 100L,
-          scale: Long = 1000000000000L): DataFrame = {
+          scale: Long = 1000000000000L,
+          redistributeDangling: Boolean = false,
+          toleranceMicro: Long = 0L): DataFrame = {
     require(iterations >= 0, "iterations must be non-negative")
     require(dampNum > 0 && dampNum < dampDen, "damping must be in (0,1)")
+    require(toleranceMicro >= 0, "tolerance must be non-negative")
     val spark = edges.sparkSession
 
     // Out-degree is a per-SOURCE property: fold it into the edge table
@@ -73,64 +100,120 @@ object PageRank {
     val base = (dampDen - dampNum) * scale / (dampDen * n) // positives: truncation == floor
 
     // The rank table is one row per NODE — orders of magnitude smaller
-    // than the edge table on any natural graph. Up to ~50M nodes
-    // (~16 B/row) broadcasting it turns every iteration into a NARROW
-    // map over the cached edges plus ONE aggregate shuffle; beyond
-    // that, fall back to a hash join on src and let AQE pick the
-    // strategy. The iteration count is small and fixed, so lineage is
-    // cut by materializing each rank table before dropping the last.
-    val broadcastRanks = n <= 50000000L
+    // than the edge table on any natural graph. Up to 4M nodes (~64 MB
+    // of (long, long) rows — comfortably inside Spark's broadcast
+    // envelope; rank AND contrib tables are broadcast EACH iteration,
+    // so the threshold must stay well under the 8 GB relation limit and
+    // the driver heap, not anywhere near it) broadcasting it turns
+    // every iteration into a NARROW map over the cached edges plus ONE
+    // aggregate shuffle; beyond that, fall back to a hash join on src
+    // and let AQE pick the strategy. The iteration count is bounded, so
+    // lineage is cut by materializing each rank table before dropping
+    // the last.
+    val broadcastRanks = n <= 4000000L
 
-    var ranks = nodes.withColumn("pr", lit(scale / n))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    ranks.count()
+    // dangling nodes (no out-edges) — only needed for redistribution
+    lazy val dangling = nodes.join(e.select(col("src").as("node")).distinct(),
+      Seq("node"), "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
 
-    (1 to iterations).foreach { _ =>
+    // Iteration materialization is an EAGER LOCAL CHECKPOINT, not
+    // persist+count: persist caches the rows but the LOGICAL PLAN keeps
+    // nesting (join-over-join-over-join), and by iteration ~50 plan
+    // analysis/stringification alone OOMs the driver — the classic
+    // iterative-Spark failure. localCheckpoint replaces the plan with a
+    // leaf LogicalRDD, so plan depth is genuinely constant at any
+    // iteration count. The previous iteration's checkpoint blocks are
+    // released EXPLICITLY (tracked via getPersistentRDDs — only the
+    // no-longer-referenced table is dropped, never the one being
+    // returned). Cluster caveat: local checkpoints cannot recompute
+    // after executor loss — on long unattended runs, a reliable
+    // checkpoint dir is the standard remedy.
+    val sc = spark.sparkContext
+    def materialize(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint(eager = true)
+      (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
+    var (ranks, ranksIds) = materialize(nodes.withColumn("pr", lit(scale / n)))
+
+    var i = 0
+    var moved = true
+    while (i < iterations && moved) {
+      // mass-conservation term: S div N, one scalar aggregate over the
+      // materialized rank table (exact integers; positives, so Scala's
+      // truncating / == floor). Zero when the variant is off.
+      val sinkShare: Long =
+        if (!redistributeDangling) 0L
+        else ranks.join(dangling, "node")
+          .agg(coalesce(sum(col("pr")), lit(0L))).head().getLong(0) / n
       val r = ranks.withColumnRenamed("node", "src")
       val contribs = e
         .join(if (broadcastRanks) broadcast(r) else r, "src")
         .selectExpr("dst", "pr div outdeg AS c")
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-      val next = nodes
+      val (next, nextIds) = materialize(nodes
         .join(if (broadcastRanks) broadcast(contribs) else contribs,
           nodes("node") === contribs("dst"), "left")
         .selectExpr("node",
-          s"$base + ($dampNum * coalesce(sc, CAST(0 AS BIGINT))) div $dampDen AS pr")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before releasing the previous iteration
-      ranks.unpersist(blocking = false)
+          s"$base + ($dampNum * (coalesce(sc, CAST(0 AS BIGINT)) + $sinkShare)) div $dampDen AS pr"))
+      if (toleranceMicro > 0) {
+        val delta = next.join(ranks.withColumnRenamed("pr", "pr0"), "node")
+          .agg(coalesce(sum(abs(col("pr") - col("pr0"))), lit(0L)))
+          .head().getLong(0)
+        moved = delta > toleranceMicro
+      }
+      release(ranksIds)
       ranks = next
+      ranksIds = nextIds
+      i += 1
     }
     e.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
+    if (redistributeDangling) dangling.unpersist(blocking = false)
     ranks
   }
 
   /** The matching DuckDB oracle: unrolled iteration CTEs replaying the
     * identical integer arithmetic (`//` floors, `div` truncates — equal
     * on the positives this recursion stays in). `edgesCte` must define
-    * a relation `e(src, dst)` already deduplicated. */
+    * a relation `e(src, dst)` already deduplicated. `redistribute`
+    * mirrors [[run]]'s mass-conserving variant: each step's dangling
+    * mass S feeds back as S // n inside the damped term. */
   def oracleCtes(edgesCte: String, iterations: Int,
                  dampNum: Long = 85L, dampDen: Long = 100L,
-                 scale: Long = 1000000000000L): String = {
+                 scale: Long = 1000000000000L,
+                 redistribute: Boolean = false): String = {
     val header =
       s"""e AS ($edgesCte),
          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
          |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
          |meta AS (SELECT COUNT(*) AS n FROM nodes),
          |r0 AS (SELECT node, CAST($scale // n AS BIGINT) AS pr FROM nodes CROSS JOIN meta)""".stripMargin
-    val steps = (1 to iterations).map { i =>
+    val steps = (1 to iterations).flatMap { i =>
       // CAST: DuckDB SUM(BIGINT) widens to HUGEINT, which pandas/the
       // driver compare read as float — pin every step back to BIGINT
-      s"""r$i AS (
-         |  SELECT v.node,
-         |    CAST((${dampDen - dampNum} * $scale) // ($dampDen * meta.n)
-         |      + ($dampNum * COALESCE(SUM(r${i - 1}.pr // deg.outdeg), 0)) // $dampDen AS BIGINT) AS pr
-         |  FROM nodes v CROSS JOIN meta
-         |  LEFT JOIN e ON e.dst = v.node
-         |  LEFT JOIN r${i - 1} ON r${i - 1}.node = e.src
-         |  LEFT JOIN deg ON deg.src = e.src
-         |  GROUP BY v.node, meta.n)""".stripMargin
+      val sinkCte =
+        if (!redistribute) None
+        else Some(s"""s$i AS (
+           |  SELECT CAST(COALESCE((SELECT SUM(pr) FROM r${i - 1}
+           |    WHERE node NOT IN (SELECT src FROM e)), 0) // meta.n AS BIGINT) AS share
+           |  FROM meta)""".stripMargin)
+      val sinkTerm = if (redistribute) s" + s$i.share" else ""
+      val sinkJoin = if (redistribute) s" CROSS JOIN s$i" else ""
+      val step =
+        s"""r$i AS (
+           |  SELECT v.node,
+           |    CAST((${dampDen - dampNum} * $scale) // ($dampDen * meta.n)
+           |      + ($dampNum * (COALESCE(SUM(r${i - 1}.pr // deg.outdeg), 0)$sinkTerm)) // $dampDen AS BIGINT) AS pr
+           |  FROM nodes v CROSS JOIN meta$sinkJoin
+           |  LEFT JOIN e ON e.dst = v.node
+           |  LEFT JOIN r${i - 1} ON r${i - 1}.node = e.src
+           |  LEFT JOIN deg ON deg.src = e.src
+           |  GROUP BY v.node, meta.n${if (redistribute) s", s$i.share" else ""})""".stripMargin
+      sinkCte.toSeq :+ step
     }
     (header +: steps).mkString(",\n")
   }

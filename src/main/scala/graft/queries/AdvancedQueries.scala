@@ -1125,7 +1125,12 @@ object AdvancedQueries extends QuerySet {
     * bounded shuffles per iteration and replayed exactly by the oracle's
     * unrolled integer CTEs (no fp, so engines agree bit-for-bit). */
   private def q155(s: SparkSession, d: String): DataFrame = {
-    val li = t(s, d, "lineitem").select(col("l_suppkey"), col("l_partkey"))
+    // cast to LONG before the *2/+1 id arithmetic: INT32 parquet keys at
+    // large SF would silently wrap under non-ANSI Spark while the DuckDB
+    // oracle widens — an engine/oracle divergence exactly at scale
+    val li = t(s, d, "lineitem").select(
+      col("l_suppkey").cast("long").as("l_suppkey"),
+      col("l_partkey").cast("long").as("l_partkey"))
     val edges = li.select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
       .union(li.select((col("l_partkey") * 2 + 1).as("src"), (col("l_suppkey") * 2).as("dst")))
     graft.operators.PageRank.run(edges, "src", "dst", iterations = 5)

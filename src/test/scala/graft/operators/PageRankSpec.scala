@@ -55,4 +55,57 @@ class PageRankSpec extends AnyFunSuite with SparkSuite {
     val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 3L)
     assert(ranks(e, 4) == ranks(e.repartition(7), 4))
   }
+
+  /** Unrolled integer replay of the redistribution variant — the same
+    * arithmetic [[PageRank.oracleCtes]] emits with redistribute=true. */
+  private def replayRedistribute(es: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = es.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val outdeg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = nodes.size.toLong
+    val base = 15L * S / (100L * n)
+    var r = nodes.map(_ -> S / n).toMap
+    (1 to iters).foreach { _ =>
+      val sink = nodes.filterNot(outdeg.contains).map(r).sum / n
+      r = nodes.map { v =>
+        val in = e.filter(_._2 == v).map { case (u, _) => r(u) / outdeg(u) }.sum
+        v -> (base + 85L * (in + sink) / 100L)
+      }.toMap
+    }
+    r
+  }
+
+  test("dangling-node graph: redistribution matches the unrolled oracle " +
+    "and conserves mass where the default leaks it") {
+    // 1 -> 2 -> 3, 1 -> 3: node 3 is dangling and rank-heavy
+    val es = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L)
+    val got = PageRank.run(edges(es: _*), "src", "dst", iterations = 4,
+        redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == replayRedistribute(es, 4))
+    // mass conservation: redistribution keeps the total within integer
+    // truncation of scale; the default variant leaks the damped sink mass
+    val totalRedis = got.values.sum
+    assert(totalRedis <= S && totalRedis > S - 100)
+    val totalLeaky = ranks(edges(es: _*), 4).values.sum
+    assert(totalLeaky < totalRedis - S / 100) // visibly less mass
+  }
+
+  test("L1 tolerance stops early: a fixed point stops after one iteration") {
+    // two-node cycle at uniform mass never moves → delta 0 ≤ any tol>0
+    val e = edges(1L -> 2L, 2L -> 1L)
+    val tol = PageRank.run(e, "src", "dst", iterations = 50, toleranceMicro = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tol == Map(1L -> S / 2, 2L -> S / 2))
+    // and on a moving trajectory the rule stops at the SAME integer table
+    // a fixed-iteration run reaches once its step delta is under tol
+    val chain = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 3L)
+    val bounded = PageRank.run(chain, "src", "dst", iterations = 60,
+        toleranceMicro = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exhaustive = ranks(chain, 60)
+    // converged-by-tolerance trajectory must agree with the exhaustive
+    // fixpoint to within the tolerance on every node
+    assert(bounded.forall { case (k, v) => math.abs(v - exhaustive(k)) <= 1000L })
+  }
 }
