@@ -25,41 +25,54 @@ object Bench {
       try { qmap(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
     }
-    // median of three, INTERLEAVED: three full passes over the headline
-    // list, per-query median across passes. Back-to-back repeats let one
-    // multi-second co-scheduling stall poison all three samples of a
-    // single query (observed: the same query swinging 0.7 s ↔ 7.7 s
-    // between bench invocations with zero code change); interleaving
-    // spreads a transient stall across different queries' single runs,
-    // which the per-query median then rejects.
+    // CONVERGED interleaved passes: full passes over the headline list,
+    // repeated until the pass total's pass-over-pass delta is <10% (min
+    // 3 passes, cap 6), per-query median over the LAST three passes.
+    // Interleaving spreads a transient co-scheduling stall across
+    // different queries' single runs, which the per-query median then
+    // rejects (observed: the same query swinging 0.7 s ↔ 7.7 s between
+    // invocations with zero code change). The convergence rule makes the
+    // capture self-interpreting: BENCH_r09's own passes (82→64→54 s,
+    // still descending at the old fixed cutoff of 3) showed a warm-in
+    // that never reached steady state; now the run keeps going until it
+    // does — or says so (`converged:false` at the pass cap).
     //
-    // Self-documentation: the JSON carries each pass's total and the
-    // OS 1-min load average sampled before the run and after every
-    // pass, so a contention-inflated capture is machine-readable as
-    // such (three rounds running, interpreting the driver number has
-    // needed a manual re-run; cold/contended signatures are a uniform
+    // Self-documentation: the JSON carries each pass's total, the OS
+    // 1-min load average sampled before the run and after every pass,
+    // and the convergence verdict, so a contention-inflated capture is
+    // machine-readable as such (cold/contended signatures are a uniform
     // per-query multiplier + elevated loadavg, see PLANS.md).
     def loadavg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
     val loads = scala.collection.mutable.ArrayBuffer(loadavg)
-    val passes = Seq.fill(3) {
-      val p = names.map(n => n -> once(n)).toMap
+    val passes = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    def passTotal(p: Map[String, Double]): Double =
+      names.map(n => math.max(p(n), 0.0)).sum
+    val minPasses = 3
+    val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_PASSES", "6").toInt
+    var converged = false
+    while (passes.length < maxPasses && !converged) {
+      passes += names.map(n => n -> once(n)).toMap
       loads += loadavg
-      p
+      if (passes.length >= minPasses) {
+        val t1 = passTotal(passes(passes.length - 2))
+        val t2 = passTotal(passes.last)
+        converged = math.abs(t1 - t2) <= 0.10 * math.max(t1, t2)
+      }
     }
+    val window = passes.takeRight(3)
     val results = names.map { name =>
-      val ts = passes.map(_(name))
-      name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1))
+      val ts = window.map(_(name))
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.length / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     def fmt(d: Double): String = "%.3f".format(d)
-    val passTotals = passes.map(p => fmt(names.map(n => math.max(p(n), 0.0)).sum))
-      .mkString("[", ",", "]")
+    val passTotals = passes.map(p => fmt(passTotal(p))).mkString("[", ",", "]")
     val loadsJson = loads.map(fmt).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passTotals,"loadavg":$loadsJson,"cpus":$cpus}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passTotals,"converged":$converged,"loadavg":$loadsJson,"cpus":$cpus}""")
     spark.stop()
   }
 }

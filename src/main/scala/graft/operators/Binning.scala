@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Equal-frequency (quantile) binning — per-group feature
+  * discretization: every row gets a bin 1..bins such that bins hold
+  * (near-)equal row counts within its group, plus the realized per-bin
+  * value boundaries. The standard pre-training feature transform
+  * (difficulty buckets from a quality score, length buckets for
+  * curriculum/packing strata, price tiers) stated as one window pass —
+  * the binned column is what a training sampler stratifies on.
+  *
+  * Assignment is `ntile(bins)` over (value, id): the tie-break by id
+  * makes the assignment fully deterministic and engine-exact (SQL
+  * NTILE is defined by rank arithmetic, no estimation), unlike
+  * percentile-cut approaches that inherit interpolation semantics.
+  *
+  * Scale shape: ONE `Exchange(group)` + per-partition sort serves the
+  * window; the boundaries table is a map-side-combined aggregate of
+  * (group, bin) cardinality — output is groups×bins rows. The window
+  * sorts each group's rows on one partition: groups must be
+  * plural-per-corpus (source, lang, shard), not one global group — for
+  * a single global group at 100 TB, range-partition on value first and
+  * bin per range (the q86 two-phase cumsum shape). */
+object Binning {
+
+  /** Adds `bin` (1-based) to every row of `df`. */
+  def equalFrequency(df: DataFrame, groupCol: String, valueCol: String,
+                     idCol: String, bins: Int): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    df.withColumn("bin", ntile(bins).over(w))
+  }
+
+  /** Per-(group, bin) summary: row count and realized [lo, hi] value
+    * boundaries — the bin dictionary a serving layer applies to new
+    * rows. */
+  def boundaries(binned: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    binned.groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("lo"),
+        max(col(valueCol)).as("hi"))
+}

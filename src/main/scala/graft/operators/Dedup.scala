@@ -126,6 +126,65 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Exact n-gram CONTAINMENT pairs: |S(a)∩S(b)| / |S(a)| ≥ num/den —
+    * the ASYMMETRIC near-dup relation (Broder, "On the resemblance and
+    * containment of documents", SEQUENCES 1997) that Jaccard misses
+    * when sizes differ: a 50-shingle excerpt fully quoted inside a
+    * 5000-shingle page has Jaccard ≈ 0.01 but containment 1.0 — the
+    * quote/boilerplate-wrapper case a training-data pipeline must
+    * catch (the small doc adds no information; the big one decides
+    * whether it stays).
+    *
+    * DIRECTED output: (contained_id, container_id, inter,
+    * size_contained, containment). The threshold is a RATIONAL num/den
+    * and the test is integer cross-multiplied (`inter·den ≥ num·size`)
+    * — exact, hash-stable, SQL-replayable; the reported containment
+    * double is display-only. Same plan shape and Σdf² bound as
+    * [[ngramJaccardPairs]] (one shingle join, candidate pairs =
+    * co-shingle pairs), same `maxDf` hot-shingle lever; the undirected
+    * join (a < b) runs ONCE and both directions derive from the same
+    * intersection count. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, thresholdNum: Long, thresholdDen: Long,
+                       hashShingles: Boolean = true,
+                       maxDf: Option[Long] = None): DataFrame = {
+    require(thresholdDen > 0 && thresholdNum >= 0 && thresholdNum <= thresholdDen,
+      "threshold must be a rational in [0, 1]")
+    val sh =
+      if (hashShingles)
+        spread(df, idCol).select(col(idCol).as("doc"),
+          explode(shingle_hashes(col(textCol), n)).as("s"))
+      else
+        spread(df, idCol).select(col(idCol).as("doc"),
+            explode(array_distinct(shingles(col(textCol), n))).as("s"))
+          .distinct()
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val joinable = maxDf match {
+      case None => sh
+      case Some(cap) =>
+        val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("s"))
+        sh.join(broadcast(hot), Seq("s"), "left_anti")
+    }
+    val inter = joinable.as("a").join(joinable.as("b"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("a_id"), col("b.doc").as("b_id"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.withColumnRenamed("doc", "a_id").withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc", "b_id").withColumnRenamed("n", "nb"), "b_id")
+    // both directions from the one undirected intersection
+    val dirAB = inter.select(col("a_id").as("contained_id"),
+      col("b_id").as("container_id"), col("c"), col("na").as("size_contained"))
+    val dirBA = inter.select(col("b_id").as("contained_id"),
+      col("a_id").as("container_id"), col("c"), col("nb").as("size_contained"))
+    dirAB.unionByName(dirBA)
+      .filter(col("c") * thresholdDen >= lit(thresholdNum) * col("size_contained"))
+      .select(col("contained_id"), col("container_id"),
+        col("c").as("inter"), col("size_contained"),
+        (col("c").cast("double") / col("size_contained").cast("double"))
+          .as("containment"))
+  }
+
   /** Prefix-filtered exact Jaccard pairs (see [[ngramJaccardPairs]]'s
     * `prefixFilter` doc). Global shingle order is (df asc, hash asc):
     * rarest first, so each document's prefix carries its most selective

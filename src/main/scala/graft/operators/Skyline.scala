@@ -36,9 +36,17 @@ import org.apache.spark.sql.functions._
 object Skyline {
 
   /** Frontier sweep: criteria values pre-extracted per row, so the
-    * dominance test never re-reads the Row. */
+    * dominance test never re-reads the Row.
+    *
+    * `cap` is the SEMANTIC guard and is checked on the POST-SCAN frontier
+    * only: the transient prefix frontier may legitimately overshoot it
+    * (many buffered survivors later dominated by one row), so failing
+    * mid-scan would make success depend on row order. `hardCap` is the
+    * MEMORY guard on the transient buffer — generous (the local pass uses
+    * a multiple of `cap`; the merge pass passes MaxValue because its
+    * input is already bounded by Σ local frontiers). */
   private def frontier(rows: Iterator[(Array[Double], Row)],
-                       cap: Int): Iterator[(Array[Double], Row)] = {
+                       cap: Int, hardCap: Int): Iterator[(Array[Double], Row)] = {
     val buf = new ArrayBuffer[(Array[Double], Row)]
     def dominates(a: Array[Double], b: Array[Double]): Boolean = {
       var i = 0
@@ -59,12 +67,17 @@ object Skyline {
       if (!dominated) {
         buf.filterInPlace { case (w, _) => !dominates(v, w) }
         buf += ((v, r))
-        require(buf.length <= cap,
-          s"local skyline frontier exceeded $cap rows — criteria are " +
-            "anti-correlated enough that the skyline is the table; " +
-            "reconsider the criteria or raise maxLocalFrontier")
+        require(buf.length <= hardCap,
+          s"transient skyline buffer exceeded $hardCap rows — memory " +
+            "guard; criteria are anti-correlated enough that even a " +
+            "prefix frontier is huge; reconsider the criteria or raise " +
+            "maxLocalFrontier")
       }
     }
+    require(buf.length <= cap,
+      s"skyline frontier exceeded $cap rows — criteria are " +
+        "anti-correlated enough that the skyline is the table; " +
+        "reconsider the criteria or raise maxLocalFrontier")
     buf.iterator
   }
 
@@ -79,12 +92,20 @@ object Skyline {
     val clean = df.na.drop(cols)
     def values(r: Row): Array[Double] =
       idx.map(i => r.get(i).asInstanceOf[Number].doubleValue()).toArray
+    // transient memory guard: 16× the semantic cap (overshoot from
+    // later-dominated survivors is real but bounded in practice; a 16×
+    // excursion that STAYS is the anti-correlated modeling failure)
+    val hard = math.max(maxLocalFrontier,
+      math.min(16L * maxLocalFrontier, Int.MaxValue.toLong).toInt)
     val local = clean.mapPartitions { it =>
-      frontier(it.map(r => (values(r), r)), maxLocalFrontier).map(_._2)
+      frontier(it.map(r => (values(r), r)), maxLocalFrontier, hard).map(_._2)
     }(enc)
-    // survivors are frontier-bounded: exact global pass on one task
+    // survivors are frontier-bounded: exact global pass on one task.
+    // Its transient buffer is already bounded by Σ local frontiers
+    // (≤ partitions × cap), so only the final-result cap applies here.
     local.repartition(1).mapPartitions { it =>
-      frontier(it.map(r => (values(r), r)), maxLocalFrontier).map(_._2)
+      frontier(it.map(r => (values(r), r)), maxLocalFrontier,
+        Int.MaxValue).map(_._2)
     }(enc)
   }
 }

@@ -126,6 +126,46 @@ object Splits {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Deterministic WEIGHTED bottom-k sample — sequential Poisson
+    * sampling (Ohlsson, "Sequential Poisson Sampling", J. Official
+    * Statistics 14(2), 1998; Rosén's Pareto πps is the same
+    * priority-order family): each row draws priority = u/w where u is
+    * its seeded uniform hash and w its weight, and the k smallest
+    * priorities per group are the sample — inclusion probability
+    * approximately proportional to weight (a long doc, a high-quality
+    * doc, a heavy token count is proportionally more likely to be
+    * drawn), which is the πps sample a token-weighted training mix
+    * actually wants.
+    *
+    * Arithmetic is EXACT INTEGER end to end: u = the [[bottomKSample]]
+    * Knuth hash in [0, 2³²), priority = (u · 2²⁰) div w — engine- and
+    * partitioning-invariant, SQL-replayable. Mergeable by the same law
+    * as bottomK (min-k of a union = min-k of per-part min-ks), so a
+    * standing weighted sample folds new batches in at batch cost.
+    * Rows with weight ≤ 0 or NULL are excluded (zero weight = never
+    * sampled). Weights are capped to 2³⁰ per row (`w` beyond that
+    * saturates — priority granularity, not mass, is the limit).
+    *
+    * One shuffle (group window); ties broken by id for full
+    * determinism. */
+  def weightedBottomKSample(df: DataFrame, idCol: String, weightCol: String,
+                            groupCol: String, k: Int, seed: Long = 0L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val mixed = pmod(col(idCol).cast("long"), lit(TwoTo31))
+      .bitwiseXOR(lit(((seed % TwoTo31) + TwoTo31) % TwoTo31))
+    val u = pmod(mixed * KnuthC, lit(TwoTo32))
+    val wgt = least(col(weightCol).cast("long"), lit(1073741824L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("sample_prio").asc, col(idCol).asc)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__u", u)
+      .withColumn("__w", wgt)
+      .withColumn("sample_prio", expr("(__u * 1048576) div __w"))
+      .drop("__u", "__w")
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Deterministic mixture resampling: repeat or thin rows so each group
     * (source / domain / language) contributes `weight ×` its current
     * rows — the data-mixing step that turns corpus proportions into

@@ -1151,6 +1151,30 @@ object AdvancedQueries extends QuerySet {
        |FROM r5 ORDER BY pr DESC, kind, entity_id LIMIT 30""".stripMargin
   }
 
+  /** Equal-frequency quantile binning ([[graft.operators.Binning]]):
+    * price tiers per order priority — NTILE over (value, key) is
+    * deterministic rank arithmetic both engines define identically; the
+    * emitted bin dictionary (count + realized [lo,hi]) is groups×bins
+    * rows. */
+  private def q167(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders").select(col("o_orderkey"),
+      col("o_orderpriority"), col("o_totalprice").cast("double").as("v"))
+    val binned = graft.operators.Binning.equalFrequency(
+      o, "o_orderpriority", "v", "o_orderkey", bins = 10)
+    graft.operators.Binning.boundaries(binned, "o_orderpriority", "v")
+      .orderBy(col("o_orderpriority"), col("bin"))
+  }
+
+  private val q167Sql =
+    """WITH b AS (
+      |  SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS v,
+      |    NTILE(10) OVER (PARTITION BY o_orderpriority
+      |                    ORDER BY CAST(o_totalprice AS DOUBLE), o_orderkey) AS bin
+      |  FROM orders)
+      |SELECT o_orderpriority, bin, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi
+      |FROM b GROUP BY o_orderpriority, bin
+      |ORDER BY o_orderpriority, bin""".stripMargin
+
   /** First-order Markov transition structure of per-user event sequences
     * ([[graft.operators.Sequences.transitions]]): what follows what, with
     * exact counts and row-conditional probabilities. One high-cardinality
@@ -1237,6 +1261,7 @@ object AdvancedQueries extends QuerySet {
     Q("q152_rolling_zscore", q152, Some(q152Sql)),
     Q("q154_geo_fence", q154, Some(q154Sql)),
     Q("q155_pagerank", q155, Some(q155Sql), headline = true),
+    Q("q167_quantile_binning", q167, Some(q167Sql)),
     Q("q156_markov_transitions", q156, Some(q156Sql)),
     Q("q160_skyline", q160, Some(q160Sql)))
 }

@@ -947,6 +947,35 @@ object RagQueries extends QuerySet {
       |  c_acctbal
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** Splittable CSV fast path ([[graft.sources.CsvRoundTrip]]): newline-
+    * free data reads back with `multiLine=false` under the write-time
+    * sidecar stat — files split on block boundaries instead of one task
+    * per file. Gates IN-QUERY: `requireSplittable=true` (throws if the
+    * stat forces the slow path) AND the read plan must actually split
+    * the single CSV file into more tasks than files, else zero rows. */
+  private def q163(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(
+      col("doc_id"),
+      // strip CR/LF so the stat records clean data; keep quotes/commas
+      regexp_replace(col("text"), "[\\n\\r]", " ").as("text_flat"),
+      col("lang"))
+    val dir = Files.createTempDirectory("graft-q163").toString + "/csv"
+    graft.sources.CsvRoundTrip.write(docs.coalesce(1), dir)
+    val prev = s.conf.get("spark.sql.files.maxPartitionBytes")
+    val back = try {
+      s.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
+      val r = graft.sources.CsvRoundTrip.read(s, dir, docs.schema,
+        requireSplittable = true)
+      val split = r.rdd.getNumPartitions > 1  // one file, many tasks
+      r.where(lit(split))
+    } finally s.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    back.orderBy(col("doc_id"))
+  }
+
+  private val q163Sql =
+    """SELECT doc_id, regexp_replace(text, '[\n\r]', ' ', 'g') AS text_flat, lang
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q60_rag_retrieval", q60, None, headline = true),
     Q("q64_ingest_embed_1536", q64, None, headline = true),
@@ -972,5 +1001,6 @@ object RagQueries extends QuerySet {
     Q("q135_streaming_outer_join", q135, Some(q135Sql)),
     Q("q153_streaming_threshold", q153, Some(q153Sql)),
     Q("q126_streaming_enrich", q126, Some(q126Sql)),
-    Q("q158_csv_roundtrip", q158, Some(q158Sql)))
+    Q("q158_csv_roundtrip", q158, Some(q158Sql)),
+    Q("q163_csv_splittable", q163, Some(q163Sql)))
 }

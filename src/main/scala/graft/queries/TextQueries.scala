@@ -939,6 +939,87 @@ object TextQueries extends QuerySet {
       |  HAVING COUNT(DISTINCT term) = 2)
       |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** PMI bigram collocations ([[graft.operators.Collocations]]): two
+    * narrow tokenize passes + vocab-bounded aggregates; the lift score
+    * is a pinned IEEE double expression both engines evaluate
+    * bit-identically (no transcendentals). Ordering ties broken on
+    * (w1, w2) after 6-decimal rounding so the top-25 cut is stable. */
+  private def q164(s: SparkSession, d: String): DataFrame =
+    graft.operators.Collocations.pmiBigrams(t(s, d, "documents"), "text", minCount = 5)
+      .select(col("w1"), col("w2"), col("n12"), round(col("lift"), 6).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(25)
+
+  private val q164Sql =
+    """WITH w AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+      |uni AS (SELECT unnest(w) AS t FROM w),
+      |u AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM uni GROUP BY t),
+      |bi0 AS (SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+      |        FROM w WHERE len(w) >= 2),
+      |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12 FROM bi0 GROUP BY w1, w2),
+      |tot AS (SELECT (SELECT SUM(n) FROM u) AS tot_t, (SELECT SUM(n12) FROM bi) AS tot_b)
+      |SELECT w1, w2, n12,
+      |  round((CAST(n12 AS DOUBLE) * tot_t * tot_t) /
+      |        (CAST(tot_b AS DOUBLE) * u1.n * u2.n), 6) AS lift
+      |FROM bi JOIN u u1 ON u1.t = w1 JOIN u u2 ON u2.t = w2 CROSS JOIN tot
+      |WHERE n12 >= 5
+      |ORDER BY lift DESC, w1, w2 LIMIT 25""".stripMargin
+
+  /** Asymmetric containment dedup ([[Dedup.containmentPairs]]): the
+    * quote/excerpt/boilerplate-wrapper relation Jaccard misses at
+    * size mismatch. Threshold 4/5 as an exact integer cross-multiply. */
+  private def q165(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+        n = 3, thresholdNum = 4, thresholdDen = 5)
+      .select(col("contained_id"), col("container_id"), col("inter"),
+        col("size_contained"), round(col("containment"), 6).as("containment"))
+      .orderBy(col("contained_id"), col("container_id"))
+
+  private val q165Sql =
+    """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |           FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+      |       FROM w WHERE len(w) >= 3),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |j AS (SELECT a_id, b_id, c, sa.n AS na, sb.n AS nb
+      |      FROM inter JOIN sizes sa ON sa.doc_id = a_id
+      |                 JOIN sizes sb ON sb.doc_id = b_id),
+      |d AS (SELECT a_id AS contained_id, b_id AS container_id, c, na AS size_contained FROM j
+      |      UNION ALL
+      |      SELECT b_id, a_id, c, nb FROM j)
+      |SELECT contained_id, container_id, CAST(c AS BIGINT) AS inter,
+      |  CAST(size_contained AS BIGINT) AS size_contained,
+      |  round(CAST(c AS DOUBLE) / CAST(size_contained AS DOUBLE), 6) AS containment
+      |FROM d WHERE c * 5 >= 4 * size_contained
+      |ORDER BY contained_id, container_id""".stripMargin
+
+  /** Weighted πps sample ([[Splits.weightedBottomKSample]], sequential
+    * Poisson): 25 docs per lang, inclusion ∝ n_chars — exact integer
+    * priorities, SQL-replayed verbatim. */
+  private def q166(s: SparkSession, d: String): DataFrame =
+    Splits.weightedBottomKSample(
+        t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", "n_chars", "lang", k = 25)
+      .orderBy(col("lang"), col("sample_rank"))
+
+  private val q166Sql =
+    """WITH p AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    (((doc_id % 2147483648) * 2654435761) % 4294967296) * 1048576
+      |      // least(n_chars, 1073741824) AS sample_prio
+      |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      |r AS (
+      |  SELECT doc_id, lang, n_chars, sample_prio,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sample_prio, doc_id) AS INTEGER) AS sample_rank
+      |  FROM p)
+      |SELECT doc_id, lang, n_chars, sample_prio, sample_rank
+      |FROM r WHERE sample_rank <= 25 ORDER BY lang, sample_rank""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -973,7 +1054,10 @@ object TextQueries extends QuerySet {
     Q("q137_bpe_train", q137, Some(q137Sql)),
     Q("q157_bottomk_sample", q157, Some(q157Sql)),
     Q("q159_inverted_index", q159, Some(q159Sql), headline = true),
-    Q("q161_inverted_index_sync", q161, Some(q161Sql)))
+    Q("q161_inverted_index_sync", q161, Some(q161Sql)),
+    Q("q164_pmi_collocations", q164, Some(q164Sql), headline = true),
+    Q("q165_containment_dedup", q165, Some(q165Sql)),
+    Q("q166_weighted_sample", q166, Some(q166Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the

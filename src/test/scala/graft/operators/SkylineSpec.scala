@@ -60,6 +60,19 @@ class SkylineSpec extends AnyFunSuite with SparkSuite {
     assert(got == expect)
   }
 
+  test("cap is order-independent: transient overshoot with a small final frontier passes") {
+    // 60 mutually non-dominating rows arrive first (prefix frontier 60),
+    // then one row dominates them all — final frontier is 1. A mid-scan
+    // cap check would fail here purely because of row order.
+    val rows = (1L to 60L).map(i => (i, i.toDouble, (61 - i).toDouble)) :+
+      (99L, 100.0, 100.0)
+    val d = df(rows: _*).coalesce(1)
+    assert(sky(d, "x", "y") == Set(99L))
+    val capped = Skyline.skyline(df(rows: _*).coalesce(1), Seq("x", "y"),
+      maxLocalFrontier = 5).select("id").collect().map(_.getLong(0)).toSet
+    assert(capped == Set(99L))
+  }
+
   test("frontier cap fails loudly on anti-correlated criteria") {
     val rows = (1L to 500L).map(i => (i, i.toDouble, -i.toDouble))
     val d = df(rows: _*).coalesce(1)
