@@ -127,7 +127,14 @@ object ScaleSmoke {
       // skyline with every frontier point duplicated ×10 (orders are
       // key-shifted verbatim copies — the local-prune's tie handling
       // is the stressed path, frontier ×10 but still tiny)
-      "q155_pagerank", "q159_inverted_index", "q160_skyline")
+      "q155_pagerank", "q159_inverted_index", "q160_skyline",
+      // r10 additions: q164 = PMI mining where the relabeled copies make
+      // the vocabulary (and so the bigram table) 10×; q165 = containment
+      // over the same shingle-join pair space as q41 plus the directed
+      // projection; q162 = BM25 served from the persisted postings
+      // (build+serve lifecycle, disjunctive path)
+      "q164_pmi_collocations", "q165_containment_dedup",
+      "q162_bm25_index_served")
     val qmap = SparkEntry.queries
     qmap("q01_agg_pricing")(spark, outDir).count() // warm-up: codegen/JIT
     val results = names.map { name =>

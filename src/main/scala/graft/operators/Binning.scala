@@ -43,4 +43,39 @@ object Binning {
       .agg(count(lit(1)).as("n"),
         min(col(valueCol)).as("lo"),
         max(col(valueCol)).as("hi"))
+
+  /** Per-group winsorization: clip `valueCol` into its group's
+    * [pLo, pHi] percentile band — the outlier-taming transform applied
+    * to reward/quality/length features before they feed a loss or a
+    * sampling weight (a single 10⁹-token outlier doc otherwise owns a
+    * token-weighted mix). Adds `<valueCol>_w` (clipped) plus the band
+    * columns `w_lo`/`w_hi`.
+    *
+    * `exact = true` uses Spark's exact interpolated `percentile`
+    * (deterministic rank arithmetic, the q25 parity pattern — DuckDB's
+    * `quantile_cont` replays it); its aggregation state is
+    * per-distinct-value counts, so memory tracks group value
+    * cardinality. For corpus-scale continuous columns set
+    * `exact = false`: the mergeable GK sketch (`approx_percentile`,
+    * bounded state — the q73 scale path) with `accuracy` as the rank
+    * error knob; bands are then approximate, clipping is still exact
+    * arithmetic against them.
+    *
+    * Plan: one map-side-combined percentile aggregate (groups-many
+    * rows) broadcast back into a narrow clip projection — the corpus
+    * scans twice (once for bands, once clipped), shuffles nothing but
+    * the group table. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                pLo: Double, pHi: Double, exact: Boolean = true,
+                accuracy: Int = 10000): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad band [$pLo, $pHi]")
+    val v = col(valueCol).cast("double")
+    val bands = df.groupBy(col(groupCol)).agg(
+      (if (exact) percentile(v, lit(pLo)) else percentile_approx(v, lit(pLo), lit(accuracy)))
+        .as("w_lo"),
+      (if (exact) percentile(v, lit(pHi)) else percentile_approx(v, lit(pHi), lit(accuracy)))
+        .as("w_hi"))
+    df.join(broadcast(bands), groupCol)
+      .withColumn(valueCol + "_w", greatest(col("w_lo"), least(col("w_hi"), v)))
+  }
 }

@@ -1175,6 +1175,47 @@ object AdvancedQueries extends QuerySet {
       |FROM b GROUP BY o_orderpriority, bin
       |ORDER BY o_orderpriority, bin""".stripMargin
 
+  /** Per-group winsorization ([[graft.operators.Binning.winsorize]]):
+    * clip order totals into each priority's [p01, p99] band — values in
+    * exact integer CENTS (the q25 parity pattern) so the interpolated
+    * band doubles are deterministic in both engines; the output carries
+    * integer counts and band extremes only (no double SUM, whose
+    * accumulation order is partitioning-dependent). */
+  private def q168(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders").select(col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("bigint").as("__cents"))
+    graft.operators.Binning.winsorize(o, "o_orderpriority", "__cents", 0.01, 0.99)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("__cents") < col("w_lo")).cast("long")).as("n_lo_clipped"),
+        sum((col("__cents") > col("w_hi")).cast("long")).as("n_hi_clipped"),
+        round(min(col("w_lo")), 4).as("w_lo"),
+        round(max(col("w_hi")), 4).as("w_hi"),
+        round(min(col("__cents_w")), 4).as("min_w"),
+        round(max(col("__cents_w")), 4).as("max_w"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q168Sql =
+    """WITH o AS (
+      |  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      |  FROM orders),
+      |b AS (
+      |  SELECT o_orderpriority,
+      |    quantile_cont(c, 0.01) AS w_lo, quantile_cont(c, 0.99) AS w_hi
+      |  FROM o GROUP BY o_orderpriority),
+      |j AS (
+      |  SELECT o.o_orderpriority, c, w_lo, w_hi,
+      |    greatest(w_lo, least(w_hi, CAST(c AS DOUBLE))) AS cw
+      |  FROM o JOIN b USING (o_orderpriority))
+      |SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN CAST(c AS DOUBLE) < w_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo_clipped,
+      |  CAST(SUM(CASE WHEN CAST(c AS DOUBLE) > w_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_clipped,
+      |  round(MIN(w_lo), 4) AS w_lo, round(MAX(w_hi), 4) AS w_hi,
+      |  round(MIN(cw), 4) AS min_w, round(MAX(cw), 4) AS max_w
+      |FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** First-order Markov transition structure of per-user event sequences
     * ([[graft.operators.Sequences.transitions]]): what follows what, with
     * exact counts and row-conditional probabilities. One high-cardinality
@@ -1262,6 +1303,7 @@ object AdvancedQueries extends QuerySet {
     Q("q154_geo_fence", q154, Some(q154Sql)),
     Q("q155_pagerank", q155, Some(q155Sql), headline = true),
     Q("q167_quantile_binning", q167, Some(q167Sql)),
+    Q("q168_winsorize", q168, Some(q168Sql)),
     Q("q156_markov_transitions", q156, Some(q156Sql)),
     Q("q160_skyline", q160, Some(q160Sql)))
 }

@@ -42,6 +42,46 @@ class BinningSpec extends AnyFunSuite with SparkSuite {
     assert(a == b)
   }
 
+  test("winsorize clips exactly into the hand-computed percentile band") {
+    import spark.implicits._
+    // group g: values 0..100 → p10 = 10.0, p90 = 90.0 (exact interpolation
+    // on (n-1)*p = 100*0.1 = rank 10, integer rank → no interpolation)
+    val d = (0 to 100).map(i => (i.toLong, "g", i.toLong)).toDF("id", "g", "v")
+    val w = Binning.winsorize(d, "g", "v", 0.10, 0.90)
+    val rows = w.select("v", "v_w", "w_lo", "w_hi").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.forall { case (_, _, lo, hi) => lo == 10.0 && hi == 90.0 })
+    rows.foreach { case (v, vw, _, _) =>
+      assert(vw == math.max(10.0, math.min(90.0, v.toDouble)), s"v=$v")
+    }
+  }
+
+  test("winsorize bands are per-group, untouched interior values pass through") {
+    import spark.implicits._
+    val d = ((1 to 50).map(i => (i.toLong, "a", i.toLong * 10)) ++
+      (1 to 50).map(i => (i.toLong + 100, "b", i.toLong))).toDF("id", "g", "v")
+    val w = Binning.winsorize(d, "g", "v", 0.02, 0.98)
+    val byG = w.select("g", "w_lo", "w_hi").distinct().collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(byG("a")._2 > byG("b")._2) // group a's band is 10× higher
+    // interior rows are unchanged
+    val interior = w.filter(col("v") > col("w_lo") && col("v") < col("w_hi"))
+      .select("v", "v_w").collect()
+    interior.foreach(r => assert(r.getLong(0).toDouble == r.getDouble(1)))
+  }
+
+  test("approximate path clips against sketch bands within rank-error of exact") {
+    import spark.implicits._
+    val d = (1 to 2000).map(i => (i.toLong, "g", i.toLong)).toDF("id", "g", "v")
+    val ex = Binning.winsorize(d, "g", "v", 0.05, 0.95)
+      .select("w_lo", "w_hi").head()
+    val ap = Binning.winsorize(d, "g", "v", 0.05, 0.95, exact = false,
+      accuracy = 1000).select("w_lo", "w_hi").head()
+    // GK rank error ≤ n/accuracy = 2 ranks = 2 value units here
+    assert(math.abs(ex.getDouble(0) - ap.getDouble(0)) <= 3.0)
+    assert(math.abs(ex.getDouble(1) - ap.getDouble(1)) <= 3.0)
+  }
+
   test("boundaries: lo/hi nest monotonically and counts sum to the group") {
     val binned = Binning.equalFrequency(rows(150, 2), "g", "v", "id", 6)
     val bd = Binning.boundaries(binned, "g", "v")
