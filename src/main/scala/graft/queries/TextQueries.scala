@@ -1020,6 +1020,42 @@ object TextQueries extends QuerySet {
       |SELECT doc_id, lang, n_chars, sample_prio, sample_rank
       |FROM r WHERE sample_rank <= 25 ORDER BY lang, sample_rank""".stripMargin
 
+  /** Exact all-pairs sparse cosine ([[graft.operators.AllPairs]],
+    * Bayardo 2007): weighted-term-vector angle over integer tf·idf —
+    * catches same-topic/template pairs whose wording diverged past
+    * shingle overlap. Integer dots/norms + IEEE sqrt = deterministic
+    * doubles, so the unrounded threshold filter agrees bit-for-bit with
+    * the oracle. */
+  private def q169(s: SparkSession, d: String): DataFrame =
+    graft.operators.AllPairs.cosinePairs(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.8)
+      .select(col("a_id"), col("b_id"), col("dot"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  private val q169Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id AS doc, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM tok GROUP BY 1, 2),
+      |nn AS (SELECT COUNT(DISTINCT doc) AS n FROM tf),
+      |dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |w0 AS (SELECT doc, term,
+      |         tf * (length(bin(nn.n)) - length(bin(df))) AS w
+      |       FROM tf JOIN dfc USING (term) CROSS JOIN nn),
+      |w AS (SELECT doc, term, w FROM w0 WHERE w > 0),
+      |norms AS (SELECT doc, SUM(w * w) AS nrm FROM w GROUP BY doc),
+      |dots AS (SELECT a.doc AS a_id, b.doc AS b_id, SUM(a.w * b.w) AS dot
+      |         FROM w a JOIN w b ON a.term = b.term AND a.doc < b.doc
+      |         GROUP BY 1, 2),
+      |sc AS (SELECT a_id, b_id, CAST(dot AS BIGINT) AS dot,
+      |         CAST(dot AS DOUBLE) /
+      |           sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cos
+      |       FROM dots JOIN norms na ON na.doc = a_id
+      |                 JOIN norms nb ON nb.doc = b_id)
+      |SELECT a_id, b_id, dot, round(cos, 6) AS cos
+      |FROM sc WHERE cos >= 0.8 ORDER BY a_id, b_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -1057,7 +1093,8 @@ object TextQueries extends QuerySet {
     Q("q161_inverted_index_sync", q161, Some(q161Sql)),
     Q("q164_pmi_collocations", q164, Some(q164Sql), headline = true),
     Q("q165_containment_dedup", q165, Some(q165Sql)),
-    Q("q166_weighted_sample", q166, Some(q166Sql)))
+    Q("q166_weighted_sample", q166, Some(q166Sql)),
+    Q("q169_allpairs_cosine", q169, Some(q169Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the
