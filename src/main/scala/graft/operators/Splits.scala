@@ -166,6 +166,37 @@ object Splits {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Deterministic PER-ROW importance resampling: each row repeats
+    * `weight` times, where weight is a per-row rational in BASIS POINTS
+    * (10000 = 1.0×) — the "epochs ∝ quality" training-mix primitive
+    * stated at document granularity (a 2.7× doc yields 2 copies plus a
+    * deterministic 70% chance of a third), where [[resampleByWeight]]
+    * states it per GROUP and [[weightedBottomKSample]] SELECTS without
+    * replacement instead of repeating.
+    *
+    * copies = wBp div 10000, plus 1 when the row's seeded Knuth hash
+    * lands under wBp mod 10000 on the 0-9999 grid — all integer
+    * arithmetic, so the realized copy count is engine- and
+    * partitioning-reproducible (NOT Bernoulli; the same anti-rescan
+    * grid as [[resampleByWeight]]). Rows with wBp ≤ 0 or NULL drop.
+    * Pure narrow ops (`explode(sequence(...))`) — zero shuffle;
+    * `copy_id` (0-based) distinguishes repeats for a downstream
+    * [[deterministicShuffle]]. */
+  def resampleByRowWeight(df: DataFrame, idCol: String, weightBpCol: String,
+                          seed: Long = 0L): DataFrame = {
+    val mixed = pmod(col(idCol).cast("long"), lit(TwoTo31))
+      .bitwiseXOR(lit(((seed % TwoTo31) + TwoTo31) % TwoTo31))
+    val grid = pmod(pmod(mixed * KnuthC, lit(TwoTo32)), lit(10000L))
+    df.filter(col(weightBpCol).isNotNull && col(weightBpCol) > 0)
+      .withColumn("__wbp", col(weightBpCol).cast("long"))
+      .withColumn("__grid", grid)
+      .withColumn("__copies", expr("__wbp div 10000") +
+        when(col("__grid") < pmod(col("__wbp"), lit(10000L)), 1L).otherwise(0L))
+      .filter(col("__copies") > 0) // sequence(0,-1) would DESCEND, not empty
+      .withColumn("copy_id", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__wbp", "__grid", "__copies")
+  }
+
   /** Deterministic mixture resampling: repeat or thin rows so each group
     * (source / domain / language) contributes `weight ×` its current
     * rows — the data-mixing step that turns corpus proportions into

@@ -1056,6 +1056,30 @@ object TextQueries extends QuerySet {
       |SELECT a_id, b_id, dot, round(cos, 6) AS cos
       |FROM sc WHERE cos >= 0.8 ORDER BY a_id, b_id""".stripMargin
 
+  /** Per-row importance resampling ([[Splits.resampleByRowWeight]]):
+    * longer docs get proportionally more epochs — weight in basis
+    * points = min(n_chars·10000/2000, 30000), i.e. chars/2000 capped at
+    * 3.0×, all integer arithmetic replayed verbatim by the oracle. */
+  private def q170(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+      least(expr("(n_chars * 10000) div 2000"), lit(30000L)).as("w_bp"))
+    Splits.resampleByRowWeight(docs, "doc_id", "w_bp")
+      .orderBy(col("doc_id"), col("copy_id"))
+  }
+
+  private val q170Sql =
+    """WITH w AS (
+      |  SELECT doc_id, lang,
+      |    least((n_chars * 10000) // 2000, 30000) AS w_bp,
+      |    ((doc_id % 2147483648) * 2654435761) % 4294967296 % 10000 AS grid
+      |  FROM documents WHERE n_chars > 0),
+      |c AS (
+      |  SELECT doc_id, lang, w_bp,
+      |    w_bp // 10000 + CASE WHEN grid < w_bp % 10000 THEN 1 ELSE 0 END AS copies
+      |  FROM w)
+      |SELECT doc_id, lang, w_bp, CAST(unnest(range(copies)) AS BIGINT) AS copy_id
+      |FROM c WHERE copies > 0 ORDER BY doc_id, copy_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -1094,7 +1118,8 @@ object TextQueries extends QuerySet {
     Q("q164_pmi_collocations", q164, Some(q164Sql), headline = true),
     Q("q165_containment_dedup", q165, Some(q165Sql)),
     Q("q166_weighted_sample", q166, Some(q166Sql)),
-    Q("q169_allpairs_cosine", q169, Some(q169Sql)))
+    Q("q169_allpairs_cosine", q169, Some(q169Sql)),
+    Q("q170_row_resample", q170, Some(q170Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the

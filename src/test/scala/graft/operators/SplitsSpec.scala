@@ -150,4 +150,48 @@ class SplitsSpec extends AnyFunSuite with SparkSuite {
     assert(zeroed.filter(col("lang") === "en").count() == 0)
     assert(zeroed.count() == docs.filter(col("lang") =!= "en").count())
   }
+
+  test("row resample: copies replay floor(w) + deterministic fractional grid") {
+    import spark.implicits._
+    // weight 2.5× in basis points — every row gets 2 or 3 copies
+    val d = (1L to 400L).map(i => (i, 25000L)).toDF("id", "w_bp")
+    val out = Splits.resampleByRowWeight(d, "id", "w_bp")
+    val byId = out.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.values.forall(c => c == 2L || c == 3L))
+    // realized fraction tracks 0.5 on the deterministic grid
+    val three = byId.values.count(_ == 3L).toDouble / byId.size
+    assert(three > 0.4 && three < 0.6, s"frac=$three")
+    // exact replay of the documented arithmetic
+    byId.foreach { case (id, c) =>
+      val grid = ((id % 2147483648L) * 2654435761L) % 4294967296L % 10000L
+      assert(c == 2L + (if (grid < 5000L) 1L else 0L), s"id=$id")
+    }
+  }
+
+  test("row resample: sub-1.0 weights thin deterministically; zero weight drops") {
+    import spark.implicits._
+    val d = (1L to 500L).map(i => (i, if (i <= 100) 0L else 4000L)).toDF("id", "w_bp")
+    val out = Splits.resampleByRowWeight(d, "id", "w_bp")
+    val ids = out.select("id").collect().map(_.getLong(0))
+    assert(ids.forall(_ > 100L)) // zero-weight rows gone
+    assert(ids.distinct.length == ids.length) // 0.4× → at most one copy
+    val frac = ids.length.toDouble / 400
+    assert(frac > 0.3 && frac < 0.5, s"frac=$frac")
+  }
+
+  test("row resample: copy_id enumerates 0..copies-1 and is partition-invariant") {
+    import spark.implicits._
+    val d = (1L to 100L).map(i => (i, 17000L + (i % 7) * 1000L)).toDF("id", "w_bp")
+    val a = Splits.resampleByRowWeight(d, "id", "w_bp")
+      .select("id", "copy_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Splits.resampleByRowWeight(d.repartition(13), "id", "w_bp")
+      .select("id", "copy_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    // per id: copy ids are exactly 0..n-1
+    a.groupBy(_._1).foreach { case (_, s) =>
+      val cs = s.map(_._2)
+      assert(cs == (0L until cs.size).toSet)
+    }
+  }
 }
