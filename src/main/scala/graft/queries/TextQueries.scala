@@ -1080,6 +1080,34 @@ object TextQueries extends QuerySet {
       |SELECT doc_id, lang, w_bp, CAST(unnest(range(copies)) AS BIGINT) AS copy_id
       |FROM c WHERE copies > 0 ORDER BY doc_id, copy_id""".stripMargin
 
+  /** Exact phrase search over the persisted inverted index
+    * ([[graft.search.InvertedIndex.phraseSearch]]): bucket-pruned
+    * conjunctive candidates + adjacency verify on candidate texts only —
+    * no positional postings. Oracle replays the phrase semantics over
+    * the whole corpus relationally (the index is the optimization; the
+    * answer must be corpus-truth). */
+  private def q171(s: SparkSession, d: String): DataFrame = {
+    import graft.search.InvertedIndex
+    val docs = t(s, d, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-q171").toString
+    InvertedIndex.build(docs, "doc_id", "text", dir, tok = InvertedIndex.TokAlnum)
+    InvertedIndex.phraseSearch(s, dir, docs, "doc_id", "text",
+      Seq("table", "hash"), k = 20)
+  }
+
+  private val q171Sql =
+    """WITH j AS (
+      |  SELECT doc_id,
+      |    chr(31) || array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), chr(31)) || chr(31) AS s
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id,
+      |    CAST((length(s) - length(replace(s, chr(31) || 'table' || chr(31) || 'hash' || chr(31), chr(31))))
+      |      // (length('table hash') + 1) AS BIGINT) AS n_occ
+      |  FROM j)
+      |SELECT doc_id, n_occ FROM sc WHERE n_occ > 0
+      |ORDER BY n_occ DESC, doc_id LIMIT 20""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -1119,7 +1147,8 @@ object TextQueries extends QuerySet {
     Q("q165_containment_dedup", q165, Some(q165Sql)),
     Q("q166_weighted_sample", q166, Some(q166Sql)),
     Q("q169_allpairs_cosine", q169, Some(q169Sql)),
-    Q("q170_row_resample", q170, Some(q170Sql)))
+    Q("q170_row_resample", q170, Some(q170Sql)),
+    Q("q171_phrase_search", q171, Some(q171Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the

@@ -277,6 +277,53 @@ object InvertedIndex {
       .limit(k)
   }
 
+  /** Exact phrase search — two-phase candidate + verify, the design that
+    * avoids positional postings entirely (positions roughly triple an
+    * index's bytes — the classic positional trade, Manning/Raghavan/
+    * Schütze IR §2.4; phrase queries are rare relative to every posting
+    * paying that tax):
+    *
+    *  1. CANDIDATES from the index: ≤ |phrase| pruned term buckets give
+    *     every doc containing all phrase terms in ANY order — a superset
+    *     bounded by the rarest term's df, usually tiny;
+    *  2. VERIFY against the source corpus: candidates semi-join `docs`
+    *     (reads bounded by candidate count, not corpus), texts
+    *     re-tokenize with the index's PINNED tokenizer, and adjacency is
+    *     exact via separator-joined containment (`␟t1␟t2␟` inside
+    *     `␟tok␟tok␟…␟`), counting NON-OVERLAPPING occurrences.
+    *
+    * Contract: tokens must not contain U+001F (alnum tokens never do;
+    * whitespace-mode callers with exotic text pick alnum). Returns
+    * (doc_id, n_occ) top-k by occurrence count. */
+  def phraseSearch(spark: SparkSession, dir: String, docs: DataFrame,
+                   idCol: String, textCol: String, phrase: Seq[String],
+                   k: Int): DataFrame = {
+    require(phrase.nonEmpty, "need a non-empty phrase")
+    val store = new DocumentStore(spark, dir)
+    val meta = readMeta(store)
+    val distinctTerms = phrase.distinct
+    val post = prunedPostings(store, meta, distinctTerms)
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("doc_id", LongType), StructField("n_occ", LongType))))
+    if (post.columns.isEmpty) return empty
+    val candidates = post.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nt")).filter(col("nt") === distinctTerms.size)
+      .select(col("doc_id"))
+    val sep = ""
+    val needle = sep + phrase.mkString(sep) + sep
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text"))
+      .join(candidates, "doc_id") // candidate-bounded; never the corpus
+      .withColumn("__j", concat(lit(sep),
+        array_join(termsExpr(meta.tok, col("__text")), sep), lit(sep)))
+      .withColumn("n_occ",
+        ((length(col("__j")) - length(replace(col("__j"), lit(needle), lit(sep))))
+          / lit(needle.length - 1)).cast("long"))
+      .filter(col("n_occ") > 0)
+      .select(col("doc_id"), col("n_occ"))
+      .orderBy(col("n_occ").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Disjunctive BM25 over the pruned postings — the index-served form of
     * [[graft.operators.KeywordRank.bm25Direct]], bit-identical scores
     * (same expression tree, same DECIMAL(28,12) accumulation): every

@@ -203,4 +203,37 @@ class InvertedIndexSpec extends AnyFunSuite with SparkSuite {
     assert(served2.exceptAll(cold2).isEmpty && cold2.exceptAll(served2).isEmpty,
       "post-mutation served vs cold path diverged")
   }
+
+  private def phrase(ps: Seq[String]) =
+    InvertedIndex.phraseSearch(spark, dir, corpus, "doc_id", "text", ps, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("phrase search: adjacency required, order matters, counts exact") {
+    // "apple banana" adjacent in docs 1, 2, 4 (doc 4: a a a b → once)
+    assert(phrase(Seq("apple", "banana")) == Map(1L -> 1L, 2L -> 1L, 4L -> 1L))
+    // reversed order: "banana apple" occurs in doc 1 only ("apple banana apple")
+    assert(phrase(Seq("banana", "apple")) == Map(1L -> 1L))
+    // both terms present but never adjacent: doc 3 has banana..durian? they ARE
+    // adjacent ("cherry durian"); "banana durian" is not
+    assert(phrase(Seq("banana", "durian")).isEmpty)
+  }
+
+  test("phrase search: repeated unigram counts non-overlapping runs") {
+    // doc 4 = "apple apple apple banana cherry": "apple apple" single-pass
+    // left-to-right → 1 counted (runs share boundary separators)
+    val got = phrase(Seq("apple", "apple"))
+    assert(got == Map(4L -> 1L))
+  }
+
+  test("phrase search: single-term phrase counts boundary-sharing runs single-pass") {
+    // doc 1: two separated "apple" → 2; doc 4's run "apple apple apple"
+    // counts 2 (each match consumes its trailing separator, so adjacent
+    // occurrences share boundaries — the documented single-pass rule the
+    // SQL oracle replays identically)
+    assert(phrase(Seq("apple")) == Map(1L -> 2L, 2L -> 1L, 4L -> 2L))
+  }
+
+  test("phrase search: candidate phase is index-pruned (unknown term short-circuits)") {
+    assert(phrase(Seq("apple", "zzz")).isEmpty)
+  }
 }
