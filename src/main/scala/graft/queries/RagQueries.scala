@@ -947,6 +947,85 @@ object RagQueries extends QuerySet {
       |  c_acctbal
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** Streaming keyword-index maintenance
+    * ([[graft.streaming.IndexIngest]]): the reference's near-real-time
+    * AddRemoveData contract as a STREAM — change-feed rows arrive as
+    * two file-source micro-batches (epoch A: deletes + edits; epoch B:
+    * inserts), each applied to the persisted inverted index via the
+    * COW touched-bucket path. Gate: postings/docmap/meta must
+    * hash-equal a FULL REBUILD over the final corpus (both-ways
+    * exceptAll — the q161 bar, now across batch boundaries and the
+    * streaming checkpoint), then a ranked query for a term that exists
+    * only post-stream proves searchability. */
+  private def q172(s: SparkSession, d: String): DataFrame = {
+    import graft.search.InvertedIndex
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("graft-q172-idx").toString
+    InvertedIndex.build(docs, "doc_id", "text", dir)
+    val epochA = docs.filter(col("doc_id") % 17 === 3)
+        .select(lit("delete").as("change"), col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 1 && col("doc_id") % 17 =!= 3)
+        .select(lit("update").as("change"), col("doc_id"),
+          concat(col("text"), lit(" graftstream")).as("text")))
+    val epochB = docs.filter(col("doc_id") < 20)
+      .select(lit("insert").as("change"),
+        (col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("graftstream table "), col("text")).as("text"))
+    val srcDir = Files.createTempDirectory("graft-q172-src").toFile
+    val base = System.currentTimeMillis()
+    stage(epochA, srcDir, base)
+    stage(epochB, srcDir, base + 60000)
+    val feed = s.readStream.schema(epochA.schema)
+      .option("maxFilesPerTrigger", "4").parquet(srcDir.toString)
+    val qy = graft.streaming.IndexIngest.start(feed, dir,
+      "doc_id", "text", "change",
+      Files.createTempDirectory("graft-q172-ckpt").toString)
+    try qy.processAllAvailable() finally qy.stop()
+    val finalCorpus = docs
+      .filter(col("doc_id") % 17 =!= 3 && col("doc_id") % 13 =!= 1)
+      .unionByName(docs.filter(col("doc_id") % 13 === 1 && col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"), concat(col("text"), lit(" graftstream")).as("text")))
+      .unionByName(epochB.select(col("doc_id"), col("text")))
+    val dir2 = Files.createTempDirectory("graft-q172-rebuild").toString
+    InvertedIndex.build(finalCorpus, "doc_id", "text", dir2)
+    val sA = new DocumentStore(s, dir)
+    val sB = new DocumentStore(s, dir2)
+    val synced = Seq("postings", "docmap", "meta").forall { tb =>
+      val a = sA.read(tb); val b = sB.read(tb)
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    }
+    val res = InvertedIndex.search(s, dir, Seq("graftstream", "table"), k = 10)
+    if (synced) res else res.limit(0)
+  }
+
+  private val q172Sql =
+    """WITH vf AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE NOT (doc_id % 17 = 3) AND NOT (doc_id % 13 = 1)
+      |  UNION ALL
+      |  SELECT doc_id, text || ' graftstream' AS text FROM documents
+      |  WHERE doc_id % 13 = 1 AND NOT (doc_id % 17 = 3)
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, 'graftstream table ' || text AS text
+      |  FROM documents WHERE doc_id < 20),
+      |occ AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      |  FROM vf),
+      |n AS (SELECT COUNT(*) AS nd FROM vf),
+      |tfq AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM occ
+      |  WHERE term IN ('graftstream', 'table') GROUP BY 1, 2),
+      |dfq AS (
+      |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM occ
+      |  WHERE term IN ('graftstream', 'table') GROUP BY 1),
+      |w AS (SELECT term, CAST(length(bin(nd)) - length(bin(df)) AS INTEGER) AS w
+      |      FROM dfq CROSS JOIN n),
+      |sc AS (
+      |  SELECT doc_id, CAST(SUM(tf * w) AS BIGINT) AS score
+      |  FROM tfq JOIN w USING (term) GROUP BY doc_id
+      |  HAVING COUNT(DISTINCT term) = 2)
+      |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   /** Splittable CSV fast path ([[graft.sources.CsvRoundTrip]]): newline-
     * free data reads back with `multiLine=false` under the write-time
     * sidecar stat — files split on block boundaries instead of one task
@@ -1002,5 +1081,6 @@ object RagQueries extends QuerySet {
     Q("q153_streaming_threshold", q153, Some(q153Sql)),
     Q("q126_streaming_enrich", q126, Some(q126Sql)),
     Q("q158_csv_roundtrip", q158, Some(q158Sql)),
-    Q("q163_csv_splittable", q163, Some(q163Sql)))
+    Q("q163_csv_splittable", q163, Some(q163Sql)),
+    Q("q172_streaming_index_sync", q172, Some(q172Sql)))
 }
