@@ -1216,6 +1216,44 @@ object AdvancedQueries extends QuerySet {
       |  round(MIN(cw), 4) AS min_w, round(MAX(cw), 4) AS max_w
       |FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Per-group OLS trend ([[graft.operators.Trend]]): order-value drift
+    * per priority — x in epoch DAYS, y in CENTS (integer-scaled, so the
+    * five sufficient sums are exact BIGINTs and the closed form is
+    * engine-bit-stable). */
+  private def q173(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders").select(col("o_orderpriority"),
+      datediff(col("o_orderdate"), lit("1970-01-01")).as("x_days"),
+      round(col("o_totalprice") * 100).cast("bigint").as("y_cents"))
+    graft.operators.Trend.fit(o, "o_orderpriority", "x_days", "y_cents")
+      .select(col("o_orderpriority"), col("n"),
+        round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 4).as("intercept"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q173Sql =
+    """WITH o AS (
+      |  SELECT o_orderpriority,
+      |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS x,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      |  FROM orders),
+      |a AS (
+      |  SELECT o_orderpriority, COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM o GROUP BY o_orderpriority),
+      |f AS (
+      |  SELECT o_orderpriority, n,
+      |    CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0 THEN NULL
+      |         ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |              (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS slope,
+      |    CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+      |  FROM a)
+      |SELECT o_orderpriority, n, round(slope, 6) AS slope,
+      |  round(CASE WHEN slope IS NULL THEN NULL
+      |        ELSE (syd - slope * sxd) / CAST(n AS DOUBLE) END, 4) AS intercept
+      |FROM f ORDER BY o_orderpriority""".stripMargin
+
   /** First-order Markov transition structure of per-user event sequences
     * ([[graft.operators.Sequences.transitions]]): what follows what, with
     * exact counts and row-conditional probabilities. One high-cardinality
@@ -1304,6 +1342,7 @@ object AdvancedQueries extends QuerySet {
     Q("q155_pagerank", q155, Some(q155Sql), headline = true),
     Q("q167_quantile_binning", q167, Some(q167Sql)),
     Q("q168_winsorize", q168, Some(q168Sql)),
+    Q("q173_trend_fit", q173, Some(q173Sql)),
     Q("q156_markov_transitions", q156, Some(q156Sql)),
     Q("q160_skyline", q160, Some(q160Sql)))
 }
