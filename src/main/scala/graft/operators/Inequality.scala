@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gini concentration index per group — the "how lopsided is my data
+  * mix?" audit: token mass concentrated in a handful of documents,
+  * event volume concentrated in a few users, order value in a few
+  * customers. G = 0 means perfectly even, → 1 means one row holds
+  * everything; a corpus curator watches this per source to catch a
+  * crawler that collapsed onto one site (Gini, Variabilità e
+  * mutabilità, 1912 — the rank-sum formulation).
+  *
+  *   G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx)   over x sorted ascending
+  *
+  * Exactness: x must be integer-scaled (tokens, cents); rank comes from
+  * a deterministic (x, id) sort, so Σ rank·x and Σx are exact BIGINTs
+  * and the single closing division is the only floating point — Gini is
+  * bit-stable on any partitioning and SQL-replayable. NULL for groups
+  * with Σx = 0.
+  *
+  * Scale shape: ONE `Exchange(group)` + per-partition sort feeds the
+  * rank window; the rank-weighted sums combine map-side. Groups sort on
+  * one partition each — per-corpus plural groups (source, lang), not
+  * one global group (the q86/q167 caveat, same remedy). */
+object Inequality {
+
+  /** (groupCol, n, total, gini) from an integer-scaled value column. */
+  def gini(df: DataFrame, groupCol: String, valueCol: String,
+           idCol: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val w = Window.partitionBy(col(groupCol)).orderBy(x.asc, col(idCol).asc)
+    df.withColumn("__x", x)
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("total"),
+        sum(col("__rk") * col("__x")).as("rx"))
+      .select(col(groupCol), col("n"), col("total"),
+        when(col("total") === 0, lit(null).cast("double"))
+          .otherwise(
+            (lit(2.0) * col("rx").cast("double") -
+              (col("n") + 1).cast("double") * col("total").cast("double")) /
+              (col("n").cast("double") * col("total").cast("double")))
+          .as("gini"))
+  }
+}

@@ -1108,6 +1108,65 @@ object TextQueries extends QuerySet {
       |SELECT doc_id, n_occ FROM sc WHERE n_occ > 0
       |ORDER BY n_occ DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Chi-square association audit ([[graft.operators.Association]]):
+    * lang vs source independence — corpus-metadata leak detection. One
+    * corpus count aggregate; everything else runs on the bounded cell
+    * grid; decimal term accumulation keeps χ² partitioning-invariant. */
+  private def q174(s: SparkSession, d: String): DataFrame =
+    graft.operators.Association.chiSquare(t(s, d, "documents"), "lang", "source")
+      .select(col("n"), col("cells"), col("dof"),
+        round(col("chi2"), 6).as("chi2"),
+        round(col("cramers_v"), 6).as("cramers_v"))
+
+  private val q174Sql =
+    """WITH cells AS (
+      |  SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS nab
+      |  FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT a, CAST(SUM(nab) AS BIGINT) AS na FROM cells GROUP BY a),
+      |ct AS (SELECT b, CAST(SUM(nab) AS BIGINT) AS nb FROM cells GROUP BY b),
+      |tot AS (SELECT CAST(SUM(nab) AS BIGINT) AS n,
+      |          CAST(COUNT(*) AS BIGINT) AS cells,
+      |          CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+      |          CAST(COUNT(DISTINCT b) AS BIGINT) AS c FROM cells),
+      |terms AS (
+      |  SELECT n, cells, r, c,
+      |    CAST((CAST(nab AS DOUBLE) - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+      |       * (CAST(nab AS DOUBLE) - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+      |       / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+      |       - (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(38,12)) AS t
+      |  FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot),
+      |agg AS (
+      |  SELECT n, cells, r, c, SUM(t) AS s FROM terms GROUP BY n, cells, r, c)
+      |SELECT n, cells, (r - 1) * (c - 1) AS dof,
+      |  round(CAST(n AS DOUBLE) + CAST(s AS DOUBLE), 6) AS chi2,
+      |  round(CASE WHEN r = 1 OR c = 1 THEN NULL
+      |        ELSE sqrt((CAST(n AS DOUBLE) + CAST(s AS DOUBLE)) /
+      |                  (CAST(n AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE))) END, 6) AS cramers_v
+      |FROM agg""".stripMargin
+
+  /** Gini concentration audit ([[graft.operators.Inequality]]): how
+    * lopsided is character mass across documents within each language —
+    * exact rank-sum formulation, one closing division. */
+  private def q175(s: SparkSession, d: String): DataFrame =
+    graft.operators.Inequality.gini(t(s, d, "documents"), "lang", "n_chars", "doc_id")
+      .select(col("lang"), col("n"), col("total"), round(col("gini"), 6).as("gini"))
+      .orderBy(col("lang"))
+
+  private val q175Sql =
+    """WITH r AS (
+      |  SELECT lang, CAST(n_chars AS BIGINT) AS x,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS rk
+      |  FROM documents),
+      |a AS (
+      |  SELECT lang, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS total,
+      |    CAST(SUM(rk * x) AS BIGINT) AS rx
+      |  FROM r GROUP BY lang)
+      |SELECT lang, n, total,
+      |  round(CASE WHEN total = 0 THEN NULL
+      |        ELSE (2.0 * CAST(rx AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(total AS DOUBLE)) /
+      |             (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)) END, 6) AS gini
+      |FROM a ORDER BY lang""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -1148,7 +1207,9 @@ object TextQueries extends QuerySet {
     Q("q166_weighted_sample", q166, Some(q166Sql)),
     Q("q169_allpairs_cosine", q169, Some(q169Sql)),
     Q("q170_row_resample", q170, Some(q170Sql)),
-    Q("q171_phrase_search", q171, Some(q171Sql)))
+    Q("q171_phrase_search", q171, Some(q171Sql)),
+    Q("q174_chi_square", q174, Some(q174Sql)),
+    Q("q175_gini", q175, Some(q175Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the

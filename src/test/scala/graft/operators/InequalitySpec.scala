@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+class InequalitySpec extends AnyFunSuite with SparkSuite {
+
+  private def gini(rows: Seq[(Long, String, Long)]) = {
+    import spark.implicits._
+    Inequality.gini(rows.toDF("id", "g", "x"), "g", "x", "id")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_ => r.getDouble(3))))
+      .toMap
+  }
+
+  test("perfect equality gives gini (n-1 tie-rank form) at its floor") {
+    // all equal values: G = (2·Σi·x − (n+1)·n·x)/(n·n·x) = (n−1)/n − ... = 0
+    // rank-sum over equal x: Σ rank·x = x·n(n+1)/2 → numerator 0 exactly
+    val got = gini((1L to 10L).map(i => (i, "g", 5L)))("g")
+    assert(got._3.contains(0.0))
+  }
+
+  test("total concentration approaches (n-1)/n") {
+    // one row holds everything: G = (n−1)/n exactly
+    val rows = (1L to 9L).map(i => (i, "g", 0L)) :+ (10L, "g", 1000L)
+    val got = gini(rows)("g")
+    assert(got._3.exists(v => math.abs(v - 0.9) < 1e-12))
+  }
+
+  test("hand-computed gini on a small vector") {
+    // x sorted = [1,2,3,4]: Σx=10, Σ rank·x = 1+4+9+16 = 30
+    // G = (2·30 − 5·10)/(4·10) = 10/40 = 0.25
+    val got = gini(Seq((1L, "g", 2L), (2L, "g", 4L), (3L, "g", 1L), (4L, "g", 3L)))("g")
+    assert(got == ((4L, 10L, Some(0.25))))
+  }
+
+  test("all-zero group reports NULL, not a division error") {
+    val got = gini(Seq((1L, "z", 0L), (2L, "z", 0L)))("z")
+    assert(got._3.isEmpty)
+  }
+
+  test("groups are independent; partitioning-invariant") {
+    import spark.implicits._
+    val rows = (1L to 300L).map(i => (i, s"g${i % 3}", (i * 17) % 97))
+    val a = Inequality.gini(rows.toDF("id", "g", "x").coalesce(1), "g", "x", "id")
+      .orderBy("g").collect().toSeq
+    val b = Inequality.gini(rows.toDF("id", "g", "x").repartition(7), "g", "x", "id")
+      .orderBy("g").collect().toSeq
+    assert(a == b)
+    assert(a.size == 3)
+  }
+}
