@@ -188,6 +188,78 @@ object Geo {
       .drop("__band", "__cell")
   }
 
+  /** Point-in-polygon over a polygon TABLE — the dynamic-column form of
+    * [[withinPolygon]] (whose constant unrolling needs the polygon at
+    * plan time): same PNPOLY even-odd crossing arithmetic, evaluated
+    * over vertex ARRAY columns with higher-order functions (filter +
+    * element_at — codegen lambda, no UDF, no explode of vertices).
+    * Horizontal edges short-circuit inside the lambda's CASE before the
+    * division can see yj−yi = 0 (the build-time drop is impossible when
+    * the polygon is data). */
+  def pointInPolyCol(plat: Column, plon: Column,
+                     lats: Column, lons: Column): Column = {
+    val n = size(lats)
+    val crossing = filter(sequence(lit(0), n - 1), i => {
+      val yi = element_at(lats, (i + 1).cast("int"))
+      val xi = element_at(lons, (i + 1).cast("int"))
+      val j = (pmod(i + 1, n) + 1).cast("int")
+      val yj = element_at(lats, j)
+      val xj = element_at(lons, j)
+      when(yi === yj, lit(false))
+        .when(!((yi > plat) =!= (yj > plat)), lit(false))
+        .otherwise(plon < (xj - xi) * (plat - yi) / (yj - yi) + xi)
+    })
+    pmod(size(crossing), lit(2)) === 1
+  }
+
+  /** Spatial join: which points fall inside which polygons, against a
+    * polygon TABLE (delivery zones, geofence sets, admin regions) —
+    * [[withinPolygon]] handles ONE constant fence; this joins N.
+    *
+    * Plan: each polygon expands to the fixed-degree grid cells its
+    * bounding box overlaps (explode bounded by `maxCellsPerPoly` — a
+    * LOUD driver-side check, since a continent-sized polygon at a fine
+    * grid is a modeling error, not a plan to run); points key by their
+    * single home cell; ONE equi-join on the cell key; exact ray-cast
+    * refine on the candidates. Pair space is Σ per-cell
+    * points×polygons — never points×polygons.
+    *
+    * Polygon rows: (polyIdCol, latsCol: array<double>, lonsCol:
+    * array<double>), unclosed, either winding, antimeridian-crossing
+    * polygons split by the caller (the [[withinPolygon]] contract). */
+  def polygonJoin(points: DataFrame, idCol: String, latCol: String, lonCol: String,
+                  polys: DataFrame, polyIdCol: String,
+                  latsCol: String, lonsCol: String,
+                  cellDeg: Double = 5.0, maxCellsPerPoly: Long = 4096L): DataFrame = {
+    require(cellDeg > 0, s"bad cellDeg $cellDeg")
+    val p = polys.select(col(polyIdCol).as("poly_id"),
+        col(latsCol).as("__lats"), col(lonsCol).as("__lons"))
+      .withColumn("__la0", floor(array_min(col("__lats")) / cellDeg).cast("long"))
+      .withColumn("__la1", floor(array_max(col("__lats")) / cellDeg).cast("long"))
+      .withColumn("__lo0", floor(array_min(col("__lons")) / cellDeg).cast("long"))
+      .withColumn("__lo1", floor(array_max(col("__lons")) / cellDeg).cast("long"))
+    // loud guard BEFORE the explode: the polygon table is zone-catalog
+    // scale (metadata, not corpus), so one aggregate over it is free
+    val worst = p.agg(coalesce(max(
+      (col("__la1") - col("__la0") + 1) * (col("__lo1") - col("__lo0") + 1)),
+      lit(0L))).head().getLong(0)
+    require(worst <= maxCellsPerPoly,
+      s"a polygon's bbox spans $worst grid cells at cellDeg=$cellDeg " +
+        s"(cap $maxCellsPerPoly) — coarsen cellDeg or split the polygon")
+    val cells = p
+      .withColumn("__latc", explode(sequence(col("__la0"), col("__la1"))))
+      .withColumn("__lonc", explode(sequence(col("__lo0"), col("__lo1"))))
+      .select(col("poly_id"), col("__lats"), col("__lons"),
+        col("__latc"), col("__lonc"))
+    val pts = points
+      .withColumn("__latc", floor(col(latCol) / cellDeg).cast("long"))
+      .withColumn("__lonc", floor(col(lonCol) / cellDeg).cast("long"))
+    pts.join(cells, Seq("__latc", "__lonc"))
+      .filter(pointInPolyCol(col(latCol), col(lonCol),
+        col("__lats"), col("__lons")))
+      .drop("__latc", "__lonc", "__lats", "__lons")
+  }
+
   /** Nearest-k points per probe by great-circle distance — the serve
     * shape (few probes, corpus-scale points): probes broadcast, each
     * point computes its distance to every probe in one pass, map-side

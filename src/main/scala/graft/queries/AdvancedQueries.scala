@@ -1117,6 +1117,40 @@ object AdvancedQueries extends QuerySet {
        |WHERE ${graft.operators.Geo.withinPolygonSql("lat", "lon", geofencePoly)}
        |ORDER BY c_custkey""".stripMargin
 
+  /** Polygon-SET spatial join ([[graft.operators.Geo.polygonJoin]]):
+    * which customers sit in which delivery zones — grid-blocked
+    * candidates, HOF ray-cast refine over vertex arrays. The oracle
+    * replays the SEMANTICS (cross join + identical per-edge CASE) —
+    * the grid is the optimization under test. */
+  private def q176(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val polys = Seq(
+      (1L, Seq(5.0, 35.0, 30.0, 15.0, 0.0), Seq(-20.0, -10.0, 25.0, 5.0, 20.0)),
+      (2L, Seq(-40.0, -30.0, -20.0, -30.0), Seq(-100.0, -85.0, -100.0, -115.0)),
+      (3L, Seq(40.0, 60.0, 45.0), Seq(80.0, 90.0, 120.0))
+    ).toDF("poly_id", "lats", "lons")
+    graft.operators.Geo.polygonJoin(custGeo(s, d), "c_custkey", "lat", "lon",
+        polys, "poly_id", "lats", "lons")
+      .select(col("c_custkey"), col("poly_id"))
+      .orderBy(col("c_custkey"), col("poly_id"))
+  }
+
+  private val q176Sql =
+    s"""WITH $custGeoSql,
+       |polys(poly_id, lats, lons) AS (VALUES
+       |  (CAST(1 AS BIGINT), [5.0, 35.0, 30.0, 15.0, 0.0], [-20.0, -10.0, 25.0, 5.0, 20.0]),
+       |  (CAST(2 AS BIGINT), [-40.0, -30.0, -20.0, -30.0], [-100.0, -85.0, -100.0, -115.0]),
+       |  (CAST(3 AS BIGINT), [40.0, 60.0, 45.0], [80.0, 90.0, 120.0]))
+       |SELECT c_custkey, poly_id FROM geo CROSS JOIN polys
+       |WHERE (len(list_filter(range(len(lats)), i ->
+       |  CASE WHEN lats[i+1] = lats[(i+1) % len(lats) + 1] THEN false
+       |       WHEN NOT ((lats[i+1] > lat) <> (lats[(i+1) % len(lats) + 1] > lat)) THEN false
+       |       ELSE lon < (lons[(i+1) % len(lats) + 1] - lons[i+1])
+       |                  * (lat - lats[i+1])
+       |                  / (lats[(i+1) % len(lats) + 1] - lats[i+1])
+       |                  + lons[i+1] END)) % 2) = 1
+       |ORDER BY c_custkey, poly_id""".stripMargin
+
   /** PageRank over the supplier↔part co-supply graph
     * ([[graft.operators.PageRank]]): bidirectional bipartite edges from
     * lineitem (supplier 2k ↔ part 2k+1 in one node-id space), 5
@@ -1343,6 +1377,7 @@ object AdvancedQueries extends QuerySet {
     Q("q167_quantile_binning", q167, Some(q167Sql)),
     Q("q168_winsorize", q168, Some(q168Sql)),
     Q("q173_trend_fit", q173, Some(q173Sql)),
+    Q("q176_polygon_join", q176, Some(q176Sql)),
     Q("q156_markov_transitions", q156, Some(q156Sql)),
     Q("q160_skyline", q160, Some(q160Sql)))
 }

@@ -177,4 +177,50 @@ class GeoSpec extends AnyFunSuite with SparkSuite {
     assert(got.columns.toSet == Set("a_id", "a_lat", "a_lon", "b_id", "b_lat", "b_lon"))
     assert(got.select("a_id", "b_id").as[(Long, Long)].collect().toSeq == Seq((10L, 1L)))
   }
+
+  test("pointInPolyCol agrees with the constant-unrolled withinPolygon on a grid") {
+    import spark.implicits._
+    val poly = Seq((5.0, -20.0), (35.0, -10.0), (30.0, 25.0), (15.0, 5.0), (0.0, 20.0))
+    val pts = (for { la <- -5 to 40 by 3; lo <- -25 to 30 by 3 }
+      yield (la.toDouble + 0.17, lo.toDouble + 0.17)).toDF("lat", "lon")
+    val withArrays = pts
+      .withColumn("lats", typedLit(poly.map(_._1)))
+      .withColumn("lons", typedLit(poly.map(_._2)))
+    val viaConst = pts.filter(Geo.withinPolygon(col("lat"), col("lon"), poly))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    val viaCol = withArrays
+      .filter(Geo.pointInPolyCol(col("lat"), col("lon"), col("lats"), col("lons")))
+      .select("lat", "lon").collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(viaConst == viaCol && viaConst.nonEmpty)
+  }
+
+  test("polygonJoin equals the brute-force cross join + per-polygon test") {
+    import spark.implicits._
+    val polys = Seq(
+      (1L, Seq(5.0, 35.0, 30.0, 15.0, 0.0), Seq(-20.0, -10.0, 25.0, 5.0, 20.0)),
+      (2L, Seq(-40.0, -30.0, -20.0, -30.0), Seq(-100.0, -85.0, -100.0, -115.0))
+    ).toDF("poly_id", "lats", "lons")
+    val pts = (1L to 300L).map(i =>
+      (i, ((i * 37) % 1400) / 10.0 - 70.0 + 0.05, ((i * 91) % 3600) / 10.0 - 180.0 + 0.05))
+      .toDF("id", "lat", "lon")
+    val joined = Geo.polygonJoin(pts, "id", "lat", "lon",
+        polys, "poly_id", "lats", "lons")
+      .select("id", "poly_id").as[(Long, Long)].collect().toSet
+    val brute = pts.crossJoin(polys)
+      .filter(Geo.pointInPolyCol(col("lat"), col("lon"), col("lats"), col("lons")))
+      .select("id", "poly_id").as[(Long, Long)].collect().toSet
+    assert(joined == brute && joined.nonEmpty)
+  }
+
+  test("polygonJoin cap fails loudly on a bbox too large for the grid") {
+    import spark.implicits._
+    val world = Seq((1L, Seq(-69.0, 69.0, 69.0, -69.0), Seq(-179.0, -179.0, 179.0, 179.0)))
+      .toDF("poly_id", "lats", "lons")
+    val pts = Seq((1L, 0.0, 0.0)).toDF("id", "lat", "lon")
+    val e = intercept[IllegalArgumentException] {
+      Geo.polygonJoin(pts, "id", "lat", "lon", world, "poly_id", "lats", "lons",
+        cellDeg = 1.0, maxCellsPerPoly = 1000L)
+    }
+    assert(e.getMessage.contains("grid cells"))
+  }
 }
