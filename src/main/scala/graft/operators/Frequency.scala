@@ -73,6 +73,56 @@ object Frequency {
     * candidate-filtered pass for exact verification. The driver holds
     * partitions × (1/support) summary entries — KB-scale even at
     * thousands of tasks. */
+  /** Count-min sketch build (Cormode, Muthukrishnan, "An Improved Data
+    * Stream Summary: the Count-Min Sketch and its Applications",
+    * J. Algorithms 2005): a depth×width grid of counters answering
+    * point-frequency queries for ANY value from O(depth·width) state —
+    * the complement of [[heavyHitters]] (which returns the top set but
+    * cannot answer "how often did THIS token occur" for the long tail).
+    * Guarantee: estimate ≥ true count always, ≤ true + εN with
+    * probability 1−δ at width=⌈e/ε⌉, depth=⌈ln 1/δ⌉.
+    *
+    * Deterministic replayable hashing (the engine's discipline — a
+    * seeded-row variant of [[Splits.stringKey]]→hashBucket): row j maps
+    * key → pmod((key + j·1000003)·KnuthC mod 2³², width). The sketch is
+    * therefore a VALUE: buildable by any engine, mergeable by cell-wise
+    * addition (counts are exact integer sums), and the oracle rebuilds
+    * it bit-for-bit.
+    *
+    * Scale shape: one narrow hash projection + a (row, cell)-keyed
+    * map-side-combined aggregate — the shuffle carries ≤ depth·width
+    * rows regardless of vocabulary. */
+  def countMinBuild(df: DataFrame, valueCol: String,
+                    depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape $depth x $width")
+    val key = Splits.stringKey(col(valueCol).cast("string"))
+    df.withColumn("__key", key)
+      .withColumn("row", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("cell",
+        Splits.hashBucket(pmod(col("__key") + col("row") * 1000003L,
+          lit(1000000007L)), width))
+      .groupBy(col("row"), col("cell"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Point-frequency estimates for `terms` from a built sketch:
+    * (term, est) where est = min over rows of the term's cell — the CMS
+    * upper-bound estimate. The sketch joins in broadcast (depth·width
+    * rows); absent cells read as 0. */
+  def countMinEstimate(sketch: DataFrame, terms: DataFrame,
+                       termCol: String, depth: Int = 4,
+                       width: Int = 1024): DataFrame = {
+    val key = Splits.stringKey(col(termCol).cast("string"))
+    terms.withColumn("__key", key)
+      .withColumn("row", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("cell",
+        Splits.hashBucket(pmod(col("__key") + col("row") * 1000003L,
+          lit(1000000007L)), width))
+      .join(broadcast(sketch), Seq("row", "cell"), "left")
+      .groupBy(col(termCol))
+      .agg(min(coalesce(col("n"), lit(0L))).as("est"))
+  }
+
   def heavyHitters(df: DataFrame, valueCol: String, k: Int,
                    support: Double = 0.01): DataFrame = {
     require(k > 0 && support > 0 && support < 1, s"bad k=$k / support=$support")

@@ -1167,6 +1167,90 @@ object TextQueries extends QuerySet {
       |             (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)) END, 6) AS gini
       |FROM a ORDER BY lang""".stripMargin
 
+  /** Hashing-trick featurizer ([[graft.operators.FeatureHash]]): fixed
+    * 32-dim signed-hash features as exact-integer sparse triples — no
+    * vocabulary table, no fitting pass; the oracle replays the full
+    * polynomial→Knuth→sign hash stack. */
+  private def q177(s: SparkSession, d: String): DataFrame =
+    graft.operators.FeatureHash.featureHash(t(s, d, "documents"), "doc_id", "text",
+        dims = 32)
+      .orderBy(col("doc_id"), col("dim"))
+
+  private val q177Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+      |k AS (SELECT doc_id, term, tf,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(term, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) AS key
+      |  FROM tf),
+      |t2 AS (SELECT doc_id,
+      |    CAST((((key % 2147483648) * 2654435761) % 4294967296) % 32 AS INTEGER) AS dim,
+      |    tf * (key % 2 * 2 - 1) AS v
+      |  FROM k)
+      |SELECT doc_id, dim, CAST(SUM(v) AS BIGINT) AS value
+      |FROM t2 GROUP BY doc_id, dim HAVING SUM(v) <> 0
+      |ORDER BY doc_id, dim""".stripMargin
+
+  /** Count-min sketch ([[graft.operators.Frequency.countMinBuild]]):
+    * point token frequencies from a 4×1024 counter grid. In-query gate:
+    * every estimate must satisfy the CMS guarantee est ≥ true (zero
+    * rows otherwise); the oracle rebuilds the sketch bit-for-bit. */
+  private def q178(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, d, "documents").select(
+      explode(filter(split(col("text"), " "), w => w =!= "")).as("term"))
+    val sketch = graft.operators.Frequency.countMinBuild(toks, "term").cache()
+    val probes = Seq("table", "hash", "spark", "query", "join", "vector",
+      "window", "scan", "nosuchtokenever").toDF("term")
+    val est = graft.operators.Frequency.countMinEstimate(sketch, probes, "term")
+    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("__n0"))
+    val truth = probes.join(counts, Seq("term"), "left")
+      .select(col("term"), coalesce(col("__n0"), lit(0L)).as("true_n"))
+    val out = est.join(truth, "term")
+      .select(col("term"), col("est"), col("true_n"))
+    val ok = out.filter(col("est") < col("true_n")).isEmpty // CMS guarantee
+    out.filter(lit(ok)).orderBy(col("term"))
+  }
+
+  private val q178Sql =
+    """WITH tok AS (
+      |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      |  FROM documents),
+      |k AS (SELECT term,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(term, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) AS key
+      |  FROM tok),
+      |rows_ AS (SELECT unnest(range(4)) AS row_),
+      |cells AS (
+      |  SELECT row_, CAST((((((key + row_ * 1000003) % 1000000007) % 2147483648)
+      |    * 2654435761) % 4294967296) % 1024 AS INTEGER) AS cell,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM k CROSS JOIN rows_ GROUP BY 1, 2),
+      |q(term) AS (VALUES ('table'), ('hash'), ('spark'), ('query'), ('join'),
+      |  ('vector'), ('window'), ('scan'), ('nosuchtokenever')),
+      |qk AS (SELECT term,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(term, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) AS key
+      |  FROM q),
+      |qc AS (
+      |  SELECT term, row_, CAST((((((key + row_ * 1000003) % 1000000007) % 2147483648)
+      |    * 2654435761) % 4294967296) % 1024 AS INTEGER) AS cell
+      |  FROM qk CROSS JOIN rows_),
+      |est AS (
+      |  SELECT qc.term, CAST(MIN(COALESCE(cells.n, 0)) AS BIGINT) AS est
+      |  FROM qc LEFT JOIN cells ON cells.row_ = qc.row_ AND cells.cell = qc.cell
+      |  GROUP BY qc.term),
+      |tru AS (
+      |  SELECT q.term, CAST(COUNT(tok.term) AS BIGINT) AS true_n
+      |  FROM q LEFT JOIN tok ON tok.term = q.term GROUP BY q.term)
+      |SELECT term, est, true_n FROM est JOIN tru USING (term)
+      |ORDER BY term""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -1209,7 +1293,9 @@ object TextQueries extends QuerySet {
     Q("q170_row_resample", q170, Some(q170Sql)),
     Q("q171_phrase_search", q171, Some(q171Sql)),
     Q("q174_chi_square", q174, Some(q174Sql)),
-    Q("q175_gini", q175, Some(q175Sql)))
+    Q("q175_gini", q175, Some(q175Sql)),
+    Q("q177_feature_hash", q177, Some(q177Sql)),
+    Q("q178_countmin", q178, Some(q178Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the

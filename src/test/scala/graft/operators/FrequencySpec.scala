@@ -75,4 +75,42 @@ class FrequencySpec extends AnyFunSuite with SparkSuite {
       assert(tokens.filter(col("w") === w).count() == c, s"word $w")
     }
   }
+
+  test("count-min: estimate >= true always; exact for isolated keys") {
+    import spark.implicits._
+    val vals = (1 to 500).flatMap(i => Seq.fill(i % 7 + 1)(s"v${i % 50}"))
+    val df = vals.toDF("v")
+    val sketch = Frequency.countMinBuild(df, "v", depth = 4, width = 1024)
+    val probes = (0 until 50).map(i => s"v$i").toDF("v")
+    val est = Frequency.countMinEstimate(sketch, probes, "v", depth = 4, width = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    truth.foreach { case (k, n) =>
+      assert(est(k) >= n, s"$k: est ${est(k)} < true $n")
+    }
+    // 50 keys in 1024 cells x 4 rows: collisions in all 4 rows are
+    // overwhelmingly unlikely -> estimates exact here
+    assert(truth.forall { case (k, n) => est(k) == n })
+  }
+
+  test("count-min: absent key estimates 0 (or a collision, never negative)") {
+    import spark.implicits._
+    val sketch = Frequency.countMinBuild(Seq("a", "b", "a").toDF("v"), "v")
+    val est = Frequency.countMinEstimate(sketch, Seq("zzz").toDF("v"), "v")
+      .head().getLong(1)
+    assert(est >= 0L)
+  }
+
+  test("count-min: sketches merge by cell-wise addition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val a = Seq.fill(5)("x") ++ Seq.fill(3)("y")
+    val b = Seq.fill(2)("x") ++ Seq.fill(7)("z")
+    val sa = Frequency.countMinBuild(a.toDF("v"), "v")
+    val sb = Frequency.countMinBuild(b.toDF("v"), "v")
+    val merged = sa.unionByName(sb).groupBy(col("row"), col("cell"))
+      .agg(sum(col("n")).as("n"))
+    val whole = Frequency.countMinBuild((a ++ b).toDF("v"), "v")
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+  }
 }
