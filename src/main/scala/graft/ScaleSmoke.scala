@@ -134,7 +134,11 @@ object ScaleSmoke {
       // projection; q162 = BM25 served from the persisted postings
       // (build+serve lifecycle, disjunctive path)
       "q164_pmi_collocations", "q165_containment_dedup",
-      "q162_bm25_index_served")
+      "q162_bm25_index_served",
+      // q169 = all-pairs cosine: the posting self-join over 10x distinct
+      // informative terms (relabeled copies keep per-copy pair structure,
+      // cross-copy terms disjoint -- pair space scales ~10x, not 100x)
+      "q169_allpairs_cosine")
     val qmap = SparkEntry.queries
     qmap("q01_agg_pricing")(spark, outDir).count() // warm-up: codegen/JIT
     val results = names.map { name =>
