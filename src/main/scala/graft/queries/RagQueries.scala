@@ -1026,6 +1026,38 @@ object RagQueries extends QuerySet {
       |  HAVING COUNT(DISTINCT term) = 2)
       |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Online partition-layout change
+    * ([[graft.store.DocumentStore.repartitionBy]]): the store's
+    * `ALTER TABLE … PARTITIONED BY` — create partitioned by priority,
+    * repartition by status behind the atomic version swap. In-query
+    * gates: the physical layout must actually be keyed by the new
+    * column's values, the pre-change snapshot must stay readable via
+    * time travel with identical row count, and a partition-pruned read
+    * on the NEW column must serve exactly its rows; the oracle proves
+    * the rewrite lost and changed nothing. */
+  private def q179(s: SparkSession, d: String): DataFrame = {
+    val store = new DocumentStore(s, Files.createTempDirectory("graft-q179").toString)
+    val orders = t(s, d, "orders")
+    store.create("orders", orders, partitionCol = Some("o_orderpriority"))
+    store.repartitionBy("orders", Some("o_orderstatus"), sortBy = Seq("o_custkey"))
+    val newKeys = store.fileStats("orders").map(_._1).toSet
+    val statuses = orders.select(col("o_orderstatus")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val layoutOk = newKeys == statuses
+    val v1Rows = store.readVersion("orders", 1).count()
+    val v2 = store.read("orders")
+    val travelOk = v1Rows == v2.count()
+    val fCount = orders.filter(col("o_orderstatus") === "F").count()
+    val prunedOk = store.readPartitions("orders", Seq("F")).count() == fCount
+    v2.select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      .filter(lit(layoutOk && travelOk && prunedOk))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q179Sql =
+    """SELECT o_orderkey, o_orderstatus, o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** Splittable CSV fast path ([[graft.sources.CsvRoundTrip]]): newline-
     * free data reads back with `multiLine=false` under the write-time
     * sidecar stat — files split on block boundaries instead of one task
@@ -1082,5 +1114,6 @@ object RagQueries extends QuerySet {
     Q("q126_streaming_enrich", q126, Some(q126Sql)),
     Q("q158_csv_roundtrip", q158, Some(q158Sql)),
     Q("q163_csv_splittable", q163, Some(q163Sql)),
-    Q("q172_streaming_index_sync", q172, Some(q172Sql)))
+    Q("q172_streaming_index_sync", q172, Some(q172Sql)),
+    Q("q179_store_repartition", q179, Some(q179Sql)))
 }

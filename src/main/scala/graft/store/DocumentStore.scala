@@ -100,8 +100,17 @@ class DocumentStore(val spark: SparkSession, root: String) {
     * clears it — commit NEVER clears a claim itself, because a claim it
     * cannot distinguish from debris may belong to a live committer
     * between claim and swap. */
+  /** @param pc Some(newLayout) when this commit CHANGES the partition
+    *   column (create/repartitionBy); None carries the base version's
+    *   layout forward. The effective layout is published as
+    *   `v<N>.partcol` under the SAME claim protection as the manifest,
+    *   so a layout change and its data always become visible in one
+    *   atomic swap — a table-level pointer alone would leave a crash
+    *   window where pruned reads consult the new column against an
+    *   old-layout manifest (silently empty results). */
   private[store] def commit(table: String, base: Int, v: Int, m: Map[String, String],
-                     schemaJson: Option[String]): Unit = {
+                     schemaJson: Option[String],
+                     pc: Option[Option[String]] = None): Unit = {
     require(v == base + 1, s"commit must target base+1 (got base=$base v=$v)")
     val vd = new HPath(tdir(table), "_versions"); fs.mkdirs(vd)
     val token = java.util.UUID.randomUUID().toString
@@ -139,6 +148,10 @@ class DocumentStore(val spark: SparkSession, root: String) {
     val body = m.toSeq.sorted.map { case (k, d) => s"$k\t$d" }.mkString("\n")
     writeString(new HPath(vd, s"v$v.manifest"), body)
     schemaJson.foreach(js => writeString(new HPath(vd, s"v$v.schema"), js))
+    // layout rides with the version (carry-forward when unchanged), so
+    // every committed version knows its own partition column
+    writeString(new HPath(vd, s"v$v.partcol"),
+      pc.getOrElse(partColAt(table, base)).getOrElse(""))
     refreshStats(table, base, v, m)
     refreshBlooms(table, base, v, m)
     val tmp = new HPath(tdir(table), s"_CURRENT.tmp$v")
@@ -212,14 +225,43 @@ class DocumentStore(val spark: SparkSession, root: String) {
     fs.mkdirs(tdir(table))
     savePartCol(table, partitionCol)
     val (written, schema) = writeSegments(table, df, v, partitionCol)
-    commit(table, v0, v, written, Some(schema))
+    commit(table, v0, v, written, Some(schema), pc = Some(partitionCol))
   }
 
   private def savePartCol(table: String, pc: Option[String]): Unit =
     writeString(new HPath(tdir(table), "_PARTCOL"), pc.getOrElse(""))
 
+  /** The layout effective at version `v`: the version's own partcol
+    * record, falling back to the table-level `_PARTCOL` for versions
+    * committed before per-version layouts existed. */
+  private def partColAt(table: String, v: Int): Option[String] =
+    readString(new HPath(new HPath(tdir(table), "_versions"), s"v$v.partcol")) match {
+      case Some(s) => Some(s.trim).filter(_.nonEmpty)
+      case None =>
+        readString(new HPath(tdir(table), "_PARTCOL")).map(_.trim).filter(_.nonEmpty)
+    }
+
   private def partCol(table: String): Option[String] =
-    readString(new HPath(tdir(table), "_PARTCOL")).map(_.trim).filter(_.nonEmpty)
+    partColAt(table, currentVersion(table))
+
+  /** Change the table's partition column ONLINE — the
+    * `ALTER TABLE … PARTITIONED BY` of the store: one full COW rewrite
+    * of the current snapshot under the new layout, published by the
+    * same atomic claim+swap every mutation uses. Deliberately a full
+    * rewrite (one scan + one write is the honest price of a layout
+    * change; the return is every later partition-pruned read against
+    * the new column). Readers never block; time travel keeps serving
+    * old versions under THEIR OWN layout (per-version partcol), and the
+    * optional `sortBy` clusters files within the new partitions (the
+    * min/max-skipping lever, as in create). */
+  def repartitionBy(table: String, newPartitionCol: Option[String],
+                    sortBy: Seq[String] = Nil): Unit = {
+    val v0 = currentVersion(table); val v = v0 + 1
+    val snap = readVersion(table, v0)
+    val (written, schema) = writeSegments(table, snap, v, newPartitionCol, sortBy)
+    commit(table, v0, v, written, Some(schema), pc = Some(newPartitionCol))
+    savePartCol(table, newPartitionCol) // legacy mirror, post-publish
+  }
 
   /** Snapshot read of the current version (no partial states visible). */
   def read(table: String): DataFrame = {
@@ -875,7 +917,7 @@ class DocumentStore(val spark: SparkSession, root: String) {
     // hold them). Clearing them here — and only here — is what unblocks
     // the next committer without commit itself ever guessing.
     fs.listStatus(vd).iterator.map(_.getPath.getName).foreach { name =>
-      val ver = "^v(\\d+)\\.(manifest|schema|stats|claim|bloom\\..+)$".r
+      val ver = "^v(\\d+)\\.(manifest|schema|stats|partcol|claim|bloom\\..+)$".r
       name match {
         case ver(n, _) if n.toInt > cur => fs.delete(new HPath(vd, name), true)
         case _ => if (name.startsWith(".claim-")) fs.delete(new HPath(vd, name), true)
@@ -900,6 +942,7 @@ class DocumentStore(val spark: SparkSession, root: String) {
       fs.delete(new HPath(vd, s"v$v.manifest"), false)
       fs.delete(new HPath(vd, s"v$v.stats"), false)  // sidecars ride their
       fs.delete(new HPath(vd, s"v$v.schema"), false) // version's lifetime
+      fs.delete(new HPath(vd, s"v$v.partcol"), false)
       fs.delete(new HPath(vd, s"v$v.claim"), true)   // epoch-claim marker
       bloomFiles.filter(_.startsWith(s"v$v.bloom."))
         .foreach(f => fs.delete(new HPath(vd, f), false))

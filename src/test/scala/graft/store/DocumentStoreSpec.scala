@@ -233,4 +233,53 @@ class DocumentStoreSpec extends AnyFunSuite with SparkSuite {
     assert(before.map(_.getString(1)).toSeq == Seq("a"))
     assert(s.read("t").collect().map(_.getString(1)).toSeq == Seq("B"))
   }
+
+  test("repartitionBy changes the physical layout, rows survive, pruning follows the new column") {
+    val s = freshStore()
+    val df = (1L to 60L).map(i => (i, s"p${i % 3}", s"q${i % 4}")).toDF("id", "pa", "pb")
+    s.create("t", df, partitionCol = Some("pa"))
+    assert(s.fileStats("t").map(_._1).toSet == Set("p0", "p1", "p2"))
+    s.repartitionBy("t", Some("pb"))
+    assert(s.fileStats("t").map(_._1).toSet == Set("q0", "q1", "q2", "q3"))
+    assert(s.read("t").orderBy("id").as[(Long, String, String)].collect().toSeq ==
+      df.orderBy("id").as[(Long, String, String)].collect().toSeq)
+    // pruned read on the NEW column serves exactly its rows
+    val q1 = s.readPartitions("t", Seq("q1")).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(q1 == (1L to 60L).filter(_ % 4 == 1).toSet)
+  }
+
+  test("time travel serves the pre-change snapshot under its own layout") {
+    val s = freshStore()
+    val df = (1L to 30L).map(i => (i, s"p${i % 2}", s"q${i % 3}")).toDF("id", "pa", "pb")
+    s.create("t", df, partitionCol = Some("pa"))
+    s.repartitionBy("t", Some("pb"))
+    val v1 = s.readVersion("t", 1).orderBy("id").as[(Long, String, String)].collect().toSeq
+    assert(v1 == df.orderBy("id").as[(Long, String, String)].collect().toSeq)
+  }
+
+  test("mutations after a layout change inherit the new partition column") {
+    val s = freshStore()
+    val df = (1L to 40L).map(i => (i, s"p${i % 2}", s"q${i % 4}")).toDF("id", "pa", "pb")
+    s.create("t", df, partitionCol = Some("pa"))
+    s.repartitionBy("t", Some("pb"))
+    val before = s.manifest("t", 2) // new-layout manifest (private[store])
+    s.upsert("t", Seq((2L, "p0", "q2")).toDF("id", "pa", "pb"), keys = Seq("id"))
+    val after = s.manifest("t", 3)
+    // only the touched NEW-column partition (q2) was rewritten
+    assert(after.keySet == before.keySet)
+    assert(after.filter { case (k, d) => before(k) != d }.keySet == Set("q2"))
+    assert(s.read("t").filter(col("id") === 2L).select("pb").head().getString(0) == "q2")
+  }
+
+  test("repartitionBy to unpartitioned and back") {
+    val s = freshStore()
+    val df = (1L to 20L).map(i => (i, s"p${i % 2}")).toDF("id", "pa")
+    s.create("t", df, partitionCol = Some("pa"))
+    s.repartitionBy("t", None)
+    assert(s.fileStats("t").map(_._1).toSet == Set("all"))
+    s.repartitionBy("t", Some("pa"))
+    assert(s.fileStats("t").map(_._1).toSet == Set("p0", "p1"))
+    assert(s.read("t").count() == 20L)
+  }
 }
