@@ -1251,6 +1251,35 @@ object TextQueries extends QuerySet {
       |SELECT term, est, true_n FROM est JOIN tru USING (term)
       |ORDER BY term""".stripMargin
 
+  /** Cross-source contamination matrix ([[graft.operators.Overlap]]):
+    * pairwise shared distinct word-trigrams between sources with the
+    * Szymkiewicz–Simpson overlap coefficient — the q83 leakage check at
+    * source granularity. */
+  private def q180(s: SparkSession, d: String): DataFrame =
+    graft.operators.Overlap.sourceOverlap(t(s, d, "documents"), "text", "source",
+        n = 3)
+      .select(col("source_a"), col("source_b"), col("shared"),
+        col("na"), col("nb"), round(col("overlap"), 6).as("overlap"))
+      .orderBy(col("source_a"), col("source_b"))
+
+  private val q180Sql =
+    """WITH w AS (
+      |  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT source,
+      |         unnest(list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+      |       FROM w WHERE len(w) >= 3),
+      |ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct FROM sh GROUP BY source),
+      |pr AS (SELECT a.source AS source_a, b.source AS source_b,
+      |         CAST(COUNT(*) AS BIGINT) AS shared
+      |       FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      |       GROUP BY 1, 2)
+      |SELECT source_a, source_b, shared, pa.n_distinct AS na, pb.n_distinct AS nb,
+      |  round(CAST(shared AS DOUBLE) / CAST(least(pa.n_distinct, pb.n_distinct) AS DOUBLE), 6) AS overlap
+      |FROM pr JOIN ps pa ON pa.source = source_a
+      |        JOIN ps pb ON pb.source = source_b
+      |ORDER BY source_a, source_b""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -1295,7 +1324,8 @@ object TextQueries extends QuerySet {
     Q("q174_chi_square", q174, Some(q174Sql)),
     Q("q175_gini", q175, Some(q175Sql)),
     Q("q177_feature_hash", q177, Some(q177Sql)),
-    Q("q178_countmin", q178, Some(q178Sql)))
+    Q("q178_countmin", q178, Some(q178Sql)),
+    Q("q180_source_overlap", q180, Some(q180Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the
