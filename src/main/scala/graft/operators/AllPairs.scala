@@ -33,26 +33,39 @@ import org.apache.spark.sql.functions._
 object AllPairs {
 
   /** Directed-canonical pairs (a_id < b_id) with cosine ≥ threshold:
-    * (a_id, b_id, dot, cos). */
+    * (a_id, b_id, dot, cos).
+    *
+    * `prefixFilter = true` switches candidate generation to Bayardo's
+    * prefix principle: order each document's terms by (df asc, term);
+    * the PREFIX is the minimal leading set whose removal drops the
+    * remaining suffix norm below τ, and by Cauchy-Schwarz a qualifying
+    * pair's FIRST shared term must lie in both prefixes — so the
+    * candidate join touches only prefix postings (the rarest terms),
+    * and the full dot is computed exactly for candidates alone. The
+    * prefix bound is exact integer/decimal arithmetic (suffix² · den² ≥
+    * num² · norm with τ conservatively rationalized DOWNWARD — never
+    * prunes a qualifying pair), and the output is IDENTICAL to the
+    * unfiltered path (spec-asserted).
+    *
+    * MEASURED trade (PLANS.md, sf0.1): on the synthetic dense corpus
+    * the prefix path is ~25× SLOWER than the plain join (same 443 k
+    * answer) — when prefixes still hold common-ish terms the filter
+    * barely prunes, and the per-candidate map-lookup verification costs
+    * far more than the posting join's grouped multiply. Use it for
+    * Zipfian corpora at high τ, where prefixes are genuinely rare
+    * terms; for dense corpora the levers are threshold and `maxDf`. */
   def cosinePairs(df: DataFrame, idCol: String, textCol: String,
-                  threshold: Double, maxDf: Option[Long] = None): DataFrame = {
+                  threshold: Double, maxDf: Option[Long] = None,
+                  prefixFilter: Boolean = false): DataFrame = {
     require(threshold >= 0 && threshold <= 1, s"bad threshold $threshold")
-    val tf = KeywordRank.termFreq(df, idCol, textCol)
-      .withColumnRenamed(idCol, "doc")
-    val n = tf.select(col("doc")).distinct().count()
-    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val capped = maxDf match {
-      case None => dfc
-      case Some(cap) => dfc.filter(col("df") <= cap)
-    }
+    if (prefixFilter)
+      return cosinePairsPrefix(df, idCol, textCol, threshold, maxDf)
     // integer weight per (doc, term); hot terms are absent entirely.
     // ZERO-weight terms (bits(N) == bits(df) — the idf floor for terms in
     // at least ~half the corpus) are dropped: they contribute 0 to every
     // dot and norm, and keeping them would give an all-stopword document
     // a zero norm (0/0 cosine) instead of no pairs at all.
-    val w = tf.join(broadcast(capped), "term")
-      .withColumn("w", col("tf") * (length(bin(lit(n))) - length(bin(col("df")))))
-      .filter(col("w") > 0)
+    val w = weighted(df, idCol, textCol, maxDf)
       .select(col("doc"), col("term"), col("w"))
     val norms = w.groupBy(col("doc")).agg(sum(col("w") * col("w")).as("nrm"))
     val dots = w.as("a").join(w.as("b"),
@@ -69,5 +82,69 @@ object AllPairs {
         sqrt(col("na").cast("double") * col("nb").cast("double")))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("dot"), col("cos"))
+  }
+
+  /** Weighted postings (doc, term, w, df) in the reduced positive-weight
+    * space — shared by both candidate strategies. */
+  private def weighted(df: DataFrame, idCol: String, textCol: String,
+                       maxDf: Option[Long]): DataFrame = {
+    val tf = KeywordRank.termFreq(df, idCol, textCol)
+      .withColumnRenamed(idCol, "doc")
+    val n = tf.select(col("doc")).distinct().count()
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val capped = maxDf match {
+      case None => dfc
+      case Some(cap) => dfc.filter(col("df") <= cap)
+    }
+    tf.join(broadcast(capped), "term")
+      .withColumn("w", col("tf") * (length(bin(lit(n))) - length(bin(col("df")))))
+      .filter(col("w") > 0)
+      .select(col("doc"), col("term"), col("w"), col("df"))
+  }
+
+  private def cosinePairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                                threshold: Double,
+                                maxDf: Option[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // τ rationalized DOWNWARD (num/den ≤ τ): a looser prefix bound keeps
+    // MORE terms in prefixes — never prunes a qualifying pair
+    val den = 1000000L
+    val num = math.floor(threshold * den).toLong
+    val w = weighted(df, idCol, textCol, maxDf).persist()
+    val norms = w.groupBy(col("doc")).agg(sum(col("w") * col("w")).as("nrm"))
+    // global term order (df asc, term): prefixes hold the RAREST terms,
+    // so the candidate join runs over small posting lists. Position r is
+    // in the prefix iff the suffix starting AT r still reaches τ:
+    // (nrm − presum(<r)) · den² ≥ num² · nrm — exact DECIMAL arithmetic
+    // (overflows BIGINT at den=1e6; sound exact compare either way).
+    val ord = Window.partitionBy(col("doc")).orderBy(col("df"), col("term"))
+    val prefix = w
+      .withColumn("__pre", coalesce(sum(col("w") * col("w"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(norms, "doc")
+      .filter((col("nrm") - col("__pre")).cast("decimal(20,0)") * lit(den * den) >=
+        lit(num * num).cast("decimal(20,0)") * col("nrm"))
+      .select(col("doc"), col("term"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.term") === col("b.term") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("a_id"), col("b.doc").as("b_id"))
+      .distinct()
+    // exact verification for candidates only: per-doc weight maps, dot
+    // via a codegen HOF over the smaller map against the other's lookups
+    val vecs = w.groupBy(col("doc"))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("w")))).as("m"))
+    val out = cand
+      .join(vecs.select(col("doc").as("a_id"), col("m").as("ma")), "a_id")
+      .join(vecs.select(col("doc").as("b_id"), col("m").as("mb")), "b_id")
+      .withColumn("dot", aggregate(map_entries(col("ma")), lit(0L),
+        (acc, e) => acc + e.getField("value") *
+          coalesce(element_at(col("mb"), e.getField("key")), lit(0L))))
+      .join(norms.withColumnRenamed("doc", "a_id").withColumnRenamed("nrm", "na"), "a_id")
+      .join(norms.withColumnRenamed("doc", "b_id").withColumnRenamed("nrm", "nb"), "b_id")
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("na").cast("double") * col("nb").cast("double")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("dot"), col("cos"))
+    out
   }
 }

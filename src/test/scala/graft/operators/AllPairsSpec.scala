@@ -71,6 +71,39 @@ class AllPairsSpec extends AnyFunSuite with SparkSuite {
     assert(capped((1L, 2L))._1 < uncapped((1L, 2L))._1) // smaller dot
   }
 
+  test("prefix-filtered path equals the plain join path exactly") {
+    import spark.implicits._
+    // random corpus with shared-vocab structure (some dense similarity)
+    val docs = (1L to 80L).map(i =>
+      (i, (0 to 11).map(j => s"t${(i * 5 + j * 3) % 29}").mkString(" ")))
+      .toDF("doc_id", "text")
+    for (thr <- Seq(0.3, 0.5, 0.8, 0.95)) {
+      val plain = AllPairs.cosinePairs(docs, "doc_id", "text", thr)
+        .orderBy("a_id", "b_id").collect().toSeq
+      val pref = AllPairs.cosinePairs(docs, "doc_id", "text", thr,
+        prefixFilter = true).orderBy("a_id", "b_id").collect().toSeq
+      assert(pref == plain, s"divergence at threshold $thr")
+      assert(plain.nonEmpty || thr > 0.9)
+    }
+  }
+
+  test("prefix path equality holds with maxDf and on near-identical dense docs") {
+    import spark.implicits._
+    // base words in ~1/3 of docs (informative weight, dense similarity
+    // among sharers); the rest are disjoint fillers keeping df < N/2
+    val base = "alpha beta gamma delta epsilon"
+    val docs = ((1L to 8L).map(i => (i, s"$base extra$i")) ++
+      (9L to 30L).map(i => (i, s"own$i solo$i lone$i")) ++
+      Seq((99L, base), (100L, base))).toDF("doc_id", "text")
+    for (cap <- Seq(None, Some(15L))) {
+      val plain = AllPairs.cosinePairs(docs, "doc_id", "text", 0.6, cap)
+        .orderBy("a_id", "b_id").collect().toSeq
+      val pref = AllPairs.cosinePairs(docs, "doc_id", "text", 0.6, cap,
+        prefixFilter = true).orderBy("a_id", "b_id").collect().toSeq
+      assert(pref == plain && plain.nonEmpty)
+    }
+  }
+
   test("partitioning-invariant (integer dots, IEEE sqrt)") {
     import spark.implicits._
     val docs = (1L to 40L).map(i =>
