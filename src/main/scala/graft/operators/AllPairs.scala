@@ -84,6 +84,46 @@ object AllPairs {
       .select(col("a_id"), col("b_id"), col("dot"), col("cos"))
   }
 
+  /** INCREMENTAL form: each batch document against the STANDING corpus
+    * — the per-ingest "is this a near-copy of anything we already
+    * have?" gate (the q93 incremental-dedup shape in weighted-cosine
+    * space). The corpus is never self-joined: candidate pairs come from
+    * batch postings ⋈ corpus postings on term, so the pair space is
+    * Σ_t df_batch(t)·df_corpus(t) — bounded by the batch, not the
+    * corpus². Weights/df/N are computed over corpus ∪ batch (the state
+    * the corpus would have after admission — idf can never serve staler
+    * than the decision it guards). Ids must be unique across both
+    * inputs; a re-ingested id never pairs with itself.
+    *
+    * Output: (batch_id, corpus_id, dot, cos) with cos ≥ threshold. */
+  def cosineAgainstCorpus(batch: DataFrame, corpus: DataFrame,
+                          idCol: String, textCol: String,
+                          threshold: Double,
+                          maxDf: Option[Long] = None): DataFrame = {
+    require(threshold >= 0 && threshold <= 1, s"bad threshold $threshold")
+    val all = batch.select(col(idCol), col(textCol))
+      .unionByName(corpus.select(col(idCol), col(textCol)))
+    val w = weighted(all, idCol, textCol, maxDf)
+      .select(col("doc"), col("term"), col("w"))
+    val norms = w.groupBy(col("doc")).agg(sum(col("w") * col("w")).as("nrm"))
+    val bIds = batch.select(col(idCol).as("doc")).distinct()
+    val cIds = corpus.select(col(idCol).as("doc")).distinct()
+    val wb = w.join(bIds, "doc")
+    val wc = w.join(cIds, "doc")
+    wb.as("a").join(wc.as("b"),
+        col("a.term") === col("b.term") && col("a.doc") =!= col("b.doc"))
+      .groupBy(col("a.doc").as("batch_id"), col("b.doc").as("corpus_id"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+      .join(norms.withColumnRenamed("doc", "batch_id")
+        .withColumnRenamed("nrm", "na"), "batch_id")
+      .join(norms.withColumnRenamed("doc", "corpus_id")
+        .withColumnRenamed("nrm", "nb"), "corpus_id")
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("na").cast("double") * col("nb").cast("double")))
+      .filter(col("cos") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("dot"), col("cos"))
+  }
+
   /** Weighted postings (doc, term, w, df) in the reduced positive-weight
     * space — shared by both candidate strategies. */
   private def weighted(df: DataFrame, idCol: String, textCol: String,

@@ -1280,6 +1280,46 @@ object TextQueries extends QuerySet {
       |        JOIN ps pb ON pb.source = source_b
       |ORDER BY source_a, source_b""".stripMargin
 
+  /** Incremental all-pairs cosine against the standing corpus
+    * ([[graft.operators.AllPairs.cosineAgainstCorpus]]): the per-ingest
+    * near-copy gate — batch = every 10th document, corpus = the rest;
+    * the corpus is never self-joined. */
+  private def q181(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    graft.operators.AllPairs.cosineAgainstCorpus(batch, corpus,
+        "doc_id", "text", threshold = 0.8)
+      .select(col("batch_id"), col("corpus_id"), col("dot"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
+  private val q181Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id AS doc, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM tok GROUP BY 1, 2),
+      |nn AS (SELECT COUNT(DISTINCT doc) AS n FROM tf),
+      |dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |w0 AS (SELECT doc, term,
+      |         tf * (length(bin(nn.n)) - length(bin(df))) AS w
+      |       FROM tf JOIN dfc USING (term) CROSS JOIN nn),
+      |w AS (SELECT doc, term, w FROM w0 WHERE w > 0),
+      |norms AS (SELECT doc, SUM(w * w) AS nrm FROM w GROUP BY doc),
+      |dots AS (SELECT a.doc AS batch_id, b.doc AS corpus_id, SUM(a.w * b.w) AS dot
+      |         FROM w a JOIN w b ON a.term = b.term AND a.doc <> b.doc
+      |         WHERE a.doc % 10 = 7 AND b.doc % 10 <> 7
+      |         GROUP BY 1, 2),
+      |sc AS (SELECT batch_id, corpus_id, CAST(dot AS BIGINT) AS dot,
+      |         CAST(dot AS DOUBLE) /
+      |           sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cos
+      |       FROM dots JOIN norms na ON na.doc = batch_id
+      |                 JOIN norms nb ON nb.doc = corpus_id)
+      |SELECT batch_id, corpus_id, dot, round(cos, 6) AS cos
+      |FROM sc WHERE cos >= 0.8 ORDER BY batch_id, corpus_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -1325,7 +1365,8 @@ object TextQueries extends QuerySet {
     Q("q175_gini", q175, Some(q175Sql)),
     Q("q177_feature_hash", q177, Some(q177Sql)),
     Q("q178_countmin", q178, Some(q178Sql)),
-    Q("q180_source_overlap", q180, Some(q180Sql)))
+    Q("q180_source_overlap", q180, Some(q180Sql)),
+    Q("q181_incremental_allpairs", q181, Some(q181Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkSuite
 
@@ -102,6 +103,33 @@ class AllPairsSpec extends AnyFunSuite with SparkSuite {
         prefixFilter = true).orderBy("a_id", "b_id").collect().toSeq
       assert(pref == plain && plain.nonEmpty)
     }
+  }
+
+  test("incremental vs corpus agrees with the full self-join restricted to cross pairs") {
+    import spark.implicits._
+    // 5 of 23 vocab terms per doc keeps df ≈ 13 ≪ N/2 = 30 (informative)
+    val docs = (1L to 60L).map(i =>
+      (i, (0 to 4).map(j => s"t${(i + j * 5) % 23}").mkString(" "))).toDF("doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val inc = AllPairs.cosineAgainstCorpus(batch, corpus, "doc_id", "text", 0.3)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // reference: full all-pairs over the union, keep cross pairs (either direction)
+    val full = AllPairs.cosinePairs(docs, "doc_id", "text", 0.3)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (x, y) => x % 5 == 0 && y % 5 != 0 }.toSet
+    assert(inc == full && inc.nonEmpty)
+  }
+
+  test("incremental: a re-ingested identical doc scores 1.0 against its original only once") {
+    import spark.implicits._
+    val corpus = ((1L to 10L).map(i => (i, s"own$i solo$i lone$i")) :+
+      (11L, "alpha beta gamma")).toDF("doc_id", "text")
+    val batch = Seq((99L, "alpha beta gamma")).toDF("doc_id", "text")
+    val got = AllPairs.cosineAgainstCorpus(batch, corpus, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.toSeq == Seq((99L, 11L, 1.0)))
   }
 
   test("partitioning-invariant (integer dots, IEEE sqrt)") {
