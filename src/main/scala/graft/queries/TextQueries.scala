@@ -1320,6 +1320,34 @@ object TextQueries extends QuerySet {
       |SELECT batch_id, corpus_id, dot, round(cos, 6) AS cos
       |FROM sc WHERE cos >= 0.8 ORDER BY batch_id, corpus_id""".stripMargin
 
+  /** Per-source distribution drift ([[graft.operators.Drift]]): exact
+    * integer Total-Variation distance of each source's token mix from
+    * the corpus mix — no logarithms, absent terms folded in
+    * algebraically, one pinned division. */
+  private def q182(s: SparkSession, d: String): DataFrame =
+    graft.operators.Drift.sourceTv(t(s, d, "documents"), "text", "source")
+      .select(col("source"), col("n_tokens"), round(col("tv"), 6).as("tv"))
+      .orderBy(col("source"))
+
+  private val q182Sql =
+    """WITH st AS (
+      |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      |  FROM documents),
+      |c AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS cst FROM st GROUP BY 1, 2),
+      |corp AS (SELECT t, CAST(SUM(cst) AS BIGINT) AS ct FROM c GROUP BY t),
+      |tot AS (SELECT source, CAST(SUM(cst) AS BIGINT) AS ts FROM c GROUP BY source),
+      |g AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt FROM corp),
+      |a AS (
+      |  SELECT c.source, tot.ts, g.tt,
+      |    CAST(SUM(abs(cst * tt - ct * ts)) AS BIGINT) AS present,
+      |    CAST(SUM(ct) AS BIGINT) AS covered
+      |  FROM c JOIN corp USING (t) JOIN tot USING (source) CROSS JOIN g
+      |  GROUP BY 1, 2, 3)
+      |SELECT source, ts AS n_tokens,
+      |  round(CAST(present + ts * (tt - covered) AS DOUBLE) /
+      |        (2.0 * CAST(ts AS DOUBLE) * CAST(tt AS DOUBLE)), 6) AS tv
+      |FROM a ORDER BY source""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -1366,7 +1394,8 @@ object TextQueries extends QuerySet {
     Q("q177_feature_hash", q177, Some(q177Sql)),
     Q("q178_countmin", q178, Some(q178Sql)),
     Q("q180_source_overlap", q180, Some(q180Sql)),
-    Q("q181_incremental_allpairs", q181, Some(q181Sql)))
+    Q("q181_incremental_allpairs", q181, Some(q181Sql)),
+    Q("q182_source_drift", q182, Some(q182Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the
