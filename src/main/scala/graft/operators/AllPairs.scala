@@ -150,7 +150,10 @@ object AllPairs {
     // MORE terms in prefixes — never prunes a qualifying pair
     val den = 1000000L
     val num = math.floor(threshold * den).toLong
-    val w = weighted(df, idCol, textCol, maxDf).persist()
+    // NOT persisted: prefix/norms/vecs all land in ONE final plan, so
+    // ReuseExchange computes the weighted posting shuffle once; a cache
+    // here would outlive the call (the PageRank-r9 leak pattern)
+    val w = weighted(df, idCol, textCol, maxDf)
     val norms = w.groupBy(col("doc")).agg(sum(col("w") * col("w")).as("nrm"))
     // global term order (df asc, term): prefixes hold the RAREST terms,
     // so the candidate join runs over small posting lists. Position r is
