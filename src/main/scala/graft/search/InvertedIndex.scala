@@ -158,10 +158,15 @@ object InvertedIndex {
     val st = dmap.agg(
       count(when(col("len") > 0, 1)).as("n_tokened"),
       coalesce(sum(col("len")), lit(0L)).as("total_len")).head()
+    // sortBy: term-clustered posting files let parquet row-group min/max
+    // stats prune the serve-side term filter WITHIN each bucket (the
+    // manifest prunes buckets; this prunes inside them). Incrementally
+    // rewritten buckets lose the clustering until rebuilt/compacted —
+    // pruning degrades gracefully, correctness never depends on it.
     store.create("postings", post.repartition(col("bucket")),
-      partitionCol = Some("bucket"))
+      partitionCol = Some("bucket"), sortBy = Seq("term"))
     store.create("docmap", dmap.repartition(col("dbucket")),
-      partitionCol = Some("dbucket"))
+      partitionCol = Some("dbucket"), sortBy = Seq("doc_id"))
     writeMeta(store, Meta(buckets, nAll, st.getLong(0), st.getLong(1), tok))
     post.unpersist(blocking = false)
     dmap.unpersist(blocking = false)

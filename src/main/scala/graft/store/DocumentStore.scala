@@ -219,12 +219,16 @@ class DocumentStore(val spark: SparkSession, root: String) {
 
   def exists(table: String): Boolean = fs.exists(new HPath(tdir(table), "_CURRENT"))
 
-  /** Create/replace the table (bulk load — the §3.2 ingest sink). */
-  def create(table: String, df: DataFrame, partitionCol: Option[String] = None): Unit = {
+  /** Create/replace the table (bulk load — the §3.2 ingest sink).
+    * `sortBy` clusters rows within each partition's files so parquet
+    * row-group min/max stats prune point/range predicates on those
+    * columns at read time (the same lever compact exposes). */
+  def create(table: String, df: DataFrame, partitionCol: Option[String] = None,
+             sortBy: Seq[String] = Nil): Unit = {
     val v0 = currentVersion(table); val v = v0 + 1
     fs.mkdirs(tdir(table))
     savePartCol(table, partitionCol)
-    val (written, schema) = writeSegments(table, df, v, partitionCol)
+    val (written, schema) = writeSegments(table, df, v, partitionCol, sortBy)
     commit(table, v0, v, written, Some(schema), pc = Some(partitionCol))
   }
 

@@ -204,6 +204,19 @@ class InvertedIndexSpec extends AnyFunSuite with SparkSuite {
       "post-mutation served vs cold path diverged")
   }
 
+  test("built posting files are term-clustered (row-group pruning lever)") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val store = new DocumentStore(spark, dir)
+    val byFile = store.read("postings")
+      .select(input_file_name().as("f"), col("term"))
+      .collect().groupBy(_.getString(0))
+    assert(byFile.nonEmpty)
+    byFile.values.foreach { rows =>
+      val terms = rows.map(_.getString(1)).toSeq
+      assert(terms == terms.sorted, "posting file not term-sorted")
+    }
+  }
+
   private def phrase(ps: Seq[String]) =
     InvertedIndex.phraseSearch(spark, dir, corpus, "doc_id", "text", ps, k = 10)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
