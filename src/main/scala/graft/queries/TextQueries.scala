@@ -1348,6 +1348,88 @@ object TextQueries extends QuerySet {
       |        (2.0 * CAST(ts AS DOUBLE) * CAST(tt AS DOUBLE)), 6) AS tv
       |FROM a ORDER BY source""".stripMargin
 
+  /** End-to-end corpus-release audit pipeline — the round-10 operators
+    * composed as ONE DAG (the q122 pattern for the audit family):
+    * TV-drift gate drops divergent feeds → contamination matrix drops
+    * the duplicated side of high-overlap source pairs → per-lang
+    * difficulty binning (NTILE) → bin-weighted πps sample (20/lang) →
+    * per-(lang, bin) release accounting. Both audits run on the FULL
+    * corpus, filters apply once; every stage is exact/pinned, so the
+    * oracle replays the whole chain and a semantic change to ANY stage
+    * breaks the hash. */
+  private def q183(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val calm = graft.operators.Drift.sourceTv(docs, "text", "source")
+      .filter(col("tv") <= 0.065).select(col("source"))
+    val contaminated = graft.operators.Overlap
+      .sourceOverlap(docs, "text", "source", n = 3)
+      .filter(col("overlap") >= 0.115)
+      .select(col("source_b").as("source")).distinct()
+    val kept = docs.join(broadcast(calm), "source")
+      .join(broadcast(contaminated), Seq("source"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val binned = graft.operators.Binning.equalFrequency(
+      kept, "lang", "n_chars", "doc_id", bins = 10)
+    Splits.weightedBottomKSample(binned, "doc_id", "bin", "lang", k = 20)
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  private val q183Sql =
+    """WITH dtok AS (
+      |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      |  FROM documents),
+      |dc AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS cst FROM dtok GROUP BY 1, 2),
+      |dcorp AS (SELECT t, CAST(SUM(cst) AS BIGINT) AS ct FROM dc GROUP BY t),
+      |dtot AS (SELECT source, CAST(SUM(cst) AS BIGINT) AS ts FROM dc GROUP BY source),
+      |dg AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt FROM dcorp),
+      |da AS (
+      |  SELECT dc.source, dtot.ts, dg.tt,
+      |    CAST(SUM(abs(cst * tt - ct * ts)) AS BIGINT) AS present,
+      |    CAST(SUM(ct) AS BIGINT) AS covered
+      |  FROM dc JOIN dcorp USING (t) JOIN dtot USING (source) CROSS JOIN dg
+      |  GROUP BY 1, 2, 3),
+      |calm AS (
+      |  SELECT source FROM da
+      |  WHERE CAST(present + ts * (tt - covered) AS DOUBLE) /
+      |        (2.0 * CAST(ts AS DOUBLE) * CAST(tt AS DOUBLE)) <= 0.065),
+      |ow AS (SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |       FROM documents),
+      |osh AS (SELECT DISTINCT source,
+      |          unnest(list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+      |        FROM ow WHERE len(w) >= 3),
+      |ops AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct FROM osh GROUP BY source),
+      |opr AS (SELECT a.source AS source_a, b.source AS source_b,
+      |          CAST(COUNT(*) AS BIGINT) AS shared
+      |        FROM osh a JOIN osh b ON a.s = b.s AND a.source < b.source
+      |        GROUP BY 1, 2),
+      |contaminated AS (
+      |  SELECT DISTINCT source_b AS source
+      |  FROM opr JOIN ops pa ON pa.source = source_a
+      |           JOIN ops pb ON pb.source = source_b
+      |  WHERE CAST(shared AS DOUBLE) /
+      |        CAST(least(pa.n_distinct, pb.n_distinct) AS DOUBLE) >= 0.115),
+      |kept AS (
+      |  SELECT doc_id, lang, n_chars FROM documents
+      |  WHERE source IN (SELECT source FROM calm)
+      |    AND source NOT IN (SELECT source FROM contaminated)),
+      |b AS (
+      |  SELECT doc_id, lang,
+      |    NTILE(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS bin
+      |  FROM kept),
+      |p AS (
+      |  SELECT doc_id, lang, bin,
+      |    (((doc_id % 2147483648) * 2654435761) % 4294967296) * 1048576
+      |      // least(bin, 1073741824) AS prio
+      |  FROM b),
+      |r AS (
+      |  SELECT lang, bin,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY prio, doc_id) AS rn
+      |  FROM p)
+      |SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM r WHERE rn <= 20 GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -1395,7 +1477,8 @@ object TextQueries extends QuerySet {
     Q("q178_countmin", q178, Some(q178Sql)),
     Q("q180_source_overlap", q180, Some(q180Sql)),
     Q("q181_incremental_allpairs", q181, Some(q181Sql)),
-    Q("q182_source_drift", q182, Some(q182Sql)))
+    Q("q182_source_drift", q182, Some(q182Sql)),
+    Q("q183_audit_pipeline", q183, Some(q183Sql), headline = true))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the
