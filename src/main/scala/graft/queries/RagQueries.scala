@@ -1058,6 +1058,33 @@ object RagQueries extends QuerySet {
     """SELECT o_orderkey, o_orderstatus, o_orderpriority
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** ORC interchange round trip: the Hive-ecosystem landing-zone format
+    * beside CSV (q158/q163) and JSON (q53) — ORC is self-describing and
+    * splittable, so unlike CSV no option-pinning contract is needed;
+    * the gate proves adversarial payloads (embedded newlines, quotes,
+    * NULL vs empty, decimals, timestamps) survive verbatim and the
+    * oracle recomputes them straight from parquet. */
+  private def q184(s: SparkSession, d: String): DataFrame = {
+    val tricky = t(s, d, "customer").select(
+      col("c_custkey"),
+      when(pmod(col("c_custkey"), lit(5)) === 0, lit(null).cast("string"))
+        .when(pmod(col("c_custkey"), lit(5)) === 1, lit(""))
+        .otherwise(concat(col("c_name"), lit(",\""), lit("\n"),
+          col("c_mktsegment"), lit("\\"))).as("payload"),
+      col("c_acctbal").cast("decimal(12,2)").as("bal"))
+    val dir = Files.createTempDirectory("graft-q184").toString + "/orc"
+    tricky.write.mode("overwrite").orc(dir)
+    s.read.orc(dir).orderBy(col("c_custkey"))
+  }
+
+  private val q184Sql =
+    """SELECT c_custkey,
+      |  CASE WHEN c_custkey % 5 = 0 THEN NULL
+      |       WHEN c_custkey % 5 = 1 THEN ''
+      |       ELSE c_name || ',"' || chr(10) || c_mktsegment || '\' END AS payload,
+      |  CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   /** Splittable CSV fast path ([[graft.sources.CsvRoundTrip]]): newline-
     * free data reads back with `multiLine=false` under the write-time
     * sidecar stat — files split on block boundaries instead of one task
@@ -1115,5 +1142,6 @@ object RagQueries extends QuerySet {
     Q("q158_csv_roundtrip", q158, Some(q158Sql)),
     Q("q163_csv_splittable", q163, Some(q163Sql)),
     Q("q172_streaming_index_sync", q172, Some(q172Sql)),
-    Q("q179_store_repartition", q179, Some(q179Sql)))
+    Q("q179_store_repartition", q179, Some(q179Sql)),
+    Q("q184_orc_roundtrip", q184, Some(q184Sql)))
 }
