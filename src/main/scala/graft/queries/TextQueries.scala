@@ -1430,6 +1430,54 @@ object TextQueries extends QuerySet {
       |SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS n
       |FROM r WHERE rn <= 20 GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
 
+  /** Trainable bigram-LM surprisal ([[graft.operators.NgramLm]]) — the
+    * CCNet train-on-reference / score-target quality signal: the model
+    * trains on a trusted corpus slice (`doc_id % 3 = 0` stands in for
+    * "curated reference"), scores EVERY document, and Laplace smoothing
+    * keeps unseen contexts/transitions scoreable — which is the whole
+    * point of the cross-corpus variant over q96's self-scoring (where an
+    * unseen bigram cannot exist). Exact integer bits end to end; only
+    * the final per-doc mean divides. */
+  private def q185(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val model = graft.operators.NgramLm.train(
+      docs.filter(col("doc_id") % 3 === 0), "text")
+    graft.operators.NgramLm.score(docs, "doc_id", "text", model)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q185Sql =
+    """WITH rw AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+      |      FROM (SELECT unnest(w) AS t FROM rw)),
+      |rbg AS (SELECT unnest(list_transform(range(len(w) - 1),
+      |          i -> {'w1': w[i+1], 'w2': w[i+2]})) AS b
+      |        FROM rw WHERE len(w) >= 2),
+      |c2 AS (SELECT b.w1 AS w1, b.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+      |       FROM rbg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      |tw AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |       FROM documents),
+      |tbg AS (SELECT doc_id, unnest(list_transform(range(len(w) - 1),
+      |          i -> {'w1': w[i+1], 'w2': w[i+2]})) AS b
+      |        FROM tw WHERE len(w) >= 2),
+      |p AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM tbg),
+      |sc AS (SELECT doc_id,
+      |         CAST(length(bin(COALESCE(c1, 0) + v)) -
+      |              length(bin(COALESCE(c12, 0) + 1)) AS BIGINT) AS s
+      |       FROM p LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+      |            CROSS JOIN v),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+      |          CAST(SUM(s) AS BIGINT) AS surprisal_bits
+      |        FROM sc GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(COALESCE(surprisal_bits, 0) AS BIGINT) AS surprisal_bits,
+      |  COALESCE(round(CAST(surprisal_bits AS DOUBLE) / n_bigrams, 6), 0.0) AS mean_bits
+      |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -1478,7 +1526,8 @@ object TextQueries extends QuerySet {
     Q("q180_source_overlap", q180, Some(q180Sql)),
     Q("q181_incremental_allpairs", q181, Some(q181Sql)),
     Q("q182_source_drift", q182, Some(q182Sql)),
-    Q("q183_audit_pipeline", q183, Some(q183Sql), headline = true))
+    Q("q183_audit_pipeline", q183, Some(q183Sql), headline = true),
+    Q("q185_ngram_lm", q185, Some(q185Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the
