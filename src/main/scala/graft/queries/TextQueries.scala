@@ -1430,6 +1430,58 @@ object TextQueries extends QuerySet {
       |SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS n
       |FROM r WHERE rn <= 20 GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
 
+  /** Boolean AND-NOT serving + compaction on the persisted inverted
+    * index ([[graft.search.InvertedIndex.searchNot]] / `compact`): after
+    * an incremental mutation epoch (a corpus slice re-added with a new
+    * term), the query asks for documents containing BOTH positives and
+    * NEITHER negative — negation served from ≤ |mustNot| pruned posting
+    * buckets and one anti-join, never a corpus scan. The gate then runs
+    * [[graft.search.InvertedIndex.compact]] (the store OPTIMIZE with the
+    * index's term clustering restored) and zeroes the output unless
+    * serving is row-identical before and after — compaction must be
+    * invisible to queries. */
+  private def q186(s: SparkSession, d: String): DataFrame = {
+    import graft.search.InvertedIndex
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q186").toString
+    InvertedIndex.build(docs, "doc_id", "text", dir)
+    InvertedIndex.add(s, dir,
+      docs.filter(col("doc_id") % 11 === 2)
+        .withColumn("text", concat(col("text"), lit(" graftneg"))),
+      "doc_id", "text")
+    val must = Seq("table", "vector"); val mustNot = Seq("graftneg", "merge")
+    val before = InvertedIndex.searchNot(s, dir, must, mustNot, k = 15)
+      .collect().toSeq
+    InvertedIndex.compact(s, dir)
+    val res = InvertedIndex.searchNot(s, dir, must, mustNot, k = 15)
+    if (res.collect().toSeq == before) res else res.limit(0)
+  }
+
+  private val q186Sql =
+    """WITH v AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 2 THEN text || ' graftneg' ELSE text END AS text
+      |  FROM documents),
+      |occ AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      |  FROM v),
+      |n AS (SELECT COUNT(*) AS nd FROM v),
+      |tfq AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM occ
+      |  WHERE term IN ('table', 'vector') GROUP BY 1, 2),
+      |dfq AS (
+      |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM occ
+      |  WHERE term IN ('table', 'vector') GROUP BY 1),
+      |w AS (SELECT term, CAST(length(bin(nd)) - length(bin(df)) AS INTEGER) AS w
+      |      FROM dfq CROSS JOIN n),
+      |neg AS (SELECT DISTINCT doc_id FROM occ WHERE term IN ('graftneg', 'merge')),
+      |sc AS (
+      |  SELECT doc_id, CAST(SUM(tf * w) AS BIGINT) AS score
+      |  FROM tfq JOIN w USING (term)
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM neg)
+      |  GROUP BY doc_id HAVING COUNT(DISTINCT term) = 2)
+      |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+
   /** Trainable bigram-LM surprisal ([[graft.operators.NgramLm]]) — the
     * CCNet train-on-reference / score-target quality signal: the model
     * trains on a trusted corpus slice (`doc_id % 3 = 0` stands in for
@@ -1527,7 +1579,8 @@ object TextQueries extends QuerySet {
     Q("q181_incremental_allpairs", q181, Some(q181Sql)),
     Q("q182_source_drift", q182, Some(q182Sql)),
     Q("q183_audit_pipeline", q183, Some(q183Sql), headline = true),
-    Q("q185_ngram_lm", q185, Some(q185Sql)))
+    Q("q185_ngram_lm", q185, Some(q185Sql)),
+    Q("q186_boolean_search", q186, Some(q186Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the

@@ -256,6 +256,27 @@ object InvertedIndex {
     else post.filter(col("term").isin(terms: _*))
   }
 
+  private def emptyScores(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("doc_id", LongType), StructField("score", LongType))))
+
+  /** Unranked (doc_id, score) of documents containing EVERY term —
+    * shared by [[search]] and [[searchNot]]. */
+  private def conjunctiveScores(store: DocumentStore, meta: Meta,
+                                terms: Seq[String]): DataFrame = {
+    val post = prunedPostings(store, meta, terms)
+    if (post.columns.isEmpty) return emptyScores(store.spark)
+    val stats = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("w", length(bin(lit(meta.nDocs))) - length(bin(col("df"))))
+      .select(col("term"), col("w"))
+    post.join(broadcast(stats), "term")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("w")).as("score"),
+        count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === terms.size)
+      .select(col("doc_id"), col("score"))
+  }
+
   /** Conjunctive (all-terms) top-k, exact-integer TF·IDF. df is computed
     * live from the posting lists the query already reads (never stale);
     * N comes from the maintained meta row. */
@@ -264,22 +285,54 @@ object InvertedIndex {
     require(queryTerms.nonEmpty, "need at least one term")
     val store = new DocumentStore(spark, dir)
     val meta = readMeta(store)
-    val distinctTerms = queryTerms.distinct
-    val post = prunedPostings(store, meta, distinctTerms)
-    if (post.columns.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(Seq(StructField("doc_id", LongType), StructField("score", LongType))))
-    val stats = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .withColumn("w", length(bin(lit(meta.nDocs))) - length(bin(col("df"))))
-      .select(col("term"), col("w"))
-    post.join(broadcast(stats), "term")
-      .groupBy(col("doc_id"))
-      .agg(sum(col("tf") * col("w")).as("score"),
-        count(lit(1)).as("n_terms"))
-      .filter(col("n_terms") === distinctTerms.size)
-      .select(col("doc_id"), col("score"))
+    conjunctiveScores(store, meta, queryTerms.distinct)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** AND-NOT: documents containing every `mustTerms` term and none of
+    * `mustNotTerms`, ranked by the positive terms' exact-integer TF·IDF.
+    * The standard boolean-retrieval restriction applies — negation only
+    * in conjunctive context (a bare NOT is the corpus complement, which
+    * no index should serve). Serving cost stays posting-bounded: the
+    * negative side reads ≤ |mustNot| pruned buckets, reduces to a
+    * DISTINCT doc set no larger than those posting lists, and removes
+    * candidates through one anti-join — the corpus is never touched. A
+    * term in both lists is a contradiction: empty result, by
+    * construction not by special case. */
+  def searchNot(spark: SparkSession, dir: String, mustTerms: Seq[String],
+                mustNotTerms: Seq[String], k: Int): DataFrame = {
+    require(mustTerms.nonEmpty, "negation needs at least one positive term")
+    val store = new DocumentStore(spark, dir)
+    val meta = readMeta(store)
+    val pos = conjunctiveScores(store, meta, mustTerms.distinct)
+    val negTerms = mustNotTerms.distinct
+    val ranked =
+      if (negTerms.isEmpty) pos
+      else {
+        val negPost = prunedPostings(store, meta, negTerms)
+        if (negPost.columns.isEmpty) pos
+        else pos.join(negPost.select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      }
+    ranked.orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  /** Re-cluster incrementally-rewritten buckets: [[build]] lays each
+    * bucket down term-sorted (row-group min/max prune the serve-side
+    * term filter inside the bucket), but [[add]]/[[remove]] rewrite
+    * touched buckets in whatever order the upsert's shuffle produced,
+    * and every mutation epoch adds files. Compaction is the store's own
+    * OPTIMIZE ([[DocumentStore.compact]] — victims from file listings
+    * only, COW, atomic swap) with the index's sort restored: postings
+    * re-cluster by term, docmap by doc_id. Serving is oblivious to
+    * whether compaction ran — same results, tighter IO. Returns
+    * (postingsCompacted, docmapCompacted); false = nothing fragmented. */
+  def compact(spark: SparkSession, dir: String,
+              maxFileBytes: Long = 128L << 20): (Boolean, Boolean) = {
+    val store = new DocumentStore(spark, dir)
+    (store.compact("postings", maxFileBytes, sortBy = Seq("term")),
+      store.compact("docmap", maxFileBytes, sortBy = Seq("doc_id")))
   }
 
   /** Exact phrase search — two-phase candidate + verify, the design that

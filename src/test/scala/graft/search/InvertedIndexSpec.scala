@@ -204,6 +204,59 @@ class InvertedIndexSpec extends AnyFunSuite with SparkSuite {
       "post-mutation served vs cold path diverged")
   }
 
+  test("searchNot: all positives present, no negative, positive-only scoring") {
+    // apple docs {1,2,4}, cherry docs {1,3,4} → keep doc 2; apple df=3,
+    // w = bits(5)-bits(3) = 1, doc2 tf=1 → score 1
+    val got = InvertedIndex.searchNot(spark, dir, Seq("apple"), Seq("cherry"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((2L, 1L)))
+  }
+
+  test("searchNot: contradiction empties; unknown negative changes nothing") {
+    assert(InvertedIndex.searchNot(spark, dir, Seq("apple"), Seq("apple"), k = 10)
+      .count() == 0)
+    val plain = InvertedIndex.search(spark, dir, Seq("apple"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val negged = InvertedIndex.searchNot(spark, dir, Seq("apple"), Seq("zzz"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(negged == plain)
+    // empty negative list degrades to plain conjunctive search
+    val none = InvertedIndex.searchNot(spark, dir, Seq("apple"), Nil, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(none == plain)
+  }
+
+  test("compact: fresh build has nothing to do; mutated index re-clusters") {
+    import spark.implicits._
+    val d = freshIndex()
+    // a just-built index is already one clustered file run per bucket
+    assert(InvertedIndex.compact(spark, d) == (false, false))
+    InvertedIndex.add(spark, d,
+      Seq((9L, "apple elderberry"), (10L, "apple banana kiwi"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    InvertedIndex.remove(spark, d, Seq(2L))
+    val q = Seq("apple", "banana")
+    val before = InvertedIndex.search(spark, d, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val (p, _) = InvertedIndex.compact(spark, d)
+    val after = InvertedIndex.search(spark, d, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(after == before, "compaction changed serving results")
+    if (p) {
+      // the rewrite restored term clustering in every postings file
+      import org.apache.spark.sql.functions.input_file_name
+      val store = new DocumentStore(spark, d)
+      store.read("postings")
+        .select(input_file_name().as("f"), col("term"))
+        .collect().groupBy(_.getString(0)).values.foreach { rows =>
+          val terms = rows.map(_.getString(1)).toSeq
+          assert(terms == terms.sorted, "compacted posting file not term-sorted")
+        }
+      // and compaction is idempotent until the next mutation
+      assert(InvertedIndex.compact(spark, d) == (false, false))
+    }
+  }
+
   test("built posting files are term-clustered (row-group pruning lever)") {
     import org.apache.spark.sql.functions.{col, input_file_name}
     val store = new DocumentStore(spark, dir)
