@@ -69,12 +69,28 @@ object PageRank {
     * walk stops early once the trajectory moved less than it. Cost: one
     * extra co-partitioned join + scalar aggregate per iteration —
     * pay it when iteration count is data-dependent, skip it (default)
-    * when the count is fixed and SQL-replayable. */
+    * when the count is fixed and SQL-replayable.
+    *
+    * `seeds` switches to PERSONALIZED PageRank (random walk with
+    * restart to a seed set — the TrustRank construction, Gyöngyi,
+    * Garcia-Molina, Pedersen 2004: trust flows out from a vetted seed
+    * corpus, and documents reachable from it in few hops score high —
+    * the graph-prior counterpart of [[NgramLm]]'s content prior). The
+    * teleport mass lands ONLY on seed nodes: r₀ = scale div |S| on
+    * seeds (0 elsewhere), the per-iteration base term is seed-gated,
+    * and with `redistributeDangling` the dangling mass also returns to
+    * the seeds (restart semantics — a walker that falls off the graph
+    * restarts at a seed). `seeds` is a DataFrame with a `node` column;
+    * seeds not present in the graph are ignored; `None` = uniform
+    * teleport = classic PageRank (bit-identical to before the option
+    * existed). Cost is unchanged — the seed flag rides the node table;
+    * no extra join enters the iteration. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           iterations: Int, dampNum: Long = 85L, dampDen: Long = 100L,
           scale: Long = 1000000000000L,
           redistributeDangling: Boolean = false,
-          toleranceMicro: Long = 0L): DataFrame = {
+          toleranceMicro: Long = 0L,
+          seeds: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 0, "iterations must be non-negative")
     require(dampNum > 0 && dampNum < dampDen, "damping must be in (0,1)")
     require(toleranceMicro >= 0, "tolerance must be non-negative")
@@ -90,14 +106,24 @@ object PageRank {
       .withColumn("outdeg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
+    val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the seed flag is folded into the persisted node table ONCE — the
+    // personalized variant adds no per-iteration work
+    val nodes = (seeds match {
+      case None => nodes0.withColumn("__seed", lit(true))
+      case Some(sd) => nodes0
+        .join(sd.select(col("node").cast("long").as("node")).distinct()
+          .withColumn("__in", lit(1)), Seq("node"), "left")
+        .withColumn("__seed", col("__in").isNotNull).drop("__in")
+    }).persist(StorageLevel.MEMORY_AND_DISK)
 
     val n = nodes.count()
     require(n > 0, "empty graph")
-    val base = (dampDen - dampNum) * scale / (dampDen * n) // positives: truncation == floor
+    val nSeed = if (seeds.isEmpty) n else nodes.filter(col("__seed")).count()
+    require(nSeed > 0, "no seed node appears in the graph")
+    val base = (dampDen - dampNum) * scale / (dampDen * nSeed) // positives: truncation == floor
 
     // The rank table is one row per NODE — orders of magnitude smaller
     // than the edge table on any natural graph. Up to 4M nodes (~64 MB
@@ -137,7 +163,8 @@ object PageRank {
     def release(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
 
-    var (ranks, ranksIds) = materialize(nodes.withColumn("pr", lit(scale / n)))
+    var (ranks, ranksIds) = materialize(nodes.selectExpr("node",
+      s"CASE WHEN __seed THEN CAST(${scale / nSeed} AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pr"))
 
     var i = 0
     var moved = true
@@ -148,7 +175,7 @@ object PageRank {
       val sinkShare: Long =
         if (!redistributeDangling) 0L
         else ranks.join(dangling, "node")
-          .agg(coalesce(sum(col("pr")), lit(0L))).head().getLong(0) / n
+          .agg(coalesce(sum(col("pr")), lit(0L))).head().getLong(0) / nSeed
       val r = ranks.withColumnRenamed("node", "src")
       val contribs = e
         .join(if (broadcastRanks) broadcast(r) else r, "src")
@@ -158,7 +185,9 @@ object PageRank {
         .join(if (broadcastRanks) broadcast(contribs) else contribs,
           nodes("node") === contribs("dst"), "left")
         .selectExpr("node",
-          s"$base + ($dampNum * (coalesce(sc, CAST(0 AS BIGINT)) + $sinkShare)) div $dampDen AS pr"))
+          s"(CASE WHEN __seed THEN CAST($base AS BIGINT) ELSE CAST(0 AS BIGINT) END)" +
+            s" + ($dampNum * (coalesce(sc, CAST(0 AS BIGINT))" +
+            s" + (CASE WHEN __seed THEN CAST($sinkShare AS BIGINT) ELSE CAST(0 AS BIGINT) END))) div $dampDen AS pr"))
       if (toleranceMicro > 0) {
         val delta = next.join(ranks.withColumnRenamed("pr", "pr0"), "node")
           .agg(coalesce(sum(abs(col("pr") - col("pr0"))), lit(0L)))
@@ -185,13 +214,27 @@ object PageRank {
   def oracleCtes(edgesCte: String, iterations: Int,
                  dampNum: Long = 85L, dampDen: Long = 100L,
                  scale: Long = 1000000000000L,
-                 redistribute: Boolean = false): String = {
+                 redistribute: Boolean = false,
+                 seedsCte: Option[String] = None): String = {
+    // personalized variant: `seedsCte` defines seeds(node); the teleport
+    // denominator becomes |seeds ∩ nodes| and every base/r0/sink term is
+    // gated on seed membership — mirroring run()'s __seed flag exactly
+    val seedHeader = seedsCte.map(s =>
+      s"""seeds AS ($s),
+         |sn AS (SELECT DISTINCT node FROM nodes WHERE node IN (SELECT node FROM seeds))""".stripMargin)
+    val denom = if (seedsCte.isDefined) "(SELECT COUNT(*) FROM sn)" else "meta.n"
+    def gate(term: String, nodeRef: String): String =
+      if (seedsCte.isEmpty) term
+      else s"CASE WHEN $nodeRef IN (SELECT node FROM sn) THEN $term ELSE CAST(0 AS BIGINT) END"
     val header =
       s"""e AS ($edgesCte),
          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
          |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
-         |meta AS (SELECT COUNT(*) AS n FROM nodes),
-         |r0 AS (SELECT node, CAST($scale // n AS BIGINT) AS pr FROM nodes CROSS JOIN meta)""".stripMargin
+         |meta AS (SELECT COUNT(*) AS n FROM nodes)""".stripMargin +
+        seedHeader.map(",\n" + _).getOrElse("") +
+        s""",
+           |r0 AS (SELECT node, ${gate(s"CAST($scale // $denom AS BIGINT)", "node")} AS pr
+           |       FROM nodes CROSS JOIN meta)""".stripMargin
     val steps = (1 to iterations).flatMap { i =>
       // CAST: DuckDB SUM(BIGINT) widens to HUGEINT, which pandas/the
       // driver compare read as float — pin every step back to BIGINT
@@ -199,14 +242,17 @@ object PageRank {
         if (!redistribute) None
         else Some(s"""s$i AS (
            |  SELECT CAST(COALESCE((SELECT SUM(pr) FROM r${i - 1}
-           |    WHERE node NOT IN (SELECT src FROM e)), 0) // meta.n AS BIGINT) AS share
+           |    WHERE node NOT IN (SELECT src FROM e)), 0) // $denom AS BIGINT) AS share
            |  FROM meta)""".stripMargin)
-      val sinkTerm = if (redistribute) s" + s$i.share" else ""
+      val sinkTerm =
+        if (redistribute) s" + ${gate(s"s$i.share", "v.node")}" else ""
       val sinkJoin = if (redistribute) s" CROSS JOIN s$i" else ""
+      val baseTerm = gate(
+        s"CAST((${dampDen - dampNum} * $scale) // ($dampDen * $denom) AS BIGINT)", "v.node")
       val step =
         s"""r$i AS (
            |  SELECT v.node,
-           |    CAST((${dampDen - dampNum} * $scale) // ($dampDen * meta.n)
+           |    CAST($baseTerm
            |      + ($dampNum * (COALESCE(SUM(r${i - 1}.pr // deg.outdeg), 0)$sinkTerm)) // $dampDen AS BIGINT) AS pr
            |  FROM nodes v CROSS JOIN meta$sinkJoin
            |  LEFT JOIN e ON e.dst = v.node

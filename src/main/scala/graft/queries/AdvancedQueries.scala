@@ -1185,6 +1185,41 @@ object AdvancedQueries extends QuerySet {
        |FROM r5 ORDER BY pr DESC, kind, entity_id LIMIT 30""".stripMargin
   }
 
+  /** Personalized PageRank ([[graft.operators.PageRank]] with `seeds` —
+    * the TrustRank construction): teleport mass restarts at suppliers
+    * from a vetted nation set, so rank measures proximity-to-trusted
+    * rather than global centrality. Same exact BIGINT micro-unit
+    * arithmetic as q155 (bit-reproducible, unrolled-CTE-replayable);
+    * the seed gate rides the node table, adding zero per-iteration
+    * cost. */
+  private def q187(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select(
+      col("l_suppkey").cast("long").as("l_suppkey"),
+      col("l_partkey").cast("long").as("l_partkey"))
+    val edges = li.select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      .union(li.select((col("l_partkey") * 2 + 1).as("src"), (col("l_suppkey") * 2).as("dst")))
+    val seeds = t(s, d, "supplier").filter(col("s_nationkey") < 5)
+      .select((col("s_suppkey").cast("long") * 2).as("node"))
+    graft.operators.PageRank.run(edges, "src", "dst", iterations = 4,
+        seeds = Some(seeds))
+      .select(
+        when(pmod(col("node"), lit(2)) === 0, lit("supplier")).otherwise(lit("part")).as("kind"),
+        expr("node div 2").as("entity_id"), col("pr"))
+      .orderBy(col("pr").desc, col("kind"), col("entity_id"))
+      .limit(30)
+  }
+
+  private val q187Sql = {
+    val edges =
+      """SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+        |   UNION SELECT DISTINCT l_partkey * 2 + 1, l_suppkey * 2 FROM lineitem""".stripMargin
+    val seeds = "SELECT s_suppkey * 2 AS node FROM supplier WHERE s_nationkey < 5"
+    s"""WITH ${graft.operators.PageRank.oracleCtes(edges, iterations = 4, seedsCte = Some(seeds))}
+       |SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END AS kind,
+       |  node // 2 AS entity_id, pr
+       |FROM r4 ORDER BY pr DESC, kind, entity_id LIMIT 30""".stripMargin
+  }
+
   /** Equal-frequency quantile binning ([[graft.operators.Binning]]):
     * price tiers per order priority — NTILE over (value, key) is
     * deterministic rank arithmetic both engines define identically; the
@@ -1379,5 +1414,6 @@ object AdvancedQueries extends QuerySet {
     Q("q173_trend_fit", q173, Some(q173Sql)),
     Q("q176_polygon_join", q176, Some(q176Sql)),
     Q("q156_markov_transitions", q156, Some(q156Sql)),
-    Q("q160_skyline", q160, Some(q160Sql)))
+    Q("q160_skyline", q160, Some(q160Sql)),
+    Q("q187_personalized_pagerank", q187, Some(q187Sql)))
 }

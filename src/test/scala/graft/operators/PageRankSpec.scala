@@ -108,4 +108,66 @@ class PageRankSpec extends AnyFunSuite with SparkSuite {
     // fixpoint to within the tolerance on every node
     assert(bounded.forall { case (k, v) => math.abs(v - exhaustive(k)) <= 1000L })
   }
+
+  private def seedDf(ns: Long*) = {
+    import spark.implicits._
+    ns.toDF("node")
+  }
+
+  private def pranks(df: org.apache.spark.sql.DataFrame, iters: Int,
+                     seeds: Seq[Long]): Map[Long, Long] =
+    PageRank.run(df, "src", "dst", iters, seeds = Some(seedDf(seeds: _*)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("personalized: mass stays in the seed's component; unreachable nodes are 0") {
+    // two disconnected pairs; seeding {1} must leave {3,4} at exactly 0
+    val e = edges(1L -> 2L, 3L -> 4L)
+    val r = pranks(e, iters = 5, seeds = Seq(1L))
+    assert(r(3L) == 0L && r(4L) == 0L)
+    assert(r(1L) > 0L && r(2L) > 0L)
+    // seed gets the full teleport base; 2 only the damped flow
+    assert(r(1L) == 15L * S / 100L)
+  }
+
+  test("personalized one step matches the hand-computed integers") {
+    // 1 -> 2 -> 3, seed {1}: r0 = (S, 0, 0)
+    val r = pranks(edges(1L -> 2L, 2L -> 3L), iters = 1, seeds = Seq(1L))
+    val base = 15L * S / 100L
+    assert(r(1L) == base)                  // teleport only
+    assert(r(2L) == 85L * (S / 1L) / 100L) // flow from the seed, no base
+    assert(r(3L) == 0L)                    // two hops away after one step
+  }
+
+  test("seeding every node is bit-identical to uniform PageRank") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 3L)
+    val uniform = ranks(e, 6)
+    val allSeeds = pranks(e, 6, seeds = Seq(1L, 2L, 3L))
+    assert(allSeeds == uniform)
+  }
+
+  test("seeds outside the graph are ignored; no in-graph seed fails loudly") {
+    val e = edges(1L -> 2L)
+    val r = pranks(e, iters = 2, seeds = Seq(1L, 99L))
+    assert(r(1L) == 15L * S / 100L) // denominator is 1, not 2
+    intercept[IllegalArgumentException] {
+      pranks(e, iters = 1, seeds = Seq(42L))
+    }
+  }
+
+  test("personalized + dangling redistribution restarts the walker at the seeds") {
+    // 1 -> 2 (2 dangling), seed {1}: without redistribution node 1 keeps
+    // only its base after step 1; with it, 2's mass returns to the seed
+    val e = edges(1L -> 2L)
+    val leak = PageRank.run(e, "src", "dst", 2, seeds = Some(seedDf(1L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val conserve = PageRank.run(e, "src", "dst", 2,
+        redistributeDangling = true, seeds = Some(seedDf(1L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(conserve(1L) > leak(1L), "dangling mass did not return to the seed")
+    // replay step 2 exactly: r1 = (base, 85*S/100); sink share = r1(2)
+    val base = 15L * S / 100L
+    val r12 = 85L * S / 100L
+    assert(conserve(1L) == base + 85L * r12 / 100L)
+    assert(conserve(2L) == 85L * (base / 1L) / 100L)
+  }
 }
