@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact triangle counting via degree-ordered edge orientation
+  * (Suri & Vassilvitskii, WWW 2011 — the MapReduce formulation; the
+  * sequential root is Chiba–Nishizeki). Triangle participation is the
+  * workhorse local-clustering signal of graph-shaped corpora: spam/link
+  * farms and template boilerplate show up as abnormal triangle density
+  * long before global centrality (q155) moves.
+  *
+  * Why orientation is THE scale lever: the naive wedge join explodes at
+  * every high-degree hub (Σ d(v)² — a single 1M-degree node contributes
+  * 10¹² wedges). Orienting each undirected edge from its lower-ordered
+  * endpoint to its higher-ordered one under the total order
+  * (degree, id) caps every node's OUT-degree at O(√m) — the
+  * arrow-boundedness fact from the paper — so Σ outdeg(v)² is bounded
+  * by m^1.5 REGARDLESS of the degree distribution, and each triangle
+  * materializes exactly once (at its lowest-ordered vertex) instead of
+  * six times.
+  *
+  * The dataflow is three shuffles, all on node/edge keys:
+  *   1. canonicalize + dedup the undirected edge set (self-loops drop);
+  *   2. one degree count + two joins to attach each endpoint's order
+  *      key `ord = degree·2³² + id` (exact in BIGINT for any id < 2³²,
+  *      checked loudly);
+  *   3. the wedge self-join on the oriented source + one equi-join of
+  *      wedge endpoints against the oriented edge set.
+  * Every count is an exact integer; the result is partitioning-
+  * invariant and replays in ANY engine as the canonical a<b<c triple
+  * join (orientation is pure optimization, not semantics — the spec
+  * proves equality).
+  */
+object Triangles {
+
+  /** The oriented edge list (src, dst, dord): each canonical undirected
+    * edge directed from lower to higher (degree, id). */
+  private def oriented(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // the 32-bit id guard lives IN the plan (codegen raise_error — zero
+    // extra pass, fails loudly on the first offending row instead of
+    // silently wrapping into a wrong orientation)
+    val guard = (c: org.apache.spark.sql.Column) =>
+      when(c >= lit(4294967296L), raise_error(concat(
+        lit("Triangles: node id exceeds 32 bits: "), c.cast("string"))))
+        .otherwise(c)
+    val e0 = edges
+      .select(guard(least(col(aCol), col(bCol)).cast("long")).as("a"),
+        guard(greatest(col(aCol), col(bCol)).cast("long")).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+    val deg = e0.select(col("a").as("n")).union(e0.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // ord packs (degree, id) into one BIGINT: d·2³² + id — exact while
+    // ids fit 32 bits (degree ≤ n−1 < 2³¹ always); violations must fail
+    // loudly, not wrap into a wrong orientation
+    val ordOf = (d: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =>
+      d * lit(4294967296L) + n
+    val withOrd = e0
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+      .select(col("a"), col("b"),
+        ordOf(col("da"), col("a")).as("oa"), ordOf(col("db"), col("b")).as("ob"))
+    withOrd.select(
+      when(col("oa") < col("ob"), col("a")).otherwise(col("b")).as("src"),
+      when(col("oa") < col("ob"), col("b")).otherwise(col("a")).as("dst"),
+      greatest(col("oa"), col("ob")).as("dord"))
+  }
+
+  /** All triangles, one row each: (x, y, z) = the triangle's vertices
+    * with x the lowest-ordered (the counting vertex). Input edges are
+    * treated as undirected; duplicates, reversals, and self-loops are
+    * legal and collapse. */
+  def triangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // the canonical edge set appears three times below (degree count,
+    // order-key joins, wedge + closing joins) — its dedup Exchange is
+    // computed once and reused (ReuseExchange, the q41 fact)
+    val or = oriented(edges, aCol, bCol)
+    val x = or.select(col("src"), col("dst").as("v"), col("dord").as("ov"))
+    val y = or.select(col("src"), col("dst").as("w"), col("dord").as("ow"))
+    val closing = or.select(col("src").as("v"), col("dst").as("w"))
+    x.join(y, "src")
+      .filter(col("ov") < col("ow")) // each wedge once, oriented
+      .join(closing, Seq("v", "w"), "left_semi")
+      .select(col("src").as("x"), col("v").as("y"), col("w").as("z"))
+  }
+
+  /** Per-node triangle participation: (node, n_tri). Nodes in no
+    * triangle are absent (join against the node set to densify). */
+  def perNode(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val tri = triangles(edges, aCol, bCol)
+    tri.select(col("x").as("node"))
+      .union(tri.select(col("y").as("node")))
+      .union(tri.select(col("z").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+}

@@ -1220,6 +1220,43 @@ object AdvancedQueries extends QuerySet {
        |FROM r4 ORDER BY pr DESC, kind, entity_id LIMIT 30""".stripMargin
   }
 
+  /** Exact triangle counting ([[graft.operators.Triangles]], degree-
+    * ordered orientation) over the co-purchase graph: parts are linked
+    * when they appear in the same order; per-part triangle participation
+    * is the local-clustering signal. The oracle replays the SEMANTICS
+    * (canonical a<b<c triple join) — orientation is the engine's
+    * optimization under test, not part of the contract. */
+  private def q188(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey").cast("long").as("p"))
+    val edges = li.withColumnRenamed("p", "pa")
+      .join(li.withColumnRenamed("p", "pb"), "l_orderkey")
+      .filter(col("pa") =!= col("pb"))
+      .select(col("pa").as("a"), col("pb").as("b"))
+    graft.operators.Triangles.perNode(edges, "a", "b")
+      .orderBy(col("n_tri").desc, col("node"))
+      .limit(30)
+  }
+
+  private val q188Sql =
+    """WITH pe AS (
+      |  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS u,
+      |    greatest(x.l_partkey, y.l_partkey) AS v
+      |  FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey),
+      |tri AS (
+      |  SELECT t1.u AS x, t1.v AS y, t2.v AS z
+      |  FROM pe t1
+      |  JOIN pe t2 ON t2.u = t1.v
+      |  JOIN pe t3 ON t3.u = t1.u AND t3.v = t2.v),
+      |nodes AS (
+      |  SELECT x AS node FROM tri
+      |  UNION ALL SELECT y FROM tri
+      |  UNION ALL SELECT z FROM tri)
+      |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+      |FROM nodes GROUP BY node
+      |ORDER BY n_tri DESC, node LIMIT 30""".stripMargin
+
   /** Equal-frequency quantile binning ([[graft.operators.Binning]]):
     * price tiers per order priority — NTILE over (value, key) is
     * deterministic rank arithmetic both engines define identically; the
@@ -1415,5 +1452,6 @@ object AdvancedQueries extends QuerySet {
     Q("q176_polygon_join", q176, Some(q176Sql)),
     Q("q156_markov_transitions", q156, Some(q156Sql)),
     Q("q160_skyline", q160, Some(q160Sql)),
-    Q("q187_personalized_pagerank", q187, Some(q187Sql)))
+    Q("q187_personalized_pagerank", q187, Some(q187Sql)),
+    Q("q188_triangle_count", q188, Some(q188Sql)))
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+class TrianglesSpec extends AnyFunSuite with SparkSuite {
+
+  import spark.implicits._
+
+  private def edges(pairs: (Long, Long)*) = pairs.toDF("a", "b")
+
+  private def perNode(pairs: (Long, Long)*): Map[Long, Long] =
+    Triangles.perNode(edges(pairs: _*), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("K4: four triangles, every node in three") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(Triangles.triangles(edges(k4: _*), "a", "b").count() == 4)
+    assert(perNode(k4: _*) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangle with a tail: tail nodes absent from per-node counts") {
+    val got = perNode(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 5L)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("square without diagonals has no triangles") {
+    assert(perNode(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L).isEmpty)
+  }
+
+  test("duplicates, reversals, and self-loops collapse") {
+    val got = perNode(1L -> 2L, 2L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 1L,
+      1L -> 1L, 3L -> 3L)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("each triangle row is emitted once, at its lowest-ordered vertex") {
+    // hub 1 connects to all; 2-3 closes one triangle. deg: 1→3, 2→2, 3→2, 4→1
+    val tri = Triangles.triangles(edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // counting vertex is the LOWEST (degree, id): node 2 (deg 2) not hub 1 (deg 3)
+    assert(tri == Seq((2L, 3L, 1L)))
+  }
+
+  test("orientation agrees with the brute-force canonical triple join") {
+    // deterministic pseudo-random graph over 30 nodes
+    val pairs = for {
+      i <- 1L to 30L; j <- (i + 1) to 30L
+      if (i * 31 + j * 17) % 5 == 0
+    } yield (i, j)
+    val e = edges(pairs: _*)
+    val got = Triangles.perNode(e, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force: canonical x<y<z triple join
+    val ce = e.select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v")).distinct()
+    val t1 = ce.select(col("u").as("x"), col("v").as("y"))
+    val t2 = ce.select(col("u").as("y"), col("v").as("z"))
+    val t3 = ce.select(col("u").as("x"), col("v").as("z"))
+    val tri = t1.join(t2, "y").join(t3, Seq("x", "z"), "left_semi")
+    val brute = tri.select(col("x").as("n"))
+      .union(tri.select(col("y").as("n")))
+      .union(tri.select(col("z").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == brute)
+    assert(got.nonEmpty, "test graph should contain triangles")
+  }
+
+  test("result is invariant to input partitioning") {
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 1L, 4L -> 2L)
+    val one = Triangles.perNode(edges(pairs: _*).repartition(1), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val many = Triangles.perNode(edges(pairs: _*).repartition(7), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == many)
+  }
+
+  test("oversized node ids fail loudly, never wrap") {
+    val e = edges(4294967296L -> 1L, 1L -> 2L)
+    val ex = intercept[Exception] {
+      Triangles.perNode(e, "a", "b").collect()
+    }
+    assert(ex.getMessage != null)
+  }
+}
