@@ -1530,6 +1530,60 @@ object TextQueries extends QuerySet {
       |  COALESCE(round(CAST(surprisal_bits AS DOUBLE) / n_bigrams, 6), 0.0) AS mean_bits
       |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** KMV-sketched source-contamination matrix
+    * ([[graft.operators.Overlap.sketchOverlap]]): per-source bottom-64
+    * signatures over deterministic 3-shingle hashes, pairwise Jaccard
+    * estimated from the merged signatures — the bounded-state path for
+    * q180's exact matrix (whose only corpus-scale stage is the distinct-
+    * shingle shuffle). The replayable hash stack makes the ESTIMATE
+    * itself oracle-exact: DuckDB rebuilds the signatures hash-for-hash
+    * and must land on identical estimates, not merely close ones. */
+  private def q189(s: SparkSession, d: String): DataFrame =
+    graft.operators.Overlap.sketchOverlap(
+      t(s, d, "documents"), "text", "source", n = 3, k = 64)
+      .orderBy(col("source_a"), col("source_b"))
+
+  private val q189Sql =
+    """WITH w AS (
+      |  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT source, unnest(list_transform(range(len(w) - 2),
+      |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+      |  FROM w WHERE len(w) >= 3),
+      |keyd AS (
+      |  SELECT DISTINCT source,
+      |    ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |        (a, b) -> (a * 31 + b) % 1000000007) % 2147483648)
+      |      * 2654435761) % 4294967296 AS h
+      |  FROM sh),
+      |bk AS (
+      |  SELECT source, h FROM (
+      |    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+      |    FROM keyd) WHERE rk <= 64),
+      |srcs AS (SELECT DISTINCT source FROM bk),
+      |pairs AS (SELECT x.source AS sa, y.source AS sb
+      |          FROM srcs x JOIN srcs y ON x.source < y.source),
+      |u AS (
+      |  SELECT sa, sb, h, MAX(ia) AS ia, MAX(ib) AS ib FROM (
+      |    SELECT p.sa, p.sb, k.h, 1 AS ia, 0 AS ib
+      |    FROM pairs p JOIN bk k ON k.source = p.sa
+      |    UNION ALL
+      |    SELECT p.sa, p.sb, k.h, 0 AS ia, 1 AS ib
+      |    FROM pairs p JOIN bk k ON k.source = p.sb)
+      |  GROUP BY sa, sb, h),
+      |r AS (
+      |  SELECT sa, sb, h, ia, ib,
+      |    ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rk
+      |  FROM u)
+      |SELECT sa AS source_a, sb AS source_b,
+      |  CAST(COUNT(*) AS BIGINT) AS k_union,
+      |  CAST(SUM(ia * ib) AS BIGINT) AS in_both,
+      |  round(CAST(SUM(ia * ib) AS DOUBLE) / COUNT(*), 6) AS est_jaccard
+      |FROM r WHERE rk <= 64
+      |GROUP BY sa, sb ORDER BY sa, sb""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -1580,7 +1634,8 @@ object TextQueries extends QuerySet {
     Q("q182_source_drift", q182, Some(q182Sql)),
     Q("q183_audit_pipeline", q183, Some(q183Sql), headline = true),
     Q("q185_ngram_lm", q185, Some(q185Sql)),
-    Q("q186_boolean_search", q186, Some(q186Sql)))
+    Q("q186_boolean_search", q186, Some(q186Sql)),
+    Q("q189_sketch_overlap", q189, Some(q189Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the

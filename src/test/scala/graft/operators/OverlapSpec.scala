@@ -55,6 +55,55 @@ class OverlapSpec extends AnyFunSuite with SparkSuite {
     assert(ov == 1.0)
   }
 
+  private def sketch(rows: Seq[(String, String)], n: Int, k: Int) = {
+    import spark.implicits._
+    Overlap.sketchOverlap(rows.toDF("src", "text"), "text", "src", n, k)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+  }
+
+  test("sketch: identical sources estimate 1.0; disjoint estimate 0.0") {
+    val rows = Seq(
+      ("a", "alpha beta gamma delta epsilon"),
+      ("b", "alpha beta gamma delta epsilon"),
+      ("c", "one two three four five six"))
+    val m = sketch(rows, n = 2, k = 8)
+    assert(m(("a", "b"))._3 == 1.0)
+    assert(m(("a", "c"))._3 == 0.0)
+    assert(m(("b", "c"))._3 == 0.0)
+  }
+
+  test("sketch with k >= union size is the exact Jaccard of the shingle sets") {
+    // a: bigrams {xy, yz, zw}; b: {yz, zw, wv} → J = 2/4 = 0.5
+    val rows = Seq(("a", "x y z w"), ("b", "y z w v"))
+    val m = sketch(rows, n = 2, k = 64)
+    val (ku, both, est) = m(("a", "b"))
+    assert(ku == 4L && both == 2L && est == 0.5)
+  }
+
+  test("sketch signatures are k-bounded and the estimate is capped at k") {
+    // 40 distinct shingles per source, half shared; k = 8 caps the state
+    val words = (1 to 41).map(i => s"w$i").mkString(" ")
+    val wordsB = ((21 to 61).map(i => s"w$i")).mkString(" ")
+    val m = sketch(Seq(("a", words), ("b", wordsB)), n = 1, k = 8)
+    val (ku, both, est) = m(("a", "b"))
+    assert(ku == 8L, "union cut must be exactly k when enough hashes exist")
+    assert(both <= 8L && est >= 0.0 && est <= 1.0)
+    // true J = 21/61 ≈ 0.344 — an 8-hash estimate is coarse but must be sane
+    assert(est > 0.0 && est < 1.0)
+  }
+
+  test("sketch estimate is partitioning-invariant") {
+    import spark.implicits._
+    val rows = Seq(("a", "p q r s t u v"), ("b", "r s t u v w x"),
+      ("c", "p q r z z2 z3 z4"))
+    val one = Overlap.sketchOverlap(rows.toDF("src", "text").repartition(1),
+      "text", "src", 2, 4).collect().map(_.toSeq).toSet
+    val many = Overlap.sketchOverlap(rows.toDF("src", "text").repartition(7),
+      "text", "src", 2, 4).collect().map(_.toSeq).toSet
+    assert(one == many)
+  }
+
   test("partitioning-invariant") {
     import spark.implicits._
     val rows = (1 to 200).map(i =>
