@@ -1257,6 +1257,33 @@ object AdvancedQueries extends QuerySet {
       |FROM nodes GROUP BY node
       |ORDER BY n_tri DESC, node LIMIT 30""".stripMargin
 
+  /** k-core extraction ([[graft.operators.KCore]], iterative peeling to
+    * the fixpoint) on the co-purchase parts graph at k=80: the engine
+    * peels until no sub-degree node remains (loudly bounded at 8
+    * rounds); the oracle unrolls 8 peel CTEs — rounds past the fixpoint
+    * are no-ops, so the replay is exact whenever the engine converges
+    * within the unroll. */
+  private def q190(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey").cast("long").as("p"))
+    val edges = li.withColumnRenamed("p", "pa")
+      .join(li.withColumnRenamed("p", "pb"), "l_orderkey")
+      .filter(col("pa") =!= col("pb"))
+      .select(col("pa").as("a"), col("pb").as("b"))
+    graft.operators.KCore.kcore(edges, "a", "b", k = 80, maxRounds = 8)
+      .orderBy(col("node"))
+  }
+
+  private val q190Sql = {
+    val edges =
+      """SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+        |    greatest(x.l_partkey, y.l_partkey) AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey""".stripMargin
+    s"""WITH ${graft.operators.KCore.oracleCtes(edges, k = 80, rounds = 8)}
+       |SELECT node, deg FROM core ORDER BY node""".stripMargin
+  }
+
   /** Equal-frequency quantile binning ([[graft.operators.Binning]]):
     * price tiers per order priority — NTILE over (value, key) is
     * deterministic rank arithmetic both engines define identically; the
@@ -1453,5 +1480,6 @@ object AdvancedQueries extends QuerySet {
     Q("q156_markov_transitions", q156, Some(q156Sql)),
     Q("q160_skyline", q160, Some(q160Sql)),
     Q("q187_personalized_pagerank", q187, Some(q187Sql)),
-    Q("q188_triangle_count", q188, Some(q188Sql)))
+    Q("q188_triangle_count", q188, Some(q188Sql)),
+    Q("q190_kcore", q190, Some(q190Sql)))
 }
