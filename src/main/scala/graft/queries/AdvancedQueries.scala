@@ -1284,6 +1284,38 @@ object AdvancedQueries extends QuerySet {
        |SELECT node, deg FROM core ORDER BY node""".stripMargin
   }
 
+  /** Deterministic label-propagation communities
+    * ([[graft.operators.LabelProp]]) over the supplier-part bipartite
+    * graph, 3 synchronous rounds: the self-vote damps the 2-coloring
+    * oscillation bipartite structure induces under synchronous LPA, and
+    * (count DESC, label ASC) tie-breaking makes the trajectory a pure
+    * function of the graph — the oracle unrolls it round by round.
+    * Output is the community-size histogram. */
+  private def q191(s: SparkSession, d: String): DataFrame = {
+    // the quantity filter sparsifies the near-complete bipartite graph
+    // so the community structure is non-degenerate (the unfiltered graph
+    // collapses to two giant labels in one round)
+    val li = t(s, d, "lineitem").filter(col("l_quantity") <= 2)
+      .select(col("l_suppkey").cast("long").as("l_suppkey"),
+        col("l_partkey").cast("long").as("l_partkey"))
+    val edges = li.select((col("l_suppkey") * 2).as("src"),
+      (col("l_partkey") * 2 + 1).as("dst"))
+    graft.operators.LabelProp.run(edges, "src", "dst", iterations = 3)
+      .groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("label"))
+      .limit(30)
+  }
+
+  private val q191Sql = {
+    val edges =
+      """SELECT DISTINCT least(l_suppkey * 2, l_partkey * 2 + 1) AS a,
+        |    greatest(l_suppkey * 2, l_partkey * 2 + 1) AS b
+        |  FROM lineitem WHERE l_quantity <= 2""".stripMargin
+    s"""WITH ${graft.operators.LabelProp.oracleCtes(edges, iterations = 3)}
+       |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
+       |FROM l3 GROUP BY label ORDER BY n_members DESC, label LIMIT 30""".stripMargin
+  }
+
   /** Equal-frequency quantile binning ([[graft.operators.Binning]]):
     * price tiers per order priority — NTILE over (value, key) is
     * deterministic rank arithmetic both engines define identically; the
@@ -1481,5 +1513,6 @@ object AdvancedQueries extends QuerySet {
     Q("q160_skyline", q160, Some(q160Sql)),
     Q("q187_personalized_pagerank", q187, Some(q187Sql)),
     Q("q188_triangle_count", q188, Some(q188Sql)),
-    Q("q190_kcore", q190, Some(q190Sql)))
+    Q("q190_kcore", q190, Some(q190Sql)),
+    Q("q191_label_propagation", q191, Some(q191Sql)))
 }
