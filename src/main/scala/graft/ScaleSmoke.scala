@@ -138,7 +138,17 @@ object ScaleSmoke {
       // q169 = all-pairs cosine: the posting self-join over 10x distinct
       // informative terms (relabeled copies keep per-copy pair structure,
       // cross-copy terms disjoint -- pair space scales ~10x, not 100x)
-      "q169_allpairs_cosine")
+      "q169_allpairs_cosine",
+      // r10 late additions: the graph family over 10 DISJOINT key-shifted
+      // lineitem copies (edges x10, structure isomorphic per copy) --
+      // q188 wedge join cost tracks sum(oriented-outdeg^2) x10, q190
+      // peel rounds unchanged (per-copy isomorphism), q191 three vote
+      // rounds over edges x10; q185 trains/scores over the relabeled
+      // corpus (vocab AND bigram table x10 -- the vocab-bounded claim's
+      // adversarial case, as q164); q189's signature state stays k PER
+      // SOURCE regardless of corpus size -- the flat-serve claim
+      "q188_triangle_count", "q190_kcore", "q191_label_propagation",
+      "q185_ngram_lm", "q189_sketch_overlap")
     val qmap = SparkEntry.queries
     qmap("q01_agg_pricing")(spark, outDir).count() // warm-up: codegen/JIT
     val results = names.map { name =>
