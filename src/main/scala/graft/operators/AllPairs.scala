@@ -124,6 +124,57 @@ object AllPairs {
       .select(col("batch_id"), col("corpus_id"), col("dot"), col("cos"))
   }
 
+  /** Admission matches for one ingest batch: every batch document's
+    * qualifying near-matches against BOTH the standing corpus and the
+    * EARLIER part of its own batch — the complete evidence set an
+    * admission gate needs ([[graft.streaming.AdmissionIngest]]). Two
+    * rulings per rejected doc are possible and both are emitted:
+    *
+    *  - (batch_id, matched_id ∈ corpus): a near-copy of standing data;
+    *  - (batch_id, matched_id ∈ batch, matched_id < batch_id): an
+    *    in-batch near-dup pair, directed larger→smaller so FIRST-WINS
+    *    is deterministic — the smaller id survives unless it matches
+    *    something else itself.
+    *
+    * Weights/df/N are computed ONCE over corpus ∪ batch and shared by
+    * both match kinds — scoring in-batch pairs with batch-only
+    * statistics would degenerate on small batches (a 2-doc batch of
+    * identical documents gives every shared term df = N, weight 0, and
+    * the duplicates sail through). Ids must be unique across both
+    * inputs. Output: (batch_id, matched_id, dot, cos) with
+    * cos ≥ threshold. */
+  def admissionMatches(batch: DataFrame, corpus: DataFrame,
+                       idCol: String, textCol: String,
+                       threshold: Double,
+                       maxDf: Option[Long] = None): DataFrame = {
+    require(threshold >= 0 && threshold <= 1, s"bad threshold $threshold")
+    val all = batch.select(col(idCol), col(textCol))
+      .unionByName(corpus.select(col(idCol), col(textCol)))
+    val w = weighted(all, idCol, textCol, maxDf)
+      .select(col("doc"), col("term"), col("w"))
+    val norms = w.groupBy(col("doc")).agg(sum(col("w") * col("w")).as("nrm"))
+    val bIds = batch.select(col(idCol).as("doc")).distinct()
+    val cIds = corpus.select(col(idCol).as("doc")).distinct()
+    val wb = w.join(bIds, "doc")
+    val wc = w.join(cIds, "doc")
+    def contribs(other: DataFrame, cond: org.apache.spark.sql.Column) =
+      wb.as("a").join(other.as("b"), col("a.term") === col("b.term") && cond)
+        .select(col("a.doc").as("batch_id"), col("b.doc").as("matched_id"),
+          (col("a.w") * col("b.w")).as("p"))
+    contribs(wc, col("a.doc") =!= col("b.doc"))
+      .unionByName(contribs(wb, col("a.doc") > col("b.doc")))
+      .groupBy(col("batch_id"), col("matched_id"))
+      .agg(sum(col("p")).as("dot"))
+      .join(norms.withColumnRenamed("doc", "batch_id")
+        .withColumnRenamed("nrm", "na"), "batch_id")
+      .join(norms.withColumnRenamed("doc", "matched_id")
+        .withColumnRenamed("nrm", "nb"), "matched_id")
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("na").cast("double") * col("nb").cast("double")))
+      .filter(col("cos") >= threshold)
+      .select(col("batch_id"), col("matched_id"), col("dot"), col("cos"))
+  }
+
   /** Weighted postings (doc, term, w, df) in the reduced positive-weight
     * space — shared by both candidate strategies. */
   private def weighted(df: DataFrame, idCol: String, textCol: String,

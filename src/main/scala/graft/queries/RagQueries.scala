@@ -1026,6 +1026,105 @@ object RagQueries extends QuerySet {
       |  HAVING COUNT(DISTINCT term) = 2)
       |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Streaming near-duplicate ADMISSION gate
+    * ([[graft.streaming.AdmissionIngest]]): two file-source
+    * micro-batches flow through the q181 incremental all-pairs decision
+    * — epoch A (docs %10 = 7) against the standing corpus (%10 ≤ 6),
+    * then epoch B (docs %10 = 8, plus verbatim copies of early epoch-A
+    * docs) against corpus + epoch-A ADMISSIONS. Near-copies land in a
+    * quarantine table with best-match evidence; the oracle replays both
+    * admission rounds relationally (weights over the corpus state each
+    * round actually saw), and an in-query accounting gate zeroes the
+    * output unless corpus + quarantine partition the input exactly. */
+  private def q192(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val store = new DocumentStore(s,
+      Files.createTempDirectory("graft-q192-store").toString)
+    val corpus0 = docs.filter(col("doc_id") % 10 <= 6)
+    store.create("corpus", corpus0)
+    val epochA = docs.filter(col("doc_id") % 10 === 7)
+    val epochB = docs.filter(col("doc_id") % 10 === 8)
+      .unionByName(docs.filter(col("doc_id") % 10 === 7 && col("doc_id") < 100)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+    val srcDir = Files.createTempDirectory("graft-q192-src").toFile
+    val base = System.currentTimeMillis()
+    stage(epochA, srcDir, base)
+    stage(epochB, srcDir, base + 60000)
+    val feed = s.readStream.schema(epochA.schema)
+      .option("maxFilesPerTrigger", "4").parquet(srcDir.toString)
+    val qy = graft.streaming.AdmissionIngest.start(feed, store,
+      "corpus", "quarantine", "doc_id", "text",
+      Files.createTempDirectory("graft-q192-ckpt").toString, threshold = 0.8)
+    try qy.processAllAvailable() finally qy.stop()
+    val nIn = corpus0.count() + epochA.count() + epochB.count()
+    val nOut = store.read("corpus").count() +
+      (if (store.exists("quarantine")) store.read("quarantine").count() else 0L)
+    val res = store.read("quarantine")
+      .select(col("doc_id"), col("matched_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("doc_id"))
+    if (nIn == nOut) res else res.limit(0)
+  }
+
+  /** One admission round as CTEs: batch vs corpus AND batch vs
+    * earlier-in-batch, weights over corpus ∪ batch, best match per
+    * rejected doc, admitted remainder. */
+  private def admissionRoundSql(p: String, corpusRel: String,
+                                batchRel: String): String =
+    s"""${p}u AS MATERIALIZED (
+       |  SELECT doc_id, text FROM $corpusRel
+       |  UNION ALL SELECT doc_id, text FROM $batchRel),
+       |${p}tf AS MATERIALIZED (
+       |  SELECT doc_id AS doc, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+       |    FROM ${p}u) GROUP BY 1, 2),
+       |${p}n AS (SELECT COUNT(DISTINCT doc) AS n FROM ${p}tf),
+       |${p}df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM ${p}tf GROUP BY term),
+       |${p}w AS MATERIALIZED (
+       |  SELECT doc, term, tf * (length(bin(${p}n.n)) - length(bin(df))) AS w
+       |  FROM ${p}tf JOIN ${p}df USING (term) CROSS JOIN ${p}n
+       |  WHERE tf * (length(bin(${p}n.n)) - length(bin(df))) > 0),
+       |${p}nr AS (SELECT doc, SUM(w * w) AS nrm FROM ${p}w GROUP BY doc),
+       |${p}bi AS (SELECT DISTINCT doc_id AS doc FROM $batchRel),
+       |${p}ci AS (SELECT DISTINCT doc_id AS doc FROM $corpusRel),
+       |${p}dots AS (
+       |  SELECT a.doc AS batch_id, b.doc AS matched_id, SUM(a.w * b.w) AS dot
+       |  FROM ${p}w a JOIN ${p}w b ON a.term = b.term
+       |  WHERE a.doc IN (SELECT doc FROM ${p}bi)
+       |    AND ((b.doc IN (SELECT doc FROM ${p}ci) AND a.doc <> b.doc)
+       |      OR (b.doc IN (SELECT doc FROM ${p}bi) AND a.doc > b.doc))
+       |  GROUP BY 1, 2),
+       |${p}best AS MATERIALIZED (
+       |  SELECT batch_id, matched_id, cos FROM (
+       |    SELECT batch_id, matched_id,
+       |      CAST(dot AS DOUBLE) /
+       |        sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cos
+       |    FROM ${p}dots JOIN ${p}nr na ON na.doc = batch_id
+       |      JOIN ${p}nr nb ON nb.doc = matched_id)
+       |  WHERE cos >= 0.8
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY batch_id ORDER BY cos DESC, matched_id) = 1),
+       |${p}adm AS MATERIALIZED (
+       |  SELECT doc_id, text FROM $batchRel
+       |  WHERE doc_id NOT IN (SELECT batch_id FROM ${p}best))""".stripMargin
+
+  private lazy val q192Sql =
+    s"""WITH c0 AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <= 6),
+       |ba AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),
+       |${admissionRoundSql("a", "c0", "ba")},
+       |cb AS MATERIALIZED (
+       |  SELECT doc_id, text FROM c0 UNION ALL SELECT doc_id, text FROM aadm),
+       |bb AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 8
+       |  UNION ALL
+       |  SELECT doc_id + 5000000 AS doc_id, text FROM documents
+       |  WHERE doc_id % 10 = 7 AND doc_id < 100),
+       |${admissionRoundSql("b", "cb", "bb")}
+       |SELECT doc_id, matched_id, round(cos, 6) AS cos FROM (
+       |  SELECT batch_id AS doc_id, matched_id, cos FROM abest
+       |  UNION ALL SELECT batch_id, matched_id, cos FROM bbest)
+       |ORDER BY doc_id""".stripMargin
+
   /** Online partition-layout change
     * ([[graft.store.DocumentStore.repartitionBy]]): the store's
     * `ALTER TABLE … PARTITIONED BY` — create partitioned by priority,
@@ -1143,5 +1242,6 @@ object RagQueries extends QuerySet {
     Q("q163_csv_splittable", q163, Some(q163Sql)),
     Q("q172_streaming_index_sync", q172, Some(q172Sql)),
     Q("q179_store_repartition", q179, Some(q179Sql)),
-    Q("q184_orc_roundtrip", q184, Some(q184Sql)))
+    Q("q184_orc_roundtrip", q184, Some(q184Sql)),
+    Q("q192_streaming_admission", q192, Some(q192Sql)))
 }
