@@ -35,8 +35,10 @@ import org.apache.spark.sql.functions._
 object Triangles {
 
   /** The oriented edge list (src, dst, dord): each canonical undirected
-    * edge directed from lower to higher (degree, id). */
-  private def oriented(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    * edge directed from lower to higher (degree, id). `maxDegree` drops
+    * nodes above the cap BEFORE orientation. */
+  private def oriented(edges: DataFrame, aCol: String, bCol: String,
+                       maxDegree: Option[Long]): DataFrame = {
     // the 32-bit id guard lives IN the plan (codegen raise_error — zero
     // extra pass, fails loudly on the first offending row instead of
     // silently wrapping into a wrong orientation)
@@ -49,8 +51,17 @@ object Triangles {
         guard(greatest(col(aCol), col(bCol)).cast("long")).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull)
       .distinct()
-    val deg = e0.select(col("a").as("n")).union(e0.select(col("b").as("n")))
+    val deg0 = e0.select(col("a").as("n")).union(e0.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // hub cap: drop over-degree nodes (and their edges) BEFORE
+    // orientation — degrees are NOT recomputed on the capped subgraph,
+    // so the semantics is "triangles among nodes whose ORIGINAL degree
+    // is ≤ cap": one pass, replayable, and stable under the cap (a
+    // recompute-until-fixpoint variant is k-core, q190's operator)
+    val deg = maxDegree match {
+      case None => deg0
+      case Some(cap) => deg0.filter(col("d") <= cap)
+    }
     // ord packs (degree, id) into one BIGINT: d·2³² + id — exact while
     // ids fit 32 bits (degree ≤ n−1 < 2³¹ always); violations must fail
     // loudly, not wrap into a wrong orientation
@@ -70,12 +81,21 @@ object Triangles {
   /** All triangles, one row each: (x, y, z) = the triangle's vertices
     * with x the lowest-ordered (the counting vertex). Input edges are
     * treated as undirected; duplicates, reversals, and self-loops are
-    * legal and collapse. */
-  def triangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    * legal and collapse.
+    *
+    * `maxDegree` is the hub-cap lever the sf1 smoke motivated
+    * (PLANS.md: a dense co-purchase graph's wedge space is Σ outdeg²,
+    * and giant baskets mint cliques): nodes whose degree exceeds the
+    * cap are dropped with their edges before orientation, so the count
+    * is EXACT over the capped subgraph — the standard hot-key cut of
+    * co-occurrence mining (the same role maxDf plays for terms).
+    * Default None = the full exact count. */
+  def triangles(edges: DataFrame, aCol: String, bCol: String,
+                maxDegree: Option[Long] = None): DataFrame = {
     // the canonical edge set appears three times below (degree count,
     // order-key joins, wedge + closing joins) — its dedup Exchange is
     // computed once and reused (ReuseExchange, the q41 fact)
-    val or = oriented(edges, aCol, bCol)
+    val or = oriented(edges, aCol, bCol, maxDegree)
     val x = or.select(col("src"), col("dst").as("v"), col("dord").as("ov"))
     val y = or.select(col("src"), col("dst").as("w"), col("dord").as("ow"))
     val closing = or.select(col("src").as("v"), col("dst").as("w"))
@@ -87,8 +107,9 @@ object Triangles {
 
   /** Per-node triangle participation: (node, n_tri). Nodes in no
     * triangle are absent (join against the node set to densify). */
-  def perNode(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val tri = triangles(edges, aCol, bCol)
+  def perNode(edges: DataFrame, aCol: String, bCol: String,
+              maxDegree: Option[Long] = None): DataFrame = {
+    val tri = triangles(edges, aCol, bCol, maxDegree)
     tri.select(col("x").as("node"))
       .union(tri.select(col("y").as("node")))
       .union(tri.select(col("z").as("node")))

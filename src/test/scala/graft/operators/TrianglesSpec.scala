@@ -76,6 +76,24 @@ class TrianglesSpec extends AnyFunSuite with SparkSuite {
     assert(one == many)
   }
 
+  test("maxDegree hub cap: exact count over the capped subgraph") {
+    // hub 1 joins every triangle; capping it away leaves only {2,3,4}
+    val pairs = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 1L -> 5L,
+      2L -> 3L, 3L -> 4L, 2L -> 4L)
+    val full = Triangles.perNode(edges(pairs: _*), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full(1L) == 3L) // hub participates in 1-2-3, 1-3-4, 1-2-4
+    val capped = Triangles.perNode(edges(pairs: _*), "a", "b", maxDegree = Some(3L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hub (degree 4) dropped: only the 2-3-4 triangle remains, and the
+    // capped answer equals brute force on the hub-free subgraph
+    assert(capped == Map(2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // cap above the max degree is a no-op
+    val loose = Triangles.perNode(edges(pairs: _*), "a", "b", maxDegree = Some(99L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loose == full)
+  }
+
   test("oversized node ids fail loudly, never wrap") {
     val e = edges(4294967296L -> 1L, 1L -> 2L)
     val ex = intercept[Exception] {
