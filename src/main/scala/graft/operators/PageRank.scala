@@ -84,26 +84,53 @@ object PageRank {
     * seeds not present in the graph are ignored; `None` = uniform
     * teleport = classic PageRank (bit-identical to before the option
     * existed). Cost is unchanged — the seed flag rides the node table;
-    * no extra join enters the iteration. */
+    * no extra join enters the iteration.
+    *
+    * `weightCol` switches to WEIGHTED propagation: each node's mass
+    * splits across its out-edges proportionally to the edge weight —
+    * contribution = r(u)·w(u,v) div Σ_out w(u) — still exact integer
+    * arithmetic (positive longs; duplicate (src, dst) edges SUM their
+    * weights; a non-positive or overflow-risking weight — w·scale
+    * beyond BIGINT — fails loudly in-plan). `None` = every edge weight
+    * 1, which evaluates bit-identically to the unweighted form. In a
+    * corpus link graph the natural weight is the link/co-occurrence
+    * count: a page linked 50× from a hub pulls more of its rank than a
+    * footnote. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           iterations: Int, dampNum: Long = 85L, dampDen: Long = 100L,
           scale: Long = 1000000000000L,
           redistributeDangling: Boolean = false,
           toleranceMicro: Long = 0L,
-          seeds: Option[DataFrame] = None): DataFrame = {
+          seeds: Option[DataFrame] = None,
+          weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 0, "iterations must be non-negative")
     require(dampNum > 0 && dampNum < dampDen, "damping must be in (0,1)")
     require(toleranceMicro >= 0, "tolerance must be non-negative")
     val spark = edges.sparkSession
 
-    // Out-degree is a per-SOURCE property: fold it into the edge table
+    // Out-weight is a per-SOURCE property: fold it into the edge table
     // ONCE (a window over the source key costs one shuffle at build),
-    // so each iteration joins a single (src, dst, outdeg) relation —
-    // not edges ⋈ ranks ⋈ outdeg.
-    val e = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .distinct()
-      .withColumn("outdeg", count(lit(1)).over(
+    // so each iteration joins a single (src, dst, w, wsum) relation —
+    // not edges ⋈ ranks ⋈ weights. Unweighted: w ≡ 1, wsum = outdeg,
+    // and (pr·1) div outdeg evaluates bit-identically to the original
+    // unweighted contribution.
+    val wBound = Long.MaxValue / scale
+    val eBase = weightCol match {
+      case None => edges
+        .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+        .distinct()
+        .withColumn("w", lit(1L))
+      case Some(wc) => edges
+        .select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"), col(wc).cast("long").as("w0"))
+        .groupBy(col("src"), col("dst")).agg(sum(col("w0")).as("w1"))
+        .select(col("src"), col("dst"),
+          when(col("w1") <= 0 || col("w1") >= wBound, raise_error(concat(
+            lit("PageRank: edge weight out of (0, 2^63/scale): "),
+            col("w1").cast("string")))).otherwise(col("w1")).as("w"))
+    }
+    val e = eBase
+      .withColumn("wsum", sum(col("w")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes0 = e.select(col("src").as("node"))
@@ -179,7 +206,7 @@ object PageRank {
       val r = ranks.withColumnRenamed("node", "src")
       val contribs = e
         .join(if (broadcastRanks) broadcast(r) else r, "src")
-        .selectExpr("dst", "pr div outdeg AS c")
+        .selectExpr("dst", "(pr * w) div wsum AS c")
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
       val (next, nextIds) = materialize(nodes
         .join(if (broadcastRanks) broadcast(contribs) else contribs,
@@ -208,14 +235,17 @@ object PageRank {
   /** The matching DuckDB oracle: unrolled iteration CTEs replaying the
     * identical integer arithmetic (`//` floors, `div` truncates — equal
     * on the positives this recursion stays in). `edgesCte` must define
-    * a relation `e(src, dst)` already deduplicated. `redistribute`
-    * mirrors [[run]]'s mass-conserving variant: each step's dangling
-    * mass S feeds back as S // n inside the damped term. */
+    * a relation `e(src, dst)` already deduplicated — or, with
+    * `weighted = true`, `e(src, dst, w)` with per-(src, dst) weights
+    * already summed and positive. `redistribute` mirrors [[run]]'s
+    * mass-conserving variant: each step's dangling mass S feeds back as
+    * S // n inside the damped term. */
   def oracleCtes(edgesCte: String, iterations: Int,
                  dampNum: Long = 85L, dampDen: Long = 100L,
                  scale: Long = 1000000000000L,
                  redistribute: Boolean = false,
-                 seedsCte: Option[String] = None): String = {
+                 seedsCte: Option[String] = None,
+                 weighted: Boolean = false): String = {
     // personalized variant: `seedsCte` defines seeds(node); the teleport
     // denominator becomes |seeds ∩ nodes| and every base/r0/sink term is
     // gated on seed membership — mirroring run()'s __seed flag exactly
@@ -229,7 +259,7 @@ object PageRank {
     val header =
       s"""e AS ($edgesCte),
          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-         |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+         |deg AS (SELECT src, ${if (weighted) "CAST(SUM(w) AS BIGINT)" else "COUNT(*)"} AS outdeg FROM e GROUP BY src),
          |meta AS (SELECT COUNT(*) AS n FROM nodes)""".stripMargin +
         seedHeader.map(",\n" + _).getOrElse("") +
         s""",
@@ -253,7 +283,9 @@ object PageRank {
         s"""r$i AS (
            |  SELECT v.node,
            |    CAST($baseTerm
-           |      + ($dampNum * (COALESCE(SUM(r${i - 1}.pr // deg.outdeg), 0)$sinkTerm)) // $dampDen AS BIGINT) AS pr
+           |      + ($dampNum * (COALESCE(SUM(${
+          if (weighted) s"(r${i - 1}.pr * e.w) // deg.outdeg"
+          else s"r${i - 1}.pr // deg.outdeg"}), 0)$sinkTerm)) // $dampDen AS BIGINT) AS pr
            |  FROM nodes v CROSS JOIN meta$sinkJoin
            |  LEFT JOIN e ON e.dst = v.node
            |  LEFT JOIN r${i - 1} ON r${i - 1}.node = e.src

@@ -1316,6 +1316,42 @@ object AdvancedQueries extends QuerySet {
        |FROM l3 GROUP BY label ORDER BY n_members DESC, label LIMIT 30""".stripMargin
   }
 
+  /** Weighted PageRank ([[graft.operators.PageRank]] with `weightCol`):
+    * the supplier-part graph with edge weight = total shipped quantity —
+    * mass splits proportionally to the trade volume, still exact BIGINT
+    * micro-units (contribution r·w div Σw), so the trajectory replays
+    * as unrolled weighted CTEs. */
+  private def q193(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select(
+      col("l_suppkey").cast("long").as("sk"),
+      col("l_partkey").cast("long").as("pk"),
+      col("l_quantity").cast("long").as("qty"))
+    val edges = li.select((col("sk") * 2).as("src"), (col("pk") * 2 + 1).as("dst"), col("qty"))
+      .unionByName(li.select((col("pk") * 2 + 1).as("src"), (col("sk") * 2).as("dst"), col("qty")))
+    graft.operators.PageRank.run(edges, "src", "dst", iterations = 4,
+        weightCol = Some("qty"))
+      .select(
+        when(pmod(col("node"), lit(2)) === 0, lit("supplier")).otherwise(lit("part")).as("kind"),
+        expr("node div 2").as("entity_id"), col("pr"))
+      .orderBy(col("pr").desc, col("kind"), col("entity_id"))
+      .limit(30)
+  }
+
+  private val q193Sql = {
+    val edges =
+      """SELECT src, dst, CAST(SUM(qty) AS BIGINT) AS w FROM (
+        |    SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst,
+        |      CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+        |    UNION ALL
+        |    SELECT l_partkey * 2 + 1, l_suppkey * 2, CAST(l_quantity AS BIGINT)
+        |    FROM lineitem)
+        |  GROUP BY src, dst""".stripMargin
+    s"""WITH ${graft.operators.PageRank.oracleCtes(edges, iterations = 4, weighted = true)}
+       |SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END AS kind,
+       |  node // 2 AS entity_id, pr
+       |FROM r4 ORDER BY pr DESC, kind, entity_id LIMIT 30""".stripMargin
+  }
+
   /** Equal-frequency quantile binning ([[graft.operators.Binning]]):
     * price tiers per order priority — NTILE over (value, key) is
     * deterministic rank arithmetic both engines define identically; the
@@ -1514,5 +1550,6 @@ object AdvancedQueries extends QuerySet {
     Q("q187_personalized_pagerank", q187, Some(q187Sql)),
     Q("q188_triangle_count", q188, Some(q188Sql)),
     Q("q190_kcore", q190, Some(q190Sql)),
-    Q("q191_label_propagation", q191, Some(q191Sql)))
+    Q("q191_label_propagation", q191, Some(q191Sql)),
+    Q("q193_weighted_pagerank", q193, Some(q193Sql)))
 }

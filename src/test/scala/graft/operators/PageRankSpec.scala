@@ -109,6 +109,47 @@ class PageRankSpec extends AnyFunSuite with SparkSuite {
     assert(bounded.forall { case (k, v) => math.abs(v - exhaustive(k)) <= 1000L })
   }
 
+  private def wedges(rows: (Long, Long, Long)*) = {
+    import spark.implicits._
+    rows.toDF("src", "dst", "w")
+  }
+
+  test("constant weight 1 is bit-identical to the unweighted form") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 3L)
+    val un = ranks(e, 6)
+    val w1 = PageRank.run(wedges(e.collect().map(r =>
+        (r.getLong(0), r.getLong(1), 1L)).toIndexedSeq: _*),
+      "src", "dst", 6, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w1 == un)
+  }
+
+  test("weighted one step splits mass proportionally to edge weight") {
+    // 1 -> 2 (w=3), 1 -> 3 (w=1); r0 = S/3 each, wsum(1) = 4
+    val r = PageRank.run(wedges((1L, 2L, 3L), (1L, 3L, 1L)), "src", "dst", 1,
+        weightCol = Some("w"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val r0 = S / 3
+    val base = 15L * S / (100L * 3L)
+    assert(r(2L) == base + 85L * (r0 * 3L / 4L) / 100L)
+    assert(r(3L) == base + 85L * (r0 * 1L / 4L) / 100L)
+    assert(r(1L) == base)
+  }
+
+  test("duplicate weighted edges sum; non-positive weights fail loudly") {
+    val a = PageRank.run(wedges((1L, 2L, 2L), (1L, 2L, 3L), (1L, 3L, 5L)),
+        "src", "dst", 3, weightCol = Some("w"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val b = PageRank.run(wedges((1L, 2L, 5L), (1L, 3L, 5L)),
+        "src", "dst", 3, weightCol = Some("w"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(a == b)
+    intercept[Exception] {
+      PageRank.run(wedges((1L, 2L, 0L)), "src", "dst", 1,
+        weightCol = Some("w")).collect()
+    }
+  }
+
   private def seedDf(ns: Long*) = {
     import spark.implicits._
     ns.toDF("node")
