@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Multi-source breadth-first hop distances — the reachability/depth
+  * audit of a corpus link graph: how many hops is each document from
+  * the nearest trusted seed (the discrete counterpart of personalized
+  * PageRank's continuous trust score, q187), which pages are
+  * unreachable from any seed (orphaned islands a crawler re-serves but
+  * nothing links to), and how deep does the graph actually run.
+  *
+  * Level-synchronous frontier expansion (the standard Pregel/BSP BFS
+  * shape, expressed relationally): per hop, ONE join of the current
+  * frontier against the (pre-materialized, both-directions) edge table
+  * plus one anti-join against the reached set — cost tracks the
+  * FRONTIER's edges, not the graph, and the reached table grows
+  * monotonically so each round's anti-join is bounded by what BFS has
+  * actually touched. Rounds are eagerly local-checkpointed with
+  * explicit release (the q155 lineage discipline); expansion stops
+  * early when a frontier empties, and `maxHops` bounds the walk so a
+  * fixed SQL unroll replays it (post-exhaustion rounds are no-ops).
+  *
+  * Hop counts are exact integers: distances are partitioning-invariant
+  * and engine-reproducible by construction.
+  */
+object Bfs {
+
+  /** (node, dist) for every node within `maxHops` undirected hops of
+    * any source; sources themselves are dist 0 (listed even if they
+    * have no edges). Unreached nodes are absent — a left join against
+    * the node set finds the orphans. */
+  def hops(edges: DataFrame, aCol: String, bCol: String,
+           sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    def materialize(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint(eager = true)
+      (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
+    val half = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+    val e = half.select(col("a").as("src"), col("b").as("dst"))
+      .union(half.select(col("b").as("src"), col("a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var (reached, reachedIds) = materialize(
+      sources.select(col("node").cast("long").as("node")).distinct()
+        .withColumn("dist", lit(0L)))
+    var h = 1L
+    var frontierEmpty = false
+    while (h <= maxHops && !frontierEmpty) {
+      val frontier = reached.filter(col("dist") === (h - 1)).select(col("node"))
+      val fresh = e.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(reached.select(col("node")), Seq("node"), "left_anti")
+      if (fresh.isEmpty) frontierEmpty = true
+      else {
+        val (next, nextIds) = materialize(
+          reached.unionByName(fresh.withColumn("dist", lit(h))))
+        release(reachedIds)
+        reached = next
+        reachedIds = nextIds
+      }
+      h += 1
+    }
+    e.unpersist(blocking = false)
+    // final checkpoint blocks reclaimed by the ContextCleaner when the
+    // caller drops the reference (the PageRank.run contract)
+    reached
+  }
+
+  /** Unrolled oracle CTEs: `edgesCte` must define a deduplicated
+    * canonical relation h0(a, b) with a < b; `sourcesCte` a relation
+    * s(node). Produces r0..r<hops> with post-exhaustion rounds as
+    * no-ops; the final reach table is `r<hops>(node, dist)`. */
+  def oracleCtes(edgesCte: String, sourcesCte: String, hops: Int): String = {
+    val header =
+      s"""h0 AS MATERIALIZED ($edgesCte),
+         |ed AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM h0 UNION ALL SELECT b, a FROM h0),
+         |s AS ($sourcesCte),
+         |r0 AS (SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist FROM s)""".stripMargin
+    val steps = (1 to hops).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT node, dist FROM r${i - 1}
+         |  UNION ALL
+         |  SELECT DISTINCT ed.dst AS node, CAST($i AS BIGINT) AS dist
+         |  FROM ed JOIN r${i - 1} ON r${i - 1}.node = ed.src
+         |    AND r${i - 1}.dist = ${i - 1}
+         |  WHERE ed.dst NOT IN (SELECT node FROM r${i - 1}))""".stripMargin
+    }
+    (header +: steps).mkString(",\n")
+  }
+}

@@ -1352,6 +1352,36 @@ object AdvancedQueries extends QuerySet {
        |FROM r4 ORDER BY pr DESC, kind, entity_id LIMIT 30""".stripMargin
   }
 
+  /** Multi-source BFS hop distances ([[graft.operators.Bfs]]) from
+    * nation-0 suppliers over the sparsified supplier-part graph (the
+    * q191 edge set — the full bipartite graph has trivial diameter):
+    * per-hop frontier expansion, exact integer distances, early stop on
+    * frontier exhaustion inside a fixed unroll the oracle replays
+    * (post-exhaustion rounds are no-ops). Output is the hop histogram. */
+  private def q194(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").filter(col("l_quantity") <= 2)
+      .select(col("l_suppkey").cast("long").as("sk"),
+        col("l_partkey").cast("long").as("pk"))
+    val edges = li.select((col("sk") * 2).as("a"), (col("pk") * 2 + 1).as("b"))
+    val sources = t(s, d, "supplier").filter(col("s_nationkey") === 0)
+      .select((col("s_suppkey").cast("long") * 2).as("node"))
+    graft.operators.Bfs.hops(edges, "a", "b", sources, maxHops = 6)
+      .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("dist"))
+  }
+
+  private val q194Sql = {
+    val edges =
+      """SELECT DISTINCT least(l_suppkey * 2, l_partkey * 2 + 1) AS a,
+        |    greatest(l_suppkey * 2, l_partkey * 2 + 1) AS b
+        |  FROM lineitem WHERE l_quantity <= 2""".stripMargin
+    val sources =
+      "SELECT s_suppkey * 2 AS node FROM supplier WHERE s_nationkey = 0"
+    s"""WITH ${graft.operators.Bfs.oracleCtes(edges, sources, hops = 6)}
+       |SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |FROM r6 GROUP BY dist ORDER BY dist""".stripMargin
+  }
+
   /** Equal-frequency quantile binning ([[graft.operators.Binning]]):
     * price tiers per order priority — NTILE over (value, key) is
     * deterministic rank arithmetic both engines define identically; the
@@ -1551,5 +1581,6 @@ object AdvancedQueries extends QuerySet {
     Q("q188_triangle_count", q188, Some(q188Sql)),
     Q("q190_kcore", q190, Some(q190Sql)),
     Q("q191_label_propagation", q191, Some(q191Sql)),
-    Q("q193_weighted_pagerank", q193, Some(q193Sql)))
+    Q("q193_weighted_pagerank", q193, Some(q193Sql)),
+    Q("q194_bfs_hops", q194, Some(q194Sql)))
 }
