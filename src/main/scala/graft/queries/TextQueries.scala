@@ -1584,6 +1584,30 @@ object TextQueries extends QuerySet {
       |FROM r WHERE rk <= 64
       |GROUP BY sa, sb ORDER BY sa, sb""".stripMargin
 
+  /** Near-duplicate COMMUNITIES: the q41 Jaccard pair graph fed through
+    * deterministic label propagation ([[graft.operators.LabelProp]]) —
+    * where q85's connected components answer "which docs are
+    * transitively linked", communities answer "which docs cluster
+    * densely" (a long weak chain of borderline pairs splits instead of
+    * collapsing into one mega-cluster). One composed DAG, the
+    * q122/q183 composition discipline: a semantic change to either
+    * stage breaks the oracle hash. */
+  private def q195(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(
+      t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+    graft.operators.LabelProp.run(pairs, "a_id", "b_id", iterations = 3)
+      .groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("label"))
+      .limit(30)
+  }
+
+  private lazy val q195Sql =
+    s"""WITH ${pairCtes("0.8")},
+       |${graft.operators.LabelProp.oracleCtes(
+            "SELECT a_id AS a, b_id AS b FROM pairs", iterations = 3)}
+       |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
+       |FROM l3 GROUP BY label ORDER BY n_members DESC, label LIMIT 30""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -1635,7 +1659,8 @@ object TextQueries extends QuerySet {
     Q("q183_audit_pipeline", q183, Some(q183Sql), headline = true),
     Q("q185_ngram_lm", q185, Some(q185Sql)),
     Q("q186_boolean_search", q186, Some(q186Sql)),
-    Q("q189_sketch_overlap", q189, Some(q189Sql)))
+    Q("q189_sketch_overlap", q189, Some(q189Sql)),
+    Q("q195_neardup_communities", q195, Some(q195Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the
