@@ -1608,6 +1608,36 @@ object TextQueries extends QuerySet {
        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
        |FROM l3 GROUP BY label ORDER BY n_members DESC, label LIMIT 30""".stripMargin
 
+  /** Per-source dataset fingerprints ([[graft.operators.Fingerprint]]):
+    * order-independent release checksums over (doc_id, text, lang,
+    * n_chars) — one narrow pass, no sort, and the oracle PROVES the
+    * cross-engine property the operator exists for: DuckDB recomputes
+    * every checksum from the raw parquet and must match bit-for-bit. */
+  private def q196(s: SparkSession, d: String): DataFrame =
+    graft.operators.Fingerprint.groupChecksum(t(s, d, "documents"),
+      "source", Seq("doc_id", "text", "lang", "n_chars"))
+      .orderBy(col("source"))
+
+  private val q196Sql =
+    """WITH j AS (
+      |  SELECT source,
+      |    concat_ws(chr(1),
+      |      COALESCE(CAST(doc_id AS VARCHAR), '␀'),
+      |      COALESCE(text, '␀'),
+      |      COALESCE(lang, '␀'),
+      |      COALESCE(CAST(n_chars AS VARCHAR), '␀')) AS s
+      |  FROM documents),
+      |h AS (
+      |  SELECT source,
+      |    ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) % 2147483648)
+      |     * 2654435761) % 4294967296 AS h
+      |  FROM j)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(h) % 4611686018427387904 AS BIGINT) AS checksum
+      |FROM h GROUP BY source ORDER BY source""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -1660,7 +1690,8 @@ object TextQueries extends QuerySet {
     Q("q185_ngram_lm", q185, Some(q185Sql)),
     Q("q186_boolean_search", q186, Some(q186Sql)),
     Q("q189_sketch_overlap", q189, Some(q189Sql)),
-    Q("q195_neardup_communities", q195, Some(q195Sql)))
+    Q("q195_neardup_communities", q195, Some(q195Sql)),
+    Q("q196_dataset_fingerprint", q196, Some(q196Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the
