@@ -115,4 +115,32 @@ object Triangles {
       .union(tri.select(col("z").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Local clustering coefficient (Watts–Strogatz 1998): per node with
+    * degree ≥ 2, coefficient = 2·triangles / (d·(d−1)) — how close the
+    * node's neighborhood is to a clique. The numerator and denominator
+    * are EXACT integers (emitted alongside the one closing IEEE
+    * division), so the result replays hash-identically in any engine.
+    * Link farms sit near 1.0 (everything mutually linked); hub pages
+    * whose neighbors ignore each other sit near 0 — a per-document
+    * signal where q188's raw count only flags volume. Zero-triangle
+    * nodes are kept (coefficient 0), so the distribution is honest.
+    * Cost: the q188 triangle pass + the degree aggregate it already
+    * computes, one extra join. */
+  def clusteringCoefficient(edges: DataFrame, aCol: String, bCol: String,
+                            maxDegree: Option[Long] = None): DataFrame = {
+    val e0 = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+    val deg = e0.select(col("a").as("node")).union(e0.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(perNode(edges, aCol, bCol, maxDegree), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        (coalesce(col("n_tri"), lit(0L)).cast("double") * 2.0 /
+          (col("deg") * (col("deg") - 1)).cast("double")).as("coef"))
+  }
 }

@@ -1382,6 +1382,54 @@ object AdvancedQueries extends QuerySet {
        |FROM r6 GROUP BY dist ORDER BY dist""".stripMargin
   }
 
+  /** Local clustering coefficients
+    * ([[graft.operators.Triangles.clusteringCoefficient]]) over the
+    * sparsified co-purchase graph: exact integer triangles/degrees with
+    * one closing IEEE division, so the per-part cohesion score replays
+    * hash-identically. Top-30 most clique-like parts. */
+  private def q197(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").filter(col("l_quantity") <= 2)
+      .select(col("l_orderkey"), col("l_partkey").cast("long").as("p"))
+    val edges = li.withColumnRenamed("p", "pa")
+      .join(li.withColumnRenamed("p", "pb"), "l_orderkey")
+      .filter(col("pa") =!= col("pb"))
+      .select(col("pa").as("a"), col("pb").as("b"))
+    graft.operators.Triangles.clusteringCoefficient(edges, "a", "b")
+      .select(col("node"), col("deg"), col("n_tri"), round(col("coef"), 6).as("coef"))
+      .orderBy(col("coef").desc, col("node"))
+      .limit(30)
+  }
+
+  private val q197Sql =
+    """WITH pe AS (
+      |  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS u,
+      |    greatest(x.l_partkey, y.l_partkey) AS v
+      |  FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey
+      |  WHERE x.l_quantity <= 2 AND y.l_quantity <= 2),
+      |deg AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      |    SELECT u AS node FROM pe UNION ALL SELECT v FROM pe)
+      |  GROUP BY node),
+      |tri AS (
+      |  SELECT t1.u AS x, t1.v AS y, t2.v AS z
+      |  FROM pe t1
+      |  JOIN pe t2 ON t2.u = t1.v
+      |  JOIN pe t3 ON t3.u = t1.u AND t3.v = t2.v),
+      |pn AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+      |    SELECT x AS node FROM tri
+      |    UNION ALL SELECT y FROM tri
+      |    UNION ALL SELECT z FROM tri)
+      |  GROUP BY node)
+      |SELECT d.node, d.deg,
+      |  CAST(COALESCE(pn.n_tri, 0) AS BIGINT) AS n_tri,
+      |  round(CAST(COALESCE(pn.n_tri, 0) AS DOUBLE) * 2.0 /
+      |        CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) AS coef
+      |FROM deg d LEFT JOIN pn USING (node)
+      |WHERE d.deg >= 2
+      |ORDER BY coef DESC, node LIMIT 30""".stripMargin
+
   /** Equal-frequency quantile binning ([[graft.operators.Binning]]):
     * price tiers per order priority — NTILE over (value, key) is
     * deterministic rank arithmetic both engines define identically; the
@@ -1582,5 +1630,6 @@ object AdvancedQueries extends QuerySet {
     Q("q190_kcore", q190, Some(q190Sql)),
     Q("q191_label_propagation", q191, Some(q191Sql)),
     Q("q193_weighted_pagerank", q193, Some(q193Sql)),
-    Q("q194_bfs_hops", q194, Some(q194Sql)))
+    Q("q194_bfs_hops", q194, Some(q194Sql)),
+    Q("q197_clustering_coefficient", q197, Some(q197Sql)))
 }

@@ -94,6 +94,23 @@ class TrianglesSpec extends AnyFunSuite with SparkSuite {
     assert(loose == full)
   }
 
+  test("clustering coefficient: clique 1.0, star center 0.0, hand-computed middle") {
+    // K3 plus a pendant on node 3: nodes 1,2 have deg 2 and coef 1.0;
+    // node 3 has deg 3, 1 triangle → 2·1/(3·2) = 1/3; pendant 4 (deg 1) absent
+    val got = Triangles.clusteringCoefficient(
+        edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L), "a", "b")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == (2L, 1L, 1.0))
+    assert(got(2L) == (2L, 1L, 1.0))
+    assert(got(3L)._3 == 1.0 / 3.0)
+    assert(!got.contains(4L))
+    // star: center's neighbors never interlink → coefficient exactly 0
+    val star = Triangles.clusteringCoefficient(
+        edges(1L -> 2L, 1L -> 3L, 1L -> 4L), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(star == Map(1L -> 0.0))
+  }
+
   test("oversized node ids fail loudly, never wrap") {
     val e = edges(4294967296L -> 1L, 1L -> 2L)
     val ex = intercept[Exception] {
