@@ -33,9 +33,19 @@ import org.apache.spark.storage.StorageLevel
   */
 object LabelProp {
 
-  /** Run `iterations` synchronous rounds; returns (node, label). */
+  /** Run `iterations` synchronous rounds; returns (node, label).
+    *
+    * `stopWhenStable = true` adds the early exit: after each round the
+    * new label table is compared with the previous one (one
+    * co-partitioned join + scalar count over node-sized tables — the
+    * PageRank `toleranceMicro` cost shape) and the walk stops once no
+    * label moved. The prefix of rounds actually run is identical to the
+    * fixed-count trajectory, so a stopped run equals the full run
+    * whenever the fixpoint was real — pay the per-round check when the
+    * round count is data-dependent, skip it (default) when the count is
+    * fixed and SQL-replayable. */
   def run(edges: DataFrame, aCol: String, bCol: String,
-          iterations: Int): DataFrame = {
+          iterations: Int, stopWhenStable: Boolean = false): DataFrame = {
     require(iterations >= 0, "iterations must be non-negative")
     val spark = edges.sparkSession
     val sc = spark.sparkContext
@@ -60,7 +70,8 @@ object LabelProp {
 
     var (labels, labelIds) = materialize(nodes.select(col("node"), col("node").as("label")))
     var i = 0
-    while (i < iterations) {
+    var moved = true
+    while (i < iterations && moved) {
       val votes = e
         .join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("label"))
@@ -72,6 +83,11 @@ object LabelProp {
             .orderBy(col("c").desc, col("label").asc)))
         .filter(col("__rn") === 1)
         .select(col("node"), col("label")))
+      if (stopWhenStable) {
+        val changed = next.join(labels.withColumnRenamed("label", "__prev"), "node")
+          .filter(col("label") =!= col("__prev")).limit(1).count()
+        moved = changed > 0
+      }
       release(labelIds)
       labels = next
       labelIds = nextIds

@@ -53,6 +53,19 @@ class LabelPropSpec extends AnyFunSuite with SparkSuite {
     assert(got(1L) == 1L)
   }
 
+  test("stopWhenStable: a converged graph stops early and equals the full run") {
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L)
+    // the triangle converges to all-1 in one round; 50 budgeted rounds
+    // with early stop must land on the identical table
+    val full = LabelProp.run(pairs.toDF("a", "b"), "a", "b", 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val early = LabelProp.run(pairs.toDF("a", "b"), "a", "b", 50,
+        stopWhenStable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(early == full)
+    assert(early == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("result is invariant to input partitioning") {
     val pairs = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 5L, 5L -> 6L)
     val one = LabelProp.run(pairs.toDF("a", "b").repartition(1), "a", "b", 3)
