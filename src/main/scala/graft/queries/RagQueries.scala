@@ -1125,6 +1125,56 @@ object RagQueries extends QuerySet {
        |  UNION ALL SELECT batch_id, matched_id, cos FROM bbest)
        |ORDER BY doc_id""".stripMargin
 
+  /** Verifiable corpus-release artifact ([[graft.sources.Release]]):
+    * publish the documents corpus as plain parquet + a fingerprint
+    * `_MANIFEST` (total and per source), then VERIFY the published
+    * files by recomputation — the in-query gate zeroes the output
+    * unless every scope checks out. The oracle recomputes the same
+    * engine-portable checksums straight from the source parquet, so a
+    * publish that lost, duplicated, or altered any row breaks the hash
+    * from both sides. */
+  private def q198(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft-q198").toString + "/rel"
+    val cols = Seq("doc_id", "text", "lang", "n_chars")
+    graft.sources.Release.publish(t(s, d, "documents"), dir, "doc_id",
+      cols, groupCol = Some("source"))
+    val rep = graft.sources.Release.verify(s, dir, cols,
+      groupCol = Some("source"))
+    val allOk = rep.filter(!col("ok")).isEmpty
+    val res = rep.select(col("scope"), col("n_manifest").as("n_rows"),
+        col("checksum_manifest").as("checksum"))
+      .orderBy(col("scope"))
+    if (allOk) res else res.limit(0)
+  }
+
+  private val q198Sql =
+    """WITH j AS (
+      |  SELECT source,
+      |    concat_ws(chr(1),
+      |      COALESCE(CAST(doc_id AS VARCHAR), '␀'),
+      |      COALESCE(text, '␀'),
+      |      COALESCE(lang, '␀'),
+      |      COALESCE(CAST(n_chars AS VARCHAR), '␀')) AS s
+      |  FROM documents),
+      |h AS (
+      |  SELECT source,
+      |    ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) % 2147483648)
+      |     * 2654435761) % 4294967296 AS h
+      |  FROM j),
+      |g AS (
+      |  SELECT source AS scope, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(h) % 4611686018427387904 AS BIGINT) AS checksum
+      |  FROM h GROUP BY source),
+      |tt AS (
+      |  SELECT '*' AS scope, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(h) % 4611686018427387904 AS BIGINT) AS checksum
+      |  FROM h)
+      |SELECT scope, n_rows, checksum
+      |FROM (SELECT * FROM tt UNION ALL SELECT * FROM g)
+      |ORDER BY scope""".stripMargin
+
   /** Online partition-layout change
     * ([[graft.store.DocumentStore.repartitionBy]]): the store's
     * `ALTER TABLE … PARTITIONED BY` — create partitioned by priority,
@@ -1243,5 +1293,6 @@ object RagQueries extends QuerySet {
     Q("q172_streaming_index_sync", q172, Some(q172Sql)),
     Q("q179_store_repartition", q179, Some(q179Sql)),
     Q("q184_orc_roundtrip", q184, Some(q184Sql)),
-    Q("q192_streaming_admission", q192, Some(q192Sql)))
+    Q("q192_streaming_admission", q192, Some(q192Sql)),
+    Q("q198_release_manifest", q198, Some(q198Sql)))
 }
