@@ -34,13 +34,19 @@ object Release {
 
   /** Publish `df` under `dir`. `cols` are the fingerprinted columns
     * (exact-typed — the [[Fingerprint]] contract); `groupCol` adds
-    * per-group accounting lines (and must not be null-valued). */
+    * per-group accounting lines (and must not be null-valued);
+    * `format` is any self-describing splittable writer the consumer
+    * reads natively (parquet, orc — the q184 interchange pair). The
+    * manifest is format-agnostic: checksums are over VALUES, so the
+    * same corpus published in both formats carries identical lines. */
   def publish(df: DataFrame, dir: String, idCol: String, cols: Seq[String],
-              groupCol: Option[String] = None): Unit = {
+              groupCol: Option[String] = None,
+              format: String = "parquet"): Unit = {
     require(cols.nonEmpty, "need fingerprint columns")
+    require(Seq("parquet", "orc").contains(format), s"unsupported format $format")
     df.repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
-      .write.mode("errorifexists").parquet(s"$dir/data")
-    val published = df.sparkSession.read.parquet(s"$dir/data")
+      .write.mode("errorifexists").format(format).save(s"$dir/data")
+    val published = df.sparkSession.read.format(format).load(s"$dir/data")
     val t = Fingerprint.tableChecksum(published, cols).head()
     val tableLine = s"$TableScope\t${t.getLong(0)}\t${t.getLong(1)}"
     val groupLines = groupCol.toSeq.flatMap { g =>
@@ -59,14 +65,15 @@ object Release {
     * absent from the data report zero actuals (ok = false), so a
     * dropped group is loud, not silently missing. */
   def verify(spark: SparkSession, dir: String, cols: Seq[String],
-             groupCol: Option[String] = None): DataFrame = {
+             groupCol: Option[String] = None,
+             format: String = "parquet"): DataFrame = {
     import spark.implicits._
     val manifest = Files.readString(Paths.get(s"$dir/_MANIFEST"))
       .split("\n").toSeq.map { line =>
         val Array(scope, n, c) = line.split("\t")
         (scope, n.toLong, c.toLong)
       }.toDF("scope", "n_manifest", "checksum_manifest")
-    val published = spark.read.parquet(s"$dir/data")
+    val published = spark.read.format(format).load(s"$dir/data")
     val table = Fingerprint.tableChecksum(published, cols)
       .select(lit(TableScope).as("scope"), col("n_rows"), col("checksum"))
     val actual = groupCol match {

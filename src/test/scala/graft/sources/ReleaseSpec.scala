@@ -35,6 +35,20 @@ class ReleaseSpec extends AnyFunSuite with SparkSuite {
     assert(rep("a") && rep("c"), "untouched groups still verify")
   }
 
+  test("the manifest is format-agnostic: ORC and parquet releases carry identical lines") {
+    val dPar = Files.createTempDirectory("graft-release").toString
+    val dOrc = Files.createTempDirectory("graft-release").toString
+    Release.publish(corpus, dPar, "id", Seq("id", "text", "src"), Some("src"))
+    Release.publish(corpus, dOrc, "id", Seq("id", "text", "src"), Some("src"),
+      format = "orc")
+    val mp = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dPar/_MANIFEST"))
+    val mo = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dOrc/_MANIFEST"))
+    assert(mp == mo, "value checksums must not depend on the container format")
+    val rep = Release.verify(spark, dOrc, Seq("id", "text", "src"), Some("src"),
+      format = "orc").collect()
+    assert(rep.forall(_.getBoolean(5)))
+  }
+
   test("a consumer engine only needs the files: fresh read verifies") {
     val dir = Files.createTempDirectory("graft-release").toString
     Release.publish(corpus, dir, "id", Seq("id", "text"))
