@@ -97,6 +97,38 @@ object Splits {
       .orderBy(col("shuffle_key"), col(idCol))
   }
 
+  /** Curriculum schedule (Bengio, Louradour, Collobert, Weston, ICML
+    * 2009): serve the corpus easiest-first in difficulty SHARDS with a
+    * reproducible shuffle inside each shard — the training-loader order
+    * that pairs with a per-doc difficulty signal (the natural one is
+    * [[NgramLm]]'s integer surprisal). Two deterministic pieces:
+    *
+    *  - `shard` = bit-length of the integer difficulty (+1; negative
+    *    clamps to 0) — the engine's floor-log2 bits idiom: difficulty
+    *    distributions spread multiplicatively, so exponentially wider
+    *    bands give usable shard populations without any global
+    *    rank/quantile pass (a global NTILE is the q86 one-partition
+    *    scale-killer this construction exists to avoid);
+    *  - `curriculum_rank` = the q92 seeded Knuth order within the
+    *    shard, so the interior looks i.i.d. to the model yet replays
+    *    identically on any engine, any partitioning, any retry.
+    *
+    * A loader consumes shards ascending, rows by rank. One
+    * `Exchange(shard)` window — shards are plural by construction.
+    * Output: input columns + (shard, curriculum_rank). */
+  def curriculumOrder(df: DataFrame, idCol: String, scoreCol: String,
+                      seed: Long = 0L): DataFrame = {
+    val shard = length(bin(greatest(col(scoreCol).cast("long"), lit(0L)) + 1))
+      .cast("int")
+    val mixed = pmod(col(idCol).cast("long"), lit(TwoTo31))
+      .bitwiseXOR(lit(((seed % TwoTo31) + TwoTo31) % TwoTo31))
+    val key = pmod(mixed * KnuthC, lit(TwoTo32))
+    df.withColumn("shard", shard)
+      .withColumn("curriculum_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(key, col(idCol))).cast("long"))
+  }
+
   /** Deterministic per-group bottom-k sample: the k rows with the
     * smallest seeded stable-hash key in each group — EXACTLY k per group
     * (vs [[stratifiedSample]]'s fractional expectation), uniform because

@@ -1638,6 +1638,56 @@ object TextQueries extends QuerySet {
       |  CAST(SUM(h) % 4611686018427387904 AS BIGINT) AS checksum
       |FROM h GROUP BY source ORDER BY source""".stripMargin
 
+  /** Curriculum scheduling ([[graft.operators.Splits.curriculumOrder]])
+    * over the trainable-LM difficulty signal: q185's integer surprisal
+    * shards the corpus into bits-bands (easy → hard), the q92 seeded
+    * order shuffles each band reproducibly — one composed DAG whose
+    * oracle replays scoring, sharding, and ranking end to end. */
+  private def q199(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val model = graft.operators.NgramLm.train(
+      docs.filter(col("doc_id") % 3 === 0), "text")
+    val scored = graft.operators.NgramLm.score(docs, "doc_id", "text", model)
+    Splits.curriculumOrder(scored, "doc_id", "surprisal_bits", seed = 11L)
+      .select(col("doc_id"), col("shard"), col("curriculum_rank"))
+      .orderBy(col("shard"), col("curriculum_rank"))
+  }
+
+  private val q199Sql =
+    """WITH rw AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+      |      FROM (SELECT unnest(w) AS t FROM rw)),
+      |rbg AS (SELECT unnest(list_transform(range(len(w) - 1),
+      |          i -> {'w1': w[i+1], 'w2': w[i+2]})) AS b
+      |        FROM rw WHERE len(w) >= 2),
+      |c2 AS (SELECT b.w1 AS w1, b.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+      |       FROM rbg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      |tw AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |       FROM documents),
+      |tbg AS (SELECT doc_id, unnest(list_transform(range(len(w) - 1),
+      |          i -> {'w1': w[i+1], 'w2': w[i+2]})) AS b
+      |        FROM tw WHERE len(w) >= 2),
+      |p AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM tbg),
+      |sc AS (SELECT doc_id,
+      |         CAST(length(bin(COALESCE(c1, 0) + v)) -
+      |              length(bin(COALESCE(c12, 0) + 1)) AS BIGINT) AS s
+      |       FROM p LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+      |            CROSS JOIN v),
+      |agg AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS sb FROM sc GROUP BY doc_id),
+      |fin AS (SELECT d.doc_id, CAST(COALESCE(sb, 0) AS BIGINT) AS sb
+      |        FROM documents d LEFT JOIN agg USING (doc_id)),
+      |sch AS (SELECT doc_id,
+      |          CAST(length(bin(greatest(sb, 0) + 1)) AS INTEGER) AS shard,
+      |          (xor(doc_id % 2147483648, 11) * 2654435761) % 4294967296 AS k
+      |        FROM fin)
+      |SELECT doc_id, shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT)
+      |    AS curriculum_rank
+      |FROM sch ORDER BY shard, curriculum_rank""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -1691,7 +1741,8 @@ object TextQueries extends QuerySet {
     Q("q186_boolean_search", q186, Some(q186Sql)),
     Q("q189_sketch_overlap", q189, Some(q189Sql)),
     Q("q195_neardup_communities", q195, Some(q195Sql)),
-    Q("q196_dataset_fingerprint", q196, Some(q196Sql)))
+    Q("q196_dataset_fingerprint", q196, Some(q196Sql)),
+    Q("q199_curriculum_order", q199, Some(q199Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the

@@ -95,6 +95,33 @@ class SplitsSpec extends AnyFunSuite with SparkSuite {
     assert(order(13, 8L) != o1)            // a new seed is a new order
   }
 
+  test("curriculum order: bits shards, complete ranks, reproducible interior") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // scores 0..6 → shard = bitlen(score+1): {0}→1, {1,2}→2, {3..6}→3
+    val df = Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 6L), (6L, -5L))
+      .toDF("id", "score")
+    val got = Splits.curriculumOrder(df, "id", "score", seed = 3L)
+      .select("id", "shard", "curriculum_rank")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(got(1L)._1 == 1 && got(6L)._1 == 1) // negative clamps to easiest
+    assert(got(2L)._1 == 2 && got(3L)._1 == 2)
+    assert(got(4L)._1 == 3 && got(5L)._1 == 3)
+    // ranks enumerate 1..|shard| inside each shard
+    val byShard = got.values.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted)
+    byShard.foreach { case (_, rs) => assert(rs == (1L to rs.size)) }
+    // partition-invariant and seed-sensitive, like the q92 order
+    val o13 = Splits.curriculumOrder(df.repartition(13), "id", "score", seed = 3L)
+      .select("id", "shard", "curriculum_rank")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(o13 == got)
+    val other = Splits.curriculumOrder(df, "id", "score", seed = 4L)
+      .select("id", "shard", "curriculum_rank")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(other.view.mapValues(_._1).toMap == got.view.mapValues(_._1).toMap) // shards unchanged
+    assert(other != got) // but a new seed is a new interior order
+  }
+
   test("stratified sample with defaultFraction 0 keeps only mapped strata") {
     val out = Splits.stratifiedSample(t(spark, sf, "documents"),
       "doc_id", "lang", Map("fr" -> 1.0))
