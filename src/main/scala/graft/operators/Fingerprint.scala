@@ -26,7 +26,15 @@ import org.apache.spark.sql.functions._
   * caller first (float formatting is not cross-engine canonical). NULL
   * renders as the sentinel `␀` (distinct from the empty string); values
   * containing U+0001 (the field separator) would collide — engine text
-  * columns never do.
+  * columns never do. Text is iterated as the engine's character units,
+  * so the cross-engine replay is exact for BMP text only: Spark's
+  * `split`/`ascii` walk UTF-16 units while DuckDB's
+  * `string_split`/`ascii` walk code points, and a supplementary-plane
+  * character (emoji, rare CJK) hashes differently in each — the same
+  * divergence class the index-term pipeline documents. Both engines
+  * still agree with THEMSELVES, so same-engine verification is
+  * unaffected; only the cross-engine replay needs BMP-clean (or
+  * pre-transcoded) text.
   *
   * Collision note: the 62-bit sum is an EQUALITY WITNESS, not a
   * cryptographic digest — a mismatch proves difference; a match proves

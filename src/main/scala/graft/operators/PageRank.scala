@@ -125,9 +125,14 @@ object PageRank {
           col(dstCol).cast("long").as("dst"), col(wc).cast("long").as("w0"))
         .groupBy(col("src"), col("dst")).agg(sum(col("w0")).as("w1"))
         .select(col("src"), col("dst"),
-          when(col("w1") <= 0 || col("w1") >= wBound, raise_error(concat(
-            lit("PageRank: edge weight out of (0, 2^63/scale): "),
-            col("w1").cast("string")))).otherwise(col("w1")).as("w"))
+          // isNull first: a NULL weight would otherwise make the range
+          // predicate NULL, fall through `otherwise`, and silently drop
+          // the edge's contribution — the loud-failure contract covers it
+          when(col("w1").isNull || col("w1") <= 0 || col("w1") >= wBound,
+            raise_error(concat(
+              lit("PageRank: edge weight NULL or out of (0, 2^63/scale): "),
+              coalesce(col("w1").cast("string"), lit("NULL")))))
+            .otherwise(col("w1")).as("w"))
     }
     val e = eBase
       .withColumn("wsum", sum(col("w")).over(

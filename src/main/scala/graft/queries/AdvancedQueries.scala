@@ -149,13 +149,14 @@ object AdvancedQueries extends QuerySet {
       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
   /** Sketch aggregates for 100 TB profiling: HyperLogLog++ distinct
-    * counts. Approximate => no SQL oracle, so the gate carries its own
-    * teeth (same pattern as the ANN recall gates in
-    * [[VectorQueries]]): rows are emitted ONLY if every group's
-    * relative error vs in-query exact distinct is ≤ 5% — an accuracy
-    * regression zeroes `spark_rows`, which the driver sees. Exact
-    * distinct is affordable at gate scale; the error check compares one
-    * row per group (driver-scale). */
+    * counts. The sketch estimate itself is engine-defined, so the
+    * HASH-GREEN face is the exact distinct counts (DuckDB-replayable),
+    * GATED in-query on the sketch: rows are emitted ONLY if every
+    * group's HLL relative error vs the exact distinct is ≤ 5% — an
+    * accuracy regression zeroes `spark_rows` AND the oracle hash, which
+    * the driver sees. Exact distinct is affordable at gate scale; at
+    * 100 TB only the sketch pass runs (the exact pass is the gate's
+    * scaffolding, not the production plan). */
   private def q28(s: SparkSession, d: String): DataFrame = {
     val li = t(s, d, "lineitem")
     // rsd=0.01: measured worst-group error ≤0.9% at sf0.01/sf0.1 (the
@@ -167,18 +168,24 @@ object AdvancedQueries extends QuerySet {
     val approx = li.groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"))
-      .cache()
     val exact = li.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("exact_parts"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
+      .cache()
     val offBound = approx.join(exact, "l_returnflag")
       .filter(
         abs(col("approx_parts") - col("exact_parts")) / col("exact_parts") > lit(0.05) ||
         abs(col("approx_orders") - col("exact_orders")) / col("exact_orders") > lit(0.05))
       .count()
-    val out = approx.orderBy(col("l_returnflag"))
+    val out = exact.orderBy(col("l_returnflag"))
     if (offBound == 0L) out else out.limit(0)
   }
+
+  private val q28Sql =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  COUNT(DISTINCT l_orderkey) AS exact_orders
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Full outer join: customers without orders AND orphan order keys both
     * survive (completes the join-type inventory: inner/semi/anti/left
@@ -1586,7 +1593,7 @@ object AdvancedQueries extends QuerySet {
     Q("q25_percentiles", q25, Some(q25Sql)),
     Q("q26_corr_subquery", q26, Some(q26Sql)),
     Q("q27_skew_salted_join", q27, Some(q27Sql), headline = true),
-    Q("q28_approx_distinct", q28, None),
+    Q("q28_approx_distinct", q28, Some(q28Sql)),
     Q("q29_full_outer_join", q29, Some(q29Sql)),
     Q("q52_tpch_q3_topk", q52, Some(q52Sql), headline = true),
     Q("q53_case_agg", q53, Some(q53Sql)),

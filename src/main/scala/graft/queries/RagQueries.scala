@@ -55,9 +55,16 @@ object RagQueries extends QuerySet {
   private def q60(s: SparkSession, d: String): DataFrame = {
     val docs = Embed.withEmbedding(t(s, d, "documents"), "text", "vector", embedder)
     val probe = embedder.embedOne("spark query filter join window")
+    // HASH-EXACT oracle face: retrieval ids + cosine scores on the 2^-20
+    // integer grid. The oracle replays the 64-d embedder (the q64 hash
+    // stack at dims=64) for corpus AND probe, then the cosine loop's
+    // exact sequential double accumulation — so ids, ranking, and scores
+    // are all bit-verified; only the stub completion text (engine-
+    // defined) stays out of the gated output.
     def top10(corpus: DataFrame): DataFrame =
       VectorSearch.exactTopK(corpus, "vector", "doc_id", probe, 10)
-        .select(col("doc_id"), col("lang"), round(col("sim"), 6).as("sim"))
+        .select(col("doc_id"), col("lang"),
+          floor(col("sim") * (1L << 20)).as("sim_grid"))
     val mem = top10(docs)
     val store = new DocumentStore(s, Files.createTempDirectory("graft-q60").toString)
     store.create("docs", docs)
@@ -65,6 +72,86 @@ object RagQueries extends QuerySet {
       mem.collect().toSeq == top10(store.read("docs")).collect().toSeq
     if (roundTripExact) mem else mem.limit(0)
   }
+
+  /** One 64-d replay of the q64 hash stack (shared shape, dims=64) for
+    * corpus + probe, then the [[graft.functions.VectorExpressions]]
+    * cosine loop reproduced as sequential double reductions. */
+  private val q60Sql =
+    """WITH RECURSIVE
+      |tok0 AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS tok
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok0 GROUP BY 1, 2),
+      |ptk(tok, c) AS (VALUES ('spark', CAST(1 AS BIGINT)), ('query', 1), ('filter', 1), ('join', 1), ('window', 1)),
+      |tk AS (SELECT DISTINCT tok FROM (SELECT tok FROM cnt UNION ALL SELECT tok FROM ptk) u),
+      |fnv AS (
+      |  SELECT tok,
+      |    list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |      list_transform(string_split(tok, ''), ch -> CAST(ascii(ch) AS HUGEINT))),
+      |      (h, ch) -> ((xor(h, ch) // 4294967296 * CAST(1099511628211 AS HUGEINT)) % 4294967296 * 4294967296
+      |                 + (xor(h, ch) % 4294967296) * CAST(1099511628211 AS HUGEINT))
+      |                % CAST(18446744073709551616 AS HUGEINT)) AS h
+      |  FROM tk),
+      |sm(tok, d, state) AS (
+      |  SELECT tok, 0, xor(h, CAST(42 AS HUGEINT)) FROM fnv
+      |  UNION ALL
+      |  SELECT tok, d + 1, xor(z2, z2 >> 31)
+      |  FROM (
+      |    SELECT tok, d,
+      |      ((x2 // 4294967296 * CAST(10723151780598845931 AS HUGEINT)) % 4294967296 * 4294967296
+      |       + (x2 % 4294967296) * CAST(10723151780598845931 AS HUGEINT))
+      |      % CAST(18446744073709551616 AS HUGEINT) AS z2
+      |    FROM (
+      |      SELECT tok, d, xor(z1, z1 >> 27) AS x2
+      |      FROM (
+      |        SELECT tok, d,
+      |          ((x1 // 4294967296 * CAST(13787848793156543929 AS HUGEINT)) % 4294967296 * 4294967296
+      |           + (x1 % 4294967296) * CAST(13787848793156543929 AS HUGEINT))
+      |          % CAST(18446744073709551616 AS HUGEINT) AS z1
+      |        FROM (
+      |          SELECT tok, d, xor(z0, z0 >> 30) AS x1
+      |          FROM (
+      |            SELECT tok, d,
+      |              (state + CAST(11400714819323198485 AS HUGEINT))
+      |                % CAST(18446744073709551616 AS HUGEINT) AS z0
+      |            FROM sm WHERE d < 64) s0) s1) s2) s3) s4),
+      |sg AS (
+      |  SELECT tok, d, CASE WHEN state % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      |  FROM sm WHERE d > 0),
+      |acc AS (
+      |  SELECT c.doc_id, s.d, CAST(SUM(c.c * s.sgn) AS BIGINT) AS a
+      |  FROM cnt c JOIN sg s ON c.tok = s.tok GROUP BY 1, 2),
+      |inv AS (
+      |  SELECT doc_id, CAST(1 AS DOUBLE) / sqrt(CAST(SUM(a * a) AS DOUBLE)) AS iv
+      |  FROM acc GROUP BY 1),
+      |vec AS (
+      |  SELECT a.doc_id,
+      |    list(CAST(CAST(CAST(a.a AS DOUBLE) * i.iv AS FLOAT) AS DOUBLE) ORDER BY a.d) AS v
+      |  FROM acc a JOIN inv i USING (doc_id) GROUP BY a.doc_id),
+      |pacc AS (
+      |  SELECT s.d, CAST(SUM(p.c * s.sgn) AS BIGINT) AS a
+      |  FROM ptk p JOIN sg s ON p.tok = s.tok GROUP BY 1),
+      |pinv AS (SELECT CAST(1 AS DOUBLE) / sqrt(CAST(SUM(a * a) AS DOUBLE)) AS iv FROM pacc),
+      |pvec AS (
+      |  SELECT list(CAST(CAST(CAST(a AS DOUBLE) * (SELECT iv FROM pinv) AS FLOAT) AS DOUBLE) ORDER BY d) AS v
+      |  FROM pacc),
+      |scored AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(list_zip(v, (SELECT v FROM pvec)), z -> z[1] * z[2])), (x, y) -> x + y) AS dot,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(v, x -> x * x)), (x, y) -> x + y) AS na,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform((SELECT v FROM pvec), x -> x * x)), (x, y) -> x + y) AS nb
+      |  FROM vec),
+      |sims AS (
+      |  SELECT doc_id,
+      |    CASE WHEN na = 0 OR nb = 0 THEN CAST(0 AS DOUBLE)
+      |         ELSE dot / (sqrt(na) * sqrt(nb)) END AS sim
+      |  FROM scored)
+      |SELECT s.doc_id, doc.lang, CAST(floor(s.sim * 1048576) AS BIGINT) AS sim_grid
+      |FROM sims s JOIN documents doc USING (doc_id)
+      |ORDER BY s.sim DESC, s.doc_id LIMIT 10""".stripMargin
 
   /** S5 upsert through the versioned store: replace one part row, insert
     * a new one, read the committed snapshot back. The oracle states the
@@ -216,7 +303,12 @@ object RagQueries extends QuerySet {
     store.readByKeys("orders_bl", "o_orderkey", keys)
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_totalprice").cast("double").as("o_totalprice"))
-      .filter(lit(kept.size < total))
+      // the must-prune gate only binds when pruning is POSSIBLE: with
+      // fewer partitions than lookup keys (tiny sf), five scattered keys
+      // can legitimately touch every partition — requiring a skip there
+      // would fail correct behavior. At sf0.01+ (11 buckets > 5 keys)
+      // the strict skip requirement is in force.
+      .filter(lit(kept.size < total || total <= keys.size))
       .orderBy(col("o_orderkey"))
   }
 
@@ -893,12 +985,22 @@ object RagQueries extends QuerySet {
     * the corpus at 1536-d (ada-002 width, MongoDbService.cs:136) and
     * validate unit norms. The reference's sequential per-doc loop takes
     * 5-10 min for a corpus this size (README.md:154); this is the
-    * flagship batch win, so it is a bench headline. Embedder-defined
-    * output => rows-only driver check — but the query GATES itself: the
-    * 1536-d embeddings are persisted and read back, and an xxhash64
-    * fold over (doc_id, vector) must match the in-memory corpus exactly
-    * (array<float> parquet round-trips bit-exactly); any write/read
-    * drift zeroes the output under the driver's rows>0 check. */
+    * flagship batch win, so it is a bench headline.
+    *
+    * HASH-EXACT oracle: the [[HashProjectionEmbedder]] is pure 64-bit
+    * integer arithmetic (fnv1a64 per token, splitmix64 per dim) plus one
+    * deterministic IEEE normalize, so the oracle REPLAYS the whole stack
+    * in SQL — 64-bit wraparound multiply emulated in 128-bit via hi/lo
+    * split, the per-dim state threaded through a recursive CTE over the
+    * (small, Zipf-bounded) distinct-token set, ±1 contributions
+    * aggregated per (doc, dim) as exact integers, and the float32
+    * normalize reproduced step-for-step (1/sqrt then multiply then
+    * float cast). The gated output is each vector on the 2^-14 integer
+    * grid (floor(v·16384), the q107/q130 idiom — exact because ×2^14 is
+    * rounding-free on a float32 value): any single sign, sum, or
+    * rounding drift across 1536 dims breaks the hash. The store
+    * round-trip gate (xxhash64 fold over the persisted corpus) and the
+    * unit-norm filter stay as in-query gates. */
   private val embedder1536 = HashProjectionEmbedder(dims = 1536)
   private def q64(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFunctions.l2_norm
@@ -912,11 +1014,68 @@ object RagQueries extends QuerySet {
       corpusHash(emb.select(col("doc_id"), col("vector"))) ==
         corpusHash(store.read("emb"))
     val out = emb
-      .select(col("doc_id"), round(l2_norm(col("vector")), 6).as("norm"))
-      .filter(col("norm") > 0.999999 && col("norm") < 1.000001)
+      .withColumn("__norm", l2_norm(col("vector")))
+      .filter(col("__norm") > 0.999 && col("__norm") < 1.001)
+      .select(col("doc_id"),
+        array_join(transform(col("vector"),
+          v => floor(v.cast("double") * 16384).cast("string")), ",").as("grid"))
       .orderBy(col("doc_id"))
     if (roundTripExact) out else out.limit(0)
   }
+
+  private val q64Sql =
+    """WITH RECURSIVE
+      |tok0 AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS tok
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok0 GROUP BY 1, 2),
+      |tk AS (SELECT DISTINCT tok FROM cnt),
+      |fnv AS (
+      |  SELECT tok,
+      |    list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |      list_transform(string_split(tok, ''), ch -> CAST(ascii(ch) AS HUGEINT))),
+      |      (h, ch) -> ((xor(h, ch) // 4294967296 * CAST(1099511628211 AS HUGEINT)) % 4294967296 * 4294967296
+      |                 + (xor(h, ch) % 4294967296) * CAST(1099511628211 AS HUGEINT))
+      |                % CAST(18446744073709551616 AS HUGEINT)) AS h
+      |  FROM tk),
+      |sm(tok, d, state) AS (
+      |  SELECT tok, 0, xor(h, CAST(42 AS HUGEINT)) FROM fnv
+      |  UNION ALL
+      |  SELECT tok, d + 1, xor(z2, z2 >> 31)
+      |  FROM (
+      |    SELECT tok, d,
+      |      ((x2 // 4294967296 * CAST(10723151780598845931 AS HUGEINT)) % 4294967296 * 4294967296
+      |       + (x2 % 4294967296) * CAST(10723151780598845931 AS HUGEINT))
+      |      % CAST(18446744073709551616 AS HUGEINT) AS z2
+      |    FROM (
+      |      SELECT tok, d, xor(z1, z1 >> 27) AS x2
+      |      FROM (
+      |        SELECT tok, d,
+      |          ((x1 // 4294967296 * CAST(13787848793156543929 AS HUGEINT)) % 4294967296 * 4294967296
+      |           + (x1 % 4294967296) * CAST(13787848793156543929 AS HUGEINT))
+      |          % CAST(18446744073709551616 AS HUGEINT) AS z1
+      |        FROM (
+      |          SELECT tok, d, xor(z0, z0 >> 30) AS x1
+      |          FROM (
+      |            SELECT tok, d,
+      |              (state + CAST(11400714819323198485 AS HUGEINT))
+      |                % CAST(18446744073709551616 AS HUGEINT) AS z0
+      |            FROM sm WHERE d < 1536) s0) s1) s2) s3) s4),
+      |sg AS (
+      |  SELECT tok, d, CASE WHEN state % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      |  FROM sm WHERE d > 0),
+      |acc AS (
+      |  SELECT c.doc_id, s.d, CAST(SUM(c.c * s.sgn) AS BIGINT) AS a
+      |  FROM cnt c JOIN sg s ON c.tok = s.tok GROUP BY 1, 2),
+      |inv AS (
+      |  SELECT doc_id, CAST(1 AS DOUBLE) / sqrt(CAST(SUM(a * a) AS DOUBLE)) AS iv
+      |  FROM acc GROUP BY 1),
+      |cell AS (
+      |  SELECT a.doc_id, a.d,
+      |    CAST(floor(CAST(CAST(CAST(a.a AS DOUBLE) * i.iv AS FLOAT) AS DOUBLE) * 16384) AS BIGINT) AS cl
+      |  FROM acc a JOIN inv i USING (doc_id))
+      |SELECT doc_id, array_to_string(list(cl ORDER BY d), ',') AS grid
+      |FROM cell GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Lossless CSV round trip ([[graft.sources.CsvRoundTrip]]): a payload
     * deliberately containing the separator, the quote char, an embedded
@@ -1059,9 +1218,17 @@ object RagQueries extends QuerySet {
     val nIn = corpus0.count() + epochA.count() + epochB.count()
     val nOut = store.read("corpus").count() +
       (if (store.exists("quarantine")) store.read("quarantine").count() else 0L)
-    val res = store.read("quarantine")
-      .select(col("doc_id"), col("matched_id"), round(col("cos"), 6).as("cos"))
-      .orderBy(col("doc_id"))
+    // a dataset where no doc crosses the threshold never creates the
+    // quarantine table — that's an empty result, not an error
+    val res =
+      if (store.exists("quarantine"))
+        store.read("quarantine")
+          .select(col("doc_id"), col("matched_id"), round(col("cos"), 6).as("cos"))
+          .orderBy(col("doc_id"))
+      else {
+        import s.implicits._
+        Seq.empty[(Long, Long, Double)].toDF("doc_id", "matched_id", "cos")
+      }
     if (nIn == nOut) res else res.limit(0)
   }
 
@@ -1209,10 +1376,17 @@ object RagQueries extends QuerySet {
 
   /** ORC interchange round trip: the Hive-ecosystem landing-zone format
     * beside CSV (q158/q163) and JSON (q53) — ORC is self-describing and
-    * splittable, so unlike CSV no option-pinning contract is needed;
-    * the gate proves adversarial payloads (embedded newlines, quotes,
-    * NULL vs empty, decimals, timestamps) survive verbatim and the
-    * oracle recomputes them straight from parquet. */
+    * splittable, so unlike CSV no option-pinning contract is needed.
+    * The adversarial payloads (embedded newlines, quotes, NULL vs
+    * empty, trailing backslash, decimals) still ride through the ORC
+    * write/read verbatim — OrcRoundTripSpec asserts the raw bytes — but
+    * the GATED projection carries serialization-unambiguous witnesses
+    * instead of the raw payload: its length and the engine-replayable
+    * polynomial key ([[graft.operators.Splits.stringKey]], the q198
+    * checksum idiom), because a raw embedded-newline/backslash column
+    * defeats row-serialization canonicalization in external comparators
+    * while being value-identical. Length 0 vs NULL keeps the
+    * empty-vs-NULL distinction first-class in the hash. */
   private def q184(s: SparkSession, d: String): DataFrame = {
     val tricky = t(s, d, "customer").select(
       col("c_custkey"),
@@ -1223,16 +1397,32 @@ object RagQueries extends QuerySet {
       col("c_acctbal").cast("decimal(12,2)").as("bal"))
     val dir = Files.createTempDirectory("graft-q184").toString + "/orc"
     tricky.write.mode("overwrite").orc(dir)
-    s.read.orc(dir).orderBy(col("c_custkey"))
+    s.read.orc(dir)
+      .select(
+        col("c_custkey"),
+        length(col("payload")).cast("long").as("payload_len"),
+        graft.operators.Splits.stringKey(col("payload")).as("payload_key"),
+        col("bal"))
+      .orderBy(col("c_custkey"))
   }
 
   private val q184Sql =
-    """SELECT c_custkey,
-      |  CASE WHEN c_custkey % 5 = 0 THEN NULL
-      |       WHEN c_custkey % 5 = 1 THEN ''
-      |       ELSE c_name || ',"' || chr(10) || c_mktsegment || '\' END AS payload,
-      |  CAST(c_acctbal AS DECIMAL(12,2)) AS bal
-      |FROM customer ORDER BY c_custkey""".stripMargin
+    """WITH tricky AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 5 = 0 THEN NULL
+      |         WHEN c_custkey % 5 = 1 THEN ''
+      |         ELSE c_name || ',"' || chr(10) || c_mktsegment || '\' END AS payload,
+      |    CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      |  FROM customer)
+      |SELECT c_custkey,
+      |  CAST(length(payload) AS BIGINT) AS payload_len,
+      |  CASE WHEN payload IS NULL THEN NULL ELSE
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(list_filter(string_split(payload, ''), c -> c <> ''),
+      |        c -> CAST(ascii(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) END AS payload_key,
+      |  bal
+      |FROM tricky ORDER BY c_custkey""".stripMargin
 
   /** Splittable CSV fast path ([[graft.sources.CsvRoundTrip]]): newline-
     * free data reads back with `multiLine=false` under the write-time
@@ -1264,8 +1454,8 @@ object RagQueries extends QuerySet {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   override val queries: Seq[Q] = Seq(
-    Q("q60_rag_retrieval", q60, None, headline = true),
-    Q("q64_ingest_embed_1536", q64, None, headline = true),
+    Q("q60_rag_retrieval", q60, Some(q60Sql), headline = true),
+    Q("q64_ingest_embed_1536", q64, Some(q64Sql), headline = true),
     Q("q61_store_upsert", q61, Some(q61Sql)),
     Q("q62_store_delete", q62, Some(q62Sql)),
     Q("q99_store_time_travel", q99, Some(q99Sql)),
@@ -1280,7 +1470,9 @@ object RagQueries extends QuerySet {
     Q("q140_streaming_cdc_apply", q140, Some(q140Sql)),
     Q("q141_incremental_view", q141, Some(q141Sql)),
     Q("q117_store_vacuum", q117, Some(q117Sql)),
-    Q("q118_streaming_ingest", q118, Some(q118Sql)),
+    // headline: the two 100 TB-relevant streaming sinks (ingest + index
+    // maintenance) get a round-over-round throughput trend of their own
+    Q("q118_streaming_ingest", q118, Some(q118Sql), headline = true),
     Q("q119_streaming_sessionize", q119, Some(q119Sql)),
     Q("q120_streaming_window_agg", q120, Some(q120Sql)),
     Q("q121_streaming_dedup", q121, Some(q121Sql)),
@@ -1290,7 +1482,7 @@ object RagQueries extends QuerySet {
     Q("q126_streaming_enrich", q126, Some(q126Sql)),
     Q("q158_csv_roundtrip", q158, Some(q158Sql)),
     Q("q163_csv_splittable", q163, Some(q163Sql)),
-    Q("q172_streaming_index_sync", q172, Some(q172Sql)),
+    Q("q172_streaming_index_sync", q172, Some(q172Sql), headline = true),
     Q("q179_store_repartition", q179, Some(q179Sql)),
     Q("q184_orc_roundtrip", q184, Some(q184Sql)),
     Q("q192_streaming_admission", q192, Some(q192Sql)),

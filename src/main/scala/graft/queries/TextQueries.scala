@@ -860,6 +860,66 @@ object TextQueries extends QuerySet {
       |  HAVING COUNT(DISTINCT term) = 3)
       |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** BUILD half of the q159 lifecycle, benched separately so a build-side
+    * cost (forward docmap, maintained corpus stats, term clustering)
+    * can never hide a serve-side regression — or vice versa (the r10
+    * lesson: one timing blended a build cost with a serve improvement).
+    * Output verifies the PERSISTED artifacts: per-bucket posting
+    * aggregates read back from the index, with the bucket routing
+    * replayed relationally by the oracle (stringKey → Knuth → mod B);
+    * the in-query gate cross-checks the maintained meta stats against a
+    * recompute from the persisted docmap. */
+  private def q159b(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q159b").toString
+    graft.search.InvertedIndex.build(t(s, d, "documents"), "doc_id", "text", dir)
+    val store = new graft.store.DocumentStore(s, dir)
+    val meta = store.read("meta").head() // (buckets, n_docs, n_tokened, total_len, tok)
+    val fromMap = store.read("docmap").agg(
+      count(when(col("len") > 0, 1)).as("nt"),
+      coalesce(sum(col("len")), lit(0L)).as("tl")).head()
+    val statsOk = meta.getLong(1) == t(s, d, "documents").count() &&
+      meta.getLong(2) == fromMap.getLong(0) && meta.getLong(3) == fromMap.getLong(1)
+    store.read("postings")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_postings"),
+        countDistinct(col("term")).as("n_terms"),
+        sum(col("tf")).as("sum_tf"))
+      .filter(lit(statsOk))
+      .orderBy(col("bucket"))
+  }
+
+  private val q159bSql =
+    """WITH occ AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM occ GROUP BY 1, 2),
+      |b AS (
+      |  SELECT term, doc_id, tf,
+      |    CAST(((list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(term, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |      (a, c) -> (a * 31 + c) % 1000000007) % 2147483648)
+      |     * 2654435761) % 4294967296 % 64 AS INTEGER) AS bucket
+      |  FROM tf)
+      |SELECT bucket, COUNT(*) AS n_postings,
+      |  COUNT(DISTINCT term) AS n_terms, CAST(SUM(tf) AS BIGINT) AS sum_tf
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** SERVE half of the q159 lifecycle: the index is built ONCE per
+    * (process, sf) outside the timed query — bench passes after the
+    * first time only the pruned-bucket read + rank (and the pass median
+    * rejects the one build-carrying pass), giving serve its own
+    * round-over-round trend. Results are identical to
+    * q159_inverted_index, so the same oracle gates them. */
+  private val q159IdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q159s(s: SparkSession, d: String): DataFrame = {
+    val dir = q159IdxCache.computeIfAbsent(d, _ => {
+      val dd = java.nio.file.Files.createTempDirectory("graft-q159-idx").toString
+      graft.search.InvertedIndex.build(t(s, d, "documents"), "doc_id", "text", dd)
+      dd
+    })
+    graft.search.InvertedIndex.search(s, dir, Seq("dup", "vector", "merge"), k = 10)
+  }
+
   /** Incremental inverted-index maintenance from the store change feed —
     * the reference's AddRemoveData near-real-time contract
     * (AddRemoveData.cs:64-105, README.md:182-194) applied to keyword
@@ -1721,7 +1781,9 @@ object TextQueries extends QuerySet {
     Q("q122_pipeline_e2e", q122, Some(q122Sql), headline = true),
     Q("q137_bpe_train", q137, Some(q137Sql)),
     Q("q157_bottomk_sample", q157, Some(q157Sql)),
-    Q("q159_inverted_index", q159, Some(q159Sql), headline = true),
+    Q("q159_inverted_index", q159, Some(q159Sql)),
+    Q("q159_build", q159b, Some(q159bSql), headline = true),
+    Q("q159_serve", q159s, Some(q159Sql), headline = true),
     Q("q161_inverted_index_sync", q161, Some(q161Sql)),
     Q("q164_pmi_collocations", q164, Some(q164Sql), headline = true),
     Q("q165_containment_dedup", q165, Some(q165Sql)),

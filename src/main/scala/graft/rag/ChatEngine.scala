@@ -206,6 +206,35 @@ class ChatEngine(
     completionMessage
   }
 
+  /** GetSessionsAsync (MongoDbService.cs:446-462): all session rows as
+    * (sessionId, name, tokensUsed), the NavMenu listing surface. */
+  def sessions(): Seq[(String, String, Int)] = {
+    val df = completionsDF
+    if (df.columns.isEmpty) Seq.empty
+    else df.filter(col("Type") === CompletionRow.TypeSession)
+      .select("SessionId", "Name", "TokensUsed")
+      .as[(String, Option[String], Option[Int])].collect().toSeq
+      .map { case (id, n, t) => (id, n.getOrElse(""), t.getOrElse(0)) }
+  }
+
+  /** DeleteSessionAndMessagesAsync (MongoDbService.cs:598-613): the
+    * session row AND all its messages go in ONE atomic commit — the
+    * reference's `DeleteMany(SessionId = x)` over the polymorphic
+    * completions table, which removes both Types at once. The COW
+    * predicate delete rewrites only this session's partition (the table
+    * is partitioned by SessionId, so `touchedParts` prunes the rewrite
+    * to one partition regardless of table size), and the single
+    * manifest swap means a crash mid-delete leaves the previous state
+    * fully intact: a replay re-runs the same delete to the same result
+    * (S7 cascade semantics at the chat surface). */
+  def deleteSession(sessionId: String): Unit = {
+    if (store.exists(CompletionsTable)) {
+      store.delete(CompletionsTable, col("SessionId") === sessionId,
+        touchedParts = Some(Seq(sessionId)))
+      invalidateCompletions()
+    }
+  }
+
   /** Summarize-and-rename agent (ChatService.cs:273-282 + X4 regex). */
   def summarizeSessionName(sessionId: String): String = {
     val text = sessionMessages(sessionId).sortBy(_.TimeStamp.get.getTime)

@@ -95,6 +95,20 @@ object AdmissionIngest {
           if (store.exists(corpusTable))
             store.upsert(corpusTable, admitted, Seq(idCol))
           else store.create(corpusTable, admitted)
+          // corpus ∪ quarantine must PARTITION the input (the q192
+          // accounting invariant): an id quarantined in an earlier batch
+          // and legitimately re-admitted now (e.g. the conflicting corpus
+          // doc was removed in between) would otherwise keep its stale
+          // quarantine row. Deleting the admitted ids restores the
+          // partition; replay-safe because a re-run re-admits the same
+          // ids and the delete of already-absent keys is a no-op.
+          if (store.exists(quarantineTable)) {
+            val q = store.read(quarantineTable) // fully-emptied → column-less
+            if (q.columns.contains(idCol)) {
+              val stale = admitted.select(col(idCol)).join(q.select(col(idCol)), Seq(idCol))
+              if (!stale.isEmpty) store.delete(quarantineTable, stale, Seq(idCol))
+            }
+          }
         }
       } finally best.unpersist(blocking = false)
     } finally one.unpersist(blocking = false)

@@ -94,6 +94,63 @@ class TrianglesSpec extends AnyFunSuite with SparkSuite {
     assert(loose == full)
   }
 
+  test("autoCap: benign degree distribution derives a no-op cap (bit-exact)") {
+    // near-regular graph: q99.9 degree == max degree → nothing dropped
+    val pairs = for {
+      i <- 1L to 30L; j <- (i + 1) to 30L
+      if (i * 31 + j * 17) % 5 == 0
+    } yield (i, j)
+    val report = Triangles.autoCap(edges(pairs: _*), "a", "b")
+    assert(report.nodesDropped == 0L && report.edgesDropped == 0L &&
+      report.wedgeBoundDropped == 0L)
+    val (capped, r2) = Triangles.perNodeAutoCapped(edges(pairs: _*), "a", "b")
+    assert(r2.cap == report.cap)
+    val exact = Triangles.perNode(edges(pairs: _*), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == exact)
+  }
+
+  test("autoCap: heavy tail gets cut at the quantile with loud accounting") {
+    // 60 low-degree nodes in a path + one hub wired to all of them:
+    // hub degree 60 vs everyone else ≤ 3 — the hub IS the >q90 tail
+    val path = (1L until 60L).map(i => i -> (i + 1))
+    val hub = (1L to 60L).map(i => 100L -> i)
+    val all = path ++ hub
+    val report = Triangles.autoCap(edges(all: _*), "a", "b", quantile = 0.9)
+    assert(report.cap < 60L, s"cap ${report.cap} should exclude the degree-60 hub")
+    assert(report.nodesDropped == 1L)
+    assert(report.edgesDropped == 60L)
+    assert(report.wedgeBoundDropped == 60L * 59L / 2L)
+    val (capped, _) = Triangles.perNodeAutoCapped(edges(all: _*), "a", "b", quantile = 0.9)
+    // hub-free subgraph is a path: no triangles at all — and that equals
+    // the exact count of the capped subgraph (exactness below the cap)
+    assert(capped.count() == 0L)
+    val exactBelow = Triangles.perNode(edges(path: _*), "a", "b")
+    assert(exactBelow.count() == 0L)
+  }
+
+  test("clustering coefficient under a cap uses the CAPPED subgraph's degrees") {
+    // hub 100 wired to a triangle {1,2,3} plus pendants; with the hub
+    // capped away, node 1's degree must be its capped-subgraph degree
+    // (2), not its full-graph degree (3) — coefficient 1.0, not 1/3
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L,
+      100L -> 1L, 100L -> 2L, 100L -> 3L, 100L -> 4L, 100L -> 5L)
+    val got = Triangles.clusteringCoefficient(edges(pairs: _*), "a", "b",
+        maxDegree = Some(4L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == (2L, 1L, 1.0))
+    assert(got(2L) == (2L, 1L, 1.0))
+    assert(got(3L) == (2L, 1L, 1.0))
+    assert(!got.contains(100L)) // dropped hub has no row at all
+    // and with no cap the full-graph semantics is unchanged: node 1 has
+    // deg 3 and rides 3 triangles (1-2-3, 1-2-100, 1-3-100) → coef 1.0;
+    // the hub (deg 5, 3 triangles) sits at 2·3/(5·4) = 0.3
+    val full = Triangles.clusteringCoefficient(edges(pairs: _*), "a", "b")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(full(1L) == (3L, 1.0))
+    assert(full(100L) == (5L, 0.3))
+  }
+
   test("clustering coefficient: clique 1.0, star center 0.0, hand-computed middle") {
     // K3 plus a pendant on node 3: nodes 1,2 have deg 2 and coef 1.0;
     // node 3 has deg 3, 1 triangle → 2·1/(3·2) = 1/3; pendant 4 (deg 1) absent

@@ -175,6 +175,57 @@ class ChatEngineSpec extends AnyFunSuite with SparkSuite {
     assert(!name.exists(c => !c.isLetterOrDigit && !c.isWhitespace))
   }
 
+  test("deleteSession cascade: session + messages gone in ONE commit; others intact") {
+    val (eng, store) = newEngine()
+    val keep = eng.createSession("keeper")
+    eng.complete(keep, "products", "What socks do you have?")
+    val sid = eng.createSession("doomed")
+    eng.complete(sid, "products", "What bikes do you have?")
+    val vBefore = store.version(eng.CompletionsTable)
+    assert(eng.sessions().map(_._1).toSet == Set(keep, sid))
+
+    eng.deleteSession(sid)
+    // exactly ONE version bump: session row + its messages in one commit
+    assert(store.version(eng.CompletionsTable) == vBefore + 1)
+    assert(eng.sessions().map(_._1) == Seq(keep))
+    val left = store.read(eng.CompletionsTable)
+    assert(left.filter(s"SessionId = '$sid'").count() == 0) // cascade complete
+    // the untouched session keeps BOTH its messages and its token total
+    assert(left.filter(s"SessionId = '$keep' AND Type = 'Message'").count() == 2)
+    assert(eng.tokensUsed(keep) > 0)
+    // replay of an already-applied delete is a harmless no-op
+    eng.deleteSession(sid)
+    assert(eng.sessions().map(_._1) == Seq(keep))
+  }
+
+  test("deleteSession crash-replay: a died committer leaves state intact; replay completes it") {
+    val root = Files.createTempDirectory("graft-rag-crash").toString
+    val store = new DocumentStore(spark, root)
+    val eng = new ChatEngine(spark, store, maxSearchResults = 4)
+    eng.ingest("products", products.toDS().toDF().withColumn("doc_text",
+      org.apache.spark.sql.functions.col("description")), textCol = "doc_text")
+    val sid = eng.createSession()
+    eng.complete(sid, "products", "What helmets do you have?")
+    val v0 = store.version(eng.CompletionsTable)
+    // simulate a deleter that died between claim and swap (the
+    // StoreConcurrencySpec debris shape) — the NEXT delete must fail
+    // loudly with the session fully intact, not half-deleted
+    val claim = new java.io.File(s"$root/completions/_versions/v${v0 + 1}.claim")
+    assert(claim.mkdirs())
+    java.nio.file.Files.writeString(new java.io.File(claim, "owner").toPath, "dead")
+    intercept[java.util.ConcurrentModificationException] { eng.deleteSession(sid) }
+    assert(store.version(eng.CompletionsTable) == v0)
+    assert(store.read(eng.CompletionsTable)
+      .filter(s"SessionId = '$sid'").count() == 3) // session + 2 messages, untouched
+    // operator clears the debris (no writers in flight), replay completes
+    store.vacuum(eng.CompletionsTable, keepVersions = 1)
+    eng.deleteSession(sid)
+    // the only session is gone — the table may now be column-less empty
+    val fin = store.read(eng.CompletionsTable)
+    assert(fin.columns.isEmpty || fin.filter(s"SessionId = '$sid'").count() == 0)
+    assert(eng.sessions().isEmpty)
+  }
+
   test("chunked ingest + doc-level retrieval: best chunk wins, no duplicate docs") {
     import org.apache.spark.sql.functions.col
     val store = new DocumentStore(spark, Files.createTempDirectory("graft-chunked").toString)

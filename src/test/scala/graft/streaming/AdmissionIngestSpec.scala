@@ -21,7 +21,11 @@ class AdmissionIngestSpec extends AnyFunSuite with SparkSuite {
 
   private def ids(store: DocumentStore, table: String): Set[Long] =
     if (!store.exists(table)) Set.empty
-    else store.read(table).select("doc_id").collect().map(_.getLong(0)).toSet
+    else {
+      val df = store.read(table) // fully-emptied table reads column-less
+      if (df.columns.isEmpty) Set.empty
+      else df.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
 
   test("near-copies quarantine with evidence; fresh docs admit") {
     val store = freshStore()
@@ -81,6 +85,22 @@ class AdmissionIngestSpec extends AnyFunSuite with SparkSuite {
     apply1(store, batch: _*) // crash-replay of the same micro-batch
     assert(store.read("corpus").collect().map(_.toSeq).toSet == corpus1)
     assert(store.read("quarantine").collect().map(_.toSeq).toSet == quar1)
+  }
+
+  test("re-admission after the conflict is removed clears the stale quarantine row") {
+    val store = freshStore()
+    // 3 corpus docs so the bit-idf weights stay positive (bits(4) > bits(2))
+    store.create("corpus", Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five"),
+      (3L, "filler corpus tokens right here")).toDF("doc_id", "text"))
+    apply1(store, 70L -> "alpha beta gamma delta epsilon") // near-copy of 1
+    assert(ids(store, "quarantine") == Set(70L))
+    store.delete("corpus", col("doc_id") === 1L) // the conflict goes away
+    apply1(store, 70L -> "alpha beta gamma delta epsilon") // legit resubmission
+    assert(ids(store, "corpus").contains(70L))
+    // corpus ∪ quarantine must PARTITION the input: the stale row is gone
+    assert(ids(store, "quarantine").isEmpty)
   }
 
   test("streaming end-to-end: two file-source micro-batches honor batch order") {
