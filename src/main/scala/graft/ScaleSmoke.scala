@@ -148,10 +148,25 @@ object ScaleSmoke {
       // adversarial case, as q164); q189's signature state stays k PER
       // SOURCE regardless of corpus size -- the flat-serve claim
       "q188_triangle_count", "q190_kcore", "q191_label_propagation",
-      "q185_ngram_lm", "q189_sketch_overlap")
+      "q185_ngram_lm", "q189_sketch_overlap",
+      // r11 additions — the graph/audit operators that had no empirical
+      // 10× row: q187/q193 ride the q155 iteration loop (seed table /
+      // per-edge weights folded in once, so the per-iteration cost claim
+      // is "same as q155" — measured here); q194 frontier expansion over
+      // edges ×10 with per-copy isomorphic hop structure; q195 composes
+      // the q42 LSH pair space (~×10 by vocabulary relabeling) with
+      // three label-prop vote rounds; q199 is narrow passes + one
+      // group-window shuffle — the linearity claim's direct check
+      "q187_personalized_pagerank", "q193_weighted_pagerank",
+      "q194_bfs_hops", "q195_neardup_communities", "q199_curriculum_order")
     val qmap = SparkEntry.queries
+    // Local-iteration filter (the Verify/Bench idiom): SPARK_GRAFT_ONLY
+    // runs only matching smoke queries — new rows don't force re-paying
+    // the measured ones. Unset = the full list.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val picked = names.filter(n => only.forall(_.exists(n.startsWith)))
     qmap("q01_agg_pricing")(spark, outDir).count() // warm-up: codegen/JIT
-    val results = names.map { name =>
+    val results = picked.map { name =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val rows = try qmap(name)(spark, outDir).count()
@@ -166,7 +181,7 @@ object ScaleSmoke {
     // failing LOUDLY is the designed behavior). The production answer is
     // the round's RecallTuner: measure recall at the new scale and take
     // the minimal nprobe that restores the target.
-    val tuned = try {
+    val tuned = if (!picked.exists(_.startsWith("q103"))) "" else try {
       import graft.search.{IvfIndex, IvfPq, PqIndex, RecallTuner, VectorSearch}
       val e = spark.read.parquet(s"$outDir/embeddings.parquet").cache()
       val dims = e.head().getSeq[Float](1).length
@@ -196,12 +211,33 @@ object ScaleSmoke {
         s""""curve":"${tn.curve.map { case (p, r) => f"$p->$r%.3f" }.mkString(" ")}"}"""
     } catch { case e: Throwable =>
       s""","ivfpq_tuned":{"error":"${e.getMessage.take(80).replace('"', ' ')}"}""" }
+    // r11 probe: q188 with the hub cap DEFAULTED FROM DATA (autoCap at
+    // q99.9) — the sf1 spill finding said the lever must ENGAGE by
+    // default with loud accounting, not just exist; this measures the
+    // capped wall time beside the exact row above and reports exactly
+    // what the cap dropped.
+    val capProbe = if (!picked.exists(_.startsWith("q188"))) "" else try {
+      val li = spark.read.parquet(s"$outDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey").cast("long").as("p"))
+      val edges = li.withColumnRenamed("p", "pa")
+        .join(li.withColumnRenamed("p", "pb"), "l_orderkey")
+        .filter(col("pa") =!= col("pb"))
+        .select(col("pa").as("a"), col("pb").as("b"))
+      val t0 = System.nanoTime()
+      val (capped, rep) = graft.operators.Triangles.perNodeAutoCapped(edges, "a", "b")
+      val n = capped.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      f""","q188_autocap":{"sec":$secs%.2f,"rows":$n,"cap":${rep.cap},""" +
+        s""""nodes_dropped":${rep.nodesDropped},"edges_dropped":${rep.edgesDropped},""" +
+        s""""wedge_bound_dropped":${rep.wedgeBoundDropped}}"""
+    } catch { case e: Throwable =>
+      s""","q188_autocap":{"error":"${e.getMessage.take(80).replace('"', ' ')}"}""" }
     val qs = results.map { case (n, s, r) =>
       "\"" + n + "\":{\"sec\":" + f"$s%.2f" + ",\"rows\":" + r + "}"
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_smoke","sf":"$outDir","copies":$Copies,""" +
       s""""queries":$qs,"domainmix_fallbacks":${graft.operators.DomainMix.fallbacks.get()}""" +
-      tuned + "}")
+      tuned + capProbe + "}")
     spark.stop()
   }
 }

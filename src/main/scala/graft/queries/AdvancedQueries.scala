@@ -516,8 +516,10 @@ object AdvancedQueries extends QuerySet {
     * mergeable scale path beside exact q25 (which needs a per-group sort
     * of the full column). Sketches merge associatively, so the shuffle
     * carries one ~accuracy-sized summary per partition per group — not
-    * the data. Approximate => no SQL oracle (DuckDB's sketch differs),
-    * so the accuracy promise is gated IN-QUERY (q28 pattern): the GK
+    * the data. The sketch estimate is engine-defined, so the hash-green
+    * face is the exact per-group ORDER STATISTICS (element selection —
+    * replayable bit-for-bit) and the accuracy promise is gated IN-QUERY
+    * (q28 pattern): the GK
     * guarantee is rank error ≤ n/accuracy, so each approx value must lie
     * between the exact interpolated percentiles at q ∓ δ, where
     * δ = 1/accuracy + 2/min(group n). The 2/n term converts ranks to
@@ -549,13 +551,36 @@ object AdvancedQueries extends QuerySet {
         col("approx_p").getItem(i) < col("lo").getItem(i) ||
           col("approx_p").getItem(i) > col("hi").getItem(i)).reduce(_ || _))
       .count()
-    val out = approx.select(col("l_returnflag"),
-        col("approx_p").getItem(0).as("p50"),
-        col("approx_p").getItem(1).as("p95"),
-        col("approx_p").getItem(2).as("p99"))
+    // HASH-GREEN face (the q28/q64 move): the gated output is the exact
+    // ORDER STATISTIC at rank floor(q·(n−1))+1 per group — element
+    // selection, no interpolation arithmetic, so the doubles replay
+    // bit-for-bit in any engine — while the sketch stays exercised and
+    // bound-gated above (off-bracket approx zeroes the output).
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    val ranked = li.select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+    def pick(q: Double) = floor(lit(q) * (col("n") - 1)).cast("long") + 1
+    val out = ranked.groupBy(col("l_returnflag")).agg(
+        max(when(col("rn") === pick(0.5), col("l_extendedprice"))).as("p50"),
+        max(when(col("rn") === pick(0.95), col("l_extendedprice"))).as("p95"),
+        max(when(col("rn") === pick(0.99), col("l_extendedprice"))).as("p99"))
       .orderBy(col("l_returnflag"))
     if (offBound == 0L) out else out.limit(0)
   }
+
+  private val q73Sql =
+    """WITH ranked AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      |  MAX(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 THEN l_extendedprice END) AS p50,
+      |  MAX(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1 THEN l_extendedprice END) AS p95,
+      |  MAX(CASE WHEN rn = CAST(floor(0.99 * (n - 1)) AS BIGINT) + 1 THEN l_extendedprice END) AS p99
+      |FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Bucketed co-located join: both sides written bucket-sorted by the
     * join key (the shuffle paid once at write time), then joined with NO
@@ -1607,7 +1632,7 @@ object AdvancedQueries extends QuerySet {
     Q("q68_unpivot", q68, Some(q68Sql)),
     Q("q71_range_frame_window", q71, Some(q71Sql)),
     Q("q72_nullsafe_join", q72, Some(q72Sql)),
-    Q("q73_approx_percentiles", q73, None),
+    Q("q73_approx_percentiles", q73, Some(q73Sql)),
     Q("q76_bucketed_join", q76, Some(q76Sql)),
     Q("q77_ratio_to_report", q77, Some(q77Sql)),
     Q("q78_densify_timeseries", q78, Some(q78Sql)),

@@ -120,6 +120,12 @@ class ChatEngine(
       .slidingWordChunks(docs, idCol, textCol, chunkSize, stride)
       .withColumn("chunk_key",
         concat(col(idCol).cast("string"), lit("#"), col("chunk_id")))
+      // numeric serving key: the ANN strategies (HNSW graphs, IVF lists)
+      // key on castable-to-long ids, and the parent id may be a string —
+      // a 64-bit hash of the chunk key serves all strategies uniformly
+      // (collision odds ~n²/2⁻⁶⁴; a collision costs one candidate slot,
+      // never a wrong answer — the rerank reads real vectors)
+      .withColumn("chunk_num", xxhash64(col("chunk_key")))
     val withVec = Embed.withEmbedding(chunks, "chunk_text", "vector", embedder,
       maxInputTokens = Some(maxEmbeddingTokens), codec = codec)
     store.create(table, withVec, partitionCol)
@@ -129,7 +135,11 @@ class ChatEngine(
     * then one row per parent document scored by its BEST chunk (max
     * sim) — the standard chunked-RAG dedup, so one long document can't
     * flood the context window with k near-identical windows. Search
-    * depth is `chunkFanout`×k chunks (driver-bounded either way). */
+    * depth is `chunkFanout`×k chunks (driver-bounded either way).
+    * Retrieval rides the SAME config-selected [[graft.search.VectorSearcher]]
+    * seam as [[vectorSearch]] (ranking on the numeric `chunk_num` key so
+    * every strategy — exact scan, IVF store, HNSW graphs — serves the
+    * chunk corpus identically; strategy agreement is spec-gated). */
   def vectorSearchChunked(table: String, question: String,
                           idCol: String = "id", chunkFanout: Int = 3): DataFrame = {
     val qv = embedder.embed(
@@ -137,7 +147,7 @@ class ChatEngine(
     val chunks = store.read(table)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("sim").desc, col("chunk_key"))
-    searcher.topK(chunks, "vector", "chunk_key", qv, maxSearchResults * chunkFanout)
+    searcher.topK(chunks, "vector", "chunk_num", qv, maxSearchResults * chunkFanout)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1) // best chunk per parent doc
       .drop("__rn", "vector")

@@ -245,6 +245,42 @@ class ChatEngineSpec extends AnyFunSuite with SparkSuite {
     assert(hits.head == 1L, s"doc with the matching chunk must rank first, got $hits")
   }
 
+  test("chunked retrieval rides the strategy seam: exact | ivf | hnsw agree >= 0.9") {
+    import org.apache.spark.sql.functions.col
+    import graft.search.{ExactSearcher, HnswIndex, HnswSearcher, IvfIndex, IvfSearcher, IvfStore}
+    val store = new DocumentStore(spark, Files.createTempDirectory("graft-chunk-strat").toString)
+    val exactEng = new ChatEngine(spark, store)
+    val docs = graft.Tables.t(spark, sf, "documents").select("doc_id", "text")
+    exactEng.ingestChunked("chunks", docs, "doc_id", "text", chunkSize = 16, stride = 12)
+    val chunks = store.read("chunks")
+    assert(chunks.filter(col("chunk_id") > 0).count() > 0, "multi-chunk docs exist")
+
+    val ivfIdx = IvfIndex.train(chunks, "vector", "chunk_num",
+      numLists = 8, iters = 2, multiAssign = 2)
+    val ivf = new IvfStore(store, "chunks_ivf", ivfIdx, "vector", "chunk_num")
+    ivf.build(chunks)
+    val graphs = HnswIndex.build(chunks, "vector", "chunk_num").cache()
+
+    val question = "vector similarity search with spark joins"
+    def docHits(eng: ChatEngine): Seq[Long] =
+      eng.vectorSearchChunked("chunks", question, idCol = "doc_id")
+        .select(col("doc_id")).as[Long].collect().toSeq
+    val exactHits = docHits(exactEng)
+    // best-chunk-per-doc dedup holds on the exact path
+    assert(exactHits.distinct == exactHits && exactHits.nonEmpty)
+    val strategies = Map(
+      "ivf" -> new ChatEngine(spark, store, searcher = new IvfSearcher(ivf, nprobe = 4)),
+      "hnsw" -> new ChatEngine(spark, store, searcher = new HnswSearcher(graphs)))
+    for ((kind, eng) <- strategies) {
+      val hits = docHits(eng)
+      assert(hits.distinct == hits, s"$kind: one row per parent document")
+      val agree = (hits.toSet intersect exactHits.toSet).size.toDouble /
+        math.max(exactHits.size, 1)
+      assert(agree >= 0.9, s"$kind doc-level agreement: $agree ($hits vs $exactHits)")
+    }
+    graphs.unpersist()
+  }
+
   test("retrieval strategies (exact | ivf | hnsw | quantized | pq) agree at recall >= 0.9") {
     import org.apache.spark.sql.functions.col
     import graft.search.{ExactSearcher, HnswIndex, HnswSearcher, IvfIndex, IvfSearcher, IvfStore, PqIndex, PqSearcher, QuantizedSearcher}
