@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Per-source token-distribution drift — Total Variation distance
@@ -51,5 +52,50 @@ object Drift {
           .cast("double") /
           (lit(2.0) * col("n_tokens").cast("double") * col("__tt").cast("double")))
           .as("tv"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic, each source vs its
+    * complement, over an integer-valued feature (doc length, token
+    * count — continuous features must be pre-quantized to a grid by the
+    * caller). The distribution-SHAPE companion to [[sourceTv]]'s token
+    * mix: a feed that started truncating documents or concatenating
+    * pages moves its KS long before its vocabulary shifts.
+    *
+    * D_s = sup_x |F_s(x) − F_rest(x)|. The sup over the pooled value
+    * grid is exact (both EDFs are constant between pooled jump points),
+    * and with integer cumulative counts k_s(x), k(x) and totals n_s, n:
+    *
+    *   D_s · n_s·(n−n_s) = max_x | k_s(x)·(n−n_s) − (k(x)−k_s(x))·n_s |
+    *
+    * — an exact BIGINT maximum (`ks_num`); one pinned double division
+    * closes. No per-row ranks, no p-value approximations.
+    *
+    * Scale shape: one (source, value) map-side-combined count over the
+    * corpus, then a |values|×|sources| grid (value cardinality is
+    * bounded by the feature's quantization, NOT the corpus) windowed
+    * per source — the corpus is scanned once and never shuffled. */
+  def ksPerSource(df: DataFrame, valueCol: String, sourceCol: String): DataFrame = {
+    val c = df.select(col(sourceCol).as("source"), col(valueCol).cast("long").as("v"))
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("cnt"))
+    val vt = c.groupBy(col("v")).agg(sum(col("cnt")).as("ct"))
+    val ns = c.groupBy(col("source")).agg(sum(col("cnt")).as("nsrc"))
+    val tot = vt.agg(sum(col("ct")).as("n")) // one row
+    val w = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vt.crossJoin(broadcast(ns))
+      .join(c, Seq("source", "v"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("cums", sum(col("cnt")).over(w))
+      .withColumn("cumt", sum(col("ct")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("num", abs(
+        col("cums") * (col("n") - col("nsrc")) -
+          (col("cumt") - col("cums")) * col("nsrc")))
+      .groupBy(col("source"))
+      .agg(first(col("nsrc")).as("n_source"),
+        first(col("n") - col("nsrc")).as("n_rest"),
+        max(col("num")).as("ks_num"))
+      .withColumn("ks", col("ks_num").cast("double") /
+        (col("n_source") * col("n_rest")).cast("double"))
   }
 }

@@ -1748,6 +1748,108 @@ object TextQueries extends QuerySet {
       |    AS curriculum_rank
       |FROM sch ORDER BY shard, curriculum_rank""".stripMargin
 
+  /** Two-sample KS drift, each source vs its complement, over doc
+    * length — distribution-SHAPE drift beside q182's token-mix TV. The
+    * sup runs on the pooled value grid with exact BIGINT numerators
+    * (D·n_s·n_rest), one pinned double division closes; see
+    * [[graft.operators.Drift.ksPerSource]] for the algebra and the
+    * |values|×|sources| grid scale shape (corpus scanned once, never
+    * shuffled). */
+  private def q200(s: SparkSession, d: String): DataFrame =
+    graft.operators.Drift.ksPerSource(
+        t(s, d, "documents").select(col("source"), col("n_chars")),
+        "n_chars", "source")
+      .select(col("source"), col("n_source"), col("n_rest"),
+        col("ks_num"), col("ks"))
+      .orderBy(col("source"))
+
+  private val q200Sql =
+    """WITH c AS (SELECT source, n_chars AS v, COUNT(*) AS cnt
+      |           FROM documents GROUP BY 1, 2),
+      |vt AS (SELECT v, CAST(SUM(cnt) AS BIGINT) AS ct FROM c GROUP BY v),
+      |ns AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS nsrc FROM c GROUP BY source),
+      |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS n FROM vt),
+      |grid AS (SELECT ns.source, vt.v, vt.ct, COALESCE(c.cnt, 0) AS cnt, ns.nsrc
+      |         FROM vt CROSS JOIN ns
+      |         LEFT JOIN c ON c.source = ns.source AND c.v = vt.v),
+      |cum AS (SELECT source, nsrc,
+      |          SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS cums,
+      |          SUM(ct) OVER (PARTITION BY source ORDER BY v) AS cumt
+      |        FROM grid),
+      |m AS (SELECT source, nsrc, (SELECT n FROM tot) - nsrc AS nrest,
+      |        MAX(ABS(cums * ((SELECT n FROM tot) - nsrc)
+      |                - (cumt - cums) * nsrc)) AS ks_num
+      |      FROM cum GROUP BY source, nsrc)
+      |SELECT source, nsrc AS n_source, nrest AS n_rest,
+      |  CAST(ks_num AS BIGINT) AS ks_num,
+      |  CAST(ks_num AS DOUBLE) / CAST(nsrc * nrest AS DOUBLE) AS ks
+      |FROM m ORDER BY source""".stripMargin
+
+  /** Rank-sum / ROC-AUC separability audit: per source, does document
+    * LENGTH separate English from non-English docs? AUC = P(len⁺ >
+    * len⁻) with ties at ½ — the validity check a curator runs before
+    * trusting a cheap score as a filter. Exact 2·U₁ BIGINT via the
+    * tie-averaged rank identity; see [[graft.operators.RankTests]]. */
+  private def q201(s: SparkSession, d: String): DataFrame =
+    graft.operators.RankTests.aucPerGroup(
+        t(s, d, "documents").select(col("source"), col("lang"), col("n_chars")),
+        "source", "n_chars", col("lang") === "en")
+      .select(col("source"), col("n_pos"), col("n_neg"), col("u2"), col("auc"))
+      .orderBy(col("source"))
+
+  private val q201Sql =
+    """WITH r AS (SELECT source, n_chars, (lang = 'en') AS pos,
+      |    RANK() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+      |    COUNT(*) OVER (PARTITION BY source, n_chars) AS tie
+      |  FROM documents),
+      |g AS (SELECT source,
+      |    CAST(SUM(CASE WHEN pos THEN 2 * rk + tie - 1 ELSE 0 END) AS BIGINT) AS r2,
+      |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    COUNT(*) AS n
+      |  FROM r GROUP BY source)
+      |SELECT source, n1 AS n_pos, n - n1 AS n_neg,
+      |  r2 - n1 * (n1 + 1) AS u2,
+      |  CASE WHEN n1 = 0 OR n = n1 THEN NULL
+      |    ELSE CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+      |         / CAST(2 * n1 * (n - n1) AS DOUBLE) END AS auc
+      |FROM g ORDER BY source""".stripMargin
+
+  /** Blocked fuzzy record linkage over part names — the pairwise
+    * entity-resolution form of q39's probe scan: block on (first
+    * token, token count), verify candidates with threshold-bounded
+    * levenshtein ≤ 2, and emit the bounded per-record face (candidate
+    * count, match count, deterministic best match). Pair space is
+    * Σ|block|², never n²; see [[graft.operators.Linkage]]. */
+  private def q202(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("p_name"), " ")
+    val bk = concat_ws("|", element_at(words, 1), size(words).cast("string"))
+    graft.operators.Linkage.bestMatch(
+        t(s, d, "part").select(col("p_partkey"), col("p_name")),
+        "p_partkey", "p_name", bk, maxDist = 2)
+      .select(col("id"), col("n_block"), col("n_match"),
+        col("best_dist"), col("best_id"))
+      .orderBy(col("id"))
+  }
+
+  private val q202Sql =
+    """WITH p AS (SELECT p_partkey, p_name,
+      |    string_split(p_name, ' ')[1] || '|'
+      |      || CAST(len(string_split(p_name, ' ')) AS VARCHAR) AS bk
+      |  FROM part),
+      |pairs AS (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+      |    levenshtein(a.p_name, b.p_name) AS dist
+      |  FROM p a JOIN p b ON a.bk = b.bk AND a.p_partkey <> b.p_partkey),
+      |agg AS (SELECT id_a, COUNT(*) AS n_block,
+      |    CAST(SUM(CASE WHEN dist <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+      |    MIN(CASE WHEN dist <= 2 THEN dist * 10000000 + id_b END) AS best
+      |  FROM pairs GROUP BY id_a)
+      |SELECT p.p_partkey AS id,
+      |  COALESCE(n_block, 0) AS n_block, COALESCE(n_match, 0) AS n_match,
+      |  CAST(best // 10000000 AS BIGINT) AS best_dist,
+      |  CAST(best % 10000000 AS BIGINT) AS best_id
+      |FROM p LEFT JOIN agg ON agg.id_a = p.p_partkey
+      |ORDER BY id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -1804,7 +1906,10 @@ object TextQueries extends QuerySet {
     Q("q189_sketch_overlap", q189, Some(q189Sql)),
     Q("q195_neardup_communities", q195, Some(q195Sql)),
     Q("q196_dataset_fingerprint", q196, Some(q196Sql)),
-    Q("q199_curriculum_order", q199, Some(q199Sql)))
+    Q("q199_curriculum_order", q199, Some(q199Sql)),
+    Q("q200_ks_drift", q200, Some(q200Sql)),
+    Q("q201_rank_auc", q201, Some(q201Sql)),
+    Q("q202_record_linkage", q202, Some(q202Sql), headline = true))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the

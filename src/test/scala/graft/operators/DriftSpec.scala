@@ -47,4 +47,47 @@ class DriftSpec extends AnyFunSuite with SparkSuite {
       .orderBy("source").collect().toSeq
     assert(a == b && a.size == 4)
   }
+
+  private def ks(rows: Seq[(String, Long)]) = {
+    import spark.implicits._
+    Drift.ksPerSource(rows.toDF("source", "v"), "v", "source")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+  }
+
+  test("KS: disjoint supports give D=1; identical distributions give D=0") {
+    val m = ks(Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 5L), ("b", 6L), ("b", 7L), ("b", 8L)))
+    assert(m("a") == ((4L, 4L, 16L, 1.0)))
+    assert(m("b") == ((4L, 4L, 16L, 1.0)))
+    val same = ks(Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)))
+    assert(same("a")._4 == 0.0 && same("b")._4 == 0.0)
+  }
+
+  test("KS: hand-computed sup with ties across samples") {
+    // a = [1,1,2] (n=3), b = [1,3] (n=2): F_a = {1:⅔, 2:1, 3:1},
+    // F_b = {1:½, 2:½, 3:1} -> D = |1 − ½| = ½; numerator grid max = 3
+    val m = ks(Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 1L), ("b", 3L)))
+    assert(m("a") == ((3L, 2L, 3L, 0.5)))
+    assert(m("b") == ((2L, 3L, 3L, 0.5)))
+  }
+
+  test("KS matches brute-force EDF sup on random data, any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map(i => (s"s${i % 3}", rnd.nextInt(25).toLong))
+    val got = Drift.ksPerSource(rows.toDF("source", "v").repartition(13), "v", "source")
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    val grid = rows.map(_._2).distinct.sorted
+    for (g <- Seq("s0", "s1", "s2")) {
+      val xs = rows.filter(_._1 == g).map(_._2)
+      val ys = rows.filterNot(_._1 == g).map(_._2)
+      val num = grid.map { v =>
+        math.abs(xs.count(_ <= v).toLong * ys.size - ys.count(_ <= v).toLong * xs.size)
+      }.max
+      assert(got(g)._1 == num, s"$g numerator")
+      assert(got(g)._2 == num.toDouble / (xs.size.toLong * ys.size).toDouble)
+    }
+  }
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+class RankTestsSpec extends AnyFunSuite with SparkSuite {
+
+  private def auc(rows: Seq[(String, Long, Boolean)]) = {
+    import spark.implicits._
+    RankTests.aucPerGroup(rows.toDF("g", "score", "pos"), "g", "score", col("pos"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+      .toMap
+  }
+
+  test("perfect separation gives AUC 1, reversed gives 0, all-ties 0.5") {
+    val m = auc(
+      Seq(("hi", 10L, true), ("hi", 11L, true), ("hi", 1L, false), ("hi", 2L, false),
+        ("lo", 1L, true), ("lo", 2L, true), ("lo", 10L, false), ("lo", 11L, false),
+        ("tie", 5L, true), ("tie", 5L, true), ("tie", 5L, false)))
+    assert(m("hi")._4 == 1.0)
+    assert(m("lo")._4 == 0.0)
+    assert(m("tie")._4 == 0.5)
+  }
+
+  test("hand-computed U with a tie straddling the classes") {
+    // pos = [2, 3], neg = [2, 1]: pairs (2,2)=½ (2,1)=1 (3,2)=1 (3,1)=1
+    // U1 = 3.5, u2 = 7, AUC = 3.5/4 = 0.875
+    val m = auc(Seq(("g", 2L, true), ("g", 3L, true), ("g", 2L, false), ("g", 1L, false)))
+    assert(m("g") == ((2L, 2L, 7L, 0.875)))
+  }
+
+  test("one-class groups report NULL AUC") {
+    val m = auc(Seq(("allpos", 1L, true), ("allpos", 2L, true),
+      ("allneg", 1L, false)))
+    assert(m("allpos")._4.isNaN && m("allneg")._4.isNaN)
+    assert(m("allpos")._3 == 0L) // u2 still defined (degenerate 0)
+  }
+
+  test("matches brute-force pairwise AUC on random data, any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map { i =>
+      (s"g${i % 3}", rnd.nextInt(20).toLong, rnd.nextBoolean())
+    }
+    val got = RankTests.aucPerGroup(
+      rows.toDF("g", "score", "pos").repartition(13), "g", "score", col("pos"))
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val pos = rows.filter(r => r._1 == g && r._3).map(_._2)
+      val neg = rows.filter(r => r._1 == g && !r._3).map(_._2)
+      val wins = (for (p <- pos; n <- neg)
+        yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+      val expect = wins / (pos.size.toDouble * neg.size.toDouble)
+      assert(math.abs(got(g) - expect) < 1e-12, s"$g: ${got(g)} vs $expect")
+    }
+  }
+}
