@@ -1612,6 +1612,32 @@ object AdvancedQueries extends QuerySet {
       |    AND (b.o_totalprice > a.o_totalprice OR b.od > a.od))
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Frequent itemset pairs over order baskets (Apriori level 2):
+    * which parts co-occur in an order beyond chance, with exact
+    * support counts and confidence/lift from single closing
+    * divisions. Pair space is the within-basket self-join Σ|basket|²
+    * (never n²); `maxItemDf` is the hot-item lever with loud
+    * accounting. See [[graft.operators.Itemsets]]. */
+  private def q204(s: SparkSession, d: String): DataFrame =
+    graft.operators.Itemsets.frequentPairs(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minSupport = 2L)
+      .orderBy(col("item_a"), col("item_b"))
+
+  private val q204Sql =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+      |cnt AS (SELECT i, COUNT(*) AS c FROM items GROUP BY i),
+      |n AS (SELECT COUNT(DISTINCT o) AS nb FROM items),
+      |pairs AS (SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_pair
+      |  FROM items a JOIN items b ON a.o = b.o AND a.i < b.i
+      |  GROUP BY a.i, b.i HAVING COUNT(*) >= 2)
+      |SELECT item_a, item_b, n_pair, ca.c AS n_a, cb.c AS n_b,
+      |  CAST(n_pair AS DOUBLE) / CAST(ca.c AS DOUBLE) AS conf,
+      |  CAST(n_pair * (SELECT nb FROM n) AS DOUBLE)
+      |    / CAST(ca.c * cb.c AS DOUBLE) AS lift
+      |FROM pairs JOIN cnt ca ON ca.i = item_a JOIN cnt cb ON cb.i = item_b
+      |ORDER BY item_a, item_b""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q23_asof_join", q23, Some(q23Sql), headline = true),
     Q("q24_sessionize", q24, Some(q24Sql), headline = true),
@@ -1630,6 +1656,7 @@ object AdvancedQueries extends QuerySet {
     Q("q59_grouping_sets", q59, Some(q59Sql)),
     Q("q63_datetime_funcs", q63, Some(q63Sql)),
     Q("q68_unpivot", q68, Some(q68Sql)),
+    Q("q204_frequent_itemsets", q204, Some(q204Sql)),
     Q("q71_range_frame_window", q71, Some(q71Sql)),
     Q("q72_nullsafe_join", q72, Some(q72Sql)),
     Q("q73_approx_percentiles", q73, Some(q73Sql)),

@@ -1850,6 +1850,55 @@ object TextQueries extends QuerySet {
       |FROM p LEFT JOIN agg ON agg.id_a = p.p_partkey
       |ORDER BY id""".stripMargin
 
+  /** Poisson-bootstrap CI for mean doc length per source — the
+    * corpus-scale resampling scheme (per-row independent Poisson(1)
+    * weights, B replicates in ONE narrow pass; shuffle carries
+    * sources×B summary rows, never corpus×B). Weights come from a
+    * deterministic integer hash through precomputed inverse-CDF grid
+    * thresholds, replicate means are exact-BIGINT ratios, and the CI
+    * bounds are exact order statistics over the B means — the whole
+    * pipeline replays bit-for-bit in SQL. See
+    * [[graft.operators.Bootstrap]]. */
+  private def q203(s: SparkSession, d: String): DataFrame =
+    graft.operators.Bootstrap.poissonCi(
+        t(s, d, "documents").select(col("source"), col("doc_id"), col("n_chars")),
+        "source", "n_chars", "doc_id", b = 200)
+      .orderBy(col("source"))
+
+  private val q203Sql =
+    """WITH b AS (SELECT unnest(range(200)) AS b),
+      |u AS (SELECT d.source, d.n_chars, b.b,
+      |    ((xor(d.doc_id % 2147483648, (b.b * 1315423911) % 2147483648))
+      |      * 2654435761) % 4294967296 AS u
+      |  FROM documents d CROSS JOIN b),
+      |w AS (SELECT source, n_chars, b,
+      |    CASE WHEN u >= 1580030168 THEN 1 ELSE 0 END
+      |    + CASE WHEN u >= 3160060337 THEN 1 ELSE 0 END
+      |    + CASE WHEN u >= 3950075421 THEN 1 ELSE 0 END
+      |    + CASE WHEN u >= 4213413783 THEN 1 ELSE 0 END
+      |    + CASE WHEN u >= 4279248373 THEN 1 ELSE 0 END
+      |    + CASE WHEN u >= 4292415291 THEN 1 ELSE 0 END AS wt
+      |  FROM u),
+      |rep AS (SELECT source, b,
+      |    CAST(SUM(wt) AS BIGINT) AS den,
+      |    CAST(SUM(n_chars * wt) AS BIGINT) AS num
+      |  FROM w GROUP BY source, b HAVING SUM(wt) > 0),
+      |m AS (SELECT source, b, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS mean_b,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE), b) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS nb
+      |  FROM rep),
+      |ci AS (SELECT source,
+      |    MAX(CASE WHEN rn = CAST(floor(0.025 * (nb - 1)) AS BIGINT) + 1
+      |             THEN mean_b END) AS lo,
+      |    MAX(CASE WHEN rn = CAST(floor(0.975 * (nb - 1)) AS BIGINT) + 1
+      |             THEN mean_b END) AS hi
+      |  FROM m GROUP BY source),
+      |pt AS (SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sx
+      |       FROM documents GROUP BY source)
+      |SELECT p.source, n, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean, lo, hi
+      |FROM pt p JOIN ci USING (source) ORDER BY source""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -1909,7 +1958,8 @@ object TextQueries extends QuerySet {
     Q("q199_curriculum_order", q199, Some(q199Sql)),
     Q("q200_ks_drift", q200, Some(q200Sql)),
     Q("q201_rank_auc", q201, Some(q201Sql)),
-    Q("q202_record_linkage", q202, Some(q202Sql), headline = true))
+    Q("q202_record_linkage", q202, Some(q202Sql), headline = true),
+    Q("q203_poisson_bootstrap", q203, Some(q203Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the

@@ -688,6 +688,31 @@ object VectorQueries extends QuerySet {
       |        THEN z[1] ELSE -z[1] END)) AS BIGINT)), ',') AS proj
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** k-NN label-agreement audit (label-noise detection): fraction of
+    * each vector's 10 exact nearest neighbors (self excluded BEFORE
+    * the k-heap) sharing its label. Exact face = the q32 bounded-heap
+    * shape; the 100 TB path feeds ANN hits through
+    * [[graft.operators.LabelNoise.agreementFromHits]]. On this
+    * synthetic corpus agreement ≈ 1/|classes| — the audit correctly
+    * reporting that the labels are noise is itself the point. */
+  private def q205(s: SparkSession, d: String): DataFrame =
+    graft.operators.LabelNoise.knnLabelAgreement(
+        t(s, d, "embeddings"), "vec_id", "embedding", "label", k = 10)
+      .select(col("id").as("vec_id"), col("label"), col("n_same"), col("agree"))
+      .orderBy(col("vec_id"))
+
+  private val q205Sql =
+    s"""WITH e AS (SELECT vec_id, ${dl("embedding")} AS v, label FROM embeddings),
+       |s AS (SELECT a.vec_id, a.label, b.label AS nl,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id) AS rn
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+       |SELECT vec_id, label,
+       |  CAST(SUM(CASE WHEN nl = label THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+       |  CAST(SUM(CASE WHEN nl = label THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS agree
+       |FROM s WHERE rn <= 10 GROUP BY vec_id, label ORDER BY vec_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q30_knn_exact", q30, Some(q30Sql), headline = true),
     Q("q31_knn_join_window", q31, Some(knnJoinSql)),
@@ -712,5 +737,6 @@ object VectorQueries extends QuerySet {
     Q("q114_ir_metrics", q114, Some(q114Sql)),
     Q("q130_embedding_outliers", q130, Some(q130Sql)),
     Q("q134_mmr_diversified", q134, Some(q134Sql)),
-    Q("q136_random_projection", q136, Some(q136Sql)))
+    Q("q136_random_projection", q136, Some(q136Sql)),
+    Q("q205_label_agreement", q205, Some(q205Sql)))
 }
