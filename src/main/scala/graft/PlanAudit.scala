@@ -8,7 +8,15 @@ object PlanAudit {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = GraftSession.local("8", "graft-plan-audit")
     val qmap = SparkEntry.queries
-    SparkEntry.headlineQueries.foreach { name =>
+    // SPARK_GRAFT_ONLY=q203,q204 audits any query set (Verify's filter
+    // idiom); unset = the headline set.
+    val names = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(pfx) =>
+        val ps = pfx.split(",").toSeq
+        qmap.keys.toSeq.sorted.filter(n => ps.exists(n.startsWith))
+      case None => SparkEntry.headlineQueries
+    }
+    names.foreach { name =>
       println(s"\n===== $name =====")
       println(qmap(name)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
