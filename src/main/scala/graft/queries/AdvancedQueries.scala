@@ -1638,6 +1638,31 @@ object AdvancedQueries extends QuerySet {
       |FROM pairs JOIN cnt ca ON ca.i = item_a JOIN cnt cb ON cb.i = item_b
       |ORDER BY item_a, item_b""".stripMargin
 
+  /** Recency-weighted engagement per user: half-life-decayed event
+    * value with EXACT dyadic weights — value·2^(maxAge−age) accumulates
+    * in DECIMAL(38,2) (order-independent), one decimal→double cast and
+    * one power-of-two division close. Partitioning-invariant despite
+    * being "floating point". See [[graft.operators.Decay]]. */
+  private def q207(s: SparkSession, d: String): DataFrame =
+    graft.operators.Decay.halfLife(
+        t(s, d, "events").select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "value", periodDays = 7, maxAge = 20)
+      .orderBy(col("user_id"))
+
+  private val q207Sql =
+    """WITH ref AS (SELECT MAX(CAST(ts AS DATE)) AS r FROM events),
+      |a AS (SELECT user_id,
+      |    LEAST(date_diff('day', CAST(ts AS DATE), (SELECT r FROM ref)) // 7,
+      |          20) AS age,
+      |    CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events),
+      |sc AS (SELECT user_id,
+      |    CAST(v * CAST(power(2, 20 - age) AS DECIMAL(18,0)) AS DECIMAL(38,2)) AS s
+      |  FROM a)
+      |SELECT user_id, COUNT(*) AS n,
+      |  CAST(SUM(s) AS DOUBLE) / power(2, 20) AS decayed
+      |FROM sc GROUP BY user_id ORDER BY user_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q23_asof_join", q23, Some(q23Sql), headline = true),
     Q("q24_sessionize", q24, Some(q24Sql), headline = true),
@@ -1657,6 +1682,7 @@ object AdvancedQueries extends QuerySet {
     Q("q63_datetime_funcs", q63, Some(q63Sql)),
     Q("q68_unpivot", q68, Some(q68Sql)),
     Q("q204_frequent_itemsets", q204, Some(q204Sql)),
+    Q("q207_decayed_engagement", q207, Some(q207Sql)),
     Q("q71_range_frame_window", q71, Some(q71Sql)),
     Q("q72_nullsafe_join", q72, Some(q72Sql)),
     Q("q73_approx_percentiles", q73, Some(q73Sql)),

@@ -1899,6 +1899,37 @@ object TextQueries extends QuerySet {
       |SELECT p.source, n, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean, lo, hi
       |FROM pt p JOIN ci USING (source) ORDER BY source""".stripMargin
 
+  /** Quantile normalization across sources: every source's doc-length
+    * distribution mapped onto the POOLED distribution, so one global
+    * threshold means the same thing for every feed. Element selection
+    * on pure integer rank arithmetic (no interpolation); the pooled
+    * ranking is a vocab-grid + `explode(sequence)` rank table — NEVER
+    * a global window. See [[graft.operators.QuantileNorm]]. */
+  private def q206(s: SparkSession, d: String): DataFrame =
+    graft.operators.QuantileNorm.toPooled(
+        t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "n_chars", "doc_id")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("qnorm"))
+      .orderBy(col("doc_id"))
+
+  private val q206Sql =
+    """WITH rows_ AS (SELECT doc_id, source, n_chars AS v FROM documents),
+      |grid AS (SELECT v, COUNT(*) AS c FROM rows_ GROUP BY v),
+      |g2 AS (SELECT v, c, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS hi FROM grid),
+      |rt AS (SELECT v AS pv, unnest(range(hi - c + 1, hi + 1)) AS rank FROM g2),
+      |n AS (SELECT COUNT(*) AS n FROM rows_),
+      |rk AS (SELECT doc_id, source, v,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY v, doc_id) AS r,
+      |    COUNT(*) OVER (PARTITION BY source) AS ng
+      |  FROM rows_),
+      |tg AS (SELECT doc_id, source, v,
+      |    CASE WHEN ng = 1 THEN ((SELECT n FROM n) - 1) // 2 + 1
+      |         ELSE ((r - 1) * ((SELECT n FROM n) - 1)) // (ng - 1) + 1
+      |    END AS rank
+      |  FROM rk)
+      |SELECT doc_id, source, v AS n_chars, pv AS qnorm
+      |FROM tg JOIN rt USING (rank) ORDER BY doc_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -1959,7 +1990,8 @@ object TextQueries extends QuerySet {
     Q("q200_ks_drift", q200, Some(q200Sql)),
     Q("q201_rank_auc", q201, Some(q201Sql)),
     Q("q202_record_linkage", q202, Some(q202Sql), headline = true),
-    Q("q203_poisson_bootstrap", q203, Some(q203Sql)))
+    Q("q203_poisson_bootstrap", q203, Some(q203Sql)),
+    Q("q206_quantile_normalize", q206, Some(q206Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the
