@@ -82,6 +82,36 @@ object ScaleSmoke {
         .withColumn("l_partkey", col("l_partkey") + lit(c.toLong * IdStride))
     }.reduce(_ unionByName _)
 
+  /** part ×10 with p_name word-RELABELED per copy (the documents
+    * idiom): block keys (first token, token count) stay isomorphic
+    * within a copy and disjoint across copies, so the linkage pair
+    * space Σ|block|² scales ~10× — key-shifted VERBATIM copies would
+    * merge identical names into cross-copy mega-blocks (the measured
+    * word-sort trap, Σ|block|² ×100). Relabeled 16-hex tokens push
+    * near-miss pairs past the levenshtein band, so sf1 match counts
+    * drop to exact-dup pairs only — the banded verify's early-exit
+    * cost on non-matches is exactly the at-scale behavior under test
+    * (r11). */
+  private def scalePart(src: DataFrame): DataFrame =
+    (0 until Copies).map { c =>
+      if (c == 0) src
+      else src
+        .withColumn("p_partkey", col("p_partkey") + lit(c.toLong * IdStride))
+        .withColumn("p_name", concat_ws(" ", transform(split(col("p_name"), " "),
+          w => lower(hex(xxhash64(w, lit(c)))))))
+    }.reduce(_ unionByName _)
+
+  /** events ×10: id/user-shifted verbatim copies — per-user event
+    * streams (and so decay/sessionization shapes) are isomorphic per
+    * copy, groups ×10 (r11). */
+  private def scaleEvents(src: DataFrame): DataFrame =
+    (0 until Copies).map { c =>
+      if (c == 0) src
+      else src
+        .withColumn("event_id", col("event_id") + lit(c.toLong * IdStride))
+        .withColumn("user_id", col("user_id") + lit(c.toLong * IdStride))
+    }.reduce(_ unionByName _)
+
   private def buildIfMissing(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     val out = new java.io.File(outDir)
     if (new java.io.File(out, "_READY").exists()) return
@@ -92,11 +122,12 @@ object ScaleSmoke {
     write(scaleEmbeddings(spark.read.parquet(s"$srcDir/embeddings.parquet")), "embeddings")
     write(scaleOrders(spark.read.parquet(s"$srcDir/orders.parquet")), "orders")
     write(scaleLineitem(spark.read.parquet(s"$srcDir/lineitem.parquet")), "lineitem")
-    // remaining tables ride along verbatim (small; queries under smoke
-    // only scale documents/embeddings/orders)
+    write(scalePart(spark.read.parquet(s"$srcDir/part.parquet")), "part")
+    write(scaleEvents(spark.read.parquet(s"$srcDir/events.parquet")), "events")
+    // remaining tables ride along verbatim (small)
     new java.io.File(srcDir).listFiles().filter(_.getName.endsWith(".parquet"))
-      .filterNot(f => Seq("documents", "embeddings", "orders", "lineitem")
-        .contains(f.getName.stripSuffix(".parquet")))
+      .filterNot(f => Seq("documents", "embeddings", "orders", "lineitem",
+        "part", "events").contains(f.getName.stripSuffix(".parquet")))
       .foreach { f =>
         val dst = new java.io.File(out, f.getName).toPath
         if (!java.nio.file.Files.exists(dst))
@@ -107,7 +138,7 @@ object ScaleSmoke {
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val outDir = args.lift(1).getOrElse("/tmp/graft-sf1-r9") // new dir: r9 scales lineitem too
+    val outDir = args.lift(1).getOrElse("/tmp/graft-sf1-r11") // new dir: r11 scales part+events too
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus, "graft-scale-smoke")
     buildIfMissing(spark, srcDir, outDir)
@@ -158,7 +189,17 @@ object ScaleSmoke {
       // three label-prop vote rounds; q199 is narrow passes + one
       // group-window shuffle — the linearity claim's direct check
       "q187_personalized_pagerank", "q193_weighted_pagerank",
-      "q194_bfs_hops", "q195_neardup_communities", "q199_curriculum_order")
+      "q194_bfs_hops", "q195_neardup_communities", "q199_curriculum_order",
+      // r11 additions — the new operator family's scale-sensitive rows:
+      // q200 grid = |values|×|sources| (values unchanged, corpus ×10);
+      // q202 Σ|block|² over relabeled part copies (see scalePart);
+      // q203's explode is map-side (shuffle = sources×B regardless of
+      // corpus size — the linearity claim); q204 Σ|basket|² over
+      // disjoint item spaces; q206's rank table is corpus-sized but
+      // narrow; q207 is one decimal aggregate over events ×10
+      "q200_ks_drift", "q202_record_linkage", "q203_poisson_bootstrap",
+      "q204_frequent_itemsets", "q206_quantile_normalize",
+      "q207_decayed_engagement")
     val qmap = SparkEntry.queries
     // Local-iteration filter (the Verify/Bench idiom): SPARK_GRAFT_ONLY
     // runs only matching smoke queries — new rows don't force re-paying
