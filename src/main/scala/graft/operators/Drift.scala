@@ -98,4 +98,17 @@ object Drift {
       .withColumn("ks", col("ks_num").cast("double") /
         (col("n_source") * col("n_rest")).cast("double"))
   }
+
+  /** One-row two-sample KS: (n_a, n_b, ks_num, ks) — `a` vs `b` on an
+    * integer feature. A two-source [[ksPerSource]] (source "a"'s
+    * complement IS b), so the grid algebra and exactness carry over.
+    * Both inputs must be non-empty (an empty side has no EDF). */
+  def ksTwoSample(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val u = a.select(col(valueCol).cast("long").as("__v"), lit("a").as("__t"))
+      .unionByName(b.select(col(valueCol).cast("long").as("__v"), lit("b").as("__t")))
+    ksPerSource(u, "__v", "__t")
+      .filter(col("source") === "a")
+      .select(col("n_source").as("n_a"), col("n_rest").as("n_b"),
+        col("ks_num"), col("ks"))
+  }
 }

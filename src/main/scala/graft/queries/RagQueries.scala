@@ -1453,6 +1453,75 @@ object RagQueries extends QuerySet {
     """SELECT doc_id, regexp_replace(text, '[\n\r]', ' ', 'g') AS text_flat, lang
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Streaming KS drift monitor under the driver gate
+    * ([[graft.streaming.DriftMonitor]] — q200's batch statistic made
+    * continuous, the q192 discipline): odd docs arrive as FOUR
+    * deterministic micro-batches (one doc_id%8 residue class per file,
+    * maxFilesPerTrigger=1), even docs are the fixed reference sample,
+    * and batch 3's lengths are shifted +150 — the planted drifted
+    * feed. Exactly that batch must alert, by the INTEGER rule
+    * ks_num·4 ≥ n_batch·n_ref (no float sits on the boundary). The
+    * oracle replays the residue→batch mapping and the per-batch KS
+    * grid. */
+  private def q208(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+    val ref = docs.filter(col("doc_id") % 2 === 0).select(col("n_chars").as("v"))
+    val streamed = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"),
+        when(col("doc_id") % 8 === 7, col("n_chars") + 150)
+          .otherwise(col("n_chars")).as("v"))
+    val srcDir = Files.createTempDirectory("graft-q208-src").toFile
+    val base = System.currentTimeMillis()
+    Seq(1, 3, 5, 7).zipWithIndex.foreach { case (r, i) =>
+      val tmp = Files.createTempDirectory("graft-q208-stage").toFile
+      streamed.filter(col("doc_id") % 8 === r).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      tmp.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val dst = new java.io.File(srcDir, s"batch$i.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(base + i * 1000L)
+      }
+    }
+    val store = new DocumentStore(s,
+      Files.createTempDirectory("graft-q208-store").toString)
+    val feed = s.readStream.schema(streamed.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val qy = graft.streaming.DriftMonitor.start(feed, store, "drift",
+      ref, "v", Files.createTempDirectory("graft-q208-ckpt").toString,
+      thrNum = 1L, thrDen = 4L)
+    try qy.processAllAvailable() finally qy.stop()
+    store.read("drift")
+      .select(col("batch_id"), col("n_batch"), col("n_ref"), col("ks_num"),
+        col("ks"), col("alert"))
+      .orderBy(col("batch_id"))
+  }
+
+  private val q208Sql =
+    """WITH str AS (SELECT (doc_id % 8) // 2 AS b,
+      |    CASE WHEN doc_id % 8 = 7 THEN n_chars + 150 ELSE n_chars END AS v
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |ref AS (SELECT n_chars AS v FROM documents WHERE doc_id % 2 = 0),
+      |bs AS (SELECT DISTINCT b FROM str),
+      |u AS (SELECT b, v, 1 AS ib, 0 AS ir FROM str
+      |      UNION ALL SELECT bs.b, r.v, 0, 1 FROM ref r CROSS JOIN bs),
+      |c AS (SELECT b, v, CAST(SUM(ib) AS BIGINT) AS cb,
+      |        CAST(SUM(ir) AS BIGINT) AS cr
+      |      FROM u GROUP BY b, v),
+      |cum AS (SELECT b, v, cb, cr,
+      |    CAST(SUM(cb) OVER (PARTITION BY b ORDER BY v) AS BIGINT) AS cumb,
+      |    CAST(SUM(cr) OVER (PARTITION BY b ORDER BY v) AS BIGINT) AS cumr
+      |  FROM c),
+      |tot AS (SELECT b, CAST(SUM(cb) AS BIGINT) AS nb,
+      |        CAST(SUM(cr) AS BIGINT) AS nr
+      |      FROM c GROUP BY b),
+      |m AS (SELECT cum.b, CAST(MAX(ABS(cumb * nr - cumr * nb)) AS BIGINT) AS ks_num
+      |      FROM cum JOIN tot ON tot.b = cum.b GROUP BY cum.b)
+      |SELECT CAST(m.b AS BIGINT) AS batch_id, nb AS n_batch, nr AS n_ref,
+      |  ks_num,
+      |  CAST(ks_num AS DOUBLE) / CAST(nb * nr AS DOUBLE) AS ks,
+      |  ks_num * 4 >= nb * nr AS alert
+      |FROM m JOIN tot ON tot.b = m.b ORDER BY batch_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q60_rag_retrieval", q60, Some(q60Sql), headline = true),
     Q("q64_ingest_embed_1536", q64, Some(q64Sql), headline = true),
@@ -1486,5 +1555,6 @@ object RagQueries extends QuerySet {
     Q("q179_store_repartition", q179, Some(q179Sql)),
     Q("q184_orc_roundtrip", q184, Some(q184Sql)),
     Q("q192_streaming_admission", q192, Some(q192Sql)),
+    Q("q208_streaming_drift", q208, Some(q208Sql)),
     Q("q198_release_manifest", q198, Some(q198Sql)))
 }
