@@ -1930,6 +1930,48 @@ object TextQueries extends QuerySet {
       |SELECT doc_id, source, v AS n_chars, pv AS qnorm
       |FROM tg JOIN rt USING (rank) ORDER BY doc_id""".stripMargin
 
+  /** Entity resolution end to end (the Fellegi–Sunter pipeline
+    * completed): q202's blocked fuzzy pairs → q85's connected
+    * components → one canonical row per entity (cluster size + the
+    * min-id member's name). One composed DAG of the engine's own
+    * operators — a semantic change in the blocking, the band, or the
+    * CC label rule breaks the hash (the q195 composition discipline).
+    * CC's min-label IS the canonical member id, so the roll-up is one
+    * aggregate + one join back for the name. */
+  private def q209(s: SparkSession, d: String): DataFrame = {
+    val part = t(s, d, "part").select(col("p_partkey"), col("p_name"))
+    val words = split(col("p_name"), " ")
+    val bk = concat_ws("|", element_at(words, 1), size(words).cast("string"))
+    val pairs = graft.operators.Linkage.blockedPairs(
+      part, "p_partkey", "p_name", bk, maxDist = 1)
+    val cc = graft.operators.Clusters.connectedComponents(
+      part, "p_partkey", pairs, "id_a", "id_b")
+    cc.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .join(part.select(col("p_partkey").as("cluster_id"),
+        col("p_name").as("canonical_name")), "cluster_id")
+      .select(col("cluster_id"), col("n_members"), col("canonical_name"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private val q209Sql =
+    """WITH RECURSIVE p AS (SELECT p_partkey, p_name,
+      |    string_split(p_name, ' ')[1] || '|'
+      |      || CAST(len(string_split(p_name, ' ')) AS VARCHAR) AS bk
+      |  FROM part),
+      |pairs AS (SELECT a.p_partkey AS ia, b.p_partkey AS ib
+      |  FROM p a JOIN p b ON a.bk = b.bk AND a.p_partkey < b.p_partkey
+      |  WHERE levenshtein(a.p_name, b.p_name) <= 1),
+      |e AS (SELECT ia AS u, ib AS v FROM pairs UNION ALL SELECT ib, ia FROM pairs),
+      |r(u, v) AS (SELECT p_partkey, p_partkey FROM part
+      |            UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+      |lab AS (SELECT u AS id, MIN(v) AS cluster_id FROM r GROUP BY u),
+      |g AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+      |      FROM lab GROUP BY cluster_id)
+      |SELECT g.cluster_id, g.n_members, part.p_name AS canonical_name
+      |FROM g JOIN part ON part.p_partkey = g.cluster_id
+      |ORDER BY g.cluster_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -1991,7 +2033,8 @@ object TextQueries extends QuerySet {
     Q("q201_rank_auc", q201, Some(q201Sql)),
     Q("q202_record_linkage", q202, Some(q202Sql), headline = true),
     Q("q203_poisson_bootstrap", q203, Some(q203Sql)),
-    Q("q206_quantile_normalize", q206, Some(q206Sql)))
+    Q("q206_quantile_normalize", q206, Some(q206Sql)),
+    Q("q209_entity_groups", q209, Some(q209Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the

@@ -51,6 +51,19 @@ class LinkageSpec extends AnyFunSuite with SparkSuite {
     assert(one(1L) == ((1L, 0L)) && one(2L) == ((1L, 0L)))
   }
 
+  test("entity resolution composition: pairs -> CC -> canonical groups") {
+    // "acme corp" ~ "acme corq" ~ "acme corr" chain into ONE entity via
+    // dist-1 links even though the endpoints are 2 apart; "zeta x" alone
+    val df = Seq(
+      (10L, "acme corp"), (11L, "acme corq"), (12L, "acme corr"),
+      (20L, "zeta x")).toDF("id", "s")
+    val pairs = Linkage.blockedPairs(df, "id", "s", bk, maxDist = 1)
+    val cc = Clusters.connectedComponents(df, "id", pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(10L) == 10L && cc(11L) == 10L && cc(12L) == 10L)
+    assert(cc(20L) == 20L)
+  }
+
   test("matches brute-force within-block pairs on part names, any partitioning") {
     val part = graft.Tables.t(spark, sf, "part")
       .select(col("p_partkey").as("id"), col("p_name").as("s")).limit(400)
