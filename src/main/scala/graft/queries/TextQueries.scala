@@ -1972,6 +1972,53 @@ object TextQueries extends QuerySet {
       |FROM g JOIN part ON part.p_partkey = g.cluster_id
       |ORDER BY g.cluster_id""".stripMargin
 
+  /** BPE ENCODE with the trained merge table — q137's other half: the
+    * corpus vocabulary is re-encoded through the 12 learned merges in
+    * training order, and the gate compares the COMPLETE per-word token
+    * split ('~'-joined symbols) plus token counts. Any divergence in
+    * merge choice, application order, or the boundary-anchored replace
+    * (e.g. a merge firing inside a multi-char token) changes some
+    * word's encoding and breaks the hash. Encoding is k narrow
+    * `replace` projections over the vocab-bounded word table — the
+    * corpus is touched once for frequencies and never again. */
+  private def q210(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.BpeTrainer
+    val words = BpeTrainer.wordFreqs(t(s, d, "documents"), "text")
+    val (merges, _) = BpeTrainer.train(words, numMerges = 12)
+    val seeded = words.select(col("w"),
+      concat_ws(" ", split(col("w"), "")).as("toks"), col("cnt"))
+    BpeTrainer.applyMerges(seeded, "toks", merges)
+      .select(col("w"), col("cnt"), col("toks"),
+        size(split(col("toks"), " ")).cast("long").as("n_tokens"))
+      .orderBy(col("w"))
+  }
+
+  // lazy: same unrolled-CTE training replay as q137Sql, but the word
+  // column rides along so the final select carries each word's encoding
+  private lazy val q210Sql: String = {
+    val steps = 12
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """words AS MATERIALIZED (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w)""".stripMargin,
+      """w0 AS MATERIALIZED (SELECT w, array_to_string(list_transform(range(length(w)), i -> w[i+1]), ' ') AS toks, cnt FROM words)""")
+    for (s <- 1 to steps) {
+      ctes += s"""p$s AS MATERIALIZED (
+        |  SELECT z[1] || ' ' || z[2] AS pr, SUM(cnt) AS c
+        |  FROM (SELECT unnest(list_zip(string_split(toks,' '), string_split(toks,' ')[2:])) AS z, cnt FROM w${s - 1})
+        |  WHERE z[2] IS NOT NULL GROUP BY 1)""".stripMargin
+      ctes += s"b$s AS (SELECT pr FROM p$s ORDER BY c DESC, pr LIMIT 1)"
+      ctes += s"""b${s}x AS (SELECT ' ' || pr || ' ' AS pat, ' ' || replace(pr,' ','~') || ' ' AS rep FROM b$s)"""
+      ctes += s"""w$s AS MATERIALIZED (SELECT w, trim(replace(replace(' ' || toks || ' ',
+        |  (SELECT pat FROM b${s}x), (SELECT rep FROM b${s}x)),
+        |  (SELECT pat FROM b${s}x), (SELECT rep FROM b${s}x))) AS toks, cnt FROM w${s - 1})""".stripMargin
+    }
+    "WITH " + ctes.mkString(",\n") +
+      s"\nSELECT w, cnt, toks, CAST(len(string_split(toks, ' ')) AS BIGINT) AS n_tokens" +
+      s"\nFROM w$steps ORDER BY w"
+  }
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -2034,7 +2081,8 @@ object TextQueries extends QuerySet {
     Q("q202_record_linkage", q202, Some(q202Sql), headline = true),
     Q("q203_poisson_bootstrap", q203, Some(q203Sql)),
     Q("q206_quantile_normalize", q206, Some(q206Sql)),
-    Q("q209_entity_groups", q209, Some(q209Sql)))
+    Q("q209_entity_groups", q209, Some(q209Sql)),
+    Q("q210_bpe_apply", q210, Some(q210Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the
