@@ -95,8 +95,10 @@ object Drift {
       .agg(first(col("nsrc")).as("n_source"),
         first(col("n") - col("nsrc")).as("n_rest"),
         max(col("num")).as("ks_num"))
-      .withColumn("ks", col("ks_num").cast("double") /
-        (col("n_source") * col("n_rest")).cast("double"))
+      .withColumn("ks", // a lone source has no complement EDF: NULL, not ±Inf
+        when(col("n_rest") === 0, lit(null))
+          .otherwise(col("ks_num").cast("double") /
+            (col("n_source") * col("n_rest")).cast("double")))
   }
 
   /** One-row two-sample KS: (n_a, n_b, ks_num, ks) — `a` vs `b` on an

@@ -73,6 +73,14 @@ class DriftSpec extends AnyFunSuite with SparkSuite {
     assert(m("b") == ((2L, 3L, 3L, 0.5)))
   }
 
+  test("KS: a lone source reports NULL, not a division by zero") {
+    import spark.implicits._
+    val out = Drift.ksPerSource(
+      Seq(("only", 1L), ("only", 2L)).toDF("source", "v"), "v", "source")
+      .collect()
+    assert(out.length == 1 && out.head.getLong(2) == 0L && out.head.isNullAt(4))
+  }
+
   test("KS matches brute-force EDF sup on random data, any partitioning") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
