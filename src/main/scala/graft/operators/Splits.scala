@@ -77,6 +77,20 @@ object Splits {
     df.withColumn("split", expr)
   }
 
+  /** Leakage-safe deterministic k-fold assignment (sklearn GroupKFold
+    * made hash-stable): every row follows its GROUP's fold (0..k−1),
+    * so exact-dup or correlated content — keyed by content hash,
+    * author, URL host — never straddles a fold boundary and k-fold CV
+    * never evaluates against its own training near-dups. Unlike
+    * sklearn's size-balancing greedy assignment, the hash assignment
+    * is stateless and reproducible on any engine/partitioning; fold
+    * sizes balance statistically (group-count scale). Same pure
+    * narrow-projection shape as [[withGroupSplit]]: no shuffle. */
+  def withGroupKFold(df: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"bad k=$k")
+    df.withColumn("fold", hashBucket(stringKey(col(groupCol)), k))
+  }
+
   /** Deterministic global shuffle: order the corpus by the seeded stable
     * hash of its id — the reproducible "shuffle the training data" step
     * (same order on any cluster, any partitioning, any engine; a new

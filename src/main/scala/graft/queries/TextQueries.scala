@@ -2019,6 +2019,39 @@ object TextQueries extends QuerySet {
       s"\nFROM w$steps ORDER BY w"
   }
 
+  /** Leakage-safe GROUP k-fold over CONTENT: folds keyed by the exact
+    * text (the dedup-aware CV protocol — a duplicated document must
+    * never sit in both a training and an evaluation fold). The
+    * no-straddle invariant is gated in-query (any content group seen
+    * in two folds zeroes the output); the compared rows are the
+    * per-fold document/group counts. See
+    * [[graft.operators.Splits.withGroupKFold]]. */
+  private def q211(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val f = Splits.withGroupKFold(docs, "text", k = 5)
+    val straddle = f.groupBy(col("text"))
+      .agg(countDistinct(col("fold")).as("nf"))
+      .filter(col("nf") > 1).count()
+    val out = f.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_groups"))
+      .orderBy(col("fold"))
+    if (straddle == 0L) out else out.limit(0)
+  }
+
+  private val q211Sql =
+    """WITH k AS (SELECT doc_id, text,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) AS key
+      |  FROM documents),
+      |f AS (SELECT doc_id, text,
+      |    CAST((((key % 2147483648) * 2654435761) % 4294967296) % 5 AS INT) AS fold
+      |  FROM k)
+      |SELECT fold, COUNT(*) AS n_docs,
+      |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_groups
+      |FROM f GROUP BY fold ORDER BY fold""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -2082,7 +2115,8 @@ object TextQueries extends QuerySet {
     Q("q203_poisson_bootstrap", q203, Some(q203Sql)),
     Q("q206_quantile_normalize", q206, Some(q206Sql)),
     Q("q209_entity_groups", q209, Some(q209Sql)),
-    Q("q210_bpe_apply", q210, Some(q210Sql)))
+    Q("q210_bpe_apply", q210, Some(q210Sql)),
+    Q("q211_group_kfold", q211, Some(q211Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the

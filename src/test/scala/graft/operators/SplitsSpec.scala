@@ -221,4 +221,30 @@ class SplitsSpec extends AnyFunSuite with SparkSuite {
       assert(cs == (0L until cs.size).toSet)
     }
   }
+
+  test("group k-fold: a group never straddles folds; folds cover 0..k-1; partition-invariant") {
+    import spark.implicits._
+    val rows = (1L to 600L).map(i => (i, s"grp${i % 37}"))
+    val df = rows.toDF("id", "g")
+    val a = Splits.withGroupKFold(df, "g", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // every row of a group shares the group's fold
+    a.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).distinct.size == 1)
+    }
+    val folds = a.map(_._3).distinct.sorted
+    assert(folds.forall(f => f >= 0 && f < 5) && folds.size >= 3)
+    val b = Splits.withGroupKFold(df.repartition(13), "g", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(a.toSet == b)
+  }
+
+  test("group k-fold sizes balance statistically at group-count scale") {
+    import spark.implicits._
+    val df = (1L to 5000L).map(i => (i, s"g$i")).toDF("id", "g") // singleton groups
+    val sizes = Splits.withGroupKFold(df, "g", 5)
+      .groupBy("fold").count().collect().map(_.getLong(1))
+    assert(sizes.length == 5 && sizes.forall(n => n > 800 && n < 1200),
+      s"unbalanced: ${sizes.toSeq}")
+  }
 }
