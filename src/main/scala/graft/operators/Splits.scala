@@ -293,9 +293,15 @@ object Splits {
     require(alpha >= 0, "alpha must be non-negative")
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
-    val total = counts.values.sum
-    val q = counts.map { case (g, n) => g -> math.pow(n / total, alpha) }
-    val z = q.values.sum
+    val total = counts.values.sum // integer-valued doubles: exact any order
+    // α = ½ rides IEEE sqrt (correctly rounded ⇒ bit-identical in any
+    // engine — the oracle-replayable path); other α use pow, whose libm
+    // implementations differ in ULPs across engines (driver-side use)
+    def flat(x: Double) = if (alpha == 0.5) math.sqrt(x) else math.pow(x, alpha)
+    val q = counts.map { case (g, n) => g -> flat(n / total) }
+    // float addition is not associative: fold in sorted-key order so any
+    // engine replays the identical normalizer
+    val z = q.toSeq.sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _)
     counts.map { case (g, n) => g -> (q(g) / z) * total / n }
   }
 

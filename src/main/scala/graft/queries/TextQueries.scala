@@ -2052,6 +2052,48 @@ object TextQueries extends QuerySet {
       |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_groups
       |FROM f GROUP BY fold ORDER BY fold""".stripMargin
 
+  /** Temperature-flattened language mixing END TO END (the multilingual
+    * sampling-temperature recipe, α = ½): data-derived weights
+    * w_g = (√p_g / Σ√p) · N / n_g through the deterministic resample —
+    * the dominant language thins, the tail languages oversample, the
+    * expected row count is preserved. Every float step is
+    * engine-portable by construction (IEEE sqrt is correctly rounded,
+    * the normalizer folds in sorted-key order, resample thresholds
+    * resolve on the 0-9999 integer grid), so the oracle replays the
+    * WEIGHT DERIVATION itself, not a literal constant (q101 gates the
+    * resample mechanics; this gates the derivation feeding it). */
+  private def q212(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+    val w = Splits.temperatureWeights(docs, "lang", alpha = 0.5)
+    Splits.resampleByWeight(docs, "doc_id", "lang", w, defaultWeight = 1.0)
+      .select(col("doc_id"), col("lang"), col("copy_id"))
+      .orderBy(col("doc_id"), col("copy_id"))
+  }
+
+  private val q212Sql =
+    """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+      |           FROM documents GROUP BY lang),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+      |q AS (SELECT lang, n,
+      |        sqrt(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) AS qv
+      |      FROM c CROSS JOIN tot),
+      |z AS (SELECT list_reduce(list(qv ORDER BY lang), (a, b) -> a + b) AS z
+      |      FROM q),
+      |w AS (SELECT lang,
+      |        ((qv / (SELECT z FROM z)) * CAST((SELECT total FROM tot) AS DOUBLE))
+      |          / CAST(n AS DOUBLE) AS w
+      |      FROM q),
+      |wf AS (SELECT lang, CAST(floor(w) AS BIGINT) AS base,
+      |         CAST(floor((w - floor(w)) * 10000 + 0.5) AS BIGINT) AS cut
+      |       FROM w),
+      |x AS (SELECT doc_id, d.lang, base, cut,
+      |        (doc_id % 2147483648) * 2654435761 % 4294967296 % 10000 AS b
+      |      FROM documents d JOIN wf ON wf.lang = d.lang),
+      |r AS (SELECT doc_id, lang,
+      |        base + CASE WHEN b < cut THEN 1 ELSE 0 END AS reps FROM x)
+      |SELECT doc_id, lang, CAST(unnest(range(reps)) AS BIGINT) AS copy_id
+      |FROM r WHERE reps > 0 ORDER BY doc_id, copy_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -2116,7 +2158,8 @@ object TextQueries extends QuerySet {
     Q("q206_quantile_normalize", q206, Some(q206Sql)),
     Q("q209_entity_groups", q209, Some(q209Sql)),
     Q("q210_bpe_apply", q210, Some(q210Sql)),
-    Q("q211_group_kfold", q211, Some(q211Sql)))
+    Q("q211_group_kfold", q211, Some(q211Sql)),
+    Q("q212_temperature_mix", q212, Some(q212Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the
