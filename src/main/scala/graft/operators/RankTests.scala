@@ -31,6 +31,36 @@ import org.apache.spark.sql.functions._
   */
 object RankTests {
 
+  /** Operating-point selection: per group, the DEEPEST score-ranked
+    * prefix whose precision against a (weak) label stays ≥
+    * pNum/pDen — "pick the quality-score cutoff that keeps 90%
+    * precision, and tell me how much data that keeps". Exact rational
+    * test (cum_pos·pDen ≥ rank·pNum — no float on the decision), rank
+    * ordering deterministic via (score desc, id), one Exchange(group)
+    * window + one aggregate. The operating point is RANK-based:
+    * tied scores can split at the boundary, which is the standard
+    * top-k selection semantics (document the tie id-ordering).
+    * Groups with no feasible prefix report NULLs. */
+  def precisionThreshold(df: DataFrame, groupCol: String, scoreCol: String,
+                         label: Column, idCol: String,
+                         pNum: Long, pDen: Long): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__pos", label)
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__cp", sum(when(col("__pos"), 1L).otherwise(0L)).over(wc))
+      .groupBy(col(groupCol))
+      .agg(max(when(col("__cp") * pDen >= col("__rn") * pNum,
+        struct(col("__rn"), col(scoreCol).as("__s"), col("__cp")))).as("__best"))
+      .select(col(groupCol),
+        col("__best.__rn").as("best_rank"),
+        col("__best.__s").as("thr_score"),
+        col("__best.__cp").as("n_pos_kept"),
+        (col("__best.__cp").cast("double") / col("__best.__rn").cast("double"))
+          .as("prec"))
+  }
+
   /** (groupCol, n_pos, n_neg, u2 = 2·U₁, auc) — `labelCol` must be a
     * boolean Column (the positive class). */
   def aucPerGroup(df: DataFrame, groupCol: String, scoreCol: String,

@@ -2094,6 +2094,37 @@ object TextQueries extends QuerySet {
       |SELECT doc_id, lang, CAST(unnest(range(reps)) AS BIGINT) AS copy_id
       |FROM r WHERE reps > 0 ORDER BY doc_id, copy_id""".stripMargin
 
+  /** Operating-point selection: per source, the deepest length-ranked
+    * document prefix keeping ≥ ½ precision against the en-language
+    * weak label — "what cutoff keeps the filter this clean, and how
+    * much survives it". Exact rational feasibility test, rank-based
+    * boundary; NULL row for sources with no feasible prefix. See
+    * [[graft.operators.RankTests.precisionThreshold]]. */
+  private def q213(s: SparkSession, d: String): DataFrame =
+    graft.operators.RankTests.precisionThreshold(
+        t(s, d, "documents").select(col("source"), col("lang"),
+          col("n_chars"), col("doc_id")),
+        "source", "n_chars", col("lang") === "en", "doc_id",
+        pNum = 1L, pDen = 2L)
+      .select(col("source"), col("best_rank"), col("thr_score"),
+        col("n_pos_kept"), col("prec"))
+      .orderBy(col("source"))
+
+  private val q213Sql =
+    """WITH r AS (SELECT source, n_chars, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn,
+      |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS cp
+      |  FROM documents),
+      |g AS (SELECT source,
+      |        MAX(CASE WHEN cp * 2 >= rn * 1 THEN rn END) AS best_rank
+      |      FROM r GROUP BY source)
+      |SELECT g.source, CAST(best_rank AS BIGINT) AS best_rank,
+      |  r.n_chars AS thr_score, CAST(r.cp AS BIGINT) AS n_pos_kept,
+      |  CAST(r.cp AS DOUBLE) / CAST(r.rn AS DOUBLE) AS prec
+      |FROM g LEFT JOIN r ON r.source = g.source AND r.rn = g.best_rank
+      |ORDER BY g.source""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -2159,7 +2190,8 @@ object TextQueries extends QuerySet {
     Q("q209_entity_groups", q209, Some(q209Sql)),
     Q("q210_bpe_apply", q210, Some(q210Sql)),
     Q("q211_group_kfold", q211, Some(q211Sql)),
-    Q("q212_temperature_mix", q212, Some(q212Sql)))
+    Q("q212_temperature_mix", q212, Some(q212Sql)),
+    Q("q213_precision_threshold", q213, Some(q213Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the

@@ -40,6 +40,32 @@ class RankTestsSpec extends AnyFunSuite with SparkSuite {
     assert(m("allpos")._3 == 0L) // u2 still defined (degenerate 0)
   }
 
+  test("precisionThreshold: deepest feasible prefix, hand-computed") {
+    import spark.implicits._
+    // scores desc: (10,pos)(9,pos)(8,neg)(7,pos)(6,neg)(5,neg)
+    // cum precision: 1/1, 2/2, 2/3, 3/4, 3/5, 3/6 -> deepest >= 1/2 is rank 6
+    val df = Seq((1L, 10L, true), (2L, 9L, true), (3L, 8L, false),
+      (4L, 7L, true), (5L, 6L, false), (6L, 5L, false))
+      .map { case (id, s, p) => ("g", id, s, p) }.toDF("g", "id", "score", "pos")
+    val r = RankTests.precisionThreshold(df, "g", "score", col("pos"), "id", 1L, 2L)
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)) ==
+      ((6L, 5L, 3L, 0.5)))
+    // at 3/4 precision the deepest feasible prefix is rank 4
+    val r2 = RankTests.precisionThreshold(df, "g", "score", col("pos"), "id", 3L, 4L)
+      .collect().head
+    assert((r2.getLong(1), r2.getLong(2)) == ((4L, 7L)))
+  }
+
+  test("precisionThreshold: infeasible group reports NULLs") {
+    import spark.implicits._
+    val df = Seq(("g", 1L, 5L, false), ("g", 2L, 4L, false))
+      .toDF("g", "id", "score", "pos")
+    val r = RankTests.precisionThreshold(df, "g", "score", col("pos"), "id", 1L, 2L)
+      .collect().head
+    assert(r.isNullAt(1) && r.isNullAt(4))
+  }
+
   test("matches brute-force pairwise AUC on random data, any partitioning") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
