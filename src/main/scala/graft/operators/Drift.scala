@@ -75,7 +75,10 @@ object Drift {
     * bounded by the feature's quantization, NOT the corpus) windowed
     * per source — the corpus is scanned once and never shuffled. */
   def ksPerSource(df: DataFrame, valueCol: String, sourceCol: String): DataFrame = {
+    // NULL has no place on an EDF, and engines disagree on NULL sort
+    // order — excluded by definition, not left to the window
     val c = df.select(col(sourceCol).as("source"), col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
       .groupBy(col("source"), col("v")).agg(count(lit(1)).as("cnt"))
     val vt = c.groupBy(col("v")).agg(sum(col("cnt")).as("ct"))
     val ns = c.groupBy(col("source")).agg(sum(col("cnt")).as("nsrc"))

@@ -51,13 +51,21 @@ object Linkage {
       blockKey.as("__bk"))
     val b = df.select(col(idCol).as("id_b"), col(strCol).as("__sb"),
       blockKey.as("__bk"))
+    // the min-encoding is only injective for ids in [0, idSpan): fail
+    // loudly in-plan (the PageRank NULL-weight discipline) instead of
+    // silently corrupting best_dist/best_id — the check lives INSIDE
+    // the encoded expression so it cannot be pruned away
+    val checkedId = when(col("id_b") >= idSpan || col("id_b") < 0,
+      raise_error(concat(lit(s"Linkage.bestMatch: id out of [0, $idSpan): "),
+        col("id_b").cast("string"))))
+      .otherwise(col("id_b"))
     val agg = a.join(b, "__bk")
       .filter(col("id_a") =!= col("id_b"))
       .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist))
       .groupBy(col("id_a"))
       .agg(count(lit(1)).as("n_block"),
         sum(when(col("dist") >= 0, 1L).otherwise(0L)).as("n_match"),
-        min(when(col("dist") >= 0, col("dist") * idSpan + col("id_b")))
+        min(when(col("dist") >= 0, col("dist") * idSpan + checkedId))
           .as("__best"))
     df.select(col(idCol).as("id"))
       .join(agg, col("id") === col("id_a"), "left")

@@ -47,7 +47,9 @@ object RankTests {
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(scoreCol).desc, col(idCol))
     val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__pos", label)
+    // same NULL-score exclusion as aucPerGroup
+    df.filter(col(scoreCol).isNotNull)
+      .withColumn("__pos", label)
       .withColumn("__rn", row_number().over(w).cast("long"))
       .withColumn("__cp", sum(when(col("__pos"), 1L).otherwise(0L)).over(wc))
       .groupBy(col(groupCol))
@@ -67,7 +69,10 @@ object RankTests {
                   label: Column): DataFrame = {
     val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
     val wv = Window.partitionBy(col(groupCol), col(scoreCol))
-    df.withColumn("__pos", label)
+    // NULL scores cannot be ranked and engines disagree on NULL sort
+    // order: excluded by definition
+    df.filter(col(scoreCol).isNotNull)
+      .withColumn("__pos", label)
       .withColumn("__rk", rank().over(w).cast("long"))
       .withColumn("__tie", count(lit(1)).over(wv))
       .groupBy(col(groupCol))

@@ -51,6 +51,15 @@ class LinkageSpec extends AnyFunSuite with SparkSuite {
     assert(one(1L) == ((1L, 0L)) && one(2L) == ((1L, 0L)))
   }
 
+  test("bestMatch fails loudly when an id exceeds the encoding span") {
+    val df = Seq((1L, "aa"), (20000000L, "ab")).toDF("id", "s")
+    val e = intercept[Exception] {
+      Linkage.bestMatch(df, "id", "s", lit("k"), maxDist = 2).collect()
+    }
+    assert(e.getMessage.contains("id out of") ||
+      Option(e.getCause).exists(_.getMessage.contains("id out of")))
+  }
+
   test("entity resolution composition: pairs -> CC -> canonical groups") {
     // "acme corp" ~ "acme corq" ~ "acme corr" chain into ONE entity via
     // dist-1 links even though the endpoints are 2 apart; "zeta x" alone

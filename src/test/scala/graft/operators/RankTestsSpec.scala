@@ -33,6 +33,15 @@ class RankTestsSpec extends AnyFunSuite with SparkSuite {
     assert(m("g") == ((2L, 2L, 7L, 0.875)))
   }
 
+  test("NULL scores are excluded from ranking, not silently ordered") {
+    import spark.implicits._
+    val df = Seq(("g", Some(3L), true), ("g", None, true), ("g", Some(1L), false))
+      .toDF("g", "score", "pos")
+    val r = RankTests.aucPerGroup(df, "g", "score", col("pos")).collect().head
+    // only the two non-null rows rank: pos [3] vs neg [1] -> AUC 1
+    assert(r.getLong(1) == 1L && r.getLong(2) == 1L && r.getDouble(4) == 1.0)
+  }
+
   test("one-class groups report NULL AUC") {
     val m = auc(Seq(("allpos", 1L, true), ("allpos", 2L, true),
       ("allneg", 1L, false)))
