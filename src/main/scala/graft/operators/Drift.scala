@@ -104,6 +104,48 @@ object Drift {
             (col("n_source") * col("n_rest")).cast("double")))
   }
 
+  /** Embedding-space drift per group: cosine between each group's
+    * centroid and the CORPUS centroid — the vector-space companion to
+    * the scalar audits (a slice whose embeddings migrated — topic
+    * shift, encoder swap, corrupted batch — drops its cosine long
+    * before scalar stats move). Cosine is scale-invariant, so
+    * centroids are represented by their integer SUM vectors on the
+    * 2^gridBits grid (no division): sums are exact BIGINTs on any
+    * partitioning, and the closing dot/norms are ORDERED double folds
+    * over dims (each product correctly rounded, fold order fixed) —
+    * bit-identical in any engine, no float accumulation ambiguity.
+    *
+    * Scale shape: one narrow quantize projection, one map-side-combined
+    * per-(group, dim) sum (shuffle = groups×dims rows), corpus sums
+    * reduce from the group sums — the corpus is scanned once. */
+  def centroidDrift(df: DataFrame, groupCol: String, vecCol: String,
+                    gridBits: Int = 20): DataFrame = {
+    val grid = 1L << gridBits
+    val g = df.select(col(groupCol).as("g"),
+      posexplode(transform(col(vecCol),
+        x => floor(x.cast("double") * grid).cast("long"))).as(Seq("pos", "q")))
+    val perDim = g.groupBy(col("g"), col("pos"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("cnt"))
+    val gSums = perDim.groupBy(col("g"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"),
+        first(col("cnt")).as("n"))
+      .select(col("g"), col("n"), transform(col("ps"), p => p("s")).as("sums"))
+    val cSums = perDim.groupBy(col("pos")).agg(sum(col("s")).as("cs"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cs")))).as("ps"))
+      .select(transform(col("ps"), p => p("cs")).as("csums"))
+    def fold(c: org.apache.spark.sql.Column) =
+      aggregate(c, lit(0.0), (a, x) => a + x)
+    gSums.crossJoin(broadcast(cSums))
+      .withColumn("__dot", fold(zip_with(col("sums"), col("csums"),
+        (a, b) => a.cast("double") * b.cast("double"))))
+      .withColumn("__n1", fold(transform(col("sums"),
+        a => a.cast("double") * a.cast("double"))))
+      .withColumn("__n2", fold(transform(col("csums"),
+        a => a.cast("double") * a.cast("double"))))
+      .select(col("g").as(groupCol), col("n"),
+        (col("__dot") / (sqrt(col("__n1")) * sqrt(col("__n2")))).as("cos_corpus"))
+  }
+
   /** One-row two-sample KS: (n_a, n_b, ks_num, ks) — `a` vs `b` on an
     * integer feature. A two-source [[ksPerSource]] (source "a"'s
     * complement IS b), so the grid algebra and exactness carry over.

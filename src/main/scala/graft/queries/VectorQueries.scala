@@ -713,6 +713,42 @@ object VectorQueries extends QuerySet {
        |    / CAST(COUNT(*) AS DOUBLE) AS agree
        |FROM s WHERE rn <= 10 GROUP BY vec_id, label ORDER BY vec_id""".stripMargin
 
+  /** Embedding-space drift per label: cosine of each label's centroid
+    * to the corpus centroid on the 2^20 integer grid — exact BIGINT
+    * sum vectors, ordered double folds for dot/norms (fold order
+    * fixed ⇒ engine-identical despite float accumulation). The
+    * vector-space companion to q182/q200's scalar drift. See
+    * [[graft.operators.Drift.centroidDrift]]. */
+  private def q214(s: SparkSession, d: String): DataFrame =
+    graft.operators.Drift.centroidDrift(
+        t(s, d, "embeddings"), "label", "embedding", gridBits = 20)
+      .select(col("label"), col("n"), col("cos_corpus"))
+      .orderBy(col("label"))
+
+  private val q214Sql =
+    """WITH e AS (SELECT label,
+      |    unnest(list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))) AS el,
+      |    unnest(range(len(embedding))) AS pos
+      |  FROM embeddings),
+      |pd AS (SELECT label, pos, CAST(SUM(el) AS BIGINT) AS s, COUNT(*) AS cnt
+      |       FROM e GROUP BY label, pos),
+      |gs AS (SELECT label, list(s ORDER BY pos) AS sums, MIN(cnt) AS n
+      |       FROM pd GROUP BY label),
+      |cs AS (SELECT list(cs ORDER BY pos) AS csums
+      |       FROM (SELECT pos, CAST(SUM(s) AS BIGINT) AS cs FROM pd GROUP BY pos)),
+      |m AS (SELECT label, n,
+      |    list_reduce(list_transform(list_zip(sums, csums),
+      |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b) AS dot,
+      |    list_reduce(list_transform(sums,
+      |      a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)), (a, b) -> a + b) AS n1,
+      |    list_reduce(list_transform(csums,
+      |      a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)), (a, b) -> a + b) AS n2
+      |  FROM gs CROSS JOIN cs)
+      |SELECT label, CAST(n AS BIGINT) AS n,
+      |  dot / (sqrt(n1) * sqrt(n2)) AS cos_corpus
+      |FROM m ORDER BY label""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q30_knn_exact", q30, Some(q30Sql), headline = true),
     Q("q31_knn_join_window", q31, Some(knnJoinSql)),
@@ -738,5 +774,6 @@ object VectorQueries extends QuerySet {
     Q("q130_embedding_outliers", q130, Some(q130Sql)),
     Q("q134_mmr_diversified", q134, Some(q134Sql)),
     Q("q136_random_projection", q136, Some(q136Sql)),
-    Q("q205_label_agreement", q205, Some(q205Sql)))
+    Q("q205_label_agreement", q205, Some(q205Sql)),
+    Q("q214_centroid_drift", q214, Some(q214Sql)))
 }

@@ -81,6 +81,21 @@ class DriftSpec extends AnyFunSuite with SparkSuite {
     assert(out.length == 1 && out.head.getLong(2) == 0L && out.head.isNullAt(4))
   }
 
+  test("centroid drift: aligned group ~1, opposed group negative, partition-invariant") {
+    import spark.implicits._
+    // group a: 30 vectors near +e1; group b: 3 vectors near -e1
+    val rows = (1 to 30).map(i => ("a", Array(1f, 0.001f * i))) ++
+      (1 to 3).map(i => ("b", Array(-1f, 0.001f * i)))
+    val df = rows.toDF("g", "vec")
+    val m = Drift.centroidDrift(df, "g", "vec")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m("a")._1 == 30L && m("a")._2 > 0.95)
+    assert(m("b")._1 == 3L && m("b")._2 < 0.0)
+    val p = Drift.centroidDrift(df.repartition(7), "g", "vec")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(p("a") == m("a")._2 && p("b") == m("b")._2) // bit-identical
+  }
+
   test("KS matches brute-force EDF sup on random data, any partitioning") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
