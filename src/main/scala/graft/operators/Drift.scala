@@ -146,6 +146,40 @@ object Drift {
         (col("__dot") / (sqrt(col("__n1")) * sqrt(col("__n2")))).as("cos_corpus"))
   }
 
+  /** Embedding covariance audit — the full d×d second-moment matrix on
+    * the integer grid: dead dimensions (zero variance), scale-skewed
+    * dimensions, and strongly-correlated dimension pairs (anisotropy —
+    * the reason raw embedding cosines saturate) all read directly off
+    * this table, and it is the exact input a whitening/PCA step would
+    * consume. Gate columns are the raw EXACT sums (Σqᵢqⱼ, Σqᵢ, Σqⱼ, n
+    * — each bounded by n·2^(2·gridBits), no overflow for gridBits=20
+    * up to ~10⁶ rows; lower gridBits for more) and the closing
+    * covariance is structured double arithmetic (each op correctly
+    * rounded ⇒ engine-identical).
+    *
+    * Scale shape: the d² outer product explodes MAP-SIDE into a
+    * map-side-combined (i, j) aggregate — the shuffle carries d²
+    * summary rows per task, never rows×d². d is the embedding dim
+    * (64–4096): d² output rows are a driver-friendly table by
+    * construction. Only the upper triangle (i ≤ j) is emitted. */
+  def covarianceAudit(df: DataFrame, vecCol: String,
+                      gridBits: Int = 20): DataFrame = {
+    val grid = 1L << gridBits
+    val q = df.select(transform(col(vecCol),
+      x => floor(x.cast("double") * grid).cast("long")).as("__q"))
+    val pairs = q.select(posexplode(col("__q")).as(Seq("i", "qi")), col("__q"))
+      .select(col("i"), col("qi"), posexplode(col("__q")).as(Seq("j", "qj")))
+      .filter(col("i") <= col("j"))
+    pairs.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("qi") * col("qj")).as("sxy"),
+        sum(col("qi")).as("sx"), sum(col("qj")).as("sy"))
+      .withColumn("cov",
+        (col("sxy").cast("double") / col("n").cast("double") -
+          (col("sx").cast("double") / col("n").cast("double")) *
+            (col("sy").cast("double") / col("n").cast("double"))) /
+          (grid.toDouble * grid.toDouble))
+  }
+
   /** One-row two-sample KS: (n_a, n_b, ks_num, ks) — `a` vs `b` on an
     * integer feature. A two-source [[ksPerSource]] (source "a"'s
     * complement IS b), so the grid algebra and exactness carry over.

@@ -749,6 +749,35 @@ object VectorQueries extends QuerySet {
       |  dot / (sqrt(n1) * sqrt(n2)) AS cos_corpus
       |FROM m ORDER BY label""".stripMargin
 
+  /** Embedding covariance audit: the exact upper-triangle second-moment
+    * table on the 2^20 grid — dead dims, scale skew, and anisotropic
+    * pairs read off directly; the exact input a whitening step would
+    * consume. Gate columns are raw BIGINT sums; covariance closes in
+    * structured double arithmetic. See
+    * [[graft.operators.Drift.covarianceAudit]]. */
+  private def q215(s: SparkSession, d: String): DataFrame =
+    graft.operators.Drift.covarianceAudit(
+        t(s, d, "embeddings"), "embedding", gridBits = 20)
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("n"), col("sxy"), col("sx"), col("sy"), col("cov"))
+      .orderBy(col("i"), col("j"))
+
+  private val q215Sql =
+    """WITH q AS (SELECT list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |p AS (SELECT i.i AS i, j.j AS j, qv[i.i + 1] AS qi, qv[j.j + 1] AS qj
+      |      FROM q, unnest(range(len(qv))) AS i(i), unnest(range(len(qv))) AS j(j)
+      |      WHERE i.i <= j.j)
+      |SELECT i, j, COUNT(*) AS n,
+      |  CAST(SUM(qi * qj) AS BIGINT) AS sxy,
+      |  CAST(SUM(qi) AS BIGINT) AS sx, CAST(SUM(qj) AS BIGINT) AS sy,
+      |  (CAST(SUM(qi * qj) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)
+      |   - (CAST(SUM(qi) AS BIGINT) / CAST(COUNT(*) AS DOUBLE))
+      |     * (CAST(SUM(qj) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)))
+      |  / (1048576.0 * 1048576.0) AS cov
+      |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q30_knn_exact", q30, Some(q30Sql), headline = true),
     Q("q31_knn_join_window", q31, Some(knnJoinSql)),
@@ -775,5 +804,6 @@ object VectorQueries extends QuerySet {
     Q("q134_mmr_diversified", q134, Some(q134Sql)),
     Q("q136_random_projection", q136, Some(q136Sql)),
     Q("q205_label_agreement", q205, Some(q205Sql)),
-    Q("q214_centroid_drift", q214, Some(q214Sql)))
+    Q("q214_centroid_drift", q214, Some(q214Sql)),
+    Q("q215_embedding_covariance", q215, Some(q215Sql)))
 }

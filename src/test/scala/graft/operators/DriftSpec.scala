@@ -96,6 +96,27 @@ class DriftSpec extends AnyFunSuite with SparkSuite {
     assert(p("a") == m("a")._2 && p("b") == m("b")._2) // bit-identical
   }
 
+  test("covariance audit: dead dim, correlated pair, exact sums partition-invariant") {
+    import spark.implicits._
+    // dim0 = dim1 (perfectly correlated), dim2 constant (dead)
+    val rows = (1 to 64).map { i =>
+      val v = (i % 8).toFloat / 8f
+      Tuple1(Array(v, v, 0.5f))
+    }
+    val df = rows.toDF("vec")
+    val out = Drift.covarianceAudit(df, "vec")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(6))).toMap
+    assert(out.size == 6) // upper triangle of 3x3
+    assert(out((2, 2))._3 == 0.0, "dead dim must have zero variance")
+    // var(d0) == var(d1) == cov(d0, d1) for identical dims
+    assert(out((0, 0))._3 == out((0, 1))._3 && out((0, 1))._3 == out((1, 1))._3)
+    assert(out((0, 0))._3 > 0.0)
+    val p = Drift.covarianceAudit(df.repartition(7), "vec")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(out.forall { case (k, v) => p(k) == v._2 }) // exact sums identical
+  }
+
   test("KS matches brute-force EDF sup on random data, any partitioning") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
