@@ -55,27 +55,27 @@ object Bootstrap {
         * lit(2654435761L),
       lit(4294967296L))
     val rep = df
-      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("x"), col(idCol))
+      .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__x"), col(idCol))
       .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
       .withColumn("__w", weight(u))
-      .groupBy(col("g"), col("__b"))
-      .agg(sum(col("__w")).as("den"), sum(col("x") * col("__w")).as("num"))
+      .groupBy(col("__g"), col("__b"))
+      .agg(sum(col("__w")).as("den"), sum(col("__x") * col("__w")).as("num"))
       .filter(col("den") > 0)
       .withColumn("mean_b", col("num").cast("double") / col("den").cast("double"))
-    val w = Window.partitionBy(col("g")).orderBy(col("mean_b"), col("__b"))
-    val wg = Window.partitionBy(col("g"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("mean_b"), col("__b"))
+    val wg = Window.partitionBy(col("__g"))
     def pick(q: Double) =
       floor(lit(q) * (col("nb") - 1)).cast("long") + 1
     val ci = rep
       .withColumn("rn", row_number().over(w))
       .withColumn("nb", count(lit(1)).over(wg))
-      .groupBy(col("g"))
+      .groupBy(col("__g"))
       .agg(max(when(col("rn") === pick(loQ), col("mean_b"))).as("lo"),
         max(when(col("rn") === pick(hiQ), col("mean_b"))).as("hi"))
-    df.groupBy(col(groupCol).as("g"))
+    df.groupBy(col(groupCol).as("__g"))
       .agg(count(lit(1)).as("n"), sum(col(valueCol).cast("long")).as("sx"))
-      .join(ci, "g")
-      .select(col("g").as(groupCol), col("n"),
+      .join(ci, "__g")
+      .select(col("__g").as(groupCol), col("n"),
         (col("sx").cast("double") / col("n").cast("double")).as("mean"),
         col("lo"), col("hi"))
   }
