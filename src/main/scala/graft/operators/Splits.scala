@@ -91,6 +91,40 @@ object Splits {
     df.withColumn("fold", hashBucket(stringKey(col(groupCol)), k))
   }
 
+  /** Neyman-optimal stratified allocation (Neyman 1934): how many eval
+    * samples to draw from each stratum when the budget is fixed —
+    * n_h ∝ N_h·σ_h, the allocation that minimizes the estimator's
+    * variance (big AND internally-diverse strata get more; a huge but
+    * uniform stratum needs few samples). The derivation every
+    * eval-set builder eyeballs, made exact and replayable:
+    * per-stratum variance from integer moment sums
+    * (N·Σx² − (Σx)² — overflow bound N_h·Σx² < 2⁶³, pre-scale x for
+    * more), σ via IEEE sqrt (correctly rounded), the normalizer as an
+    * ordered fold over strata sorted by key (the q212 discipline),
+    * and the final allocation on a half-up integer grid. Feed the
+    * result to the stratified sampler (q69) as per-stratum fractions.
+    *
+    * Scale shape: one map-side-combined moment aggregate (one row per
+    * stratum) + a broadcast normalizer — the corpus is scanned once. */
+  def neymanAllocation(df: DataFrame, groupCol: String, valueCol: String,
+                       nTotal: Long): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val stats = df.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("n_h"), sum(x).as("__sx"), sum(x * x).as("__sxx"))
+      .withColumn("sigma", sqrt(
+        (col("n_h") * col("__sxx") - col("__sx") * col("__sx")).cast("double") /
+          (col("n_h") * col("n_h")).cast("double")))
+      .withColumn("__w", col("n_h").cast("double") * col("sigma"))
+    val z = stats
+      .agg(array_sort(collect_list(struct(col("__g"), col("__w")))).as("ps"))
+      .select(aggregate(transform(col("ps"), p => p("__w")),
+        lit(0.0), (a, b) => a + b).as("__z"))
+    stats.crossJoin(broadcast(z))
+      .select(col("__g").as(groupCol), col("n_h"), col("sigma"),
+        floor(lit(nTotal.toDouble) * col("__w") / col("__z") + 0.5)
+          .cast("long").as("alloc"))
+  }
+
   /** Deterministic global shuffle: order the corpus by the seeded stable
     * hash of its id — the reproducible "shuffle the training data" step
     * (same order on any cluster, any partitioning, any engine; a new

@@ -2125,6 +2125,35 @@ object TextQueries extends QuerySet {
       |FROM g LEFT JOIN r ON r.source = g.source AND r.rn = g.best_rank
       |ORDER BY g.source""".stripMargin
 
+  /** Neyman-optimal eval-budget allocation across sources: 200 eval
+    * slots split ∝ N_h·σ_h of doc length — the variance-minimizing
+    * stratified design, derived exactly (integer moments, IEEE sqrt,
+    * ordered-fold normalizer, half-up grid). Feeds q69's stratified
+    * sampler. See [[graft.operators.Splits.neymanAllocation]]. */
+  private def q216(s: SparkSession, d: String): DataFrame =
+    Splits.neymanAllocation(
+        t(s, d, "documents").select(col("source"), col("n_chars")),
+        "source", "n_chars", nTotal = 200L)
+      .select(col("source"), col("n_h"), col("sigma"), col("alloc"))
+      .orderBy(col("source"))
+
+  private val q216Sql =
+    """WITH st AS (SELECT source, COUNT(*) AS n_h,
+      |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+      |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+      |  FROM documents GROUP BY source),
+      |s2 AS (SELECT source, n_h,
+      |    sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE)
+      |         / CAST(n_h * n_h AS DOUBLE)) AS sigma
+      |  FROM st),
+      |w AS (SELECT source, n_h, sigma, CAST(n_h AS DOUBLE) * sigma AS w FROM s2),
+      |z AS (SELECT list_reduce(list(w ORDER BY source), (a, b) -> a + b) AS z
+      |      FROM w)
+      |SELECT source, n_h, sigma,
+      |  CAST(floor(CAST(200 AS DOUBLE) * w / (SELECT z FROM z) + 0.5) AS BIGINT)
+      |    AS alloc
+      |FROM w ORDER BY source""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -2191,7 +2220,8 @@ object TextQueries extends QuerySet {
     Q("q210_bpe_apply", q210, Some(q210Sql)),
     Q("q211_group_kfold", q211, Some(q211Sql)),
     Q("q212_temperature_mix", q212, Some(q212Sql)),
-    Q("q213_precision_threshold", q213, Some(q213Sql)))
+    Q("q213_precision_threshold", q213, Some(q213Sql)),
+    Q("q216_neyman_allocation", q216, Some(q216Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the

@@ -239,6 +239,32 @@ class SplitsSpec extends AnyFunSuite with SparkSuite {
     assert(a.toSet == b)
   }
 
+  test("neyman allocation: zero-variance stratum gets 0; allocation tracks N*sigma") {
+    import spark.implicits._
+    // flat: constant values (sigma 0); spread: values 0..9 repeating
+    val rows = (1 to 100).map(i => ("flat", 50L)) ++
+      (1 to 100).map(i => ("spread", (i % 10).toLong)) ++
+      (1 to 400).map(i => ("spread4x", (i % 10).toLong))
+    val m = Splits.neymanAllocation(rows.toDF("g", "v"), "g", "v", nTotal = 100L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(m("flat") == ((100L, 0.0, 0L)))
+    // same sigma, 4x the rows -> 4x the allocation (80 vs 20)
+    assert(m("spread")._2 == m("spread4x")._2)
+    assert(m("spread")._3 == 20L && m("spread4x")._3 == 80L)
+  }
+
+  test("neyman allocation is partition-invariant (exact moments + ordered fold)") {
+    import spark.implicits._
+    val rows = (1L to 500L).map(i => (s"s${i % 5}", i % 37))
+    val df = rows.toDF("g", "v")
+    val a = Splits.neymanAllocation(df.coalesce(1), "g", "v", 1000L)
+      .orderBy("g").collect().toSeq
+    val b = Splits.neymanAllocation(df.repartition(13), "g", "v", 1000L)
+      .orderBy("g").collect().toSeq
+    assert(a == b && a.size == 5)
+  }
+
   test("group k-fold sizes balance statistically at group-count scale") {
     import spark.implicits._
     val df = (1L to 5000L).map(i => (i, s"g$i")).toDF("id", "g") // singleton groups
