@@ -79,6 +79,47 @@ object Bfs {
     reached
   }
 
+  /** Sampled-source harmonic centrality (Eppstein & Wang 2004 shape):
+    * H(v) = Σ_{s∈seeds} 1/d(s, v) over a bounded seed sample — the
+    * centrality that, unlike closeness, handles disconnection
+    * gracefully (unreached pairs contribute 0, no ∞). Needs PER-SEED
+    * distances, which [[hops]]'s nearest-source semantics can't give —
+    * so the walk runs on the seed-product graph: node' = seed·2^40 +
+    * node (ids must be < 2^40 — guarded), edges replicated per seed,
+    * ONE [[hops]] call. Replicated-edge cost is seeds×|E| — seeds are
+    * a bounded sample by contract, which is also what makes the
+    * estimator the standard one at scale.
+    *
+    * Exactness: distances are exact integers; 1/d is correctly
+    * rounded; the per-node sum folds over seeds in SORTED seed order
+    * (the fixed-fold-order discipline) — engine-identical doubles. */
+  def harmonicCentrality(edges: DataFrame, aCol: String, bCol: String,
+                         seeds: Seq[Long], maxHops: Int): DataFrame = {
+    require(seeds.nonEmpty, "need at least one seed")
+    val Big = 1L << 40
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val checkedA = when(col(aCol) >= Big || col(aCol) < 0 ||
+        col(bCol) >= Big || col(bCol) < 0,
+      raise_error(lit(s"harmonicCentrality: node id out of [0, $Big)")))
+      .otherwise(col(aCol).cast("long"))
+    val eX = seeds.map { s0 =>
+      edges.select((lit(s0) * Big + checkedA).as("a"),
+        (lit(s0) * Big + col(bCol).cast("long")).as("b"))
+    }.reduce(_ unionByName _)
+    val src = seeds.map(s0 => s0 * Big + s0).toDF("node")
+    hops(eX, "a", "b", src, maxHops)
+      .filter(col("dist") > 0) // self-distance contributes nothing
+      .select(expr(s"node div ${Big}L").as("__seed"),
+        pmod(col("node"), lit(Big)).as("node"), col("dist"))
+      .groupBy(col("node"))
+      .agg(array_sort(collect_list(struct(col("__seed"), col("dist")))).as("ps"))
+      .select(col("node"),
+        size(col("ps")).cast("long").as("n_seeds_reached"),
+        aggregate(transform(col("ps"), p => lit(1.0) / p("dist").cast("double")),
+          lit(0.0), (a, x) => a + x).as("harmonic"))
+  }
+
   /** Unrolled oracle CTEs: `edgesCte` must define a deduplicated
     * canonical relation h0(a, b) with a < b; `sourcesCte` a relation
     * s(node). Produces r0..r<hops> with post-exhaustion rounds as

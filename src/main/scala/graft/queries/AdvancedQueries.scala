@@ -1663,6 +1663,41 @@ object AdvancedQueries extends QuerySet {
       |  CAST(SUM(s) AS DOUBLE) / power(2, 20) AS decayed
       |FROM sc GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Sampled-source harmonic centrality over the co-supply graph:
+    * H(v) = Σ_s 1/d(s,v) from five supplier seeds within 4 hops —
+    * the disconnection-tolerant centrality (unreached pairs add 0),
+    * estimated from a bounded seed sample as at scale. Runs as ONE
+    * BFS on the seed-product graph (node' = seed·2^40 + node); exact
+    * integer distances, ordered fold over seeds. See
+    * [[graft.operators.Bfs.harmonicCentrality]]. */
+  private def q217(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").filter(col("l_quantity") <= 2)
+      .select((col("l_suppkey").cast("long") * 2).as("a"),
+        (col("l_partkey").cast("long") * 2 + 1).as("b"))
+    graft.operators.Bfs.harmonicCentrality(li, "a", "b",
+        seeds = Seq(2L, 4L, 6L, 8L, 10L), maxHops = 4)
+      .select(col("node"), col("n_seeds_reached"), col("harmonic"))
+      .orderBy(col("node"))
+  }
+
+  private val q217Sql = {
+    val big = 1L << 40
+    val edges =
+      s"""SELECT DISTINCT sd.s * $big + least(l_suppkey * 2, l_partkey * 2 + 1) AS a,
+         |    sd.s * $big + greatest(l_suppkey * 2, l_partkey * 2 + 1) AS b
+         |  FROM lineitem CROSS JOIN (SELECT unnest([2, 4, 6, 8, 10]) AS s) sd
+         |  WHERE l_quantity <= 2""".stripMargin
+    val sources =
+      s"SELECT s * $big + s AS node FROM (SELECT unnest([2, 4, 6, 8, 10]) AS s)"
+    s"""WITH ${graft.operators.Bfs.oracleCtes(edges, sources, hops = 4)}
+       |SELECT nd AS node, CAST(COUNT(*) AS BIGINT) AS n_seeds_reached,
+       |  list_reduce(list_transform(list(dist ORDER BY seed),
+       |    d_ -> 1.0 / CAST(d_ AS DOUBLE)), (x, y) -> x + y) AS harmonic
+       |FROM (SELECT node // $big AS seed, node % $big AS nd, dist
+       |      FROM r4 WHERE dist > 0)
+       |GROUP BY nd ORDER BY node""".stripMargin
+  }
+
   override val queries: Seq[Q] = Seq(
     Q("q23_asof_join", q23, Some(q23Sql), headline = true),
     Q("q24_sessionize", q24, Some(q24Sql), headline = true),
@@ -1683,6 +1718,7 @@ object AdvancedQueries extends QuerySet {
     Q("q68_unpivot", q68, Some(q68Sql)),
     Q("q204_frequent_itemsets", q204, Some(q204Sql)),
     Q("q207_decayed_engagement", q207, Some(q207Sql)),
+    Q("q217_harmonic_centrality", q217, Some(q217Sql)),
     Q("q71_range_frame_window", q71, Some(q71Sql)),
     Q("q72_nullsafe_join", q72, Some(q72Sql)),
     Q("q73_approx_percentiles", q73, Some(q73Sql)),
