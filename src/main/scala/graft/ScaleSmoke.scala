@@ -199,7 +199,12 @@ object ScaleSmoke {
       // narrow; q207 is one decimal aggregate over events ×10
       "q200_ks_drift", "q202_record_linkage", "q203_poisson_bootstrap",
       "q204_frequent_itemsets", "q206_quantile_normalize",
-      "q207_decayed_engagement")
+      "q207_decayed_engagement",
+      // r11 late additions: q209 = linkage pairs ×10 (relabeled part
+      // copies) through the size-adaptive CC; q217 = one product-graph
+      // BFS over edges ×10 ×5 seeds (replication factor is the chosen
+      // seed count, frontier cost tracks reached nodes)
+      "q209_entity_groups", "q217_harmonic_centrality")
     val qmap = SparkEntry.queries
     // Local-iteration filter (the Verify/Bench idiom): SPARK_GRAFT_ONLY
     // runs only matching smoke queries — new rows don't force re-paying
