@@ -2226,7 +2226,7 @@ object TextQueries extends QuerySet {
     Q("q202_record_linkage", q202, Some(q202Sql), headline = true),
     Q("q203_poisson_bootstrap", q203, Some(q203Sql)),
     Q("q206_quantile_normalize", q206, Some(q206Sql)),
-    Q("q209_entity_groups", q209, Some(q209Sql)),
+    Q("q209_entity_groups", q209, Some(q209Sql), headline = true),
     Q("q210_bpe_apply", q210, Some(q210Sql)),
     Q("q211_group_kfold", q211, Some(q211Sql)),
     Q("q212_temperature_mix", q212, Some(q212Sql)),
