@@ -2164,6 +2164,39 @@ object TextQueries extends QuerySet {
       |    AS alloc
       |FROM w ORDER BY source""".stripMargin
 
+  /** Declared-vs-detected language confusion — the metadata-trust
+    * audit: a feed whose declared `lang` went wrong (mislabeled
+    * scrape, wrong default) shows as off-diagonal mass before anyone
+    * trains on "English" that isn't. One codegen lang-id projection
+    * (q44's operator) + one map-side-combined count; the matrix is
+    * |langs|² rows by construction. */
+  private def q218(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("lang"), langId(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("lang_pred"))
+
+  private val q218Sql = {
+    def sl(lang: String) =
+      StopwordLists.toMap.apply(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    val langs = StopwordLists.map(_._1)
+    val scores = langs.map(l => s"len(list_intersect(w, ${sl(l)})) AS s_$l").mkString(",\n  ")
+    val g = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN s_$l = $g THEN '$l'").mkString("\n  ")
+    s"""WITH w AS (SELECT lang, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+       |           FROM documents),
+       |sc AS (SELECT lang,
+       |  $scores
+       |FROM w),
+       |p AS (SELECT lang, CASE WHEN $g = 0 THEN 'und'
+       |  $cases
+       |  END AS lang_pred
+       |FROM sc)
+       |SELECT lang, lang_pred, COUNT(*) AS n
+       |FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
+  }
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -2231,7 +2264,8 @@ object TextQueries extends QuerySet {
     Q("q211_group_kfold", q211, Some(q211Sql)),
     Q("q212_temperature_mix", q212, Some(q212Sql)),
     Q("q213_precision_threshold", q213, Some(q213Sql)),
-    Q("q216_neyman_allocation", q216, Some(q216Sql)))
+    Q("q216_neyman_allocation", q216, Some(q216Sql)),
+    Q("q218_lang_confusion", q218, Some(q218Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the
