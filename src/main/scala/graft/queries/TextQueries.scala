@@ -2197,6 +2197,67 @@ object TextQueries extends QuerySet {
        |FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
   }
 
+  /** Dedup survivorship report — the per-source accounting every
+    * curation run publishes: of each source's documents, how many fell
+    * to exact dedup, how many to near-dup (Jaccard ≥ 0.85 on exact
+    * survivors, larger id removed — the first-wins rule), how many
+    * survive. One composed DAG of the audited q40 + q41 machinery;
+    * the removal ledger columns must sum back to n_docs by
+    * construction, so a drop anywhere breaks the hash. */
+  private def q219(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("source"), col("text"))
+    val keep = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    val surv0 = docs.join(keep, Seq("doc_id"), "left_semi")
+    val pairs = Dedup.ngramJaccardPairs(surv0, "doc_id", "text",
+      n = 3, threshold = 0.85, hashShingles = true)
+    val nearRemoved = pairs.select(col("b_id").as("doc_id")).distinct()
+    val ex = docs.join(keep, Seq("doc_id"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_exact_removed"))
+    val nr = surv0.join(nearRemoved, Seq("doc_id"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_near_removed"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(ex, Seq("source"), "left")
+      .join(nr, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_exact_removed"), lit(0L)).as("n_exact_removed"),
+        coalesce(col("n_near_removed"), lit(0L)).as("n_near_removed"),
+        (col("n_docs") - coalesce(col("n_exact_removed"), lit(0L)) -
+          coalesce(col("n_near_removed"), lit(0L))).as("n_survivors"))
+      .orderBy(col("source"))
+  }
+
+  private val q219Sql =
+    """WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+      |surv AS (SELECT d.doc_id, d.source, d.text
+      |         FROM documents d JOIN keep USING (doc_id)),
+      |w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |      FROM surv),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(len(w) - 2),
+      |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+      |       FROM w WHERE len(w) >= 3),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT a_id, b_id FROM inter
+      |          JOIN sizes sa ON sa.doc_id = a_id
+      |          JOIN sizes sb ON sb.doc_id = b_id
+      |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.85),
+      |nrm AS (SELECT DISTINCT b_id AS doc_id FROM pairs),
+      |base AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      |ex AS (SELECT source, COUNT(*) AS n_exact_removed FROM documents
+      |       WHERE doc_id NOT IN (SELECT doc_id FROM keep) GROUP BY source),
+      |nrg AS (SELECT source, COUNT(*) AS n_near_removed
+      |        FROM surv JOIN nrm USING (doc_id) GROUP BY source)
+      |SELECT b.source, n_docs,
+      |  CAST(COALESCE(n_exact_removed, 0) AS BIGINT) AS n_exact_removed,
+      |  CAST(COALESCE(n_near_removed, 0) AS BIGINT) AS n_near_removed,
+      |  n_docs - CAST(COALESCE(n_exact_removed, 0) AS BIGINT)
+      |         - CAST(COALESCE(n_near_removed, 0) AS BIGINT) AS n_survivors
+      |FROM base b LEFT JOIN ex USING (source) LEFT JOIN nrg USING (source)
+      |ORDER BY source""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -2265,7 +2326,8 @@ object TextQueries extends QuerySet {
     Q("q212_temperature_mix", q212, Some(q212Sql)),
     Q("q213_precision_threshold", q213, Some(q213Sql)),
     Q("q216_neyman_allocation", q216, Some(q216Sql)),
-    Q("q218_lang_confusion", q218, Some(q218Sql)))
+    Q("q218_lang_confusion", q218, Some(q218Sql)),
+    Q("q219_dedup_survivorship", q219, Some(q219Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the
