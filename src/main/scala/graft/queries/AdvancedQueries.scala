@@ -1698,6 +1698,40 @@ object AdvancedQueries extends QuerySet {
        |GROUP BY nd ORDER BY node""".stripMargin
   }
 
+  /** Rolling 7-day distinct users (WAU) — the rolling-distinct shape a
+    * plain window CANNOT express (distinct doesn't decompose over
+    * frames): each event joins the ≤7 observed window-end days it
+    * covers (cover factor = window length, a narrow bounded join with
+    * the broadcast day table), then one distinct-count per window end.
+    * The mergeable-sketch path is gated IN-QUERY (q28 pattern): the
+    * HLL estimate per day must sit within 5·rsd of exact or the
+    * output zeroes — exact is the verify-scale gate, the sketch is
+    * the 100 TB operator (bounded state, mergeable across days). */
+  private def q220(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val days = ev.select(col("day").as("win_end")).distinct()
+    val cover = ev.join(broadcast(days),
+      col("win_end") >= col("day") && col("win_end") <= date_add(col("day"), 6))
+    val exact = cover.groupBy(col("win_end"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    val est = cover.groupBy(col("win_end"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("wau_est"))
+    val offBound = exact.join(est, "win_end")
+      .filter(abs(col("wau_est") - col("wau")) >
+        lit(5 * 0.02) * col("wau").cast("double"))
+      .count()
+    val out = exact.orderBy(col("win_end"))
+    if (offBound == 0L) out else out.limit(0)
+  }
+
+  private val q220Sql =
+    """WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+      |days AS (SELECT DISTINCT day AS win_end FROM ev)
+      |SELECT win_end, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      |FROM ev e JOIN days d ON d.win_end >= e.day AND d.win_end <= e.day + 6
+      |GROUP BY win_end ORDER BY win_end""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q23_asof_join", q23, Some(q23Sql), headline = true),
     Q("q24_sessionize", q24, Some(q24Sql), headline = true),
@@ -1719,6 +1753,7 @@ object AdvancedQueries extends QuerySet {
     Q("q204_frequent_itemsets", q204, Some(q204Sql)),
     Q("q207_decayed_engagement", q207, Some(q207Sql)),
     Q("q217_harmonic_centrality", q217, Some(q217Sql)),
+    Q("q220_rolling_distinct", q220, Some(q220Sql)),
     Q("q71_range_frame_window", q71, Some(q71Sql)),
     Q("q72_nullsafe_join", q72, Some(q72Sql)),
     Q("q73_approx_percentiles", q73, Some(q73Sql)),
