@@ -204,7 +204,9 @@ object ScaleSmoke {
       // copies) through the size-adaptive CC; q217 = one product-graph
       // BFS over edges ×10 ×5 seeds (replication factor is the chosen
       // seed count, frontier cost tracks reached nodes)
-      "q209_entity_groups", "q217_harmonic_centrality")
+      "q209_entity_groups", "q217_harmonic_centrality",
+      // q220: cover factor = window length over events ×10 — linear
+      "q220_rolling_distinct")
     val qmap = SparkEntry.queries
     // Local-iteration filter (the Verify/Bench idiom): SPARK_GRAFT_ONLY
     // runs only matching smoke queries — new rows don't force re-paying
