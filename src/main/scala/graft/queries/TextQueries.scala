@@ -2258,6 +2258,57 @@ object TextQueries extends QuerySet {
       |FROM base b LEFT JOIN ex USING (source) LEFT JOIN nrg USING (source)
       |ORDER BY source""".stripMargin
 
+  /** PII incidence report — the corpus-level audit OVER q87's per-row
+    * machinery: per nation-cohort, how many rows carry each PII kind
+    * and the total match counts — the "how contaminated is this feed,
+    * and is redaction load balanced" question a privacy review asks
+    * before (and after) running the redactor. Same synthesized PII
+    * and staged regex semantics as q87 (hash-green there), one
+    * map-side-combined roll-up here. */
+  private def q221(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.PiiFunctions._
+    val raw = concat(
+      col("c_name"), lit(" <user"), col("c_custkey"), lit("@example.com> ip 10.0."),
+      col("c_nationkey"), lit("."), col("c_custkey") % 200, lit(" tel 555-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"))
+    val counts = piiCounts(raw).map { case (n, c) => c.cast("long").as(n) }
+    t(s, d, "customer")
+      .select(col("c_nationkey") +: counts: _*)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_emails")).as("total_emails"),
+        sum(when(col("n_emails") > 0, 1L).otherwise(0L)).as("rows_with_email"),
+        sum(col("n_ips")).as("total_ips"),
+        sum(col("n_phones")).as("total_phones"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  private val q221Sql = {
+    import graft.functions.PiiFunctions._
+    s"""WITH raw AS (SELECT c_nationkey,
+       |  c_name || ' <user' || c_custkey || '@example.com> ip 10.0.' || c_nationkey
+       |    || '.' || (c_custkey % 200) || ' tel 555-'
+       |    || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS t
+       |  FROM customer),
+       |steps AS (SELECT c_nationkey, t,
+       |    regexp_replace(t, '$EmailRe', '<EMAIL>', 'g') AS t1,
+       |    regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+       |      '$Ipv4Re', '<IP>', 'g') AS t2
+       |  FROM raw),
+       |cnt AS (SELECT c_nationkey,
+       |    len(regexp_extract_all(t, '$EmailRe')) AS n_emails,
+       |    len(regexp_extract_all(t1, '$Ipv4Re')) AS n_ips,
+       |    len(regexp_extract_all(t2, '$PhoneRe')) AS n_phones
+       |  FROM steps)
+       |SELECT c_nationkey, COUNT(*) AS n_rows,
+       |  CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+       |  CAST(SUM(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS rows_with_email,
+       |  CAST(SUM(n_ips) AS BIGINT) AS total_ips,
+       |  CAST(SUM(n_phones) AS BIGINT) AS total_phones
+       |FROM cnt GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+  }
+
   override val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_dedup_ngram_jaccard", q41, Some(jaccardSql("0.8")), headline = true),
@@ -2327,7 +2378,8 @@ object TextQueries extends QuerySet {
     Q("q213_precision_threshold", q213, Some(q213Sql)),
     Q("q216_neyman_allocation", q216, Some(q216Sql)),
     Q("q218_lang_confusion", q218, Some(q218Sql)),
-    Q("q219_dedup_survivorship", q219, Some(q219Sql)))
+    Q("q219_dedup_survivorship", q219, Some(q219Sql)),
+    Q("q221_pii_incidence", q221, Some(q221Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the
