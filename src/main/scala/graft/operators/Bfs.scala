@@ -97,6 +97,14 @@ object Bfs {
                          seeds: Seq[Long], maxHops: Int): DataFrame = {
     require(seeds.nonEmpty, "need at least one seed")
     val Big = 1L << 40
+    // composite ids are seed·2^40 + node: a seed ≥ 2^23 would overflow
+    // signed 64-bit in the multiplication and corrupt the whole walk
+    // silently — fail loudly instead (the edge-id guard below only
+    // covers node ids)
+    val maxSeed = Long.MaxValue / Big
+    require(seeds.forall(s0 => s0 >= 0 && s0 < maxSeed),
+      s"harmonicCentrality: seed ids must be in [0, $maxSeed) — " +
+        s"got ${seeds.filterNot(s0 => s0 >= 0 && s0 < maxSeed).mkString(",")}")
     val spark = edges.sparkSession
     import spark.implicits._
     val checkedA = when(col(aCol) >= Big || col(aCol) < 0 ||

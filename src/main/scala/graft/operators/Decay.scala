@@ -31,8 +31,16 @@ object Decay {
     * timestamp, clamped to `maxAge`. */
   def halfLife(df: DataFrame, groupCol: String, tsCol: String,
                valueCol: String, periodDays: Int, maxAge: Int = 20): DataFrame = {
-    val ref = df.agg(max(to_date(col(tsCol))).as("__ref")) // one row
-    val scaled = df
+    // 2^maxAge·Σ|value| must fit DECIMAL(38,2) — the documented bound
+    require(maxAge >= 0 && maxAge <= 40,
+      s"halfLife: maxAge must be in [0, 40], got $maxAge")
+    // A NULL timestamp has no age: Spark's least() skips NULLs, which
+    // would silently give such a row age = maxAge (floor weight) and
+    // count it in n. Excluded by definition instead — the ksPerSource
+    // NULL discipline.
+    val rows = df.filter(to_date(col(tsCol)).isNotNull)
+    val ref = rows.agg(max(to_date(col(tsCol))).as("__ref")) // one row
+    val scaled = rows
       .crossJoin(broadcast(ref))
       .withColumn("__age",
         least(expr(s"datediff(__ref, to_date($tsCol)) div $periodDays"),

@@ -38,7 +38,13 @@ object Drift {
     val corpus = st.groupBy(col("t")).agg(sum(col("cst")).as("ct"))
     val totals = st.groupBy(col("source")).agg(sum(col("cst")).as("ts"))
     val grandT = corpus.agg(sum(col("ct")).as("tt")) // one row
-    st.join(broadcast(corpus), "t")
+    // The st⋈corpus join stays a shuffle join on `t`: st is already
+    // key-partitioned on t from its own groupBy, and the corpus count
+    // table is VOCABULARY-sized — web-scale text vocab (URLs, typos,
+    // numerals) runs 10⁸–10⁹ distinct terms, far past broadcast
+    // capacity, and an explicit hint would bypass the autoBroadcast
+    // threshold. totals (per-source) and grandT (one row) stay hinted.
+    st.join(corpus, "t")
       .join(broadcast(totals), "source")
       .crossJoin(broadcast(grandT))
       .groupBy(col("source"))

@@ -26,15 +26,15 @@ import org.apache.spark.sql.functions._
   * caller first (float formatting is not cross-engine canonical). NULL
   * renders as the sentinel `␀` (distinct from the empty string); values
   * containing U+0001 (the field separator) would collide — engine text
-  * columns never do. Text is iterated as the engine's character units,
-  * so the cross-engine replay is exact for BMP text only: Spark's
-  * `split`/`ascii` walk UTF-16 units while DuckDB's
-  * `string_split`/`ascii` walk code points, and a supplementary-plane
-  * character (emoji, rare CJK) hashes differently in each — the same
-  * divergence class the index-term pipeline documents. Both engines
-  * still agree with THEMSELVES, so same-engine verification is
-  * unaffected; only the cross-engine replay needs BMP-clean (or
-  * pre-transcoded) text.
+  * columns never do. Text iteration is UNICODE-TOTAL: Spark's
+  * `split('')`/`ascii` and DuckDB's `string_split('')`/`ascii` both
+  * walk CODE POINTS (UTF8String is UTF-8 underneath; `ascii` returns
+  * the full code point, 120143 for U+1D54F, not a surrogate half), so
+  * supplementary-plane text (emoji, rare CJK) hashes identically in
+  * both engines — verified empirically and pinned by
+  * StringKeyUnicodeSpec against DuckDB-computed constants; the q184
+  * gate replays a supplementary-plane payload through the live oracle
+  * every round.
   *
   * Collision note: the 62-bit sum is an EQUALITY WITNESS, not a
   * cryptographic digest — a mismatch proves difference; a match proves

@@ -36,7 +36,13 @@ object Itemsets {
     val items = df.select(col(basketCol).as("o"), col(itemCol).as("i")).distinct()
     val cnt = items.groupBy(col("i")).agg(count(lit(1)).as("c"))
     val kept = maxItemDf.fold(items) { cap =>
-      items.join(broadcast(cnt.filter(col("c") <= cap).select(col("i"))), Seq("i"), "left_semi")
+      // Broadcast the HOT side: items with df > cap are by construction few
+      // (each costs > cap rows of the corpus, so there are < n/cap of them)
+      // while the kept vocabulary is nearly everything — broadcasting the
+      // kept set would ship the whole vocab to every task and OOM the
+      // driver at web-scale. left_anti against the tiny hot set is the
+      // same semantics with a kB-sized broadcast.
+      items.join(broadcast(cnt.filter(col("c") > cap).select(col("i"))), Seq("i"), "left_anti")
     }
     val nBaskets = items.agg(countDistinct(col("o")).as("__nb")) // one row, lazy
     val pairs = kept.as("a")

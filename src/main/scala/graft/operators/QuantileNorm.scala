@@ -33,7 +33,12 @@ object QuantileNorm {
     * statistic (same integer domain as valueCol). */
   def toPooled(df: DataFrame, groupCol: String, valueCol: String,
                idCol: String): DataFrame = {
+    // NULL values have no place in an order statistic and engines
+    // disagree on NULL sort order (the ksPerSource rationale) — a NULL
+    // row would be window-ranked here AND emit a NULL grid interval,
+    // so the output would silently contain NULL qnorm rows. Excluded.
     val rows = df.select(col(idCol), col(groupCol), col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
     // vocab-bounded grid: pooled rank interval (lo, hi] per distinct value
     val grid = rows.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
     val wg = Window.orderBy(col("__v"))

@@ -49,10 +49,14 @@ object Splits {
   }
 
   /** Engine-reproducible key for a STRING column: the polynomial rolling
-    * hash Σ (acc·31 + ascii) mod 1e9+7 — plain integer arithmetic any
+    * hash Σ (acc·31 + codepoint) mod 1e9+7 — plain integer arithmetic any
     * engine replays exactly (DuckDB: list_reduce over string_split; the
-    * q70 checksum pattern). Result < 2^31, so it feeds [[hashBucket]]
-    * without pre-reduction concerns. Not cryptographic. */
+    * q70 checksum pattern). UNICODE-TOTAL: both Spark's `split('')`/
+    * `ascii` and DuckDB's `string_split('')`/`ascii` iterate code points
+    * (not UTF-16 units), so supplementary-plane text keys identically
+    * cross-engine (StringKeyUnicodeSpec pins DuckDB-computed constants).
+    * Result < 2^31, so it feeds [[hashBucket]] without pre-reduction
+    * concerns. Not cryptographic. */
   def stringKey(c: Column): Column =
     aggregate(filter(split(c, ""), ch => ch =!= ""), lit(0L),
       (acc, ch) => pmod(acc * 31 + ascii(ch), lit(1000000007L)))

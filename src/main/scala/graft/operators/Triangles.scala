@@ -84,6 +84,9 @@ object Triangles {
         val capRow = deg.agg(
           ceil(expr(s"percentile(d, $quantile)")).cast("long").as("cap"),
           count(lit(1)).as("n")).head()
+        // empty canonical edge set (empty input or self-loops only):
+        // percentile over zero rows is NULL — a zero-drop report, not an NPE
+        if (capRow.isNullAt(0)) return CapReport(0L, 0L, 0L, 0L, 0L)
         val cap = capRow.getLong(0)
         val dropped = deg.filter(col("d") > cap)
           .agg(count(lit(1)).as("nd"),

@@ -1116,7 +1116,11 @@ object RagQueries extends QuerySet {
     * exceptAll — the q161 bar, now across batch boundaries and the
     * streaming checkpoint), then a ranked query for a term that exists
     * only post-stream proves searchability. */
-  private def q172(s: SparkSession, d: String): DataFrame = {
+  /** The SYNC stage shared by the q172 family: initial build + two
+    * streamed epochs (epoch A: deletes + edits, epoch B: inserts)
+    * applied via the checkpointed COW touched-bucket sink. Returns the
+    * synced index dir. */
+  private def q172SyncImpl(s: SparkSession, d: String): String = {
     import graft.search.InvertedIndex
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
     val dir = Files.createTempDirectory("graft-q172-idx").toString
@@ -1140,13 +1144,28 @@ object RagQueries extends QuerySet {
       "doc_id", "text", "change",
       Files.createTempDirectory("graft-q172-ckpt").toString)
     try qy.processAllAvailable() finally qy.stop()
-    val finalCorpus = docs
+    dir
+  }
+
+  /** The mutated corpus the stream converges to — the rebuild input and
+    * the oracle's relational replay. */
+  private def q172FinalCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    docs
       .filter(col("doc_id") % 17 =!= 3 && col("doc_id") % 13 =!= 1)
       .unionByName(docs.filter(col("doc_id") % 13 === 1 && col("doc_id") % 17 =!= 3)
         .select(col("doc_id"), concat(col("text"), lit(" graftstream")).as("text")))
-      .unionByName(epochB.select(col("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("graftstream table "), col("text")).as("text")))
+  }
+
+  /** Rebuild + both-ways parity + gated search over `dir` (the q161 bar
+    * across batch boundaries and the streaming checkpoint). */
+  private def q172GateImpl(s: SparkSession, d: String, dir: String): DataFrame = {
+    import graft.search.InvertedIndex
     val dir2 = Files.createTempDirectory("graft-q172-rebuild").toString
-    InvertedIndex.build(finalCorpus, "doc_id", "text", dir2)
+    InvertedIndex.build(q172FinalCorpus(s, d), "doc_id", "text", dir2)
     val sA = new DocumentStore(s, dir)
     val sB = new DocumentStore(s, dir2)
     val synced = Seq("postings", "docmap", "meta").forall { tb =>
@@ -1155,6 +1174,35 @@ object RagQueries extends QuerySet {
     }
     val res = InvertedIndex.search(s, dir, Seq("graftstream", "table"), k = 10)
     if (synced) res else res.limit(0)
+  }
+
+  private def q172(s: SparkSession, d: String): DataFrame =
+    q172GateImpl(s, d, q172SyncImpl(s, d))
+
+  /** SYNC half of the q172 headline (the q159 build/serve split applied
+    * to the streaming sink): initial build + two streamed epochs + the
+    * ranked search on the SYNCED index — the delta-bounded cost a 100 TB
+    * deployment pays per trigger, benched on its own so the
+    * rebuild+parity GATE cost (deliberately ~4/5 of the old blended
+    * 24 s row) can't hide the sync trend. Gated by the same oracle as
+    * the full lifecycle: the sync must converge to the final corpus, so
+    * its ranked results replay relationally. Each run re-syncs (that IS
+    * the measured work) and republishes the dir for [[q172g]]. */
+  private val q172SyncCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q172s(s: SparkSession, d: String): DataFrame = {
+    val dir = q172SyncImpl(s, d)
+    q172SyncCache.put(d, dir)
+    graft.search.InvertedIndex.search(s, dir, Seq("graftstream", "table"), k = 10)
+  }
+
+  /** GATE half: full rebuild over the final corpus + both-ways parity
+    * against the synced index + gated search. Reuses the latest synced
+    * index from [[q172s]] (building one on first use), so benching the
+    * pair prices sync ONCE per pass — the gate row isolates the
+    * deliberate verification cost. */
+  private def q172g(s: SparkSession, d: String): DataFrame = {
+    val dir = q172SyncCache.computeIfAbsent(d, _ => q172SyncImpl(s, d))
+    q172GateImpl(s, d, dir)
   }
 
   private val q172Sql =
@@ -1393,7 +1441,11 @@ object RagQueries extends QuerySet {
       when(pmod(col("c_custkey"), lit(5)) === 0, lit(null).cast("string"))
         .when(pmod(col("c_custkey"), lit(5)) === 1, lit(""))
         .otherwise(concat(col("c_name"), lit(",\""), lit("\n"),
-          col("c_mktsegment"), lit("\\"))).as("payload"),
+          col("c_mktsegment"), lit("\\"),
+          // supplementary-plane witness (U+1F600): stringKey is
+          // Unicode-total — both engines fold full code points, so the
+          // emoji must hash identically through the live oracle replay
+          lit(new String(Character.toChars(0x1F600))))).as("payload"),
       col("c_acctbal").cast("decimal(12,2)").as("bal"))
     val dir = Files.createTempDirectory("graft-q184").toString + "/orc"
     tricky.write.mode("overwrite").orc(dir)
@@ -1402,7 +1454,11 @@ object RagQueries extends QuerySet {
         col("c_custkey"),
         length(col("payload")).cast("long").as("payload_len"),
         graft.operators.Splits.stringKey(col("payload")).as("payload_key"),
-        col("bal"))
+        // the decimal(12,2) round-trips ORC exactly (OrcRoundTripSpec asserts
+        // the raw scale/precision); the GATED column casts to double because
+        // the external comparator hashes dtypes and DuckDB reads the oracle
+        // expression as float64 — value-identical, dtype-normalized.
+        col("bal").cast("double").as("bal"))
       .orderBy(col("c_custkey"))
   }
 
@@ -1411,7 +1467,7 @@ object RagQueries extends QuerySet {
       |  SELECT c_custkey,
       |    CASE WHEN c_custkey % 5 = 0 THEN NULL
       |         WHEN c_custkey % 5 = 1 THEN ''
-      |         ELSE c_name || ',"' || chr(10) || c_mktsegment || '\' END AS payload,
+      |         ELSE c_name || ',"' || chr(10) || c_mktsegment || '\' || chr(128512) END AS payload,
       |    CAST(c_acctbal AS DECIMAL(12,2)) AS bal
       |  FROM customer)
       |SELECT c_custkey,
@@ -1421,7 +1477,7 @@ object RagQueries extends QuerySet {
       |      list_transform(list_filter(string_split(payload, ''), c -> c <> ''),
       |        c -> CAST(ascii(c) AS BIGINT))),
       |      (a, b) -> (a * 31 + b) % 1000000007) END AS payload_key,
-      |  bal
+      |  CAST(bal AS DOUBLE) AS bal
       |FROM tricky ORDER BY c_custkey""".stripMargin
 
   /** Splittable CSV fast path ([[graft.sources.CsvRoundTrip]]): newline-
@@ -1551,7 +1607,13 @@ object RagQueries extends QuerySet {
     Q("q126_streaming_enrich", q126, Some(q126Sql)),
     Q("q158_csv_roundtrip", q158, Some(q158Sql)),
     Q("q163_csv_splittable", q163, Some(q163Sql)),
-    Q("q172_streaming_index_sync", q172, Some(q172Sql), headline = true),
+    // the full lifecycle stays the correctness gate; the bench headline
+    // is the sync/gate SPLIT (q159 pattern) so the delta-bounded sync
+    // trend is visible round-over-round instead of hiding inside the
+    // deliberate rebuild+parity gate cost
+    Q("q172_streaming_index_sync", q172, Some(q172Sql)),
+    Q("q172_sync", q172s, Some(q172Sql), headline = true),
+    Q("q172_gate", q172g, Some(q172Sql), headline = true),
     Q("q179_store_repartition", q179, Some(q179Sql)),
     Q("q184_orc_roundtrip", q184, Some(q184Sql)),
     Q("q192_streaming_admission", q192, Some(q192Sql)),

@@ -33,7 +33,13 @@ object DriftMonitor {
 
   def start(stream: DataFrame, store: DocumentStore, resultTable: String,
             reference: DataFrame, valueCol: String, checkpointDir: String,
-            thrNum: Long, thrDen: Long): StreamingQuery =
+            thrNum: Long, thrDen: Long): StreamingQuery = {
+    // ksTwoSample's contract: both sides non-empty (an empty side has
+    // no EDF). An empty reference would make every batch spuriously
+    // alert (ks NULL, integer decision 0 >= 0) — check ONCE here, not
+    // per batch; the reference is immutable by contract.
+    require(!reference.isEmpty,
+      "DriftMonitor: reference sample must be non-empty")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
@@ -42,6 +48,7 @@ object DriftMonitor {
         ()
       }
       .start()
+  }
 
   /** One monitoring round — exposed for batch replay/oracle use. */
   def applyBatch(batch: DataFrame, bid: Long, store: DocumentStore,

@@ -49,6 +49,38 @@ class ItemsetsSpec extends AnyFunSuite with SparkSuite {
     assert(hot == Map("hot" -> 10L))
   }
 
+  test("capped output is identical to semi-join-by-kept-items semantics") {
+    // the broadcast-direction flip (anti-join vs tiny hot set instead of
+    // semi-join vs near-whole kept vocab) must not change a single row
+    val rows = (1L to 20L).flatMap(o =>
+      Seq((o, "hot1"), (o, "hot2"), (o, s"i${o % 4}"), (o, s"j${o % 3}")))
+    val df = rows.toDF("o", "i")
+    val capped = Itemsets.frequentPairs(df, "o", "i", 2L, maxItemDf = Some(10L))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // reference semantics: filter kept items first, then uncapped pairs
+    import org.apache.spark.sql.functions._
+    val keptItems = df.distinct().groupBy($"i").count()
+      .filter($"count" <= 10L).select($"i")
+    val ref = Itemsets.frequentPairs(df.join(keptItems, Seq("i"), "left_semi"),
+      "o", "i", 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(capped == ref)
+    assert(!capped.keys.exists(p => p._1.startsWith("hot") || p._2.startsWith("hot")))
+  }
+
+  test("the broadcast side under a cap is the HOT set, not the kept vocabulary") {
+    // 100-item vocab, one hot item: the plan must broadcast-anti-join
+    // against the 1-row hot set — a kept-vocab broadcast ODs the driver
+    // at web-scale vocabularies
+    val rows = (1L to 100L).flatMap(o => Seq((o, "hot"), (o, s"i$o")))
+    val out = Itemsets.frequentPairs(rows.toDF("o", "i"), "o", "i", 1L,
+      maxItemDf = Some(50L))
+    val plan = out.queryExecution.executedPlan.toString
+    // the anti join must be broadcast (hot side small by construction)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected a broadcast LeftAnti against the hot set, got:\n$plan")
+  }
+
   test("matches brute-force on lineitem baskets, any partitioning") {
     val li = graft.Tables.t(spark, sf, "lineitem")
       .select($"l_orderkey".as("o"), $"l_partkey".as("i")).limit(2000)

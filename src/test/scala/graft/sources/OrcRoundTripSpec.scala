@@ -28,7 +28,8 @@ class OrcRoundTripSpec extends AnyFunSuite with SparkSuite {
       (4L, "new\nline"),
       (5L, "crlf\r\nline"),
       (6L, "back\\slash and trailing\\"),
-      (7L, "name,\"\nBUILDING\\")   // the exact q184 payload shape
+      (7L, "name,\"\nBUILDING\\"),  // the q184 payload shape (pre-witness)
+      (8L, "emoji" + new String(Character.toChars(0x1F600))) // supplementary plane
     ).toDF("id", "s")
     val got = roundTrip(nasty).orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
     val want = nasty.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
