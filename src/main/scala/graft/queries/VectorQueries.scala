@@ -94,7 +94,20 @@ object VectorQueries extends QuerySet {
     * sidecar + centroid-partitioned store, read both back, search with
     * manifest-level partition pruning. The whole production surface
     * (sidecar round-trip, store build, pruned read) rides the driver
-    * gate, not just the in-memory assign/search pair. */
+    * gate, not just the in-memory assign/search pair.
+    *
+    * HASH-GATED since r12 (no longer `no_oracle`): the trainer is
+    * deterministic end to end — k-lowest-id init, in-order double
+    * cosine folds, per-iteration float32 centroid rounding (which
+    * absorbs the sub-ULP noise of summation order on both engines) —
+    * so [[q33Sql]] replays the THREE Lloyd iterations as unrolled CTEs
+    * (the q137/q155/q190 fixed-unroll discipline), then the
+    * multi-assign, the probe's nprobe list choice, and the pruned
+    * exact top-k. Replay totality needs corpus ≤ maxTrainPoints (the
+    * xxhash64 train-sample is a no-op then) — true at every testdata
+    * SF (≤ 2000 vectors vs the 4096 cap); at larger corpora the sample
+    * engages and the gate's recall spec is the check, exactly as for
+    * the remaining stochastic-family indexes. */
   private def q33(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings").cache()
     val idx = IvfIndex.train(e, "embedding", "vec_id", numLists = 16, iters = 3, multiAssign = 4)
@@ -111,6 +124,62 @@ object VectorQueries extends QuerySet {
     val gated = recallGate(ann, exact, 10, 0.95)
     e.unpersist()
     gated
+  }
+
+  /** The q33 replay: spherical k-means unrolled (K=16 lists, 3
+    * iterations, multi-assign 4, nprobe 4, top-10). Iteration step:
+    * argmax-cosine assignment (ties → lower centroid id, matching
+    * `array_position(sims, array_max(sims))`), per-dimension mean of
+    * the assigned vectors, spherical normalization with the SAME
+    * operation order as [[SimpleKMeans.fit]] (mean first, then the
+    * in-order sum-of-squares norm, then per-element divide), and the
+    * float32 cast Spark applies each iteration (`CAST(x AS FLOAT)` —
+    * DuckDB REAL is IEEE binary32, so the rounding is identical).
+    * Empty clusters carry the previous centroid (the `sums.foreach`
+    * update-only contract). */
+  private val q33Sql: String = {
+    val K = 16; val iters = 3; val ma = 4; val nprobe = 4; val topk = 10; val dims = 64
+    def iterCte(i: Int): String = {
+      val prev = s"c${i - 1}"
+      s"""a$i AS (
+         |  SELECT vec_id, ev, c FROM (
+         |    SELECT v.vec_id, v.ev, $prev.c,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY list_cosine_similarity(v.ev, $prev.cv) DESC, $prev.c) AS rn
+         |    FROM v CROSS JOIN $prev) WHERE rn = 1),
+         |s$i AS (
+         |  SELECT c, i, SUM(ev[i + 1]) AS sv, COUNT(*) AS n
+         |  FROM a$i CROSS JOIN range($dims) t(i) GROUP BY c, i),
+         |m$i AS (
+         |  SELECT c, mv, sqrt(list_reduce(list_transform(mv, x -> x * x), (a, b) -> a + b)) AS nrm
+         |  FROM (SELECT c, list(sv / n ORDER BY i) AS mv FROM s$i GROUP BY c)),
+         |c$i AS (
+         |  SELECT p.c,
+         |    CASE WHEN m.c IS NULL THEN p.cv
+         |         WHEN m.nrm = 0 THEN list_transform(m.mv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE))
+         |         ELSE list_transform(m.mv, x -> CAST(CAST(x / m.nrm AS FLOAT) AS DOUBLE)) END AS cv
+         |  FROM c${i - 1} p LEFT JOIN m$i m ON p.c = m.c)""".stripMargin
+    }
+    s"""WITH v AS (
+       |  SELECT vec_id, label, ${dl("embedding")} AS ev FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, ev AS cv
+       |  FROM (SELECT vec_id, ev FROM v ORDER BY vec_id LIMIT $K)),
+       |${(1 to iters).map(iterCte).mkString(",\n")},
+       |asg AS (
+       |  SELECT vec_id, c FROM (
+       |    SELECT v.vec_id, c$iters.c,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY list_cosine_similarity(v.ev, c$iters.cv) DESC, c$iters.c) AS rn
+       |    FROM v CROSS JOIN c$iters) WHERE rn <= $ma),
+       |p AS (SELECT ev AS pv FROM v WHERE vec_id = 0),
+       |pl AS (SELECT c FROM c$iters CROSS JOIN p
+       |       ORDER BY list_cosine_similarity(cv, pv) DESC, c LIMIT $nprobe),
+       |cand AS (SELECT DISTINCT a.vec_id FROM asg a JOIN pl ON a.c = pl.c)
+       |SELECT v.vec_id, v.label, round(list_cosine_similarity(v.ev, p.pv), 6) AS sim
+       |FROM v JOIN cand USING (vec_id) CROSS JOIN p
+       |ORDER BY list_cosine_similarity(v.ev, p.pv) DESC, v.vec_id
+       |LIMIT $topk""".stripMargin
   }
 
   /** V3 alternate: random-hyperplane LSH ANN — bucket-filter then exact
@@ -782,7 +851,7 @@ object VectorQueries extends QuerySet {
     Q("q30_knn_exact", q30, Some(q30Sql), headline = true),
     Q("q31_knn_join_window", q31, Some(knnJoinSql)),
     Q("q32_knn_join_agg", q32, Some(knnJoinSql), headline = true),
-    Q("q33_knn_ivf", q33, None, headline = true),
+    Q("q33_knn_ivf", q33, Some(q33Sql), headline = true),
     Q("q36_knn_lsh", q36, None),
     Q("q82_knn_hnsw", q82, None, headline = true),
     Q("q89_knn_quantized", q89, None, headline = true),
