@@ -206,7 +206,18 @@ object ScaleSmoke {
       // seed count, frontier cost tracks reached nodes)
       "q209_entity_groups", "q217_harmonic_centrality",
       // q220: cover factor = window length over events ×10 — linear
-      "q220_rolling_distinct")
+      "q220_rolling_distinct",
+      // r12 additions — the streaming sinks' measured 10× points (the
+      // per-trigger "cost tracks the batch" claim had bench trend rows
+      // but no empirical scale row): q118 vectorize-on-write over
+      // documents ×10 staged as micro-batches; q172_sync = initial
+      // build + two streamed epochs over the relabeled corpus (vocab
+      // ×10 — the index build AND the per-batch touched-bucket rewrite
+      // both scale); q172_gate = full rebuild + both-ways parity at
+      // ×10; q208 per-batch KS where only the BATCH grows — the
+      // reference sample is bounded by contract
+      "q118_streaming_ingest", "q172_sync", "q172_gate",
+      "q208_streaming_drift")
     val qmap = SparkEntry.queries
     // Local-iteration filter (the Verify/Bench idiom): SPARK_GRAFT_ONLY
     // runs only matching smoke queries — new rows don't force re-paying
