@@ -217,7 +217,13 @@ object ScaleSmoke {
       // ×10; q208 per-batch KS where only the BATCH grows — the
       // reference sample is bounded by contract
       "q118_streaming_ingest", "q172_sync", "q172_gate",
-      "q208_streaming_drift")
+      "q208_streaming_drift",
+      // r12 operator additions with a corpus-scale stage: q222's entry
+      // aggregate rides the wordcount shuffle over the relabeled corpus
+      // (vocab ×10 — its adversarial case, as q137/q164); q226's
+      // segment-df pass is the dedup-shingle cost class with the hot
+      // set still bounded by the counting argument
+      "q222_vocab_growth", "q226_boilerplate_segments")
     val qmap = SparkEntry.queries
     // Local-iteration filter (the Verify/Bench idiom): SPARK_GRAFT_ONLY
     // runs only matching smoke queries — new rows don't force re-paying

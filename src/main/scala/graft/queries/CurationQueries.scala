@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.operators.{Agreement, Boilerplate, Calibration, TextProfile}
+
+/** Round-12 curation/eval extensions: corpus profiling (Heaps curve),
+  * annotation agreement (Fleiss κ), score calibration (ECE, split
+  * conformal), sub-document boilerplate removal, and checksum-validated
+  * PII redaction. Every gate follows the house hash-parity rules
+  * (identical aliases both sides, exact-integer accumulation, total
+  * ORDER BY). */
+object CurationQueries extends QuerySet {
+
+  /** Heaps'-law vocabulary growth over nested seeded-hash prefixes —
+    * [[graft.operators.TextProfile.vocabGrowth]]. The oracle replays
+    * the Knuth level assignment, the (term → min level) entry
+    * aggregate, and the cumulative grid sums — all integers. */
+  private def q222(s: SparkSession, d: String): DataFrame =
+    TextProfile.vocabGrowth(t(s, d, "documents"), "doc_id", "text", seed = 7L)
+
+  private val q222Sql =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> w <> '') AS toks,
+      |    CAST(length(bin(((xor(doc_id % 2147483648, 7)) * 2654435761) % 4294967296))
+      |      AS INTEGER) AS lvl
+      |  FROM documents),
+      |pld AS (SELECT lvl, COUNT(*) AS d, CAST(SUM(len(toks)) AS BIGINT) AS tk
+      |        FROM docs GROUP BY lvl),
+      |entry AS (
+      |  SELECT lvl, COUNT(*) AS v FROM (
+      |    SELECT term, MIN(lvl) AS lvl FROM (
+      |      SELECT lvl, unnest(toks) AS term FROM docs) GROUP BY term)
+      |  GROUP BY lvl),
+      |grid AS (
+      |  SELECT COALESCE(pld.lvl, entry.lvl) AS level,
+      |    COALESCE(d, 0) AS d, COALESCE(tk, 0) AS tk, COALESCE(v, 0) AS v
+      |  FROM pld FULL OUTER JOIN entry ON pld.lvl = entry.lvl)
+      |SELECT level,
+      |  CAST(SUM(d) OVER w AS BIGINT) AS n_docs,
+      |  CAST(SUM(tk) OVER w AS BIGINT) AS n_tokens,
+      |  CAST(SUM(v) OVER w AS BIGINT) AS vocab
+      |FROM grid
+      |WINDOW w AS (ORDER BY level ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY level""".stripMargin
+
+  /** Fleiss' κ over a relationally-derived complete rating design:
+    * three raters per doc; each rater reports the doc's `lang` except
+    * on a deterministic 20% hash slice where it reports 'zz' (rater
+    * noise). Both engines replay the construction AND the κ algebra
+    * ([[graft.operators.Agreement.fleissKappa]]). */
+  private def q223(s: SparkSession, d: String): DataFrame = {
+    val ratings = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), explode(sequence(lit(0), lit(2))).as("rater"))
+      .withColumn("label",
+        when(graft.operators.Splits.hashBucket(col("doc_id") * 3 + col("rater"), 10) < 2,
+          lit("zz")).otherwise(col("lang")))
+    Agreement.fleissKappa(ratings, "doc_id", "rater", "label")
+  }
+
+  private val q223Sql =
+    """WITH ratings AS (
+      |  SELECT doc_id, r.rater,
+      |    CASE WHEN ((((doc_id * 3 + r.rater) % 2147483648) * 2654435761)
+      |               % 4294967296) % 10 < 2
+      |         THEN 'zz' ELSE lang END AS label
+      |  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS rater) r),
+      |cells AS (SELECT doc_id, label, COUNT(*) AS nij
+      |          FROM ratings GROUP BY doc_id, label),
+      |marg AS (SELECT label, SUM(nij) AS cj FROM cells GROUP BY label),
+      |agg AS (
+      |  SELECT (SELECT CAST(SUM(nij * nij) AS BIGINT) FROM cells) AS s_within,
+      |    (SELECT COUNT(DISTINCT doc_id) FROM cells) AS n_items,
+      |    (SELECT CAST(SUM(cj * cj) AS BIGINT) FROM marg) AS s_marginal,
+      |    (SELECT COUNT(*) FROM marg) AS n_categories)
+      |SELECT n_items, CAST(3 AS BIGINT) AS n_raters, n_categories,
+      |  s_within, s_marginal,
+      |  CASE WHEN s_marginal = (n_items * 3) * (n_items * 3) THEN NULL
+      |    ELSE ((CAST(s_within - n_items * 3 AS DOUBLE)
+      |             / CAST((n_items * 3) * 2 AS DOUBLE)
+      |           - CAST(s_marginal AS DOUBLE)
+      |             / CAST((n_items * 3) * (n_items * 3) AS DOUBLE))
+      |          / (1.0 - CAST(s_marginal AS DOUBLE)
+      |             / CAST((n_items * 3) * (n_items * 3) AS DOUBLE))) END AS kappa
+      |FROM agg""".stripMargin
+
+  /** Reliability table + ECE for "cosine-to-probe predicts same-label"
+    * as a classifier score ([[graft.operators.Calibration.ece]]):
+    * score = (cos+1)/2 on vec 0, label = class match. The oracle rides
+    * the q30 cosine replay + the ppm integer accumulation. */
+  private def q224(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val probe = e.filter(col("vec_id") === 0).head()
+    val pv = probe.getSeq[Float](1).toArray
+    val plabel = probe.getInt(2)
+    val scored = e.select(
+      ((graft.functions.VectorFunctions.cosine_sim(col("embedding"), typedlit(pv))
+        + 1.0) / 2.0).as("score"),
+      (col("label") === plabel).as("y"))
+    Calibration.ece(scored, "score", "y", bins = 10)
+  }
+
+  private val q224Sql =
+    """WITH p AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv, label AS pl
+      |           FROM embeddings WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT (list_cosine_similarity(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |            p.pv) + 1.0) / 2.0 AS score,
+      |    (label = p.pl) AS y
+      |  FROM embeddings, p),
+      |binned AS (
+      |  SELECT CAST(least(floor(score * 10), 9) AS INTEGER) AS bin,
+      |    CAST(floor(score * 1000000) AS BIGINT) AS ppm,
+      |    CAST(y AS BIGINT) AS yy
+      |  FROM scored),
+      |per_bin AS (
+      |  SELECT bin, COUNT(*) AS n, CAST(SUM(yy) AS BIGINT) AS n_pos,
+      |    CAST(SUM(ppm) AS BIGINT) AS sum_conf_ppm
+      |  FROM binned GROUP BY bin),
+      |pb AS (
+      |  SELECT bin, n, n_pos, sum_conf_ppm,
+      |    CAST(sum_conf_ppm AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS conf,
+      |    CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc
+      |  FROM per_bin),
+      |er AS (
+      |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(list_sort(list({'b': bin, 'w': CAST(n AS DOUBLE) * abs(conf - acc)})),
+      |        s -> s['w'])), (a, b) -> a + b)
+      |    / CAST(SUM(n) AS DOUBLE) AS ece
+      |  FROM pb)
+      |SELECT bin, n, n_pos, sum_conf_ppm, conf, acc, abs(conf - acc) AS gap, er.ece
+      |FROM pb, er ORDER BY bin""".stripMargin
+
+  /** Per-source split-conformal threshold on doc length at α = 1/10 —
+    * [[graft.operators.Calibration.conformalThreshold]]; the rank is
+    * exact integer ceiling arithmetic, the threshold an order
+    * statistic. */
+  private def q225(s: SparkSession, d: String): DataFrame =
+    Calibration.conformalThreshold(t(s, d, "documents"), "source", "n_chars",
+        alphaNum = 1L, alphaDen = 10L)
+      .orderBy(col("source"))
+
+  private val q225Sql =
+    """WITH rows_ AS (SELECT source, CAST(n_chars AS BIGINT) AS s, doc_id FROM documents
+      |              WHERE n_chars IS NOT NULL),
+      |ranked AS (
+      |  SELECT source, s,
+      |    row_number() OVER (PARTITION BY source ORDER BY s) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM rows_),
+      |q AS (
+      |  SELECT source, n, least((9 * (n + 1) + 9) // 10, n) AS q_rank, s AS qhat
+      |  FROM ranked WHERE rn = least((9 * (n + 1) + 9) // 10, n)),
+      |cov AS (
+      |  SELECT r.source, COUNT(*) AS n_covered
+      |  FROM rows_ r JOIN q ON r.source = q.source AND r.s <= q.qhat
+      |  GROUP BY r.source)
+      |SELECT q.source, q.n, q.q_rank, q.qhat, cov.n_covered
+      |FROM q JOIN cov ON q.source = cov.source
+      |ORDER BY q.source""".stripMargin
+
+  /** Cross-document boilerplate removal with a PLANTED banner: each
+    * source's docs get a 10-word source banner prepended (templated
+    * chrome), the segment-df pass flags it (df = docs-per-source ≥ 5)
+    * and strips it, and every doc's organic text survives —
+    * [[graft.operators.Boilerplate.removeRepeatedSegments]] with per-
+    * doc accounting. */
+  private def q226(s: SparkSession, d: String): DataFrame = {
+    val banner = concat_ws(" ",
+      transform(sequence(lit(1), lit(10)), _ => concat(lit("banner"), col("source"))))
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), concat(banner, lit(" "), col("text")).as("text"))
+    Boilerplate.removeRepeatedSegments(docs, "doc_id", "text",
+        segWords = 10, minDf = 5L)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q226Sql =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(
+      |      array_to_string(list_transform(range(10), i -> 'banner' || source), ' ')
+      |        || ' ' || text, ' '), w -> w <> '') AS toks
+      |  FROM documents),
+      |segd AS (
+      |  SELECT doc_id, toks,
+      |    CAST(ceil(len(toks) / 10.0) AS INTEGER) AS nseg
+      |  FROM docs),
+      |segs AS (
+      |  SELECT doc_id, nseg,
+      |    unnest(list_transform(range(nseg),
+      |      i -> array_to_string(toks[(i * 10 + 1):(i * 10 + 10)], ' '))) AS seg,
+      |    unnest(range(nseg)) AS idx
+      |  FROM segd),
+      |hot AS (SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 5),
+      |kept AS (SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM hot)),
+      |rec AS (
+      |  SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) AS clean_text,
+      |    COUNT(*) AS n_kept
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(rec.clean_text, '') AS clean_text,
+      |  CAST(d.nseg AS BIGINT) AS n_seg,
+      |  CAST(d.nseg - COALESCE(rec.n_kept, 0) AS BIGINT) AS n_dropped
+      |FROM (SELECT doc_id, nseg FROM segd) d
+      |LEFT JOIN rec ON d.doc_id = rec.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Checksum-validated card redaction: 16-digit candidates derive
+    * relationally from customer keys, and ONLY Luhn-valid ones redact
+    * ([[graft.functions.PiiFunctions.luhnValid]]) — the precision
+    * lever over the bare-regex q87 family, with validity and the
+    * redaction outcome both gated. */
+  private def q227(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.PiiFunctions.luhnValid
+    val card = concat(
+      lpad(pmod(col("c_custkey") * 7919, lit(1000000000000000L)).cast("string"), 15, "0"),
+      pmod(col("c_custkey"), lit(10)).cast("string"))
+    t(s, d, "customer")
+      .select(col("c_custkey"), card.as("card"),
+        luhnValid(card).as("luhn_valid"),
+        when(luhnValid(card), lit("<CARD>")).otherwise(card).as("redacted"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q227Sql =
+    """WITH cards AS (
+      |  SELECT c_custkey,
+      |    lpad(CAST((c_custkey * 7919) % 1000000000000000 AS VARCHAR), 15, '0')
+      |      || CAST(c_custkey % 10 AS VARCHAR) AS card
+      |  FROM customer),
+      |checked AS (
+      |  SELECT c_custkey, card,
+      |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(card) + 1), i ->
+      |        CASE WHEN i % 2 = 0 THEN
+      |          CASE WHEN (ascii(substring(reverse(card), i, 1)) - 48) * 2 > 9
+      |               THEN CAST((ascii(substring(reverse(card), i, 1)) - 48) * 2 - 9 AS BIGINT)
+      |               ELSE CAST((ascii(substring(reverse(card), i, 1)) - 48) * 2 AS BIGINT) END
+      |        ELSE CAST(ascii(substring(reverse(card), i, 1)) - 48 AS BIGINT) END)),
+      |      (a, b) -> a + b) % 10) = 0 AS luhn_valid
+      |  FROM cards)
+      |SELECT c_custkey, card, luhn_valid,
+      |  CASE WHEN luhn_valid THEN '<CARD>' ELSE card END AS redacted
+      |FROM checked ORDER BY c_custkey""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+    Q("q222_vocab_growth", q222, Some(q222Sql)),
+    Q("q223_fleiss_kappa", q223, Some(q223Sql)),
+    Q("q224_calibration_ece", q224, Some(q224Sql)),
+    Q("q225_conformal_threshold", q225, Some(q225Sql)),
+    Q("q226_boilerplate_segments", q226, Some(q226Sql), headline = true),
+    Q("q227_luhn_redact", q227, Some(q227Sql)))
+}

@@ -233,6 +233,48 @@ object VectorQueries extends QuerySet {
     * with codegen'd byte-loop cosine, recall-gated against the exact
     * float top-k. Cosine is scale-invariant so the per-vector scales
     * cancel in the similarity; they ride along for dequantization. */
+  /** The q89 replay (HASH-GATED since r12): the int8 path is
+    * deterministic END TO END — symmetric quantization (float32 scale
+    * = maxAbs/127, q = clamp(round(v/scale))) replays natively because
+    * DuckDB REAL arithmetic IS IEEE binary32 (verified: REAL/REAL and
+    * REAL+REAL stay FLOAT), `Math.round(float)` is floor(x + 0.5f)
+    * replayed literally, and the scoring is exact BIGINT dot/norm
+    * integer folds with one closing double division. No training, no
+    * randomness — the quantized searcher was always exact arithmetic;
+    * only the replay was missing. */
+  private val q89Sql =
+    """WITH qz AS (
+      |  SELECT vec_id,
+      |    (SELECT CAST(MAX(abs(x)) AS REAL) FROM unnest(embedding) t(x)) AS maxabs
+      |  FROM embeddings),
+      |q2 AS (
+      |  SELECT e.vec_id, e.label,
+      |    CASE WHEN qz.maxabs / CAST(127 AS REAL) > 0 THEN
+      |      list_transform(e.embedding, x ->
+      |        greatest(-127, least(127, CAST(floor(CAST(CAST(x / (qz.maxabs
+      |          / CAST(127 AS REAL)) AS REAL) + CAST(0.5 AS REAL) AS REAL)) AS BIGINT))))
+      |    ELSE list_transform(e.embedding, x -> CAST(0 AS BIGINT)) END AS q
+      |  FROM embeddings e JOIN qz USING (vec_id)),
+      |p AS (SELECT q AS pq FROM q2 WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT vec_id, label,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(list_zip(q, pq), z -> z[1] * z[2])), (a, b) -> a + b) AS dot,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(q, x -> x * x)), (a, b) -> a + b) AS na,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(pq, x -> x * x)), (a, b) -> a + b) AS nb
+      |  FROM q2, p)
+      |SELECT vec_id, label,
+      |  round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+      |    ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END,
+      |    6) AS sim
+      |FROM scored
+      |ORDER BY (CASE WHEN na = 0 OR nb = 0 THEN 0.0
+      |    ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END)
+      |  DESC, vec_id
+      |LIMIT 10""".stripMargin
+
   private def q89(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings").cache()
     // Quantize fuses into the scoring projection — both expressions are
@@ -854,7 +896,7 @@ object VectorQueries extends QuerySet {
     Q("q33_knn_ivf", q33, Some(q33Sql), headline = true),
     Q("q36_knn_lsh", q36, None),
     Q("q82_knn_hnsw", q82, None, headline = true),
-    Q("q89_knn_quantized", q89, None, headline = true),
+    Q("q89_knn_quantized", q89, Some(q89Sql), headline = true),
     Q("q95_knn_pq", q95, None, headline = true),
     Q("q98_knn_ivf_batch", q98, Some(knnJoinSql)),
     Q("q103_knn_ivfpq", q103, None, headline = true),

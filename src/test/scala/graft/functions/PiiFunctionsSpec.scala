@@ -44,4 +44,35 @@ class PiiFunctionsSpec extends AnyFunSuite with SparkSuite {
     val (r, _, i, p) = redact("host 255.255 123.456.789.012 x")
     assert(i == 1 && p == 0 && r == "host 255.255 <IP> x")
   }
+
+  test("luhnValid: canonical valid and invalid numbers") {
+    import spark.implicits._
+    import graft.functions.PiiFunctions.luhnValid
+    import org.apache.spark.sql.functions.col
+    // 79927398713 is THE textbook Luhn example; its 10 sibling check
+    // digits are all invalid — exactly one in ten passes
+    val cases = (0 to 9).map(cd => s"7992739871$cd")
+    val got = cases.toDF("s").select(col("s"), luhnValid(col("s")))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach(c => assert(got(c) == (c == "79927398713"), c))
+  }
+
+  test("luhnValid: non-digits, empty, and NULL are false, not errors") {
+    import spark.implicits._
+    import graft.functions.PiiFunctions.luhnValid
+    import org.apache.spark.sql.functions.col
+    val df = Seq(Some("4111-1111-1111-1111"), Some(""), Some("abc"), None)
+      .toDF("s").select(luhnValid(col("s")).as("v"))
+    assert(df.collect().forall(r => !r.isNullAt(0) && !r.getBoolean(0)))
+  }
+
+  test("luhnValid: doubling overflow branch (digits >= 5 doubled)") {
+    import spark.implicits._
+    import graft.functions.PiiFunctions.luhnValid
+    import org.apache.spark.sql.functions.col
+    // "18" reversed "81": 8 (check digit, undoubled) + 1*2 = 10 -> valid
+    assert(Seq("18").toDF("s").select(luhnValid(col("s"))).head().getBoolean(0))
+    // "59" reversed "95": 9 + (5*2 - 9) = 10 -> valid (overflow branch)
+    assert(Seq("59").toDF("s").select(luhnValid(col("s"))).head().getBoolean(0))
+  }
 }
