@@ -104,7 +104,7 @@ object VectorQueries extends QuerySet {
     * (the q137/q155/q190 fixed-unroll discipline), then the
     * multi-assign, the probe's nprobe list choice, and the pruned
     * exact top-k. Replay totality needs corpus ≤ maxTrainPoints (the
-    * xxhash64 train-sample is a no-op then) — true at every testdata
+    * Knuth-keyed train-sample is a no-op then) — true at every testdata
     * SF (≤ 2000 vectors vs the 4096 cap); at larger corpora the sample
     * engages and the gate's recall spec is the check, exactly as for
     * the remaining stochastic-family indexes. */
@@ -185,7 +185,16 @@ object VectorQueries extends QuerySet {
   /** V3 alternate: random-hyperplane LSH ANN — bucket-filter then exact
     * top-k among candidates, behind the same in-query recall gate. The
     * hyperplane bank round-trips through its sidecar so the persisted
-    * path is exercised like q33/q82/q95. */
+    * path is exercised like q33/q82/q95.
+    *
+    * HASH-GATED since r12: the hyperplane bank is seed-derived CONFIG,
+    * not data — so [[q36Sql]] embeds the planes as literals (their
+    * exact double values, the same constants the query's `typedlit`
+    * ships to codegen) and replays the sign keys (`vec_dot ≥ 0` —
+    * identical sequential double folds per the q30 parity), the
+    * multiprobe expansion as `bit_count(xor(key, probe_key)) ≤ radius`
+    * (set-equal to the `expand` enumeration by definition of Hamming
+    * distance), and the exact top-k among candidates. */
   private def q36(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings").cache()
     val root = java.nio.file.Files.createTempDirectory("graft-q36-lsh").toString
@@ -202,11 +211,52 @@ object VectorQueries extends QuerySet {
     gated
   }
 
+  /** The q36 replay — see the q36 Scaladoc. Plane constants print as
+    * their exact double values (`f.toDouble.toString` round-trips to
+    * the identical double; printing the FLOAT's shortest form and
+    * parsing it as a double would NOT). */
+  private val q36Sql: String = {
+    val lsh = HyperplaneLsh(dims = 64, bits = 8, numTables = 8)
+    val planeRows = (for {
+      tb <- 0 until lsh.numTables
+      j <- 0 until lsh.bits
+    } yield s"($tb, $j, [${lsh.planes(tb)(j).map(_.toDouble.toString).mkString(", ")}])")
+      .mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, label, ${dl("embedding")} AS ev FROM embeddings),
+       |planes(t, j, pv) AS (VALUES
+       |$planeRows),
+       |keys AS (
+       |  SELECT v.vec_id, p.t,
+       |    CAST(SUM(CASE WHEN list_inner_product(v.ev, p.pv) >= 0
+       |             THEN (1 << p.j) ELSE 0 END) AS INTEGER) AS k
+       |  FROM v CROSS JOIN planes p GROUP BY v.vec_id, p.t),
+       |pk AS (SELECT t, k AS probek FROM keys WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT DISTINCT keys.vec_id FROM keys JOIN pk ON keys.t = pk.t
+       |  WHERE bit_count(xor(keys.k, pk.probek)) <= 3),
+       |pvq AS (SELECT ev AS probe FROM v WHERE vec_id = 0)
+       |SELECT v.vec_id, v.label,
+       |  round(list_cosine_similarity(v.ev, pvq.probe), 6) AS sim
+       |FROM v JOIN cand USING (vec_id) CROSS JOIN pvq
+       |ORDER BY list_cosine_similarity(v.ev, pvq.probe) DESC, v.vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   /** V3 third index kind: segmented HNSW over the PERSISTED path —
     * build one graph per segment, write graph table + params sidecar,
     * read both back, beam-search the loaded graphs at the reference
     * defaults (m=16, efConstruction=64; MongoDbService.cs:133-134) —
-    * behind the same in-query recall gate as q33/q36. */
+    * behind the same in-query recall gate as q33/q36.
+    *
+    * The suite's LAST `no_oracle` row (r12): HNSW construction is
+    * inherently sequential — each insertion beam-searches the graph
+    * built by all PRIOR insertions, with per-node neighbor heaps
+    * pruned by the running best — so there is no bounded SQL unroll
+    * (the loop depth is the corpus, not a fixed iteration count, and
+    * each step's state is the whole mutable graph). Every other index
+    * family (IVF/LSH/int8/PQ/IVF+PQ) hash-gates; HNSW's teeth are the
+    * in-query recall gate + HnswSpec's structural asserts. */
   private def q82(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings").cache()
     val params = HnswIndex.Params(m = 16, efConstruction = 64, numSegments = 8)
@@ -355,6 +405,130 @@ object VectorQueries extends QuerySet {
     * by which a 100 TB corpus's vectors fit executor memory), ADC-scan
     * a 100-wide shortlist, exact-rerank to top-10 — behind the same
     * in-query recall gate as q33/q36/q82. */
+  /** Shared q95/q103 replay generator (HASH-GATED since r12): the PQ
+    * trainer is deterministic — the Knuth-keyed sample order IS part of
+    * the artifact definition (init = the sample's first ks subvectors),
+    * per-subspace Lloyd replays as unrolled CTEs keyed by (s, j) with
+    * L2 argmin assignment (ties → lower code, the strict-< contract),
+    * float32 mean rounding absorbing summation-order noise exactly as
+    * in the q33 replay, and the serve stage replays the float32 LUT,
+    * the subspace-ordered ADC fold, the shortlist, and the exact
+    * rerank. `withIvf` adds the q33-shape IVF CTEs (numLists=16,
+    * iters=3, multiAssign=4, nprobe=4) and restricts the ADC scan to
+    * the probed lists' candidates — the IvfPq composition. Replay
+    * totality needs corpus ≤ maxTrainPoints (true at every testdata
+    * SF), as for q33. */
+  private def pqOracle(withIvf: Boolean): String = {
+    val M = 16; val dsub = 4; val ks = 16; val iters = 5
+    val shortlist = 100; val k = 10
+    def dist(sub: String, cv: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(list_zip($sub, $cv), z -> (z[1] - z[2]) * (z[1] - z[2]))), (a, b) -> a + b)"
+    def pqIter(i: Int): String = {
+      val sub = s"samp.ev[(c.s*$dsub+1):(c.s*$dsub+$dsub)]"
+      s"""pa$i AS (
+         |  SELECT vec_id, s, j FROM (
+         |    SELECT samp.vec_id, c.s, c.j,
+         |      row_number() OVER (PARTITION BY samp.vec_id, c.s
+         |        ORDER BY ${dist(sub, "c.cv")}, c.j) AS r
+         |    FROM samp CROSS JOIN pc${i - 1} c) WHERE r = 1),
+         |ps$i AS (
+         |  SELECT a.s, a.j, t.i, SUM(samp.ev[a.s*$dsub + t.i + 1]) AS sv, COUNT(*) AS n
+         |  FROM pa$i a JOIN samp USING (vec_id) CROSS JOIN range($dsub) t(i)
+         |  GROUP BY a.s, a.j, t.i),
+         |pm$i AS (SELECT s, j, list(sv / n ORDER BY i) AS mv FROM ps$i GROUP BY s, j),
+         |pc$i AS (
+         |  SELECT p.s, p.j,
+         |    CASE WHEN m.j IS NULL THEN p.cv
+         |         ELSE list_transform(m.mv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) END AS cv
+         |  FROM pc${i - 1} p LEFT JOIN pm$i m ON p.s = m.s AND p.j = m.j)""".stripMargin
+    }
+    // the q33-shape IVF stage: spherical k-means (K=16, 3 iters),
+    // multi-assign 4, probe's 4 nearest lists -> candidate ids
+    def ivfIter(i: Int): String =
+      s"""ia$i AS (
+         |  SELECT vec_id, ev, c FROM (
+         |    SELECT v.vec_id, v.ev, ic${i - 1}.c,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY list_cosine_similarity(v.ev, ic${i - 1}.cv) DESC, ic${i - 1}.c) AS rn
+         |    FROM v CROSS JOIN ic${i - 1}) WHERE rn = 1),
+         |is$i AS (
+         |  SELECT c, i, SUM(ev[i + 1]) AS sv, COUNT(*) AS n
+         |  FROM ia$i CROSS JOIN range(64) t(i) GROUP BY c, i),
+         |im$i AS (
+         |  SELECT c, mv, sqrt(list_reduce(list_transform(mv, x -> x * x), (a, b) -> a + b)) AS nrm
+         |  FROM (SELECT c, list(sv / n ORDER BY i) AS mv FROM is$i GROUP BY c)),
+         |ic$i AS (
+         |  SELECT p.c,
+         |    CASE WHEN m.c IS NULL THEN p.cv
+         |         WHEN m.nrm = 0 THEN list_transform(m.mv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE))
+         |         ELSE list_transform(m.mv, x -> CAST(CAST(x / m.nrm AS FLOAT) AS DOUBLE)) END AS cv
+         |  FROM ic${i - 1} p LEFT JOIN im$i m ON p.c = m.c)""".stripMargin
+    val ivfCtes = if (!withIvf) "" else
+      s"""ic0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, ev AS cv
+         |  FROM (SELECT vec_id, ev FROM v ORDER BY vec_id LIMIT 16)),
+         |${(1 to 3).map(ivfIter).mkString(",\n")},
+         |iasg AS (
+         |  SELECT vec_id, c FROM (
+         |    SELECT v.vec_id, ic3.c,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY list_cosine_similarity(v.ev, ic3.cv) DESC, ic3.c) AS rn
+         |    FROM v CROSS JOIN ic3) WHERE rn <= 4),
+         |ipl AS (SELECT c FROM ic3 CROSS JOIN p
+         |        ORDER BY list_cosine_similarity(cv, pv) DESC, c LIMIT 4),
+         |icand AS (SELECT DISTINCT a.vec_id FROM iasg a JOIN ipl ON a.c = ipl.c),
+         |""".stripMargin
+    val adcSource = if (withIvf) "enc e JOIN icand USING (vec_id) JOIN lut" else "enc e JOIN lut"
+    s"""WITH v AS (
+       |  SELECT vec_id, label, ${dl("embedding")} AS ev FROM embeddings),
+       |p AS (SELECT ev AS pv FROM v WHERE vec_id = 0),
+       |$ivfCtes
+       |samp AS (
+       |  SELECT vec_id, ev, row_number() OVER (
+       |    ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id) AS rn
+       |  FROM v),
+       |pc0 AS (
+       |  SELECT ss.s, CAST(samp.rn - 1 AS INTEGER) AS j,
+       |    samp.ev[(ss.s*$dsub+1):(ss.s*$dsub+$dsub)] AS cv
+       |  FROM samp CROSS JOIN (SELECT unnest(range($M)) AS s) ss
+       |  WHERE samp.rn <= $ks),
+       |${(1 to iters).map(pqIter).mkString(",\n")},
+       |enc AS (
+       |  SELECT vec_id, s, j AS code FROM (
+       |    SELECT v.vec_id, c.s, c.j,
+       |      row_number() OVER (PARTITION BY v.vec_id, c.s
+       |        ORDER BY ${dist(s"v.ev[(c.s*$dsub+1):(c.s*$dsub+$dsub)]", "c.cv")}, c.j) AS r
+       |    FROM v CROSS JOIN pc$iters c) WHERE r = 1),
+       |nrm AS (
+       |  SELECT vec_id, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(ev, x -> x * x)), (a, b) -> a + b)) AS norm FROM v),
+       |qn AS (SELECT norm AS qnorm FROM nrm WHERE vec_id = 0),
+       |lut AS (
+       |  SELECT c.s, c.j,
+       |    CAST(CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_zip(p.pv[(c.s*$dsub+1):(c.s*$dsub+$dsub)], c.cv),
+       |        z -> z[1] * z[2])), (a, b) -> a + b) AS REAL) AS DOUBLE) AS l
+       |  FROM pc$iters c CROSS JOIN p),
+       |adc AS (
+       |  SELECT e.vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_sort(list({'s': e.s, 'l': lut.l})), x -> x['l'])),
+       |      (a, b) -> a + b) AS adcdot
+       |  FROM $adcSource ON e.s = lut.s AND e.code = lut.j
+       |  GROUP BY e.vec_id),
+       |short AS (
+       |  SELECT adc.vec_id FROM adc JOIN nrm USING (vec_id) CROSS JOIN qn
+       |  ORDER BY adc.adcdot / (nrm.norm * qn.qnorm) DESC, adc.vec_id LIMIT $shortlist)
+       |SELECT v.vec_id, v.label, round(list_cosine_similarity(v.ev, p.pv), 6) AS sim
+       |FROM v JOIN short USING (vec_id) CROSS JOIN p
+       |ORDER BY list_cosine_similarity(v.ev, p.pv) DESC, v.vec_id
+       |LIMIT $k""".stripMargin
+  }
+
+  private val q95Sql = pqOracle(withIvf = false)
+  private val q103Sql = pqOracle(withIvf = true)
+
   private def q95(s: SparkSession, d: String): DataFrame = {
     import graft.search.PqIndex
     val e = t(s, d, "embeddings").cache()
@@ -894,12 +1068,12 @@ object VectorQueries extends QuerySet {
     Q("q31_knn_join_window", q31, Some(knnJoinSql)),
     Q("q32_knn_join_agg", q32, Some(knnJoinSql), headline = true),
     Q("q33_knn_ivf", q33, Some(q33Sql), headline = true),
-    Q("q36_knn_lsh", q36, None),
+    Q("q36_knn_lsh", q36, Some(q36Sql)),
     Q("q82_knn_hnsw", q82, None, headline = true),
     Q("q89_knn_quantized", q89, Some(q89Sql), headline = true),
-    Q("q95_knn_pq", q95, None, headline = true),
+    Q("q95_knn_pq", q95, Some(q95Sql), headline = true),
     Q("q98_knn_ivf_batch", q98, Some(knnJoinSql)),
-    Q("q103_knn_ivfpq", q103, None, headline = true),
+    Q("q103_knn_ivfpq", q103, Some(q103Sql), headline = true),
     Q("q94_semantic_dedup", q94, Some(q94Sql), headline = true),
     Q("q34_vector_norms", q34, Some(q34Sql)),
     Q("q91_hard_negatives", q91, Some(q91Sql)),

@@ -49,18 +49,21 @@ object SimpleKMeans {
     * aggregates ever reach the driver per iteration.
     *
     * `maxTrainPoints` > 0 trains on a deterministic pseudo-random sample
-    * of that many vectors (ordered by xxhash64 of the id — same sample on
-    * any cluster layout) instead of the full corpus: standard IVF
+    * of that many vectors (ordered by the engine's seeded Knuth key of
+    * the id — same sample on any cluster layout, and replayable by ANY
+    * engine, r12: was xxhash64) instead of the full corpus: standard IVF
     * practice (k-means needs ~10²-10³ points per centroid to place
     * lists well; scanning 100 TB per Lloyd iteration buys nothing), and
     * the sample is pinned with a lazy localCheckpoint so iterations
     * re-scan the sample, never the corpus. 0 = train on everything. */
   def fit(df: DataFrame, vecCol: String, idCol: String, k: Int, iters: Int = 5,
           maxTrainPoints: Int = 0): Array[Array[Float]] = {
+    val sampleKey = pmod(pmod(col(idCol).cast("long"), lit(2147483648L)) *
+      2654435761L, lit(4294967296L))
     val data =
       if (maxTrainPoints <= 0) df
       else df.select(col(idCol), col(vecCol))
-        .orderBy(xxhash64(col(idCol)), col(idCol))
+        .orderBy(sampleKey, col(idCol))
         .limit(maxTrainPoints)
         .localCheckpoint(false)
     var centroids: Array[Array[Float]] = data

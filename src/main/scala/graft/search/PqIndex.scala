@@ -157,12 +157,21 @@ object PqIndex {
   /** Train a PQ codebook on a deterministic sample of the corpus.
     * `maxTrainPoints` bounds what reaches the driver (vectors × dims
     * floats — 2048 × 1536 ≈ 12 MB); per-subspace Lloyd then runs
-    * locally. Empty clusters keep their previous centroid. */
+    * locally. Empty clusters keep their previous centroid.
+    *
+    * The sample order is the engine's seeded Knuth key (r12: was
+    * xxhash64, which only Spark can compute — the Knuth stack is the
+    * house ANY-engine-reproducible hash, which is what lets the q95
+    * oracle replay the init selection relationally). Init takes the
+    * first `ks` subvectors in that order, so the order IS part of the
+    * trained artifact's definition. */
   def train(df: DataFrame, vecCol: String, idCol: String,
             m: Int, ks: Int, iters: Int = 5,
             maxTrainPoints: Int = 2048): PqCodebook = {
+    val sampleKey = pmod(pmod(col(idCol).cast("long"), lit(2147483648L)) *
+      2654435761L, lit(4294967296L))
     val sample = df.select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .orderBy(sampleKey, col(idCol))
       .limit(maxTrainPoints)
       .collect()
       .map(_.getSeq[Float](1).toArray)
