@@ -94,4 +94,45 @@ object AsOfJoin {
         rightCols.map(c => col(s"$cM.$c").as(s"$prefix$c")): _*)
       .unionByName(leftNull)
   }
+
+  /** NEAREST-key join (r12): for each left row, the right row with the
+    * same key MINIMIZING |right.time − left.time| — the sensor/
+    * attribution alignment semantics [[leftAsOf]]'s backward-only rule
+    * cannot express (a reading 1 s in the future beats one 2 h in the
+    * past). Composed from two as-of passes — backward as-is, forward
+    * as backward on NEGATED times (latest −t ≤ −t ⟺ earliest t ≥ t) —
+    * then one per-row pick, so the cost envelope is exactly two
+    * [[leftAsOf]] union-sort shuffles, still zero row amplification.
+    *
+    * Determinism: equal-distance ties pick the EARLIER right row (the
+    * backward side); same-(key, time) right rows inherit leftAsOf's
+    * greatest-payload rule. Times must be numeric (cast timestamps to
+    * epoch micros first — negation must be exact).
+    *
+    * `leftIdCol` must uniquely identify left rows (the two passes
+    * re-join on it). Output appends `prefix + c` for each right
+    * payload column (NULL when the key has no right rows at all). */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTime: String, rightTime: String, leftIdCol: String,
+              rightCols: Seq[String], prefix: String = "near_"): DataFrame = {
+    require(rightCols.contains(rightTime),
+      s"rightCols must include the right time column '$rightTime' (distance needs it)")
+    val bwd = leftAsOf(left, right, keys, leftTime, rightTime, rightCols, "__b_")
+      .select(col(leftIdCol) +: rightCols.map(c => col(s"__b_$c")): _*)
+    val negL = left.withColumn("__negt", -col(leftTime))
+    val negR = right.withColumn("__negt", -col(rightTime))
+    val fwd = leftAsOf(negL, negR, keys, "__negt", "__negt",
+        rightCols, "__f_")
+      .select(col(leftIdCol) +: rightCols.map(c => col(s"__f_$c")): _*)
+    val db = abs(col(s"__b_$rightTime") - col(leftTime))
+    val df_ = abs(col(s"__f_$rightTime") - col(leftTime))
+    // backward wins ties and missing-forward; forward only when strictly
+    // closer or backward missing
+    val useFwd = col(s"__f_$rightTime").isNotNull &&
+      (col(s"__b_$rightTime").isNull || df_ < db)
+    left.join(bwd, leftIdCol).join(fwd, leftIdCol)
+      .select(left.columns.map(col) ++
+        rightCols.map(c => when(useFwd, col(s"__f_$c"))
+          .otherwise(col(s"__b_$c")).as(s"$prefix$c")): _*)
+  }
 }

@@ -78,4 +78,46 @@ object Binning {
     df.join(broadcast(bands), groupCol)
       .withColumn(valueCol + "_w", greatest(col("w_lo"), least(col("w_hi"), v)))
   }
+
+  /** GLOBAL equal-frequency bin boundaries WITHOUT a global row window
+    * (r12) — the form [[equalFrequency]]'s plural-groups contract rules
+    * out for one corpus-wide dimension: boundary q (1..bins−1) is the
+    * smallest VALUE whose cumulative count reaches ⌈q·N/bins⌉, computed
+    * on the distinct-VALUE grid (one map-side-combined count + a
+    * grid-sized cumulative window — the QuantileNorm scale shape; the
+    * corpus never sorts). Integer-exact rank arithmetic: no
+    * interpolation, engine-replayable. Returns (q, threshold) with
+    * `bins − 1` rows — broadcast it into [[withGridBin]]. */
+  def gridQuantileBoundaries(df: DataFrame, valueCol: String,
+                             bins: Int): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val grid = df.select(col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val wg = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = grid.agg(sum(col("__c")).as("__n")) // one row
+    grid.withColumn("__hi", sum(col("__c")).over(wg))
+      .crossJoin(broadcast(n))
+      .select(col("__v"), col("__hi"), col("__n"),
+        explode(sequence(lit(1), lit(bins - 1))).as("q"))
+      // smallest value reaching rank ⌈q·N/bins⌉ — exact integer ceiling
+      .filter(col("__hi") >= expr(s"(q * __n + ${bins - 1}) div $bins"))
+      .groupBy(col("q")).agg(min(col("__v")).as("threshold"))
+  }
+
+  /** Adds `<valueCol>_bin` (1..bins) by counting exceeded boundaries —
+    * a narrow broadcast-join projection over the (bins−1)-row boundary
+    * table. */
+  def withGridBin(df: DataFrame, valueCol: String,
+                  boundaries: DataFrame): DataFrame = {
+    val b = boundaries.agg(
+      array_sort(collect_list(struct(col("q"), col("threshold")))).as("ps"))
+      .select(expr("transform(ps, p -> p.threshold)").as("__ts"))
+    df.crossJoin(broadcast(b))
+      .withColumn(valueCol + "_bin",
+        (lit(1) + size(filter(col("__ts"), t => col(valueCol).cast("long") > t)))
+          .cast("int"))
+      .drop("__ts")
+  }
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classical additive seasonal decomposition of an event series —
+  * value = trend + seasonal + remainder (the moving-average STL
+  * ancestor): `trend` is the centered (2·half+1)-point moving average,
+  * `seasonal` is the per-period-position mean of the DETRENDED series
+  * (computing it on the raw series would re-count the level the trend
+  * already carries — the classic decomposition pitfall), `remainder`
+  * is what neither explains. The monitoring uses: a feed whose
+  * REMAINDER variance jumps changed behavior (not just volume); a
+  * capacity planner reads `trend`; an anomaly detector thresholds
+  * `remainder` where raw values would false-alarm every midnight
+  * (q152's rolling z-score without the seasonal term baked in).
+  *
+  * Exactness: hourly totals accumulate as exact DECIMAL(38,2) (the
+  * q207 discipline); the trend is the exact window DECIMAL sum with
+  * ONE closing double division; the seasonal mean avoids summing
+  * doubles (order-dependent) by the scale trick
+  * mean(v − tn/w) = Σ(w·v − tn) / (w·n) — the numerator is an exact
+  * DECIMAL on any partitioning, one division closes. remainder is a
+  * fixed double expression tree. Trend (and so remainder) is NULL at
+  * the series edges (incomplete window) rather than a shortened
+  * average; a period position with no interior row gets NULL seasonal
+  * — honest, never silently shortened.
+  *
+  * Scale shape: one map-side-combined (hour-bucket) aggregate over the
+  * corpus; every window after that runs on the bounded TIME GRID
+  * (hours of observed span — the QuantileNorm grid-window contract:
+  * the series length is calendar-bounded, not corpus-bounded). */
+object Seasonal {
+
+  /** (hour, v, trend, seasonal, remainder) per observed hourly bucket —
+    * `periodHours`-periodic seasonality, (2·halfWindow+1)-point
+    * centered trend. */
+  def decompose(df: DataFrame, tsCol: String, valueCol: String,
+                periodHours: Int = 24, halfWindow: Int = 12): DataFrame = {
+    require(periodHours >= 2, s"bad periodHours=$periodHours")
+    require(halfWindow >= 1, s"bad halfWindow=$halfWindow")
+    val w = 2 * halfWindow + 1
+    val hourly = df
+      .filter(col(tsCol).isNotNull)
+      .groupBy(date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).cast("decimal(38,2)").as("__v"))
+    val pos = pmod(hour(col("hour")), lit(periodHours))
+    val wTrend = Window.orderBy(col("hour")).rowsBetween(-halfWindow, halfWindow)
+    val wSeason = Window.partitionBy(pos)
+    val trended = hourly
+      .withColumn("__tn", sum(col("__v")).over(wTrend))
+      .withColumn("__tc", count(lit(1)).over(wTrend))
+      // exact detrended numerator, w-scaled: w·v − Σwindow (NULL at edges)
+      .withColumn("__dn", when(col("__tc") === w,
+        (col("__v") * w - col("__tn")).cast("decimal(38,2)")))
+    val trend = when(col("__tc") === w, col("__tn").cast("double") / w)
+    val seasonal = (sum(col("__dn")).over(wSeason).cast("double") /
+      (count(col("__dn")).over(wSeason) * w).cast("double"))
+    trended.select(col("hour"),
+        col("__v").cast("double").as("v"),
+        trend.as("trend"),
+        seasonal.as("seasonal"),
+        (col("__v").cast("double") - trend - seasonal).as("remainder"))
+      .orderBy(col("hour"))
+  }
+}

@@ -245,11 +245,210 @@ object CurationQueries extends QuerySet {
       |  CASE WHEN luhn_valid THEN '<CARD>' ELSE card END AS redacted
       |FROM checked ORDER BY c_custkey""".stripMargin
 
+  /** Degree assortativity of the co-supply graph (q188's edge
+    * construction) — [[graft.operators.GraphStats.degreeAssortativity]];
+    * exact BIGINT sufficient statistics, one closing division. */
+  private def q228(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+    val edges = li.withColumnRenamed("p", "pa")
+      .join(li.withColumnRenamed("p", "pb"), "o")
+      .filter(col("pa") =!= col("pb"))
+      .select(col("pa").as("a"), col("pb").as("b"))
+    graft.operators.GraphStats.degreeAssortativity(edges, "a", "b")
+  }
+
+  private val q228Sql =
+    """WITH li AS (SELECT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p FROM lineitem),
+      |e0 AS (SELECT DISTINCT least(x.p, y.p) AS a, greatest(x.p, y.p) AS b
+      |       FROM li x JOIN li y ON x.o = y.o AND x.p <> y.p),
+      |deg AS (SELECT n, COUNT(*) AS d FROM (
+      |          SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY n),
+      |dir AS (SELECT a AS s, b AS t FROM e0 UNION ALL SELECT b, a FROM e0),
+      |xy AS (SELECT dx.d AS x, dy.d AS y
+      |       FROM dir JOIN deg dx ON dir.s = dx.n JOIN deg dy ON dir.t = dy.n),
+      |agg AS (SELECT COUNT(*) AS m2, CAST(SUM(x) AS BIGINT) AS sx,
+      |          CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+      |        FROM xy)
+      |SELECT CAST(m2 // 2 AS BIGINT) AS m_edges, sx AS sum_x, sxx AS sum_xx,
+      |  sxy AS sum_xy,
+      |  CASE WHEN m2 * sxx = sx * sx THEN NULL
+      |    ELSE CAST(m2 * sxy - sx * sx AS DOUBLE) / CAST(m2 * sxx - sx * sx AS DOUBLE)
+      |  END AS assortativity
+      |FROM agg""".stripMargin
+
+  /** Seasonal decomposition of the hourly event-value series —
+    * [[graft.operators.Seasonal.decompose]] (24-h period, 25-point
+    * centered trend); exact decimal hour sums, one division per
+    * component. */
+  private def q229(s: SparkSession, d: String): DataFrame =
+    graft.operators.Seasonal.decompose(t(s, d, "events"), "ts", "value")
+
+  private val q229Sql =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS v0
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      |tr AS (
+      |  SELECT hour, v0,
+      |    SUM(v0) OVER (ORDER BY hour ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS tn,
+      |    COUNT(*) OVER (ORDER BY hour ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS tc
+      |  FROM hourly),
+      |dt AS (
+      |  SELECT hour, v0, tn, tc,
+      |    CASE WHEN tc = 25 THEN CAST(v0 * 25 - tn AS DECIMAL(38,2)) END AS dn
+      |  FROM tr),
+      |wins AS (
+      |  SELECT hour, v0, tn, tc,
+      |    SUM(dn) OVER (PARTITION BY EXTRACT(hour FROM hour) % 24) AS sn,
+      |    COUNT(dn) OVER (PARTITION BY EXTRACT(hour FROM hour) % 24) AS sc
+      |  FROM dt)
+      |SELECT hour, CAST(v0 AS DOUBLE) AS v,
+      |  CASE WHEN tc = 25 THEN CAST(tn AS DOUBLE) / 25 END AS trend,
+      |  CAST(sn AS DOUBLE) / CAST(sc * 25 AS DOUBLE) AS seasonal,
+      |  CAST(v0 AS DOUBLE)
+      |    - CASE WHEN tc = 25 THEN CAST(tn AS DOUBLE) / 25 END
+      |    - CAST(sn AS DOUBLE) / CAST(sc * 25 AS DOUBLE) AS remainder
+      |FROM wins ORDER BY hour""".stripMargin
+
+  /** RFM scoring over events with GLOBAL grid-quantile bins —
+    * [[graft.operators.Binning.gridQuantileBoundaries]] (no global row
+    * window; the QuantileNorm grid shape) feeding a narrow broadcast
+    * bin projection per dimension. */
+  private def q230(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Binning
+    val ev = t(s, d, "events")
+    val maxD = ev.agg(max(to_date(col("ts"))).as("__ref"))
+    val users = ev
+      .crossJoin(broadcast(maxD))
+      .groupBy(col("user_id"))
+      .agg(min(datediff(col("__ref"), to_date(col("ts")))).as("r_days"),
+        count(lit(1)).as("f"),
+        sum(round(col("value") * 100).cast("long")).as("m_cents"))
+    val binned = Seq("r_days", "f", "m_cents").foldLeft(users) { (acc, c) =>
+      Binning.withGridBin(acc, c, Binning.gridQuantileBoundaries(users, c, 5))
+    }
+    binned.select(col("user_id"), col("r_days"), col("f"), col("m_cents"),
+        col("r_days_bin"), col("f_bin"), col("m_cents_bin"),
+        concat(col("r_days_bin").cast("string"), col("f_bin").cast("string"),
+          col("m_cents_bin").cast("string")).as("rfm"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q230Sql = {
+    def bound(dim: String) =
+      s"""g_$dim AS (SELECT $dim AS v, COUNT(*) AS c FROM users GROUP BY 1),
+         |b_$dim AS (
+         |  SELECT q, MIN(v) AS threshold FROM (
+         |    SELECT v, SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS hi, (SELECT SUM(c) FROM g_$dim) AS n,
+         |      unnest([1, 2, 3, 4]) AS q
+         |    FROM g_$dim)
+         |  WHERE hi >= (q * n + 4) // 5 GROUP BY q),
+         |t_$dim AS (SELECT list(threshold ORDER BY q) AS ts FROM b_$dim)""".stripMargin
+    def bin(dim: String) =
+      s"1 + len(list_filter(t_$dim.ts, t -> users.$dim > t))"
+    s"""WITH ref AS (SELECT MAX(CAST(ts AS DATE)) AS r FROM events),
+       |users AS (
+       |  SELECT user_id,
+       |    MIN(datediff('day', CAST(ts AS DATE), ref.r)) AS r_days,
+       |    COUNT(*) AS f,
+       |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m_cents
+       |  FROM events CROSS JOIN ref GROUP BY user_id),
+       |${Seq("r_days", "f", "m_cents").map(bound).mkString(",\n")}
+       |SELECT user_id, r_days, f, m_cents,
+       |  CAST(${bin("r_days")} AS INTEGER) AS r_days_bin,
+       |  CAST(${bin("f")} AS INTEGER) AS f_bin,
+       |  CAST(${bin("m_cents")} AS INTEGER) AS m_cents_bin,
+       |  CAST(${bin("r_days")} AS VARCHAR) || CAST(${bin("f")} AS VARCHAR)
+       |    || CAST(${bin("m_cents")} AS VARCHAR) AS rfm
+       |FROM users, t_r_days, t_f, t_m_cents
+       |ORDER BY user_id""".stripMargin
+  }
+
+  /** Nearest-key join: each click matched to its user's temporally
+    * CLOSEST view — [[graft.operators.AsOfJoin.nearest]] (two as-of
+    * union-sort passes, backward wins ties); the oracle brute-forces
+    * the per-click argmin with the same tie rule. */
+  private def q231(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val ev = t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("view_id"))
+    AsOfJoin.nearest(clicks, views, Seq("user_id"), "ts_us", "ts_us",
+        "event_id", Seq("ts_us", "view_id"), "near_")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("near_view_id"), col("near_ts_us"),
+        (col("near_ts_us") - col("ts_us")).as("delta_us"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q231Sql =
+    """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+      |            FROM events),
+      |clicks AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
+      |views AS (SELECT user_id, ts_us AS vts, event_id AS view_id FROM ev
+      |          WHERE event_type = 'view'),
+      |ranked AS (
+      |  SELECT c.event_id, c.user_id, c.ts_us, v.view_id, v.vts,
+      |    row_number() OVER (PARTITION BY c.event_id
+      |      ORDER BY abs(v.vts - c.ts_us), v.vts, v.view_id DESC) AS rn
+      |  FROM clicks c JOIN views v ON c.user_id = v.user_id)
+      |SELECT c.event_id, c.user_id, c.ts_us,
+      |  r.view_id AS near_view_id, r.vts AS near_ts_us,
+      |  r.vts - c.ts_us AS delta_us
+      |FROM clicks c LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+      |  ON c.event_id = r.event_id
+      |ORDER BY c.event_id""".stripMargin
+
+  /** Link-prediction training pairs over the supplier→part bipartite
+    * graph: observed edges label 1, up to 5 bucket-representative
+    * negatives per supplier label 0 —
+    * [[graft.operators.NegativeSampling.labeledPairs]]; the whole draw
+    * is the replayable Knuth stack. */
+  private def q232(s: SparkSession, d: String): DataFrame = {
+    val edges = t(s, d, "lineitem")
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+    graft.operators.NegativeSampling.labeledPairs(edges, "s", "p",
+        k = 5, buckets = 256, seed = 7L)
+      .orderBy(col("label"), col("left"), col("right"))
+  }
+
+  private val q232Sql =
+    """WITH pos AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS l,
+      |               CAST(l_partkey AS BIGINT) AS r FROM lineitem),
+      |reps AS (
+      |  SELECT ((r % 2147483648) * 2654435761) % 4294967296 // 16777216 AS bkt,
+      |    MIN(r) AS r
+      |  FROM (SELECT DISTINCT r FROM pos) GROUP BY 1),
+      |cand AS (
+      |  SELECT DISTINCT lj.l, reps.r FROM (
+      |    SELECT l, ((xor((l * 31 + j.j) % 2147483648, 7)) * 2654435761)
+      |      % 4294967296 // 16777216 AS bkt
+      |    FROM (SELECT DISTINCT l FROM pos)
+      |    CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS j) j) lj
+      |  JOIN reps ON lj.bkt = reps.bkt),
+      |neg AS (SELECT cand.l, cand.r FROM cand ANTI JOIN pos
+      |        ON cand.l = pos.l AND cand.r = pos.r)
+      |SELECT l AS "left", r AS "right", label FROM (
+      |  SELECT l, r, 1 AS label FROM pos
+      |  UNION ALL SELECT l, r, 0 FROM neg)
+      |ORDER BY label, l, r""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q222_vocab_growth", q222, Some(q222Sql)),
     Q("q223_fleiss_kappa", q223, Some(q223Sql)),
     Q("q224_calibration_ece", q224, Some(q224Sql)),
     Q("q225_conformal_threshold", q225, Some(q225Sql)),
     Q("q226_boilerplate_segments", q226, Some(q226Sql), headline = true),
-    Q("q227_luhn_redact", q227, Some(q227Sql)))
+    Q("q227_luhn_redact", q227, Some(q227Sql)),
+    Q("q228_degree_assortativity", q228, Some(q228Sql)),
+    Q("q229_seasonal_decompose", q229, Some(q229Sql)),
+    Q("q230_rfm_scores", q230, Some(q230Sql)),
+    Q("q231_nearest_join", q231, Some(q231Sql)),
+    Q("q232_negative_samples", q232, Some(q232Sql)))
 }

@@ -107,4 +107,47 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSuite {
       assert(out.head.getAs[String]("r_payload") == "zzz")
     }
   }
+
+  test("nearest: picks the closest side, backward wins exact ties") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, 100L), (2L, 1L, 200L), (3L, 1L, 315L), (4L, 2L, 50L))
+      .toDF("id", "key", "t")
+    val right = Seq((10L, 1L, 90L), (11L, 1L, 210L), (12L, 1L, 320L))
+      .toDF("rid", "key", "t")
+    val out = AsOfJoin.nearest(left, right, Seq("key"), "t", "t", "id",
+        Seq("t", "rid"), "n_")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("n_rid"))) -1L else r.getAs[Long]("n_rid"))).toMap
+    assert(out(1L) == 10L)  // t=100: 90 (d=10) beats 210 (d=110)
+    assert(out(2L) == 11L)  // t=200: 210 (d=10) beats 90 (d=110)
+    assert(out(3L) == 12L)  // t=315: 320 (d=5) beats 210 (d=105)
+    assert(out(4L) == -1L)  // key 2 has no right rows: NULL payload
+  }
+
+  test("nearest: hand-checked distances including the exact-tie rule") {
+    import spark.implicits._
+    // left t=200: backward 90 (d=110), forward 210 (d=10) -> forward
+    // left t=150: backward 90 (d=60), forward 210 (d=60) -> TIE -> backward
+    val left = Seq((1L, 1L, 200L), (2L, 1L, 150L), (3L, 9L, 5L))
+      .toDF("id", "key", "t")
+    val right = Seq((10L, 1L, 90L), (11L, 1L, 210L)).toDF("rid", "key", "t")
+    val out = AsOfJoin.nearest(left, right, Seq("key"), "t", "t", "id",
+        Seq("t", "rid"), "n_")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("n_rid"))) -1L else r.getAs[Long]("n_rid"))).toMap
+    assert(out(1L) == 11L)
+    assert(out(2L) == 10L)
+    assert(out(3L) == -1L) // keyless left row kept with NULL payload
+  }
+
+  test("nearest is invariant to partitioning") {
+    import spark.implicits._
+    val left = (1L to 200L).map(i => (i, i % 7, i * 13 % 1000)).toDF("id", "key", "t")
+    val right = (1L to 100L).map(i => (1000L + i, i % 7, i * 29 % 1000))
+      .toDF("rid", "key", "t")
+    def run(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      AsOfJoin.nearest(l, r, Seq("key"), "t", "t", "id", Seq("t", "rid"))
+        .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(run(left, right) == run(left.repartition(11), right.repartition(5)))
+  }
 }

@@ -97,4 +97,37 @@ class BinningSpec extends AnyFunSuite with SparkSuite {
       assert(s.map(_._5).zip(s.map(_._5).tail).forall { case (a, b) => a <= b })
     }
   }
+
+  test("gridQuantileBoundaries: hand-computed quintiles on 1..100") {
+    import spark.implicits._
+    val df = (1L to 100L).toDF("v")
+    val b = Binning.gridQuantileBoundaries(df, "v", 5)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // boundary q = smallest v with cumcount >= ceil(q*100/5) = 20q
+    assert(b == Map(1 -> 20L, 2 -> 40L, 3 -> 60L, 4 -> 80L))
+  }
+
+  test("gridQuantileBoundaries + withGridBin: equal-frequency on duplicates-heavy data") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => i % 10).toDF("v") // 10 distinct values
+    val bins = Binning.withGridBin(df, "v",
+      Binning.gridQuantileBoundaries(df, "v", 5))
+    val byBin = bins.groupBy("v_bin").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byBin.values.sum == 1000L)
+    assert(byBin.keySet == Set(1, 2, 3, 4, 5))
+    byBin.values.foreach(n => assert(n == 200L)) // 2 values per bin
+  }
+
+  test("gridQuantileBoundaries invariant to partitioning; bins cover all rows") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i * 37) % 101).toDF("v")
+    val a = Binning.gridQuantileBoundaries(df, "v", 4)
+      .orderBy("q").collect().map(_.toSeq).toSeq
+    val b = Binning.gridQuantileBoundaries(df.repartition(13), "v", 4)
+      .orderBy("q").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    val binned = Binning.withGridBin(df, "v", Binning.gridQuantileBoundaries(df, "v", 4))
+    assert(binned.filter(col("v_bin") < 1 || col("v_bin") > 4).count() == 0)
+  }
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+class SeasonalSpec extends AnyFunSuite with SparkSuite {
+
+  import spark.implicits._
+
+  private def ts(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:30:00")
+
+  // columns: hour, v, trend, seasonal, remainder
+
+  test("constant series: trend = level, seasonal = 0, remainder = 0 exactly") {
+    val rows = for (d <- 1 to 3; h <- 0 to 23) yield (ts(d, h), 7.0)
+    val out = Seasonal.decompose(rows.toDF("ts", "value"), "ts", "value").collect()
+    out.foreach { r =>
+      if (!r.isNullAt(2)) assert(r.getDouble(2) == 7.0)
+      if (!r.isNullAt(3)) assert(r.getDouble(3) == 0.0)
+      if (!r.isNullAt(4)) assert(r.getDouble(4) == 0.0)
+    }
+  }
+
+  test("pure linear trend: trend recovers it exactly, seasonal and remainder are 0") {
+    // v(hour_index) = index: the centered 25-point MA of a line IS the
+    // center value, the scaled detrended numerator 25·v − Σwindow is
+    // EXACTLY zero in decimal, so seasonal and remainder are exactly 0
+    val rows = (0 until 72).map(i => (ts(1 + i / 24, i % 24), i.toDouble))
+    val out = Seasonal.decompose(rows.toDF("ts", "value"), "ts", "value")
+      .orderBy("hour").collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      if (!r.isNullAt(2)) {
+        assert(r.getDouble(2) == i.toDouble)   // trend = the line
+        assert(r.getDouble(3) == 0.0)          // seasonal exactly 0
+        assert(r.getDouble(4) == 0.0)          // remainder exactly 0
+      }
+    }
+  }
+
+  test("trend and remainder are NULL exactly at the 12-row series edges") {
+    val rows = for (d <- 1 to 2; h <- 0 to 23) yield (ts(d, h), 1.0)
+    val out = Seasonal.decompose(rows.toDF("ts", "value"), "ts", "value").collect()
+    assert(out.count(_.isNullAt(2)) == 24) // 12 per edge of the 48-row series
+    assert(out.count(_.isNullAt(4)) == 24)
+    // every hour-of-day position has one interior row: seasonal total
+    assert(out.count(_.isNullAt(3)) == 0)
+  }
+
+  test("multiple events per hour sum exactly; NULL ts excluded") {
+    val rows = Seq((ts(1, 0), 1.11), (ts(1, 0), 2.22), (ts(1, 1), 3.0),
+      (null.asInstanceOf[Timestamp], 99.0))
+    val out = Seasonal.decompose(rows.toDF("ts", "value"), "ts", "value")
+      .orderBy("hour").collect()
+    assert(out.length == 2)
+    assert(out(0).getDouble(1) == 3.33)
+  }
+
+  test("invariant to partitioning (decimal accumulation)") {
+    val rows = for (d <- 1 to 5; h <- 0 to 23; k <- 1 to 3)
+      yield (ts(d, h), (d * h * k % 17) + 0.25)
+    val df = rows.toDF("ts", "value")
+    val a = Seasonal.decompose(df, "ts", "value").collect().map(_.toSeq).toSeq
+    val b = Seasonal.decompose(df.repartition(11), "ts", "value").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+}
