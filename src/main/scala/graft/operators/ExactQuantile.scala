@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact GLOBAL order statistics at corpus scale — the two-phase
+  * bucket-then-select construction every PLANS audit points at when a
+  * global sort or global row window would funnel one partition (the
+  * q86 trap), now a first-class operator instead of a remedy note.
+  *
+  * Phase 1 (one scan): map-side-combined counts per COARSE BUCKET
+  * (value >> `lowBits` — an exact integer shift, ≈ range/2^lowBits
+  * buckets), cumulated on the bounded bucket grid to locate, for each
+  * requested rank, the bucket containing it and the rank REMAINING
+  * inside that bucket. Phase 2 (one scan): only rows in located
+  * buckets survive the pushed-down filter; an exact per-bucket
+  * value-grid cumulation selects the value at the residual rank. No
+  * global sort, no global row window, no sampling — both phases are
+  * map-side-combined aggregates plus grid-sized windows.
+  *
+  * Contract: integer values (cast/scale first — the house rule for
+  * exact rank arithmetic); `lowBits` trades phase-2 selectivity
+  * against phase-1 grid size (buckets ≈ value_range / 2^lowBits;
+  * phase-2 reads ≈ requested_ranks × N/buckets rows under uniform
+  * spread — pick lowBits so both are comfortable; the DEFAULT 8 makes
+  * the grid 2^56-safe for any long range while phase 2 reads ~1/2^8
+  * of a uniform corpus per rank). Ranks are 1-based; rank > N fails
+  * loudly rather than clamping.
+  *
+  * vs the alternatives: `percentile` (exact, but per-distinct-value
+  * aggregation state — unbounded on continuous data),
+  * `percentile_approx` (bounded state, NOT exact), global
+  * `row_number` (exact, one-partition funnel). This is exact AND
+  * bounded-state AND distributed. */
+object ExactQuantile {
+
+  /** (rank, value) for each requested 1-based global rank over
+    * `valueCol` (NULLs excluded). */
+  def globalRanks(df: DataFrame, valueCol: String, ranks: Seq[Long],
+                  lowBits: Int = 8): DataFrame = {
+    require(ranks.nonEmpty, "need at least one rank")
+    require(ranks.forall(_ >= 1), s"ranks are 1-based, got ${ranks.min}")
+    require(lowBits >= 0 && lowBits <= 40, s"bad lowBits=$lowBits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+    // phase 1: coarse-bucket histogram (grid-bounded), cumulative ranks
+    val hist = vals.groupBy(shiftright(col("__v"), lowBits).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val wb = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("__hi", sum(col("__c")).over(wb))
+      .withColumn("__lo", col("__hi") - col("__c"))
+    val rdf = ranks.distinct.toDF("rank")
+    // locate each rank's bucket + residual rank within the bucket
+    val located = cum.join(broadcast(rdf),
+        col("rank") > col("__lo") && col("rank") <= col("__hi"))
+      .select(col("rank"), col("__b"), (col("rank") - col("__lo")).as("__rr"))
+    val total = cum.agg(max(col("__hi"))).head()
+    val n = if (total.isNullAt(0)) 0L else total.getLong(0)
+    require(ranks.forall(_ <= n),
+      s"rank ${ranks.max} exceeds the ${n}-row non-null population")
+    // phase 2: exact selection inside located buckets only — the bucket
+    // filter pushes to the scan; the per-bucket value grid is small
+    val bucketList = located.select(col("__b")).distinct()
+    val picked = vals
+      .withColumn("__b", shiftright(col("__v"), lowBits))
+      .join(broadcast(bucketList), "__b")
+      .groupBy(col("__b"), col("__v")).agg(count(lit(1)).as("__c"))
+    val wv = Window.partitionBy(col("__b")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gridded = picked.withColumn("__vhi", sum(col("__c")).over(wv))
+      .withColumn("__vlo", col("__vhi") - col("__c"))
+    located.join(gridded, Seq("__b"))
+      .filter(col("__rr") > col("__vlo") && col("__rr") <= col("__vhi"))
+      .select(col("rank"), col("__v").as("value"))
+  }
+
+  /** Convenience: exact quantiles at q = num/den (the ⌈q·N⌉-rank
+    * definition — no interpolation, engine-replayable): returns
+    * (q_num, q_den, rank, value). */
+  def globalQuantiles(df: DataFrame, valueCol: String,
+                      quantiles: Seq[(Long, Long)],
+                      lowBits: Int = 8): DataFrame = {
+    require(quantiles.forall { case (a, b) => a >= 1 && a <= b && b >= 1 },
+      "quantiles must be rationals in (0, 1]")
+    val n = df.select(col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull).count()
+    require(n > 0, "empty population")
+    val withRanks = quantiles.map { case (a, b) => (a, b, (a * n + b - 1) / b) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qdf = withRanks.toDF("q_num", "q_den", "rank")
+    globalRanks(df, valueCol, withRanks.map(_._3), lowBits)
+      .join(broadcast(qdf), "rank")
+      .select(col("q_num"), col("q_den"), col("rank"), col("value"))
+  }
+}

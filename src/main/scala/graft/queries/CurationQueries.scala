@@ -439,6 +439,70 @@ object CurationQueries extends QuerySet {
       |  UNION ALL SELECT l, r, 0 FROM neg)
       |ORDER BY label, l, r""".stripMargin
 
+  /** Exact global quantiles of line-item price (in cents) via the
+    * two-phase bucket-then-select —
+    * [[graft.operators.ExactQuantile.globalQuantiles]]; no global sort
+    * anywhere; the oracle is the plain order statistic at the same
+    * ⌈q·N⌉ ranks. */
+  private def q233(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    graft.operators.ExactQuantile.globalQuantiles(li, "cents",
+        Seq((1L, 4L), (1L, 2L), (3L, 4L), (99L, 100L)), lowBits = 8)
+      .orderBy(col("rank"))
+  }
+
+  private val q233Sql =
+    """WITH vals AS (
+      |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL),
+      |n AS (SELECT COUNT(*) AS n FROM vals),
+      |qs(q_num, q_den) AS (VALUES (1, 4), (1, 2), (3, 4), (99, 100)),
+      |ranks AS (
+      |  SELECT CAST(q_num AS BIGINT) AS q_num, CAST(q_den AS BIGINT) AS q_den,
+      |    (q_num * n.n + q_den - 1) // q_den AS rank
+      |  FROM qs CROSS JOIN n),
+      |ordered AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM vals)
+      |SELECT r.q_num, r.q_den, CAST(r.rank AS BIGINT) AS rank, o.v AS value
+      |FROM ranks r JOIN ordered o ON o.rn = r.rank
+      |ORDER BY rank""".stripMargin
+
+  /** k-anonymity release audit over customer quasi-identifiers
+    * (nation, segment, thousand-rounded balance) —
+    * [[graft.operators.KAnonymity.violations]] with the one-row
+    * [[graft.operators.KAnonymity.summary]] appended to every
+    * violation row, so one gate hashes both faces. */
+  private def q234(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.KAnonymity
+    val qi = t(s, d, "customer").select(
+      col("c_nationkey").as("nation"),
+      col("c_mktsegment").as("segment"),
+      floor(col("c_acctbal") / 1000).cast("long").as("bal_k"))
+    val v = KAnonymity.violations(qi, Seq("nation", "segment", "bal_k"), k = 5L)
+    v.crossJoin(broadcast(KAnonymity.summary(qi, Seq("nation", "segment", "bal_k"), 5L)))
+      .orderBy(col("nation"), col("segment"), col("bal_k"))
+  }
+
+  private val q234Sql =
+    """WITH qi AS (
+      |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+      |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k
+      |  FROM customer),
+      |cells AS (SELECT nation, segment, bal_k, COUNT(*) AS n
+      |          FROM qi GROUP BY 1, 2, 3),
+      |summ AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS n_rows, COUNT(*) AS n_cells,
+      |    CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_cells,
+      |    CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+      |    CAST(MIN(n) AS BIGINT) AS min_cell,
+      |    CAST(MIN(n) AS BIGINT) AS k_anonymity
+      |  FROM cells)
+      |SELECT cells.nation, cells.segment, cells.bal_k, cells.n,
+      |  summ.n_rows, summ.n_cells, summ.n_violating_cells,
+      |  summ.n_rows_at_risk, summ.min_cell, summ.k_anonymity
+      |FROM cells CROSS JOIN summ WHERE cells.n < 5
+      |ORDER BY cells.nation, cells.segment, cells.bal_k""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q222_vocab_growth", q222, Some(q222Sql)),
     Q("q223_fleiss_kappa", q223, Some(q223Sql)),
@@ -450,5 +514,7 @@ object CurationQueries extends QuerySet {
     Q("q229_seasonal_decompose", q229, Some(q229Sql)),
     Q("q230_rfm_scores", q230, Some(q230Sql)),
     Q("q231_nearest_join", q231, Some(q231Sql)),
-    Q("q232_negative_samples", q232, Some(q232Sql)))
+    Q("q232_negative_samples", q232, Some(q232Sql)),
+    Q("q233_exact_quantiles", q233, Some(q233Sql)),
+    Q("q234_k_anonymity", q234, Some(q234Sql)))
 }

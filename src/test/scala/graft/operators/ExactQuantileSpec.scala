@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+class ExactQuantileSpec extends AnyFunSuite with SparkSuite {
+
+  import spark.implicits._
+
+  test("hand-computed ranks on 1..1000 (values spread across many buckets)") {
+    val df = (1L to 1000L).toDF("v")
+    val got = ExactQuantile.globalRanks(df, "v", Seq(1L, 250L, 500L, 999L, 1000L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 250L -> 250L, 500L -> 500L, 999L -> 999L, 1000L -> 1000L))
+  }
+
+  test("matches a brute-force sort on duplicate-heavy and negative data") {
+    val vals = (1L to 2000L).map(i => (i * 37 % 97) - 48)
+    val df = vals.toDF("v")
+    val sorted = vals.sorted
+    val ranks = Seq(1L, 7L, 500L, 1999L, 2000L)
+    val got = ExactQuantile.globalRanks(df, "v", ranks, lowBits = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ranks.foreach(r => assert(got(r) == sorted((r - 1).toInt), s"rank $r"))
+  }
+
+  test("quantile ranks use the ceil(q*N) definition") {
+    val df = (1L to 10L).toDF("v")
+    val got = ExactQuantile.globalQuantiles(df, "v", Seq((1L, 4L), (1L, 2L), (9L, 10L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got((1L, 4L)) == ((3L, 3L)))  // ceil(2.5) = 3
+    assert(got((1L, 2L)) == ((5L, 5L)))  // ceil(5) = 5
+    assert(got((9L, 10L)) == ((9L, 9L)))
+  }
+
+  test("NULLs excluded; rank beyond population fails loudly") {
+    val df = Seq[Option[Long]](Some(1L), None, Some(3L)).toDF("v")
+    val got = ExactQuantile.globalRanks(df, "v", Seq(2L))
+      .head()
+    assert(got.getLong(1) == 3L)
+    intercept[IllegalArgumentException] {
+      ExactQuantile.globalRanks(df, "v", Seq(3L)).collect()
+    }
+  }
+
+  test("invariant to partitioning and to lowBits") {
+    val df = (1L to 3000L).map(i => i * 31 % 1013).toDF("v")
+    val ranks = Seq(1L, 1500L, 3000L)
+    val a = ExactQuantile.globalRanks(df, "v", ranks, lowBits = 2)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    val b = ExactQuantile.globalRanks(df.repartition(17), "v", ranks, lowBits = 9)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("the phase-2 scan reads only located buckets (pruned candidate set)") {
+    // structural: the picked grid only contains buckets that ranks map to
+    val df = (1L to (1L << 14)).toDF("v")
+    val out = ExactQuantile.globalRanks(df, "v", Seq(5L), lowBits = 8)
+    assert(out.count() == 1)
+    // rank 5 lives in bucket 0 (values 1..255): the answer is exact
+    assert(out.head().getLong(1) == 5L)
+  }
+}
