@@ -62,12 +62,22 @@ object ExactQuantile {
     val n = if (total.isNullAt(0)) 0L else total.getLong(0)
     require(ranks.forall(_ <= n),
       s"rank ${ranks.max} exceeds the ${n}-row non-null population")
-    // phase 2: exact selection inside located buckets only — the bucket
-    // filter pushes to the scan; the per-bucket value grid is small
-    val bucketList = located.select(col("__b")).distinct()
+    // phase 2: exact selection inside located buckets only. The bucket
+    // ids collect to the driver (bounded by |ranks| — the audited
+    // bounded-collect family) and become LITERAL RANGE predicates on
+    // the raw value column — plain >=/<= comparisons genuinely push to
+    // the parquet scan (PushedFilters: Or(And(GtEq, LtEq)…)), so
+    // min/max row-group stats prune unlocated buckets' IO; a broadcast
+    // join (or a predicate on the shifted expression) would not
+    val width = 1L << lowBits
+    val bucketIds = located.select(col("__b")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val inBuckets = bucketIds
+      .map(b => col("__v") >= b * width && col("__v") <= b * width + (width - 1))
+      .reduce(_ || _)
     val picked = vals
+      .filter(inBuckets)
       .withColumn("__b", shiftright(col("__v"), lowBits))
-      .join(broadcast(bucketList), "__b")
       .groupBy(col("__b"), col("__v")).agg(count(lit(1)).as("__c"))
     val wv = Window.partitionBy(col("__b")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
