@@ -223,7 +223,14 @@ object ScaleSmoke {
       // (vocab ×10 — its adversarial case, as q137/q164); q226's
       // segment-df pass is the dedup-shingle cost class with the hot
       // set still bounded by the counting argument
-      "q222_vocab_growth", "q226_boilerplate_segments")
+      "q222_vocab_growth", "q226_boilerplate_segments",
+      // r12 batch-2/3 scale-sensitive rows: q228 rides the q188 co-supply
+      // edge join (Σ per-order² ×10 over disjoint copies); q231 is two
+      // union-sort asof passes over events ×10; q232's edge distinct +
+      // anti-join scale with edges ×10 (reps stay bounded); q233's two
+      // scans ×10 with the bucket grid unchanged
+      "q228_degree_assortativity", "q231_nearest_join",
+      "q232_negative_samples", "q233_exact_quantiles")
     val qmap = SparkEntry.queries
     // Local-iteration filter (the Verify/Bench idiom): SPARK_GRAFT_ONLY
     // runs only matching smoke queries — new rows don't force re-paying
