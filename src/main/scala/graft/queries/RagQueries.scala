@@ -1116,15 +1116,42 @@ object RagQueries extends QuerySet {
     * exceptAll — the q161 bar, now across batch boundaries and the
     * streaming checkpoint), then a ranked query for a term that exists
     * only post-stream proves searchability. */
-  /** The SYNC stage shared by the q172 family: initial build + two
+  /** The SYNC stage shared by the q172 family: initial index + two
     * streamed epochs (epoch A: deletes + edits, epoch B: inserts)
     * applied via the checkpointed COW touched-bucket sink. Returns the
-    * synced index dir. */
+    * synced index dir.
+    *
+    * The INITIAL build happens once per (process, sf) into a pristine
+    * dir (the q159 serve-cache pattern) and each sync run starts from a
+    * file-level COPY of it: the build cost is q159_build's own headline
+    * row, so re-paying it inside every q172_sync pass would bury the
+    * delta-bounded sync trend the split exists to expose (the copy is
+    * file IO, priced in the row and ~10× cheaper than the build). The
+    * copy is required for correctness, not just speed: the stream
+    * MUTATES the index, so passes must not share a working dir. */
+  private val q172PristineCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def copyTree(src: String, dst: String): Unit = {
+    val sp = java.nio.file.Paths.get(src)
+    val dp = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(sp).forEach { p =>
+      val target = dp.resolve(sp.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(target)
+      else java.nio.file.Files.copy(p, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   private def q172SyncImpl(s: SparkSession, d: String): String = {
     import graft.search.InvertedIndex
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val pristine = q172PristineCache.computeIfAbsent(d, _ => {
+      val p = Files.createTempDirectory("graft-q172-pristine").toString
+      InvertedIndex.build(docs, "doc_id", "text", p)
+      p
+    })
     val dir = Files.createTempDirectory("graft-q172-idx").toString
-    InvertedIndex.build(docs, "doc_id", "text", dir)
+    copyTree(pristine, dir)
     val epochA = docs.filter(col("doc_id") % 17 === 3)
         .select(lit("delete").as("change"), col("doc_id"), col("text"))
       .unionByName(docs.filter(col("doc_id") % 13 === 1 && col("doc_id") % 17 =!= 3)
