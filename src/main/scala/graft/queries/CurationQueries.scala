@@ -503,6 +503,121 @@ object CurationQueries extends QuerySet {
       |FROM cells CROSS JOIN summ WHERE cells.n < 5
       |ORDER BY cells.nation, cells.segment, cells.bal_k""".stripMargin
 
+  /** Streaming seasonal-volume monitor
+    * ([[graft.streaming.SeasonalMonitor]]): the reference fortnight
+    * fixes the per-hour-of-day baseline (exact sums, never pre-divided
+    * means), the second fortnight streams as four day-interleaved
+    * micro-batches with a planted +100 shift on one of them, and every
+    * (batch, hour) verdict lands keyed-upserted with the exact
+    * decimal/integer alert boundary. */
+  private def q235(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val ev = t(s, d, "events").select(col("event_id"), col("ts"), col("value"),
+      datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("dd"))
+    val ref = ev.filter(col("dd") < 15)
+    val baseline = ref
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("v"))
+      .groupBy(pmod(hour(col("hour")), lit(24)).cast("int").as("pos"))
+      .agg(sum(col("v")).cast("decimal(38,2)").as("sn"), count(lit(1)).as("sc"))
+    val streamed = ev.filter(col("dd") >= 15)
+      .select(col("ts"),
+        when(pmod(col("dd"), lit(4)) === 3, col("value") + 100)
+          .otherwise(col("value")).as("value"),
+        pmod(col("dd"), lit(4)).as("__b"))
+    val srcDir = Files.createTempDirectory("graft-q235-src").toFile
+    val base = System.currentTimeMillis()
+    (0 to 3).foreach { i =>
+      val tmp = Files.createTempDirectory("graft-q235-stage").toFile
+      streamed.filter(col("__b") === i).drop("__b").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      tmp.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val dst = new java.io.File(srcDir, s"batch$i.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(base + i * 1000L)
+      }
+    }
+    val store = new graft.store.DocumentStore(s,
+      Files.createTempDirectory("graft-q235-store").toString)
+    val feed = s.readStream.schema(streamed.drop("__b").schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val qy = graft.streaming.SeasonalMonitor.start(feed, store, "seasonal",
+      baseline, "ts", "value",
+      Files.createTempDirectory("graft-q235-ckpt").toString,
+      ratioNum = 1L, ratioDen = 1L)
+    try qy.processAllAvailable() finally qy.stop()
+    store.read("seasonal")
+      .select(col("batch_id"), col("hour"), col("pos"), col("v"),
+        col("baseline_mean"), col("deviation"), col("alert"))
+      .orderBy(col("batch_id"), col("hour"))
+  }
+
+  private val q235Sql =
+    """WITH ev AS (
+      |  SELECT ts, value,
+      |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dd
+      |  FROM events),
+      |base_h AS (
+      |  SELECT date_trunc('hour', ts) AS hour,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS v
+      |  FROM ev WHERE dd < 15 GROUP BY 1),
+      |baseline AS (
+      |  SELECT EXTRACT(hour FROM hour) % 24 AS pos,
+      |    CAST(SUM(v) AS DECIMAL(38,2)) AS sn, COUNT(*) AS sc
+      |  FROM base_h GROUP BY 1),
+      |batch_h AS (
+      |  SELECT dd % 4 AS batch_id, date_trunc('hour', ts) AS hour,
+      |    CAST(SUM(CAST(CASE WHEN dd % 4 = 3 THEN value + 100 ELSE value END
+      |      AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS v
+      |  FROM ev WHERE dd >= 15 GROUP BY 1, 2)
+      |SELECT CAST(b.batch_id AS BIGINT) AS batch_id, b.hour,
+      |  CAST(EXTRACT(hour FROM b.hour) % 24 AS INTEGER) AS pos,
+      |  CAST(b.v AS DOUBLE) AS v,
+      |  CAST(s.sn AS DOUBLE) / CAST(s.sc AS DOUBLE) AS baseline_mean,
+      |  CAST(b.v AS DOUBLE) - CAST(s.sn AS DOUBLE) / CAST(s.sc AS DOUBLE) AS deviation,
+      |  (abs(b.v * s.sc - s.sn) * 1 >= abs(s.sn) * 1) AS alert
+      |FROM batch_h b JOIN baseline s ON EXTRACT(hour FROM b.hour) % 24 = s.pos
+      |ORDER BY batch_id, b.hour""".stripMargin
+
+  /** Matryoshka truncation audit over the embeddings —
+    * [[graft.search.Matryoshka.truncationAudit]] at budgets
+    * 8/16/32/64: exact prefix-cosine top-10 per budget, flagged
+    * against the full-dimension top-10. */
+  private def q236(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val probe = e.filter(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    graft.search.Matryoshka.truncationAudit(e, "embedding", "vec_id",
+        probe, k = 10, budgets = Seq(8, 16, 32, 64))
+      .select(col("budget"), col("rn"), col("vec_id"),
+        round(col("trunc_sim"), 6).as("trunc_sim"),
+        round(col("full_sim"), 6).as("full_sim"), col("in_full_topk"))
+      .orderBy(col("budget"), col("rn"))
+  }
+
+  private val q236Sql =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      |           FROM embeddings),
+      |p AS (SELECT ev AS pv FROM v WHERE vec_id = 0),
+      |fulltop AS (
+      |  SELECT vec_id FROM v CROSS JOIN p
+      |  ORDER BY list_cosine_similarity(ev, pv) DESC, vec_id LIMIT 10),
+      |budgets(b) AS (VALUES (8), (16), (32), (64)),
+      |scored AS (
+      |  SELECT budgets.b AS budget, v.vec_id,
+      |    list_cosine_similarity(v.ev[1:budgets.b], p.pv[1:budgets.b]) AS tsim,
+      |    list_cosine_similarity(v.ev, p.pv) AS fsim
+      |  FROM v CROSS JOIN p CROSS JOIN budgets),
+      |ranked AS (
+      |  SELECT budget, vec_id, tsim, fsim,
+      |    row_number() OVER (PARTITION BY budget ORDER BY tsim DESC, vec_id) AS rn
+      |  FROM scored)
+      |SELECT r.budget, CAST(r.rn AS INTEGER) AS rn, r.vec_id,
+      |  round(r.tsim, 6) AS trunc_sim, round(r.fsim, 6) AS full_sim,
+      |  (ft.vec_id IS NOT NULL) AS in_full_topk
+      |FROM ranked r LEFT JOIN fulltop ft ON r.vec_id = ft.vec_id
+      |WHERE r.rn <= 10
+      |ORDER BY r.budget, r.rn""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q222_vocab_growth", q222, Some(q222Sql)),
     Q("q223_fleiss_kappa", q223, Some(q223Sql)),
@@ -516,5 +631,7 @@ object CurationQueries extends QuerySet {
     Q("q231_nearest_join", q231, Some(q231Sql)),
     Q("q232_negative_samples", q232, Some(q232Sql)),
     Q("q233_exact_quantiles", q233, Some(q233Sql)),
-    Q("q234_k_anonymity", q234, Some(q234Sql)))
+    Q("q234_k_anonymity", q234, Some(q234Sql)),
+    Q("q235_streaming_seasonal", q235, Some(q235Sql)),
+    Q("q236_matryoshka_audit", q236, Some(q236Sql)))
 }

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.store.DocumentStore
+
+/** Streaming seasonality-aware volume monitor — the continuous face of
+  * [[graft.operators.Seasonal]]: every micro-batch's HOURLY value
+  * totals are compared against a FIXED per-period-position baseline
+  * (the mean hourly total the reference window established), and a
+  * bucket whose deviation clears the threshold alerts. A raw-volume
+  * threshold false-alarms every midnight and sleeps through a daytime
+  * drop; the seasonal baseline is what makes "this hour is wrong"
+  * well-posed per hour-of-day. (q208's DriftMonitor watches the value
+  * DISTRIBUTION; this watches seasonal VOLUME — the two standing
+  * stream audits a feed needs.)
+  *
+  * The alert rule is RELATIVE — deviation ≥ (ratioNum/ratioDen) of
+  * the seasonal baseline — because an absolute threshold cannot serve
+  * two traffic scales (what is noise at 10× volume is an outage at
+  * 1×); the ratio form is scale-free. And it is EXACT-ARITHMETIC end
+  * to end: baseline rows carry the exact DECIMAL sum `sn` and integer
+  * hour count `sc` per position (never a pre-divided float mean); a
+  * batch bucket with total v (exact DECIMAL) alerts iff
+  *   |v·sc − sn| · ratioDen ≥ ratioNum · |sn|
+  * — all DECIMAL/BIGINT products, no float on the boundary, so the
+  * verdict replays bit-for-bit in SQL and across partitionings (the
+  * q208 integer-boundary discipline).
+  *
+  * Replay exactness: verdict rows are keyed upserts on
+  * (batch_id, hour) against an immutable baseline — a replayed batch
+  * recomputes identical rows (effective exactly-once).
+  *
+  * Scale shape per batch: one map-side-combined hour aggregate over
+  * the batch + a broadcast join against the ≤ `periodHours`-row
+  * baseline; cost tracks the batch. */
+object SeasonalMonitor {
+
+  /** `baseline`: (pos INT, sn DECIMAL — exact sum of hourly totals at
+    * that position, sc BIGINT — number of hours summed). Validated
+    * once: non-empty, unique positions, positive counts. */
+  def start(stream: DataFrame, store: DocumentStore, resultTable: String,
+            baseline: DataFrame, tsCol: String, valueCol: String,
+            checkpointDir: String, ratioNum: Long, ratioDen: Long,
+            periodHours: Int = 24): StreamingQuery = {
+    require(ratioNum > 0 && ratioDen > 0,
+      s"ratio must be positive, got $ratioNum/$ratioDen")
+    val b = baseline.select(col("pos").cast("int").as("pos"),
+      col("sn").cast("decimal(38,2)").as("sn"), col("sc").cast("long").as("sc"))
+    val shape = b.agg(count(lit(1)).as("n"), countDistinct(col("pos")).as("d"),
+      min(col("sc")).as("mn")).head()
+    require(shape.getLong(0) > 0, "SeasonalMonitor: baseline must be non-empty")
+    require(shape.getLong(0) == shape.getLong(1),
+      "SeasonalMonitor: baseline positions must be unique")
+    require(shape.getLong(2) > 0, "SeasonalMonitor: baseline counts must be positive")
+    val pinned = b.cache()
+    pinned.count()
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) applyBatch(batch, bid, store, resultTable,
+          pinned, tsCol, valueCol, ratioNum, ratioDen, periodHours)
+        ()
+      }
+      .start()
+  }
+
+  /** One monitoring round — exposed for batch replay/oracle use. */
+  def applyBatch(batch: DataFrame, bid: Long, store: DocumentStore,
+                 resultTable: String, baseline: DataFrame, tsCol: String,
+                 valueCol: String, ratioNum: Long, ratioDen: Long,
+                 periodHours: Int = 24): Unit = {
+    val hourly = batch
+      .filter(col(tsCol).isNotNull)
+      .groupBy(date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).cast("decimal(38,2)").as("v"))
+      .withColumn("pos", pmod(hour(col("hour")), lit(periodHours)).cast("int"))
+    val rows = hourly.join(broadcast(baseline), "pos")
+      .select(lit(bid).as("batch_id"), col("hour"), col("pos"),
+        col("v").cast("double").as("v"),
+        (col("sn").cast("double") / col("sc").cast("double")).as("baseline_mean"),
+        (col("v").cast("double") -
+          col("sn").cast("double") / col("sc").cast("double")).as("deviation"),
+        // exact scale-free boundary: |v·sc − sn|·ratioDen ≥ ratioNum·|sn|
+        // — DECIMAL/BIGINT only, no float on the decision
+        (abs(col("v") * col("sc") - col("sn")) * ratioDen >=
+          abs(col("sn")) * ratioNum).as("alert"))
+    if (store.exists(resultTable))
+      store.upsert(resultTable, rows, Seq("batch_id", "hour"))
+    else store.create(resultTable, rows)
+  }
+}
