@@ -618,6 +618,131 @@ object CurationQueries extends QuerySet {
       |WHERE r.rn <= 10
       |ORDER BY r.budget, r.rn""".stripMargin
 
+  /** Apportioned stratified sample sizes: Hamilton largest-remainder
+    * allocation of a 1000-row budget across sources weighted by token
+    * volume — [[graft.operators.Apportionment.hamilton]]; Σ alloc =
+    * budget by construction (the missing last step after q216's
+    * Neyman targets). */
+  private def q237(s: SparkSession, d: String): DataFrame = {
+    val weights = t(s, d, "documents")
+      .groupBy(col("source"))
+      .agg(sum(size(filter(split(col("text"), " "), w => w =!= "")).cast("long"))
+        .as("tokens"))
+    graft.operators.Apportionment.hamilton(weights, "source", "tokens", budget = 1000L)
+      .orderBy(col("source"))
+  }
+
+  private val q237Sql =
+    """WITH weights AS (
+      |  SELECT source,
+      |    CAST(SUM(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT)
+      |      AS tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS w FROM weights),
+      |based AS (
+      |  SELECT source, tokens,
+      |    (tokens * 1000) // tot.w AS base, (tokens * 1000) % tot.w AS rem
+      |  FROM weights CROSS JOIN tot),
+      |lo AS (SELECT 1000 - CAST(SUM(base) AS BIGINT) AS leftover FROM based)
+      |SELECT source, tokens, CAST(base AS BIGINT) AS base,
+      |  CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= lo.leftover
+      |       THEN 1 ELSE 0 END AS extra,
+      |  CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+      |       <= lo.leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |FROM based CROSS JOIN lo
+      |ORDER BY source""".stripMargin
+
+  /** Churn labels over the event log at a 7-day horizon —
+    * [[graft.operators.ChurnLabels.labels]]: gap to next active day,
+    * with right-censoring surfaced as NULL labels instead of silent
+    * optimistic negatives. */
+  private def q238(s: SparkSession, d: String): DataFrame =
+    graft.operators.ChurnLabels.labels(t(s, d, "events"), "user_id", "ts",
+        horizonDays = 7)
+      .orderBy(col("user"), col("day"))
+
+  private val q238Sql =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id AS "user", CAST(ts AS DATE) AS day
+      |  FROM events WHERE ts IS NOT NULL),
+      |endd AS (SELECT MAX(day) AS e FROM days),
+      |led AS (
+      |  SELECT "user", day,
+      |    lead(day) OVER (PARTITION BY "user" ORDER BY day) AS nxt
+      |  FROM days)
+      |SELECT "user", day,
+      |  datediff('day', day, nxt) AS next_gap_days,
+      |  CASE WHEN datediff('day', day, endd.e) < 7
+      |         AND (nxt IS NULL OR datediff('day', day, nxt) > 7)
+      |       THEN NULL
+      |       ELSE (nxt IS NULL OR datediff('day', day, nxt) > 7) END AS churned,
+      |  (datediff('day', day, endd.e) < 7
+      |    AND (nxt IS NULL OR datediff('day', day, nxt) > 7)) AS censored
+      |FROM led CROSS JOIN endd
+      |ORDER BY "user", day""".stripMargin
+
+  /** PMI-expanded BM25 retrieval — the q164 collocation miner feeds the
+    * q66 ranker: each seed term contributes its strongest-lift bigram
+    * partner, and the expanded term set scores the corpus. Composition
+    * of two hash-green operators; the expansion is replayed
+    * relationally (the partner list is data-derived, never
+    * hard-coded). */
+  private def q239(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents")
+    val base = Seq("table", "vector")
+    val lifts = graft.operators.Collocations.pmiBigrams(docs, "text", minCount = 5L)
+      .filter(col("w1").isin(base: _*))
+    val w = Window.partitionBy(col("w1")).orderBy(col("lift").desc, col("w2"))
+    // bounded collect: one partner per seed term
+    val partners = lifts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("w2"))
+      .collect().map(_.getString(0)).toSeq
+    val expanded = (base ++ partners).distinct.sorted
+    graft.operators.KeywordRank.bm25Direct(docs, "doc_id", "text", expanded)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val q239Sql =
+    """WITH w AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+      |uni AS (SELECT unnest(w) AS t FROM w),
+      |u AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM uni GROUP BY t),
+      |bi0 AS (SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+      |        FROM w WHERE len(w) >= 2),
+      |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12 FROM bi0 GROUP BY w1, w2),
+      |tot AS (SELECT (SELECT SUM(n) FROM u) AS tot_t, (SELECT SUM(n12) FROM bi) AS tot_b),
+      |lifts AS (
+      |  SELECT w1, w2,
+      |    (CAST(n12 AS DOUBLE) * tot_t * tot_t) /
+      |      (CAST(tot_b AS DOUBLE) * u1.n * u2.n) AS lift
+      |  FROM bi JOIN u u1 ON u1.t = w1 JOIN u u2 ON u2.t = w2 CROSS JOIN tot
+      |  WHERE n12 >= 5 AND w1 IN ('table', 'vector')),
+      |partners AS (
+      |  SELECT w2 FROM (
+      |    SELECT w2, row_number() OVER (PARTITION BY w1 ORDER BY lift DESC, w2) AS rn
+      |    FROM lifts) WHERE rn = 1),
+      |terms AS (SELECT DISTINCT t FROM (
+      |  SELECT unnest(['table', 'vector']) AS t UNION ALL SELECT w2 FROM partners)),
+      |tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |        FROM documents),
+      |lens AS (SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY 1),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM tok JOIN terms ON term = t GROUP BY 1, 2),
+      |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+      |            AVG(CAST(len AS DOUBLE)) AS avg_len FROM lens),
+      |parts AS (
+      |  SELECT tf.doc_id,
+      |    CAST(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.25)
+      |      / (tf + 1.25 * (0.25 + 0.75 * len / avg_len)) AS DECIMAL(28,12)) AS part
+      |  FROM tf JOIN dfq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats)
+      |SELECT doc_id, round(CAST(SUM(part) AS DOUBLE), 6) AS score
+      |FROM parts GROUP BY doc_id
+      |ORDER BY round(CAST(SUM(part) AS DOUBLE), 6) DESC, doc_id LIMIT 20""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q222_vocab_growth", q222, Some(q222Sql)),
     Q("q223_fleiss_kappa", q223, Some(q223Sql)),
@@ -633,5 +758,8 @@ object CurationQueries extends QuerySet {
     Q("q233_exact_quantiles", q233, Some(q233Sql)),
     Q("q234_k_anonymity", q234, Some(q234Sql)),
     Q("q235_streaming_seasonal", q235, Some(q235Sql)),
-    Q("q236_matryoshka_audit", q236, Some(q236Sql)))
+    Q("q236_matryoshka_audit", q236, Some(q236Sql)),
+    Q("q237_apportionment", q237, Some(q237Sql)),
+    Q("q238_churn_labels", q238, Some(q238Sql)),
+    Q("q239_query_expansion", q239, Some(q239Sql)))
 }
