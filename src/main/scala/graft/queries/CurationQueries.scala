@@ -743,6 +743,62 @@ object CurationQueries extends QuerySet {
       |FROM parts GROUP BY doc_id
       |ORDER BY round(CAST(SUM(part) AS DOUBLE), 6) DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Per-class Fisher separability of the embedding space —
+    * [[graft.operators.Separability.fisherPerClass]]: exact DECIMAL
+    * scatter numerators on the integer grid, one closing double
+    * ratio. */
+  private def q240(s: SparkSession, d: String): DataFrame =
+    graft.operators.Separability.fisherPerClass(t(s, d, "embeddings"),
+        "label", "embedding", gridBits = 20)
+      .orderBy(col("label"))
+
+  private val q240Sql =
+    """WITH q AS (
+      |  SELECT label AS l,
+      |    unnest(list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))) AS qv,
+      |    unnest(range(64)) AS p
+      |  FROM embeddings),
+      |perdim AS (
+      |  SELECT l, p, CAST(SUM(qv) AS BIGINT) AS s,
+      |    CAST(SUM(CAST(qv AS DECIMAL(19,0)) * CAST(qv AS DECIMAL(19,0)))
+      |      AS DECIMAL(38,0)) AS qq,
+      |    COUNT(*) AS cnt
+      |  FROM q GROUP BY l, p),
+      |cls AS (
+      |  SELECT l, list(s ORDER BY p) AS sums,
+      |    CAST(SUM(qq) AS DECIMAL(38,0)) AS q_total, MAX(cnt) AS n
+      |  FROM perdim GROUP BY l),
+      |cor AS (
+      |  SELECT list(cs ORDER BY p) AS csums FROM (
+      |    SELECT p, CAST(SUM(s) AS BIGINT) AS cs FROM perdim GROUP BY p)),
+      |nn AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cls),
+      |sep AS (
+      |  SELECT l, n, q_total,
+      |    list_reduce(list_prepend(CAST(0 AS DECIMAL(38,0)),
+      |      list_transform(sums, x -> CAST(CAST(x AS DECIMAL(19,0))
+      |        * CAST(x AS DECIMAL(19,0)) AS DECIMAL(38,0)))),
+      |      (a, b) -> CAST(a + b AS DECIMAL(38,0))) AS s2,
+      |    list_reduce(list_prepend(CAST(0 AS DECIMAL(38,0)),
+      |      list_transform(list_zip(sums, csums),
+      |        z -> CAST(CAST(CAST(z[1] AS DECIMAL(19,0)) * nn.nn
+      |               - CAST(z[2] AS DECIMAL(19,0)) * n AS DECIMAL(19,0))
+      |             * CAST(CAST(z[1] AS DECIMAL(19,0)) * nn.nn
+      |               - CAST(z[2] AS DECIMAL(19,0)) * n AS DECIMAL(19,0))
+      |             AS DECIMAL(38,0)))),
+      |      (a, b) -> CAST(a + b AS DECIMAL(38,0))) AS b2
+      |  FROM cls CROSS JOIN cor CROSS JOIN nn)
+      |SELECT l AS label, n, q_total,
+      |  CAST(CAST(n AS DECIMAL(19,0)) * q_total - s2 AS DECIMAL(38,0)) AS within_num,
+      |  b2 AS between_num,
+      |  CASE WHEN CAST(n AS DECIMAL(19,0)) * q_total - s2 = 0 THEN NULL
+      |    ELSE (CAST(b2 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) /
+      |      (CAST(CAST(n AS DECIMAL(19,0)) * q_total - s2 AS DOUBLE)
+      |        * CAST(n * (SELECT nn FROM nn) AS DOUBLE)
+      |        * CAST(n * (SELECT nn FROM nn) AS DOUBLE))
+      |  END AS fisher
+      |FROM sep ORDER BY label""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q222_vocab_growth", q222, Some(q222Sql)),
     Q("q223_fleiss_kappa", q223, Some(q223Sql)),
@@ -761,5 +817,6 @@ object CurationQueries extends QuerySet {
     Q("q236_matryoshka_audit", q236, Some(q236Sql)),
     Q("q237_apportionment", q237, Some(q237Sql)),
     Q("q238_churn_labels", q238, Some(q238Sql)),
-    Q("q239_query_expansion", q239, Some(q239Sql)))
+    Q("q239_query_expansion", q239, Some(q239Sql)),
+    Q("q240_class_separability", q240, Some(q240Sql)))
 }
