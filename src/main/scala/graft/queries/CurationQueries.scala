@@ -5,10 +5,15 @@ import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.operators.{Agreement, Boilerplate, Calibration, TextProfile}
 
-/** Round-12 curation/eval extensions: corpus profiling (Heaps curve),
-  * annotation agreement (Fleiss κ), score calibration (ECE, split
-  * conformal), sub-document boilerplate removal, and checksum-validated
-  * PII redaction. Every gate follows the house hash-parity rules
+/** Round-12 curation/eval extensions (q222–q240): corpus profiling
+  * (Heaps curve), annotation agreement (Fleiss κ), score calibration
+  * (ECE, split conformal), sub-document boilerplate removal,
+  * checksum-validated PII redaction, graph assortativity, seasonal
+  * decomposition + its streaming monitor, grid-quantile RFM, nearest
+  * join, negative sampling, exact two-phase global quantiles,
+  * k-anonymity, Matryoshka truncation audit, Hamilton apportionment,
+  * churn labels, PMI-expanded retrieval, and Fisher class
+  * separability. Every gate follows the house hash-parity rules
   * (identical aliases both sides, exact-integer accumulation, total
   * ORDER BY). */
 object CurationQueries extends QuerySet {
