@@ -32,28 +32,29 @@ import org.apache.spark.sql.functions._
   * fold — partitioning-invariant). */
 object Boilerplate {
 
-  /** (idCol, clean_text, n_seg, n_dropped) — `clean_text` is the doc
-    * with boilerplate segments removed (empty string if everything
-    * dropped). */
-  def removeRepeatedSegments(df: DataFrame, idCol: String, textCol: String,
-                             segWords: Int = 10, minDf: Long = 5L): DataFrame = {
-    require(segWords >= 1, s"bad segWords=$segWords")
-    require(minDf >= 2, s"minDf must be >= 2 (1 would drop everything), got $minDf")
+  /** The shared segmentation: (__id, __idx, __seg) — one row per
+    * fixed-width word segment, in document order. */
+  private[graft] def segments(df: DataFrame, idCol: String, textCol: String,
+                              segWords: Int): DataFrame = {
     val toks = filter(split(col(textCol), " "), w => w =!= "")
     val nSeg = ceil(size(toks).cast("double") / segWords).cast("int")
     // sequence(0, -1) DESCENDS in Spark (the resampleByRowWeight
-    // lesson): an empty doc must yield an empty segment array, and the
-    // doc itself stays in the output with n_seg = 0 via `totals`
+    // lesson): an empty doc must yield an empty segment array
     val segArr = when(nSeg > 0, transform(sequence(lit(0), nSeg - 1),
       i => concat_ws(" ", slice(toks, i * segWords + 1, lit(segWords)))))
       .otherwise(array())
-    val segs = df.select(col(idCol).as("__id"),
-      posexplode(segArr).as(Seq("__idx", "__seg")))
-    val hot = segs.groupBy(col("__seg"))
-      .agg(countDistinct(col("__id")).as("__df"))
-      .filter(col("__df") >= minDf)
-      .select(col("__seg"))
-    val kept = segs.join(broadcast(hot), Seq("__seg"), "left_anti")
+    df.select(col(idCol).as("__id"), posexplode(segArr).as(Seq("__idx", "__seg")))
+  }
+
+  /** Re-compose each doc WITHOUT the segments in `hot` (one column
+    * `__seg`): (idCol, clean_text, n_seg, n_dropped). The empty doc
+    * stays present with n_seg = 0 via the doc-level totals. */
+  private[graft] def removeAgainst(df: DataFrame, idCol: String, textCol: String,
+                                   segWords: Int, hot: DataFrame): DataFrame = {
+    val toks = filter(split(col(textCol), " "), w => w =!= "")
+    val nSeg = ceil(size(toks).cast("double") / segWords).cast("int")
+    val segs = segments(df, idCol, textCol, segWords)
+    val kept = segs.join(broadcast(hot.select(col("__seg"))), Seq("__seg"), "left_anti")
     val totals = df.select(col(idCol).as("__id"), nSeg.cast("long").as("n_seg"))
     totals
       .join(kept.groupBy(col("__id"))
@@ -64,6 +65,21 @@ object Boilerplate {
           .as("clean_text"),
         col("n_seg"),
         (col("n_seg") - coalesce(size(col("__ps")), lit(0)).cast("long")).as("n_dropped"))
+  }
+
+  /** (idCol, clean_text, n_seg, n_dropped) — `clean_text` is the doc
+    * with boilerplate segments removed (empty string if everything
+    * dropped). */
+  def removeRepeatedSegments(df: DataFrame, idCol: String, textCol: String,
+                             segWords: Int = 10, minDf: Long = 5L): DataFrame = {
+    require(segWords >= 1, s"bad segWords=$segWords")
+    require(minDf >= 2, s"minDf must be >= 2 (1 would drop everything), got $minDf")
+    val hot = segments(df, idCol, textCol, segWords)
+      .groupBy(col("__seg"))
+      .agg(countDistinct(col("__id")).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__seg"))
+    removeAgainst(df, idCol, textCol, segWords, hot)
   }
 
   /** The segments a `minDf` threshold flags, with their df — the loud

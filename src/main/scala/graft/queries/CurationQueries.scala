@@ -804,6 +804,79 @@ object CurationQueries extends QuerySet {
       |  END AS fisher
       |FROM sep ORDER BY label""".stripMargin
 
+  /** Incremental boilerplate maintenance
+    * ([[graft.streaming.BoilerplateIngest]]): the banner'd corpus
+    * streams as two parity micro-batches; the standing segment-df
+    * table advances per batch and each batch cleans against the state
+    * AS OF ITS ARRIVAL — the oracle replays batch 0 against the even
+    * half's df and batch 1 against the cumulative df. */
+  private def q241(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val banner = concat_ws(" ",
+      transform(sequence(lit(1), lit(10)), _ => concat(lit("banner"), col("source"))))
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), concat(banner, lit(" "), col("text")).as("text"))
+    val srcDir = Files.createTempDirectory("graft-q241-src").toFile
+    val base = System.currentTimeMillis()
+    (0 to 1).foreach { i =>
+      val tmp = Files.createTempDirectory("graft-q241-stage").toFile
+      docs.filter(pmod(col("doc_id"), lit(2)) === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      tmp.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val dst = new java.io.File(srcDir, s"batch$i.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(base + i * 1000L)
+      }
+    }
+    val store = new graft.store.DocumentStore(s,
+      Files.createTempDirectory("graft-q241-store").toString)
+    val feed = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val qy = graft.streaming.BoilerplateIngest.start(feed, store, "segdf",
+      "segdocs", "clean", "doc_id", "text",
+      Files.createTempDirectory("graft-q241-ckpt").toString,
+      segWords = 10, minDf = 5L)
+    try qy.processAllAvailable() finally qy.stop()
+    store.read("clean")
+      .select(col("doc_id"), col("clean_text"), col("n_seg"), col("n_dropped"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q241Sql =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(
+      |      array_to_string(list_transform(range(10), i -> 'banner' || source), ' ')
+      |        || ' ' || text, ' '), w -> w <> '') AS toks
+      |  FROM documents),
+      |segd AS (
+      |  SELECT doc_id, toks, CAST(ceil(len(toks) / 10.0) AS INTEGER) AS nseg
+      |  FROM docs),
+      |segs AS (
+      |  SELECT doc_id, nseg,
+      |    unnest(list_transform(range(nseg),
+      |      i -> array_to_string(toks[(i * 10 + 1):(i * 10 + 10)], ' '))) AS seg,
+      |    unnest(range(nseg)) AS idx
+      |  FROM segd),
+      |hot0 AS (SELECT seg FROM segs WHERE doc_id % 2 = 0
+      |         GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 5),
+      |hot01 AS (SELECT seg FROM segs
+      |          GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 5),
+      |kept AS (
+      |  SELECT * FROM segs
+      |  WHERE (doc_id % 2 = 0 AND seg NOT IN (SELECT seg FROM hot0))
+      |     OR (doc_id % 2 = 1 AND seg NOT IN (SELECT seg FROM hot01))),
+      |rec AS (
+      |  SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) AS clean_text,
+      |    COUNT(*) AS n_kept
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(rec.clean_text, '') AS clean_text,
+      |  CAST(d.nseg AS BIGINT) AS n_seg,
+      |  CAST(d.nseg - COALESCE(rec.n_kept, 0) AS BIGINT) AS n_dropped
+      |FROM (SELECT doc_id, nseg FROM segd) d
+      |LEFT JOIN rec ON d.doc_id = rec.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q222_vocab_growth", q222, Some(q222Sql)),
     Q("q223_fleiss_kappa", q223, Some(q223Sql)),
@@ -823,5 +896,6 @@ object CurationQueries extends QuerySet {
     Q("q237_apportionment", q237, Some(q237Sql)),
     Q("q238_churn_labels", q238, Some(q238Sql)),
     Q("q239_query_expansion", q239, Some(q239Sql)),
-    Q("q240_class_separability", q240, Some(q240Sql)))
+    Q("q240_class_separability", q240, Some(q240Sql)),
+    Q("q241_incremental_boilerplate", q241, Some(q241Sql)))
 }
