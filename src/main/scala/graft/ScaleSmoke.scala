@@ -272,15 +272,29 @@ object ScaleSmoke {
         .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
-      def run(nprobe: Int): DataFrame = pvs.map { case (pid, pv) =>
-        idx.search(e, pv, 10, nprobe, shortlist = 400)
+      def run(shortlist: Int)(nprobe: Int): DataFrame = pvs.map { case (pid, pv) =>
+        idx.search(e, pv, 10, nprobe, shortlist = shortlist)
           .select(lit(pid).as("probe_id"), col("vec_id"), col("sim"))
       }.reduce(_ unionByName _).withColumn("rn", row_number().over(w))
       val t0 = System.nanoTime()
-      val tn = RecallTuner.tune(Seq(1, 2, 4, 8, 16), target = 0.9, k = 10, truth, run)
+      // 2-D escalation (the r12 finding): when the nprobe grid tops out
+      // below target at one shortlist, the RESTORING knob is usually the
+      // shortlist (it must scale with the corpus) — walk it up instead of
+      // reporting failure from a 1-D slice
+      val shortlists = Seq(400, 800, 1600)
+      val tuned = shortlists.iterator.map { sl =>
+        sl -> scala.util.Try(
+          RecallTuner.tune(Seq(1, 2, 4, 8, 16), target = 0.9, k = 10, truth, run(sl)))
+      }.collectFirst { case (sl, scala.util.Success(tn)) => (sl, tn) }
       val secs = (System.nanoTime() - t0) / 1e9
-      f""","ivfpq_tuned":{"nprobe":${tn.param},"recall":${tn.recall}%.4f,"sec":$secs%.2f,""" +
-        s""""curve":"${tn.curve.map { case (p, r) => f"$p->$r%.3f" }.mkString(" ")}"}"""
+      tuned match {
+        case Some((sl, tn)) =>
+          f""","ivfpq_tuned":{"nprobe":${tn.param},"shortlist":$sl,""" +
+            f""""recall":${tn.recall}%.4f,"sec":$secs%.2f,""" +
+            s""""curve":"${tn.curve.map { case (p, r) => f"$p->$r%.3f" }.mkString(" ")}"}"""
+        case None =>
+          s""","ivfpq_tuned":{"error":"no (nprobe, shortlist) candidate reaches 0.9 up to ${shortlists.max}"}"""
+      }
     } catch { case e: Throwable =>
       s""","ivfpq_tuned":{"error":"${e.getMessage.take(80).replace('"', ' ')}"}""" }
     // r11 probe: q188 with the hub cap DEFAULTED FROM DATA (autoCap at
