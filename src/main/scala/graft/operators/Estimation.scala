@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Horvitz–Thompson estimation from a deterministic stratified sample
+  * (Horvitz & Thompson 1952) — the audit that closes the engine's
+  * sampling loop: [[Splits.stratifiedSample]] draws per-stratum
+  * fractions; every metric computed ON the sample then needs the
+  * inverse-inclusion-probability correction to speak about the
+  * CORPUS, and the uncorrected sample mean is silently biased toward
+  * over-sampled strata. The estimator: per stratum with sampling
+  * fraction f = bp/10000, T̂ = (Σ sample values) · 10000/bp — unbiased
+  * under the hash-deterministic design for the same reason as under
+  * Bernoulli (each row's inclusion probability is f on the bucket
+  * grid).
+  *
+  * Exactness: sample sums are exact BIGINTs; each estimate is ONE
+  * closing double expression (sum·10000/bp, left-assoc) — engine-
+  * identical; the per-stratum rows carry the exact integer inputs so
+  * the arithmetic is auditable, not just the result.
+  *
+  * Scale shape: one map-side-combined group aggregate over the SAMPLE
+  * (the corpus appears only if the caller joins truth beside it —
+  * the gate does, once, for the error column). */
+object Estimation {
+
+  /** (group, n_sample, sum_sample, bp, ht_total) per stratum present
+    * in `fractionsBp` (bp = basis points, the
+    * [[Splits.stratifiedSample]] grid). Strata with bp ≤ 0 are
+    * rejected loudly — a zero-probability stratum cannot be estimated
+    * from, only reported missing. */
+  def horvitzThompson(sample: DataFrame, groupCol: String, valueCol: String,
+                      fractionsBp: Map[String, Int]): DataFrame = {
+    require(fractionsBp.nonEmpty, "need at least one stratum fraction")
+    require(fractionsBp.values.forall(bp => bp > 0 && bp <= 10000),
+      s"fractions must be in (0, 10000] bp: $fractionsBp")
+    val spark = sample.sparkSession
+    import spark.implicits._
+    val fr = fractionsBp.toSeq.toDF(groupCol, "bp")
+    sample
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_sample"),
+        sum(col(valueCol).cast("long")).as("sum_sample"))
+      .join(broadcast(fr), groupCol)
+      .withColumn("ht_total",
+        col("sum_sample").cast("double") * 10000.0 / col("bp").cast("double"))
+  }
+}

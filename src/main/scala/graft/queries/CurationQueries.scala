@@ -877,6 +877,115 @@ object CurationQueries extends QuerySet {
       |LEFT JOIN rec ON d.doc_id = rec.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Horvitz–Thompson corpus estimates from the deterministic
+    * stratified sample — [[graft.operators.Estimation.horvitzThompson]]
+    * over [[graft.operators.Splits.stratifiedSample]] with per-source
+    * hash-derived fractions; the gate carries the exact sample sums,
+    * the estimate, AND the truth so the correction is auditable. */
+  private def q242(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Estimation, Splits}
+    val docs = t(s, d, "documents")
+    // per-source fraction = 1000 + hashBucket(stringKey(source), 4)·1000 bp
+    // — derived from data, bounded collect (one row per source)
+    val bps = docs.select(col("source")).distinct()
+      .withColumn("bp",
+        Splits.hashBucket(Splits.stringKey(col("source")), 4) * 1000 + 1000)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val sample = Splits.stratifiedSample(docs, "doc_id", "source",
+      bps.map { case (k, v) => k -> v / 10000.0 })
+    val est = Estimation.horvitzThompson(sample, "source", "n_chars", bps)
+    val truth = docs.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("true_total"), count(lit(1)).as("n_docs"))
+    est.join(truth, "source")
+      .select(col("source"), col("n_sample"), col("sum_sample"), col("bp"),
+        col("ht_total"), col("true_total"), col("n_docs"),
+        (col("ht_total") - col("true_total").cast("double")).as("err"))
+      .orderBy(col("source"))
+  }
+
+  private val q242Sql =
+    """WITH srcs AS (
+      |  SELECT source,
+      |    CAST((((list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(list_filter(string_split(source, ''), c -> c <> ''),
+      |          c -> CAST(ascii(c) AS BIGINT))),
+      |        (a, b) -> (a * 31 + b) % 1000000007) % 2147483648)
+      |      * 2654435761) % 4294967296 % 4 * 1000 + 1000) AS INTEGER) AS bp
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |samp AS (
+      |  SELECT d.source, d.n_chars FROM documents d JOIN srcs USING (source)
+      |  WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296 % 10000 < srcs.bp),
+      |est AS (
+      |  SELECT source, COUNT(*) AS n_sample,
+      |    CAST(SUM(n_chars) AS BIGINT) AS sum_sample
+      |  FROM samp GROUP BY source),
+      |truth AS (
+      |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS true_total,
+      |    COUNT(*) AS n_docs
+      |  FROM documents GROUP BY source)
+      |SELECT e.source, e.n_sample, e.sum_sample, srcs.bp,
+      |  CAST(e.sum_sample AS DOUBLE) * 10000.0 / CAST(srcs.bp AS DOUBLE) AS ht_total,
+      |  t.true_total, t.n_docs,
+      |  CAST(e.sum_sample AS DOUBLE) * 10000.0 / CAST(srcs.bp AS DOUBLE)
+      |    - CAST(t.true_total AS DOUBLE) AS err
+      |FROM est e JOIN srcs USING (source) JOIN truth t ON e.source = t.source
+      |ORDER BY e.source""".stripMargin
+
+  /** Kaplan–Meier time-to-churn curve over user activity —
+    * [[graft.operators.Survival.kaplanMeier]]: duration runs from a
+    * user's first active day to the last day BEFORE their first
+    * >2-day silence (event) or to their last observed day (censored);
+    * exact grid counts, duration-ordered factor product. */
+  private def q243(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, d, "events")
+    val days = ev.filter(col("ts").isNotNull)
+      .select(col("user_id").as("u"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("u")).orderBy(col("day"))
+    val durs = days
+      .withColumn("__gap", datediff(lead(col("day"), 1).over(w), col("day")))
+      .groupBy(col("u"))
+      .agg(min(col("day")).as("__f"), max(col("day")).as("__l"),
+        min(when(col("__gap") > 2, col("day"))).as("__ev"))
+      .select(
+        datediff(coalesce(col("__ev"), col("__l")), col("__f")).as("dur"),
+        col("__ev").isNotNull.as("event"))
+    graft.operators.Survival.kaplanMeier(durs, "dur", "event")
+  }
+
+  private val q243Sql =
+    """WITH d0 AS (
+      |  SELECT user_id AS u, CAST(ts AS DATE) AS dy FROM events
+      |  WHERE ts IS NOT NULL GROUP BY 1, 2),
+      |g AS (
+      |  SELECT u, dy,
+      |    datediff('day', dy, lead(dy) OVER (PARTITION BY u ORDER BY dy)) AS gap
+      |  FROM d0),
+      |dur AS (
+      |  SELECT datediff('day', MIN(dy),
+      |      COALESCE(MIN(CASE WHEN gap > 2 THEN dy END), MAX(dy))) AS t,
+      |    (MIN(CASE WHEN gap > 2 THEN dy END) IS NOT NULL) AS ev
+      |  FROM g GROUP BY u),
+      |grid AS (
+      |  SELECT t, CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    CAST(SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS c
+      |  FROM dur GROUP BY t),
+      |tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n FROM grid),
+      |ar AS (
+      |  SELECT t, d, c,
+      |    tot.n - CAST(SUM(d + c) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      + d + c AS n_risk
+      |  FROM grid CROSS JOIN tot),
+      |evt AS (SELECT * FROM ar WHERE d > 0)
+      |SELECT e1.t, e1.n_risk, e1.d AS n_events, e1.c AS n_censored,
+      |  list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+      |    list(CAST(e2.n_risk - e2.d AS DOUBLE) / CAST(e2.n_risk AS DOUBLE)
+      |      ORDER BY e2.t)), (a, b) -> a * b) AS surv
+      |FROM evt e1 JOIN evt e2 ON e2.t <= e1.t
+      |GROUP BY e1.t, e1.n_risk, e1.d, e1.c
+      |ORDER BY e1.t""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q222_vocab_growth", q222, Some(q222Sql)),
     Q("q223_fleiss_kappa", q223, Some(q223Sql)),
@@ -897,5 +1006,7 @@ object CurationQueries extends QuerySet {
     Q("q238_churn_labels", q238, Some(q238Sql)),
     Q("q239_query_expansion", q239, Some(q239Sql)),
     Q("q240_class_separability", q240, Some(q240Sql)),
-    Q("q241_incremental_boilerplate", q241, Some(q241Sql)))
+    Q("q241_incremental_boilerplate", q241, Some(q241Sql)),
+    Q("q242_ht_estimate", q242, Some(q242Sql)),
+    Q("q243_kaplan_meier", q243, Some(q243Sql)))
 }
