@@ -986,6 +986,69 @@ object CurationQueries extends QuerySet {
       |GROUP BY e1.t, e1.n_risk, e1.d, e1.c
       |ORDER BY e1.t""".stripMargin
 
+  /** Link-prediction training table: co-supply supplier pairs labeled
+    * by [[graft.operators.NegativeSampling.labeledPairs]] and
+    * featurized by [[graft.operators.GraphFeatures.affiliationFeatures]]
+    * (common neighbors / Adamic–Adar / preferential attachment over
+    * shared parts) — the full (features, label) table a ranker trains
+    * on, no model in the loop. */
+  private def q244(s: SparkSession, d: String): DataFrame = {
+    val sp = t(s, d, "lineitem")
+      .select(col("l_suppkey").cast("long").as("s"),
+        col("l_partkey").cast("long").as("p")).distinct()
+    val co = sp.as("a")
+      .join(sp.as("b"), col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("s1"), col("b.s").as("s2")).distinct()
+    val labeled = graft.operators.NegativeSampling.labeledPairs(co, "s1", "s2",
+      k = 5, buckets = 64, seed = 3L)
+    graft.operators.GraphFeatures.affiliationFeatures(labeled, "left", "right",
+        sp, "s", "p")
+      .select(col("left"), col("right"), col("label"), col("cn"),
+        round(col("aa"), 6).as("aa"), col("pa"))
+      .orderBy(col("label"), col("left"), col("right"))
+  }
+
+  private val q244Sql =
+    """WITH sp AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+      |              CAST(l_partkey AS BIGINT) AS p FROM lineitem),
+      |co AS (SELECT DISTINCT a.s AS l, b.s AS r
+      |       FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s),
+      |reps AS (
+      |  SELECT ((r % 2147483648) * 2654435761) % 4294967296 // 67108864 AS bkt,
+      |    MIN(r) AS r
+      |  FROM (SELECT DISTINCT r FROM co) GROUP BY 1),
+      |cand AS (
+      |  SELECT DISTINCT lj.l, reps.r FROM (
+      |    SELECT l, ((xor((l * 31 + j.j) % 2147483648, 3)) * 2654435761)
+      |      % 4294967296 // 67108864 AS bkt
+      |    FROM (SELECT DISTINCT l FROM co)
+      |    CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS j) j) lj
+      |  JOIN reps ON lj.bkt = reps.bkt),
+      |neg AS (SELECT cand.l, cand.r FROM cand ANTI JOIN co
+      |        ON cand.l = co.l AND cand.r = co.r),
+      |lab AS (SELECT l, r, 1 AS label FROM co
+      |        UNION ALL SELECT l, r, 0 FROM neg),
+      |degl AS (SELECT s, COUNT(*) AS d FROM sp GROUP BY s),
+      |degr AS (SELECT p, COUNT(*) AS dr FROM sp GROUP BY p),
+      |shared AS (
+      |  SELECT lab.l, lab.r, sp1.p, degr.dr
+      |  FROM lab JOIN sp sp1 ON sp1.s = lab.l
+      |  JOIN sp sp2 ON sp2.s = lab.r AND sp2.p = sp1.p
+      |  JOIN degr ON degr.p = sp1.p),
+      |feats AS (
+      |  SELECT l, r, COUNT(*) AS cn,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(CASE WHEN dr > 1 THEN 1.0 / ln(CAST(dr AS DOUBLE))
+      |           ELSE 0.0 END ORDER BY p)), (a, b) -> a + b) AS aa
+      |  FROM shared GROUP BY l, r)
+      |SELECT lab.l AS "left", lab.r AS "right", lab.label,
+      |  CAST(COALESCE(feats.cn, 0) AS BIGINT) AS cn,
+      |  round(COALESCE(feats.aa, 0.0), 6) AS aa,
+      |  CAST(da.d * db.d AS BIGINT) AS pa
+      |FROM lab LEFT JOIN feats ON lab.l = feats.l AND lab.r = feats.r
+      |JOIN degl da ON da.s = lab.l JOIN degl db ON db.s = lab.r
+      |ORDER BY label, lab.l, lab.r""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q222_vocab_growth", q222, Some(q222Sql)),
     Q("q223_fleiss_kappa", q223, Some(q223Sql)),
@@ -1008,5 +1071,6 @@ object CurationQueries extends QuerySet {
     Q("q240_class_separability", q240, Some(q240Sql)),
     Q("q241_incremental_boilerplate", q241, Some(q241Sql)),
     Q("q242_ht_estimate", q242, Some(q242Sql)),
-    Q("q243_kaplan_meier", q243, Some(q243Sql)))
+    Q("q243_kaplan_meier", q243, Some(q243Sql)),
+    Q("q244_link_features", q244, Some(q244Sql)))
 }
