@@ -17,8 +17,12 @@ object Verify {
     def keep(name: String): Boolean = only.forall(_.exists(name.startsWith))
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       spark.catalog.clearCache() // queries that cache must not pin memory across the run
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
+      try {
+        val df = fn(spark, sfDir)
+        GateLint.assertGateSafe(name, df.schema) // q184/q240 dtype family
+        df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name.parquet")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -36,9 +36,14 @@ object Apportionment {
     val shape = w.agg(coalesce(sum(col("__w")), lit(0L)).as("tw"),
       coalesce(min(col("__w")), lit(0L)).as("mn"),
       coalesce(max(col("__w")), lit(0L)).as("mx"),
-      count(lit(1)).as("n"), countDistinct(col("__g")).as("d")).head()
+      count(lit(1)).as("n"), countDistinct(col("__g")).as("d"),
+      count(col("__w")).as("nw")).head()
     require(shape.getLong(3) > 0, "hamilton: need at least one group")
     require(shape.getLong(3) == shape.getLong(4), "hamilton: duplicate group keys")
+    // min/sum/require skip NULLs — a NULL-weight group would pass the
+    // guards, get NULL base/alloc, and break Σ alloc = budget silently
+    require(shape.getLong(5) == shape.getLong(3),
+      "hamilton: weights must not be NULL")
     require(shape.getLong(1) >= 0, "hamilton: weights must be non-negative")
     val total = shape.getLong(0)
     require(total > 0, "hamilton: total weight must be positive")

@@ -58,14 +58,21 @@ object AsOfJoin {
     // rows bypass the join (kept, with null payload — left-join shape)
     // and NULL-key right rows are dropped.
     val nullKey = keys.map(col(_).isNull).reduce(_ || _)
-    val leftNull = left.filter(nullKey).select(leftCols.map(col) ++
+    // NULL times get the same SQL-comparison treatment: `right.time <=
+    // left.time` is never true when either side is NULL, so NULL-time
+    // left rows take the null-payload bypass and NULL-time right rows
+    // are dropped — otherwise a NULL right time would sort nulls-first
+    // in the window and its payload would be carried into EVERY left
+    // row of the key as a phantom match.
+    val leftBypass = nullKey || col(leftTime).isNull
+    val leftNull = left.filter(leftBypass).select(leftCols.map(col) ++
       rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"$prefix$c")): _*)
 
-    val l = left.filter(!nullKey)
+    val l = left.filter(!leftBypass)
       .withColumn(cT, col(leftTime))
       .withColumn(cSide, lit(1))
       .withColumn(cCarry, lit(null).cast(carryType))
-    val r = right.filter(!nullKey)
+    val r = right.filter(!nullKey && col(rightTime).isNotNull)
       .select(keys.map(col) :+ col(rightTime).as(cT) :+ carry.as(cCarry): _*)
       .withColumn(cSide, lit(0))
 

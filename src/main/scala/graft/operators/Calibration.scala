@@ -71,11 +71,24 @@ object Calibration {
     * alphaDen: (group, n, q_rank, qhat, n_covered). q_rank =
     * ⌈(1−α)(n+1)⌉ clamped to n (a group smaller than 1/α − 1 cannot
     * certify the coverage level — its threshold saturates at the max,
-    * reported honestly by q_rank = n). */
+    * reported honestly by q_rank = n).
+    *
+    * INTEGER-DOMAIN CONTRACT (the [[ExactQuantile]] house rule, now
+    * enforced): `scoreCol` must already be an integral type. Fractional
+    * nonconformity scores (e.g. 1 − softmax ∈ (0,1)) must be scaled to
+    * a fixed grid by the caller first — `floor(score · 10^6)` — or every
+    * score would silently truncate to 0 and qhat would be meaningless.
+    * The rank boundary itself is exact ceiling division, no float. */
   def conformalThreshold(df: DataFrame, groupCol: String, scoreCol: String,
                          alphaNum: Long, alphaDen: Long): DataFrame = {
     require(alphaNum > 0 && alphaNum < alphaDen,
       s"alpha must be in (0, 1): $alphaNum/$alphaDen")
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val st = df.schema(scoreCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(st),
+      s"conformalThreshold: scoreCol '$scoreCol' is $st — scores must be " +
+        "integral (scale fractional scores to a fixed grid first, e.g. " +
+        "floor(score * 1e6); a silent cast would truncate (0,1) scores to 0)")
     val rows = df.select(col(groupCol).as("__g"), col(scoreCol).cast("long").as("__s"))
       .filter(col("__s").isNotNull)
     val w = org.apache.spark.sql.expressions.Window

@@ -58,12 +58,17 @@ object GraphFeatures {
       .select(col("__a"), col("__b"), col("cn"),
         aggregate(expr("transform(__ps, p -> p.__t)"), lit(0.0),
           (acc, x) => acc + x).as("aa"))
+    // degrees join LEFT: the pairs are GIVEN — an endpoint with no
+    // edges has deg 0 (cn=0, aa=0, pa=0), it does not silently drop
+    // the pair from the output
     p0.join(feats, Seq("__a", "__b"), "left")
-      .join(degL.withColumnRenamed("__l", "__a").withColumnRenamed("__d", "__da"), "__a")
-      .join(degL.withColumnRenamed("__l", "__b").withColumnRenamed("__d", "__db"), "__b")
+      .join(degL.withColumnRenamed("__l", "__a").withColumnRenamed("__d", "__da"),
+        Seq("__a"), "left")
+      .join(degL.withColumnRenamed("__l", "__b").withColumnRenamed("__d", "__db"),
+        Seq("__b"), "left")
       .select(col(aCol) +: col(bCol) +: extras.map(col) ++: Seq(
         coalesce(col("cn"), lit(0L)).as("cn"),
         coalesce(col("aa"), lit(0.0)).as("aa"),
-        (col("__da") * col("__db")).as("pa")): _*)
+        (coalesce(col("__da"), lit(0L)) * coalesce(col("__db"), lit(0L))).as("pa")): _*)
   }
 }

@@ -45,7 +45,13 @@ object Seasonal {
       .filter(col(tsCol).isNotNull)
       .groupBy(date_trunc("hour", col(tsCol)).as("hour"))
       .agg(sum(col(valueCol).cast("decimal(18,2)")).cast("decimal(38,2)").as("__v"))
-    val pos = pmod(hour(col("hour")), lit(periodHours))
+    // period position from EPOCH hours, not hour-of-day: hour() is
+    // 0..23, so any period that does not divide 24 would silently
+    // misalign (weekly 168 collapses to daily; 7 breaks at every day
+    // boundary). The session runs UTC, so for period 24 this is the
+    // same position labeling as before.
+    val pos = pmod(floor(unix_timestamp(col("hour")) / 3600).cast("long"),
+      lit(periodHours.toLong))
     val wTrend = Window.orderBy(col("hour")).rowsBetween(-halfWindow, halfWindow)
     val wSeason = Window.partitionBy(pos)
     val trended = hourly

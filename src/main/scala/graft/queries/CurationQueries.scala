@@ -755,6 +755,15 @@ object CurationQueries extends QuerySet {
   private def q240(s: SparkSession, d: String): DataFrame =
     graft.operators.Separability.fisherPerClass(t(s, d, "embeddings"),
         "label", "embedding", gridBits = 20)
+      // gate face: the exact DECIMAL(38,0) scatter numerators exceed
+      // int64 (between_num ≈ 1.1e19) and decimal-vs-float64 breaks the
+      // driver's dtype-sensitive hash — publish the nearest-double on
+      // both faces; the operator API keeps the exact decimals
+      .select(col("label"), col("n"),
+        col("q_total").cast("double").as("q_total"),
+        col("within_num").cast("double").as("within_num"),
+        col("between_num").cast("double").as("between_num"),
+        col("fisher"))
       .orderBy(col("label"))
 
   private val q240Sql =
@@ -793,9 +802,10 @@ object CurationQueries extends QuerySet {
       |             AS DECIMAL(38,0)))),
       |      (a, b) -> CAST(a + b AS DECIMAL(38,0))) AS b2
       |  FROM cls CROSS JOIN cor CROSS JOIN nn)
-      |SELECT l AS label, n, q_total,
-      |  CAST(CAST(n AS DECIMAL(19,0)) * q_total - s2 AS DECIMAL(38,0)) AS within_num,
-      |  b2 AS between_num,
+      |SELECT l AS label, n, CAST(q_total AS DOUBLE) AS q_total,
+      |  CAST(CAST(CAST(n AS DECIMAL(19,0)) * q_total - s2 AS DECIMAL(38,0))
+      |    AS DOUBLE) AS within_num,
+      |  CAST(b2 AS DOUBLE) AS between_num,
       |  CASE WHEN CAST(n AS DECIMAL(19,0)) * q_total - s2 = 0 THEN NULL
       |    ELSE (CAST(b2 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) /
       |      (CAST(CAST(n AS DECIMAL(19,0)) * q_total - s2 AS DOUBLE)

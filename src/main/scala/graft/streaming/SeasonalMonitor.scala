@@ -75,7 +75,12 @@ object SeasonalMonitor {
       .filter(col(tsCol).isNotNull)
       .groupBy(date_trunc("hour", col(tsCol)).as("hour"))
       .agg(sum(col(valueCol).cast("decimal(18,2)")).cast("decimal(38,2)").as("v"))
-      .withColumn("pos", pmod(hour(col("hour")), lit(periodHours)).cast("int"))
+      // epoch-hour position (see Seasonal.decompose): hour-of-day only
+      // covers periods dividing 24; baseline join keys must agree with
+      // the decomposition's labeling for ANY periodHours
+      .withColumn("pos",
+        pmod(floor(unix_timestamp(col("hour")) / 3600).cast("long"),
+          lit(periodHours.toLong)).cast("int"))
     val rows = hourly.join(broadcast(baseline), "pos")
       .select(lit(bid).as("batch_id"), col("hour"), col("pos"),
         col("v").cast("double").as("v"),

@@ -60,4 +60,13 @@ class ApportionmentSpec extends AnyFunSuite with SparkSuite {
         "g", "w", 1000000L)
     }
   }
+
+  test("NULL weights fail loudly (would silently break the budget sum)") {
+    val df = Seq(("a", java.lang.Long.valueOf(3L)),
+      ("b", null.asInstanceOf[java.lang.Long])).toDF("g", "w")
+    val e = intercept[IllegalArgumentException] {
+      Apportionment.hamilton(df, "g", "w", 10L)
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
 }

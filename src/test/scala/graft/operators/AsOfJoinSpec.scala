@@ -140,6 +140,24 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSuite {
     assert(out(3L) == -1L) // keyless left row kept with NULL payload
   }
 
+  test("NULL times never match (SQL comparison semantics)") {
+    import spark.implicits._
+    // right row with NULL time would sort nulls-first and be carried
+    // into every left row of the key as a phantom match
+    val left = Seq((1L, "k", java.lang.Long.valueOf(100L)),
+      (2L, "k", null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "key", "t")
+    val right = Seq(("k", null.asInstanceOf[java.lang.Long], 777L),
+      ("k", java.lang.Long.valueOf(50L), 42L))
+      .toDF("key", "t", "payload")
+    val out = AsOfJoin.leftAsOf(left, right, Seq("key"), "t", "t",
+        Seq("payload")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out(1L) == 42L)  // matches the real t=50 row, not the NULL-time one
+    assert(out(2L) == -1L)  // NULL left time: kept, null payload
+  }
+
   test("nearest is invariant to partitioning") {
     import spark.implicits._
     val left = (1L to 200L).map(i => (i, i % 7, i * 13 % 1000)).toDF("id", "key", "t")

@@ -73,4 +73,17 @@ class CalibrationSpec extends AnyFunSuite with SparkSuite {
       Calibration.conformalThreshold(df, "g", "s", 10, 10)
     }
   }
+
+  test("fractional score columns fail loudly (integer-domain contract)") {
+    // a silent long cast would truncate every score in (0,1) to 0
+    val df = Seq(("g", 0.93), ("g", 0.07)).toDF("g", "s")
+    val e = intercept[IllegalArgumentException] {
+      Calibration.conformalThreshold(df, "g", "s", 1, 10)
+    }
+    assert(e.getMessage.contains("integral"))
+    // the documented remedy works: scale to a fixed grid first
+    val scaled = df.selectExpr("g", "CAST(floor(s * 1000000) AS BIGINT) AS s")
+    val r = Calibration.conformalThreshold(scaled, "g", "s", 1, 10).head()
+    assert(r.getLong(1) == 2L)
+  }
 }

@@ -50,6 +50,21 @@ class GraphFeaturesSpec extends AnyFunSuite with SparkSuite {
     assert(a == run(pairs.repartition(7), edges.repartition(5)))
   }
 
+  test("pairs with edgeless endpoints are kept with cn=0 / aa=0 / pa=0") {
+    import spark.implicits._
+    // node 99 has no edges at all: the pair must survive (pairs are
+    // GIVEN), with zero features — not silently vanish on a degree join
+    val pairs = Seq((1L, 99L), (99L, 98L)).toDF("s1", "s2")
+    val out = GraphFeatures.affiliationFeatures(pairs, "s1", "s2",
+        edges, "s", "p")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(out.size == 2)
+    assert(out((1L, 99L))._1 == 0L && out((1L, 99L))._2 == 0.0)
+    assert(out((1L, 99L))._3 == 0L) // deg(99) = 0 -> pa = 0
+    assert(out((99L, 98L)) == ((0L, 0.0, 0L)))
+  }
+
   test("colliding column names fail loudly") {
     val pairs = Seq((1L, 2L, 9L)).toDF("s1", "s2", "cn")
     intercept[IllegalArgumentException] {

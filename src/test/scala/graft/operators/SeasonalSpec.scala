@@ -64,4 +64,43 @@ class SeasonalSpec extends AnyFunSuite with SparkSuite {
     val b = Seasonal.decompose(df.repartition(11), "ts", "value").collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("non-divisor-of-24 periods use epoch-hour positions, not hour-of-day") {
+    // v has exact period 7 in HOURS: v(i) = 10 * (i % 7). With epoch-hour
+    // positions the detrended series at each position is constant, so
+    // remainder must be exactly 0 everywhere the trend exists. The old
+    // hour-of-day labeling collapses 7 to a day-boundary-broken cycle
+    // and leaves a nonzero remainder.
+    val rows = (0 until 24 * 7).map(i => (ts(1 + i / 24, i % 24), 10.0 * (i % 7)))
+    val out = Seasonal.decompose(rows.toDF("ts", "value"), "ts", "value",
+      periodHours = 7, halfWindow = 7).collect()
+    assert(out.exists(!_.isNullAt(4)))
+    out.foreach { r =>
+      if (!r.isNullAt(4)) assert(math.abs(r.getDouble(4)) < 1e-9,
+        s"remainder should vanish for an exactly 7h-periodic series: $r")
+    }
+  }
+
+  test("weekly period (168) produces positions beyond 23") {
+    // 2 weeks of hourly data with a spike at epoch-week-hour 30: the
+    // seasonal term must carry the spike at that position only —
+    // impossible under hour-of-day labeling (position 30 cannot exist).
+    val rows = (0 until 24 * 28).map { i =>
+      val spike = if (i % 168 == 30) 1000.0 else 0.0
+      (ts(1 + i / 24, i % 24), spike)
+    }
+    val out = Seasonal.decompose(rows.toDF("ts", "value"), "ts", "value",
+        periodHours = 168, halfWindow = 84)
+      .orderBy("hour").collect()
+    val mid = out.filter(!_.isNullAt(3))
+    assert(mid.nonEmpty)
+    // seasonal at spike positions is far above the rest
+    val byIdx = out.zipWithIndex
+    byIdx.foreach { case (r, i) =>
+      if (!r.isNullAt(3)) {
+        if (i % 168 == 30) assert(r.getDouble(3) > 900.0)
+        else assert(r.getDouble(3) < 100.0)
+      }
+    }
+  }
 }
