@@ -47,17 +47,24 @@ object KeywordRank {
 
   /** The tokenized corpus aggregated once into the three tables every
     * ranking query needs — a search engine indexes once and serves many
-    * queries; re-tokenizing 100 TB per query is the wrong shape. `tf` and
-    * `lens` are cached (each feeds 2-3 plan branches that Catalyst's
-    * ReuseExchange cannot dedupe once constraint-inferred filters
-    * specialize them); call [[KeywordIndex.close]] to release, or write
-    * the tables out and reload for a persistent index. */
+    * queries; re-tokenizing 100 TB per query is the wrong shape. `tf`
+    * and `lens` are PINNED via eager `localCheckpoint` (each feeds 2-3
+    * plan branches that Catalyst's ReuseExchange cannot dedupe once
+    * constraint-inferred filters specialize them). Not `cache()`: a
+    * lazy cache populates DURING the first action, so two branches
+    * racing through the tokenize stage can each run it, and an
+    * evicted block re-tokenizes on the next query — the r12 q65
+    * finding (2× under memory pressure). Checkpointed blocks
+    * materialize exactly once and spill to disk instead of
+    * recomputing. Blocks are freed when the index is GC'd (the
+    * ContextCleaner); for a long-lived persistent index, write the
+    * tables out and reload instead ([[graft.search.InvertedIndex]]). */
   final case class KeywordIndex(tf: DataFrame, lens: DataFrame, stats: DataFrame,
                                 idCol: String) {
     def close(): Unit = { tf.unpersist(); lens.unpersist(); () }
   }
 
-  /** @param persist cache the index tables (serve-path default); pass
+  /** @param persist pin the index tables (serve-path default); pass
     *                 false for a one-shot pure plan. */
   def buildIndex(df: DataFrame, idCol: String, textCol: String,
                  persist: Boolean = true): KeywordIndex = {
@@ -67,9 +74,9 @@ object KeywordRank {
     // small-bytes input back to ~1 partition
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     val tf0 = termFreq(df.repartition(n, col(idCol)), idCol, textCol)
-    val tf = if (persist) tf0.cache() else tf0
+    val tf = if (persist) tf0.localCheckpoint() else tf0
     val lens0 = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("len"))
-    val lens = if (persist) lens0.cache() else lens0
+    val lens = if (persist) lens0.localCheckpoint() else lens0
     val stats = lens.agg(
       count(lit(1)).cast("double").as("n_docs"),
       avg(col("len").cast("double")).as("avg_len"))

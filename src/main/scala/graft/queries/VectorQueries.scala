@@ -256,7 +256,10 @@ object VectorQueries extends QuerySet {
     * (the loop depth is the corpus, not a fixed iteration count, and
     * each step's state is the whole mutable graph). Every other index
     * family (IVF/LSH/int8/PQ/IVF+PQ) hash-gates; HNSW's teeth are the
-    * in-query recall gate + HnswSpec's structural asserts. */
+    * in-query recall gate + the in-query [[HnswIndex.structuralAudit]]
+    * (deterministic-build invariants: level rule, degree bounds,
+    * neighbor ranges, entry point) + HnswSpec's determinism
+    * fingerprint (two builds → identical audit rows). */
   private def q82(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings").cache()
     val params = HnswIndex.Params(m = 16, efConstruction = 64, numSegments = 8)
@@ -267,6 +270,26 @@ object VectorQueries extends QuerySet {
     val loadedParams = HnswIndex.readParams(s, root)
       .getOrElse(sys.error("HNSW sidecar did not round-trip"))
     require(loadedParams == params, s"sidecar params drifted: $loadedParams")
+    // Structural gate (r13): the walk has no SQL oracle, but the BUILD
+    // is deterministic (splitmix64 levels), so the persisted graph is
+    // auditable — recompute every node's level from its id, check the
+    // freeze degree bounds and neighbor ranges, and verify the entry
+    // point. A build regression that leaves recall above 0.95 (e.g. a
+    // broken prune inflating degrees, or a changed level source
+    // reshaping the hierarchy) now fails HERE, loudly, not silently.
+    val audit = HnswIndex.structuralAudit(loaded, loadedParams).agg(
+        sum(col("level_mismatch")).as("lm"),
+        sum(col("degree_violations")).as("dv"),
+        sum(col("bad_neighbors")).as("bn"),
+        min(when(col("entry_ok"), lit(1)).otherwise(lit(0))).as("eo"),
+        sum(col("nodes")).as("n")).head()
+    require(audit.getLong(0) == 0 && audit.getLong(1) == 0 &&
+        audit.getLong(2) == 0 && audit.getInt(3) == 1,
+      s"HNSW structural audit failed: level_mismatch=${audit.getLong(0)} " +
+        s"degree_violations=${audit.getLong(1)} bad_neighbors=${audit.getLong(2)} " +
+        s"entry_ok=${audit.getInt(3) == 1}")
+    require(audit.getLong(4) == e.count(),
+      s"persisted graph covers ${audit.getLong(4)} of ${e.count()} vectors")
     val probe = probeVec(s, d, 0L)
     val ann = HnswIndex.search(loaded, probe, 10, ef = loadedParams.efConstruction)
       .join(e.select(col("vec_id"), col("label")), "vec_id")

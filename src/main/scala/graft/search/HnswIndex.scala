@@ -132,15 +132,34 @@ object HnswIndex {
       .limit(k)
   }
 
+  /** Probes a [[searchMany]] batch may carry: the probe set is
+    * COLLECTED to the driver and broadcast (each task walks its
+    * segments for every probe), so the contract is bounded batches —
+    * 2^16 probes × 1536 dims the broadcast is already ~400 MB, and a
+    * corpus-sized probe set OOMs the driver silently. Label audits and
+    * all-pairs sweeps belong on the IVF batched path
+    * ([[IvfIndex.searchMany]]), which joins probes distributed and
+    * never drives them through the driver. */
+  val MaxProbeBatch: Int = 1 << 16
+
   /** Batched multi-probe ANN: probes ride a broadcast into the graph
     * scan; each task searches its segments for all probes; the bounded
     * heap ([[VectorSearch.TopKAgg]]) merges per-segment winners so the
-    * shuffle carries probes×segments×k rows. */
+    * shuffle carries probes×segments×k rows. Probe batches are bounded
+    * by [[MaxProbeBatch]] — see its doc for the unbounded alternative. */
   def searchMany(graphs: DataFrame, probes: DataFrame,
                  probeIdCol: String, probeVecCol: String,
                  k: Int, ef: Int = 64): DataFrame = {
     val spark = graphs.sparkSession
     import spark.implicits._
+    // count BEFORE collect: the loud guard must fire before the driver
+    // tries to materialize an unbounded batch, not while
+    val probeCount = probes.count()
+    require(probeCount <= MaxProbeBatch,
+      s"searchMany probe batch is $probeCount rows — the probe set is " +
+        s"collected to the driver and broadcast (bounded-batch contract, " +
+        s"max $MaxProbeBatch); for corpus-sized probe sets use the " +
+        "distributed IVF batched path (IvfIndex.searchMany)")
     val pv: Array[(Long, Array[Float])] = probes
       .select(col(probeIdCol).cast("long"), col(probeVecCol))
       .as[(Long, Array[Float])]
@@ -226,6 +245,77 @@ object HnswIndex {
     base.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("vec_id"), col("sim"), col("rn"))
+  }
+
+  /** Structural audit of a persisted graph table — the q82 gate's
+    * build-regression tripwire. The build is deterministic (levels
+    * come from splitmix64 over ids, [[HnswBuilder]].levelOf), so the
+    * structure is CHECKABLE without replaying the walk:
+    *
+    *  - `level_mismatch`: nodes whose persisted level differs from the
+    *    splitmix64 rule recomputed from their id (a changed level
+    *    source silently reshapes every graph while recall stays fine);
+    *  - `degree_violations`: slots exceeding the freeze bound (2m at
+    *    layer 0, m above — a broken prune inflates search cost 10×
+    *    before recall moves);
+    *  - `bad_neighbors`: out-of-range or self-loop neighbor indexes;
+    *  - `entry_ok`: the entry point carries max_level;
+    *  - `level_histo` / `degree_histo_hash`: the distribution
+    *    fingerprint for cross-run comparison (two runs over the same
+    *    corpus must produce IDENTICAL fingerprints — determinism is
+    *    part of the artifact's definition).
+    *
+    * One row per segment; runs inside the executors (one pass over the
+    * flat arrays, nothing collected). */
+  def structuralAudit(graphs: DataFrame, params: Params): DataFrame = {
+    val spark = graphs.sparkSession
+    import spark.implicits._
+    val m = params.m
+    segments(graphs).map { g =>
+      val mL = 1.0 / math.log(m.toDouble)
+      val n = g.ids.length
+      var levelMismatch = 0L
+      var i = 0
+      val levelHisto = new Array[Long](25)
+      while (i < n) {
+        val h = HnswGraph.mix64(g.ids(i))
+        val u = ((h >>> 11) + 1).toDouble / (1L << 53).toDouble
+        val expect = math.min((-math.log(u) * mL).toInt, 24)
+        if (g.levels(i) != expect) levelMismatch += 1
+        if (g.levels(i) >= 0 && g.levels(i) <= 24) levelHisto(g.levels(i)) += 1
+        i += 1
+      }
+      var degreeViolations = 0L
+      var badNeighbors = 0L
+      var degreeHash = 0L
+      i = 0
+      while (i < n) {
+        var layer = 0
+        while (layer <= g.levels(i)) {
+          val s = g.node_slot(i) + layer
+          val deg = g.nbr_off(s + 1) - g.nbr_off(s)
+          val bound = if (layer == 0) 2 * m else m
+          if (deg > bound) degreeViolations += 1
+          // order-insensitive distribution fingerprint: fold each
+          // (layer, degree) through splitmix64 and sum — identical
+          // multisets of slot degrees give identical hashes
+          degreeHash += HnswGraph.mix64(layer.toLong << 32 | deg.toLong)
+          var p = g.nbr_off(s)
+          while (p < g.nbr_off(s + 1)) {
+            val nb = g.nbrs(p)
+            if (nb < 0 || nb >= n || nb == i) badNeighbors += 1
+            p += 1
+          }
+          layer += 1
+        }
+        i += 1
+      }
+      val entryOk = n == 0 || (g.entry >= 0 && g.entry < n &&
+        g.levels(g.entry) == g.max_level)
+      (g.segment, n.toLong, levelMismatch, degreeViolations, badNeighbors,
+        entryOk, levelHisto.toSeq, degreeHash)
+    }.toDF("segment", "nodes", "level_mismatch", "degree_violations",
+      "bad_neighbors", "entry_ok", "level_histo", "degree_histo_hash")
   }
 
   private def segments(graphs: DataFrame): Dataset[SegmentGraph] = {

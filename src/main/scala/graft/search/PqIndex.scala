@@ -150,6 +150,101 @@ final class IvfPq(val ivf: IvfIndex, val cb: PqCodebook,
       corpus.join(broadcast(ids), Seq(idCol), "left_semi"),
       vecCol, idCol, probe, k)
   }
+
+  /** Where this index's sidecars live (the coded table's directory). */
+  def servePath: String = store.tablePath(table)
+
+  /** The persisted measured operating point, if the index was tuned. */
+  def servePoint: Option[ServePoint] =
+    ServePoint.read(store.spark, servePath)
+
+  /** Distinct coded vectors (multiAssign replicates rows; the serve
+    * heuristic needs the corpus cardinality, not the replica count). */
+  lazy val codedCount: Long =
+    store.read(table).select(col(idCol)).distinct().count()
+
+  /** Measure the minimal (nprobe, shortlist) reaching `target` mean
+    * recall@k, and PERSIST it beside the coded table — the build-time
+    * step that makes [[IvfPqSearcher]]'s defaults data-driven instead
+    * of pinned (the r12 sf1 finding: constants tuned at one corpus
+    * size fail the recall gate at 10×).
+    *
+    * The probe sample is SPLIT: candidates walk against the tune half
+    * and a satisfying candidate must then clear the target on the
+    * HELD-OUT half too (measured necessity, not caution: the first sf1
+    * run of the plain walk picked (4, 320) at 0.9125 on its own probes
+    * and served 0.84 on fresh ones — a minimal point with no
+    * validation is overfit to its probe set by construction). The
+    * persisted recall is the held-out one.
+    *
+    * Walk order is cost-ascending per knob: shortlists grow
+    * geometrically from the 4k floor toward the corpus (rerank cost),
+    * and within each shortlist nprobe doubles toward numLists (scan
+    * IO). Fails loudly with the measured curve when even (numLists,
+    * corpus-scale shortlist) misses — a silently sub-target serve
+    * default is a wrong answer, not a tuning result (the
+    * [[RecallTuner]] contract).
+    *
+    * Cost envelope: probes are ≤ 2·`nProbeVecs` (collected — bounded);
+    * truth is one batched exact scan (probes × corpus, map-side
+    * k-heaps); each candidate evaluation reads ≤ nprobe/numLists of
+    * the coded table + `shortlist` float point-lookups. */
+  def tuneServe(corpus: DataFrame, k: Int = 10, target: Double = 0.9,
+                nProbeVecs: Int = 8): ServePoint = {
+    val spark = store.spark
+    val n = corpus.count()
+    // the engine's any-engine-reproducible sample key (PqIndex.train)
+    val sampleKey = pmod(pmod(col(idCol).cast("long"), lit(2147483648L)) *
+      2654435761L, lit(4294967296L))
+    val probes = corpus.select(col(idCol), col(vecCol))
+      .orderBy(sampleKey, col(idCol)).limit(2 * nProbeVecs)
+    val truth = VectorSearch.knnJoinWindow(probes, idCol, vecCol,
+        corpus, idCol, vecCol, k)
+      .select(col("probe_id"), col(idCol)).localCheckpoint()
+    val all = probes.collect().map(r => r.get(0) -> r.getSeq[Float](1).toArray)
+    // position-parity split: both halves come from the same Knuth order,
+    // so the split is deterministic and label-blind
+    val (tunePvs, holdPvs) = all.zipWithIndex.partition(_._2 % 2 == 0) match {
+      case (t, h) => (t.map(_._1), h.map(_._1))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("sim").desc, col(idCol))
+    def recallOf(pvs: Array[(Any, Array[Float])], np: Int, sl: Int): Double = {
+      val results = pvs.map { case (pid, pv) =>
+        search(corpus, pv, k, np, sl)
+          .select(lit(pid).as("probe_id"), col(idCol), col("sim"))
+      }.reduce(_ unionByName _).withColumn("rn", row_number().over(w))
+      // truth restricted to THIS half's probes: meanRecall scores probes
+      // missing from results as 0, so the full 2n-probe truth would cap
+      // each half at 0.5 by construction
+      val half = truth.filter(col("probe_id").isin(pvs.map(_._1): _*))
+      RecallTuner.meanRecall(results, half, k, docCol = idCol)
+    }
+    val numLists = ivf.centroids.length
+    val nprobes = (Iterator.iterate(1)(_ * 2).takeWhile(_ < numLists).toSeq
+      :+ numLists).distinct
+    val slFloor = 4 * k
+    val shortlists = (Iterator.iterate(slFloor.toLong)(_ * 2)
+      .takeWhile(_ < n).toSeq :+ n).map(_.min(Int.MaxValue.toLong).toInt).distinct
+    val measured = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+    for (sl <- shortlists; np <- nprobes) {
+      val rec = recallOf(tunePvs, np, sl)
+      measured += ((np, sl, rec))
+      if (rec >= target) {
+        val held = recallOf(holdPvs, np, sl)
+        measured += ((np, sl, held))
+        if (held >= target) {
+          val sp = ServePoint(np, sl, k, target, held, n)
+          ServePoint.write(spark, servePath, sp)
+          return sp
+        }
+      }
+    }
+    throw new IllegalStateException(
+      s"no (nprobe, shortlist) reaches recall@$k >= $target on held-out " +
+        "probes; measured: " + measured.map { case (np, sl, r) =>
+          s"($np,$sl)->${"%.4f".format(r)}" }.mkString(", "))
+  }
 }
 
 object PqIndex {
@@ -266,6 +361,56 @@ object PqIndex {
     VectorSearch.exactTopK(
       corpus.join(broadcast(approx), Seq(idCol), "left_semi"),
       vecCol, idCol, probe, k)
+  }
+
+  /** Flat-PQ analog of [[IvfPq.tuneServe]]: measure the minimal
+    * shortlist reaching `target` mean recall@k on a bounded
+    * deterministic probe sample vs exact truth. No store here, so the
+    * caller persists the returned point (or bakes it into a
+    * [[PqSearcher]]). Fails loudly with the measured curve when even a
+    * corpus-sized shortlist misses (then the CODEBOOK is the problem —
+    * retrain with more subspaces, don't widen the rerank forever). */
+  def tuneShortlist(cb: PqCodebook, encoded: DataFrame, corpus: DataFrame,
+                    vecCol: String, idCol: String, k: Int = 10,
+                    target: Double = 0.9, nProbeVecs: Int = 8): ServePoint = {
+    val n = corpus.count()
+    val sampleKey = pmod(pmod(col(idCol).cast("long"), lit(2147483648L)) *
+      2654435761L, lit(4294967296L))
+    val probes = corpus.select(col(idCol), col(vecCol))
+      .orderBy(sampleKey, col(idCol)).limit(2 * nProbeVecs)
+    val truth = VectorSearch.knnJoinWindow(probes, idCol, vecCol,
+        corpus, idCol, vecCol, k)
+      .select(col("probe_id"), col(idCol)).localCheckpoint()
+    val all = probes.collect().map(r => r.get(0) -> r.getSeq[Float](1).toArray)
+    val (tunePvs, holdPvs) = all.zipWithIndex.partition(_._2 % 2 == 0) match {
+      case (t, h) => (t.map(_._1), h.map(_._1))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("sim").desc, col(idCol))
+    def recallOf(pvs: Array[(Any, Array[Float])], sl: Int): Double = {
+      val results = pvs.map { case (pid, pv) =>
+        searchRerank(cb, encoded, corpus, vecCol, idCol, pv, k, sl)
+          .select(lit(pid).as("probe_id"), col(idCol), col("sim"))
+      }.reduce(_ unionByName _).withColumn("rn", row_number().over(w))
+      val half = truth.filter(col("probe_id").isin(pvs.map(_._1): _*))
+      RecallTuner.meanRecall(results, half, k, docCol = idCol)
+    }
+    val shortlists = (Iterator.iterate((4L * k).max(1L))(_ * 2)
+      .takeWhile(_ < n).toSeq :+ n).map(_.min(Int.MaxValue.toLong).toInt).distinct
+    val measured = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    shortlists.foreach { sl =>
+      val rec = recallOf(tunePvs, sl)
+      measured += ((sl, rec))
+      if (rec >= target) {
+        val held = recallOf(holdPvs, sl) // held-out check, as tuneServe
+        measured += ((sl, held))
+        if (held >= target) return ServePoint(1, sl, k, target, held, n)
+      }
+    }
+    throw new IllegalStateException(
+      s"no shortlist reaches recall@$k >= $target on held-out probes " +
+        "(codebook too coarse); measured: " + measured.map { case (sl, r) =>
+          s"$sl->${"%.4f".format(r)}" }.mkString(", "))
   }
 
   /** Mean squared reconstruction error of the codebook over a corpus —

@@ -106,16 +106,35 @@ object QuantizedSearcher extends VectorSearcher {
   * candidates, then the exact rerank touches the float corpus for only
   * ≤`shortlist` point lookups. The coded table is the 100 TB resident
   * set (16× smaller at dsub=4); recall is set by `shortlist` (gated at
-  * q95). */
-final class PqSearcher(cb: PqCodebook, encoded: DataFrame, shortlist: Int = 100)
+  * q95).
+  *
+  * `shortlist` left at [[PqSearcher.Auto]] resolves per call, in
+  * order: an explicit `point` (a [[PqIndex.tuneShortlist]]
+  * measurement, scaled to the coded count if the corpus grew), else
+  * the [[ServePoint.heuristicShortlist]] corpus-size rule — never a
+  * pinned constant (the r12 sf1 finding: a shortlist tuned at one
+  * corpus size fails the recall gate at 10×). */
+final class PqSearcher(cb: PqCodebook, encoded: DataFrame,
+                       shortlist: Int = PqSearcher.Auto,
+                       point: Option[ServePoint] = None)
     extends VectorSearcher {
+  private lazy val codedN: Long = encoded.count()
+
+  // recall at depth k needs headroom ABOVE k: a shortlist of ~2k keeps
+  // boundary ranks unstable (ADC ties reshuffle the tail), so the
+  // effective shortlist floors at 4k regardless of configuration
+  private def resolve(k: Int): Int = {
+    val base =
+      if (shortlist != PqSearcher.Auto) shortlist
+      else point.map(_.scaledTo(codedN).shortlist)
+        .getOrElse(ServePoint.heuristicShortlist(codedN, k))
+    math.max(base, 4 * k)
+  }
+
   override def topK(corpus: DataFrame, vecCol: String, idCol: String,
                     probe: Array[Float], k: Int): DataFrame =
-    // recall at depth k needs headroom ABOVE k: a shortlist of ~2k keeps
-    // boundary ranks unstable (ADC ties reshuffle the tail), so the
-    // effective shortlist floors at 4k regardless of configuration
     PqIndex.searchRerank(cb, encoded, corpus, vecCol, idCol, probe, k,
-      math.max(shortlist, 4 * k))
+      resolve(k))
 
   /** The coded table carries no payload columns, so the predicate is
     * resolved against the corpus and applied to the ADC scan as an id
@@ -128,19 +147,59 @@ final class PqSearcher(cb: PqCodebook, encoded: DataFrame, shortlist: Int = 100)
     val allowed = corpus.filter(pred)
     PqIndex.searchRerank(cb,
       encoded.join(allowed.select(col(idCol)), Seq(idCol), "left_semi"),
-      allowed, vecCol, idCol, probe, k, math.max(shortlist, 4 * k))
+      allowed, vecCol, idCol, probe, k, resolve(k))
   }
+}
+
+object PqSearcher {
+  /** Sentinel: resolve the shortlist from measurement or corpus size. */
+  val Auto: Int = -1
+
+  /** Measure-then-serve in one step: tune the minimal shortlist on
+    * this corpus ([[PqIndex.tuneShortlist]]) and return a searcher
+    * carrying the measured point. */
+  def tuned(cb: PqCodebook, encoded: DataFrame, corpus: DataFrame,
+            vecCol: String, idCol: String, k: Int = 10,
+            target: Double = 0.9): PqSearcher =
+    new PqSearcher(cb, encoded, point =
+      Some(PqIndex.tuneShortlist(cb, encoded, corpus, vecCol, idCol, k, target)))
 }
 
 /** Serves from a persisted [[IvfPq]] index: nprobe-pruned partition
   * read → ADC scan over m-byte codes → shortlist → exact rerank against
   * the corpus (the faiss IndexIVFPQ topology — the default shape when
-  * both IO pruning and vector compression matter at once). */
-final class IvfPqSearcher(idx: IvfPq, nprobe: Int = 4, shortlist: Int = 100)
+  * both IO pruning and vector compression matter at once).
+  *
+  * Defaults are DATA-DRIVEN (the r12 sf1 finding: the previously
+  * pinned `(nprobe=4, shortlist=100)` returned 0 rows through the
+  * recall gate at 10× the corpus it was tuned on). Parameters left at
+  * [[IvfPqSearcher.Auto]] resolve per call, in order: the operating
+  * point [[IvfPq.tuneServe]] measured at build time and persisted in
+  * the index sidecar (scaled to the current coded count if the table
+  * grew), else the [[ServePoint.heuristicShortlist]] corpus-size rule
+  * with nprobe = ¼ of the lists. Explicit arguments always win. */
+final class IvfPqSearcher(idx: IvfPq, nprobe: Int = IvfPqSearcher.Auto,
+                          shortlist: Int = IvfPqSearcher.Auto)
     extends VectorSearcher {
+  private lazy val sp: Option[ServePoint] = idx.servePoint
+  private lazy val corpusN: Long = idx.codedCount
+  private lazy val numLists: Int = idx.ivf.centroids.length
+
+  private def resolveNprobe: Int =
+    if (nprobe != IvfPqSearcher.Auto) nprobe
+    else sp.map(_.nprobe).getOrElse(math.max(1, numLists / 4))
+
+  private def resolveShortlist(k: Int): Int = {
+    val base =
+      if (shortlist != IvfPqSearcher.Auto) shortlist
+      else sp.map(_.scaledTo(corpusN).shortlist)
+        .getOrElse(ServePoint.heuristicShortlist(corpusN, k))
+    math.max(base, 4 * k)
+  }
+
   override def topK(corpus: DataFrame, vecCol: String, idCol: String,
                     probe: Array[Float], k: Int): DataFrame =
-    idx.search(corpus, probe, k, nprobe, math.max(shortlist, 4 * k))
+    idx.search(corpus, probe, k, resolveNprobe, resolveShortlist(k))
 
   /** Same id-semi-join placement as [[PqSearcher]]: the predicate
     * filters the nprobe-pruned coded candidates BEFORE the ADC
@@ -149,9 +208,15 @@ final class IvfPqSearcher(idx: IvfPq, nprobe: Int = 4, shortlist: Int = 100)
                          probe: Array[Float], k: Int,
                          pred: org.apache.spark.sql.Column): DataFrame = {
     val allowed = corpus.filter(pred)
-    idx.search(allowed, probe, k, nprobe, math.max(shortlist, 4 * k),
+    idx.search(allowed, probe, k, resolveNprobe, resolveShortlist(k),
       allowedIds = Some(allowed.select(col(idCol))))
   }
+}
+
+object IvfPqSearcher {
+  /** Sentinel: resolve from the index's persisted measured operating
+    * point, falling back to the corpus-size heuristic. */
+  val Auto: Int = -1
 }
 
 /** Serves from prebuilt [[HnswIndex]] segment graphs. The graphs store

@@ -52,6 +52,10 @@ class DocumentStore(val spark: SparkSession, root: String) {
 
   private def tdir(table: String): HPath = new HPath(rootPath, table)
 
+  /** Qualified table directory — where index sidecars that travel with
+    * a table (e.g. [[graft.search.ServePoint]]) live. */
+  def tablePath(table: String): String = tdir(table).toString
+
   private def readString(p: HPath): Option[String] =
     if (!fs.exists(p)) None
     else {

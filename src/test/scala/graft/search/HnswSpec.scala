@@ -73,6 +73,45 @@ class HnswSpec extends AnyFunSuite with SparkSuite {
     assert(many == single)
   }
 
+  test("structuralAudit: clean invariants, and two builds give identical " +
+       "fingerprints (the q82 build-regression tripwire)") {
+    val p = HnswIndex.Params(m = 16, efConstruction = 64, numSegments = 4)
+    val audit = HnswIndex.structuralAudit(graphs, p)
+      .orderBy($"segment").collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("level_mismatch") == 0, r.toString)
+      assert(r.getAs[Long]("degree_violations") == 0, r.toString)
+      assert(r.getAs[Long]("bad_neighbors") == 0, r.toString)
+      assert(r.getAs[Boolean]("entry_ok"), r.toString)
+    }
+    assert(audit.map(_.getAs[Long]("nodes")).sum == emb.count())
+    // determinism is part of the artifact's definition: a rebuild over a
+    // different partition layout must fingerprint IDENTICALLY
+    val again = HnswIndex.build(emb.repartition(7), "embedding", "vec_id", p)
+    val fp = (a: Array[org.apache.spark.sql.Row]) => a.map(r =>
+      (r.getAs[Long]("degree_histo_hash"), r.getAs[Seq[Long]]("level_histo"))).toSeq
+    assert(fp(HnswIndex.structuralAudit(again, p).orderBy($"segment").collect())
+      == fp(audit))
+    // the tripwire has teeth: auditing against the WRONG m flags the
+    // degree bound (a silent prune break would look exactly like this)
+    val wrong = HnswIndex.structuralAudit(graphs, p.copy(m = 4)).collect()
+    assert(wrong.exists(_.getAs[Long]("degree_violations") > 0))
+  }
+
+  test("searchMany refuses corpus-sized probe batches loudly") {
+    val ex = intercept[IllegalArgumentException] {
+      // a probe set over the bound must fail BEFORE the driver collect;
+      // crossJoin inflates past MaxProbeBatch without materializing much
+      val big = emb.select($"vec_id", $"embedding")
+        .crossJoin(spark.range((HnswIndex.MaxProbeBatch / emb.count()) + 1))
+        .select((($"vec_id" + lit(1)) * ($"id" + 1)).as("vec_id"), $"embedding")
+      HnswIndex.searchMany(graphs, big, "vec_id", "embedding", k = 5)
+    }
+    assert(ex.getMessage.contains("IvfIndex.searchMany"),
+      s"guard must point at the distributed alternative: ${ex.getMessage}")
+  }
+
   test("empty corpus builds an empty graph table; search returns no rows") {
     val empty = emb.filter($"vec_id" < 0)
     val g = HnswIndex.build(empty, "embedding", "vec_id")
