@@ -230,7 +230,20 @@ object ScaleSmoke {
       // anti-join scale with edges ×10 (reps stay bounded); q233's two
       // scans ×10 with the bucket grid unchanged
       "q228_degree_assortativity", "q231_nearest_join",
-      "q232_negative_samples", "q233_exact_quantiles")
+      "q232_negative_samples", "q233_exact_quantiles",
+      // r13: the remaining r12 additions' empirical 10× rows. q229/q243
+      // aggregate events ×10 onto CALENDAR-bounded grids (hour / day
+      // duration) — cost is the scan, the grid never grows; q230/q238
+      // are per-user aggregates/windows over events ×10; q236/q240 are
+      // the dense-buffer embedding aggregates (rows ×10, dims fixed);
+      // q237/q242 are per-source corpus aggregates (group count fixed);
+      // q239 mines PMI pairs over the relabeled corpus (vocab ×10 — the
+      // q164 adversarial case); q244's candidate space is Σ per-part
+      // co-supply² over ten DISJOINT copies (~×10, not ×100)
+      "q229_seasonal_decompose", "q230_rfm_scores", "q236_matryoshka_audit",
+      "q237_apportionment", "q238_churn_labels", "q239_query_expansion",
+      "q240_class_separability", "q242_ht_estimate", "q243_kaplan_meier",
+      "q244_link_features")
     val qmap = SparkEntry.queries
     // Local-iteration filter (the Verify/Bench idiom): SPARK_GRAFT_ONLY
     // runs only matching smoke queries — new rows don't force re-paying

@@ -73,4 +73,66 @@ object Agreement {
       when(col("s_marginal") === nn * nn, lit(null).cast("double"))
         .otherwise((pbar - pe) / (lit(1.0) - pe)).as("kappa"))
   }
+
+  /** Krippendorff's α (nominal) over (item, rater, label) rows — the
+    * INCOMPLETE-design estimator [[fleissKappa]]'s contract points at:
+    * raters may skip items (the real shape of crowd/model annotation
+    * queues), and units with fewer than 2 ratings drop out of the
+    * coincidence mass instead of breaking a normalizer
+    * (Krippendorff 2004, §11.3).
+    *
+    * Exact-rational form: the coincidence matrix's 1/(m_u − 1) pair
+    * weights are cleared by `scale` = lcm over observed (m_u − 1)
+    * values (bounded by the rater count — computed from the data, ≤ R
+    * distinct values collected). With scaled integers
+    *   n'_c = scale · Σ_u m_uc,  n' = Σ_c n'_c,
+    *   D'   = Σ_u scale · (m_u² − Σ_c m_uc²) / (m_u − 1)
+    * (each unit's term exact — (m_u − 1) divides scale), nominal α
+    * closes as
+    *   α = 1 − (n' − scale) · D' / (n'² − Σ_c n'_c²)
+    * — all BIGINT until the one closing double division, so the
+    * statistic is partitioning-invariant and replays cross-engine.
+    *
+    * Scale shape: one (item, label) map-side-combined count, one
+    * item-level aggregate; category marginals from the cell table (the
+    * q174 discipline). The lcm collect is ≤ distinct-m-sized. */
+  def krippendorffAlpha(df: DataFrame, itemCol: String, raterCol: String,
+                        labelCol: String): DataFrame = {
+    val cells = df.filter(col(labelCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"), col(labelCol).as("__j"))
+      .agg(count(lit(1)).as("__nij"))
+    val units = cells.groupBy(col("__i"))
+      .agg(sum(col("__nij")).as("__m"),
+        sum(col("__nij") * col("__nij")).as("__sq"))
+      .filter(col("__m") >= 2)
+    val ms = units.select(col("__m")).distinct()
+      .collect().map(_.getLong(0)).sorted // bounded: ≤ rater-count values
+    require(ms.nonEmpty, "krippendorffAlpha: no unit has >= 2 ratings")
+    val scale = ms.map(_ - 1).foldLeft(1L)((a, b) =>
+      a / java.math.BigInteger.valueOf(a).gcd(
+        java.math.BigInteger.valueOf(b)).longValueExact() * b)
+    // scale div (m−1) is exact by lcm construction; try_divide-then-cast
+    // would detour through DOUBLE, so keep it integral (Spark `/` on
+    // longs returns double — the sum must stay a BIGINT fold)
+    val dNum = units.agg(sum(
+      expr(s"$scale div (__m - 1)") * (col("__m") * col("__m") - col("__sq")))
+      .as("d_num"))
+    val nc = cells.join(units.select(col("__i")), "__i")
+      .groupBy(col("__j"))
+      .agg((sum(col("__nij")) * scale).as("__nc"))
+    val marg = nc.agg(sum(col("__nc")).as("n_scaled"),
+      sum(col("__nc") * col("__nc")).as("s_nc2"),
+      count(lit(1)).as("n_categories"))
+    val nUnits = units.agg(count(lit(1)).as("n_units"))
+    nUnits.crossJoin(broadcast(marg)).crossJoin(broadcast(dNum))
+      .select(col("n_units"), col("n_categories"),
+        (col("n_scaled") / scale).as("n_ratings"),
+        lit(scale).as("scale"), col("d_num"),
+        when(col("n_scaled") * col("n_scaled") === col("s_nc2"),
+          lit(null).cast("double")) // one category: disagreement undefined
+          .otherwise(lit(1.0) -
+            ((col("n_scaled") - scale) * col("d_num")).cast("double") /
+              (col("n_scaled") * col("n_scaled") - col("s_nc2")).cast("double"))
+          .as("alpha"))
+  }
 }

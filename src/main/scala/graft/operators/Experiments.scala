@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Experiment-analysis estimators over per-unit metric tables — the
+  * A/B-readout layer above q152/q173's monitoring: CUPED
+  * variance-reduced lift (Deng, Xu, Kohavi & Walker, WSDM 2013 — the
+  * industry-standard pre-period adjustment), difference-in-differences
+  * (the quasi-experimental fallback when assignment wasn't random), and
+  * the Simpson's-paradox audit (is the pooled effect sign an artifact
+  * of stratum mix?).
+  *
+  * Exactness discipline (the q207/q243 house rules): every cross-row
+  * accumulation is an exact DECIMAL sum of DECIMAL(18,6)-cast inputs
+  * (products bounded at DECIMAL(38,12) — no float sums anywhere, so
+  * results are partitioning-invariant); θ, means, lifts close with a
+  * fixed double expression tree over the exact sums. CUPED's adjusted
+  * means use the algebraic identity
+  *
+  *   mean(y − θ(x − x̄) | arm) = ȳ_arm − θ·(x̄_arm − x̄)
+  *
+  * so the adjustment never materializes per-row doubles; the variance
+  * reduction is corr²(x,y) by the same identity (var(y−θx) with
+  * θ = cov/var(x) is var(y)·(1−ρ²)).
+  *
+  * Scale shape: everything is one map-side-combined aggregate over the
+  * per-unit table (itself typically one groupBy over the event log) —
+  * arm/stratum cardinality output, no shuffle beyond the group keys. */
+object Experiments {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,6)")
+  private def dsum(c: Column): Column = sum(c).cast("decimal(38,12)")
+
+  /** Per arm: (arm, n_units, mean_x, mean_y, adj_mean_y, theta,
+    * var_reduction) — `theta`/`var_reduction` are pooled constants
+    * repeated on each row so the table is self-contained. `xCol` is
+    * the pre-period covariate, `yCol` the experiment metric; NULL
+    * x or y rows are excluded loudly upstream of the math (a unit
+    * without a pre-period belongs in `coalesce(x, 0)` BEFORE calling —
+    * zero is a statement, NULL is a bug). */
+  def cupedLift(perUnit: DataFrame, xCol: String, yCol: String,
+                armCol: String): DataFrame = {
+    val bad = perUnit.filter(col(xCol).isNull || col(yCol).isNull ||
+      col(armCol).isNull).count()
+    require(bad == 0,
+      s"cupedLift: $bad rows have NULL $xCol/$yCol/$armCol — coalesce " +
+        "explicitly before calling (zero is a statement, NULL is a bug)")
+    val u = perUnit.select(col(armCol).as("arm"),
+      dec(col(xCol)).as("__x"), dec(col(yCol)).as("__y"))
+    val tot = u.agg(count(lit(1)).as("n"),
+      dsum(col("__x")).as("sx"), dsum(col("__y")).as("sy"),
+      dsum(col("__x") * col("__y")).as("sxy"),
+      dsum(col("__x") * col("__x")).as("sxx"),
+      dsum(col("__y") * col("__y")).as("syy"))
+    val covN = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varXN = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varYN = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val th = tot.select(col("n"), col("sx"),
+      (covN / varXN).as("theta"),
+      (covN * covN / (varXN * varYN)).as("var_reduction"))
+    val arms = u.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_units"),
+        dsum(col("__x")).as("ax"), dsum(col("__y")).as("ay"))
+    arms.crossJoin(broadcast(th))
+      .select(col("arm"), col("n_units"),
+        (col("ax").cast("double") / col("n_units")).as("mean_x"),
+        (col("ay").cast("double") / col("n_units")).as("mean_y"),
+        (col("ay").cast("double") / col("n_units")
+          - col("theta") * (col("ax").cast("double") / col("n_units")
+            - col("sx").cast("double") / col("n"))).as("adj_mean_y"),
+        col("theta"), col("var_reduction"))
+      .orderBy(col("arm"))
+  }
+
+  /** Difference-in-differences over (unit, group, period, value):
+    * one row — per-cell exact means and the DiD estimate
+    * (treated_post − treated_pre) − (control_post − control_pre).
+    * `treatedCol`/`postCol` are boolean-castable. */
+  def diffInDiff(df: DataFrame, valueCol: String, treatedCol: String,
+                 postCol: String): DataFrame = {
+    val cells = df
+      .filter(col(valueCol).isNotNull && col(treatedCol).isNotNull &&
+        col(postCol).isNotNull)
+      .groupBy(col(treatedCol).cast("boolean").as("__t"),
+        col(postCol).cast("boolean").as("__p"))
+      .agg(count(lit(1)).as("__n"), dsum(dec(col(valueCol))).as("__s"))
+    val shape = cells.count()
+    require(shape == 4, s"diffInDiff needs all 4 (treated, post) cells; got $shape")
+    def m(t: Boolean, p: Boolean): Column =
+      max(when(col("__t") === t && col("__p") === p,
+        col("__s").cast("double") / col("__n")))
+    def n(t: Boolean, p: Boolean): Column =
+      max(when(col("__t") === t && col("__p") === p, col("__n")))
+    cells.agg(
+      n(true, false).as("n_treat_pre"), n(true, true).as("n_treat_post"),
+      n(false, false).as("n_ctrl_pre"), n(false, true).as("n_ctrl_post"),
+      m(true, false).as("treat_pre"), m(true, true).as("treat_post"),
+      m(false, false).as("ctrl_pre"), m(false, true).as("ctrl_post"))
+      .withColumn("did",
+        (col("treat_post") - col("treat_pre"))
+          - (col("ctrl_post") - col("ctrl_pre")))
+  }
+
+  /** Simpson's-paradox audit: per stratum the two arms' exact success
+    * rates and rate difference, plus the POOLED difference repeated on
+    * each row and a `reversed` flag (stratum effect sign opposes the
+    * pooled sign) — the one-query answer to "is the aggregate lift an
+    * artifact of stratum mix?". `successCol` boolean-castable. */
+  def simpsonAudit(df: DataFrame, stratumCol: String, armCol: String,
+                   successCol: String): DataFrame = {
+    val base = df.filter(col(armCol).isNotNull && col(successCol).isNotNull)
+      .select(col(stratumCol).as("stratum"),
+        col(armCol).cast("boolean").as("__a"),
+        when(col(successCol).cast("boolean"), 1L).otherwise(0L).as("__s"))
+    def rate(a: Boolean): Column =
+      sum(when(col("__a") === a, col("__s"))).cast("double") /
+        sum(when(col("__a") === a, 1L)).cast("double")
+    def cnt(a: Boolean): Column = sum(when(col("__a") === a, 1L))
+    val strata = base.groupBy(col("stratum"))
+      .agg(cnt(false).as("n0"), cnt(true).as("n1"),
+        rate(false).as("rate0"), rate(true).as("rate1"))
+      .withColumn("diff", col("rate1") - col("rate0"))
+    val pooled = base.groupBy()
+      .agg((rate(true) - rate(false)).as("pooled_diff"))
+    strata.crossJoin(broadcast(pooled))
+      .withColumn("reversed",
+        col("diff").isNotNull &&
+          ((col("diff") > 0 && col("pooled_diff") < 0) ||
+           (col("diff") < 0 && col("pooled_diff") > 0)))
+      .orderBy(col("stratum"))
+  }
+}

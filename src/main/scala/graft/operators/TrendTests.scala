@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-free trend inference over a time-grid series — the
+  * robust complement to q173's least-squares slope (one outlier day
+  * can own an OLS fit; these two can't be budged by < n/2 corruptions):
+  *
+  *  - [[mannKendall]]: the rank-correlation trend TEST (Mann 1945,
+  *    Kendall 1975) — S = Σ_{i<j} sign(v_j − v_i) with the
+  *    tie-corrected normal approximation; the "is this feed actually
+  *    drifting or am I reading noise" gate.
+  *  - [[theilSen]]: the median-of-pairwise-slopes ESTIMATOR (Theil
+  *    1950, Sen 1968) — how fast it drifts, with breakdown point 29%.
+  *
+  * Exactness: grid values enter as exact DECIMAL comparisons (sign
+  * and ties are integer-exact, so S and the tie table are
+  * partitioning-invariant BIGINTs); var(S)'s /18 and the closing
+  * z = (S∓1)/√var are one fixed double tree. Each pairwise slope is
+  * ONE IEEE division of exact deltas; the median is an exact-rank
+  * selection over slopes (ties resolved by value equality — a median
+  * VALUE, not an unstable index), with even-count middles averaged,
+  * matching ANSI `median` semantics.
+  *
+  * Scale shape: the series is CALENDAR-bounded (the Seasonal/
+  * QuantileNorm grid contract — hours of observed span, not corpus
+  * rows), so the pair table is grid², shuffled once as an equi-free
+  * range join; the corpus appears only in the one map-side-combined
+  * aggregate that builds the grid. The Theil–Sen median runs the
+  * [[ExactQuantile]] two-phase shape keyed on ⌊slope·2²⁰⌋ — no global
+  * sort, no single-partition window over pairs (a year of hours is
+  * 38M pairs; the grid histogram stays ≤ distinct-prekey rows). */
+object TrendTests {
+
+  private def grid(df: DataFrame, tCol: String, vCol: String): DataFrame =
+    df.select(col(tCol).cast("long").as("t"),
+        col(vCol).cast("decimal(18,6)").as("v"))
+      .filter(col("t").isNotNull && col("v").isNotNull)
+
+  /** One row: (n, s, n_tie_groups, tie_adj, var_s, z). Input rows are
+    * one value per grid position (duplicate t is a contract violation
+    * — aggregate first, loudly checked). */
+  def mannKendall(df: DataFrame, tCol: String, vCol: String): DataFrame = {
+    val g = grid(df, tCol, vCol)
+    val dup = g.groupBy(col("t")).count().filter(col("count") > 1).count()
+    require(dup == 0, s"mannKendall: $dup grid positions have multiple rows " +
+      "— aggregate to one value per position first")
+    val pairs = g.as("a").join(g.as("b"), col("a.t") < col("b.t"))
+    val s = pairs.agg(sum(signum(
+      (col("b.v") - col("a.v")).cast("double")).cast("long")).as("s"))
+    val ties = g.groupBy(col("v")).agg(count(lit(1)).as("tg"))
+      .filter(col("tg") > 1)
+      .agg(count(lit(1)).as("n_tie_groups"),
+        coalesce(sum(col("tg") * (col("tg") - 1) * (col("tg") * 2 + 5)),
+          lit(0L)).as("tie_adj"))
+    val n = g.agg(count(lit(1)).as("n"))
+    n.crossJoin(broadcast(s)).crossJoin(broadcast(ties))
+      .withColumn("var_s",
+        (col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tie_adj"))
+          .cast("double") / 18.0)
+      .withColumn("z",
+        when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(col("var_s")))
+          .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(col("var_s")))
+          .otherwise(lit(0.0)))
+  }
+
+  /** One row: (n, n_pairs, slope, intercept) — slope the exact-rank
+    * median of pairwise slopes, intercept the median of
+    * (v_i − slope·t_i) over the grid. */
+  def theilSen(df: DataFrame, tCol: String, vCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val g = grid(df, tCol, vCol).localCheckpoint() // grid-bounded; reused 3×
+    val n = g.count()
+    require(n >= 2, s"theilSen needs >= 2 grid rows, got $n")
+    val slopes = g.as("a").join(g.as("b"), col("a.t") < col("b.t"))
+      .select(((col("b.v") - col("a.v")).cast("double") /
+        (col("b.t") - col("a.t")).cast("double")).as("slope"))
+    val p = n * (n - 1) / 2
+    val slope = medianByTwoPhase(slopes, "slope", p)
+    val intercepts = g.select(
+      (col("v").cast("double") - lit(slope) * col("t").cast("double"))
+        .as("ic"))
+    // the intercept population is the GRID (≤ calendar rows) — the
+    // unpartitioned window is the Seasonal-style bounded idiom here
+    val wi = Window.orderBy(col("ic"))
+    val r1i = (n + 1) / 2; val r2i = n / 2 + 1
+    val ic = intercepts.withColumn("__r", row_number().over(wi))
+      .filter(col("__r") === r1i || col("__r") === r2i)
+      .agg(avg(col("ic"))).head().getDouble(0)
+    spark.range(1).select(lit(n).as("n"), lit(p).as("n_pairs"),
+      lit(slope).as("slope"), lit(ic).as("intercept"))
+  }
+
+  /** Exact median over a double column of known count `p` without a
+    * global sort: phase 1 histograms ⌊v·2²⁰⌋ prekeys (monotone in v;
+    * collisions only widen phase 2), phase 2 ranks DISTINCT values
+    * within the located prekey bucket(s) — the [[ExactQuantile]]
+    * construction lifted to doubles. Even counts average the two
+    * middle values (ANSI `median`). */
+  private def medianByTwoPhase(vals: DataFrame, c: String, p: Long): Double = {
+    val r1 = (p + 1) / 2; val r2 = p / 2 + 1
+    val keyed = vals.select(col(c).as("__v"),
+      floor(col(c) * (1L << 20)).cast("long").as("__b"))
+    val hist = keyed.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+    val wb = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("__hi", sum(col("__c")).over(wb))
+      .withColumn("__lo", col("__hi") - col("__c"))
+    val buckets = cum
+      .filter((lit(r1) > col("__lo") && lit(r1) <= col("__hi")) ||
+        (lit(r2) > col("__lo") && lit(r2) <= col("__hi")))
+      .select(col("__b"), col("__lo")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap // ≤ 2 buckets
+    val inB = buckets.keys.map(b => col("__b") === b).reduce(_ || _)
+    val perVal = keyed.filter(inB)
+      .groupBy(col("__b"), col("__v")).agg(count(lit(1)).as("__c"))
+    val wv = Window.partitionBy(col("__b")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lodf = vals.sparkSession.createDataFrame(buckets.toSeq)
+      .toDF("__b2", "__blo")
+    val picked = perVal.withColumn("__vhi", sum(col("__c")).over(wv))
+      .join(broadcast(lodf), col("__b") === col("__b2"))
+      .withColumn("__ghi", col("__blo") + col("__vhi"))
+      .withColumn("__glo", col("__ghi") - col("__c"))
+      .filter((lit(r1) > col("__glo") && lit(r1) <= col("__ghi")) ||
+        (lit(r2) > col("__glo") && lit(r2) <= col("__ghi")))
+      .select(col("__v"),
+        when(lit(r1) > col("__glo") && lit(r1) <= col("__ghi") &&
+          lit(r2) > col("__glo") && lit(r2) <= col("__ghi"), 2L)
+          .otherwise(1L).as("__w"))
+      .collect()
+    picked.map(r => r.getDouble(0) * r.getLong(1)).sum /
+      picked.map(_.getLong(1)).sum
+  }
+}
