@@ -15,7 +15,7 @@ object SparkEntry {
 
   def querySets: Seq[QuerySet] =
     Seq(Relational, AdvancedQueries, VectorQueries, TextQueries, RagQueries,
-      RankingQueries, StreamingQueries, CurationQueries)
+      RankingQueries, StreamingQueries, CurationQueries, ExperimentQueries)
 
   private lazy val all: Seq[Q] = querySets.flatMap(_.queries)
 

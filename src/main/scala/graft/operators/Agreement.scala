@@ -126,7 +126,7 @@ object Agreement {
     val nUnits = units.agg(count(lit(1)).as("n_units"))
     nUnits.crossJoin(broadcast(marg)).crossJoin(broadcast(dNum))
       .select(col("n_units"), col("n_categories"),
-        (col("n_scaled") / scale).as("n_ratings"),
+        expr(s"n_scaled div $scale").as("n_ratings"),
         lit(scale).as("scale"), col("d_num"),
         when(col("n_scaled") * col("n_scaled") === col("s_nc2"),
           lit(null).cast("double")) // one category: disagreement undefined

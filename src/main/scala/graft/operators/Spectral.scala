@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Top principal component of an embedding column by power iteration —
+  * the spectral audit the embedding family (q215 covariance, q240
+  * separability) closes with: the dominant eigenvector tells you WHERE
+  * the variance lives (anisotropy direction — the "rogue dimension"
+  * pathology of contrastive embeddings), its eigenvalue HOW MUCH (λ₁
+  * vs total variance = how collapsed the space is), and the loadings
+  * WHICH dimensions carry it. All-but-the-top-component removal
+  * (Arora et al. 2017's common-component correction) starts from
+  * exactly this vector.
+  *
+  * Power iteration, not full eigendecomposition: at 100 TB the
+  * covariance matrix itself (dims², assembled by q215) is cheap but
+  * its dense eigensolve is driver-side O(dims³) — fine at 64 dims,
+  * not at 4096. The power method needs only Σ_rows (x−μ)·⟨x−μ, v⟩
+  * per iteration — ONE map-side-combined dense-buffer aggregate over
+  * the corpus (the q107/q33 Lloyd-update shape: the shuffle carries
+  * tasks×dims doubles, never n×dims rows), `iters` passes total.
+  *
+  * Determinism (the k-means replay discipline, PLANS r12): cross-row
+  * double sums are order-dependent in the last ulps, so every
+  * iteration — and the mean — closes with a FLOAT32 cast that absorbs
+  * summation-order noise; the per-row projection ⟨x−μ, v⟩ folds dims
+  * in index order against float32 literals. The whole trajectory
+  * replays cross-engine (q250's oracle unrolls the iterations as
+  * CTEs), and the sign is FIXED by convention: the largest-|loading|
+  * component is made positive (eigenvectors are sign-ambiguous;
+  * conventions are how two engines agree). */
+object Spectral {
+
+  private class DVecSumAgg extends Aggregator[
+      Seq[Double], Array[Double], Seq[Double]] {
+    override def zero: Array[Double] = Array.emptyDoubleArray
+    override def reduce(b: Array[Double], a: Seq[Double]): Array[Double] = {
+      val s = if (b.length == 0) new Array[Double](a.length) else b
+      var i = 0; while (i < a.length) { s(i) += a(i); i += 1 }
+      s
+    }
+    override def merge(x: Array[Double], y: Array[Double]): Array[Double] =
+      if (x.length == 0) y
+      else if (y.length == 0) x
+      else { var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x }
+    override def finish(r: Array[Double]): Seq[Double] = r.toSeq
+    override def bufferEncoder = ExpressionEncoder[Array[Double]]()
+    override def outputEncoder = ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** Per dimension: (dim, mu, loading) + constant columns (eigval,
+    * total_var, var_explained) — loadings the unit top eigenvector of
+    * the covariance (float32-rounded trajectory), eigval its Rayleigh
+    * quotient, var_explained = eigval/total_var. */
+  def topComponent(df: DataFrame, vecCol: String, iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"bad iters=$iters")
+    val spark = df.sparkSession
+    val vsum = udaf(new DVecSumAgg)
+    val vecs = df.select(col(vecCol).as("__x")).filter(col("__x").isNotNull)
+      .localCheckpoint() // iters + 2 passes over the projection input
+    val head = vecs.head()
+    val dims = head.getSeq[Float](0).length
+    val n = vecs.count()
+    require(n >= 2, s"topComponent needs >= 2 vectors, got $n")
+    // mean, float32-rounded (the replay cast)
+    val sums = vecs
+      .select(transform(col("__x"), x => x.cast("double")).as("__xd"))
+      .agg(vsum(col("__xd"))).head().getSeq[Double](0)
+    val mu: Array[Float] = sums.map(s => (s / n).toFloat).toArray
+    var v: Array[Float] = Array.fill(dims)((1.0 / math.sqrt(dims.toDouble)).toFloat)
+    var eigval = 0.0
+    var it = 0
+    while (it < iters) {
+      val muL = typedlit(mu.toSeq); val vL = typedlit(v.toSeq)
+      // per-row: proj = Σ_d (x_d − μ_d)·v_d folded in index order;
+      // contribution = (x − μ)·proj — one dense array per row into the
+      // partial-aggregate buffer
+      val centered = vecs.select(
+        zip_with(col("__x"), muL,
+          (x, m) => x.cast("double") - m.cast("double")).as("__c"))
+      val scored = centered.select(col("__c"),
+        aggregate(zip_with(col("__c"), vL, (c, w) => c * w.cast("double")),
+          lit(0.0), (acc, d) => acc + d).as("__p"))
+      val w = scored
+        .select(transform(col("__c"), c => c * col("__p")).as("__wc"))
+        .agg(vsum(col("__wc"))).head().getSeq[Double](0)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      require(norm > 0, "power iteration collapsed to the zero vector")
+      v = w.map(x => (x / norm).toFloat).toArray
+      eigval = (norm / n).toFloat.toDouble // ||Cv|| with unit v, float32-rounded
+      it += 1
+    }
+    // sign convention: flip so the largest-|loading| component is positive
+    val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    if (v(pivot) < 0) v = v.map(x => -x)
+    // total variance = Σ_d Var_d via the same float32-rounded pass
+    val sq = vecs
+      .select(zip_with(col("__x"), typedlit(mu.toSeq),
+        (x, m) => { val d = x.cast("double") - m.cast("double"); d * d })
+        .as("__d2"))
+      .agg(vsum(col("__d2"))).head().getSeq[Double](0)
+    val totalVar = (sq.sum / n).toFloat.toDouble
+    val rows = v.indices.map(i => (i, mu(i).toDouble, v(i).toDouble))
+    spark.createDataFrame(rows).toDF("dim", "mu", "loading")
+      .withColumn("eigval", lit(eigval))
+      .withColumn("total_var", lit(totalVar))
+      .withColumn("var_explained", round(lit(eigval / totalVar), 6))
+      .orderBy(col("dim"))
+  }
+}

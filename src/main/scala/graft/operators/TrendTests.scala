@@ -36,7 +36,7 @@ object TrendTests {
 
   private def grid(df: DataFrame, tCol: String, vCol: String): DataFrame =
     df.select(col(tCol).cast("long").as("t"),
-        col(vCol).cast("decimal(18,6)").as("v"))
+        col(vCol).cast("decimal(38,6)").as("v"))
       .filter(col("t").isNotNull && col("v").isNotNull)
 
   /** One row: (n, s, n_tie_groups, tie_adj, var_s, z). Input rows are
@@ -47,9 +47,14 @@ object TrendTests {
     val dup = g.groupBy(col("t")).count().filter(col("count") > 1).count()
     require(dup == 0, s"mannKendall: $dup grid positions have multiple rows " +
       "— aggregate to one value per position first")
-    val pairs = g.as("a").join(g.as("b"), col("a.t") < col("b.t"))
+    // renamed projections per side, not as("a")/as("b"): self-joining
+    // one plan (especially a checkpointed one) can collapse attribute
+    // ids and make b.t − a.t read 0 (measured: the q253 DIVIDE_BY_ZERO)
+    val (ga, gb) = (g.select(col("t").as("ta"), col("v").as("va")),
+      g.select(col("t").as("tb"), col("v").as("vb")))
+    val pairs = ga.join(gb, col("ta") < col("tb"))
     val s = pairs.agg(sum(signum(
-      (col("b.v") - col("a.v")).cast("double")).cast("long")).as("s"))
+      (col("vb") - col("va")).cast("double")).cast("long")).as("s"))
     val ties = g.groupBy(col("v")).agg(count(lit(1)).as("tg"))
       .filter(col("tg") > 1)
       .agg(count(lit(1)).as("n_tie_groups"),
@@ -74,9 +79,18 @@ object TrendTests {
     val g = grid(df, tCol, vCol).localCheckpoint() // grid-bounded; reused 3×
     val n = g.count()
     require(n >= 2, s"theilSen needs >= 2 grid rows, got $n")
-    val slopes = g.as("a").join(g.as("b"), col("a.t") < col("b.t"))
-      .select(((col("b.v") - col("a.v")).cast("double") /
-        (col("b.t") - col("a.t")).cast("double")).as("slope"))
+    // renamed projections per side — see mannKendall's self-join note
+    val (ga, gb) = (g.select(col("t").as("ta"), col("v").as("va")),
+      g.select(col("t").as("tb"), col("v").as("vb")))
+    // the when() guard is semantically identity (the join admits only
+    // tb > ta) but REQUIRED: the fused BNLJ+aggregate codegen
+    // speculatively evaluates this projection on not-yet-filtered
+    // pairs, and ANSI double division throws on the ta == tb ones
+    // (measured: q253 DIVIDE_BY_ZERO with zero matched-pair zeros)
+    val slopes = ga.join(gb, col("ta") < col("tb"))
+      .select(when(col("tb") > col("ta"),
+        (col("vb") - col("va")).cast("double") /
+          (col("tb") - col("ta")).cast("double")).as("slope"))
     val p = n * (n - 1) / 2
     val slope = medianByTwoPhase(slopes, "slope", p)
     val intercepts = g.select(

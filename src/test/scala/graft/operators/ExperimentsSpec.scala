@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** Proof obligations for the experiment estimators: CUPED against the
+  * textbook per-row computation, the variance-reduction identity
+  * (= corr²), the NULL contract; DiD against the four-cell hand
+  * computation and its missing-cell guard; the Simpson audit against a
+  * constructed reversal. */
+class ExperimentsSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private val units = Seq(
+    // (x pre, y post, arm)
+    (10.0, 12.0, 0), (20.0, 25.0, 0), (30.0, 31.0, 0),
+    (12.0, 20.0, 1), (22.0, 33.0, 1), (28.0, 40.0, 1))
+
+  test("cupedLift matches the textbook per-row adjustment") {
+    val out = Experiments.cupedLift(units.toDF("x", "y", "arm"), "x", "y", "arm")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val x = units.map(_._1); val y = units.map(_._2)
+    val n = x.length
+    val xb = x.sum / n; val yb = y.sum / n
+    val theta = x.zip(y).map { case (a, b) => (a - xb) * (b - yb) }.sum /
+      x.map(a => (a - xb) * (a - xb)).sum
+    def adjMean(arm: Int): Double = {
+      val sel = units.filter(_._3 == arm)
+      sel.map { case (a, b, _) => b - theta * (a - xb) }.sum / sel.length
+    }
+    assert(math.abs(out(0).getAs[Double]("theta") - theta) < 1e-12)
+    assert(math.abs(out(0).getAs[Double]("adj_mean_y") - adjMean(0)) < 1e-12)
+    assert(math.abs(out(1).getAs[Double]("adj_mean_y") - adjMean(1)) < 1e-12)
+    // var_reduction == corr²(x, y) (the θ = cov/var identity)
+    val corr2 = {
+      val cov = x.zip(y).map { case (a, b) => (a - xb) * (b - yb) }.sum
+      cov * cov / (x.map(a => (a - xb) * (a - xb)).sum *
+        y.map(b => (b - yb) * (b - yb)).sum)
+    }
+    assert(math.abs(out(0).getAs[Double]("var_reduction") - corr2) < 1e-12)
+  }
+
+  test("cupedLift rejects NULL units loudly (NULL is a bug, zero a statement)") {
+    val df = Seq((Some(1.0), Some(2.0), Some(0)), (None, Some(3.0), Some(1)))
+      .toDF("x", "y", "arm")
+    val ex = intercept[IllegalArgumentException] {
+      Experiments.cupedLift(df, "x", "y", "arm")
+    }
+    assert(ex.getMessage.contains("coalesce"))
+  }
+
+  test("diffInDiff matches the four-cell hand computation and guards shape") {
+    val rows = Seq(
+      (false, false, 10.0), (false, false, 14.0), // ctrl pre  mean 12
+      (false, true, 13.0), (false, true, 15.0),   // ctrl post mean 14
+      (true, false, 20.0), (true, false, 24.0),   // treat pre mean 22
+      (true, true, 30.0), (true, true, 40.0))     // treat post mean 35
+    val r = Experiments.diffInDiff(rows.toDF("t", "p", "v"), "v", "t", "p").head()
+    assert(r.getAs[Double]("did") == (35.0 - 22.0) - (14.0 - 12.0))
+    assert(r.getAs[Long]("n_treat_post") == 2L)
+    val ex = intercept[IllegalArgumentException] {
+      Experiments.diffInDiff(rows.filter(_._1).toDF("t", "p", "v"), "v", "t", "p")
+    }
+    assert(ex.getMessage.contains("4"))
+  }
+
+  test("simpsonAudit flags a constructed reversal") {
+    // the kidney-stone table: arm 0 better IN EACH stratum (93>87,
+    // 73>69), arm 1 better pooled (83>78) — mix shift
+    val rows =
+      Seq.fill(81)(("easy", false, true)) ++ Seq.fill(6)(("easy", false, false)) ++   // 81/87
+      Seq.fill(234)(("easy", true, true)) ++ Seq.fill(36)(("easy", true, false)) ++   // 234/270
+      Seq.fill(192)(("hard", false, true)) ++ Seq.fill(71)(("hard", false, false)) ++ // 192/263
+      Seq.fill(55)(("hard", true, true)) ++ Seq.fill(25)(("hard", true, false))       // 55/80
+    val out = Experiments.simpsonAudit(rows.toDF("s", "a", "ok"), "s", "a", "ok")
+      .collect()
+    assert(out.forall(_.getAs[Boolean]("reversed")), out.mkString(", "))
+    assert(out.head.getAs[Double]("pooled_diff") > 0)
+    out.foreach(r => assert(r.getAs[Double]("diff") < 0))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** Proof obligations for the trend pair: Mann–Kendall S/ties/z against
+  * hand computation (monotone, flat, tied series), the duplicate-grid
+  * guard, and Theil–Sen's two-phase median against the naive sorted
+  * median on both parities plus the breakdown-resistance property. */
+class TrendTestsSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("mannKendall: strictly increasing series has S = n(n-1)/2, z > 0") {
+    val n = 20
+    val df = (0 until n).map(i => (i.toLong, i * 2.0)).toDF("t", "v")
+    val r = TrendTests.mannKendall(df, "t", "v").head()
+    assert(r.getAs[Long]("s") == n.toLong * (n - 1) / 2)
+    assert(r.getAs[Long]("tie_adj") == 0L)
+    assert(r.getAs[Double]("z") > 3.0)
+  }
+
+  test("mannKendall: tie correction matches the hand formula") {
+    // values: 1,1,1,2,2,3 -> tie groups {3, 2}; S counted by hand
+    val vs = Seq(1.0, 1.0, 1.0, 2.0, 2.0, 3.0)
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("t", "v")
+    val r = TrendTests.mannKendall(df, "t", "v").head()
+    val pairs = for (i <- vs.indices; j <- vs.indices if i < j)
+      yield math.signum(vs(j) - vs(i)).toLong
+    assert(r.getAs[Long]("s") == pairs.sum)
+    val tieAdj = 3L * 2 * 11 + 2L * 1 * 9 // t(t-1)(2t+5) for 3 and 2
+    assert(r.getAs[Long]("tie_adj") == tieAdj)
+    val n = 6L
+    assert(r.getAs[Double]("var_s") ==
+      (n * (n - 1) * (2 * n + 5) - tieAdj).toDouble / 18.0)
+  }
+
+  test("mannKendall rejects duplicate grid positions loudly") {
+    val df = Seq((1L, 1.0), (1L, 2.0), (2L, 3.0)).toDF("t", "v")
+    val ex = intercept[IllegalArgumentException] {
+      TrendTests.mannKendall(df, "t", "v")
+    }
+    assert(ex.getMessage.contains("aggregate"))
+  }
+
+  private def naiveTheilSen(pts: Seq[(Long, Double)]): Double = {
+    val slopes = (for {
+      i <- pts.indices; j <- pts.indices if pts(i)._1 < pts(j)._1
+    } yield (pts(j)._2 - pts(i)._2) / (pts(j)._1 - pts(i)._1).toDouble).sorted
+    val p = slopes.length
+    (slopes((p + 1) / 2 - 1) + slopes(p / 2)) / 2.0
+  }
+
+  test("theilSen equals the naive sorted median on both pair parities") {
+    // n = 4 -> 6 pairs (even median); n = 5 -> 10 pairs (even); n = 3 -> 3 (odd)
+    // values exact at 6 dp: the operator's grid quantizes v to
+    // DECIMAL(38,6) by contract (exact comparisons), so the reference
+    // must see the same micro-unit values
+    for (n <- Seq(3, 4, 5, 9)) {
+      val pts = (0 until n).map(i =>
+        (i.toLong, math.rint((math.sin(i * 2.7) * 10 + i * 0.5) * 1e6) / 1e6))
+      val r = TrendTests.theilSen(pts.toDF("t", "v"), "t", "v").head()
+      // 1e-9: the decimal-vs-double delta path differs by ≤ 1 ulp of
+      // the 6-dp values; the rank SELECTION is what's under test
+      assert(math.abs(r.getAs[Double]("slope") - naiveTheilSen(pts)) < 1e-9,
+        s"n=$n")
+      assert(r.getAs[Long]("n_pairs") == n.toLong * (n - 1) / 2)
+    }
+  }
+
+  test("theilSen shrugs off a 25% outlier corruption that owns the OLS fit") {
+    val clean = (0 until 16).map(i => (i.toLong, 2.0 * i + 1))
+    val corrupted = clean.take(12) ++
+      clean.drop(12).map { case (t, _) => (t, 1000.0) }
+    val r = TrendTests.theilSen(corrupted.toDF("t", "v"), "t", "v").head()
+    assert(math.abs(r.getAs[Double]("slope") - 2.0) < 0.5,
+      s"slope=${r.getAs[Double]("slope")}")
+  }
+
+  test("theilSen on the real hourly series matches the naive median") {
+    import org.apache.spark.sql.functions._
+    val g = graft.Tables.t(spark, sf, "events").filter(col("ts").isNotNull)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("v"))
+      .select(floor(unix_timestamp(col("h")) / 3600).cast("long").as("t"), col("v"))
+    val pts = g.collect().map(r => (r.getLong(0),
+      r.getDecimal(1).doubleValue())).toSeq
+    val r = TrendTests.theilSen(g, "t", "v").head()
+    assert(math.abs(r.getAs[Double]("slope") - naiveTheilSen(pts)) < 1e-12)
+  }
+}
