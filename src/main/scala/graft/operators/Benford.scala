@@ -32,21 +32,32 @@ object Benford {
     0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
     0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
 
-  /** Per (source, digit): (src, d, n, o, benford_p, obs_p, chi2) with
-    * `chi2` the per-source statistic repeated on its 9 rows. Values
-    * are audited at micro-unit precision: rows whose |value| rounds
-    * below 1 micro-unit (or NULL) are excluded — they have no first
-    * significant digit. */
-  def firstDigitAudit(df: DataFrame, sourceCol: String,
-                      valueCol: String): DataFrame = {
+  /** First-digit counts per source: (src, d, o) — the mergeable
+    * sufficient statistic ([[graft.streaming.BenfordMonitor]] keeps a
+    * ledger of these per batch; summing ledgers IS the cumulative
+    * audit). Values enter at micro-unit precision: rows whose |value|
+    * rounds below 1 micro-unit (or NULL) are excluded — they have no
+    * first significant digit. */
+  def digitCounts(df: DataFrame, sourceCol: String,
+                  valueCol: String): DataFrame = {
     val micro = abs(col(valueCol).cast("decimal(18,6)") * 1000000)
       .cast("decimal(38,0)")
-    val digits = df
-      .filter(col(valueCol).isNotNull && micro >= 1)
+    df.filter(col(valueCol).isNotNull && micro >= 1)
       .select(col(sourceCol).as("src"),
         substring(micro.cast("string"), 1, 1).cast("int").as("d"))
-    val obs = digits.groupBy(col("src"), col("d")).agg(count(lit(1)).as("o"))
-    val totals = digits.groupBy(col("src")).agg(count(lit(1)).as("n"))
+      .groupBy(col("src"), col("d")).agg(count(lit(1)).as("o"))
+  }
+
+  /** Per (source, digit): (src, d, n, o, benford_p, obs_p, chi2) with
+    * `chi2` the per-source statistic repeated on its 9 rows. */
+  def firstDigitAudit(df: DataFrame, sourceCol: String,
+                      valueCol: String): DataFrame =
+    auditFromCounts(digitCounts(df, sourceCol, valueCol))
+
+  /** The audit from a (src, d, o) count table — the serve face shared
+    * by the batch audit and the streaming monitor's cumulative state. */
+  def auditFromCounts(obs: DataFrame): DataFrame = {
+    val totals = obs.groupBy(col("src")).agg(sum(col("o")).as("n"))
     val grid = totals
       .crossJoin(broadcast(
         obs.sparkSession.range(1, 10).select(col("id").cast("int").as("d"))))

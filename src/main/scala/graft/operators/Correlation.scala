@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank correlation between two metrics on a shared time grid — the
+  * bivariate companions to [[TrendTests]]: does volume move with
+  * value, does latency track queue depth, did the quality score stay
+  * coupled to human ratings after a model swap. Rank methods because
+  * monitoring pairs are routinely non-linear and heavy-tailed — a
+  * Pearson r is owned by the biggest hour.
+  *
+  *  - [[kendallTauB]]: concordant/discordant pairs with the τ-b tie
+  *    normalization (Kendall 1945) — exact BIGINT pair census
+  *    (conc/disc/tx/ty/txy), one closing double tree.
+  *  - [[spearmanRho]]: Pearson over AVERAGE ranks — fractional .5
+  *    ranks cleared by 2-scaling (rank2 = 2·rank + ties − 1, an exact
+  *    BIGINT), then the correlation closes from six exact sums.
+  *
+  * Both are partitioning-invariant and engine-replayable: every
+  * decision is integer arithmetic; doubles appear only in the final
+  * expression. Scale shape: one map-side-combined grid aggregate over
+  * the corpus; τ's pair join is grid² (calendar-bounded, the
+  * TrendTests contract) and ρ's rank windows run on the grid (the
+  * Seasonal idiom). */
+object Correlation {
+
+  private def grid(df: DataFrame, tCol: String, xCol: String,
+                   yCol: String): DataFrame =
+    df.select(col(tCol).cast("long").as("t"),
+        col(xCol).cast("decimal(38,6)").as("x"),
+        col(yCol).cast("decimal(38,6)").as("y"))
+      .filter(col("t").isNotNull && col("x").isNotNull && col("y").isNotNull)
+
+  /** One row: (n, n_pairs, conc, disc, ties_x, ties_y, ties_xy,
+    * tau_b) — NULL τ when either margin is all-ties. */
+  def kendallTauB(df: DataFrame, tCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val g = grid(df, tCol, xCol, yCol)
+    val ga = g.select(col("t").as("ta"), col("x").as("xa"), col("y").as("ya"))
+    val gb = g.select(col("t").as("tb"), col("x").as("xb"), col("y").as("yb"))
+    val up = (a: String, b: String) => col(b) > col(a)
+    val dn = (a: String, b: String) => col(b) < col(a)
+    val eq = (a: String, b: String) => col(b) === col(a)
+    val p = ga.join(gb, col("ta") < col("tb")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when((up("xa", "xb") && up("ya", "yb")) ||
+        (dn("xa", "xb") && dn("ya", "yb")), 1L).otherwise(0L)).as("conc"),
+      sum(when((up("xa", "xb") && dn("ya", "yb")) ||
+        (dn("xa", "xb") && up("ya", "yb")), 1L).otherwise(0L)).as("disc"),
+      sum(when(eq("xa", "xb") && !eq("ya", "yb"), 1L).otherwise(0L))
+        .as("ties_x"),
+      sum(when(eq("ya", "yb") && !eq("xa", "xb"), 1L).otherwise(0L))
+        .as("ties_y"),
+      sum(when(eq("xa", "xb") && eq("ya", "yb"), 1L).otherwise(0L))
+        .as("ties_xy"))
+    val n = g.agg(count(lit(1)).as("n"))
+    n.crossJoin(broadcast(p)).select(col("n"), col("n_pairs"),
+      col("conc"), col("disc"), col("ties_x"), col("ties_y"), col("ties_xy"),
+      when((col("n_pairs") === col("ties_x") + col("ties_xy")) ||
+          (col("n_pairs") === col("ties_y") + col("ties_xy")),
+        lit(null).cast("double"))
+        .otherwise((col("conc") - col("disc")).cast("double") /
+          sqrt((col("n_pairs") - col("ties_x") - col("ties_xy")).cast("double")
+            * (col("n_pairs") - col("ties_y") - col("ties_xy"))
+              .cast("double")))
+        .as("tau_b"))
+  }
+
+  /** One row: (n, rho) — Spearman's ρ with average ranks; NULL when
+    * either margin is constant. */
+  def spearmanRho(df: DataFrame, tCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val g = grid(df, tCol, xCol, yCol)
+    // 2-scaled average rank: 2·rank + |ties| − 1 (exact BIGINT); the
+    // unpartitioned windows run on the calendar-bounded grid
+    def rank2(c: String): org.apache.spark.sql.Column =
+      (rank().over(Window.orderBy(col(c))) * 2 +
+        count(lit(1)).over(Window.partitionBy(col(c))) - 1).cast("long")
+    val r = g.select(rank2("x").as("rx"), rank2("y").as("ry"))
+    val s = r.agg(count(lit(1)).as("n"),
+      sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+      sum(col("rx") * col("ry")).as("sxy"),
+      sum(col("rx") * col("rx")).as("sxx"),
+      sum(col("ry") * col("ry")).as("syy"))
+    s.select(col("n"),
+      when((col("n") * col("sxx") === col("sx") * col("sx")) ||
+          (col("n") * col("syy") === col("sy") * col("sy")),
+        lit(null).cast("double"))
+        .otherwise((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+        .as("rho"))
+  }
+}

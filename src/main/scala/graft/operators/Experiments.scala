@@ -102,6 +102,72 @@ object Experiments {
           - (col("ctrl_post") - col("ctrl_pre")))
   }
 
+  /** Stratified average-treatment-effect over covariate quantile
+    * strata — the observational-data adjustment the A/B pair
+    * (cupedLift randomized, diffInDiff parallel-trends) was missing:
+    * when assignment correlates with an observed covariate, the naive
+    * arm difference is confounded; stratifying on the covariate's
+    * quantile bins and mix-weighting the per-stratum differences is
+    * propensity-score SUBCLASSIFICATION with the covariate as the
+    * score (Rosenbaum & Rubin 1984, the five-subclass practice).
+    *
+    * Exactness: stratum edges are EXACT order statistics of the
+    * integer covariate ([[ExactQuantile.globalRanks]] — the q233
+    * two-phase machinery, no sampling); per-stratum outcome sums are
+    * exact decimals; the ATE folds stratum terms in stratum order
+    * (sorted-struct fold — the q224 discipline, never an
+    * order-unspecified SUM over doubles).
+    *
+    * `xCol` must be integral (micro-scale first — the ExactQuantile
+    * house rule). Every stratum must contain both arms — a one-armed
+    * stratum has no within-stratum contrast and fails LOUDLY (merge
+    * strata or fix the design; silently dropping it would reweight
+    * the estimand). One row per stratum: (stratum, n0, n1, mean0,
+    * mean1, diff) + (ate, n) repeated. */
+  def stratifiedAte(perUnit: DataFrame, xCol: String, armCol: String,
+                    yCol: String, strata: Int = 5): DataFrame = {
+    require(strata >= 2 && strata <= 100, s"bad strata=$strata")
+    val u = perUnit
+      .filter(col(xCol).isNotNull && col(armCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("__x"),
+        col(armCol).cast("boolean").as("__a"), dec(col(yCol)).as("__y"))
+      .localCheckpoint() // two passes: edges + cells
+    val n = u.count()
+    require(n >= strata, s"$n units cannot fill $strata strata")
+    val edges = ExactQuantile.globalRanks(u, "__x",
+        (1 until strata).map(k => (k * n + strata - 1) / strata), lowBits = 8)
+      .collect().map(_.getLong(1)).sorted // ≤ strata−1 values, bounded
+    val stratum = edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(col("__x") > e, 1).otherwise(0)
+    }
+    val cells = u.groupBy(stratum.as("stratum"))
+      .agg(
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n0"),
+        sum(when(col("__a"), 1L).otherwise(0L)).as("n1"),
+        dsum(when(!col("__a"), col("__y"))).as("__s0"),
+        dsum(when(col("__a"), col("__y"))).as("__s1"))
+    val bad = cells.filter(col("n0") === 0 || col("n1") === 0).count()
+    require(bad == 0,
+      s"stratifiedAte: $bad strata contain one arm only — no " +
+        "within-stratum contrast; merge strata or fix the design")
+    val per = cells
+      .withColumn("mean0", col("__s0").cast("double") / col("n0"))
+      .withColumn("mean1", col("__s1").cast("double") / col("n1"))
+      .withColumn("diff", col("mean1") - col("mean0"))
+    val ate = per.agg(aggregate(
+        transform(array_sort(collect_list(struct(col("stratum"),
+          ((col("n0") + col("n1")).cast("double") * col("diff")).as("w")))),
+          s => s.getField("w")),
+        lit(0.0), (acc, x) => acc + x).as("__num"))
+      .select((col("__num") / n).as("ate"))
+    per.crossJoin(broadcast(ate))
+      .select(col("stratum"), col("n0"), col("n1"),
+        col("mean0"), col("mean1"), col("diff"), col("ate"),
+        lit(n).as("n"))
+      .orderBy(col("stratum"))
+  }
+
   /** Simpson's-paradox audit: per stratum the two arms' exact success
     * rates and rate difference, plus the POOLED difference repeated on
     * each row and a `reversed` flag (stratum effect sign opposes the

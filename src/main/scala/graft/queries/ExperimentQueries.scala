@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
-import graft.operators.{Benford, Experiments, FeatureSelect, Isotonic,
-  Sharding, Spectral, TrendTests}
+import graft.operators.{Benford, ChangePoint, Correlation, Experiments,
+  FeatureSelect, Isotonic, Rake, Sharding, Spectral, TrendTests}
 
 /** Round-13 experiment-analysis / audit extensions (q245–q255): score
   * calibration FIX (isotonic PAV), mutual-information feature
@@ -493,6 +493,322 @@ object ExperimentQueries extends QuerySet {
       |    OR ((rate1 - rate0) < 0 AND pooled_diff > 0))) AS reversed
       |FROM strata, pooled ORDER BY stratum""".stripMargin
 
+
+  /** CUSUM drift alarm over the hourly series — [[ChangePoint.cusum]]
+    * calibrated on the first week; the oracle replays the exact
+    * n_ref-scaled deviations and the cumsum-minus-running-min closed
+    * form. */
+  private def q256(s: SparkSession, d: String): DataFrame =
+    ChangePoint.cusum(hourly(s, d), "t", "v", refLen = 168)
+
+  private val q256Sql =
+    s"""WITH $hourlyCte,
+       |t0 AS (SELECT MIN(t) AS t0 FROM g),
+       |ref AS (
+       |  SELECT COUNT(*) AS n, CAST(SUM(v) AS DECIMAL(38,6)) AS sv,
+       |    CAST(SUM(v*v) AS DECIMAL(38,12)) AS svv
+       |  FROM g, t0 WHERE t < t0.t0 + 168),
+       |pins AS (
+       |  SELECT n, sv,
+       |    CAST(sqrt(CAST(n * svv - sv * sv AS DOUBLE)) / n * 0.5
+       |      AS DECIMAL(38,6)) AS k,
+       |    CAST(sqrt(CAST(n * svv - sv * sv AS DOUBLE)) / n * 5.0
+       |      AS DECIMAL(38,6)) AS h
+       |  FROM ref),
+       |dev AS (
+       |  SELECT g.t, g.v,
+       |    CAST(g.v * pins.n - pins.sv - pins.k * pins.n AS DECIMAL(38,6)) AS d,
+       |    pins.n AS nref, pins.h
+       |  FROM g, pins, t0 WHERE g.t >= t0.t0 + 168),
+       |cum AS (
+       |  SELECT t, v, nref, h,
+       |    CAST(SUM(d) OVER (ORDER BY t) AS DECIMAL(38,6)) AS c
+       |  FROM dev),
+       |s AS (
+       |  SELECT t, v, nref, h,
+       |    CAST(c - least(MIN(c) OVER (ORDER BY t), CAST(0 AS DECIMAL(38,6)))
+       |      AS DECIMAL(38,6)) AS s
+       |  FROM cum)
+       |SELECT t, CAST(v AS DOUBLE) AS v, CAST(s AS DOUBLE) / nref AS cusum,
+       |  (s > h * nref) AS alarm
+       |FROM s ORDER BY t""".stripMargin
+
+  /** The two-metric hourly grid (value mass vs event count) the
+    * correlation gates run on. */
+  private def hourly2(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").filter(col("ts").isNotNull)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)")
+        .as("x"), count(lit(1)).as("y"))
+      .select(floor(unix_timestamp(col("h")) / 3600).cast("long").as("t"),
+        col("x"), col("y"))
+
+  private val hourly2Cte =
+    """g AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS t,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS x,
+      |    CAST(COUNT(*) AS DECIMAL(38,6)) AS y
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1)""".stripMargin
+
+  /** Kendall τ-b between hourly value mass and event count —
+    * [[Correlation.kendallTauB]]: exact BIGINT pair census, one
+    * closing tree. */
+  private def q257(s: SparkSession, d: String): DataFrame =
+    Correlation.kendallTauB(hourly2(s, d), "t", "x", "y")
+
+  private val q257Sql =
+    s"""WITH $hourly2Cte,
+       |p AS (
+       |  SELECT COUNT(*) AS n_pairs,
+       |    CAST(SUM(CASE WHEN (b.x > a.x AND b.y > a.y)
+       |      OR (b.x < a.x AND b.y < a.y) THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+       |    CAST(SUM(CASE WHEN (b.x > a.x AND b.y < a.y)
+       |      OR (b.x < a.x AND b.y > a.y) THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+       |    CAST(SUM(CASE WHEN b.x = a.x AND b.y <> a.y THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ties_x,
+       |    CAST(SUM(CASE WHEN b.y = a.y AND b.x <> a.x THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ties_y,
+       |    CAST(SUM(CASE WHEN b.x = a.x AND b.y = a.y THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ties_xy
+       |  FROM g a JOIN g b ON a.t < b.t),
+       |n AS (SELECT COUNT(*) AS n FROM g)
+       |SELECT n.n, p.n_pairs, p.conc, p.disc, p.ties_x, p.ties_y, p.ties_xy,
+       |  CASE WHEN p.n_pairs = p.ties_x + p.ties_xy
+       |         OR p.n_pairs = p.ties_y + p.ties_xy THEN NULL
+       |    ELSE CAST(p.conc - p.disc AS DOUBLE) /
+       |      sqrt(CAST(p.n_pairs - p.ties_x - p.ties_xy AS DOUBLE)
+       |        * CAST(p.n_pairs - p.ties_y - p.ties_xy AS DOUBLE)) END AS tau_b
+       |FROM n, p""".stripMargin
+
+  /** Spearman ρ over the same grid — [[Correlation.spearmanRho]]:
+    * 2-scaled average ranks, six exact sums, one closing tree. */
+  private def q258(s: SparkSession, d: String): DataFrame =
+    Correlation.spearmanRho(hourly2(s, d), "t", "x", "y")
+
+  private val q258Sql =
+    s"""WITH $hourly2Cte,
+       |r AS (
+       |  SELECT CAST(2*rank() OVER (ORDER BY x)
+       |      + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx,
+       |    CAST(2*rank() OVER (ORDER BY y)
+       |      + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry
+       |  FROM g),
+       |s AS (
+       |  SELECT COUNT(*) AS n, CAST(SUM(rx) AS BIGINT) AS sx,
+       |    CAST(SUM(ry) AS BIGINT) AS sy, CAST(SUM(rx*ry) AS BIGINT) AS sxy,
+       |    CAST(SUM(rx*rx) AS BIGINT) AS sxx, CAST(SUM(ry*ry) AS BIGINT) AS syy
+       |  FROM r)
+       |SELECT n,
+       |  CASE WHEN n*sxx = sx*sx OR n*syy = sy*sy THEN NULL
+       |    ELSE CAST(n*sxy - sx*sy AS DOUBLE) /
+       |      sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+       |  END AS rho
+       |FROM s""".stripMargin
+
+  /** Stratified ATE over user-day units — covariate = morning value
+    * (micro-units), outcome = afternoon value, arms hashed;
+    * [[Experiments.stratifiedAte]] with exact quintile edges. */
+  private def q259(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").filter(col("ts").isNotNull)
+    val perUnit = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(
+        coalesce(sum(when(hour(col("ts")) < 12,
+            col("value").cast("decimal(18,6)"))) * 1000000, lit(0))
+          .cast("long").as("x"),
+        coalesce(sum(when(hour(col("ts")) >= 12,
+            col("value").cast("decimal(18,6)"))), lit(0).cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("y"))
+      .withColumn("arm",
+        graft.operators.Splits.hashBucket(col("user_id"), 2) === 1)
+    Experiments.stratifiedAte(perUnit, "x", "arm", "y", strata = 5)
+  }
+
+  private val q259Sql =
+    """WITH per_unit AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(COALESCE(SUM(CASE WHEN hour(ts) < 12
+      |      THEN CAST(value AS DECIMAL(18,6)) END) * 1000000, 0) AS BIGINT) AS x,
+      |    CAST(COALESCE(SUM(CASE WHEN hour(ts) >= 12
+      |      THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DECIMAL(19,6)) AS y,
+      |    (((user_id % 2147483648) * 2654435761) % 4294967296 % 2 = 1) AS a
+      |  FROM events WHERE ts IS NOT NULL GROUP BY user_id, CAST(ts AS DATE)),
+      |n AS (SELECT COUNT(*) AS n FROM per_unit),
+      |ranked AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM per_unit),
+      |edges AS (
+      |  SELECT list(x ORDER BY k.k) AS es FROM (
+      |    SELECT k.k, r.x FROM (SELECT unnest([1,2,3,4]) AS k) k
+      |    JOIN n ON true JOIN ranked r ON r.rn = (k.k * n.n + 4) // 5) k),
+      |strat AS (
+      |  SELECT a, y,
+      |    (CASE WHEN x > es[1] THEN 1 ELSE 0 END +
+      |     CASE WHEN x > es[2] THEN 1 ELSE 0 END +
+      |     CASE WHEN x > es[3] THEN 1 ELSE 0 END +
+      |     CASE WHEN x > es[4] THEN 1 ELSE 0 END) AS stratum
+      |  FROM per_unit, edges),
+      |cells AS (
+      |  SELECT stratum,
+      |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN NOT a THEN y END) AS DECIMAL(38,12)) AS s0,
+      |    CAST(SUM(CASE WHEN a THEN y END) AS DECIMAL(38,12)) AS s1
+      |  FROM strat GROUP BY stratum),
+      |per AS (
+      |  SELECT stratum, n0, n1,
+      |    CAST(s0 AS DOUBLE) / n0 AS mean0, CAST(s1 AS DOUBLE) / n1 AS mean1,
+      |    CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0 AS diff
+      |  FROM cells),
+      |atec AS (
+      |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(CAST(n0 + n1 AS DOUBLE) * diff ORDER BY stratum)),
+      |    (a, b) -> a + b) / n.n AS ate, n.n AS n
+      |  FROM per, n GROUP BY n.n)
+      |SELECT per.stratum, per.n0, per.n1, per.mean0, per.mean1, per.diff,
+      |  atec.ate, atec.n
+      |FROM per, atec ORDER BY per.stratum""".stripMargin
+
+  /** RAKE keyphrases over the corpus — [[Rake.keywords]]; the oracle
+    * replays the stopword runs, word degree/frequency, and the
+    * position-ordered phrase-score folds. */
+  private def q260(s: SparkSession, d: String): DataFrame =
+    Rake.keywords(t(s, d, "documents"), "doc_id", "text",
+      topN = 20, maxPhraseWords = 4)
+
+  private val q260Sql = {
+    val stoplist = Rake.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH cleaned AS (
+       |  SELECT doc_id AS id,
+       |    regexp_replace(lower(text), '[^a-z0-9 ]+', ' . ', 'g') AS ct
+       |  FROM documents),
+       |toks AS (
+       |  SELECT id, t.i - 1 AS pos, t.w,
+       |    (t.w = '' OR t.w = '.' OR list_contains($stoplist, t.w)) AS stop
+       |  FROM cleaned,
+       |    LATERAL (SELECT unnest(string_split(ct, ' ')) AS w,
+       |        generate_subscripts(string_split(ct, ' '), 1) AS i) t),
+       |runs AS (
+       |  SELECT id, pos, w,
+       |    CAST(SUM(CASE WHEN stop THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY id ORDER BY pos) AS BIGINT) AS run, stop
+       |  FROM toks),
+       |phrases AS (
+       |  SELECT id, run, COUNT(*) AS len,
+       |    string_agg(w, ' ' ORDER BY pos) AS phrase
+       |  FROM runs WHERE NOT stop GROUP BY id, run
+       |  HAVING COUNT(*) <= 4),
+       |ws AS (
+       |  SELECT w.w, COUNT(*) AS freq, CAST(SUM(p.len) AS BIGINT) AS deg
+       |  FROM phrases p,
+       |    LATERAL (SELECT unnest(string_split(p.phrase, ' ')) AS w) w
+       |  GROUP BY w.w),
+       |dp AS (
+       |  SELECT phrase, MAX(len) AS n_words, COUNT(*) AS n_occurrences
+       |  FROM phrases GROUP BY phrase),
+       |sc AS (
+       |  SELECT dp.phrase, dp.n_words, dp.n_occurrences,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(CAST(ws.deg AS DOUBLE) / CAST(ws.freq AS DOUBLE)
+       |        ORDER BY t.i)), (a, b) -> a + b) AS pscore
+       |  FROM dp, LATERAL (SELECT unnest(string_split(dp.phrase, ' ')) AS w,
+       |      generate_subscripts(string_split(dp.phrase, ' '), 1) AS i) t
+       |  JOIN ws ON ws.w = t.w
+       |  GROUP BY dp.phrase, dp.n_words, dp.n_occurrences)
+       |SELECT phrase, n_words, n_occurrences, round(pscore, 6) AS score
+       |FROM sc ORDER BY round(pscore, 6) DESC, phrase LIMIT 20""".stripMargin
+  }
+
+  /** Streaming Benford monitor under the driver gate —
+    * [[graft.streaming.BenfordMonitor]] (q248 made continuous): odd
+    * events arrive as four deterministic micro-batches, batch 3's
+    * values are replaced by a fabricated uniform-digit feed
+    * ((1 + id mod 9)·111 — first digits exactly uniform), and exactly
+    * that batch must alert on ITS OWN χ² while the cumulative columns
+    * show the standing state dampening. */
+  private def q261(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val ev = t(s, d, "events").filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), lit("feed").as("src"),
+        when(col("event_id") % 8 === 7,
+          (col("event_id") % 9 + 1).cast("double") * 111.0)
+          .otherwise(col("value")).as("v"))
+    val srcDir = Files.createTempDirectory("graft-q261-src").toFile
+    val base = System.currentTimeMillis()
+    Seq(1, 3, 5, 7).zipWithIndex.foreach { case (r, i) =>
+      val tmp = Files.createTempDirectory("graft-q261-stage").toFile
+      ev.filter(col("event_id") % 8 === r).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      tmp.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val dst = new java.io.File(srcDir, s"batch$i.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(base + i * 1000L)
+      }
+    }
+    val store = new graft.store.DocumentStore(s,
+      Files.createTempDirectory("graft-q261-store").toString)
+    val feed = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val qy = graft.streaming.BenfordMonitor.start(feed, store, "bledger",
+      "bverdict", "src", "v",
+      Files.createTempDirectory("graft-q261-ckpt").toString,
+      chiThreshold = 30.0, minN = 50L)
+    try qy.processAllAvailable() finally qy.stop()
+    store.read("bverdict")
+      .select(col("batch_id"), col("src"), col("n_batch"), col("chi2_batch"),
+        col("n_cum"), col("chi2_cum"), col("alert"))
+      .orderBy(col("batch_id"))
+  }
+
+  private val q261Sql = {
+    val pl = Benford.P.mkString("[", ", ", "]")
+    s"""WITH str AS (
+       |  SELECT (event_id % 8) // 2 AS b, 'feed' AS src,
+       |    CASE WHEN event_id % 8 = 7 THEN (event_id % 9 + 1) * 111.0
+       |         ELSE value END AS v
+       |  FROM events WHERE event_id % 2 = 1),
+       |micro AS (
+       |  SELECT b, src,
+       |    CAST(abs(CAST(v AS DECIMAL(18,6)) * 1000000) AS DECIMAL(38,0)) AS c
+       |  FROM str WHERE v IS NOT NULL),
+       |digits AS (
+       |  SELECT b, src, CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS d
+       |  FROM micro WHERE c >= 1),
+       |obs AS (SELECT b, src, d, COUNT(*) AS o FROM digits GROUP BY 1, 2, 3),
+       |bs AS (SELECT DISTINCT b FROM obs),
+       |cum AS (
+       |  SELECT bs.b, obs.src, obs.d, CAST(SUM(obs.o) AS BIGINT) AS o
+       |  FROM bs JOIN obs ON obs.b <= bs.b GROUP BY bs.b, obs.src, obs.d),
+       |chig AS (
+       |  SELECT g.b, g.src, g.n, dd.d, COALESCE(obs.o, 0) AS o
+       |  FROM (SELECT b, src, CAST(SUM(o) AS BIGINT) AS n FROM obs
+       |        GROUP BY b, src) g
+       |  CROSS JOIN (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS d) dd
+       |  LEFT JOIN obs ON obs.b = g.b AND obs.src = g.src AND obs.d = dd.d),
+       |chi2b AS (
+       |  SELECT b, src, MAX(n) AS n_batch,
+       |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list((CAST(o AS DOUBLE) - n * ($pl)[d])
+       |        * (CAST(o AS DOUBLE) - n * ($pl)[d]) / (n * ($pl)[d])
+       |        ORDER BY d)), (a, c) -> a + c), 6) AS chi2_batch
+       |  FROM chig GROUP BY b, src),
+       |cumg AS (
+       |  SELECT g.b, g.src, g.n, dd.d, COALESCE(cum.o, 0) AS o
+       |  FROM (SELECT b, src, CAST(SUM(o) AS BIGINT) AS n FROM cum
+       |        GROUP BY b, src) g
+       |  CROSS JOIN (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS d) dd
+       |  LEFT JOIN cum ON cum.b = g.b AND cum.src = g.src AND cum.d = dd.d),
+       |chi2c AS (
+       |  SELECT b, src, MAX(n) AS n_cum,
+       |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list((CAST(o AS DOUBLE) - n * ($pl)[d])
+       |        * (CAST(o AS DOUBLE) - n * ($pl)[d]) / (n * ($pl)[d])
+       |        ORDER BY d)), (a, c) -> a + c), 6) AS chi2_cum
+       |  FROM cumg GROUP BY b, src)
+       |SELECT CAST(chi2b.b AS BIGINT) AS batch_id, chi2b.src, chi2b.n_batch,
+       |  chi2b.chi2_batch, chi2c.n_cum, chi2c.chi2_cum,
+       |  (chi2b.n_batch >= 50 AND chi2b.chi2_batch > 30.0) AS alert
+       |FROM chi2b JOIN chi2c ON chi2b.b = chi2c.b AND chi2b.src = chi2c.src
+       |ORDER BY batch_id""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("q245_isotonic_calibration", q245, Some(q245Sql)),
     Q("q246_mutual_info", q246, Some(q246Sql)),
@@ -504,5 +820,11 @@ object ExperimentQueries extends QuerySet {
     Q("q252_mann_kendall", q252, Some(q252Sql)),
     Q("q253_theil_sen", q253, Some(q253Sql)),
     Q("q254_did_lift", q254, Some(q254Sql)),
-    Q("q255_simpson_audit", q255, Some(q255Sql)))
+    Q("q255_simpson_audit", q255, Some(q255Sql)),
+    Q("q256_cusum_drift", q256, Some(q256Sql)),
+    Q("q257_kendall_taub", q257, Some(q257Sql)),
+    Q("q258_spearman_rho", q258, Some(q258Sql)),
+    Q("q259_stratified_ate", q259, Some(q259Sql)),
+    Q("q260_rake_keywords", q260, Some(q260Sql), headline = true),
+    Q("q261_streaming_benford", q261, Some(q261Sql)))
 }

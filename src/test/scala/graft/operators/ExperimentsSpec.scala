@@ -64,6 +64,32 @@ class ExperimentsSpec extends AnyFunSuite with SparkSuite {
     assert(ex.getMessage.contains("4"))
   }
 
+  test("stratifiedAte: mix-weighted per-stratum diffs, confounding corrected") {
+    // covariate x in {0, 1000000} (2 strata of a 2-strata request);
+    // within each stratum treatment adds exactly +5; arms are
+    // imbalanced ACROSS strata so the naive pooled diff is confounded
+    val rows =
+      Seq.fill(8)((0L, false, 10.0)) ++ Seq.fill(2)((0L, true, 15.0)) ++
+      Seq.fill(2)((1000000L, false, 100.0)) ++ Seq.fill(8)((1000000L, true, 105.0))
+    val out = Experiments.stratifiedAte(rows.toDF("x", "arm", "y"),
+      "x", "arm", "y", strata = 2).collect()
+    assert(out.length == 2)
+    out.foreach(r => assert(r.getAs[Double]("diff") == 5.0))
+    assert(out.head.getAs[Double]("ate") == 5.0) // mix weights sum out
+    // the naive pooled diff is NOT 5 (confounded by the x-arm mix)
+    val naive = (2 * 15.0 + 8 * 105.0) / 10 - (8 * 10.0 + 2 * 100.0) / 10
+    assert(math.abs(naive - 5.0) > 10)
+  }
+
+  test("stratifiedAte rejects one-armed strata loudly") {
+    val rows = Seq.fill(5)((0L, false, 1.0)) ++ Seq.fill(5)((1000000L, true, 2.0))
+    val ex = intercept[IllegalArgumentException] {
+      Experiments.stratifiedAte(rows.toDF("x", "arm", "y"), "x", "arm", "y",
+        strata = 2)
+    }
+    assert(ex.getMessage.contains("one arm"))
+  }
+
   test("simpsonAudit flags a constructed reversal") {
     // the kidney-stone table: arm 0 better IN EACH stratum (93>87,
     // 73>69), arm 1 better pooled (83>78) — mix shift
