@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.operators.{Benford, ChangePoint, Correlation, Experiments,
-  FeatureSelect, Isotonic, Rake, Sharding, Spectral, TrendTests}
+  FeatureSelect, Isotonic, NaiveBayes, Rake, Regression, Reliability,
+  Sharding, Spectral, Stump, TrendTests}
 
 /** Round-13 experiment-analysis / audit extensions (q245–q255): score
   * calibration FIX (isotonic PAV), mutual-information feature
@@ -809,6 +810,255 @@ object ExperimentQueries extends QuerySet {
        |ORDER BY batch_id""".stripMargin
   }
 
+
+  /** Two-feature OLS with the collinearity audit —
+    * [[Regression.ols2]] on the classic lineitem shape
+    * (extendedprice ~ quantity + discount); ten exact decimal
+    * sufficient statistics, centered moments in the shared double
+    * domain, Cramer closed form. */
+  private def q262(s: SparkSession, d: String): DataFrame =
+    Regression.ols2(t(s, d, "lineitem"), "l_extendedprice", "l_quantity",
+      "l_discount")
+
+  private val q262Sql =
+    """WITH u AS (
+      |  SELECT CAST(l_extendedprice AS DECIMAL(19,6)) AS y,
+      |    CAST(l_quantity AS DECIMAL(19,6)) AS x1,
+      |    CAST(l_discount AS DECIMAL(19,6)) AS x2
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      |    AND l_discount IS NOT NULL),
+      |s AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(x1) AS DECIMAL(38,12)) AS s1,
+      |    CAST(SUM(x2) AS DECIMAL(38,12)) AS s2,
+      |    CAST(SUM(y) AS DECIMAL(38,12)) AS sy,
+      |    CAST(SUM(x1*x1) AS DECIMAL(38,12)) AS s11,
+      |    CAST(SUM(x2*x2) AS DECIMAL(38,12)) AS s22,
+      |    CAST(SUM(x1*x2) AS DECIMAL(38,12)) AS s12,
+      |    CAST(SUM(x1*y) AS DECIMAL(38,12)) AS s1y,
+      |    CAST(SUM(x2*y) AS DECIMAL(38,12)) AS s2y,
+      |    CAST(SUM(y*y) AS DECIMAL(38,12)) AS syy
+      |  FROM u),
+      |-- decimal->double via VARCHAR: DuckDB's direct cast double-rounds
+      |-- (int128 -> double, then / 10^scale) and lands 1 ulp off the
+      |-- correctly-rounded value Spark/Java produce; strtod is exact
+      |sd AS (
+      |  SELECT n,
+      |    CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS d1,
+      |    CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS d2,
+      |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dy,
+      |    CAST(CAST(s11 AS VARCHAR) AS DOUBLE) AS d11,
+      |    CAST(CAST(s22 AS VARCHAR) AS DOUBLE) AS d22,
+      |    CAST(CAST(s12 AS VARCHAR) AS DOUBLE) AS d12,
+      |    CAST(CAST(s1y AS VARCHAR) AS DOUBLE) AS d1y,
+      |    CAST(CAST(s2y AS VARCHAR) AS DOUBLE) AS d2y,
+      |    CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dyy
+      |  FROM s),
+      |c AS (
+      |  SELECT n,
+      |    d11*n - d1*d1 AS c11,
+      |    d22*n - d2*d2 AS c22,
+      |    d12*n - d1*d2 AS c12,
+      |    d1y*n - d1*dy AS c1y,
+      |    d2y*n - d2*dy AS c2y,
+      |    dyy*n - dy*dy AS cyy,
+      |    d1, d2, dy
+      |  FROM sd),
+      |b AS (
+      |  SELECT n, (c1y*c22 - c2y*c12)/(c11*c22 - c12*c12) AS b1,
+      |    (c2y*c11 - c1y*c12)/(c11*c22 - c12*c12) AS b2,
+      |    c12*c12/(c11*c22) AS r12sq, c1y, c2y, cyy, d1, d2, dy
+      |  FROM c)
+      |SELECT n, (dy - b1*d1 - b2*d2)/n AS b0, b1, b2,
+      |  (b1*c1y + b2*c2y)/cyy AS r2, sqrt(r12sq) AS r12,
+      |  1.0/(1.0-r12sq) AS vif
+      |FROM b""".stripMargin
+
+  /** Decision-stump training — [[Stump.train]] over (n_chars, token
+    * count) against the is-English label: exact quantile-grid
+    * candidates, one-scan exact cell table, the single-division h
+    * criterion. The winning split is whatever best separates — the
+    * gate pins that the TRAINED model replays exactly. */
+  private def q263(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents").select(
+      col("n_chars").as("n_chars"),
+      size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+        .cast("long").as("n_tokens"),
+      (col("lang") === "en").as("is_en"))
+    Stump.train(base, Seq("n_chars", "n_tokens"), "is_en", thresholds = 16)
+  }
+
+  private val q263Sql =
+    """WITH base AS (
+      |  SELECT n_chars AS f1,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      |      AS f2,
+      |    (lang = 'en') AS y
+      |  FROM documents),
+      |long AS (
+      |  SELECT 'n_chars' AS feature, f1 AS x, y FROM base
+      |  UNION ALL SELECT 'n_tokens', f2, y FROM base),
+      |n AS (SELECT feature, COUNT(*) AS n FROM long GROUP BY feature),
+      |cand AS (
+      |  SELECT DISTINCT l.feature, r.x AS threshold FROM (
+      |    SELECT feature, x, row_number() OVER
+      |      (PARTITION BY feature ORDER BY x) AS rn FROM long) r
+      |  JOIN n l ON l.feature = r.feature
+      |  JOIN (SELECT unnest(range(1, 17)) AS k) k
+      |    ON r.rn = (k.k * l.n + 16) // 17),
+      |tot AS (SELECT feature, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      |  FROM long GROUP BY feature),
+      |cells AS (
+      |  SELECT l.feature, c.threshold,
+      |    CAST(SUM(CASE WHEN l.x <= c.threshold THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_left,
+      |    CAST(SUM(CASE WHEN l.x <= c.threshold AND l.y THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pos_left
+      |  FROM long l JOIN cand c USING (feature)
+      |  GROUP BY l.feature, c.threshold),
+      |splits AS (
+      |  SELECT c.feature, c.threshold, c.n_left, c.pos_left,
+      |    t.n - c.n_left AS n_right, t.pos - c.pos_left AS pos_right, t.n
+      |  FROM cells c JOIN tot t USING (feature)
+      |  WHERE c.n_left > 0 AND t.n - c.n_left > 0),
+      |h AS (
+      |  SELECT *,
+      |    CAST((pos_left*pos_left + (n_left-pos_left)*(n_left-pos_left))
+      |        * n_right
+      |      + (pos_right*pos_right + (n_right-pos_right)*(n_right-pos_right))
+      |        * n_left AS DOUBLE)
+      |      / CAST(n_left * n_right AS DOUBLE) AS h
+      |  FROM splits)
+      |SELECT feature, threshold, n_left, pos_left, n_right, pos_right,
+      |  round((CAST(n AS DOUBLE) - h) / n, 6) AS gini
+      |FROM h ORDER BY h DESC, feature, threshold LIMIT 1""".stripMargin
+
+  /** Naive Bayes in the exact bits idiom — train on even doc_ids,
+    * classify odd, emit the confusion matrix. The synthetic corpus is
+    * vocabulary-shared by construction, so the matrix honestly shows
+    * near-prior behavior at this SF — SEPARATION quality is proven on
+    * a constructed separable corpus in NaiveBayesSpec; the gate pins
+    * that the trained model and its decisions replay exactly. */
+  private def q264(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val test = docs.filter(col("doc_id") % 2 === 1)
+    val model = NaiveBayes.train(train, "doc_id", "text", "lang")
+    NaiveBayes.predict(test, "doc_id", "text", model)
+      .join(test.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  private val q264Sql =
+    """WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+      |test AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+      |ttok AS (
+      |  SELECT doc_id, lang AS c,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM train),
+      |lik AS (SELECT c, term, COUNT(*) AS cnt FROM ttok GROUP BY c, term),
+      |cls AS (
+      |  SELECT t.c AS class, t.n_docs, COALESCE(l.tok, 0) AS tok FROM
+      |    (SELECT lang AS c, COUNT(*) AS n_docs FROM train GROUP BY lang) t
+      |  LEFT JOIN (SELECT c, CAST(SUM(cnt) AS BIGINT) AS tok FROM lik
+      |             GROUP BY c) l ON l.c = t.c),
+      |v AS (SELECT COUNT(DISTINCT term) AS v FROM lik),
+      |ntr AS (SELECT COUNT(*) AS n FROM train),
+      |stok AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM test),
+      |pertok AS (
+      |  SELECT s.doc_id, cls.class,
+      |    CAST(SUM(length(bin(cls.tok + v.v))
+      |      - length(bin(COALESCE(lik.cnt, 0) + 1))) AS BIGINT) AS tokbits
+      |  FROM stok s CROSS JOIN cls CROSS JOIN v
+      |  LEFT JOIN lik ON lik.c = cls.class AND lik.term = s.term
+      |  GROUP BY s.doc_id, cls.class),
+      |prior AS (
+      |  SELECT class, CAST(length(bin(ntr.n)) - length(bin(n_docs)) AS BIGINT)
+      |    AS pbits
+      |  FROM cls, ntr),
+      |allscore AS (
+      |  SELECT t.doc_id, p.class, COALESCE(pt.tokbits, 0) + p.pbits AS bits
+      |  FROM test t CROSS JOIN prior p
+      |  LEFT JOIN pertok pt ON pt.doc_id = t.doc_id AND pt.class = p.class),
+      |pred AS (
+      |  SELECT doc_id, class AS predicted FROM (
+      |    SELECT doc_id, class, row_number() OVER
+      |      (PARTITION BY doc_id ORDER BY bits, class) AS rn
+      |    FROM allscore) WHERE rn = 1)
+      |SELECT t.lang, p.predicted, COUNT(*) AS n
+      |FROM test t JOIN pred p USING (doc_id)
+      |GROUP BY t.lang, p.predicted ORDER BY t.lang, p.predicted""".stripMargin
+
+  /** Cronbach's α over four derived per-document quality items —
+    * [[Reliability.cronbachAlpha]]: exact n²-scaled variances,
+    * item-ordered fold. */
+  private def q265(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val items = docs.select(col("doc_id").as("subj"),
+        (col("n_chars").cast("decimal(18,6)") / 100).cast("decimal(18,6)")
+          .as("len"),
+        size(toks).cast("decimal(18,6)").as("toks"),
+        size(array_distinct(toks)).cast("decimal(18,6)").as("uniq"),
+        size(split(col("text"), " ")).cast("decimal(18,6)").as("lines"))
+      .select(col("subj"), explode(array(
+        struct(lit("len").as("item"), col("len").as("score")),
+        struct(lit("toks").as("item"), col("toks").as("score")),
+        struct(lit("uniq").as("item"), col("uniq").as("score")),
+        struct(lit("lines").as("item"), col("lines").as("score"))))
+        .as("__i"))
+      .select(col("subj"), col("__i.item").as("item"),
+        col("__i.score").as("score"))
+    Reliability.cronbachAlpha(items, "subj", "item", "score")
+  }
+
+  private val q265Sql =
+    """WITH items AS (
+      |  SELECT doc_id AS s, i.i,
+      |    CASE i.i
+      |      WHEN 'len' THEN CAST(CAST(n_chars AS DECIMAL(18,6)) / 100
+      |        AS DECIMAL(18,6))
+      |      WHEN 'toks' THEN CAST(len(regexp_extract_all(lower(text),
+      |        '[a-z0-9]+')) AS DECIMAL(18,6))
+      |      WHEN 'uniq' THEN CAST(len(list_distinct(regexp_extract_all(
+      |        lower(text), '[a-z0-9]+'))) AS DECIMAL(18,6))
+      |      WHEN 'lines' THEN CAST(len(string_split(text, ' '))
+      |        AS DECIMAL(18,6))
+      |    END AS x
+      |  FROM documents
+      |  CROSS JOIN (SELECT unnest(['len','toks','uniq','lines']) AS i) i),
+      |itemstats AS (
+      |  SELECT i, COUNT(*) AS n, CAST(SUM(x) AS DECIMAL(38,6)) AS sx,
+      |    CAST(SUM(x*x) AS DECIMAL(38,12)) AS sxx
+      |  FROM items GROUP BY i),
+      |iv AS (
+      |  SELECT MAX(n) AS n, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list(CAST(CAST(sxx AS VARCHAR) AS DOUBLE) * n
+      |      - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+      |        * CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+      |      ORDER BY i)),
+      |    (a, b) -> a + b) AS sum_item_var_n2
+      |  FROM itemstats),
+      |tv AS (
+      |  SELECT CAST(CAST(stt AS VARCHAR) AS DOUBLE) * n2
+      |    - CAST(CAST(st AS VARCHAR) AS DOUBLE)
+      |      * CAST(CAST(st AS VARCHAR) AS DOUBLE)
+      |    AS total_var_n2 FROM (
+      |    SELECT COUNT(*) AS n2, CAST(SUM(t) AS DECIMAL(38,6)) AS st,
+      |      CAST(SUM(t*t) AS DECIMAL(38,12)) AS stt
+      |    FROM (SELECT s, CAST(SUM(x) AS DECIMAL(38,6)) AS t FROM items
+      |          GROUP BY s)))
+      |SELECT iv.n AS n_subjects, CAST(4 AS BIGINT) AS k_items,
+      |  iv.sum_item_var_n2, tv.total_var_n2,
+      |  (4.0/3.0) * (1.0 - iv.sum_item_var_n2 / tv.total_var_n2) AS alpha
+      |FROM iv, tv""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q245_isotonic_calibration", q245, Some(q245Sql)),
     Q("q246_mutual_info", q246, Some(q246Sql)),
@@ -826,5 +1076,9 @@ object ExperimentQueries extends QuerySet {
     Q("q258_spearman_rho", q258, Some(q258Sql)),
     Q("q259_stratified_ate", q259, Some(q259Sql)),
     Q("q260_rake_keywords", q260, Some(q260Sql), headline = true),
-    Q("q261_streaming_benford", q261, Some(q261Sql)))
+    Q("q261_streaming_benford", q261, Some(q261Sql)),
+    Q("q262_ols2_vif", q262, Some(q262Sql)),
+    Q("q263_decision_stump", q263, Some(q263Sql), headline = true),
+    Q("q264_naive_bayes", q264, Some(q264Sql)),
+    Q("q265_cronbach_alpha", q265, Some(q265Sql)))
 }
