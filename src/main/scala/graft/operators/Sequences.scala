@@ -54,4 +54,39 @@ object Sequences {
       .orderBy(col("n").desc, col("to_state"))
     t.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Sequential-pattern SUPPORT for length-2 patterns — the
+    * sequence-mining complement of [[transitions]]: transitions count
+    * OCCURRENCES (a single user looping A→B 50 times dominates);
+    * support counts the SEQUENCES (users) containing the pattern at
+    * least once — the GSP/SPADE measure (Agrawal & Srikant 1996, the
+    * association-rule support lifted to ordered data). "45% of users
+    * who view then purchase" is a support statement; the q156 matrix
+    * cannot make it.
+    *
+    * Per (a, b): (a, b, n_occurrences, support, support_frac) — exact
+    * counts, one closing division. One lag window keyed by the
+    * sequence partition (never global), one |states|²-bounded
+    * aggregate. */
+  def sequenceSupport(df: DataFrame, partitionCols: Seq[String],
+                      orderCols: Seq[String], stateCol: String): DataFrame = {
+    require(partitionCols.nonEmpty && orderCols.nonEmpty, "need keys")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val seqs = df.agg(countDistinct(
+      partitionCols.map(col).reduce((a, b) => concat_ws("", a, b)))
+      .as("__total"))
+    val pairs = df
+      .withColumn("__from", lag(col(stateCol), 1).over(w))
+      .filter(col("__from").isNotNull)
+    pairs.groupBy(col("__from").as("a"), col(stateCol).as("b"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(partitionCols.map(col).reduce((x, y) =>
+          concat_ws("", x, y))).as("support"))
+      .crossJoin(broadcast(seqs))
+      .withColumn("support_frac",
+        round(col("support").cast("double") / col("__total").cast("double"), 6))
+      .drop("__total")
+      .orderBy(col("a"), col("b"))
+  }
 }

@@ -3,9 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
-import graft.operators.{Benford, ChangePoint, Correlation, Experiments,
-  FeatureSelect, Isotonic, NaiveBayes, Rake, Regression, Reliability,
-  Sharding, Spectral, Stump, TrendTests}
+import graft.operators.{Anomaly, Benford, ChangePoint, Correlation, Drift,
+  Experiments, FeatureSelect, Isotonic, LiftCurve, NaiveBayes, Rake,
+  Regression, Reliability, Sequences, Sharding, Spectral, Stump, TrendTests}
 
 /** Round-13 experiment-analysis / audit extensions (q245–q255): score
   * calibration FIX (isotonic PAV), mutual-information feature
@@ -1059,6 +1059,167 @@ object ExperimentQueries extends QuerySet {
       |  (4.0/3.0) * (1.0 - iv.sum_item_var_n2 / tv.total_var_n2) AS alpha
       |FROM iv, tv""".stripMargin
 
+
+  /** Cumulative gains/lift of the q224 score — [[LiftCurve.gainsTable]]
+    * with deterministic (score desc, id) ranking; the oracle replays
+    * the explicit-floor decile assignment and the grid cumulative. */
+  private def q266(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val probe = e.filter(col("vec_id") === 0).head()
+    val pv = probe.getSeq[Float](1).toArray
+    val scored = e.select(col("vec_id"),
+      ((graft.functions.VectorFunctions.cosine_sim(col("embedding"),
+        typedlit(pv)) + 1.0) / 2.0).as("score"),
+      (col("label") === probe.getInt(2)).as("y"))
+    LiftCurve.gainsTable(scored, "vec_id", "score", "y")
+  }
+
+  private val q266Sql =
+    """WITH p AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv,
+      |             label AS pl FROM embeddings WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT vec_id,
+      |    (list_cosine_similarity(list_transform(embedding,
+      |       x -> CAST(x AS DOUBLE)), p.pv) + 1.0) / 2.0 AS score,
+      |    (label = p.pl) AS y
+      |  FROM embeddings, p),
+      |n AS (SELECT COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos FROM scored),
+      |ranked AS (
+      |  SELECT y, row_number() OVER (ORDER BY score DESC, vec_id) AS rn
+      |  FROM scored),
+      |dec AS (
+      |  SELECT CAST(floor((rn - 1) * 10.0 / n.n) AS INTEGER) AS decile,
+      |    COUNT(*) AS n_d, CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS pos_d
+      |  FROM ranked, n GROUP BY 1, n.n),
+      |cum AS (
+      |  SELECT decile, n_d, pos_d,
+      |    CAST(SUM(n_d) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+      |    CAST(SUM(pos_d) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+      |  FROM dec)
+      |SELECT decile, n_d AS n, pos_d AS pos,
+      |  round(CAST(cum_pos AS DOUBLE) / (SELECT pos FROM n), 6) AS gain,
+      |  round((CAST(cum_pos AS DOUBLE) / cum_n)
+      |    / (CAST((SELECT pos FROM n) AS DOUBLE) / (SELECT n FROM n)), 6)
+      |    AS lift
+      |FROM cum ORDER BY decile""".stripMargin
+
+  /** PSI drift between even/odd document lengths — [[Drift.psi]] with
+    * reference-decile edges; per-bin attribution terms + the folded
+    * index. */
+  private def q267(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    Drift.psi(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "n_chars")
+  }
+
+  private val q267Sql =
+    """WITH ref AS (SELECT n_chars AS v FROM documents WHERE doc_id % 2 = 0),
+      |cur AS (SELECT n_chars AS v FROM documents WHERE doc_id % 2 = 1),
+      |nr AS (SELECT COUNT(*) AS n FROM ref),
+      |edges AS (
+      |  SELECT list(v ORDER BY k.k) AS es FROM (
+      |    SELECT k.k, r.v FROM (SELECT unnest(range(1, 10)) AS k) k
+      |    JOIN nr ON true
+      |    JOIN (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM ref) r
+      |      ON r.rn = (k.k * nr.n + 9) // 10) k),
+      |binify AS (
+      |  SELECT 'ref' AS side, v FROM ref UNION ALL SELECT 'cur', v FROM cur),
+      |binned AS (
+      |  SELECT side,
+      |    (CASE WHEN v > es[1] THEN 1 ELSE 0 END
+      |     + CASE WHEN v > es[2] THEN 1 ELSE 0 END
+      |     + CASE WHEN v > es[3] THEN 1 ELSE 0 END
+      |     + CASE WHEN v > es[4] THEN 1 ELSE 0 END
+      |     + CASE WHEN v > es[5] THEN 1 ELSE 0 END
+      |     + CASE WHEN v > es[6] THEN 1 ELSE 0 END
+      |     + CASE WHEN v > es[7] THEN 1 ELSE 0 END
+      |     + CASE WHEN v > es[8] THEN 1 ELSE 0 END
+      |     + CASE WHEN v > es[9] THEN 1 ELSE 0 END) AS bin
+      |  FROM binify, edges),
+      |cells AS (
+      |  SELECT bin,
+      |    CAST(SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_ref,
+      |    CAST(SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_cur
+      |  FROM binned GROUP BY bin),
+      |tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+      |  CAST(SUM(n_cur) AS BIGINT) AS tc FROM cells),
+      |terms AS (
+      |  SELECT bin, n_ref, n_cur,
+      |    (CAST(GREATEST(n_ref, 1) AS DOUBLE)/tr
+      |      - CAST(GREATEST(n_cur, 1) AS DOUBLE)/tc)
+      |      * ln((CAST(GREATEST(n_ref, 1) AS DOUBLE)/tr)
+      |        / (CAST(GREATEST(n_cur, 1) AS DOUBLE)/tc)) AS term
+      |  FROM cells, tot),
+      |s AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |  list(term ORDER BY bin)), (a, b) -> a + b) AS psi FROM terms)
+      |SELECT t.bin, t.n_ref, t.n_cur, round(t.term, 6) AS term,
+      |  round(s.psi, 6) AS psi
+      |FROM terms t, s ORDER BY t.bin""".stripMargin
+
+  /** Length-2 sequential-pattern support over user event streams —
+    * [[Sequences.sequenceSupport]]: occurrences vs sequence-containing
+    * users, the GSP support measure q156's transition matrix cannot
+    * express. */
+  private def q268(s: SparkSession, d: String): DataFrame =
+    Sequences.sequenceSupport(
+      t(s, d, "events").filter(col("ts").isNotNull),
+      Seq("user_id"), Seq("ts", "event_id"), "event_type")
+
+  private val q268Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, ts, event_id FROM events
+      |  WHERE ts IS NOT NULL),
+      |pairs AS (
+      |  SELECT user_id, event_type AS a,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS b
+      |  FROM e),
+      |big AS (SELECT user_id, a, b FROM pairs WHERE b IS NOT NULL)
+      |SELECT a, b, COUNT(*) AS n_occurrences,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS support,
+      |  round(CAST(COUNT(DISTINCT user_id) AS DOUBLE) /
+      |    (SELECT COUNT(DISTINCT user_id) FROM e), 6) AS support_frac
+      |FROM big GROUP BY a, b ORDER BY a, b""".stripMargin
+
+  /** MAD robust outliers over event values — [[Anomaly.madOutliers]]:
+    * exact doubled order statistics (med2/mad4), BIGINT-vs-one-double
+    * fence. */
+  private def q269(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("event_id"),
+        (col("value").cast("decimal(18,6)") * 1000000).cast("long")
+          .as("micro"))
+    Anomaly.madOutliers(ev, "event_id", "micro")
+  }
+
+  private val q269Sql =
+    """WITH v AS (
+      |  SELECT event_id,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x
+      |  FROM events WHERE value IS NOT NULL),
+      |n AS (SELECT COUNT(*) AS n FROM v),
+      |xr AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v),
+      |-- med2 = x@r1 + x@r2 (r1 = r2 at odd n doubles the middle)
+      |m2 AS (SELECT CAST(
+      |    (SELECT x FROM xr, n WHERE rn = (n + 1) // 2)
+      |  + (SELECT x FROM xr, n WHERE rn = n // 2 + 1) AS BIGINT) AS med2),
+      |dev AS (SELECT event_id, x, abs(x * 2 - med2) AS dev2 FROM v, m2),
+      |dr AS (SELECT dev2, row_number() OVER (ORDER BY dev2) AS rn FROM dev),
+      |m4 AS (SELECT CAST(
+      |    (SELECT dev2 FROM dr, n WHERE rn = (n + 1) // 2)
+      |  + (SELECT dev2 FROM dr, n WHERE rn = n // 2 + 1) AS BIGINT) AS mad4)
+      |SELECT d.event_id, d.x AS value,
+      |  round((CAST(d.dev2 AS DOUBLE) / 2)
+      |    / (1.482602218505602 * m4.mad4 / 4), 6) AS robust_z,
+      |  m2.med2, m4.mad4, n.n
+      |FROM dev d, m2, m4, n
+      |WHERE CAST(d.dev2 AS DOUBLE) * 2 > 3.0 * 1.482602218505602 * m4.mad4
+      |ORDER BY d.event_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q245_isotonic_calibration", q245, Some(q245Sql)),
     Q("q246_mutual_info", q246, Some(q246Sql)),
@@ -1080,5 +1241,9 @@ object ExperimentQueries extends QuerySet {
     Q("q262_ols2_vif", q262, Some(q262Sql)),
     Q("q263_decision_stump", q263, Some(q263Sql), headline = true),
     Q("q264_naive_bayes", q264, Some(q264Sql)),
-    Q("q265_cronbach_alpha", q265, Some(q265Sql)))
+    Q("q265_cronbach_alpha", q265, Some(q265Sql)),
+    Q("q266_lift_gains", q266, Some(q266Sql)),
+    Q("q267_psi_drift", q267, Some(q267Sql)),
+    Q("q268_sequence_support", q268, Some(q268Sql)),
+    Q("q269_mad_outliers", q269, Some(q269Sql)))
 }
