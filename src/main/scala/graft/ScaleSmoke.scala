@@ -243,7 +243,17 @@ object ScaleSmoke {
       "q229_seasonal_decompose", "q230_rfm_scores", "q236_matryoshka_audit",
       "q237_apportionment", "q238_churn_labels", "q239_query_expansion",
       "q240_class_separability", "q242_ht_estimate", "q243_kaplan_meier",
-      "q244_link_features")
+      "q244_link_features",
+      // r13 additions with a corpus-scale stage: q246/q260/q264 ride the
+      // wordcount shuffle over the relabeled corpus (vocab ×10 — the
+      // adversarial case, as q137/q164); q250 is iters+2 dense-buffer
+      // corpus passes (rows ×10, dims fixed); q253's pair grid is
+      // CALENDAR-bounded (events ×10 fold onto the same hours, pairs
+      // unchanged); q263 is features+1 scans with the candidate grid
+      // fixed; q267/q269 are ExactQuantile two-phase passes ×10 rows
+      "q246_mutual_info", "q250_power_iteration", "q253_theil_sen",
+      "q260_rake_keywords", "q263_decision_stump", "q264_naive_bayes",
+      "q267_psi_drift", "q269_mad_outliers")
     val qmap = SparkEntry.queries
     // Local-iteration filter (the Verify/Bench idiom): SPARK_GRAFT_ONLY
     // runs only matching smoke queries — new rows don't force re-paying

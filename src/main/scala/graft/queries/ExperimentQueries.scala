@@ -3,9 +3,10 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
-import graft.operators.{Anomaly, Benford, ChangePoint, Correlation, Drift,
-  Experiments, FeatureSelect, Isotonic, LiftCurve, NaiveBayes, Rake,
-  Regression, Reliability, Sequences, Sharding, Spectral, Stump, TrendTests}
+import graft.operators.{Anomaly, Benford, BradleyTerry, ChangePoint,
+  Correlation, Drift, Experiments, FeatureSelect, Isotonic, LiftCurve,
+  NaiveBayes, Rake, Regression, Reliability, Sequences, Sharding, Spectral,
+  Stump, TrendTests}
 
 /** Round-13 experiment-analysis / audit extensions (q245–q255): score
   * calibration FIX (isotonic PAV), mutual-information feature
@@ -1220,6 +1221,90 @@ object ExperimentQueries extends QuerySet {
       |WHERE CAST(d.dev2 AS DOUBLE) * 2 > 3.0 * 1.482602218505602 * m4.mad4
       |ORDER BY d.event_id""".stripMargin
 
+
+  /** Bradley–Terry strengths from daily event-type tournaments — per
+    * (user, day) the type with the larger exact value sum beats each
+    * other present type (ties drop); [[BradleyTerry.fit]] runs 8
+    * float32-rounded MM iterations on the bounded count matrix. The
+    * oracle replays the counts and the unrolled iterations. */
+  private def q270(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").filter(col("ts").isNotNull)
+    val daily = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)")
+        .as("v"))
+    val a = daily.select(col("user_id").as("u"), col("day").as("dy"),
+      col("event_type").as("wt"), col("v").as("wv"))
+    val b = daily.select(col("user_id").as("u"), col("day").as("dy"),
+      col("event_type").as("lt"), col("v").as("lv"))
+    val pairs = a.join(b, Seq("u", "dy")).filter(col("wv") > col("lv"))
+      .select(col("wt").as("winner"), col("lt").as("loser"))
+    BradleyTerry.fit(pairs, "winner", "loser", iters = 8)
+  }
+
+  private val q270Sql: String = {
+    val iters = 8
+    def iterCte(i: Int): String = {
+      val prev = s"p${i - 1}"
+      s"""d$i AS MATERIALIZED (
+         |  SELECT nm.i,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(nm.m / ($prev.pl[nm.i] + $prev.pl[nm.j]) ORDER BY nm.j)),
+         |      (a, b) -> a + b) AS den
+         |  FROM nm, $prev GROUP BY nm.i),
+         |r$i AS MATERIALIZED (
+         |  SELECT it.idx,
+         |    CASE WHEN d$i.den IS NULL OR d$i.den = 0 THEN 0.0
+         |      ELSE it.wins / d$i.den END AS praw
+         |  FROM it LEFT JOIN d$i ON d$i.i = it.idx),
+         |z$i AS MATERIALIZED (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list(praw ORDER BY idx)), (a, b) -> a + b) AS z FROM r$i),
+         |p$i AS MATERIALIZED (
+         |  SELECT list(CAST(CAST(praw / z$i.z AS FLOAT) AS DOUBLE)
+         |    ORDER BY idx) AS pl
+         |  FROM r$i, z$i GROUP BY z$i.z)""".stripMargin
+    }
+    s"""WITH daily AS MATERIALIZED (
+       |  SELECT user_id, CAST(ts AS DATE) AS dy, event_type,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS v
+       |  FROM events WHERE ts IS NOT NULL
+       |  GROUP BY user_id, CAST(ts AS DATE), event_type),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.event_type AS winner, b.event_type AS loser
+       |  FROM daily a JOIN daily b
+       |    ON a.user_id = b.user_id AND a.dy = b.dy AND a.v > b.v),
+       |counts AS MATERIALIZED (SELECT winner, loser, COUNT(*) AS n
+       |           FROM pairs GROUP BY winner, loser),
+       |it AS MATERIALIZED (
+       |  SELECT item, CAST(row_number() OVER (ORDER BY item) AS BIGINT)
+       |      AS idx,
+       |    CAST(COALESCE((SELECT SUM(n) FROM counts c WHERE c.winner = item),
+       |      0) AS DOUBLE) AS wins,
+       |    CAST(COALESCE((SELECT SUM(n) FROM counts c WHERE c.loser = item),
+       |      0) AS BIGINT) AS losses
+       |  FROM (SELECT DISTINCT winner AS item FROM counts
+       |        UNION SELECT DISTINCT loser FROM counts)),
+       |nm AS MATERIALIZED (
+       |  SELECT wi.idx AS i, li.idx AS j,
+       |    CAST(SUM(c.n) AS DOUBLE) AS m
+       |  FROM (
+       |    SELECT winner, loser, n FROM counts
+       |    UNION ALL SELECT loser, winner, n FROM counts) c
+       |  JOIN it wi ON wi.item = c.winner JOIN it li ON li.item = c.loser
+       |  GROUP BY wi.idx, li.idx),
+       |p0 AS MATERIALIZED (SELECT list(CAST(CAST(1.0 / (SELECT COUNT(*) FROM it) AS FLOAT)
+       |  AS DOUBLE) ORDER BY idx) AS pl FROM it),
+       |${(1 to iters).map(iterCte).mkString(",\n")},
+       |ranked AS MATERIALIZED (
+       |  SELECT it.item, CAST(it.wins AS BIGINT) AS wins, it.losses,
+       |    p$iters.pl[it.idx] AS strength,
+       |    CAST(row_number() OVER (ORDER BY p$iters.pl[it.idx] DESC, it.item)
+       |      AS INTEGER) AS rank
+       |  FROM it, p$iters)
+       |SELECT item, wins, losses, strength, rank
+       |FROM ranked ORDER BY item""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("q245_isotonic_calibration", q245, Some(q245Sql)),
     Q("q246_mutual_info", q246, Some(q246Sql)),
@@ -1245,5 +1330,6 @@ object ExperimentQueries extends QuerySet {
     Q("q266_lift_gains", q266, Some(q266Sql)),
     Q("q267_psi_drift", q267, Some(q267Sql)),
     Q("q268_sequence_support", q268, Some(q268Sql)),
-    Q("q269_mad_outliers", q269, Some(q269Sql)))
+    Q("q269_mad_outliers", q269, Some(q269Sql)),
+    Q("q270_bradley_terry", q270, Some(q270Sql)))
 }
