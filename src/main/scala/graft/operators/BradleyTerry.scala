@@ -79,4 +79,55 @@ object BradleyTerry {
       .toDF("item", "wins", "losses", "strength", "rank")
       .orderBy(col("item"))
   }
+
+  /** Fit-quality audit — the judge-INTRANSITIVITY detector: per
+    * unordered pair the observed win rate vs the fitted
+    * pᵢ/(pᵢ+pⱼ), and the pair's binomial deviance contribution
+    * −2·[n_ij·ln(fit) + n_ji·ln(1−fit)] (saturated-model terms with
+    * 0·ln0 = 0). A pair whose observed rate sits far from its fitted
+    * rate is evidence the comparisons are NOT one consistent strength
+    * scale (cyclic judges, population mixture, a prompt that flips
+    * preferences) — exactly what a leaderboard silently hides. The
+    * total deviance rides every row for the scalar read.
+    *
+    * Same scale shape as [[fit]]: the corpus reduces to the bounded
+    * count matrix once; everything here is items²-bounded arithmetic
+    * (deviance terms folded in pair order). */
+  def fitAudit(pairs: DataFrame, winnerCol: String, loserCol: String,
+               iters: Int = 8): DataFrame = {
+    val spark = pairs.sparkSession
+    val fitted = fit(pairs, winnerCol, loserCol, iters)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val counts = pairs
+      .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull)
+      .groupBy(col(winnerCol).cast("string").as("__w"),
+        col(loserCol).cast("string").as("__l"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val unordered = counts.keys.map { case (a, b) =>
+      if (a < b) (a, b) else (b, a)
+    }.toSeq.distinct.sorted
+    val rows = unordered.map { case (a, b) =>
+      val nab = counts.getOrElse((a, b), 0L)
+      val nba = counts.getOrElse((b, a), 0L)
+      val n = nab + nba
+      val fitRate = fitted(a) / (fitted(a) + fitted(b))
+      val obsRate = nab.toDouble / n
+      val dev = -2.0 * ((if (nab > 0) nab * math.log(fitRate) else 0.0) +
+        (if (nba > 0) nba * math.log(1 - fitRate) else 0.0) -
+        ((if (nab > 0) nab * math.log(obsRate) else 0.0) +
+          (if (nba > 0) nba * math.log(1 - obsRate) else 0.0)))
+      (a, b, nab, nba, obsRate, fitRate, dev)
+    }
+    val total = rows.map(_._7).sum // pair-sorted fold order
+    spark.createDataFrame(rows.map(r => (r._1, r._2, r._3, r._4,
+        BigDecimal(r._5).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(r._6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(r._7).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(total).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)))
+      .toDF("item_a", "item_b", "n_ab", "n_ba", "obs_rate", "fit_rate",
+        "deviance", "total_deviance")
+      .orderBy(col("item_a"), col("item_b"))
+  }
 }

@@ -217,25 +217,43 @@ object Drift {
     * side + the audited two-phase edge selection. */
   def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
           bins: Int = 10): DataFrame = {
+    val (edges, rv) = psiEdges(ref, valueCol, bins)
+    val cv = cur.select(col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+    require(!cv.isEmpty, "psi: current sample is empty")
+    val bin = psiBin(edges)
+    psiFromCells(
+      rv.select(bin.as("bin"), lit(1L).as("__r"), lit(0L).as("__c"))
+        .unionByName(cv.select(bin.as("bin"), lit(0L).as("__r"),
+          lit(1L).as("__c")))
+        .groupBy(col("bin"))
+        .agg(sum(col("__r")).as("n_ref"), sum(col("__c")).as("n_cur")))
+  }
+
+  /** Reference-quantile edges + the projected reference values — the
+    * build-once half the streaming monitor persists. */
+  def psiEdges(ref: DataFrame, valueCol: String,
+               bins: Int): (Seq[Long], DataFrame) = {
     require(bins >= 2 && bins <= 100, s"bad bins=$bins")
     val rv = ref.select(col(valueCol).cast("long").as("__v"))
       .filter(col("__v").isNotNull)
-    val cv = cur.select(col(valueCol).cast("long").as("__v"))
-      .filter(col("__v").isNotNull)
     val n = rv.count()
     require(n >= bins, s"reference has $n rows for $bins bins")
-    require(!cv.isEmpty, "psi: current sample is empty")
-    val edges = ExactQuantile.globalRanks(rv, "__v",
+    (ExactQuantile.globalRanks(rv, "__v",
         (1 until bins).map(k => (k * n + bins - 1) / bins), lowBits = 8)
-      .collect().map(_.getLong(1)).sorted
-    val bin = edges.foldLeft(lit(0)) { (acc, e) =>
+      .collect().map(_.getLong(1)).sorted.toSeq, rv)
+  }
+
+  /** The bin-assignment expression for a fixed edge list (applies to a
+    * `__v` long column). */
+  def psiBin(edges: Seq[Long]): org.apache.spark.sql.Column =
+    edges.foldLeft(lit(0)) { (acc, e) =>
       acc + when(col("__v") > e, 1).otherwise(0)
     }
-    val cells = rv.select(bin.as("bin"), lit(1L).as("__r"), lit(0L).as("__c"))
-      .unionByName(cv.select(bin.as("bin"), lit(0L).as("__r"),
-        lit(1L).as("__c")))
-      .groupBy(col("bin"))
-      .agg(sum(col("__r")).as("n_ref"), sum(col("__c")).as("n_cur"))
+
+  /** PSI from a (bin, n_ref, n_cur) cell table — the serve face shared
+    * by the batch audit and the streaming monitor's ledger state. */
+  def psiFromCells(cells: DataFrame): DataFrame = {
     val tot = cells.agg(sum(col("n_ref")).as("__tr"),
       sum(col("n_cur")).as("__tc"))
     val terms = cells.crossJoin(broadcast(tot))

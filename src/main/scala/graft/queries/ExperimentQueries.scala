@@ -1242,8 +1242,10 @@ object ExperimentQueries extends QuerySet {
     BradleyTerry.fit(pairs, "winner", "loser", iters = 8)
   }
 
-  private val q270Sql: String = {
-    val iters = 8
+  /** The shared Bradley–Terry oracle chain (counts + unrolled MM
+    * iterations), MATERIALIZED throughout — DuckDB re-evaluates
+    * non-materialized chained CTEs exponentially. */
+  private def btCtes(iters: Int): String = {
     def iterCte(i: Int): String = {
       val prev = s"p${i - 1}"
       s"""d$i AS MATERIALIZED (
@@ -1294,7 +1296,12 @@ object ExperimentQueries extends QuerySet {
        |  GROUP BY wi.idx, li.idx),
        |p0 AS MATERIALIZED (SELECT list(CAST(CAST(1.0 / (SELECT COUNT(*) FROM it) AS FLOAT)
        |  AS DOUBLE) ORDER BY idx) AS pl FROM it),
-       |${(1 to iters).map(iterCte).mkString(",\n")},
+       |${(1 to iters).map(iterCte).mkString(",\n")}""".stripMargin
+  }
+
+  private val q270Sql: String = {
+    val iters = 8
+    s"""${btCtes(iters)},
        |ranked AS MATERIALIZED (
        |  SELECT it.item, CAST(it.wins AS BIGINT) AS wins, it.losses,
        |    p$iters.pl[it.idx] AS strength,
@@ -1304,6 +1311,187 @@ object ExperimentQueries extends QuerySet {
        |SELECT item, wins, losses, strength, rank
        |FROM ranked ORDER BY item""".stripMargin
   }
+
+
+  /** Bradley–Terry fit audit — [[BradleyTerry.fitAudit]] over the same
+    * daily tournaments: per unordered pair observed vs fitted win
+    * rates and the binomial deviance vs the saturated model — the
+    * judge-intransitivity read on top of q270's leaderboard. */
+  private def q271(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").filter(col("ts").isNotNull)
+    val daily = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)")
+        .as("v"))
+    val a = daily.select(col("user_id").as("u"), col("day").as("dy"),
+      col("event_type").as("wt"), col("v").as("wv"))
+    val b = daily.select(col("user_id").as("u"), col("day").as("dy"),
+      col("event_type").as("lt"), col("v").as("lv"))
+    val pairs = a.join(b, Seq("u", "dy")).filter(col("wv") > col("lv"))
+      .select(col("wt").as("winner"), col("lt").as("loser"))
+    BradleyTerry.fitAudit(pairs, "winner", "loser", iters = 8)
+  }
+
+  private val q271Sql: String = {
+    val iters = 8
+    s"""${btCtes(iters)},
+       |up AS MATERIALIZED (
+       |  SELECT LEAST(winner, loser) AS a, GREATEST(winner, loser) AS b
+       |  FROM counts GROUP BY 1, 2),
+       |cells AS MATERIALIZED (
+       |  SELECT up.a, up.b,
+       |    CAST(COALESCE((SELECT SUM(n) FROM counts
+       |      WHERE winner = up.a AND loser = up.b), 0) AS BIGINT) AS nab,
+       |    CAST(COALESCE((SELECT SUM(n) FROM counts
+       |      WHERE winner = up.b AND loser = up.a), 0) AS BIGINT) AS nba
+       |  FROM up),
+       |dv AS MATERIALIZED (
+       |  SELECT c.a, c.b, c.nab, c.nba,
+       |    CAST(c.nab AS DOUBLE) / (c.nab + c.nba) AS obs,
+       |    p$iters.pl[ia.idx] / (p$iters.pl[ia.idx] + p$iters.pl[ib.idx])
+       |      AS fit
+       |  FROM cells c JOIN it ia ON ia.item = c.a
+       |  JOIN it ib ON ib.item = c.b, p$iters),
+       |dd AS MATERIALIZED (
+       |  SELECT a, b, nab, nba, obs, fit,
+       |    -2.0 * ((CASE WHEN nab > 0 THEN nab * ln(fit) ELSE 0 END)
+       |      + (CASE WHEN nba > 0 THEN nba * ln(1 - fit) ELSE 0 END)
+       |      - (CASE WHEN nab > 0 THEN nab * ln(obs) ELSE 0 END)
+       |      - (CASE WHEN nba > 0 THEN nba * ln(1 - obs) ELSE 0 END))
+       |      AS dev
+       |  FROM dv),
+       |tt AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list(dev ORDER BY a, b)), (x, y) -> x + y) AS total FROM dd)
+       |SELECT dd.a AS item_a, dd.b AS item_b, dd.nab AS n_ab,
+       |  dd.nba AS n_ba, round(dd.obs, 6) AS obs_rate,
+       |  round(dd.fit, 6) AS fit_rate, round(dd.dev, 6) AS deviance,
+       |  round(tt.total, 6) AS total_deviance
+       |FROM dd, tt ORDER BY dd.a, dd.b""".stripMargin
+  }
+
+
+  /** Streaming PSI monitor under the driver gate —
+    * [[graft.streaming.PsiMonitor]] (q267 made continuous, the
+    * BenfordMonitor ledger pattern): odd docs stream as four
+    * micro-batches, batch 3's lengths are shifted +150 (the q208
+    * planted feed); with decile bins over ~125-doc batches the PSI
+    * noise floor sits near 0.3, so the gate alerts at 0.5 — exactly
+    * the planted batch (0.84) crosses, the clean ones (≤0.34) do not.
+    * The cumulative column shows the standing state. */
+  private def q272(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("n_chars").as("v"))
+    val streamed = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"),
+        when(col("doc_id") % 8 === 7, col("n_chars") + 150)
+          .otherwise(col("n_chars")).as("v"))
+    val srcDir = Files.createTempDirectory("graft-q272-src").toFile
+    val base = System.currentTimeMillis()
+    Seq(1, 3, 5, 7).zipWithIndex.foreach { case (r, i) =>
+      val tmp = Files.createTempDirectory("graft-q272-stage").toFile
+      streamed.filter(col("doc_id") % 8 === r).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      tmp.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val dst = new java.io.File(srcDir, s"batch$i.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(base + i * 1000L)
+      }
+    }
+    val store = new graft.store.DocumentStore(s,
+      Files.createTempDirectory("graft-q272-store").toString)
+    val feed = s.readStream.schema(streamed.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val qy = graft.streaming.PsiMonitor.start(feed, store, "pledger",
+      "pverdict", ref, "v",
+      Files.createTempDirectory("graft-q272-ckpt").toString,
+      bins = 10, alertAbove = 0.5)
+    try qy.processAllAvailable() finally qy.stop()
+    store.read("pverdict")
+      .select(col("batch_id"), col("n_batch"), col("psi_batch"),
+        col("psi_cum"), col("alert"))
+      .orderBy(col("batch_id"))
+  }
+
+  private val q272Sql =
+    """WITH ref AS MATERIALIZED (
+      |  SELECT n_chars AS v FROM documents WHERE doc_id % 2 = 0),
+      |str AS MATERIALIZED (
+      |  SELECT (doc_id % 8) // 2 AS b,
+      |    CASE WHEN doc_id % 8 = 7 THEN n_chars + 150 ELSE n_chars END AS v
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |nr AS (SELECT COUNT(*) AS n FROM ref),
+      |edges AS MATERIALIZED (
+      |  SELECT list(v ORDER BY k.k) AS es FROM (
+      |    SELECT k.k, r.v FROM (SELECT unnest(range(1, 10)) AS k) k
+      |    JOIN nr ON true
+      |    JOIN (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM ref) r
+      |      ON r.rn = (k.k * nr.n + 9) // 10) k),
+      |rb AS MATERIALIZED (
+      |  SELECT (CASE WHEN v > es[1] THEN 1 ELSE 0 END
+      |     + CASE WHEN v > es[2] THEN 1 ELSE 0 END
+      |     + CASE WHEN v > es[3] THEN 1 ELSE 0 END
+      |     + CASE WHEN v > es[4] THEN 1 ELSE 0 END
+      |     + CASE WHEN v > es[5] THEN 1 ELSE 0 END
+      |     + CASE WHEN v > es[6] THEN 1 ELSE 0 END
+      |     + CASE WHEN v > es[7] THEN 1 ELSE 0 END
+      |     + CASE WHEN v > es[8] THEN 1 ELSE 0 END
+      |     + CASE WHEN v > es[9] THEN 1 ELSE 0 END) AS bin, COUNT(*) AS n_ref
+      |  FROM ref, edges GROUP BY 1),
+      |sb AS MATERIALIZED (
+      |  SELECT b, (CASE WHEN v > es[1] THEN 1 ELSE 0 END
+      |     + CASE WHEN v > es[2] THEN 1 ELSE 0 END
+      |     + CASE WHEN v > es[3] THEN 1 ELSE 0 END
+      |     + CASE WHEN v > es[4] THEN 1 ELSE 0 END
+      |     + CASE WHEN v > es[5] THEN 1 ELSE 0 END
+      |     + CASE WHEN v > es[6] THEN 1 ELSE 0 END
+      |     + CASE WHEN v > es[7] THEN 1 ELSE 0 END
+      |     + CASE WHEN v > es[8] THEN 1 ELSE 0 END
+      |     + CASE WHEN v > es[9] THEN 1 ELSE 0 END) AS bin, COUNT(*) AS o
+      |  FROM str, edges GROUP BY 1, 2),
+      |bs AS (SELECT DISTINCT b FROM sb),
+      |cum AS MATERIALIZED (
+      |  SELECT bs.b, sb.bin, CAST(SUM(sb.o) AS BIGINT) AS o
+      |  FROM bs JOIN sb ON sb.b <= bs.b GROUP BY bs.b, sb.bin),
+      |grid AS MATERIALIZED (
+      |  SELECT bs.b, g.bin, COALESCE(rb.n_ref, 0) AS n_ref,
+      |    COALESCE(sb.o, 0) AS n_cur
+      |  FROM bs CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) g
+      |  LEFT JOIN rb ON rb.bin = g.bin
+      |  LEFT JOIN sb ON sb.b = bs.b AND sb.bin = g.bin),
+      |cgrid AS MATERIALIZED (
+      |  SELECT bs.b, g.bin, COALESCE(rb.n_ref, 0) AS n_ref,
+      |    COALESCE(cum.o, 0) AS n_cur
+      |  FROM bs CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) g
+      |  LEFT JOIN rb ON rb.bin = g.bin
+      |  LEFT JOIN cum ON cum.b = bs.b AND cum.bin = g.bin),
+      |tots AS (SELECT b, CAST(SUM(n_ref) AS BIGINT) AS tr,
+      |  CAST(SUM(n_cur) AS BIGINT) AS tc FROM grid GROUP BY b),
+      |ctots AS (SELECT b, CAST(SUM(n_ref) AS BIGINT) AS tr,
+      |  CAST(SUM(n_cur) AS BIGINT) AS tc FROM cgrid GROUP BY b),
+      |psib AS MATERIALIZED (
+      |  SELECT grid.b, round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list((CAST(GREATEST(n_ref, 1) AS DOUBLE)/tr
+      |        - CAST(GREATEST(n_cur, 1) AS DOUBLE)/tc)
+      |      * ln((CAST(GREATEST(n_ref, 1) AS DOUBLE)/tr)
+      |        / (CAST(GREATEST(n_cur, 1) AS DOUBLE)/tc)) ORDER BY bin)),
+      |    (x, y) -> x + y), 6) AS psi
+      |  FROM grid JOIN tots ON tots.b = grid.b GROUP BY grid.b),
+      |psic AS MATERIALIZED (
+      |  SELECT cgrid.b, round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list((CAST(GREATEST(n_ref, 1) AS DOUBLE)/tr
+      |        - CAST(GREATEST(n_cur, 1) AS DOUBLE)/tc)
+      |      * ln((CAST(GREATEST(n_ref, 1) AS DOUBLE)/tr)
+      |        / (CAST(GREATEST(n_cur, 1) AS DOUBLE)/tc)) ORDER BY bin)),
+      |    (x, y) -> x + y), 6) AS psi
+      |  FROM cgrid JOIN ctots ON ctots.b = cgrid.b GROUP BY cgrid.b),
+      |nb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS n FROM sb GROUP BY b)
+      |SELECT CAST(psib.b AS BIGINT) AS batch_id, nb.n AS n_batch,
+      |  psib.psi AS psi_batch, psic.psi AS psi_cum,
+      |  (psib.psi > 0.5) AS alert
+      |FROM psib JOIN psic ON psic.b = psib.b JOIN nb ON nb.b = psib.b
+      |ORDER BY batch_id""".stripMargin
 
   def queries: Seq[Q] = Seq(
     Q("q245_isotonic_calibration", q245, Some(q245Sql)),
@@ -1331,5 +1519,7 @@ object ExperimentQueries extends QuerySet {
     Q("q267_psi_drift", q267, Some(q267Sql)),
     Q("q268_sequence_support", q268, Some(q268Sql)),
     Q("q269_mad_outliers", q269, Some(q269Sql)),
-    Q("q270_bradley_terry", q270, Some(q270Sql)))
+    Q("q270_bradley_terry", q270, Some(q270Sql)),
+    Q("q271_bt_fit_audit", q271, Some(q271Sql)),
+    Q("q272_streaming_psi", q272, Some(q272Sql)))
 }

@@ -55,4 +55,32 @@ class BradleyTerrySpec extends AnyFunSuite with SparkSuite {
       BradleyTerry.fit(Seq.empty[(String, String)].toDF("w", "l"), "w", "l")
     }
   }
+
+  test("fitAudit: a consistent BT world fits with near-zero deviance, " +
+       "a planted cycle does not") {
+    val consistent =
+      Seq.fill(30)(("A", "B")) ++ Seq.fill(10)(("B", "A")) ++
+      Seq.fill(30)(("B", "C")) ++ Seq.fill(10)(("C", "B")) ++
+      Seq.fill(36)(("A", "C")) ++ Seq.fill(4)(("C", "A"))
+    val dc = BradleyTerry.fitAudit(consistent.toDF("w", "l"), "w", "l",
+      iters = 32).head().getAs[Double]("total_deviance")
+    // rock-paper-scissors: no strength scale explains it
+    val cycle =
+      Seq.fill(30)(("A", "B")) ++ Seq.fill(10)(("B", "A")) ++
+      Seq.fill(30)(("B", "C")) ++ Seq.fill(10)(("C", "B")) ++
+      Seq.fill(30)(("C", "A")) ++ Seq.fill(10)(("A", "C"))
+    val dcy = BradleyTerry.fitAudit(cycle.toDF("w", "l"), "w", "l",
+      iters = 32).head().getAs[Double]("total_deviance")
+    assert(dc < 1.0, s"consistent deviance $dc")
+    assert(dcy > 10 * math.max(dc, 0.1), s"cycle deviance $dcy vs $dc")
+    // per-pair rows carry observed vs fitted for attribution
+    val rows = BradleyTerry.fitAudit(cycle.toDF("w", "l"), "w", "l")
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("obs_rate") -
+        (if (r.getString(0) < r.getString(1)) r.getAs[Long]("n_ab").toDouble /
+          (r.getAs[Long]("n_ab") + r.getAs[Long]("n_ba")) else 0.0)) < 1.0)
+    }
+  }
 }
