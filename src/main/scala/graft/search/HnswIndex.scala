@@ -116,6 +116,77 @@ object HnswIndex {
     }
   }
 
+  /** Measure the minimal `ef` reaching `target` mean recall@k on a
+    * held-out probe split, and PERSIST it beside the graphs — the
+    * [[graft.search.IvfPq.tuneServe]] discipline applied to HNSW's one
+    * serve knob, completing the "every index ships its measured
+    * operating point" story (a pinned ef=64 is exactly the class of
+    * constant the r12 PQ finding burned on). Same contract: Knuth-
+    * ordered probe sample split tune/held, acceptance at target + the
+    * 2σ noise guard, loud failure with the measured curve when even
+    * the ef cap misses. The persisted [[ServePoint]] carries ef in
+    * BOTH the nprobe and shortlist fields (one beam knob; the
+    * linear `scaledTo` extrapolation is conservative for HNSW — ef
+    * requirements grow sub-linearly with corpus — and never shrinks).
+    * Cost: probes are bounded; each candidate ef is one batched
+    * [[searchMany]] over the probe set. */
+  def tuneServe(spark: SparkSession, path: String, corpus: DataFrame,
+                vecCol: String, idCol: String, k: Int = 10,
+                target: Double = 0.9, nProbeVecs: Int = 16,
+                efCap: Int = 4096): ServePoint = {
+    val graphs = read(spark, path)
+    val sampleKey = pmod(pmod(col(idCol).cast("long"), lit(2147483648L)) *
+      2654435761L, lit(4294967296L))
+    val probes = corpus.select(col(idCol), col(vecCol))
+      .orderBy(sampleKey, col(idCol)).limit(2 * nProbeVecs)
+      .localCheckpoint()
+    val truth = VectorSearch.knnJoinWindow(probes, idCol, vecCol,
+        corpus, idCol, vecCol, k)
+      .select(col("probe_id"), col(idCol)).localCheckpoint()
+    val ids = probes.select(col(idCol).cast("long")).collect()
+      .map(_.getLong(0))
+    val (tuneIds, holdIds) = ids.zipWithIndex.partition(_._2 % 2 == 0) match {
+      case (t, h) => (t.map(_._1), h.map(_._1))
+    }
+    val n = corpus.count()
+    def recallOf(half: Array[Long], ef: Int): Double = {
+      val res = searchMany(graphs,
+          probes.filter(col(idCol).isin(half.map(x => x: Any): _*)),
+          idCol, vecCol, k, ef)
+        .select(col("probe_id"), col("vec_id").as(idCol), col("sim"),
+          col("rn"))
+      RecallTuner.meanRecall(res,
+        truth.filter(col("probe_id").isin(half.map(x => x: Any): _*)),
+        k, docCol = idCol)
+    }
+    val guard = 2.0 * math.sqrt(target * (1 - target) / (holdIds.length * k))
+    val efs = (Iterator.iterate(k)(_ * 2).takeWhile(_ < efCap).toSeq :+ efCap)
+      .distinct
+    val measured = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    efs.foreach { ef =>
+      val rec = recallOf(tuneIds, ef)
+      measured += ((ef, rec))
+      if (rec >= target) {
+        val held = recallOf(holdIds, ef)
+        measured += ((ef, held))
+        if (held >= target + guard) {
+          val sp = ServePoint(ef, ef, k, target, held, n)
+          ServePoint.write(spark, path, sp)
+          return sp
+        }
+      }
+    }
+    throw new IllegalStateException(
+      f"no ef <= $efCap reaches recall@$k >= $target%.2f + noise guard " +
+        f"$guard%.3f on held-out probes; measured: " +
+        measured.map { case (ef, r) =>
+          s"$ef->${"%.4f".format(r)}" }.mkString(", "))
+  }
+
+  /** The persisted measured operating point, if [[tuneServe]] ran. */
+  def readServePoint(spark: SparkSession, path: String): Option[ServePoint] =
+    ServePoint.read(spark, path)
+
   // --------------------------------------------------------------- search
 
   /** Single-probe ANN top-k: beam-search every segment in parallel, merge

@@ -222,11 +222,23 @@ object IvfPqSearcher {
 /** Serves from prebuilt [[HnswIndex]] segment graphs. The graphs store
   * only (id, vector); payload columns come from a broadcast join of the
   * k hits back into the corpus. Ids must be castable to long (the same
-  * requirement [[HnswIndex.build]] imposes). */
-final class HnswSearcher(graphs: DataFrame, ef: Int = 64) extends VectorSearcher {
+  * requirement [[HnswIndex.build]] imposes).
+  *
+  * `ef` left at [[HnswSearcher.Auto]] resolves from `point` (an
+  * [[HnswIndex.tuneServe]] measurement — construct via
+  * [[HnswSearcher.fromPath]] to read the persisted sidecar), else the
+  * reference default 64 — the IvfPq/Pq searcher discipline applied to
+  * HNSW's one serve knob. Explicit ef always wins. */
+final class HnswSearcher(graphs: DataFrame, ef: Int = HnswSearcher.Auto,
+                         point: Option[ServePoint] = None)
+    extends VectorSearcher {
+  private def resolvedEf: Int =
+    if (ef != HnswSearcher.Auto) ef
+    else point.map(_.nprobe).getOrElse(64)
+
   override def topK(corpus: DataFrame, vecCol: String, idCol: String,
                     probe: Array[Float], k: Int): DataFrame = {
-    val hits = HnswIndex.search(graphs, probe, k, ef)
+    val hits = HnswIndex.search(graphs, probe, k, resolvedEf)
       .withColumnRenamed("vec_id", "__hnsw_id")
     corpus
       .join(broadcast(hits), col(idCol).cast("long") === col("__hnsw_id"))
@@ -257,7 +269,8 @@ final class HnswSearcher(graphs: DataFrame, ef: Int = 64) extends VectorSearcher
       // checkpoint the walk result: each round counts it AND joins it,
       // and the returned frame is re-evaluated by the caller — without
       // truncation the graph walk would run 3× per round
-      val hits = HnswIndex.search(graphs, probe, fetch, math.max(ef, 2 * fetch))
+      val hits = HnswIndex.search(graphs, probe, fetch,
+        math.max(resolvedEf, 2 * fetch))
         .withColumnRenamed("vec_id", "__hnsw_id")
         .localCheckpoint()
       val walked = hits.count()
@@ -271,4 +284,18 @@ final class HnswSearcher(graphs: DataFrame, ef: Int = 64) extends VectorSearcher
     }
     sys.error("unreachable")
   }
+}
+
+object HnswSearcher {
+  /** Sentinel: resolve ef from the index's persisted measured
+    * operating point, falling back to the reference default 64. */
+  val Auto: Int = -1
+
+  /** Construct from a persisted [[HnswIndex]] path, reading the
+    * [[HnswIndex.tuneServe]] sidecar when present — the parameterless
+    * serve path. */
+  def fromPath(spark: org.apache.spark.sql.SparkSession,
+               path: String): HnswSearcher =
+    new HnswSearcher(HnswIndex.read(spark, path),
+      point = HnswIndex.readServePoint(spark, path))
 }

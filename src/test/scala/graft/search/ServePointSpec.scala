@@ -70,4 +70,37 @@ class ServePointSpec extends AnyFunSuite with SparkSuite {
       s"${exact.intersect(gotPq).size}/10")
     e.unpersist()
   }
+
+  test("HNSW tuneServe persists ef and a parameterless fromPath searcher " +
+       "serves it; explicit ef still wins; untuned falls back to 64") {
+    val e = graft.Tables.t(spark, sf, "embeddings").cache()
+    val root = java.nio.file.Files.createTempDirectory("graft-sp-hnsw").toString
+    val params = HnswIndex.Params(m = 8, efConstruction = 32, numSegments = 4)
+    HnswIndex.write(HnswIndex.build(e, "embedding", "vec_id", params),
+      root, params)
+    assert(HnswIndex.readServePoint(spark, root).isEmpty)
+    // untuned fromPath still serves (the 64 fallback)
+    val probe = e.filter(col("vec_id") === 7L).head().getSeq[Float](1).toArray
+    assert(HnswSearcher.fromPath(spark, root)
+      .topK(e, "embedding", "vec_id", probe, 10).count() == 10)
+    val sp = HnswIndex.tuneServe(spark, root, e, "embedding", "vec_id",
+      k = 10, target = 0.9)
+    assert(sp.recall >= 0.9 && sp.nprobe == sp.shortlist) // ef in both fields
+    assert(HnswIndex.readServePoint(spark, root).contains(sp))
+    // the sidecar does not break the parquet read of the graph dir
+    assert(HnswIndex.read(spark, root).count() > 0)
+    val exact = VectorSearch.exactTopK(e, "embedding", "vec_id", probe, 10)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val got = HnswSearcher.fromPath(spark, root)
+      .topK(e, "embedding", "vec_id", probe, 10)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(got).size >= 9,
+      s"tuned hnsw recall ${exact.intersect(got).size}/10 at ef=${sp.nprobe}")
+    // explicit ef overrides the sidecar (tiny ef → possibly fewer hits,
+    // but the construction must USE it — assert via the resolved walk
+    // returning exactly k rows still, with ef floored by the walk)
+    assert(new HnswSearcher(HnswIndex.read(spark, root), ef = 16)
+      .topK(e, "embedding", "vec_id", probe, 10).count() == 10)
+    e.unpersist()
+  }
 }
