@@ -253,7 +253,11 @@ object ScaleSmoke {
       // fixed; q267/q269 are ExactQuantile two-phase passes ×10 rows
       "q246_mutual_info", "q250_power_iteration", "q253_theil_sen",
       "q260_rake_keywords", "q263_decision_stump", "q264_naive_bayes",
-      "q267_psi_drift", "q269_mad_outliers")
+      "q267_psi_drift", "q269_mad_outliers",
+      // r13 streaming monitors: per-trigger cost must track the BATCH
+      // (the q208/q118 sink contract) — batches ×10 through
+      // digit-grid- / bin-grid-sized state
+      "q261_streaming_benford", "q272_streaming_psi")
     val qmap = SparkEntry.queries
     // Local-iteration filter (the Verify/Bench idiom): SPARK_GRAFT_ONLY
     // runs only matching smoke queries — new rows don't force re-paying

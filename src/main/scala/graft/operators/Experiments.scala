@@ -168,6 +168,57 @@ object Experiments {
       .orderBy(col("stratum"))
   }
 
+  /** Sample-ratio-mismatch audit — the FIRST check any A/B readout
+    * must pass (Fabijan et al. 2019: a majority of real experiment
+    * "wins" with SRM are assignment bugs, not effects): per experiment
+    * the two arm counts vs the intended 50/50, with the 1-dof χ²
+    * collapsing EXACTLY to (n₀−n₁)²/(n₀+n₁) — one division of exact
+    * BIGINTs, so the flag is engine- and partitioning-invariant. The
+    * 10.83 threshold is χ²₁ at p=0.001, the published practice (SRM
+    * must be tested stringently because it invalidates everything
+    * downstream). One map-side-combined aggregate. */
+  def srmAudit(df: DataFrame, expCol: String, armCol: String,
+               threshold: Double = 10.83): DataFrame = {
+    val cells = df.filter(col(armCol).isNotNull)
+      .groupBy(col(expCol).as("exp"))
+      .agg(sum(when(!col(armCol).cast("boolean"), 1L).otherwise(0L)).as("n0"),
+        sum(when(col(armCol).cast("boolean"), 1L).otherwise(0L)).as("n1"))
+    cells.select(col("exp"), col("n0"), col("n1"),
+        round(((col("n0") - col("n1")) * (col("n0") - col("n1")))
+          .cast("double") / (col("n0") + col("n1")), 6).as("chi2"),
+        (((col("n0") - col("n1")) * (col("n0") - col("n1"))).cast("double") /
+          (col("n0") + col("n1")) > threshold).as("srm"))
+      .orderBy(col("exp"))
+  }
+
+  /** Two-proportion z-test — the closing significance read on a binary
+    * metric after [[srmAudit]] clears: pooled-variance z from four
+    * exact counts, one fixed double tree (the textbook
+    * (p̂₁−p̂₀)/√(p̂(1−p̂)(1/n₀+1/n₁))). One row; one aggregate. */
+  def twoProportionZ(df: DataFrame, armCol: String,
+                     successCol: String): DataFrame = {
+    val c = df.filter(col(armCol).isNotNull && col(successCol).isNotNull)
+      .agg(
+        sum(when(!col(armCol).cast("boolean"), 1L).otherwise(0L)).as("n0"),
+        sum(when(col(armCol).cast("boolean"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col(armCol).cast("boolean") &&
+          col(successCol).cast("boolean"), 1L).otherwise(0L)).as("x0"),
+        sum(when(col(armCol).cast("boolean") &&
+          col(successCol).cast("boolean"), 1L).otherwise(0L)).as("x1"))
+    val shape = c.head()
+    require(shape.getLong(0) > 0 && shape.getLong(1) > 0,
+      "twoProportionZ needs both arms populated")
+    val pooled = (col("x0") + col("x1")).cast("double") /
+      (col("n0") + col("n1"))
+    c.select(col("n0"), col("n1"), col("x0"), col("x1"),
+      (col("x0").cast("double") / col("n0")).as("rate0"),
+      (col("x1").cast("double") / col("n1")).as("rate1"),
+      ((col("x1").cast("double") / col("n1") -
+        col("x0").cast("double") / col("n0")) /
+        sqrt(pooled * (lit(1.0) - pooled) *
+          (lit(1.0) / col("n0") + lit(1.0) / col("n1")))).as("z"))
+  }
+
   /** Simpson's-paradox audit: per stratum the two arms' exact success
     * rates and rate difference, plus the POOLED difference repeated on
     * each row and a `reversed` flag (stratum effect sign opposes the

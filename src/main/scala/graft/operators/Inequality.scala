@@ -45,4 +45,35 @@ object Inequality {
               (col("n").cast("double") * col("total").cast("double")))
           .as("gini"))
   }
+
+  /** Herfindahl–Hirschman concentration of an integer mass column over
+    * groups — the CONCENTRATION complement of [[gini]]'s dispersion:
+    * gini asks how unequal members are; HHI = Σ shareᵢ² asks how
+    * dominated the whole is, and 1/HHI is the "effective number of
+    * sources" a mixture REALLY has (the q97 domain-mix audit scalar:
+    * 20 configured sources at HHI 0.25 means the corpus behaves like
+    * 4). Per group: (group, mass, share, hhi, effective_n) with the
+    * hhi/effective_n constants repeated — shares are single divisions
+    * of exact BIGINTs, the HHI folds group terms in group order (the
+    * q224 discipline). One map-side-combined aggregate; everything
+    * after runs on the groups table. */
+  def hhi(df: DataFrame, groupCol: String, massCol: String): DataFrame = {
+    val m = df.groupBy(col(groupCol).as("__g"))
+      .agg(sum(col(massCol).cast("long")).as("mass"))
+    val tot = m.agg(sum(col("mass")).as("__t"))
+    val withT = m.crossJoin(broadcast(tot))
+    val h = withT.agg(aggregate(
+      transform(array_sort(collect_list(struct(
+        col("__g").cast("string").as("g"),
+        (col("mass").cast("double") * col("mass") /
+          (col("__t").cast("double") * col("__t"))).as("v")))),
+        s => s.getField("v")),
+      lit(0.0), (acc, x) => acc + x).as("__hhi"))
+    withT.crossJoin(broadcast(h))
+      .select(col("__g").as(groupCol), col("mass"),
+        round(col("mass").cast("double") / col("__t"), 6).as("share"),
+        round(col("__hhi"), 6).as("hhi"),
+        round(lit(1.0) / col("__hhi"), 6).as("effective_n"))
+      .orderBy(col(groupCol))
+  }
 }

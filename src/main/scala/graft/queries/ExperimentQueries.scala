@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.operators.{Anomaly, Benford, BradleyTerry, ChangePoint,
-  Correlation, Drift, Experiments, FeatureSelect, Isotonic, LiftCurve,
-  NaiveBayes, Rake, Regression, Reliability, Sequences, Sharding, Spectral,
-  Stump, TrendTests}
+  Correlation, Drift, Experiments, FeatureSelect, Inequality, Isotonic,
+  LiftCurve, NaiveBayes, Rake, Regression, Reliability, Sequences, Sharding,
+  Spectral, Stump, TrendTests}
 
 /** Round-13 experiment-analysis / audit extensions (q245–q255): score
   * calibration FIX (isotonic PAV), mutual-information feature
@@ -1493,6 +1493,81 @@ object ExperimentQueries extends QuerySet {
       |FROM psib JOIN psic ON psic.b = psib.b JOIN nb ON nb.b = psib.b
       |ORDER BY batch_id""".stripMargin
 
+
+  /** Sample-ratio-mismatch audit per event-type experiment —
+    * [[Experiments.srmAudit]]: the exact (n0-n1)^2/(n0+n1) collapse of
+    * the 1-dof chi-square, flagged at the published p=0.001 bar. */
+  private def q273(s: SparkSession, d: String): DataFrame =
+    Experiments.srmAudit(
+      t(s, d, "events").withColumn("arm",
+        graft.operators.Splits.hashBucket(col("user_id"), 2) === 1),
+      "event_type", "arm")
+
+  private val q273Sql =
+    """WITH base AS (
+      |  SELECT event_type AS exp,
+      |    (((user_id % 2147483648) * 2654435761) % 4294967296 % 2 = 1) AS a
+      |  FROM events),
+      |cells AS (
+      |  SELECT exp, CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n0,
+      |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      |  FROM base GROUP BY exp)
+      |SELECT exp, n0, n1,
+      |  round(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1), 6) AS chi2,
+      |  (CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1) > 10.83) AS srm
+      |FROM cells ORDER BY exp""".stripMargin
+
+  /** Two-proportion z on the high-value rate by arm —
+    * [[Experiments.twoProportionZ]]: pooled-variance z from four exact
+    * counts. */
+  private def q274(s: SparkSession, d: String): DataFrame =
+    Experiments.twoProportionZ(
+      t(s, d, "events").filter(col("value").isNotNull)
+        .withColumn("arm",
+          graft.operators.Splits.hashBucket(col("user_id"), 2) === 1)
+        .withColumn("hi", col("value") > 50.0),
+      "arm", "hi")
+
+  private val q274Sql =
+    """WITH base AS (
+      |  SELECT (((user_id % 2147483648) * 2654435761) % 4294967296 % 2 = 1)
+      |      AS a,
+      |    CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS s
+      |  FROM events WHERE value IS NOT NULL),
+      |c AS (SELECT
+      |  CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |  CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |  CAST(SUM(CASE WHEN NOT a THEN s ELSE 0 END) AS BIGINT) AS x0,
+      |  CAST(SUM(CASE WHEN a THEN s ELSE 0 END) AS BIGINT) AS x1
+      |  FROM base)
+      |SELECT n0, n1, x0, x1,
+      |  CAST(x0 AS DOUBLE)/n0 AS rate0, CAST(x1 AS DOUBLE)/n1 AS rate1,
+      |  (CAST(x1 AS DOUBLE)/n1 - CAST(x0 AS DOUBLE)/n0) /
+      |    sqrt((CAST(x0+x1 AS DOUBLE)/(n0+n1))
+      |      * (1 - CAST(x0+x1 AS DOUBLE)/(n0+n1))
+      |      * (1.0/n0 + 1.0/n1)) AS z
+      |FROM c""".stripMargin
+
+  /** HHI source concentration of the corpus character mass —
+    * [[Inequality.hhi]]: the "effective number of sources" audit
+    * beside q97's configured mix and q175's within-group gini. */
+  private def q275(s: SparkSession, d: String): DataFrame =
+    Inequality.hhi(t(s, d, "documents"), "source", "n_chars")
+
+  private val q275Sql =
+    """WITH m AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass
+      |           FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(mass) AS BIGINT) AS t FROM m),
+      |s AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list(CAST(mass AS DOUBLE) * mass / (CAST(t AS DOUBLE) * t)
+      |      ORDER BY source)),
+      |  (a, b) -> a + b) AS hhi FROM m, tot GROUP BY t)
+      |SELECT m.source, m.mass, round(CAST(m.mass AS DOUBLE) / tot.t, 6)
+      |    AS share,
+      |  round(s.hhi, 6) AS hhi, round(1.0 / s.hhi, 6) AS effective_n
+      |FROM m, tot, s ORDER BY m.source""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q245_isotonic_calibration", q245, Some(q245Sql)),
     Q("q246_mutual_info", q246, Some(q246Sql)),
@@ -1521,5 +1596,8 @@ object ExperimentQueries extends QuerySet {
     Q("q269_mad_outliers", q269, Some(q269Sql)),
     Q("q270_bradley_terry", q270, Some(q270Sql)),
     Q("q271_bt_fit_audit", q271, Some(q271Sql)),
-    Q("q272_streaming_psi", q272, Some(q272Sql)))
+    Q("q272_streaming_psi", q272, Some(q272Sql)),
+    Q("q273_srm_audit", q273, Some(q273Sql)),
+    Q("q274_two_proportion_z", q274, Some(q274Sql)),
+    Q("q275_hhi_concentration", q275, Some(q275Sql)))
 }

@@ -90,6 +90,33 @@ class ExperimentsSpec extends AnyFunSuite with SparkSuite {
     assert(ex.getMessage.contains("one arm"))
   }
 
+  test("srmAudit: the chi2 collapse is exact and the p=0.001 bar flags " +
+       "a real mismatch, not noise") {
+    // balanced-ish: 510 vs 490 -> chi2 = 400/1000 = 0.4, no flag
+    val ok = Seq.fill(510)(("e1", false)) ++ Seq.fill(490)(("e1", true))
+    // broken assignment: 600 vs 400 -> chi2 = 40000/1000 = 40, flag
+    val bad = Seq.fill(600)(("e2", false)) ++ Seq.fill(400)(("e2", true))
+    val out = Experiments.srmAudit((ok ++ bad).toDF("e", "a"), "e", "a")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("e1").getAs[Double]("chi2") == 0.4)
+    assert(!out("e1").getAs[Boolean]("srm"))
+    assert(out("e2").getAs[Double]("chi2") == 40.0)
+    assert(out("e2").getAs[Boolean]("srm"))
+  }
+
+  test("twoProportionZ matches the textbook pooled z; one-armed is loud") {
+    val rows = Seq.fill(204)((false, true)) ++ Seq.fill(358)((false, false)) ++
+      Seq.fill(185)((true, true)) ++ Seq.fill(253)((true, false))
+    val r = Experiments.twoProportionZ(rows.toDF("a", "s"), "a", "s").head()
+    val (n0, n1, x0, x1) = (562.0, 438.0, 204.0, 185.0)
+    val p = (x0 + x1) / (n0 + n1)
+    val z = (x1 / n1 - x0 / n0) / math.sqrt(p * (1 - p) * (1 / n0 + 1 / n1))
+    assert(r.getAs[Double]("z") == z)
+    intercept[IllegalArgumentException] {
+      Experiments.twoProportionZ(rows.filter(_._1).toDF("a", "s"), "a", "s")
+    }
+  }
+
   test("simpsonAudit flags a constructed reversal") {
     // the kidney-stone table: arm 0 better IN EACH stratum (93>87,
     // 73>69), arm 1 better pooled (83>78) — mix shift

@@ -49,4 +49,20 @@ class InequalitySpec extends AnyFunSuite with SparkSuite {
     assert(a == b)
     assert(a.size == 3)
   }
+
+  test("hhi: uniform shares read 1/k, monopoly reads 1; effective_n is 1/hhi") {
+    import spark.implicits._
+    val uniform = (0 until 4).map(i => (s"s$i", 100L))
+    val u = Inequality.hhi(uniform.toDF("g", "m"), "g", "m").head()
+    assert(u.getAs[Double]("hhi") == 0.25)
+    assert(u.getAs[Double]("effective_n") == 4.0)
+    assert(u.getAs[Double]("share") == 0.25)
+    val monopoly = Seq(("big", 997L), ("a", 1L), ("b", 1L), ("c", 1L))
+    val m = Inequality.hhi(monopoly.toDF("g", "m"), "g", "m").head()
+    assert(m.getAs[Double]("hhi") > 0.99)
+    // hand: sum of share^2 at 6 dp
+    val want = monopoly.map(_._2.toDouble / 1000).map(s => s * s).sum
+    assert(m.getAs[Double]("hhi") ==
+      BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
