@@ -35,14 +35,31 @@ object Bench {
     val quietWaited = (System.nanoTime() - waitT0) / 1e9
     // one warm-up pass over a cheap query to absorb codegen/JIT cost
     qmap(names.head)(spark, sfDir).count()
+    // POLLUTION TRIPWIRE (r13 finding: one query leaking localCheckpoint
+    // blocks inflated every OTHER query's timing by 18-31% — the
+    // published artifact regressed while the code got faster). Before
+    // each timed query: clear the table cache, then sweep any persistent
+    // RDDs the previous query left pinned (leaked checkpoints). The
+    // per-pass swept count is published in the JSON — nonzero means some
+    // query is not releasing its blocks and neighbors' timings would
+    // have been contaminated without the sweep.
+    val sc = spark.sparkContext
+    var sweptInPass = 0
     // failures surface as -1 in the JSON, never as a fast-looking timing
     def once(name: String): Double = {
       // drop cached intermediates so the second run measures the query's
       // real compute, not a warm cache (q42 caches its minhash base)
       spark.catalog.clearCache()
+      val leaked = sc.getPersistentRDDs
+      sweptInPass += leaked.size
+      leaked.values.foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       try { qmap(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
+    }
+    def heapUsedMb: Long = {
+      val rt = Runtime.getRuntime
+      (rt.totalMemory() - rt.freeMemory()) / (1024L * 1024L)
     }
     // CONVERGED interleaved passes: full passes over the headline list,
     // repeated until the pass total's pass-over-pass delta is <10% (min
@@ -62,6 +79,8 @@ object Bench {
     // machine-readable as such (cold/contended signatures are a uniform
     // per-query multiplier + elevated loadavg, see PLANS.md).
     val loads = scala.collection.mutable.ArrayBuffer(loadavg)
+    val swept = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val heaps = scala.collection.mutable.ArrayBuffer.empty[Long]
     val passes = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
     def passTotal(p: Map[String, Double]): Double =
       names.map(n => math.max(p(n), 0.0)).sum
@@ -69,8 +88,11 @@ object Bench {
     val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_PASSES", "6").toInt
     var converged = false
     while (passes.length < maxPasses && !converged) {
+      sweptInPass = 0
       passes += names.map(n => n -> once(n)).toMap
       loads += loadavg
+      swept += sweptInPass
+      heaps += heapUsedMb
       if (passes.length >= minPasses) {
         val t1 = passTotal(passes(passes.length - 2))
         val t2 = passTotal(passes.last)
@@ -88,7 +110,9 @@ object Bench {
     def fmt(d: Double): String = "%.3f".format(d)
     val passTotals = passes.map(p => fmt(passTotal(p))).mkString("[", ",", "]")
     val loadsJson = loads.map(fmt).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passTotals,"converged":$converged,"loadavg":$loadsJson,"quiet_waited_sec":${fmt(quietWaited)},"cpus":$cpus}""")
+    val sweptJson = swept.mkString("[", ",", "]")
+    val heapsJson = heaps.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passTotals,"converged":$converged,"loadavg":$loadsJson,"swept_rdds":$sweptJson,"heap_used_mb":$heapsJson,"quiet_waited_sec":${fmt(quietWaited)},"cpus":$cpus}""")
     spark.stop()
   }
 }

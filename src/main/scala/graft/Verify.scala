@@ -17,6 +17,10 @@ object Verify {
     def keep(name: String): Boolean = only.forall(_.exists(name.startsWith))
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       spark.catalog.clearCache() // queries that cache must not pin memory across the run
+      // sweep persistent RDDs the previous query leaked (localCheckpoint
+      // blocks dropped without unpersist) — the r13 q250 pollution class
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       try {
         val df = fn(spark, sfDir)
         GateLint.assertGateSafe(name, df.schema) // q184/q240 dtype family

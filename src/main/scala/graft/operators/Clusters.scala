@@ -77,33 +77,45 @@ object Clusters {
                           edges: DataFrame, aCol: String, bCol: String,
                           maxRounds: Int = 50,
                           driverMaxEdges: Long = 1L << 20): DataFrame = {
-    // lazy checkpoint: the first checksum (which also decides the path)
-    // is the action that materializes the canonical edge list
-    var e = edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(false)
+    // tracked checkpoints throughout: each round's stale edge list is
+    // released via its captured RDD ids — a bare Dataset.unpersist on a
+    // localCheckpoint'd frame is a silent no-op (see [[Pinned]]), which
+    // used to pin EVERY round's edge table until GC
+    var p = Pinned.checkpoint(
+      edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct())
+    var e = p.df
     var prev = checksum(e)
     val labels =
-      if (prev._1 <= driverMaxEdges) driverUnionFind(nodes.sparkSession, e)
-      else {
+      if (prev._1 <= driverMaxEdges) {
+        val l = driverUnionFind(nodes.sparkSession, e)
+        p.release() // labels are driver rows; the edge blocks are done
+        l
+      } else {
         var converged = false
         var round = 0
         while (!converged && round < maxRounds) {
-          val next = smallStar(largeStar(e)).localCheckpoint(false)
-          val cur = checksum(next)
+          val np = Pinned.checkpoint(smallStar(largeStar(e)))
+          val cur = checksum(np.df)
           converged = cur == prev
           prev = cur
-          e.unpersist()
-          e = next
+          p.release()
+          p = np; e = np.df
           round += 1
         }
         require(converged, s"connectedComponents did not converge in $maxRounds rounds")
         // converged edge list is a star forest: (node → root). Roots and
-        // singletons map to themselves via the left join below.
-        e.select(greatest(col("u"), col("v")).as("id"),
-            least(col("u"), col("v")).as("root"))
-          .groupBy("id").agg(min(col("root")).as("root"))
+        // singletons map to themselves via the left join below. The
+        // label map (cluster-members-sized, ≪ edge list) is pinned in
+        // place of the final edge table so the returned plan survives
+        // the release; the harness' per-query sweep (or GC) frees it.
+        val lp = Pinned.checkpoint(
+          e.select(greatest(col("u"), col("v")).as("id"),
+              least(col("u"), col("v")).as("root"))
+            .groupBy("id").agg(min(col("root")).as("root")))
+        p.release()
+        lp.df
       }
     nodes.select(col(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")

@@ -41,11 +41,22 @@ object Experiments {
     * zero is a statement, NULL is a bug). */
   def cupedLift(perUnit: DataFrame, xCol: String, yCol: String,
                 armCol: String): DataFrame = {
-    val bad = perUnit.filter(col(xCol).isNull || col(yCol).isNull ||
-      col(armCol).isNull).count()
-    require(bad == 0,
-      s"cupedLift: $bad rows have NULL $xCol/$yCol/$armCol — coalesce " +
-        "explicitly before calling (zero is a statement, NULL is a bug)")
+    // one guard pass: NULL audit + covariate-degeneracy check.
+    // countDistinct(x) > 1 ⟺ varXN ≠ 0 under the exact decimal
+    // accumulation below, so a constant covariate (e.g. coalesce(x,0)
+    // when NO unit has a pre-period) fails HERE with a pointed message
+    // instead of as an ANSI DIVIDE_BY_ZERO deep in the theta plan
+    val chk = perUnit.agg(
+      coalesce(sum(when(col(xCol).isNull || col(yCol).isNull ||
+        col(armCol).isNull, 1L)), lit(0L)).as("__bad"),
+      countDistinct(col(xCol)).as("__nx")).head()
+    require(chk.getLong(0) == 0,
+      s"cupedLift: ${chk.getLong(0)} rows have NULL $xCol/$yCol/$armCol — " +
+        "coalesce explicitly before calling (zero is a statement, NULL is a bug)")
+    require(chk.getLong(1) > 1,
+      s"cupedLift: covariate $xCol is constant across units — theta is " +
+        "undefined (zero variance); CUPED cannot adjust on it, use the " +
+        "plain arm means instead")
     val u = perUnit.select(col(armCol).as("arm"),
       dec(col(xCol)).as("__x"), dec(col(yCol)).as("__y"))
     val tot = u.agg(count(lit(1)).as("n"),
@@ -208,6 +219,12 @@ object Experiments {
     val shape = c.head()
     require(shape.getLong(0) > 0 && shape.getLong(1) > 0,
       "twoProportionZ needs both arms populated")
+    val xs = shape.getLong(2) + shape.getLong(3)
+    val ns = shape.getLong(0) + shape.getLong(1)
+    require(xs > 0 && xs < ns,
+      s"twoProportionZ: pooled success rate is ${if (xs == 0) 0 else 1} " +
+        "exactly — the pooled variance is zero and z is undefined; the " +
+        "arms carry no comparable signal")
     val pooled = (col("x0") + col("x1")).cast("double") /
       (col("n0") + col("n1"))
     c.select(col("n0"), col("n1"), col("x0"), col("x1"),

@@ -60,8 +60,12 @@ object KeywordRank {
     * ContextCleaner); for a long-lived persistent index, write the
     * tables out and reload instead ([[graft.search.InvertedIndex]]). */
   final case class KeywordIndex(tf: DataFrame, lens: DataFrame, stats: DataFrame,
-                                idCol: String) {
-    def close(): Unit = { tf.unpersist(); lens.unpersist(); () }
+                                idCol: String,
+                                pinned: Seq[Pinned.Df] = Seq.empty) {
+    /** Frees the checkpoint blocks — via the tracked RDD ids, because
+      * `Dataset.unpersist` on a localCheckpoint'd frame is a silent
+      * no-op (see [[Pinned]]; the r14 leak-audit finding). */
+    def close(): Unit = pinned.foreach(_.release())
   }
 
   /** @param persist pin the index tables (serve-path default); pass
@@ -74,13 +78,15 @@ object KeywordRank {
     // small-bytes input back to ~1 partition
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     val tf0 = termFreq(df.repartition(n, col(idCol)), idCol, textCol)
-    val tf = if (persist) tf0.localCheckpoint() else tf0
+    val tfP = if (persist) Some(Pinned.checkpoint(tf0)) else None
+    val tf = tfP.map(_.df).getOrElse(tf0)
     val lens0 = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("len"))
-    val lens = if (persist) lens0.localCheckpoint() else lens0
+    val lensP = if (persist) Some(Pinned.checkpoint(lens0)) else None
+    val lens = lensP.map(_.df).getOrElse(lens0)
     val stats = lens.agg(
       count(lit(1)).cast("double").as("n_docs"),
       avg(col("len").cast("double")).as("avg_len"))
-    KeywordIndex(tf, lens, stats, idCol)
+    KeywordIndex(tf, lens, stats, idCol, tfP.toSeq ++ lensP.toSeq)
   }
 
   /** BM25 against a prebuilt [[KeywordIndex]] — the serve-path shape: no

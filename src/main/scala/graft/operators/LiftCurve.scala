@@ -42,9 +42,12 @@ object LiftCurve {
     require(pos > 0, "gainsTable: no positives — gain/lift undefined")
     val w = Window.orderBy(col("__s").desc, col("__id"))
     // explicit floor: a bare cast-after-division would inherit the
-    // engine's double→int convention (Spark truncates, DuckDB rounds)
+    // engine's double→int convention (Spark truncates, DuckDB rounds).
+    // rank cast to long BEFORE the multiply: row_number is IntegerType
+    // and int·buckets overflows (ANSI: crashes) past n·buckets > 2^31
+    // (~214M rows at 10 buckets — well inside corpus scale)
     val cells = u.withColumn("__rn", row_number().over(w))
-      .groupBy(floor((col("__rn") - 1) * buckets / n).cast("int")
+      .groupBy(floor((col("__rn").cast("long") - 1) * buckets / n).cast("int")
         .as("decile"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("__y"), 1L).otherwise(0L)).as("pos"))

@@ -73,16 +73,18 @@ object Sequences {
     require(partitionCols.nonEmpty && orderCols.nonEmpty, "need keys")
     val w = Window.partitionBy(partitionCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
-    val seqs = df.agg(countDistinct(
-      partitionCols.map(col).reduce((a, b) => concat_ws("", a, b)))
-      .as("__total"))
+    // multi-column distinct counts the KEY TUPLES natively — any
+    // separator-join conflates ("ab","c") with ("a","bc") when the
+    // separator can occur in keys, and concat_ws silently skips NULLs
+    val seqs = df.agg(countDistinct(partitionCols.map(col).head,
+      partitionCols.map(col).tail: _*).as("__total"))
     val pairs = df
       .withColumn("__from", lag(col(stateCol), 1).over(w))
       .filter(col("__from").isNotNull)
     pairs.groupBy(col("__from").as("a"), col(stateCol).as("b"))
       .agg(count(lit(1)).as("n_occurrences"),
-        countDistinct(partitionCols.map(col).reduce((x, y) =>
-          concat_ws("", x, y))).as("support"))
+        countDistinct(partitionCols.map(col).head,
+          partitionCols.map(col).tail: _*).as("support"))
       .crossJoin(broadcast(seqs))
       .withColumn("support_frac",
         round(col("support").cast("double") / col("__total").cast("double"), 6))

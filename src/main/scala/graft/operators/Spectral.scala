@@ -59,8 +59,13 @@ object Spectral {
     require(iters >= 1 && iters <= 16, s"bad iters=$iters")
     val spark = df.sparkSession
     val vsum = udaf(new DVecSumAgg)
-    val vecs = df.select(col(vecCol).as("__x")).filter(col("__x").isNotNull)
-      .localCheckpoint() // iters + 2 passes over the projection input
+    // iters + 2 passes over the projection input; tracked so the blocks
+    // are FREED on return (Dataset.unpersist cannot release a
+    // localCheckpoint — see [[Pinned]])
+    val pinned = Pinned.checkpoint(
+      df.select(col(vecCol).as("__x")).filter(col("__x").isNotNull))
+    val vecs = pinned.df
+    try {
     val head = vecs.head()
     val dims = head.getSeq[Float](0).length
     val n = vecs.count()
@@ -109,5 +114,8 @@ object Spectral {
       .withColumn("total_var", lit(totalVar))
       .withColumn("var_explained", round(lit(eigval / totalVar), 6))
       .orderBy(col("dim"))
+    // the result is driver-materialized rows — the pinned projection input
+    // must not outlive the call (the PageRank.scala release discipline)
+    } finally pinned.release()
   }
 }

@@ -76,7 +76,10 @@ object TrendTests {
     * (v_i − slope·t_i) over the grid. */
   def theilSen(df: DataFrame, tCol: String, vCol: String): DataFrame = {
     val spark = df.sparkSession
-    val g = grid(df, tCol, vCol).localCheckpoint() // grid-bounded; reused 3×
+    // grid-bounded; reused 3×; tracked release (see [[Pinned]])
+    val pinnedG = Pinned.checkpoint(grid(df, tCol, vCol))
+    val g = pinnedG.df
+    try {
     val n = g.count()
     require(n >= 2, s"theilSen needs >= 2 grid rows, got $n")
     // renamed projections per side — see mannKendall's self-join note
@@ -105,6 +108,8 @@ object TrendTests {
       .agg(avg(col("ic"))).head().getDouble(0)
     spark.range(1).select(lit(n).as("n"), lit(p).as("n_pairs"),
       lit(slope).as("slope"), lit(ic).as("intercept"))
+    // result is literal-only — the pinned grid must not outlive the call
+    } finally pinnedG.release()
   }
 
   /** Exact median over a double column of known count `p` without a
@@ -112,12 +117,35 @@ object TrendTests {
     * collisions only widen phase 2), phase 2 ranks DISTINCT values
     * within the located prekey bucket(s) — the [[ExactQuantile]]
     * construction lifted to doubles. Even counts average the two
-    * middle values (ANSI `median`). */
+    * middle values (ANSI `median`).
+    *
+    * CONTRACT — grid-bounded inputs only. The phase-1 cumulative-rank
+    * window is deliberately UNPARTITIONED (one task sees the whole
+    * prekey histogram): that is sound because every caller here feeds
+    * values derived from a calendar/quantile GRID (≤ grid² pairwise
+    * slopes ⇒ ≤ a few hundred thousand distinct prekeys), not corpus
+    * rows. A corpus-scale caller would funnel its whole histogram
+    * through one partition — the loud `require` below refuses that
+    * regime instead of silently serializing it; such a caller should
+    * bucket the cumsum by high bits first (the [[ExactQuantile]]
+    * construction). */
+  private[operators] val MaxMedianHistBuckets: Long = 1L << 22
   private def medianByTwoPhase(vals: DataFrame, c: String, p: Long): Double = {
     val r1 = (p + 1) / 2; val r2 = p / 2 + 1
     val keyed = vals.select(col(c).as("__v"),
       floor(col(c) * (1L << 20)).cast("long").as("__b"))
-    val hist = keyed.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+    // pinned: bounds the contract check AND saves one recompute of the
+    // (possibly join-shaped) input between phase-1 ranking and lookup
+    val pinnedH = Pinned.checkpoint(
+      keyed.groupBy(col("__b")).agg(count(lit(1)).as("__c")))
+    val hist = pinnedH.df
+    try {
+    val nb = hist.count()
+    require(nb <= MaxMedianHistBuckets,
+      s"medianByTwoPhase: $nb distinct prekey buckets exceeds the " +
+        s"grid-bounded contract ($MaxMedianHistBuckets); the phase-1 " +
+        "rank window is single-partition by design — bucket the input " +
+        "by high bits (ExactQuantile-style) before taking its median")
     val wb = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("__hi", sum(col("__c")).over(wb))
@@ -147,5 +175,6 @@ object TrendTests {
       .collect()
     picked.map(r => r.getDouble(0) * r.getLong(1)).sum /
       picked.map(_.getLong(1)).sum
+    } finally pinnedH.release()
   }
 }

@@ -335,7 +335,8 @@ object ExperimentQueries extends QuerySet {
     """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id IS NOT NULL),
       |sc AS (
       |  SELECT id, s.s,
-      |    ((xor(((id % 2147483648) * 2654435761) % 4294967296,
+      |    ((xor(((((id % 2147483648) + 2147483648) % 2147483648)
+      |             * 2654435761) % 4294967296,
       |          (((s.s * 31 + 7) % 2147483648) * 2654435761) % 4294967296))
       |      % 2147483648) * 2654435761 % 4294967296 AS w
       |  FROM ids CROSS JOIN (SELECT unnest(range(9)) AS s) s),
@@ -1568,6 +1569,174 @@ object ExperimentQueries extends QuerySet {
       |  round(s.hhi, 6) AS hhi, round(1.0 / s.hhi, 6) AS effective_n
       |FROM m, tot, s ORDER BY m.source""".stripMargin
 
+  /** The trained-model layer composed end-to-end (the q122/q183
+    * discipline applied to models): stump GATE (q263's trained split
+    * keeps the higher-purity side) → isotonic CALIBRATION of a
+    * continuous quality score on the survivors (q245's minimax PAV) →
+    * gains-BUDGETED selection (q266's decile table, deciles taken
+    * until the cumulative gain budget 0.8 is met). The oracle replays
+    * all three stages relationally, so the hash breaks if ANY stage's
+    * semantics drift — training, side choice, bin edges, iso pooling,
+    * ranking, or budget rule.
+    *
+    * Scale shape: stage 1 is q263's one-scan cell table; stage 2 is
+    * one aggregate + bins²-grid joins; stage 3 is one rank window
+    * over survivors. Driver sees only the 1-row stump and the
+    * bins-sized iso map (broadcast back). */
+  private def q276(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents").select(
+      col("doc_id"),
+      col("n_chars").cast("long").as("n_chars"),
+      size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+        .cast("long").as("n_tokens"),
+      (col("lang") === "en").as("is_en"))
+    // stage 1 — trained gate: one bounded row; keep the purer side
+    // (exact single-division rates, ties keep left)
+    val st = Stump.train(base, Seq("n_chars", "n_tokens"), "is_en",
+      thresholds = 16).head()
+    val feat = st.getAs[String]("feature")
+    val thr = st.getAs[Long]("threshold")
+    val rateL = st.getAs[Long]("pos_left").toDouble / st.getAs[Long]("n_left")
+    val rateR = st.getAs[Long]("pos_right").toDouble / st.getAs[Long]("n_right")
+    val keepLeft = rateL >= rateR
+    val gated = base
+      .filter(if (keepLeft) col(feat) <= thr else col(feat) > thr)
+      // bounded rational score in [0, 1): one double division, exact
+      // cross-engine
+      .withColumn("score",
+        col("n_tokens").cast("double") / (col("n_tokens") + 100L).cast("double"))
+    // stage 2 — isotonic calibration; the iso map is bins-bounded and
+    // broadcast back onto the survivors
+    val iso = Isotonic.pavBinned(gated, "score", "is_en", bins = 20)
+      .select(col("bin").as("__b"), col("iso"))
+    val cal = gated
+      .withColumn("bin", least(floor(col("score") * 20), lit(19)).cast("int"))
+      .join(broadcast(iso), col("bin") === col("__b"))
+      .select(col("doc_id"), col("iso").as("cal"), col("is_en"))
+    // stage 3 — gains table + budget rule: a decile is selected while
+    // the PREVIOUS decile's cumulative gain (6-dp, as persisted) is
+    // still under budget — so the crossing decile is included
+    val gains = LiftCurve.gainsTable(cal, "doc_id", "cal", "is_en",
+      buckets = 10)
+    val wd = org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
+    gains
+      .withColumn("selected",
+        coalesce(lag(col("gain"), 1).over(wd), lit(0.0)) < 0.8)
+      .withColumn("gate_feature", lit(feat))
+      .withColumn("gate_threshold", lit(thr))
+      .withColumn("gate_keep_left", lit(keepLeft))
+      .orderBy(col("decile"))
+  }
+
+  private val q276Sql =
+    """WITH base AS (
+      |  SELECT doc_id, n_chars AS f1,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      |      AS f2,
+      |    (lang = 'en') AS y
+      |  FROM documents),
+      |long AS (
+      |  SELECT 'n_chars' AS feature, f1 AS x, y FROM base
+      |  UNION ALL SELECT 'n_tokens', f2, y FROM base),
+      |nn AS (SELECT feature, COUNT(*) AS n FROM long GROUP BY feature),
+      |cand AS (
+      |  SELECT DISTINCT l.feature, r.x AS threshold FROM (
+      |    SELECT feature, x, row_number() OVER
+      |      (PARTITION BY feature ORDER BY x) AS rn FROM long) r
+      |  JOIN nn l ON l.feature = r.feature
+      |  JOIN (SELECT unnest(range(1, 17)) AS k) k
+      |    ON r.rn = (k.k * l.n + 16) // 17),
+      |tot AS (SELECT feature, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      |  FROM long GROUP BY feature),
+      |cells AS (
+      |  SELECT l.feature, c.threshold,
+      |    CAST(SUM(CASE WHEN l.x <= c.threshold THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_left,
+      |    CAST(SUM(CASE WHEN l.x <= c.threshold AND l.y THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pos_left
+      |  FROM long l JOIN cand c USING (feature)
+      |  GROUP BY l.feature, c.threshold),
+      |splits AS (
+      |  SELECT c.feature, c.threshold, c.n_left, c.pos_left,
+      |    t.n - c.n_left AS n_right, t.pos - c.pos_left AS pos_right, t.n
+      |  FROM cells c JOIN tot t USING (feature)
+      |  WHERE c.n_left > 0 AND t.n - c.n_left > 0),
+      |h AS (
+      |  SELECT *,
+      |    CAST((pos_left*pos_left + (n_left-pos_left)*(n_left-pos_left))
+      |        * n_right
+      |      + (pos_right*pos_right + (n_right-pos_right)*(n_right-pos_right))
+      |        * n_left AS DOUBLE)
+      |      / CAST(n_left * n_right AS DOUBLE) AS h
+      |  FROM splits),
+      |win AS (
+      |  SELECT feature, threshold,
+      |    CAST(pos_left AS DOUBLE) / n_left AS rl,
+      |    CAST(pos_right AS DOUBLE) / n_right AS rr
+      |  FROM h ORDER BY h DESC, feature, threshold LIMIT 1),
+      |gated AS (
+      |  SELECT b.doc_id,
+      |    CAST(b.f2 AS DOUBLE) / CAST(b.f2 + 100 AS DOUBLE) AS score, b.y
+      |  FROM base b, win w
+      |  WHERE CASE WHEN w.rl >= w.rr
+      |    THEN (CASE WHEN w.feature = 'n_chars' THEN b.f1 ELSE b.f2 END)
+      |      <= w.threshold
+      |    ELSE (CASE WHEN w.feature = 'n_chars' THEN b.f1 ELSE b.f2 END)
+      |      > w.threshold END),
+      |g AS (
+      |  SELECT CAST(least(floor(score * 20), 19) AS INTEGER) AS bin,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      |  FROM gated GROUP BY bin),
+      |cum AS (
+      |  SELECT bin, n, pos,
+      |    CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+      |    CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+      |  FROM g),
+      |ivl AS (
+      |  SELECT j.bin AS j, k.bin AS k,
+      |    CAST(k.cp - j.cp + j.pos AS DOUBLE) /
+      |      CAST(k.cn - j.cn + j.n AS DOUBLE) AS avg
+      |  FROM cum j JOIN cum k ON j.bin <= k.bin),
+      |mn AS (
+      |  SELECT ivl.j, b.bin AS b, MIN(ivl.avg) AS m
+      |  FROM ivl JOIN g b ON ivl.j <= b.bin AND ivl.k >= b.bin
+      |  GROUP BY ivl.j, b.bin),
+      |iso AS (SELECT b, MAX(m) AS iso FROM mn GROUP BY b),
+      |cal AS (
+      |  SELECT gated.doc_id, iso.iso AS cal, gated.y
+      |  FROM gated JOIN iso
+      |    ON iso.b = CAST(least(floor(gated.score * 20), 19) AS INTEGER)),
+      |cn2 AS (SELECT COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos FROM cal),
+      |ranked AS (
+      |  SELECT y, row_number() OVER (ORDER BY cal DESC, doc_id) AS rn
+      |  FROM cal),
+      |dec AS (
+      |  SELECT CAST(floor((rn - 1) * 10.0 / cn2.n) AS INTEGER) AS decile,
+      |    COUNT(*) AS n_d, CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS pos_d
+      |  FROM ranked, cn2 GROUP BY 1, cn2.n),
+      |cumd AS (
+      |  SELECT decile, n_d, pos_d,
+      |    CAST(SUM(n_d) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+      |    CAST(SUM(pos_d) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+      |  FROM dec),
+      |gains AS (
+      |  SELECT decile, n_d AS n, pos_d AS pos,
+      |    round(CAST(cum_pos AS DOUBLE) / (SELECT pos FROM cn2), 6) AS gain,
+      |    round((CAST(cum_pos AS DOUBLE) / cum_n)
+      |      / (CAST((SELECT pos FROM cn2) AS DOUBLE) / (SELECT n FROM cn2)), 6)
+      |      AS lift
+      |  FROM cumd)
+      |SELECT gg.decile, gg.n, gg.pos, gg.gain, gg.lift,
+      |  coalesce(lag(gg.gain) OVER (ORDER BY gg.decile), 0.0) < 0.8
+      |    AS selected,
+      |  w.feature AS gate_feature, w.threshold AS gate_threshold,
+      |  (w.rl >= w.rr) AS gate_keep_left
+      |FROM gains gg, win w ORDER BY gg.decile""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q245_isotonic_calibration", q245, Some(q245Sql)),
     Q("q246_mutual_info", q246, Some(q246Sql)),
@@ -1599,5 +1768,6 @@ object ExperimentQueries extends QuerySet {
     Q("q272_streaming_psi", q272, Some(q272Sql)),
     Q("q273_srm_audit", q273, Some(q273Sql)),
     Q("q274_two_proportion_z", q274, Some(q274Sql)),
-    Q("q275_hhi_concentration", q275, Some(q275Sql)))
+    Q("q275_hhi_concentration", q275, Some(q275Sql)),
+    Q("q276_model_pipeline", q276, Some(q276Sql), headline = true))
 }

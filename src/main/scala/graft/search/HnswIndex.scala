@@ -137,12 +137,16 @@ object HnswIndex {
     val graphs = read(spark, path)
     val sampleKey = pmod(pmod(col(idCol).cast("long"), lit(2147483648L)) *
       2654435761L, lit(4294967296L))
-    val probes = corpus.select(col(idCol), col(vecCol))
-      .orderBy(sampleKey, col(idCol)).limit(2 * nProbeVecs)
-      .localCheckpoint()
-    val truth = VectorSearch.knnJoinWindow(probes, idCol, vecCol,
-        corpus, idCol, vecCol, k)
-      .select(col("probe_id"), col(idCol)).localCheckpoint()
+    val probesP = graft.operators.Pinned.checkpoint(
+      corpus.select(col(idCol), col(vecCol))
+        .orderBy(sampleKey, col(idCol)).limit(2 * nProbeVecs))
+    val probes = probesP.df
+    val truthP = graft.operators.Pinned.checkpoint(
+      VectorSearch.knnJoinWindow(probes, idCol, vecCol,
+          corpus, idCol, vecCol, k)
+        .select(col("probe_id"), col(idCol)))
+    val truth = truthP.df
+    try {
     val ids = probes.select(col(idCol).cast("long")).collect()
       .map(_.getLong(0))
     val (tuneIds, holdIds) = ids.zipWithIndex.partition(_._2 % 2 == 0) match {
@@ -181,6 +185,9 @@ object HnswIndex {
         f"$guard%.3f on held-out probes; measured: " +
         measured.map { case (ef, r) =>
           s"$ef->${"%.4f".format(r)}" }.mkString(", "))
+    // the result is a driver-side ServePoint — the pinned probe/truth
+    // samples must not outlive the tune (Pinned release discipline)
+    } finally { probesP.release(); truthP.release() }
   }
 
   /** The persisted measured operating point, if [[tuneServe]] ran. */
@@ -277,12 +284,19 @@ object HnswIndex {
     var fetch = math.min(math.max(4 * k, k), maxFetch)
     var remaining = probes.select(col(probeIdCol).as(probeIdCol),
       col(probeVecCol).as(probeVecCol))
-    var acc: Option[DataFrame] = None
+    // acc is re-checkpointed per settling round (it is OUTPUT-sized:
+    // ≤ probes·over-fetch rows) so each round's corpus-sized walk
+    // blocks can be released immediately instead of being chained into
+    // the returned plan — the r14 leak-audit fix. Only the final acc
+    // checkpoint survives the call; the harness sweep frees it.
+    var acc: Option[graft.operators.Pinned.Df] = None
     while (!remaining.isEmpty) {
-      // checkpoint: the round's walk feeds a count, a join, and the
-      // accumulated result — without truncation it would re-run per use
-      val raw = searchMany(graphs, remaining, probeIdCol, probeVecCol,
-        fetch, math.max(ef, 2 * fetch)).localCheckpoint()
+      // tracked checkpoint: the round's walk feeds a count, a join, and
+      // the accumulated result — without truncation it would re-run per use
+      val rawP = graft.operators.Pinned.checkpoint(
+        searchMany(graphs, remaining, probeIdCol, probeVecCol,
+          fetch, math.max(ef, 2 * fetch)))
+      val raw = rawP.df
       val kept = raw.join(allowed, "vec_id")
       // stats keyed off `remaining`, not the walk output: a probe whose
       // walk returns zero rows (empty/degenerate graph) must still appear
@@ -302,14 +316,18 @@ object HnswIndex {
       if (done.nonEmpty) {
         val settled = kept.filter(col("probe_id").isin(done: _*))
           .select(col("probe_id"), col("vec_id"), col("sim"))
-        acc = Some(acc.map(_.unionByName(settled)).getOrElse(settled))
+        val nextAcc = graft.operators.Pinned.checkpoint(
+          acc.map(_.df.unionByName(settled)).getOrElse(settled))
+        acc.foreach(_.release())
+        acc = Some(nextAcc)
         remaining = remaining.filter(!col(probeIdCol).cast("long").isin(done: _*))
       }
+      rawP.release() // settled rows are checkpointed; the walk is done
       fetch = math.min(fetch * 4, maxFetch)
     }
     val spark = graphs.sparkSession
     import spark.implicits._
-    val base = acc.getOrElse(Seq.empty[(Long, Long, Double)]
+    val base = acc.map(_.df).getOrElse(Seq.empty[(Long, Long, Double)]
       .toDF("probe_id", "vec_id", "sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))

@@ -60,12 +60,14 @@ object SimpleKMeans {
           maxTrainPoints: Int = 0): Array[Array[Float]] = {
     val sampleKey = pmod(pmod(col(idCol).cast("long"), lit(2147483648L)) *
       2654435761L, lit(4294967296L))
-    val data =
-      if (maxTrainPoints <= 0) df
-      else df.select(col(idCol), col(vecCol))
-        .orderBy(sampleKey, col(idCol))
-        .limit(maxTrainPoints)
-        .localCheckpoint(false)
+    val dataP =
+      if (maxTrainPoints <= 0) None
+      else Some(graft.operators.Pinned.checkpoint(
+        df.select(col(idCol), col(vecCol))
+          .orderBy(sampleKey, col(idCol))
+          .limit(maxTrainPoints)))
+    val data = dataP.map(_.df).getOrElse(df)
+    try {
     var centroids: Array[Array[Float]] = data
       .select(col(idCol), col(vecCol))
       .orderBy(col(idCol))
@@ -96,6 +98,9 @@ object SimpleKMeans {
       }
     }
     centroids
+    // centroids are driver arrays — the pinned training sample must not
+    // outlive the fit (Pinned release discipline)
+    } finally dataP.foreach(_.release())
   }
 
   /** Append `centroid_id` = argmax cosine to the broadcast centroid

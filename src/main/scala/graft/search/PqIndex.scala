@@ -207,9 +207,12 @@ final class IvfPq(val ivf: IvfIndex, val cb: PqCodebook,
       2654435761L, lit(4294967296L))
     val probes = corpus.select(col(idCol), col(vecCol))
       .orderBy(sampleKey, col(idCol)).limit(2 * nProbeVecs)
-    val truth = VectorSearch.knnJoinWindow(probes, idCol, vecCol,
-        corpus, idCol, vecCol, k)
-      .select(col("probe_id"), col(idCol)).localCheckpoint()
+    val truthP = graft.operators.Pinned.checkpoint(
+      VectorSearch.knnJoinWindow(probes, idCol, vecCol,
+          corpus, idCol, vecCol, k)
+        .select(col("probe_id"), col(idCol)))
+    val truth = truthP.df
+    try {
     val all = probes.collect().map(r => r.get(0) -> r.getSeq[Float](1).toArray)
     // position-parity split: both halves come from the same Knuth order,
     // so the split is deterministic and label-blind
@@ -258,6 +261,7 @@ final class IvfPq(val ivf: IvfIndex, val cb: PqCodebook,
         f"noise guard $guard%.3f on held-out probes; measured: " +
         measured.map { case (np, sl, r) =>
           s"($np,$sl)->${"%.4f".format(r)}" }.mkString(", "))
+    } finally truthP.release() // result is a driver ServePoint
   }
 }
 
@@ -392,9 +396,12 @@ object PqIndex {
       2654435761L, lit(4294967296L))
     val probes = corpus.select(col(idCol), col(vecCol))
       .orderBy(sampleKey, col(idCol)).limit(2 * nProbeVecs)
-    val truth = VectorSearch.knnJoinWindow(probes, idCol, vecCol,
-        corpus, idCol, vecCol, k)
-      .select(col("probe_id"), col(idCol)).localCheckpoint()
+    val truthP = graft.operators.Pinned.checkpoint(
+      VectorSearch.knnJoinWindow(probes, idCol, vecCol,
+          corpus, idCol, vecCol, k)
+        .select(col("probe_id"), col(idCol)))
+    val truth = truthP.df
+    try {
     val all = probes.collect().map(r => r.get(0) -> r.getSeq[Float](1).toArray)
     val (tunePvs, holdPvs) = all.zipWithIndex.partition(_._2 % 2 == 0) match {
       case (t, h) => (t.map(_._1), h.map(_._1))
@@ -427,6 +434,7 @@ object PqIndex {
       s"no shortlist reaches recall@$k >= $target on held-out probes " +
         "(codebook too coarse); measured: " + measured.map { case (sl, r) =>
           s"$sl->${"%.4f".format(r)}" }.mkString(", "))
+    } finally truthP.release() // result is a driver ServePoint
   }
 
   /** Mean squared reconstruction error of the codebook over a corpus —

@@ -232,9 +232,21 @@ object IvfPqSearcher {
 final class HnswSearcher(graphs: DataFrame, ef: Int = HnswSearcher.Auto,
                          point: Option[ServePoint] = None)
     extends VectorSearcher {
+  // served corpus size = Σ per-segment node counts (one cheap aggregate
+  // over the numSegments-row graph table; touched only on the tuned
+  // auto path)
+  private lazy val servedN: Long =
+    graphs.agg(coalesce(sum(size(col("ids"))), lit(0L)).cast("long"))
+      .head().getLong(0)
+  // ef rides the ServePoint shortlist field and gets the same linear
+  // scaledTo extrapolation as the PQ shortlists: a point tuned at
+  // build-time corpusN must never serve a GROWN graph with the stale
+  // ef (tuneServe's "never shrinks" promise — conservative for HNSW,
+  // whose ef requirement grows sub-linearly)
   private def resolvedEf: Int =
     if (ef != HnswSearcher.Auto) ef
-    else point.map(_.nprobe).getOrElse(64)
+    else point.map(p => math.max(1, p.scaledTo(math.max(servedN, 1L)).shortlist))
+      .getOrElse(64)
 
   override def topK(corpus: DataFrame, vecCol: String, idCol: String,
                     probe: Array[Float], k: Int): DataFrame = {
@@ -266,13 +278,16 @@ final class HnswSearcher(graphs: DataFrame, ef: Int = HnswSearcher.Auto,
     val maxFetch = 1 << 24
     var fetch = math.min(4 * k, maxFetch)
     while (true) {
-      // checkpoint the walk result: each round counts it AND joins it,
-      // and the returned frame is re-evaluated by the caller — without
-      // truncation the graph walk would run 3× per round
-      val hits = HnswIndex.search(graphs, probe, fetch,
-        math.max(resolvedEf, 2 * fetch))
-        .withColumnRenamed("vec_id", "__hnsw_id")
-        .localCheckpoint()
+      // tracked checkpoint of the walk result: each round counts it AND
+      // joins it, and the returned frame is re-evaluated by the caller —
+      // without truncation the graph walk would run 3× per round. A
+      // round that widens RELEASES its blocks before the next walk
+      // (only the returned round's hits stay pinned, for the caller;
+      // the harness sweep frees those — see graft.operators.Pinned)
+      val hitsP = graft.operators.Pinned.checkpoint(
+        HnswIndex.search(graphs, probe, fetch, math.max(resolvedEf, 2 * fetch))
+          .withColumnRenamed("vec_id", "__hnsw_id"))
+      val hits = hitsP.df
       val walked = hits.count()
       val joined = filtered
         .join(broadcast(hits), col(idCol).cast("long") === col("__hnsw_id"))
@@ -280,6 +295,7 @@ final class HnswSearcher(graphs: DataFrame, ef: Int = HnswSearcher.Auto,
         .orderBy(col("sim").desc, col(idCol))
         .limit(k)
       if (joined.count() >= k || walked < fetch || fetch >= maxFetch) return joined
+      hitsP.release()
       fetch = math.min(fetch * 4, maxFetch)
     }
     sys.error("unreachable")

@@ -130,10 +130,16 @@ object IncrementalView {
     val merged = incremental.unionByName(recomputed)
     // a group emptied by the epoch has no merged row -> leaves the view
     // through the KEYED anti-join delete (keys never visit the driver)
-    val vanished = cur.join(broadcast(merged.select(col(groupCol))),
-      Seq(groupCol), "left_anti").select(col(groupCol)).localCheckpoint()
-    state.upsert(stateTable, merged, keys = Seq(groupCol))
-    if (!vanished.isEmpty) state.delete(stateTable, vanished, Seq(groupCol))
+    val vanishedP = graft.operators.Pinned.checkpoint(
+      cur.join(broadcast(merged.select(col(groupCol))),
+        Seq(groupCol), "left_anti").select(col(groupCol)))
+    try {
+      state.upsert(stateTable, merged, keys = Seq(groupCol))
+      if (!vanishedP.df.isEmpty)
+        state.delete(stateTable, vanishedP.df, Seq(groupCol))
+      // tracked release: a long-running sync otherwise pins one vanished
+      // snapshot per epoch forever (Dataset.unpersist can't free it)
+    } finally vanishedP.release()
     feed.unpersist()
     ()
   }

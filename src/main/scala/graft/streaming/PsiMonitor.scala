@@ -55,27 +55,51 @@ object PsiMonitor {
                  refCells: Map[Int, Long], valueCol: String,
                  alertAbove: Double): Unit = {
     val spark = batch.sparkSession
-    val counts = batch.select(col(valueCol).cast("long").as("__v"))
+    // ONE pass over the micro-batch: the grid-bounded bin counts land on
+    // the driver (≤ bins+2 rows) and feed the ledger upsert, the batch
+    // PSI, and n without re-scanning the batch (the old shape scanned it
+    // three times) — and make the all-NULL-batch case a plain isEmpty
+    // check instead of an ANSI DIVIDE_BY_ZERO that would wedge the
+    // checkpoint replaying the same batch forever
+    val cells = batch.select(col(valueCol).cast("long").as("__v"))
       .filter(col("__v").isNotNull)
       .select(Drift.psiBin(edges).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("o"))
-      .select(lit(bid).as("batch_id"), col("bin"), col("o"))
-    if (store.exists(ledgerTable))
-      store.upsert(ledgerTable, counts, Seq("batch_id", "bin"))
-    else store.create(ledgerTable, counts)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val n = cells.map(_._2).sum
+    if (cells.nonEmpty) {
+      val counts = spark.createDataFrame(cells).toDF("bin", "o")
+        .select(lit(bid).as("batch_id"), col("bin"), col("o"))
+      if (store.exists(ledgerTable))
+        store.upsert(ledgerTable, counts, Seq("batch_id", "bin"))
+      else store.create(ledgerTable, counts)
+    }
     val refDf = spark.createDataFrame(refCells.toSeq.sortBy(_._1))
       .toDF("bin", "n_ref")
     def verdictOf(cur: DataFrame) = Drift.psiFromCells(
       refDf.join(cur, Seq("bin"), "full")
         .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
           coalesce(col("n_cur"), lit(0L)).as("n_cur")))
-    val batchPsi = verdictOf(counts.select(col("bin"), col("o").as("n_cur")))
       .agg(max(col("psi"))).head().getDouble(0)
-    val cumPsi = verdictOf(
+    // a batch with zero non-NULL values carries no distribution — PSI
+    // against it is undefined; record the observation (n_batch=0,
+    // psi_batch=0, no alert) instead of crashing, and leave the ledger
+    // untouched so the cumulative number is unchanged
+    val batchPsi =
+      if (cells.isEmpty) 0.0
+      else verdictOf(spark.createDataFrame(cells).toDF("bin", "n_cur"))
+    // cumulative cells are ledger-grid-bounded; collected so an empty
+    // cumulative window (replaying an empty first batch) is a plain
+    // check, not a zero-total division
+    val cumCells =
+      if (store.exists(ledgerTable))
         store.read(ledgerTable).filter(col("batch_id") <= bid)
-          .groupBy(col("bin")).agg(sum(col("o")).as("n_cur")))
-      .agg(max(col("psi"))).head().getDouble(0)
-    val n = counts.agg(sum(col("o"))).head().getLong(0)
+          .groupBy(col("bin")).agg(sum(col("o")).as("n_cur"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
+      else Seq.empty
+    val cumPsi =
+      if (cumCells.isEmpty) 0.0
+      else verdictOf(spark.createDataFrame(cumCells).toDF("bin", "n_cur"))
     val verdict = spark.createDataFrame(Seq(
         (bid, n, batchPsi, cumPsi, batchPsi > alertAbove)))
       .toDF("batch_id", "n_batch", "psi_batch", "psi_cum", "alert")

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{KeywordRank, Spectral, TrendTests}
+
+/** Pinned-block hygiene — the r13 finding: one operator leaking its
+  * `localCheckpoint` blocks inflated every OTHER query sharing the JVM
+  * by 18-31% (the entire apparent BENCH_r13 regression). Operators that
+  * pin intermediates and return driver-materialized results must release
+  * their blocks before returning; index builders must release on
+  * `close()`. These tests are the tripwire: a future checkpoint added
+  * without a try/finally fails here, not in the round's bench artifact. */
+class LeakHygieneSpec extends AnyFunSuite with SparkSuite {
+
+  import spark.implicits._
+
+  private def sweep(): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+  private def pinned: Int = spark.sparkContext.getPersistentRDDs.size
+
+  test("Spectral.topComponent releases its checkpointed projection") {
+    sweep()
+    val df = (0 until 64)
+      .map(i => Tuple1(Array(i.toFloat, (i % 7).toFloat, 1.0f).toSeq))
+      .toDF("vec")
+    val res = Spectral.topComponent(df, "vec", iters = 3)
+    assert(res.count() == 3)
+    assert(pinned == 0, "topComponent left persistent RDDs pinned")
+  }
+
+  test("TrendTests.theilSen releases its checkpointed grid + histogram") {
+    sweep()
+    val df = (1 to 40).map(i => (i.toLong, i * 2.0 + (i % 3))).toDF("t", "v")
+    val res = TrendTests.theilSen(df, "t", "v")
+    assert(res.count() == 1)
+    assert(pinned == 0, "theilSen left persistent RDDs pinned")
+  }
+
+  test("KeywordRank index close() releases tf+lens; gate pattern leaves only the result") {
+    sweep()
+    val docs = Seq((1L, "alpha beta beta"), (2L, "beta gamma"), (3L, "alpha"))
+      .toDF("doc_id", "text")
+    val idx = KeywordRank.buildIndex(docs, "doc_id", "text")
+    assert(KeywordRank.tfidfIndexed(idx, topK = 2).count() > 0)
+    assert(pinned > 0, "index should pin tf/lens while open")
+    idx.close()
+    assert(pinned == 0, "close() must release the index blocks")
+  }
+
+  test("the q65/q66 gate shape pins at most its own result checkpoint") {
+    sweep()
+    val res = SparkEntry.queries("q65_tfidf")(spark, sf)
+    assert(res.count() > 0)
+    // the index (tf + lens = 2 blocks) must be closed; only the gate's
+    // own eagerly-evaluated result checkpoint may survive, and the
+    // harness sweep releases that
+    assert(pinned <= 1,
+      s"q65 gate left $pinned persistent RDDs — index not closed")
+    sweep()
+    assert(pinned == 0)
+  }
+}
