@@ -69,6 +69,10 @@ object ChangePoint {
     def pin(x: Double): java.math.BigDecimal = // 6-dp exact re-entry
       new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
     val k = pin(sd * kSigma); val h = pin(sd * hSigma)
+    // CONTRACT: unpartitioned running window — sound ONLY because the
+    // input is the calendar-bounded grid (one row per time position),
+    // never corpus rows; a corpus-scale caller must pre-aggregate to
+    // the grid first (the Seasonal idiom)
     val wc = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val monitored = g.filter(col("t") >= t0 + refLen)

@@ -73,8 +73,10 @@ object Correlation {
   def spearmanRho(df: DataFrame, tCol: String, xCol: String,
                   yCol: String): DataFrame = {
     val g = grid(df, tCol, xCol, yCol)
-    // 2-scaled average rank: 2·rank + |ties| − 1 (exact BIGINT); the
-    // unpartitioned windows run on the calendar-bounded grid
+    // 2-scaled average rank: 2·rank + |ties| − 1 (exact BIGINT).
+    // CONTRACT: the unpartitioned rank windows are sound ONLY on the
+    // calendar-bounded grid (one row per time position) — corpus-scale
+    // callers must pre-aggregate to the grid first
     def rank2(c: String): org.apache.spark.sql.Column =
       (rank().over(Window.orderBy(col(c))) * 2 +
         count(lit(1)).over(Window.partitionBy(col(c))) - 1).cast("long")

@@ -130,7 +130,8 @@ object TrendTests {
     * bucket the cumsum by high bits first (the [[ExactQuantile]]
     * construction). */
   private[operators] val MaxMedianHistBuckets: Long = 1L << 22
-  private def medianByTwoPhase(vals: DataFrame, c: String, p: Long): Double = {
+  private[operators] def medianByTwoPhase(vals: DataFrame, c: String, p: Long,
+      maxBuckets: Long = MaxMedianHistBuckets): Double = {
     val r1 = (p + 1) / 2; val r2 = p / 2 + 1
     val keyed = vals.select(col(c).as("__v"),
       floor(col(c) * (1L << 20)).cast("long").as("__b"))
@@ -141,9 +142,9 @@ object TrendTests {
     val hist = pinnedH.df
     try {
     val nb = hist.count()
-    require(nb <= MaxMedianHistBuckets,
+    require(nb <= maxBuckets,
       s"medianByTwoPhase: $nb distinct prekey buckets exceeds the " +
-        s"grid-bounded contract ($MaxMedianHistBuckets); the phase-1 " +
+        s"grid-bounded contract ($maxBuckets); the phase-1 " +
         "rank window is single-partition by design — bucket the input " +
         "by high bits (ExactQuantile-style) before taking its median")
     val wb = Window.orderBy(col("__b"))

@@ -76,6 +76,16 @@ class TrendTestsSpec extends AnyFunSuite with SparkSuite {
       s"slope=${r.getAs[Double]("slope")}")
   }
 
+  test("medianByTwoPhase refuses inputs past the grid-bounded contract") {
+    val vals = Seq(0.25, 1.5, 7.75).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      TrendTests.medianByTwoPhase(vals, "v", 3L, maxBuckets = 2)
+    }
+    assert(e.getMessage.contains("grid-bounded contract"))
+    // within the bound the exact median comes back
+    assert(TrendTests.medianByTwoPhase(vals, "v", 3L) == 1.5)
+  }
+
   test("theilSen on the real hourly series matches the naive median") {
     import org.apache.spark.sql.functions._
     val g = graft.Tables.t(spark, sf, "events").filter(col("ts").isNotNull)
