@@ -257,7 +257,32 @@ object ScaleSmoke {
       // r13 streaming monitors: per-trigger cost must track the BATCH
       // (the q208/q118 sink contract) — batches ×10 through
       // digit-grid- / bin-grid-sized state
-      "q261_streaming_benford", "q272_streaming_psi")
+      "q261_streaming_benford", "q272_streaming_psi",
+      // r14: the remaining r13 additions' empirical 10× rows. The
+      // calibration/eval family (q245/q266) scores embeddings ×10 then
+      // runs on the bins/decile grid; the trend family
+      // (q252/q256/q257/q258) folds events ×10 onto the CALENDAR
+      // hourly grid in one aggregate; the experiment family
+      // (q247/q254/q255/q259/q273/q274) is per-user/one-row aggregates
+      // over events ×10; the audit family (q248 digit grid, q249
+      // annotator cells, q251 shard grid, q265 item moments, q275
+      // source masses) reduces to fixed grids after one scan; the
+      // trained models (q262 lineitem moments, q268 lag pairs,
+      // q270/q271 items² matrices) reduce to bounded sufficient
+      // statistics; q276 composes stump+isotonic+gains end-to-end
+      "q245_isotonic_calibration", "q247_cuped_lift", "q248_benford_audit",
+      "q249_krippendorff_alpha", "q251_rendezvous_shards",
+      "q252_mann_kendall", "q254_did_lift", "q255_simpson_audit",
+      "q256_cusum_drift", "q257_kendall_taub", "q258_spearman_rho",
+      "q259_stratified_ate", "q262_ols2_vif", "q265_cronbach_alpha",
+      "q266_lift_gains", "q268_sequence_support", "q270_bradley_terry",
+      "q271_bt_fit_audit", "q273_srm_audit", "q274_two_proportion_z",
+      "q275_hhi_concentration", "q276_model_pipeline",
+      // r14 additions: q277/q278 ride the wordcount shuffle over the
+      // RELABELED corpus (vocab ×10 — the q137/q164 adversarial case;
+      // q277's fit then runs on the top-N slice, q278's attribution on
+      // the joined vocab); q279 is a per-source aggregate (groups fixed)
+      "q277_zipf_fit", "q278_vocab_jsd", "q279_mixture_entropy")
     val qmap = SparkEntry.queries
     // Local-iteration filter (the Verify/Bench idiom): SPARK_GRAFT_ONLY
     // runs only matching smoke queries — new rows don't force re-paying
@@ -267,6 +292,10 @@ object ScaleSmoke {
     qmap("q01_agg_pricing")(spark, outDir).count() // warm-up: codegen/JIT
     val results = picked.map { name =>
       spark.catalog.clearCache()
+      // sweep leaked checkpoint blocks between queries (the Bench/Verify
+      // pollution tripwire discipline)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       val rows = try qmap(name)(spark, outDir).count()
       catch { case e: Throwable =>

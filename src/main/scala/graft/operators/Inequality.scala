@@ -76,4 +76,43 @@ object Inequality {
         round(lit(1.0) / col("__hhi"), 6).as("effective_n"))
       .orderBy(col(groupCol))
   }
+
+  /** Shannon entropy of the group mass distribution — the diversity
+    * complement to [[hhi]] (Shannon 1948; Jost 2006 for the
+    * effective-number reading): H = −Σ share·ln(share), evenness =
+    * H / ln(k) (Pielou 1966; NULL for a single group, where the ratio
+    * is 0/0), effective_n = exp(H) (the "how many equally-sized
+    * sources is this mix worth" number — exp(H) ≥ 1/HHI always, the
+    * Hill-number ordering). A curator targeting a data mixture watches
+    * evenness: 1.0 is a perfectly balanced mix, → 0 is single-source
+    * collapse.
+    *
+    * Per group: (group, mass, share, entropy, evenness, effective_n)
+    * with the distribution constants repeated. Same exactness rules as
+    * [[hhi]]: exact BIGINT masses, shares one division each, the
+    * entropy folds group terms in group order (groups-grid-bounded). */
+  def entropy(df: DataFrame, groupCol: String, massCol: String): DataFrame = {
+    val m = df.groupBy(col(groupCol).as("__g"))
+      .agg(sum(col(massCol).cast("long")).as("mass"))
+    val tot = m.agg(sum(col("mass")).as("__t"), count(lit(1)).as("__k"))
+    val withT = m.crossJoin(broadcast(tot))
+    val h = withT.agg(aggregate(
+      transform(array_sort(collect_list(struct(
+        col("__g").cast("string").as("g"),
+        when(col("mass") > 0,
+          -(col("mass").cast("double") / col("__t")) *
+            log(col("mass").cast("double") / col("__t")))
+          .otherwise(lit(0.0)).as("v")))),
+        s => s.getField("v")),
+      lit(0.0), (acc, x) => acc + x).as("__h"))
+    withT.crossJoin(broadcast(h))
+      .select(col("__g").as(groupCol), col("mass"),
+        round(col("mass").cast("double") / col("__t"), 6).as("share"),
+        round(col("__h"), 6).as("entropy"),
+        when(col("__k") > 1,
+          round(col("__h") / log(col("__k").cast("double")), 6))
+          .as("evenness"),
+        round(exp(col("__h")), 6).as("effective_n"))
+      .orderBy(col(groupCol))
+  }
 }

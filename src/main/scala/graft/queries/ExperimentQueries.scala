@@ -6,7 +6,7 @@ import graft.Tables.t
 import graft.operators.{Anomaly, Benford, BradleyTerry, ChangePoint,
   Correlation, Drift, Experiments, FeatureSelect, Inequality, Isotonic,
   LiftCurve, NaiveBayes, Rake, Regression, Reliability, Sequences, Sharding,
-  Spectral, Stump, TrendTests}
+  Spectral, Stump, TrendTests, VocabStats}
 
 /** Round-13 experiment-analysis / audit extensions (q245–q255): score
   * calibration FIX (isotonic PAV), mutual-information feature
@@ -1737,6 +1737,103 @@ object ExperimentQueries extends QuerySet {
       |  (w.rl >= w.rr) AS gate_keep_left
       |FROM gains gg, win w ORDER BY gg.decile""".stripMargin
 
+  /** Zipf rank-frequency fit over the document corpus —
+    * [[VocabStats.zipfFit]]: natural text slopes ≈ −1 on the log-log
+    * head; the gate pins the OLS close (decimal-exact sums, shared
+    * double-domain finish). */
+  private def q277(s: SparkSession, d: String): DataFrame =
+    VocabStats.zipfFit(t(s, d, "documents"), "text", topN = 1000)
+
+  private val q277Sql =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT term, COUNT(*) AS f FROM tok GROUP BY term),
+      |top AS (SELECT term, f FROM tf ORDER BY f DESC, term LIMIT 1000),
+      |ranked AS (
+      |  SELECT f, row_number() OVER (ORDER BY f DESC, term) AS r FROM top),
+      |pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+      |        FROM ranked),
+      |s AS (SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+      |  CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+      |  CAST(SUM(CAST(x*y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+      |  CAST(SUM(CAST(x*x AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+      |  CAST(SUM(CAST(y*y AS DECIMAL(28,12))) AS DOUBLE) AS syy
+      |  FROM pts)
+      |SELECT n AS n_terms,
+      |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+      |  round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6)
+      |    AS intercept,
+      |  round((n*sxy - sx*sy) * (n*sxy - sx*sy)
+      |    / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+      |FROM s""".stripMargin
+
+  /** Jensen–Shannon vocabulary divergence between even/odd document
+    * halves (the q267 split) — [[VocabStats.jsDivergence]] with
+    * per-term attribution; the folded JSD closes through the exact
+    * decimal accumulator. */
+  private def q278(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    VocabStats.jsDivergence(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "text", topContrib = 20)
+  }
+
+  private val q278Sql =
+    """WITH ref AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |cur AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |fr AS (SELECT term, COUNT(*) AS n_ref FROM ref GROUP BY term),
+      |fc AS (SELECT term, COUNT(*) AS n_cur FROM cur GROUP BY term),
+      |j AS (
+      |  SELECT coalesce(fr.term, fc.term) AS term,
+      |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+      |  FROM fr FULL JOIN fc ON fr.term = fc.term),
+      |t AS (SELECT CAST(SUM(n_ref) AS DOUBLE) AS tr,
+      |             CAST(SUM(n_cur) AS DOUBLE) AS tc FROM j),
+      |c AS (
+      |  SELECT term, n_ref, n_cur,
+      |    CAST(n_ref AS DOUBLE) / t.tr AS p,
+      |    CAST(n_cur AS DOUBLE) / t.tc AS q
+      |  FROM j, t),
+      |c2 AS (
+      |  SELECT term, n_ref, n_cur, p, q,
+      |    0.5 * ((CASE WHEN p > 0 THEN p * ln(2.0*p/(p+q)) ELSE 0.0 END)
+      |      + (CASE WHEN q > 0 THEN q * ln(2.0*q/(p+q)) ELSE 0.0 END))
+      |      AS contrib
+      |  FROM c),
+      |s AS (SELECT CAST(SUM(CAST(contrib AS DECIMAL(28,12))) AS DOUBLE)
+      |        AS jsd FROM c2)
+      |SELECT term, n_ref, n_cur, round(p, 6) AS p_ref, round(q, 6) AS p_cur,
+      |  round(contrib, 9) AS contrib, round(s.jsd, 6) AS jsd
+      |FROM c2, s ORDER BY round(contrib, 9) DESC, term LIMIT 20""".stripMargin
+
+  /** Shannon entropy / evenness / effective source count of the corpus
+    * source mix — [[Inequality.entropy]], the diversity complement to
+    * q275's HHI on the same masses. */
+  private def q279(s: SparkSession, d: String): DataFrame =
+    Inequality.entropy(t(s, d, "documents"), "source", "n_chars")
+
+  private val q279Sql =
+    """WITH m AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass
+      |           FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(mass) AS BIGINT) AS t, COUNT(*) AS k FROM m),
+      |h AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list(CASE WHEN mass > 0 THEN
+      |        -(CAST(mass AS DOUBLE) / t) * ln(CAST(mass AS DOUBLE) / t)
+      |      ELSE 0.0 END ORDER BY source)),
+      |  (a, b) -> a + b) AS ent FROM m, tot GROUP BY t)
+      |SELECT m.source, m.mass,
+      |  round(CAST(m.mass AS DOUBLE) / tot.t, 6) AS share,
+      |  round(h.ent, 6) AS entropy,
+      |  CASE WHEN tot.k > 1
+      |    THEN round(h.ent / ln(CAST(tot.k AS DOUBLE)), 6) END AS evenness,
+      |  round(exp(h.ent), 6) AS effective_n
+      |FROM m, tot, h ORDER BY m.source""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q245_isotonic_calibration", q245, Some(q245Sql)),
     Q("q246_mutual_info", q246, Some(q246Sql)),
@@ -1769,5 +1866,8 @@ object ExperimentQueries extends QuerySet {
     Q("q273_srm_audit", q273, Some(q273Sql)),
     Q("q274_two_proportion_z", q274, Some(q274Sql)),
     Q("q275_hhi_concentration", q275, Some(q275Sql)),
-    Q("q276_model_pipeline", q276, Some(q276Sql), headline = true))
+    Q("q276_model_pipeline", q276, Some(q276Sql), headline = true),
+    Q("q277_zipf_fit", q277, Some(q277Sql)),
+    Q("q278_vocab_jsd", q278, Some(q278Sql)),
+    Q("q279_mixture_entropy", q279, Some(q279Sql)))
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+class VocabStatsSpec extends AnyFunSuite with SparkSuite {
+
+  import spark.implicits._
+
+  test("zipfFit recovers slope -1 on an exactly Zipfian corpus") {
+    // term tNN appears floor(1200 / rank) times: f = C/r ⇒ ln f =
+    // ln C − ln r, so the OLS slope is ≈ −1 with r2 ≈ 1 (floor()
+    // quantization is the only deviation)
+    val words = (1 to 40).flatMap(r => Seq.fill(1200 / r)(f"t$r%02d"))
+    val df = Seq(words.mkString(" ")).toDF("text")
+    val row = VocabStats.zipfFit(df, "text", topN = 40).head()
+    assert(row.getAs[Long]("n_terms") == 40)
+    assert(math.abs(row.getAs[Double]("slope") + 1.0) < 0.02,
+      s"slope=${row.getAs[Double]("slope")}")
+    assert(row.getAs[Double]("r2") > 0.999)
+  }
+
+  test("zipfFit: a flat (un-Zipfian) corpus slopes near 0") {
+    val words = (1 to 30).flatMap(r => Seq.fill(50)(f"u$r%02d"))
+    val row = VocabStats.zipfFit(Seq(words.mkString(" ")).toDF("text"),
+      "text", topN = 30).head()
+    assert(math.abs(row.getAs[Double]("slope")) < 1e-9)
+  }
+
+  test("jsDivergence: identical corpora diverge 0; disjoint vocab ln 2") {
+    val a = Seq("alpha beta beta gamma", "delta alpha").toDF("text")
+    val same = VocabStats.jsDivergence(a, a, "text").head()
+    assert(same.getAs[Double]("jsd") == 0.0)
+    val b = Seq("zeta eta eta theta", "iota zeta").toDF("text")
+    val disj = VocabStats.jsDivergence(a, b, "text").head()
+    assert(math.abs(disj.getAs[Double]("jsd") - math.log(2.0)) < 1e-5,
+      s"jsd=${disj.getAs[Double]("jsd")}")
+  }
+
+  test("jsDivergence attribution: the term that moved leads") {
+    // identical mixes except 'shift' dominates cur
+    val a = Seq("x y z").toDF("text")
+    val b = Seq("x y z shift shift shift shift shift").toDF("text")
+    val top = VocabStats.jsDivergence(a, b, "text", topContrib = 1).head()
+    assert(top.getAs[String]("term") == "shift")
+    assert(top.getAs[Long]("n_ref") == 0 && top.getAs[Long]("n_cur") == 5)
+  }
+
+  test("entropy: uniform mix is perfectly even; single group degenerates") {
+    val u = Seq(("a", 10L), ("b", 10L), ("c", 10L), ("d", 10L))
+      .toDF("src", "mass")
+    val r = Inequality.entropy(u, "src", "mass").collect()
+    assert(r.length == 4)
+    assert(r.forall(_.getAs[Double]("evenness") == 1.0))
+    assert(r.forall(_.getAs[Double]("effective_n") == 4.0))
+    assert(r.forall(_.getAs[Double]("share") == 0.25))
+    val one = Inequality.entropy(Seq(("a", 7L)).toDF("src", "mass"),
+      "src", "mass").head()
+    assert(one.getAs[Double]("entropy") == 0.0)
+    assert(one.isNullAt(one.fieldIndex("evenness")))
+    assert(one.getAs[Double]("effective_n") == 1.0)
+  }
+
+  test("entropy's effective_n dominates HHI's (Hill-number ordering)") {
+    val skew = Seq(("a", 70L), ("b", 20L), ("c", 9L), ("d", 1L))
+      .toDF("src", "mass")
+    val e = Inequality.entropy(skew, "src", "mass").head()
+      .getAs[Double]("effective_n")
+    val h = Inequality.hhi(skew, "src", "mass").head()
+      .getAs[Double]("effective_n")
+    assert(e >= h, s"exp(H)=$e < 1/HHI=$h")
+  }
+}
