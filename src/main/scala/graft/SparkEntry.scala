@@ -15,7 +15,8 @@ object SparkEntry {
 
   def querySets: Seq[QuerySet] =
     Seq(Relational, AdvancedQueries, VectorQueries, TextQueries, RagQueries,
-      RankingQueries, StreamingQueries, CurationQueries, ExperimentQueries)
+      RankingQueries, StreamingQueries, CurationQueries, ExperimentQueries,
+      PipelineQueries)
 
   private lazy val all: Seq[Q] = querySets.flatMap(_.queries)
 

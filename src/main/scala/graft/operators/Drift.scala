@@ -251,6 +251,74 @@ object Drift {
       acc + when(col("__v") > e, 1).otherwise(0)
     }
 
+  /** Exact 1-Wasserstein (earth-mover) distance between two integer
+    * distributions — the drift metric PSI/KS cannot substitute for: KS
+    * reports the worst single gap and PSI the log-ratio of bin masses,
+    * but only W₁ = ∫|F_ref − F_cur| answers "HOW FAR did the mass
+    * move, in the value's own units" (a 1-token shift of every
+    * document and a 1000-token shift of every document have the same
+    * KS; their W₁ differs 1000×). Reference: Villani, Optimal
+    * Transport (2009) §1 — on ℝ¹, W₁ = Σᵢ |CDF_ref(vᵢ) − CDF_cur(vᵢ)|
+    * · (vᵢ₊₁ − vᵢ) over the merged distinct-value grid.
+    *
+    * Exactness: with nr = |ref| and nc = |cur|, each grid term is the
+    * INTEGER |cum_ref·nc − cum_cur·nr| · gap accumulated in
+    * DECIMAL(38,0); the single closing division by nr·nc (and the
+    * support-width normalisation) are the only floating point — the
+    * result is bit-stable on any partitioning and SQL-replayable.
+    *
+    * Scale shape: one map-side-combined aggregate onto the DISTINCT
+    * VALUE grid (integer-scaled metrics: n_chars, token counts, cents
+    * — domain-bounded, not corpus-bounded), then the cumsum window on
+    * that grid. The grid contract is the medianByTwoPhase discipline:
+    * a loud require caps it at 2²² cells — callers with wider domains
+    * pre-bucket (e.g. `floor(v/scale)`), which keeps W₁ exact up to
+    * the bucket width. Output: one row (n_ref, n_cur, lo, hi, w1,
+    * w1_norm). */
+  def wasserstein1(ref: DataFrame, cur: DataFrame,
+                   valueCol: String): DataFrame = {
+    val rv = ref.select(col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+    val cv = cur.select(col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+    val cells = rv.select(col("__v"), lit(1L).as("__r"), lit(0L).as("__c"))
+      .unionByName(cv.select(col("__v"), lit(0L).as("__r"),
+        lit(1L).as("__c")))
+      .groupBy(col("__v"))
+      .agg(sum(col("__r")).as("__nr"), sum(col("__c")).as("__nc"))
+    val grid = cells.count()
+    require(grid >= 1, "wasserstein1: both samples are empty")
+    require(grid <= (1 << 22),
+      s"wasserstein1: $grid distinct values exceeds the 2^22 grid bound " +
+        "— pre-bucket the value column (floor(v/scale)) first")
+    val w = Window.orderBy(col("__v")) // grid-bounded by the require above
+    val terms = cells
+      .withColumn("__cr", sum(col("__nr")).over(w))
+      .withColumn("__cc", sum(col("__nc")).over(w))
+      .withColumn("__gap", coalesce(
+        lead(col("__v"), 1).over(w) - col("__v"), lit(0L)))
+    // numerator Σ |cr·nc − cc·nr|·gap needs the totals first: two-pass
+    // (totals come off the windowless cell table, not the window branch)
+    val nrc = cells.agg(sum(col("__nr")).as("__tnr"),
+      sum(col("__nc")).as("__tnc"),
+      min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    terms.crossJoin(broadcast(nrc))
+      .agg(max(col("__tnr")).as("n_ref"), max(col("__tnc")).as("n_cur"),
+        max(col("__lo")).as("lo"), max(col("__hi")).as("hi"),
+        sum((abs(col("__cr").cast("decimal(38,0)") * col("__tnc") -
+          col("__cc").cast("decimal(38,0)") * col("__tnr")) *
+          col("__gap")).cast("decimal(38,0)")).as("__num"))
+      .select(col("n_ref"), col("n_cur"), col("lo"), col("hi"),
+        round(col("__num").cast("double") /
+          (col("n_ref").cast("double") * col("n_cur").cast("double")), 6)
+          .as("w1"),
+        when(col("hi") > col("lo"),
+          round(col("__num").cast("double") /
+            (col("n_ref").cast("double") * col("n_cur").cast("double") *
+              (col("hi") - col("lo")).cast("double")), 6))
+          .as("w1_norm"))
+  }
+
   /** PSI from a (bin, n_ref, n_cur) cell table — the serve face shared
     * by the batch audit and the streaming monitor's ledger state. */
   def psiFromCells(cells: DataFrame): DataFrame = {

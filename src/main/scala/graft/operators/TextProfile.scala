@@ -64,4 +64,46 @@ object TextProfile {
         sum(col("__v")).over(w).as("vocab"))
       .orderBy(col("level"))
   }
+
+  /** Script-mix audit per group — the encoding-hygiene scalar the
+    * lang-id heuristic (q44) cannot give: per source, what FRACTION of
+    * characters are Latin letters, digits, whitespace, Cyrillic, CJK,
+    * or other (the mojibake/markup bucket). A "English" feed whose
+    * other-ratio climbs is emitting broken encodings or HTML entities;
+    * a lang=zh source with cjk_ratio near 0 is mislabeled — both are
+    * admission-filter signals upstream of any tokenizer.
+    *
+    * Character classes use EXPLICIT codepoint ranges (`[A-Za-z]`,
+    * `[0-9]`, `[ \t\n\r]`, `[Ѐ-ӿ]`, `[一-鿿]`) so
+    * Java regex and RE2 count identically — no \p{...} property
+    * classes, whose tables differ across engines.
+    *
+    * Exactness: per-document counts are integers summed as BIGINTs;
+    * the ratios are single closing divisions, 6-dp. One map-side
+    * combined aggregate; the counters are codegen string expressions
+    * evaluated in place (characters never leave their task). */
+  def scriptMix(df: DataFrame, groupCol: String,
+                textCol: String): DataFrame = {
+    def cnt(pattern: String) =
+      sum(regexp_count(col(textCol), lit(pattern)).cast("long"))
+    val chars = sum(length(col(textCol)).cast("long"))
+    def ratio(c: org.apache.spark.sql.Column) =
+      round(c.cast("double") / col("chars").cast("double"), 6)
+    df.filter(col(textCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), chars.as("chars"),
+        cnt("[A-Za-z]").as("__lat"), cnt("[0-9]").as("__dig"),
+        cnt("[ \\t\\n\\r]").as("__sp"), cnt("[Ѐ-ӿ]").as("__cyr"),
+        cnt("[一-鿿]").as("__cjk"))
+      .filter(col("chars") > 0)
+      .select(col(groupCol), col("n_docs"), col("chars"),
+        ratio(col("__lat")).as("latin_ratio"),
+        ratio(col("__dig")).as("digit_ratio"),
+        ratio(col("__sp")).as("space_ratio"),
+        ratio(col("__cyr")).as("cyrillic_ratio"),
+        ratio(col("__cjk")).as("cjk_ratio"),
+        ratio(col("chars") - col("__lat") - col("__dig") - col("__sp") -
+          col("__cyr") - col("__cjk")).as("other_ratio"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -118,4 +118,41 @@ object VocabStats {
       .orderBy(round(col("contrib"), 9).desc, col("term"))
       .limit(topContrib)
   }
+
+  /** Lexical-diversity audit per group — the vocabulary-richness
+    * complement to [[zipfFit]]'s shape test: type-token ratio and its
+    * two length-corrected standards, root TTR (Guiraud 1954, R =
+    * V/√N) and Herdan's C (1960, C = ln V / ln N). Raw TTR collapses
+    * with corpus size (every new token repeats old types), so the
+    * corrected forms are what a curator trends: a feed whose Herdan C
+    * falls round-over-round is duplicating itself; one whose C jumps
+    * is injecting noise vocabulary (the q277/q278 signals at
+    * per-group granularity).
+    *
+    * Exactness: types and tokens are exact BIGINTs from one wordcount
+    * aggregate; the three ratios are single closing divisions, 6-dp.
+    *
+    * Scale shape: ONE (group, term) map-side-combined count (the
+    * wordcount cost class — vocab-bounded, not corpus-bounded) then a
+    * groups-bounded close. No windows, no driver work. */
+  def lexicalDiversity(df: DataFrame, groupCol: String,
+                       textCol: String): DataFrame = {
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("__g"), explode(
+        regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
+        .as("term"))
+    toks.groupBy(col("__g"), col("term"))
+      .agg(count(lit(1)).as("__f"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("types"), sum(col("__f")).as("tokens"))
+      .filter(col("tokens") > 1)
+      .select(col("__g").as(groupCol), col("types"), col("tokens"),
+        round(col("types").cast("double") / col("tokens").cast("double"), 6)
+          .as("ttr"),
+        round(col("types").cast("double") /
+          sqrt(col("tokens").cast("double")), 6).as("root_ttr"),
+        round(log(col("types").cast("double")) /
+          log(col("tokens").cast("double")), 6).as("herdan_c"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -134,4 +134,47 @@ class DriftSpec extends AnyFunSuite with SparkSuite {
       assert(got(g)._2 == num.toDouble / (xs.size.toLong * ys.size).toDouble)
     }
   }
+
+  private def w1(ref: Seq[Long], cur: Seq[Long]) = {
+    import spark.implicits._
+    val r = Drift.wasserstein1(ref.toDF("v"), cur.toDF("v"), "v").head()
+    (r.getLong(0), r.getLong(1), r.getDouble(4))
+  }
+
+  test("wasserstein1 hand-computed: half the mass moves 10 units") {
+    // ref = ½δ0 + ½δ10, cur = δ10 → W1 = ½·10 = 5
+    val (nr, nc, w) = w1(Seq(0L, 10L), Seq(10L))
+    assert(nr == 2 && nc == 1 && w == 5.0)
+  }
+
+  test("wasserstein1 is zero on identical distributions and shift-exact") {
+    assert(w1(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L))._3 == 0.0)
+    // whole distribution shifted by +7 → W1 = 7 regardless of shape
+    assert(w1(Seq(1L, 2L, 3L), Seq(8L, 9L, 10L))._3 == 7.0)
+  }
+
+  test("wasserstein1 matches brute-force CDF integral, any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val ref = Seq.fill(300)(rnd.nextInt(40).toLong)
+    val cur = Seq.fill(200)(rnd.nextInt(40).toLong + 5)
+    val got = Drift.wasserstein1(
+      ref.toDF("v").repartition(13), cur.toDF("v").repartition(7), "v")
+      .head().getDouble(4)
+    val grid = (ref ++ cur).distinct.sorted
+    val brute = grid.zip(grid.tail).map { case (v, nx) =>
+      math.abs(ref.count(_ <= v).toDouble / ref.size -
+        cur.count(_ <= v).toDouble / cur.size) * (nx - v)
+    }.sum
+    assert(math.abs(got - brute) < 1e-6)
+  }
+
+  test("wasserstein1 fails loudly on empty input") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      Drift.wasserstein1(Seq.empty[Long].toDF("v"),
+        Seq.empty[Long].toDF("v"), "v")
+    }
+    assert(e.getMessage.contains("empty"))
+  }
 }

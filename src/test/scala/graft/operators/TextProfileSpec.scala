@@ -44,4 +44,27 @@ class TextProfileSpec extends AnyFunSuite with SparkSuite {
     assert((a.getLong(1), a.getLong(2), a.getLong(3)) ==
       ((b.getLong(1), b.getLong(2), b.getLong(3))))
   }
+
+  test("scriptMix hand-computed ratios over explicit ranges") {
+    import spark.implicits._
+    // "Ab1 \u044f": latin 2, digit 1, space 1, cyrillic 1, chars 5
+    val r = TextProfile.scriptMix(
+      Seq(("g", "Ab1 \u044f")).toDF("src", "text"), "src", "text").head()
+    assert(r.getLong(2) == 5)
+    assert(r.getDouble(3) == 0.4 && r.getDouble(4) == 0.2 &&
+      r.getDouble(5) == 0.2 && r.getDouble(6) == 0.2 &&
+      r.getDouble(7) == 0.0 && r.getDouble(8) == 0.0)
+  }
+
+  test("scriptMix CJK and other buckets; ratios sum to one") {
+    import spark.implicits._
+    // "\u4e2d\u6587!" : cjk 2, other 1 (the '!')
+    val r = TextProfile.scriptMix(
+      Seq(("g", "\u4e2d\u6587!")).toDF("src", "text"), "src", "text").head()
+    assert(r.getLong(2) == 3)
+    assert(math.abs(r.getDouble(7) - 2.0 / 3.0) < 1e-6)
+    assert(math.abs(r.getDouble(8) - 1.0 / 3.0) < 1e-6)
+    val total = (3 to 8).map(r.getDouble).sum
+    assert(math.abs(total - 1.0) < 1e-5)
+  }
 }

@@ -70,4 +70,22 @@ class VocabStatsSpec extends AnyFunSuite with SparkSuite {
       .getAs[Double]("effective_n")
     assert(e >= h, s"exp(H)=$e < 1/HHI=$h")
   }
+
+  test("lexicalDiversity hand-computed TTR family") {
+    import spark.implicits._
+    val df = Seq(("s", "a b a"), ("s", "b c")).toDF("source", "text")
+    val r = VocabStats.lexicalDiversity(df, "source", "text").head()
+    // tokens 5, types 3
+    assert(r.getLong(1) == 3 && r.getLong(2) == 5)
+    assert(r.getDouble(3) == 0.6)
+    assert(math.abs(r.getDouble(4) - 3.0 / math.sqrt(5.0)) < 1e-6)
+    assert(math.abs(r.getDouble(5) - math.log(3.0) / math.log(5.0)) < 1e-6)
+  }
+
+  test("lexicalDiversity: single-token groups are excluded (ln 1 = 0 denominator)") {
+    import spark.implicits._
+    val df = Seq(("one", "solo"), ("two", "a b")).toDF("source", "text")
+    val out = VocabStats.lexicalDiversity(df, "source", "text").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("two"))
+  }
 }
