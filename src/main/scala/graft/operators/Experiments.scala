@@ -264,4 +264,87 @@ object Experiments {
            (col("diff") < 0 && col("pooled_diff") > 0)))
       .orderBy(col("stratum"))
   }
+
+  /** Cochran–Mantel–Haenszel stratified 2×2 test — the inferential
+    * closure of the Simpson audit above: pooling strata can FLIP an
+    * effect (simpsonAudit flags it); CMH asks whether a COMMON
+    * arm→outcome association exists after conditioning on the strata,
+    * and the Mantel–Haenszel estimator gives the pooled odds ratio
+    * that is valid even when stratum sizes differ wildly (Mantel &
+    * Haenszel 1959; Agresti, Categorical Data Analysis §6.3):
+    *
+    *   CMH  = (Σₖ (aₖ − E[aₖ]))² / Σₖ Var(aₖ)
+    *   E[aₖ]   = r1ₖ·c1ₖ/nₖ
+    *   Var(aₖ) = r1ₖ·r2ₖ·c1ₖ·c2ₖ / (nₖ²·(nₖ−1))
+    *   OR_MH = Σₖ(aₖdₖ/nₖ) / Σₖ(bₖcₖ/nₖ)
+    *
+    * Exactness: the 2×2×K cells are one map-side-combined BIGINT
+    * aggregate; E, Var and the OR terms are rationals folded in
+    * STRATUM ORDER via the sorted-list fold (the q279 discipline — the
+    * doubles never see a partitioning-dependent order). Output: one
+    * row per stratum (stratum, n, a, b, c, d, or_stratum) with the
+    * pooled (cmh_chi2, or_mh) repeated — per-stratum attribution plus
+    * the scalar verdict, the psiFromCells shape.
+    *
+    * Scale shape: ONE aggregate onto the ≤K strata grid; everything
+    * after runs on K rows. Degenerate margins (a zero row/column in
+    * every stratum) fail loudly rather than emitting 0/0. */
+  def cmh(df: DataFrame, stratumCol: String, armCol: String,
+          outcomeCol: String): DataFrame = {
+    val cells = df
+      .filter(col(stratumCol).isNotNull && col(armCol).isNotNull &&
+        col(outcomeCol).isNotNull)
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(
+        sum(when(col(armCol) === 1 && col(outcomeCol), 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(col(armCol) === 1 && !col(outcomeCol), 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col(armCol) =!= 1 && col(outcomeCol), 1L)
+          .otherwise(0L)).as("c"),
+        sum(when(col(armCol) =!= 1 && !col(outcomeCol), 1L)
+          .otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .filter(col("n") >= 2)
+    val terms = cells.select(col("stratum"), col("n"),
+      col("a"), col("b"), col("c"), col("d"),
+      (col("a").cast("double") -
+        (col("a") + col("b")).cast("double") *
+          (col("a") + col("c")).cast("double") /
+          col("n").cast("double")).as("__dev"),
+      ((col("a") + col("b")).cast("double") *
+        (col("c") + col("d")).cast("double") *
+        (col("a") + col("c")).cast("double") *
+        (col("b") + col("d")).cast("double") /
+        (col("n").cast("double") * col("n").cast("double") *
+          (col("n") - 1).cast("double"))).as("__var"),
+      (col("a").cast("double") * col("d").cast("double") /
+        col("n").cast("double")).as("__ad"),
+      (col("b").cast("double") * col("c").cast("double") /
+        col("n").cast("double")).as("__bc"))
+    def foldSorted(v: String) = aggregate(
+      transform(array_sort(collect_list(struct(
+        col("stratum").cast("string").as("k"), col(v).as("v")))),
+        s => s.getField("v")),
+      lit(0.0), (acc, x) => acc + x)
+    val pooled = terms.agg(
+      foldSorted("__dev").as("__sdev"), foldSorted("__var").as("__svar"),
+      foldSorted("__ad").as("__sad"), foldSorted("__bc").as("__sbc"))
+    val pooledRow = pooled.head()
+    val svar = pooledRow.getDouble(1)
+    require(svar > 0.0,
+      "cmh: zero pooled variance — a margin is empty in every stratum")
+    terms.crossJoin(broadcast(pooled))
+      .select(col("stratum"), col("n"), col("a"), col("b"), col("c"),
+        col("d"),
+        when(col("b") * col("c") > 0,
+          round(col("a").cast("double") * col("d").cast("double") /
+            (col("b").cast("double") * col("c").cast("double")), 6))
+          .as("or_stratum"),
+        round(col("__sdev") * col("__sdev") / col("__svar"), 6)
+          .as("cmh_chi2"),
+        when(col("__sbc") > 0, round(col("__sad") / col("__sbc"), 6))
+          .as("or_mh"))
+      .orderBy(col("stratum"))
+  }
 }

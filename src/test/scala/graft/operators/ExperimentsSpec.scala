@@ -131,4 +131,40 @@ class ExperimentsSpec extends AnyFunSuite with SparkSuite {
     assert(out.head.getAs[Double]("pooled_diff") > 0)
     out.foreach(r => assert(r.getAs[Double]("diff") < 0))
   }
+
+  test("cmh hand-computed: two strata, known chi2 and MH odds ratio") {
+    import spark.implicits._
+    // stratum s1: a=4 b=1 c=2 d=3; s2: a=2 b=3 c=1 d=4 (n=10 each)
+    // E1=3, dev1=1, V1=5*5*6*4/900=2/3; E2=1.5, dev2=.5, V2=5*5*3*7/900
+    // CMH=(1.5)^2/(600/900+525/900)=2.25/1.25=1.8
+    // OR_MH=(4*3/10+2*4/10)/(1*2/10+3*1/10)=2.0/0.5=4.0
+    def unit(s: String, arm: Int, y: Boolean, k: Int) =
+      Seq.fill(k)((s, arm, y))
+    val rows =
+      unit("s1", 1, true, 4) ++ unit("s1", 1, false, 1) ++
+      unit("s1", 0, true, 2) ++ unit("s1", 0, false, 3) ++
+      unit("s2", 1, true, 2) ++ unit("s2", 1, false, 3) ++
+      unit("s2", 0, true, 1) ++ unit("s2", 0, false, 4)
+    val out = Experiments.cmh(rows.toDF("s", "arm", "y"), "s", "arm", "y")
+      .collect()
+    assert(out.length == 2)
+    val r1 = out.head
+    assert((r1.getLong(2), r1.getLong(3), r1.getLong(4), r1.getLong(5)) ==
+      ((4L, 1L, 2L, 3L)))
+    assert(math.abs(r1.getAs[Double]("or_stratum") - 6.0) < 1e-9)
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("cmh_chi2") - 1.8) < 1e-6)
+      assert(math.abs(r.getAs[Double]("or_mh") - 4.0) < 1e-6)
+    }
+  }
+
+  test("cmh fails loudly when a margin is empty in every stratum") {
+    import spark.implicits._
+    val rows = Seq(("s1", 1, true), ("s1", 1, true), ("s2", 1, false),
+      ("s2", 1, true))
+    val e = intercept[IllegalArgumentException] {
+      Experiments.cmh(rows.toDF("s", "arm", "y"), "s", "arm", "y")
+    }
+    assert(e.getMessage.contains("variance"))
+  }
 }
