@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Burstiness audit — the Fano factor (index of dispersion) of each
+  * group's per-period event counts over a DENSE time grid: D = σ²/μ
+  * is 1 for a Poisson arrival process, ≫ 1 for bursty feeds (a
+  * scraper that dumps hourly batches, a bot that fires in spikes),
+  * ≪ 1 for rate-limited/metronomic ones. Alongside q229's seasonal
+  * decomposition and q256's CUSUM this is the single-scalar "is this
+  * source's arrival process healthy" check (Cox & Lewis 1966, §4).
+  *
+  * The grid must be DENSE per group — silent hours are real zeros,
+  * not missing rows — so the operator builds the global period grid
+  * once and left-joins each group onto it with a 0 fill; skipping
+  * this is the classic dispersion-audit bug (it biases D down,
+  * exactly hiding the burstiness being hunted).
+  *
+  * Exactness: with n grid periods, Σc and Σc² exact BIGINTs,
+  *
+  *   fano = n·(n·Σc² − (Σc)²) / ((n−1) · n · Σc)  —  var/mean
+  *
+  * one closing double division, 6-dp. Scale shape: one (group,
+  * period) count aggregate (map-side combined), one periods-grid
+  * build, one groups×periods dense join (broadcast — the grid is
+  * calendar-bounded), one final aggregate onto the groups grid. */
+object Dispersion {
+
+  /** (group, periods, total, mean, fano) per group; `periodCol` must
+    * be an integral period index (epoch-hour, epoch-day). */
+  def fano(df: DataFrame, groupCol: String, periodCol: String): DataFrame = {
+    val counts = df.filter(col(periodCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(periodCol).cast("long").as("__p"))
+      .groupBy(col("__g"), col("__p"))
+      .agg(count(lit(1)).as("__c"))
+    val grid = counts.select(col("__p")).distinct()
+    val groups = counts.select(col("__g")).distinct()
+    val dense = groups.crossJoin(broadcast(grid))
+      .join(counts, Seq("__g", "__p"), "left")
+      .na.fill(0L, Seq("__c"))
+    dense.groupBy(col("__g"))
+      .agg(count(lit(1)).as("periods"), sum(col("__c")).as("total"),
+        sum(col("__c") * col("__c")).as("__scc"))
+      .filter(col("periods") >= 2 && col("total") > 0)
+      .select(col("__g").as(groupCol), col("periods"), col("total"),
+        round(col("total").cast("double") / col("periods").cast("double"),
+          6).as("mean"),
+        round((col("periods").cast("double") * col("__scc").cast("double") -
+          col("total").cast("double") * col("total").cast("double")) /
+          ((col("periods") - 1).cast("double") * col("total").cast("double")),
+          6).as("fano"))
+      .orderBy(col(groupCol))
+  }
+}

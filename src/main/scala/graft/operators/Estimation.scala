@@ -46,4 +46,40 @@ object Estimation {
       .withColumn("ht_total",
         col("sum_sample").cast("double") * 10000.0 / col("bp").cast("double"))
   }
+
+  /** Chapman capture–recapture population estimate — "how big is the
+    * set we can only sample": two INDEPENDENT detectors each surface a
+    * subset of a population (two dedup fingerprinters, two entity
+    * extractors, two crawl frontiers), and the overlap calibrates the
+    * blind spot. With n₁, n₂ detected and m in both (Chapman 1951 —
+    * the bias-corrected Lincoln–Petersen form, defined even at m = 0):
+    *
+    *   N̂  = (n₁+1)(n₂+1)/(m+1) − 1
+    *   se² = (n₁+1)(n₂+1)(n₁−m)(n₂−m) / ((m+1)²(m+2))
+    *
+    * The audit use: N̂ ≫ |detected union| means the detectors share a
+    * blind spot worth engineering on (e.g. near-duplicates BOTH
+    * fingerprinters miss).
+    *
+    * Exactness: n₁, n₂, m are exact distinct counts off one
+    * aggregate each; the two formulas close in doubles, 6-dp.
+    *
+    * Scale shape: keys project narrow, the overlap is ONE
+    * co-partitioned semi-join keyed count — no row data moves. */
+  def chapman(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    val ka = a.select(col(keyCol).as("__k")).filter(col("__k").isNotNull)
+      .distinct()
+    val kb = b.select(col(keyCol).as("__k")).filter(col("__k").isNotNull)
+      .distinct()
+    val n1 = ka.count(); val n2 = kb.count()
+    val m = ka.join(kb, "__k").count()
+    require(n1 > 0 && n2 > 0, s"chapman: empty capture ($n1, $n2)")
+    val nHat = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+    val se = math.sqrt((n1 + 1.0) * (n2 + 1.0) * (n1 - m) * (n2 - m) /
+      ((m + 1.0) * (m + 1.0) * (m + 2.0)))
+    val spark = a.sparkSession
+    spark.range(1).select(lit(n1).as("n1"), lit(n2).as("n2"),
+      lit(m).as("overlap"), round(lit(nHat), 6).as("n_hat"),
+      round(lit(se), 6).as("se"))
+  }
 }

@@ -155,4 +155,44 @@ object VocabStats {
           log(col("tokens").cast("double")), 6).as("herdan_c"))
       .orderBy(col(groupCol))
   }
+
+  /** Vocabulary-richness estimators per group — "how much vocabulary
+    * have we NOT seen yet": Chao1 lower-bounds the true type count
+    * from the singleton/doubleton censuses (Chao 1984, bias-corrected
+    * form — defined even with no doubletons), and the Good–Turing
+    * singleton mass N₁/N estimates the probability the NEXT token is
+    * an unseen type (Good 1953) — the two numbers that tell a curator
+    * whether a source's vocabulary is saturated (crawl more adds
+    * nothing) or still growing (the q216 vocab-growth curve's closing
+    * scalars):
+    *
+    *   chao1 = V + N₁(N₁−1) / (2(N₂+1))
+    *   unseen_mass = N₁/N
+    *
+    * Exactness: V, N₁, N₂, N are exact BIGINTs off the wordcount
+    * aggregate plus a frequency-census aggregate (both map-side
+    * combined, vocab-bounded); the two closes are single double
+    * expressions, 6-dp. */
+  def richness(df: DataFrame, groupCol: String,
+               textCol: String): DataFrame = {
+    val tf = df.filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("__g"), explode(
+        regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
+        .as("term"))
+      .groupBy(col("__g"), col("term"))
+      .agg(count(lit(1)).as("__f"))
+    tf.groupBy(col("__g"))
+      .agg(count(lit(1)).as("types"), sum(col("__f")).as("tokens"),
+        sum(when(col("__f") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__f") === 2, 1L).otherwise(0L)).as("n2"))
+      .filter(col("tokens") > 0)
+      .select(col("__g").as(groupCol), col("types"), col("tokens"),
+        col("n1"), col("n2"),
+        round(col("types").cast("double") +
+          col("n1").cast("double") * (col("n1") - 1).cast("double") /
+            (lit(2.0) * (col("n2") + 1).cast("double")), 6).as("chao1"),
+        round(col("n1").cast("double") / col("tokens").cast("double"), 6)
+          .as("unseen_mass"))
+      .orderBy(col(groupCol))
+  }
 }

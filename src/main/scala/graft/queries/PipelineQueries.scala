@@ -3,8 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
-import graft.operators.{Cohorts, Conformal, Drift, Experiments, Funnel,
-  Markov, Readability, Smoothing, TextProfile, VocabStats}
+import graft.operators.{Autocorr, Cohorts, Conformal, Dispersion, Drift,
+  Estimation, Experiments, Funnel, Jackknife, Markov, Readability,
+  Smoothing, TextProfile, VocabStats, Weighting}
 
 /** Round-15 pipeline-audit extensions (q280+): exact 1-Wasserstein
   * drift, corpus readability, funnel conversion, cohort retention,
@@ -483,6 +484,213 @@ object PipelineQueries extends QuerySet {
       |    OR sn > CAST(12.0 AS DECIMAL(38,6))) AS alert
       |FROM ss ORDER BY batch_id""".stripMargin
 
+  /** Delete-one-bucket jackknife for the value-per-event ratio over
+    * per-user aggregates — [[Jackknife.ratio]] with 20 hash buckets;
+    * the oracle replays the exact cells and the bucket-ordered folds. */
+  private def q291(s: SparkSession, d: String): DataFrame = {
+    val pu = t(s, d, "events").filter(col("ts").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("y"),
+        count(lit(1)).as("x"))
+    Jackknife.ratio(pu, "user_id", "y", "x", groups = 20)
+  }
+
+  private val q291Sql =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(19,6)) AS y,
+      |    CAST(COUNT(*) AS DECIMAL(19,6)) AS x
+      |  FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+      |cells AS (
+      |  SELECT CAST(((user_id % 2147483648) * 2654435761) % 4294967296
+      |      % 20 AS INTEGER) AS bucket,
+      |    CAST(SUM(y) AS DECIMAL(28,6)) AS sy,
+      |    CAST(SUM(x) AS DECIMAL(28,6)) AS sx
+      |  FROM pu GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(sy) AS DECIMAL(28,6)) AS ty,
+      |  CAST(SUM(sx) AS DECIMAL(28,6)) AS tx FROM cells),
+      |del AS (
+      |  SELECT bucket, sy, sx,
+      |    CAST(CAST(ty - sy AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST(tx - sx AS VARCHAR) AS DOUBLE) AS r_del,
+      |    ty, tx
+      |  FROM cells, tot),
+      |g AS (SELECT COUNT(*) AS gg,
+      |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list(r_del ORDER BY bucket)), (a, b) -> a + b) AS sr
+      |  FROM del),
+      |v AS (SELECT
+      |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list((r_del - g.sr / g.gg) * (r_del - g.sr / g.gg)
+      |      ORDER BY bucket)), (a, b) -> a + b) AS sv
+      |  FROM del, g)
+      |SELECT del.bucket,
+      |  CAST(CAST(del.sx AS VARCHAR) AS DOUBLE) AS sx,
+      |  CAST(CAST(del.sy AS VARCHAR) AS DOUBLE) AS sy,
+      |  round(del.r_del, 6) AS r_del,
+      |  round(CAST(CAST(del.ty AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(del.tx AS VARCHAR) AS DOUBLE), 6) AS r_hat,
+      |  round(sqrt(CAST(g.gg - 1 AS DOUBLE) / g.gg * v.sv), 6) AS jk_se,
+      |  g.gg AS groups
+      |FROM del, g, v ORDER BY del.bucket""".stripMargin
+
+  /** Chapman capture–recapture corpus-size estimate from two
+    * independent hash detectors — [[Estimation.chapman]]. */
+  private def q292(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val a = docs.filter(
+      graft.operators.Splits.hashBucket(col("doc_id"), 10) < 6)
+    val b = docs.filter(
+      graft.operators.Splits.hashBucket(col("doc_id") + 777777L, 10) < 6)
+    Estimation.chapman(a, b, "doc_id")
+  }
+
+  private val q292Sql =
+    """WITH a AS (
+      |  SELECT DISTINCT doc_id FROM documents
+      |  WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 % 10 < 6),
+      |b AS (
+      |  SELECT DISTINCT doc_id FROM documents
+      |  WHERE (((doc_id + 777777) % 2147483648) * 2654435761)
+      |    % 4294967296 % 10 < 6),
+      |c AS (SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n1,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n2,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM a JOIN b USING (doc_id))
+      |    AS overlap)
+      |SELECT n1, n2, overlap,
+      |  round((n1 + 1.0) * (n2 + 1.0) / (overlap + 1.0) - 1.0, 6)
+      |    AS n_hat,
+      |  round(sqrt((n1 + 1.0) * (n2 + 1.0) * (n1 - overlap)
+      |    * (n2 - overlap)
+      |    / ((overlap + 1.0) * (overlap + 1.0) * (overlap + 2.0))), 6)
+      |    AS se
+      |FROM c""".stripMargin
+
+  /** Chao1 + Good–Turing vocabulary-richness estimators per language —
+    * [[VocabStats.richness]] off the wordcount frequency census. */
+  private def q293(s: SparkSession, d: String): DataFrame =
+    VocabStats.richness(t(s, d, "documents"), "lang", "text")
+
+  private val q293Sql =
+    """WITH tf AS (
+      |  SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS f FROM (
+      |    SELECT lang,
+      |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |    FROM documents WHERE text IS NOT NULL)
+      |  GROUP BY lang, term),
+      |g AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS types,
+      |    CAST(SUM(f) AS BIGINT) AS tokens,
+      |    CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM tf GROUP BY lang)
+      |SELECT lang, types, tokens, n1, n2,
+      |  round(CAST(types AS DOUBLE) + CAST(n1 AS DOUBLE)
+      |    * CAST(n1 - 1 AS DOUBLE) / (2.0 * CAST(n2 + 1 AS DOUBLE)), 6)
+      |    AS chao1,
+      |  round(CAST(n1 AS DOUBLE) / CAST(tokens AS DOUBLE), 6)
+      |    AS unseen_mass
+      |FROM g WHERE tokens > 0 ORDER BY lang""".stripMargin
+
+  /** Fano-factor burstiness of each event type's hourly arrivals over
+    * the DENSE hour grid — [[Dispersion.fano]]. */
+  private def q294(s: SparkSession, d: String): DataFrame =
+    Dispersion.fano(
+      t(s, d, "events").filter(col("ts").isNotNull)
+        .withColumn("h", floor(unix_timestamp(col("ts")) / 3600L)),
+      "event_type", "h")
+
+  private val q294Sql =
+    """WITH e AS (
+      |  SELECT event_type AS g, epoch_us(ts) // 3600000000 AS p
+      |  FROM events WHERE ts IS NOT NULL),
+      |counts AS (SELECT g, p, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM e GROUP BY g, p),
+      |grid AS (SELECT DISTINCT p FROM counts),
+      |grp AS (SELECT DISTINCT g FROM counts),
+      |dense AS (
+      |  SELECT grp.g, grid.p, COALESCE(counts.c, 0) AS c
+      |  FROM grp CROSS JOIN grid
+      |  LEFT JOIN counts ON counts.g = grp.g AND counts.p = grid.p),
+      |agg AS (
+      |  SELECT g, CAST(COUNT(*) AS BIGINT) AS periods,
+      |    CAST(SUM(c) AS BIGINT) AS total,
+      |    CAST(SUM(c * c) AS BIGINT) AS scc
+      |  FROM dense GROUP BY g)
+      |SELECT g AS event_type, periods, total,
+      |  round(CAST(total AS DOUBLE) / CAST(periods AS DOUBLE), 6) AS mean,
+      |  round((CAST(periods AS DOUBLE) * CAST(scc AS DOUBLE)
+      |    - CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+      |    / (CAST(periods - 1 AS DOUBLE) * CAST(total AS DOUBLE)), 6)
+      |    AS fano
+      |FROM agg WHERE periods >= 2 AND total > 0
+      |ORDER BY event_type""".stripMargin
+
+  /** Kish effective sample size of the character-mass weighting per
+    * source — [[Weighting.kishEss]]. */
+  private def q295(s: SparkSession, d: String): DataFrame =
+    Weighting.kishEss(t(s, d, "documents"), "source", "n_chars")
+
+  private val q295Sql =
+    """WITH g AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sw,
+      |    CAST(SUM(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT))
+      |      AS HUGEINT) AS sww
+      |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+      |  GROUP BY source)
+      |SELECT source, n,
+      |  CAST(CAST(sw AS VARCHAR) AS DOUBLE) AS sum_w,
+      |  round(CAST(CAST(sw AS VARCHAR) AS DOUBLE)
+      |    * CAST(CAST(sw AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(sww AS VARCHAR) AS DOUBLE), 6) AS ess,
+      |  round(CAST(CAST(sw AS VARCHAR) AS DOUBLE)
+      |    * CAST(CAST(sw AS VARCHAR) AS DOUBLE)
+      |    / (CAST(CAST(sww AS VARCHAR) AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+      |    AS ess_ratio,
+      |  round(CAST(n AS DOUBLE) * CAST(CAST(sww AS VARCHAR) AS DOUBLE)
+      |    / (CAST(CAST(sw AS VARCHAR) AS DOUBLE)
+      |       * CAST(CAST(sw AS VARCHAR) AS DOUBLE)), 6) AS deff
+      |FROM g ORDER BY source""".stripMargin
+
+  /** Autocorrelation of hourly event volume to lag 48 —
+    * [[Autocorr.acf]]: exact centered decimals, position-ordered
+    * double folds, one division per lag. */
+  private def q296(s: SparkSession, d: String): DataFrame = {
+    val grid = t(s, d, "events").filter(col("ts").isNotNull)
+      .groupBy(floor(unix_timestamp(col("ts")) / 3600L).as("t"))
+      .agg(count(lit(1)).cast("double").as("y"))
+    Autocorr.acf(grid, "t", "y", maxLag = 48)
+  }
+
+  private val q296Sql =
+    """WITH g AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS t,
+      |    CAST(COUNT(*) AS DECIMAL(18,6)) AS y
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g),
+      |idx AS (SELECT t, y, row_number() OVER (ORDER BY t) AS rn FROM g),
+      |tot AS (SELECT CAST(SUM(y) AS DECIMAL(28,6)) AS s FROM idx),
+      |c AS (
+      |  SELECT rn,
+      |    CAST(CAST(CAST(y * nn.n AS DECIMAL(28,6)) - tot.s AS VARCHAR)
+      |      AS DOUBLE) AS cy
+      |  FROM idx, nn, tot),
+      |lags AS (SELECT unnest(range(0, 49)) AS lag),
+      |pairs AS (
+      |  SELECT lags.lag, a.rn, a.cy * b.cy AS term
+      |  FROM c a JOIN lags ON true
+      |  JOIN c b ON b.rn = a.rn + lags.lag),
+      |agg AS (
+      |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(term ORDER BY rn)), (x, z) -> x + z) AS num
+      |  FROM pairs GROUP BY lag),
+      |den AS (SELECT num AS d FROM agg WHERE lag = 0)
+      |SELECT agg.lag, agg.n_pairs, round(agg.num / den.d, 6) AS acf
+      |FROM agg, den ORDER BY agg.lag""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q280_wasserstein_drift", q280, Some(q280Sql)),
     Q("q281_readability", q281, Some(q281Sql)),
@@ -494,5 +702,11 @@ object PipelineQueries extends QuerySet {
     Q("q287_ses_forecast", q287, Some(q287Sql)),
     Q("q288_markov_transitions", q288, Some(q288Sql)),
     Q("q289_conformal_coverage", q289, Some(q289Sql)),
-    Q("q290_streaming_cusum", q290, Some(q290Sql)))
+    Q("q290_streaming_cusum", q290, Some(q290Sql)),
+    Q("q291_jackknife_ratio", q291, Some(q291Sql)),
+    Q("q292_capture_recapture", q292, Some(q292Sql)),
+    Q("q293_vocab_richness", q293, Some(q293Sql)),
+    Q("q294_dispersion_fano", q294, Some(q294Sql)),
+    Q("q295_kish_ess", q295, Some(q295Sql)),
+    Q("q296_acf_hourly", q296, Some(q296Sql)))
 }

@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+class DispersionSpec extends AnyFunSuite with SparkSuite {
+
+  test("hand-computed Fano with a silent period counted as zero") {
+    import spark.implicits._
+    // group g: 3 events at h=1, none at h=2, 3 at h=3; group z pins h=2
+    val rows = Seq.fill(3)(("g", 1L)) ++ Seq.fill(3)(("g", 3L)) ++
+      Seq(("z", 2L))
+    val out = Dispersion.fano(rows.toDF("g", "h"), "g", "h")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // g over the dense grid {1,2,3}: counts 3,0,3 -> mean 2,
+    // var = (3*18-36)/(3*2) = 3, fano = 1.5
+    assert(out("g") == ((3L, 6L, 2.0, 1.5)))
+    // z: counts 0,1,0 -> mean 1/3, var = (3*1-1)/6 = 1/3, fano = 1
+    assert(out("z")._4 == 1.0)
+  }
+
+  test("a metronomic feed has Fano 0; missing the dense fill would hide burst") {
+    import spark.implicits._
+    val steady = (1L to 10L).map(h => ("s", h))
+    val bursty = Seq.fill(10)(("b", 5L))
+    val out = Dispersion.fano((steady ++ bursty).toDF("g", "h"), "g", "h")
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(out("s") == 0.0)
+    assert(out("b") == 10.0, "burst concentrated in one of 10 periods")
+  }
+}

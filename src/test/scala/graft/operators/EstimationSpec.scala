@@ -51,4 +51,26 @@ class EstimationSpec extends AnyFunSuite with SparkSuite {
       Estimation.horvitzThompson(samp, "g", "v", Map.empty)
     }
   }
+
+  test("chapman hand-computed: known overlap") {
+    import spark.implicits._
+    val a = (1L to 60L).map(i => Tuple1(i)).toDF("k")
+    val b = (41L to 100L).map(i => Tuple1(i)).toDF("k")
+    val r = Estimation.chapman(a, b, "k").head()
+    assert(r.getLong(0) == 60 && r.getLong(1) == 60 && r.getLong(2) == 20)
+    val nHat = 61.0 * 61.0 / 21.0 - 1.0
+    val se = math.sqrt(61.0 * 61.0 * 40.0 * 40.0 / (21.0 * 21.0 * 22.0))
+    assert(math.abs(r.getDouble(3) - nHat) < 1e-6)
+    assert(math.abs(r.getDouble(4) - se) < 1e-6)
+  }
+
+  test("chapman: disjoint captures still close (m = 0) and empty fails loudly") {
+    import spark.implicits._
+    val a = Seq(1L, 2L).toDF("k"); val b = Seq(3L).toDF("k")
+    val r = Estimation.chapman(a, b, "k").head()
+    assert(r.getLong(2) == 0 && r.getDouble(3) == 5.0)
+    intercept[IllegalArgumentException] {
+      Estimation.chapman(Seq.empty[Long].toDF("k"), b, "k")
+    }
+  }
 }

@@ -88,4 +88,23 @@ class VocabStatsSpec extends AnyFunSuite with SparkSuite {
     val out = VocabStats.lexicalDiversity(df, "source", "text").collect()
     assert(out.map(_.getString(0)).toSeq == Seq("two"))
   }
+
+  test("richness hand-computed: Chao1 and unseen mass") {
+    import spark.implicits._
+    val df = Seq(("g", "a b c c")).toDF("lang", "text")
+    val r = VocabStats.richness(df, "lang", "text").head()
+    // tf: a1 b1 c2 -> types 3, tokens 4, n1 2, n2 1
+    assert(r.getLong(1) == 3 && r.getLong(2) == 4 &&
+      r.getLong(3) == 2 && r.getLong(4) == 1)
+    assert(r.getDouble(5) == 3.5)   // 3 + 2*1/(2*2)
+    assert(r.getDouble(6) == 0.5)   // 2/4
+  }
+
+  test("richness: saturated vocabulary has zero unseen mass") {
+    import spark.implicits._
+    val df = Seq(("g", "x x y y z z")).toDF("lang", "text")
+    val r = VocabStats.richness(df, "lang", "text").head()
+    assert(r.getLong(3) == 0 && r.getDouble(6) == 0.0)
+    assert(r.getDouble(5) == 3.0)   // chao1 collapses to observed types
+  }
 }
