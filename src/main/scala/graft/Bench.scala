@@ -45,6 +45,7 @@ object Bench {
     // have been contaminated without the sweep.
     val sc = spark.sparkContext
     var sweptInPass = 0
+    var prevQuery = "warmup"
     // failures surface as -1 in the JSON, never as a fast-looking timing
     def once(name: String): Double = {
       // drop cached intermediates so the second run measures the query's
@@ -52,7 +53,12 @@ object Bench {
       spark.catalog.clearCache()
       val leaked = sc.getPersistentRDDs
       sweptInPass += leaked.size
+      // attribution for the tripwire: WHICH query left the blocks
+      if (leaked.nonEmpty)
+        System.err.println(
+          s"[bench] swept ${leaked.size} RDD(s) left by $prevQuery")
       leaked.values.foreach(_.unpersist(blocking = false))
+      prevQuery = name
       val t0 = System.nanoTime()
       try { qmap(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }

@@ -111,4 +111,86 @@ object Calibration {
       .select(col("__g").as(groupCol), col("n"), col("q_rank"),
         col("qhat"), col("n_covered"))
   }
+
+  /** Murphy decomposition of the Brier score — what [[ece]] cannot
+    * separate: a calibrated model can still be USELESS (it always
+    * predicts the base rate), and a sharp model can be miscalibrated;
+    * Murphy (1973) splits the binned Brier score into exactly those
+    * axes:
+    *
+    *   brier ≈ reliability − resolution + uncertainty
+    *   reliability = Σₖ nₖ(confₖ − accₖ)²/N   (miscalibration, ↓ good)
+    *   resolution  = Σₖ nₖ(accₖ − ȳ)²/N       (sharpness, ↑ good)
+    *   uncertainty = ȳ(1 − ȳ)                  (data's own noise floor)
+    *
+    * Exactness: scores pin to the 1e-6 grid (the [[ece]] ppm rule), so
+    * per-bin Σs and Σs² are exact BIGINT/DECIMAL sums alongside the
+    * exact label counts; the raw Brier closes from those exact totals
+    * (Σs² − 2Σs·y + Σy, all pinned-integer sums), and the three
+    * decomposition terms fold the bin grid in bin order (the q279
+    * discipline). Output: one row per bin (bin, n, n_pos, conf, acc)
+    * with (brier, reliability, resolution, uncertainty) repeated.
+    *
+    * Scale shape: ONE map-side-combined aggregate onto the ≤bins grid;
+    * the folds run on bins rows. */
+  def brierDecomposition(df: DataFrame, scoreCol: String, labelCol: String,
+                         bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    val s = col(scoreCol).cast("double")
+    val binned = df
+      .filter(s.isNotNull && col(labelCol).isNotNull)
+      .select(
+        least(floor(s * bins), lit(bins - 1)).cast("int").as("bin"),
+        floor(s * 1000000L).cast("long").as("__ppm"),
+        col(labelCol).cast("boolean").cast("long").as("__y"))
+    val perBin = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        sum(col("__ppm")).as("__ss"),
+        sum((col("__ppm").cast("decimal(38,0)") * col("__ppm"))
+          .cast("decimal(38,0)")).as("__sss"),
+        sum(col("__ppm") * col("__y")).as("__ssy"))
+      .withColumn("conf", col("__ss").cast("double") /
+        (col("n") * 1000000L).cast("double"))
+      .withColumn("acc",
+        col("n_pos").cast("double") / col("n").cast("double"))
+    def foldSorted(v: org.apache.spark.sql.Column) = aggregate(
+      transform(array_sort(collect_list(struct(col("bin"), v.as("v")))),
+        p => p.getField("v")),
+      lit(0.0), (a, x) => a + x)
+    val tot = perBin.agg(sum(col("n")).as("__n"),
+      sum(col("n_pos")).as("__npos"),
+      sum(col("__sss")).cast("decimal(38,0)").as("__tsss"),
+      sum(col("__ss")).as("__tss"), sum(col("__ssy")).as("__tssy"))
+    val withTot = perBin.crossJoin(broadcast(tot))
+      .withColumn("__ybar",
+        col("__npos").cast("double") / col("__n").cast("double"))
+    val scalars = withTot.agg(
+      foldSorted((col("n").cast("double") *
+        (col("conf") - col("acc")) * (col("conf") - col("acc"))))
+        .as("__rel"),
+      foldSorted((col("n").cast("double") *
+        (col("acc") - col("__ybar")) * (col("acc") - col("__ybar"))))
+        .as("__res"),
+      max(col("__n")).as("__nn"), max(col("__npos")).as("__np"),
+      max(col("__tsss")).as("__a"), max(col("__tss")).as("__b"),
+      max(col("__tssy")).as("__c"))
+    val closed = scalars.select(
+      round(col("__rel") / col("__nn").cast("double"), 6)
+        .as("reliability"),
+      round(col("__res") / col("__nn").cast("double"), 6).as("resolution"),
+      round((col("__np").cast("double") / col("__nn").cast("double")) *
+        (lit(1.0) - col("__np").cast("double") / col("__nn").cast("double")),
+        6).as("uncertainty"),
+      // brier = Σ(s − y)²/N off the exact ppm sums: s², −2sy, y² (= y)
+      round((col("__a").cast("double") / lit(1e12) -
+        lit(2.0) * col("__c").cast("double") / lit(1e6) +
+        col("__np").cast("double")) / col("__nn").cast("double"), 6)
+        .as("brier"))
+    perBin.crossJoin(broadcast(closed))
+      .select(col("bin"), col("n"), col("n_pos"), round(col("conf"), 6)
+        .as("conf"), round(col("acc"), 6).as("acc"),
+        col("brier"), col("reliability"), col("resolution"),
+        col("uncertainty"))
+      .orderBy(col("bin"))
+  }
 }

@@ -3,9 +3,10 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
-import graft.operators.{Autocorr, Cohorts, Conformal, Dispersion, Drift,
-  Estimation, Experiments, Funnel, Jackknife, Markov, Readability,
-  Smoothing, TextProfile, VocabStats, Weighting}
+import graft.operators.{Autocorr, Calibration, Cohorts, Conformal,
+  Dispersion, Drift, Estimation, Experiments, Funnel, Jackknife, Markov,
+  MultipleTesting, QuantileRegression, Readability, Smoothing, TextProfile,
+  VocabStats, Weighting}
 
 /** Round-15 pipeline-audit extensions (q280+): exact 1-Wasserstein
   * drift, corpus readability, funnel conversion, cohort retention,
@@ -691,6 +692,220 @@ object PipelineQueries extends QuerySet {
       |SELECT agg.lag, agg.n_pairs, round(agg.num / den.d, 6) AS acf
       |FROM agg, den ORDER BY agg.lag""".stripMargin
 
+  /** Benjamini–Hochberg FDR over per-nation two-proportion z tests —
+    * [[MultipleTesting.bhAdjust]] with the pinned A&S 26.2.17 normal
+    * CDF; the oracle replays the identical polynomial tree. */
+  private def q297(s: SparkSession, d: String): DataFrame = {
+    val cells = t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        graft.operators.Splits.hashBucket(col("o_custkey"), 2).as("arm"),
+        (col("o_totalprice") > 250000.0).as("y"))
+      .groupBy(col("nation"))
+      .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1 && col("y"), 1L).otherwise(0L)).as("x1"),
+        sum(when(col("arm") =!= 1, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") =!= 1 && col("y"), 1L).otherwise(0L)).as("x0"))
+    val tests = cells
+      .withColumn("__pp",
+        (col("x1") + col("x0")).cast("double") /
+          (col("n1") + col("n0")).cast("double"))
+      .withColumn("z",
+        when(col("n1") > 0 && col("n0") > 0 &&
+          col("__pp") > 0 && col("__pp") < 1,
+          (col("x1").cast("double") / col("n1").cast("double") -
+            col("x0").cast("double") / col("n0").cast("double")) /
+            sqrt(col("__pp") * (lit(1.0) - col("__pp")) *
+              (lit(1.0) / col("n1").cast("double") +
+                lit(1.0) / col("n0").cast("double")))))
+    MultipleTesting.bhAdjust(tests, "nation", "z", alpha = 0.05)
+  }
+
+  private val q297Sql =
+    """WITH cells AS (
+      |  SELECT n.n_name AS nation,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN arm = 1 AND y THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS x1,
+      |    CAST(SUM(CASE WHEN arm <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n0,
+      |    CAST(SUM(CASE WHEN arm <> 1 AND y THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS x0
+      |  FROM (
+      |    SELECT c.c_nationkey,
+      |      CAST(((o.o_custkey % 2147483648) * 2654435761) % 4294967296
+      |        % 2 AS INTEGER) AS arm,
+      |      (o.o_totalprice > 250000.0) AS y
+      |    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) t
+      |  JOIN nation n ON t.c_nationkey = n.n_nationkey
+      |  GROUP BY n.n_name),
+      |ztab AS (
+      |  SELECT nation,
+      |    (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |      - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+      |    / sqrt((CAST(x1 + x0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+      |        * (1.0 - CAST(x1 + x0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+      |        * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n0 AS DOUBLE)))
+      |      AS z
+      |  FROM cells
+      |  WHERE n1 > 0 AND n0 > 0 AND x1 + x0 > 0 AND x1 + x0 < n1 + n0),
+      |-- A&S 26.2.17 pinned polynomial, replayed term-for-term
+      |ptab AS (
+      |  SELECT nation, z,
+      |    round(2.0 * (1.0 - (1.0
+      |      - exp(-0.5 * abs(z) * abs(z)) * 0.3989422804014327
+      |        * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * abs(z)))
+      |          - 1.821255978) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+      |          + 1.781477937) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+      |          - 0.356563782) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+      |          + 0.319381530) * (1.0 / (1.0 + 0.2316419 * abs(z)))))),
+      |      6) AS p
+      |  FROM ztab),
+      |ranked AS (
+      |  SELECT nation, z, p,
+      |    CAST(row_number() OVER (ORDER BY p, nation) AS BIGINT) AS rank,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS m
+      |  FROM ptab),
+      |k AS (SELECT MAX(CASE WHEN p <= 0.05 * rank / m THEN rank END)
+      |  AS ks FROM ranked)
+      |SELECT nation, round(z, 6) AS z, p, rank, m,
+      |  round(0.05 * rank / m, 6) AS bh_threshold,
+      |  (k.ks IS NOT NULL AND rank <= k.ks) AS reject
+      |FROM ranked, k ORDER BY rank""".stripMargin
+
+  /** The q224 scored/labeled pairs (probe-0 cosine), shared by the
+    * calibration gates here. */
+  private def scoredPairs(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val probe = e.filter(col("vec_id") === 0).head()
+    val pv = probe.getSeq[Float](1).toArray
+    val plabel = probe.getInt(2)
+    e.select(
+      ((graft.functions.VectorFunctions.cosine_sim(col("embedding"),
+        typedlit(pv)) + 1.0) / 2.0).as("score"),
+      (col("label") === plabel).as("y"))
+  }
+
+  /** Murphy decomposition of the Brier score on the q224 pairs —
+    * [[Calibration.brierDecomposition]]: reliability − resolution +
+    * uncertainty off exact ppm sums. */
+  private def q298(s: SparkSession, d: String): DataFrame =
+    Calibration.brierDecomposition(scoredPairs(s, d), "score", "y",
+      bins = 20)
+
+  private val q298Sql =
+    """WITH p AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+      |    AS pv, label AS pl FROM embeddings WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT (list_cosine_similarity(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE)), p.pv) + 1.0) / 2.0 AS score,
+      |    (label = p.pl) AS y
+      |  FROM embeddings, p),
+      |b AS (
+      |  SELECT CAST(least(floor(score * 20), 19) AS INTEGER) AS bin,
+      |    CAST(floor(score * 1000000) AS BIGINT) AS ppm,
+      |    CASE WHEN y THEN 1 ELSE 0 END AS yy
+      |  FROM scored),
+      |per AS (
+      |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(yy) AS BIGINT) AS n_pos,
+      |    CAST(SUM(ppm) AS BIGINT) AS ss,
+      |    CAST(SUM(CAST(ppm AS HUGEINT) * ppm) AS HUGEINT) AS sss,
+      |    CAST(SUM(ppm * yy) AS BIGINT) AS ssy
+      |  FROM b GROUP BY bin),
+      |per2 AS (
+      |  SELECT bin, n, n_pos, ss, sss, ssy,
+      |    CAST(ss AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS conf,
+      |    CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc
+      |  FROM per),
+      |tot AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+      |    CAST(SUM(n_pos) AS BIGINT) AS np,
+      |    CAST(SUM(sss) AS HUGEINT) AS a,
+      |    CAST(SUM(ssy) AS BIGINT) AS c
+      |  FROM per2),
+      |sc AS (
+      |  SELECT
+      |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(CAST(n AS DOUBLE) * (conf - acc) * (conf - acc)
+      |        ORDER BY bin)), (u, v) -> u + v) / CAST(nn AS DOUBLE), 6)
+      |      AS reliability,
+      |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(CAST(n AS DOUBLE)
+      |        * (acc - CAST(np AS DOUBLE) / CAST(nn AS DOUBLE))
+      |        * (acc - CAST(np AS DOUBLE) / CAST(nn AS DOUBLE))
+      |        ORDER BY bin)), (u, v) -> u + v) / CAST(nn AS DOUBLE), 6)
+      |      AS resolution,
+      |    round((CAST(np AS DOUBLE) / CAST(nn AS DOUBLE))
+      |      * (1.0 - CAST(np AS DOUBLE) / CAST(nn AS DOUBLE)), 6)
+      |      AS uncertainty,
+      |    round((CAST(CAST(a AS VARCHAR) AS DOUBLE) / 1e12
+      |      - 2.0 * CAST(c AS DOUBLE) / 1e6
+      |      + CAST(np AS DOUBLE)) / CAST(nn AS DOUBLE), 6) AS brier
+      |  FROM per2, tot GROUP BY nn, np, a, c)
+      |SELECT per2.bin, per2.n, per2.n_pos, round(per2.conf, 6) AS conf,
+      |  round(per2.acc, 6) AS acc, sc.brier, sc.reliability,
+      |  sc.resolution, sc.uncertainty
+      |FROM per2, sc ORDER BY per2.bin""".stripMargin
+
+  /** Median (pinball) regression of price on quantity by exact grid
+    * census — [[QuantileRegression.pinballGrid]]: rational-τ factored
+    * loss, exact decimal argmin. */
+  private def q299(s: SparkSession, d: String): DataFrame =
+    QuantileRegression.pinballGrid(t(s, d, "lineitem"),
+      "l_quantity", "l_extendedprice", tauNum = 1, tauDen = 2, steps = 17)
+
+  private val q299Sql = {
+    // the √2-spaced slope factors, inlined as exact double literals so
+    // the replay multiplies the identical values (no cross-engine pow)
+    val factors = QuantileRegression.slopeFactors(17)
+      .map(f => new java.math.BigDecimal(f).toPlainString)
+      .mkString("[", ", ", "]")
+    s"""WITH u AS (
+      |  -- DECIMAL(19,6): width > 18 forces DuckDB's HUGEINT multiply
+      |  -- path (the q289 lesson); values are identical to Spark's 18,6
+      |  SELECT CAST(l_quantity AS DECIMAL(19,6)) AS x,
+      |    CAST(l_extendedprice AS DECIMAL(19,6)) AS y
+      |  FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      |s AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(CAST(CAST(SUM(x) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE)
+      |      AS sx,
+      |    CAST(CAST(CAST(SUM(y) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE)
+      |      AS sy
+      |  FROM u),
+      |grid AS (
+      |  SELECT DISTINCT CAST(round((s.sy / s.sx) * f.f, 6)
+      |      AS DECIMAL(12,6)) AS b,
+      |    CAST(round((s.sy / s.n)
+      |      * (-1.0 + (2.0 * k.k) / 16), 6) AS DECIMAL(12,6)) AS a
+      |  FROM s, (SELECT unnest($factors) AS f) f,
+      |    (SELECT unnest(range(0, 17)) AS k) k),
+      |cells AS (
+      |  SELECT g.b, g.a,
+      |    CAST(SUM(CASE WHEN u.y - g.a - g.b * u.x >= 0
+      |      THEN u.y - g.a - g.b * u.x
+      |      ELSE CAST(0 AS DECIMAL(32,12)) END) AS DECIMAL(38,12)) AS sp,
+      |    CAST(SUM(CASE WHEN u.y - g.a - g.b * u.x < 0
+      |      THEN -(u.y - g.a - g.b * u.x)
+      |      ELSE CAST(0 AS DECIMAL(32,12)) END) AS DECIMAL(38,12)) AS sn
+      |  FROM u CROSS JOIN grid g GROUP BY g.b, g.a),
+      |key AS (
+      |  SELECT b, a, CAST(sp * 1 + sn * 1 AS DECIMAL(38,12)) AS k
+      |  FROM cells),
+      |win AS (SELECT b, a, k FROM key ORDER BY k ASC, b ASC, a ASC
+      |  LIMIT 1)
+      |SELECT 0.5 AS tau,
+      |  CAST(CAST(win.b AS VARCHAR) AS DOUBLE) AS slope,
+      |  CAST(CAST(win.a AS VARCHAR) AS DOUBLE) AS intercept,
+      |  round(CAST(CAST(win.k AS VARCHAR) AS DOUBLE) / (s.n * 2.0), 6)
+      |    AS loss,
+      |  s.n
+      |FROM win, s""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("q280_wasserstein_drift", q280, Some(q280Sql)),
     Q("q281_readability", q281, Some(q281Sql)),
@@ -708,5 +923,8 @@ object PipelineQueries extends QuerySet {
     Q("q293_vocab_richness", q293, Some(q293Sql)),
     Q("q294_dispersion_fano", q294, Some(q294Sql)),
     Q("q295_kish_ess", q295, Some(q295Sql)),
-    Q("q296_acf_hourly", q296, Some(q296Sql)))
+    Q("q296_acf_hourly", q296, Some(q296Sql)),
+    Q("q297_fdr_bh", q297, Some(q297Sql)),
+    Q("q298_brier_decomposition", q298, Some(q298Sql)),
+    Q("q299_quantile_regression", q299, Some(q299Sql), headline = true))
 }

@@ -86,4 +86,35 @@ class CalibrationSpec extends AnyFunSuite with SparkSuite {
     val r = Calibration.conformalThreshold(scaled, "g", "s", 1, 10).head()
     assert(r.getLong(1) == 2L)
   }
+
+  test("brier decomposition hand-computed; Murphy identity holds with bin-mean conf") {
+    import spark.implicits._
+    val df = Seq((0.1, false), (0.1, true), (0.9, true), (0.9, true))
+      .toDF("s", "y")
+    val r = Calibration.brierDecomposition(df, "s", "y", bins = 2)
+      .orderBy("bin").collect()
+    assert(r.length == 2)
+    val b0 = r(0); val b1 = r(1)
+    assert(b0.getLong(1) == 2 && b0.getDouble(3) == 0.1 &&
+      b0.getDouble(4) == 0.5)
+    assert(b1.getDouble(3) == 0.9 && b1.getDouble(4) == 1.0)
+    val (brier, rel, res, unc) = (b0.getDouble(5), b0.getDouble(6),
+      b0.getDouble(7), b0.getDouble(8))
+    assert(math.abs(brier - 0.21) < 1e-6)
+    assert(math.abs(rel - 0.085) < 1e-6)
+    assert(math.abs(res - 0.0625) < 1e-6)
+    assert(math.abs(unc - 0.1875) < 1e-6)
+    // Murphy identity is exact when conf is the bin mean
+    assert(math.abs(brier - (rel - res + unc)) < 1e-5)
+  }
+
+  test("brier decomposition: a base-rate predictor has zero resolution") {
+    import spark.implicits._
+    // always predicts 0.5 on a 50/50 corpus: calibrated, useless
+    val df = (1 to 40).map(i => (0.5, i % 2 == 0)).toDF("s", "y")
+    val r = Calibration.brierDecomposition(df, "s", "y", bins = 10).head()
+    assert(r.getDouble(7) == 0.0, "resolution")
+    assert(r.getDouble(6) == 0.0, "reliability")
+    assert(math.abs(r.getDouble(5) - 0.25) < 1e-6, "brier = uncertainty")
+  }
 }
