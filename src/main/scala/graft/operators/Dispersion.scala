@@ -53,4 +53,46 @@ object Dispersion {
           6).as("fano"))
       .orderBy(col(groupCol))
   }
+
+  /** Zero-inflation audit — the Poisson-baseline complement to
+    * [[fano]]: a feed can have an unremarkable variance yet FAR more
+    * silent periods than its own rate explains (a scraper that is
+    * either fully on or fully off). Against the Poisson null at the
+    * group's observed rate λ, P(zero) = e^{−λ}; the excess
+    * p0_obs − e^{−λ} is the standard zero-inflation screen (Lambert
+    * 1992's ZIP motivation) and > 0 by more than noise means the
+    * arrival process is a mixture with an OFF state.
+    *
+    * Same dense-grid contract as [[fano]] (silent periods are real
+    * zeros). Exactness: zeros/periods/total are exact BIGINTs; λ,
+    * e^{−λ} and the excess close in doubles, 6-dp. */
+  def zeroInflation(df: DataFrame, groupCol: String,
+                    periodCol: String): DataFrame = {
+    val counts = df.filter(col(periodCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(periodCol).cast("long").as("__p"))
+      .groupBy(col("__g"), col("__p"))
+      .agg(count(lit(1)).as("__c"))
+    val grid = counts.select(col("__p")).distinct()
+    val groups = counts.select(col("__g")).distinct()
+    val dense = groups.crossJoin(broadcast(grid))
+      .join(counts, Seq("__g", "__p"), "left")
+      .na.fill(0L, Seq("__c"))
+    dense.groupBy(col("__g"))
+      .agg(count(lit(1)).as("periods"), sum(col("__c")).as("total"),
+        sum(when(col("__c") === 0, 1L).otherwise(0L)).as("zeros"))
+      .filter(col("periods") >= 1 && col("total") > 0)
+      .select(col("__g").as(groupCol), col("periods"), col("total"),
+        col("zeros"),
+        round(col("total").cast("double") / col("periods").cast("double"),
+          6).as("lambda"),
+        round(col("zeros").cast("double") / col("periods").cast("double"),
+          6).as("p0_obs"),
+        round(exp(-(col("total").cast("double") /
+          col("periods").cast("double"))), 6).as("p0_poisson"),
+        round(col("zeros").cast("double") / col("periods").cast("double") -
+          exp(-(col("total").cast("double") /
+            col("periods").cast("double"))), 6).as("excess_zeros"))
+      .orderBy(col(groupCol))
+  }
 }

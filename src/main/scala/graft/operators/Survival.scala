@@ -65,4 +65,86 @@ object Survival {
           (acc, f) => acc * f).as("surv"))
       .orderBy(col("t"))
   }
+
+  /** Two-group log-rank test — the inferential companion to
+    * [[kaplanMeier]]: two survival curves (control vs treatment, old
+    * pipeline vs new) can LOOK different while the difference is
+    * noise; log-rank is the standard test (Mantel 1966; the
+    * hypergeometric form — Klein & Moeschberger §7.3). At each event
+    * time t with n₁ₜ/n₀ₜ at risk and dₜ total events:
+    *
+    *   E₁ₜ = dₜ·n₁ₜ/nₜ
+    *   Vₜ  = dₜ·(n₁ₜ/nₜ)(1−n₁ₜ/nₜ)(nₜ−dₜ)/(nₜ−1)
+    *   χ²  = (Σₜ(d₁ₜ − E₁ₜ))² / ΣₜVₜ      (1 df)
+    *
+    * `groupCol` must be 0/1. Exactness: the per-(time, group) event/
+    * censor census and the at-risk cumsums are exact BIGINTs on the
+    * shared duration grid (a censoring in EITHER group moves the
+    * other group's later risk sets — the grid is shared, never
+    * per-group); E and V are rationals folded in TIME ORDER via the
+    * sorted-list fold. Output: one row per event time (t, n_risk1,
+    * n_risk0, d1, d0, e1) with (chi2) repeated — per-time attribution
+    * plus the scalar verdict, the psiFromCells shape.
+    *
+    * Scale shape: ONE census aggregate onto the day-bounded duration
+    * grid; cumsum windows and folds run on the grid only. */
+  def logRank(df: DataFrame, durationCol: String, eventCol: String,
+              groupCol: String): DataFrame = {
+    val rows = df.select(col(durationCol).cast("long").as("__t"),
+        col(eventCol).cast("boolean").as("__e"),
+        col(groupCol).cast("int").as("__g"))
+      .filter(col("__t").isNotNull && col("__t") >= 0 &&
+        col("__e").isNotNull && col("__g").isNotNull)
+    val badGroup = rows.filter(col("__g") =!= 0 && col("__g") =!= 1)
+    require(badGroup.isEmpty, "logRank: groupCol must be 0/1")
+    val grid = rows.groupBy(col("__t"))
+      .agg(sum(when(col("__e") && col("__g") === 1, 1L).otherwise(0L))
+          .as("__d1"),
+        sum(when(!col("__e") && col("__g") === 1, 1L).otherwise(0L))
+          .as("__c1"),
+        sum(when(col("__e") && col("__g") === 0, 1L).otherwise(0L))
+          .as("__d0"),
+        sum(when(!col("__e") && col("__g") === 0, 1L).otherwise(0L))
+          .as("__c0"))
+    val tots = grid.agg(sum(col("__d1") + col("__c1")).as("__n1tot"),
+      sum(col("__d0") + col("__c0")).as("__n0tot"))
+    val w = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atRisk = grid.crossJoin(broadcast(tots))
+      .withColumn("__gone1", sum(col("__d1") + col("__c1")).over(w))
+      .withColumn("__gone0", sum(col("__d0") + col("__c0")).over(w))
+      .withColumn("n_risk1",
+        col("__n1tot") - col("__gone1") + col("__d1") + col("__c1"))
+      .withColumn("n_risk0",
+        col("__n0tot") - col("__gone0") + col("__d0") + col("__c0"))
+      .filter(col("__d1") + col("__d0") > 0)
+      .withColumn("__nt", col("n_risk1") + col("n_risk0"))
+      .withColumn("__dt", col("__d1") + col("__d0"))
+      .withColumn("e1", col("__dt").cast("double") *
+        col("n_risk1").cast("double") / col("__nt").cast("double"))
+      .withColumn("__v",
+        when(col("__nt") > 1,
+          col("__dt").cast("double") *
+            (col("n_risk1").cast("double") / col("__nt").cast("double")) *
+            (lit(1.0) - col("n_risk1").cast("double") /
+              col("__nt").cast("double")) *
+            (col("__nt") - col("__dt")).cast("double") /
+            (col("__nt") - 1).cast("double"))
+          .otherwise(lit(0.0)))
+    def foldSorted(v: org.apache.spark.sql.Column) = aggregate(
+      transform(array_sort(collect_list(struct(col("__t"), v.as("v")))),
+        p => p.getField("v")),
+      lit(0.0), (acc, x) => acc + x)
+    val pooled = atRisk.agg(
+      foldSorted(col("__d1").cast("double") - col("e1")).as("__sdev"),
+      foldSorted(col("__v")).as("__sv"))
+    require(pooled.head().getDouble(1) > 0.0,
+      "logRank: zero pooled variance — a group never shares a risk set")
+    atRisk.crossJoin(broadcast(pooled))
+      .select(col("__t").as("t"), col("n_risk1"), col("n_risk0"),
+        col("__d1").as("d1"), col("__d0").as("d0"),
+        round(col("e1"), 6).as("e1"),
+        round(col("__sdev") * col("__sdev") / col("__sv"), 6).as("chi2"))
+      .orderBy(col("t"))
+  }
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Levene's test for variance homogeneity across groups — the
+  * assumption check the per-group mean comparisons (q247/q259/q274)
+  * silently lean on, and a drift signal in its own right: a source
+  * whose document-length VARIANCE explodes while its mean holds is
+  * mixing two populations (template pages + articles). Levene (1960,
+  * mean-centered form): with z_gi = |x_gi − x̄_g|,
+  *
+  *   W = ((N−k)/(k−1)) · Σ_g n_g(z̄_g − z̄)² / Σ_gi(z_gi − z̄_g)²
+  *
+  * W ~ F(k−1, N−k) under homogeneity — large W means the spreads
+  * differ.
+  *
+  * INTEGER-DOMAIN CONTRACT (the Inequality.gini house rule): x must
+  * be integer-scaled (chars, tokens, cents) — then the group-scaled
+  * deviations u_gi = |n_g·x_gi − S_g| are exact BIGINTs, Σu and Σu²
+  * accumulate exactly (DECIMAL(38,0) for the squares — scale 0, so
+  * neither engine ever rounds a product), every z-moment is an
+  * exact-integer-over-integer close (z̄_g = Σu/n_g², Σz² = Σu²/n_g²),
+  * and the between/within terms fold in GROUP ORDER via the
+  * sorted-list fold. Output: one row per group (group, n, z_mean)
+  * with (w, df1, df2) repeated.
+  *
+  * Scale shape: two corpus passes (group sums; deviation sums), both
+  * map-side combined onto the groups grid; the test closes on k rows.
+  * The group-sums join broadcasts (groups are plural-per-corpus, the
+  * q167 contract). */
+object Variance {
+
+  def levene(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,
+      LongType}
+    val vt = df.schema(valueCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(vt),
+      s"levene: valueCol '$valueCol' is $vt — values must be integer-" +
+        "scaled (chars, tokens, cents); scale fractional metrics first")
+    val u = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__x"))
+    val sums = u.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"))
+      .filter(col("__n") >= 2)
+    val devs = u.join(broadcast(sums), "__g")
+      .withColumn("__u", abs(col("__x") * col("__n") - col("__s")))
+      .groupBy(col("__g"))
+      .agg(max(col("__n")).as("n"),
+        sum(col("__u")).cast("decimal(38,0)").as("__su"),
+        sum((col("__u").cast("decimal(38,0)") * col("__u"))
+          .cast("decimal(38,0)")).as("__suu"))
+      // z̄_g = Σu/n², Σz²_g = Σu²/n² — exact decimals closed to double
+      .withColumn("z_mean", col("__su").cast("double") /
+        (col("n") * col("n")).cast("double"))
+      .withColumn("__zsq", col("__suu").cast("double") /
+        (col("n") * col("n")).cast("double"))
+    val k = devs.count()
+    require(k >= 2, s"levene: $k groups (need >= 2)")
+    def foldSorted(v: org.apache.spark.sql.Column) = aggregate(
+      transform(array_sort(collect_list(struct(
+        col("__g").cast("string").as("g"), v.as("v")))),
+        p => p.getField("v")),
+      lit(0.0), (acc, x) => acc + x)
+    val tot = devs.agg(sum(col("n")).as("__nn"),
+      foldSorted(col("n").cast("double") * col("z_mean")).as("__sz"))
+    val withBar = devs.crossJoin(broadcast(tot))
+      .withColumn("__zbar", col("__sz") / col("__nn").cast("double"))
+    val parts = withBar.agg(
+      foldSorted(col("n").cast("double") *
+        (col("z_mean") - col("__zbar")) * (col("z_mean") - col("__zbar")))
+        .as("__between"),
+      foldSorted(col("__zsq") -
+        col("n").cast("double") * col("z_mean") * col("z_mean"))
+        .as("__within"),
+      max(col("__nn")).as("__n"))
+    val p = parts.head()
+    val (between, within, nn) =
+      (p.getDouble(0), p.getDouble(1), p.getLong(2))
+    require(within > 0.0,
+      "levene: zero within-group deviation — every group is constant")
+    val wStat = (nn - k).toDouble / (k - 1).toDouble * between / within
+    withBar
+      .select(col("__g").as(groupCol), col("n"),
+        round(col("z_mean"), 6).as("z_mean"),
+        round(lit(wStat), 6).as("w"),
+        lit(k - 1).as("df1"), lit(nn - k).as("df2"))
+      .orderBy(col(groupCol))
+  }
+}

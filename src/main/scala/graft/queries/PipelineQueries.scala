@@ -906,6 +906,171 @@ object PipelineQueries extends QuerySet {
       |FROM win, s""".stripMargin
   }
 
+  /** Two-group log-rank test on per-user tenure curves —
+    * [[graft.operators.Survival.logRank]]: duration = distinct active
+    * days, event = ever purchased, arms by the house hash. */
+  private def q300(s: SparkSession, d: String): DataFrame = {
+    val pu = t(s, d, "events").filter(col("ts").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(countDistinct(to_date(col("ts"))).as("dur"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("ev"))
+      .withColumn("grp",
+        graft.operators.Splits.hashBucket(col("user_id"), 2))
+    graft.operators.Survival.logRank(pu, "dur", "ev", "grp")
+  }
+
+  private val q300Sql =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS dur,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ev
+      |  FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+      |r AS (
+      |  SELECT dur AS t, (ev = 1) AS e,
+      |    CAST(((user_id % 2147483648) * 2654435761) % 4294967296 % 2
+      |      AS INTEGER) AS g
+      |  FROM pu),
+      |grid AS (
+      |  SELECT t,
+      |    CAST(SUM(CASE WHEN e AND g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS d1,
+      |    CAST(SUM(CASE WHEN NOT e AND g = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN e AND g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS d0,
+      |    CAST(SUM(CASE WHEN NOT e AND g = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c0
+      |  FROM r GROUP BY t),
+      |tots AS (SELECT CAST(SUM(d1 + c1) AS BIGINT) AS n1tot,
+      |  CAST(SUM(d0 + c0) AS BIGINT) AS n0tot FROM grid),
+      |ar AS (
+      |  SELECT t, d1, d0,
+      |    tots.n1tot - CAST(SUM(d1 + c1) OVER w AS BIGINT) + d1 + c1
+      |      AS n_risk1,
+      |    tots.n0tot - CAST(SUM(d0 + c0) OVER w AS BIGINT) + d0 + c0
+      |      AS n_risk0
+      |  FROM grid, tots
+      |  WINDOW w AS (ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |ev AS (
+      |  SELECT t, n_risk1, n_risk0, d1, d0,
+      |    n_risk1 + n_risk0 AS nt, d1 + d0 AS dt,
+      |    CAST(d1 + d0 AS DOUBLE) * CAST(n_risk1 AS DOUBLE)
+      |      / CAST(n_risk1 + n_risk0 AS DOUBLE) AS e1,
+      |    CASE WHEN n_risk1 + n_risk0 > 1 THEN
+      |      CAST(d1 + d0 AS DOUBLE)
+      |        * (CAST(n_risk1 AS DOUBLE)
+      |           / CAST(n_risk1 + n_risk0 AS DOUBLE))
+      |        * (1.0 - CAST(n_risk1 AS DOUBLE)
+      |           / CAST(n_risk1 + n_risk0 AS DOUBLE))
+      |        * CAST(n_risk1 + n_risk0 - d1 - d0 AS DOUBLE)
+      |        / CAST(n_risk1 + n_risk0 - 1 AS DOUBLE)
+      |    ELSE 0.0 END AS v
+      |  FROM ar WHERE d1 + d0 > 0),
+      |p AS (
+      |  SELECT
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(CAST(d1 AS DOUBLE) - e1 ORDER BY t)), (a, b) -> a + b)
+      |      AS sdev,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(v ORDER BY t)), (a, b) -> a + b) AS sv
+      |  FROM ev)
+      |SELECT ev.t, ev.n_risk1, ev.n_risk0, ev.d1, ev.d0,
+      |  round(ev.e1, 6) AS e1,
+      |  round(p.sdev * p.sdev / p.sv, 6) AS chi2
+      |FROM ev, p ORDER BY ev.t""".stripMargin
+
+  /** Zero-inflation audit of each event type's hourly arrivals —
+    * [[Dispersion.zeroInflation]] on the dense hour grid. */
+  private def q301(s: SparkSession, d: String): DataFrame =
+    Dispersion.zeroInflation(
+      t(s, d, "events").filter(col("ts").isNotNull)
+        .withColumn("h", floor(unix_timestamp(col("ts")) / 3600L)),
+      "event_type", "h")
+
+  private val q301Sql =
+    """WITH e AS (
+      |  SELECT event_type AS g, epoch_us(ts) // 3600000000 AS p
+      |  FROM events WHERE ts IS NOT NULL),
+      |counts AS (SELECT g, p, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM e GROUP BY g, p),
+      |grid AS (SELECT DISTINCT p FROM counts),
+      |grp AS (SELECT DISTINCT g FROM counts),
+      |dense AS (
+      |  SELECT grp.g, grid.p, COALESCE(counts.c, 0) AS c
+      |  FROM grp CROSS JOIN grid
+      |  LEFT JOIN counts ON counts.g = grp.g AND counts.p = grid.p),
+      |agg AS (
+      |  SELECT g, CAST(COUNT(*) AS BIGINT) AS periods,
+      |    CAST(SUM(c) AS BIGINT) AS total,
+      |    CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+      |  FROM dense GROUP BY g)
+      |SELECT g AS event_type, periods, total, zeros,
+      |  round(CAST(total AS DOUBLE) / CAST(periods AS DOUBLE), 6)
+      |    AS lambda,
+      |  round(CAST(zeros AS DOUBLE) / CAST(periods AS DOUBLE), 6)
+      |    AS p0_obs,
+      |  round(exp(-(CAST(total AS DOUBLE) / CAST(periods AS DOUBLE))), 6)
+      |    AS p0_poisson,
+      |  round(CAST(zeros AS DOUBLE) / CAST(periods AS DOUBLE)
+      |    - exp(-(CAST(total AS DOUBLE) / CAST(periods AS DOUBLE))), 6)
+      |    AS excess_zeros
+      |FROM agg WHERE periods >= 1 AND total > 0
+      |ORDER BY event_type""".stripMargin
+
+  /** Levene variance-homogeneity test of document length across
+    * sources — [[graft.operators.Variance.levene]] in the exact
+    * integer domain. */
+  private def q302(s: SparkSession, d: String): DataFrame =
+    graft.operators.Variance.levene(t(s, d, "documents"), "source",
+      "n_chars")
+
+  private val q302Sql =
+    """WITH u AS (
+      |  SELECT source AS g, CAST(n_chars AS BIGINT) AS x
+      |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+      |sums AS (
+      |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS s
+      |  FROM u GROUP BY g HAVING COUNT(*) >= 2),
+      |devs AS (
+      |  SELECT u.g, sums.n,
+      |    CAST(SUM(abs(u.x * sums.n - sums.s)) AS HUGEINT) AS su,
+      |    CAST(SUM(CAST(abs(u.x * sums.n - sums.s) AS HUGEINT)
+      |      * abs(u.x * sums.n - sums.s)) AS HUGEINT) AS suu
+      |  FROM u JOIN sums ON u.g = sums.g
+      |  GROUP BY u.g, sums.n),
+      |z AS (
+      |  SELECT g, n,
+      |    CAST(CAST(su AS VARCHAR) AS DOUBLE)
+      |      / CAST(n * n AS DOUBLE) AS z_mean,
+      |    CAST(CAST(suu AS VARCHAR) AS DOUBLE)
+      |      / CAST(n * n AS DOUBLE) AS zsq
+      |  FROM devs),
+      |tot AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+      |    CAST(COUNT(*) AS BIGINT) AS k,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(CAST(n AS DOUBLE) * z_mean ORDER BY g)),
+      |      (a, b) -> a + b) AS sz
+      |  FROM z),
+      |parts AS (
+      |  SELECT
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(CAST(n AS DOUBLE)
+      |        * (z_mean - tot.sz / tot.nn) * (z_mean - tot.sz / tot.nn)
+      |        ORDER BY g)), (a, b) -> a + b) AS between_,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(zsq - CAST(n AS DOUBLE) * z_mean * z_mean ORDER BY g)),
+      |      (a, b) -> a + b) AS within_
+      |  FROM z, tot GROUP BY tot.sz, tot.nn)
+      |SELECT z.g AS source, z.n, round(z.z_mean, 6) AS z_mean,
+      |  round(CAST(tot.nn - tot.k AS DOUBLE) / CAST(tot.k - 1 AS DOUBLE)
+      |    * parts.between_ / parts.within_, 6) AS w,
+      |  tot.k - 1 AS df1, tot.nn - tot.k AS df2
+      |FROM z, tot, parts ORDER BY source""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q280_wasserstein_drift", q280, Some(q280Sql)),
     Q("q281_readability", q281, Some(q281Sql)),
@@ -926,5 +1091,8 @@ object PipelineQueries extends QuerySet {
     Q("q296_acf_hourly", q296, Some(q296Sql)),
     Q("q297_fdr_bh", q297, Some(q297Sql)),
     Q("q298_brier_decomposition", q298, Some(q298Sql)),
-    Q("q299_quantile_regression", q299, Some(q299Sql), headline = true))
+    Q("q299_quantile_regression", q299, Some(q299Sql), headline = true),
+    Q("q300_logrank_test", q300, Some(q300Sql)),
+    Q("q301_zero_inflation", q301, Some(q301Sql)),
+    Q("q302_levene_test", q302, Some(q302Sql)))
 }

@@ -29,4 +29,19 @@ class DispersionSpec extends AnyFunSuite with SparkSuite {
     assert(out("s") == 0.0)
     assert(out("b") == 10.0, "burst concentrated in one of 10 periods")
   }
+
+  test("zeroInflation hand-computed against the Poisson null") {
+    import spark.implicits._
+    // g: 1 event at h=1, 1 at h=2, silent at h=3 (pinned by z)
+    val rows = Seq(("g", 1L), ("g", 2L), ("z", 3L)).toDF("g", "h")
+    val out = Dispersion.zeroInflation(rows.toDF("g", "h"), "g", "h")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(7)))
+      .toMap
+    val (zeros, lam, p0, excess) = out("g")
+    assert(zeros == 1L)
+    assert(math.abs(lam - 2.0 / 3.0) < 1e-6)
+    assert(math.abs(p0 - 1.0 / 3.0) < 1e-6)
+    assert(math.abs(excess - (1.0 / 3.0 - math.exp(-2.0 / 3.0))) < 1e-5)
+  }
 }

@@ -49,4 +49,42 @@ class SurvivalSpec extends AnyFunSuite with SparkSuite {
       Survival.kaplanMeier(d, "dur", "ev").orderBy("t").collect().map(_.toSeq).toSeq
     assert(run(df) == run(df.repartition(13)))
   }
+
+  test("logRank hand-computed: fully separated groups") {
+    import spark.implicits._
+    // g1 both die at t=1, g0 both at t=2:
+    // t=1: e1 = 2*2/4 = 1, v = 2*.25*2/3 = 1/3; t=2: e1 = 0, v = 0
+    // chi2 = (2-1)^2 / (1/3) = 3
+    val rows = Seq((1L, true, 1), (1L, true, 1), (2L, true, 0),
+      (2L, true, 0)).toDF("dur", "ev", "grp")
+    val out = Survival.logRank(rows, "dur", "ev", "grp").collect()
+    assert(out.length == 2)
+    assert(math.abs(out(0).getAs[Double]("chi2") - 3.0) < 1e-6)
+    assert(out(0).getAs[Double]("e1") == 1.0)
+    assert(out(0).getAs[Long]("n_risk1") == 2 &&
+      out(0).getAs[Long]("n_risk0") == 2)
+  }
+
+  test("logRank: identical groups give chi2 near zero; censoring shifts risk sets") {
+    import spark.implicits._
+    val rows = (1L to 20L).flatMap(i =>
+      Seq((i % 5 + 1, true, 1), (i % 5 + 1, true, 0)))
+      .toDF("dur", "ev", "grp")
+    val chi = Survival.logRank(rows, "dur", "ev", "grp")
+      .head().getAs[Double]("chi2")
+    assert(chi < 1e-9, s"identical groups chi2=$chi")
+    // a censored g1 row at t=1 is still at risk AT t=1 but gone at t=2
+    val cen = Seq((1L, false, 1), (2L, true, 1), (2L, true, 0),
+      (3L, false, 0)).toDF("dur", "ev", "grp")
+    val r2 = Survival.logRank(cen, "dur", "ev", "grp").head()
+    assert(r2.getAs[Long]("n_risk1") == 1, "censored row left before t=2")
+  }
+
+  test("logRank fails loudly on non-binary groups") {
+    import spark.implicits._
+    val rows = Seq((1L, true, 2)).toDF("dur", "ev", "grp")
+    assert(intercept[IllegalArgumentException] {
+      Survival.logRank(rows, "dur", "ev", "grp")
+    }.getMessage.contains("0/1"))
+  }
 }
