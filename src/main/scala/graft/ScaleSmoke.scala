@@ -282,7 +282,30 @@ object ScaleSmoke {
       // RELABELED corpus (vocab ×10 — the q137/q164 adversarial case;
       // q277's fit then runs on the top-N slice, q278's attribution on
       // the joined vocab); q279 is a per-source aggregate (groups fixed)
-      "q277_zipf_fit", "q278_vocab_jsd", "q279_mixture_entropy")
+      "q277_zipf_fit", "q278_vocab_jsd", "q279_mixture_entropy",
+      // r15 additions. Wordcount-class over the RELABELED corpus (vocab
+      // ×10 — the q137/q164 adversarial case): q285/q293; scan-class
+      // regex counters: q281/q284; value-grid drift: q280 (n_chars
+      // domain fixed, scan ×10); user-keyed windows/aggregates over
+      // events ×10 (users ×10 via key shift): q282/q283/q288/q291/
+      // q300; one-aggregate families: q286/q295/q297 (orders ×10 onto
+      // segment/nation grids), q302 (two passes ×10); calendar-grid
+      // folds: q287 SES (pair grid fixed), q294/q301 (dense grid
+      // fixed), q296 ACF (lag joins on the grid); embedding-scoring
+      // pass ×10: q298; three lineitem passes ×10: q289; the grid
+      // census with corpus×cells explode: q299 (the round's
+      // scale-stress row); per-trigger streaming: q290 (batches ×10
+      // through two-number ledger state); distinct+overlap join ×10:
+      // q292
+      "q280_wasserstein_drift", "q281_readability", "q282_funnel_conversion",
+      "q283_cohort_retention", "q284_script_mix", "q285_lexical_diversity",
+      "q286_cmh_test", "q287_ses_forecast", "q288_markov_transitions",
+      "q289_conformal_coverage", "q290_streaming_cusum",
+      "q291_jackknife_ratio", "q292_capture_recapture",
+      "q293_vocab_richness", "q294_dispersion_fano", "q295_kish_ess",
+      "q296_acf_hourly", "q297_fdr_bh", "q298_brier_decomposition",
+      "q299_quantile_regression", "q300_logrank_test",
+      "q301_zero_inflation", "q302_levene_test")
     val qmap = SparkEntry.queries
     // Local-iteration filter (the Verify/Bench idiom): SPARK_GRAFT_ONLY
     // runs only matching smoke queries — new rows don't force re-paying

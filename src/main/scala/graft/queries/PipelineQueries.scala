@@ -849,11 +849,15 @@ object PipelineQueries extends QuerySet {
       |  sc.resolution, sc.uncertainty
       |FROM per2, sc ORDER BY per2.bin""".stripMargin
 
-  /** Median (pinball) regression of price on quantity by exact grid
-    * census — [[QuantileRegression.pinballGrid]]: rational-τ factored
-    * loss, exact decimal argmin. */
+  /** Median (pinball) regression of price on quantity —
+    * [[QuantileRegression.pinballProfile]]: the intercept dimension is
+    * solved out per slope (exact τ-quantile of residuals via the
+    * two-phase selection), so the search is |slopes| cells of long
+    * micro-unit arithmetic. The 289-cell decimal census
+    * ([[QuantileRegression.pinballGrid]], spec-tested) measured 155 s
+    * at bench SF; this path is the at-scale shape. */
   private def q299(s: SparkSession, d: String): DataFrame =
-    QuantileRegression.pinballGrid(t(s, d, "lineitem"),
+    QuantileRegression.pinballProfile(t(s, d, "lineitem"),
       "l_quantity", "l_extendedprice", tauNum = 1, tauDen = 2, steps = 17)
 
   private val q299Sql = {
@@ -876,32 +880,36 @@ object PipelineQueries extends QuerySet {
       |    CAST(CAST(CAST(SUM(y) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE)
       |      AS sy
       |  FROM u),
-      |grid AS (
+      |slopes AS (
       |  SELECT DISTINCT CAST(round((s.sy / s.sx) * f.f, 6)
-      |      AS DECIMAL(12,6)) AS b,
-      |    CAST(round((s.sy / s.n)
-      |      * (-1.0 + (2.0 * k.k) / 16), 6) AS DECIMAL(12,6)) AS a
-      |  FROM s, (SELECT unnest($factors) AS f) f,
-      |    (SELECT unnest(range(0, 17)) AS k) k),
-      |cells AS (
-      |  SELECT g.b, g.a,
-      |    CAST(SUM(CASE WHEN u.y - g.a - g.b * u.x >= 0
-      |      THEN u.y - g.a - g.b * u.x
-      |      ELSE CAST(0 AS DECIMAL(32,12)) END) AS DECIMAL(38,12)) AS sp,
-      |    CAST(SUM(CASE WHEN u.y - g.a - g.b * u.x < 0
-      |      THEN -(u.y - g.a - g.b * u.x)
-      |      ELSE CAST(0 AS DECIMAL(32,12)) END) AS DECIMAL(38,12)) AS sn
-      |  FROM u CROSS JOIN grid g GROUP BY g.b, g.a),
-      |key AS (
-      |  SELECT b, a, CAST(sp * 1 + sn * 1 AS DECIMAL(38,12)) AS k
-      |  FROM cells),
-      |win AS (SELECT b, a, k FROM key ORDER BY k ASC, b ASC, a ASC
-      |  LIMIT 1)
+      |    AS DECIMAL(12,6)) AS b
+      |  FROM s, (SELECT unnest($factors) AS f) f),
+      |-- micro-unit residuals: the (26,12) re-cast keeps the x10^6
+      |-- product in exact decimal (wider would demote to DOUBLE)
+      |rows_ AS (
+      |  SELECT slopes.b,
+      |    CAST(floor(CAST(u.y - slopes.b * u.x AS DECIMAL(26,12))
+      |      * CAST(1000000 AS DECIMAL(7,0))) AS BIGINT) AS r
+      |  FROM u CROSS JOIN slopes),
+      |a AS (
+      |  SELECT b, r AS av FROM (
+      |    SELECT b, r, row_number() OVER (PARTITION BY b ORDER BY r)
+      |      AS rn FROM rows_) t, s
+      |  WHERE t.rn = (1 * s.n + 2 - 1) // 2),
+      |losses AS (
+      |  SELECT rows_.b, a.av,
+      |    CAST(SUM(CASE WHEN r >= av THEN CAST(r - av AS HUGEINT)
+      |      ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS sge,
+      |    CAST(SUM(CASE WHEN r < av THEN CAST(av - r AS HUGEINT)
+      |      ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS slt
+      |  FROM rows_ JOIN a ON rows_.b = a.b GROUP BY rows_.b, a.av),
+      |key AS (SELECT b, av, sge * 1 + slt * 1 AS kk FROM losses),
+      |win AS (SELECT b, av, kk FROM key ORDER BY kk ASC, b ASC LIMIT 1)
       |SELECT 0.5 AS tau,
       |  CAST(CAST(win.b AS VARCHAR) AS DOUBLE) AS slope,
-      |  CAST(CAST(win.a AS VARCHAR) AS DOUBLE) AS intercept,
-      |  round(CAST(CAST(win.k AS VARCHAR) AS DOUBLE) / (s.n * 2.0), 6)
-      |    AS loss,
+      |  round(CAST(win.av AS DOUBLE) / 1e6, 6) AS intercept,
+      |  round(CAST(CAST(win.kk AS VARCHAR) AS DOUBLE)
+      |    / (s.n * 2.0 * 1e6), 6) AS loss,
       |  s.n
       |FROM win, s""".stripMargin
   }

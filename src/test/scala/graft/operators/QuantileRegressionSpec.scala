@@ -29,6 +29,39 @@ class QuantileRegressionSpec extends AnyFunSuite with SparkSuite {
     assert(slope < 4.0, s"slope $slope dragged by outliers")
   }
 
+  test("profile path: exact line recovered with the TRUE optimal intercept") {
+    import spark.implicits._
+    val rows = (1L to 100L).map(i => (i.toDouble, 3.0 + 2.0 * i))
+    val r = QuantileRegression.pinballProfile(rows.toDF("x", "y"),
+      "x", "y").head()
+    // slope grid anchors at sy/sx (≈2.06, no exact 2.0 point), but the
+    // profiled intercept is the exact median residual at the chosen
+    // slope — the line must reproduce near-zero loss at the best cell
+    assert(r.getDouble(3) < 60.0, s"loss ${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(1) - 2.0) < 0.5)
+  }
+
+  test("profile beats the census at its own slope (intercept is optimal)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val rows = (1L to 300L).map(i =>
+      (i.toDouble, 5.0 + 2.0 * i + rnd.nextInt(20)))
+    val df = rows.toDF("x", "y")
+    val census = QuantileRegression.pinballGrid(df, "x", "y").head()
+    val profile = QuantileRegression.pinballProfile(df, "x", "y").head()
+    assert(profile.getDouble(3) <= census.getDouble(3) + 1e-9,
+      s"profile ${profile.getDouble(3)} vs census ${census.getDouble(3)}")
+  }
+
+  test("profile handles negative residual domains (negative intercepts)") {
+    import spark.implicits._
+    // y = x - 50: residuals at every slope are mostly negative
+    val rows = (1L to 200L).map(i => (i.toDouble, i - 50.0))
+    val r = QuantileRegression.pinballProfile(rows.toDF("x", "y"),
+      "x", "y").head()
+    assert(r.getDouble(2) < 0.0, s"intercept ${r.getDouble(2)}")
+  }
+
   test("degenerate inputs fail loudly") {
     import spark.implicits._
     assert(intercept[IllegalArgumentException] {
