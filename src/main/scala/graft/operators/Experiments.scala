@@ -347,4 +347,39 @@ object Experiments {
           .as("or_mh"))
       .orderBy(col("stratum"))
   }
+
+  /** McNemar's test for PAIRED classifier comparison — the test the
+    * model layer (q263 stump, q264 Naive Bayes, q276 pipeline) needs
+    * to say "model B is actually better than model A": on the SAME
+    * items, accuracy deltas are driven entirely by the DISCORDANT
+    * pairs (items one model gets right and the other wrong); the
+    * concordant mass is noise-free and must not dilute the test
+    * (McNemar 1947; Edwards' continuity correction):
+    *
+    *   χ² = (|n₁₀ − n₀₁| − 1)² / (n₁₀ + n₀₁)     (1 df)
+    *
+    * Input: one row per item with aCorrectCol/bCorrectCol booleans.
+    * Exactness: the 2×2 census is one map-side-combined BIGINT
+    * aggregate; the statistic is a single double close, 6-dp. A zero
+    * discordant count fails loudly (the test is undefined — the
+    * models are identical on this data). */
+  def mcnemar(df: DataFrame, aCorrectCol: String,
+              bCorrectCol: String): DataFrame = {
+    val a = col(aCorrectCol).cast("boolean")
+    val b = col(bCorrectCol).cast("boolean")
+    val cells = df.filter(a.isNotNull && b.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(a && b, 1L).otherwise(0L)).as("n_both"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("a_only"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("b_only"),
+        sum(when(!a && !b, 1L).otherwise(0L)).as("neither"))
+    val r = cells.head()
+    require(r.getLong(2) + r.getLong(3) > 0,
+      "mcnemar: no discordant pairs — the classifiers agree everywhere")
+    cells.select(col("n"), col("n_both"), col("a_only"), col("b_only"),
+      col("neither"),
+      round((abs(col("a_only") - col("b_only")).cast("double") - 1.0) *
+        (abs(col("a_only") - col("b_only")).cast("double") - 1.0) /
+        (col("a_only") + col("b_only")).cast("double"), 6).as("chi2_cc"))
+  }
 }

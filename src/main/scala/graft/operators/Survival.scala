@@ -147,4 +147,47 @@ object Survival {
         round(col("__sdev") * col("__sdev") / col("__sv"), 6).as("chi2"))
       .orderBy(col("t"))
   }
+
+  /** Restricted mean survival time + median — the SCALARS a dashboard
+    * trends where [[kaplanMeier]] gives a curve: RMST(τ) = ∫₀^τ S(t)dt
+    * is the average event-free time over the horizon (Royston &
+    * Parmar 2013 — the standard KM summary when hazards are NOT
+    * proportional and a single ratio would lie), and the median is
+    * the first time S(t) drops to ≤ ½. Computed exactly from the
+    * [[kaplanMeier]] step function:
+    *
+    *   RMST = min(t₁, τ) + Σᵢ S(tᵢ)·(min(tᵢ₊₁, τ) − min(tᵢ, τ))
+    *
+    * (the first term is the S = 1 stretch before the first event).
+    * Determinism: interval terms fold in TIME ORDER via the
+    * sorted-list fold over the day-bounded KM grid; the median picks
+    * the smallest qualifying t by an exact min. One row:
+    * (tau, rmst, median_t, n_times). */
+  def rmst(df: DataFrame, durationCol: String, eventCol: String,
+           tau: Long): DataFrame = {
+    require(tau > 0, s"rmst: bad horizon tau=$tau")
+    val km = kaplanMeier(df, durationCol, eventCol)
+    val w = Window.orderBy(col("t")) // KM grid-bounded (day grid)
+    val terms = km
+      .withColumn("__next", coalesce(lead(col("t"), 1).over(w), lit(tau)))
+      .withColumn("__seg",
+        when(least(col("__next"), lit(tau)) > least(col("t"), lit(tau)),
+          col("surv") * (least(col("__next"), lit(tau)) -
+            least(col("t"), lit(tau))).cast("double"))
+          .otherwise(lit(0.0)))
+    val head = km.agg(min(col("t")).as("__t1"),
+      count(lit(1)).as("n_times")).head()
+    require(!head.isNullAt(0), "rmst: no event times")
+    val t1 = head.getLong(0); val nTimes = head.getLong(1)
+    val folded = terms.agg(
+      aggregate(
+        transform(array_sort(collect_list(struct(col("t"),
+          col("__seg").as("v")))), p => p.getField("v")),
+        lit(0.0), (acc, x) => acc + x).as("__area"),
+      min(when(col("surv") <= 0.5, col("t"))).as("median_t"))
+    folded.select(lit(tau).as("tau"),
+      round(lit(math.min(t1, tau).toDouble) + col("__area"), 6)
+        .as("rmst"),
+      col("median_t"), lit(nTimes).as("n_times"))
+  }
 }

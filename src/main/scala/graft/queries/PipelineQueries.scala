@@ -1079,6 +1079,170 @@ object PipelineQueries extends QuerySet {
       |  tot.k - 1 AS df1, tot.nn - tot.k AS df2
       |FROM z, tot, parts ORDER BY source""".stripMargin
 
+  /** McNemar paired-classifier comparison — two deterministic lang-id
+    * heuristics scored against the lang label on the SAME documents;
+    * [[Experiments.mcnemar]] tests the discordant pairs. */
+  private def q303(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .withColumn("__truth", col("lang") === "en")
+      .withColumn("a_ok",
+        (col("n_chars") > 400) === col("__truth"))
+      .withColumn("b_ok",
+        (regexp_count(lower(col("text")), lit("[aeiou]")) * 3 >
+          length(col("text"))) === col("__truth"))
+    Experiments.mcnemar(docs, "a_ok", "b_ok")
+  }
+
+  private val q303Sql =
+    """WITH p AS (
+      |  SELECT (n_chars > 400) = (lang = 'en') AS a_ok,
+      |    (len(regexp_extract_all(lower(text), '[aeiou]')) * 3
+      |      > length(text)) = (lang = 'en') AS b_ok
+      |  FROM documents WHERE text IS NOT NULL),
+      |c AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN a_ok AND b_ok THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_both,
+      |    CAST(SUM(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS a_only,
+      |    CAST(SUM(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS b_only,
+      |    CAST(SUM(CASE WHEN NOT a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS neither
+      |  FROM p)
+      |SELECT n, n_both, a_only, b_only, neither,
+      |  round((CAST(abs(a_only - b_only) AS DOUBLE) - 1.0)
+      |    * (CAST(abs(a_only - b_only) AS DOUBLE) - 1.0)
+      |    / CAST(a_only + b_only AS DOUBLE), 6) AS chi2_cc
+      |FROM c""".stripMargin
+
+  /** Hubness (k-occurrence skew) audit of the embedding space —
+    * [[graft.operators.Hubness.kOccurrence]] at k = 5. */
+  private def q304(s: SparkSession, d: String): DataFrame =
+    graft.operators.Hubness.kOccurrence(t(s, d, "embeddings"),
+      "vec_id", "embedding", k = 5)
+
+  private val q304Sql = {
+    def dl(c: String) = s"list_transform($c, x -> CAST(x AS DOUBLE))"
+    s"""WITH s AS (
+       |  SELECT a.vec_id AS pid, b.vec_id AS nid,
+       |    list_cosine_similarity(${dl("a.embedding")},
+       |      ${dl("b.embedding")}) AS sim
+       |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+       |top AS (
+       |  SELECT nid FROM (
+       |    SELECT pid, nid,
+       |      row_number() OVER (PARTITION BY pid ORDER BY sim DESC, nid)
+       |        AS rn
+       |    FROM s) t WHERE rn <= 5),
+       |occ AS (
+       |  SELECT e.vec_id, COALESCE(c.c, 0) AS o
+       |  FROM embeddings e LEFT JOIN
+       |    (SELECT nid, CAST(COUNT(*) AS BIGINT) AS c FROM top
+       |     GROUP BY nid) c
+       |  ON e.vec_id = c.nid),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(o) AS BIGINT) AS s1,
+       |    CAST(SUM(o * o) AS BIGINT) AS s2,
+       |    CAST(SUM(o * o * o) AS BIGINT) AS s3,
+       |    CAST(MAX(o) AS BIGINT) AS mx
+       |  FROM occ),
+       |hist AS (SELECT CAST(o AS BIGINT) AS occurrences,
+       |  CAST(COUNT(*) AS BIGINT) AS n_points FROM occ GROUP BY o)
+       |SELECT hist.occurrences, hist.n_points, m.n, 5 AS k,
+       |  round(CAST(m.s1 AS DOUBLE) / m.n, 6) AS mean_occ,
+       |  round(CAST(m.s2 AS DOUBLE) / m.n
+       |    - (CAST(m.s1 AS DOUBLE) / m.n) * (CAST(m.s1 AS DOUBLE) / m.n),
+       |    6) AS variance,
+       |  round((CAST(m.s3 AS DOUBLE) / m.n
+       |    - 3.0 * (CAST(m.s1 AS DOUBLE) / m.n)
+       |      * (CAST(m.s2 AS DOUBLE) / m.n)
+       |    + 2.0 * (CAST(m.s1 AS DOUBLE) / m.n)
+       |      * (CAST(m.s1 AS DOUBLE) / m.n)
+       |      * (CAST(m.s1 AS DOUBLE) / m.n))
+       |    / pow(CAST(m.s2 AS DOUBLE) / m.n
+       |      - (CAST(m.s1 AS DOUBLE) / m.n) * (CAST(m.s1 AS DOUBLE) / m.n),
+       |      1.5), 6) AS skewness,
+       |  m.mx AS max_occ
+       |FROM hist, m ORDER BY hist.occurrences""".stripMargin
+  }
+
+  /** Restricted mean survival time + median tenure over the q243
+    * churn-duration construction — [[graft.operators.Survival.rmst]]
+    * at a 20-day horizon. */
+  private def q305(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, d, "events")
+    val days = ev.filter(col("ts").isNotNull)
+      .select(col("user_id").as("u"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("u")).orderBy(col("day"))
+    val durs = days
+      .withColumn("__gap",
+        datediff(lead(col("day"), 1).over(w), col("day")))
+      .groupBy(col("u"))
+      .agg(min(col("day")).as("__f"), max(col("day")).as("__l"),
+        min(when(col("__gap") > 2, col("day"))).as("__ev"))
+      .select(
+        datediff(coalesce(col("__ev"), col("__l")), col("__f")).as("dur"),
+        col("__ev").isNotNull.as("event"))
+    graft.operators.Survival.rmst(durs, "dur", "event", tau = 20L)
+  }
+
+  private val q305Sql =
+    """WITH d0 AS (
+      |  SELECT user_id AS u, CAST(ts AS DATE) AS dy FROM events
+      |  WHERE ts IS NOT NULL GROUP BY 1, 2),
+      |g AS (
+      |  SELECT u, dy,
+      |    datediff('day', dy, lead(dy) OVER (PARTITION BY u ORDER BY dy))
+      |      AS gap
+      |  FROM d0),
+      |dur AS (
+      |  SELECT datediff('day', MIN(dy),
+      |      COALESCE(MIN(CASE WHEN gap > 2 THEN dy END), MAX(dy))) AS t,
+      |    (MIN(CASE WHEN gap > 2 THEN dy END) IS NOT NULL) AS ev
+      |  FROM g GROUP BY u),
+      |grid AS (
+      |  SELECT t, CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS d,
+      |    CAST(SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS c
+      |  FROM dur GROUP BY t),
+      |tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n FROM grid),
+      |ar AS (
+      |  SELECT t, d, c,
+      |    tot.n - CAST(SUM(d + c) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      + d + c AS n_risk
+      |  FROM grid CROSS JOIN tot),
+      |evt AS (SELECT * FROM ar WHERE d > 0),
+      |km AS (
+      |  SELECT e1.t,
+      |    list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+      |      list(CAST(e2.n_risk - e2.d AS DOUBLE)
+      |        / CAST(e2.n_risk AS DOUBLE) ORDER BY e2.t)),
+      |      (a, b) -> a * b) AS surv
+      |  FROM evt e1 JOIN evt e2 ON e2.t <= e1.t
+      |  GROUP BY e1.t),
+      |seg AS (
+      |  SELECT t, surv,
+      |    COALESCE(lead(t) OVER (ORDER BY t), 20) AS nxt
+      |  FROM km),
+      |sums AS (
+      |  SELECT
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(CASE WHEN LEAST(nxt, 20) > LEAST(t, 20)
+      |        THEN surv * CAST(LEAST(nxt, 20) - LEAST(t, 20) AS DOUBLE)
+      |        ELSE 0.0 END ORDER BY t)), (a, b) -> a + b) AS area,
+      |    MIN(CASE WHEN surv <= 0.5 THEN t END) AS median_t,
+      |    CAST(COUNT(*) AS BIGINT) AS n_times,
+      |    CAST(LEAST(MIN(t), 20) AS DOUBLE) AS head_
+      |  FROM seg)
+      |SELECT CAST(20 AS BIGINT) AS tau,
+      |  round(head_ + area, 6) AS rmst, median_t, n_times
+      |FROM sums""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q280_wasserstein_drift", q280, Some(q280Sql)),
     Q("q281_readability", q281, Some(q281Sql)),
@@ -1102,5 +1266,8 @@ object PipelineQueries extends QuerySet {
     Q("q299_quantile_regression", q299, Some(q299Sql), headline = true),
     Q("q300_logrank_test", q300, Some(q300Sql)),
     Q("q301_zero_inflation", q301, Some(q301Sql)),
-    Q("q302_levene_test", q302, Some(q302Sql)))
+    Q("q302_levene_test", q302, Some(q302Sql)),
+    Q("q303_mcnemar_test", q303, Some(q303Sql)),
+    Q("q304_hubness_audit", q304, Some(q304Sql)),
+    Q("q305_rmst", q305, Some(q305Sql)))
 }

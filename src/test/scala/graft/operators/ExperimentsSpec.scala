@@ -167,4 +167,23 @@ class ExperimentsSpec extends AnyFunSuite with SparkSuite {
     }
     assert(e.getMessage.contains("variance"))
   }
+
+  test("mcnemar hand-computed with continuity correction") {
+    import spark.implicits._
+    val rows = Seq.fill(10)((true, true)) ++ Seq.fill(6)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(3)((false, false))
+    val r = Experiments.mcnemar(rows.toDF("a", "b"), "a", "b").head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((10L, 6L, 2L, 3L)))
+    // (|6-2|-1)^2 / 8 = 9/8
+    assert(math.abs(r.getAs[Double]("chi2_cc") - 1.125) < 1e-9)
+  }
+
+  test("mcnemar fails loudly with no discordant pairs") {
+    import spark.implicits._
+    val rows = Seq((true, true), (false, false))
+    assert(intercept[IllegalArgumentException] {
+      Experiments.mcnemar(rows.toDF("a", "b"), "a", "b")
+    }.getMessage.contains("discordant"))
+  }
 }

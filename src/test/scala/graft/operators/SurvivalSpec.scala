@@ -87,4 +87,26 @@ class SurvivalSpec extends AnyFunSuite with SparkSuite {
       Survival.logRank(rows, "dur", "ev", "grp")
     }.getMessage.contains("0/1"))
   }
+
+  test("rmst hand-computed: step integral plus the S=1 head stretch") {
+    import spark.implicits._
+    // one event at t=2 (n=2, surv drops to .5), one censored at 5
+    val rows = Seq((2L, true), (5L, false)).toDF("dur", "ev")
+    val r = Survival.rmst(rows, "dur", "ev", tau = 10L).head()
+    // rmst = 2*1.0 + (10-2)*0.5 = 6; median at t=2
+    assert(r.getLong(0) == 10L)
+    assert(math.abs(r.getDouble(1) - 6.0) < 1e-9)
+    assert(r.getLong(2) == 2L)
+  }
+
+  test("rmst: horizon truncates intervals; no-median stays NULL") {
+    import spark.implicits._
+    // event at t=8 among 4 units: surv drops only to .75 — no median
+    val rows = Seq((8L, true), (9L, false), (9L, false), (9L, false))
+      .toDF("dur", "ev")
+    val r = Survival.rmst(rows, "dur", "ev", tau = 5L).head()
+    // tau=5 < first event time: rmst = min(8,5) = 5 (all head stretch)
+    assert(math.abs(r.getDouble(1) - 5.0) < 1e-9)
+    assert(r.isNullAt(2), "median undefined above the curve floor")
+  }
 }
