@@ -299,13 +299,20 @@ object ScaleSmoke {
       // q292
       "q280_wasserstein_drift", "q281_readability", "q282_funnel_conversion",
       "q283_cohort_retention", "q284_script_mix", "q285_lexical_diversity",
-      "q286_cmh_test", "q287_ses_forecast", "q288_markov_transitions",
+      "q286_cmh_test", "q287_ses_forecast", "q288_markov_entropy",
       "q289_conformal_coverage", "q290_streaming_cusum",
       "q291_jackknife_ratio", "q292_capture_recapture",
       "q293_vocab_richness", "q294_dispersion_fano", "q295_kish_ess",
       "q296_acf_hourly", "q297_fdr_bh", "q298_brier_decomposition",
       "q299_quantile_regression", "q300_logrank_test",
-      "q301_zero_inflation", "q302_levene_test")
+      "q301_zero_inflation", "q302_levene_test",
+      // q303 one census over documents x10; q305 rides the q243 KM
+      // machinery (per-user day windows onto the day-bounded duration
+      // grid). q304 hubness is deliberately ABSENT: its exact form is
+      // n-squared by contract (audit a SAMPLE; the ANN-candidate path
+      // is the corpus-scale form) - running it on 300k vectors would
+      // benchmark the contract violation, not the operator
+      "q303_mcnemar_test", "q305_rmst")
     val qmap = SparkEntry.queries
     // Local-iteration filter (the Verify/Bench idiom): SPARK_GRAFT_ONLY
     // runs only matching smoke queries — new rows don't force re-paying

@@ -91,4 +91,65 @@ object Sequences {
       .drop("__total")
       .orderBy(col("a"), col("b"))
   }
+
+  /** Entropy rate of the first-order chain — the PREDICTABILITY scalar
+    * neither [[transitions]] (a matrix) nor [[sequenceSupport]] (a
+    * pattern table) gives: H = −Σ_f π̂(f)·Σ_t p(t|f)·ln p(t|f), the
+    * plug-in conditional entropy of the next state given the current
+    * one (Cover & Thomas §4.2; π̂ is the empirical from-state mass). A
+    * feed of bots reads near 0 (deterministic loops); uniform noise
+    * reads ln K; a curator trends `predictability` = 1 − H/ln K per
+    * corpus version — rising predictability in "organic" traffic is a
+    * bot-cohort signal (q156's matrix shows WHERE, this says HOW MUCH).
+    *
+    * Exactness: the K² transition census is exact BIGINTs; per-from
+    * entropy terms fold in TO-STATE order and the rate folds in
+    * FROM-STATE order (the q279 double-fold discipline), 6-dp. Output:
+    * one row per from state (from_state, n_from, h_cond) with pooled
+    * (h_rate, h_max, predictability) repeated.
+    *
+    * Scale shape: the same ONE window shuffle + K²-bounded census as
+    * [[transitions]]; everything after runs on the states grid. */
+  def transitionEntropy(df: DataFrame, partitionCols: Seq[String],
+                        orderCols: Seq[String],
+                        stateCol: String): DataFrame = {
+    require(partitionCols.nonEmpty && orderCols.nonEmpty, "need keys")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val counts = df
+      .withColumn("__from", lag(col(stateCol), 1).over(w))
+      .filter(col("__from").isNotNull && col(stateCol).isNotNull)
+      .groupBy(col("__from").as("from_state"),
+        col(stateCol).as("to_state"))
+      .agg(count(lit(1)).as("__n"))
+    val perFrom = counts
+      .groupBy(col("from_state"))
+      .agg(sum(col("__n")).as("n_from"),
+        collect_list(struct(col("to_state"), col("__n"))).as("__cells"))
+      .withColumn("h_cond", aggregate(
+        transform(array_sort(col("__cells")), p =>
+          -(p.getField("__n").cast("double") / col("n_from")) *
+            log(p.getField("__n").cast("double") /
+              col("n_from").cast("double"))),
+        lit(0.0), (acc, x) => acc + x))
+      .drop("__cells", "__chk")
+    val kTo = counts.select(col("to_state")).distinct().count()
+    val pooled = perFrom.agg(sum(col("n_from")).as("__nn"),
+      aggregate(
+        transform(array_sort(collect_list(struct(col("from_state"),
+          col("n_from"), col("h_cond")))),
+          p => p.getField("n_from").cast("double") *
+            p.getField("h_cond")),
+        lit(0.0), (acc, x) => acc + x).as("__hsum"))
+      .select((col("__hsum") / col("__nn").cast("double")).as("__hr"))
+    val hMax = math.log(kTo.toDouble)
+    perFrom.crossJoin(broadcast(pooled))
+      .select(col("from_state"), col("n_from"),
+        round(col("h_cond"), 6).as("h_cond"),
+        round(col("__hr"), 6).as("h_rate"),
+        round(lit(hMax), 6).as("h_max"),
+        round(when(lit(hMax) > 0, lit(1.0) - col("__hr") / lit(hMax))
+          .otherwise(lit(0.0)), 6).as("predictability"))
+      .orderBy(col("from_state"))
+  }
 }

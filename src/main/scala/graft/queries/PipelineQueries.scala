@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.operators.{Autocorr, Calibration, Cohorts, Conformal,
-  Dispersion, Drift, Estimation, Experiments, Funnel, Jackknife, Markov,
-  MultipleTesting, QuantileRegression, Readability, Smoothing, TextProfile,
-  VocabStats, Weighting}
+  Dispersion, Drift, Estimation, Experiments, Funnel, Jackknife,
+  MultipleTesting, QuantileRegression, Readability, Sequences, Smoothing,
+  TextProfile, VocabStats, Weighting}
 
 /** Round-15 pipeline-audit extensions (q280+): exact 1-Wasserstein
   * drift, corpus readability, funnel conversion, cohort retention,
@@ -310,28 +310,49 @@ object PipelineQueries extends QuerySet {
        |FROM lv ORDER BY t""".stripMargin
   }
 
-  /** First-order Markov transition matrix over user event sequences —
-    * [[Markov.transitions]] with the (ts, event_id) total order. */
+  /** Entropy rate / predictability of the user-behaviour chain —
+    * [[Sequences.transitionEntropy]]: the plug-in conditional entropy
+    * of next state given current, the scalar q156's transition matrix
+    * cannot express. */
   private def q288(s: SparkSession, d: String): DataFrame =
-    Markov.transitions(t(s, d, "events"), "user_id", "event_type",
-      "ts", "event_id")
+    Sequences.transitionEntropy(t(s, d, "events"), Seq("user_id"),
+      Seq("ts", "event_id"), "event_type")
 
   private val q288Sql =
     """WITH seq AS (
-      |  SELECT user_id, event_type AS prev_state,
-      |    lead(event_type) OVER (PARTITION BY user_id
-      |      ORDER BY ts, event_id) AS next_state
-      |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+      |  SELECT event_type AS to_state,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS from_state
+      |  FROM events WHERE event_type IS NOT NULL),
       |c AS (
-      |  SELECT prev_state, next_state, CAST(COUNT(*) AS BIGINT) AS n
-      |  FROM seq WHERE next_state IS NOT NULL
-      |  GROUP BY prev_state, next_state),
-      |rt AS (SELECT prev_state, CAST(SUM(n) AS BIGINT) AS row_total
-      |  FROM c GROUP BY prev_state)
-      |SELECT c.prev_state, c.next_state, c.n, rt.row_total,
-      |  round(CAST(c.n AS DOUBLE) / CAST(rt.row_total AS DOUBLE), 6) AS p
-      |FROM c JOIN rt ON c.prev_state = rt.prev_state
-      |ORDER BY c.prev_state, c.next_state""".stripMargin
+      |  SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM seq WHERE from_state IS NOT NULL
+      |  GROUP BY from_state, to_state),
+      |tots AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS n_from
+      |  FROM c GROUP BY from_state),
+      |pf AS (
+      |  SELECT c.from_state, tots.n_from,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(-(CAST(c.n AS DOUBLE) / tots.n_from)
+      |        * ln(CAST(c.n AS DOUBLE) / CAST(tots.n_from AS DOUBLE))
+      |        ORDER BY c.to_state)), (a, b) -> a + b) AS h_cond
+      |  FROM c JOIN tots ON c.from_state = tots.from_state
+      |  GROUP BY c.from_state, tots.n_from),
+      |kk AS (SELECT ln(CAST(COUNT(DISTINCT to_state) AS DOUBLE)) AS hmax
+      |  FROM c),
+      |pooled AS (
+      |  SELECT CAST(SUM(n_from) AS BIGINT) AS nn,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(CAST(n_from AS DOUBLE) * h_cond ORDER BY from_state)),
+      |      (a, b) -> a + b) AS hsum
+      |  FROM pf)
+      |SELECT pf.from_state, pf.n_from, round(pf.h_cond, 6) AS h_cond,
+      |  round(pooled.hsum / pooled.nn, 6) AS h_rate,
+      |  round(kk.hmax, 6) AS h_max,
+      |  round(CASE WHEN kk.hmax > 0
+      |    THEN 1.0 - (pooled.hsum / pooled.nn) / kk.hmax
+      |    ELSE 0.0 END, 6) AS predictability
+      |FROM pf, pooled, kk ORDER BY pf.from_state""".stripMargin
 
   /** Split-conformal 90% interval calibration of a one-feature OLS on
     * lineitem — [[Conformal.olsCoverage]]: hash splits, exact decimal
@@ -1252,7 +1273,7 @@ object PipelineQueries extends QuerySet {
     Q("q285_lexical_diversity", q285, Some(q285Sql)),
     Q("q286_cmh_test", q286, Some(q286Sql)),
     Q("q287_ses_forecast", q287, Some(q287Sql)),
-    Q("q288_markov_transitions", q288, Some(q288Sql)),
+    Q("q288_markov_entropy", q288, Some(q288Sql)),
     Q("q289_conformal_coverage", q289, Some(q289Sql)),
     Q("q290_streaming_cusum", q290, Some(q290Sql)),
     Q("q291_jackknife_ratio", q291, Some(q291Sql)),

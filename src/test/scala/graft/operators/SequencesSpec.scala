@@ -52,4 +52,39 @@ class SequencesSpec extends AnyFunSuite with SparkSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == Set(("a", "b"), ("b", "c")))
   }
+
+  test("transitionEntropy hand-computed: H and predictability") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // u1: a->b->a ; u2: a->a. counts: a->b 1, a->a 1, b->a 1
+    // h(a) = ln 2, h(b) = 0; h_rate = (2/3) ln 2; K_to = 2 -> h_max = ln 2
+    val rows = Seq((1L, "a", ts(1), 1L), (1L, "b", ts(2), 2L),
+      (1L, "a", ts(3), 3L), (2L, "a", ts(1), 4L), (2L, "a", ts(2), 5L))
+      .toDF("u", "state", "ts", "eid")
+    val out = Sequences.transitionEntropy(rows, Seq("u"),
+      Seq("ts", "eid"), "state")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(5)))
+      .toMap
+    val ln2 = math.log(2.0)
+    assert(out("a")._1 == 2L)
+    assert(math.abs(out("a")._2 - ln2) < 1e-6)
+    assert(out("b")._2 == 0.0)
+    assert(math.abs(out("a")._3 - 2.0 / 3.0 * ln2) < 1e-6)
+    assert(math.abs(out("a")._4 - (1.0 - 2.0 / 3.0)) < 1e-6)
+  }
+
+  test("transitionEntropy: deterministic loops read zero, uniform reads h_max") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val det = (1 to 20).map(i =>
+      (1L, if (i % 2 == 0) "a" else "b", ts(i), i.toLong))
+      .toDF("u", "state", "ts", "eid")
+    val r = Sequences.transitionEntropy(det, Seq("u"), Seq("ts", "eid"),
+      "state").head()
+    assert(r.getDouble(3) == 0.0, "alternating chain is fully predictable")
+    assert(r.getDouble(5) == 1.0)
+  }
 }
