@@ -382,4 +382,50 @@ object Experiments {
         (abs(col("a_only") - col("b_only")).cast("double") - 1.0) /
         (col("a_only") + col("b_only")).cast("double"), 6).as("chi2_cc"))
   }
+
+  /** Minimum detectable effect per experiment — the "is this test even
+    * worth running" calculator every experiment platform front-loads
+    * (and the honest companion to q274's z-test: a non-significant
+    * readout means nothing if the MDE was 10× the plausible effect).
+    * Two-proportion form at significance α and power 1−β:
+    *
+    *   MDE = (z_{1−α/2} + z_{power}) · √(p̄(1−p̄)(1/n₀ + 1/n₁))
+    *
+    * (Cohen 1988 §6 — the pooled-variance approximation). The z
+    * constants enter PINNED (defaults are α = .05 / power = .8:
+    * 1.959963984540054 and 0.8416212335729143) — never a runtime
+    * inverse CDF, which engines would disagree on.
+    *
+    * Exactness: arm counts are one BIGINT census; the MDE closes in a
+    * fixed double tree, 6-dp. One row per experiment: (experiment, n0,
+    * n1, successes, pooled_rate, mde_abs, mde_rel). */
+  def mdePower(df: DataFrame, expCol: String, armCol: String,
+               successCol: String,
+               zAlpha: Double = 1.959963984540054,
+               zPower: Double = 0.8416212335729143): DataFrame = {
+    require(zAlpha > 0 && zPower > 0, "bad z constants")
+    val a = col(armCol).cast("int"); val y = col(successCol).cast("boolean")
+    df.filter(col(expCol).isNotNull && a.isNotNull && y.isNotNull)
+      .groupBy(col(expCol).as("experiment"))
+      .agg(sum(when(a === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(a =!= 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(y, 1L).otherwise(0L)).as("successes"))
+      .filter(col("n0") > 0 && col("n1") > 0 &&
+        col("successes") > 0 && col("successes") < col("n0") + col("n1"))
+      .withColumn("pooled_rate",
+        col("successes").cast("double") /
+          (col("n0") + col("n1")).cast("double"))
+      .select(col("experiment"), col("n0"), col("n1"), col("successes"),
+        round(col("pooled_rate"), 6).as("pooled_rate"),
+        round(lit(zAlpha + zPower) *
+          sqrt(col("pooled_rate") * (lit(1.0) - col("pooled_rate")) *
+            (lit(1.0) / col("n0").cast("double") +
+              lit(1.0) / col("n1").cast("double"))), 6).as("mde_abs"),
+        round(lit(zAlpha + zPower) *
+          sqrt(col("pooled_rate") * (lit(1.0) - col("pooled_rate")) *
+            (lit(1.0) / col("n0").cast("double") +
+              lit(1.0) / col("n1").cast("double"))) /
+          col("pooled_rate"), 6).as("mde_rel"))
+      .orderBy(col("experiment"))
+  }
 }

@@ -1264,6 +1264,135 @@ object PipelineQueries extends QuerySet {
       |  round(head_ + area, 6) AS rmst, median_t, n_times
       |FROM sums""".stripMargin
 
+  /** One-breakpoint segmented least squares of price on quantity —
+    * [[graft.operators.Segmented.fit]]: breakpoint census off one
+    * sufficient-statistics pass over the distinct-x grid. */
+  private def q306(s: SparkSession, d: String): DataFrame =
+    graft.operators.Segmented.fit(t(s, d, "lineitem"),
+      "l_quantity", "l_extendedprice")
+
+  private val q306Sql =
+    """WITH u AS (
+      |  SELECT CAST(l_quantity AS DECIMAL(19,6)) AS x,
+      |    CAST(l_extendedprice AS DECIMAL(19,6)) AS y
+      |  FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      |cells AS (
+      |  SELECT x, CAST(COUNT(*) AS BIGINT) AS c,
+      |    CAST(SUM(x) AS DECIMAL(38,12)) AS sx,
+      |    CAST(SUM(y) AS DECIMAL(38,12)) AS sy,
+      |    CAST(SUM(x*x) AS DECIMAL(38,12)) AS sxx,
+      |    CAST(SUM(x*y) AS DECIMAL(38,12)) AS sxy,
+      |    CAST(SUM(y*y) AS DECIMAL(38,12)) AS syy
+      |  FROM u GROUP BY x),
+      |cum AS (
+      |  SELECT x,
+      |    CAST(SUM(c) OVER w AS BIGINT) AS cn,
+      |    CAST(CAST(CAST(SUM(sx) OVER w AS DECIMAL(38,12)) AS VARCHAR)
+      |      AS DOUBLE) AS cx,
+      |    CAST(CAST(CAST(SUM(sy) OVER w AS DECIMAL(38,12)) AS VARCHAR)
+      |      AS DOUBLE) AS cy,
+      |    CAST(CAST(CAST(SUM(sxx) OVER w AS DECIMAL(38,12)) AS VARCHAR)
+      |      AS DOUBLE) AS cxx,
+      |    CAST(CAST(CAST(SUM(sxy) OVER w AS DECIMAL(38,12)) AS VARCHAR)
+      |      AS DOUBLE) AS cxy,
+      |    CAST(CAST(CAST(SUM(syy) OVER w AS DECIMAL(38,12)) AS VARCHAR)
+      |      AS DOUBLE) AS cyy
+      |  FROM cells
+      |  WINDOW w AS (ORDER BY x
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |tot AS (
+      |  SELECT MAX(cn) AS tn, MAX(cx) AS tx, MAX(cy) AS ty,
+      |    MAX(cxx) AS txx, MAX(cxy) AS txy, MAX(cyy) AS tyy
+      |  FROM cum),
+      |cand AS (
+      |  SELECT cum.x, cum.cn AS nl, tot.tn - cum.cn AS nr,
+      |    cum.cx, cum.cy, cum.cxx, cum.cxy, cum.cyy,
+      |    tot.tn, tot.tx, tot.ty, tot.txx, tot.txy, tot.tyy
+      |  FROM cum, tot
+      |  WHERE cum.cn >= 2 AND tot.tn - cum.cn >= 2
+      |    AND cum.cxx * cum.cn - cum.cx * cum.cx > 0
+      |    AND (tot.txx - cum.cxx) * (tot.tn - cum.cn)
+      |      - (tot.tx - cum.cx) * (tot.tx - cum.cx) > 0),
+      |closed AS (
+      |  SELECT x, nl, nr, tn,
+      |    ((cyy * nl - cy * cy)
+      |      - (cxy * nl - cx * cy) * (cxy * nl - cx * cy)
+      |        / (cxx * nl - cx * cx)) / (CAST(nl AS DOUBLE) * nl)
+      |      AS sl,
+      |    (cxy * nl - cx * cy) / (cxx * nl - cx * cx) AS bl,
+      |    (cy - (cxy * nl - cx * cy) / (cxx * nl - cx * cx) * cx) / nl
+      |      AS al,
+      |    (((tyy - cyy) * nr - (ty - cy) * (ty - cy))
+      |      - ((txy - cxy) * nr - (tx - cx) * (ty - cy))
+      |        * ((txy - cxy) * nr - (tx - cx) * (ty - cy))
+      |        / ((txx - cxx) * nr - (tx - cx) * (tx - cx)))
+      |      / (CAST(nr AS DOUBLE) * nr) AS sr,
+      |    ((txy - cxy) * nr - (tx - cx) * (ty - cy))
+      |      / ((txx - cxx) * nr - (tx - cx) * (tx - cx)) AS br,
+      |    ((ty - cy) - ((txy - cxy) * nr - (tx - cx) * (ty - cy))
+      |      / ((txx - cxx) * nr - (tx - cx) * (tx - cx)) * (tx - cx))
+      |      / nr AS ar,
+      |    ((tyy * tn - ty * ty)
+      |      - (txy * tn - tx * ty) * (txy * tn - tx * ty)
+      |        / (txx * tn - tx * tx)) / (CAST(tn AS DOUBLE) * tn) AS st
+      |  FROM cand),
+      |win AS (
+      |  SELECT *, (sl * nl + sr * nr) / tn AS split
+      |  FROM closed ORDER BY (sl * nl + sr * nr) / tn ASC, x ASC
+      |  LIMIT 1)
+      |SELECT CAST(CAST(x AS VARCHAR) AS DOUBLE) AS breakpoint,
+      |  nl AS n_left, nr AS n_right,
+      |  round(bl, 6) AS slope_left, round(al, 6) AS intercept_left,
+      |  round(br, 6) AS slope_right, round(ar, 6) AS intercept_right,
+      |  round(split, 6) AS mse_split, round(st, 6) AS mse_single,
+      |  round(1.0 - split / st, 6) AS mse_gain
+      |FROM win""".stripMargin
+
+  /** Minimum detectable effect per event-type "experiment" —
+    * [[Experiments.mdePower]] with the pinned α=.05 / power=.8 z
+    * constants. */
+  private def q307(s: SparkSession, d: String): DataFrame = {
+    val df = t(s, d, "events").filter(col("ts").isNotNull)
+      .select(col("event_type").as("experiment"),
+        graft.operators.Splits.hashBucket(col("user_id"), 2).as("arm"),
+        (col("value") > 80.0).as("y"))
+    Experiments.mdePower(df, "experiment", "arm", "y")
+  }
+
+  private val q307Sql =
+    """WITH d AS (
+      |  SELECT event_type AS experiment,
+      |    CAST(((user_id % 2147483648) * 2654435761) % 4294967296 % 2
+      |      AS INTEGER) AS arm,
+      |    (value > 80.0) AS y
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      |g AS (
+      |  SELECT experiment,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(SUM(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n1,
+      |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS successes
+      |  FROM d GROUP BY experiment),
+      |f AS (
+      |  SELECT *, CAST(successes AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+      |    AS pr
+      |  FROM g
+      |  WHERE n0 > 0 AND n1 > 0 AND successes > 0
+      |    AND successes < n0 + n1)
+      |SELECT experiment, n0, n1, successes,
+      |  round(pr, 6) AS pooled_rate,
+      |  round((1.959963984540054 + 0.8416212335729143)
+      |    * sqrt(pr * (1.0 - pr)
+      |      * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 6)
+      |    AS mde_abs,
+      |  round((1.959963984540054 + 0.8416212335729143)
+      |    * sqrt(pr * (1.0 - pr)
+      |      * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+      |    / pr, 6) AS mde_rel
+      |FROM f ORDER BY experiment""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q280_wasserstein_drift", q280, Some(q280Sql)),
     Q("q281_readability", q281, Some(q281Sql)),
@@ -1290,5 +1419,7 @@ object PipelineQueries extends QuerySet {
     Q("q302_levene_test", q302, Some(q302Sql)),
     Q("q303_mcnemar_test", q303, Some(q303Sql)),
     Q("q304_hubness_audit", q304, Some(q304Sql)),
-    Q("q305_rmst", q305, Some(q305Sql)))
+    Q("q305_rmst", q305, Some(q305Sql)),
+    Q("q306_segmented_fit", q306, Some(q306Sql)),
+    Q("q307_mde_power", q307, Some(q307Sql)))
 }

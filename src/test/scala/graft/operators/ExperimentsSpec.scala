@@ -186,4 +186,27 @@ class ExperimentsSpec extends AnyFunSuite with SparkSuite {
       Experiments.mcnemar(rows.toDF("a", "b"), "a", "b")
     }.getMessage.contains("discordant"))
   }
+
+  test("mdePower hand-computed at the pinned alpha/power constants") {
+    import spark.implicits._
+    val rows = Seq.tabulate(200) { i =>
+      ("e1", i % 2, i < 40) // 100/arm, 40 successes -> pooled .2
+    }
+    val r = Experiments.mdePower(rows.toDF("e", "arm", "y"),
+      "e", "arm", "y").head()
+    assert(r.getLong(1) == 100 && r.getLong(2) == 100)
+    val mde = (1.959963984540054 + 0.8416212335729143) *
+      math.sqrt(0.2 * 0.8 * (1.0 / 100 + 1.0 / 100))
+    assert(math.abs(r.getAs[Double]("mde_abs") - mde) < 1e-6)
+    assert(math.abs(r.getAs[Double]("mde_rel") - mde / 0.2) < 1e-6)
+  }
+
+  test("mdePower excludes degenerate experiments (one arm / all-or-none)") {
+    import spark.implicits._
+    val rows = Seq(("one_arm", 1, true), ("one_arm", 1, false),
+      ("all_win", 0, true), ("all_win", 1, true))
+    val out = Experiments.mdePower(rows.toDF("e", "arm", "y"),
+      "e", "arm", "y").collect()
+    assert(out.isEmpty)
+  }
 }
