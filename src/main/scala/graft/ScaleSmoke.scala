@@ -312,7 +312,10 @@ object ScaleSmoke {
       // n-squared by contract (audit a SAMPLE; the ANN-candidate path
       // is the corpus-scale form) - running it on 300k vectors would
       // benchmark the contract violation, not the operator
-      "q303_mcnemar_test", "q305_rmst")
+      "q303_mcnemar_test", "q305_rmst",
+      // q306 is one sufficient-statistics pass onto the distinct-x grid
+      // (grid fixed, scan x10); q307 one census onto the experiment grid
+      "q306_segmented_fit", "q307_mde_power")
     val qmap = SparkEntry.queries
     // Local-iteration filter (the Verify/Bench idiom): SPARK_GRAFT_ONLY
     // runs only matching smoke queries — new rows don't force re-paying
