@@ -315,7 +315,10 @@ object ScaleSmoke {
       "q303_mcnemar_test", "q305_rmst",
       // q306 is one sufficient-statistics pass onto the distinct-x grid
       // (grid fixed, scan x10); q307 one census onto the experiment grid
-      "q306_segmented_fit", "q307_mde_power")
+      "q306_segmented_fit", "q307_mde_power",
+      // q308 two-phase weighted selection over lineitem x10 (cents
+      // domain fixed); q309 one census onto the classes-squared grid
+      "q308_weighted_quantiles", "q309_confusion_matrix")
     val qmap = SparkEntry.queries
     // Local-iteration filter (the Verify/Bench idiom): SPARK_GRAFT_ONLY
     // runs only matching smoke queries — new rows don't force re-paying

@@ -107,4 +107,74 @@ object ExactQuantile {
       .join(broadcast(qdf), "rank")
       .select(col("q_num"), col("q_den"), col("rank"), col("value"))
   }
+
+  /** WEIGHTED exact quantiles — the "median document BY TOKEN MASS"
+    * machinery [[globalRanks]] cannot express: half your documents
+    * being short is a different statement from half your TOKENS living
+    * in short documents, and mixture/packing decisions weight by mass,
+    * not by row. Same two-phase shape with Σweight in place of count:
+    * the answer for rational q = num/den is the smallest value whose
+    * cumulative weight reaches ⌈q·W⌉ (W = total weight; no
+    * interpolation — engine-replayable).
+    *
+    * `weightCol` must be a positive integral weight (tokens, bytes,
+    * cents — the house integer-domain rule; zero/negative weights are
+    * rejected loudly, they silently corrupt the cumulative ranks).
+    * Exactness: bucket and in-bucket cumulative weights are exact
+    * BIGINT sums; no float anywhere. One coarse histogram pass + one
+    * located-bucket pass, both map-side combined. */
+  def weightedQuantiles(df: DataFrame, valueCol: String, weightCol: String,
+                        quantiles: Seq[(Long, Long)],
+                        lowBits: Int = 8): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    require(quantiles.forall { case (a, b) => a >= 1 && a <= b && b >= 1 },
+      "quantiles must be rationals in (0, 1]")
+    require(lowBits >= 0 && lowBits <= 40, s"bad lowBits=$lowBits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(valueCol).cast("long").as("__v"),
+        col(weightCol).cast("long").as("__w"))
+      .filter(col("__v").isNotNull && col("__w").isNotNull)
+    val bad = vals.filter(col("__w") <= 0)
+    require(bad.isEmpty,
+      "weightedQuantiles: non-positive weights — weights must be " +
+        "positive integers (tokens, bytes, cents)")
+    val hist = vals.groupBy(shiftright(col("__v"), lowBits).as("__b"))
+      .agg(sum(col("__w")).as("__c"))
+    val wb = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("__hi", sum(col("__c")).over(wb))
+      .withColumn("__lo", col("__hi") - col("__c"))
+    val totalRow = cum.agg(max(col("__hi"))).head()
+    require(!totalRow.isNullAt(0), "weightedQuantiles: empty population")
+    val wTot = totalRow.getLong(0)
+    val withRanks = quantiles.map { case (a, b) =>
+      (a, b, (a * wTot + b - 1) / b) }
+    val rdf = withRanks.map(_._3).distinct.toDF("rank")
+    val located = cum.join(broadcast(rdf),
+        col("rank") > col("__lo") && col("rank") <= col("__hi"))
+      .select(col("rank"), col("__b"),
+        (col("rank") - col("__lo")).as("__rr"))
+    val width = 1L << lowBits
+    val bucketIds = located.select(col("__b")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val inBuckets = bucketIds
+      .map(b => col("__v") >= b * width && col("__v") <= b * width + (width - 1))
+      .reduce(_ || _)
+    val picked = vals.filter(inBuckets)
+      .withColumn("__b", shiftright(col("__v"), lowBits))
+      .groupBy(col("__b"), col("__v")).agg(sum(col("__w")).as("__c"))
+    val wv = Window.partitionBy(col("__b")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gridded = picked.withColumn("__vhi", sum(col("__c")).over(wv))
+      .withColumn("__vlo", col("__vhi") - col("__c"))
+    val qdf = withRanks.toDF("q_num", "q_den", "rank")
+    located.join(gridded, Seq("__b"))
+      .filter(col("__rr") > col("__vlo") && col("__rr") <= col("__vhi"))
+      .select(col("rank"), col("__v").as("value"))
+      .join(broadcast(qdf), "rank")
+      .select(col("q_num"), col("q_den"), col("rank"), col("value"),
+        lit(wTot).as("total_weight"))
+      .orderBy(col("q_num"), col("q_den"))
+  }
 }

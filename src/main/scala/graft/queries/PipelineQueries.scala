@@ -1393,6 +1393,99 @@ object PipelineQueries extends QuerySet {
       |    / pr, 6) AS mde_rel
       |FROM f ORDER BY experiment""".stripMargin
 
+  /** Quantity-weighted exact price quantiles —
+    * [[graft.operators.ExactQuantile.weightedQuantiles]]: the median
+    * price BY UNIT MASS (cents domain), not by line. */
+  private def q308(s: SparkSession, d: String): DataFrame =
+    graft.operators.ExactQuantile.weightedQuantiles(
+      t(s, d, "lineitem").select(
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty")),
+      "cents", "qty", Seq((1L, 2L), (9L, 10L)))
+
+  private val q308Sql =
+    """WITH v AS (
+      |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT) AS v,
+      |    CAST(l_quantity AS BIGINT) AS w
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+      |g AS (SELECT v, CAST(SUM(w) AS BIGINT) AS c FROM v GROUP BY v),
+      |cum AS (
+      |  SELECT v, c,
+      |    CAST(SUM(c) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS hi
+      |  FROM g),
+      |tot AS (SELECT MAX(hi) AS wt FROM cum),
+      |ranks AS (
+      |  SELECT 1 AS q_num, 2 AS q_den,
+      |    (1 * tot.wt + 2 - 1) // 2 AS rank FROM tot
+      |  UNION ALL
+      |  SELECT 9, 10, (9 * tot.wt + 10 - 1) // 10 FROM tot)
+      |SELECT ranks.q_num, ranks.q_den, ranks.rank, cum.v AS value,
+      |  tot.wt AS total_weight
+      |FROM ranks, tot
+      |JOIN cum ON ranks.rank > cum.hi - cum.c AND ranks.rank <= cum.hi
+      |ORDER BY ranks.q_num, ranks.q_den""".stripMargin
+
+  /** Multi-class confusion/F1 table for a deterministic 5-way labeler
+    * against the lang truth — [[graft.operators.Confusion.multiclass]]. */
+  private def q309(s: SparkSession, d: String): DataFrame = {
+    val langs = Seq("en", "zh", "es", "de", "fr")
+    val df = t(s, d, "documents")
+      .withColumn("pred", element_at(typedlit(langs),
+        graft.operators.Splits.hashBucket(col("doc_id"), 5) + 1))
+    graft.operators.Confusion.multiclass(df, "lang", "pred")
+  }
+
+  private val q309Sql =
+    """WITH p AS (
+      |  SELECT lang AS t,
+      |    (['en', 'zh', 'es', 'de', 'fr'])[
+      |      CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 % 5
+      |        AS INTEGER) + 1] AS pr
+      |  FROM documents WHERE lang IS NOT NULL),
+      |cells AS (SELECT t, pr, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM p GROUP BY t, pr),
+      |bt AS (SELECT t, CAST(SUM(n) AS BIGINT) AS n_true,
+      |  CAST(SUM(CASE WHEN pr = t THEN n ELSE 0 END) AS BIGINT) AS tp
+      |  FROM cells GROUP BY t),
+      |bp AS (SELECT pr, CAST(SUM(n) AS BIGINT) AS npred
+      |  FROM cells GROUP BY pr),
+      |pc AS (
+      |  SELECT bt.t, bt.n_true, bt.tp,
+      |    COALESCE(bp.npred, 0) - bt.tp AS fp,
+      |    bt.n_true - bt.tp AS fn,
+      |    CASE WHEN bt.tp + COALESCE(bp.npred, 0) - bt.tp > 0
+      |      THEN CAST(bt.tp AS DOUBLE)
+      |        / CAST(COALESCE(bp.npred, 0) AS DOUBLE)
+      |      ELSE 0.0 END AS prec,
+      |    CASE WHEN bt.n_true > 0
+      |      THEN CAST(bt.tp AS DOUBLE) / CAST(bt.n_true AS DOUBLE)
+      |      ELSE 0.0 END AS rec
+      |  FROM bt LEFT JOIN bp ON bt.t = bp.pr),
+      |pc2 AS (
+      |  SELECT *, CASE WHEN prec + rec > 0
+      |    THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END AS f1
+      |  FROM pc),
+      |pooled AS (
+      |  SELECT CAST(SUM(n_true) AS BIGINT) AS nn,
+      |    CAST(SUM(tp) AS BIGINT) AS tpt,
+      |    CAST(COUNT(*) AS BIGINT) AS k,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(f1 ORDER BY t)), (a, b) -> a + b) AS f1sum
+      |  FROM pc2)
+      |SELECT pc2.t AS class, pc2.n_true, pc2.tp, pc2.fp, pc2.fn,
+      |  round(pc2.prec, 6) AS precision,
+      |  round(pc2.rec, 6) AS recall,
+      |  round(pc2.f1, 6) AS f1,
+      |  round(CAST(pooled.tpt AS DOUBLE) / pooled.nn, 6) AS accuracy,
+      |  round(pooled.f1sum / pooled.k, 6) AS macro_f1,
+      |  pooled.nn AS n
+      |FROM pc2, pooled ORDER BY class""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q280_wasserstein_drift", q280, Some(q280Sql)),
     Q("q281_readability", q281, Some(q281Sql)),
@@ -1421,5 +1514,7 @@ object PipelineQueries extends QuerySet {
     Q("q304_hubness_audit", q304, Some(q304Sql)),
     Q("q305_rmst", q305, Some(q305Sql)),
     Q("q306_segmented_fit", q306, Some(q306Sql)),
-    Q("q307_mde_power", q307, Some(q307Sql)))
+    Q("q307_mde_power", q307, Some(q307Sql)),
+    Q("q308_weighted_quantiles", q308, Some(q308Sql)),
+    Q("q309_confusion_matrix", q309, Some(q309Sql)))
 }

@@ -63,4 +63,44 @@ class ExactQuantileSpec extends AnyFunSuite with SparkSuite {
     // rank 5 lives in bucket 0 (values 1..255): the answer is exact
     assert(out.head().getLong(1) == 5L)
   }
+
+  test("weightedQuantiles: the median by mass, not by row") {
+    import spark.implicits._
+    // values 1..4 with weights 1,1,1,7: total 10, rank ceil(5)=5 -> value 4
+    val df = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 7L)).toDF("v", "w")
+    val out = ExactQuantile.weightedQuantiles(df, "v", "w",
+      Seq((1L, 2L))).head()
+    assert(out.getLong(3) == 4L, "mass median")
+    assert(out.getLong(4) == 10L)
+    // unweighted median of the same rows is 2 (rank 2 of 4)
+    val un = ExactQuantile.globalRanks(df, "v", Seq(2L)).head().getLong(1)
+    assert(un == 2L)
+  }
+
+  test("weightedQuantiles matches brute force on random data, any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(500)((rnd.nextInt(60).toLong, 1L + rnd.nextInt(9)))
+    val qs = Seq((1L, 4L), (1L, 2L), (9L, 10L))
+    val got = ExactQuantile.weightedQuantiles(
+      rows.toDF("v", "w").repartition(13), "v", "w", qs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3))
+      .toMap
+    val wTot = rows.map(_._2).sum
+    val sorted = rows.sortBy(_._1)
+    for ((a, b) <- qs) {
+      val k = (a * wTot + b - 1) / b
+      var cum = 0L
+      val want = sorted.find { case (_, w) => cum += w; cum >= k }.get._1
+      assert(got((a, b)) == want, s"q=$a/$b")
+    }
+  }
+
+  test("weightedQuantiles rejects non-positive weights loudly") {
+    import spark.implicits._
+    val df = Seq((1L, 0L), (2L, 3L)).toDF("v", "w")
+    assert(intercept[IllegalArgumentException] {
+      ExactQuantile.weightedQuantiles(df, "v", "w", Seq((1L, 2L)))
+    }.getMessage.contains("positive"))
+  }
 }
