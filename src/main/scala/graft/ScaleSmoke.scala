@@ -318,7 +318,10 @@ object ScaleSmoke {
       "q306_segmented_fit", "q307_mde_power",
       // q308 two-phase weighted selection over lineitem x10 (cents
       // domain fixed); q309 one census onto the classes-squared grid
-      "q308_weighted_quantiles", "q309_confusion_matrix")
+      "q308_weighted_quantiles", "q309_confusion_matrix",
+      // q310 rides the q229 calendar-grid decomposition (grid fixed);
+      // q311 one per-arm moments census onto the experiment grid
+      "q310_seasonal_strength", "q311_effect_size")
     val qmap = SparkEntry.queries
     // Local-iteration filter (the Verify/Bench idiom): SPARK_GRAFT_ONLY
     // runs only matching smoke queries — new rows don't force re-paying

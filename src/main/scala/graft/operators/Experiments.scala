@@ -428,4 +428,55 @@ object Experiments {
           col("pooled_rate"), 6).as("mde_rel"))
       .orderBy(col("experiment"))
   }
+
+  /** Standardized effect size per experiment — the MAGNITUDE companion
+    * to the z-test (significance) and [[mdePower]] (sensitivity): at
+    * corpus-scale n, everything is "significant"; Cohen's d says
+    * whether the effect is worth anything, and Hedges' g corrects d's
+    * small-sample bias (Cohen 1988; Hedges 1981):
+    *
+    *   d = (x̄₁ − x̄₀) / s_pooled,   g = d·(1 − 3/(4N − 9))
+    *
+    * Exactness: per-arm Σy and Σy² accumulate as exact decimals of
+    * DECIMAL(18,6) casts (one census); means, the pooled SD and both
+    * effect sizes close in a fixed double tree, 6-dp. Degenerate
+    * experiments (an empty arm, zero pooled variance) are excluded —
+    * an effect size against zero spread is not a number anyone should
+    * ship. One row per experiment: (experiment, n0, n1, mean0, mean1,
+    * pooled_sd, cohens_d, hedges_g). */
+  def effectSize(df: DataFrame, expCol: String, armCol: String,
+                 yCol: String): DataFrame = {
+    val a = col(armCol).cast("int")
+    val cells = df.filter(col(expCol).isNotNull && a.isNotNull &&
+        col(yCol).isNotNull)
+      .groupBy(col(expCol).as("experiment"))
+      .agg(
+        sum(when(a === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(a =!= 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(a === 0, dec(col(yCol)))).cast("decimal(38,12)").as("s0"),
+        sum(when(a =!= 0, dec(col(yCol)))).cast("decimal(38,12)").as("s1"),
+        sum(when(a === 0, dec(col(yCol)) * dec(col(yCol))))
+          .cast("decimal(38,12)").as("ss0"),
+        sum(when(a =!= 0, dec(col(yCol)) * dec(col(yCol))))
+          .cast("decimal(38,12)").as("ss1"))
+      .filter(col("n0") >= 2 && col("n1") >= 2)
+    val m0 = col("s0").cast("double") / col("n0").cast("double")
+    val m1 = col("s1").cast("double") / col("n1").cast("double")
+    // pooled variance from exact sums: ((ss0 − n0·m0²) + (ss1 − n1·m1²))
+    //   / (n0 + n1 − 2)
+    val sp2 = ((col("ss0").cast("double") -
+      col("n0").cast("double") * m0 * m0) +
+      (col("ss1").cast("double") - col("n1").cast("double") * m1 * m1)) /
+      (col("n0") + col("n1") - 2).cast("double")
+    val d = (m1 - m0) / sqrt(sp2)
+    val g = d * (lit(1.0) - lit(3.0) /
+      (lit(4.0) * (col("n0") + col("n1")).cast("double") - lit(9.0)))
+    cells
+      .filter(sp2 > 0)
+      .select(col("experiment"), col("n0"), col("n1"),
+        round(m0, 6).as("mean0"), round(m1, 6).as("mean1"),
+        round(sqrt(sp2), 6).as("pooled_sd"),
+        round(d, 6).as("cohens_d"), round(g, 6).as("hedges_g"))
+      .orderBy(col("experiment"))
+  }
 }

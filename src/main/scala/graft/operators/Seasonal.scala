@@ -70,4 +70,56 @@ object Seasonal {
         (col("__v").cast("double") - trend - seasonal).as("remainder"))
       .orderBy(col("hour"))
   }
+
+  /** Trend/seasonality STRENGTH of the decomposition — the scalars a
+    * monitor trends where [[decompose]] gives a curve (Wang, Smith &
+    * Hyndman 2006; FPP3 §4.3):
+    *
+    *   F_trend    = max(0, 1 − Var(R)/Var(T + R))
+    *   F_seasonal = max(0, 1 − Var(R)/Var(S + R))
+    *
+    * Near 1 = the component dominates; near 0 = it is noise. A feed
+    * whose F_seasonal collapses between corpus versions lost its daily
+    * rhythm (bot flood); one whose F_trend jumps is drifting. Rows at
+    * the trend window's edges (NULL trend) are excluded — the same
+    * rows every engine excludes.
+    *
+    * Determinism: the variances fold Σx and Σx² in HOUR ORDER over the
+    * calendar-bounded grid (the q279 double-fold discipline); the
+    * closes are fixed double trees, 6-dp. One row: (n_hours,
+    * var_remainder, f_trend, f_seasonal). */
+  def strength(df: DataFrame, tsCol: String, valueCol: String,
+               periodHours: Int = 24, halfWindow: Int = 12): DataFrame = {
+    val dec = decompose(df, tsCol, valueCol, periodHours, halfWindow)
+      .filter(col("trend").isNotNull)
+    def foldSorted(v: org.apache.spark.sql.Column) = aggregate(
+      transform(array_sort(collect_list(struct(col("hour"), v.as("v")))),
+        p => p.getField("v")),
+      lit(0.0), (acc, x) => acc + x)
+    val sums = dec.agg(count(lit(1)).as("__n"),
+      foldSorted(col("remainder")).as("__sr"),
+      foldSorted(col("remainder") * col("remainder")).as("__srr"),
+      foldSorted(col("trend") + col("remainder")).as("__st"),
+      foldSorted((col("trend") + col("remainder")) *
+        (col("trend") + col("remainder"))).as("__stt"),
+      foldSorted(col("seasonal") + col("remainder")).as("__ss"),
+      foldSorted((col("seasonal") + col("remainder")) *
+        (col("seasonal") + col("remainder"))).as("__sss"))
+    val n = col("__n").cast("double")
+    def vr(s: org.apache.spark.sql.Column, ss: org.apache.spark.sql.Column) =
+      ss / n - (s / n) * (s / n)
+    val varR = vr(col("__sr"), col("__srr"))
+    val varTR = vr(col("__st"), col("__stt"))
+    val varSR = vr(col("__ss"), col("__sss"))
+    val out = sums.select(col("__n").as("n_hours"),
+      round(varR, 6).as("var_remainder"),
+      round(greatest(lit(0.0),
+        when(varTR > 0, lit(1.0) - varR / varTR).otherwise(lit(0.0))), 6)
+        .as("f_trend"),
+      round(greatest(lit(0.0),
+        when(varSR > 0, lit(1.0) - varR / varSR).otherwise(lit(0.0))), 6)
+        .as("f_seasonal"))
+    require(!out.head().isNullAt(0), "strength: empty interior grid")
+    out
+  }
 }

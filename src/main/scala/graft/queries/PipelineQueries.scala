@@ -1486,6 +1486,125 @@ object PipelineQueries extends QuerySet {
       |  pooled.nn AS n
       |FROM pc2, pooled ORDER BY class""".stripMargin
 
+  /** Trend/seasonality strength of the hourly event-value series —
+    * [[graft.operators.Seasonal.strength]] (the q229 decomposition's
+    * closing scalars). */
+  private def q310(s: SparkSession, d: String): DataFrame =
+    graft.operators.Seasonal.strength(t(s, d, "events"), "ts", "value")
+
+  private val q310Sql =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS v0
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      |tr AS (
+      |  SELECT hour, v0,
+      |    SUM(v0) OVER (ORDER BY hour
+      |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS tn,
+      |    COUNT(*) OVER (ORDER BY hour
+      |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS tc
+      |  FROM hourly),
+      |dt AS (
+      |  SELECT hour, v0, tn, tc,
+      |    CASE WHEN tc = 25 THEN CAST(v0 * 25 - tn AS DECIMAL(38,2)) END
+      |      AS dn
+      |  FROM tr),
+      |wins AS (
+      |  SELECT hour, v0, tn, tc,
+      |    SUM(dn) OVER (PARTITION BY EXTRACT(hour FROM hour) % 24) AS sn,
+      |    COUNT(dn) OVER (PARTITION BY EXTRACT(hour FROM hour) % 24)
+      |      AS sc
+      |  FROM dt),
+      |dec AS (
+      |  SELECT hour,
+      |    CAST(tn AS DOUBLE) / 25 AS trend,
+      |    CAST(sn AS DOUBLE) / CAST(sc * 25 AS DOUBLE) AS seasonal,
+      |    CAST(v0 AS DOUBLE) - CAST(tn AS DOUBLE) / 25
+      |      - CAST(sn AS DOUBLE) / CAST(sc * 25 AS DOUBLE) AS remainder
+      |  FROM wins WHERE tc = 25),
+      |sums AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(remainder ORDER BY hour)), (a, b) -> a + b) AS sr,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(remainder * remainder ORDER BY hour)), (a, b) -> a + b)
+      |      AS srr,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(trend + remainder ORDER BY hour)), (a, b) -> a + b)
+      |      AS st,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list((trend + remainder) * (trend + remainder)
+      |        ORDER BY hour)), (a, b) -> a + b) AS stt,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(seasonal + remainder ORDER BY hour)), (a, b) -> a + b)
+      |      AS ss,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list((seasonal + remainder) * (seasonal + remainder)
+      |        ORDER BY hour)), (a, b) -> a + b) AS sss
+      |  FROM dec),
+      |v AS (
+      |  SELECT n,
+      |    srr / n - (sr / n) * (sr / n) AS vr,
+      |    stt / n - (st / n) * (st / n) AS vtr,
+      |    sss / n - (ss / n) * (ss / n) AS vsr
+      |  FROM sums)
+      |SELECT n AS n_hours, round(vr, 6) AS var_remainder,
+      |  round(GREATEST(0.0,
+      |    CASE WHEN vtr > 0 THEN 1.0 - vr / vtr ELSE 0.0 END), 6)
+      |    AS f_trend,
+      |  round(GREATEST(0.0,
+      |    CASE WHEN vsr > 0 THEN 1.0 - vr / vsr ELSE 0.0 END), 6)
+      |    AS f_seasonal
+      |FROM v""".stripMargin
+
+  /** Cohen's d / Hedges' g per event-type "experiment" —
+    * [[Experiments.effectSize]] off exact per-arm moments. */
+  private def q311(s: SparkSession, d: String): DataFrame = {
+    val df = t(s, d, "events").filter(col("ts").isNotNull)
+      .select(col("event_type").as("experiment"),
+        graft.operators.Splits.hashBucket(col("user_id"), 2).as("arm"),
+        col("value").as("y"))
+    Experiments.effectSize(df, "experiment", "arm", "y")
+  }
+
+  private val q311Sql =
+    """WITH d AS (
+      |  SELECT event_type AS experiment,
+      |    CAST(((user_id % 2147483648) * 2654435761) % 4294967296 % 2
+      |      AS INTEGER) AS arm,
+      |    CAST(value AS DECIMAL(19,6)) AS y
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      |g AS (
+      |  SELECT experiment,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(SUM(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n1,
+      |    CAST(CAST(CAST(SUM(CASE WHEN arm = 0 THEN y END)
+      |      AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) AS s0,
+      |    CAST(CAST(CAST(SUM(CASE WHEN arm <> 0 THEN y END)
+      |      AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) AS s1,
+      |    CAST(CAST(CAST(SUM(CASE WHEN arm = 0 THEN y * y END)
+      |      AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) AS ss0,
+      |    CAST(CAST(CAST(SUM(CASE WHEN arm <> 0 THEN y * y END)
+      |      AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) AS ss1
+      |  FROM d GROUP BY experiment
+      |  HAVING SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) >= 2
+      |    AND SUM(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) >= 2),
+      |f AS (
+      |  SELECT *, s0 / n0 AS m0, s1 / n1 AS m1,
+      |    ((ss0 - n0 * (s0 / n0) * (s0 / n0))
+      |      + (ss1 - n1 * (s1 / n1) * (s1 / n1)))
+      |      / CAST(n0 + n1 - 2 AS DOUBLE) AS sp2
+      |  FROM g)
+      |SELECT experiment, n0, n1,
+      |  round(m0, 6) AS mean0, round(m1, 6) AS mean1,
+      |  round(sqrt(sp2), 6) AS pooled_sd,
+      |  round((m1 - m0) / sqrt(sp2), 6) AS cohens_d,
+      |  round((m1 - m0) / sqrt(sp2)
+      |    * (1.0 - 3.0 / (4.0 * CAST(n0 + n1 AS DOUBLE) - 9.0)), 6)
+      |    AS hedges_g
+      |FROM f WHERE sp2 > 0 ORDER BY experiment""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q280_wasserstein_drift", q280, Some(q280Sql)),
     Q("q281_readability", q281, Some(q281Sql)),
@@ -1516,5 +1635,7 @@ object PipelineQueries extends QuerySet {
     Q("q306_segmented_fit", q306, Some(q306Sql)),
     Q("q307_mde_power", q307, Some(q307Sql)),
     Q("q308_weighted_quantiles", q308, Some(q308Sql)),
-    Q("q309_confusion_matrix", q309, Some(q309Sql)))
+    Q("q309_confusion_matrix", q309, Some(q309Sql)),
+    Q("q310_seasonal_strength", q310, Some(q310Sql)),
+    Q("q311_effect_size", q311, Some(q311Sql)))
 }

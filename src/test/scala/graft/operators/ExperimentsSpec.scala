@@ -209,4 +209,29 @@ class ExperimentsSpec extends AnyFunSuite with SparkSuite {
       "e", "arm", "y").collect()
     assert(out.isEmpty)
   }
+
+  test("effectSize hand-computed d and the Hedges small-sample correction") {
+    import spark.implicits._
+    // arm0 = {1,3} (mean 2, var 2), arm1 = {4,6} (mean 5, var 2)
+    // sp2 = (2 + 2)/2 = 2, d = 3/sqrt(2); g = d*(1 - 3/(4*4-9))
+    val rows = Seq(("e", 0, 1.0), ("e", 0, 3.0), ("e", 1, 4.0),
+      ("e", 1, 6.0))
+    val r = Experiments.effectSize(rows.toDF("e", "arm", "y"),
+      "e", "arm", "y").head()
+    val d = 3.0 / math.sqrt(2.0)
+    assert(math.abs(r.getAs[Double]("cohens_d") - d) < 1e-6)
+    assert(math.abs(r.getAs[Double]("hedges_g") - d * (1 - 3.0 / 7.0))
+      < 1e-6)
+    assert(math.abs(r.getAs[Double]("pooled_sd") - math.sqrt(2.0)) < 1e-6)
+  }
+
+  test("effectSize excludes degenerate experiments (tiny arm, zero spread)") {
+    import spark.implicits._
+    val rows = Seq(("tiny", 0, 1.0), ("tiny", 1, 2.0), ("tiny", 1, 3.0),
+      ("flat", 0, 5.0), ("flat", 0, 5.0), ("flat", 1, 5.0),
+      ("flat", 1, 5.0))
+    val out = Experiments.effectSize(rows.toDF("e", "arm", "y"),
+      "e", "arm", "y").collect()
+    assert(out.isEmpty)
+  }
 }

@@ -103,4 +103,32 @@ class SeasonalSpec extends AnyFunSuite with SparkSuite {
       }
     }
   }
+
+  test("strength: a flat series has zero trend strength; a strong daily cycle reads high F_seasonal") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 10 days of hourly points with a clean 24h cycle + tiny noise
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 240).map { h =>
+      val ts = Timestamp.valueOf(f"2024-01-${h / 24 + 1}%02d ${h % 24}%02d:00:00")
+      (ts, 100.0 + 50.0 * math.sin(2 * math.Pi * (h % 24) / 24.0) +
+        rnd.nextGaussian() * 0.5)
+    }
+    val r = Seasonal.strength(rows.toDF("ts", "v"), "ts", "v").head()
+    assert(r.getAs[Double]("f_seasonal") > 0.9,
+      s"f_seasonal ${r.getAs[Double]("f_seasonal")}")
+  }
+
+  test("strength: pure noise reads low on both axes") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 240).map { h =>
+      val ts = Timestamp.valueOf(f"2024-01-${h / 24 + 1}%02d ${h % 24}%02d:00:00")
+      (ts, rnd.nextGaussian() * 10.0)
+    }
+    val r = Seasonal.strength(rows.toDF("ts", "v"), "ts", "v").head()
+    assert(r.getAs[Double]("f_seasonal") < 0.5)
+    assert(r.getAs[Double]("f_trend") < 0.5)
+  }
 }
