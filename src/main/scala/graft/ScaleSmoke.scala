@@ -321,7 +321,9 @@ object ScaleSmoke {
       "q308_weighted_quantiles", "q309_confusion_matrix",
       // q310 rides the q229 calendar-grid decomposition (grid fixed);
       // q311 one per-arm moments census onto the experiment grid
-      "q310_seasonal_strength", "q311_effect_size")
+      "q310_seasonal_strength", "q311_effect_size",
+      // q312 one daily census + calendar-grid cumulative windows
+      "q312_anytime_p")
     val qmap = SparkEntry.queries
     // Local-iteration filter (the Verify/Bench idiom): SPARK_GRAFT_ONLY
     // runs only matching smoke queries — new rows don't force re-paying

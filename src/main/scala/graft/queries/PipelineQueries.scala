@@ -1605,6 +1605,76 @@ object PipelineQueries extends QuerySet {
       |    AS hedges_g
       |FROM f WHERE sp2 > 0 ORDER BY experiment""".stripMargin
 
+  /** Anytime-valid mSPRT p-value trajectory over the daily event-stream
+    * A/B — [[graft.operators.Anytime.msprtTrajectory]]: the peeking-
+    * safe readout, one row per daily look. */
+  private def q312(s: SparkSession, d: String): DataFrame = {
+    val df = t(s, d, "events").filter(col("ts").isNotNull)
+      .select(to_date(col("ts")).as("day"),
+        graft.operators.Splits.hashBucket(col("user_id"), 2).as("arm"),
+        (col("value") > 80.0).as("y"))
+    graft.operators.Anytime.msprtTrajectory(df, "day", "arm", "y")
+  }
+
+  private val q312Sql =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(((user_id % 2147483648) * 2654435761) % 4294967296 % 2
+      |      AS INTEGER) AS arm,
+      |    (value > 80.0) AS y
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      |daily AS (
+      |  SELECT day,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS d0,
+      |    CAST(SUM(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS d1,
+      |    CAST(SUM(CASE WHEN arm = 0 AND y THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS s0,
+      |    CAST(SUM(CASE WHEN arm <> 0 AND y THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS s1
+      |  FROM d GROUP BY day),
+      |cum AS (
+      |  SELECT day,
+      |    CAST(SUM(d0) OVER w AS BIGINT) AS n0,
+      |    CAST(SUM(d1) OVER w AS BIGINT) AS n1,
+      |    CAST(SUM(s0) OVER w AS BIGINT) AS x0,
+      |    CAST(SUM(s1) OVER w AS BIGINT) AS x1
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |f AS (
+      |  SELECT *, CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+      |    AS pp
+      |  FROM cum WHERE n0 > 0 AND n1 > 0
+      |    AND x0 + x1 > 0 AND x0 + x1 < n0 + n1),
+      |g AS (
+      |  SELECT *,
+      |    CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |      - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS delta,
+      |    pp * (1.0 - pp) * (1.0 / CAST(n0 AS DOUBLE)
+      |      + 1.0 / CAST(n1 AS DOUBLE)) AS v
+      |  FROM f),
+      |h AS (
+      |  SELECT *,
+      |    sqrt(v / (v + 0.0001))
+      |      * exp(delta * delta * 0.0001
+      |        / (2.0 * v * (v + 0.0001))) AS lambda
+      |  FROM g),
+      |i AS (
+      |  SELECT *, round(LEAST(1.0, 1.0 / lambda), 6) AS p_look
+      |  FROM h)
+      |SELECT day, n0, n1, x0, x1,
+      |  round(delta, 6) AS delta, round(v, 6) AS v,
+      |  round(lambda, 6) AS lambda,
+      |  MIN(p_look) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS p_anytime,
+      |  (MIN(p_look) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 0.05)
+      |    AS significant
+      |FROM i ORDER BY day""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q280_wasserstein_drift", q280, Some(q280Sql)),
     Q("q281_readability", q281, Some(q281Sql)),
@@ -1637,5 +1707,6 @@ object PipelineQueries extends QuerySet {
     Q("q308_weighted_quantiles", q308, Some(q308Sql)),
     Q("q309_confusion_matrix", q309, Some(q309Sql)),
     Q("q310_seasonal_strength", q310, Some(q310Sql)),
-    Q("q311_effect_size", q311, Some(q311Sql)))
+    Q("q311_effect_size", q311, Some(q311Sql)),
+    Q("q312_anytime_p", q312, Some(q312Sql)))
 }
