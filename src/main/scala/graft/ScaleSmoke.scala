@@ -323,7 +323,10 @@ object ScaleSmoke {
       // q311 one per-arm moments census onto the experiment grid
       "q310_seasonal_strength", "q311_effect_size",
       // q312 one daily census + calendar-grid cumulative windows
-      "q312_anytime_p")
+      "q312_anytime_p",
+      // q313 streaming: per-trigger cost tracks the batch; ledger state
+      // is four numbers per batch
+      "q313_streaming_anytime")
     val qmap = SparkEntry.queries
     // Local-iteration filter (the Verify/Bench idiom): SPARK_GRAFT_ONLY
     // runs only matching smoke queries — new rows don't force re-paying

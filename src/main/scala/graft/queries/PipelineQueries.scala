@@ -1675,6 +1675,108 @@ object PipelineQueries extends QuerySet {
       |    AS significant
       |FROM i ORDER BY day""".stripMargin
 
+  /** Streaming anytime-valid monitor under the driver gate —
+    * [[graft.streaming.AnytimeMonitor]] (q312 made continuous): odd
+    * events arrive as five deterministic micro-batches; batches 3–4
+    * carry a real treatment lift (arm 1's success bar drops), and the
+    * always-valid p must fall monotonically and cross α only once the
+    * cumulative evidence justifies it — at every intermediate look the
+    * dashboard was safe to read. */
+  private def q313(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val ev = t(s, d, "events").filter(col("event_id") % 2 === 1)
+      .withColumn("arm",
+        graft.operators.Splits.hashBucket(col("user_id"), 2))
+      .select(col("event_id"), col("arm"),
+        when(col("arm") === 1 && col("event_id") % 10 >= 7,
+          col("value") > 30.0).otherwise(col("value") > 80.0).as("y"))
+    val srcDir = Files.createTempDirectory("graft-q313-src").toFile
+    val base = System.currentTimeMillis()
+    Seq(1, 3, 5, 7, 9).zipWithIndex.foreach { case (r, i) =>
+      val tmp = Files.createTempDirectory("graft-q313-stage").toFile
+      ev.filter(col("event_id") % 10 === r).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      tmp.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val dst = new java.io.File(srcDir, s"batch$i.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(base + i * 1000L)
+      }
+    }
+    val store = new graft.store.DocumentStore(s,
+      Files.createTempDirectory("graft-q313-store").toString)
+    val feed = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val qy = graft.streaming.AnytimeMonitor.start(feed, store, "aledger",
+      "averdict", "arm", "y",
+      Files.createTempDirectory("graft-q313-ckpt").toString)
+    try qy.processAllAvailable() finally qy.stop()
+    store.read("averdict")
+      .select(col("batch_id"), col("n0"), col("n1"), col("x0"), col("x1"),
+        col("p_anytime"), col("significant"))
+      .orderBy(col("batch_id"))
+  }
+
+  private val q313Sql =
+    """WITH str AS (
+      |  SELECT (event_id % 10) // 2 AS b,
+      |    CAST(((user_id % 2147483648) * 2654435761) % 4294967296 % 2
+      |      AS INTEGER) AS arm,
+      |    CASE WHEN ((user_id % 2147483648) * 2654435761) % 4294967296
+      |        % 2 = 1 AND event_id % 10 >= 7
+      |      THEN value > 30.0 ELSE value > 80.0 END AS y
+      |  FROM events WHERE event_id % 2 = 1),
+      |daily AS (
+      |  SELECT b AS batch_id,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS d0,
+      |    CAST(SUM(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS d1,
+      |    CAST(SUM(CASE WHEN arm = 0 AND y THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS s0,
+      |    CAST(SUM(CASE WHEN arm <> 0 AND y THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS s1
+      |  FROM str WHERE y IS NOT NULL GROUP BY b),
+      |cum AS (
+      |  SELECT batch_id,
+      |    CAST(SUM(d0) OVER w AS BIGINT) AS n0,
+      |    CAST(SUM(d1) OVER w AS BIGINT) AS n1,
+      |    CAST(SUM(s0) OVER w AS BIGINT) AS x0,
+      |    CAST(SUM(s1) OVER w AS BIGINT) AS x1
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY batch_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |f AS (
+      |  -- rows with a one-armed cumulative stay (p = 1), as the
+      |  -- monitor keeps them — NULL pp falls through the CASE below
+      |  SELECT *, CASE WHEN n0 > 0 AND n1 > 0 THEN
+      |    CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) END AS pp
+      |  FROM cum),
+      |g AS (
+      |  SELECT *,
+      |    CASE WHEN n0 > 0 AND n1 > 0 THEN
+      |      CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |        - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE) END AS delta,
+      |    pp * (1.0 - pp) * (1.0 / CAST(n0 AS DOUBLE)
+      |      + 1.0 / CAST(n1 AS DOUBLE)) AS v
+      |  FROM f),
+      |p AS (
+      |  SELECT *,
+      |    CASE WHEN pp > 0 AND pp < 1 THEN
+      |      round(LEAST(1.0, 1.0 /
+      |        (sqrt(v / (v + 0.0001))
+      |          * exp(delta * delta * 0.0001
+      |            / (2.0 * v * (v + 0.0001))))), 6)
+      |    ELSE 1.0 END AS p_look
+      |  FROM g)
+      |SELECT batch_id, n0, n1, x0, x1,
+      |  MIN(p_look) OVER (ORDER BY batch_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS p_anytime,
+      |  (MIN(p_look) OVER (ORDER BY batch_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 0.05)
+      |    AS significant
+      |FROM p ORDER BY batch_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q280_wasserstein_drift", q280, Some(q280Sql)),
     Q("q281_readability", q281, Some(q281Sql)),
@@ -1708,5 +1810,6 @@ object PipelineQueries extends QuerySet {
     Q("q309_confusion_matrix", q309, Some(q309Sql)),
     Q("q310_seasonal_strength", q310, Some(q310Sql)),
     Q("q311_effect_size", q311, Some(q311Sql)),
-    Q("q312_anytime_p", q312, Some(q312Sql)))
+    Q("q312_anytime_p", q312, Some(q312Sql)),
+    Q("q313_streaming_anytime", q313, Some(q313Sql)))
 }
