@@ -281,42 +281,53 @@ object Drift {
       .filter(col("__v").isNotNull)
     val cv = cur.select(col(valueCol).cast("long").as("__v"))
       .filter(col("__v").isNotNull)
-    val cells = rv.select(col("__v"), lit(1L).as("__r"), lit(0L).as("__c"))
-      .unionByName(cv.select(col("__v"), lit(0L).as("__r"),
-        lit(1L).as("__c")))
-      .groupBy(col("__v"))
-      .agg(sum(col("__r")).as("__nr"), sum(col("__c")).as("__nc"))
-    val grid = cells.count()
-    require(grid >= 1, "wasserstein1: both samples are empty")
-    require(grid <= (1 << 22),
-      s"wasserstein1: $grid distinct values exceeds the 2^22 grid bound " +
-        "— pre-bucket the value column (floor(v/scale)) first")
-    val w = Window.orderBy(col("__v")) // grid-bounded by the require above
-    val terms = cells
-      .withColumn("__cr", sum(col("__nr")).over(w))
-      .withColumn("__cc", sum(col("__nc")).over(w))
-      .withColumn("__gap", coalesce(
-        lead(col("__v"), 1).over(w) - col("__v"), lit(0L)))
-    // numerator Σ |cr·nc − cc·nr|·gap needs the totals first: two-pass
-    // (totals come off the windowless cell table, not the window branch)
-    val nrc = cells.agg(sum(col("__nr")).as("__tnr"),
-      sum(col("__nc")).as("__tnc"),
-      min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
-    terms.crossJoin(broadcast(nrc))
-      .agg(max(col("__tnr")).as("n_ref"), max(col("__tnc")).as("n_cur"),
-        max(col("__lo")).as("lo"), max(col("__hi")).as("hi"),
-        sum((abs(col("__cr").cast("decimal(38,0)") * col("__tnc") -
-          col("__cc").cast("decimal(38,0)") * col("__tnr")) *
-          col("__gap")).cast("decimal(38,0)")).as("__num"))
-      .select(col("n_ref"), col("n_cur"), col("lo"), col("hi"),
-        round(col("__num").cast("double") /
-          (col("n_ref").cast("double") * col("n_cur").cast("double")), 6)
-          .as("w1"),
-        when(col("hi") > col("lo"),
-          round(col("__num").cast("double") /
-            (col("n_ref").cast("double") * col("n_cur").cast("double") *
-              (col("hi") - col("lo")).cast("double")), 6))
-          .as("w1_norm"))
+    // ONE corpus pass: the value-grid cells materialize into a tracked
+    // checkpoint (grid-sized), and the require/totals/window branches
+    // all read the pinned grid instead of re-scanning the corpus (the
+    // naive form measured THREE full scans: count + totals + window);
+    // the close is driver-side literals (the ols2 idiom), so the pin
+    // releases deterministically before returning
+    val spark = ref.sparkSession
+    Pinned.withCheckpoint(
+      rv.select(col("__v"), lit(1L).as("__r"), lit(0L).as("__c"))
+        .unionByName(cv.select(col("__v"), lit(0L).as("__r"),
+          lit(1L).as("__c")))
+        .groupBy(col("__v"))
+        .agg(sum(col("__r")).as("__nr"), sum(col("__c")).as("__nc"))
+    ) { cells =>
+      val grid = cells.count()
+      require(grid >= 1, "wasserstein1: both samples are empty")
+      require(grid <= (1 << 22),
+        s"wasserstein1: $grid distinct values exceeds the 2^22 grid " +
+          "bound — pre-bucket the value column (floor(v/scale)) first")
+      val w = Window.orderBy(col("__v")) // grid-bounded by the require
+      val terms = cells
+        .withColumn("__cr", sum(col("__nr")).over(w))
+        .withColumn("__cc", sum(col("__nc")).over(w))
+        .withColumn("__gap", coalesce(
+          lead(col("__v"), 1).over(w) - col("__v"), lit(0L)))
+      val nrc = cells.agg(sum(col("__nr")).as("__tnr"),
+        sum(col("__nc")).as("__tnc"),
+        min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+      val r = terms.crossJoin(broadcast(nrc))
+        .agg(max(col("__tnr")).as("n_ref"), max(col("__tnc")).as("n_cur"),
+          max(col("__lo")).as("lo"), max(col("__hi")).as("hi"),
+          sum((abs(col("__cr").cast("decimal(38,0)") * col("__tnc") -
+            col("__cc").cast("decimal(38,0)") * col("__tnr")) *
+            col("__gap")).cast("decimal(38,0)")).as("__num"))
+        .head()
+      val (nr, nc, lo, hi) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val num = BigDecimal(r.getDecimal(4))
+      val w1 = num.toDouble / (nr.toDouble * nc.toDouble)
+      spark.range(1).select(lit(nr).as("n_ref"), lit(nc).as("n_cur"),
+        lit(lo).as("lo"), lit(hi).as("hi"),
+        round(lit(w1), 6).as("w1"),
+        (if (hi > lo)
+          round(lit(num.toDouble / (nr.toDouble * nc.toDouble *
+            (hi - lo).toDouble)), 6)
+        else lit(null).cast("double")).as("w1_norm"))
+    }
   }
 
   /** PSI from a (bin, n_ref, n_cur) cell table — the serve face shared

@@ -63,4 +63,13 @@ class LeakHygieneSpec extends AnyFunSuite with SparkSuite {
     sweep()
     assert(pinned == 0)
   }
+
+  test("Drift.wasserstein1 releases its pinned value grid") {
+    sweep()
+    val a = (1 to 200).map(i => Tuple1((i % 23).toLong)).toDF("v")
+    val b = (1 to 150).map(i => Tuple1((i % 31).toLong)).toDF("v")
+    val res = graft.operators.Drift.wasserstein1(a, b, "v")
+    assert(res.count() == 1)
+    assert(pinned == 0, "wasserstein1 left persistent RDDs pinned")
+  }
 }
