@@ -33,22 +33,32 @@ object Cohorts {
                 origin: String): DataFrame = {
     val week = floor(datediff(to_date(col(tsCol)), to_date(lit(origin)))
       .cast("long") / 7L)
-    val activity = events.filter(col(tsCol).isNotNull)
-      .select(col(userCol).as("__u"), week.as("__w"))
-      .filter(col("__w") >= 0)
-      .distinct()
-    val cohort = activity.groupBy(col("__u"))
-      .agg(min(col("__w")).as("__c"))
-    val sizes = cohort.groupBy(col("__c"))
-      .agg(count(lit(1)).as("cohort_users"))
-    activity.join(cohort, "__u")
-      .groupBy(col("__c"), (col("__w") - col("__c")).as("week_offset"))
-      .agg(count(lit(1)).as("active_users"))
-      .join(sizes, "__c")
-      .select(col("__c").as("cohort_week"), col("week_offset"),
-        col("cohort_users"), col("active_users"),
-        round(col("active_users").cast("double") /
-          col("cohort_users").cast("double"), 6).as("retention"))
-      .orderBy(col("cohort_week"), col("week_offset"))
+    // ONE corpus pass: the (user, week) activity set pins (it feeds the
+    // cohort derivation AND the offset join — the naive plan re-scanned
+    // the corpus 3x with no ReusedExchange); the weeks-squared result
+    // re-emits driver-side so the pin releases before returning
+    val spark = events.sparkSession
+    Pinned.withCheckpoint(
+      events.filter(col(tsCol).isNotNull)
+        .select(col(userCol).as("__u"), week.as("__w"))
+        .filter(col("__w") >= 0)
+        .distinct()
+    ) { activity =>
+      val cohort = activity.groupBy(col("__u"))
+        .agg(min(col("__w")).as("__c"))
+      val sizes = cohort.groupBy(col("__c"))
+        .agg(count(lit(1)).as("cohort_users"))
+      val out = activity.join(cohort, "__u")
+        .groupBy(col("__c"), (col("__w") - col("__c")).as("week_offset"))
+        .agg(count(lit(1)).as("active_users"))
+        .join(sizes, "__c")
+        .select(col("__c").as("cohort_week"), col("week_offset"),
+          col("cohort_users"), col("active_users"),
+          round(col("active_users").cast("double") /
+            col("cohort_users").cast("double"), 6).as("retention"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(out.collect().toSeq.asJava, out.schema)
+    }
   }
 }

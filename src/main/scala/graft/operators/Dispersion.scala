@@ -30,17 +30,25 @@ object Dispersion {
   /** (group, periods, total, mean, fano) per group; `periodCol` must
     * be an integral period index (epoch-hour, epoch-day). */
   def fano(df: DataFrame, groupCol: String, periodCol: String): DataFrame = {
-    val counts = df.filter(col(periodCol).isNotNull)
-      .select(col(groupCol).as("__g"),
-        col(periodCol).cast("long").as("__p"))
-      .groupBy(col("__g"), col("__p"))
-      .agg(count(lit(1)).as("__c"))
+    // ONE corpus pass: the (group, period) census pins (grid-sized);
+    // the grid/groups/dense branches read the pin instead of
+    // re-scanning (plan check: 3 scans, no ReusedExchange, before);
+    // the groups-bounded result re-emits driver-side so the pin
+    // releases before returning
+    val spark = df.sparkSession
+    Pinned.withCheckpoint(
+      df.filter(col(periodCol).isNotNull)
+        .select(col(groupCol).as("__g"),
+          col(periodCol).cast("long").as("__p"))
+        .groupBy(col("__g"), col("__p"))
+        .agg(count(lit(1)).as("__c"))
+    ) { counts =>
     val grid = counts.select(col("__p")).distinct()
     val groups = counts.select(col("__g")).distinct()
     val dense = groups.crossJoin(broadcast(grid))
       .join(counts, Seq("__g", "__p"), "left")
       .na.fill(0L, Seq("__c"))
-    dense.groupBy(col("__g"))
+    val out = dense.groupBy(col("__g"))
       .agg(count(lit(1)).as("periods"), sum(col("__c")).as("total"),
         sum(col("__c") * col("__c")).as("__scc"))
       .filter(col("periods") >= 2 && col("total") > 0)
@@ -52,6 +60,9 @@ object Dispersion {
           ((col("periods") - 1).cast("double") * col("total").cast("double")),
           6).as("fano"))
       .orderBy(col(groupCol))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(out.collect().toSeq.asJava, out.schema)
+    }
   }
 
   /** Zero-inflation audit — the Poisson-baseline complement to
@@ -68,17 +79,21 @@ object Dispersion {
     * e^{−λ} and the excess close in doubles, 6-dp. */
   def zeroInflation(df: DataFrame, groupCol: String,
                     periodCol: String): DataFrame = {
-    val counts = df.filter(col(periodCol).isNotNull)
-      .select(col(groupCol).as("__g"),
-        col(periodCol).cast("long").as("__p"))
-      .groupBy(col("__g"), col("__p"))
-      .agg(count(lit(1)).as("__c"))
+    // same one-pass pinned-census shape as [[fano]]
+    val spark = df.sparkSession
+    Pinned.withCheckpoint(
+      df.filter(col(periodCol).isNotNull)
+        .select(col(groupCol).as("__g"),
+          col(periodCol).cast("long").as("__p"))
+        .groupBy(col("__g"), col("__p"))
+        .agg(count(lit(1)).as("__c"))
+    ) { counts =>
     val grid = counts.select(col("__p")).distinct()
     val groups = counts.select(col("__g")).distinct()
     val dense = groups.crossJoin(broadcast(grid))
       .join(counts, Seq("__g", "__p"), "left")
       .na.fill(0L, Seq("__c"))
-    dense.groupBy(col("__g"))
+    val out = dense.groupBy(col("__g"))
       .agg(count(lit(1)).as("periods"), sum(col("__c")).as("total"),
         sum(when(col("__c") === 0, 1L).otherwise(0L)).as("zeros"))
       .filter(col("periods") >= 1 && col("total") > 0)
@@ -94,5 +109,8 @@ object Dispersion {
           exp(-(col("total").cast("double") /
             col("periods").cast("double"))), 6).as("excess_zeros"))
       .orderBy(col(groupCol))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(out.collect().toSeq.asJava, out.schema)
+    }
   }
 }

@@ -40,10 +40,17 @@ object Variance {
         "scaled (chars, tokens, cents); scale fractional metrics first")
     val u = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__x"))
-    val sums = u.groupBy(col("__g"))
+    // TWO corpus passes total (the inherent minimum: S_g first, then
+    // deviations): the groups-grid sums pin so the deviation join does
+    // not re-derive them from the corpus, and the groups-grid devs pin
+    // so the three closing branches read k rows, not the corpus (plan
+    // check: 4 scans, no ReusedExchange, before)
+    val spark = df.sparkSession
+    val sumsPin = Pinned.checkpoint(u.groupBy(col("__g"))
       .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"))
-      .filter(col("__n") >= 2)
-    val devs = u.join(broadcast(sums), "__g")
+      .filter(col("__n") >= 2))
+    val sums = sumsPin.df
+    val devsPin = Pinned.checkpoint(u.join(broadcast(sums), "__g")
       .withColumn("__u", abs(col("__x") * col("__n") - col("__s")))
       .groupBy(col("__g"))
       .agg(max(col("__n")).as("n"),
@@ -54,7 +61,8 @@ object Variance {
       .withColumn("z_mean", col("__su").cast("double") /
         (col("n") * col("n")).cast("double"))
       .withColumn("__zsq", col("__suu").cast("double") /
-        (col("n") * col("n")).cast("double"))
+        (col("n") * col("n")).cast("double")))
+    val devs = devsPin.df
     val k = devs.count()
     require(k >= 2, s"levene: $k groups (need >= 2)")
     def foldSorted(v: org.apache.spark.sql.Column) = aggregate(
@@ -80,11 +88,14 @@ object Variance {
     require(within > 0.0,
       "levene: zero within-group deviation — every group is constant")
     val wStat = (nn - k).toDouble / (k - 1).toDouble * between / within
-    withBar
+    val out = withBar
       .select(col("__g").as(groupCol), col("n"),
         round(col("z_mean"), 6).as("z_mean"),
         round(lit(wStat), 6).as("w"),
         lit(k - 1).as("df1"), lit(nn - k).as("df2"))
       .orderBy(col(groupCol))
+    import scala.jdk.CollectionConverters._
+    try spark.createDataFrame(out.collect().toSeq.asJava, out.schema)
+    finally { devsPin.release(); sumsPin.release() }
   }
 }

@@ -72,4 +72,25 @@ class LeakHygieneSpec extends AnyFunSuite with SparkSuite {
     assert(res.count() == 1)
     assert(pinned == 0, "wasserstein1 left persistent RDDs pinned")
   }
+
+  test("retention / fano / levene release their pinned grids") {
+    sweep()
+    import java.sql.Timestamp
+    val ev = (1 to 200).map(i => (i.toLong % 20,
+      Timestamp.valueOf(f"2024-01-${i % 28 + 1}%02d 12:00:00")))
+      .toDF("u", "ts")
+    assert(graft.operators.Cohorts.retention(ev, "u", "ts",
+      "2024-01-01").count() > 0)
+    assert(pinned == 0, "retention left persistent RDDs pinned")
+    val grid = (1 to 200).map(i => (s"g${i % 3}", (i % 24).toLong))
+      .toDF("g", "h")
+    assert(graft.operators.Dispersion.fano(grid, "g", "h").count() > 0)
+    assert(graft.operators.Dispersion.zeroInflation(grid, "g", "h")
+      .count() > 0)
+    assert(pinned == 0, "dispersion left persistent RDDs pinned")
+    val lv = (1 to 100).map(i => (s"g${i % 3}", (i % 17).toLong))
+      .toDF("g", "x")
+    assert(graft.operators.Variance.levene(lv, "g", "x").count() > 0)
+    assert(pinned == 0, "levene left persistent RDDs pinned")
+  }
 }
