@@ -143,7 +143,10 @@ object Calibration {
         least(floor(s * bins), lit(bins - 1)).cast("int").as("bin"),
         floor(s * 1000000L).cast("long").as("__ppm"),
         col(labelCol).cast("boolean").cast("long").as("__y"))
-    val perBin = binned.groupBy(col("bin"))
+    // ONE corpus pass: the bins grid pins (the totals/folds branches
+    // otherwise re-scan); the bins-bounded result re-emits driver-side
+    val spark = df.sparkSession
+    Pinned.withCheckpoint(binned.groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
         sum(col("__ppm")).as("__ss"),
         sum((col("__ppm").cast("decimal(38,0)") * col("__ppm"))
@@ -153,6 +156,7 @@ object Calibration {
         (col("n") * 1000000L).cast("double"))
       .withColumn("acc",
         col("n_pos").cast("double") / col("n").cast("double"))
+    ) { perBin =>
     def foldSorted(v: org.apache.spark.sql.Column) = aggregate(
       transform(array_sort(collect_list(struct(col("bin"), v.as("v")))),
         p => p.getField("v")),
@@ -186,11 +190,14 @@ object Calibration {
         lit(2.0) * col("__c").cast("double") / lit(1e6) +
         col("__np").cast("double")) / col("__nn").cast("double"), 6)
         .as("brier"))
-    perBin.crossJoin(broadcast(closed))
+    val out = perBin.crossJoin(broadcast(closed))
       .select(col("bin"), col("n"), col("n_pos"), round(col("conf"), 6)
         .as("conf"), round(col("acc"), 6).as("acc"),
         col("brier"), col("reliability"), col("resolution"),
         col("uncertainty"))
       .orderBy(col("bin"))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(out.collect().toSeq.asJava, out.schema)
+    }
   }
 }

@@ -27,10 +27,16 @@ object Confusion {
     * recall, f1) with (accuracy, macro_f1, n) repeated. */
   def multiclass(df: DataFrame, truthCol: String,
                  predCol: String): DataFrame = {
-    val cells = df.filter(col(truthCol).isNotNull && col(predCol).isNotNull)
-      .groupBy(col(truthCol).cast("string").as("__t"),
-        col(predCol).cast("string").as("__p"))
-      .agg(count(lit(1)).as("__n"))
+    // ONE corpus pass: the classes-squared census pins — the by-truth,
+    // by-pred and pooled branches otherwise each re-scan; the
+    // classes-bounded result re-emits driver-side (pin released)
+    val spark = df.sparkSession
+    Pinned.withCheckpoint(
+      df.filter(col(truthCol).isNotNull && col(predCol).isNotNull)
+        .groupBy(col(truthCol).cast("string").as("__t"),
+          col(predCol).cast("string").as("__p"))
+        .agg(count(lit(1)).as("__n"))
+    ) { cells =>
     val byTruth = cells.groupBy(col("__t"))
       .agg(sum(col("__n")).as("n_true"),
         sum(when(col("__p") === col("__t"), col("__n")).otherwise(0L))
@@ -61,7 +67,7 @@ object Confusion {
         transform(array_sort(collect_list(struct(col("__t"),
           col("f1").as("v")))), p => p.getField("v")),
         lit(0.0), (acc, x) => acc + x).as("__f1sum"))
-    perClass.crossJoin(broadcast(pooled))
+    val out = perClass.crossJoin(broadcast(pooled))
       .select(col("__t").as("class"), col("n_true"), col("tp"),
         col("fp"), col("fn"),
         round(col("precision"), 6).as("precision"),
@@ -73,5 +79,8 @@ object Confusion {
           .as("macro_f1"),
         col("__nn").as("n"))
       .orderBy(col("class"))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(out.collect().toSeq.asJava, out.schema)
+    }
   }
 }

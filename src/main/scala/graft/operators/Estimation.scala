@@ -67,16 +67,23 @@ object Estimation {
     * Scale shape: keys project narrow, the overlap is ONE
     * co-partitioned semi-join keyed count — no row data moves. */
   def chapman(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
-    val ka = a.select(col(keyCol).as("__k")).filter(col("__k").isNotNull)
-      .distinct()
-    val kb = b.select(col(keyCol).as("__k")).filter(col("__k").isNotNull)
-      .distinct()
-    val n1 = ka.count(); val n2 = kb.count()
-    val m = ka.join(kb, "__k").count()
+    // each detector's distinct key set pins (counted AND joined — the
+    // naive form re-derived both distincts for the overlap); released
+    // before the literal-row return
+    val kaPin = Pinned.checkpoint(a.select(col(keyCol).as("__k"))
+      .filter(col("__k").isNotNull).distinct())
+    val kbPin = Pinned.checkpoint(b.select(col(keyCol).as("__k"))
+      .filter(col("__k").isNotNull).distinct())
+    val (n1, n2, m) =
+      try {
+        (kaPin.df.count(), kbPin.df.count(),
+          kaPin.df.join(kbPin.df, "__k").count())
+      } finally { /* counts done; overlap used them — release below */ }
     require(n1 > 0 && n2 > 0, s"chapman: empty capture ($n1, $n2)")
     val nHat = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
     val se = math.sqrt((n1 + 1.0) * (n2 + 1.0) * (n1 - m) * (n2 - m) /
       ((m + 1.0) * (m + 1.0) * (m + 2.0)))
+    kaPin.release(); kbPin.release()
     val spark = a.sparkSession
     spark.range(1).select(lit(n1).as("n1"), lit(n2).as("n2"),
       lit(m).as("overlap"), round(lit(nHat), 6).as("n_hat"),

@@ -291,7 +291,11 @@ object Experiments {
     * every stratum) fail loudly rather than emitting 0/0. */
   def cmh(df: DataFrame, stratumCol: String, armCol: String,
           outcomeCol: String): DataFrame = {
-    val cells = df
+    // ONE corpus pass: the strata cells pin (≤K rows) — the require,
+    // the folds, and the final select otherwise each re-derive the
+    // census; the K-row result re-emits driver-side (pin released)
+    val spark = df.sparkSession
+    Pinned.withCheckpoint(df
       .filter(col(stratumCol).isNotNull && col(armCol).isNotNull &&
         col(outcomeCol).isNotNull)
       .groupBy(col(stratumCol).as("stratum"))
@@ -306,6 +310,7 @@ object Experiments {
           .otherwise(0L)).as("d"))
       .withColumn("n", col("a") + col("b") + col("c") + col("d"))
       .filter(col("n") >= 2)
+    ) { cells =>
     val terms = cells.select(col("stratum"), col("n"),
       col("a"), col("b"), col("c"), col("d"),
       (col("a").cast("double") -
@@ -334,7 +339,7 @@ object Experiments {
     val svar = pooledRow.getDouble(1)
     require(svar > 0.0,
       "cmh: zero pooled variance — a margin is empty in every stratum")
-    terms.crossJoin(broadcast(pooled))
+    val out = terms.crossJoin(broadcast(pooled))
       .select(col("stratum"), col("n"), col("a"), col("b"), col("c"),
         col("d"),
         when(col("b") * col("c") > 0,
@@ -346,6 +351,9 @@ object Experiments {
         when(col("__sbc") > 0, round(col("__sad") / col("__sbc"), 6))
           .as("or_mh"))
       .orderBy(col("stratum"))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(out.collect().toSeq.asJava, out.schema)
+    }
   }
 
   /** McNemar's test for PAIRED classifier comparison — the test the

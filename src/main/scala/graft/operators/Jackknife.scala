@@ -32,7 +32,13 @@ object Jackknife {
   def ratio(df: DataFrame, idCol: String, yCol: String, xCol: String,
             groups: Int = 20): DataFrame = {
     require(groups >= 2 && groups <= 1000, s"bad groups=$groups")
-    val cells = df
+    // ONE corpus pass: the bucket cells pin (≤groups rows) — the naive
+    // plan re-derived them in EIGHT branches (totals, deletions, the
+    // degeneracy check, both folds, the mean join, the final select);
+    // the bounded result re-emits driver-side so the pin releases
+    // before returning
+    val spark = df.sparkSession
+    Pinned.withCheckpoint(df
       .filter(col(idCol).isNotNull && col(yCol).isNotNull &&
         col(xCol).isNotNull)
       .groupBy(Splits.hashBucket(col(idCol), groups).as("bucket"))
@@ -40,6 +46,7 @@ object Jackknife {
           .as("sy"),
         sum(col(xCol).cast("decimal(18,6)")).cast("decimal(38,12)")
           .as("sx"))
+    ) { cells =>
     val tot = cells.agg(sum(col("sy")).cast("decimal(38,12)").as("__ty"),
       sum(col("sx")).cast("decimal(38,12)").as("__tx"))
     val withDel = cells.crossJoin(broadcast(tot))
@@ -65,7 +72,7 @@ object Jackknife {
           (col("r_del") - col("__mean"))).as("col2")))),
         s => s.getField("col2")),
       lit(0.0), (acc, x) => acc + x).as("__sv"))
-    withMean.crossJoin(broadcast(varSum))
+    val out = withMean.crossJoin(broadcast(varSum))
       .select(col("bucket"), col("sx").cast("double").as("sx"),
         col("sy").cast("double").as("sy"),
         round(col("r_del"), 6).as("r_del"),
@@ -75,5 +82,8 @@ object Jackknife {
           col("__sv")), 6).as("jk_se"),
         col("__g").as("groups"))
       .orderBy(col("bucket"))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(out.collect().toSeq.asJava, out.schema)
+    }
   }
 }

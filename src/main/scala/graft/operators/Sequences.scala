@@ -116,12 +116,17 @@ object Sequences {
     require(partitionCols.nonEmpty && orderCols.nonEmpty, "need keys")
     val w = Window.partitionBy(partitionCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
-    val counts = df
+    // ONE window pass: the states-squared census pins (the per-from
+    // fold, the K_to distinct and the pooled fold otherwise re-run the
+    // lag window over the corpus); the K-row result re-emits
+    val spark = df.sparkSession
+    Pinned.withCheckpoint(df
       .withColumn("__from", lag(col(stateCol), 1).over(w))
       .filter(col("__from").isNotNull && col(stateCol).isNotNull)
       .groupBy(col("__from").as("from_state"),
         col(stateCol).as("to_state"))
       .agg(count(lit(1)).as("__n"))
+    ) { counts =>
     val perFrom = counts
       .groupBy(col("from_state"))
       .agg(sum(col("__n")).as("n_from"),
@@ -143,7 +148,7 @@ object Sequences {
         lit(0.0), (acc, x) => acc + x).as("__hsum"))
       .select((col("__hsum") / col("__nn").cast("double")).as("__hr"))
     val hMax = math.log(kTo.toDouble)
-    perFrom.crossJoin(broadcast(pooled))
+    val out = perFrom.crossJoin(broadcast(pooled))
       .select(col("from_state"), col("n_from"),
         round(col("h_cond"), 6).as("h_cond"),
         round(col("__hr"), 6).as("h_rate"),
@@ -151,5 +156,8 @@ object Sequences {
         round(when(lit(hMax) > 0, lit(1.0) - col("__hr") / lit(hMax))
           .otherwise(lit(0.0)), 6).as("predictability"))
       .orderBy(col("from_state"))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(out.collect().toSeq.asJava, out.schema)
+    }
   }
 }

@@ -97,7 +97,11 @@ object Survival {
         col("__e").isNotNull && col("__g").isNotNull)
     val badGroup = rows.filter(col("__g") =!= 0 && col("__g") =!= 1)
     require(badGroup.isEmpty, "logRank: groupCol must be 0/1")
-    val grid = rows.groupBy(col("__t"))
+    // ONE corpus pass: the duration-grid census pins — totals, risk
+    // windows, the variance require and the final select otherwise
+    // each re-scan; the grid-bounded result re-emits driver-side
+    val spark = df.sparkSession
+    Pinned.withCheckpoint(rows.groupBy(col("__t"))
       .agg(sum(when(col("__e") && col("__g") === 1, 1L).otherwise(0L))
           .as("__d1"),
         sum(when(!col("__e") && col("__g") === 1, 1L).otherwise(0L))
@@ -106,6 +110,7 @@ object Survival {
           .as("__d0"),
         sum(when(!col("__e") && col("__g") === 0, 1L).otherwise(0L))
           .as("__c0"))
+    ) { grid =>
     val tots = grid.agg(sum(col("__d1") + col("__c1")).as("__n1tot"),
       sum(col("__d0") + col("__c0")).as("__n0tot"))
     val w = Window.orderBy(col("__t"))
@@ -140,12 +145,15 @@ object Survival {
       foldSorted(col("__v")).as("__sv"))
     require(pooled.head().getDouble(1) > 0.0,
       "logRank: zero pooled variance — a group never shares a risk set")
-    atRisk.crossJoin(broadcast(pooled))
+    val out = atRisk.crossJoin(broadcast(pooled))
       .select(col("__t").as("t"), col("n_risk1"), col("n_risk0"),
         col("__d1").as("d1"), col("__d0").as("d0"),
         round(col("e1"), 6).as("e1"),
         round(col("__sdev") * col("__sdev") / col("__sv"), 6).as("chi2"))
       .orderBy(col("t"))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(out.collect().toSeq.asJava, out.schema)
+    }
   }
 
   /** Restricted mean survival time + median — the SCALARS a dashboard
