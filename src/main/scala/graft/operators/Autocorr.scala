@@ -33,9 +33,15 @@ object Autocorr {
   def acf(grid: DataFrame, tCol: String, yCol: String,
           maxLag: Int): DataFrame = {
     require(maxLag >= 1 && maxLag <= 256, s"bad maxLag=$maxLag")
-    val g = grid.select(col(tCol).cast("long").as("t"),
-        col(yCol).cast("decimal(18,6)").as("y"))
-      .filter(col("t").isNotNull && col("y").isNotNull)
+    // the grid input is usually itself a corpus aggregate — pin it so
+    // the require/total/lag-join branches read 4096 rows, not the
+    // corpus (the round's scan-count audit class)
+    val spark = grid.sparkSession
+    val gPin = Pinned.checkpoint(
+      grid.select(col(tCol).cast("long").as("t"),
+          col(yCol).cast("decimal(18,6)").as("y"))
+        .filter(col("t").isNotNull && col("y").isNotNull))
+    val g = gPin.df
     val n = g.count()
     require(n >= maxLag + 2 && n <= (1 << 12),
       s"acf: $n grid positions (need in [${maxLag + 2}, 4096]) — " +
@@ -48,7 +54,6 @@ object Autocorr {
       .select(col("rn"),
         (col("y") * n - col("__s")).cast("decimal(38,6)").cast("double")
           .as("cy"))
-    val spark = grid.sparkSession
     import spark.implicits._
     val lags = (0 to maxLag).map(_.toLong).toDF("lag")
     val pairs = c.as("a").crossJoin(broadcast(lags))
@@ -66,9 +71,12 @@ object Autocorr {
     // a constant grid has zero variance — ACF undefined; fail loudly
     // rather than let ANSI throw DIVIDE_BY_ZERO deep in the plan
     require(den != 0.0, "acf: constant series — zero variance at lag 0")
-    pairs
+    val out = pairs
       .select(col("lag"), col("n_pairs"),
         round(col("__num") / lit(den), 6).as("acf"))
       .orderBy(col("lag"))
+    import scala.jdk.CollectionConverters._
+    try spark.createDataFrame(out.collect().toSeq.asJava, out.schema)
+    finally gPin.release()
   }
 }

@@ -45,9 +45,15 @@ object Smoothing {
   def ses(grid: DataFrame, tCol: String, yCol: String,
           alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, s"ses: alpha=$alpha outside (0,1)")
-    val g = grid.select(col(tCol).cast("long").as("t"),
-        col(yCol).cast("double").as("y"))
-      .filter(col("t").isNotNull && col("y").isNotNull)
+    // pin the grid: the require, BOTH sides of the triangular
+    // self-join, and the close otherwise re-derive the (usually
+    // corpus-aggregate) input — the round's scan-count audit class
+    val spark = grid.sparkSession
+    val gPin = Pinned.checkpoint(
+      grid.select(col(tCol).cast("long").as("t"),
+          col(yCol).cast("double").as("y"))
+        .filter(col("t").isNotNull && col("y").isNotNull))
+    val g = gPin.df
     val n = g.count()
     require(n >= 1 && n <= (1 << 12),
       s"ses: $n grid positions outside [1, 4096] — pre-aggregate onto a " +
@@ -77,10 +83,13 @@ object Smoothing {
           s => s.getField("term")),
         lit(0.0), (acc, x) => acc + x).as("__level"))
     val wl = Window.orderBy(col("rn"))
-    levels
+    val out = levels
       .withColumn("__prev", lag(col("__level"), 1).over(wl))
       .select(col("t"), col("y"), round(col("__level"), 6).as("level"),
         round(col("y") - col("__prev"), 6).as("forecast_err"))
       .orderBy(col("t"))
+    import scala.jdk.CollectionConverters._
+    try spark.createDataFrame(out.collect().toSeq.asJava, out.schema)
+    finally gPin.release()
   }
 }
