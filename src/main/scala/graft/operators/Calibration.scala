@@ -135,7 +135,8 @@ object Calibration {
     * the folds run on bins rows. */
   def brierDecomposition(df: DataFrame, scoreCol: String, labelCol: String,
                          bins: Int = 10): DataFrame = {
-    require(bins >= 2, s"need at least 2 bins, got $bins")
+    require(bins >= 2 && bins <= Grids.DefaultMaxRows,
+      s"need 2..${Grids.DefaultMaxRows} bins, got $bins")
     val s = col(scoreCol).cast("double")
     val binned = df
       .filter(s.isNotNull && col(labelCol).isNotNull)
@@ -196,8 +197,7 @@ object Calibration {
         col("brier"), col("reliability"), col("resolution"),
         col("uncertainty"))
       .orderBy(col("bin"))
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(out.collect().toSeq.asJava, out.schema)
+    Grids.collectBounded(out, "brier bin grid")
     }
   }
 }

@@ -57,8 +57,7 @@ object Cohorts {
           round(col("active_users").cast("double") /
             col("cohort_users").cast("double"), 6).as("retention"))
         .orderBy(col("cohort_week"), col("week_offset"))
-      import scala.jdk.CollectionConverters._
-      spark.createDataFrame(out.collect().toSeq.asJava, out.schema)
+      Grids.collectBounded(out, "retention cohort-week grid")
     }
   }
 }

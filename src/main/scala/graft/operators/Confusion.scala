@@ -37,6 +37,12 @@ object Confusion {
           col(predCol).cast("string").as("__p"))
         .agg(count(lit(1)).as("__n"))
     ) { cells =>
+    // the census is materialized, so the count is free — and it is the
+    // guard that keeps a continuous predCol/truthCol (cells ≈ n, not
+    // classes²) from checkpointing the corpus and OOMing the collect
+    require(cells.count() <= Grids.DefaultMaxRows,
+      s"multiclass: (truth, pred) census exceeded ${Grids.DefaultMaxRows} " +
+        "cells — is a continuous column being used as a class label?")
     val byTruth = cells.groupBy(col("__t"))
       .agg(sum(col("__n")).as("n_true"),
         sum(when(col("__p") === col("__t"), col("__n")).otherwise(0L))
@@ -79,8 +85,7 @@ object Confusion {
           .as("macro_f1"),
         col("__nn").as("n"))
       .orderBy(col("class"))
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(out.collect().toSeq.asJava, out.schema)
+    Grids.collectBounded(out, "multiclass class grid")
     }
   }
 }

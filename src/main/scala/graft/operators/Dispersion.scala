@@ -60,8 +60,7 @@ object Dispersion {
           ((col("periods") - 1).cast("double") * col("total").cast("double")),
           6).as("fano"))
       .orderBy(col(groupCol))
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(out.collect().toSeq.asJava, out.schema)
+    Grids.collectBounded(out, "dispersion group grid")
     }
   }
 
@@ -109,8 +108,7 @@ object Dispersion {
           exp(-(col("total").cast("double") /
             col("periods").cast("double"))), 6).as("excess_zeros"))
       .orderBy(col(groupCol))
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(out.collect().toSeq.asJava, out.schema)
+    Grids.collectBounded(out, "zero-inflation group grid")
     }
   }
 }

@@ -78,12 +78,16 @@ object Estimation {
       try {
         (kaPin.df.count(), kbPin.df.count(),
           kaPin.df.join(kbPin.df, "__k").count())
-      } finally { /* counts done; overlap used them — release below */ }
+      } finally {
+        // release on EVERY exit path — a failing count (or the empty-
+        // capture require below firing after a zero count) must not
+        // leak the pins (ADVICE r15)
+        kaPin.release(); kbPin.release()
+      }
     require(n1 > 0 && n2 > 0, s"chapman: empty capture ($n1, $n2)")
     val nHat = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
     val se = math.sqrt((n1 + 1.0) * (n2 + 1.0) * (n1 - m) * (n2 - m) /
       ((m + 1.0) * (m + 1.0) * (m + 2.0)))
-    kaPin.release(); kbPin.release()
     val spark = a.sparkSession
     spark.range(1).select(lit(n1).as("n1"), lit(n2).as("n2"),
       lit(m).as("overlap"), round(lit(nHat), 6).as("n_hat"),

@@ -351,8 +351,7 @@ object Experiments {
         when(col("__sbc") > 0, round(col("__sad") / col("__sbc"), 6))
           .as("or_mh"))
       .orderBy(col("stratum"))
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(out.collect().toSeq.asJava, out.schema)
+    Grids.collectBounded(out, "cmh strata grid")
     }
   }
 

@@ -43,6 +43,50 @@ object Hubness {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select(col("__nid"))
+    occurrenceStats(df, idCol, top, k)
+  }
+
+  /** The corpus-scale form: the SAME k-occurrence math fed by an ANN
+    * candidate stream (IvfIndex.searchMany / HnswIndex output shape —
+    * one row per (probe, candidate, sim)) instead of the n² cosine
+    * self-join. The caller over-fetches k+1 candidates per probe so the
+    * probe's own row can be excluded here; candidates re-rank by
+    * (sim DESC, id ASC) — the q30/q31 deterministic tie order, which is
+    * also the heap order of VectorSearch.TopKAgg, so the top-k AFTER
+    * self-exclusion is exactly the top-k among non-self candidates.
+    *
+    * With nprobe = numLists the candidate stream is exhaustive and this
+    * EQUALS [[kOccurrence]] restricted to the probe set (spec-asserted);
+    * at partial nprobe it is the production audit: N_k measured over
+    * what retrieval actually serves.
+    *
+    * Scale shape: the candidate stream is probes×(k+1)·fan rows — cost
+    * tracks candidates, never n²; the window partitions per probe on
+    * that bounded stream; the occurrence join is one key-shuffle of
+    * (id, count) pairs. */
+  def kOccurrenceFromCandidates(points: DataFrame, idCol: String,
+                                candidates: DataFrame, probeIdCol: String,
+                                neighborIdCol: String, simCol: String,
+                                k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, s"bad k=$k")
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col("__sim").desc, col("__nid").asc)
+    val top = candidates
+      .select(col(probeIdCol).as("__pid"), col(neighborIdCol).as("__nid"),
+        col(simCol).as("__sim"))
+      .filter(col("__pid") =!= col("__nid"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("__nid"))
+    occurrenceStats(points, idCol, top, k)
+  }
+
+  /** Shared close: occurrence counts over ALL points (absent from every
+    * list = 0 — the anti-hubs are the signal), histogram, exact BIGINT
+    * raw moments, scalar skew. `top` carries one __nid per (probe,
+    * ranked-neighbor) pair. */
+  private def occurrenceStats(df: DataFrame, idCol: String,
+                              top: DataFrame, k: Int): DataFrame = {
     val occ = df.select(col(idCol).as("__nid"))
       .join(top.groupBy(col("__nid")).agg(count(lit(1)).as("__o")),
         Seq("__nid"), "left")

@@ -156,8 +156,7 @@ object Sequences {
         round(when(lit(hMax) > 0, lit(1.0) - col("__hr") / lit(hMax))
           .otherwise(lit(0.0)), 6).as("predictability"))
       .orderBy(col("from_state"))
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(out.collect().toSeq.asJava, out.schema)
+    Grids.collectBounded(out, "transition state grid")
     }
   }
 }

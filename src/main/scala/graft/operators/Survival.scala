@@ -151,8 +151,7 @@ object Survival {
         round(col("e1"), 6).as("e1"),
         round(col("__sdev") * col("__sdev") / col("__sv"), 6).as("chi2"))
       .orderBy(col("t"))
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(out.collect().toSeq.asJava, out.schema)
+    Grids.collectBounded(out, "logRank duration grid")
     }
   }
 

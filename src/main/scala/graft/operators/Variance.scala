@@ -94,8 +94,7 @@ object Variance {
         round(lit(wStat), 6).as("w"),
         lit(k - 1).as("df1"), lit(nn - k).as("df2"))
       .orderBy(col(groupCol))
-    import scala.jdk.CollectionConverters._
-    try spark.createDataFrame(out.collect().toSeq.asJava, out.schema)
+    try Grids.collectBounded(out, "levene group grid")
     finally { devsPin.release(); sumsPin.release() }
   }
 }

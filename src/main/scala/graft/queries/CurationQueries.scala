@@ -516,7 +516,6 @@ object CurationQueries extends QuerySet {
     * (batch, hour) verdict lands keyed-upserted with the exact
     * decimal/integer alert boundary. */
   private def q235(s: SparkSession, d: String): DataFrame = {
-    import java.nio.file.Files
     val ev = t(s, d, "events").select(col("event_id"), col("ts"), col("value"),
       datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("dd"))
     val ref = ev.filter(col("dd") < 15)
@@ -530,10 +529,10 @@ object CurationQueries extends QuerySet {
         when(pmod(col("dd"), lit(4)) === 3, col("value") + 100)
           .otherwise(col("value")).as("value"),
         pmod(col("dd"), lit(4)).as("__b"))
-    val srcDir = Files.createTempDirectory("graft-q235-src").toFile
+    val srcDir = new java.io.File(Scratch.dir("q235-src"))
     val base = System.currentTimeMillis()
     (0 to 3).foreach { i =>
-      val tmp = Files.createTempDirectory("graft-q235-stage").toFile
+      val tmp = new java.io.File(Scratch.dir("q235-stage"))
       streamed.filter(col("__b") === i).drop("__b").coalesce(1)
         .write.mode("overwrite").parquet(tmp.toString)
       tmp.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
@@ -543,12 +542,12 @@ object CurationQueries extends QuerySet {
       }
     }
     val store = new graft.store.DocumentStore(s,
-      Files.createTempDirectory("graft-q235-store").toString)
+      Scratch.dir("q235-store"))
     val feed = s.readStream.schema(streamed.drop("__b").schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
     val qy = graft.streaming.SeasonalMonitor.start(feed, store, "seasonal",
       baseline, "ts", "value",
-      Files.createTempDirectory("graft-q235-ckpt").toString,
+      Scratch.dir("q235-ckpt"),
       ratioNum = 1L, ratioDen = 1L)
     try qy.processAllAvailable() finally qy.stop()
     store.read("seasonal")
@@ -821,15 +820,14 @@ object CurationQueries extends QuerySet {
     * AS OF ITS ARRIVAL — the oracle replays batch 0 against the even
     * half's df and batch 1 against the cumulative df. */
   private def q241(s: SparkSession, d: String): DataFrame = {
-    import java.nio.file.Files
     val banner = concat_ws(" ",
       transform(sequence(lit(1), lit(10)), _ => concat(lit("banner"), col("source"))))
     val docs = t(s, d, "documents")
       .select(col("doc_id"), concat(banner, lit(" "), col("text")).as("text"))
-    val srcDir = Files.createTempDirectory("graft-q241-src").toFile
+    val srcDir = new java.io.File(Scratch.dir("q241-src"))
     val base = System.currentTimeMillis()
     (0 to 1).foreach { i =>
-      val tmp = Files.createTempDirectory("graft-q241-stage").toFile
+      val tmp = new java.io.File(Scratch.dir("q241-stage"))
       docs.filter(pmod(col("doc_id"), lit(2)) === i).coalesce(1)
         .write.mode("overwrite").parquet(tmp.toString)
       tmp.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
@@ -839,12 +837,12 @@ object CurationQueries extends QuerySet {
       }
     }
     val store = new graft.store.DocumentStore(s,
-      Files.createTempDirectory("graft-q241-store").toString)
+      Scratch.dir("q241-store"))
     val feed = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
     val qy = graft.streaming.BoilerplateIngest.start(feed, store, "segdf",
       "segdocs", "clean", "doc_id", "text",
-      Files.createTempDirectory("graft-q241-ckpt").toString,
+      Scratch.dir("q241-ckpt"),
       segWords = 10, minDf = 5L)
     try qy.processAllAvailable() finally qy.stop()
     store.read("clean")

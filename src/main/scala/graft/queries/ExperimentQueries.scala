@@ -727,16 +727,15 @@ object ExperimentQueries extends QuerySet {
     * that batch must alert on ITS OWN χ² while the cumulative columns
     * show the standing state dampening. */
   private def q261(s: SparkSession, d: String): DataFrame = {
-    import java.nio.file.Files
     val ev = t(s, d, "events").filter(col("event_id") % 2 === 1)
       .select(col("event_id"), lit("feed").as("src"),
         when(col("event_id") % 8 === 7,
           (col("event_id") % 9 + 1).cast("double") * 111.0)
           .otherwise(col("value")).as("v"))
-    val srcDir = Files.createTempDirectory("graft-q261-src").toFile
+    val srcDir = new java.io.File(Scratch.dir("q261-src"))
     val base = System.currentTimeMillis()
     Seq(1, 3, 5, 7).zipWithIndex.foreach { case (r, i) =>
-      val tmp = Files.createTempDirectory("graft-q261-stage").toFile
+      val tmp = new java.io.File(Scratch.dir("q261-stage"))
       ev.filter(col("event_id") % 8 === r).coalesce(1)
         .write.mode("overwrite").parquet(tmp.toString)
       tmp.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
@@ -746,12 +745,12 @@ object ExperimentQueries extends QuerySet {
       }
     }
     val store = new graft.store.DocumentStore(s,
-      Files.createTempDirectory("graft-q261-store").toString)
+      Scratch.dir("q261-store"))
     val feed = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
     val qy = graft.streaming.BenfordMonitor.start(feed, store, "bledger",
       "bverdict", "src", "v",
-      Files.createTempDirectory("graft-q261-ckpt").toString,
+      Scratch.dir("q261-ckpt"),
       chiThreshold = 30.0, minN = 50L)
     try qy.processAllAvailable() finally qy.stop()
     store.read("bverdict")
@@ -1380,7 +1379,6 @@ object ExperimentQueries extends QuerySet {
     * the planted batch (0.84) crosses, the clean ones (≤0.34) do not.
     * The cumulative column shows the standing state. */
   private def q272(s: SparkSession, d: String): DataFrame = {
-    import java.nio.file.Files
     val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
     val ref = docs.filter(col("doc_id") % 2 === 0)
       .select(col("n_chars").as("v"))
@@ -1388,10 +1386,10 @@ object ExperimentQueries extends QuerySet {
       .select(col("doc_id"),
         when(col("doc_id") % 8 === 7, col("n_chars") + 150)
           .otherwise(col("n_chars")).as("v"))
-    val srcDir = Files.createTempDirectory("graft-q272-src").toFile
+    val srcDir = new java.io.File(Scratch.dir("q272-src"))
     val base = System.currentTimeMillis()
     Seq(1, 3, 5, 7).zipWithIndex.foreach { case (r, i) =>
-      val tmp = Files.createTempDirectory("graft-q272-stage").toFile
+      val tmp = new java.io.File(Scratch.dir("q272-stage"))
       streamed.filter(col("doc_id") % 8 === r).coalesce(1)
         .write.mode("overwrite").parquet(tmp.toString)
       tmp.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
@@ -1401,12 +1399,12 @@ object ExperimentQueries extends QuerySet {
       }
     }
     val store = new graft.store.DocumentStore(s,
-      Files.createTempDirectory("graft-q272-store").toString)
+      Scratch.dir("q272-store"))
     val feed = s.readStream.schema(streamed.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
     val qy = graft.streaming.PsiMonitor.start(feed, store, "pledger",
       "pverdict", ref, "v",
-      Files.createTempDirectory("graft-q272-ckpt").toString,
+      Scratch.dir("q272-ckpt"),
       bins = 10, alertAbove = 0.5)
     try qy.processAllAvailable() finally qy.stop()
     store.read("pverdict")

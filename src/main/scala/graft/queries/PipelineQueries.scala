@@ -428,15 +428,14 @@ object PipelineQueries extends QuerySet {
     * accumulation a per-batch threshold cannot see) while batches 0-3
     * stay quiet against target 50, k = 5, h = 12. */
   private def q290(s: SparkSession, d: String): DataFrame = {
-    import java.nio.file.Files
     val ev = t(s, d, "events").filter(col("event_id") % 2 === 1)
       .select(col("event_id"),
         when(col("event_id") % 12 >= 9, col("value") + 20.0)
           .otherwise(col("value")).as("v"))
-    val srcDir = Files.createTempDirectory("graft-q290-src").toFile
+    val srcDir = new java.io.File(Scratch.dir("q290-src"))
     val base = System.currentTimeMillis()
     Seq(1, 3, 5, 7, 9, 11).zipWithIndex.foreach { case (r, i) =>
-      val tmp = Files.createTempDirectory("graft-q290-stage").toFile
+      val tmp = new java.io.File(Scratch.dir("q290-stage"))
       ev.filter(col("event_id") % 12 === r).coalesce(1)
         .write.mode("overwrite").parquet(tmp.toString)
       tmp.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
@@ -446,12 +445,12 @@ object PipelineQueries extends QuerySet {
       }
     }
     val store = new graft.store.DocumentStore(s,
-      Files.createTempDirectory("graft-q290-store").toString)
+      Scratch.dir("q290-store"))
     val feed = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
     val qy = graft.streaming.CusumMonitor.start(feed, store, "cledger",
       "cverdict", "v",
-      Files.createTempDirectory("graft-q290-ckpt").toString,
+      Scratch.dir("q290-ckpt"),
       target = 50.0, k = 5.0, h = 12.0)
     try qy.processAllAvailable() finally qy.stop()
     store.read("cverdict")
@@ -1121,6 +1120,9 @@ object PipelineQueries extends QuerySet {
       |      > length(text)) = (lang = 'en') AS b_ok
       |  FROM documents WHERE text IS NOT NULL),
       |c AS (
+      |  -- mirror mcnemar's NULL-pair filter: a NULL lang or n_chars
+      |  -- yields a NULL a_ok/b_ok, which Spark drops before counting
+      |  -- but COUNT(*) here would include (ADVICE r15)
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
       |    CAST(SUM(CASE WHEN a_ok AND b_ok THEN 1 ELSE 0 END) AS BIGINT)
       |      AS n_both,
@@ -1130,7 +1132,7 @@ object PipelineQueries extends QuerySet {
       |      AS BIGINT) AS b_only,
       |    CAST(SUM(CASE WHEN NOT a_ok AND NOT b_ok THEN 1 ELSE 0 END)
       |      AS BIGINT) AS neither
-      |  FROM p)
+      |  FROM p WHERE a_ok IS NOT NULL AND b_ok IS NOT NULL)
       |SELECT n, n_both, a_only, b_only, neither,
       |  round((CAST(abs(a_only - b_only) AS DOUBLE) - 1.0)
       |    * (CAST(abs(a_only - b_only) AS DOUBLE) - 1.0)
@@ -1683,17 +1685,16 @@ object PipelineQueries extends QuerySet {
     * cumulative evidence justifies it — at every intermediate look the
     * dashboard was safe to read. */
   private def q313(s: SparkSession, d: String): DataFrame = {
-    import java.nio.file.Files
     val ev = t(s, d, "events").filter(col("event_id") % 2 === 1)
       .withColumn("arm",
         graft.operators.Splits.hashBucket(col("user_id"), 2))
       .select(col("event_id"), col("arm"),
         when(col("arm") === 1 && col("event_id") % 10 >= 7,
           col("value") > 30.0).otherwise(col("value") > 80.0).as("y"))
-    val srcDir = Files.createTempDirectory("graft-q313-src").toFile
+    val srcDir = new java.io.File(Scratch.dir("q313-src"))
     val base = System.currentTimeMillis()
     Seq(1, 3, 5, 7, 9).zipWithIndex.foreach { case (r, i) =>
-      val tmp = Files.createTempDirectory("graft-q313-stage").toFile
+      val tmp = new java.io.File(Scratch.dir("q313-stage"))
       ev.filter(col("event_id") % 10 === r).coalesce(1)
         .write.mode("overwrite").parquet(tmp.toString)
       tmp.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
@@ -1703,12 +1704,12 @@ object PipelineQueries extends QuerySet {
       }
     }
     val store = new graft.store.DocumentStore(s,
-      Files.createTempDirectory("graft-q313-store").toString)
+      Scratch.dir("q313-store"))
     val feed = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
     val qy = graft.streaming.AnytimeMonitor.start(feed, store, "aledger",
       "averdict", "arm", "y",
-      Files.createTempDirectory("graft-q313-ckpt").toString)
+      Scratch.dir("q313-ckpt"))
     try qy.processAllAvailable() finally qy.stop()
     store.read("averdict")
       .select(col("batch_id"), col("n0"), col("n1"), col("x0"), col("x1"),
@@ -1777,6 +1778,75 @@ object PipelineQueries extends QuerySet {
       |    AS significant
       |FROM p ORDER BY batch_id""".stripMargin
 
+  /** Corpus-scale hubness — q304's k-occurrence audit fed by the ANN
+    * candidate stream instead of the n² self-join (the r15 verdict's
+    * contract-limited operator, closed): even vec_ids probe an IVF
+    * index at nprobe = numLists (exhaustive, so the audit is exact and
+    * oracle-checkable — partial nprobe is the same plumbing), candidates
+    * over-fetch k+1 so [[graft.operators.Hubness.kOccurrenceFromCandidates]]
+    * can drop each probe's self-hit, and the occurrence math downstream
+    * is identical. Cost tracks the candidate stream, never n²
+    * (HubnessSpec asserts the plan has no nested-loop join). */
+  private def q314(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val idx = graft.search.IvfIndex.train(emb, "embedding", "vec_id",
+      numLists = 16)
+    val indexed = idx.assign(emb, "embedding")
+    val probes = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("pid"), col("embedding").as("pvec"))
+    val cand = idx.searchMany(indexed, "embedding", "vec_id",
+      probes, "pid", "pvec", k = 9, nprobe = 16)
+    graft.operators.Hubness.kOccurrenceFromCandidates(emb, "vec_id",
+      cand, "probe_id", "vec_id", "sim", k = 8)
+  }
+
+  private val q314Sql = {
+    def dl(c: String) = s"list_transform($c, x -> CAST(x AS DOUBLE))"
+    s"""WITH s AS (
+       |  SELECT a.vec_id AS pid, b.vec_id AS nid,
+       |    list_cosine_similarity(${dl("a.embedding")},
+       |      ${dl("b.embedding")}) AS sim
+       |  FROM embeddings a, embeddings b
+       |  WHERE a.vec_id % 2 = 0 AND a.vec_id <> b.vec_id),
+       |top AS (
+       |  SELECT nid FROM (
+       |    SELECT pid, nid,
+       |      row_number() OVER (PARTITION BY pid ORDER BY sim DESC, nid)
+       |        AS rn
+       |    FROM s) t WHERE rn <= 8),
+       |occ AS (
+       |  SELECT e.vec_id, COALESCE(c.c, 0) AS o
+       |  FROM embeddings e LEFT JOIN
+       |    (SELECT nid, CAST(COUNT(*) AS BIGINT) AS c FROM top
+       |     GROUP BY nid) c
+       |  ON e.vec_id = c.nid),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(o) AS BIGINT) AS s1,
+       |    CAST(SUM(o * o) AS BIGINT) AS s2,
+       |    CAST(SUM(o * o * o) AS BIGINT) AS s3,
+       |    CAST(MAX(o) AS BIGINT) AS mx
+       |  FROM occ),
+       |hist AS (SELECT CAST(o AS BIGINT) AS occurrences,
+       |  CAST(COUNT(*) AS BIGINT) AS n_points FROM occ GROUP BY o)
+       |SELECT hist.occurrences, hist.n_points, m.n, 8 AS k,
+       |  round(CAST(m.s1 AS DOUBLE) / m.n, 6) AS mean_occ,
+       |  round(CAST(m.s2 AS DOUBLE) / m.n
+       |    - (CAST(m.s1 AS DOUBLE) / m.n) * (CAST(m.s1 AS DOUBLE) / m.n),
+       |    6) AS variance,
+       |  round((CAST(m.s3 AS DOUBLE) / m.n
+       |    - 3.0 * (CAST(m.s1 AS DOUBLE) / m.n)
+       |      * (CAST(m.s2 AS DOUBLE) / m.n)
+       |    + 2.0 * (CAST(m.s1 AS DOUBLE) / m.n)
+       |      * (CAST(m.s1 AS DOUBLE) / m.n)
+       |      * (CAST(m.s1 AS DOUBLE) / m.n))
+       |    / pow(CAST(m.s2 AS DOUBLE) / m.n
+       |      - (CAST(m.s1 AS DOUBLE) / m.n) * (CAST(m.s1 AS DOUBLE) / m.n),
+       |      1.5), 6) AS skewness,
+       |  m.mx AS max_occ
+       |FROM hist, m ORDER BY hist.occurrences""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("q280_wasserstein_drift", q280, Some(q280Sql)),
     Q("q281_readability", q281, Some(q281Sql)),
@@ -1811,5 +1881,6 @@ object PipelineQueries extends QuerySet {
     Q("q310_seasonal_strength", q310, Some(q310Sql)),
     Q("q311_effect_size", q311, Some(q311Sql)),
     Q("q312_anytime_p", q312, Some(q312Sql)),
-    Q("q313_streaming_anytime", q313, Some(q313Sql)))
+    Q("q313_streaming_anytime", q313, Some(q313Sql)),
+    Q("q314_hubness_ann", q314, Some(q314Sql)))
 }
