@@ -1290,16 +1290,11 @@ object PipelineQueries extends QuerySet {
       |cum AS (
       |  SELECT x,
       |    CAST(SUM(c) OVER w AS BIGINT) AS cn,
-      |    CAST(CAST(CAST(SUM(sx) OVER w AS DECIMAL(38,12)) AS VARCHAR)
-      |      AS DOUBLE) AS cx,
-      |    CAST(CAST(CAST(SUM(sy) OVER w AS DECIMAL(38,12)) AS VARCHAR)
-      |      AS DOUBLE) AS cy,
-      |    CAST(CAST(CAST(SUM(sxx) OVER w AS DECIMAL(38,12)) AS VARCHAR)
-      |      AS DOUBLE) AS cxx,
-      |    CAST(CAST(CAST(SUM(sxy) OVER w AS DECIMAL(38,12)) AS VARCHAR)
-      |      AS DOUBLE) AS cxy,
-      |    CAST(CAST(CAST(SUM(syy) OVER w AS DECIMAL(38,12)) AS VARCHAR)
-      |      AS DOUBLE) AS cyy
+      |    CAST(SUM(sx) OVER w AS DECIMAL(38,12)) AS cx,
+      |    CAST(SUM(sy) OVER w AS DECIMAL(38,12)) AS cy,
+      |    CAST(SUM(sxx) OVER w AS DECIMAL(38,12)) AS cxx,
+      |    CAST(SUM(sxy) OVER w AS DECIMAL(38,12)) AS cxy,
+      |    CAST(SUM(syy) OVER w AS DECIMAL(38,12)) AS cyy
       |  FROM cells
       |  WINDOW w AS (ORDER BY x
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
@@ -1307,38 +1302,53 @@ object PipelineQueries extends QuerySet {
       |  SELECT MAX(cn) AS tn, MAX(cx) AS tx, MAX(cy) AS ty,
       |    MAX(cxx) AS txx, MAX(cxy) AS txy, MAX(cyy) AS tyy
       |  FROM cum),
+      |-- each side's sufficient statistics DIFFERENCE in exact DECIMAL,
+      |-- then ONE correctly-rounded double conversion per operand (the
+      |-- VARCHAR route) — converting the cumulative columns early and
+      |-- differencing in DOUBLE loses the low digits the subtraction
+      |-- cancels into, and the engine (exact decimal diff, one cast)
+      |-- lands a different ulp (the sf0.001 mse_split miss)
       |cand AS (
-      |  SELECT cum.x, cum.cn AS nl, tot.tn - cum.cn AS nr,
-      |    cum.cx, cum.cy, cum.cxx, cum.cxy, cum.cyy,
-      |    tot.tn, tot.tx, tot.ty, tot.txx, tot.txy, tot.tyy
+      |  SELECT cum.x, cum.cn AS nl, tot.tn - cum.cn AS nr, tot.tn AS tn,
+      |    CAST(CAST(cum.cx AS VARCHAR) AS DOUBLE) AS lx,
+      |    CAST(CAST(cum.cy AS VARCHAR) AS DOUBLE) AS ly,
+      |    CAST(CAST(cum.cxx AS VARCHAR) AS DOUBLE) AS lxx,
+      |    CAST(CAST(cum.cxy AS VARCHAR) AS DOUBLE) AS lxy,
+      |    CAST(CAST(cum.cyy AS VARCHAR) AS DOUBLE) AS lyy,
+      |    CAST(CAST(tot.tx - cum.cx AS VARCHAR) AS DOUBLE) AS rx,
+      |    CAST(CAST(tot.ty - cum.cy AS VARCHAR) AS DOUBLE) AS ry,
+      |    CAST(CAST(tot.txx - cum.cxx AS VARCHAR) AS DOUBLE) AS rxx,
+      |    CAST(CAST(tot.txy - cum.cxy AS VARCHAR) AS DOUBLE) AS rxy,
+      |    CAST(CAST(tot.tyy - cum.cyy AS VARCHAR) AS DOUBLE) AS ryy,
+      |    CAST(CAST(tot.tx AS VARCHAR) AS DOUBLE) AS gx,
+      |    CAST(CAST(tot.ty AS VARCHAR) AS DOUBLE) AS gy,
+      |    CAST(CAST(tot.txx AS VARCHAR) AS DOUBLE) AS gxx,
+      |    CAST(CAST(tot.txy AS VARCHAR) AS DOUBLE) AS gxy,
+      |    CAST(CAST(tot.tyy AS VARCHAR) AS DOUBLE) AS gyy
       |  FROM cum, tot
-      |  WHERE cum.cn >= 2 AND tot.tn - cum.cn >= 2
-      |    AND cum.cxx * cum.cn - cum.cx * cum.cx > 0
-      |    AND (tot.txx - cum.cxx) * (tot.tn - cum.cn)
-      |      - (tot.tx - cum.cx) * (tot.tx - cum.cx) > 0),
+      |  WHERE cum.cn >= 2 AND tot.tn - cum.cn >= 2),
+      |cand2 AS (
+      |  SELECT * FROM cand
+      |  WHERE lxx * nl - lx * lx > 0 AND rxx * nr - rx * rx > 0),
       |closed AS (
       |  SELECT x, nl, nr, tn,
-      |    ((cyy * nl - cy * cy)
-      |      - (cxy * nl - cx * cy) * (cxy * nl - cx * cy)
-      |        / (cxx * nl - cx * cx)) / (CAST(nl AS DOUBLE) * nl)
+      |    ((lyy * nl - ly * ly)
+      |      - (lxy * nl - lx * ly) * (lxy * nl - lx * ly)
+      |        / (lxx * nl - lx * lx)) / (CAST(nl AS DOUBLE) * nl)
       |      AS sl,
-      |    (cxy * nl - cx * cy) / (cxx * nl - cx * cx) AS bl,
-      |    (cy - (cxy * nl - cx * cy) / (cxx * nl - cx * cx) * cx) / nl
+      |    (lxy * nl - lx * ly) / (lxx * nl - lx * lx) AS bl,
+      |    (ly - (lxy * nl - lx * ly) / (lxx * nl - lx * lx) * lx) / nl
       |      AS al,
-      |    (((tyy - cyy) * nr - (ty - cy) * (ty - cy))
-      |      - ((txy - cxy) * nr - (tx - cx) * (ty - cy))
-      |        * ((txy - cxy) * nr - (tx - cx) * (ty - cy))
-      |        / ((txx - cxx) * nr - (tx - cx) * (tx - cx)))
-      |      / (CAST(nr AS DOUBLE) * nr) AS sr,
-      |    ((txy - cxy) * nr - (tx - cx) * (ty - cy))
-      |      / ((txx - cxx) * nr - (tx - cx) * (tx - cx)) AS br,
-      |    ((ty - cy) - ((txy - cxy) * nr - (tx - cx) * (ty - cy))
-      |      / ((txx - cxx) * nr - (tx - cx) * (tx - cx)) * (tx - cx))
-      |      / nr AS ar,
-      |    ((tyy * tn - ty * ty)
-      |      - (txy * tn - tx * ty) * (txy * tn - tx * ty)
-      |        / (txx * tn - tx * tx)) / (CAST(tn AS DOUBLE) * tn) AS st
-      |  FROM cand),
+      |    ((ryy * nr - ry * ry)
+      |      - (rxy * nr - rx * ry) * (rxy * nr - rx * ry)
+      |        / (rxx * nr - rx * rx)) / (CAST(nr AS DOUBLE) * nr) AS sr,
+      |    (rxy * nr - rx * ry) / (rxx * nr - rx * rx) AS br,
+      |    (ry - (rxy * nr - rx * ry) / (rxx * nr - rx * rx) * rx) / nr
+      |      AS ar,
+      |    ((gyy * tn - gy * gy)
+      |      - (gxy * tn - gx * gy) * (gxy * tn - gx * gy)
+      |        / (gxx * tn - gx * gx)) / (CAST(tn AS DOUBLE) * tn) AS st
+      |  FROM cand2),
       |win AS (
       |  SELECT *, (sl * nl + sr * nr) / tn AS split
       |  FROM closed ORDER BY (sl * nl + sr * nr) / tn ASC, x ASC
@@ -1800,6 +1810,75 @@ object PipelineQueries extends QuerySet {
       cand, "probe_id", "vec_id", "sim", k = 8)
   }
 
+  /** Schema-drift audit across ingest epochs — the last ingest-story
+    * contract gap (VERDICT r15 item 8): landing batches are rebuilt from
+    * `documents` as raw JSON (epoch = doc_id mod 3) with a PLANTED
+    * producer regression — epoch 2 starts quoting the numeric `nc`
+    * field — and [[graft.sources.SchemaAudit.audit]] must flag exactly
+    * that (field, epoch) as a dominant-type flip while `id`/`lg` stay
+    * stable. */
+  private def q315(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .filter(col("doc_id").isNotNull && col("n_chars").isNotNull &&
+        col("lang").isNotNull)
+    val epoch = pmod(col("doc_id"), lit(3L))
+    val landed = docs.select(epoch.as("epoch"),
+      when(epoch < 2,
+        to_json(struct(col("doc_id").as("id"), col("n_chars").as("nc"),
+          col("lang").as("lg"))))
+        .otherwise(to_json(struct(col("doc_id").as("id"),
+          col("n_chars").cast("string").as("nc"), col("lang").as("lg"))))
+        .as("doc"))
+    graft.sources.SchemaAudit.audit(landed, "epoch", "doc",
+      Seq("id", "nc", "lg"))
+  }
+
+  private val q315Sql =
+    """WITH src AS (
+      |  SELECT doc_id % 3 AS epoch,
+      |    CASE WHEN doc_id % 3 < 2
+      |      THEN to_json(struct_pack(id := doc_id, nc := n_chars,
+      |        lg := lang))
+      |      ELSE to_json(struct_pack(id := doc_id,
+      |        nc := CAST(n_chars AS VARCHAR), lg := lang)) END AS doc
+      |  FROM documents
+      |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+      |    AND lang IS NOT NULL),
+      |toks AS (
+      |  SELECT epoch, f.field,
+      |    regexp_extract(doc, '"' || f.field ||
+      |      '"\s*:\s*("(?:[^"\\]|\\.)*"|\[|\{|true|false|null|' ||
+      |      '-?[0-9][0-9.eE+\-]*)', 1) AS tok
+      |  FROM src CROSS JOIN (VALUES ('id'), ('nc'), ('lg')) AS f(field)),
+      |cls AS (
+      |  SELECT epoch, field,
+      |    CASE WHEN tok = '' THEN 'missing'
+      |      WHEN tok = 'null' THEN 'null'
+      |      WHEN tok IN ('true', 'false') THEN 'bool'
+      |      WHEN left(tok, 1) = '"' THEN 'string'
+      |      WHEN left(tok, 1) = '[' THEN 'array'
+      |      WHEN left(tok, 1) = '{' THEN 'object'
+      |      WHEN regexp_matches(tok, '^-?[0-9]+$') THEN 'int'
+      |      ELSE 'float' END AS t
+      |  FROM toks),
+      |cells AS (
+      |  SELECT epoch, field, t, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM cls GROUP BY 1, 2, 3),
+      |dom AS (
+      |  SELECT epoch, field, n_docs, t AS dom_type, n AS n_dom FROM (
+      |    SELECT epoch, field, t, n,
+      |      CAST(SUM(n) OVER (PARTITION BY epoch, field) AS BIGINT)
+      |        AS n_docs,
+      |      row_number() OVER (PARTITION BY epoch, field
+      |        ORDER BY n DESC, t DESC) AS rn
+      |    FROM cells) x WHERE rn = 1)
+      |SELECT epoch, field, n_docs, dom_type, n_dom,
+      |  lag(dom_type) OVER (PARTITION BY field ORDER BY epoch)
+      |    AS prev_type,
+      |  COALESCE(lag(dom_type) OVER (PARTITION BY field ORDER BY epoch)
+      |    <> dom_type, FALSE) AS flipped
+      |FROM dom ORDER BY field, epoch""".stripMargin
+
   private val q314Sql = {
     def dl(c: String) = s"list_transform($c, x -> CAST(x AS DOUBLE))"
     s"""WITH s AS (
@@ -1882,5 +1961,6 @@ object PipelineQueries extends QuerySet {
     Q("q311_effect_size", q311, Some(q311Sql)),
     Q("q312_anytime_p", q312, Some(q312Sql)),
     Q("q313_streaming_anytime", q313, Some(q313Sql)),
-    Q("q314_hubness_ann", q314, Some(q314Sql)))
+    Q("q314_hubness_ann", q314, Some(q314Sql)),
+    Q("q315_schema_drift", q315, Some(q315Sql)))
 }
