@@ -14,7 +14,7 @@ import org.apache.spark.util.sketch
   * Layout per table:
   * {{{
   *   <root>/<table>/data/v<N>/<part>/...parquet   physical segments
-  *   <root>/<table>/_versions/v<N>.manifest       partition -> segment dir
+  *   <root>/<table>/_versions/v<N>.manifest       partition -> segment dir(s)
   *   <root>/<table>/_CURRENT                      current version number
   * }}}
   *
@@ -72,6 +72,18 @@ class DocumentStore(val spark: SparkSession, root: String) {
 
   private def currentVersion(table: String): Int =
     readString(new HPath(tdir(table), "_CURRENT")).map(_.trim.toInt).getOrElse(0)
+
+  /** A manifest VALUE is one segment dir — or several, comma-joined:
+    * [[append]] grows a partition by ADDING a segment instead of
+    * rewriting it, and any rewriting mutation (upsert/delete/compact)
+    * collapses the partition back to one dir. Dir names are
+    * store-generated (`data/v<N>-<token>/__part=K`), so the separator
+    * can never appear inside one. */
+  private def splitDirs(v: String): Seq[String] = v.split(',').toSeq
+
+  /** Every physical segment dir a manifest references. */
+  private def dirsOf(m: Map[String, String]): Seq[String] =
+    m.values.flatMap(splitDirs).toSeq
 
   private[store] def manifest(table: String, v: Int): Map[String, String] = {
     if (v == 0) return Map.empty // table never created
@@ -139,8 +151,8 @@ class DocumentStore(val spark: SparkSession, root: String) {
       // lost the race: drop the segment dirs this attempt wrote (the
       // manifest entries not carried over from the base version)
       fs.delete(tmpDir, true)
-      val carried = manifest(table, base).values.toSet
-      m.values.toSet.diff(carried).foreach { dir =>
+      val carried = dirsOf(manifest(table, base)).toSet
+      dirsOf(m).toSet.diff(carried).foreach { dir =>
         val p = new HPath(dir)
         if (fs.exists(p)) fs.delete(p, true)
       }
@@ -276,7 +288,7 @@ class DocumentStore(val spark: SparkSession, root: String) {
     val v = currentVersion(table)
     val m = manifest(table, v)
     if (m.isEmpty) spark.emptyDataFrame
-    else readDirs(table, v, m.values.toSeq)
+    else readDirs(table, v, dirsOf(m))
   }
 
   /** Time-travel read: the table exactly as of committed version `v`
@@ -290,7 +302,7 @@ class DocumentStore(val spark: SparkSession, root: String) {
     require(v >= 1 && v <= cur, s"version $v out of range 1..$cur for table '$table'")
     val m = manifest(table, v)
     if (m.isEmpty) spark.emptyDataFrame
-    else readDirs(table, v, m.values.toSeq)
+    else readDirs(table, v, dirsOf(m))
   }
 
   /** Committed versions whose manifests are currently retained
@@ -377,7 +389,8 @@ class DocumentStore(val spark: SparkSession, root: String) {
     val v = currentVersion(table)
     val m = manifest(table, v)
     val safe = partKeys.map(_.replaceAll("[^A-Za-z0-9_\\-]", "_")).toSet
-    val dirs = m.filter { case (k, _) => safe.contains(k) }.values.toSeq
+    val dirs = m.filter { case (k, _) => safe.contains(k) }
+      .values.flatMap(splitDirs).toSeq
     if (dirs.nonEmpty) readDirs(table, v, dirs)
     // no matching partitions: keep the TABLE's schema (a zero-column
     // emptyDataFrame would crash callers selecting result columns)
@@ -410,21 +423,23 @@ class DocumentStore(val spark: SparkSession, root: String) {
     val touchedKeys: Set[String] =
       if (pc.isEmpty || keys.contains(pc.get)) updatePartKeys
       else {
-        val restDirs = m0.filter { case (k, _) => !updatePartKeys.contains(k) }.values.toSeq
+        val restDirs = m0.filter { case (k, _) => !updatePartKeys.contains(k) }
+          .values.flatMap(splitDirs).toSeq
         if (restDirs.isEmpty) updatePartKeys
         else updatePartKeys ++ readDirs(table, v0, restDirs)
           .join(updates.select(keys.map(col): _*).distinct(), keys, "left_semi")
           .select(partExpr(pc).as("__part")).distinct()
           .collect().map(_.getString(0))
       }
-    val touchedDirs = m0.filter { case (k, _) => touchedKeys.contains(k) }.values.toSeq
+    val touchedDirs = m0.filter { case (k, _) => touchedKeys.contains(k) }
+      .values.flatMap(splitDirs).toSeq
     // the survivor side always carries the TABLE's schema — when no
     // partition is touched it is an empty frame of that schema, so an
     // insert-only update into fresh partitions can never narrow the
     // committed schema for the rest of the table
     val tableSchema: Option[StructType] =
       if (m0.isEmpty) None
-      else schemaOf(table, v0).orElse(Some(readDirs(table, v0, m0.values.toSeq).schema))
+      else schemaOf(table, v0).orElse(Some(readDirs(table, v0, dirsOf(m0)).schema))
     val kept =
       if (touchedDirs.nonEmpty)
         readDirs(table, v0, touchedDirs)
@@ -436,6 +451,97 @@ class DocumentStore(val spark: SparkSession, root: String) {
     val merged = kept.unionByName(updates, allowMissingColumns = true)
     val (written, schema) = writeSegments(table, merged, v, pc)
     commit(table, v0, v, (m0 -- touchedKeys) ++ written, Some(schema))
+  }
+
+  /** Keyed upsert that ALSO drops rows matching `dropKeysDf` in the SAME
+    * commit — the index-maintenance shape: a re-added document's new
+    * rows land while its old rows leave partitions the new rows don't
+    * touch, without paying TWO COW rewrites of the same partitions
+    * (delete-commit + upsert-commit read and rewrite every touched
+    * partition twice; at q172's sf0.1 shape that was half the add
+    * cost). `dropParts` bounds the partitions holding droppable rows
+    * when the caller knows them from a reverse index (docmap); without
+    * it they are located like [[delete]]'s keyed form. */
+  def upsertDropping(table: String, updates: DataFrame, keys: Seq[String],
+                     dropKeysDf: DataFrame, dropKeys: Seq[String],
+                     dropParts: Option[Seq[String]] = None): Unit = {
+    require(keys.nonEmpty && dropKeys.nonEmpty, "need key columns")
+    val pc = partCol(table)
+    val v0 = currentVersion(table); val v = v0 + 1
+    val m0 = manifest(table, v0)
+    val updatePartKeys = updates.select(partExpr(pc).as("__part")).distinct()
+      .collect().map(_.getString(0)).toSet
+    require(pc.isEmpty || keys.contains(pc.get),
+      "upsertDropping requires the partition column in the upsert key " +
+        "(the reference-shape compound keys); use upsert + delete otherwise")
+    val dropSet = dropKeysDf.select(dropKeys.map(col): _*).distinct()
+    val dropPartKeys: Set[String] = dropParts match {
+      case Some(ps) => ps.map(_.replaceAll("[^A-Za-z0-9_\\-]", "_")).toSet
+      case None =>
+        if (pc.isEmpty) Set("all")
+        else if (dropKeys.contains(pc.get))
+          dropSet.select(partExpr(pc).as("__part")).distinct()
+            .collect().map(_.getString(0)).toSet
+        else readDirs(table, v0, dirsOf(m0))
+          .join(dropSet, dropKeys, "left_semi")
+          .select(partExpr(pc).as("__part")).distinct()
+          .collect().map(_.getString(0)).toSet
+    }
+    val touchedKeys = updatePartKeys ++ dropPartKeys
+    val touchedDirs = m0.filter { case (k, _) => touchedKeys.contains(k) }
+      .values.flatMap(splitDirs).toSeq
+    val tableSchema: Option[StructType] =
+      if (m0.isEmpty) None
+      else schemaOf(table, v0).orElse(Some(readDirs(table, v0, dirsOf(m0)).schema))
+    val kept =
+      if (touchedDirs.nonEmpty)
+        readDirs(table, v0, touchedDirs)
+          .join(dropSet, dropKeys, "left_anti")
+          .join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      else tableSchema match {
+        case Some(sc) => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sc)
+        case None => updates.limit(0)
+      }
+    val merged = kept.unionByName(updates, allowMissingColumns = true)
+    val (written, schema) = writeSegments(table, merged, v, pc)
+    commit(table, v0, v, (m0 -- touchedKeys) ++ written, Some(schema))
+  }
+
+  /** Append-only insert commit — the LSM half of the COW store: `rows`
+    * land as ADDITIONAL segment dirs on their partitions, and NO
+    * existing segment is listed, read, or rewritten, so an insert
+    * trigger costs O(batch) regardless of table size. (An [[upsert]] of
+    * 20 new documents into a 64-partition table rewrites every touched
+    * partition — at 100 TB that is the whole table per micro-batch;
+    * this is the operation streaming insert sinks must use instead.)
+    * [[compact]] folds a partition's accumulated segments back into
+    * ~maxFileBytes files; a partition with several segments always
+    * qualifies as fragmented, so routine compaction bounds read fan-in.
+    *
+    * Caller contract: rows are NEW — nothing they carry supersedes an
+    * existing row (use [[upsert]]/[[mergeSet]] otherwise; the store
+    * cannot check this without reading, which would defeat the point).
+    * Schema follows upsert's add-only evolution: new columns extend the
+    * committed schema; untouched segments read back nulls for them.
+    * Per-partition stats/bloom sidecars refresh incrementally — an
+    * appended partition counts as changed and is rescanned (segment-
+    * granular sidecars would make that O(batch) too; not yet needed). */
+  def append(table: String, rows: DataFrame): Unit = {
+    val pc = partCol(table)
+    val v0 = currentVersion(table); val v = v0 + 1
+    val m0 = manifest(table, v0)
+    val (written, schemaJson) = writeSegments(table, rows, v, pc)
+    val schema: String =
+      if (m0.isEmpty) schemaJson
+      else schemaOf(table, v0) match {
+        case Some(sc) => StructType(sc.fields ++
+          rows.schema.fields.filterNot(f => sc.fieldNames.contains(f.name))).json
+        case None => schemaJson
+      }
+    val merged = written.foldLeft(m0) { case (m, (k, d)) =>
+      m.updated(k, m.get(k).map(old => s"$old,$d").getOrElse(d))
+    }
+    commit(table, v0, v, merged, Some(schema))
   }
 
   /** Partial-column merge — the `$set` half of the reference's update
@@ -467,11 +573,12 @@ class DocumentStore(val spark: SparkSession, root: String) {
       if (pc.nonEmpty && keys.contains(pc.get))
         updates.select(partExpr(pc).as("__part")).distinct()
           .collect().map(_.getString(0)).toSet
-      else readDirs(table, v0, m0.values.toSeq)
+      else readDirs(table, v0, dirsOf(m0))
         .join(updates.select(keys.map(col): _*).distinct(), keys, "left_semi")
         .select(partExpr(pc).as("__part")).distinct()
         .collect().map(_.getString(0)).toSet
-    val touchedDirs = m0.filter { case (k, _) => touchedKeys.contains(k) }.values.toSeq
+    val touchedDirs = m0.filter { case (k, _) => touchedKeys.contains(k) }
+      .values.flatMap(splitDirs).toSeq
     if (touchedDirs.isEmpty) return
     val cur = readDirs(table, v0, touchedDirs)
     val renamed = setCols.foldLeft(u)((d, c) => d.withColumnRenamed(c, s"__set_$c"))
@@ -502,7 +609,7 @@ class DocumentStore(val spark: SparkSession, root: String) {
     // SQL DELETE semantics: remove only rows where the predicate is TRUE.
     // A bare !predicate would also drop rows where it evaluates to NULL
     // (e.g. a NULL column in col("price") > 100) — silent data loss.
-    val remaining = readDirs(table, v0, victims.values.toSeq)
+    val remaining = readDirs(table, v0, victims.values.flatMap(splitDirs).toSeq)
       .filter(!coalesce(predicate, lit(false)))
     val (written, schema) = writeSegments(table, remaining, v, pc)
     commit(table, v0, v, (m0 -- victims.keySet) ++ written, Some(schema))
@@ -533,11 +640,12 @@ class DocumentStore(val spark: SparkSession, root: String) {
       else if (keys.contains(pc.get))
         keySet.select(partExpr(pc).as("__part")).distinct()
           .collect().map(_.getString(0)).toSet
-      else readDirs(table, v0, m0.values.toSeq)
+      else readDirs(table, v0, dirsOf(m0))
         .join(keySet, keys, "left_semi")
         .select(partExpr(pc).as("__part")).distinct()
         .collect().map(_.getString(0)).toSet
-    val touchedDirs = m0.filter { case (k, _) => touchedKeys.contains(k) }.values.toSeq
+    val touchedDirs = m0.filter { case (k, _) => touchedKeys.contains(k) }
+      .values.flatMap(splitDirs).toSeq
     if (touchedDirs.isEmpty) return
     val remaining = readDirs(table, v0, touchedDirs)
       .join(keySet, keys, "left_anti")
@@ -559,9 +667,9 @@ class DocumentStore(val spark: SparkSession, root: String) {
     * Metadata-only (one listing per partition dir, no data read) — the
     * health check an operator runs before deciding to [[compact]]. */
   def fileStats(table: String): Seq[(String, Int, Long)] =
-    manifest(table, currentVersion(table)).toSeq.sortBy(_._1).map { case (k, dir) =>
-      val files = fs.listStatus(new HPath(dir))
-        .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    manifest(table, currentVersion(table)).toSeq.sortBy(_._1).map { case (k, dirs) =>
+      val files = splitDirs(dirs).flatMap(d => fs.listStatus(new HPath(d))
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_")))
       (k, files.length, files.map(_.getLen).sum)
     }
 
@@ -606,7 +714,7 @@ class DocumentStore(val spark: SparkSession, root: String) {
     val victims = fileStats(table).filter { case (_, n, bytes) => n > idealFiles(bytes) }
     if (victims.isEmpty) return false
     val slotsByPart = victims.map { case (k, _, bytes) => k -> idealFiles(bytes) }.toMap
-    val victimDirs = victims.map { case (k, _, _) => m0(k) }
+    val victimDirs = victims.flatMap { case (k, _, _) => splitDirs(m0(k)) }
     val df0 = readDirs(table, v0, victimDirs)
     import spark.implicits._
     val slotsDf = slotsByPart.toSeq.toDF("__part", "__slots")
@@ -633,7 +741,7 @@ class DocumentStore(val spark: SparkSession, root: String) {
     val m = manifest(table, v)
     if (m.isEmpty || cols.isEmpty) return
     writeString(new HPath(new HPath(tdir(table), "_versions"), s"v$v.stats"),
-      statsLines(table, v, m.values.toSeq, cols).mkString("\n"))
+      statsLines(table, v, dirsOf(m), cols).mkString("\n"))
   }
 
   /** One column-pruned min/max scan over `dirs`, one stats line per
@@ -684,7 +792,7 @@ class DocumentStore(val spark: SparkSession, root: String) {
     } yield s"$k\t$c\t$lo\t$hi"
     val changedLines =
       if (changed.isEmpty) Seq.empty
-      else statsLines(table, v, changed.values.toSeq, cols)
+      else statsLines(table, v, changed.values.flatMap(splitDirs).toSeq, cols)
     writeString(new HPath(new HPath(tdir(table), "_versions"), s"v$v.stats"),
       (carriedLines ++ changedLines).mkString("\n"))
   }
@@ -777,7 +885,7 @@ class DocumentStore(val spark: SparkSession, root: String) {
     val m = manifest(table, v)
     if (m.isEmpty) return
     val numBits = sketch.BloomFilter.create(expectedItemsPerPartition, fpp).bitSize()
-    val lines = bloomLines(table, v, m.values.toSeq, column,
+    val lines = bloomLines(table, v, dirsOf(m), column,
       expectedItemsPerPartition, numBits)
     if (lines.isEmpty) return // column absent from the committed schema
     writeString(new HPath(new HPath(tdir(table), "_versions"), s"v$v.bloom.$column"),
@@ -851,7 +959,8 @@ class DocumentStore(val spark: SparkSession, root: String) {
       }
       val changedLines =
         if (changed.isEmpty) Seq.empty
-        else bloomLines(table, v, changed.values.toSeq, column, itemsS.toLong, bitsS.toLong)
+        else bloomLines(table, v, changed.values.flatMap(splitDirs).toSeq,
+          column, itemsS.toLong, bitsS.toLong)
       writeString(new HPath(vd, s"v$v.bloom.$column"),
         (meta +: (carriedLines ++ changedLines)).mkString("\n"))
     }
@@ -937,8 +1046,8 @@ class DocumentStore(val spark: SparkSession, root: String) {
         s.stripPrefix("v").stripSuffix(".manifest").toInt }
       .toSeq.sorted
     val (drop, keep) = all.partition(v => v <= cur - keepVersions)
-    val live = keep.flatMap(v => manifest(table, v).values).toSet
-    val dead = drop.flatMap(v => manifest(table, v).values).toSet -- live
+    val live = keep.flatMap(v => dirsOf(manifest(table, v))).toSet
+    val dead = drop.flatMap(v => dirsOf(manifest(table, v))).toSet -- live
     dead.foreach { dir =>
       val p = new HPath(dir)
       val dfs = p.getFileSystem(hconf)
