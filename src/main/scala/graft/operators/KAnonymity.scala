@@ -48,4 +48,51 @@ object KAnonymity {
         min(col("__n")).as("min_cell"))
       .withColumn("k_anonymity", col("min_cell"))
   }
+
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the attack
+    * k-anonymity alone misses: a crowd of k is worthless when all k
+    * share the SAME sensitive value (homogeneity: "those 50 rows are
+    * indistinguishable — and every one has diagnosis X"). Per QI cell:
+    * distinct sensitive values (distinct l-diversity) and the entropy
+    * form exp(H) (effective number of sensitive values — robust to a
+    * 49-to-1 skew that distinct-counting calls diverse). A cell
+    * violates at < l distinct values; `entropy_l` reports how much
+    * weaker the skew-aware guarantee is.
+    *
+    * Exactness: the (QI, sensitive) census is one exact BIGINT
+    * aggregate; per-cell entropy folds the census in sensitive-value
+    * order (the q279 discipline); exp/ln close in doubles, 6-dp. NULL
+    * sensitive values are their own class (they leak like any other).
+    *
+    * Scale shape: ONE map-side-combined census; per-cell folds run on
+    * census rows. Output is the VIOLATION list (< l) — bounded by the
+    * release reviewer's own action list, like [[violations]]. */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                 l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l must be >= 2, got $l")
+    val census = df
+      .groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    census
+      .groupBy(qiCols.map(col): _*)
+      .agg(sum(col("__c")).as("n"),
+        count(lit(1)).as("l_distinct"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col(sensitiveCol),
+            col("__c")))),
+            p => {
+              val c = p.getField("__c").cast("double")
+              -(c) * log(c)
+            }),
+          lit(0.0), (acc, x) => acc + x).as("__hn"))
+      // H = ln(n) + (Σ −c·ln c)/n ; entropy-l = exp(H)
+      .withColumn("entropy_l",
+        round(exp(log(col("n").cast("double")) +
+          col("__hn") / col("n").cast("double")), 6))
+      .filter(col("l_distinct") < l)
+      .select(qiCols.map(col) ++ Seq(col("n"), col("l_distinct"),
+        col("entropy_l"), lit(l).as("l_required")): _*)
+      .orderBy(qiCols.map(col): _*)
+  }
 }

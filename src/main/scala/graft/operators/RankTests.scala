@@ -89,4 +89,142 @@ object RankTests {
             (lit(2L) * col("n_pos") * col("n_neg")).cast("double")))
       .drop("__r2", "__n")
   }
+
+  /** Mann–Whitney U rank-sum TEST (the inferential face of
+    * [[aucPerGroup]]'s statistic): did treatment (group 1) shift the
+    * metric's distribution against control (group 0), without the
+    * normality assumption the t-family needs — the robust two-sample
+    * readout for heavy-tailed metrics (latency, spend, doc length).
+    * Normal approximation with the standard tie-corrected variance
+    * (Mann & Whitney 1947; Lehmann 1975):
+    *
+    *   z = (U₁ − n₁n₂/2) / sqrt( n₁n₂/12 · ((N+1) − Σ(t³−t)/(N(N−1))) )
+    *
+    * Exactness: the (value, group) census is one map-side-combined
+    * BIGINT aggregate; 2·U₁ = Σ_v (2·n₁(v)·C₂(<v) + n₁(v)·n₂(v)) and
+    * Σ(t³−t) are exact BIGINTs off a cumulative window on the value
+    * grid; z closes in doubles from those integers. `valueCol` must be
+    * integer-scaled (cents, chars, tokens — the levene contract).
+    * Degenerate inputs (a one-value metric: zero variance) refuse
+    * loudly. One row: (n1, n2, u1, u2, z).
+    *
+    * Scale shape: one census aggregate onto the distinct-value grid;
+    * the cumulative window runs on the grid, never the corpus. */
+  def mannWhitney(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,
+      LongType}
+    val vt = df.schema(valueCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(vt),
+      s"mannWhitney: valueCol '$valueCol' is $vt — integer-scaled only")
+    val rows = df.select(col(groupCol).cast("int").as("__g"),
+        col(valueCol).cast("long").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    val badGroup = rows.filter(col("__g") =!= 0 && col("__g") =!= 1)
+    require(badGroup.isEmpty, "mannWhitney: groupCol must be 0/1")
+    val spark = df.sparkSession
+    // ONE corpus pass: the value-grid census pins; totals/ties/U read it
+    Pinned.withCheckpoint(rows.groupBy(col("__v"))
+      .agg(sum(when(col("__g") === 1, 1L).otherwise(0L)).as("__n1"),
+        sum(when(col("__g") === 0, 1L).otherwise(0L)).as("__n2"))
+    ) { grid =>
+      val w = Window.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val terms = grid
+        .withColumn("__cb2", sum(col("__n2")).over(w) - col("__n2"))
+        .withColumn("__t", col("__n1") + col("__n2"))
+      val p = terms.agg(
+        sum(col("__n1")).as("n1"), sum(col("__n2")).as("n2"),
+        sum(lit(2L) * col("__n1") * col("__cb2") +
+          col("__n1") * col("__n2")).as("__u1x2"),
+        sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__ties"),
+        count(lit(1)).as("__grid")).head()
+      val (n1, n2) = (p.getLong(0), p.getLong(1))
+      require(n1 > 0 && n2 > 0, s"mannWhitney: empty group ($n1, $n2)")
+      require(p.getLong(4) > 1, "mannWhitney: one-value metric — no ranks")
+      val u1 = p.getLong(2).toDouble / 2.0
+      val nn = (n1 + n2).toDouble
+      val varU = n1.toDouble * n2.toDouble / 12.0 *
+        ((nn + 1.0) - p.getLong(3).toDouble / (nn * (nn - 1.0)))
+      require(varU > 0.0, "mannWhitney: zero rank variance")
+      val z = (u1 - n1.toDouble * n2.toDouble / 2.0) / math.sqrt(varU)
+      spark.range(1).select(lit(n1).as("n1"), lit(n2).as("n2"),
+        lit(u1).as("u1"), lit(n1.toDouble * n2.toDouble - u1).as("u2"),
+        round(lit(z), 6).as("z"))
+    }
+  }
+
+  /** Kruskal–Wallis H — [[mannWhitney]] for k groups (Kruskal & Wallis
+    * 1952): one omnibus "did ANY slice shift the metric" readout before
+    * k² pairwise tests, on the same exact value-census machinery.
+    * With midranks m(v) = C(<v) + (t(v)+1)/2 (2·m(v) is an exact
+    * BIGINT), per-group rank sums R_g = Σ_v n_g(v)·m(v):
+    *
+    *   H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1),
+    *   H_corr = H / (1 − Σ(t³−t)/(N³−N))
+    *
+    * Output: one row per group (group, n, rank_sum) with (h,
+    * h_corrected, df) repeated — per-slice attribution plus the scalar
+    * verdict, the psiFromCells shape. Integer-scaled values only.
+    *
+    * Scale shape: one (group, value) census aggregate; the cumulative
+    * window and folds run on the grid; the group-bounded result
+    * re-emits driver-side through the [[Grids]] guard. */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,
+      LongType}
+    val vt = df.schema(valueCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(vt),
+      s"kruskalWallis: valueCol '$valueCol' is $vt — integer-scaled only")
+    val rows = df.select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("long").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    Pinned.withCheckpoint(rows.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    ) { cells =>
+      val vgrid = cells.groupBy(col("__v")).agg(sum(col("__c")).as("__t"))
+      val w = Window.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = vgrid
+        // 2·midrank = 2·C(<v) + t + 1, exact
+        .withColumn("__m2",
+          lit(2L) * (sum(col("__t")).over(w) - col("__t")) +
+            col("__t") + 1L)
+      val perG = cells.join(ranked.select(col("__v"), col("__m2")), "__v")
+        .groupBy(col("__g"))
+        .agg(sum(col("__c")).as("n"),
+          sum(col("__c") * col("__m2")).as("__r2")) // exact 2·R_g
+      val pooled = ranked.agg(sum(col("__t")).as("__nn"),
+        sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__ties"),
+        count(lit(1)).as("__grid")).head()
+      val nn = pooled.getLong(0)
+      require(nn >= 3, s"kruskalWallis: $nn rows")
+      require(pooled.getLong(2) > 1, "kruskalWallis: one-value metric")
+      val tieCorr = 1.0 - pooled.getLong(1).toDouble /
+        (nn.toDouble * nn.toDouble * nn.toDouble - nn.toDouble)
+      require(tieCorr > 0.0, "kruskalWallis: all values tied")
+      // Σ R_g²/n_g folded in group order off the exact (2R_g)² / 4
+      val sums = perG.agg(count(lit(1)).as("__k"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("__g"),
+            col("__r2"), col("n")))),
+            p => p.getField("__r2").cast("double") *
+              p.getField("__r2").cast("double") / 4.0 /
+              p.getField("n").cast("double")),
+          lit(0.0), (acc, x) => acc + x).as("__s")).head()
+      val k = sums.getLong(0)
+      require(k >= 2, s"kruskalWallis: $k groups (need >= 2)")
+      val h = 12.0 / (nn.toDouble * (nn + 1.0)) * sums.getDouble(1) -
+        3.0 * (nn + 1.0)
+      val out = perG
+        .select(col("__g").as(groupCol), col("n"),
+          (col("__r2").cast("double") / 2.0).as("rank_sum"),
+          round(lit(h), 6).as("h"),
+          round(lit(h / tieCorr), 6).as("h_corrected"),
+          lit(k - 1).as("df"))
+        .orderBy(col(groupCol))
+      Grids.collectBounded(out, "kruskal group grid")
+    }
+  }
 }

@@ -92,4 +92,64 @@ object Smoothing {
     try spark.createDataFrame(out.collect().toSeq.asJava, out.schema)
     finally gPin.release()
   }
+
+  /** Holt double exponential smoothing (linear trend) on a time grid —
+    * the forecaster [[ses]] cannot be: SES lags any trending series by
+    * construction; Holt carries an explicit trend state (Holt 1957;
+    * FPP §8.2):
+    *
+    *   ℓₜ = α·yₜ + (1−α)(ℓₜ₋₁ + bₜ₋₁)
+    *   bₜ = β(ℓₜ − ℓₜ₋₁) + (1−β)bₜ₋₁,   ŷₜ = ℓₜ₋₁ + bₜ₋₁
+    *
+    * with the standard init ℓ₁ = y₁, b₁ = y₂ − y₁ (so ŷ₂ = y₂ and
+    * err₂ = 0 — the first informative error is at t₃).
+    *
+    * Determinism contract: the recursion has NO clean closed form with
+    * two smoothing constants (the SES triangular-weights trick does not
+    * apply), so the ≤4096-position grid folds DRIVER-SIDE — the same
+    * bounded-grid collect every census operator uses — with the exact
+    * per-step IEEE tree `α·y + (1−α)·(ℓ+b)` that the oracle's recursive
+    * CTE replays verbatim ((1−α) is written as the SUBTRACTION in both
+    * engines, never as its own decimal literal — the two parse to
+    * different doubles). Rounding happens once, at output (6 dp).
+    *
+    * Scale shape: the input must already BE a grid (the [[ses]]
+    * contract), loudly bounded; one pinned pass derives it, the fold is
+    * O(grid) on the driver. */
+  def holt(grid: DataFrame, tCol: String, yCol: String,
+           alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"holt: alpha=$alpha outside (0,1)")
+    require(beta > 0.0 && beta < 1.0, s"holt: beta=$beta outside (0,1)")
+    val spark = grid.sparkSession
+    val g = grid.select(col(tCol).cast("long").as("t"),
+        col(yCol).cast("double").as("y"))
+      .filter(col("t").isNotNull && col("y").isNotNull)
+      .orderBy(col("t"))
+    val rows = Grids.collectBounded(g, "holt time grid", maxRows = 1 << 12)
+      .collect()
+    require(rows.length >= 2,
+      s"holt: ${rows.length} grid positions (need >= 2 for the trend init)")
+    val om = 1.0 - alpha; val ob = 1.0 - beta
+    var l = rows(0).getDouble(1)
+    var b = rows(1).getDouble(1) - rows(0).getDouble(1)
+    val out = new Array[(Long, Double, Double, Double, java.lang.Double)](rows.length)
+    out(0) = (rows(0).getLong(0), rows(0).getDouble(1), l, b, null)
+    var i = 1
+    while (i < rows.length) {
+      val y = rows(i).getDouble(1)
+      val fcst = l + b
+      val lNew = alpha * y + om * (l + b)
+      val bNew = beta * (lNew - l) + ob * b
+      out(i) = (rows(i).getLong(0), y, lNew, bNew,
+        Double.box(y - fcst))
+      l = lNew; b = bNew
+      i += 1
+    }
+    spark.createDataFrame(out.toSeq)
+      .toDF("t", "y", "__l", "__b", "__e")
+      .select(col("t"), col("y"), round(col("__l"), 6).as("level"),
+        round(col("__b"), 6).as("trend"),
+        round(col("__e"), 6).as("forecast_err"))
+      .orderBy(col("t"))
+  }
 }

@@ -47,4 +47,34 @@ class KAnonymitySpec extends AnyFunSuite with SparkSuite {
     val b = KAnonymity.summary(big.repartition(13), Seq("c", "s"), 5L).head().toSeq
     assert(a == b)
   }
+
+  test("lDiversity flags homogeneous cells with the entropy readout") {
+    import spark.implicits._
+    // cell A: 4 rows all sensitive "x" (l=1); cell B: 4 rows, 2+2 split
+    // (l=2, entropy-l = 2); cell C: diverse (l=3, not flagged at l=3)
+    val df = Seq(
+      ("A", "x"), ("A", "x"), ("A", "x"), ("A", "x"),
+      ("B", "x"), ("B", "x"), ("B", "y"), ("B", "y"),
+      ("C", "x"), ("C", "y"), ("C", "z")).toDF("qi", "s")
+    val out = KAnonymity.lDiversity(df, Seq("qi"), "s", l = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("l_distinct"),
+          r.getAs[Double]("entropy_l"))).toMap
+    assert(out.keySet == Set("A", "B"))
+    assert(out("A") == ((4L, 1L, 1.0)))
+    assert(out("B")._2 == 2L && math.abs(out("B")._3 - 2.0) < 1e-9)
+  }
+
+  test("lDiversity is partitioning-invariant; NULL sensitive is a class") {
+    import spark.implicits._
+    val df = Seq(("A", "x"), ("A", null), ("A", "x"), ("B", "x"))
+      .toDF("qi", "s")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      KAnonymity.lDiversity(d, Seq("qi"), "s", l = 3)
+        .collect().map(_.toString).toSeq
+    assert(run(df.coalesce(1)) == run(df.repartition(7)))
+    val a = KAnonymity.lDiversity(df, Seq("qi"), "s", l = 3)
+      .filter(org.apache.spark.sql.functions.col("qi") === "A").head()
+    assert(a.getAs[Long]("l_distinct") == 2L) // x and NULL
+  }
 }

@@ -93,4 +93,73 @@ class RankTestsSpec extends AnyFunSuite with SparkSuite {
       assert(math.abs(got(g) - expect) < 1e-12, s"$g: ${got(g)} vs $expect")
     }
   }
+
+  test("mannWhitney matches a brute-force tie-corrected U and z") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 120).map { i =>
+      val g = i % 2
+      (g, (rnd.nextInt(20) + (if (g == 1) 4 else 0)).toLong)
+    }
+    val out = RankTests.mannWhitney(rows.toDF("g", "v"), "g", "v").head()
+    val g1 = rows.filter(_._1 == 1).map(_._2)
+    val g0 = rows.filter(_._1 == 0).map(_._2)
+    val u1 = (for (x <- g1; y <- g0) yield
+      if (x > y) 1.0 else if (x == y) 0.5 else 0.0).sum
+    assert(out.getAs[Double]("u1") == u1)
+    assert(out.getAs[Double]("u2") == g1.size.toDouble * g0.size - u1)
+    val n1 = g1.size.toDouble; val n2 = g0.size.toDouble; val nn = n1 + n2
+    val ties = rows.groupBy(_._2).values.map(_.size.toLong)
+      .map(t => t * t * t - t).sum
+    val varU = n1 * n2 / 12.0 * ((nn + 1.0) - ties / (nn * (nn - 1.0)))
+    val z = (u1 - n1 * n2 / 2.0) / math.sqrt(varU)
+    assert(math.abs(out.getAs[Double]("z") - z) < 1e-6)
+  }
+
+  test("mannWhitney is partitioning-invariant and refuses degenerates") {
+    import spark.implicits._
+    val rows = (1 to 100).map(i => (i % 2, (i % 9).toLong))
+    val df = rows.toDF("g", "v")
+    assert(RankTests.mannWhitney(df.coalesce(1), "g", "v").head().toSeq ==
+      RankTests.mannWhitney(df.repartition(11), "g", "v").head().toSeq)
+    intercept[IllegalArgumentException] {
+      RankTests.mannWhitney(Seq((0, 5L), (1, 5L)).toDF("g", "v"), "g", "v")
+    }
+    intercept[IllegalArgumentException] {
+      RankTests.mannWhitney(Seq((0, 1L), (2, 2L)).toDF("g", "v"), "g", "v")
+    }
+  }
+
+  test("kruskalWallis matches a brute-force midrank H") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 150).map { i =>
+      val g = s"g${i % 3}"
+      (g, (rnd.nextInt(15) + (i % 3) * 2).toLong)
+    }
+    val out = RankTests.kruskalWallis(rows.toDF("g", "v"), "g", "v")
+      .collect()
+    // brute force: midranks over the pooled sorted sample
+    val sorted = rows.map(_._2).sorted
+    val rank = sorted.zipWithIndex.groupBy(_._1).view
+      .mapValues(xs => xs.map(_._2 + 1).sum.toDouble / xs.size).toMap
+    val byG = rows.groupBy(_._1)
+    val nn = rows.size.toDouble
+    val s = byG.values.map { xs =>
+      val r = xs.map(x => rank(x._2)).sum
+      r * r / xs.size
+    }.sum
+    val h = 12.0 / (nn * (nn + 1.0)) * s - 3.0 * (nn + 1.0)
+    val ties = rows.groupBy(_._2).values.map(_.size.toLong)
+      .map(t => t * t * t - t).sum
+    val hc = h / (1.0 - ties / (nn * nn * nn - nn))
+    out.foreach { r =>
+      val g = r.getString(0)
+      val expR = byG(g).map(x => rank(x._2)).sum
+      assert(math.abs(r.getAs[Double]("rank_sum") - expR) < 1e-9, g)
+      assert(math.abs(r.getAs[Double]("h") - h) < 1e-6)
+      assert(math.abs(r.getAs[Double]("h_corrected") - hc) < 1e-6)
+      assert(r.getAs[Long]("df") == 2L)
+    }
+  }
 }

@@ -42,4 +42,41 @@ class SmoothingSpec extends AnyFunSuite with SparkSuite {
       Smoothing.ses(df, "t", "y", 1.0)
     }.getMessage.contains("alpha"))
   }
+
+  test("holt matches the textbook recursion and flags the trend") {
+    import spark.implicits._
+    // a clean linear series: level tracks, trend converges to the slope
+    val grid = (1L to 40L).map(t => (t, 10.0 + 3.0 * t)).toDF("t", "y")
+    val out = Smoothing.holt(grid, "t", "y", alpha = 0.4, beta = 0.3)
+      .orderBy("t").collect()
+    // brute-force replay
+    var l = 13.0; var b = 3.0
+    assert(out(0).getAs[Double]("level") == 13.0)
+    assert(out(0).getAs[Double]("trend") == 3.0)
+    for (i <- 1 until 40) {
+      val y = 10.0 + 3.0 * (i + 1)
+      val fcst = l + b
+      val lN = 0.4 * y + (1.0 - 0.4) * (l + b)
+      val bN = 0.3 * (lN - l) + (1.0 - 0.3) * b
+      def r6(x: Double) = new java.math.BigDecimal(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      assert(out(i).getAs[Double]("level") == r6(lN), s"level@$i")
+      assert(out(i).getAs[Double]("trend") == r6(bN), s"trend@$i")
+      assert(out(i).getAs[Double]("forecast_err") == r6(y - fcst), s"err@$i")
+      l = lN; b = bN
+    }
+    // on a pure linear series the one-step error is 0 after init
+    assert(out.drop(1).forall(_.getAs[Double]("forecast_err") == 0.0))
+  }
+
+  test("holt refuses an unbounded or one-point grid") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Smoothing.holt(Seq((1L, 1.0)).toDF("t", "y"), "t", "y", 0.3, 0.2)
+    }
+    intercept[IllegalArgumentException] {
+      Smoothing.holt(spark.range(70000).selectExpr("id AS t",
+        "CAST(id AS DOUBLE) AS y"), "t", "y", 0.3, 0.2)
+    }
+  }
 }
