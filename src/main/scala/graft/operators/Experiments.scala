@@ -486,4 +486,67 @@ object Experiments {
         round(d, 6).as("cohens_d"), round(g, 6).as("hedges_g"))
       .orderBy(col("experiment"))
   }
+
+  /** Cochran's Q — [[mcnemar]] for k PAIRED binary classifiers (Cochran
+    * 1950): did ANY of the k heuristics/models disagree in accuracy on
+    * the SAME documents, before k² pairwise McNemar tests. With
+    * per-classifier success totals G_j and per-document success counts
+    * L_i over complete cases:
+    *
+    *   Q = (k−1)·(k·ΣG_j² − (ΣG_j)²) / (k·ΣL_i − ΣL_i²),  df = k−1
+    *
+    * Exactness: G_j, ΣL, ΣL² are exact BIGINTs off ONE map-side-combined
+    * pass (L_i is a row expression, never a per-document grid); Q is one
+    * exact-integer ratio closed in BigDecimal-free doubles, 6-dp.
+    * Documents with ANY NULL outcome drop (complete-case — the mcnemar
+    * discipline); an all-concordant panel (zero denominator) refuses
+    * loudly. Output: one row per classifier (classifier, successes)
+    * with (n, k, q, df) repeated — the psiFromCells shape. */
+  def cochranQ(df: DataFrame, outcomeCols: Seq[String]): DataFrame = {
+    require(outcomeCols.size >= 2, s"cochranQ needs >= 2 classifiers")
+    val k = outcomeCols.size
+    val cols0 = outcomeCols.map(c => col(c).cast("boolean"))
+    val complete = cols0.map(_.isNotNull).reduce(_ && _)
+    val li = cols0.map(c => when(c, 1L).otherwise(0L)).reduce(_ + _)
+    val aggs = outcomeCols.map(c =>
+      sum(when(col(c).cast("boolean"), 1L).otherwise(0L)).as(s"__g_$c")) ++
+      Seq(count(lit(1)).as("__n"), sum(li).as("__sl"),
+        sum(li * li).as("__sll"))
+    val r = df.filter(complete).agg(aggs.head, aggs.tail: _*).head()
+    val g = outcomeCols.indices.map(i => r.getLong(i))
+    val n = r.getLong(k); val sl = r.getLong(k + 1); val sll = r.getLong(k + 2)
+    require(n > 0, "cochranQ: no complete cases")
+    val den = k.toLong * sl - sll
+    require(den > 0,
+      "cochranQ: zero denominator — every document is all-correct or " +
+        "all-wrong across the panel")
+    val sg = g.sum
+    val sgg = g.map(x => BigInt(x) * BigInt(x)).sum
+    val num = BigInt(k - 1) * (BigInt(k) * sgg - BigInt(sg) * BigInt(sg))
+    val q = num.toDouble / den.toDouble
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val rows = outcomeCols.zip(g).sortBy(_._1).map { case (c, gj) =>
+      org.apache.spark.sql.Row(c, gj, n, k.toLong, q, (k - 1).toLong)
+    }
+    // round through the ENGINE's round (the house compare-the-rounded
+    // rule) — a driver-side BigDecimal would use the exact binary
+    // expansion where both engines' round() uses the decimal repr
+    spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("classifier",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("successes",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("q",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("df",
+        org.apache.spark.sql.types.LongType))))
+      .select(col("classifier"), col("successes"), col("n"), col("k"),
+        round(col("q"), 6).as("q"), col("df"))
+      .orderBy(col("classifier"))
+  }
 }

@@ -314,6 +314,104 @@ object GrowthQueries extends QuerySet {
       |  round(e, 6) AS forecast_err
       |FROM rec ORDER BY t""".stripMargin
 
+  /** Rolling-origin seasonal-naive backtest with MASE over the hourly
+    * cents grid — last 5 days test, daily season. */
+  private def q323(s: SparkSession, d: String): DataFrame = {
+    val grid = t(s, d, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(floor(unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+        .cast("long").as("t"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+    graft.operators.Backtest.seasonalNaive(grid, "t", "y", season = 24,
+      testLen = 120)
+  }
+
+  private val q323Sql =
+    """WITH g AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600
+      |      AS t,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1),
+      |lagged AS (
+      |  SELECT t, y, row_number() OVER (ORDER BY t) AS rn,
+      |    lag(y, 1) OVER (ORDER BY t) AS prev,
+      |    lag(y, 24) OVER (ORDER BY t) AS seas
+      |  FROM g),
+      |cut AS (SELECT CAST(COUNT(*) AS BIGINT) - 120 AS c FROM lagged),
+      |p AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN rn <= cut.c AND prev IS NOT NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+      |    CAST(SUM(CASE WHEN rn > cut.c AND seas IS NOT NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+      |    CAST(SUM(CASE WHEN rn > cut.c AND seas IS NOT NULL
+      |      THEN abs(y - seas) ELSE 0 END) AS BIGINT) AS sae_model,
+      |    CAST(SUM(CASE WHEN rn <= cut.c AND prev IS NOT NULL
+      |      THEN abs(y - prev) ELSE 0 END) AS BIGINT) AS sae_naive
+      |  FROM lagged, cut GROUP BY cut.c)
+      |SELECT n_train, n_test, sae_model, sae_naive,
+      |  round(CAST(sae_model AS DOUBLE) / n_test, 6) AS mae_model,
+      |  round(CAST(sae_naive AS DOUBLE) / n_train, 6) AS mae_naive,
+      |  round((CAST(sae_model AS DOUBLE) / n_test)
+      |    / (CAST(sae_naive AS DOUBLE) / n_train), 6) AS mase
+      |FROM p""".stripMargin
+
+  /** Cochran's Q over THREE paired lang-id heuristics on the same
+    * documents — the k-way omnibus before pairwise McNemar (q303). */
+  private def q324(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .withColumn("__truth", col("lang") === "en")
+      .withColumn("a_len", (col("n_chars") > 400) === col("__truth"))
+      .withColumn("b_vowel",
+        (regexp_count(lower(col("text")), lit("[aeiou]")) * 3 >
+          length(col("text"))) === col("__truth"))
+      .withColumn("c_the",
+        col("text").contains(" the ") === col("__truth"))
+    graft.operators.Experiments.cochranQ(docs,
+      Seq("a_len", "b_vowel", "c_the"))
+  }
+
+  private val q324Sql =
+    """WITH p AS (
+      |  SELECT (n_chars > 400) = (lang = 'en') AS a_len,
+      |    (len(regexp_extract_all(lower(text), '[aeiou]')) * 3
+      |      > length(text)) = (lang = 'en') AS b_vowel,
+      |    (contains(text, ' the ')) = (lang = 'en') AS c_the
+      |  FROM documents WHERE text IS NOT NULL),
+      |cc AS (SELECT * FROM p WHERE a_len IS NOT NULL
+      |  AND b_vowel IS NOT NULL AND c_the IS NOT NULL),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN a_len THEN 1 ELSE 0 END) AS BIGINT) AS ga,
+      |    CAST(SUM(CASE WHEN b_vowel THEN 1 ELSE 0 END) AS BIGINT) AS gb,
+      |    CAST(SUM(CASE WHEN c_the THEN 1 ELSE 0 END) AS BIGINT) AS gc,
+      |    CAST(SUM((CASE WHEN a_len THEN 1 ELSE 0 END)
+      |      + (CASE WHEN b_vowel THEN 1 ELSE 0 END)
+      |      + (CASE WHEN c_the THEN 1 ELSE 0 END)) AS BIGINT) AS sl,
+      |    CAST(SUM(((CASE WHEN a_len THEN 1 ELSE 0 END)
+      |      + (CASE WHEN b_vowel THEN 1 ELSE 0 END)
+      |      + (CASE WHEN c_the THEN 1 ELSE 0 END))
+      |      * ((CASE WHEN a_len THEN 1 ELSE 0 END)
+      |      + (CASE WHEN b_vowel THEN 1 ELSE 0 END)
+      |      + (CASE WHEN c_the THEN 1 ELSE 0 END))) AS BIGINT) AS sll
+      |  FROM cc),
+      |qv AS (
+      |  SELECT n,
+      |    round(CAST(2 * (3 * (CAST(ga AS HUGEINT) * ga
+      |        + CAST(gb AS HUGEINT) * gb + CAST(gc AS HUGEINT) * gc)
+      |      - CAST(ga + gb + gc AS HUGEINT) * (ga + gb + gc)) AS DOUBLE)
+      |      / CAST(3 * sl - sll AS DOUBLE), 6) AS q,
+      |    ga, gb, gc
+      |  FROM agg)
+      |SELECT cls.classifier, cls.successes, qv.n,
+      |  CAST(3 AS BIGINT) AS k, qv.q, CAST(2 AS BIGINT) AS df
+      |FROM qv CROSS JOIN (
+      |  SELECT 'a_len' AS classifier, (SELECT ga FROM qv) AS successes
+      |  UNION ALL SELECT 'b_vowel', (SELECT gb FROM qv)
+      |  UNION ALL SELECT 'c_the', (SELECT gc FROM qv)) cls
+      |ORDER BY cls.classifier""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q316_attribution", q316, Some(q316Sql)),
     Q("q317_hits", q317, Some(q317Sql)),
@@ -321,5 +419,7 @@ object GrowthQueries extends QuerySet {
     Q("q319_kruskal", q319, Some(q319Sql)),
     Q("q320_rfm", q320, Some(q320Sql)),
     Q("q321_l_diversity", q321, Some(q321Sql)),
-    Q("q322_holt", q322, Some(q322Sql)))
+    Q("q322_holt", q322, Some(q322Sql)),
+    Q("q323_mase_backtest", q323, Some(q323Sql)),
+    Q("q324_cochran_q", q324, Some(q324Sql)))
 }

@@ -521,6 +521,10 @@ class DocumentStore(val spark: SparkSession, root: String) {
     * Caller contract: rows are NEW — nothing they carry supersedes an
     * existing row (use [[upsert]]/[[mergeSet]] otherwise; the store
     * cannot check this without reading, which would defeat the point).
+    * Streaming replay caveat: a foreachBatch re-delivery would DUPLICATE
+    * appended rows — a streaming sink may append only when a replay is
+    * detectable (IndexIngest: replayed ids exist in docmap and route to
+    * the keyed-rewrite path); otherwise keep the keyed upsert.
     * Schema follows upsert's add-only evolution: new columns extend the
     * committed schema; untouched segments read back nulls for them.
     * Per-partition stats/bloom sidecars refresh incrementally — an

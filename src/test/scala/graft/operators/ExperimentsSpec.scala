@@ -234,4 +234,35 @@ class ExperimentsSpec extends AnyFunSuite with SparkSuite {
       "e", "arm", "y").collect()
     assert(out.isEmpty)
   }
+
+  test("cochranQ matches the textbook statistic and drops incomplete cases") {
+    import spark.implicits._
+    // 6 docs x 3 classifiers; one row with a NULL outcome must drop
+    val rows = Seq(
+      (Some(true), Some(true), Some(false)),
+      (Some(true), Some(false), Some(false)),
+      (Some(true), Some(true), Some(true)),
+      (Some(false), Some(true), Some(false)),
+      (Some(true), Some(false), Some(true)),
+      (Some(true), None, Some(true)))
+    val df = rows.toDF("a", "b", "c")
+    val out = Experiments.cochranQ(df, Seq("a", "b", "c")).collect()
+    assert(out.length == 3)
+    val g = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g == Map("a" -> 4L, "b" -> 3L, "c" -> 2L))
+    // complete cases: 5 rows; L = 2,1,3,1,2; SL=9, SLL=19
+    // Q = 2*(3*(16+9+4) - 81) / (3*9 - 19) = 2*6/8 = 1.5
+    val r0 = out.head
+    assert(r0.getAs[Long]("n") == 5L && r0.getAs[Long]("k") == 3L)
+    assert(r0.getAs[Double]("q") == 1.5 && r0.getAs[Long]("df") == 2L)
+  }
+
+  test("cochranQ refuses an all-concordant panel") {
+    import spark.implicits._
+    val df = Seq((true, true), (false, false), (true, true))
+      .toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Experiments.cochranQ(df, Seq("a", "b"))
+    }
+  }
 }
