@@ -259,6 +259,65 @@ object InvertedIndex {
       totalLen = meta.totalLen - victims.map(_._2).sum))
   }
 
+  /** One-commit-per-table application of a MIXED change batch (deletes +
+    * inserts/updates) — the per-trigger shape of the streaming sink.
+    * remove-then-add pays two full COW cycles over the same term buckets
+    * (a realistic batch's terms touch most buckets, so each cycle reads
+    * and rewrites most of the postings table); this applies the whole
+    * batch in ONE postings commit and ONE docmap commit: all victims'
+    * old rows (deleted docs AND re-added docs, located via docmap) leave
+    * while the batch's new postings land ([[DocumentStore.upsertDropping]]),
+    * and corpus stats move by one exact integer delta. A pure-insert
+    * batch (no victims) APPENDS — O(batch) at any index size.
+    * Contract: `dels` and `ups` ids are DISJOINT (the sink's
+    * last-change-per-key dedup guarantees it; a delete+reinsert batch
+    * lands as the reinsert). */
+  def applyChanges(spark: SparkSession, dir: String, dels: Seq[Long],
+                   ups: DataFrame, idCol: String, textCol: String): Unit = {
+    val store = new DocumentStore(spark, dir)
+    val meta = readMeta(store)
+    val batch = ups.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("__text")).dropDuplicates("doc_id").persist()
+    try {
+      val upIds = batch.select("doc_id").collect().map(_.getLong(0)).toSeq
+      val delIds = dels.distinct.filterNot(upIds.toSet)
+      if (upIds.isEmpty && delIds.isEmpty) return
+      val victims = victimRows(store, delIds ++ upIds, meta)
+      val oldBuckets = victims.flatMap(_._3).distinct
+      val post = postingsOf(batch, "doc_id", "__text", meta.tok,
+        meta.buckets).persist()
+      val dmap = docmapOf(batch, "doc_id", post, meta.buckets)
+      import spark.implicits._
+      if (victims.isEmpty) {
+        // pure insert: nothing to drop anywhere — both tables append
+        if (upIds.nonEmpty) { store.append("postings", post)
+                              store.append("docmap", dmap) }
+      } else {
+        val victimIdsDf = victims.map(_._1).toSeq.toDF("doc_id")
+        store.upsertDropping("postings", post,
+          keys = Seq("bucket", "term", "doc_id"),
+          dropKeysDf = victimIdsDf, dropKeys = Seq("doc_id"),
+          dropParts = Some(oldBuckets.map(_.toString)))
+        val delVictims = victims.filter(v => delIds.contains(v._1))
+        val delDbs = docBuckets(spark, delVictims.map(_._1).toSeq,
+          meta.buckets).values.toSeq.distinct
+        store.upsertDropping("docmap", dmap,
+          keys = Seq("dbucket", "doc_id"),
+          dropKeysDf = delVictims.map(_._1).toSeq.toDF("doc_id"),
+          dropKeys = Seq("doc_id"),
+          dropParts = Some(delDbs.map(_.toString)))
+      }
+      val st = post.groupBy(col("doc_id")).agg(first(col("len")).as("len"))
+        .agg(count(lit(1)).as("nt"),
+          coalesce(sum(col("len")), lit(0L)).as("tl")).head()
+      post.unpersist(blocking = false)
+      writeMeta(store, meta.copy(
+        nDocs = meta.nDocs + upIds.size - victims.length,
+        nTokened = meta.nTokened + st.getLong(0) - victims.count(_._2 > 0),
+        totalLen = meta.totalLen + st.getLong(1) - victims.map(_._2).sum))
+    } finally batch.unpersist(blocking = false)
+  }
+
   /** The pruned posting stream for a term set: ≤ |terms| buckets read via
     * manifest pruning, then the term filter. */
   private def prunedPostings(store: DocumentStore, meta: Meta,

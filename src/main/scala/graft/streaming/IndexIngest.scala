@@ -58,10 +58,14 @@ object IndexIngest {
             val dels = one.filter(col(changeCol) === "delete")
               .select(col(idCol).cast("long"))
               .collect().map(_.getLong(0)).toSeq // delta-bounded
-            if (dels.nonEmpty) InvertedIndex.remove(spark, indexDir, dels)
             val ups = one.filter(col(changeCol).isin("insert", "update"))
               .select(col(idCol), col(textCol))
-            if (!ups.isEmpty) InvertedIndex.add(spark, indexDir, ups, idCol, textCol)
+            // ONE postings commit + ONE docmap commit for the whole
+            // batch (deletes and re-adds drop in the same COW cycle the
+            // new rows land in; pure inserts append) — remove-then-add
+            // paid two full cycles over the same buckets per trigger
+            InvertedIndex.applyChanges(spark, indexDir, dels, ups,
+              idCol, textCol)
           } finally { one.unpersist(); () }
         }
         ()
