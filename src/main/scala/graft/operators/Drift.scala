@@ -60,6 +60,58 @@ object Drift {
           .as("tv"))
   }
 
+  /** Hellinger distance between two samples' value distributions —
+    * the bounded, symmetric drift metric the family lacked: TV counts
+    * mass moved, KS takes the worst single point, PSI needs reference
+    * bins and blows up on empty cells; Hellinger H ∈ [0,1] weights the
+    * WHOLE overlap smoothly (H² = 1 − Σ√(p_v·q_v)) and is the metric
+    * of choice for comparing discrete feature distributions between
+    * corpus slices (Hellinger 1909; the Bhattacharyya coefficient BC is
+    * the reported overlap).
+    *
+    * Exactness: the (value, side) census is one exact BIGINT aggregate;
+    * per-cell terms √(a_v·b_v) use IEEE sqrt — CORRECTLY ROUNDED by the
+    * standard in every engine (unlike libm exp/log), so each term is
+    * bit-identical; terms fold over the value grid in value order (the
+    * q279 discipline), and BC = fold/√(n_a·n_b), H = √(max(0, 1−BC))
+    * close in pinned doubles, 6-dp. `valueCol` must be integral and
+    * PRE-QUANTIZED (the ksTwoSample contract) — the grid is loudly
+    * bounded because the fold materializes it.
+    *
+    * Scale shape: one map-side-combined census onto the value grid;
+    * the fold runs on grid rows. */
+  def hellinger(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def side(df: DataFrame, tag: Int) =
+      df.select(col(valueCol).cast("long").as("__v"))
+        .filter(col("__v").isNotNull)
+        .withColumn("__s", lit(tag))
+    val u = side(a, 0).unionByName(side(b, 1))
+    val spark = a.sparkSession
+    Pinned.withCheckpoint(u.groupBy(col("__v"))
+      .agg(sum(when(col("__s") === 0, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__s") === 1, 1L).otherwise(0L)).as("__cb"))
+    ) { cells =>
+      val gridN = cells.count()
+      require(gridN >= 1 && gridN <= Grids.DefaultMaxRows,
+        s"hellinger: $gridN grid values — pre-quantize the feature " +
+          "(the ksTwoSample contract)")
+      val p = cells.agg(
+        sum(col("__ca")).as("na"), sum(col("__cb")).as("nb"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("__v"),
+            (col("__ca") * col("__cb")).as("ab")))),
+            t => sqrt(t.getField("ab").cast("double"))),
+          lit(0.0), (acc, x) => acc + x).as("__fold")).head()
+      val (na, nb) = (p.getLong(0), p.getLong(1))
+      require(na > 0 && nb > 0, s"hellinger: empty side ($na, $nb)")
+      val bc = p.getDouble(2) / math.sqrt(na.toDouble * nb.toDouble)
+      val h = math.sqrt(math.max(0.0, 1.0 - bc))
+      spark.range(1).select(lit(na).as("n_a"), lit(nb).as("n_b"),
+        lit(gridN).as("grid"), round(lit(bc), 6).as("bc"),
+        round(lit(h), 6).as("hellinger"))
+    }
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic, each source vs its
     * complement, over an integer-valued feature (doc length, token
     * count — continuous features must be pre-quantized to a grid by the

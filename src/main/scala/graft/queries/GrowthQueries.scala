@@ -412,6 +412,44 @@ object GrowthQueries extends QuerySet {
       |  UNION ALL SELECT 'c_the', (SELECT gc FROM qv)) cls
       |ORDER BY cls.classifier""".stripMargin
 
+  /** Hellinger distance between click and purchase value distributions
+    * (dollar-quantized — the pre-quantization contract). */
+  private def q325(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value")).cast("long").as("v"))
+    graft.operators.Drift.hellinger(
+      ev.filter(col("event_type") === "click").select(col("v")),
+      ev.filter(col("event_type") === "purchase").select(col("v")), "v")
+  }
+
+  private val q325Sql =
+    """WITH r AS (
+      |  SELECT event_type, CAST(round(value) AS BIGINT) AS v
+      |  FROM events
+      |  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+      |cells AS (
+      |  SELECT v,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS cb
+      |  FROM r GROUP BY v),
+      |p AS (
+      |  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+      |    CAST(SUM(cb) AS BIGINT) AS nb,
+      |    CAST(COUNT(*) AS BIGINT) AS grid,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(sqrt(CAST(ca * cb AS DOUBLE)) ORDER BY v)),
+      |      (a, b) -> a + b) AS f
+      |  FROM cells)
+      |SELECT na AS n_a, nb AS n_b, grid,
+      |  round(f / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+      |    AS bc,
+      |  round(sqrt(greatest(0.0, 1.0
+      |    - f / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))), 6)
+      |    AS hellinger
+      |FROM p""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q316_attribution", q316, Some(q316Sql)),
     Q("q317_hits", q317, Some(q317Sql)),
@@ -421,5 +459,6 @@ object GrowthQueries extends QuerySet {
     Q("q321_l_diversity", q321, Some(q321Sql)),
     Q("q322_holt", q322, Some(q322Sql)),
     Q("q323_mase_backtest", q323, Some(q323Sql)),
-    Q("q324_cochran_q", q324, Some(q324Sql)))
+    Q("q324_cochran_q", q324, Some(q324Sql)),
+    Q("q325_hellinger", q325, Some(q325Sql)))
 }

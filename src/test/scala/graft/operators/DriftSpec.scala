@@ -177,4 +177,34 @@ class DriftSpec extends AnyFunSuite with SparkSuite {
     }
     assert(e.getMessage.contains("empty"))
   }
+
+  test("hellinger: identical samples 0, disjoint samples 1, known middle") {
+    import spark.implicits._
+    val a = Seq(1L, 1L, 2L, 2L).toDF("v")
+    val same = Drift.hellinger(a, a, "v").head()
+    assert(same.getAs[Double]("hellinger") == 0.0 &&
+      same.getAs[Double]("bc") == 1.0)
+    val disjoint = Drift.hellinger(a, Seq(9L, 9L).toDF("v"), "v").head()
+    assert(disjoint.getAs[Double]("hellinger") == 1.0)
+    // a = {1:2, 2:2}/4, b = {1:1, 3:1}/2 -> BC = sqrt(2*1)/sqrt(8)
+    val mid = Drift.hellinger(a, Seq(1L, 3L).toDF("v"), "v").head()
+    val bc = math.sqrt(2.0) / math.sqrt(8.0)
+    def r6(x: Double) = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(mid.getAs[Double]("bc") == r6(bc))
+    assert(mid.getAs[Double]("hellinger") == r6(math.sqrt(1.0 - bc)))
+    assert(mid.getAs[Long]("grid") == 3L)
+  }
+
+  test("hellinger is partitioning-invariant and bounds its grid") {
+    import spark.implicits._
+    val a = (1 to 300).map(i => (i % 40).toLong).toDF("v")
+    val b = (1 to 200).map(i => (i % 55).toLong).toDF("v")
+    assert(Drift.hellinger(a.coalesce(1), b.coalesce(1), "v").head().toSeq ==
+      Drift.hellinger(a.repartition(7), b.repartition(5), "v").head().toSeq)
+    intercept[IllegalArgumentException] {
+      Drift.hellinger(spark.range(70000).toDF("v"),
+        spark.range(70000).toDF("v"), "v")
+    }
+  }
 }
