@@ -450,6 +450,48 @@ object GrowthQueries extends QuerySet {
       |    AS hellinger
       |FROM p""".stripMargin
 
+  /** Decile shift function: WHERE in the cents distribution purchases
+    * differ from clicks — all-integer order statistics, no floats. */
+  private def q326(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").filter(col("value").isNotNull)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("v"))
+    graft.operators.Shift.deciles(
+      ev.filter(col("event_type") === "click").select(col("v")),
+      ev.filter(col("event_type") === "purchase").select(col("v")), "v")
+  }
+
+  private val q326Sql =
+    """WITH r AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events
+      |  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+      |cells AS (
+      |  SELECT v,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS cb
+      |  FROM r GROUP BY v),
+      |cum AS (
+      |  SELECT v, CAST(SUM(ca) OVER w AS BIGINT) AS cuma,
+      |    CAST(SUM(cb) OVER w AS BIGINT) AS cumb
+      |  FROM cells
+      |  WINDOW w AS (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |tot AS (SELECT MAX(cuma) AS na, MAX(cumb) AS nb FROM cum),
+      |ks AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (2), (3), (4),
+      |  (5), (6), (7), (8), (9)) k(decile))
+      |SELECT ks.decile,
+      |  (SELECT MIN(v) FROM cum, tot WHERE cuma * 10 >= ks.decile * tot.na)
+      |    AS q_ref,
+      |  (SELECT MIN(v) FROM cum, tot WHERE cumb * 10 >= ks.decile * tot.nb)
+      |    AS q_cur,
+      |  (SELECT MIN(v) FROM cum, tot WHERE cumb * 10 >= ks.decile * tot.nb)
+      |    - (SELECT MIN(v) FROM cum, tot
+      |       WHERE cuma * 10 >= ks.decile * tot.na) AS shift
+      |FROM ks ORDER BY ks.decile""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q316_attribution", q316, Some(q316Sql)),
     Q("q317_hits", q317, Some(q317Sql)),
@@ -460,5 +502,6 @@ object GrowthQueries extends QuerySet {
     Q("q322_holt", q322, Some(q322Sql)),
     Q("q323_mase_backtest", q323, Some(q323Sql)),
     Q("q324_cochran_q", q324, Some(q324Sql)),
-    Q("q325_hellinger", q325, Some(q325Sql)))
+    Q("q325_hellinger", q325, Some(q325Sql)),
+    Q("q326_decile_shift", q326, Some(q326Sql)))
 }
