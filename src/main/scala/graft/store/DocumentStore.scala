@@ -502,7 +502,16 @@ class DocumentStore(val spark: SparkSession, root: String) {
         case Some(sc) => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sc)
         case None => updates.limit(0)
       }
-    val merged = kept.unionByName(updates, allowMissingColumns = true)
+    // cluster the rewrite by partition: without this every shuffle task
+    // sprays a sliver into every touched partition dir (tasks×partitions
+    // small files per commit — the classic partitionBy mistake the bulk
+    // build already avoids), and the NEXT mutation's read pays the
+    // file-count back with interest
+    val merged0 = kept.unionByName(updates, allowMissingColumns = true)
+    val merged = pc match {
+      case Some(c) if touchedKeys.size > 1 => merged0.repartition(col(c))
+      case _ => merged0
+    }
     val (written, schema) = writeSegments(table, merged, v, pc)
     commit(table, v0, v, (m0 -- touchedKeys) ++ written, Some(schema))
   }
