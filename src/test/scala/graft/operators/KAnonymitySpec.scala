@@ -77,4 +77,53 @@ class KAnonymitySpec extends AnyFunSuite with SparkSuite {
       .filter(org.apache.spark.sql.functions.col("qi") === "A").head()
     assert(a.getAs[Long]("l_distinct") == 2L) // x and NULL
   }
+
+  test("tCloseness: hand-computed ordered EMDs (incl. the flat-CDF fill)") {
+    import spark.implicits._
+    // global over v: {1:3, 2:2, 3:2}, N=7, m=3; cumQ = 3/7, 5/7, 1
+    //  A = {1,1}:  |1-3/7|+|1-5/7|+0 = 6/7   → /(m-1) = 3/7
+    //  B = {2,3}:  3/7 + 3/14 + 0   = 9/14  → 9/28
+    //  C = {1,2,3}: 2/21 + 1/21 + 0 = 1/7   → 1/14
+    // A has NO rows at v=2,3 — its CDF must fill flat at 1 (the
+    // running-max fill), which is exactly where a naive join-only
+    // cumulative would zero out.
+    val df = Seq(
+      ("A", 1L), ("A", 1L),
+      ("B", 2L), ("B", 3L),
+      ("C", 1L), ("C", 2L), ("C", 3L)).toDF("qi", "v")
+    val out = KAnonymity.tCloseness(df, Seq("qi"), "v", t = 0.4)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("emd"),
+          r.getAs[Boolean]("violates"))).toMap
+    assert(out("A") == ((2L, BigDecimal(3.0 / 7).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, true)))
+    assert(out("B") == ((2L, BigDecimal(9.0 / 28).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, false)))
+    assert(out("C") == ((3L, BigDecimal(1.0 / 14).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, false)))
+  }
+
+  test("tCloseness: identical cell == global distribution has EMD 0; " +
+    "partitioning-invariant") {
+    import spark.implicits._
+    val df = (1 to 60).map(i => (s"q${i % 3}", (i % 4).toLong))
+      .toDF("qi", "v")
+    // each of the 3 cells sees each v in {0,1,2,3} exactly 5 times —
+    // every cell IS the global distribution
+    val out = KAnonymity.tCloseness(df, Seq("qi"), "v", t = 0.1)
+    assert(out.collect().forall(r => r.getAs[Double]("emd") == 0.0))
+    val a = KAnonymity.tCloseness(df.coalesce(1), Seq("qi"), "v", 0.1)
+      .collect().map(_.toString).toSeq
+    val b = KAnonymity.tCloseness(df.repartition(11), Seq("qi"), "v", 0.1)
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("tCloseness refuses a degenerate one-value sensitive domain") {
+    import spark.implicits._
+    val df = Seq(("A", 1L), ("B", 1L)).toDF("qi", "v")
+    val e = intercept[IllegalArgumentException](
+      KAnonymity.tCloseness(df, Seq("qi"), "v", 0.2))
+    assert(e.getMessage.contains("distinct sensitive values"))
+  }
 }
