@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
-import graft.operators.KAnonymity
+import graft.operators.{Dependencies, KAnonymity}
 
 /** Round-16 release/ingest audit extensions (q327+): t-closeness (the
   * ordered-attribute privacy audit k-anonymity and l-diversity miss),
@@ -73,6 +73,123 @@ object AuditQueries extends QuerySet {
       |  0.2 AS t_required
       |FROM emds ORDER BY lang, source""".stripMargin
 
+  /** Functional-dependency profile of the order book: the key FD
+    * (o_orderkey→o_custkey) must hold exactly; the three non-key
+    * candidates report their g₃ repair fractions — the ingest-time
+    * "which columns actually determine which" audit. */
+  private def q328(s: SparkSession, d: String): DataFrame =
+    Dependencies.fdAudit(t(s, d, "orders"), Seq(
+      "o_orderkey" -> "o_custkey",
+      "o_custkey" -> "o_orderpriority",
+      "o_custkey" -> "o_orderstatus",
+      "o_orderpriority" -> "o_orderstatus"))
+
+  private val q328Sql =
+    """WITH pairs AS (
+      |  SELECT 'o_orderkey->o_custkey' AS fd,
+      |    CAST(o_orderkey AS VARCHAR) AS det,
+      |    CAST(o_custkey AS VARCHAR) AS dep
+      |  FROM orders WHERE o_orderkey IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'o_custkey->o_orderpriority',
+      |    CAST(o_custkey AS VARCHAR), CAST(o_orderpriority AS VARCHAR)
+      |  FROM orders WHERE o_custkey IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'o_custkey->o_orderstatus',
+      |    CAST(o_custkey AS VARCHAR), CAST(o_orderstatus AS VARCHAR)
+      |  FROM orders WHERE o_custkey IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'o_orderpriority->o_orderstatus',
+      |    CAST(o_orderpriority AS VARCHAR), CAST(o_orderstatus AS VARCHAR)
+      |  FROM orders WHERE o_orderpriority IS NOT NULL),
+      |census AS (
+      |  SELECT fd, det, dep, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM pairs GROUP BY 1, 2, 3),
+      |perkey AS (
+      |  SELECT fd, det, CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(MAX(c) AS BIGINT) AS mx, CAST(COUNT(*) AS BIGINT) AS dd
+      |  FROM census GROUP BY 1, 2)
+      |SELECT fd, CAST(SUM(n) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(SUM(CASE WHEN dd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violating_keys,
+      |  CAST(SUM(n - mx) AS BIGINT) AS n_violations,
+      |  round(CAST(SUM(n - mx) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+      |    AS g3_error,
+      |  CAST(SUM(n - mx) AS BIGINT) = 0 AS holds
+      |FROM perkey GROUP BY fd ORDER BY fd""".stripMargin
+
+  /** Inclusion-dependency / referential-integrity audit across the
+    * star schema, plus one business-predicate pair (lineitem suppliers
+    * must be in good standing — negative-balance suppliers orphan
+    * their lineitems, the rows an enrichment join silently drops). */
+  private def q329(s: SparkSession, d: String): DataFrame = {
+    val audits = Seq(
+      Dependencies.inclusionAudit(t(s, d, "lineitem"), "l_orderkey",
+        t(s, d, "orders"), "o_orderkey", "lineitem.l_orderkey<=orders"),
+      Dependencies.inclusionAudit(t(s, d, "orders"), "o_custkey",
+        t(s, d, "customer"), "c_custkey", "orders.o_custkey<=customer"),
+      Dependencies.inclusionAudit(t(s, d, "embeddings"), "vec_id",
+        t(s, d, "documents"), "doc_id", "embeddings.vec_id<=documents"),
+      Dependencies.inclusionAudit(t(s, d, "lineitem"), "l_suppkey",
+        t(s, d, "supplier").filter(col("s_acctbal") >= 0), "s_suppkey",
+        "lineitem.l_suppkey<=supplier_good_standing"))
+    audits.reduce(_ unionByName _).orderBy(col("fk"))
+  }
+
+  private val q329Sql =
+    """WITH a1 AS (
+      |  SELECT 'lineitem.l_orderkey<=orders' AS fk,
+      |    CAST(l_orderkey AS BIGINT) AS k FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL),
+      |p1 AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k FROM orders
+      |  WHERE o_orderkey IS NOT NULL),
+      |a2 AS (
+      |  SELECT 'orders.o_custkey<=customer' AS fk,
+      |    CAST(o_custkey AS BIGINT) AS k FROM orders
+      |  WHERE o_custkey IS NOT NULL),
+      |p2 AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS k FROM customer
+      |  WHERE c_custkey IS NOT NULL),
+      |a3 AS (
+      |  SELECT 'embeddings.vec_id<=documents' AS fk,
+      |    CAST(vec_id AS BIGINT) AS k FROM embeddings
+      |  WHERE vec_id IS NOT NULL),
+      |p3 AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS k FROM documents
+      |  WHERE doc_id IS NOT NULL),
+      |a4 AS (
+      |  SELECT 'lineitem.l_suppkey<=supplier_good_standing' AS fk,
+      |    CAST(l_suppkey AS BIGINT) AS k FROM lineitem
+      |  WHERE l_suppkey IS NOT NULL),
+      |p4 AS (SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS k FROM supplier
+      |  WHERE s_suppkey IS NOT NULL AND s_acctbal >= 0),
+      |audit AS (
+      |  SELECT fk, k, CAST(COUNT(*) AS BIGINT) AS c,
+      |    MAX(CASE WHEN k IN (SELECT k FROM p1) THEN 1 ELSE 0 END) AS hit
+      |  FROM a1 GROUP BY fk, k
+      |  UNION ALL
+      |  SELECT fk, k, CAST(COUNT(*) AS BIGINT),
+      |    MAX(CASE WHEN k IN (SELECT k FROM p2) THEN 1 ELSE 0 END)
+      |  FROM a2 GROUP BY fk, k
+      |  UNION ALL
+      |  SELECT fk, k, CAST(COUNT(*) AS BIGINT),
+      |    MAX(CASE WHEN k IN (SELECT k FROM p3) THEN 1 ELSE 0 END)
+      |  FROM a3 GROUP BY fk, k
+      |  UNION ALL
+      |  SELECT fk, k, CAST(COUNT(*) AS BIGINT),
+      |    MAX(CASE WHEN k IN (SELECT k FROM p4) THEN 1 ELSE 0 END)
+      |  FROM a4 GROUP BY fk, k)
+      |SELECT fk, CAST(SUM(c) AS BIGINT) AS n_child_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_child_keys,
+      |  CAST(SUM(CASE WHEN hit = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_orphan_keys,
+      |  CAST(SUM(CASE WHEN hit = 0 THEN c ELSE 0 END) AS BIGINT)
+      |    AS n_orphan_rows,
+      |  round(CAST(SUM(c) - SUM(CASE WHEN hit = 0 THEN c ELSE 0 END)
+      |      AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS coverage
+      |FROM audit GROUP BY fk ORDER BY fk""".stripMargin
+
   def queries: Seq[Q] = Seq(
-    Q("q327_t_closeness", q327, Some(q327Sql)))
+    Q("q327_t_closeness", q327, Some(q327Sql)),
+    Q("q328_fd_audit", q328, Some(q328Sql)),
+    Q("q329_inclusion_audit", q329, Some(q329Sql)))
 }
