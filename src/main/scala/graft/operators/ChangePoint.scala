@@ -90,4 +90,74 @@ object ChangePoint {
         (col("__s") > lit(h).cast("decimal(38,6)") * nRef).as("alarm"))
       .orderBy(col("t"))
   }
+
+  /** Pettitt changepoint test (Pettitt 1979) — WHERE the series broke,
+    * which [[cusum]] (needs a calibration prefix + σ units) and q252
+    * Mann–Kendall (monotone trend, no location) don't answer: the
+    * rank-based single-changepoint locator, robust to the heavy tails
+    * that break mean-split scans. Statistic:
+    *
+    *   U_t = Σ_{i ≤ t} Σ_{j > t} sgn(x_i − x_j),  K = max_t |U_t|
+    *
+    * computed in O(grid) via the recurrence U_t = U_{t−1} + V_t with
+    * V_t = Σ_j sgn(x_t − x_j) — and V_t is EXACTLY the midrank
+    * identity V_t = 2·r̄_t − (T+1) = m2_t − 1 − T off the q319 rank
+    * machinery (m2 = doubled midrank, an exact BIGINT), so the whole
+    * trajectory is exact integers. The approximate significance
+    * p ≈ min(1, 2·exp(−6K²/(T³+T²))) closes in doubles from those
+    * integers (both engines exp the SAME IEEE quotient; 6-dp round —
+    * the q321 exp/ln precedent).
+    *
+    * Output: the full |grid| trajectory (t, u, is_peak) with the
+    * verdict (k, t_star, p_approx) repeated per row — the reviewer
+    * reads the shape, not just the argmax; t_star is the FIRST peak
+    * (min t at |U| = K, deterministic under ties). Integer-scaled
+    * values only (the mannWhitney contract).
+    *
+    * Scale shape: the input must already BE a grid (the Seasonal
+    * idiom), loudly bounded at 2¹² positions; one pinned pass derives
+    * it, the census/rank/cumsum windows all run on grid rows. */
+  def pettitt(df: DataFrame, tCol: String, vCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,
+      LongType}
+    val vt0 = df.schema(vCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(vt0),
+      s"pettitt: valueCol '$vCol' is $vt0 — integer-scaled only")
+    Pinned.withCheckpoint(df
+      .select(col(tCol).cast("long").as("__t"),
+        col(vCol).cast("long").as("__v"))
+      .filter(col("__t").isNotNull && col("__v").isNotNull)
+    ) { g =>
+      val spark = g.sparkSession
+      val tn = g.count()
+      require(tn >= 3 && tn <= (1 << 12),
+        s"pettitt: $tn grid positions outside [3, 4096] — pre-aggregate " +
+          "onto a bounded time grid first (the Seasonal idiom)")
+      val wv = Window.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = g.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+        .withColumn("__m2",
+          lit(2L) * (sum(col("__c")).over(wv) - col("__c")) +
+            col("__c") + 1L)
+        .select(col("__v"), col("__m2"))
+      val wt = Window.orderBy(col("__t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ut = g.join(ranked, "__v")
+        .withColumn("__u", sum(col("__m2") - 1L - tn).over(wt))
+      val peak = ut.agg(max(abs(col("__u")))).head().getLong(0)
+      val tStar = ut.filter(abs(col("__u")) === peak)
+        .agg(min(col("__t"))).head().getLong(0)
+      val p = math.min(1.0, 2.0 * math.exp(
+        -6.0 * peak.toDouble * peak.toDouble /
+          (tn.toDouble * tn.toDouble * tn.toDouble +
+            tn.toDouble * tn.toDouble)))
+      val out = ut
+        .select(col("__t").as("t"), col("__u").as("u"),
+          (col("__t") === tStar).as("is_peak"), lit(peak).as("k"),
+          lit(tStar).as("t_star"), lit(tn).as("n"),
+          round(lit(p), 6).as("p_approx"))
+        .orderBy(col("t"))
+      Grids.collectBounded(out, "pettitt time grid")
+    }
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
-import graft.operators.{Dependencies, KAnonymity}
+import graft.operators.{ChangePoint, Dependencies, KAnonymity}
 
 /** Round-16 release/ingest audit extensions (q327+): t-closeness (the
   * ordered-attribute privacy audit k-anonymity and l-diversity miss),
@@ -188,8 +188,57 @@ object AuditQueries extends QuerySet {
       |      AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS coverage
       |FROM audit GROUP BY fk ORDER BY fk""".stripMargin
 
+  /** Pettitt changepoint over the hourly revenue series: WHERE the
+    * level broke — the rank-based locator beside q290's CUSUM (which
+    * needs a calibration prefix) and q252's Mann–Kendall (trend, not
+    * location). */
+  private def q330(s: SparkSession, d: String): DataFrame = {
+    val grid = t(s, d, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(floor(unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+        .cast("long").as("t"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+    ChangePoint.pettitt(grid, "t", "y")
+  }
+
+  private val q330Sql =
+    """WITH g AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600
+      |      AS t,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1),
+      |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS tn FROM g),
+      |census AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM g
+      |  GROUP BY y),
+      |ranked AS (
+      |  SELECT y,
+      |    2 * (CAST(SUM(c) OVER (ORDER BY y
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      - c) + c + 1 AS m2
+      |  FROM census),
+      |ut AS (
+      |  SELECT g.t,
+      |    CAST(SUM(r.m2 - 1 - s.tn) OVER (ORDER BY g.t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS u
+      |  FROM g JOIN ranked r ON g.y = r.y CROSS JOIN s),
+      |pk AS (SELECT CAST(MAX(abs(u)) AS BIGINT) AS k FROM ut),
+      |tstar AS (SELECT MIN(t) AS t_star FROM ut, pk WHERE abs(u) = pk.k)
+      |SELECT ut.t, ut.u, ut.t = tstar.t_star AS is_peak, pk.k,
+      |  tstar.t_star, s.tn AS n,
+      |  round(least(1.0, 2.0 * exp(-6.0 * CAST(pk.k AS DOUBLE)
+      |    * CAST(pk.k AS DOUBLE)
+      |    / (CAST(s.tn AS DOUBLE) * CAST(s.tn AS DOUBLE)
+      |      * CAST(s.tn AS DOUBLE)
+      |      + CAST(s.tn AS DOUBLE) * CAST(s.tn AS DOUBLE)))), 6)
+      |    AS p_approx
+      |FROM ut CROSS JOIN pk CROSS JOIN tstar CROSS JOIN s
+      |ORDER BY ut.t""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q327_t_closeness", q327, Some(q327Sql)),
     Q("q328_fd_audit", q328, Some(q328Sql)),
-    Q("q329_inclusion_audit", q329, Some(q329Sql)))
+    Q("q329_inclusion_audit", q329, Some(q329Sql)),
+    Q("q330_pettitt", q330, Some(q330Sql)))
 }

@@ -62,4 +62,49 @@ class ChangePointSpec extends AnyFunSuite with SparkSuite {
     }
     assert(ex.getMessage.contains("observed"))
   }
+
+  /** Brute-force Pettitt: U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j). */
+  private def pettittRef(xs: Seq[Long]): Seq[Long] =
+    (1 to xs.length).map { t =>
+      (for (i <- 0 until t; j <- t until xs.length)
+        yield (xs(i) - xs(j)).sign.toLong).sum
+    }
+
+  test("pettitt: hand-computed level break with the midrank recurrence") {
+    // [1,1,1,5,5]: U = [-2,-4,-6,-3,0], K = 6 at t = 3 (the true break)
+    val df = Seq(1L, 1L, 1L, 5L, 5L).zipWithIndex
+      .map { case (v, i) => (i.toLong + 1, v) }.toDF("t", "v")
+    val out = ChangePoint.pettitt(df, "t", "v").collect()
+    assert(out.map(_.getAs[Long]("u")).toSeq == Seq(-2L, -4L, -6L, -3L, 0L))
+    assert(out.head.getAs[Long]("k") == 6L)
+    assert(out.head.getAs[Long]("t_star") == 3L)
+    assert(out.count(_.getAs[Boolean]("is_peak")) == 1)
+    val p = math.min(1.0, 2.0 * math.exp(-6.0 * 36.0 / (125.0 + 25.0)))
+    assert(out.head.getAs[Double]("p_approx") ==
+      BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("pettitt recurrence == brute-force double sum (ties included)") {
+    val rnd = new scala.util.Random(7)
+    val xs = Seq.fill(40)(rnd.nextInt(6).toLong) // heavy ties
+    val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("t", "v")
+    val got = ChangePoint.pettitt(df, "t", "v")
+      .collect().map(_.getAs[Long]("u")).toSeq
+    assert(got == pettittRef(xs))
+  }
+
+  test("pettitt: partitioning-invariant; refuses double values") {
+    val xs = (1 to 60).map(i => (i.toLong, (i % 9).toLong))
+    val df = xs.toDF("t", "v")
+    val a = ChangePoint.pettitt(df.coalesce(1), "t", "v")
+      .collect().map(_.toString).toSeq
+    val b = ChangePoint.pettitt(df.repartition(11), "t", "v")
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+    val dbl = xs.map { case (t, v) => (t, v.toDouble) }.toDF("t", "v")
+    val e = intercept[IllegalArgumentException](
+      ChangePoint.pettitt(dbl, "t", "v"))
+    assert(e.getMessage.contains("integer-scaled"))
+  }
 }
