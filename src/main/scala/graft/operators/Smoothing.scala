@@ -152,4 +152,84 @@ object Smoothing {
         round(col("__e"), 6).as("forecast_err"))
       .orderBy(col("t"))
   }
+
+  /** Additive Holt-Winters (triple exponential smoothing) on a time
+    * grid — the forecaster [[holt]] cannot be: a daily-cycled hourly
+    * series makes Holt chase the cycle as spurious trend; Holt-Winters
+    * carries an explicit m-length seasonal state (Winters 1960;
+    * FPP §8.3):
+    *
+    *   ℓₜ = α(yₜ − sₜ₋ₘ) + (1−α)(ℓₜ₋₁ + bₜ₋₁)
+    *   bₜ = β(ℓₜ − ℓₜ₋₁) + (1−β)bₜ₋₁
+    *   sₜ = γ(yₜ − ℓₜ) + (1−γ)sₜ₋ₘ,   ŷₜ = ℓₜ₋₁ + bₜ₋₁ + sₜ₋ₘ
+    *
+    * Init (the textbook two-season seed): ℓ₀ = mean(y₁..yₘ),
+    * b₀ = (mean(yₘ₊₁..y₂ₘ) − ℓ₀)/m, sᵢ = yᵢ − ℓ₀; the recursion then
+    * runs from t = m+1 and only those rows are emitted (the cusum
+    * calibration-prefix discipline).
+    *
+    * Determinism contract (the [[holt]] class): no closed form, so the
+    * bounded grid folds DRIVER-SIDE with an exact per-step IEEE tree —
+    * ordered-fold means (0-seeded left fold, the q279 discipline),
+    * (1−α) written as the subtraction — that the oracle's recursive
+    * CTE replays verbatim carrying the m-slot seasonal list. Rounding
+    * once at output (6 dp).
+    *
+    * Scale shape: input must already BE a grid (the [[ses]] contract),
+    * ≤4096 positions, ≥ 2m+1 of them; one pinned pass derives it, the
+    * fold is O(grid·1) on the driver. */
+  def holtWinters(grid: DataFrame, tCol: String, yCol: String,
+                  season: Int, alpha: Double, beta: Double,
+                  gamma: Double): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0,
+      s"holtWinters: alpha=$alpha outside (0,1)")
+    require(beta > 0.0 && beta < 1.0,
+      s"holtWinters: beta=$beta outside (0,1)")
+    require(gamma > 0.0 && gamma < 1.0,
+      s"holtWinters: gamma=$gamma outside (0,1)")
+    require(season >= 2, s"holtWinters: season=$season (need >= 2)")
+    val spark = grid.sparkSession
+    val g = grid.select(col(tCol).cast("long").as("t"),
+        col(yCol).cast("double").as("y"))
+      .filter(col("t").isNotNull && col("y").isNotNull)
+      .orderBy(col("t"))
+    val rows = Grids.collectBounded(g, "holtWinters time grid",
+      maxRows = 1 << 12).collect()
+    val m = season
+    require(rows.length >= 2 * m + 1,
+      s"holtWinters: ${rows.length} grid positions (need >= ${2 * m + 1} " +
+        s"for the two-season init at season=$m)")
+    val ys = rows.map(_.getDouble(1))
+    var l = 0.0; var i = 0
+    while (i < m) { l += ys(i); i += 1 }
+    l /= m.toDouble
+    var mean2 = 0.0; i = m
+    while (i < 2 * m) { mean2 += ys(i); i += 1 }
+    mean2 /= m.toDouble
+    var b = (mean2 - l) / m.toDouble
+    val seas = Array.tabulate(m)(j => ys(j) - l)
+    var head = 0 // seas ring buffer: seas(head) is s_{t-m}
+    val out = new Array[(Long, Double, Double, Double, Double, Double)](
+      rows.length - m)
+    i = m
+    while (i < rows.length) {
+      val y = ys(i)
+      val sOld = seas(head)
+      val err = y - (l + b + sOld)
+      val lNew = alpha * (y - sOld) + (1.0 - alpha) * (l + b)
+      val bNew = beta * (lNew - l) + (1.0 - beta) * b
+      val sNew = gamma * (y - lNew) + (1.0 - gamma) * sOld
+      out(i - m) = (rows(i).getLong(0), y, lNew, bNew, sNew, err)
+      seas(head) = sNew; head = (head + 1) % m
+      l = lNew; b = bNew
+      i += 1
+    }
+    spark.createDataFrame(out.toSeq)
+      .toDF("t", "y", "__l", "__b", "__s", "__e")
+      .select(col("t"), col("y"), round(col("__l"), 6).as("level"),
+        round(col("__b"), 6).as("trend"),
+        round(col("__s"), 6).as("seasonal"),
+        round(col("__e"), 6).as("forecast_err"))
+      .orderBy(col("t"))
+  }
 }

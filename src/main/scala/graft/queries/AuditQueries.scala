@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
-import graft.operators.{ChangePoint, Dependencies, KAnonymity}
+import graft.operators.{ChangePoint, Dependencies, KAnonymity, Smoothing}
 
 /** Round-16 release/ingest audit extensions (q327+): t-closeness (the
   * ordered-attribute privacy audit k-anonymity and l-diversity miss),
@@ -236,9 +236,71 @@ object AuditQueries extends QuerySet {
       |FROM ut CROSS JOIN pk CROSS JOIN tstar CROSS JOIN s
       |ORDER BY ut.t""".stripMargin
 
+  /** Additive Holt-Winters on the hourly revenue series, daily season
+    * — the forecast q322's Holt chases as spurious trend (the series
+    * has a 24-hour cycle); completes the SES → Holt → Holt-Winters →
+    * MASE-backtest forecasting family. */
+  private def q331(s: SparkSession, d: String): DataFrame = {
+    val grid = t(s, d, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(floor(unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+        .cast("long").as("t"))
+      .agg((sum(round(col("value") * 100).cast("long")).cast("double") /
+        lit(100.0)).as("y"))
+    Smoothing.holtWinters(grid, "t", "y", season = 24,
+      alpha = 0.3, beta = 0.1, gamma = 0.2)
+  }
+
+  private val q331Sql =
+    """WITH RECURSIVE g AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600
+      |      AS t,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      |      AS y
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1),
+      |gi AS (SELECT t, y, row_number() OVER (ORDER BY t) AS rn FROM g),
+      |l0 AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list(y ORDER BY rn)), (a, b) -> a + b) / 24.0 AS l
+      |  FROM gi WHERE rn <= 24),
+      |mu2 AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list(y ORDER BY rn)), (a, b) -> a + b) / 24.0 AS v
+      |  FROM gi WHERE rn > 24 AND rn <= 48),
+      |seed AS (
+      |  SELECT CAST(24 AS BIGINT) AS rn, l0.l AS l,
+      |    (mu2.v - l0.l) / 24.0 AS b,
+      |    (SELECT list(gi.y - l0.l ORDER BY gi.rn) FROM gi, l0
+      |     WHERE gi.rn <= 24) AS seas,
+      |    CAST(NULL AS DOUBLE) AS y, CAST(NULL AS BIGINT) AS t,
+      |    CAST(NULL AS DOUBLE) AS snew, CAST(NULL AS DOUBLE) AS e
+      |  FROM l0, mu2),
+      |rec AS (
+      |  SELECT * FROM seed
+      |  UNION ALL
+      |  SELECT gi.rn,
+      |    0.3 * (gi.y - rec.seas[1])
+      |      + (1.0 - 0.3) * (rec.l + rec.b),
+      |    0.1 * ((0.3 * (gi.y - rec.seas[1])
+      |        + (1.0 - 0.3) * (rec.l + rec.b)) - rec.l)
+      |      + (1.0 - 0.1) * rec.b,
+      |    list_append(rec.seas[2:],
+      |      0.2 * (gi.y - (0.3 * (gi.y - rec.seas[1])
+      |        + (1.0 - 0.3) * (rec.l + rec.b)))
+      |        + (1.0 - 0.2) * rec.seas[1]),
+      |    gi.y, gi.t,
+      |    0.2 * (gi.y - (0.3 * (gi.y - rec.seas[1])
+      |      + (1.0 - 0.3) * (rec.l + rec.b)))
+      |      + (1.0 - 0.2) * rec.seas[1],
+      |    gi.y - (rec.l + rec.b + rec.seas[1])
+      |  FROM rec JOIN gi ON gi.rn = rec.rn + 1)
+      |SELECT t, y, round(l, 6) AS level, round(b, 6) AS trend,
+      |  round(snew, 6) AS seasonal, round(e, 6) AS forecast_err
+      |FROM rec WHERE rn > 24 ORDER BY t""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q327_t_closeness", q327, Some(q327Sql)),
     Q("q328_fd_audit", q328, Some(q328Sql)),
     Q("q329_inclusion_audit", q329, Some(q329Sql)),
-    Q("q330_pettitt", q330, Some(q330Sql)))
+    Q("q330_pettitt", q330, Some(q330Sql)),
+    Q("q331_holt_winters", q331, Some(q331Sql)))
 }

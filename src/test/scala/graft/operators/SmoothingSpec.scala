@@ -79,4 +79,52 @@ class SmoothingSpec extends AnyFunSuite with SparkSuite {
         "CAST(id AS DOUBLE) AS y"), "t", "y", 0.3, 0.2)
     }
   }
+
+  test("holtWinters: a pure m-cycle is an exact fixpoint (all errors 0)") {
+    import spark.implicits._
+    // pattern [10,20,30] repeating: l0 = 20, b0 = 0, s = [-10,0,10] —
+    // every update reproduces the state, so forecast_err == 0 forever
+    // and Holt (which chases the cycle as trend) would not do this
+    val ys = (0 until 12).map(i => (i.toLong, Seq(10.0, 20.0, 30.0)(i % 3)))
+    val out = Smoothing.holtWinters(ys.toDF("t", "y"), "t", "y",
+      season = 3, alpha = 0.3, beta = 0.1, gamma = 0.2).collect()
+    assert(out.length == 9) // first season seeds, rest emit
+    assert(out.forall(_.getAs[Double]("forecast_err") == 0.0))
+    assert(out.forall(_.getAs[Double]("level") == 20.0))
+    assert(out.forall(_.getAs[Double]("trend") == 0.0))
+    assert(out.map(_.getAs[Double]("seasonal")).toSeq ==
+      Seq(-10.0, 0.0, 10.0, -10.0, 0.0, 10.0, -10.0, 0.0, 10.0))
+  }
+
+  test("holtWinters: hand-computed first step on a trending series") {
+    import spark.implicits._
+    // y = t+1, m = 2: l0 = 1.5, b0 = (3.5-1.5)/2 = 1, s = [-0.5, 0.5];
+    // t=3 (y=3): err = 3-(1.5+1-0.5) = 1,
+    //   lNew = .3*(3-(-0.5)) + .7*2.5 = 1.05+1.75 = 2.8,
+    //   bNew = .1*(2.8-1.5) + .9*1 = 1.03,
+    //   sNew = .2*(3-2.8) + .8*(-0.5) = -0.36
+    val ys = (1 to 8).map(i => (i.toLong, i.toDouble))
+    val out = Smoothing.holtWinters(ys.toDF("t", "y"), "t", "y",
+      season = 2, alpha = 0.3, beta = 0.1, gamma = 0.2).collect()
+    val r = out.head
+    assert(r.getAs[Long]("t") == 3L)
+    assert(r.getAs[Double]("forecast_err") == 1.0)
+    assert(math.abs(r.getAs[Double]("level") - 2.8) < 1e-9)
+    assert(math.abs(r.getAs[Double]("trend") - 1.03) < 1e-9)
+    assert(math.abs(r.getAs[Double]("seasonal") + 0.36) < 1e-9)
+  }
+
+  test("holtWinters: partitioning-invariant; refuses a short grid") {
+    import spark.implicits._
+    val ys = (1 to 60).map(i =>
+      (i.toLong, 10.0 + i * 0.5 + Seq(0.0, 3.0, -1.0, 2.0)(i % 4)))
+    val df = ys.toDF("t", "y")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Smoothing.holtWinters(d, "t", "y", 4, 0.3, 0.1, 0.2)
+        .collect().map(_.toString).toSeq
+    assert(run(df.coalesce(1)) == run(df.repartition(13)))
+    intercept[IllegalArgumentException] {
+      Smoothing.holtWinters(df.limit(8), "t", "y", 4, 0.3, 0.1, 0.2)
+    }
+  }
 }
