@@ -154,6 +154,70 @@ object RankTests {
     }
   }
 
+  /** Cliff's delta (Cliff 1993) — the EFFECT SIZE the [[mannWhitney]]
+    * z cannot be: at corpus scale everything is "significant"; δ =
+    * P(x₁ > x₀) − P(x₁ < x₀) answers whether the shift is LARGE,
+    * scale-free and robust (the ordinal counterpart of q311's
+    * Cohen's d). Computed from the same exact value census:
+    *
+    *   gt = Σ_v n₁(v)·C₂(<v),  eq = Σ_v n₁(v)·n₂(v),
+    *   lt = n₁·n₂ − gt − eq,   δ = (gt − lt)/(n₁·n₂)
+    *
+    * with the Romano et al. (2006) magnitude labels on |δ| (decided on
+    * the 6-dp-rounded δ, so the label can't flip across engines).
+    * Pair counts accumulate in DECIMAL(38,0) (gt ≤ n₁·n₂ ≈ 10²⁴ at
+    * 10¹² rows) and publish as doubles (exact correctly-rounded
+    * conversion in both engines). Integer-scaled values only.
+    *
+    * Scale shape: the [[mannWhitney]] shape — one census aggregate
+    * onto the distinct-value grid, cumulative window on the grid. */
+  def cliffsDelta(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,
+      LongType}
+    val vt = df.schema(valueCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(vt),
+      s"cliffsDelta: valueCol '$valueCol' is $vt — integer-scaled only")
+    val rows = df.select(col(groupCol).cast("int").as("__g"),
+        col(valueCol).cast("long").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    val badGroup = rows.filter(col("__g") =!= 0 && col("__g") =!= 1)
+    require(badGroup.isEmpty, "cliffsDelta: groupCol must be 0/1")
+    val spark = df.sparkSession
+    Pinned.withCheckpoint(rows.groupBy(col("__v"))
+      .agg(sum(when(col("__g") === 1, 1L).otherwise(0L)).as("__n1"),
+        sum(when(col("__g") === 0, 1L).otherwise(0L)).as("__n2"))
+    ) { grid =>
+      val w = Window.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val terms = grid
+        .withColumn("__cb2", sum(col("__n2")).over(w) - col("__n2"))
+      val p = terms.agg(
+        sum(col("__n1")).as("n1"), sum(col("__n2")).as("n2"),
+        sum((col("__n1").cast("decimal(38,0)") * col("__cb2")))
+          .as("__gt"),
+        sum((col("__n1").cast("decimal(38,0)") * col("__n2")))
+          .as("__eq")).head()
+      val (n1, n2) = (p.getLong(0), p.getLong(1))
+      require(n1 > 0 && n2 > 0, s"cliffsDelta: empty group ($n1, $n2)")
+      val gt = BigDecimal(p.getDecimal(2))
+      val eq = BigDecimal(p.getDecimal(3))
+      val lt = BigDecimal(n1) * BigDecimal(n2) - gt - eq
+      val delta = BigDecimal((gt - lt).toDouble /
+        (n1.toDouble * n2.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val mag =
+        if (math.abs(delta) < 0.147) "negligible"
+        else if (math.abs(delta) < 0.33) "small"
+        else if (math.abs(delta) < 0.474) "medium"
+        else "large"
+      spark.range(1).select(lit(n1).as("n1"), lit(n2).as("n2"),
+        lit(gt.toDouble).as("gt_pairs"), lit(lt.toDouble).as("lt_pairs"),
+        lit(eq.toDouble).as("tie_pairs"), lit(delta).as("delta"),
+        lit(mag).as("magnitude"))
+    }
+  }
+
   /** Kruskal–Wallis H — [[mannWhitney]] for k groups (Kruskal & Wallis
     * 1952): one omnibus "did ANY slice shift the metric" readout before
     * k² pairwise tests, on the same exact value-census machinery.

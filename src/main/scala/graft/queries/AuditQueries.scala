@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
-import graft.operators.{ChangePoint, Dependencies, KAnonymity, Smoothing}
+import graft.operators.{ChangePoint, Dependencies, KAnonymity, Ordinal,
+  RankTests, Smoothing}
 
 /** Round-16 release/ingest audit extensions (q327+): t-closeness (the
   * ordered-attribute privacy audit k-anonymity and l-diversity miss),
@@ -297,10 +298,119 @@ object AuditQueries extends QuerySet {
       |  round(snew, 6) AS seasonal, round(e, 6) AS forecast_err
       |FROM rec WHERE rn > 24 ORDER BY t""".stripMargin
 
+  /** Cliff's delta: HOW MUCH longer are English documents than the
+    * rest — the effect size that stays meaningful when corpus scale
+    * makes every rank test "significant". */
+  private def q332(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+      .select(when(col("lang") === "en", 1).otherwise(0).cast("int")
+          .as("g"),
+        col("n_chars").cast("long").as("v"))
+    RankTests.cliffsDelta(docs, "g", "v")
+  }
+
+  private val q332Sql =
+    """WITH r AS (
+      |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g,
+      |    CAST(n_chars AS BIGINT) AS v
+      |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+      |grid AS (
+      |  SELECT v,
+      |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM r GROUP BY v),
+      |tr AS (
+      |  SELECT v, n1, n2,
+      |    CAST(SUM(n2) OVER w - n2 AS BIGINT) AS cb2
+      |  FROM grid
+      |  WINDOW w AS (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |p AS (
+      |  SELECT CAST(SUM(n1) AS BIGINT) AS n1s,
+      |    CAST(SUM(n2) AS BIGINT) AS n2s,
+      |    SUM(CAST(n1 AS HUGEINT) * cb2) AS gt,
+      |    SUM(CAST(n1 AS HUGEINT) * n2) AS eq
+      |  FROM tr),
+      |d AS (
+      |  SELECT n1s, n2s, gt, eq,
+      |    CAST(n1s AS HUGEINT) * n2s - gt - eq AS lt
+      |  FROM p),
+      |cl AS (
+      |  SELECT n1s, n2s, gt, eq, lt,
+      |    round(CAST(CAST(gt - lt AS VARCHAR) AS DOUBLE)
+      |      / (CAST(n1s AS DOUBLE) * CAST(n2s AS DOUBLE)), 6) AS delta
+      |  FROM d)
+      |SELECT n1s AS n1, n2s AS n2,
+      |  CAST(CAST(gt AS VARCHAR) AS DOUBLE) AS gt_pairs,
+      |  CAST(CAST(lt AS VARCHAR) AS DOUBLE) AS lt_pairs,
+      |  CAST(CAST(eq AS VARCHAR) AS DOUBLE) AS tie_pairs,
+      |  delta,
+      |  CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+      |    WHEN abs(delta) < 0.33 THEN 'small'
+      |    WHEN abs(delta) < 0.474 THEN 'medium'
+      |    ELSE 'large' END AS magnitude
+      |FROM cl""".stripMargin
+
+  /** Goodman–Kruskal gamma / Somers' D: do larger order quantities
+    * co-move with higher line prices — the asymmetric "does x predict
+    * y's ordering" readout beside q257's symmetric tau-b. */
+  private def q333(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .filter(col("l_quantity").isNotNull &&
+        col("l_extendedprice").isNotNull)
+      .select(col("l_quantity").cast("long").as("qty"),
+        floor(col("l_extendedprice") / 2000).cast("long").as("price_band"))
+    Ordinal.gammaSomers(li, "qty", "price_band")
+  }
+
+  private val q333Sql =
+    """WITH census AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(floor(l_extendedprice / 2000) AS BIGINT) AS y,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+      |  CAST(COUNT(*) AS BIGINT) AS cells FROM census),
+      |pairs AS (
+      |  SELECT
+      |    SUM(CASE WHEN sign(b.x - a.x) * sign(b.y - a.y) > 0
+      |      THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) / 2 AS c,
+      |    SUM(CASE WHEN sign(b.x - a.x) * sign(b.y - a.y) < 0
+      |      THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) / 2 AS d
+      |  FROM census a, census b
+      |  WHERE NOT (a.x = b.x AND a.y = b.y)),
+      |tx_ AS (
+      |  SELECT SUM(CAST(t AS HUGEINT) * (t - 1) / 2) AS tx FROM
+      |  (SELECT CAST(SUM(n) AS BIGINT) AS t FROM census GROUP BY x)),
+      |ty_ AS (
+      |  SELECT SUM(CAST(t AS HUGEINT) * (t - 1) / 2) AS ty FROM
+      |  (SELECT CAST(SUM(n) AS BIGINT) AS t FROM census GROUP BY y)),
+      |alg AS (
+      |  SELECT tot.nn, tot.cells, pairs.c, pairs.d, tx_.tx, ty_.ty,
+      |    CAST(tot.nn AS HUGEINT) * (tot.nn - 1) / 2 AS p
+      |  FROM tot, pairs, tx_, ty_)
+      |SELECT nn AS n, cells,
+      |  CAST(CAST(c AS VARCHAR) AS DOUBLE) AS c_pairs,
+      |  CAST(CAST(d AS VARCHAR) AS DOUBLE) AS d_pairs,
+      |  CAST(CAST(tx AS VARCHAR) AS DOUBLE) AS tied_x,
+      |  CAST(CAST(ty AS VARCHAR) AS DOUBLE) AS tied_y,
+      |  round(CAST(CAST(c - d AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(c + d AS VARCHAR) AS DOUBLE), 6) AS gamma,
+      |  round(CAST(CAST(c - d AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(p - tx AS VARCHAR) AS DOUBLE), 6) AS somers_dyx,
+      |  round(CAST(CAST(c - d AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(p - ty AS VARCHAR) AS DOUBLE), 6) AS somers_dxy
+      |FROM alg""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q327_t_closeness", q327, Some(q327Sql)),
     Q("q328_fd_audit", q328, Some(q328Sql)),
     Q("q329_inclusion_audit", q329, Some(q329Sql)),
     Q("q330_pettitt", q330, Some(q330Sql)),
-    Q("q331_holt_winters", q331, Some(q331Sql)))
+    Q("q331_holt_winters", q331, Some(q331Sql)),
+    Q("q332_cliffs_delta", q332, Some(q332Sql)),
+    Q("q333_gamma_somers", q333, Some(q333Sql)))
 }

@@ -162,4 +162,43 @@ class RankTestsSpec extends AnyFunSuite with SparkSuite {
       assert(r.getAs[Long]("df") == 2L)
     }
   }
+
+  test("cliffsDelta: hand-computed pair counts and magnitude") {
+    import spark.implicits._
+    // g1 = {3,5}, g0 = {1,4}: gt = 3 (3>1, 5>1, 5>4), lt = 1 (3<4),
+    // eq = 0 → delta = (3-1)/4 = 0.5 → 'large'
+    val df = Seq((1, 3L), (1, 5L), (0, 1L), (0, 4L)).toDF("g", "v")
+    val r = RankTests.cliffsDelta(df, "g", "v").head()
+    assert(r.getAs[Long]("n1") == 2L && r.getAs[Long]("n2") == 2L)
+    assert(r.getAs[Double]("gt_pairs") == 3.0)
+    assert(r.getAs[Double]("lt_pairs") == 1.0)
+    assert(r.getAs[Double]("tie_pairs") == 0.0)
+    assert(r.getAs[Double]("delta") == 0.5)
+    assert(r.getAs[String]("magnitude") == "large")
+  }
+
+  test("cliffsDelta: ties count neither way; identical groups give 0") {
+    import spark.implicits._
+    val df = Seq((1, 2L), (1, 7L), (0, 2L), (0, 7L)).toDF("g", "v")
+    val r = RankTests.cliffsDelta(df, "g", "v").head()
+    assert(r.getAs[Double]("tie_pairs") == 2.0)
+    assert(r.getAs[Double]("delta") == 0.0)
+    assert(r.getAs[String]("magnitude") == "negligible")
+  }
+
+  test("cliffsDelta: brute force agreement and partition invariance") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(120)((rnd.nextInt(2), rnd.nextInt(9).toLong))
+    val g1 = rows.filter(_._1 == 1).map(_._2)
+    val g0 = rows.filter(_._1 == 0).map(_._2)
+    val gt = (for (a <- g1; b <- g0) yield if (a > b) 1L else 0L).sum
+    val lt = (for (a <- g1; b <- g0) yield if (a < b) 1L else 0L).sum
+    val df = rows.toDF("g", "v")
+    val r = RankTests.cliffsDelta(df.repartition(7), "g", "v").head()
+    assert(r.getAs[Double]("gt_pairs") == gt.toDouble)
+    assert(r.getAs[Double]("lt_pairs") == lt.toDouble)
+    val a = RankTests.cliffsDelta(df.coalesce(1), "g", "v").head().toSeq
+    assert(a == r.toSeq)
+  }
 }
