@@ -405,6 +405,89 @@ object AuditQueries extends QuerySet {
       |    / CAST(CAST(p - ty AS VARCHAR) AS DOUBLE), 6) AS somers_dxy
       |FROM alg""".stripMargin
 
+  /** Streaming schema-drift monitor under the driver gate — the q315
+    * batch audit made continuous on the LedgerMonitor base (its eighth
+    * monitor): even events land as four deterministic micro-batches of
+    * raw JSON docs; batches 2-3 carry a planted int→string producer
+    * regression on field `k`, which must flip exactly once (batch 2)
+    * while the never-present field `z` stays 'missing' throughout. */
+  private def q334(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").filter(col("event_id") % 2 === 0)
+      .select(col("event_id"),
+        when(col("event_id") % 8 < 4,
+          to_json(struct((col("event_id") % 97).as("k"))))
+          .otherwise(to_json(struct((col("event_id") % 97).cast("string")
+            .as("k"))))
+          .as("doc"))
+    val srcDir = new java.io.File(Scratch.dir("q334-src"))
+    val base = System.currentTimeMillis()
+    Seq(0, 2, 4, 6).zipWithIndex.foreach { case (r, i) =>
+      val tmp = new java.io.File(Scratch.dir("q334-stage"))
+      ev.filter(col("event_id") % 8 === r).select(col("doc")).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      tmp.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val dst = new java.io.File(srcDir, s"batch$i.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(base + i * 1000L)
+      }
+    }
+    val store = new graft.store.DocumentStore(s, Scratch.dir("q334-store"))
+    val feed = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val qy = graft.streaming.SchemaMonitor.start(feed, store, "sledger",
+      "sverdict", "doc", Seq("k", "z"), Scratch.dir("q334-ckpt"))
+    try qy.processAllAvailable() finally qy.stop()
+    store.read("sverdict")
+      .select(col("batch_id"), col("field"), col("n_docs"),
+        col("dom_type"), col("n_dom"), col("prev_type"), col("flipped"))
+      .orderBy(col("field"), col("batch_id"))
+  }
+
+  private val q334Sql =
+    """WITH src AS (
+      |  SELECT (event_id % 8) // 2 AS b,
+      |    CASE WHEN event_id % 8 < 4
+      |      THEN to_json(struct_pack(k := event_id % 97))
+      |      ELSE to_json(struct_pack(k := CAST(event_id % 97 AS VARCHAR)))
+      |      END AS doc
+      |  FROM events WHERE event_id % 2 = 0),
+      |toks AS (
+      |  SELECT b, f.field,
+      |    regexp_extract(doc, '"' || f.field ||
+      |      '"\s*:\s*("(?:[^"\\]|\\.)*"|\[|\{|true|false|null|' ||
+      |      '-?[0-9][0-9.eE+\-]*)', 1) AS tok
+      |  FROM src CROSS JOIN (VALUES ('k'), ('z')) AS f(field)),
+      |cls AS (
+      |  SELECT b, field,
+      |    CASE WHEN tok = '' THEN 'missing'
+      |      WHEN tok = 'null' THEN 'null'
+      |      WHEN tok IN ('true', 'false') THEN 'bool'
+      |      WHEN left(tok, 1) = '"' THEN 'string'
+      |      WHEN left(tok, 1) = '[' THEN 'array'
+      |      WHEN left(tok, 1) = '{' THEN 'object'
+      |      WHEN regexp_matches(tok, '^-?[0-9]+$') THEN 'int'
+      |      ELSE 'float' END AS t
+      |  FROM toks),
+      |cells AS (
+      |  SELECT b, field, t, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM cls GROUP BY 1, 2, 3),
+      |dom AS (
+      |  SELECT b, field, n_docs, t AS dom_type, n AS n_dom FROM (
+      |    SELECT b, field, t, n,
+      |      CAST(SUM(n) OVER (PARTITION BY b, field) AS BIGINT)
+      |        AS n_docs,
+      |      row_number() OVER (PARTITION BY b, field
+      |        ORDER BY n DESC, t DESC) AS rn
+      |    FROM cells) x WHERE rn = 1)
+      |SELECT b AS batch_id, field, n_docs, dom_type, n_dom,
+      |  lag(dom_type) OVER (PARTITION BY field ORDER BY b) AS prev_type,
+      |  COALESCE(lag(dom_type) OVER (PARTITION BY field ORDER BY b)
+      |    <> dom_type, FALSE) AS flipped
+      |FROM dom ORDER BY field, batch_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q327_t_closeness", q327, Some(q327Sql)),
     Q("q328_fd_audit", q328, Some(q328Sql)),
@@ -412,5 +495,6 @@ object AuditQueries extends QuerySet {
     Q("q330_pettitt", q330, Some(q330Sql)),
     Q("q331_holt_winters", q331, Some(q331Sql)),
     Q("q332_cliffs_delta", q332, Some(q332Sql)),
-    Q("q333_gamma_somers", q333, Some(q333Sql)))
+    Q("q333_gamma_somers", q333, Some(q333Sql)),
+    Q("q334_streaming_schema", q334, Some(q334Sql)))
 }

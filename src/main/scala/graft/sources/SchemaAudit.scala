@@ -56,14 +56,11 @@ object SchemaAudit {
       .otherwise(lit("float"))
   }
 
-  /** One row per (epoch, field): the epoch's type census for the field
-    * (n per class, dominant class) plus the previous epoch's dominant
-    * and the flip flag. Ordered (field, epoch). */
-  def audit(df: DataFrame, epochCol: String, docCol: String,
+  /** The (epoch, field, t, n) type census — one corpus pass. */
+  def cells(df: DataFrame, epochCol: String, docCol: String,
             fields: Seq[String]): DataFrame = {
     require(fields.nonEmpty, "need at least one audited field")
-    val cells = df
-      .filter(col(docCol).isNotNull && col(epochCol).isNotNull)
+    df.filter(col(docCol).isNotNull && col(epochCol).isNotNull)
       .select(col(epochCol).cast("long").as("epoch"),
         explode(array(fields.map(f =>
           struct(lit(f).as("field"), typeClass(col(docCol), f).as("t"))
@@ -71,6 +68,12 @@ object SchemaAudit {
       .groupBy(col("epoch"), col("ft.field").as("field"),
         col("ft.t").as("t"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** Dominance + flip from an (epoch, field, t, n) cell table — the
+    * serve face shared by the batch audit and the streaming monitor's
+    * ledger state (the psiFromCells pattern). */
+  def auditFromCells(cells: DataFrame): DataFrame = {
     // dominant class per (epoch, field): max by (n, type) — the type
     // string breaks count ties deterministically
     val dom = cells
@@ -86,6 +89,13 @@ object SchemaAudit {
         col("prev_type").isNotNull && col("prev_type") =!= col("dom_type"))
       .orderBy(col("field"), col("epoch"))
   }
+
+  /** One row per (epoch, field): the epoch's type census for the field
+    * (n per class, dominant class) plus the previous epoch's dominant
+    * and the flip flag. Ordered (field, epoch). */
+  def audit(df: DataFrame, epochCol: String, docCol: String,
+            fields: Seq[String]): DataFrame =
+    auditFromCells(cells(df, epochCol, docCol, fields))
 
   /** Quarantine predicate for one flipped (epoch, field): documents in
     * `epoch` whose field does NOT carry the pre-flip type — feed to

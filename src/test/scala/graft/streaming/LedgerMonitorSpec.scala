@@ -59,7 +59,11 @@ class LedgerMonitorSpec extends AnyFunSuite with SparkSuite {
       st => new AnytimeMonitor(st, "led", "ver", "arm", "y", 1e-4, 0.05),
       () => (1 to 60).map(i => (i % 2, i % 3 == 0)).toDF("arm", "y"),
       () => Seq((null: java.lang.Integer, null: java.lang.Boolean))
-        .toDF("arm", "y")))
+        .toDF("arm", "y")),
+    Case("schema",
+      st => new SchemaMonitor(st, "led", "ver", "doc", Seq("k")),
+      () => Seq("""{"k": 1}""", """{"k": 2}""").toDF("doc"),
+      () => Seq[Option[String]](None, None).toDF("doc")))
 
   private def snapshot(st: DocumentStore, table: String): Seq[String] =
     if (!st.exists(table)) Seq("<absent>")
@@ -82,7 +86,7 @@ class LedgerMonitorSpec extends AnyFunSuite with SparkSuite {
       // row (psi/cusum/anytime) — but NEVER a spurious alert
       verdicts.foreach { r =>
         val alertIdx = r.schema.fieldNames.indexWhere(n =>
-          n == "alert" || n == "significant")
+          n == "alert" || n == "significant" || n == "flipped")
         assert(alertIdx < 0 || r.isNullAt(alertIdx) || !r.getBoolean(alertIdx),
           s"${c.name}: all-NULL batch raised an alert: $r")
       }
