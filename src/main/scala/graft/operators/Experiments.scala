@@ -549,4 +549,83 @@ object Experiments {
         round(col("q"), 6).as("q"), col("df"))
       .orderBy(col("classifier"))
   }
+
+  /** Friedman test (Friedman 1937) — [[cochranQ]] for GRADED paired
+    * outcomes: k scoring systems measured on the same n blocks
+    * (documents, queries), ranked WITHIN each block, omnibus "do the
+    * systems differ in typical rank" before pairwise comparisons. The
+    * tie-general form (Conover 1999 §5.2), all in DOUBLED midranks so
+    * every intermediate is an exact BIGINT:
+    *
+    *   2r_ij = 2·#{l: v_il < v_ij} + #{l≠j: v_il = v_ij} + 2
+    *   χ²_F = (k−1)·Σ_j (2R_j − n(k+1))² / (Σ(2r)² − n·k(k+1)²)
+    *
+    * Exactness: the doubled midrank is a pure row expression (k² CASE
+    * comparisons, codegen'd — never a per-block shuffle); sums are one
+    * map-side-combined BIGINT aggregate; the χ² ratio closes in
+    * BigInt→double, 6-dp via the engine's round. Blocks with ANY NULL
+    * score drop (complete-case, the mcnemar discipline); an
+    * all-tied-blocks panel (zero denominator) refuses loudly.
+    * Integer-scaled scores only. Output: one row per system
+    * (system, rank_sum, mean_rank) with (n, k, chi2_f, df) repeated —
+    * the psiFromCells shape. */
+  def friedman(df: DataFrame, scoreCols: Seq[String]): DataFrame = {
+    require(scoreCols.size >= 2, "friedman needs >= 2 score columns")
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,
+      LongType}
+    scoreCols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"friedman: score '$c' is $dt — integer-scaled only")
+    }
+    val k = scoreCols.size
+    val vs = scoreCols.map(c => col(c).cast("long"))
+    val complete = vs.map(_.isNotNull).reduce(_ && _)
+    def r2(j: Int): Column = {
+      val below = vs.indices.filter(_ != j)
+        .map(l => when(vs(l) < vs(j), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val ties = vs.indices.filter(_ != j)
+        .map(l => when(vs(l) === vs(j), 1L).otherwise(0L))
+        .reduce(_ + _)
+      lit(2L) * below + ties + 2L
+    }
+    val aggs = scoreCols.indices.map(j =>
+      sum(r2(j)).as(s"__r2_$j")) ++
+      Seq(count(lit(1)).as("__n"),
+        sum(scoreCols.indices.map(j => r2(j) * r2(j)).reduce(_ + _))
+          .as("__s4"))
+    val r = df.filter(complete).agg(aggs.head, aggs.tail: _*).head()
+    val r2s = scoreCols.indices.map(i => r.getLong(i))
+    val n = r.getLong(k); val s4 = r.getLong(k + 1)
+    require(n > 0, "friedman: no complete cases")
+    val den = BigInt(s4) - BigInt(n) * k * (k + 1) * (k + 1)
+    require(den > 0,
+      "friedman: zero rank variance — every block is fully tied " +
+        "across the panel")
+    val num = BigInt(k - 1) * r2s
+      .map(x => { val d = BigInt(x) - BigInt(n) * (k + 1); d * d }).sum
+    val chi2 = num.toDouble / den.toDouble
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val rows = scoreCols.zip(r2s).sortBy(_._1).map { case (c, rj) =>
+      org.apache.spark.sql.Row(c, rj.toDouble / 2.0,
+        rj.toDouble / (2.0 * n.toDouble), n, k.toLong, chi2,
+        (k - 1).toLong)
+    }
+    import org.apache.spark.sql.types.{StructType, StructField,
+      StringType, DoubleType}
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("system", StringType),
+      StructField("rank_sum", DoubleType),
+      StructField("mean_rank", DoubleType),
+      StructField("n", LongType),
+      StructField("k", LongType),
+      StructField("chi2_f", DoubleType),
+      StructField("df", LongType))))
+      .select(col("system"), col("rank_sum"),
+        round(col("mean_rank"), 6).as("mean_rank"), col("n"), col("k"),
+        round(col("chi2_f"), 6).as("chi2_f"), col("df"))
+      .orderBy(col("system"))
+  }
 }

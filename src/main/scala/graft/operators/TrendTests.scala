@@ -129,6 +129,81 @@ object TrendTests {
     * regime instead of silently serializing it; such a caller should
     * bucket the cumsum by high bits first (the [[ExactQuantile]]
     * construction). */
+  /** Wald–Wolfowitz runs test about the grid median — the RANDOMNESS
+    * audit under the trend family: [[mannKendall]] asks "is there a
+    * monotone trend", this asks "is the sequence even exchangeable"
+    * (too FEW runs = clustering/regime persistence, too MANY =
+    * oscillation), the standard residual-independence check after a
+    * fit (q173/q306). Signs are taken against the exact lower median
+    * of the grid values (a type-1 order statistic off the value
+    * census); median-tied positions drop (the dichotomy must be
+    * strict); then
+    *
+    *   R = 1 + Σ_t [s_t ≠ s_{t−1}],  μ = 2n₁n₂/(n₁+n₂) + 1,
+    *   σ² = 2n₁n₂(2n₁n₂−n₁−n₂) / ((n₁+n₂)²(n₁+n₂−1))
+    *
+    * Exactness: median, run count, and n₁/n₂ are exact integers off
+    * the pinned grid; μ, σ, z close in doubles from those integers
+    * (identical IEEE expression tree in the oracle), 6-dp. Integer-
+    * scaled values only. One row: (n, median, n_above, n_below, runs,
+    * expected_runs, z).
+    *
+    * Scale shape: the input must already BE a grid (the Seasonal
+    * idiom), loudly bounded at 2¹² positions; one pinned pass derives
+    * it, census + sign-change window run on grid rows. */
+  def runsTest(df: DataFrame, tCol: String, vCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,
+      LongType}
+    val vt = df.schema(vCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(vt),
+      s"runsTest: valueCol '$vCol' is $vt — integer-scaled only")
+    Pinned.withCheckpoint(df
+      .select(col(tCol).cast("long").as("__t"),
+        col(vCol).cast("long").as("__v"))
+      .filter(col("__t").isNotNull && col("__v").isNotNull)
+    ) { g =>
+      val spark = g.sparkSession
+      val n = g.count()
+      require(n >= 3 && n <= (1 << 12),
+        s"runsTest: $n grid positions outside [3, 4096] — pre-aggregate " +
+          "onto a bounded time grid first (the Seasonal idiom)")
+      val wv = Window.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = g.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(wv))
+        .filter(col("__cum") * 2 >= n)
+        .agg(min(col("__v"))).head().getLong(0)
+      val wt = Window.orderBy(col("__t"))
+      val signed = g.filter(col("__v") =!= med)
+        .withColumn("__s", col("__v") > med)
+        .withColumn("__chg",
+          when(lag(col("__s"), 1).over(wt).isNull, 1L)
+            .when(lag(col("__s"), 1).over(wt) =!= col("__s"), 1L)
+            .otherwise(0L))
+      val r = signed.agg(
+        sum(when(col("__s"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__s"), 0L).otherwise(1L)).as("n2"),
+        sum(col("__chg")).as("runs")).head()
+      // a constant series leaves NOTHING off the median: empty sums
+      val (n1, n2, runs) =
+        if (r.isNullAt(0)) (0L, 0L, 0L)
+        else (r.getLong(0), r.getLong(1), r.getLong(2))
+      require(n1 > 0 && n2 > 0,
+        s"runsTest: degenerate dichotomy ($n1 above, $n2 below median)")
+      val n1d = n1.toDouble; val n2d = n2.toDouble
+      val nn = n1d + n2d
+      val mu = 2.0 * n1d * n2d / nn + 1.0
+      val varR = 2.0 * n1d * n2d * (2.0 * n1d * n2d - n1d - n2d) /
+        (nn * nn * (nn - 1.0))
+      require(varR > 0.0, "runsTest: zero run variance")
+      val z = (runs.toDouble - mu) / math.sqrt(varR)
+      spark.range(1).select(lit(n).as("n"), lit(med).as("median"),
+        lit(n1).as("n_above"), lit(n2).as("n_below"),
+        lit(runs).as("runs"), round(lit(mu), 6).as("expected_runs"),
+        round(lit(z), 6).as("z"))
+    }
+  }
+
   private[operators] val MaxMedianHistBuckets: Long = 1L << 22
   private[operators] def medianByTwoPhase(vals: DataFrame, c: String, p: Long,
       maxBuckets: Long = MaxMedianHistBuckets): Double = {

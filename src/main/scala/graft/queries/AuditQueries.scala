@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
-import graft.operators.{ChangePoint, Dependencies, KAnonymity, Ordinal,
-  RankTests, Smoothing}
+import graft.operators.{ChangePoint, Dependencies, Experiments,
+  KAnonymity, Ordinal, RankTests, Smoothing, TrendTests}
 
 /** Round-16 release/ingest audit extensions (q327+): t-closeness (the
   * ordered-attribute privacy audit k-anonymity and l-diversity miss),
@@ -496,5 +496,133 @@ object AuditQueries extends QuerySet {
     Q("q331_holt_winters", q331, Some(q331Sql)),
     Q("q332_cliffs_delta", q332, Some(q332Sql)),
     Q("q333_gamma_somers", q333, Some(q333Sql)),
-    Q("q334_streaming_schema", q334, Some(q334Sql)))
+    Q("q334_streaming_schema", q334, Some(q334Sql)),
+    Q("q335_friedman", q335, Some(q335Sql)),
+    Q("q336_runs_test", q336, Some(q336Sql)))
+
+  /** Friedman test over three integer-scaled length heuristics ranked
+    * within each document — the graded-outcome omnibus beside q324's
+    * binary Cochran's Q (and the within-block rank analog of q319's
+    * between-group Kruskal-Wallis). */
+  private def q335(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      .select(col("n_chars").cast("long").as("a_chars"),
+        (regexp_count(lower(col("text")), lit("[aeiou]")) * 3)
+          .cast("long").as("b_vowels"),
+        (regexp_count(col("text"), lit(" ")) * 7)
+          .cast("long").as("c_spaces"))
+    Experiments.friedman(docs, Seq("a_chars", "b_vowels", "c_spaces"))
+  }
+
+  private val q335Sql =
+    """WITH s AS (
+      |  SELECT CAST(n_chars AS BIGINT) AS a,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiou]'))
+      |      AS BIGINT) * 3 AS b,
+      |    CAST(len(regexp_extract_all(text, ' ')) AS BIGINT) * 7 AS c
+      |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+      |r AS (
+      |  SELECT
+      |    2 * ((CASE WHEN b < a THEN 1 ELSE 0 END)
+      |       + (CASE WHEN c < a THEN 1 ELSE 0 END))
+      |      + (CASE WHEN b = a THEN 1 ELSE 0 END)
+      |      + (CASE WHEN c = a THEN 1 ELSE 0 END) + 2 AS ra,
+      |    2 * ((CASE WHEN a < b THEN 1 ELSE 0 END)
+      |       + (CASE WHEN c < b THEN 1 ELSE 0 END))
+      |      + (CASE WHEN a = b THEN 1 ELSE 0 END)
+      |      + (CASE WHEN c = b THEN 1 ELSE 0 END) + 2 AS rb,
+      |    2 * ((CASE WHEN a < c THEN 1 ELSE 0 END)
+      |       + (CASE WHEN b < c THEN 1 ELSE 0 END))
+      |      + (CASE WHEN a = c THEN 1 ELSE 0 END)
+      |      + (CASE WHEN b = c THEN 1 ELSE 0 END) + 2 AS rc
+      |  FROM s),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(ra) AS BIGINT) AS r2a,
+      |    CAST(SUM(rb) AS BIGINT) AS r2b,
+      |    CAST(SUM(rc) AS BIGINT) AS r2c,
+      |    CAST(SUM(CAST(ra AS HUGEINT) * ra + CAST(rb AS HUGEINT) * rb
+      |      + CAST(rc AS HUGEINT) * rc) AS HUGEINT) AS s4
+      |  FROM r),
+      |chi AS (
+      |  SELECT n, r2a, r2b, r2c,
+      |    round(CAST(CAST(2 * (
+      |        (CAST(r2a AS HUGEINT) - 4 * n) * (CAST(r2a AS HUGEINT) - 4 * n)
+      |      + (CAST(r2b AS HUGEINT) - 4 * n) * (CAST(r2b AS HUGEINT) - 4 * n)
+      |      + (CAST(r2c AS HUGEINT) - 4 * n) * (CAST(r2c AS HUGEINT) - 4 * n))
+      |      AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST(s4 - CAST(n AS HUGEINT) * 48 AS VARCHAR)
+      |        AS DOUBLE), 6) AS chi2
+      |  FROM agg)
+      |SELECT sys.system,
+      |  sys.r2 / 2.0 AS rank_sum,
+      |  round(sys.r2 / (2.0 * CAST(chi.n AS DOUBLE)), 6) AS mean_rank,
+      |  chi.n, CAST(3 AS BIGINT) AS k, chi.chi2 AS chi2_f,
+      |  CAST(2 AS BIGINT) AS df
+      |FROM chi CROSS JOIN (
+      |  SELECT 'a_chars' AS system,
+      |    CAST((SELECT r2a FROM chi) AS DOUBLE) AS r2
+      |  UNION ALL SELECT 'b_vowels', CAST((SELECT r2b FROM chi) AS DOUBLE)
+      |  UNION ALL SELECT 'c_spaces', CAST((SELECT r2c FROM chi) AS DOUBLE)
+      |  ) sys
+      |ORDER BY sys.system""".stripMargin
+
+  /** Runs test on the hourly revenue series about its exact median —
+    * the exchangeability audit under q252's trend and q330's
+    * changepoint: too few runs = regime persistence, too many =
+    * oscillation. */
+  private def q336(s: SparkSession, d: String): DataFrame = {
+    val grid = t(s, d, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(floor(unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+        .cast("long").as("t"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+    TrendTests.runsTest(grid, "t", "y")
+  }
+
+  private val q336Sql =
+    """WITH g AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600
+      |      AS t,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1),
+      |s_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g),
+      |census AS (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS c FROM g
+      |  GROUP BY y),
+      |cum AS (
+      |  SELECT v, CAST(SUM(c) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cc
+      |  FROM census),
+      |med AS (SELECT MIN(v) AS m FROM cum, s_ WHERE cc * 2 >= s_.n),
+      |signed AS (SELECT g.t, g.y > med.m AS s FROM g, med
+      |  WHERE g.y <> med.m),
+      |chg AS (
+      |  SELECT s,
+      |    CASE WHEN lag(s) OVER (ORDER BY t) IS NULL THEN 1
+      |      WHEN lag(s) OVER (ORDER BY t) <> s THEN 1 ELSE 0 END AS c
+      |  FROM signed),
+      |agg AS (
+      |  SELECT CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN s THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+      |    CAST(SUM(c) AS BIGINT) AS runs
+      |  FROM chg)
+      |SELECT s_.n, med.m AS median, agg.n1 AS n_above, agg.n2 AS n_below,
+      |  agg.runs,
+      |  round(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0, 6)
+      |    AS expected_runs,
+      |  round((CAST(runs AS DOUBLE)
+      |      - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))
+      |    / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |      * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |        - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+      |      / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+      |        * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+      |        * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0))), 6)
+      |    AS z
+      |FROM s_, med, agg""".stripMargin
 }

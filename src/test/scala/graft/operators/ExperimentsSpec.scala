@@ -265,4 +265,55 @@ class ExperimentsSpec extends AnyFunSuite with SparkSuite {
       Experiments.cochranQ(df, Seq("a", "b"))
     }
   }
+
+  test("friedman: no-tie case matches the classical formula") {
+    import spark.implicits._
+    // 4 identical blocks ranking a<b<c: R2 = (8,16,24), chi2 = 8
+    // (classical 12n/(k(k+1))*sum((Rbar_j-(k+1)/2)^2) = 12*4/12*2 = 8)
+    val df = Seq.fill(4)((1L, 2L, 3L)).toDF("a", "b", "c")
+    val out = Experiments.friedman(df, Seq("a", "b", "c")).collect()
+    assert(out.map(r => (r.getAs[String]("system"),
+      r.getAs[Double]("rank_sum"))).toSeq ==
+      Seq(("a", 4.0), ("b", 8.0), ("c", 12.0)))
+    assert(out.forall(_.getAs[Double]("chi2_f") == 8.0))
+    assert(out.forall(_.getAs[Long]("df") == 2L))
+  }
+
+  test("friedman: hand-computed tie-corrected case") {
+    import spark.implicits._
+    // blocks: (1,2,3),(2,4,6),(3,1,2),(1,1,2) — the last has a tied
+    // bottom pair (midrank 1.5): R2 = (13,13,22), S4 = 222,
+    // chi2 = 2*((13-16)^2+(13-16)^2+(22-16)^2)/(222-192) = 108/30 = 3.6
+    val df = Seq((1L, 2L, 3L), (2L, 4L, 6L), (3L, 1L, 2L), (1L, 1L, 2L))
+      .toDF("a", "b", "c")
+    val out = Experiments.friedman(df, Seq("a", "b", "c")).collect()
+    assert(out.map(_.getAs[Double]("rank_sum")).toSeq ==
+      Seq(6.5, 6.5, 11.0))
+    assert(out.forall(_.getAs[Double]("chi2_f") == 3.6))
+  }
+
+  test("friedman refuses all-tied blocks and non-integer scores") {
+    import spark.implicits._
+    val tied = Seq((1L, 1L), (7L, 7L)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException](
+      Experiments.friedman(tied, Seq("a", "b")))
+    assert(e.getMessage.contains("zero rank variance"))
+    val dbl = Seq((1.0, 2.0)).toDF("a", "b")
+    intercept[IllegalArgumentException](
+      Experiments.friedman(dbl, Seq("a", "b")))
+  }
+
+  test("friedman drops incomplete blocks; partitioning-invariant") {
+    import spark.implicits._
+    val df = (Seq((Some(1L), Some(2L)), (Some(2L), Some(1L)),
+      (None, Some(5L)), (Some(3L), None)) ++
+      Seq.fill(10)((Some(1L), Some(4L)))).toDF("a", "b")
+    val r = Experiments.friedman(df, Seq("a", "b")).head()
+    assert(r.getAs[Long]("n") == 12L) // the two NULL blocks dropped
+    val a = Experiments.friedman(df.coalesce(1), Seq("a", "b"))
+      .collect().map(_.toString).toSeq
+    val b = Experiments.friedman(df.repartition(7), Seq("a", "b"))
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+  }
 }

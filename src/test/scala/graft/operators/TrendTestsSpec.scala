@@ -97,4 +97,48 @@ class TrendTestsSpec extends AnyFunSuite with SparkSuite {
     val r = TrendTests.theilSen(g, "t", "v").head()
     assert(math.abs(r.getAs[Double]("slope") - naiveTheilSen(pts)) < 1e-12)
   }
+
+  test("runsTest: hand-computed runs with a median tie dropped") {
+    import spark.implicits._
+    // [1,2,9,3,8,4,7]: lower median 4 (dropped); signs F F T F T T
+    // → 4 runs, n1 = n2 = 3, mu = 4, z = 0
+    val df = Seq(1L, 2L, 9L, 3L, 8L, 4L, 7L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("t", "v")
+    val r = TrendTests.runsTest(df, "t", "v").head()
+    assert(r.getAs[Long]("median") == 4L)
+    assert(r.getAs[Long]("n_above") == 3L && r.getAs[Long]("n_below") == 3L)
+    assert(r.getAs[Long]("runs") == 4L)
+    assert(r.getAs[Double]("expected_runs") == 4.0)
+    assert(r.getAs[Double]("z") == 0.0)
+  }
+
+  test("runsTest: clustering gives too few runs (z << 0), " +
+    "oscillation too many (z >> 0)") {
+    import spark.implicits._
+    // distinct values so the lower median drops exactly one point
+    val clustered = ((0 until 20).map(_.toLong) ++
+      (0 until 20).map(i => 100L + i))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("t", "v")
+    val rc = TrendTests.runsTest(clustered, "t", "v").head()
+    assert(rc.getAs[Long]("runs") == 2L && rc.getAs[Double]("z") < -5.0)
+    val alternating = (0 until 40)
+      .map(i => (i.toLong, if (i % 2 == 0) i.toLong else 100L + i))
+      .toDF("t", "v")
+    val ra = TrendTests.runsTest(alternating, "t", "v").head()
+    assert(ra.getAs[Long]("runs") >= 35L && ra.getAs[Double]("z") > 5.0)
+  }
+
+  test("runsTest: partitioning-invariant; refuses constant series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 200).map(i => (i.toLong, rnd.nextInt(50).toLong))
+      .toDF("t", "v")
+    val a = TrendTests.runsTest(df.coalesce(1), "t", "v").head().toSeq
+    val b = TrendTests.runsTest(df.repartition(11), "t", "v").head().toSeq
+    assert(a == b)
+    val const = (0 until 10).map(i => (i.toLong, 7L)).toDF("t", "v")
+    val e = intercept[IllegalArgumentException](
+      TrendTests.runsTest(const, "t", "v"))
+    assert(e.getMessage.contains("degenerate dichotomy"))
+  }
 }
