@@ -628,4 +628,73 @@ object Experiments {
         round(col("chi2_f"), 6).as("chi2_f"), col("df"))
       .orderBy(col("system"))
   }
+
+  /** Page's trend test (Page 1963) — [[friedman]] with a DIRECTION:
+    * when the k systems have a hypothesized ORDER (curriculum stages,
+    * increasing model sizes, dose levels), the ordered alternative
+    * L = Σ_j j·R_j is far more powerful than the omnibus. `scoreCols`
+    * order IS the hypothesis (ascending expected rank). Normal
+    * approximation
+    *
+    *   E[L] = n·k(k+1)²/4,   Var[L] = n·k²(k+1)(k²−1)/144
+    *
+    * (ties make it mildly conservative — the standard caveat, noted
+    * here because the doubled-midrank L is still EXACT: 2L = Σ j·2R_j
+    * is a BIGINT; only the moments assume no ties). Complete-case,
+    * integer-scaled scores, the [[friedman]] machinery. Output: one
+    * row per system (system, rank_sum) with (n, k, l, z) repeated. */
+  def pageTrend(df: DataFrame, scoreCols: Seq[String]): DataFrame = {
+    require(scoreCols.size >= 3, "pageTrend needs >= 3 ordered systems")
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,
+      LongType}
+    scoreCols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"pageTrend: score '$c' is $dt — integer-scaled only")
+    }
+    val k = scoreCols.size
+    val vs = scoreCols.map(c => col(c).cast("long"))
+    val complete = vs.map(_.isNotNull).reduce(_ && _)
+    def r2(j: Int): Column = {
+      val below = vs.indices.filter(_ != j)
+        .map(l => when(vs(l) < vs(j), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val ties = vs.indices.filter(_ != j)
+        .map(l => when(vs(l) === vs(j), 1L).otherwise(0L))
+        .reduce(_ + _)
+      lit(2L) * below + ties + 2L
+    }
+    val aggs = scoreCols.indices.map(j => sum(r2(j)).as(s"__r2_$j")) :+
+      count(lit(1)).as("__n")
+    val r = df.filter(complete).agg(aggs.head, aggs.tail: _*).head()
+    val r2s = scoreCols.indices.map(i => r.getLong(i))
+    val n = r.getLong(k)
+    require(n > 0, "pageTrend: no complete cases")
+    // 2L exact; L in halves only when some block is tied
+    val l2 = r2s.zipWithIndex.map { case (x, j) =>
+      BigInt(j + 1) * x }.sum
+    val lVal = l2.toDouble / 2.0
+    val eL = n.toDouble * k * (k + 1) * (k + 1) / 4.0
+    val varL = n.toDouble * k * k * (k + 1) * (k * k - 1) / 144.0
+    val z = (lVal - eL) / math.sqrt(varL)
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{StructType, StructField,
+      StringType, DoubleType}
+    val rows = scoreCols.zipWithIndex.map { case (c, j) =>
+      org.apache.spark.sql.Row(j.toLong + 1, c,
+        r2s(j).toDouble / 2.0, n, k.toLong, lVal, z)
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("position", LongType),
+      StructField("system", StringType),
+      StructField("rank_sum", DoubleType),
+      StructField("n", LongType),
+      StructField("k", LongType),
+      StructField("l", DoubleType),
+      StructField("z", DoubleType))))
+      .select(col("position"), col("system"), col("rank_sum"), col("n"),
+        col("k"), col("l"), round(col("z"), 6).as("z"))
+      .orderBy(col("position"))
+  }
 }

@@ -129,6 +129,77 @@ object TrendTests {
     * regime instead of silently serializing it; such a caller should
     * bucket the cumsum by high bits first (the [[ExactQuantile]]
     * construction). */
+  /** Seasonal Mann–Kendall (Hirsch & Slack 1984, independent-seasons
+    * form) — the trend test [[mannKendall]] gets WRONG on a cycled
+    * series: a flat series with a daily cycle feeds MK thousands of
+    * cross-phase pairs whose sign is pure seasonality. Here pairs are
+    * confined WITHIN each season (hour-of-day, month), then
+    *
+    *   S = Σ_g S_g,   Var = Σ_g [n_g(n_g−1)(2n_g+5) − Σ_t t(t−1)(2t+5)]/18
+    *
+    * with the continuity-corrected z on the total. Output: one row per
+    * season (season, n, s, var_s) with (s_total, z) repeated — the
+    * psiFromCells shape (the per-season rows show WHICH phase carries
+    * the trend).
+    *
+    * Exactness: S_g and tie sums are exact BIGINTs (pairwise sign over
+    * exact decimals); var closes /18 in doubles per season, z from the
+    * integer total. One value per (season, t) position required.
+    *
+    * Scale shape: the input must already BE a grid (the [[mannKendall]]
+    * contract); the pair join is season-keyed (Σ n_g² pairs, an
+    * equi-join on season — never the unkeyed n² cross), ties one census;
+    * the per-season close re-emits through the [[Grids]] guard. */
+  def seasonalMannKendall(df: DataFrame, tCol: String, vCol: String,
+                          seasonCol: String): DataFrame = {
+    val g0 = df.select(col(seasonCol).cast("long").as("g"),
+        col(tCol).cast("long").as("t"),
+        col(vCol).cast("decimal(38,6)").as("v"))
+      .filter(col("g").isNotNull && col("t").isNotNull &&
+        col("v").isNotNull)
+    Pinned.withCheckpoint(g0) { g =>
+      val dup = g.groupBy(col("g"), col("t")).count()
+        .filter(col("count") > 1).count()
+      require(dup == 0, s"seasonalMannKendall: $dup (season, t) positions " +
+        "have multiple rows — aggregate to one value per position first")
+      val (ga, gb) = (g.select(col("g").as("gg"), col("t").as("ta"),
+        col("v").as("va")),
+        g.select(col("g").as("gb2"), col("t").as("tb"), col("v").as("vb")))
+      val sG = ga.join(gb, col("gg") === col("gb2") &&
+          col("ta") < col("tb"))
+        .groupBy(col("gg").as("g"))
+        .agg(sum(signum((col("vb") - col("va")).cast("double"))
+          .cast("long")).as("s"))
+      val tiesG = g.groupBy(col("g"), col("v"))
+        .agg(count(lit(1)).as("tg")).filter(col("tg") > 1)
+        .groupBy(col("g"))
+        .agg(sum(col("tg") * (col("tg") - 1) * (col("tg") * 2 + 5))
+          .as("tie_adj"))
+      val perG = g.groupBy(col("g")).agg(count(lit(1)).as("n"))
+        .join(sG, Seq("g"), "left")
+        .join(tiesG, Seq("g"), "left")
+        .select(col("g"), col("n"), coalesce(col("s"), lit(0L)).as("s"),
+          (((col("n") * (col("n") - 1) * (col("n") * 2 + 5)) -
+            coalesce(col("tie_adj"), lit(0L))).cast("double") / 18.0)
+            .as("var_s"))
+      val cells = Grids.collectBounded(perG.orderBy(col("g")),
+        "seasonalMannKendall season grid")
+      val rows = cells.collect()
+      val sTot = rows.map(_.getAs[Long]("s")).sum
+      val varTot = rows.map(_.getAs[Double]("var_s")).sum
+      require(varTot > 0.0, "seasonalMannKendall: zero variance — " +
+        "every season is constant or single-valued")
+      val z =
+        if (sTot > 0) (sTot - 1).toDouble / math.sqrt(varTot)
+        else if (sTot < 0) (sTot + 1).toDouble / math.sqrt(varTot)
+        else 0.0
+      cells.select(col("g").as("season"), col("n"), col("s"),
+          round(col("var_s"), 6).as("var_s"),
+          lit(sTot).as("s_total"), round(lit(z), 6).as("z"))
+        .orderBy(col("season"))
+    }
+  }
+
   /** Wald–Wolfowitz runs test about the grid median — the RANDOMNESS
     * audit under the trend family: [[mannKendall]] asks "is there a
     * monotone trend", this asks "is the sequence even exchangeable"

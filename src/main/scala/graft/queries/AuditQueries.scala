@@ -498,7 +498,137 @@ object AuditQueries extends QuerySet {
     Q("q333_gamma_somers", q333, Some(q333Sql)),
     Q("q334_streaming_schema", q334, Some(q334Sql)),
     Q("q335_friedman", q335, Some(q335Sql)),
-    Q("q336_runs_test", q336, Some(q336Sql)))
+    Q("q336_runs_test", q336, Some(q336Sql)),
+    Q("q337_seasonal_mk", q337, Some(q337Sql)),
+    Q("q338_page_trend", q338, Some(q338Sql)))
+
+  /** Seasonal Mann–Kendall over the hourly revenue series with
+    * hour-of-day seasons — the trend readout q252's plain MK gets
+    * wrong on a daily-cycled series (cross-phase pairs are pure
+    * seasonality); per-season rows show which phase carries it. */
+  private def q337(s: SparkSession, d: String): DataFrame = {
+    val grid = t(s, d, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(floor(unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+        .cast("long").as("t"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      .withColumn("season", pmod(col("t"), lit(24L)))
+    TrendTests.seasonalMannKendall(grid, "t", "y", "season")
+  }
+
+  private val q337Sql =
+    """WITH g AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600
+      |      AS t,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1),
+      |gs AS (SELECT t % 24 AS g, t, y FROM g),
+      |sg AS (
+      |  SELECT a.g,
+      |    CAST(SUM(CASE WHEN b.y > a.y THEN 1
+      |      WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+      |  FROM gs a JOIN gs b ON a.g = b.g AND a.t < b.t
+      |  GROUP BY a.g),
+      |ties AS (
+      |  SELECT g, CAST(SUM(tg * (tg - 1) * (tg * 2 + 5)) AS BIGINT)
+      |    AS tie_adj
+      |  FROM (SELECT g, y, CAST(COUNT(*) AS BIGINT) AS tg FROM gs
+      |        GROUP BY g, y) x
+      |  WHERE tg > 1 GROUP BY g),
+      |perg AS (
+      |  SELECT n.g, n.n, COALESCE(sg.s, 0) AS s,
+      |    CAST(n.n * (n.n - 1) * (n.n * 2 + 5)
+      |      - COALESCE(ties.tie_adj, 0) AS DOUBLE) / 18.0 AS var_s
+      |  FROM (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM gs GROUP BY g)
+      |    n
+      |  LEFT JOIN sg ON n.g = sg.g
+      |  LEFT JOIN ties ON n.g = ties.g),
+      |tot AS (
+      |  SELECT CAST(SUM(s) AS BIGINT) AS s_total,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(var_s ORDER BY g)), (a, b) -> a + b) AS var_total
+      |  FROM perg)
+      |SELECT perg.g AS season, perg.n, perg.s,
+      |  round(perg.var_s, 6) AS var_s, tot.s_total,
+      |  round(CASE WHEN tot.s_total > 0
+      |      THEN CAST(tot.s_total - 1 AS DOUBLE) / sqrt(tot.var_total)
+      |    WHEN tot.s_total < 0
+      |      THEN CAST(tot.s_total + 1 AS DOUBLE) / sqrt(tot.var_total)
+      |    ELSE 0.0 END, 6) AS z
+      |FROM perg, tot ORDER BY season""".stripMargin
+
+  /** Page's trend test: does per-user spend RANK increasingly across
+    * the month's thirds — the ordered alternative the q335 omnibus
+    * cannot see (the hypothesis IS the column order). */
+  private def q338(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("value").isNotNull)
+      .withColumn("__p",
+        least(lit(2), floor((dayofmonth(col("ts")) - 1) / 10))
+          .cast("int"))
+      .withColumn("__c", round(col("value") * 100).cast("long"))
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(sum(when(col("__p") === 0, col("__c"))).as("p0_early"),
+        sum(when(col("__p") === 1, col("__c"))).as("p1_mid"),
+        sum(when(col("__p") === 2, col("__c"))).as("p2_late"))
+    Experiments.pageTrend(perUser, Seq("p0_early", "p1_mid", "p2_late"))
+  }
+
+  private val q338Sql =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    least(2, (day(ts) - 1) // 10) AS p,
+      |    CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |    AND value IS NOT NULL),
+      |pu AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN p = 0 THEN c END) AS a,
+      |    SUM(CASE WHEN p = 1 THEN c END) AS b,
+      |    SUM(CASE WHEN p = 2 THEN c END) AS c2
+      |  FROM ev GROUP BY user_id),
+      |cc AS (SELECT * FROM pu
+      |  WHERE a IS NOT NULL AND b IS NOT NULL AND c2 IS NOT NULL),
+      |r AS (
+      |  SELECT
+      |    2 * ((CASE WHEN b < a THEN 1 ELSE 0 END)
+      |       + (CASE WHEN c2 < a THEN 1 ELSE 0 END))
+      |      + (CASE WHEN b = a THEN 1 ELSE 0 END)
+      |      + (CASE WHEN c2 = a THEN 1 ELSE 0 END) + 2 AS ra,
+      |    2 * ((CASE WHEN a < b THEN 1 ELSE 0 END)
+      |       + (CASE WHEN c2 < b THEN 1 ELSE 0 END))
+      |      + (CASE WHEN a = b THEN 1 ELSE 0 END)
+      |      + (CASE WHEN c2 = b THEN 1 ELSE 0 END) + 2 AS rb,
+      |    2 * ((CASE WHEN a < c2 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN b < c2 THEN 1 ELSE 0 END))
+      |      + (CASE WHEN a = c2 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN b = c2 THEN 1 ELSE 0 END) + 2 AS rc
+      |  FROM cc),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(ra) AS BIGINT) AS r2a,
+      |    CAST(SUM(rb) AS BIGINT) AS r2b,
+      |    CAST(SUM(rc) AS BIGINT) AS r2c
+      |  FROM r),
+      |st AS (
+      |  SELECT n, r2a, r2b, r2c,
+      |    CAST(1 * r2a + 2 * r2b + 3 * r2c AS DOUBLE) / 2.0 AS l,
+      |    CAST(n AS DOUBLE) * 3.0 * 16.0 / 4.0 AS el,
+      |    CAST(n AS DOUBLE) * 9.0 * 4.0 * 8.0 / 144.0 AS varl
+      |  FROM agg)
+      |SELECT sys.position, sys.system, sys.r2 / 2.0 AS rank_sum,
+      |  st.n, CAST(3 AS BIGINT) AS k, st.l,
+      |  round((st.l - st.el) / sqrt(st.varl), 6) AS z
+      |FROM st CROSS JOIN (
+      |  SELECT CAST(1 AS BIGINT) AS position, 'p0_early' AS system,
+      |    CAST((SELECT r2a FROM st) AS DOUBLE) AS r2
+      |  UNION ALL SELECT 2, 'p1_mid', CAST((SELECT r2b FROM st) AS DOUBLE)
+      |  UNION ALL SELECT 3, 'p2_late',
+      |    CAST((SELECT r2c FROM st) AS DOUBLE)) sys
+      |ORDER BY sys.position""".stripMargin
 
   /** Friedman test over three integer-scaled length heuristics ranked
     * within each document — the graded-outcome omnibus beside q324's

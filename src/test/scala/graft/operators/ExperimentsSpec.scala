@@ -303,6 +303,38 @@ class ExperimentsSpec extends AnyFunSuite with SparkSuite {
       Experiments.friedman(dbl, Seq("a", "b")))
   }
 
+  test("pageTrend: perfect ascending order hits the exact maximum L") {
+    import spark.implicits._
+    // every block ranks a<b<c in hypothesis order: L = n*(1+4+9) = 14n,
+    // E[L] = 12n, Var[L] = 2n -> z = 2n/sqrt(2n) = sqrt(2n)
+    val n = 8
+    val df = Seq.fill(n)((1L, 5L, 9L)).toDF("a", "b", "c")
+    val out = Experiments.pageTrend(df, Seq("a", "b", "c")).collect()
+    assert(out.forall(_.getAs[Double]("l") == 14.0 * n))
+    assert(out.head.getAs[Double]("z") ==
+      BigDecimal(math.sqrt(2.0 * n)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out.map(r => (r.getAs[Long]("position"),
+      r.getAs[String]("system"))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("pageTrend: reversed order gives the mirrored negative z; " +
+    "order-agnostic friedman sees the same chi2 either way") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => (i.toLong * 3, i.toLong * 2, i.toLong))
+      .toDF("hi", "mid", "lo")
+    val asc = Experiments.pageTrend(df, Seq("lo", "mid", "hi")).head()
+    val desc = Experiments.pageTrend(df, Seq("hi", "mid", "lo")).head()
+    assert(asc.getAs[Double]("z") > 0 &&
+      asc.getAs[Double]("z") == -desc.getAs[Double]("z"))
+    val f1 = Experiments.friedman(df, Seq("lo", "mid", "hi")).head()
+      .getAs[Double]("chi2_f")
+    val f2 = Experiments.friedman(df, Seq("hi", "mid", "lo")).head()
+      .getAs[Double]("chi2_f")
+    assert(f1 == f2)
+  }
+
   test("friedman drops incomplete blocks; partitioning-invariant") {
     import spark.implicits._
     val df = (Seq((Some(1L), Some(2L)), (Some(2L), Some(1L)),

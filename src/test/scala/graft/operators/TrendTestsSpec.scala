@@ -128,6 +128,65 @@ class TrendTestsSpec extends AnyFunSuite with SparkSuite {
     assert(ra.getAs[Long]("runs") >= 35L && ra.getAs[Double]("z") > 5.0)
   }
 
+  test("seasonalMannKendall: flat daily cycle has S = 0 per season " +
+    "(where plain MK sees a huge spurious S)") {
+    import spark.implicits._
+    // pure phase cycle TRUNCATED mid-cycle (9.5 cycles): within-season
+    // series are constant -> zero seasonal variance, loudly refused;
+    // plain MK on the same grid reads a spurious nonzero S from the
+    // unbalanced cross-phase pairs the truncation leaves behind
+    val df = (0 until 38).map(i =>
+      (i.toLong, (i % 4).toLong, Seq(10L, 90L, 50L, 20L)(i % 4)))
+      .toDF("t", "season", "v")
+    val e = intercept[IllegalArgumentException](
+      TrendTests.seasonalMannKendall(df, "t", "v", "season"))
+    // all four seasons constant -> zero variance, loudly refused
+    assert(e.getMessage.contains("zero variance"))
+    val mk = TrendTests.mannKendall(
+      df.select($"t", $"v"), "t", "v").head()
+    assert(mk.getAs[Long]("s") != 0L) // the spurious cross-phase signal
+  }
+
+  test("seasonalMannKendall: trend + cycle — per-season S sums, " +
+    "z from the total; matches per-season brute force") {
+    import spark.implicits._
+    val vals = (0 until 36).map(i =>
+      (i.toLong, (i % 3).toLong,
+        (i / 3).toLong * 2 + Seq(0L, 100L, 50L)(i % 3) + (i % 7)))
+    val df = vals.toDF("t", "season", "v")
+    val out = TrendTests.seasonalMannKendall(df, "t", "v", "season")
+      .collect()
+    def bruteS(g: Long): Long = {
+      val xs = vals.filter(_._2 == g).sortBy(_._1).map(_._3)
+      (for (i <- xs.indices; j <- i + 1 until xs.length)
+        yield (xs(j) - xs(i)).sign.toLong).sum
+    }
+    out.foreach { r =>
+      assert(r.getAs[Long]("s") == bruteS(r.getAs[Long]("season")))
+    }
+    val sTot = out.map(_.getAs[Long]("s")).sum
+    assert(out.forall(_.getAs[Long]("s_total") == sTot))
+    assert(out.head.getAs[Double]("z") > 3.0) // the planted uptrend
+  }
+
+  test("seasonalMannKendall: partitioning-invariant; duplicate " +
+    "(season, t) refused") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val df = (0 until 120).map(i =>
+      (i.toLong, (i % 6).toLong, rnd.nextInt(40).toLong))
+      .toDF("t", "season", "v")
+    val a = TrendTests.seasonalMannKendall(df.coalesce(1), "t", "v",
+      "season").collect().map(_.toString).toSeq
+    val b = TrendTests.seasonalMannKendall(df.repartition(7), "t", "v",
+      "season").collect().map(_.toString).toSeq
+    assert(a == b)
+    val dup = df.unionByName(df.limit(1))
+    val e = intercept[IllegalArgumentException](
+      TrendTests.seasonalMannKendall(dup, "t", "v", "season"))
+    assert(e.getMessage.contains("multiple rows"))
+  }
+
   test("runsTest: partitioning-invariant; refuses constant series") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
