@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.operators.{ChangePoint, Dependencies, Experiments,
-  KAnonymity, Ordinal, RankTests, Smoothing, TrendTests}
+  KAnonymity, Ordinal, RankTests, Smoothing, TrendTests, Weighting}
 
 /** Round-16 release/ingest audit extensions (q327+): t-closeness (the
   * ordered-attribute privacy audit k-anonymity and l-diversity miss),
@@ -500,7 +500,68 @@ object AuditQueries extends QuerySet {
     Q("q335_friedman", q335, Some(q335Sql)),
     Q("q336_runs_test", q336, Some(q336Sql)),
     Q("q337_seasonal_mk", q337, Some(q337Sql)),
-    Q("q338_page_trend", q338, Some(q338Sql)))
+    Q("q338_page_trend", q338, Some(q338Sql)),
+    Q("q339_raking", q339, Some(q339Sql)))
+
+  /** Raking (IPF): per-cell multipliers that balance the release on
+    * lang AND source margins simultaneously — the two-axis move the
+    * q97 single-key quota mix cannot express. 6 fixed iterations. */
+  private def q339(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .filter(col("lang").isNotNull && col("source").isNotNull)
+    Weighting.raking(docs, "lang", "source", iterations = 6)
+  }
+
+  private val q339Sql = {
+    // the ordered-fold sum both factor updates use (the q279
+    // discipline): Σ over cells of n·<factor>, folded in key order
+    def fold(term: String, orderBy: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list($term ORDER BY $orderBy)), (a, b) -> a + b)"
+    val iters = (1 to 6).map { k =>
+      val prevC = if (k == 1) "c0" else s"c${k - 1}"
+      s"""r$k AS (
+         |  SELECT census.r,
+         |    tg.tr / ${fold(s"CAST(census.n AS DOUBLE) * $prevC.f",
+        "census.c")} AS f
+         |  FROM census JOIN $prevC ON census.c = $prevC.c CROSS JOIN tg
+         |  GROUP BY census.r, tg.tr),
+         |c$k AS (
+         |  SELECT census.c,
+         |    tg.tc / ${fold(s"CAST(census.n AS DOUBLE) * r$k.f",
+        "census.r")} AS f
+         |  FROM census JOIN r$k ON census.r = r$k.r CROSS JOIN tg
+         |  GROUP BY census.c, tg.tc)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH census AS (
+       |  SELECT CAST(lang AS VARCHAR) AS r, CAST(source AS VARCHAR) AS c,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM documents
+       |  WHERE lang IS NOT NULL AND source IS NOT NULL
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+       |  CAST(COUNT(DISTINCT r) AS BIGINT) AS nr,
+       |  CAST(COUNT(DISTINCT c) AS BIGINT) AS nc FROM census),
+       |tg AS (SELECT CAST(nn AS DOUBLE) / CAST(nr AS DOUBLE) AS tr,
+       |  CAST(nn AS DOUBLE) / CAST(nc AS DOUBLE) AS tc FROM tot),
+       |c0 AS (SELECT DISTINCT c, CAST(1 AS DOUBLE) AS f FROM census),
+       |$iters,
+       |mass AS (
+       |  SELECT census.r,
+       |    ${fold("CAST(census.n AS DOUBLE) * (r6.f * c6.f)",
+      "census.c")} AS m
+       |  FROM census JOIN r6 ON census.r = r6.r
+       |  JOIN c6 ON census.c = c6.c
+       |  GROUP BY census.r),
+       |dev AS (SELECT MAX(abs(mass.m - tg.tr)) AS d FROM mass, tg)
+       |SELECT census.r AS lang, census.c AS source, census.n,
+       |  round(r6.f * c6.f, 6) AS multiplier,
+       |  round(CAST(census.n AS DOUBLE) * (r6.f * c6.f), 6) AS weighted,
+       |  round(dev.d, 6) AS max_row_dev
+       |FROM census JOIN r6 ON census.r = r6.r
+       |JOIN c6 ON census.c = c6.c CROSS JOIN dev
+       |ORDER BY lang, source""".stripMargin
+  }
 
   /** Seasonal Mann–Kendall over the hourly revenue series with
     * hour-of-day seasons — the trend readout q252's plain MK gets

@@ -30,4 +30,46 @@ class WeightingSpec extends AnyFunSuite with SparkSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out("a") == 1L && out("b") == 2L)
   }
+
+  test("raking: an already-balanced table needs no reweighting") {
+    import spark.implicits._
+    // 2x2 with every cell = 5: both margins already uniform
+    val df = (for (r <- Seq("a", "b"); c <- Seq("x", "y");
+                   _ <- 1 to 5) yield (r, c)).toDF("r", "c")
+    val out = Weighting.raking(df, "r", "c").collect()
+    assert(out.forall(_.getAs[Double]("multiplier") == 1.0))
+    assert(out.forall(_.getAs[Double]("max_row_dev") == 0.0))
+    assert(out.forall(r => r.getAs[Double]("weighted") ==
+      r.getAs[Long]("n").toDouble))
+  }
+
+  test("raking: converges both margins to uniform on a skewed table") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(4000)((s"r${rnd.nextInt(4)}", s"c${rnd.nextInt(5)}"))
+    val df = rows.toDF("r", "c")
+    val out = Weighting.raking(df, "r", "c", iterations = 12).collect()
+    val n = out.map(_.getAs[Long]("n")).sum
+    val colMass = out.groupBy(_.getAs[String]("c"))
+      .map { case (_, cs) => cs.map(_.getAs[Double]("weighted")).sum }
+    // the LAST step scales columns: they must sit on target exactly
+    colMass.foreach(m => assert(math.abs(m - n / 5.0) < 1e-6))
+    val rowMass = out.groupBy(_.getAs[String]("r"))
+      .map { case (_, rs) => rs.map(_.getAs[Double]("weighted")).sum }
+    rowMass.foreach(m => assert(math.abs(m - n / 4.0) < 1e-3))
+    assert(out.head.getAs[Double]("max_row_dev") < 1e-3)
+  }
+
+  test("raking: partitioning-invariant; refuses an unbounded grid") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (s"r${i % 3}", s"c${i % 7}")).toDF("r", "c")
+    val a = Weighting.raking(df.coalesce(1), "r", "c")
+      .collect().map(_.toString).toSeq
+    val b = Weighting.raking(df.repartition(11), "r", "c")
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+    val wide = spark.range(10000).selectExpr("CAST(id AS STRING) AS r",
+      "CAST(id % 97 AS STRING) AS c")
+    intercept[IllegalArgumentException](Weighting.raking(wide, "r", "c"))
+  }
 }
