@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Experiment-analysis estimators over per-unit metric tables — the
@@ -696,5 +697,103 @@ object Experiments {
       .select(col("position"), col("system"), col("rank_sum"), col("n"),
         col("k"), col("l"), round(col("z"), 6).as("z"))
       .orderBy(col("position"))
+  }
+
+  /** Yuen's trimmed-means t-test (Yuen 1974) — the LOCATION test for
+    * heavy-tailed metrics that keeps the value scale q318's
+    * Mann–Whitney throws away: trim the outer `trimNum/trimDen` of
+    * each arm, compare trimmed means with winsorized variances and
+    * Welch df:
+    *
+    *   t = (t̄₁ − t̄₀) / √(d₀ + d₁),
+    *   d_g = (n_g−1)·s²_{w,g} / (h_g(h_g−1)),  h_g = n_g − 2k_g
+    *
+    * Exactness: everything before the close is exact integers off ONE
+    * (arm, value) census — the trim bounds L/U are type-1 order
+    * statistics from the per-arm cumulative (the q326 idiom), the
+    * winsorized sums Σc·clamp(v) / Σc·clamp(v)² accumulate in
+    * DECIMAL(38,0), and the trimmed sum counts each census cell's
+    * overlap with positions [k+1, n−k]. t and df close in doubles from
+    * those integers, 6-dp. Integer-scaled values only; arms 0/1.
+    *
+    * Scale shape: one map-side-combined census keyed (arm, value);
+    * per-arm cumulative windows run on the value grid; the close is a
+    * 2-row collect. */
+  def yuen(df: DataFrame, armCol: String, valueCol: String,
+           trimNum: Int = 1, trimDen: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,
+      LongType}
+    val vt = df.schema(valueCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(vt),
+      s"yuen: valueCol '$valueCol' is $vt — integer-scaled only")
+    require(trimNum > 0 && trimDen > 0 && trimNum * 2 < trimDen,
+      s"yuen: trim $trimNum/$trimDen outside (0, 1/2)")
+    val rows = df.select(col(armCol).cast("int").as("__g"),
+        col(valueCol).cast("long").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    require(rows.filter(col("__g") =!= 0 && col("__g") =!= 1).isEmpty,
+      "yuen: armCol must be 0/1")
+    val spark = df.sparkSession
+    Pinned.withCheckpoint(rows.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    ) { cells =>
+      val wg = Window.partitionBy(col("__g")).orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = cells.withColumn("__cum", sum(col("__c")).over(wg))
+      val perG = cum.groupBy(col("__g")).agg(max(col("__cum")).as("__n"))
+        .withColumn("__k", // integer floor division (Spark `/` is double)
+          expr(s"__n * $trimNum div $trimDen"))
+      val withBounds = cum.join(perG, "__g")
+      val bounds = withBounds
+        .groupBy(col("__g"), col("__n"), col("__k"))
+        .agg(min(when(col("__cum") >= col("__k") + 1, col("__v")))
+            .as("__lo"),
+          min(when(col("__cum") >= col("__n") - col("__k"), col("__v")))
+            .as("__hi"))
+      val stats = cum.join(bounds, "__g")
+        .withColumn("__cl",
+          least(greatest(col("__v"), col("__lo")), col("__hi")))
+        .withColumn("__mid",
+          greatest(lit(0L),
+            least(col("__cum"), col("__n") - col("__k")) -
+              greatest(col("__cum") - col("__c") + 1L, col("__k") + 1L) +
+              1L))
+        .groupBy(col("__g"), col("__n"), col("__k"))
+        .agg(
+          sum(col("__c").cast("decimal(38,0)") * col("__cl")).as("__sw"),
+          sum(col("__c").cast("decimal(38,0)") * col("__cl") *
+            col("__cl")).as("__sww"),
+          sum(col("__mid").cast("decimal(38,0)") * col("__v"))
+            .as("__ts"))
+        .collect().map(r => r.getInt(0) ->
+          (r.getLong(1), r.getLong(2), BigDecimal(r.getDecimal(3)),
+            BigDecimal(r.getDecimal(4)), BigDecimal(r.getDecimal(5))))
+        .toMap
+      require(stats.contains(0) && stats.contains(1),
+        "yuen: both arms must be present")
+      def arm(g: Int): (Long, Long, Double, Double) = {
+        val (n, k, sw, sww, ts) = stats(g)
+        val h = n - 2 * k
+        require(h >= 2 && n >= 3,
+          s"yuen: arm $g too small after trimming (n=$n, h=$h)")
+        val tm = ts.toDouble / h.toDouble
+        // s²_w = (n·Σc² − (Σc)²) / (n(n−1)) from exact integers
+        val s2w = (BigDecimal(n) * sww - sw * sw).toDouble /
+          (n.toDouble * (n - 1).toDouble)
+        val d = (n - 1).toDouble * s2w / (h.toDouble * (h - 1).toDouble)
+        (n, h, tm, d)
+      }
+      val (n0, h0, tm0, d0) = arm(0)
+      val (n1, h1, tm1, d1) = arm(1)
+      require(d0 + d1 > 0.0, "yuen: zero winsorized variance in both arms")
+      val tStat = (tm1 - tm0) / math.sqrt(d0 + d1)
+      val dfW = (d0 + d1) * (d0 + d1) /
+        (d0 * d0 / (h0 - 1).toDouble + d1 * d1 / (h1 - 1).toDouble)
+      spark.range(1).select(lit(n0).as("n0"), lit(n1).as("n1"),
+        lit(h0).as("h0"), lit(h1).as("h1"),
+        round(lit(tm0), 6).as("tmean0"), round(lit(tm1), 6).as("tmean1"),
+        round(lit(tm1 - tm0), 6).as("diff"),
+        round(lit(tStat), 6).as("t"), round(lit(dfW), 6).as("df_welch"))
+    }
   }
 }

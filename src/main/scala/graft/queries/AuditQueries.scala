@@ -501,7 +501,83 @@ object AuditQueries extends QuerySet {
     Q("q336_runs_test", q336, Some(q336Sql)),
     Q("q337_seasonal_mk", q337, Some(q337Sql)),
     Q("q338_page_trend", q338, Some(q338Sql)),
-    Q("q339_raking", q339, Some(q339Sql)))
+    Q("q339_raking", q339, Some(q339Sql)),
+    Q("q340_yuen", q340, Some(q340Sql)))
+
+  /** Yuen's 20%-trimmed-means t-test: did purchases shift the SPEND
+    * LEVEL against clicks — keeps the cents scale q318's rank test
+    * discards, robust to the heavy tail a plain t-test drowns in. */
+  private def q340(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .filter(col("event_type").isin("purchase", "click") &&
+        col("value").isNotNull)
+      .select(when(col("event_type") === "purchase", 1).otherwise(0)
+          .cast("int").as("g"),
+        round(col("value") * 100).cast("long").as("v"))
+    Experiments.yuen(ev, "g", "v", trimNum = 1, trimDen = 5)
+  }
+
+  private val q340Sql =
+    """WITH r AS (
+      |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+      |    CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+      |cells AS (
+      |  SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM r GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT g, v, c,
+      |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cm
+      |  FROM cells),
+      |pg AS (SELECT g, CAST(MAX(cm) AS BIGINT) AS n,
+      |  CAST(MAX(cm) * 1 // 5 AS BIGINT) AS k FROM cum GROUP BY g),
+      |bounds AS (
+      |  SELECT cum.g, pg.n, pg.k,
+      |    MIN(CASE WHEN cum.cm >= pg.k + 1 THEN cum.v END) AS lo,
+      |    MIN(CASE WHEN cum.cm >= pg.n - pg.k THEN cum.v END) AS hi
+      |  FROM cum JOIN pg ON cum.g = pg.g GROUP BY cum.g, pg.n, pg.k),
+      |st AS (
+      |  SELECT c2.g, b.n, b.k, b.n - 2 * b.k AS h,
+      |    SUM(CAST(c2.c AS HUGEINT)
+      |      * least(greatest(c2.v, b.lo), b.hi)) AS sw,
+      |    SUM(CAST(c2.c AS HUGEINT)
+      |      * least(greatest(c2.v, b.lo), b.hi)
+      |      * least(greatest(c2.v, b.lo), b.hi)) AS sww,
+      |    SUM(CAST(greatest(0, least(c2.cm, b.n - b.k)
+      |      - greatest(c2.cm - c2.c + 1, b.k + 1) + 1) AS HUGEINT)
+      |      * c2.v) AS ts
+      |  FROM cum c2 JOIN bounds b ON c2.g = b.g
+      |  GROUP BY c2.g, b.n, b.k),
+      |arm AS (
+      |  SELECT g, n, h,
+      |    CAST(CAST(ts AS VARCHAR) AS DOUBLE) / CAST(h AS DOUBLE) AS tm,
+      |    CAST(n - 1 AS DOUBLE)
+      |      * (CAST(CAST(CAST(n AS HUGEINT) * sww - sw * sw AS VARCHAR)
+      |          AS DOUBLE)
+      |        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+      |      / (CAST(h AS DOUBLE) * CAST(h - 1 AS DOUBLE)) AS d
+      |  FROM st),
+      |fin AS (
+      |  SELECT
+      |    MAX(CASE WHEN g = 0 THEN n END) AS n0,
+      |    MAX(CASE WHEN g = 1 THEN n END) AS n1,
+      |    MAX(CASE WHEN g = 0 THEN h END) AS h0,
+      |    MAX(CASE WHEN g = 1 THEN h END) AS h1,
+      |    MAX(CASE WHEN g = 0 THEN tm END) AS tm0,
+      |    MAX(CASE WHEN g = 1 THEN tm END) AS tm1,
+      |    MAX(CASE WHEN g = 0 THEN d END) AS d0,
+      |    MAX(CASE WHEN g = 1 THEN d END) AS d1
+      |  FROM arm)
+      |SELECT n0, n1, h0, h1,
+      |  round(tm0, 6) AS tmean0, round(tm1, 6) AS tmean1,
+      |  round(tm1 - tm0, 6) AS diff,
+      |  round((tm1 - tm0) / sqrt(d0 + d1), 6) AS t,
+      |  round((d0 + d1) * (d0 + d1)
+      |    / (d0 * d0 / CAST(h0 - 1 AS DOUBLE)
+      |      + d1 * d1 / CAST(h1 - 1 AS DOUBLE)), 6) AS df_welch
+      |FROM fin""".stripMargin
 
   /** Raking (IPF): per-cell multipliers that balance the release on
     * lang AND source margins simultaneously — the two-axis move the

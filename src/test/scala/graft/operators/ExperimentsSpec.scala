@@ -335,6 +335,52 @@ class ExperimentsSpec extends AnyFunSuite with SparkSuite {
     assert(f1 == f2)
   }
 
+  test("yuen: hand-computed trimmed means, winsorized variance, Welch df") {
+    import spark.implicits._
+    // arm0 = 1..10, arm1 = 11..20 (same spread): k = 2, h = 6,
+    // tmeans 5.5 / 15.5; s2w = 425/90, d = 9*s2w/30 each, df = 10
+    val df = ((1 to 10).map(v => (0, v.toLong)) ++
+      (11 to 20).map(v => (1, v.toLong))).toDF("g", "v")
+    val r = Experiments.yuen(df, "g", "v").head()
+    assert(r.getAs[Long]("n0") == 10L && r.getAs[Long]("h0") == 6L)
+    assert(r.getAs[Double]("tmean0") == 5.5)
+    assert(r.getAs[Double]("tmean1") == 15.5)
+    assert(r.getAs[Double]("diff") == 10.0)
+    assert(r.getAs[Double]("df_welch") == 10.0)
+    val d = 9.0 * (425.0 / 90.0) / 30.0
+    val expT = 10.0 / math.sqrt(2.0 * d)
+    assert(math.abs(r.getAs[Double]("t") - expT) < 1e-6)
+  }
+
+  test("yuen: a wild outlier inside the trim band changes NOTHING") {
+    import spark.implicits._
+    val base = ((1 to 10).map(v => (0, v.toLong)) ++
+      (11 to 20).map(v => (1, v.toLong))).toDF("g", "v")
+    val poisoned = ((1 to 10).map(v => (0, v.toLong)) ++
+      (11 to 19).map(v => (1, v.toLong)) :+ ((1, 1000000000L)))
+      .toDF("g", "v")
+    // the outlier replaces 20: order stats v_(3)=13, v_(8)=18 unchanged,
+    // so trimmed mean AND winsorized variance are identical
+    assert(Experiments.yuen(base, "g", "v").head().toSeq ==
+      Experiments.yuen(poisoned, "g", "v").head().toSeq)
+  }
+
+  test("yuen: partitioning-invariant; refuses tiny arms and doubles") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val df = Seq.fill(400)((rnd.nextInt(2), rnd.nextInt(500).toLong))
+      .toDF("g", "v")
+    val a = Experiments.yuen(df.coalesce(1), "g", "v").head().toSeq
+    val b = Experiments.yuen(df.repartition(13), "g", "v").head().toSeq
+    assert(a == b)
+    val tiny = Seq((0, 1L), (0, 2L), (1, 5L), (1, 6L)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException](
+      Experiments.yuen(tiny, "g", "v"))
+    assert(e.getMessage.contains("too small"))
+    val dbl = Seq((0, 1.0), (1, 2.0)).toDF("g", "v")
+    intercept[IllegalArgumentException](Experiments.yuen(dbl, "g", "v"))
+  }
+
   test("friedman drops incomplete blocks; partitioning-invariant") {
     import spark.implicits._
     val df = (Seq((Some(1L), Some(2L)), (Some(2L), Some(1L)),
