@@ -699,6 +699,89 @@ object Experiments {
       .orderBy(col("position"))
   }
 
+  /** Group-sequential interim-analysis audit with O'Brien–Fleming
+    * boundaries (O'Brien & Fleming 1979; Pocock 1977 frames the
+    * family) — the CLASSICAL fixed-looks answer to peeking, beside
+    * q312's anytime-valid mSPRT: K scheduled looks, look k compares
+    * the cumulative two-proportion z (the q274 tree) against the
+    * spending boundary b_k = c·√(K/k) — early looks need
+    * overwhelming evidence, the final look spends almost the full α
+    * (c ≈ 2.0401 for K = 5, two-sided α = 0.05; pass the published
+    * constant for other designs).
+    *
+    * Exactness: cumulative (n, x) per (look, arm) are exact BIGINTs
+    * off ONE corpus census; z and b_k close in doubles from those
+    * integers with the identical IEEE tree in both engines (√(K/k) is
+    * a correctly-rounded sqrt of an exact quotient); the crossing flag
+    * compares the unrounded pair, so it cannot flip across engines.
+    *
+    * Output: one row per look (look, n0, n1, x0, x1, rate0, rate1, z,
+    * boundary, crossed). Looks with a degenerate cumulative state
+    * (an empty arm, pooled rate exactly 0 or 1) refuse loudly — a
+    * schedule that looks before both arms have data is a design bug.
+    *
+    * Scale shape: one map-side-combined census keyed (look, arm); the
+    * cumulative window and the close run on the ≤K-row grid. */
+  def groupSequential(df: DataFrame, armCol: String, successCol: String,
+                      lookCol: String, looks: Int,
+                      cAlpha: Double = 2.0401): DataFrame = {
+    require(looks >= 2 && looks <= 64, s"groupSequential: looks=$looks")
+    require(cAlpha > 0, s"groupSequential: cAlpha=$cAlpha")
+    val grid = df
+      .filter(col(armCol).isNotNull && col(successCol).isNotNull &&
+        col(lookCol).isNotNull)
+      .groupBy(col(lookCol).cast("long").as("look"))
+      .agg(
+        sum(when(!col(armCol).cast("boolean"), 1L).otherwise(0L))
+          .as("__n0"),
+        sum(when(col(armCol).cast("boolean"), 1L).otherwise(0L))
+          .as("__n1"),
+        sum(when(!col(armCol).cast("boolean") &&
+          col(successCol).cast("boolean"), 1L).otherwise(0L)).as("__x0"),
+        sum(when(col(armCol).cast("boolean") &&
+          col(successCol).cast("boolean"), 1L).otherwise(0L)).as("__x1"))
+    val w = Window.orderBy(col("look"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .withColumn("n0", sum(col("__n0")).over(w))
+      .withColumn("n1", sum(col("__n1")).over(w))
+      .withColumn("x0", sum(col("__x0")).over(w))
+      .withColumn("x1", sum(col("__x1")).over(w))
+    val cells = Grids.collectBounded(
+      cum.select(col("look"), col("n0"), col("n1"), col("x0"), col("x1"))
+        .orderBy(col("look")), "groupSequential look grid",
+      maxRows = 64)
+    val bad = cells.collect().find { r =>
+      val (n0, n1) = (r.getLong(1), r.getLong(2))
+      val xs = r.getLong(3) + r.getLong(4)
+      n0 == 0 || n1 == 0 || xs == 0 || xs == n0 + n1
+    }
+    require(bad.isEmpty,
+      s"groupSequential: degenerate cumulative state at look " +
+        s"${bad.map(_.getLong(0)).getOrElse(-1L)} (empty arm or pooled " +
+        "rate 0/1) — fix the look schedule")
+    val lkBad = cells.filter(col("look") < 1 || col("look") > looks)
+      .count()
+    require(lkBad == 0,
+      s"groupSequential: $lkBad looks outside [1, $looks]")
+    val pooled = (col("x0") + col("x1")).cast("double") /
+      (col("n0") + col("n1"))
+    val z = (col("x1").cast("double") / col("n1") -
+      col("x0").cast("double") / col("n0")) /
+      sqrt(pooled * (lit(1.0) - pooled) *
+        (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+    val boundary = lit(cAlpha) *
+      sqrt(lit(looks.toDouble) / col("look").cast("double"))
+    cells
+      .withColumn("__z", z).withColumn("__b", boundary)
+      .select(col("look"), col("n0"), col("n1"), col("x0"), col("x1"),
+        round(col("x0").cast("double") / col("n0"), 6).as("rate0"),
+        round(col("x1").cast("double") / col("n1"), 6).as("rate1"),
+        round(col("__z"), 6).as("z"), round(col("__b"), 6).as("boundary"),
+        (abs(col("__z")) > col("__b")).as("crossed"))
+      .orderBy(col("look"))
+  }
+
   /** Yuen's trimmed-means t-test (Yuen 1974) — the LOCATION test for
     * heavy-tailed metrics that keeps the value scale q318's
     * Mann–Whitney throws away: trim the outer `trimNum/trimDen` of

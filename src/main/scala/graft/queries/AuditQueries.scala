@@ -502,7 +502,65 @@ object AuditQueries extends QuerySet {
     Q("q337_seasonal_mk", q337, Some(q337Sql)),
     Q("q338_page_trend", q338, Some(q338Sql)),
     Q("q339_raking", q339, Some(q339Sql)),
-    Q("q340_yuen", q340, Some(q340Sql)))
+    Q("q340_yuen", q340, Some(q340Sql)),
+    Q("q341_group_sequential", q341, Some(q341Sql)))
+
+  /** O'Brien–Fleming group-sequential audit: five scheduled interim
+    * looks (6-day windows) at the purchase-rate split between the two
+    * user-hash arms — the classical fixed-looks peeking discipline
+    * beside q312's anytime-valid monitor. */
+  private def q341(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+      .select(pmod(col("user_id"), lit(2L)).as("arm"),
+        (col("event_type") === "purchase").as("conv"),
+        least(lit(5L), expr("(day(ts) - 1) div 6 + 1")).as("look"))
+    Experiments.groupSequential(ev, "arm", "conv", "look", looks = 5)
+  }
+
+  private val q341Sql =
+    """WITH ev AS (
+      |  SELECT ((user_id % 2) + 2) % 2 AS arm,
+      |    event_type = 'purchase' AS conv,
+      |    least(5, (day(ts) - 1) // 6 + 1) AS look
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |    AND event_type IS NOT NULL),
+      |grid AS (
+      |  SELECT look,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS g0,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS g1,
+      |    CAST(SUM(CASE WHEN arm = 0 AND conv THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS s0,
+      |    CAST(SUM(CASE WHEN arm = 1 AND conv THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS s1
+      |  FROM ev GROUP BY look),
+      |cum AS (
+      |  SELECT look,
+      |    CAST(SUM(g0) OVER w AS BIGINT) AS n0,
+      |    CAST(SUM(g1) OVER w AS BIGINT) AS n1,
+      |    CAST(SUM(s0) OVER w AS BIGINT) AS x0,
+      |    CAST(SUM(s1) OVER w AS BIGINT) AS x1
+      |  FROM grid
+      |  WINDOW w AS (ORDER BY look
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT look, n0, n1, x0, x1,
+      |  round(CAST(x0 AS DOUBLE) / n0, 6) AS rate0,
+      |  round(CAST(x1 AS DOUBLE) / n1, 6) AS rate1,
+      |  round((CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+      |    / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+      |      * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+      |      * (1.0 / n0 + 1.0 / n1)), 6) AS z,
+      |  round(2.0401 * sqrt(5.0 / CAST(look AS DOUBLE)), 6) AS boundary,
+      |  abs((CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+      |    / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+      |      * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+      |      * (1.0 / n0 + 1.0 / n1)))
+      |    > 2.0401 * sqrt(5.0 / CAST(look AS DOUBLE)) AS crossed
+      |FROM cum ORDER BY look""".stripMargin
 
   /** Yuen's 20%-trimmed-means t-test: did purchases shift the SPEND
     * LEVEL against clicks — keeps the cents scale q318's rank test

@@ -335,6 +335,44 @@ class ExperimentsSpec extends AnyFunSuite with SparkSuite {
     assert(f1 == f2)
   }
 
+  test("groupSequential: OBF boundaries decay as c*sqrt(K/k); a planted " +
+    "late effect crosses only the cheap late looks") {
+    import spark.implicits._
+    // looks 1-2: identical 10% rates both arms; looks 3-5: arm 1 jumps
+    // to 60% — early looks must NOT cross (huge early boundary), the
+    // accumulated late looks must
+    val rows = (1 to 5).flatMap { lk =>
+      val p1 = if (lk >= 3) 60 else 10
+      (1 to 200).map(i => (0, i % 10 == 0, lk)) ++
+        (1 to 200).map(i => (1, i % 100 < p1, lk))
+    }
+    val out = Experiments.groupSequential(rows.toDF("arm", "conv", "look"),
+      "arm", "conv", "look", looks = 5).collect()
+    val byLook = out.map(r => r.getAs[Long]("look") ->
+      (r.getAs[Double]("boundary"), r.getAs[Boolean]("crossed"))).toMap
+    assert(byLook(1L)._1 ==
+      BigDecimal(2.0401 * math.sqrt(5.0)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(byLook(5L)._1 ==
+      BigDecimal(2.0401).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(!byLook(1L)._2 && !byLook(2L)._2) // null regime, huge bound
+    assert(byLook(4L)._2 && byLook(5L)._2)   // accumulated effect
+    // cumulative counts: look 5 carries all 2000 rows
+    assert(out.map(r => r.getAs[Long]("n0") + r.getAs[Long]("n1")).max ==
+      2000L)
+  }
+
+  test("groupSequential refuses a look with an empty arm") {
+    import spark.implicits._
+    val rows = (1 to 50).map(i => (0, i % 5 == 0, 1)) ++
+      (1 to 50).map(i => (1, i % 5 == 0, 2)) // look 1 has no arm-1 data
+    val e = intercept[IllegalArgumentException](
+      Experiments.groupSequential(rows.toDF("arm", "conv", "look"),
+        "arm", "conv", "look", looks = 2))
+    assert(e.getMessage.contains("degenerate cumulative state"))
+  }
+
   test("yuen: hand-computed trimmed means, winsorized variance, Welch df") {
     import spark.implicits._
     // arm0 = 1..10, arm1 = 11..20 (same spread): k = 2, h = 6,
