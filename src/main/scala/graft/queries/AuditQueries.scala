@@ -406,7 +406,7 @@ object AuditQueries extends QuerySet {
       |FROM alg""".stripMargin
 
   /** Streaming schema-drift monitor under the driver gate — the q315
-    * batch audit made continuous on the LedgerMonitor base (its eighth
+    * batch audit made continuous on the LedgerMonitor base (its seventh
     * monitor): even events land as four deterministic micro-batches of
     * raw JSON docs; batches 2-3 carry a planted int→string producer
     * regression on field `k`, which must flip exactly once (batch 2)

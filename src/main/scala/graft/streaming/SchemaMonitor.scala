@@ -8,7 +8,7 @@ import graft.store.DocumentStore
 
 /** Streaming schema-drift monitor — the q315 batch audit made
   * continuous on the [[LedgerMonitor]] ledger discipline (and the
-  * eighth monitor on the base, which is the point: census + verdict
+  * seventh monitor on the base, which is the point: census + verdict
   * are the ONLY code here — the empty-batch guard, replay idempotence,
   * and the keyed-upsert write path are structural). Each micro-batch
   * is an ingest epoch: its per-field raw-JSON type census lands in the
