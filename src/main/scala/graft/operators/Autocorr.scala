@@ -79,4 +79,42 @@ object Autocorr {
     try spark.createDataFrame(out.collect().toSeq.asJava, out.schema)
     finally gPin.release()
   }
+
+  /** Ljung–Box whiteness test (Ljung & Box 1978) — the scalar verdict
+    * on the [[acf]] trajectory: is the series (typically a fit's
+    * residuals, q173/q306) distinguishable from white noise at all?
+    *
+    *   Q(h) = n(n+2) · Σ_{k=1..h} ρ̂_k² / (n−k),  χ²_h under H₀
+    *
+    * reported CUMULATIVELY per lag (the practitioner reads where Q
+    * starts exploding, not one pinned h). Determinism: ρ̂_k are the
+    * 6-dp-rounded acf values BOTH engines already agree on, and the
+    * cumulative fold runs in lag order — bit-identical replay. Output:
+    * (lag, acf, q_lb, df) for lag 1..maxLag.
+    *
+    * Scale shape: [[acf]]'s (one grid²-bounded lag join); the Q fold
+    * is O(maxLag) on the driver. */
+  def ljungBox(grid: DataFrame, tCol: String, yCol: String,
+               maxLag: Int): DataFrame = {
+    val spark = grid.sparkSession
+    val rows = acf(grid, tCol, yCol, maxLag).collect()
+    val n = rows.find(_.getLong(0) == 0L).get.getLong(1) // pairs at lag 0
+    val factor = n.toDouble * (n + 2).toDouble
+    var cum = 0.0
+    val out = rows.filter(_.getLong(0) >= 1L).sortBy(_.getLong(0))
+      .map { r =>
+        val k = r.getLong(0); val rho = r.getDouble(2)
+        cum += rho * rho / (n - k).toDouble
+        org.apache.spark.sql.Row(k, rho, factor * cum, k)
+      }
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{StructType, StructField,
+      LongType, DoubleType}
+    spark.createDataFrame(out.toSeq.asJava, StructType(Seq(
+      StructField("lag", LongType), StructField("acf", DoubleType),
+      StructField("q_lb", DoubleType), StructField("df", LongType))))
+      .select(col("lag"), col("acf"), round(col("q_lb"), 6).as("q_lb"),
+        col("df"))
+      .orderBy(col("lag"))
+  }
 }

@@ -22,6 +22,70 @@ import org.apache.spark.sql.functions._
   */
 object Sequences {
 
+  /** Session gap-threshold sensitivity — the audit that grounds the
+    * q24/q119 sessionizers' one magic number: session counts are a
+    * step function of the inactivity threshold, and picking 30 min
+    * because "everyone does" silently merges or shreds sessions. One
+    * pass over the per-user gap distribution prices EVERY candidate
+    * threshold: sessions(θ) = users + #{gaps > θ} (each over-threshold
+    * gap starts one more session).
+    *
+    * Exactness: the gap census (whole seconds via the epoch floor —
+    * the q296 timestamp contract) and the per-threshold counts are
+    * exact BIGINTs; events-per-session is the only double (6-dp).
+    *
+    * Scale shape: ONE Exchange(user) + lag window builds the gaps
+    * (the sessionizer's own shuffle), then one map-side-combined gap
+    * census; the thresholds evaluate as conditional aggregates over
+    * census rows — adding a candidate threshold costs nothing. */
+  def gapSensitivity(df: DataFrame, userCol: String, tsCol: String,
+                     thresholdsSec: Seq[Long]): DataFrame = {
+    require(thresholdsSec.nonEmpty && thresholdsSec.size <= 64,
+      s"gapSensitivity: ${thresholdsSec.size} thresholds outside [1, 64]")
+    require(thresholdsSec == thresholdsSec.sorted &&
+      thresholdsSec.distinct == thresholdsSec,
+      "gapSensitivity: thresholds must be strictly ascending")
+    require(thresholdsSec.forall(_ > 0), "gapSensitivity: threshold <= 0")
+    val spark = df.sparkSession
+    val ev = df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        unix_timestamp(col(tsCol)).as("__s"))
+    val w = Window.partitionBy(col("__u")).orderBy(col("__s"))
+    // a NULL gap marks each user's first event, so ONE census carries
+    // everything: n_users = c(NULL), n_events = Σc, and every
+    // threshold reads the over-threshold tail
+    val gaps = ev
+      .withColumn("__gap", col("__s") - lag(col("__s"), 1).over(w))
+      .groupBy(col("__gap")).agg(count(lit(1)).as("__c"))
+    Pinned.withCheckpoint(gaps) { census =>
+      import spark.implicits._
+      val tot = census.agg(sum(col("__c")).as("n_events"),
+        coalesce(sum(when(col("__gap").isNull, col("__c"))), lit(0L))
+          .as("n_users")).head()
+      val (nEvents, nUsers) = (tot.getLong(0), tot.getLong(1))
+      require(nUsers > 0, "gapSensitivity: no (user, ts) rows")
+      val thr = thresholdsSec.toDF("threshold_s")
+      val breaks = census.filter(col("__gap").isNotNull)
+        .crossJoin(broadcast(thr))
+        .groupBy(col("threshold_s"))
+        .agg(sum(when(col("__gap") > col("threshold_s"), col("__c"))
+          .otherwise(0L)).as("__breaks"))
+      // left join from the thresholds: a gapless corpus (every user a
+      // single event) still reports one row per threshold
+      val out = thr.join(breaks, Seq("threshold_s"), "left")
+        .select(col("threshold_s"), lit(nUsers).as("n_users"),
+          lit(nEvents).as("n_events"),
+          (lit(nUsers) + coalesce(col("__breaks"), lit(0L)))
+            .as("n_sessions"))
+        .withColumn("events_per_session",
+          round(lit(nEvents).cast("double") /
+            col("n_sessions").cast("double"), 6))
+        .orderBy(col("threshold_s"))
+      // re-emit before the pin releases (the plan reads the checkpoint)
+      Grids.collectBounded(out, "gapSensitivity thresholds", maxRows = 64)
+    }
+  }
+
   /** First-order transition counts and probabilities.
     *
     * For each sequence (grouped by `partitionCols`, ordered by

@@ -3,8 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
-import graft.operators.{ChangePoint, Dependencies, Experiments,
-  KAnonymity, Ordinal, RankTests, Smoothing, TrendTests, Weighting}
+import graft.operators.{Ablation, Autocorr, ChangePoint, Dependencies,
+  Experiments, KAnonymity, Ordinal, RankTests, Sequences, Smoothing,
+  TrendTests, Weighting}
 
 /** Round-16 release/ingest audit extensions (q327+): t-closeness (the
   * ordered-attribute privacy audit k-anonymity and l-diversity miss),
@@ -503,7 +504,145 @@ object AuditQueries extends QuerySet {
     Q("q338_page_trend", q338, Some(q338Sql)),
     Q("q339_raking", q339, Some(q339Sql)),
     Q("q340_yuen", q340, Some(q340Sql)),
-    Q("q341_group_sequential", q341, Some(q341Sql)))
+    Q("q341_group_sequential", q341, Some(q341Sql)),
+    Q("q342_filter_ablation", q342, Some(q342Sql)),
+    Q("q343_session_sensitivity", q343, Some(q343Sql)),
+    Q("q344_ljung_box", q344, Some(q344Sql)))
+
+  /** Quality-filter ablation over a five-filter battery: per filter,
+    * total vs UNIQUE failures (its marginal value — a filter whose
+    * failures are all caught elsewhere is free to drop) plus the
+    * survivor count, all off one mask census. */
+  private def q342(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    Ablation.filterAblation(docs, Seq(
+      "a_too_short" -> (col("n_chars") < 100),
+      "b_too_long" -> (col("n_chars") > 450),
+      "c_low_vowel" ->
+        (regexp_count(lower(col("text")), lit("[aeiou]")) * 4 <
+          length(col("text"))),
+      "d_no_the" -> !col("text").contains(" the "),
+      "e_digit_heavy" ->
+        (regexp_count(col("text"), lit("[0-9]")) * 10 >
+          length(col("text")))))
+  }
+
+  private val q342Sql =
+    """WITH m AS (
+      |  SELECT
+      |    (CASE WHEN COALESCE(n_chars < 100, TRUE) THEN 1 ELSE 0 END)
+      |    + (CASE WHEN COALESCE(n_chars > 450, TRUE) THEN 2 ELSE 0 END)
+      |    + (CASE WHEN COALESCE(
+      |        len(regexp_extract_all(lower(text), '[aeiou]')) * 4
+      |          < length(text), TRUE) THEN 4 ELSE 0 END)
+      |    + (CASE WHEN COALESCE(NOT contains(text, ' the '), TRUE)
+      |        THEN 8 ELSE 0 END)
+      |    + (CASE WHEN COALESCE(
+      |        len(regexp_extract_all(text, '[0-9]')) * 10
+      |          > length(text), TRUE) THEN 16 ELSE 0 END) AS mask
+      |  FROM documents),
+      |census AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS c FROM m
+      |  GROUP BY mask),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nd,
+      |  CAST(COALESCE(SUM(CASE WHEN mask = 0 THEN c END), 0) AS BIGINT)
+      |    AS surv
+      |  FROM census),
+      |f AS (SELECT * FROM (VALUES ('a_too_short', 1), ('b_too_long', 2),
+      |  ('c_low_vowel', 4), ('d_no_the', 8), ('e_digit_heavy', 16))
+      |  v(filter, bit))
+      |SELECT f.filter,
+      |  CAST(COALESCE(SUM(CASE WHEN (census.mask & f.bit) <> 0
+      |    THEN census.c END), 0) AS BIGINT) AS n_failing,
+      |  CAST(COALESCE(SUM(CASE WHEN census.mask = f.bit
+      |    THEN census.c END), 0) AS BIGINT) AS n_unique_failures,
+      |  round(CAST(COALESCE(SUM(CASE WHEN (census.mask & f.bit) <> 0
+      |      THEN census.c END), 0) AS DOUBLE)
+      |    / CAST(tot.nd AS DOUBLE), 6) AS frac_failing,
+      |  tot.nd AS n_docs, tot.surv AS n_survivors
+      |FROM f CROSS JOIN census CROSS JOIN tot
+      |GROUP BY f.filter, tot.nd, tot.surv
+      |ORDER BY f.filter""".stripMargin
+
+  /** Session gap-threshold sensitivity: session counts at four
+    * candidate inactivity thresholds from ONE gap census — grounds
+    * the q24/q119 sessionizers' magic 30 minutes. */
+  private def q343(s: SparkSession, d: String): DataFrame =
+    Sequences.gapSensitivity(t(s, d, "events"), "user_id", "ts",
+      Seq(300L, 900L, 1800L, 3600L))
+
+  private val q343Sql =
+    """WITH ev AS (
+      |  SELECT user_id AS u, epoch_us(ts) // 1000000 AS s
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |gaps AS (
+      |  SELECT s - lag(s) OVER (PARTITION BY u ORDER BY s) AS gap
+      |  FROM ev),
+      |census AS (SELECT gap, CAST(COUNT(*) AS BIGINT) AS c FROM gaps
+      |  GROUP BY gap),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS ne,
+      |  CAST(COALESCE(SUM(CASE WHEN gap IS NULL THEN c END), 0)
+      |    AS BIGINT) AS nu
+      |  FROM census),
+      |thr AS (SELECT * FROM (VALUES (CAST(300 AS BIGINT)), (900),
+      |  (1800), (3600)) v(threshold_s))
+      |SELECT thr.threshold_s, tot.nu AS n_users, tot.ne AS n_events,
+      |  tot.nu + CAST(COALESCE(SUM(CASE WHEN census.gap > thr.threshold_s
+      |    THEN census.c END), 0) AS BIGINT) AS n_sessions,
+      |  round(CAST(tot.ne AS DOUBLE)
+      |    / CAST(tot.nu + CAST(COALESCE(SUM(CASE WHEN
+      |        census.gap > thr.threshold_s THEN census.c END), 0)
+      |      AS BIGINT) AS DOUBLE), 6) AS events_per_session
+      |FROM thr CROSS JOIN census CROSS JOIN tot
+      |WHERE census.gap IS NOT NULL
+      |GROUP BY thr.threshold_s, tot.nu, tot.ne
+      |ORDER BY thr.threshold_s""".stripMargin
+
+  /** Ljung-Box whiteness on the hourly arrival series — the scalar
+    * verdict over q296's ACF trajectory (cumulative Q per lag). */
+  private def q344(s: SparkSession, d: String): DataFrame = {
+    val grid = t(s, d, "events").filter(col("ts").isNotNull)
+      .groupBy(floor(unix_timestamp(col("ts")) / 3600L).as("t"))
+      .agg(count(lit(1)).cast("double").as("y"))
+    Autocorr.ljungBox(grid, "t", "y", maxLag = 48)
+  }
+
+  private val q344Sql =
+    """WITH g AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS t,
+      |    CAST(COUNT(*) AS DECIMAL(18,6)) AS y
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g),
+      |idx AS (SELECT t, y, row_number() OVER (ORDER BY t) AS rn FROM g),
+      |tot AS (SELECT CAST(SUM(y) AS DECIMAL(28,6)) AS s FROM idx),
+      |c AS (
+      |  SELECT rn,
+      |    CAST(CAST(CAST(y * nn.n AS DECIMAL(28,6)) - tot.s AS VARCHAR)
+      |      AS DOUBLE) AS cy
+      |  FROM idx, nn, tot),
+      |lags AS (SELECT unnest(range(0, 49)) AS lag),
+      |pairs AS (
+      |  SELECT lags.lag, a.rn, a.cy * b.cy AS term
+      |  FROM c a JOIN lags ON true
+      |  JOIN c b ON b.rn = a.rn + lags.lag),
+      |agg AS (
+      |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(term ORDER BY rn)), (x, z) -> x + z) AS num
+      |  FROM pairs GROUP BY lag),
+      |den AS (SELECT num AS d FROM agg WHERE lag = 0),
+      |rho AS (
+      |  SELECT CAST(agg.lag AS BIGINT) AS lag,
+      |    round(agg.num / den.d, 6) AS acf
+      |  FROM agg, den WHERE agg.lag >= 1),
+      |q AS (
+      |  SELECT rho.lag, rho.acf,
+      |    (CAST(nn.n AS DOUBLE) * CAST(nn.n + 2 AS DOUBLE))
+      |      * SUM(rho.acf * rho.acf / CAST(nn.n - rho.lag AS DOUBLE))
+      |        OVER (ORDER BY rho.lag
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ql
+      |  FROM rho, nn)
+      |SELECT lag, acf, round(ql, 6) AS q_lb, lag AS df
+      |FROM q ORDER BY lag""".stripMargin
 
   /** O'Brien–Fleming group-sequential audit: five scheduled interim
     * looks (6-day windows) at the purchase-rate split between the two

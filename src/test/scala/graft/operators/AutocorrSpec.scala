@@ -41,4 +41,30 @@ class AutocorrSpec extends AnyFunSuite with SparkSuite {
     }
     assert(e.getMessage.contains("constant"))
   }
+
+  test("ljungBox: Q is the cumulative n(n+2)*sum(acf^2/(n-k)) over " +
+    "the published acf trajectory") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 100).map(i =>
+      (i.toLong, 50.0 + 10.0 * (i % 4) + rnd.nextInt(5)))
+    val df = rows.toDF("t", "y")
+    val a = Autocorr.acf(df, "t", "y", maxLag = 8).collect()
+    val n = a.find(_.getLong(0) == 0L).get.getLong(1)
+    val lb = Autocorr.ljungBox(df, "t", "y", maxLag = 8).collect()
+    assert(lb.length == 8)
+    var cum = 0.0
+    lb.foreach { r =>
+      val k = r.getAs[Long]("lag")
+      val rho = a.find(_.getLong(0) == k).get.getDouble(2)
+      assert(r.getAs[Double]("acf") == rho)
+      cum += rho * rho / (n - k).toDouble
+      val q = BigDecimal(n.toDouble * (n + 2).toDouble * cum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("q_lb") == q)
+      assert(r.getAs[Long]("df") == k)
+    }
+    // a strongly cyclic series is anything but white: Q explodes
+    assert(lb.last.getAs[Double]("q_lb") > 50.0)
+  }
 }

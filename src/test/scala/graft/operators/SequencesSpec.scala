@@ -87,4 +87,45 @@ class SequencesSpec extends AnyFunSuite with SparkSuite {
     assert(r.getDouble(3) == 0.0, "alternating chain is fully predictable")
     assert(r.getDouble(5) == 1.0)
   }
+
+  test("gapSensitivity: hand-computed session counts per threshold") {
+    import spark.implicits._
+    // user A gaps: 100, 400; user B: single event (no gaps)
+    val df = Seq(("a", 0L), ("a", 100L), ("a", 500L), ("b", 7L))
+      .toDF("u", "sec")
+      .select($"u", to_timestamp($"sec").as("ts"))
+    val out = Sequences.gapSensitivity(df, "u", "ts", Seq(50L, 200L, 1000L))
+      .collect().map(r => r.getAs[Long]("threshold_s") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("n_sessions"))).toMap
+    assert(out(50L) == ((2L, 4L, 4L)))   // both gaps break
+    assert(out(200L) == ((2L, 4L, 3L)))  // only the 400s gap breaks
+    assert(out(1000L) == ((2L, 4L, 2L))) // nothing breaks
+  }
+
+  test("gapSensitivity: gapless corpus still reports every threshold") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("u", "sec")
+      .select($"u", to_timestamp($"sec").as("ts"))
+    val out = Sequences.gapSensitivity(df, "u", "ts", Seq(60L, 600L))
+      .collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Long]("n_sessions") == 3L))
+  }
+
+  test("gapSensitivity: partitioning-invariant; refuses bad thresholds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val df = (1 to 600).map(_ => (s"u${rnd.nextInt(20)}",
+      rnd.nextInt(100000).toLong)).toDF("u", "sec")
+      .select($"u", to_timestamp($"sec").as("ts"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sequences.gapSensitivity(d, "u", "ts", Seq(60L, 1800L, 7200L))
+        .collect().map(_.toString).toSeq
+    assert(run(df.coalesce(1)) == run(df.repartition(13)))
+    intercept[IllegalArgumentException](
+      Sequences.gapSensitivity(df, "u", "ts", Seq(900L, 300L)))
+    intercept[IllegalArgumentException](
+      Sequences.gapSensitivity(df, "u", "ts", Seq.empty))
+  }
 }
