@@ -117,4 +117,69 @@ object Autocorr {
         col("df"))
       .orderBy(col("lag"))
   }
+
+  /** Partial autocorrelation via Durbin–Levinson (Durbin 1960; Box &
+    * Jenkins §3.2) — the AR-order diagnostic the raw [[acf]] cannot
+    * be: ACF of an AR(p) process decays forever, PACF CUTS OFF at p;
+    * reading where φ_kk dies is how an order is picked. The recursion
+    * on the lag-1..L autocorrelations:
+    *
+    *   φ_kk = (ρ_k − Σ_{j<k} φ_{k−1,j}·ρ_{k−j}) /
+    *          (1 − Σ_{j<k} φ_{k−1,j}·ρ_j),
+    *   φ_kj = φ_{k−1,j} − φ_kk·φ_{k−1,k−j}
+    *
+    * Determinism contract (the holtWinters class): inputs are the
+    * 6-dp-rounded [[acf]] values both engines already agree on; the
+    * recursion folds driver-side with ascending-j sums (0-seeded) that
+    * the oracle's recursive CTE replays carrying the φ DOUBLE[] list.
+    * A unit root in the sample ACF (denominator 0) refuses loudly.
+    * Output: (lag, acf, pacf) for lag 1..maxLag, 6-dp at output.
+    *
+    * Scale shape: [[acf]]'s; the recursion is O(maxLag²) ≤ 256² on
+    * the driver. */
+  def pacf(grid: DataFrame, tCol: String, yCol: String,
+           maxLag: Int): DataFrame = {
+    val spark = grid.sparkSession
+    val rows = acf(grid, tCol, yCol, maxLag).collect()
+      .filter(_.getLong(0) >= 1L).sortBy(_.getLong(0))
+    val rho = rows.map(_.getDouble(2)) // rho(1)..rho(L), 6-dp published
+    val l = rho.length
+    var phi = Array.empty[Double] // phi(k-1, 1..k-1)
+    val out = new Array[(Long, Double, Double)](l)
+    var k = 1
+    while (k <= l) {
+      var num = 0.0; var den = 0.0; var j = 1
+      while (j < k) {
+        num += phi(j - 1) * rho(k - j - 1)
+        den += phi(j - 1) * rho(j - 1)
+        j += 1
+      }
+      val dd = 1.0 - den
+      require(dd != 0.0,
+        s"pacf: unit denominator at lag $k — the sample ACF is on a " +
+          "unit root; the recursion is undefined")
+      val pkk = (rho(k - 1) - num) / dd
+      val next = new Array[Double](k)
+      j = 1
+      while (j < k) {
+        next(j - 1) = phi(j - 1) - pkk * phi(k - j - 1)
+        j += 1
+      }
+      next(k - 1) = pkk
+      phi = next
+      out(k - 1) = (k.toLong, rho(k - 1), pkk)
+      k += 1
+    }
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{StructType, StructField,
+      LongType, DoubleType}
+    spark.createDataFrame(
+      out.toSeq.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3))
+        .asJava,
+      StructType(Seq(
+        StructField("lag", LongType), StructField("acf", DoubleType),
+        StructField("pacf", DoubleType))))
+      .select(col("lag"), col("acf"), round(col("pacf"), 6).as("pacf"))
+      .orderBy(col("lag"))
+  }
 }

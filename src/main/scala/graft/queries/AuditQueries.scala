@@ -507,7 +507,75 @@ object AuditQueries extends QuerySet {
     Q("q341_group_sequential", q341, Some(q341Sql)),
     Q("q342_filter_ablation", q342, Some(q342Sql)),
     Q("q343_session_sensitivity", q343, Some(q343Sql)),
-    Q("q344_ljung_box", q344, Some(q344Sql)))
+    Q("q344_ljung_box", q344, Some(q344Sql)),
+    Q("q345_pacf", q345, Some(q345Sql)))
+
+  /** PACF of the hourly arrival series — where the partial
+    * autocorrelation cuts off is the AR-order read the raw q296 ACF
+    * (which decays forever under a daily cycle) cannot give. */
+  private def q345(s: SparkSession, d: String): DataFrame = {
+    val grid = t(s, d, "events").filter(col("ts").isNotNull)
+      .groupBy(floor(unix_timestamp(col("ts")) / 3600L).as("t"))
+      .agg(count(lit(1)).cast("double").as("y"))
+    Autocorr.pacf(grid, "t", "y", maxLag = 30)
+  }
+
+  private val q345Sql =
+    """WITH RECURSIVE g AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS t,
+      |    CAST(COUNT(*) AS DECIMAL(18,6)) AS y
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g),
+      |idx AS (SELECT t, y, row_number() OVER (ORDER BY t) AS rn FROM g),
+      |tot AS (SELECT CAST(SUM(y) AS DECIMAL(28,6)) AS s FROM idx),
+      |c AS (
+      |  SELECT rn,
+      |    CAST(CAST(CAST(y * nn.n AS DECIMAL(28,6)) - tot.s AS VARCHAR)
+      |      AS DOUBLE) AS cy
+      |  FROM idx, nn, tot),
+      |lags AS (SELECT unnest(range(0, 31)) AS lag),
+      |pairs AS (
+      |  SELECT lags.lag, a.rn, a.cy * b.cy AS term
+      |  FROM c a JOIN lags ON true
+      |  JOIN c b ON b.rn = a.rn + lags.lag),
+      |agg AS (
+      |  SELECT lag,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(term ORDER BY rn)), (x, z) -> x + z) AS num
+      |  FROM pairs GROUP BY lag),
+      |den AS (SELECT num AS d FROM agg WHERE lag = 0),
+      |rl AS (
+      |  SELECT list(round(agg.num / den.d, 6) ORDER BY agg.lag) AS rho
+      |  FROM agg, den WHERE agg.lag >= 1),
+      |dl AS (
+      |  SELECT 1 AS k, [rl.rho[1]] AS phi FROM rl
+      |  UNION ALL
+      |  SELECT dl.k + 1,
+      |    list_append(
+      |      list_transform(range(1, dl.k + 1), j -> dl.phi[j]
+      |        - ((rl.rho[dl.k + 1]
+      |            - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |                list_transform(range(1, dl.k + 1),
+      |                  i -> dl.phi[i] * rl.rho[dl.k + 1 - i])),
+      |                (a, b) -> a + b))
+      |          / (1.0 - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |                list_transform(range(1, dl.k + 1),
+      |                  i -> dl.phi[i] * rl.rho[i])),
+      |                (a, b) -> a + b)))
+      |          * dl.phi[dl.k + 1 - j]),
+      |      (rl.rho[dl.k + 1]
+      |          - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |              list_transform(range(1, dl.k + 1),
+      |                i -> dl.phi[i] * rl.rho[dl.k + 1 - i])),
+      |              (a, b) -> a + b))
+      |        / (1.0 - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |              list_transform(range(1, dl.k + 1),
+      |                i -> dl.phi[i] * rl.rho[i])),
+      |              (a, b) -> a + b)))
+      |  FROM dl, rl WHERE dl.k < 30)
+      |SELECT CAST(dl.k AS BIGINT) AS lag, rl.rho[dl.k] AS acf,
+      |  round(dl.phi[dl.k], 6) AS pacf
+      |FROM dl, rl ORDER BY lag""".stripMargin
 
   /** Quality-filter ablation over a five-filter battery: per filter,
     * total vs UNIQUE failures (its marginal value — a filter whose

@@ -67,4 +67,37 @@ class AutocorrSpec extends AnyFunSuite with SparkSuite {
     // a strongly cyclic series is anything but white: Q explodes
     assert(lb.last.getAs[Double]("q_lb") > 50.0)
   }
+
+  test("pacf: equals a reference Durbin-Levinson on the published acf; " +
+    "AR(1) cuts off after lag 1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    var y = 0.0
+    val rows = (0 until 300).map { i =>
+      y = 0.6 * y + rnd.nextGaussian()
+      (i.toLong, y)
+    }
+    val df = rows.toDF("t", "y")
+    val rho = Autocorr.acf(df, "t", "y", maxLag = 6).collect()
+      .filter(_.getLong(0) >= 1).sortBy(_.getLong(0)).map(_.getDouble(2))
+    val got = Autocorr.pacf(df, "t", "y", maxLag = 6).collect()
+    // reference recursion
+    var phi = Array.empty[Double]
+    val want = (1 to 6).map { k =>
+      var num = 0.0; var den = 0.0
+      (1 until k).foreach { j =>
+        num += phi(j - 1) * rho(k - j - 1); den += phi(j - 1) * rho(j - 1)
+      }
+      val pkk = (rho(k - 1) - num) / (1.0 - den)
+      phi = (1 until k).map(j => phi(j - 1) - pkk * phi(k - j - 1))
+        .toArray :+ pkk
+      BigDecimal(pkk).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    assert(got.map(_.getAs[Double]("pacf")).toSeq == want)
+    // pacf(1) == acf(1) identically; AR(1): higher lags die off
+    assert(got.head.getAs[Double]("pacf") == rho(0))
+    assert(rho(0) > 0.4)
+    assert(got.drop(1).forall(r => math.abs(r.getAs[Double]("pacf")) < 0.2))
+  }
 }
