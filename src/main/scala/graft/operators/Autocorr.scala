@@ -118,6 +118,79 @@ object Autocorr {
       .orderBy(col("lag"))
   }
 
+  /** Cross-correlation function between TWO series on one grid — the
+    * lead–lag diagnostic [[acf]] cannot give: does x LEAD y (peak at
+    * positive lag: x_t correlates with y_{t+ℓ}), lag it, or move
+    * coincident? The standard CCF normalization uses the full-series
+    * moments (Box & Jenkins §11.1):
+    *
+    *   r_xy(ℓ) = Σ_t c_x(t)·c_y(t+ℓ) / √(Σc_x² · Σc_y²)
+    *
+    * Exactness: the [[acf]] discipline per series — centered values
+    * are the exact decimal n·v − Σv cast to double ONCE, lag products
+    * fold in position order (the q279 discipline), the denominator is
+    * one √ of exact-fold products. Output: (lag, n_pairs, ccf) for
+    * lag −maxLag..+maxLag, 6-dp.
+    *
+    * Scale shape: [[acf]]'s — the input must already BE a grid, ≤2¹²
+    * positions; one pinned pass derives it; the lag join is
+    * grid²-bounded. */
+  def ccf(grid: DataFrame, tCol: String, xCol: String, yCol: String,
+          maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 256, s"bad maxLag=$maxLag")
+    val spark = grid.sparkSession
+    val gPin = Pinned.checkpoint(
+      grid.select(col(tCol).cast("long").as("t"),
+          col(xCol).cast("decimal(18,6)").as("x"),
+          col(yCol).cast("decimal(18,6)").as("y"))
+        .filter(col("t").isNotNull && col("x").isNotNull &&
+          col("y").isNotNull))
+    try {
+      val g = gPin.df
+      val n = g.count()
+      require(n >= maxLag + 2 && n <= (1 << 12),
+        s"ccf: $n grid positions (need in [${maxLag + 2}, 4096]) — " +
+          "pre-aggregate onto a bounded time grid first")
+      val w = Window.orderBy(col("t"))
+      val idx = g.withColumn("rn", row_number().over(w))
+      val tot = idx.agg(sum(col("x")).cast("decimal(38,6)").as("__sx"),
+        sum(col("y")).cast("decimal(38,6)").as("__sy"))
+      val c = idx.crossJoin(broadcast(tot))
+        .select(col("rn"),
+          (col("x") * n - col("__sx")).cast("decimal(38,6)")
+            .cast("double").as("cx"),
+          (col("y") * n - col("__sy")).cast("decimal(38,6)")
+            .cast("double").as("cy"))
+      def sortedFold(products: DataFrame): DataFrame =
+        products.groupBy(col("lag"))
+          .agg(count(lit(1)).as("n_pairs"),
+            aggregate(
+              transform(array_sort(collect_list(struct(col("rn"),
+                col("term")))),
+                s => s.getField("term")),
+              lit(0.0), (acc, x) => acc + x).as("__num"))
+      import spark.implicits._
+      val lags = (-maxLag to maxLag).map(_.toLong).toDF("lag")
+      val cross = sortedFold(c.as("a").crossJoin(broadcast(lags))
+        .join(c.select(col("rn").as("rn2"), col("cy").as("cy2")).as("b"),
+          col("rn2") === col("rn") + col("lag"))
+        .select(col("lag"), col("rn"),
+          (col("cx") * col("cy2")).as("term")))
+      val sxx = sortedFold(c.select(lit(0L).as("lag"), col("rn"),
+        (col("cx") * col("cx")).as("term"))).head().getDouble(2)
+      val syy = sortedFold(c.select(lit(0L).as("lag"), col("rn"),
+        (col("cy") * col("cy")).as("term"))).head().getDouble(2)
+      require(sxx != 0.0 && syy != 0.0,
+        "ccf: a constant series — zero variance")
+      val den = math.sqrt(sxx * syy)
+      val out = cross
+        .select(col("lag"), col("n_pairs"),
+          round(col("__num") / lit(den), 6).as("ccf"))
+        .orderBy(col("lag"))
+      Grids.collectBounded(out, "ccf lag grid")
+    } finally gPin.release()
+  }
+
   /** Partial autocorrelation via Durbin–Levinson (Durbin 1960; Box &
     * Jenkins §3.2) — the AR-order diagnostic the raw [[acf]] cannot
     * be: ACF of an AR(p) process decays forever, PACF CUTS OFF at p;

@@ -508,7 +508,58 @@ object AuditQueries extends QuerySet {
     Q("q342_filter_ablation", q342, Some(q342Sql)),
     Q("q343_session_sensitivity", q343, Some(q343Sql)),
     Q("q344_ljung_box", q344, Some(q344Sql)),
-    Q("q345_pacf", q345, Some(q345Sql)))
+    Q("q345_pacf", q345, Some(q345Sql)),
+    Q("q346_ccf", q346, Some(q346Sql)))
+
+  /** Cross-correlation between hourly event volume and hourly revenue:
+    * does activity LEAD spend (peak at positive lag), lag it, or move
+    * coincident — the lead-lag read a single-series ACF cannot give. */
+  private def q346(s: SparkSession, d: String): DataFrame = {
+    val grid = t(s, d, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(floor(unix_timestamp(col("ts")) / 3600L).as("t"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("value") * 100).cast("long")).as("y"))
+    Autocorr.ccf(grid, "t", "x", "y", maxLag = 24)
+  }
+
+  private val q346Sql =
+    """WITH g AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS t,
+      |    CAST(COUNT(*) AS DECIMAL(18,6)) AS x,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DECIMAL(18,6))
+      |      AS y
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g),
+      |idx AS (SELECT t, x, y, row_number() OVER (ORDER BY t) AS rn
+      |  FROM g),
+      |tot AS (SELECT CAST(SUM(x) AS DECIMAL(28,6)) AS sx,
+      |  CAST(SUM(y) AS DECIMAL(28,6)) AS sy FROM idx),
+      |c AS (
+      |  SELECT rn,
+      |    CAST(CAST(CAST(x * nn.n AS DECIMAL(28,6)) - tot.sx AS VARCHAR)
+      |      AS DOUBLE) AS cx,
+      |    CAST(CAST(CAST(y * nn.n AS DECIMAL(28,6)) - tot.sy AS VARCHAR)
+      |      AS DOUBLE) AS cy
+      |  FROM idx, nn, tot),
+      |lags AS (SELECT unnest(range(-24, 25)) AS lag),
+      |pairs AS (
+      |  SELECT lags.lag, a.rn, a.cx * b.cy AS term
+      |  FROM c a JOIN lags ON true
+      |  JOIN c b ON b.rn = a.rn + lags.lag),
+      |agg AS (
+      |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(term ORDER BY rn)), (p, q) -> p + q) AS num
+      |  FROM pairs GROUP BY lag),
+      |sxx AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |  list(cx * cx ORDER BY rn)), (p, q) -> p + q) AS v FROM c),
+      |syy AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |  list(cy * cy ORDER BY rn)), (p, q) -> p + q) AS v FROM c)
+      |SELECT CAST(agg.lag AS BIGINT) AS lag, agg.n_pairs,
+      |  round(agg.num / sqrt(sxx.v * syy.v), 6) AS ccf
+      |FROM agg, sxx, syy ORDER BY lag""".stripMargin
 
   /** PACF of the hourly arrival series — where the partial
     * autocorrelation cuts off is the AR-order read the raw q296 ACF

@@ -100,4 +100,44 @@ class AutocorrSpec extends AnyFunSuite with SparkSuite {
     assert(rho(0) > 0.4)
     assert(got.drop(1).forall(r => math.abs(r.getAs[Double]("pacf")) < 0.2))
   }
+
+  test("ccf: a planted 3-step lead peaks exactly at lag +3; " +
+    "ccf(x, x) at lag 0 is 1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val base = (0 until 120).map(_ => rnd.nextGaussian() * 10)
+    // y follows x with a 3-position delay (plus small noise)
+    val rows = (0 until 117).map(i =>
+      (i.toLong, base(i + 3), base(i) + rnd.nextGaussian() * 0.1))
+    val df = rows.toDF("t", "x", "y")
+    val out = Autocorr.ccf(df, "t", "x", "y", maxLag = 6).collect()
+    assert(out.length == 13)
+    val best = out.maxBy(_.getAs[Double]("ccf"))
+    assert(best.getAs[Long]("lag") == 3L)
+    assert(best.getAs[Double]("ccf") > 0.9)
+    // n_pairs is n - |lag|
+    assert(out.forall(r => r.getAs[Long]("n_pairs") ==
+      117L - math.abs(r.getAs[Long]("lag"))))
+    val self = Autocorr.ccf(df.selectExpr("t", "x", "x AS y"),
+      "t", "x", "y", maxLag = 2).collect()
+    assert(self.find(_.getAs[Long]("lag") == 0L).get
+      .getAs[Double]("ccf") == 1.0)
+  }
+
+  test("ccf: partitioning-invariant; refuses constants") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val df = (0 until 80).map(i =>
+      (i.toLong, rnd.nextInt(50).toDouble, rnd.nextInt(50).toDouble))
+      .toDF("t", "x", "y")
+    val a = Autocorr.ccf(df.coalesce(1), "t", "x", "y", 4)
+      .collect().map(_.toString).toSeq
+    val b = Autocorr.ccf(df.repartition(7), "t", "x", "y", 4)
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+    val const = df.selectExpr("t", "x", "5.0 AS y")
+    val e = intercept[IllegalArgumentException](
+      Autocorr.ccf(const, "t", "x", "y", 4))
+    assert(e.getMessage.contains("zero variance"))
+  }
 }
