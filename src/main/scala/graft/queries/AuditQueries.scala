@@ -509,7 +509,79 @@ object AuditQueries extends QuerySet {
     Q("q343_session_sensitivity", q343, Some(q343Sql)),
     Q("q344_ljung_box", q344, Some(q344Sql)),
     Q("q345_pacf", q345, Some(q345Sql)),
-    Q("q346_ccf", q346, Some(q346Sql)))
+    Q("q346_ccf", q346, Some(q346Sql)),
+    Q("q347_streaming_liveness", q347, Some(q347Sql)))
+
+  /** Streaming source-liveness monitor under the driver gate — the
+    * eighth LedgerMonitor and the failure class the distribution
+    * monitors are blind to: five micro-batches of typed events where
+    * the 'error' feed is planted to go silent from batch 2; at
+    * quietBatches = 2 it must alert at batches 3-4 while the live
+    * feeds never do. */
+  private def q347(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .filter(col("event_id") % 2 === 0 && col("event_type").isNotNull)
+      // the planted outage: the error feed stops after batch 1
+      .filter(!(col("event_type") === "error" &&
+        col("event_id") % 10 >= 4))
+      .select(col("event_id"), col("event_type"))
+    val srcDir = new java.io.File(Scratch.dir("q347-src"))
+    val base = System.currentTimeMillis()
+    Seq(0, 2, 4, 6, 8).zipWithIndex.foreach { case (r, i) =>
+      val tmp = new java.io.File(Scratch.dir("q347-stage"))
+      ev.filter(col("event_id") % 10 === r).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      tmp.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val dst = new java.io.File(srcDir, s"batch$i.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(base + i * 1000L)
+      }
+    }
+    val store = new graft.store.DocumentStore(s, Scratch.dir("q347-store"))
+    val feed = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val qy = graft.streaming.LivenessMonitor.start(feed, store, "lledger",
+      "lverdict", "event_type", quietBatches = 2,
+      Scratch.dir("q347-ckpt"))
+    try qy.processAllAvailable() finally qy.stop()
+    store.read("lverdict")
+      .select(col("batch_id"), col("source"), col("n"),
+        col("quiet_batches"), col("alert"))
+      .orderBy(col("source"), col("batch_id"))
+  }
+
+  private val q347Sql =
+    """WITH ev AS (
+      |  SELECT (event_id % 10) // 2 AS b, event_type AS source
+      |  FROM events
+      |  WHERE event_id % 2 = 0 AND event_type IS NOT NULL
+      |    AND NOT (event_type = 'error' AND event_id % 10 >= 4)),
+      |led AS (
+      |  SELECT b, source, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM ev GROUP BY b, source),
+      |batches AS (SELECT DISTINCT b FROM led),
+      |sources AS (SELECT DISTINCT source FROM led),
+      |filled AS (
+      |  SELECT batches.b, sources.source, COALESCE(led.n, 0) AS n
+      |  FROM sources CROSS JOIN batches
+      |  LEFT JOIN led ON led.b = batches.b
+      |    AND led.source = sources.source),
+      |runs AS (
+      |  SELECT b, source, n,
+      |    row_number() OVER (PARTITION BY source ORDER BY b) AS rn,
+      |    MAX(CASE WHEN n > 0 THEN row_number_w END)
+      |      OVER (PARTITION BY source ORDER BY b
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS seen_rn
+      |  FROM (SELECT *, row_number()
+      |      OVER (PARTITION BY source ORDER BY b) AS row_number_w
+      |    FROM filled) x)
+      |SELECT CAST(b AS BIGINT) AS batch_id, source,
+      |  CAST(n AS BIGINT) AS n,
+      |  CAST(rn - seen_rn AS BIGINT) AS quiet_batches,
+      |  (rn - seen_rn) >= 2 AS alert
+      |FROM runs WHERE seen_rn IS NOT NULL
+      |ORDER BY source, batch_id""".stripMargin
 
   /** Cross-correlation between hourly event volume and hourly revenue:
     * does activity LEAD spend (peak at positive lag), lag it, or move

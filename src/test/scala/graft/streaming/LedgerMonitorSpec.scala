@@ -63,7 +63,11 @@ class LedgerMonitorSpec extends AnyFunSuite with SparkSuite {
     Case("schema",
       st => new SchemaMonitor(st, "led", "ver", "doc", Seq("k")),
       () => Seq("""{"k": 1}""", """{"k": 2}""").toDF("doc"),
-      () => Seq[Option[String]](None, None).toDF("doc")))
+      () => Seq[Option[String]](None, None).toDF("doc")),
+    Case("liveness",
+      st => new LivenessMonitor(st, "led", "ver", "src", 2),
+      () => Seq("a", "a", "b").toDF("src"),
+      () => Seq[Option[String]](None, None).toDF("src")))
 
   private def snapshot(st: DocumentStore, table: String): Seq[String] =
     if (!st.exists(table)) Seq("<absent>")
