@@ -96,4 +96,104 @@ object Attribution {
         lit(nConv - attributed).as("n_unattributed"))
       .orderBy(col("channel"))
   }
+
+  /** Data-driven Shapley attribution (Shapley 1953 values on the
+    * exposure-set conversion game — Zhao, Mahboobi & Bagheri 2018):
+    * the position models in [[credit]] hard-code WHO gets paid;
+    * Shapley derives it from observed conversion RATES per exposure
+    * COALITION. Each unit (user) reduces to its exposure-set bitmask
+    * over the k audited channels plus a converted flag; the coalition
+    * value v(S) is the observed conversion rate of units exposed to
+    * EXACTLY S, and channel i earns
+    *
+    *   φ_i = Σ_{S ⊆ C∖{i}} |S|!(k−1−|S|)!/k! · (v(S∪{i}) − v(S))
+    *
+    * Convention (documented, the paper's pragmatic choice): a
+    * coalition never observed contributes v = 0 — no evidence, no
+    * credit; with every mask observed, Σφ_i = v(C) − v(∅) exactly
+    * (efficiency, spec-pinned).
+    *
+    * Exactness: ONE corpus pass — per-unit masks via bit_or then a
+    * map-side-combined (mask, converted) census ≤ 2ᵏ rows; the Shapley
+    * fold runs driver-side in ascending-mask order with factorial
+    * weights as exact integer ratios, v as the one double division
+    * per cell; both engines replay the identical fold. k ≤ 8.
+    *
+    * Output: one row per channel (channel, shapley, n_exposed,
+    * x_exposed, rate_exposed) with (n_units, k, v_full, v_empty)
+    * repeated. */
+  def shapley(events: DataFrame, unitCol: String, channelCol: String,
+              convChannel: String, channels: Seq[String]): DataFrame = {
+    val k = channels.size
+    require(k >= 2 && k <= 8, s"shapley: $k channels outside [2, 8]")
+    require(channels.distinct.size == k, "shapley: duplicate channels")
+    require(!channels.contains(convChannel),
+      "shapley: the conversion channel cannot also be a touch channel")
+    val rowBit = channels.zipWithIndex
+      .map { case (ch, i) =>
+        when(col(channelCol) === ch, lit(1L << i)).otherwise(0L) }
+      .reduce(_ + _)
+    val census = events
+      .filter(col(unitCol).isNotNull && col(channelCol).isNotNull)
+      .groupBy(col(unitCol))
+      .agg(bit_or(rowBit).as("__mask"),
+        max(when(col(channelCol) === convChannel, 1L).otherwise(0L))
+          .as("__conv"))
+      .groupBy(col("__mask"))
+      .agg(count(lit(1)).as("__n"), sum(col("__conv")).as("__x"))
+    val spark = events.sparkSession
+    Pinned.withCheckpoint(census) { cen =>
+      val cells = Grids.collectBounded(cen, "shapley mask census",
+        maxRows = 1 << 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      require(cells.nonEmpty, "shapley: no units")
+      val nUnits = cells.map(_._2).sum
+      val v: Map[Long, Double] = cells.map { case (m, n, x) =>
+        m -> x.toDouble / n.toDouble }.toMap
+      def fact(x: Int): Long = (1 to x).foldLeft(1L)(_ * _)
+      val fk = fact(k)
+      def vOf(m: Long): Double = v.getOrElse(m, 0.0)
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.types.{StructType, StructField,
+        StringType, LongType, DoubleType}
+      val full = (1L << k) - 1
+      val rows = channels.zipWithIndex.map { case (ch, i) =>
+        val bit = 1L << i
+        var phi = 0.0
+        var s = 0L
+        while (s <= full) {
+          if ((s & bit) == 0) {
+            val w = (fact(java.lang.Long.bitCount(s)) *
+              fact(k - 1 - java.lang.Long.bitCount(s))).toDouble /
+              fk.toDouble
+            phi += w * (vOf(s | bit) - vOf(s))
+          }
+          s += 1
+        }
+        val exposed = cells.filter(c => (c._1 & bit) != 0)
+        val nExp = exposed.map(_._2).sum
+        val xExp = exposed.map(_._3).sum
+        org.apache.spark.sql.Row(ch, phi, nExp, xExp,
+          if (nExp == 0) null else xExp.toDouble / nExp.toDouble,
+          nUnits, k.toLong, vOf(full), vOf(0L))
+      }
+      spark.createDataFrame(rows.asJava, StructType(Seq(
+        StructField("channel", StringType),
+        StructField("shapley", DoubleType),
+        StructField("n_exposed", LongType),
+        StructField("x_exposed", LongType),
+        StructField("rate_exposed", DoubleType),
+        StructField("n_units", LongType),
+        StructField("k", LongType),
+        StructField("v_full", DoubleType),
+        StructField("v_empty", DoubleType))))
+        .select(col("channel"), round(col("shapley"), 6).as("shapley"),
+          col("n_exposed"), col("x_exposed"),
+          round(col("rate_exposed"), 6).as("rate_exposed"),
+          col("n_units"), col("k"), round(col("v_full"), 6).as("v_full"),
+          round(col("v_empty"), 6).as("v_empty"))
+        .orderBy(col("channel"))
+    }
+  }
 }

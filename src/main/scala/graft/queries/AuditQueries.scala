@@ -510,7 +510,83 @@ object AuditQueries extends QuerySet {
     Q("q344_ljung_box", q344, Some(q344Sql)),
     Q("q345_pacf", q345, Some(q345Sql)),
     Q("q346_ccf", q346, Some(q346Sql)),
-    Q("q347_streaming_liveness", q347, Some(q347Sql)))
+    Q("q347_streaming_liveness", q347, Some(q347Sql)),
+    Q("q348_shapley_attribution", q348, Some(q348Sql)))
+
+  /** Data-driven Shapley attribution over the four touch channels:
+    * credit derived from observed conversion rates per exposure
+    * coalition — the model-based companion to q316's positional
+    * first/last/linear. Exposure window = days 1-2, conversion window
+    * = days 1-4 (the windowing puts every coalition in evidence —
+    * unwindowed, this corpus is dense and every user sits at the full
+    * mask). */
+  private def q348(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .filter(col("ts").isNotNull &&
+        ((col("event_type") =!= "purchase" && dayofmonth(col("ts")) <= 2)
+          || (col("event_type") === "purchase" &&
+            dayofmonth(col("ts")) <= 4)))
+    graft.operators.Attribution.shapley(ev, "user_id",
+      "event_type", convChannel = "purchase",
+      channels = Seq("click", "error", "signup", "view"))
+  }
+
+  private val q348Sql =
+    """WITH ev AS (
+      |  SELECT user_id AS u, event_type AS ch FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      |    AND ts IS NOT NULL
+      |    AND ((event_type <> 'purchase' AND day(ts) <= 2)
+      |      OR (event_type = 'purchase' AND day(ts) <= 4))),
+      |pu AS (
+      |  SELECT u,
+      |    bit_or(CASE ch WHEN 'click' THEN 1 WHEN 'error' THEN 2
+      |      WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END) AS mask,
+      |    MAX(CASE WHEN ch = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM ev GROUP BY u),
+      |census AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(conv) AS BIGINT) AS x FROM pu GROUP BY mask),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nu FROM census),
+      |masks AS (SELECT unnest(range(0, 16)) AS s),
+      |chans AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+      |  ('signup', 4), ('view', 8)) v(channel, bit)),
+      |terms AS (
+      |  SELECT ch.channel, m.s,
+      |    (CASE bit_count(m.s)
+      |      WHEN 0 THEN CAST(6 AS DOUBLE) / CAST(24 AS DOUBLE)
+      |      WHEN 1 THEN CAST(2 AS DOUBLE) / CAST(24 AS DOUBLE)
+      |      WHEN 2 THEN CAST(2 AS DOUBLE) / CAST(24 AS DOUBLE)
+      |      ELSE CAST(6 AS DOUBLE) / CAST(24 AS DOUBLE) END)
+      |    * (COALESCE(CAST(c1.x AS DOUBLE) / c1.n, 0.0)
+      |      - COALESCE(CAST(c0.x AS DOUBLE) / c0.n, 0.0)) AS term
+      |  FROM chans ch CROSS JOIN masks m
+      |  LEFT JOIN census c0 ON c0.mask = m.s
+      |  LEFT JOIN census c1 ON c1.mask = (m.s | ch.bit)
+      |  WHERE (m.s & ch.bit) = 0),
+      |phi AS (
+      |  SELECT channel, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list(term ORDER BY s)), (a, b) -> a + b) AS shapley
+      |  FROM terms GROUP BY channel),
+      |expo AS (
+      |  SELECT ch.channel, CAST(SUM(census.n) AS BIGINT) AS ne,
+      |    CAST(SUM(census.x) AS BIGINT) AS xe
+      |  FROM chans ch JOIN census ON (census.mask & ch.bit) <> 0
+      |  GROUP BY ch.channel),
+      |vf AS (SELECT COALESCE(MAX(CAST(x AS DOUBLE) / n), 0.0) AS v
+      |  FROM census WHERE mask = 15),
+      |v0 AS (SELECT COALESCE(MAX(CAST(x AS DOUBLE) / n), 0.0) AS v
+      |  FROM census WHERE mask = 0)
+      |SELECT phi.channel, round(phi.shapley, 6) AS shapley,
+      |  COALESCE(expo.ne, 0) AS n_exposed,
+      |  COALESCE(expo.xe, 0) AS x_exposed,
+      |  CASE WHEN COALESCE(expo.ne, 0) = 0 THEN NULL
+      |    ELSE round(CAST(expo.xe AS DOUBLE) / expo.ne, 6) END
+      |    AS rate_exposed,
+      |  tot.nu AS n_units, CAST(4 AS BIGINT) AS k,
+      |  round(vf.v, 6) AS v_full, round(v0.v, 6) AS v_empty
+      |FROM phi LEFT JOIN expo ON phi.channel = expo.channel
+      |CROSS JOIN tot CROSS JOIN vf CROSS JOIN v0
+      |ORDER BY phi.channel""".stripMargin
 
   /** Streaming source-liveness monitor under the driver gate — the
     * eighth LedgerMonitor and the failure class the distribution

@@ -60,4 +60,63 @@ class AttributionSpec extends AnyFunSuite with SparkSuite {
         .collect().map(_.toString).toSeq
     assert(run(df.coalesce(1)) == run(df.repartition(17)))
   }
+
+  private def shapleyFixture = {
+    import spark.implicits._
+    // exposure-set rates: v(∅)=1/4, v(a)=3/4, v(b)=2/4, v(ab)=4/4
+    val rows =
+      (1 to 4).map(u => (u.toLong, "other")) ++ Seq((1L, "buy")) ++
+        (5 to 8).map(u => (u.toLong, "a")) ++
+        (5 to 7).map(u => (u.toLong, "buy")) ++
+        (9 to 12).map(u => (u.toLong, "b")) ++
+        (9 to 10).map(u => (u.toLong, "buy")) ++
+        (13 to 16).flatMap(u =>
+          Seq((u.toLong, "a"), (u.toLong, "b"), (u.toLong, "buy")))
+    rows.toDF("user", "ch")
+  }
+
+  test("shapley: hand-computed values satisfy efficiency when every " +
+    "coalition is observed") {
+    // phi_a = .5(v_a - v_0) + .5(v_ab - v_b) = .5(.5) + .5(.5) = .5
+    // phi_b = .5(.25) + .5(.25) = .25; sum = v(full) - v(empty) = .75
+    val out = Attribution.shapley(shapleyFixture, "user", "ch", "buy",
+      Seq("a", "b")).collect()
+    val m = out.map(r => r.getAs[String]("channel") -> r).toMap
+    assert(m("a").getAs[Double]("shapley") == 0.5)
+    assert(m("b").getAs[Double]("shapley") == 0.25)
+    assert(m("a").getAs[Long]("n_exposed") == 8L)
+    assert(m("a").getAs[Long]("x_exposed") == 7L)
+    assert(m("a").getAs[Double]("v_full") == 1.0)
+    assert(m("a").getAs[Double]("v_empty") == 0.25)
+    assert(m("a").getAs[Long]("n_units") == 16L)
+  }
+
+  test("shapley: an unobserved coalition contributes zero rate " +
+    "(the documented convention)") {
+    import spark.implicits._
+    val noB = shapleyFixture.filter(
+      !org.apache.spark.sql.functions.col("user").between(9, 12))
+    // v(b) now unobserved -> 0: phi_a = .5(.5) + .5(1-0) = .75,
+    // phi_b = .5(0-.25) + .5(1-.75) = 0
+    val out = Attribution.shapley(noB, "user", "ch", "buy", Seq("a", "b"))
+      .collect().map(r => r.getAs[String]("channel") ->
+        r.getAs[Double]("shapley")).toMap
+    assert(out("a") == 0.75)
+    assert(out("b") == 0.0)
+  }
+
+  test("shapley: partitioning-invariant; refuses bad channel lists") {
+    val df = shapleyFixture
+    val a = Attribution.shapley(df.coalesce(1), "user", "ch", "buy",
+      Seq("a", "b")).collect().map(_.toString).toSeq
+    val b = Attribution.shapley(df.repartition(7), "user", "ch", "buy",
+      Seq("a", "b")).collect().map(_.toString).toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException](
+      Attribution.shapley(df, "user", "ch", "buy", Seq("a")))
+    intercept[IllegalArgumentException](
+      Attribution.shapley(df, "user", "ch", "buy", Seq("a", "a")))
+    intercept[IllegalArgumentException](
+      Attribution.shapley(df, "user", "ch", "buy", Seq("a", "buy")))
+  }
 }
