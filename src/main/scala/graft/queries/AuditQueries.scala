@@ -511,7 +511,89 @@ object AuditQueries extends QuerySet {
     Q("q345_pacf", q345, Some(q345Sql)),
     Q("q346_ccf", q346, Some(q346Sql)),
     Q("q347_streaming_liveness", q347, Some(q347Sql)),
-    Q("q348_shapley_attribution", q348, Some(q348Sql)))
+    Q("q348_shapley_attribution", q348, Some(q348Sql)),
+    Q("q349_qini", q349, Some(q349Sql)))
+
+  /** Qini uplift curve: engagement score (clicks) as the targeting
+    * signal, hash arms, purchase conversion — the incremental-value
+    * eval q266's response gains cannot give. */
+  private def q349(s: SparkSession, d: String): DataFrame = {
+    val pu = t(s, d, "events")
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("score"),
+        (sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >
+          0).as("conv"))
+      .withColumn("arm",
+        graft.operators.Splits.hashBucket(col("user_id"), 2))
+    graft.operators.Uplift.qini(pu, "arm", "score", "conv")
+  }
+
+  private val q349Sql =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS v,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+      |      AS y,
+      |    CAST(((user_id % 2147483648) * 2654435761) % 4294967296 % 2
+      |      AS INTEGER) AS g
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY user_id),
+      |census AS (
+      |  SELECT v,
+      |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+      |    CAST(SUM(CASE WHEN g = 1 AND y THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS xt,
+      |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+      |    CAST(SUM(CASE WHEN g = 0 AND y THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS xc
+      |  FROM pu GROUP BY v),
+      |cum AS (
+      |  SELECT v,
+      |    CAST(SUM(nt + nc) OVER w AS BIGINT) AS cn,
+      |    CAST(SUM(nt) OVER w AS BIGINT) AS cnt,
+      |    CAST(SUM(xt) OVER w AS BIGINT) AS cxt,
+      |    CAST(SUM(nc) OVER w AS BIGINT) AS cnc,
+      |    CAST(SUM(xc) OVER w AS BIGINT) AS cxc
+      |  FROM census
+      |  WINDOW w AS (ORDER BY v DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |tot AS (SELECT CAST(SUM(nt + nc) AS BIGINT) AS n FROM census),
+      |dec AS (SELECT unnest(range(1, 11)) AS d),
+      |cuts AS (
+      |  SELECT d, v, cn, cnt, cxt, cnc, cxc FROM (
+      |    SELECT dec.d, cum.v, cum.cn, cum.cnt, cum.cxt, cum.cnc,
+      |      cum.cxc,
+      |      row_number() OVER (PARTITION BY dec.d ORDER BY cum.cn)
+      |        AS rn
+      |    FROM cum CROSS JOIN dec CROSS JOIN tot
+      |    WHERE cum.cn * 10 >= dec.d * tot.n) x
+      |  WHERE rn = 1),
+      |q AS (
+      |  SELECT d, v, cn, cnt, cxt, cnc, cxc,
+      |    CASE WHEN cnc = 0 THEN CAST(cxt AS DOUBLE)
+      |      ELSE CAST(cxt AS DOUBLE)
+      |        - CAST(cxc AS DOUBLE) * CAST(cnt AS DOUBLE)
+      |          / CAST(cnc AS DOUBLE) END AS q,
+      |    CAST(cn AS DOUBLE) / CAST(tot.n AS DOUBLE) AS phi
+      |  FROM cuts, tot),
+      |seg AS (
+      |  SELECT d, (COALESCE(lag(q) OVER (ORDER BY d), 0.0) + q) / 2.0
+      |      * (phi - COALESCE(lag(phi) OVER (ORDER BY d), 0.0)) AS a
+      |  FROM q),
+      |coef AS (
+      |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(a ORDER BY d)), (p, r) -> p + r)
+      |    - (SELECT q FROM q WHERE d = 10) / 2.0 AS qini
+      |  FROM seg)
+      |SELECT q.d AS decile, q.v AS score_cut, round(q.phi, 6) AS depth,
+      |  q.cn AS n, q.cnt AS n_t, q.cxt AS x_t, q.cnc AS n_c,
+      |  q.cxc AS x_c, round(q.q, 6) AS uplift,
+      |  round(coef.qini, 6) AS qini_coef
+      |FROM q, coef ORDER BY decile""".stripMargin
 
   /** Data-driven Shapley attribution over the four touch channels:
     * credit derived from observed conversion rates per exposure
