@@ -22,6 +22,63 @@ import org.apache.spark.sql.functions._
   */
 object Sequences {
 
+  /** Inter-event regularity audit — the cheap bot/script detector a
+    * corpus of behavioral events needs before anything trains on it:
+    * human inter-event gaps are bursty (CV ≈ or > 1), schedulers and
+    * replay scripts are metronomic (CV ≈ 0). Per unit with at least
+    * `minGaps` gaps, the squared coefficient of variation from exact
+    * integer gap moments:
+    *
+    *   CV² = n·Σg²/(Σg)² − 1
+    *
+    * Output: the `k` most regular units (ascending CV², unit id ties)
+    * — a TakeOrdered bound, never a corpus-sized list — each with its
+    * gap stats and the flag CV² < threshold², plus (n_evaluated,
+    * n_flagged) repeated for the fleet-level read.
+    *
+    * Exactness: gaps are whole seconds (the epoch floor); n, Σg, Σg²
+    * are exact BIGINTs per unit; CV² is one double expression from
+    * those integers (identical in the oracle), and the flag compares
+    * that double to the squared threshold — same bits both engines.
+    *
+    * Scale shape: ONE Exchange(unit) + lag window (the sessionizer's
+    * shuffle) then a per-unit map-side-combined aggregate; the top-k
+    * is TakeOrderedAndProject, the summary one more aggregate over
+    * the per-unit frame (two jobs over the same shuffle — the totals
+    * are the audit, the frame never collects). */
+  def gapRegularity(df: DataFrame, userCol: String, tsCol: String,
+                    minGaps: Int, cvThreshold: Double,
+                    k: Int): DataFrame = {
+    require(minGaps >= 2, s"gapRegularity: minGaps=$minGaps (need >= 2)")
+    require(cvThreshold > 0, s"gapRegularity: cvThreshold=$cvThreshold")
+    require(k >= 1 && k <= 10000, s"gapRegularity: k=$k outside [1, 1e4]")
+    val ev = df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        unix_timestamp(col(tsCol)).as("__s"))
+    val w = Window.partitionBy(col("__u")).orderBy(col("__s"))
+    val perUser = ev
+      .withColumn("__gap", col("__s") - lag(col("__s"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col("__u"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("__gap")).as("__s1"),
+        sum(col("__gap") * col("__gap")).as("__s2"))
+      .filter(col("n_gaps") >= minGaps && col("__s1") > 0)
+      .withColumn("cv2",
+        col("n_gaps").cast("double") * col("__s2").cast("double") /
+          (col("__s1").cast("double") * col("__s1").cast("double")) -
+          lit(1.0))
+      .withColumn("flagged", col("cv2") < cvThreshold * cvThreshold)
+    val tot = perUser.agg(count(lit(1)).as("__ne"),
+      sum(when(col("flagged"), 1L).otherwise(0L)).as("__nf")).head()
+    perUser
+      .select(col("__u").as(userCol), col("n_gaps"),
+        col("__s1").as("sum_gap_s"), round(col("cv2"), 6).as("cv2"),
+        col("flagged"), lit(tot.getLong(0)).as("n_evaluated"),
+        lit(tot.getLong(1)).as("n_flagged"))
+      .orderBy(col("cv2"), col(userCol))
+      .limit(k)
+  }
+
   /** Session gap-threshold sensitivity — the audit that grounds the
     * q24/q119 sessionizers' one magic number: session counts are a
     * step function of the inactivity threshold, and picking 30 min

@@ -512,7 +512,56 @@ object AuditQueries extends QuerySet {
     Q("q346_ccf", q346, Some(q346Sql)),
     Q("q347_streaming_liveness", q347, Some(q347Sql)),
     Q("q348_shapley_attribution", q348, Some(q348Sql)),
-    Q("q349_qini", q349, Some(q349Sql)))
+    Q("q349_qini", q349, Some(q349Sql)),
+    Q("q350_gap_regularity", q350, Some(q350Sql)))
+
+  /** Inter-event regularity bot audit: every tenth user is planted on
+    * a metronomic 600-second schedule — the audit must flag exactly
+    * that cohort (CV² = 0) while bursty humans stay clear. */
+  private def q350(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id"))
+    val ev = t(s, d, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("ts2",
+        when(pmod(col("user_id"), lit(10L)) === 0,
+          to_timestamp(col("__rn").cast("long") * 600))
+          .otherwise(col("ts")))
+    graft.operators.Sequences.gapRegularity(ev, "user_id", "ts2",
+      minGaps = 10, cvThreshold = 0.3, k = 50)
+  }
+
+  private val q350Sql =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    CASE WHEN ((user_id % 10) + 10) % 10 = 0
+      |      THEN CAST(row_number() OVER (PARTITION BY user_id
+      |        ORDER BY event_id) AS BIGINT) * 600
+      |      ELSE epoch_us(ts) // 1000000 END AS s
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |gaps AS (
+      |  SELECT user_id AS u,
+      |    s - lag(s) OVER (PARTITION BY user_id ORDER BY s) AS gap
+      |  FROM ev),
+      |pu AS (
+      |  SELECT u, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |    CAST(SUM(gap) AS BIGINT) AS s1,
+      |    CAST(SUM(gap * gap) AS BIGINT) AS s2
+      |  FROM gaps WHERE gap IS NOT NULL GROUP BY u),
+      |ev2 AS (
+      |  SELECT u, n_gaps, s1,
+      |    CAST(n_gaps AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |      / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) - 1.0 AS cv2
+      |  FROM pu WHERE n_gaps >= 10 AND s1 > 0),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ne,
+      |  CAST(SUM(CASE WHEN cv2 < 0.3 * 0.3 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS nf
+      |  FROM ev2)
+      |SELECT ev2.u AS user_id, ev2.n_gaps, ev2.s1 AS sum_gap_s,
+      |  round(ev2.cv2, 6) AS cv2, ev2.cv2 < 0.3 * 0.3 AS flagged,
+      |  tot.ne AS n_evaluated, tot.nf AS n_flagged
+      |FROM ev2, tot ORDER BY ev2.cv2, user_id LIMIT 50""".stripMargin
 
   /** Qini uplift curve: engagement score (clicks) as the targeting
     * signal, hash arms, purchase conversion — the incremental-value

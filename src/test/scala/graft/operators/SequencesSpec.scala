@@ -113,6 +113,40 @@ class SequencesSpec extends AnyFunSuite with SparkSuite {
     assert(out.forall(_.getAs[Long]("n_sessions") == 3L))
   }
 
+  test("gapRegularity: a metronome flags at CV2 = 0, bursty traffic " +
+    "does not; totals and ordering are exact") {
+    import spark.implicits._
+    val metronome = (1 to 30).map(i => ("bot", i.toLong * 120))
+    // bursty: alternating 10s / 1000s gaps -> CV2 >> 0.09
+    val bursty = (1 to 30).map(i =>
+      ("human", (i / 2) * 1010L + (i % 2) * 10L))
+    val df = (metronome ++ bursty).toDF("u", "sec")
+      .select($"u", to_timestamp($"sec").as("ts"))
+    val out = Sequences.gapRegularity(df, "u", "ts", minGaps = 10,
+      cvThreshold = 0.3, k = 10).collect()
+    assert(out.length == 2)
+    // ascending cv2: the bot leads
+    assert(out.head.getAs[String]("u") == "bot")
+    assert(out.head.getAs[Double]("cv2") == 0.0)
+    assert(out.head.getAs[Boolean]("flagged"))
+    assert(!out(1).getAs[Boolean]("flagged"))
+    assert(out.head.getAs[Long]("n_evaluated") == 2L)
+    assert(out.head.getAs[Long]("n_flagged") == 1L)
+  }
+
+  test("gapRegularity: hand-computed CV2; minGaps excludes thin users") {
+    import spark.implicits._
+    // gaps 1,1,4: n=3, s1=6, s2=18 -> cv2 = 3*18/36 - 1 = 0.5
+    val df = Seq(("a", 0L), ("a", 1L), ("a", 2L), ("a", 6L),
+      ("thin", 0L), ("thin", 5L))
+      .toDF("u", "sec").select($"u", to_timestamp($"sec").as("ts"))
+    val out = Sequences.gapRegularity(df, "u", "ts", minGaps = 3,
+      cvThreshold = 0.5, k = 10).collect()
+    assert(out.length == 1 && out.head.getAs[String]("u") == "a")
+    assert(out.head.getAs[Double]("cv2") == 0.5)
+    assert(out.head.getAs[Long]("sum_gap_s") == 6L)
+  }
+
   test("gapSensitivity: partitioning-invariant; refuses bad thresholds") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
