@@ -513,7 +513,69 @@ object AuditQueries extends QuerySet {
     Q("q347_streaming_liveness", q347, Some(q347Sql)),
     Q("q348_shapley_attribution", q348, Some(q348Sql)),
     Q("q349_qini", q349, Some(q349Sql)),
-    Q("q350_gap_regularity", q350, Some(q350Sql)))
+    Q("q350_gap_regularity", q350, Some(q350Sql)),
+    Q("q351_funnel_timing", q351, Some(q351Sql)))
+
+  /** Funnel stage timing: quartiles of the per-user delay on each hop
+    * of signup → view → click → purchase — finds the SLOW hop where
+    * q282's counts only find the leaky one. */
+  private def q351(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .filter(col("user_id").isNotNull)
+    graft.operators.Funnel.stageTiming(ev, "user_id", "event_type",
+      "ts", Seq("signup", "view", "click", "purchase"))
+  }
+
+  private val q351Sql =
+    """WITH e AS (
+      |  SELECT user_id AS u, event_type AS t, ts FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |    AND event_type IN ('signup', 'view', 'click', 'purchase')),
+      |s0 AS (SELECT u, MIN(ts) AS t0 FROM e WHERE t = 'signup'
+      |  GROUP BY u),
+      |s1 AS (SELECT e.u, MIN(e.ts) AS t1 FROM e JOIN s0 ON e.u = s0.u
+      |  WHERE e.t = 'view' AND e.ts > s0.t0 GROUP BY e.u),
+      |s2 AS (SELECT e.u, MIN(e.ts) AS t2 FROM e JOIN s1 ON e.u = s1.u
+      |  WHERE e.t = 'click' AND e.ts > s1.t1 GROUP BY e.u),
+      |s3 AS (SELECT e.u, MIN(e.ts) AS t3 FROM e JOIN s2 ON e.u = s2.u
+      |  WHERE e.t = 'purchase' AND e.ts > s2.t2 GROUP BY e.u),
+      |d AS (
+      |  SELECT 1 AS i, epoch_us(s1.t1) // 1000000
+      |    - epoch_us(s0.t0) // 1000000 AS delta
+      |  FROM s1 JOIN s0 ON s1.u = s0.u
+      |  UNION ALL
+      |  SELECT 2, epoch_us(s2.t2) // 1000000
+      |    - epoch_us(s1.t1) // 1000000
+      |  FROM s2 JOIN s1 ON s2.u = s1.u
+      |  UNION ALL
+      |  SELECT 3, epoch_us(s3.t3) // 1000000
+      |    - epoch_us(s2.t2) // 1000000
+      |  FROM s3 JOIN s2 ON s3.u = s2.u),
+      |census AS (SELECT i, delta, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM d GROUP BY i, delta),
+      |cum AS (
+      |  SELECT i, delta, c,
+      |    CAST(SUM(c) OVER (PARTITION BY i ORDER BY delta
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cm
+      |  FROM census),
+      |n AS (SELECT i, CAST(SUM(c) AS BIGINT) AS n_users FROM census
+      |  GROUP BY i)
+      |SELECT CAST(cum.i AS BIGINT) AS step_idx,
+      |  CASE cum.i WHEN 1 THEN 'signup' WHEN 2 THEN 'view'
+      |    ELSE 'click' END AS stage_from,
+      |  CASE cum.i WHEN 1 THEN 'view' WHEN 2 THEN 'click'
+      |    ELSE 'purchase' END AS stage_to,
+      |  n.n_users,
+      |  MIN(CASE WHEN cum.cm * 4 >= n.n_users THEN cum.delta END)
+      |    AS p25_s,
+      |  MIN(CASE WHEN cum.cm * 2 >= n.n_users THEN cum.delta END)
+      |    AS median_s,
+      |  MIN(CASE WHEN cum.cm * 4 >= n.n_users * 3 THEN cum.delta END)
+      |    AS p75_s
+      |FROM cum JOIN n ON cum.i = n.i
+      |GROUP BY cum.i, n.n_users
+      |ORDER BY step_idx""".stripMargin
 
   /** Inter-event regularity bot audit: every tenth user is planted on
     * a metronomic 600-second schedule — the audit must flag exactly
