@@ -514,7 +514,77 @@ object AuditQueries extends QuerySet {
     Q("q348_shapley_attribution", q348, Some(q348Sql)),
     Q("q349_qini", q349, Some(q349Sql)),
     Q("q350_gap_regularity", q350, Some(q350Sql)),
-    Q("q351_funnel_timing", q351, Some(q351Sql)))
+    Q("q351_funnel_timing", q351, Some(q351Sql)),
+    Q("q352_rbo_drift", q352, Some(q352Sql)))
+
+  /** Rank-biased overlap between the two epoch halves' top-100 term
+    * rankings — ORDER-weighted vocabulary drift beside q278's
+    * mass-weighted JSD (p = 0.9: the top handful of ranks carry most
+    * of the verdict, as a "did our top terms change" read should). */
+  private def q352(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    def termCounts(f: DataFrame): DataFrame =
+      f.select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+"), lit(0))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("w"))
+    graft.operators.IrMetrics.rbo(
+      termCounts(docs.filter(col("doc_id") % 2 === 0)),
+      termCounts(docs.filter(col("doc_id") % 2 === 1)),
+      "term", "w", k = 100, p = 0.9)
+  }
+
+  private val q352Sql = {
+    // the pinned p^{d-1} weights, embedded as literals (the q287
+    // discipline: engines must not race libm pow)
+    // VARCHAR-routed literals: a bare decimal literal would parse as
+    // DECIMAL and double-round on the cast (the q262 hazard class)
+    val wts = graft.operators.Smoothing.weights(0.1, 100)
+      .zipWithIndex
+      .map { case (w, j) => s"(${j + 1}, CAST('$w' AS DOUBLE))" }
+      .mkString(", ")
+    s"""WITH ta0 AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+       |    AS term
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |tb0 AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+       |    AS term
+       |  FROM documents WHERE doc_id % 2 = 1),
+       |ra AS (
+       |  SELECT term, row_number() OVER (ORDER BY COUNT(*) DESC, term)
+       |    AS r
+       |  FROM ta0 GROUP BY term),
+       |rb AS (
+       |  SELECT term, row_number() OVER (ORDER BY COUNT(*) DESC, term)
+       |    AS r
+       |  FROM tb0 GROUP BY term),
+       |hist AS (
+       |  SELECT greatest(ra.r, rb.r) AS m, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM ra JOIN rb USING (term)
+       |  WHERE ra.r <= 100 AND rb.r <= 100
+       |  GROUP BY 1),
+       |depths AS (SELECT unnest(range(1, 101)) AS d),
+       |wt AS (SELECT * FROM (VALUES $wts) v(d, w)),
+       |cum AS (
+       |  SELECT depths.d,
+       |    CAST(COALESCE(SUM(CASE WHEN hist.m <= depths.d THEN hist.c
+       |      END), 0) AS BIGINT) AS ov
+       |  FROM depths LEFT JOIN hist ON hist.m <= depths.d
+       |  GROUP BY depths.d),
+       |terms2 AS (
+       |  SELECT cum.d, cum.ov,
+       |    wt.w * CAST(cum.ov AS DOUBLE) / CAST(cum.d AS DOUBLE) AS term
+       |  FROM cum JOIN wt ON cum.d = wt.d),
+       |coef AS (
+       |  SELECT (1.0 - 0.9) * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list(term ORDER BY d)), (a, b) -> a + b) AS rbo
+       |  FROM terms2)
+       |SELECT CAST(terms2.d AS BIGINT) AS depth, terms2.ov AS overlap,
+       |  round(CAST(terms2.ov AS DOUBLE) / CAST(terms2.d AS DOUBLE), 6)
+       |    AS agreement,
+       |  round(coef.rbo, 6) AS rbo_at_k
+       |FROM terms2, coef ORDER BY depth""".stripMargin
+  }
 
   /** Funnel stage timing: quartiles of the per-user delay on each hop
     * of signup → view → click → purchase — finds the SLOW hop where

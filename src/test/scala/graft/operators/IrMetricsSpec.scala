@@ -69,4 +69,52 @@ class IrMetricsSpec extends AnyFunSuite with SparkSuite {
       IrMetrics.evaluate(null, null, 41)
     }
   }
+
+  test("rbo: hand-computed truncated overlap at p = 0.5") {
+    // A = [a,b,c], B = [a,c,d]; overlaps 1,1,2 at depths 1,2,3
+    // rbo = .5*(1*1/1 + .5*1/2 + .25*2/3)
+    val a = Seq(("a", 30L), ("b", 20L), ("c", 10L)).toDF("item", "w")
+    val b = Seq(("a", 30L), ("c", 20L), ("d", 10L)).toDF("item", "w")
+    val out = IrMetrics.rbo(a, b, "item", "w", k = 3, p = 0.5).collect()
+    assert(out.map(_.getAs[Long]("overlap")).toSeq == Seq(1L, 1L, 2L))
+    val exp = BigDecimal(0.5 * (1.0 * 1.0 / 1.0 + 0.5 * 1.0 / 2.0 +
+      0.25 * 2.0 / 3.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(out.forall(_.getAs[Double]("rbo_at_k") == exp))
+  }
+
+  test("rbo: identical rankings agree everywhere; disjoint score 0") {
+    val a = (1 to 50).map(i => (s"t$i", (100 - i).toLong)).toDF("item", "w")
+    val same = IrMetrics.rbo(a, a, "item", "w", k = 50).collect()
+    assert(same.forall(_.getAs[Double]("agreement") == 1.0))
+    assert(same.head.getAs[Double]("rbo_at_k") > 0.99)
+    val b = (1 to 50).map(i => (s"u$i", (100 - i).toLong)).toDF("item", "w")
+    val disj = IrMetrics.rbo(a, b, "item", "w", k = 50).collect()
+    assert(disj.forall(_.getAs[Long]("overlap") == 0L))
+    assert(disj.head.getAs[Double]("rbo_at_k") == 0.0)
+  }
+
+  test("rbo: top-heavy — a tail swap moves the score far less than a " +
+    "head swap; partitioning-invariant") {
+    val base = (1 to 20).map(i => (s"t$i", (100 - i).toLong))
+    val a = base.toDF("item", "w")
+    // swap ranks 1 and 2 vs swap ranks 19 and 20
+    def swapped(i: Int, j: Int) = {
+      val arr = base.toArray
+      val tmp = arr(i)._1; arr(i) = (arr(j)._1, arr(i)._2)
+      arr(j) = (tmp, arr(j)._2)
+      arr.toSeq.toDF("item", "w")
+    }
+    def score(other: org.apache.spark.sql.DataFrame) =
+      IrMetrics.rbo(a, other, "item", "w", k = 20).head()
+        .getAs[Double]("rbo_at_k")
+    val headSwap = score(swapped(0, 1))
+    val tailSwap = score(swapped(18, 19))
+    assert(headSwap < tailSwap && tailSwap < 1.0)
+    val p1 = IrMetrics.rbo(a.repartition(7), a.coalesce(1), "item", "w",
+      k = 20).collect().map(_.toString).toSeq
+    val p2 = IrMetrics.rbo(a, a, "item", "w", k = 20)
+      .collect().map(_.toString).toSeq
+    assert(p1 == p2)
+  }
 }
