@@ -65,6 +65,70 @@ object Dependencies {
       .orderBy(col("fd"))
   }
 
+  /** Financial reconciliation audit — the cross-table consistency
+    * check [[fdAudit]] (within-table) and [[inclusionAudit]] (key
+    * presence) leave open: does the child's per-key AMOUNT roll up to
+    * the parent's stated total? Every key lands in exactly one band —
+    * missing on either side, exact, or the first matching relative-
+    * error tier — so the row counts partition the key space and a
+    * dashboard can alert on the tail band.
+    *
+    * Exactness: amounts are integer cents (the caller pre-scales);
+    * per-key child sums are exact BIGINTs and every band decision is
+    * an integer cross-multiplication (|d|·1000 ≤ |p| for ≤0.1%, etc.)
+    * — no float ever decides a band. The only doubles are the closing
+    * fractions. A parent key stated more than once is a data bug the
+    * audit refuses loudly rather than averages away.
+    *
+    * Scale shape: one map-side-combined child rollup + one keyed
+    * full-outer join with the parent (AQE picks the side); the band
+    * census is one aggregate onto 7 rows. */
+  def reconcile(child: DataFrame, childKey: String, childCents: String,
+                parent: DataFrame, parentKey: String,
+                parentCents: String): DataFrame = {
+    val bands = Seq("1_child_only", "2_parent_only", "3_exact",
+      "4_within_0_1pct", "5_within_1pct", "6_within_10pct",
+      "7_beyond_10pct")
+    val ck = child
+      .select(col(childKey).cast("long").as("__k"),
+        col(childCents).cast("long").as("__c"))
+      .filter(col("__k").isNotNull && col("__c").isNotNull)
+      .groupBy(col("__k")).agg(sum(col("__c")).as("__cc"))
+    val pk = parent
+      .select(col(parentKey).cast("long").as("__k"),
+        col(parentCents).cast("long").as("__p"))
+      .filter(col("__k").isNotNull && col("__p").isNotNull)
+    val dup = pk.groupBy(col("__k")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"reconcile: parent key ${dup.headOption.map(_.getLong(0))
+        .getOrElse(-1L)} stated more than once — fix the parent first")
+    val joined = ck.join(pk, Seq("__k"), "full_outer")
+      .withColumn("__d", abs(col("__cc") - col("__p")))
+      .withColumn("band",
+        when(col("__p").isNull, bands(0))
+          .when(col("__cc").isNull, bands(1))
+          .when(col("__d") === 0, bands(2))
+          .when(col("__d") * 1000 <= abs(col("__p")), bands(3))
+          .when(col("__d") * 100 <= abs(col("__p")), bands(4))
+          .when(col("__d") * 10 <= abs(col("__p")), bands(5))
+          .otherwise(bands(6)))
+    val spark = child.sparkSession
+    import spark.implicits._
+    val census = joined.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_keys"),
+        coalesce(sum(col("__d")), lit(0L)).as("abs_diff_cents"))
+    val tot = joined.agg(count(lit(1))).head().getLong(0)
+    require(tot > 0, "reconcile: both sides empty")
+    bands.toDF("band").join(census, Seq("band"), "left")
+      .select(col("band"),
+        coalesce(col("n_keys"), lit(0L)).as("n_keys"),
+        coalesce(col("abs_diff_cents"), lit(0L)).as("abs_diff_cents"),
+        round(coalesce(col("n_keys"), lit(0L)).cast("double") /
+          lit(tot).cast("double"), 6).as("frac"))
+      .orderBy(col("band"))
+  }
+
   /** Inclusion / referential-integrity audit: one row
     * (fk, n_child_rows, n_child_keys, n_orphan_keys, n_orphan_rows,
     * coverage) — coverage is the fraction of non-NULL child ROWS whose

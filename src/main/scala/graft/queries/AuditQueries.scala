@@ -515,7 +515,70 @@ object AuditQueries extends QuerySet {
     Q("q349_qini", q349, Some(q349Sql)),
     Q("q350_gap_regularity", q350, Some(q350Sql)),
     Q("q351_funnel_timing", q351, Some(q351Sql)),
-    Q("q352_rbo_drift", q352, Some(q352Sql)))
+    Q("q352_rbo_drift", q352, Some(q352Sql)),
+    Q("q353_reconciliation", q353, Some(q353Sql)))
+
+  /** Order-book reconciliation: does each order's lineitem roll-up
+    * (price·(1−disc)·(1+tax)) match the stated o_totalprice — the
+    * financial cross-table audit; keys partition into exact /
+    * relative-error bands / missing-side, integer-cents decisions. */
+  private def q353(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .filter(col("l_extendedprice").isNotNull &&
+        col("l_discount").isNotNull && col("l_tax").isNotNull)
+      .withColumn("cents",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax")) * 100).cast("long"))
+    val ord = t(s, d, "orders")
+      .filter(col("o_totalprice").isNotNull)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+    Dependencies.reconcile(li, "l_orderkey", "cents",
+      ord, "o_orderkey", "cents")
+  }
+
+  private val q353Sql =
+    """WITH ck AS (
+      |  SELECT CAST(l_orderkey AS BIGINT) AS k,
+      |    CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount)
+      |      * (1.0 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS cc
+      |  FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL AND l_extendedprice IS NOT NULL
+      |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+      |  GROUP BY 1),
+      |pk AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS p
+      |  FROM orders
+      |  WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
+      |j AS (
+      |  SELECT COALESCE(ck.k, pk.k) AS k, ck.cc, pk.p,
+      |    abs(ck.cc - pk.p) AS d
+      |  FROM ck FULL JOIN pk ON ck.k = pk.k),
+      |banded AS (
+      |  SELECT k, d,
+      |    CASE WHEN p IS NULL THEN '1_child_only'
+      |      WHEN cc IS NULL THEN '2_parent_only'
+      |      WHEN d = 0 THEN '3_exact'
+      |      WHEN d * 1000 <= abs(p) THEN '4_within_0_1pct'
+      |      WHEN d * 100 <= abs(p) THEN '5_within_1pct'
+      |      WHEN d * 10 <= abs(p) THEN '6_within_10pct'
+      |      ELSE '7_beyond_10pct' END AS band
+      |  FROM j),
+      |census AS (
+      |  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |    CAST(COALESCE(SUM(d), 0) AS BIGINT) AS abs_diff_cents
+      |  FROM banded GROUP BY band),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM banded),
+      |bands AS (SELECT * FROM (VALUES ('1_child_only'),
+      |  ('2_parent_only'), ('3_exact'), ('4_within_0_1pct'),
+      |  ('5_within_1pct'), ('6_within_10pct'), ('7_beyond_10pct'))
+      |  v(band))
+      |SELECT bands.band, COALESCE(census.n_keys, 0) AS n_keys,
+      |  COALESCE(census.abs_diff_cents, 0) AS abs_diff_cents,
+      |  round(CAST(COALESCE(census.n_keys, 0) AS DOUBLE)
+      |    / CAST(tot.t AS DOUBLE), 6) AS frac
+      |FROM bands LEFT JOIN census ON bands.band = census.band
+      |CROSS JOIN tot ORDER BY bands.band""".stripMargin
 
   /** Rank-biased overlap between the two epoch halves' top-100 term
     * rankings — ORDER-weighted vocabulary drift beside q278's

@@ -69,6 +69,53 @@ class DependenciesSpec extends AnyFunSuite with SparkSuite {
     assert(r.getAs[Double]("coverage") == 0.5)
   }
 
+  test("reconcile: every key lands in exactly one hand-computed band") {
+    val child = Seq(
+      (1L, 500L), (1L, 500L),   // rolls to 1000 = parent: exact
+      (2L, 9999L),              // parent 10000: 1 off = 0.01% -> 0.1pct
+      (3L, 9900L),              // parent 10000: 1% band
+      (4L, 9000L),              // parent 10000: 10% band
+      (5L, 5L),                 // parent 10000: beyond
+      (6L, 77L))                // no parent: child_only
+      .toDF("k", "cents")
+    val parent = Seq((1L, 1000L), (2L, 10000L), (3L, 10000L),
+      (4L, 10000L), (5L, 10000L), (7L, 42L))   // 7 has no child
+      .toDF("k", "cents")
+    val out = Dependencies.reconcile(child, "k", "cents",
+      parent, "k", "cents")
+      .collect().map(r => r.getAs[String]("band") ->
+        (r.getAs[Long]("n_keys"), r.getAs[Long]("abs_diff_cents"))).toMap
+    assert(out("1_child_only") == ((1L, 0L)))
+    assert(out("2_parent_only") == ((1L, 0L)))
+    assert(out("3_exact") == ((1L, 0L)))
+    assert(out("4_within_0_1pct") == ((1L, 1L)))
+    assert(out("5_within_1pct") == ((1L, 100L)))
+    assert(out("6_within_10pct") == ((1L, 1000L)))
+    assert(out("7_beyond_10pct") == ((1L, 9995L)))
+    assert(out.size == 7)
+  }
+
+  test("reconcile: boundary cross-multiplication is exact; duplicate " +
+    "parent refused; partitioning-invariant") {
+    // d*1000 == |p| sits exactly ON the 0.1% boundary -> inclusive
+    val child = Seq((1L, 999L)).toDF("k", "cents")
+    val parent = Seq((1L, 1000L)).toDF("k", "cents")
+    val r = Dependencies.reconcile(child, "k", "cents",
+      parent, "k", "cents")
+      .filter(org.apache.spark.sql.functions.col("n_keys") > 0).head()
+    assert(r.getAs[String]("band") == "4_within_0_1pct")
+    val dup = Seq((1L, 1L), (1L, 2L)).toDF("k", "cents")
+    val e = intercept[IllegalArgumentException](
+      Dependencies.reconcile(child, "k", "cents", dup, "k", "cents"))
+    assert(e.getMessage.contains("stated more than once"))
+    val bigC = (1 to 400).map(i => (i.toLong % 50, i.toLong)).toDF("k", "c")
+    val bigP = (0 until 50).map(i => (i.toLong, i * 31L)).toDF("k", "c")
+    def run(a: org.apache.spark.sql.DataFrame) =
+      Dependencies.reconcile(a, "k", "c", bigP, "k", "c")
+        .collect().map(_.toString).toSeq
+    assert(run(bigC.coalesce(1)) == run(bigC.repartition(13)))
+  }
+
   test("inclusionAudit: full coverage and the empty-child degenerate") {
     val child = Seq(1L, 2L).toDF("ck")
     val parent = Seq(1L, 2L, 3L).toDF("pk")
