@@ -70,4 +70,40 @@ object MultipleTesting {
           .as("reject"))
       .orderBy(col("rank"))
   }
+
+  /** Holm–Bonferroni step-down over the same tests table — FWER
+    * control where [[bhAdjust]] controls FDR: when ONE false segment
+    * alarm is expensive (a rollback, a page), Holm (1979) is the
+    * uniformly-more-powerful replacement for plain Bonferroni:
+    * ascending p, adjusted p₍ᵢ₎ = max_{j≤i} min(1, (m−j+1)·p₍ⱼ₎),
+    * reject while adjusted ≤ α.
+    *
+    * Exactness: the same pinned A&S CDF p (6-dp); the step-down is a
+    * running max over the grid-bounded rank window of one double
+    * product, and the decision compares the 6-dp-ROUNDED adjusted p
+    * to α (the compare-the-rounded rule) so the boundary replays. */
+  def holmAdjust(tests: DataFrame, segmentCol: String, zCol: String,
+                 alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"bad alpha=$alpha")
+    val base = tests
+      .filter(col(zCol).isNotNull)
+      .select(col(segmentCol), col(zCol).cast("double").as("z"),
+        round(twoSidedP(col(zCol).cast("double")), 6).as("p"))
+    val wRank = Window.orderBy(col("p"), col(segmentCol))
+    val wAll = Window.orderBy(col("p"), col(segmentCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("p"), col(segmentCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("__adj", least(lit(1.0),
+        max((col("m") - col("rank") + 1).cast("double") * col("p"))
+          .over(wCum)))
+      .withColumn("p_holm", round(col("__adj"), 6))
+      .select(col(segmentCol), round(col("z"), 6).as("z"), col("p"),
+        col("rank"), col("m"), col("p_holm"),
+        (col("p_holm") <= alpha).as("reject"))
+      .orderBy(col("rank"))
+  }
 }

@@ -516,7 +516,98 @@ object AuditQueries extends QuerySet {
     Q("q350_gap_regularity", q350, Some(q350Sql)),
     Q("q351_funnel_timing", q351, Some(q351Sql)),
     Q("q352_rbo_drift", q352, Some(q352Sql)),
-    Q("q353_reconciliation", q353, Some(q353Sql)))
+    Q("q353_reconciliation", q353, Some(q353Sql)),
+    Q("q354_holm_fwer", q354, Some(q354Sql)))
+
+  /** Holm-Bonferroni FWER control over per-source long-doc-rate z
+    * tests — the one-false-alarm-is-expensive counterpart of q297's
+    * BH/FDR, on a document-corpus battery (20 source segments). */
+  private def q354(s: SparkSession, d: String): DataFrame = {
+    val tests = t(s, d, "documents")
+      .filter(col("source").isNotNull && col("n_chars").isNotNull)
+      .select(col("source"),
+        // doc_id's low bit IS the source assignment in this corpus —
+        // hash the per-source sequence number instead so every source
+        // carries both arms
+        graft.operators.Splits.hashBucket(expr("doc_id div 20"), 2)
+          .as("arm"),
+        (col("n_chars") > 250).as("y"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1 && col("y"), 1L).otherwise(0L))
+          .as("x1"),
+        sum(when(col("arm") =!= 1, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") =!= 1 && col("y"), 1L).otherwise(0L))
+          .as("x0"))
+      .withColumn("__pp",
+        (col("x1") + col("x0")).cast("double") /
+          (col("n1") + col("n0")).cast("double"))
+      .withColumn("z",
+        when(col("n1") > 0 && col("n0") > 0 &&
+          col("__pp") > 0 && col("__pp") < 1,
+          (col("x1").cast("double") / col("n1").cast("double") -
+            col("x0").cast("double") / col("n0").cast("double")) /
+            sqrt(col("__pp") * (lit(1.0) - col("__pp")) *
+              (lit(1.0) / col("n1").cast("double") +
+                lit(1.0) / col("n0").cast("double")))))
+    graft.operators.MultipleTesting.holmAdjust(tests, "source", "z")
+  }
+
+  private val q354Sql =
+    """WITH cells AS (
+      |  SELECT source,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n1,
+      |    CAST(SUM(CASE WHEN arm = 1 AND y THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS x1,
+      |    CAST(SUM(CASE WHEN arm <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n0,
+      |    CAST(SUM(CASE WHEN arm <> 1 AND y THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x0
+      |  FROM (
+      |    SELECT source,
+      |      CAST((((doc_id // 20) % 2147483648) * 2654435761)
+      |        % 4294967296 % 2 AS INTEGER) AS arm,
+      |      (n_chars > 250) AS y
+      |    FROM documents
+      |    WHERE source IS NOT NULL AND n_chars IS NOT NULL) t
+      |  GROUP BY source),
+      |ztab AS (
+      |  SELECT source,
+      |    (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |      - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+      |    / sqrt((CAST(x1 + x0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+      |        * (1.0 - CAST(x1 + x0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+      |        * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n0 AS DOUBLE)))
+      |      AS z
+      |  FROM cells
+      |  WHERE n1 > 0 AND n0 > 0 AND x1 + x0 > 0 AND x1 + x0 < n1 + n0),
+      |ptab AS (
+      |  SELECT source, z,
+      |    round(2.0 * (1.0 - (1.0
+      |      - exp(-0.5 * abs(z) * abs(z)) * 0.3989422804014327
+      |        * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * abs(z)))
+      |          - 1.821255978) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+      |          + 1.781477937) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+      |          - 0.356563782) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+      |          + 0.319381530) * (1.0 / (1.0 + 0.2316419 * abs(z)))))),
+      |      6) AS p
+      |  FROM ztab),
+      |ranked AS (
+      |  SELECT source, z, p,
+      |    CAST(row_number() OVER (ORDER BY p, source) AS BIGINT) AS rank,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS m
+      |  FROM ptab),
+      |holm AS (
+      |  SELECT source, z, p, rank, m,
+      |    round(least(1.0, MAX(CAST(m - rank + 1 AS DOUBLE) * p)
+      |      OVER (ORDER BY p, source
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+      |      AS p_holm
+      |  FROM ranked)
+      |SELECT source, round(z, 6) AS z, p, rank, m, p_holm,
+      |  p_holm <= 0.05 AS reject
+      |FROM holm ORDER BY rank""".stripMargin
 
   /** Order-book reconciliation: does each order's lineitem roll-up
     * (price·(1−disc)·(1+tax)) match the stated o_totalprice — the

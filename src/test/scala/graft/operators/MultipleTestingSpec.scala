@@ -44,4 +44,45 @@ class MultipleTestingSpec extends AnyFunSuite with SparkSuite {
     assert(out.forall(!_.getBoolean(6)))
     assert(out.forall(_.getLong(4) == 2L))
   }
+
+  test("holmAdjust: step-down adjusted p is the running max of " +
+    "(m-j+1)*p capped at 1; monotone by construction") {
+    import spark.implicits._
+    // z chosen to spread p: huge, middling, null effects
+    val tests = Seq(("big", 5.0), ("mid", 2.2), ("null1", 0.4),
+      ("null2", 0.1)).toDF("seg", "z")
+    val out = MultipleTesting.holmAdjust(tests, "seg", "z").collect()
+    assert(out.map(_.getAs[String]("seg")).toSeq ==
+      Seq("big", "mid", "null1", "null2")) // p-ascending
+    val ps = out.map(_.getAs[Double]("p"))
+    val m = out.length
+    var run = 0.0
+    out.zipWithIndex.foreach { case (r, i) =>
+      run = math.max(run, (m - i).toDouble * ps(i))
+      val want = BigDecimal(math.min(1.0, run))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("p_holm") == want)
+    }
+    // adjusted p never decreases down the ranks
+    val adj = out.map(_.getAs[Double]("p_holm"))
+    assert(adj.zip(adj.tail).forall { case (a, b) => a <= b })
+    // the huge effect survives FWER control, the nulls do not
+    assert(out.head.getAs[Boolean]("reject"))
+    assert(!out.last.getAs[Boolean]("reject"))
+  }
+
+  test("holmAdjust rejects a subset of bhAdjust's rejections (FWER is " +
+    "stricter than FDR)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val tests = (1 to 40).map(i =>
+      (s"s$i", if (i <= 8) 3.0 + rnd.nextDouble() else rnd.nextGaussian()))
+      .toDF("seg", "z")
+    val holm = MultipleTesting.holmAdjust(tests, "seg", "z").collect()
+      .filter(_.getAs[Boolean]("reject")).map(_.getString(0)).toSet
+    val bh = MultipleTesting.bhAdjust(tests, "seg", "z").collect()
+      .filter(_.getAs[Boolean]("reject")).map(_.getString(0)).toSet
+    assert(holm.subsetOf(bh))
+    assert(holm.nonEmpty)
+  }
 }
