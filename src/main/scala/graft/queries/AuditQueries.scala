@@ -517,7 +517,59 @@ object AuditQueries extends QuerySet {
     Q("q351_funnel_timing", q351, Some(q351Sql)),
     Q("q352_rbo_drift", q352, Some(q352Sql)),
     Q("q353_reconciliation", q353, Some(q353Sql)),
-    Q("q354_holm_fwer", q354, Some(q354Sql)))
+    Q("q354_holm_fwer", q354, Some(q354Sql)),
+    Q("q355_eb_shrinkage", q355, Some(q355Sql)))
+
+  /** Empirical-Bayes shrinkage of per-source long-doc rates toward the
+    * moment-matched beta prior — the leaderboard fix: small sources
+    * stop winning on noise (their delta is the largest). */
+  private def q355(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .filter(col("source").isNotNull && col("n_chars").isNotNull)
+      .select(col("source"), (col("n_chars") > 250).as("y"))
+    graft.operators.Shrinkage.ebRates(docs, "source", "y")
+  }
+
+  private val q355Sql =
+    """WITH census AS (
+      |  SELECT CAST(source AS VARCHAR) AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN n_chars > 250 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS x
+      |  FROM documents
+      |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      |  GROUP BY 1),
+      |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM census),
+      |mu AS (
+      |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(CAST(x AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY s)),
+      |      (a, b) -> a + b) / CAST(kk.k AS DOUBLE) AS m
+      |  FROM census, kk GROUP BY kk.k),
+      |vv AS (
+      |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list((CAST(x AS DOUBLE) / CAST(n AS DOUBLE) - mu.m)
+      |        * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE) - mu.m)
+      |        ORDER BY s)),
+      |      (a, b) -> a + b) / CAST(kk.k AS DOUBLE) AS v
+      |  FROM census, kk, mu GROUP BY kk.k, mu.m),
+      |prior AS (
+      |  SELECT mu.m * (mu.m * (1.0 - mu.m) / vv.v - 1.0) AS alpha,
+      |    (1.0 - mu.m) * (mu.m * (1.0 - mu.m) / vv.v - 1.0) AS beta,
+      |    mu.m AS pm
+      |  FROM mu, vv)
+      |SELECT census.s AS segment, census.n, census.x,
+      |  round(CAST(census.x AS DOUBLE) / CAST(census.n AS DOUBLE), 6)
+      |    AS rate,
+      |  round((CAST(census.x AS DOUBLE) + prior.alpha)
+      |    / (CAST(census.n AS DOUBLE) + prior.alpha + prior.beta), 6)
+      |    AS shrunk,
+      |  round((CAST(census.x AS DOUBLE) + prior.alpha)
+      |      / (CAST(census.n AS DOUBLE) + prior.alpha + prior.beta)
+      |    - CAST(census.x AS DOUBLE) / CAST(census.n AS DOUBLE), 6)
+      |    AS delta,
+      |  round(prior.alpha, 6) AS alpha, round(prior.beta, 6) AS beta,
+      |  round(prior.pm, 6) AS prior_mean
+      |FROM census, prior ORDER BY segment""".stripMargin
 
   /** Holm-Bonferroni FWER control over per-source long-doc-rate z
     * tests — the one-false-alarm-is-expensive counterpart of q297's
