@@ -96,4 +96,69 @@ object Correlation {
             (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
         .as("rho"))
   }
+
+  /** Chatterjee's ξ (Chatterjee 2021, JASA) — the dependence measure
+    * [[kendallTauB]]/[[spearmanRho]] CANNOT be: both score a perfect
+    * parabola near 0 (monotone association only); ξ converges to a
+    * measure of functional dependence — 0 iff independent, 1 iff y is
+    * a measurable function of x, monotone or not. The ties-general
+    * form on rows sorted by x:
+    *
+    *   ξ = 1 − n·Σᵢ|r₍ᵢ₊₁₎ − r₍ᵢ₎| / (2·Σᵢ lᵢ(n − lᵢ))
+    *
+    * with r_i = #{j: y_j ≤ y_i} and l_i = #{j: y_j ≥ y_i}. X-ties are
+    * broken by `idCol` (Chatterjee randomizes; a replayable engine
+    * pins the order instead — documented contract, the estimate is
+    * one valid tie-resolution).
+    *
+    * Exactness: r and l come exactly from the y-value census; the
+    * |Δr| sum and denominator are exact BIGINTs (n ≤ 2¹², so
+    * l(n−l)·n < 2⁶³ by far); ξ is one closing double. Integer-scaled
+    * x and y only. One row: (n, sum_abs_dr, denom, xi).
+    *
+    * Scale shape: the input must already BE a grid (the Seasonal
+    * idiom), loudly bounded at 2¹² positions; the x-ordered lag window
+    * and the census windows run on grid rows. */
+  def chatterjeeXi(df: DataFrame, xCol: String, yCol: String,
+                   idCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,
+      LongType}
+    Seq(xCol, yCol).foreach { c =>
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"chatterjeeXi: '$c' is $dt — integer-scaled only")
+    }
+    Pinned.withCheckpoint(df
+      .select(col(idCol).cast("long").as("__id"),
+        col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .filter(col("__id").isNotNull && col("__x").isNotNull &&
+        col("__y").isNotNull)
+    ) { g =>
+      val spark = g.sparkSession
+      val n = g.count()
+      require(n >= 3 && n <= (1 << 12),
+        s"chatterjeeXi: $n grid positions outside [3, 4096] — " +
+          "pre-aggregate onto a bounded grid first (the Seasonal idiom)")
+      val wy = Window.orderBy(col("__y"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val census = g.groupBy(col("__y")).agg(count(lit(1)).as("__t"))
+        .withColumn("__cum", sum(col("__t")).over(wy))
+        .withColumn("__r", col("__cum"))
+        .withColumn("__l", lit(n) - col("__cum") + col("__t"))
+      val den = census
+        .agg(sum(col("__t") * col("__l") * (lit(n) - col("__l"))))
+        .head().getLong(0)
+      require(den > 0, "chatterjeeXi: y is constant — ξ undefined")
+      val wx = Window.orderBy(col("__x"), col("__id"))
+      val num = g.join(census.select(col("__y"), col("__r")), "__y")
+        .withColumn("__dr",
+          abs(col("__r") - lag(col("__r"), 1).over(wx)))
+        .agg(coalesce(sum(col("__dr")), lit(0L))).head().getLong(0)
+      val xi = 1.0 - n.toDouble * num.toDouble / (2.0 * den.toDouble)
+      spark.range(1).select(lit(n).as("n"),
+        lit(num).as("sum_abs_dr"), lit(2L * den).as("denom"),
+        round(lit(xi), 6).as("xi"))
+    }
+  }
 }

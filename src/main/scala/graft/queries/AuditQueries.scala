@@ -518,7 +518,51 @@ object AuditQueries extends QuerySet {
     Q("q352_rbo_drift", q352, Some(q352Sql)),
     Q("q353_reconciliation", q353, Some(q353Sql)),
     Q("q354_holm_fwer", q354, Some(q354Sql)),
-    Q("q355_eb_shrinkage", q355, Some(q355Sql)))
+    Q("q355_eb_shrinkage", q355, Some(q355Sql)),
+    Q("q356_chatterjee_xi", q356, Some(q356Sql)))
+
+  /** Chatterjee's ξ between hourly volume and hourly revenue — the
+    * functional-dependence read q257/q258 (monotone-only) cannot give:
+    * a perfect U-shape scores ~0 on tau/rho and ~1 on ξ. */
+  private def q356(s: SparkSession, d: String): DataFrame = {
+    val grid = t(s, d, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(floor(unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+        .cast("long").as("t"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("value") * 100).cast("long")).as("y"))
+    graft.operators.Correlation.chatterjeeXi(grid, "x", "y", "t")
+  }
+
+  private val q356Sql =
+    """WITH g AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600
+      |      AS t,
+      |    CAST(COUNT(*) AS BIGINT) AS x,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g),
+      |census AS (
+      |  SELECT y, CAST(COUNT(*) AS BIGINT) AS tt FROM g GROUP BY y),
+      |cc AS (
+      |  SELECT y, tt,
+      |    CAST(SUM(tt) OVER (ORDER BY y
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS r
+      |  FROM census),
+      |cl AS (SELECT cc.y, cc.tt, cc.r, nn.n - cc.r + cc.tt AS l
+      |  FROM cc, nn),
+      |den AS (SELECT CAST(SUM(cl.tt * cl.l * (nn.n - cl.l)) AS BIGINT)
+      |  AS d FROM cl, nn),
+      |seq AS (
+      |  SELECT abs(cl.r - lag(cl.r) OVER (ORDER BY g.x, g.t)) AS dr
+      |  FROM g JOIN cl ON g.y = cl.y),
+      |num AS (SELECT CAST(COALESCE(SUM(dr), 0) AS BIGINT) AS s FROM seq)
+      |SELECT nn.n, num.s AS sum_abs_dr, 2 * den.d AS denom,
+      |  round(1.0 - CAST(nn.n AS DOUBLE) * CAST(num.s AS DOUBLE)
+      |    / (2.0 * CAST(den.d AS DOUBLE)), 6) AS xi
+      |FROM nn, num, den""".stripMargin
 
   /** Empirical-Bayes shrinkage of per-source long-doc rates toward the
     * moment-matched beta prior — the leaderboard fix: small sources

@@ -72,4 +72,54 @@ class CorrelationSpec extends AnyFunSuite with SparkSuite {
       .head().getAs[Double]("tau_b")
     assert(tau > 0.75, s"tau=$tau")
   }
+
+  test("chatterjeeXi: a perfect parabola reads ~1 on xi where " +
+    "Spearman reads ~0 (the non-monotone case)") {
+    import spark.implicits._
+    val rows = (-40 to 40).map(i => (i.toLong + 100, i.toLong,
+      (i * i).toLong))
+    val df = rows.toDF("id", "x", "y")
+    val xi = Correlation.chatterjeeXi(df, "x", "y", "id").head()
+      .getAs[Double]("xi")
+    assert(xi > 0.9)
+    val rho = Correlation.spearmanRho(
+      df.selectExpr("id AS t", "x", "y"), "t", "x", "y").head()
+      .getAs[Double]("rho")
+    assert(math.abs(rho) < 0.1)
+  }
+
+  test("chatterjeeXi: independence reads ~0; hand-check on a tiny case") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val noise = (1 to 400).map(i => (i.toLong, rnd.nextInt(1000).toLong,
+      rnd.nextInt(1000).toLong)).toDF("id", "x", "y")
+    val xiN = Correlation.chatterjeeXi(noise, "x", "y", "id").head()
+      .getAs[Double]("xi")
+    assert(math.abs(xiN) < 0.2)
+    // hand case: x-sorted y = (30, 10, 20): r = (3, 1, 2), sum|dr| = 3,
+    // l = (1, 3, 2), sum l(n-l) = 2 + 0 + 2 = 4 -> denom 8,
+    // xi = 1 - 3*3/8 = -0.125
+    val tiny = Seq((1L, 10L, 30L), (2L, 20L, 10L), (3L, 30L, 20L))
+      .toDF("id", "x", "y")
+    val r = Correlation.chatterjeeXi(tiny, "x", "y", "id").head()
+    assert(r.getAs[Long]("sum_abs_dr") == 3L)
+    assert(r.getAs[Long]("denom") == 8L)
+    assert(r.getAs[Double]("xi") == -0.125)
+  }
+
+  test("chatterjeeXi: partitioning-invariant; refuses constant y") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    val df = (1 to 300).map(i => (i.toLong, rnd.nextInt(50).toLong,
+      rnd.nextInt(9).toLong)).toDF("id", "x", "y")
+    val a = Correlation.chatterjeeXi(df.coalesce(1), "x", "y", "id")
+      .head().toSeq
+    val b = Correlation.chatterjeeXi(df.repartition(11), "x", "y", "id")
+      .head().toSeq
+    assert(a == b)
+    val const = df.selectExpr("id", "x", "CAST(7 AS LONG) AS y")
+    val e = intercept[IllegalArgumentException](
+      Correlation.chatterjeeXi(const, "x", "y", "id"))
+    assert(e.getMessage.contains("constant"))
+  }
 }
