@@ -519,7 +519,86 @@ object AuditQueries extends QuerySet {
     Q("q353_reconciliation", q353, Some(q353Sql)),
     Q("q354_holm_fwer", q354, Some(q354Sql)),
     Q("q355_eb_shrinkage", q355, Some(q355Sql)),
-    Q("q356_chatterjee_xi", q356, Some(q356Sql)))
+    Q("q356_chatterjee_xi", q356, Some(q356Sql)),
+    Q("q357_cluster_agreement", q357, Some(q357Sql)))
+
+  /** ARI + NMI between the language partition and the length-band
+    * partition of the corpus — the chance-corrected clustering
+    * agreement the dedup/community operators produce clusters
+    * without. */
+  private def q357(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+      .select(col("lang"),
+        floor(col("n_chars") / 100).cast("long").as("len_band"))
+    graft.operators.ClusterAgreement.ariNmi(docs, "lang", "len_band")
+  }
+
+  private val q357Sql =
+    """WITH census AS (
+      |  SELECT CAST(lang AS VARCHAR) AS a,
+      |    CAST(CAST(floor(n_chars / 100) AS BIGINT) AS VARCHAR) AS b,
+      |    CAST(COUNT(*) AS BIGINT) AS nij
+      |  FROM documents
+      |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+      |  GROUP BY 1, 2),
+      |nn AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM census),
+      |am AS (SELECT a, CAST(SUM(nij) AS BIGINT) AS ca FROM census
+      |  GROUP BY a),
+      |bm AS (SELECT b, CAST(SUM(nij) AS BIGINT) AS cb FROM census
+      |  GROUP BY b),
+      |pairs AS (
+      |  SELECT
+      |    CAST(SUM(CAST(nij AS HUGEINT) * (nij - 1) / 2) AS HUGEINT)
+      |      AS sij
+      |  FROM census),
+      |pa AS (SELECT CAST(SUM(CAST(ca AS HUGEINT) * (ca - 1) / 2)
+      |  AS HUGEINT) AS sa FROM am),
+      |pb AS (SELECT CAST(SUM(CAST(cb AS HUGEINT) * (cb - 1) / 2)
+      |  AS HUGEINT) AS sb FROM bm),
+      |tt AS (SELECT CAST(CAST(n AS HUGEINT) * (n - 1) / 2 AS HUGEINT)
+      |  AS tot FROM nn),
+      |ari AS (
+      |  SELECT (CAST(CAST(pairs.sij AS VARCHAR) AS DOUBLE)
+      |      - CAST(CAST(pa.sa AS VARCHAR) AS DOUBLE)
+      |        * CAST(CAST(pb.sb AS VARCHAR) AS DOUBLE)
+      |        / CAST(CAST(tt.tot AS VARCHAR) AS DOUBLE))
+      |    / ((CAST(CAST(pa.sa AS VARCHAR) AS DOUBLE)
+      |        + CAST(CAST(pb.sb AS VARCHAR) AS DOUBLE)) / 2.0
+      |      - CAST(CAST(pa.sa AS VARCHAR) AS DOUBLE)
+      |        * CAST(CAST(pb.sb AS VARCHAR) AS DOUBLE)
+      |        / CAST(CAST(tt.tot AS VARCHAR) AS DOUBLE)) AS v
+      |  FROM pairs, pa, pb, tt),
+      |ha AS (
+      |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(-(CAST(ca AS DOUBLE) / CAST(nn.n AS DOUBLE))
+      |        * ln(CAST(ca AS DOUBLE) / CAST(nn.n AS DOUBLE))
+      |        ORDER BY a)),
+      |      (x, y) -> x + y) AS v
+      |  FROM am, nn GROUP BY nn.n),
+      |hb AS (
+      |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(-(CAST(cb AS DOUBLE) / CAST(nn.n AS DOUBLE))
+      |        * ln(CAST(cb AS DOUBLE) / CAST(nn.n AS DOUBLE))
+      |        ORDER BY b)),
+      |      (x, y) -> x + y) AS v
+      |  FROM bm, nn GROUP BY nn.n),
+      |mi AS (
+      |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list((CAST(census.nij AS DOUBLE) / CAST(nn.n AS DOUBLE))
+      |        * ln(CAST(census.nij AS DOUBLE) / CAST(nn.n AS DOUBLE)
+      |          * CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)
+      |          / (CAST(am.ca AS DOUBLE) * CAST(bm.cb AS DOUBLE)))
+      |        ORDER BY census.a, census.b)),
+      |      (x, y) -> x + y) AS v
+      |  FROM census JOIN am ON census.a = am.a
+      |  JOIN bm ON census.b = bm.b CROSS JOIN nn GROUP BY nn.n)
+      |SELECT nn.n,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM am) AS cells_a,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM bm) AS cells_b,
+      |  round(ari.v, 6) AS ari,
+      |  round(2.0 * mi.v / (ha.v + hb.v), 6) AS nmi
+      |FROM nn, ari, ha, hb, mi""".stripMargin
 
   /** Chatterjee's ξ between hourly volume and hourly revenue — the
     * functional-dependence read q257/q258 (monotone-only) cannot give:
