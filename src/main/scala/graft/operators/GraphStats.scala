@@ -59,4 +59,64 @@ object GraphStats {
               (col("__m2") * col("sum_xx") - col("sum_x") * col("sum_x")).cast("double"))
           .as("assortativity"))
   }
+
+  /** Rich-club coefficient curve (Zhou & Mondragón 2004; Colizza et
+    * al. 2006 frame the normalization) — do the HUBS of this graph
+    * preferentially connect to each other? φ(k) is the edge density
+    * of the subgraph induced by nodes of degree > k:
+    *
+    *   φ(k) = 2·E_{>k} / (N_{>k}·(N_{>k}−1))
+    *
+    * Rising φ(k) = a rich club (hub oligarchy — one bad crawl seed
+    * dominating a co-occurrence graph); flat/falling = hubs spread
+    * out. The whole curve comes from TWO bounded histograms — node
+    * counts by degree and edge counts by min(endpoint degrees) — so
+    * every k on the grid is a conditional sum, not a subgraph pass.
+    *
+    * Exactness: degree and min-degree censuses are exact BIGINTs;
+    * φ closes in one double per k. Undirected simple graph (edges
+    * deduped canonically, self-loops dropped). φ is NULL where the
+    * club has < 2 members.
+    *
+    * Scale shape: one distinct-edge shuffle, one degree census, one
+    * keyed join of edges to degrees (twice, same key family), then
+    * two histograms; the k grid (≤ 256) evaluates against histogram
+    * rows — adding a k costs nothing. */
+  def richClub(edges: DataFrame, srcCol: String, dstCol: String,
+               maxK: Int): DataFrame = {
+    require(maxK >= 1 && maxK <= 256, s"richClub: maxK=$maxK")
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+    val deg = e.select(col("a").as("n"))
+      .unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val degHist = deg.groupBy(col("d")).agg(count(lit(1)).as("cn"))
+    val minHist = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(least(col("da"), col("db")).as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("ce"))
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val ks = (1 to maxK).map(_.toLong).toDF("k")
+    val nodesK = ks.crossJoin(degHist)
+      .groupBy(col("k"))
+      .agg(sum(when(col("d") > col("k"), col("cn")).otherwise(0L))
+        .as("n_nodes"))
+    val edgesK = ks.crossJoin(minHist)
+      .groupBy(col("k"))
+      .agg(sum(when(col("m") > col("k"), col("ce")).otherwise(0L))
+        .as("n_edges"))
+    nodesK.join(edgesK, "k")
+      .select(col("k"), col("n_nodes"), col("n_edges"),
+        when(col("n_nodes") < 2, lit(null).cast("double"))
+          .otherwise(round(lit(2.0) * col("n_edges").cast("double") /
+            (col("n_nodes").cast("double") *
+              (col("n_nodes") - 1).cast("double")), 6)).as("phi"))
+      .orderBy(col("k"))
+  }
 }

@@ -520,7 +520,47 @@ object AuditQueries extends QuerySet {
     Q("q354_holm_fwer", q354, Some(q354Sql)),
     Q("q355_eb_shrinkage", q355, Some(q355Sql)),
     Q("q356_chatterjee_xi", q356, Some(q356Sql)),
-    Q("q357_cluster_agreement", q357, Some(q357Sql)))
+    Q("q357_cluster_agreement", q357, Some(q357Sql)),
+    Q("q358_rich_club", q358, Some(q358Sql)))
+
+  /** Rich-club curve of the part co-purchase graph: do the hub parts
+    * preferentially co-occur with each other — the hub-oligarchy read
+    * beside q228's assortativity scalar and q190's k-core peel. */
+  private def q358(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"),
+        col("l_partkey").cast("long").as("p"))
+    val edges = li.withColumnRenamed("p", "pa")
+      .join(li.withColumnRenamed("p", "pb"), "o")
+      .filter(col("pa") =!= col("pb"))
+      .select(col("pa").as("a"), col("pb").as("b"))
+    graft.operators.GraphStats.richClub(edges, "a", "b", maxK = 32)
+  }
+
+  private val q358Sql =
+    """WITH li AS (SELECT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+      |  FROM lineitem),
+      |e AS (SELECT DISTINCT least(x.p, y.p) AS a, greatest(x.p, y.p) AS b
+      |  FROM li x JOIN li y ON x.o = y.o AND x.p <> y.p),
+      |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+      |    SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n),
+      |dh AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS cn FROM deg
+      |  GROUP BY d),
+      |mh AS (
+      |  SELECT least(da.d, db.d) AS m, CAST(COUNT(*) AS BIGINT) AS ce
+      |  FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n
+      |  GROUP BY 1),
+      |ks AS (SELECT unnest(range(1, 33)) AS k),
+      |nk AS (SELECT k, CAST(SUM(CASE WHEN d > k THEN cn ELSE 0 END)
+      |  AS BIGINT) AS n_nodes FROM ks CROSS JOIN dh GROUP BY k),
+      |ek AS (SELECT k, CAST(SUM(CASE WHEN m > k THEN ce ELSE 0 END)
+      |  AS BIGINT) AS n_edges FROM ks CROSS JOIN mh GROUP BY k)
+      |SELECT CAST(nk.k AS BIGINT) AS k, nk.n_nodes, ek.n_edges,
+      |  CASE WHEN nk.n_nodes < 2 THEN NULL
+      |    ELSE round(2.0 * CAST(ek.n_edges AS DOUBLE)
+      |      / (CAST(nk.n_nodes AS DOUBLE)
+      |        * CAST(nk.n_nodes - 1 AS DOUBLE)), 6) END AS phi
+      |FROM nk JOIN ek ON nk.k = ek.k ORDER BY k""".stripMargin
 
   /** ARI + NMI between the language partition and the length-band
     * partition of the corpus — the chance-corrected clustering

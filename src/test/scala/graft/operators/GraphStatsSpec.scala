@@ -45,4 +45,42 @@ class GraphStatsSpec extends AnyFunSuite with SparkSuite {
     val y = GraphStats.degreeAssortativity(df.repartition(13), "a", "b").head().toSeq
     assert(x == y)
   }
+
+  test("richClub: a hand-built hub clique over a sparse periphery " +
+    "rises to phi = 1") {
+    import spark.implicits._
+    // 4-clique of hubs (1..4) + each hub also touching 3 leaves:
+    // hub degree = 3 + 3 = 6; leaf degree = 1
+    val clique = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val leaves = for (h <- 1L to 4L; l <- 0L until 3L)
+      yield (h, 100L + h * 10 + l)
+    val df = (clique ++ leaves).toDF("a", "b")
+    val out = GraphStats.richClub(df, "a", "b", maxK = 8).collect()
+    val byK = out.map(r => r.getAs[Long]("k") -> r).toMap
+    // k = 1: club = the 4 hubs (deg 6 > 1), edges among them = 6 ->
+    // phi = 2*6/(4*3) = 1.0; leaves (deg 1) are out
+    assert(byK(1L).getAs[Long]("n_nodes") == 4L)
+    assert(byK(1L).getAs[Long]("n_edges") == 6L)
+    assert(byK(1L).getAs[Double]("phi") == 1.0)
+    // k = 6: nobody has degree > 6 -> empty club, NULL phi
+    assert(byK(6L).getAs[Long]("n_nodes") == 0L)
+    assert(byK(6L).isNullAt(byK(6L).schema.fieldNames.indexOf("phi")))
+  }
+
+  test("richClub: dedupes directions/self-loops; partitioning-invariant") {
+    import spark.implicits._
+    val raw = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L))
+      .toDF("a", "b")
+    val out = GraphStats.richClub(raw, "a", "b", maxK = 3).collect()
+    // triangle 1-2-3: all degrees 2; k=1 club = all, phi = 1
+    assert(out.find(_.getAs[Long]("k") == 1L).get
+      .getAs[Double]("phi") == 1.0)
+    val big = (1 to 300).map(i => ((i % 40).toLong, (i % 23).toLong))
+      .toDF("a", "b")
+    val p1 = GraphStats.richClub(big.coalesce(1), "a", "b", 16)
+      .collect().map(_.toString).toSeq
+    val p2 = GraphStats.richClub(big.repartition(11), "a", "b", 16)
+      .collect().map(_.toString).toSeq
+    assert(p1 == p2)
+  }
 }
