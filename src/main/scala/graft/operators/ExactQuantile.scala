@@ -88,6 +88,40 @@ object ExactQuantile {
       .select(col("rank"), col("__v").as("value"))
   }
 
+  /** Distribution-free confidence interval for the median (the
+    * order-statistic / binomial construction — Hahn & Meeker 1991
+    * §5.2, normal-approximated ranks): the UNCERTAINTY readout the
+    * point medians (q233/q308) ship without. No distributional
+    * assumption: the interval is two exact order statistics at
+    *
+    *   l = max(1, ⌈n/2 − z·√n/2⌉),  u = min(n, ⌊n/2 + 1 + z·√n/2⌋)
+    *
+    * (z pinned, default two-sided 95%). Exactness: n and the three
+    * selected values are exact ([[globalRanks]]); the rank formulas
+    * are one double expression both engines compute identically
+    * before the integer floor/ceil. One row: (n, median, ci_lo,
+    * ci_hi, rank_lo, rank_hi, z).
+    *
+    * Scale shape: [[globalRanks]]'s two-phase selection — no global
+    * sort; one histogram pass + literal-range bucket probes. */
+  def medianCi(df: DataFrame, valueCol: String,
+               z: Double = 1.959964): DataFrame = {
+    require(z > 0, s"medianCi: z=$z")
+    val spark = df.sparkSession
+    val n = df.select(col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull).count()
+    require(n >= 10, s"medianCi: $n rows (need >= 10)")
+    val half = z * math.sqrt(n.toDouble) / 2.0
+    val l = math.max(1L, math.ceil(n.toDouble / 2.0 - half).toLong)
+    val u = math.min(n, math.floor(n.toDouble / 2.0 + 1.0 + half).toLong)
+    val m = (n + 1) / 2
+    val got = globalRanks(df, valueCol, Seq(l, m, u).distinct)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.range(1).select(lit(n).as("n"), lit(got(m)).as("median"),
+      lit(got(l)).as("ci_lo"), lit(got(u)).as("ci_hi"),
+      lit(l).as("rank_lo"), lit(u).as("rank_hi"), lit(z).as("z"))
+  }
+
   /** Convenience: exact quantiles at q = num/den (the ⌈q·N⌉-rank
     * definition — no interpolation, engine-replayable): returns
     * (q_num, q_den, rank, value). */

@@ -51,4 +51,68 @@ object Outliers {
       .filter(col("rnk") <= m)
       .select(col(groupCol), col(idCol), col("d2"), col("rnk"))
   }
+
+  /** Hill plot — the heavy-tail INDEX the moment-based audits (q294
+    * Fano, q301 zero-inflation) cannot give: for a Pareto-ish tail
+    * P(X > x) ~ x^(−α), the Hill estimator over the top-k order
+    * statistics (Hill 1975)
+    *
+    *   α̂(k) = k / Σ_{i=1..k} ln(x₍ᵢ₎ / x₍ₖ₊₁₎)
+    *
+    * read across a k-GRID (the standard Hill plot: a stable plateau =
+    * a trustworthy α; α < 2 means infinite variance and every
+    * mean-based dashboard number is noise).
+    *
+    * Exactness: the top-(maxK+1) values are one exact TakeOrdered by
+    * value (ties at any boundary carry equal values, so the ln terms
+    * — and therefore every partial sum — are order-invariant); the
+    * per-k folds run in rank order driver-side (the q279 discipline);
+    * ln is the q321-precedent libm call, 6-dp at output. α̂ is NULL at
+    * a k whose top values all tie the threshold (zero log-sum).
+    *
+    * Scale shape: one TakeOrderedAndProject over the corpus (maxK+1
+    * rows to the driver), O(maxK) folds. Values must be positive
+    * integers (cents, chars, tokens). */
+  def hillPlot(df: DataFrame, valueCol: String, kGrid: Seq[Int]):
+      DataFrame = {
+    require(kGrid.nonEmpty && kGrid == kGrid.sorted &&
+      kGrid.distinct == kGrid && kGrid.head >= 2,
+      "hillPlot: kGrid must be ascending distinct ints >= 2")
+    val maxK = kGrid.last
+    require(maxK <= 4096, s"hillPlot: maxK=$maxK exceeds 4096")
+    val spark = df.sparkSession
+    val top = df.select(col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .orderBy(col("__v").desc).limit(maxK + 1)
+      .collect().map(_.getLong(0))
+    require(top.length >= maxK + 1,
+      s"hillPlot: only ${top.length} values for maxK=$maxK (need " +
+        s"${maxK + 1})")
+    require(top(maxK) > 0,
+      "hillPlot: non-positive values inside the tail window — " +
+        "pre-filter or shift first")
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{StructType, StructField,
+      LongType, DoubleType}
+    val rows = kGrid.map { k =>
+      val thr = top(k) // x_(k+1), 0-indexed
+      var s = 0.0
+      var i = 0
+      while (i < k) {
+        s += math.log(top(i).toDouble / thr.toDouble)
+        i += 1
+      }
+      val alpha: java.lang.Double =
+        if (s == 0.0) null else Double.box(k.toDouble / s)
+      org.apache.spark.sql.Row(k.toLong, top(k - 1), thr, alpha)
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("k", LongType),
+      StructField("x_k", LongType),
+      StructField("threshold", LongType),
+      StructField("alpha", DoubleType))))
+      .select(col("k"), col("x_k"), col("threshold"),
+        round(col("alpha"), 6).as("alpha"))
+      .orderBy(col("k"))
+  }
 }

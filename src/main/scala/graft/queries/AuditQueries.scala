@@ -521,7 +521,78 @@ object AuditQueries extends QuerySet {
     Q("q355_eb_shrinkage", q355, Some(q355Sql)),
     Q("q356_chatterjee_xi", q356, Some(q356Sql)),
     Q("q357_cluster_agreement", q357, Some(q357Sql)),
-    Q("q358_rich_club", q358, Some(q358Sql)))
+    Q("q358_rich_club", q358, Some(q358Sql)),
+    Q("q359_hill_tail", q359, Some(q359Sql)),
+    Q("q360_median_ci", q360, Some(q360Sql)))
+
+  /** Hill plot of the spend tail (cents): a stable plateau = a
+    * trustworthy tail index; alpha < 2 means infinite variance and
+    * every mean-based dashboard number over this metric is noise. */
+  private def q359(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .filter(col("value").isNotNull && col("value") > 0)
+      .select(round(col("value") * 100).cast("long").as("v"))
+    graft.operators.Outliers.hillPlot(ev, "v", (1 to 20).map(_ * 10))
+  }
+
+  private val q359Sql =
+    """WITH vv AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+      |  WHERE value IS NOT NULL AND value > 0),
+      |top AS (
+      |  SELECT v, row_number() OVER (ORDER BY v DESC) AS r
+      |  FROM (SELECT v FROM vv ORDER BY v DESC LIMIT 201)),
+      |ks AS (SELECT unnest(range(10, 201, 10)) AS k),
+      |thr AS (SELECT ks.k, top.v AS t FROM ks JOIN top
+      |  ON top.r = ks.k + 1),
+      |sums AS (
+      |  SELECT thr.k, thr.t,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(ln(CAST(top.v AS DOUBLE) / CAST(thr.t AS DOUBLE))
+      |        ORDER BY top.r)),
+      |      (a, b) -> a + b) AS s,
+      |    MAX(CASE WHEN top.r = thr.k THEN top.v END) AS xk
+      |  FROM thr JOIN top ON top.r <= thr.k GROUP BY thr.k, thr.t)
+      |SELECT CAST(k AS BIGINT) AS k, xk AS x_k, t AS threshold,
+      |  CASE WHEN s = 0 THEN NULL
+      |    ELSE round(CAST(k AS DOUBLE) / s, 6) END AS alpha
+      |FROM sums ORDER BY k""".stripMargin
+
+  /** Distribution-free 95% CI for the median spend (cents) — two
+    * exact order statistics; no normality assumed anywhere. */
+  private def q360(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").filter(col("value").isNotNull)
+      .select(round(col("value") * 100).cast("long").as("v"))
+    graft.operators.ExactQuantile.medianCi(ev, "v")
+  }
+
+  private val q360Sql =
+    """WITH vv AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+      |  WHERE value IS NOT NULL),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vv),
+      |rk AS (
+      |  SELECT n,
+      |    greatest(1, CAST(ceil(CAST(n AS DOUBLE) / 2.0
+      |      - 1.959964 * sqrt(CAST(n AS DOUBLE)) / 2.0) AS BIGINT))
+      |      AS l,
+      |    least(n, CAST(floor(CAST(n AS DOUBLE) / 2.0 + 1.0
+      |      + 1.959964 * sqrt(CAST(n AS DOUBLE)) / 2.0) AS BIGINT))
+      |      AS u,
+      |    (n + 1) // 2 AS m
+      |  FROM nn),
+      |cum AS (
+      |  SELECT v, CAST(SUM(COUNT(*)) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS c
+      |  FROM vv GROUP BY v)
+      |SELECT rk.n,
+      |  (SELECT MIN(v) FROM cum WHERE c >= rk.m) AS median,
+      |  (SELECT MIN(v) FROM cum WHERE c >= rk.l) AS ci_lo,
+      |  (SELECT MIN(v) FROM cum WHERE c >= rk.u) AS ci_hi,
+      |  rk.l AS rank_lo, rk.u AS rank_hi,
+      |  CAST('1.959964' AS DOUBLE) AS z
+      |FROM rk""".stripMargin
 
   /** Rich-club curve of the part co-purchase graph: do the hub parts
     * preferentially co-occur with each other — the hub-oligarchy read

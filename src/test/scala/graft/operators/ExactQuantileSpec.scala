@@ -103,4 +103,37 @@ class ExactQuantileSpec extends AnyFunSuite with SparkSuite {
       ExactQuantile.weightedQuantiles(df, "v", "w", Seq((1L, 2L)))
     }.getMessage.contains("positive"))
   }
+
+  test("medianCi: hand-computed order-statistic interval on 1..100") {
+    import spark.implicits._
+    // n=100: half = 1.959964*10/2 = 9.79982; l = ceil(40.20018) = 41,
+    // u = floor(60.79982) = 60, median rank 50
+    val df = (1 to 100).map(_.toLong).toDF("v")
+    val r = ExactQuantile.medianCi(df, "v").head()
+    assert(r.getAs[Long]("n") == 100L)
+    assert(r.getAs[Long]("median") == 50L)
+    assert(r.getAs[Long]("ci_lo") == 41L)
+    assert(r.getAs[Long]("ci_hi") == 60L)
+    assert(r.getAs[Long]("rank_lo") == 41L)
+    assert(r.getAs[Long]("rank_hi") == 60L)
+  }
+
+  test("medianCi: interval brackets the median, narrows with n; " +
+    "refuses tiny inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(79)
+    def ci(n: Int): (Long, Long, Long) = {
+      val df = (1 to n).map(_ => rnd.nextInt(10000).toLong).toDF("v")
+      val r = ExactQuantile.medianCi(df, "v").head()
+      (r.getAs[Long]("ci_lo"), r.getAs[Long]("median"),
+        r.getAs[Long]("ci_hi"))
+    }
+    val (lo, med, hi) = ci(2000)
+    assert(lo <= med && med <= hi)
+    val (lo2, _, hi2) = ci(200)
+    // relative width shrinks roughly like 1/sqrt(n)
+    assert((hi - lo).toDouble < (hi2 - lo2).toDouble)
+    intercept[IllegalArgumentException](
+      ExactQuantile.medianCi((1 to 5).map(_.toLong).toDF("v"), "v"))
+  }
 }

@@ -52,4 +52,46 @@ class OutliersSpec extends AnyFunSuite with SparkSuite {
     }.sortBy { case (id, d2) => (-d2, id) }.map(_._1)
     assert(got == want)
   }
+
+  test("hillPlot: an exact power-law tail plateaus at its alpha") {
+    import spark.implicits._
+    // v(r) = floor(1e7 / sqrt(r)) is a Pareto(alpha = 2) quantile
+    // trace: the Hill plot should sit near 2 across the grid
+    val df = (1 to 5000).map(r =>
+      math.floor(1e7 / math.sqrt(r.toDouble)).toLong).toDF("v")
+    val out = Outliers.hillPlot(df, "v", Seq(20, 50, 100, 200))
+      .collect()
+    out.foreach { r =>
+      val a = r.getAs[Double]("alpha")
+      assert(math.abs(a - 2.0) < 0.3,
+        s"k=${r.getAs[Long]("k")}: alpha=$a")
+    }
+    // thresholds decrease with k; x_k is the k-th largest
+    val thr = out.map(_.getAs[Long]("threshold"))
+    assert(thr.zip(thr.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("hillPlot: an all-tied tail yields NULL alpha; refusals") {
+    import spark.implicits._
+    val tied = (1 to 300).map(_ => 500L).toDF("v")
+    val out = Outliers.hillPlot(tied, "v", Seq(10, 50)).collect()
+    assert(out.forall(_.isNullAt(3)))
+    intercept[IllegalArgumentException](
+      Outliers.hillPlot(tied, "v", Seq(50, 10))) // not ascending
+    val tiny = (1 to 20).map(_.toLong).toDF("v")
+    intercept[IllegalArgumentException](
+      Outliers.hillPlot(tiny, "v", Seq(10, 50))) // maxK too deep
+  }
+
+  test("hillPlot: partitioning-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(73)
+    val df = (1 to 3000).map(_ => (rnd.nextInt(100000) + 1).toLong)
+      .toDF("v")
+    val a = Outliers.hillPlot(df.coalesce(1), "v", Seq(10, 40, 160))
+      .collect().map(_.toString).toSeq
+    val b = Outliers.hillPlot(df.repartition(13), "v", Seq(10, 40, 160))
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+  }
 }
