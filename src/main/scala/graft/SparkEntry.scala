@@ -16,7 +16,7 @@ object SparkEntry {
   def querySets: Seq[QuerySet] =
     Seq(Relational, AdvancedQueries, VectorQueries, TextQueries, RagQueries,
       RankingQueries, StreamingQueries, CurationQueries, ExperimentQueries,
-      PipelineQueries, GrowthQueries, AuditQueries)
+      PipelineQueries, GrowthQueries, AuditQueries, SignalQueries)
 
   private lazy val all: Seq[Q] = querySets.flatMap(_.queries)
 

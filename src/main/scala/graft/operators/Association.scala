@@ -58,4 +58,61 @@ object Association {
                 (least(col("r"), col("c")) - 1).cast("double"))))
           .as("cramers_v"))
   }
+
+  /** Goodman–Kruskal λ (1954) — the PREDICTIVE association read χ²/V
+    * (q174) cannot give: χ² measures departure from independence in
+    * any direction; λ(a|b) answers "by what fraction does knowing b
+    * reduce the error of guessing a's mode" — 0 means b never changes
+    * the best guess (association without predictive value is common:
+    * a significant χ² with λ = 0 is the classic misread), and λ is
+    * DIRECTIONAL where V is not (λ(a|b) ≠ λ(b|a)).
+    *
+    *   λ(a|b) = (Σ_b max_a n_ab − max_a n_a·) / (n − max_a n_a·)
+    *
+    * plus the transpose and the symmetric pooled form.
+    *
+    * Exactness: every term is an exact BIGINT off the contingency
+    * census — the one fully integer association measure in the suite;
+    * the three closing divisions are the only floating point.
+    *
+    * Scale shape: one (a,b)-keyed map-side-combined count aggregate;
+    * the maxima run on the cells grid (metadata-bounded). A modal
+    * margin equal to n (single category on either axis) refuses —
+    * λ's denominator is 0 there by definition. */
+  def gkLambda(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__nab"))
+    val spark = df.sparkSession
+    Pinned.withCheckpoint(cells) { cs =>
+      val nCells = cs.count()
+      require(nCells >= 1, "gkLambda: empty input")
+      val byB = cs.groupBy(col("__b")).agg(max(col("__nab")).as("__m"))
+        .agg(sum(col("__m")).as("__smb"))
+      val byA = cs.groupBy(col("__a")).agg(max(col("__nab")).as("__m"))
+        .agg(sum(col("__m")).as("__sma"))
+      val margins = cs.groupBy(col("__a")).agg(sum(col("__nab")).as("__na"))
+        .agg(max(col("__na")).as("__mra"), sum(col("__na")).as("__n"))
+      val marginsB = cs.groupBy(col("__b")).agg(sum(col("__nab")).as("__nb"))
+        .agg(max(col("__nb")).as("__mrb"))
+      val r = byB.crossJoin(byA).crossJoin(margins).crossJoin(marginsB)
+        .head()
+      val (smb, sma, mra, n, mrb) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      require(n > mra && n > mrb,
+        s"gkLambda: a modal margin equals n ($n) — λ undefined " +
+          "(single-category axis)")
+      val lambdaAB = (smb - mra).toDouble / (n - mra).toDouble
+      val lambdaBA = (sma - mrb).toDouble / (n - mrb).toDouble
+      val lambdaSym = (smb + sma - mra - mrb).toDouble /
+        (2L * n - mra - mrb).toDouble
+      spark.range(1).select(lit(n).as("n"), lit(nCells).as("cells"),
+        lit(smb).as("sum_colmax"), lit(sma).as("sum_rowmax"),
+        lit(mra).as("modal_row"), lit(mrb).as("modal_col"),
+        round(lit(lambdaAB), 6).as("lambda_a_given_b"),
+        round(lit(lambdaBA), 6).as("lambda_b_given_a"),
+        round(lit(lambdaSym), 6).as("lambda_sym"))
+    }
+  }
 }

@@ -382,6 +382,89 @@ object Drift {
     }
   }
 
+  /** Exact two-sample energy distance (Székely & Rizzo 2004) between
+    * two integer distributions — the drift metric that sees what W₁
+    * (q280) under-weights: W₁ integrates |F−G| linearly, so a wide
+    * thin gap and a narrow thick gap can tie; energy distance
+    * D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'| (the V-statistic form, /n²
+    * denominators) squares the CDF gap (in ℝ¹, D² = 2∫(F−G)²dv) and
+    * is the basis of the energy two-sample test, consistent against
+    * EVERY fixed alternative (no binning choice, unlike PSI).
+    *
+    * The pairwise sums never materialize pairs: over the merged
+    * distinct-value grid, Σⱼ|v − yⱼ| = v·(2·C≤(v) − C) − 2·S≤(v) + S
+    * with C≤/S≤ the cumulative count/value-sum, so each of the three
+    * double-sums is ONE pass over the grid with two cumsum windows.
+    *
+    * Exactness: counts and value sums are exact integers; each grid
+    * term is assembled in DECIMAL(38,0) (partitioning-invariant); the
+    * three closing divisions and the test statistic
+    * T = nr·nc/(nr+nc)·D² are the only floating point.
+    *
+    * Scale shape: one map-side-combined census onto the distinct-value
+    * grid (domain-bounded — the wasserstein1 contract, 2²² cap; wider
+    * domains pre-bucket), cumsum windows on the grid, driver-literal
+    * close. Output: one row (n_ref, n_cur, e_cross, e_ref, e_cur, d2,
+    * t_stat). */
+  def energyDistance(ref: DataFrame, cur: DataFrame,
+                     valueCol: String): DataFrame = {
+    val rv = ref.select(col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+    val cv = cur.select(col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+    val spark = ref.sparkSession
+    Pinned.withCheckpoint(
+      rv.select(col("__v"), lit(1L).as("__r"), lit(0L).as("__c"))
+        .unionByName(cv.select(col("__v"), lit(0L).as("__r"),
+          lit(1L).as("__c")))
+        .groupBy(col("__v"))
+        .agg(sum(col("__r")).as("__nr"), sum(col("__c")).as("__nc"))
+    ) { cells =>
+      val grid = cells.count()
+      require(grid >= 1, "energyDistance: both samples are empty")
+      require(grid <= (1 << 22),
+        s"energyDistance: $grid distinct values exceeds the 2^22 grid " +
+          "bound — pre-bucket the value column (floor(v/scale)) first")
+      val w = Window.orderBy(col("__v")) // grid-bounded by the require
+      val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val cum = cells
+        .withColumn("__cr", sum(col("__nr")).over(w))
+        .withColumn("__cc", sum(col("__nc")).over(w))
+        .withColumn("__sr", sum(d(col("__v")) * col("__nr")).over(w))
+        .withColumn("__sc", sum(d(col("__v")) * col("__nc")).over(w))
+      val tot = cells.agg(sum(col("__nr")).as("__tnr"),
+        sum(col("__nc")).as("__tnc"),
+        sum(d(col("__v")) * col("__nr")).as("__tsr"),
+        sum(d(col("__v")) * col("__nc")).as("__tsc"))
+      // Σⱼ|v−yⱼ| against each side, from that side's cumulatives
+      val absVsRef = d(col("__v")) * (lit(2) * col("__cr") - col("__tnr")) -
+        lit(2) * col("__sr") + col("__tsr")
+      val absVsCur = d(col("__v")) * (lit(2) * col("__cc") - col("__tnc")) -
+        lit(2) * col("__sc") + col("__tsc")
+      val r = cum.crossJoin(broadcast(tot))
+        .agg(max(col("__tnr")).as("n_ref"), max(col("__tnc")).as("n_cur"),
+          sum(d(col("__nr")) * absVsCur).as("__sxy"),
+          sum(d(col("__nr")) * absVsRef).as("__sxx"),
+          sum(d(col("__nc")) * absVsCur).as("__syy"))
+        .head()
+      val (nr, nc) = (r.getLong(0), r.getLong(1))
+      require(nr > 0 && nc > 0,
+        s"energyDistance: empty side (n_ref=$nr, n_cur=$nc)")
+      val sxy = BigDecimal(r.getDecimal(2))
+      val sxx = BigDecimal(r.getDecimal(3))
+      val syy = BigDecimal(r.getDecimal(4))
+      val eCross = sxy.toDouble / (nr.toDouble * nc.toDouble)
+      val eRef = sxx.toDouble / (nr.toDouble * nr.toDouble)
+      val eCur = syy.toDouble / (nc.toDouble * nc.toDouble)
+      val d2 = 2.0 * eCross - eRef - eCur
+      val tStat = nr.toDouble * nc.toDouble / (nr.toDouble + nc.toDouble) * d2
+      spark.range(1).select(lit(nr).as("n_ref"), lit(nc).as("n_cur"),
+        round(lit(eCross), 6).as("e_cross"), round(lit(eRef), 6).as("e_ref"),
+        round(lit(eCur), 6).as("e_cur"), round(lit(d2), 6).as("d2"),
+        round(lit(tStat), 6).as("t_stat"))
+    }
+  }
+
   /** PSI from a (bin, n_ref, n_cur) cell table — the serve face shared
     * by the batch audit and the streaming monitor's ledger state. */
   def psiFromCells(cells: DataFrame): DataFrame = {

@@ -97,4 +97,68 @@ object Variance {
     try Grids.collectBounded(out, "levene group grid")
     finally { devsPin.release(); sumsPin.release() }
   }
+
+  /** One-way ANOVA F across k groups — the MEAN-difference omnibus the
+    * suite's rank form (q319 Kruskal–Wallis) deliberately avoids being:
+    * KW asks "do the distributions differ in location on ranks";
+    * ANOVA asks "do the means differ in the metric's own units", which
+    * is the question when the metric IS the business quantity (spend,
+    * tokens). Reported with η² = SSB/SST, the variance-explained
+    * effect size the F alone hides (a huge N makes tiny effects
+    * "significant"; η² stays honest). [[levene]] is its assumption
+    * check.
+    *
+    * INTEGER-DOMAIN CONTRACT (the levene house rule): x integer-scaled
+    * only, so per group n_g, S_g = Σx and Q_g = Σx² are exact (Q in
+    * DECIMAL(38,0) — x² fits a long, the sum may not). The close:
+    * A = Σ_g S_g²/n_g folded in GROUP ORDER (one IEEE tree both
+    * engines replay), CF = S²/N, SSB = A − CF, SSW = Q − A,
+    * F = (SSB/(k−1))/(SSW/(N−k)). One row: (k, n, df1, df2, f_stat,
+    * eta_sq).
+    *
+    * Scale shape: ONE map-side-combined corpus pass onto the groups
+    * grid; everything after runs on k rows (loudly bounded 2¹⁰). */
+  def anovaOneWay(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,
+      LongType}
+    val vt = df.schema(valueCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(vt),
+      s"anovaOneWay: valueCol '$valueCol' is $vt — values must be " +
+        "integer-scaled (chars, tokens, cents)")
+    val u = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("long").as("__x"))
+    val census = u.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"),
+        sum((col("__x") * col("__x")).cast("decimal(38,0)")).as("__q"))
+    // bounded collect BEFORE any driver hold (the Grids discipline): a
+    // continuous group column must refuse, not OOM
+    val cells = census.limit((1 << 10) + 1).collect().sortBy(_.getString(0))
+    val k = cells.length.toLong
+    require(k >= 2 && k <= (1 << 10),
+      s"anovaOneWay: $k groups outside [2, 1024] — group census must " +
+        "be metadata-bounded")
+    val n = cells.map(_.getLong(1)).sum
+    require(n > k, s"anovaOneWay: n=$n rows for k=$k groups (need n > k)")
+    val s = cells.map(_.getLong(2)).sum
+    val q = cells.map(r => BigDecimal(r.getDecimal(3))).sum
+    // A folds per-group IEEE terms in group order — the replay contract
+    val a = cells.foldLeft(0.0) { (acc, r) =>
+      acc + r.getLong(2).toDouble * r.getLong(2).toDouble /
+        r.getLong(1).toDouble
+    }
+    val cf = s.toDouble * s.toDouble / n.toDouble
+    val ssb = a - cf
+    val ssw = q.toDouble - a
+    val sst = q.toDouble - cf
+    require(ssw > 0.0,
+      "anovaOneWay: zero within-group variance — every group is constant")
+    val f = (ssb / (k - 1).toDouble) / (ssw / (n - k).toDouble)
+    val spark = df.sparkSession
+    spark.range(1).select(lit(k).as("k"), lit(n).as("n"),
+      lit(k - 1).as("df1"), lit(n - k).as("df2"),
+      round(lit(f), 6).as("f_stat"),
+      round(lit(ssb / sst), 6).as("eta_sq"))
+  }
 }

@@ -72,4 +72,40 @@ class AssociationSpec extends AnyFunSuite with SparkSuite {
       .collect().toSeq
     assert(one == many)
   }
+
+  test("gk lambda: perfect prediction reads 1, mode-stable association reads 0") {
+    import spark.implicits._
+    val perfect = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val rp = Association.gkLambda(perfect, "a", "b").head()
+    assert(rp.getAs[Double]("lambda_a_given_b") == 1.0)
+    // b shifts cell masses but never moves a's mode: λ(a|b) = 0 while
+    // the mass shift would light up a χ² — the predictive-value gap
+    val stable = Seq(("x", "p"), ("x", "p"), ("y", "p"),
+      ("x", "q"), ("x", "q"), ("y", "q")).toDF("a", "b")
+    assert(Association.gkLambda(stable, "a", "b").head()
+      .getAs[Double]("lambda_a_given_b") == 0.0)
+  }
+
+  test("gk lambda hand-computed 2x2 with asymmetric directions") {
+    import spark.implicits._
+    // cells: (x,p)=4, (y,p)=0, (x,q)=2, (y,q)=3 → n=9
+    // λ(a|b) = (4+3−6)/(9−6) = 1/3; λ(b|a) = (4+3−5)/(9−5) = 1/2
+    // λ_sym = (7+7−6−5)/(18−6−5) = 3/7
+    val rows = (Seq.fill(4)(("x", "p")) ++ Seq.fill(2)(("x", "q")) ++
+      Seq.fill(3)(("y", "q"))).toDF("a", "b")
+    val r = Association.gkLambda(rows.repartition(7), "a", "b").head()
+    assert(r.getAs[Long]("n") == 9L && r.getAs[Long]("cells") == 3L)
+    assert(math.abs(r.getAs[Double]("lambda_a_given_b") - 1.0 / 3) < 1e-6)
+    assert(r.getAs[Double]("lambda_b_given_a") == 0.5)
+    assert(math.abs(r.getAs[Double]("lambda_sym") - 3.0 / 7) < 1e-6)
+  }
+
+  test("gk lambda refuses a single-category axis") {
+    import spark.implicits._
+    val rows = Seq(("x", "p"), ("x", "q"), ("x", "q")).toDF("a", "b")
+    assert(intercept[IllegalArgumentException] {
+      Association.gkLambda(rows, "a", "b")
+    }.getMessage.contains("modal margin"))
+  }
 }

@@ -207,4 +207,43 @@ class DriftSpec extends AnyFunSuite with SparkSuite {
         spark.range(70000).toDF("v"), "v")
     }
   }
+
+  test("energy distance matches brute-force pairwise means, any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val ref = Seq.fill(120)(rnd.nextInt(30).toLong)
+    val cur = Seq.fill(80)(rnd.nextInt(30).toLong + 4)
+    val r = Drift.energyDistance(ref.toDF("v").repartition(9),
+      cur.toDF("v").repartition(5), "v").head()
+    def mean(a: Seq[Long], b: Seq[Long]): Double =
+      a.flatMap(x => b.map(y => math.abs(x - y).toDouble)).sum /
+        (a.size.toDouble * b.size.toDouble)
+    val (ec, er, eu) = (mean(ref, cur), mean(ref, ref), mean(cur, cur))
+    assert(r.getAs[Long]("n_ref") == 120L && r.getAs[Long]("n_cur") == 80L)
+    assert(math.abs(r.getAs[Double]("e_cross") - ec) < 1e-5)
+    assert(math.abs(r.getAs[Double]("e_ref") - er) < 1e-5)
+    assert(math.abs(r.getAs[Double]("e_cur") - eu) < 1e-5)
+    assert(math.abs(r.getAs[Double]("d2") - (2 * ec - er - eu)) < 1e-5)
+  }
+
+  test("energy distance: zero on identical samples, positive on a shift") {
+    import spark.implicits._
+    val same = Seq(1L, 2L, 2L, 5L)
+    val r0 = Drift.energyDistance(same.toDF("v"), same.toDF("v"), "v").head()
+    assert(r0.getAs[Double]("d2") == 0.0 && r0.getAs[Double]("t_stat") == 0.0)
+    // +7 shift past the support: E|X−Y| = 7 exactly; within-sample
+    // V-statistic E|X−X'| = 8/9 each side → d2 = 14 − 16/9 = 110/9
+    val r1 = Drift.energyDistance(Seq(1L, 2L, 3L).toDF("v"),
+      Seq(8L, 9L, 10L).toDF("v"), "v").head()
+    assert(math.abs(r1.getAs[Double]("d2") - 110.0 / 9.0) < 1e-5)
+  }
+
+  test("energy distance fails loudly on an empty side") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      Drift.energyDistance(Seq(1L).toDF("v"),
+        Seq.empty[Long].toDF("v"), "v")
+    }
+    assert(e.getMessage.contains("empty"))
+  }
 }

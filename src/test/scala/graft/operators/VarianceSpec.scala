@@ -42,4 +42,42 @@ class VarianceSpec extends AnyFunSuite with SparkSuite {
       Variance.levene(const, "g", "x")
     }.getMessage.contains("constant"))
   }
+
+  test("anova hand-computed: textbook two-group F = 24, any partitioning") {
+    import spark.implicits._
+    // a={1,2,3}, b={5,6,7}: SSB = 24, SSW = 4, F = (24/1)/(4/4) = 24
+    val rows = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 5L), ("b", 6L), ("b", 7L)).toDF("g", "x")
+    val r = Variance.anovaOneWay(rows.repartition(5), "g", "x").head()
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Long]("df1") == 1L && r.getAs[Long]("df2") == 4L)
+    assert(math.abs(r.getAs[Double]("f_stat") - 24.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("eta_sq") - 24.0 / 28.0) < 1e-6)
+  }
+
+  test("anova: equal group means give F exactly 0") {
+    import spark.implicits._
+    val rows = Seq(("a", 1L), ("a", 3L), ("b", 2L), ("b", 2L))
+      .toDF("g", "x")
+    assert(Variance.anovaOneWay(rows, "g", "x").head()
+      .getAs[Double]("f_stat") == 0.0)
+  }
+
+  test("anova refuses fractional values, constant corpus, unbounded groups") {
+    import spark.implicits._
+    assert(intercept[IllegalArgumentException] {
+      Variance.anovaOneWay(
+        Seq(("a", 1.5), ("b", 2.5)).toDF("g", "x"), "g", "x")
+    }.getMessage.contains("integer"))
+    assert(intercept[IllegalArgumentException] {
+      Variance.anovaOneWay(
+        Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L)).toDF("g", "x"),
+        "g", "x")
+    }.getMessage.contains("constant"))
+    // a continuous group key must refuse, not census-collect the corpus
+    val wide = (1L to 2000L).map(i => (s"g$i", i)).toDF("g", "x")
+    assert(intercept[IllegalArgumentException] {
+      Variance.anovaOneWay(wide, "g", "x")
+    }.getMessage.contains("outside"))
+  }
 }
