@@ -115,4 +115,66 @@ object Inequality {
         round(exp(col("__h")), 6).as("effective_n"))
       .orderBy(col(groupCol))
   }
+
+  /** Between-group decomposable inequality indices — what [[gini]]
+    * cannot give: Gini does not decompose additively across a
+    * partition, so "how much of the inequality is BETWEEN segments
+    * (vs within them)" has no Gini answer. The generalized-entropy
+    * family does (Shorrocks 1980): the between-group Theil T
+    * (Σ s_g·ln(s_g/p_g), share-weighted), the mean log deviation L
+    * (Σ p_g·ln(p_g/s_g), population-weighted — sensitive to poor
+    * groups where T is sensitive to rich ones), and the Atkinson
+    * ε = 1 index (1 − geomean(μ_g, p_g-weighted)/μ — the normative
+    * "welfare loss" form). s_g = mass share, p_g = population share.
+    *
+    * Exactness: group counts and mass sums are exact BIGINTs off one
+    * census; each log term is evaluated once in doubles and
+    * accumulated as DECIMAL(38,12) (the chiSquare idiom); exp at the
+    * close. Positive-mass groups only — a zero-mass group refuses
+    * (ln 0; drop or merge it first, loudly).
+    *
+    * Scale shape: one map-side-combined census onto the groups grid;
+    * all index terms run on k rows (metadata-bounded). */
+  def betweenGroups(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val u = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("long").as("__x"))
+    val spark = df.sparkSession
+    Pinned.withCheckpoint(
+      u.groupBy(col("__g"))
+        .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"))
+    ) { cs =>
+      val k = cs.count()
+      require(k >= 2 && k <= (1 << 10),
+        s"betweenGroups: $k groups outside [2, 1024] — group census " +
+          "must be metadata-bounded")
+      val bad = cs.filter(col("__s") <= 0).count()
+      require(bad == 0,
+        s"betweenGroups: $bad group(s) with non-positive mass — the log " +
+          "terms are undefined; drop or merge them first")
+      val tot = cs.agg(sum(col("__n")).as("__nn"), sum(col("__s")).as("__ss"))
+      val terms = cs.crossJoin(broadcast(tot))
+        .withColumn("__p", col("__n").cast("double") /
+          col("__nn").cast("double"))
+        .withColumn("__sh", col("__s").cast("double") /
+          col("__ss").cast("double"))
+      val r = terms.agg(max(col("__nn")).as("n"), max(col("__ss")).as("mass"),
+        sum((col("__sh") * log(col("__sh") / col("__p")))
+          .cast("decimal(38,12)")).as("__t"),
+        sum((col("__p") * log(col("__p") / col("__sh")))
+          .cast("decimal(38,12)")).as("__l"),
+        sum((col("__p") * log(col("__s").cast("double") /
+          col("__n").cast("double"))).cast("decimal(38,12)")).as("__gm"))
+        .head()
+      val (n, mass) = (r.getLong(0), r.getLong(1))
+      val mu = mass.toDouble / n.toDouble
+      val atkinson = 1.0 - math.exp(BigDecimal(r.getDecimal(4)).toDouble) / mu
+      spark.range(1).select(lit(k).as("k"), lit(n).as("n"),
+        lit(mass).as("mass"),
+        round(lit(BigDecimal(r.getDecimal(2)).toDouble), 6).as("theil_t"),
+        round(lit(BigDecimal(r.getDecimal(3)).toDouble), 6).as("theil_l"),
+        round(lit(atkinson), 6).as("atkinson_1"))
+    }
+  }
 }

@@ -75,4 +75,138 @@ object Regression {
       lit(math.sqrt(r12sq)).as("r12"),
       lit(1.0 / (1.0 - r12sq)).as("vif"))
   }
+
+  /** Consecutive-step lag pairs off a bounded integer time grid — the
+    * shared front door of [[grangerLag1]] and [[dickeyFuller]]: rows
+    * (t, cols...) keep only steps where t−1 also exists (gaps drop —
+    * a lag across a hole is not a lag; documented contract), and the
+    * grid is loudly bounded (the Seasonal idiom). */
+  private def lagPairs(df: DataFrame, tCol: String,
+                       cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select((col(tCol).cast("long").as("__t") +:
+      cols.map(c => col(c).cast("long").as(s"__$c"))): _*)
+      .filter(cols.map(c => col(s"__$c").isNotNull)
+        .foldLeft(col("__t").isNotNull)(_ && _))
+    val n = base.count()
+    require(n >= 5 && n <= (1 << 16),
+      s"lagPairs: $n grid positions outside [5, 65536] — pre-aggregate " +
+        "onto a bounded time grid first (the Seasonal idiom)")
+    val w = Window.orderBy(col("__t")) // grid-bounded by the require
+    var out = base
+    cols.foreach { c =>
+      out = out.withColumn(s"__${c}_lag", lag(col(s"__$c"), 1).over(w))
+    }
+    out.withColumn("__t_lag", lag(col("__t"), 1).over(w))
+      .filter(col("__t") - col("__t_lag") === 1)
+  }
+
+  // cast BEFORE the multiply — a long×long product of two cent-scaled
+  // hourly sums can wrap int64 silently at corpus scale
+  private def dl(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+  private def dec0(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(38,0)")).cast("decimal(38,0)")
+
+  /** Granger causality, one lag (Granger 1969): does x's PAST improve
+    * the prediction of y beyond y's own past — the time-series
+    * question plain correlation (q257/q258) cannot ask, because
+    * contemporaneous correlation has no direction. Full model
+    * y_t = a + b·y_{t−1} + c·x_{t−1} vs restricted y_t = a + b·y_{t−1};
+    * F = (RSS_r − RSS_f) / (RSS_f/(n−3)) with 1 numerator df.
+    * (Predictive, not causal-in-the-counterfactual-sense — the
+    * standard caveat.)
+    *
+    * Exactness: both models close from the same nine exact
+    * DECIMAL(38,0) sums over the consecutive-lag pairs via the [[ols2]]
+    * centered-moment double tree (C_ij = S_ij·n − S_i·S_j, coefficients
+    * by Cramer, RSS·n = C_yy − Σb·C_by) — one grid pass, SQL-replayable
+    * bit for bit.
+    *
+    * Scale shape: the input must already BE a bounded time grid; the
+    * lag window and the sums run on grid rows. One row: (n, b_ylag,
+    * b_xlag, f_stat, r2_full, r2_restricted). */
+  def grangerLag1(df: DataFrame, tCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val pairs = lagPairs(df, tCol, Seq(xCol, yCol))
+    val y = col(s"__$yCol"); val yl = col(s"__${yCol}_lag")
+    val xl = col(s"__${xCol}_lag")
+    val r = pairs.agg(count(lit(1)).as("n"),
+      dec0(y).as("sy"), dec0(yl).as("s1"), dec0(xl).as("sx"),
+      dec0(dl(yl) * yl).as("s11"), dec0(dl(xl) * xl).as("sxx"),
+      dec0(dl(yl) * xl).as("s1x"), dec0(dl(yl) * y).as("s1y"),
+      dec0(dl(xl) * y).as("sxy"), dec0(dl(y) * y).as("syy")).head()
+    val n = r.getLong(0)
+    require(n >= 5, s"grangerLag1: $n consecutive pairs (need >= 5)")
+    val Seq(sy, s1, sx, s11, sxx, s1x, s1y, sxy, syy) =
+      (1 to 9).map(i => BigDecimal(r.getDecimal(i)))
+    def c(ij: BigDecimal, i: BigDecimal, j: BigDecimal): Double =
+      ij.toDouble * n - i.toDouble * j.toDouble
+    val c11 = c(s11, s1, s1); val cxx = c(sxx, sx, sx)
+    val c1x = c(s1x, s1, sx)
+    val c1y = c(s1y, s1, sy); val cxy = c(sxy, sx, sy)
+    val cyy = c(syy, sy, sy)
+    require(cyy > 0.0, "grangerLag1: y is constant on the grid")
+    require(c11 > 0.0, "grangerLag1: lagged y is constant on the grid")
+    val det = c11 * cxx - c1x * c1x
+    require(det != 0.0,
+      "grangerLag1: singular normal equations — lagged x and lagged y " +
+        "are perfectly collinear (or x is constant)")
+    val b = (c1y * cxx - cxy * c1x) / det
+    val cc = (cxy * c11 - c1y * c1x) / det
+    val rssF = cyy - b * c1y - cc * cxy
+    val rssR = cyy - c1y * c1y / c11
+    require(rssF > 0.0,
+      "grangerLag1: zero full-model residual — the fit is exact, F " +
+        "undefined")
+    val f = (rssR - rssF) / (rssF / (n - 3).toDouble)
+    val spark = df.sparkSession
+    spark.range(1).select(lit(n).as("n"),
+      round(lit(b), 6).as("b_ylag"), round(lit(cc), 6).as("b_xlag"),
+      round(lit(f), 6).as("f_stat"),
+      round(lit(1.0 - rssF / cyy), 6).as("r2_full"),
+      round(lit(1.0 - rssR / cyy), 6).as("r2_restricted"))
+  }
+
+  /** Dickey–Fuller unit-root regression (1979, no augmentation lags,
+    * with intercept): Δy_t = a + γ·y_{t−1}; γ near 0 (t ≳ −2.9 at 5%)
+    * means shocks PERSIST (random walk — every "trend" read off the
+    * series is spurious-regression bait); γ < 0 with a deep-negative
+    * t means the series mean-reverts and level analytics are sound.
+    * The t statistic is reported raw — its null distribution is the DF
+    * table, not Student's t; compare to the published critical values.
+    *
+    * Exactness: the five sums over consecutive-lag pairs are exact
+    * DECIMAL(38,0); γ, RSS and the t close in one fixed double tree
+    * (simple-regression centered moments), SQL-replayable.
+    *
+    * Scale shape: bounded-grid contract as [[grangerLag1]]. One row:
+    * (n, gamma, rho, t_stat). */
+  def dickeyFuller(df: DataFrame, tCol: String, yCol: String): DataFrame = {
+    val pairs = lagPairs(df, tCol, Seq(yCol))
+    val y = col(s"__$yCol"); val yl = col(s"__${yCol}_lag")
+    val d = y - yl
+    val r = pairs.agg(count(lit(1)).as("n"),
+      dec0(yl).as("sx"), dec0(d).as("sd"),
+      dec0(dl(yl) * yl).as("sxx"), dec0(dl(yl) * d).as("sxd"),
+      dec0(dl(d) * d).as("sdd")).head()
+    val n = r.getLong(0)
+    require(n >= 5, s"dickeyFuller: $n consecutive pairs (need >= 5)")
+    val Seq(sx, sd, sxx, sxd, sdd) =
+      (1 to 5).map(i => BigDecimal(r.getDecimal(i)))
+    def c(ij: BigDecimal, i: BigDecimal, j: BigDecimal): Double =
+      ij.toDouble * n - i.toDouble * j.toDouble
+    val cxx = c(sxx, sx, sx); val cxd = c(sxd, sx, sd)
+    val cdd = c(sdd, sd, sd)
+    require(cxx > 0.0, "dickeyFuller: lagged y is constant on the grid")
+    val gamma = cxd / cxx
+    val rssN = cdd - gamma * cxd
+    require(rssN > 0.0,
+      "dickeyFuller: zero residual — the walk is exactly deterministic")
+    val t = gamma / math.sqrt(rssN / ((n - 2).toDouble * cxx))
+    val spark = df.sparkSession
+    spark.range(1).select(lit(n).as("n"),
+      round(lit(gamma), 6).as("gamma"),
+      round(lit(1.0 + gamma), 6).as("rho"),
+      round(lit(t), 6).as("t_stat"))
+  }
 }

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
-import graft.operators.{Association, Drift, Variance}
+import graft.operators.{Association, Drift, Inequality, PrCurve,
+  Regression, Variance}
 
 /** Round-17 signal/association extensions (q361+): the energy-distance
   * drift closer (the squared-CDF companion to q280's W₁), the
@@ -161,8 +162,203 @@ object SignalQueries extends QuerySet {
       |    / CAST(2 * ra.n - ra.mra - rb.mrb AS DOUBLE), 6) AS lambda_sym
       |FROM mb, ma, ra, rb, cc""".stripMargin
 
+  /** PR operating points for the "length predicts English" filter —
+    * the class-imbalance read q201's AUC cannot give: where do you SET
+    * the threshold, and what F1/Youden do you get there. */
+  private def q364(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+      .select((col("lang") === "en").as("y"), col("n_chars"))
+    PrCurve.operatingPoint(docs, "y", "n_chars")
+  }
+
+  private val q364Sql =
+    """WITH cs AS (
+      |  SELECT n_chars AS s, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS p
+      |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+      |  CAST(SUM(p) AS BIGINT) AS pp FROM cs),
+      |m AS (
+      |  SELECT s, p,
+      |    CAST(SUM(n) OVER (ORDER BY s DESC) AS BIGINT) AS cn,
+      |    CAST(SUM(p) OVER (ORDER BY s DESC) AS BIGINT) AS cp
+      |  FROM cs),
+      |mm AS (
+      |  SELECT m.s, m.p, m.cp, tot.nn, tot.pp,
+      |    CAST(m.cp AS DOUBLE) / CAST(m.cn AS DOUBLE) AS prec,
+      |    CAST(m.cp AS DOUBLE) / CAST(tot.pp AS DOUBLE) AS rec,
+      |    CAST(m.cn - m.cp AS DOUBLE) / CAST(tot.nn - tot.pp AS DOUBLE)
+      |      AS fpr
+      |  FROM m, tot),
+      |mx AS (SELECT *,
+      |  CASE WHEN cp > 0 THEN 2.0 * prec * rec / (prec + rec)
+      |    ELSE 0.0 END AS f1,
+      |  rec - fpr AS j FROM mm),
+      |ap AS (SELECT SUM(CAST(CAST(p AS DOUBLE) / CAST(pp AS DOUBLE)
+      |  * prec AS DECIMAL(38,12))) AS a FROM mx),
+      |bf AS (SELECT f1, s FROM mx ORDER BY f1 DESC, s DESC LIMIT 1),
+      |bj AS (SELECT j, s FROM mx ORDER BY j DESC, s DESC LIMIT 1)
+      |SELECT tot.nn AS n, tot.pp AS pos,
+      |  round(CAST(ap.a AS DOUBLE), 6) AS ap,
+      |  round(bf.f1, 6) AS best_f1, bf.s AS best_f1_threshold,
+      |  round(bj.j, 6) AS youden_j, bj.s AS youden_threshold
+      |FROM tot, ap, bf, bj""".stripMargin
+
+  /** Between-segment inequality of order revenue — the decomposable
+    * read q175's Gini cannot give: how much spend inequality lives
+    * BETWEEN market segments (Theil T/L + Atkinson ε=1). */
+  private def q365(s: SparkSession, d: String): DataFrame = {
+    val rev = t(s, d, "orders")
+      .join(t(s, d, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isNotNull && col("o_totalprice").isNotNull)
+      .select(col("c_mktsegment").as("seg"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    Inequality.betweenGroups(rev, "seg", "cents")
+  }
+
+  private val q365Sql =
+    """WITH rev AS (
+      |  SELECT c_mktsegment AS g,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS x
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment IS NOT NULL AND o_totalprice IS NOT NULL),
+      |cs AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(x) AS BIGINT) AS s FROM rev GROUP BY g),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+      |  CAST(SUM(s) AS BIGINT) AS ss FROM cs),
+      |terms AS (
+      |  SELECT CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) AS p,
+      |    CAST(s AS DOUBLE) / CAST(ss AS DOUBLE) AS sh,
+      |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu_g, nn, ss
+      |  FROM cs, tot),
+      |agg AS (SELECT MAX(nn) AS n, MAX(ss) AS mass,
+      |  CAST(COUNT(*) AS BIGINT) AS k,
+      |  SUM(CAST(sh * ln(sh / p) AS DECIMAL(38,12))) AS t,
+      |  SUM(CAST(p * ln(p / sh) AS DECIMAL(38,12))) AS l,
+      |  SUM(CAST(p * ln(mu_g) AS DECIMAL(38,12))) AS gm
+      |  FROM terms)
+      |SELECT k, n, mass,
+      |  round(CAST(t AS DOUBLE), 6) AS theil_t,
+      |  round(CAST(l AS DOUBLE), 6) AS theil_l,
+      |  round(1.0 - exp(CAST(gm AS DOUBLE))
+      |    / (CAST(mass AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS atkinson_1
+      |FROM agg""".stripMargin
+
+  /** Granger causality on the hourly grid: does event VOLUME's past
+    * improve the one-hour-ahead revenue prediction beyond revenue's
+    * own past — the directional time-series read q257/q258's
+    * contemporaneous correlations cannot ask. */
+  private def q366(s: SparkSession, d: String): DataFrame = {
+    val grid = t(s, d, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(floor(unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+        .cast("long").as("t"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("value") * 100).cast("long")).as("y"))
+    Regression.grangerLag1(grid, "t", "x", "y")
+  }
+
+  private val q366Sql =
+    """WITH g AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600
+      |      AS t,
+      |    CAST(COUNT(*) AS BIGINT) AS x,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1),
+      |p AS (SELECT t, x, y, lag(y) OVER (ORDER BY t) AS yl,
+      |  lag(x) OVER (ORDER BY t) AS xl, lag(t) OVER (ORDER BY t) AS tl
+      |  FROM g),
+      |q AS (SELECT * FROM p WHERE t - tl = 1),
+      |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  SUM(CAST(y AS HUGEINT)) AS sy, SUM(CAST(yl AS HUGEINT)) AS s1,
+      |  SUM(CAST(xl AS HUGEINT)) AS sx,
+      |  SUM(CAST(yl AS HUGEINT) * yl) AS s11,
+      |  SUM(CAST(xl AS HUGEINT) * xl) AS sxx,
+      |  SUM(CAST(yl AS HUGEINT) * xl) AS s1x,
+      |  SUM(CAST(yl AS HUGEINT) * y) AS s1y,
+      |  SUM(CAST(xl AS HUGEINT) * y) AS sxy,
+      |  SUM(CAST(y AS HUGEINT) * y) AS syy FROM q),
+      |c AS (SELECT n,
+      |  CAST(s11 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |    AS c11,
+      |  CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+      |    AS cxx,
+      |  CAST(s1x AS DOUBLE) * n - CAST(s1 AS DOUBLE) * CAST(sx AS DOUBLE)
+      |    AS c1x,
+      |  CAST(s1y AS DOUBLE) * n - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE)
+      |    AS c1y,
+      |  CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+      |    AS cxy,
+      |  CAST(syy AS DOUBLE) * n - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+      |    AS cyy
+      |  FROM s),
+      |k AS (SELECT *, c11 * cxx - c1x * c1x AS det FROM c),
+      |b AS (SELECT n, cyy, c1y, cxy, c11,
+      |  (c1y * cxx - cxy * c1x) / det AS b1,
+      |  (cxy * c11 - c1y * c1x) / det AS b2 FROM k),
+      |rr AS (SELECT n, cyy, b1, b2,
+      |  cyy - b1 * c1y - b2 * cxy AS rssf,
+      |  cyy - c1y * c1y / c11 AS rssr FROM b)
+      |SELECT n, round(b1, 6) AS b_ylag, round(b2, 6) AS b_xlag,
+      |  round((rssr - rssf) / (rssf / CAST(n - 3 AS DOUBLE)), 6)
+      |    AS f_stat,
+      |  round(1.0 - rssf / cyy, 6) AS r2_full,
+      |  round(1.0 - rssr / cyy, 6) AS r2_restricted
+      |FROM rr""".stripMargin
+
+  /** Dickey–Fuller unit-root regression on hourly revenue: do revenue
+    * shocks persist (random walk — trend dashboards are spurious-
+    * regression bait) or mean-revert (level analytics are sound). */
+  private def q367(s: SparkSession, d: String): DataFrame = {
+    val grid = t(s, d, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(floor(unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+        .cast("long").as("t"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+    Regression.dickeyFuller(grid, "t", "y")
+  }
+
+  private val q367Sql =
+    """WITH g AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600
+      |      AS t,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1),
+      |p AS (SELECT t, y, lag(y) OVER (ORDER BY t) AS yl,
+      |  lag(t) OVER (ORDER BY t) AS tl FROM g),
+      |q AS (SELECT t, y, yl, y - yl AS d FROM p WHERE t - tl = 1),
+      |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  SUM(CAST(yl AS HUGEINT)) AS sx, SUM(CAST(d AS HUGEINT)) AS sd,
+      |  SUM(CAST(yl AS HUGEINT) * yl) AS sxx,
+      |  SUM(CAST(yl AS HUGEINT) * d) AS sxd,
+      |  SUM(CAST(d AS HUGEINT) * d) AS sdd FROM q),
+      |c AS (SELECT n,
+      |  CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+      |    AS cxx,
+      |  CAST(sxd AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sd AS DOUBLE)
+      |    AS cxd,
+      |  CAST(sdd AS DOUBLE) * n - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+      |    AS cdd
+      |  FROM s),
+      |k AS (SELECT n, cxx, cxd / cxx AS gamma,
+      |  cdd - cxd / cxx * cxd AS rssn FROM c)
+      |SELECT n, round(gamma, 6) AS gamma, round(1.0 + gamma, 6) AS rho,
+      |  round(gamma / sqrt(rssn / (CAST(n - 2 AS DOUBLE) * cxx)), 6)
+      |    AS t_stat
+      |FROM k""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q361_energy_distance", q361, Some(q361Sql)),
     Q("q362_anova_f", q362, Some(q362Sql)),
-    Q("q363_gk_lambda", q363, Some(q363Sql)))
+    Q("q363_gk_lambda", q363, Some(q363Sql)),
+    Q("q364_pr_operating_point", q364, Some(q364Sql)),
+    Q("q365_between_inequality", q365, Some(q365Sql)),
+    Q("q366_granger", q366, Some(q366Sql)),
+    Q("q367_dickey_fuller", q367, Some(q367Sql)))
 }

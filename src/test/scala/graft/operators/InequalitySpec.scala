@@ -65,4 +65,45 @@ class InequalitySpec extends AnyFunSuite with SparkSuite {
     assert(m.getAs[Double]("hhi") ==
       BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("betweenGroups: identical group means read 0 on all three indices") {
+    import spark.implicits._
+    // same mean AND same per-member mass ratio: s_g/p_g = const → 0
+    val rows = Seq(("a", 10L), ("a", 10L), ("b", 10L), ("b", 10L),
+      ("b", 10L)).toDF("g", "x")
+    val r = Inequality.betweenGroups(rows, "g", "x").head()
+    assert(r.getAs[Double]("theil_t") == 0.0)
+    assert(r.getAs[Double]("theil_l") == 0.0)
+    assert(r.getAs[Double]("atkinson_1") == 0.0)
+  }
+
+  test("betweenGroups hand-computed two-group split") {
+    import spark.implicits._
+    // a: 1 member, mass 30; b: 3 members, mass 10 → p=(1/4,3/4),
+    // sh=(3/4,1/4), mu_g=(30, 10/3), mu=10
+    val rows = Seq(("a", 30L), ("b", 4L), ("b", 3L), ("b", 3L))
+      .toDF("g", "x")
+    val r = Inequality.betweenGroups(rows.repartition(3), "g", "x").head()
+    val t = 0.75 * math.log(0.75 / 0.25) + 0.25 * math.log(0.25 / 0.75)
+    val l = 0.25 * math.log(0.25 / 0.75) + 0.75 * math.log(0.75 / 0.25)
+    val atk = 1.0 - math.exp(0.25 * math.log(30.0) +
+      0.75 * math.log(10.0 / 3.0)) / 10.0
+    assert(math.abs(r.getAs[Double]("theil_t") - t) < 1e-5)
+    assert(math.abs(r.getAs[Double]("theil_l") - l) < 1e-5)
+    assert(math.abs(r.getAs[Double]("atkinson_1") - atk) < 1e-5)
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 4L &&
+      r.getAs[Long]("mass") == 40L)
+  }
+
+  test("betweenGroups refuses zero-mass groups and unbounded group grids") {
+    import spark.implicits._
+    assert(intercept[IllegalArgumentException] {
+      Inequality.betweenGroups(
+        Seq(("a", 5L), ("b", 0L)).toDF("g", "x"), "g", "x")
+    }.getMessage.contains("non-positive"))
+    val wide = (1L to 2000L).map(i => (s"g$i", i)).toDF("g", "x")
+    assert(intercept[IllegalArgumentException] {
+      Inequality.betweenGroups(wide, "g", "x")
+    }.getMessage.contains("outside"))
+  }
 }

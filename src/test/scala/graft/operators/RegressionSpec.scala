@@ -43,4 +43,73 @@ class RegressionSpec extends AnyFunSuite with SparkSuite {
       "l_extendedprice", "l_quantity", "l_discount").head().toString
     assert(a == b)
   }
+
+  test("granger: a planted y_t = x_{t-1} chain reads huge F; pure AR(1) reads small") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // x drives y with one-step lag (plus integer noise)
+    val xs = Seq.fill(200)(rnd.nextInt(50).toLong + 10)
+    val caused = (1 until 200).map(i =>
+      (i.toLong, xs(i), 3 * xs(i - 1) + rnd.nextInt(3).toLong))
+    val fCaused = Regression.grangerLag1(
+      caused.toDF("t", "x", "y").repartition(7), "t", "x", "y")
+      .head().getAs[Double]("f_stat")
+    assert(fCaused > 100.0, s"fCaused=$fCaused")
+    // x is independent noise; y is its own AR walk
+    var y = 100L
+    val indep = (0 until 200).map { i =>
+      y = y + rnd.nextInt(7) - 3
+      (i.toLong, rnd.nextInt(50).toLong, y)
+    }
+    val fIndep = Regression.grangerLag1(
+      indep.toDF("t", "x", "y"), "t", "x", "y")
+      .head().getAs[Double]("f_stat")
+    assert(fIndep < 6.0, s"fIndep=$fIndep")
+  }
+
+  test("granger drops pairs across grid gaps and is partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val rows = (0 until 100).filter(_ % 10 != 3).map(i =>
+      (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(30).toLong))
+    val a = Regression.grangerLag1(rows.toDF("t", "x", "y"), "t", "x", "y")
+      .head()
+    // 99 candidate steps minus 10 missing-t minus 10 missing-(t−1)
+    assert(a.getAs[Long]("n") == 79L)
+    val b = Regression.grangerLag1(
+      rows.toDF("t", "x", "y").repartition(13), "t", "x", "y").head()
+    assert(a.toString == b.toString)
+  }
+
+  test("dickey-fuller: a mean-reverting series reads deep-negative t; a random walk does not") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val white = (0 until 300).map(i => (i.toLong, rnd.nextInt(100).toLong))
+    val tWhite = Regression.dickeyFuller(white.toDF("t", "y"), "t", "y")
+      .head().getAs[Double]("t_stat")
+    assert(tWhite < -10.0, s"tWhite=$tWhite")
+    var y = 1000L
+    val walk = (0 until 300).map { i =>
+      y += rnd.nextInt(11) - 5; (i.toLong, y)
+    }
+    val r = Regression.dickeyFuller(walk.toDF("t", "y"), "t", "y").head()
+    assert(r.getAs[Double]("t_stat") > -3.5, s"tWalk=${r.getAs[Double]("t_stat")}")
+    assert(math.abs(r.getAs[Double]("rho") - 1.0) < 0.1)
+  }
+
+  test("granger/dickey-fuller refuse unbounded or degenerate grids") {
+    import spark.implicits._
+    val tiny = Seq((0L, 1L, 1L), (1L, 1L, 1L)).toDF("t", "x", "y")
+    assert(intercept[IllegalArgumentException] {
+      Regression.grangerLag1(tiny, "t", "x", "y")
+    }.getMessage.contains("grid"))
+    val constY = (0L until 20L).map(i => (i, i % 5, 7L)).toDF("t", "x", "y")
+    assert(intercept[IllegalArgumentException] {
+      Regression.grangerLag1(constY, "t", "x", "y")
+    }.getMessage.contains("constant"))
+    val constLag = (0L until 20L).map(i => (i, 7L)).toDF("t", "y")
+    assert(intercept[IllegalArgumentException] {
+      Regression.dickeyFuller(constLag, "t", "y")
+    }.getMessage.contains("constant"))
+  }
 }
