@@ -106,6 +106,63 @@ object Binning {
       .groupBy(col("q")).agg(min(col("__v")).as("threshold"))
   }
 
+  /** Weight of evidence + information value of an integer score
+    * against a binary label over [[gridQuantileBoundaries]] quantile
+    * bins — the credit-scoring read beside q364's operating points
+    * and q267's PSI: WoE_i = ln((pos_i/P)/(neg_i/N)) says WHERE in the
+    * score range the evidence lives (sign flips mark non-monotone
+    * segments an AUC hides), and IV = Σ(pos_i/P − neg_i/N)·WoE_i is
+    * the conventional keep/drop screen for a candidate filter signal
+    * (< 0.02 useless, > 0.5 suspicious).
+    *
+    * Exactness: bin assignment is the exact-rank grid machinery; bin
+    * counts are exact BIGINTs; WoE terms evaluate once in doubles and
+    * the IV accumulates as DECIMAL(38,12). A bin with either class
+    * empty refuses loudly (WoE = ±∞; coarsen `bins`) — silent 0.5
+    * smoothing would fabricate evidence.
+    *
+    * Scale shape: one value-grid census for boundaries, one broadcast
+    * bin-assignment pass, one bin census; everything after runs on
+    * `bins` rows. Output: (bin, n, pos, neg, woe, iv) with iv
+    * repeated, ordered by bin. */
+  def informationValue(df: DataFrame, labelCol: String, scoreCol: String,
+                       bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 64, s"informationValue: bins=$bins")
+    val u = df.filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .select(col(scoreCol).cast("long").as("__v"),
+        col(labelCol).cast("boolean").as("__y"))
+    val bounds = gridQuantileBoundaries(u, "__v", bins)
+    val cells = withGridBin(u, "__v", bounds)
+      .groupBy(col("__v_bin").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("pos"))
+      .withColumn("neg", col("n") - col("pos"))
+    val spark = df.sparkSession
+    Pinned.withCheckpoint(cells) { cs =>
+      val empty = cs.filter(col("pos") === 0 || col("neg") === 0).count()
+      require(empty == 0,
+        s"informationValue: $empty bin(s) with an empty class — WoE is " +
+          "±infinite there; coarsen `bins`")
+      val tot = cs.agg(sum(col("pos")).as("__p"), sum(col("neg")).as("__n"))
+      val th = tot.head()
+      require(th.getLong(0) > 0 && th.getLong(1) > 0,
+        "informationValue: degenerate label — both classes must be present")
+      val terms = cs.crossJoin(broadcast(tot))
+        .withColumn("__ps", col("pos").cast("double") /
+          col("__p").cast("double"))
+        .withColumn("__ns", col("neg").cast("double") /
+          col("__n").cast("double"))
+        .withColumn("woe", log(col("__ps") / col("__ns")))
+      val iv = terms.agg(sum(((col("__ps") - col("__ns")) * col("woe"))
+        .cast("decimal(38,12)"))).head().getDecimal(0)
+      val out = terms.select(col("bin").cast("long").as("bin"), col("n"),
+        col("pos"), col("neg"), round(col("woe"), 6).as("woe"),
+        round(lit(BigDecimal(iv).toDouble), 6).as("iv"))
+        .orderBy(col("bin"))
+      Grids.collectBounded(out, "informationValue bin grid")
+    }
+  }
+
   /** Adds `<valueCol>_bin` (1..bins) by counting exceeded boundaries —
     * a narrow broadcast-join projection over the (bins−1)-row boundary
     * table. */

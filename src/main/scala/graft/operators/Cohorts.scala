@@ -60,4 +60,60 @@ object Cohorts {
       Grids.collectBounded(out, "retention cohort-week grid")
     }
   }
+
+  /** Cohort LTV curve — the REVENUE face of [[retention]]'s activity
+    * matrix: customers bucket by the calendar month of their first
+    * order, and each (cohort, age) cell carries the cohort's
+    * CUMULATIVE revenue per acquired customer at that age. Retention
+    * says "they came back"; this says what coming back was WORTH —
+    * the curve whose plateau is the cohort's lifetime value, read per
+    * cohort so an acquisition-mix change shows as a curve shift.
+    *
+    * Semantics: month index mi = year·12 + month (exact integers);
+    * cohort(u) = min mi over u's orders; age = mi − cohort; cum
+    * revenue runs over OBSERVED ages (a month with no orders adds no
+    * row — the cum value at the next observed age is unchanged).
+    *
+    * Exactness: month arithmetic, cents sums and cumulative sums are
+    * exact BIGINTs; ltv_cents = cum/cohort_n is the one closing
+    * division, 6-dp.
+    *
+    * Scale shape: one per-customer min (map-side combined), one
+    * customer-keyed join, one (cohort, age) aggregate; the cumsum
+    * window runs per cohort on the calendar-bounded cells grid. */
+  def cohortLtv(orders: DataFrame, custCol: String, dateCol: String,
+                centsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = orders
+      .filter(col(custCol).isNotNull && col(dateCol).isNotNull &&
+        col(centsCol).isNotNull)
+      .select(col(custCol).as("__u"),
+        (year(col(dateCol)) * 12 + month(col(dateCol))).cast("long")
+          .as("__mi"),
+        col(centsCol).cast("long").as("__v"))
+    val spark = orders.sparkSession
+    Pinned.withCheckpoint(u) { uu =>
+      val cohort = uu.groupBy(col("__u")).agg(min(col("__mi")).as("__c"))
+      val sizes = cohort.groupBy(col("__c"))
+        .agg(count(lit(1)).as("cohort_customers"))
+      val cells = uu.join(cohort, "__u")
+        .groupBy(col("__c"), (col("__mi") - col("__c")).as("age_m"))
+        .agg(count(lit(1)).as("orders_n"), sum(col("__v")).as("rev_cents"))
+      val w = Window.partitionBy(col("__c")).orderBy(col("age_m"))
+      val out = cells
+        .withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+        .join(sizes, "__c")
+        .select(
+          // integer month-index → yyyymm (Spark `/` on longs is double
+          // division — floor keeps it exact; operands are positive)
+          (floor((col("__c") - 1) / 12).cast("long") * 100 +
+            ((col("__c") - 1) % 12) + 1).as("cohort_ym"),
+          col("age_m"), col("cohort_customers"), col("orders_n"),
+          col("rev_cents"), col("cum_rev_cents"),
+          round(col("cum_rev_cents").cast("double") /
+            col("cohort_customers").cast("double"), 6).as("ltv_cents"))
+        .orderBy(col("cohort_ym"), col("age_m"))
+      Grids.collectBounded(out, "cohortLtv cohort-month grid")
+    }
+  }
 }

@@ -119,4 +119,74 @@ object GraphStats {
               (col("n_nodes") - 1).cast("double")), 6)).as("phi"))
       .orderBy(col("k"))
   }
+
+  /** Newman–Girvan modularity of a GIVEN node partition (Newman 2004):
+    * Q = Σ_c [e_c/m − (d_c/2m)²] — the "is this community structure
+    * real" scalar for ANY labeling (a q191 label-propagation result,
+    * a metadata column, a clustering): Q ≈ 0 means the partition holds
+    * no more edges than a degree-preserving random rewiring would give
+    * it; the suite's agreement metrics (q357) compare two partitions,
+    * this scores one against the graph itself.
+    *
+    * Exactness: m, per-community internal-edge counts e_c and degree
+    * masses d_c are exact BIGINTs; per-community terms evaluate once
+    * in doubles and accumulate as DECIMAL(38,12) (order-independent).
+    * Every node in the edge set must carry a label — silently dropping
+    * unlabeled nodes would shrink d_c and inflate Q, so it refuses.
+    *
+    * Scale shape: one distinct-edge shuffle, one degree aggregate, two
+    * node-keyed label joins; communities are metadata-bounded cells.
+    * Output: one row (nodes, edges, communities, modularity). */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 labels: DataFrame, nodeCol: String,
+                 communityCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+    val lab = labels
+      .select(col(nodeCol).cast("long").as("n"),
+        col(communityCol).cast("string").as("c"))
+      .filter(col("n").isNotNull && col("c").isNotNull)
+      .distinct()
+    val spark = edges.sparkSession
+    Pinned.withCheckpoint(e) { ed =>
+      val m = ed.count()
+      require(m >= 1, "modularity: empty edge set")
+      val withLab = ed
+        .join(lab.select(col("n").as("a"), col("c").as("ca")), Seq("a"),
+          "left")
+        .join(lab.select(col("n").as("b"), col("c").as("cb")), Seq("b"),
+          "left")
+      val unlabeled = withLab
+        .filter(col("ca").isNull || col("cb").isNull).count()
+      require(unlabeled == 0,
+        s"modularity: $unlabeled edge endpoint(s) without a community " +
+          "label — label every node in the edge set (or filter the " +
+          "edges first, loudly)")
+      // d_c: degree mass per community, off the endpoint multiset
+      val dc = withLab.select(col("ca").as("c"))
+        .unionAll(withLab.select(col("cb").as("c")))
+        .groupBy(col("c")).agg(count(lit(1)).as("__dc"))
+      // e_c: internal edges per community
+      val ec = withLab.filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("c")).agg(count(lit(1)).as("__ec"))
+      val nodes = lab.join(ed.select(col("a").as("n"))
+        .unionAll(ed.select(col("b").as("n"))).distinct(), "n")
+      val nNodes = nodes.count()
+      val cells = dc.join(ec, Seq("c"), "left")
+        .withColumn("__e", coalesce(col("__ec"), lit(0L)))
+      val term = col("__e").cast("double") / lit(m.toDouble) -
+        (col("__dc").cast("double") / lit(2.0 * m)) *
+          (col("__dc").cast("double") / lit(2.0 * m))
+      val r = cells.agg(count(lit(1)).as("k"),
+        sum(term.cast("decimal(38,12)")).as("__q")).head()
+      spark.range(1).select(lit(nNodes).as("nodes"), lit(m).as("edges"),
+        lit(r.getLong(0)).as("communities"),
+        round(lit(BigDecimal(r.getDecimal(1)).toDouble), 6)
+          .as("modularity"))
+    }
+  }
 }

@@ -116,6 +116,42 @@ object Inequality {
       .orderBy(col(groupCol))
   }
 
+  /** Lorenz curve points over population buckets — the SHAPE behind
+    * [[gini]]'s scalar: bucket b of the curve says "the bottom b/k of
+    * units hold cum_share of the mass" (the "bottom 50% of customers
+    * drive 9% of revenue" read). Buckets come from NTILE over the
+    * deterministic (mass, id) total order — exact, engine-replayable.
+    *
+    * Exactness: per-bucket counts and mass sums are exact BIGINTs off
+    * the sorted assignment; shares are closing divisions, 6-dp.
+    *
+    * Scale shape: one total-order NTILE over the UNIT table (a
+    * dimension — customers, parts, sources — never the event corpus;
+    * pre-aggregate first) + one bucket census; the cumsum runs on k
+    * rows. Output: (bucket, units, mass, mass_share, cum_share). */
+  def lorenz(df: DataFrame, valueCol: String, idCol: String,
+             buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000, s"lorenz: buckets=$buckets")
+    val w = Window.orderBy(col(valueCol).cast("long").asc, col(idCol).asc)
+    val cells = df
+      .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .withColumn("__b", ntile(buckets).over(w).cast("long"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("units"),
+        sum(col(valueCol).cast("long")).as("mass"))
+    val tot = cells.agg(sum(col("mass")).as("__m"))
+    val wc = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.crossJoin(broadcast(tot))
+      .withColumn("__cum", sum(col("mass")).over(wc))
+      .select(col("__b").as("bucket"), col("units"), col("mass"),
+        round(col("mass").cast("double") / col("__m").cast("double"), 6)
+          .as("mass_share"),
+        round(col("__cum").cast("double") / col("__m").cast("double"), 6)
+          .as("cum_share"))
+      .orderBy(col("bucket"))
+  }
+
   /** Between-group decomposable inequality indices — what [[gini]]
     * cannot give: Gini does not decompose additively across a
     * partition, so "how much of the inequality is BETWEEN segments

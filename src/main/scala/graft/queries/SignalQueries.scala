@@ -3,8 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
-import graft.operators.{Association, Drift, Inequality, PrCurve,
-  Regression, Variance}
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{Association, Binning, Cohorts, Drift, GraphStats,
+  Inequality, PrCurve, Regression, Variance}
 
 /** Round-17 signal/association extensions (q361+): the energy-distance
   * drift closer (the squared-CDF companion to q280's W₁), the
@@ -353,6 +354,211 @@ object SignalQueries extends QuerySet {
       |    AS t_stat
       |FROM k""".stripMargin
 
+  /** Modularity of the brand partition over the part co-purchase graph
+    * — does brand structure explain who is bought with whom (q357
+    * compares two partitions; this scores one against the graph; the
+    * honest null here is Q ≈ 0: baskets are brand-blind). */
+  private def q368(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+    val edges = li.withColumnRenamed("p", "pa")
+      .join(li.withColumnRenamed("p", "pb"), "o")
+      .filter(col("pa") =!= col("pb"))
+      .select(col("pa").as("a"), col("pb").as("b"))
+    val labels = t(s, d, "part")
+      .select(col("p_partkey").as("nid"), col("p_brand").as("comm"))
+    GraphStats.modularity(edges, "a", "b", labels, "nid", "comm")
+  }
+
+  private val q368Sql =
+    """WITH li AS (SELECT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+      |  FROM lineitem),
+      |e AS (SELECT DISTINCT least(x.p, y.p) AS a, greatest(x.p, y.p) AS b
+      |  FROM li x JOIN li y ON x.o = y.o AND x.p <> y.p),
+      |lab AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS n,
+      |  CAST(p_brand AS VARCHAR) AS c FROM part
+      |  WHERE p_partkey IS NOT NULL AND p_brand IS NOT NULL),
+      |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+      |wl AS (SELECT e.a, e.b, la.c AS ca, lb.c AS cb
+      |  FROM e JOIN lab la ON e.a = la.n JOIN lab lb ON e.b = lb.n),
+      |dc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS dcm FROM (
+      |    SELECT ca AS c FROM wl UNION ALL SELECT cb FROM wl) GROUP BY c),
+      |ec AS (SELECT ca AS c, CAST(COUNT(*) AS BIGINT) AS ecn FROM wl
+      |  WHERE ca = cb GROUP BY ca),
+      |nodes AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM (
+      |  SELECT DISTINCT n FROM (SELECT a AS n FROM e
+      |    UNION ALL SELECT b FROM e)) x JOIN lab USING (n)),
+      |cells AS (SELECT dc.c, dc.dcm, COALESCE(ec.ecn, 0) AS ecc
+      |  FROM dc LEFT JOIN ec USING (c)),
+      |qq AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      |  SUM(CAST(CAST(ecc AS DOUBLE) / CAST(mm.m AS DOUBLE)
+      |    - (CAST(dcm AS DOUBLE) / (2.0 * CAST(mm.m AS DOUBLE)))
+      |      * (CAST(dcm AS DOUBLE) / (2.0 * CAST(mm.m AS DOUBLE)))
+      |    AS DECIMAL(38,12))) AS q
+      |  FROM cells, mm)
+      |SELECT nodes.nn AS nodes, mm.m AS edges, qq.k AS communities,
+      |  round(CAST(qq.q AS DOUBLE), 6) AS modularity
+      |FROM nodes, mm, qq""".stripMargin
+
+  /** ABC / Pareto classification of parts by revenue: class A carries
+    * the first 80% of cumulative revenue, B to 95%, C the tail — the
+    * inventory-policy census (class membership decided by EXACT
+    * integer cross-multiplication, no float thresholds). */
+  private def q369(s: SparkSession, d: String): DataFrame = {
+    val rev = t(s, d, "lineitem").filter(col("l_extendedprice").isNotNull)
+      .groupBy(col("l_partkey").as("p"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("r"))
+    val w = Window.orderBy(col("r").desc, col("p").asc)
+    val tot = rev.agg(sum(col("r")).as("t"))
+    val cls = rev.withColumn("cum", sum(col("r")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("abc_class",
+        when(col("cum").cast("decimal(38,0)") * 5 <=
+          col("t").cast("decimal(38,0)") * 4, "A")
+          .when(col("cum").cast("decimal(38,0)") * 20 <=
+            col("t").cast("decimal(38,0)") * 19, "B")
+          .otherwise("C"))
+    cls.groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("r")).as("revenue_cents"),
+        max(col("t")).as("__t"))
+      .select(col("abc_class"), col("n_parts"), col("revenue_cents"),
+        round(col("revenue_cents").cast("double") /
+          col("__t").cast("double"), 6).as("revenue_share"))
+      .orderBy(col("abc_class"))
+  }
+
+  private val q369Sql =
+    """WITH rev AS (
+      |  SELECT l_partkey AS p,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS r
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(r) AS BIGINT) AS t FROM rev),
+      |w AS (SELECT r, CAST(SUM(r) OVER (ORDER BY r DESC, p) AS BIGINT)
+      |  AS cum FROM rev),
+      |cls AS (SELECT r,
+      |  CASE WHEN CAST(cum AS HUGEINT) * 5 <= CAST(t AS HUGEINT) * 4
+      |    THEN 'A'
+      |    WHEN CAST(cum AS HUGEINT) * 20 <= CAST(t AS HUGEINT) * 19
+      |    THEN 'B' ELSE 'C' END AS abc_class, t
+      |  FROM w, tot)
+      |SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  CAST(SUM(r) AS BIGINT) AS revenue_cents,
+      |  round(CAST(SUM(r) AS DOUBLE) / CAST(MAX(t) AS DOUBLE), 6)
+      |    AS revenue_share
+      |FROM cls GROUP BY abc_class ORDER BY abc_class""".stripMargin
+
+  /** Cohort LTV curve: cumulative revenue per acquired customer by
+    * first-order month × age — the revenue face of q283's activity
+    * retention (acquisition-mix shifts show as curve shifts). */
+  private def q370(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    Cohorts.cohortLtv(o, "o_custkey", "o_orderdate", "cents")
+  }
+
+  private val q370Sql =
+    """WITH u AS (
+      |  SELECT o_custkey AS cu,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+      |      AS mi,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_custkey IS NOT NULL
+      |    AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+      |co AS (SELECT cu, MIN(mi) AS c FROM u GROUP BY cu),
+      |sz AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cohort_customers
+      |  FROM co GROUP BY c),
+      |cells AS (SELECT co.c, u.mi - co.c AS age_m,
+      |  CAST(COUNT(*) AS BIGINT) AS orders_n,
+      |  CAST(SUM(u.v) AS BIGINT) AS rev_cents
+      |  FROM u JOIN co ON u.cu = co.cu GROUP BY 1, 2),
+      |cum AS (SELECT c, age_m, orders_n, rev_cents,
+      |  CAST(SUM(rev_cents) OVER (PARTITION BY c ORDER BY age_m)
+      |    AS BIGINT) AS cum_rev_cents
+      |  FROM cells)
+      |SELECT ((c - 1) // 12) * 100 + ((c - 1) % 12) + 1 AS cohort_ym,
+      |  age_m, sz.cohort_customers, orders_n, rev_cents, cum_rev_cents,
+      |  round(CAST(cum_rev_cents AS DOUBLE)
+      |    / CAST(sz.cohort_customers AS DOUBLE), 6) AS ltv_cents
+      |FROM cum JOIN sz USING (c) ORDER BY cohort_ym, age_m""".stripMargin
+
+  /** WoE/IV of document length against English — the credit-scoring
+    * screen for a candidate filter signal: WHERE in the length range
+    * the evidence lives (per-quintile WoE signs) and whether the
+    * signal clears the conventional keep bar (IV). */
+  private def q371(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+      .select((col("lang") === "en").as("y"), col("n_chars"))
+    Binning.informationValue(docs, "y", "n_chars", bins = 5)
+  }
+
+  private val q371Sql =
+    """WITH g AS (
+      |  SELECT CAST(n_chars AS BIGINT) AS v, (lang = 'en') AS y
+      |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+      |grid AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM g
+      |  GROUP BY v),
+      |cumg AS (SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT)
+      |  AS hi FROM grid),
+      |nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM grid),
+      |qs AS (SELECT unnest(range(1, 5)) AS q),
+      |th AS (SELECT q, MIN(v) AS threshold FROM cumg, nn, qs
+      |  WHERE hi >= (q * n + 4) // 5 GROUP BY q),
+      |binned AS (SELECT g.v, g.y,
+      |  1 + (SELECT CAST(COUNT(*) AS BIGINT) FROM th
+      |       WHERE g.v > th.threshold) AS bin
+      |  FROM g),
+      |cells AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      |  FROM binned GROUP BY bin),
+      |c2 AS (SELECT bin, n, pos, n - pos AS neg FROM cells),
+      |tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS p,
+      |  CAST(SUM(neg) AS BIGINT) AS ng FROM c2),
+      |t2 AS (SELECT bin, n, pos, neg,
+      |  CAST(pos AS DOUBLE) / CAST(p AS DOUBLE) AS ps,
+      |  CAST(neg AS DOUBLE) / CAST(ng AS DOUBLE) AS ns
+      |  FROM c2, tot),
+      |t3 AS (SELECT *, ln(ps / ns) AS woe FROM t2),
+      |iv AS (SELECT SUM(CAST((ps - ns) * woe AS DECIMAL(38,12))) AS v
+      |  FROM t3)
+      |SELECT bin, n, pos, neg, round(woe, 6) AS woe,
+      |  round(CAST(iv.v AS DOUBLE), 6) AS iv
+      |FROM t3, iv ORDER BY bin""".stripMargin
+
+  /** Lorenz curve of customer spend by decile — the shape behind
+    * q175's Gini scalar: what share of revenue the bottom-k deciles
+    * of customers actually carry. */
+  private def q372(s: SparkSession, d: String): DataFrame = {
+    val spend = t(s, d, "orders")
+      .filter(col("o_custkey").isNotNull && col("o_totalprice").isNotNull)
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    Inequality.lorenz(spend, "cents", "cust", 10)
+  }
+
+  private val q372Sql =
+    """WITH spend AS (
+      |  SELECT o_custkey AS cust,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders WHERE o_custkey IS NOT NULL
+      |    AND o_totalprice IS NOT NULL GROUP BY 1),
+      |b AS (SELECT cents, NTILE(10) OVER (ORDER BY cents, cust) AS bucket
+      |  FROM spend),
+      |cells AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS units,
+      |  CAST(SUM(cents) AS BIGINT) AS mass FROM b GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(mass) AS BIGINT) AS m FROM cells),
+      |cum AS (SELECT bucket, units, mass,
+      |  CAST(SUM(mass) OVER (ORDER BY bucket) AS BIGINT) AS cm
+      |  FROM cells)
+      |SELECT bucket, units, mass,
+      |  round(CAST(mass AS DOUBLE) / CAST(m AS DOUBLE), 6) AS mass_share,
+      |  round(CAST(cm AS DOUBLE) / CAST(m AS DOUBLE), 6) AS cum_share
+      |FROM cum, tot ORDER BY bucket""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q361_energy_distance", q361, Some(q361Sql)),
     Q("q362_anova_f", q362, Some(q362Sql)),
@@ -360,5 +566,10 @@ object SignalQueries extends QuerySet {
     Q("q364_pr_operating_point", q364, Some(q364Sql)),
     Q("q365_between_inequality", q365, Some(q365Sql)),
     Q("q366_granger", q366, Some(q366Sql)),
-    Q("q367_dickey_fuller", q367, Some(q367Sql)))
+    Q("q367_dickey_fuller", q367, Some(q367Sql)),
+    Q("q368_modularity", q368, Some(q368Sql)),
+    Q("q369_abc_pareto", q369, Some(q369Sql)),
+    Q("q370_cohort_ltv", q370, Some(q370Sql)),
+    Q("q371_information_value", q371, Some(q371Sql)),
+    Q("q372_lorenz_curve", q372, Some(q372Sql)))
 }

@@ -130,4 +130,43 @@ class BinningSpec extends AnyFunSuite with SparkSuite {
     val binned = Binning.withGridBin(df, "v", Binning.gridQuantileBoundaries(df, "v", 4))
     assert(binned.filter(col("v_bin") < 1 || col("v_bin") > 4).count() == 0)
   }
+
+  test("informationValue hand-computed: IV = (2/3)·ln2 on the planted split") {
+    import spark.implicits._
+    // bin1 = {1,2,3}: 2 pos / 1 neg; bin2 = {4,5,6}: 1 pos / 2 neg
+    val rows = Seq((1L, true), (2L, true), (3L, false),
+      (4L, true), (5L, false), (6L, false)).toDF("s", "y")
+    val out = Binning.informationValue(rows.repartition(4), "y", "s", 2)
+      .collect()
+    assert(out.length == 2)
+    assert(math.abs(out(0).getAs[Double]("woe") - math.log(2.0)) < 1e-6)
+    assert(math.abs(out(1).getAs[Double]("woe") + math.log(2.0)) < 1e-6)
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("iv") - 2.0 / 3 * math.log(2.0))
+        < 1e-5)
+    }
+  }
+
+  test("informationValue: an uninformative score reads IV = 0") {
+    import spark.implicits._
+    val rows = Seq((1L, true), (2L, false), (3L, true), (4L, false))
+      .toDF("s", "y")
+    val out = Binning.informationValue(rows, "y", "s", 2).collect()
+    assert(out.forall(_.getAs[Double]("iv") == 0.0))
+    assert(out.forall(_.getAs[Double]("woe") == 0.0))
+  }
+
+  test("informationValue refuses an empty-class bin and a one-class label") {
+    import spark.implicits._
+    val sep = Seq((1L, true), (2L, true), (3L, false), (4L, false))
+      .toDF("s", "y")
+    assert(intercept[IllegalArgumentException] {
+      Binning.informationValue(sep, "y", "s", 2)
+    }.getMessage.contains("empty class"))
+    val onec = Seq((1L, true), (2L, true), (3L, true), (4L, true))
+      .toDF("s", "y")
+    assert(intercept[IllegalArgumentException] {
+      Binning.informationValue(onec, "y", "s", 2)
+    }.getMessage.contains("empty class"))
+  }
 }

@@ -83,4 +83,40 @@ class GraphStatsSpec extends AnyFunSuite with SparkSuite {
       .collect().map(_.toString).toSeq
     assert(p1 == p2)
   }
+
+  test("modularity hand-computed: triangle + pendant pair reads 0.22") {
+    import spark.implicits._
+    // X = {1,2,3} triangle, Y = {4,5} edge, cross edge 3-4: m = 5
+    // dX = 7, dY = 3, eX = 3, eY = 1
+    // Q = (3/5 − 0.49) + (1/5 − 0.09) = 0.22
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (3L, 4L))
+      .toDF("a", "b")
+    val labels = Seq((1L, "X"), (2L, "X"), (3L, "X"), (4L, "Y"),
+      (5L, "Y")).toDF("n", "c")
+    val r = GraphStats.modularity(edges.repartition(3), "a", "b",
+      labels, "n", "c").head()
+    assert(r.getAs[Long]("nodes") == 5L && r.getAs[Long]("edges") == 5L)
+    assert(r.getAs[Long]("communities") == 2L)
+    assert(math.abs(r.getAs[Double]("modularity") - 0.22) < 1e-9)
+  }
+
+  test("modularity: one community reads exactly 0; duplicate/reversed edges dedup") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L))
+      .toDF("a", "b")
+    val labels = Seq((1L, "Z"), (2L, "Z"), (3L, "Z")).toDF("n", "c")
+    val r = GraphStats.modularity(edges, "a", "b", labels, "n", "c").head()
+    // e_Z = m, d_Z = 2m → Q = 1 − 1 = 0
+    assert(r.getAs[Long]("edges") == 2L)
+    assert(r.getAs[Double]("modularity") == 0.0)
+  }
+
+  test("modularity refuses an unlabeled endpoint") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    val labels = Seq((1L, "X")).toDF("n", "c")
+    assert(intercept[IllegalArgumentException] {
+      GraphStats.modularity(edges, "a", "b", labels, "n", "c")
+    }.getMessage.contains("without a community"))
+  }
 }

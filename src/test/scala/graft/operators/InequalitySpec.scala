@@ -95,6 +95,27 @@ class InequalitySpec extends AnyFunSuite with SparkSuite {
       r.getAs[Long]("mass") == 40L)
   }
 
+  test("lorenz hand-computed: 1..10 in 5 buckets") {
+    import spark.implicits._
+    val rows = (1L to 10L).map(i => (i, i)).toDF("id", "v")
+    val out = Inequality.lorenz(rows.repartition(4), "v", "id", 5)
+      .collect()
+    assert(out.map(_.getAs[Long]("mass")).toSeq ==
+      Seq(3L, 7L, 11L, 15L, 19L))
+    assert(out.map(_.getAs[Long]("units")).toSeq == Seq.fill(5)(2L))
+    val shares = out.map(_.getAs[Double]("cum_share")).toSeq
+    assert(shares.last == 1.0)
+    assert(math.abs(shares.head - 3.0 / 55.0) < 1e-6)
+    assert(math.abs(shares(2) - 21.0 / 55.0) < 1e-6)
+  }
+
+  test("lorenz: uniform masses read flat deciles") {
+    import spark.implicits._
+    val rows = (1L to 100L).map(i => (i, 7L)).toDF("id", "v")
+    val out = Inequality.lorenz(rows, "v", "id", 10).collect()
+    assert(out.forall(_.getAs[Double]("mass_share") == 0.1))
+  }
+
   test("betweenGroups refuses zero-mass groups and unbounded group grids") {
     import spark.implicits._
     assert(intercept[IllegalArgumentException] {
