@@ -119,6 +119,62 @@ object Correlation {
     * Scale shape: the input must already BE a grid (the Seasonal
     * idiom), loudly bounded at 2¹² positions; the x-ordered lag window
     * and the census windows run on grid rows. */
+  /** Empirical upper-tail dependence λ_U(p) — the EXTREMES question
+    * every body-of-distribution correlation (q257/q258/q356) leaves
+    * open: "when y spikes past its p-quantile, how often does x spike
+    * WITH it". Two series can be ρ = 0.6 correlated yet tail-
+    * independent (Gaussian copula: λ_U = 0 — the risk-model failure
+    * mode), or weakly correlated yet tail-locked. λ_U(p) =
+    * P(X > q_x(p) | Y > q_y(p)), with the joint/product lift beside it
+    * (lift ≈ 1 ⇒ independent tails; 1/(1−p) ⇒ fully locked).
+    *
+    * Exactness: both thresholds are exact type-1 order statistics
+    * (smallest value with cumulative count ≥ ⌈p·n⌉ — integer rank
+    * arithmetic, no interpolation); exceedance counts are exact
+    * BIGINTs; λ and lift are closing divisions.
+    *
+    * Scale shape: two distinct-value censuses for the thresholds + one
+    * joint-exceedance count — all map-side-combined; nothing sorts the
+    * corpus. The input is (x, y) pairs; p ∈ (0.5, 1). */
+  def upperTailDependence(df: DataFrame, xCol: String, yCol: String,
+                          pNum: Int, pDen: Int): DataFrame = {
+    require(pDen > 0 && pNum * 2 > pDen && pNum < pDen,
+      s"upperTailDependence: p = $pNum/$pDen outside (0.5, 1)")
+    val u = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+    val spark = df.sparkSession
+    Pinned.withCheckpoint(u) { uu =>
+      val n = uu.count()
+      require(n >= pDen, s"upperTailDependence: n=$n < pDen=$pDen")
+      // exact rank ⌈p·n⌉ threshold off each margin's value census
+      def threshold(c: String): Long = {
+        val wv = Window.orderBy(col(c))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        uu.groupBy(col(c)).agg(count(lit(1)).as("__c"))
+          .withColumn("__hi", sum(col("__c")).over(wv))
+          .filter(col("__hi") >= lit((pNum * n + pDen - 1) / pDen))
+          .agg(min(col(c))).head().getLong(0)
+      }
+      val (qx, qy) = (threshold("__x"), threshold("__y"))
+      val r = uu.agg(
+        sum(when(col("__x") > qx, 1L).otherwise(0L)).as("nx"),
+        sum(when(col("__y") > qy, 1L).otherwise(0L)).as("ny"),
+        sum(when(col("__x") > qx && col("__y") > qy, 1L).otherwise(0L))
+          .as("nj")).head()
+      val (nx, ny, nj) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      require(ny > 0 && nx > 0,
+        s"upperTailDependence: empty exceedance set (nx=$nx, ny=$ny) — " +
+          "the margin is constant above its quantile; lower p")
+      spark.range(1).select(lit(n).as("n"), lit(qx).as("q_x"),
+        lit(qy).as("q_y"), lit(nx).as("n_x_exc"), lit(ny).as("n_y_exc"),
+        lit(nj).as("n_joint"),
+        round(lit(nj.toDouble / ny.toDouble), 6).as("lambda_u"),
+        round(lit(n.toDouble * nj.toDouble / (nx.toDouble * ny.toDouble)),
+          6).as("lift"))
+    }
+  }
+
   def chatterjeeXi(df: DataFrame, xCol: String, yCol: String,
                    idCol: String): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,

@@ -66,6 +66,54 @@ object Survival {
       .orderBy(col("t"))
   }
 
+  /** Nelson–Aalen cumulative hazard — the ADDITIVE face of
+    * [[kaplanMeier]]'s product curve: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ with
+    * Aalen's variance Σ dᵢ/nᵢ². Where S(t) answers "what fraction
+    * survives", H(t) reads hazard RATE structure directly — a straight
+    * H(t) is constant hazard (exponential churn), a flattening H is
+    * early-risk concentration, and slope changes localize exactly WHEN
+    * the risk regime shifted (the curve a retention team reads for
+    * "week-2 cliff" diagnostics). Near-linear-H vs KM-curvature
+    * disagreement is also the standard small-sample sanity check:
+    * −ln S(t) ≈ H(t), and a large gap flags heavy ties.
+    *
+    * Exactness: the duration grid, event and at-risk counts are exact
+    * BIGINTs (the KM machinery); each dᵢ/nᵢ term evaluates once in
+    * doubles and CUMULATES as DECIMAL(38,12) (order-independent,
+    * engine-replayable — a double window-sum would expose the two
+    * engines' different summation trees). One closing sqrt per row.
+    *
+    * Scale shape: one map-side-combined census onto the duration grid;
+    * the cumsum window runs on grid rows (day-bounded). */
+  def nelsonAalen(df: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val rows = df.select(col(durationCol).cast("long").as("__t"),
+        col(eventCol).cast("boolean").as("__e"))
+      .filter(col("__t").isNotNull && col("__t") >= 0 && col("__e").isNotNull)
+    val grid = rows.groupBy(col("__t"))
+      .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("__d"),
+        sum(when(col("__e"), 0L).otherwise(1L)).as("__c"))
+    val n = grid.agg(coalesce(sum(col("__d") + col("__c")), lit(0L)).as("__n"))
+    val w = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.crossJoin(broadcast(n))
+      .withColumn("__gone", sum(col("__d") + col("__c")).over(w))
+      .withColumn("n_risk", col("__n") - col("__gone") + col("__d") + col("__c"))
+      .filter(col("__d") > 0)
+      .withColumn("__h", (col("__d").cast("double") /
+        col("n_risk").cast("double")).cast("decimal(38,12)"))
+      .withColumn("__v", (col("__d").cast("double") /
+        (col("n_risk").cast("double") * col("n_risk").cast("double")))
+        .cast("decimal(38,12)"))
+      .withColumn("__ch", sum(col("__h")).over(w))
+      .withColumn("__cv", sum(col("__v")).over(w))
+      .select(col("__t").as("t"), col("n_risk"),
+        col("__d").as("n_events"), col("__c").as("n_censored"),
+        round(col("__ch").cast("double"), 6).as("na_cumhaz"),
+        round(sqrt(col("__cv").cast("double")), 6).as("na_se"))
+      .orderBy(col("t"))
+  }
+
   /** Two-group log-rank test — the inferential companion to
     * [[kaplanMeier]]: two survival curves (control vs treatment, old
     * pipeline vs new) can LOOK different while the difference is

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Association, Binning, Cohorts, Drift, GraphStats,
-  Inequality, PrCurve, Regression, Variance}
+import graft.operators.{Association, Binning, Cohorts, Correlation, Drift,
+  GraphStats, Inequality, PrCurve, Regression, Streaks, Survival, Variance}
 
 /** Round-17 signal/association extensions (q361+): the energy-distance
   * drift closer (the squared-CDF companion to q280's W₁), the
@@ -559,6 +559,139 @@ object SignalQueries extends QuerySet {
       |  round(CAST(cm AS DOUBLE) / CAST(m AS DOUBLE), 6) AS cum_share
       |FROM cum, tot ORDER BY bucket""".stripMargin
 
+  /** Nelson–Aalen cumulative hazard of repeat-purchase latency: days
+    * from a user's first purchase day to their second (censored at
+    * last activity) — the hazard-RATE read beside q243's survival
+    * fraction; slope changes localize when repeat risk shifts. */
+  private def q373(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+    val pd = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("u")).orderBy(col("day"))
+    val firstTwo = pd.withColumn("rn", row_number().over(w))
+      .groupBy(col("u"))
+      .agg(max(when(col("rn") === 1, col("day"))).as("f1"),
+        max(when(col("rn") === 2, col("day"))).as("f2"))
+    val last = ev.groupBy(col("user_id").as("u"))
+      .agg(max(to_date(col("ts"))).as("lastd"))
+    val durs = firstTwo.join(last, "u")
+      .select(datediff(coalesce(col("f2"), col("lastd")), col("f1"))
+        .as("dur"), col("f2").isNotNull.as("event"))
+    Survival.nelsonAalen(durs, "dur", "event")
+  }
+
+  private val q373Sql =
+    """WITH pd AS (
+      |  SELECT user_id AS u, CAST(ts AS DATE) AS dy FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |    AND event_type = 'purchase'
+      |  GROUP BY 1, 2),
+      |rk AS (SELECT u, dy,
+      |  row_number() OVER (PARTITION BY u ORDER BY dy) AS rn FROM pd),
+      |ft AS (SELECT u, MAX(CASE WHEN rn = 1 THEN dy END) AS f1,
+      |  MAX(CASE WHEN rn = 2 THEN dy END) AS f2 FROM rk GROUP BY u),
+      |la AS (SELECT user_id AS u, MAX(CAST(ts AS DATE)) AS lastd
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |  GROUP BY 1),
+      |dur AS (SELECT datediff('day', f1, COALESCE(f2, la.lastd)) AS t,
+      |  (f2 IS NOT NULL) AS ev FROM ft JOIN la USING (u)),
+      |grid AS (
+      |  SELECT t, CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS d,
+      |  CAST(SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS c
+      |  FROM dur GROUP BY t),
+      |tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n FROM grid),
+      |ar AS (
+      |  SELECT t, d, c,
+      |    tot.n - CAST(SUM(d + c) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      + d + c AS n_risk
+      |  FROM grid CROSS JOIN tot),
+      |evt AS (SELECT *,
+      |  CAST(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+      |    AS DECIMAL(38,12)) AS h,
+      |  CAST(CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE)
+      |    * CAST(n_risk AS DOUBLE)) AS DECIMAL(38,12)) AS v
+      |  FROM ar WHERE d > 0)
+      |SELECT t, n_risk, d AS n_events, c AS n_censored,
+      |  round(CAST(SUM(h) OVER (ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE),
+      |    6) AS na_cumhaz,
+      |  round(sqrt(CAST(SUM(v) OVER (ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)),
+      |    6) AS na_se
+      |FROM evt ORDER BY t""".stripMargin
+
+  /** Upper-tail dependence between hourly volume and revenue at
+    * p = 0.9: when revenue spikes past its decile threshold, how often
+    * does volume spike with it — the extremes read the body
+    * correlations (q257/q258) leave open. */
+  private def q374(s: SparkSession, d: String): DataFrame = {
+    val grid = t(s, d, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(floor(unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+        .cast("long").as("t"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("value") * 100).cast("long")).as("y"))
+    Correlation.upperTailDependence(grid, "x", "y", pNum = 9, pDen = 10)
+  }
+
+  private val q374Sql =
+    """WITH g AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600
+      |      AS t,
+      |    CAST(COUNT(*) AS BIGINT) AS x,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g),
+      |qx AS (SELECT MIN(x) AS q FROM (
+      |  SELECT x, SUM(cnt) OVER (ORDER BY x) AS hi FROM (
+      |    SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY x)),
+      |  nn WHERE hi >= (9 * n + 9) // 10),
+      |qy AS (SELECT MIN(y) AS q FROM (
+      |  SELECT y, SUM(cnt) OVER (ORDER BY y) AS hi FROM (
+      |    SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY y)),
+      |  nn WHERE hi >= (9 * n + 9) // 10),
+      |ex AS (SELECT
+      |  CAST(SUM(CASE WHEN g.x > qx.q THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS nx,
+      |  CAST(SUM(CASE WHEN g.y > qy.q THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS ny,
+      |  CAST(SUM(CASE WHEN g.x > qx.q AND g.y > qy.q THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS nj
+      |  FROM g, qx, qy)
+      |SELECT nn.n, qx.q AS q_x, qy.q AS q_y, ex.nx AS n_x_exc,
+      |  ex.ny AS n_y_exc, ex.nj AS n_joint,
+      |  round(CAST(ex.nj AS DOUBLE) / CAST(ex.ny AS DOUBLE), 6)
+      |    AS lambda_u,
+      |  round(CAST(nn.n AS DOUBLE) * CAST(ex.nj AS DOUBLE)
+      |    / (CAST(ex.nx AS DOUBLE) * CAST(ex.ny AS DOUBLE)), 6) AS lift
+      |FROM nn, qx, qy, ex""".stripMargin
+
+  /** Longest consecutive-day streak histogram over user activity —
+    * the habit read beside q283's retention and q24's sessions: how
+    * many days IN A ROW, all-integer gaps-and-islands. */
+  private def q375(s: SparkSession, d: String): DataFrame =
+    Streaks.longestDailyStreak(t(s, d, "events"), "user_id", "ts")
+
+  private val q375Sql =
+    """WITH days AS (
+      |  SELECT user_id AS u,
+      |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dy
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY 1, 2),
+      |isl AS (SELECT u,
+      |  dy - row_number() OVER (PARTITION BY u ORDER BY dy) AS k
+      |  FROM days),
+      |runs AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS len FROM isl
+      |  GROUP BY u, k),
+      |best AS (SELECT u, MAX(len) AS best FROM runs GROUP BY u)
+      |SELECT best AS streak_len, CAST(COUNT(*) AS BIGINT) AS users
+      |FROM best GROUP BY best ORDER BY streak_len""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q361_energy_distance", q361, Some(q361Sql)),
     Q("q362_anova_f", q362, Some(q362Sql)),
@@ -571,5 +704,8 @@ object SignalQueries extends QuerySet {
     Q("q369_abc_pareto", q369, Some(q369Sql)),
     Q("q370_cohort_ltv", q370, Some(q370Sql)),
     Q("q371_information_value", q371, Some(q371Sql)),
-    Q("q372_lorenz_curve", q372, Some(q372Sql)))
+    Q("q372_lorenz_curve", q372, Some(q372Sql)),
+    Q("q373_nelson_aalen", q373, Some(q373Sql)),
+    Q("q374_tail_dependence", q374, Some(q374Sql)),
+    Q("q375_activity_streaks", q375, Some(q375Sql)))
 }

@@ -122,4 +122,42 @@ class CorrelationSpec extends AnyFunSuite with SparkSuite {
       Correlation.chatterjeeXi(const, "x", "y", "id"))
     assert(e.getMessage.contains("constant"))
   }
+
+  test("tail dependence: comonotone pairs read lambda 1, antithetic read 0") {
+    import spark.implicits._
+    val mono = (1L to 100L).map(i => (i, i * 10)).toDF("x", "y")
+    val rm = Correlation.upperTailDependence(mono, "x", "y", 9, 10).head()
+    assert(rm.getAs[Double]("lambda_u") == 1.0)
+    assert(rm.getAs[Long]("n_joint") == 10L)
+    val anti = (1L to 100L).map(i => (i, 1000L - i)).toDF("x", "y")
+    val ra = Correlation.upperTailDependence(anti, "x", "y", 9, 10).head()
+    assert(ra.getAs[Double]("lambda_u") == 0.0)
+    assert(ra.getAs[Double]("lift") == 0.0)
+  }
+
+  test("tail dependence hand-computed with ties at the threshold") {
+    import spark.implicits._
+    // n=10, rank ceil(9*10/10)=9 → q = 9th smallest; strict > keeps
+    // exactly the values above it
+    val pts = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 5L),
+      (6L, 6L), (7L, 7L), (8L, 8L), (9L, 9L), (10L, 1L))
+    val r = Correlation.upperTailDependence(pts.toDF("x", "y"), "x", "y",
+      9, 10).head()
+    assert(r.getAs[Long]("q_x") == 9L && r.getAs[Long]("q_y") == 8L)
+    // x>9: {10}; y>8: {9}; joint: row (9,9) has x=9 not >9 → 0
+    assert(r.getAs[Long]("n_x_exc") == 1L && r.getAs[Long]("n_y_exc") == 1L)
+    assert(r.getAs[Long]("n_joint") == 0L)
+  }
+
+  test("tail dependence refuses bad p and degenerate margins") {
+    import spark.implicits._
+    val pts = (1L to 20L).map(i => (i, i)).toDF("x", "y")
+    assert(intercept[IllegalArgumentException] {
+      Correlation.upperTailDependence(pts, "x", "y", 1, 10)
+    }.getMessage.contains("outside"))
+    val const = (1L to 20L).map(i => (i, 7L)).toDF("x", "y")
+    assert(intercept[IllegalArgumentException] {
+      Correlation.upperTailDependence(const, "x", "y", 9, 10)
+    }.getMessage.contains("exceedance"))
+  }
 }

@@ -109,4 +109,37 @@ class SurvivalSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(r.getDouble(1) - 5.0) < 1e-9)
     assert(r.isNullAt(2), "median undefined above the curve floor")
   }
+
+  test("nelson-aalen hand-computed with censoring, partition-invariant") {
+    import spark.implicits._
+    // durs: events at t=1 (2 of 5 at risk), censor at t=2,
+    // event at t=3 (1 of 2 at risk)
+    val durs = Seq((1L, true), (1L, true), (2L, false), (3L, true),
+      (3L, false)).toDF("dur", "event")
+    val out = Survival.nelsonAalen(durs.repartition(3), "dur", "event")
+      .collect()
+    assert(out.length == 2)
+    val r1 = out(0); val r3 = out(1)
+    assert(r1.getAs[Long]("t") == 1L && r1.getAs[Long]("n_risk") == 5L)
+    assert(math.abs(r1.getAs[Double]("na_cumhaz") - 0.4) < 1e-9)
+    assert(math.abs(r1.getAs[Double]("na_se") - math.sqrt(2.0 / 25)) < 1e-6)
+    assert(r3.getAs[Long]("t") == 3L && r3.getAs[Long]("n_risk") == 2L)
+    assert(math.abs(r3.getAs[Double]("na_cumhaz") - (0.4 + 0.5)) < 1e-9)
+    assert(math.abs(r3.getAs[Double]("na_se") -
+      math.sqrt(2.0 / 25 + 1.0 / 4)) < 1e-6)
+  }
+
+  test("nelson-aalen approximates -ln(km survival) on event-only data") {
+    import spark.implicits._
+    val durs = (1L to 40L).map(i => (i % 7 + 1, true)).toDF("dur", "event")
+    val na = Survival.nelsonAalen(durs, "dur", "event")
+      .collect().map(r => (r.getAs[Long]("t"), r.getAs[Double]("na_cumhaz")))
+    val km = Survival.kaplanMeier(durs, "dur", "event")
+      .collect().map(r => (r.getAs[Long]("t"), -math.log(r.getAs[Double]("surv"))))
+      .toMap
+    na.dropRight(1).foreach { case (t, h) => // last step: S = 0, ln blows
+      assert(math.abs(h - km(t)) < 0.6, s"t=$t h=$h lnS=${km(t)}")
+      assert(h <= km(t) + 1e-9, "H(t) lower-bounds -ln S(t)")
+    }
+  }
 }
