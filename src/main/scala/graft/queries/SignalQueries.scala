@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.Tables.t
 import org.apache.spark.sql.expressions.Window
 import graft.operators.{Association, Binning, Cohorts, Correlation, Drift,
-  GraphStats, Inequality, PrCurve, Regression, Streaks, Survival, Variance}
+  GraphStats, Hurst, Inequality, PrCurve, Regression, Streaks, Survival,
+  Variance}
 
 /** Round-17 signal/association extensions (q361+): the energy-distance
   * drift closer (the squared-CDF companion to q280's W₁), the
@@ -692,6 +693,71 @@ object SignalQueries extends QuerySet {
       |SELECT best AS streak_len, CAST(COUNT(*) AS BIGINT) AS users
       |FROM best GROUP BY best ORDER BY streak_len""".stripMargin
 
+  /** Hurst R/S exponent of hourly revenue — the long-range-dependence
+    * audit past q296's short lags and q367's unit root: H ≈ ½ means √n
+    * error bars on revenue aggregates are honest; H ≫ ½ means shocks
+    * echo across horizons and independence-based CIs are fiction. */
+  private def q376(s: SparkSession, d: String): DataFrame = {
+    val grid = t(s, d, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(floor(unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+        .cast("long").as("t"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+    Hurst.hurstRs(grid, "t", "y")
+  }
+
+  private val q376Sql =
+    """WITH g AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600
+      |      AS t,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g),
+      |base AS (SELECT y,
+      |  CAST(row_number() OVER (ORDER BY t) AS BIGINT) - 1 AS i FROM g),
+      |ks AS (SELECT CAST(unnest([8, 16, 32, 64, 128, 256, 512, 1024,
+      |    2048, 4096, 8192, 16384]) AS BIGINT) AS k),
+      |ex AS (SELECT b.y, b.i, ks.k, CAST(b.i // ks.k AS BIGINT) AS blk
+      |  FROM base b, ks, nn
+      |  WHERE ks.k * 4 <= nn.n AND b.i < ks.k * (nn.n // ks.k)),
+      |win AS (SELECT k, blk,
+      |  CAST(SUM(y) OVER (PARTITION BY k, blk ORDER BY i) AS BIGINT)
+      |    AS cum,
+      |  CAST(row_number() OVER (PARTITION BY k, blk ORDER BY i)
+      |    AS BIGINT) AS j,
+      |  CAST(SUM(y) OVER (PARTITION BY k, blk) AS BIGINT) AS tot,
+      |  SUM(CAST(y AS HUGEINT) * y) OVER (PARTITION BY k, blk) AS totq
+      |  FROM ex),
+      |z AS (SELECT k, blk,
+      |  CAST(cum AS DOUBLE) - CAST(j AS DOUBLE)
+      |    * (CAST(tot AS DOUBLE) / CAST(k AS DOUBLE)) AS z,
+      |  CAST(totq AS DOUBLE) / CAST(k AS DOUBLE)
+      |    - (CAST(tot AS DOUBLE) / CAST(k AS DOUBLE))
+      |      * (CAST(tot AS DOUBLE) / CAST(k AS DOUBLE)) AS s2
+      |  FROM win),
+      |bs AS (SELECT k, blk, MAX(z) AS zx, MIN(z) AS zn, MAX(s2) AS s2
+      |  FROM z GROUP BY k, blk),
+      |rsb AS (SELECT k, (zx - zn) / sqrt(s2) AS rs FROM bs WHERE s2 > 0),
+      |perk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS blocks,
+      |  CAST(SUM(CAST(rs AS DECIMAL(38,12))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS rs
+      |  FROM rsb GROUP BY k),
+      |reg AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+      |  CAST(SUM(CAST(ln(CAST(k AS DOUBLE)) AS DECIMAL(38,12)))
+      |    AS DOUBLE) AS sx,
+      |  CAST(SUM(CAST(ln(rs) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+      |  CAST(SUM(CAST(ln(CAST(k AS DOUBLE)) * ln(CAST(k AS DOUBLE))
+      |    AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+      |  CAST(SUM(CAST(ln(CAST(k AS DOUBLE)) * ln(rs) AS DECIMAL(38,12)))
+      |    AS DOUBLE) AS sxy
+      |  FROM perk)
+      |SELECT perk.k, perk.blocks, round(perk.rs, 6) AS rs,
+      |  round((CAST(reg.m AS DOUBLE) * reg.sxy - reg.sx * reg.sy)
+      |    / (CAST(reg.m AS DOUBLE) * reg.sxx - reg.sx * reg.sx), 6)
+      |    AS hurst
+      |FROM perk, reg ORDER BY perk.k""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q361_energy_distance", q361, Some(q361Sql)),
     Q("q362_anova_f", q362, Some(q362Sql)),
@@ -707,5 +773,6 @@ object SignalQueries extends QuerySet {
     Q("q372_lorenz_curve", q372, Some(q372Sql)),
     Q("q373_nelson_aalen", q373, Some(q373Sql)),
     Q("q374_tail_dependence", q374, Some(q374Sql)),
-    Q("q375_activity_streaks", q375, Some(q375Sql)))
+    Q("q375_activity_streaks", q375, Some(q375Sql)),
+    Q("q376_hurst_rs", q376, Some(q376Sql)))
 }
