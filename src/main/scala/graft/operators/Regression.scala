@@ -76,6 +76,41 @@ object Regression {
       lit(1.0 / (1.0 - r12sq)).as("vif"))
   }
 
+  /** Simple OLS y ≈ a + b·x over DOUBLE-valued columns (log-transformed
+    * metrics, ratios) — the [[ols2]] shape without the integer-input
+    * contract: per-row doubles are deterministic given the stored
+    * values, so the five sufficient statistics accumulate as
+    * DECIMAL(38,12) casts of the per-row terms (order-independent, the
+    * chiSquare idiom) and the close is one fixed double tree. One row:
+    * (n, slope, intercept, r2). One map-side-combined corpus pass. */
+  def ols1(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val d12 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,12)")
+    val u = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+    val r = u.agg(count(lit(1)).as("n"),
+      sum(d12(col("__x"))).as("sx"), sum(d12(col("__y"))).as("sy"),
+      sum(d12(col("__x") * col("__x"))).as("sxx"),
+      sum(d12(col("__x") * col("__y"))).as("sxy"),
+      sum(d12(col("__y") * col("__y"))).as("syy")).head()
+    val n = r.getLong(0)
+    require(n >= 3, s"ols1 needs >= 3 rows, got $n")
+    val Seq(sx, sy, sxx, sxy, syy) =
+      (1 to 5).map(i => BigDecimal(r.getDecimal(i)).toDouble)
+    val cxx = sxx * n - sx * sx
+    val cxy = sxy * n - sx * sy
+    val cyy = syy * n - sy * sy
+    require(cxx > 0.0, "ols1: x is constant")
+    require(cyy > 0.0, "ols1: y is constant")
+    val b = cxy / cxx
+    val a = (sy - b * sx) / n
+    val spark = df.sparkSession
+    spark.range(1).select(lit(n).as("n"),
+      round(lit(b), 6).as("slope"),
+      round(lit(a), 6).as("intercept"),
+      round(lit(cxy * cxy / (cxx * cyy)), 6).as("r2"))
+  }
+
   /** Consecutive-step lag pairs off a bounded integer time grid — the
     * shared front door of [[grangerLag1]] and [[dickeyFuller]]: rows
     * (t, cols...) keep only steps where t−1 also exists (gaps drop —

@@ -232,4 +232,61 @@ object Smoothing {
         round(col("__e"), 6).as("forecast_err"))
       .orderBy(col("t"))
   }
+
+  /** Croston's method for INTERMITTENT demand (Croston 1972) — the
+    * forecaster [[ses]]/[[holt]] are provably wrong for: on a series
+    * that is mostly zeros with occasional demand spikes, plain
+    * exponential smoothing decays toward zero right after every spike
+    * and peaks right before the next (the classic bias), because it
+    * smooths the zeros. Croston smooths the two components that
+    * actually have structure — nonzero demand SIZE ẑ and the
+    * inter-demand INTERVAL p̂ — and forecasts ẑ/p̂ demand per period.
+    * The SBA correction (Syntetos–Boylan 2005), (1 − α/2)·ẑ/p̂, removes
+    * Croston's known positive bias and ships beside it.
+    *
+    * Pinned conventions (a replayable engine pins what the literature
+    * leaves open): input is the NONZERO demand points (t, z>0) only;
+    * ẑ initializes to z₁ and smooths from the 2nd point; p̂ initializes
+    * to the FIRST observed interval q₂ and smooths from the 3rd.
+    *
+    * Exactness: day indices and demands are exact integers; the fold
+    * is one fixed IEEE tree in point order — (1 − α) written as the
+    * subtraction in both engines — that a recursive-CTE oracle
+    * replays. One row out.
+    *
+    * Scale shape: the nonzero-point series is grid-bounded (2¹²) by
+    * contract — at 100 TB the caller aggregates demand per (sku, day)
+    * first and folds per sku. */
+  def croston(points: DataFrame, tCol: String, zCol: String,
+              alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"croston: alpha=$alpha outside (0,1)")
+    val spark = points.sparkSession
+    val g = points.select(col(tCol).cast("long").as("t"),
+        col(zCol).cast("long").as("z"))
+      .filter(col("t").isNotNull && col("z").isNotNull)
+      .orderBy(col("t"))
+    val rows = Grids.collectBounded(g, "croston point grid",
+      maxRows = 1 << 12).collect()
+    val m = rows.length
+    require(m >= 3, s"croston: $m demand points (need >= 3)")
+    require(rows.forall(_.getLong(1) > 0),
+      "croston: zero/negative demand point — pass NONZERO points only")
+    var l = rows(0).getLong(1).toDouble
+    var p = 0.0
+    var i = 1
+    while (i < m) {
+      val z = rows(i).getLong(1).toDouble
+      val q = (rows(i).getLong(0) - rows(i - 1).getLong(0)).toDouble
+      l = alpha * z + (1.0 - alpha) * l
+      p = if (i == 1) q else alpha * q + (1.0 - alpha) * p
+      i += 1
+    }
+    val fc = l / p
+    val sba = (1.0 - alpha / 2.0) * l / p
+    spark.range(1).select(lit(m.toLong).as("n_points"),
+      lit(rows(m - 1).getLong(0) - rows(0).getLong(0)).as("span"),
+      round(lit(l), 6).as("z_hat"), round(lit(p), 6).as("p_hat"),
+      round(lit(fc), 6).as("croston_forecast"),
+      round(lit(sba), 6).as("sba_forecast"))
+  }
 }

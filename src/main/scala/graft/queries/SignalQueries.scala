@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.Tables.t
 import org.apache.spark.sql.expressions.Window
 import graft.operators.{Association, Binning, Cohorts, Correlation, Drift,
-  GraphStats, Hurst, Inequality, PrCurve, Regression, Streaks, Survival,
-  Variance}
+  Extremes, GraphStats, Hurst, Inequality, PrCurve, Regression, Smoothing,
+  Streaks, Survival, Variance}
 
 /** Round-17 signal/association extensions (q361+): the energy-distance
   * drift closer (the squared-CDF companion to q280's W₁), the
@@ -758,6 +758,125 @@ object SignalQueries extends QuerySet {
       |    AS hurst
       |FROM perk, reg ORDER BY perk.k""".stripMargin
 
+  /** Croston intermittent-demand forecast for a slow-moving part slice
+    * (Brand#1, size ≤ 2 — ~1 demand day in 18): the forecaster SES/
+    * Holt (q287/q322) are provably biased for; demand size and
+    * inter-demand interval smooth separately, SBA correction beside. */
+  private def q377(s: SparkSession, d: String): DataFrame = {
+    val pts = t(s, d, "lineitem")
+      .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand") === "Brand#1" && col("p_size") <= 2 &&
+        col("l_shipdate").isNotNull && col("l_quantity").isNotNull)
+      .groupBy(datediff(to_date(col("l_shipdate")),
+        to_date(lit("1970-01-01"))).cast("long").as("day"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("z"))
+    Smoothing.croston(pts, "day", "z", alpha = 0.2)
+  }
+
+  private val q377Sql =
+    """WITH RECURSIVE demand AS (
+      |  SELECT datediff('day', DATE '1970-01-01',
+      |      CAST(l_shipdate AS DATE)) AS day,
+      |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS z
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#1' AND p_size <= 2
+      |    AND l_shipdate IS NOT NULL AND l_quantity IS NOT NULL
+      |  GROUP BY 1),
+      |nz AS (SELECT day, z,
+      |  CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+      |  day - lag(day) OVER (ORDER BY day) AS q FROM demand),
+      |mm AS (SELECT CAST(MAX(rn) AS BIGINT) AS m,
+      |  CAST(MAX(day) - MIN(day) AS BIGINT) AS span FROM nz),
+      |rec AS (
+      |  SELECT rn, CAST(z AS DOUBLE) AS l, CAST(NULL AS DOUBLE) AS p
+      |  FROM nz WHERE rn = 1
+      |  UNION ALL
+      |  SELECT nz.rn, 0.2 * CAST(nz.z AS DOUBLE) + (1.0 - 0.2) * rec.l,
+      |    CASE WHEN nz.rn = 2 THEN CAST(nz.q AS DOUBLE)
+      |      ELSE 0.2 * CAST(nz.q AS DOUBLE) + (1.0 - 0.2) * rec.p END
+      |  FROM rec JOIN nz ON nz.rn = rec.rn + 1)
+      |SELECT mm.m AS n_points, mm.span AS span, round(rec.l, 6) AS z_hat,
+      |  round(rec.p, 6) AS p_hat,
+      |  round(rec.l / rec.p, 6) AS croston_forecast,
+      |  round((1.0 - 0.2 / 2.0) * rec.l / rec.p, 6) AS sba_forecast
+      |FROM rec, mm WHERE rec.rn = mm.m""".stripMargin
+
+  /** Cross-sectional log-log price elasticity: per-part total quantity
+    * sold on the part's LIST price (an exogenous column — regressing
+    * on unit price computed as extendedprice/quantity would put
+    * −ln(qty) on both sides and fabricate ε ≈ −0.5 mechanically);
+    * the honest synthetic null here is ε ≈ 0. */
+  private def q378(s: SparkSession, d: String): DataFrame = {
+    val qty = t(s, d, "lineitem").filter(col("l_quantity") > 0)
+      .groupBy(col("l_partkey").as("p"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("q"))
+    val u = qty.join(t(s, d, "part"), col("p") === col("p_partkey"))
+      .filter(col("p_retailprice") > 0)
+      .select(log(col("p_retailprice")).as("x"),
+        log(col("q").cast("double")).as("y"))
+    Regression.ols1(u, "x", "y")
+  }
+
+  private val q378Sql =
+    """WITH qty AS (
+      |  SELECT l_partkey AS p,
+      |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem WHERE l_quantity > 0 GROUP BY 1),
+      |u AS (
+      |  SELECT ln(p_retailprice) AS x, ln(CAST(q AS DOUBLE)) AS y
+      |  FROM qty JOIN part ON p = p_partkey WHERE p_retailprice > 0),
+      |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+      |  CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+      |  CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+      |  CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+      |  CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+      |  FROM u),
+      |c AS (SELECT n, sxx * n - sx * sx AS cxx, sxy * n - sx * sy AS cxy,
+      |  syy * n - sy * sy AS cyy, sx, sy FROM s)
+      |SELECT n, round(cxy / cxx, 6) AS slope,
+      |  round((sy - cxy / cxx * sx) / n, 6) AS intercept,
+      |  round(cxy * cxy / (cxx * cyy), 6) AS r2
+      |FROM c""".stripMargin
+
+  /** Gumbel fit on daily maxima of hourly revenue: the 60-day and
+    * 365-day return levels — "how bad is the worst hour we have not
+    * seen yet", which no empirical quantile can extrapolate. */
+  private def q379(s: SparkSession, d: String): DataFrame = {
+    val hourly = t(s, d, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(floor(unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+        .cast("long").as("t"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      .withColumn("day", floor(col("t") / 24).cast("long"))
+    Extremes.gumbelBlockMaxima(hourly, "day", "y", Seq(60L, 365L))
+  }
+
+  private val q379Sql =
+    """WITH g AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600
+      |      AS t,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1),
+      |mx AS (SELECT t // 24 AS b, CAST(MAX(y) AS BIGINT) AS m FROM g
+      |  GROUP BY 1),
+      |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+      |  CAST(SUM(m) AS BIGINT) AS sd,
+      |  SUM(CAST(m AS HUGEINT) * m) AS qd FROM mx),
+      |f AS (SELECT m, CAST(sd AS DOUBLE) / m AS mean,
+      |  (CAST(qd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / m)
+      |    / CAST(m - 1 AS DOUBLE) AS s2 FROM s),
+      |p AS (SELECT m, sqrt(s2) * sqrt(6.0) / pi() AS beta,
+      |  mean - 0.5772156649015329 * (sqrt(s2) * sqrt(6.0) / pi()) AS mu
+      |  FROM f),
+      |rp AS (SELECT CAST(unnest([60, 365]) AS BIGINT) AS t)
+      |SELECT rp.t AS return_period, p.m AS blocks, round(p.mu, 6) AS mu,
+      |  round(p.beta, 6) AS beta,
+      |  round(p.mu - p.beta * ln(-ln(1.0 - 1.0 / rp.t)), 6)
+      |    AS return_level
+      |FROM rp, p ORDER BY return_period""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q361_energy_distance", q361, Some(q361Sql)),
     Q("q362_anova_f", q362, Some(q362Sql)),
@@ -774,5 +893,8 @@ object SignalQueries extends QuerySet {
     Q("q373_nelson_aalen", q373, Some(q373Sql)),
     Q("q374_tail_dependence", q374, Some(q374Sql)),
     Q("q375_activity_streaks", q375, Some(q375Sql)),
-    Q("q376_hurst_rs", q376, Some(q376Sql)))
+    Q("q376_hurst_rs", q376, Some(q376Sql)),
+    Q("q377_croston", q377, Some(q377Sql)),
+    Q("q378_price_elasticity", q378, Some(q378Sql)),
+    Q("q379_gumbel_evt", q379, Some(q379Sql)))
 }

@@ -97,6 +97,20 @@ class RegressionSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(r.getAs[Double]("rho") - 1.0) < 0.1)
   }
 
+  test("ols1 recovers an exact line and refuses constant margins") {
+    import spark.implicits._
+    val line = (1 to 50).map(i => (i.toDouble, 2.0 * i + 1.0))
+      .toDF("x", "y")
+    val r = Regression.ols1(line.repartition(7), "x", "y").head()
+    assert(r.getAs[Double]("slope") == 2.0)
+    assert(r.getAs[Double]("intercept") == 1.0)
+    assert(r.getAs[Double]("r2") == 1.0)
+    assert(intercept[IllegalArgumentException] {
+      Regression.ols1(
+        (1 to 10).map(i => (3.0, i.toDouble)).toDF("x", "y"), "x", "y")
+    }.getMessage.contains("constant"))
+  }
+
   test("granger/dickey-fuller refuse unbounded or degenerate grids") {
     import spark.implicits._
     val tiny = Seq((0L, 1L, 1L), (1L, 1L, 1L)).toDF("t", "x", "y")

@@ -127,4 +127,35 @@ class SmoothingSpec extends AnyFunSuite with SparkSuite {
       Smoothing.holtWinters(df.limit(8), "t", "y", 4, 0.3, 0.1, 0.2)
     }
   }
+
+  test("croston hand-computed three-point fold") {
+    import spark.implicits._
+    // l: 10 → 8.8 → 8.64; p: init 3 → 3.2; fc = 2.7, sba = 2.43
+    val pts = Seq((0L, 10L), (3L, 4L), (7L, 8L)).toDF("day", "z")
+    val r = Smoothing.croston(pts.repartition(2), "day", "z", 0.2).head()
+    assert(r.getAs[Long]("n_points") == 3L && r.getAs[Long]("span") == 7L)
+    assert(math.abs(r.getAs[Double]("z_hat") - 8.64) < 1e-9)
+    assert(math.abs(r.getAs[Double]("p_hat") - 3.2) < 1e-9)
+    assert(math.abs(r.getAs[Double]("croston_forecast") - 2.7) < 1e-9)
+    assert(math.abs(r.getAs[Double]("sba_forecast") - 2.43) < 1e-9)
+  }
+
+  test("croston: perfectly regular demand reads exactly z/q per period") {
+    import spark.implicits._
+    val pts = (0L until 10L).map(i => (i * 2, 5L)).toDF("day", "z")
+    val r = Smoothing.croston(pts, "day", "z", 0.3).head()
+    assert(r.getAs[Double]("croston_forecast") == 2.5)
+  }
+
+  test("croston refuses short series and zero-demand points") {
+    import spark.implicits._
+    assert(intercept[IllegalArgumentException] {
+      Smoothing.croston(Seq((0L, 1L), (1L, 2L)).toDF("day", "z"),
+        "day", "z", 0.2)
+    }.getMessage.contains("points"))
+    assert(intercept[IllegalArgumentException] {
+      Smoothing.croston(Seq((0L, 1L), (1L, 0L), (2L, 2L))
+        .toDF("day", "z"), "day", "z", 0.2)
+    }.getMessage.contains("NONZERO"))
+  }
 }
