@@ -119,6 +119,61 @@ object Correlation {
     * Scale shape: the input must already BE a grid (the Seasonal
     * idiom), loudly bounded at 2¹² positions; the x-ordered lag window
     * and the census windows run on grid rows. */
+  /** Partial Pearson correlation r(x,y | z) — the CONFOUNDER read the
+    * pairwise family (q257/q258) cannot give: x and y can correlate
+    * 0.6 purely because both ride z (volume and revenue both ride
+    * active users); partialling z out answers whether any DIRECT
+    * association remains:
+    *
+    *   r_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²))
+    *
+    * INTEGER-DOMAIN CONTRACT (the ols2 idiom): all three columns
+    * integer-scaled; the nine sufficient statistics are exact
+    * DECIMAL(38,0) sums, every r closes from centered moments in one
+    * fixed double tree — ONE corpus pass, SQL-replayable.
+    * Near-collinearity with z (|r_xz| = 1) refuses. One row:
+    * (n, r_xy, r_xz, r_yz, r_xy_given_z). */
+  def partialPearson(df: DataFrame, xCol: String, yCol: String,
+                     zCol: String): DataFrame = {
+    val d0 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val u = df.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(zCol).isNotNull)
+      .select(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"), col(zCol).cast("long").as("__z"))
+    val r = u.agg(count(lit(1)).as("n"),
+      sum(d0(col("__x"))).as("sx"), sum(d0(col("__y"))).as("sy"),
+      sum(d0(col("__z"))).as("sz"),
+      sum(d0(d0(col("__x")) * col("__x"))).as("sxx"),
+      sum(d0(d0(col("__y")) * col("__y"))).as("syy"),
+      sum(d0(d0(col("__z")) * col("__z"))).as("szz"),
+      sum(d0(d0(col("__x")) * col("__y"))).as("sxy"),
+      sum(d0(d0(col("__x")) * col("__z"))).as("sxz"),
+      sum(d0(d0(col("__y")) * col("__z"))).as("syz")).head()
+    val n = r.getLong(0)
+    require(n >= 4, s"partialPearson needs >= 4 rows, got $n")
+    val Seq(sx, sy, sz, sxx, syy, szz, sxy, sxz, syz) =
+      (1 to 9).map(i => BigDecimal(r.getDecimal(i)))
+    def c(ij: BigDecimal, i: BigDecimal, j: BigDecimal): Double =
+      ij.toDouble * n - i.toDouble * j.toDouble
+    val cxx = c(sxx, sx, sx); val cyy = c(syy, sy, sy)
+    val czz = c(szz, sz, sz)
+    require(cxx > 0.0 && cyy > 0.0 && czz > 0.0,
+      "partialPearson: a constant column")
+    val rxy = c(sxy, sx, sy) / math.sqrt(cxx * cyy)
+    val rxz = c(sxz, sx, sz) / math.sqrt(cxx * czz)
+    val ryz = c(syz, sy, sz) / math.sqrt(cyy * czz)
+    val den = (1.0 - rxz * rxz) * (1.0 - ryz * ryz)
+    require(den > 0.0,
+      "partialPearson: x or y is collinear with z — the partial is " +
+        "undefined")
+    val part = (rxy - rxz * ryz) / math.sqrt(den)
+    val spark = df.sparkSession
+    spark.range(1).select(lit(n).as("n"),
+      round(lit(rxy), 6).as("r_xy"), round(lit(rxz), 6).as("r_xz"),
+      round(lit(ryz), 6).as("r_yz"),
+      round(lit(part), 6).as("r_xy_given_z"))
+  }
+
   /** Empirical upper-tail dependence λ_U(p) — the EXTREMES question
     * every body-of-distribution correlation (q257/q258/q356) leaves
     * open: "when y spikes past its p-quantile, how often does x spike

@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.Tables.t
 import org.apache.spark.sql.expressions.Window
 import graft.operators.{Association, Binning, Cohorts, Correlation, Drift,
-  Extremes, GraphStats, Hurst, Inequality, PrCurve, Regression, Smoothing,
-  Streaks, Survival, Variance}
+  Extremes, GraphStats, Hurst, Inequality, ItemCf, PrCurve, Regression,
+  Smoothing, Streaks, Survival, Turnover, Variance}
 
 /** Round-17 signal/association extensions (q361+): the energy-distance
   * drift closer (the squared-CDF companion to q280's W₁), the
@@ -877,6 +877,119 @@ object SignalQueries extends QuerySet {
       |    AS return_level
       |FROM rp, p ORDER BY return_period""".stripMargin
 
+  /** Item-item CF cosine over order baskets — "bought together", the
+    * recommender primitive beside q169's content cosine and the k-NN
+    * embedding family; min-support 5 shows the pre-join prune lever. */
+  private def q380(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+    ItemCf.itemCosine(li, "b", "i", topK = 20, minSupport = 5L)
+  }
+
+  private val q380Sql =
+    """WITH bi AS (
+      |  SELECT DISTINCT l_orderkey AS b, CAST(l_partkey AS BIGINT) AS i
+      |  FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      |cnt AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM bi
+      |  GROUP BY i HAVING COUNT(*) >= 5),
+      |kept AS (SELECT bi.b, bi.i FROM bi JOIN cnt USING (i)),
+      |pairs AS (
+      |  SELECT x.i AS item_a, y.i AS item_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_both
+      |  FROM kept x JOIN kept y ON x.b = y.b AND x.i < y.i
+      |  GROUP BY 1, 2)
+      |SELECT item_a, item_b, ca.n AS n_a, cb.n AS n_b, n_both,
+      |  round(CAST(n_both AS DOUBLE)
+      |    / sqrt(CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE)), 6)
+      |    AS cosine
+      |FROM pairs JOIN cnt ca ON item_a = ca.i
+      |JOIN cnt cb ON item_b = cb.i
+      |ORDER BY cosine DESC, item_a, item_b LIMIT 20""".stripMargin
+
+  /** Day-over-day active-set turnover: retained/new/churned flows and
+    * the Jaccard stability scalar per consecutive day — the
+    * composition-break read a flat DAU curve hides. */
+  private def q381(s: SparkSession, d: String): DataFrame =
+    Turnover.dayOverDay(t(s, d, "events"), "user_id", "ts")
+
+  private val q381Sql =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id AS u,
+      |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |sizes AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS active FROM days
+      |  GROUP BY d),
+      |ret AS (SELECT b.d AS d, CAST(COUNT(*) AS BIGINT) AS retained
+      |  FROM days a JOIN days b ON a.u = b.u AND a.d = b.d - 1
+      |  GROUP BY 1)
+      |SELECT s.d AS day, p.active AS prev_active, s.active,
+      |  COALESCE(r.retained, 0) AS retained,
+      |  s.active - COALESCE(r.retained, 0) AS new_users,
+      |  p.active - COALESCE(r.retained, 0) AS churned,
+      |  round(CAST(COALESCE(r.retained, 0) AS DOUBLE)
+      |    / CAST(p.active + s.active - COALESCE(r.retained, 0)
+      |      AS DOUBLE), 6) AS jaccard
+      |FROM sizes s JOIN sizes p ON p.d = s.d - 1
+      |LEFT JOIN ret r ON r.d = s.d
+      |ORDER BY day""".stripMargin
+
+  /** Partial correlation of hourly volume and revenue GIVEN distinct
+    * users — does any direct volume-revenue association survive once
+    * the common driver (how many people showed up) is partialled out. */
+  private def q382(s: SparkSession, d: String): DataFrame = {
+    val grid = t(s, d, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(floor(unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+        .cast("long").as("t"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("value") * 100).cast("long")).as("y"),
+        countDistinct(col("user_id")).as("z"))
+    Correlation.partialPearson(grid, "x", "y", "z")
+  }
+
+  private val q382Sql =
+    """WITH g AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600
+      |      AS t,
+      |    CAST(COUNT(*) AS BIGINT) AS x,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS z
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1),
+      |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |  SUM(CAST(z AS HUGEINT)) AS sz,
+      |  SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |  SUM(CAST(y AS HUGEINT) * y) AS syy,
+      |  SUM(CAST(z AS HUGEINT) * z) AS szz,
+      |  SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |  SUM(CAST(x AS HUGEINT) * z) AS sxz,
+      |  SUM(CAST(y AS HUGEINT) * z) AS syz FROM g),
+      |c AS (SELECT n,
+      |  CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+      |    AS cxx,
+      |  CAST(syy AS DOUBLE) * n - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+      |    AS cyy,
+      |  CAST(szz AS DOUBLE) * n - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+      |    AS czz,
+      |  CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+      |    AS cxy,
+      |  CAST(sxz AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE)
+      |    AS cxz,
+      |  CAST(syz AS DOUBLE) * n - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE)
+      |    AS cyz
+      |  FROM s),
+      |rr AS (SELECT n, cxy / sqrt(cxx * cyy) AS rxy,
+      |  cxz / sqrt(cxx * czz) AS rxz, cyz / sqrt(cyy * czz) AS ryz
+      |  FROM c)
+      |SELECT n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+      |  round(ryz, 6) AS r_yz,
+      |  round((rxy - rxz * ryz)
+      |    / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+      |    AS r_xy_given_z
+      |FROM rr""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q361_energy_distance", q361, Some(q361Sql)),
     Q("q362_anova_f", q362, Some(q362Sql)),
@@ -896,5 +1009,8 @@ object SignalQueries extends QuerySet {
     Q("q376_hurst_rs", q376, Some(q376Sql)),
     Q("q377_croston", q377, Some(q377Sql)),
     Q("q378_price_elasticity", q378, Some(q378Sql)),
-    Q("q379_gumbel_evt", q379, Some(q379Sql)))
+    Q("q379_gumbel_evt", q379, Some(q379Sql)),
+    Q("q380_item_cf", q380, Some(q380Sql)),
+    Q("q381_active_turnover", q381, Some(q381Sql)),
+    Q("q382_partial_correlation", q382, Some(q382Sql)))
 }

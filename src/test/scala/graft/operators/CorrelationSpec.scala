@@ -149,6 +149,45 @@ class CorrelationSpec extends AnyFunSuite with SparkSuite {
     assert(r.getAs[Long]("n_joint") == 0L)
   }
 
+  test("partial correlation: a pure common-driver association partials to ~0") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // x and y both ride z plus independent noise: r_xy large, partial ~0
+    val rows = (0 until 400).map { i =>
+      val z = rnd.nextInt(1000).toLong
+      (i.toLong, z + rnd.nextInt(50), z + rnd.nextInt(50), z)
+    }.toDF("t", "x", "y", "z")
+    val r = Correlation.partialPearson(rows.repartition(7), "x", "y", "z")
+      .head()
+    assert(r.getAs[Double]("r_xy") > 0.9)
+    assert(math.abs(r.getAs[Double]("r_xy_given_z")) < 0.15,
+      s"partial=${r.getAs[Double]("r_xy_given_z")}")
+  }
+
+  test("partial correlation: a direct link survives partialling") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val rows = (0 until 400).map { i =>
+      val z = rnd.nextInt(100).toLong
+      val x = rnd.nextInt(1000).toLong + z
+      (i.toLong, x, x + rnd.nextInt(30) + z, z)
+    }.toDF("t", "x", "y", "z")
+    val r = Correlation.partialPearson(rows, "x", "y", "z").head()
+    assert(r.getAs[Double]("r_xy_given_z") > 0.9)
+  }
+
+  test("partial correlation refuses collinearity with z and constants") {
+    import spark.implicits._
+    val coll = (1L to 20L).map(i => (i, i, 2 * i)).toDF("x", "y", "z")
+    assert(intercept[IllegalArgumentException] {
+      Correlation.partialPearson(coll, "x", "y", "z")
+    }.getMessage.contains("collinear"))
+    val const = (1L to 20L).map(i => (i, i, 7L)).toDF("x", "y", "z")
+    assert(intercept[IllegalArgumentException] {
+      Correlation.partialPearson(const, "x", "y", "z")
+    }.getMessage.contains("constant"))
+  }
+
   test("tail dependence refuses bad p and degenerate margins") {
     import spark.implicits._
     val pts = (1L to 20L).map(i => (i, i)).toDF("x", "y")
