@@ -6,7 +6,7 @@ import graft.Tables.t
 import org.apache.spark.sql.expressions.Window
 import graft.operators.{Association, Binning, Cohorts, Correlation, Drift,
   Extremes, GraphStats, Hurst, Inequality, ItemCf, PrCurve, Regression,
-  Smoothing, Streaks, Survival, Turnover, Variance}
+  Smoothing, Streaks, Stylometry, Survival, Turnover, Variance}
 
 /** Round-17 signal/association extensions (q361+): the energy-distance
   * drift closer (the squared-CDF companion to q280's W₁), the
@@ -990,6 +990,91 @@ object SignalQueries extends QuerySet {
       |    AS r_xy_given_z
       |FROM rr""".stripMargin
 
+  /** Weekly growth accounting of HIGH-VALUE purchasers (the sparse
+    * behavior — raw activity is everyone-every-week on this corpus,
+    * which would exercise exactly one branch of the ledger): active =
+    * new + retained + resurrected, churn on the other side, quick
+    * ratio as the "is growth winning" scalar. */
+  private def q383(s: SparkSession, d: String): DataFrame =
+    Turnover.weeklyGrowthAccounting(
+      t(s, d, "events")
+        .filter(col("event_type") === "purchase" && col("value") > 150),
+      "user_id", "ts")
+
+  private val q383Sql =
+    """WITH weeks AS (
+      |  SELECT DISTINCT user_id AS u,
+      |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS w
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND event_type = 'purchase' AND value > 150),
+      |fw AS (SELECT u, MIN(w) AS f FROM weeks GROUP BY u),
+      |flags AS (
+      |  SELECT weeks.u, weeks.w, (weeks.w = fw.f) AS isnew,
+      |    (p.u IS NOT NULL) AS ret
+      |  FROM weeks JOIN fw ON weeks.u = fw.u
+      |  LEFT JOIN weeks p ON p.u = weeks.u AND p.w = weeks.w - 1),
+      |flows AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS active,
+      |  CAST(SUM(CASE WHEN isnew THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS new_users,
+      |  CAST(SUM(CASE WHEN NOT isnew AND ret THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS retained,
+      |  CAST(SUM(CASE WHEN NOT isnew AND NOT ret THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS resurrected
+      |  FROM flags GROUP BY w),
+      |sizes AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM weeks
+      |  GROUP BY w)
+      |SELECT f.w AS week, f.active, f.new_users, f.retained,
+      |  f.resurrected,
+      |  COALESCE(s.n, 0) - f.retained AS churned,
+      |  CASE WHEN COALESCE(s.n, 0) - f.retained > 0 THEN
+      |    round(CAST(f.new_users + f.resurrected AS DOUBLE)
+      |      / CAST(COALESCE(s.n, 0) - f.retained AS DOUBLE), 6)
+      |  END AS quick_ratio
+      |FROM flows f LEFT JOIN sizes s ON s.w = f.w - 1
+      |ORDER BY week""".stripMargin
+
+  /** Burrows' Delta between document sources: function-word-profile
+    * distance — the provenance/template forensics read the
+    * one-metric drift family cannot give. */
+  private def q384(s: SparkSession, d: String): DataFrame =
+    Stylometry.burrowsDelta(t(s, d, "documents"), "text", "source",
+      topWords = 30)
+
+  private val q384Sql =
+    """WITH toks AS (
+      |  SELECT CAST(source AS VARCHAR) AS g,
+      |    UNNEST(string_split(text, ' ')) AS w
+      |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+      |tok2 AS (SELECT g, w FROM toks WHERE w <> ''),
+      |cells AS (SELECT g, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok2
+      |  GROUP BY 1, 2),
+      |grp AS (SELECT DISTINCT g FROM cells),
+      |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM grp),
+      |tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS t FROM cells
+      |  GROUP BY g),
+      |top AS (SELECT w FROM (SELECT w, SUM(c) AS n FROM cells GROUP BY w
+      |  ORDER BY n DESC, w LIMIT 30)),
+      |grid AS (SELECT grp.g, top.w,
+      |  CAST(COALESCE(cells.c, 0) AS DOUBLE) / CAST(tot.t AS DOUBLE)
+      |    AS f
+      |  FROM grp CROSS JOIN top
+      |  LEFT JOIN cells ON cells.g = grp.g AND cells.w = top.w
+      |  JOIN tot ON tot.g = grp.g),
+      |stats AS (SELECT w,
+      |  CAST(SUM(CAST(f AS DECIMAL(38,12))) AS DOUBLE)
+      |    / CAST(kk.k AS DOUBLE) AS mean,
+      |  CAST(SUM(CAST(f * f AS DECIMAL(38,12))) AS DOUBLE)
+      |    / CAST(kk.k AS DOUBLE) AS m2
+      |  FROM grid, kk GROUP BY w, kk.k),
+      |st2 AS (SELECT w, mean, sqrt(m2 - mean * mean) AS sd FROM stats),
+      |z AS (SELECT grid.g, grid.w, (grid.f - st2.mean) / st2.sd AS z
+      |  FROM grid JOIN st2 USING (w))
+      |SELECT a.g AS src_a, b.g AS src_b,
+      |  round(CAST(SUM(CAST(abs(a.z - b.z) AS DECIMAL(38,12)))
+      |    AS DOUBLE) / 30.0, 6) AS delta
+      |FROM z a JOIN z b ON a.w = b.w AND a.g < b.g
+      |GROUP BY 1, 2 ORDER BY delta, src_a, src_b""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q361_energy_distance", q361, Some(q361Sql)),
     Q("q362_anova_f", q362, Some(q362Sql)),
@@ -1012,5 +1097,7 @@ object SignalQueries extends QuerySet {
     Q("q379_gumbel_evt", q379, Some(q379Sql)),
     Q("q380_item_cf", q380, Some(q380Sql)),
     Q("q381_active_turnover", q381, Some(q381Sql)),
-    Q("q382_partial_correlation", q382, Some(q382Sql)))
+    Q("q382_partial_correlation", q382, Some(q382Sql)),
+    Q("q383_growth_accounting", q383, Some(q383Sql)),
+    Q("q384_burrows_delta", q384, Some(q384Sql)))
 }

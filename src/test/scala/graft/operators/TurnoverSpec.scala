@@ -39,4 +39,31 @@ class TurnoverSpec extends AnyFunSuite with SparkSuite {
     assert(out.head.getAs[Long]("retained") == 0L)
     assert(out.head.getAs[Double]("jaccard") == 0.0)
   }
+
+  test("growth accounting: every flow class lands where planted") {
+    import spark.implicits._
+    // weeks (epoch day // 7): pin days inside known weeks
+    // u1 active w0+w1 (retained); u2 active w0 only (churns into w1);
+    // u3 first appears w1 (new); u4 active w0, skips w1, returns w2
+    // (resurrected in w2)
+    def day(week: Long, off: Long) =
+      new Timestamp((week * 7 + off) * 86400000L)
+    val ev = Seq(
+      (1L, day(2800, 1)), (1L, day(2801, 1)),
+      (2L, day(2800, 2)),
+      (3L, day(2801, 3)),
+      (4L, day(2800, 4)), (4L, day(2802, 4)),
+      (1L, day(2802, 5))).toDF("user_id", "t")
+    val out = Turnover.weeklyGrowthAccounting(ev.repartition(3),
+      "user_id", "t").collect()
+      .map(r => (r.getAs[Long]("week"), r.getAs[Long]("active"),
+        r.getAs[Long]("new_users"), r.getAs[Long]("retained"),
+        r.getAs[Long]("resurrected"), r.getAs[Long]("churned")))
+    assert(out.toSeq == Seq(
+      (2800L, 3L, 3L, 0L, 0L, 0L),
+      (2801L, 2L, 1L, 1L, 0L, 2L),
+      (2802L, 2L, 0L, 1L, 1L, 1L)))
+    // identity: active = new + retained + resurrected, every row
+    out.foreach { case (_, a, n, r, res, _) => assert(a == n + r + res) }
+  }
 }
