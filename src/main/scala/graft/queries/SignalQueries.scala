@@ -1075,6 +1075,92 @@ object SignalQueries extends QuerySet {
       |FROM z a JOIN z b ON a.w = b.w AND a.g < b.g
       |GROUP BY 1, 2 ORDER BY delta, src_a, src_b""".stripMargin
 
+  /** Streaming reconciliation monitor — the LedgerMonitor base's first
+    * INTEGRITY-class member (nine monitors now; the other eight watch
+    * distributions). The feed derives each order's stated total from
+    * its own lines, then plants two perturbation classes that land in
+    * DISTINCT batches by construction (k ≡ 7 mod 40 → +12.5%, batch 2
+    * only, must alert; k ≡ 11 mod 40 → +0.5%, batch 1 only, must NOT):
+    * the gate checks the alert fires exactly where planted. */
+  private def q385(s: SparkSession, d: String): DataFrame = {
+    // k ≡ 3 (mod 4) keeps BOTH planted classes (7 and 11 mod 40 are
+    // ≡ 3 mod 4) while quartering the staged feed — the gate's cost is
+    // batch staging, not monitor work
+    val li = t(s, d, "lineitem").filter(col("l_orderkey") % 4 === 3)
+    val cents = li
+      .groupBy(col("l_orderkey").as("k"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cc"))
+    val feed0 = li
+      .select(col("l_orderkey").as("k"),
+        round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .join(cents, "k")
+      .withColumn("stated",
+        when(col("k") % 40 === 7,
+          col("cc") + (col("cc") / 8).cast("long"))
+          .when(col("k") % 40 === 11,
+            col("cc") + (col("cc") / 200).cast("long"))
+          .otherwise(col("cc")))
+      .select(col("k"), col("c"), col("stated"))
+    val srcDir = new java.io.File(Scratch.dir("q385-src"))
+    val base = System.currentTimeMillis()
+    (0 to 4).foreach { i =>
+      val tmp = new java.io.File(Scratch.dir("q385-stage"))
+      feed0.filter(col("k") % 5 === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      tmp.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val dst = new java.io.File(srcDir, s"batch$i.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(base + i * 1000L)
+      }
+    }
+    val store = new graft.store.DocumentStore(s, Scratch.dir("q385-store"))
+    val feed = s.readStream.schema(feed0.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val qy = graft.streaming.ReconcileMonitor.start(feed, store,
+      "rledger", "rverdict", "k", "c", "stated",
+      Scratch.dir("q385-ckpt"))
+    try qy.processAllAvailable() finally qy.stop()
+    store.read("rverdict")
+      .select(col("batch_id"), col("n_keys"), col("n_conflict"),
+        col("n_exact"), col("n_within_0_1"), col("n_within_1"),
+        col("n_within_10"), col("n_beyond"), col("cum_beyond"),
+        col("alert"))
+      .orderBy(col("batch_id"))
+  }
+
+  private val q385Sql =
+    """WITH cents AS (
+      |  SELECT l_orderkey AS k,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS cc
+      |  FROM lineitem WHERE l_orderkey % 4 = 3 GROUP BY 1),
+      |stated AS (SELECT k, cc,
+      |  CASE WHEN k % 40 = 7 THEN cc + cc // 8
+      |       WHEN k % 40 = 11 THEN cc + cc // 200
+      |       ELSE cc END AS pp FROM cents),
+      |banded AS (SELECT k % 5 AS batch_id, abs(cc - pp) AS d, pp
+      |  FROM stated),
+      |bands AS (SELECT batch_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_exact,
+      |  CAST(SUM(CASE WHEN d > 0 AND d * 1000 <= abs(pp)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_within_0_1,
+      |  CAST(SUM(CASE WHEN d * 1000 > abs(pp) AND d * 100 <= abs(pp)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1,
+      |  CAST(SUM(CASE WHEN d * 100 > abs(pp) AND d * 10 <= abs(pp)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_within_10,
+      |  CAST(SUM(CASE WHEN d * 10 > abs(pp) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_beyond
+      |  FROM banded GROUP BY 1)
+      |SELECT batch_id, n_keys, CAST(0 AS BIGINT) AS n_conflict, n_exact,
+      |  n_within_0_1, n_within_1, n_within_10, n_beyond,
+      |  CAST(SUM(n_beyond) OVER (ORDER BY batch_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_beyond,
+      |  (n_beyond > 0) AS alert
+      |FROM bands ORDER BY batch_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q361_energy_distance", q361, Some(q361Sql)),
     Q("q362_anova_f", q362, Some(q362Sql)),
@@ -1099,5 +1185,6 @@ object SignalQueries extends QuerySet {
     Q("q381_active_turnover", q381, Some(q381Sql)),
     Q("q382_partial_correlation", q382, Some(q382Sql)),
     Q("q383_growth_accounting", q383, Some(q383Sql)),
-    Q("q384_burrows_delta", q384, Some(q384Sql)))
+    Q("q384_burrows_delta", q384, Some(q384Sql)),
+    Q("q385_streaming_reconcile", q385, Some(q385Sql)))
 }

@@ -136,4 +136,22 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
   inv("transition entropy") { df =>
     Sequences.transitionEntropy(df, Seq("user"), Seq("v", "w"), "grp")
   }(events)
+
+  inv("energy distance") { df =>
+    Drift.energyDistance(df.filter($"user" % 2 === 0),
+      df.filter($"user" % 2 === 1), "v")
+  }(events)
+
+  inv("upper-tail dependence") { df =>
+    Correlation.upperTailDependence(df, "v", "w", 9, 10)
+  }(events)
+
+  inv("item cosine") { df =>
+    ItemCf.itemCosine(df, "user", "v", topK = 15, minSupport = 2L)
+  }(events)
+
+  inv("burrows delta") { df =>
+    Stylometry.burrowsDelta(df, "text", "grp", topWords = 8)
+  }(events.selectExpr("grp",
+    "concat('w', v % 23, ' w', w % 17, ' w', user % 11) text"))
 }

@@ -67,7 +67,13 @@ class LedgerMonitorSpec extends AnyFunSuite with SparkSuite {
     Case("liveness",
       st => new LivenessMonitor(st, "led", "ver", "src", 2),
       () => Seq("a", "a", "b").toDF("src"),
-      () => Seq[Option[String]](None, None).toDF("src")))
+      () => Seq[Option[String]](None, None).toDF("src")),
+    Case("reconcile",
+      st => new ReconcileMonitor(st, "led", "ver", "k", "c", "p"),
+      () => Seq((1L, 50L, 100L), (1L, 50L, 100L), (2L, 30L, 30L))
+        .toDF("k", "c", "p"),
+      () => Seq((null: java.lang.Long, null: java.lang.Long,
+        null: java.lang.Long)).toDF("k", "c", "p")))
 
   private def snapshot(st: DocumentStore, table: String): Seq[String] =
     if (!st.exists(table)) Seq("<absent>")
