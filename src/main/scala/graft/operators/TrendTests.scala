@@ -324,4 +324,63 @@ object TrendTests {
       picked.map(_.getLong(1)).sum
     } finally pinnedH.release()
   }
+
+  /** Cochran–Armitage trend-in-proportions test (Cochran 1954;
+    * Armitage 1955) — the ORDERED alternative for binary rates that
+    * the suite's omnibus tests throw power away on: χ² (q174) and the
+    * k-proportion comparisons treat tiers as unordered labels, but
+    * "does the conversion rate RISE with priority" is a one-degree
+    * question, and CA spends its single df exactly on the ordered
+    * slope:
+    *
+    *   Z = (Σsᵢxᵢ − p̄·Σsᵢnᵢ) / √(p̄(1−p̄)(Σsᵢ²nᵢ − (Σsᵢnᵢ)²/N))
+    *
+    * with integer tier scores sᵢ, tier totals nᵢ, successes xᵢ,
+    * p̄ = X/N. Z ~ N(0,1) under no trend; its SIGN is the direction.
+    *
+    * Exactness: all five sufficient statistics are exact DECIMAL(38,0)
+    * sums off the tier census (scores are integers by contract); the
+    * close is one fixed double tree. One row: (k, n, pooled_rate,
+    * z_ca). Scale shape: one map-side-combined census onto the tier
+    * grid (metadata-bounded, 2¹⁰ cap). */
+  def cochranArmitage(df: DataFrame, scoreCol: String,
+                      yCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,
+      LongType}
+    val st = df.schema(scoreCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(st),
+      s"cochranArmitage: scoreCol '$scoreCol' is $st — integer tier " +
+        "scores only")
+    val cells = df.filter(col(scoreCol).isNotNull && col(yCol).isNotNull)
+      .select(col(scoreCol).cast("long").as("__s"),
+        col(yCol).cast("boolean").as("__y"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__x"))
+    val spark = df.sparkSession
+    Pinned.withCheckpoint(cells) { cs =>
+      val k = cs.count()
+      require(k >= 2 && k <= (1 << 10),
+        s"cochranArmitage: $k tiers outside [2, 1024]")
+      val d0 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val r = cs.agg(sum(col("__n")).as("n"), sum(col("__x")).as("x"),
+        sum(d0(col("__s")) * col("__x")).as("s1"),
+        sum(d0(col("__s")) * col("__n")).as("s2"),
+        sum(d0(d0(col("__s")) * col("__s")) * col("__n")).as("s3"))
+        .head()
+      val (n, x) = (r.getLong(0), r.getLong(1))
+      require(x > 0 && x < n,
+        s"cochranArmitage: degenerate outcome (x=$x of $n)")
+      val Seq(s1, s2, s3) =
+        (2 to 4).map(i => BigDecimal(r.getDecimal(i)).toDouble)
+      val pbar = x.toDouble / n.toDouble
+      val num = s1 - pbar * s2
+      val v = pbar * (1.0 - pbar) * (s3 - s2 * s2 / n.toDouble)
+      require(v > 0.0, "cochranArmitage: constant tier score")
+      val z = num / math.sqrt(v)
+      spark.range(1).select(lit(k).as("k"), lit(n).as("n"),
+        round(lit(pbar), 6).as("pooled_rate"),
+        round(lit(z), 6).as("z_ca"))
+    }
+  }
 }

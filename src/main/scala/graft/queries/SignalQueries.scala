@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Association, Binning, Cohorts, Correlation, Drift,
-  Extremes, GraphStats, Hurst, Inequality, ItemCf, PrCurve, Regression,
-  Smoothing, Streaks, Stylometry, Survival, Turnover, Variance}
+import graft.operators.{Association, Backtesting, Binning, CalibrationTest,
+  Cohorts, Correlation, Drift, Extremes, GraphStats, Hurst, Inequality,
+  ItemCf, PrCurve, Regression, Smoothing, Streaks, Stylometry, Survival,
+  TrendTests, Turnover, Variance}
 
 /** Round-17 signal/association extensions (q361+): the energy-distance
   * drift closer (the squared-CDF companion to q280's W₁), the
@@ -1161,6 +1162,140 @@ object SignalQueries extends QuerySet {
       |  (n_beyond > 0) AS alert
       |FROM bands ORDER BY batch_id""".stripMargin
 
+  /** Spiegelhalter's Z: are the even-half per-source long-doc rates
+    * CALIBRATED predictions for the odd half — the inferential yes/no
+    * q224's ECE magnitude cannot give. */
+  private def q386(s: SparkSession, d: String): DataFrame = {
+    // split by ALTERNATING BLOCKS of 20 ids: source = doc_id % 20 on
+    // this corpus, so any doc_id-parity split is source-DISJOINT (the
+    // first cut joined to an empty test set — caught by the operator's
+    // empty-census refusal, working as designed)
+    val half = (col("doc_id") / 20).cast("long") % 2
+    val train = t(s, d, "documents")
+      .filter(col("source").isNotNull && col("n_chars").isNotNull &&
+        half === 0)
+      .groupBy(col("source"))
+      .agg((sum(when(col("n_chars") > 250, 1L).otherwise(0L))
+        .cast("double") / count(lit(1)).cast("double")).as("p"))
+    val test = t(s, d, "documents")
+      .filter(col("source").isNotNull && col("n_chars").isNotNull &&
+        half === 1)
+      .join(train, "source")
+      .select(col("p"), (col("n_chars") > 250).as("y"))
+    CalibrationTest.spiegelhalterZ(test, "p", "y")
+  }
+
+  private val q386Sql =
+    """WITH train AS (
+      |  SELECT source,
+      |    CAST(SUM(CASE WHEN n_chars > 250 THEN 1 ELSE 0 END)
+      |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS p
+      |  FROM documents WHERE source IS NOT NULL
+      |    AND n_chars IS NOT NULL AND (doc_id // 20) % 2 = 0
+      |  GROUP BY source),
+      |test AS (SELECT train.p, (d.n_chars > 250) AS y
+      |  FROM documents d JOIN train USING (source)
+      |  WHERE d.source IS NOT NULL AND d.n_chars IS NOT NULL
+      |    AND (d.doc_id // 20) % 2 = 1),
+      |cells AS (SELECT p, y, CAST(COUNT(*) AS BIGINT) AS n FROM test
+      |  GROUP BY 1, 2),
+      |agg AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+      |  CAST(COUNT(*) AS BIGINT) AS cells,
+      |  CAST(SUM(CAST(CAST(n AS DOUBLE)
+      |    * (((CASE WHEN y THEN 1.0 ELSE 0.0 END) - p)
+      |      * (1.0 - 2.0 * p)) AS DECIMAL(38,12))) AS DOUBLE) AS num,
+      |  CAST(SUM(CAST(CAST(n AS DOUBLE)
+      |    * ((1.0 - 2.0 * p) * (1.0 - 2.0 * p) * p * (1.0 - p))
+      |    AS DECIMAL(38,12))) AS DOUBLE) AS den
+      |  FROM cells)
+      |SELECT n, cells, round(num / sqrt(den), 6) AS z FROM agg"""
+      .stripMargin
+
+  /** Kupiec POF backtest of the hourly-revenue 95% VaR: threshold fit
+    * on the first half BY TIME, breach rate tested on the second —
+    * the out-of-sample validation q379's fitted curve leaves open. */
+  private def q387(s: SparkSession, d: String): DataFrame = {
+    val grid = t(s, d, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(floor(unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+        .cast("long").as("t"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+    Backtesting.kupiecPof(grid, "t", "y", qNum = 19, qDen = 20)
+  }
+
+  private val q387Sql =
+    """WITH g AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600
+      |      AS t,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g),
+      |idx AS (SELECT y, CAST(row_number() OVER (ORDER BY t) AS BIGINT)
+      |  AS i FROM g),
+      |tr AS (SELECT y FROM idx, nn WHERE i <= n // 2),
+      |ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM tr),
+      |vl AS (SELECT MIN(y) AS v FROM (
+      |  SELECT y, SUM(c) OVER (ORDER BY y) AS hi FROM (
+      |    SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM tr GROUP BY y)),
+      |  ntr WHERE hi >= (19 * m + 19) // 20),
+      |te AS (SELECT y FROM idx, nn WHERE i > n // 2),
+      |ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt,
+      |  CAST(SUM(CASE WHEN y > vl.v THEN 1 ELSE 0 END) AS BIGINT) AS x
+      |  FROM te, vl),
+      |cl AS (SELECT ntr.m, ct.nt, ct.x, vl.v,
+      |  1.0 - CAST(19 AS DOUBLE) / CAST(20 AS DOUBLE) AS p,
+      |  CAST(ct.x AS DOUBLE) / CAST(ct.nt AS DOUBLE) AS xhat
+      |  FROM ntr, ct, vl)
+      |SELECT m AS n_train, nt AS n_test, v AS var_level,
+      |  round(p, 6) AS expected_rate, x AS breaches,
+      |  round(xhat, 6) AS breach_rate,
+      |  round(-2.0 * (
+      |    (CASE WHEN nt - x = 0 THEN 0.0
+      |      ELSE CAST(nt - x AS DOUBLE) * ln(1.0 - p) END)
+      |    + (CASE WHEN x = 0 THEN 0.0
+      |      ELSE CAST(x AS DOUBLE) * ln(p) END)
+      |    - (CASE WHEN nt - x = 0 THEN 0.0
+      |      ELSE CAST(nt - x AS DOUBLE) * ln(1.0 - xhat) END)
+      |    - (CASE WHEN x = 0 THEN 0.0
+      |      ELSE CAST(x AS DOUBLE) * ln(xhat) END)), 6) AS lr_pof
+      |FROM cl""".stripMargin
+
+  /** Cochran–Armitage: does the fulfilled rate TREND across the five
+    * priority tiers — the one-df ordered alternative the unordered χ²
+    * wastes power on. */
+  private def q388(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+      .filter(col("o_orderpriority").isNotNull &&
+        col("o_orderstatus").isNotNull)
+      .select(col("o_orderpriority").substr(1, 1).cast("long").as("tier"),
+        (col("o_orderstatus") === "F").as("y"))
+    TrendTests.cochranArmitage(o, "tier", "y")
+  }
+
+  private val q388Sql =
+    """WITH cells AS (
+      |  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x
+      |  FROM orders WHERE o_orderpriority IS NOT NULL
+      |    AND o_orderstatus IS NOT NULL
+      |  GROUP BY 1),
+      |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      |  CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS x,
+      |  CAST(SUM(CAST(s AS HUGEINT) * x) AS DOUBLE) AS s1,
+      |  CAST(SUM(CAST(s AS HUGEINT) * n) AS DOUBLE) AS s2,
+      |  CAST(SUM(CAST(s AS HUGEINT) * s * n) AS DOUBLE) AS s3
+      |  FROM cells),
+      |cl AS (SELECT k, n, CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS pbar,
+      |  s1, s2, s3 FROM agg)
+      |SELECT k, n, round(pbar, 6) AS pooled_rate,
+      |  round((s1 - pbar * s2)
+      |    / sqrt(pbar * (1.0 - pbar)
+      |      * (s3 - s2 * s2 / CAST(n AS DOUBLE))), 6) AS z_ca
+      |FROM cl""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q361_energy_distance", q361, Some(q361Sql)),
     Q("q362_anova_f", q362, Some(q362Sql)),
@@ -1186,5 +1321,8 @@ object SignalQueries extends QuerySet {
     Q("q382_partial_correlation", q382, Some(q382Sql)),
     Q("q383_growth_accounting", q383, Some(q383Sql)),
     Q("q384_burrows_delta", q384, Some(q384Sql)),
-    Q("q385_streaming_reconcile", q385, Some(q385Sql)))
+    Q("q385_streaming_reconcile", q385, Some(q385Sql)),
+    Q("q386_spiegelhalter_z", q386, Some(q386Sql)),
+    Q("q387_kupiec_pof", q387, Some(q387Sql)),
+    Q("q388_cochran_armitage", q388, Some(q388Sql)))
 }

@@ -200,4 +200,51 @@ class TrendTestsSpec extends AnyFunSuite with SparkSuite {
       TrendTests.runsTest(const, "t", "v"))
     assert(e.getMessage.contains("degenerate dichotomy"))
   }
+
+  test("cochran-armitage: planted rising trend reads large +Z; flat reads ~0") {
+    import spark.implicits._
+    // tiers 1..5 with rates 10%,20%,...,50%: strong positive trend
+    val rising = (1 to 5).flatMap { s =>
+      (1 to 100).map(i => (s.toLong, i <= s * 10))
+    }.toDF("s", "y")
+    val zUp = TrendTests.cochranArmitage(rising.repartition(7), "s", "y")
+      .head().getAs[Double]("z_ca")
+    assert(zUp > 6.0, s"zUp=$zUp")
+    val flat = (1 to 5).flatMap { s =>
+      (1 to 100).map(i => (s.toLong, i <= 30))
+    }.toDF("s", "y")
+    val zFlat = TrendTests.cochranArmitage(flat, "s", "y")
+      .head().getAs[Double]("z_ca")
+    assert(zFlat == 0.0, s"zFlat=$zFlat")
+    // reversing the scores flips the sign exactly
+    val falling = rising.selectExpr("6 - s AS s", "y")
+    val zDown = TrendTests.cochranArmitage(falling, "s", "y")
+      .head().getAs[Double]("z_ca")
+    assert(math.abs(zDown + zUp) < 1e-6, s"zDown=$zDown zUp=$zUp")
+  }
+
+  test("cochran-armitage hand-computed 2x2 equals the two-proportion z") {
+    import spark.implicits._
+    // scores 0/1: CA reduces to the pooled two-proportion z
+    val rows = (Seq.fill(30)((0L, true)) ++ Seq.fill(70)((0L, false)) ++
+      Seq.fill(50)((1L, true)) ++ Seq.fill(50)((1L, false)))
+      .toDF("s", "y")
+    val z = TrendTests.cochranArmitage(rows, "s", "y")
+      .head().getAs[Double]("z_ca")
+    val (p1, p0, pb) = (0.5, 0.3, 0.4)
+    val want = (p1 - p0) / math.sqrt(pb * (1 - pb) * (1.0 / 100 + 1.0 / 100))
+    assert(math.abs(z - want) < 1e-6, s"z=$z want=$want")
+  }
+
+  test("cochran-armitage refuses fractional scores and degenerate outcomes") {
+    import spark.implicits._
+    assert(intercept[IllegalArgumentException] {
+      TrendTests.cochranArmitage(
+        Seq((1.5, true), (2.5, false)).toDF("s", "y"), "s", "y")
+    }.getMessage.contains("integer"))
+    assert(intercept[IllegalArgumentException] {
+      TrendTests.cochranArmitage(
+        Seq((1L, true), (2L, true), (3L, true)).toDF("s", "y"), "s", "y")
+    }.getMessage.contains("degenerate"))
+  }
 }
