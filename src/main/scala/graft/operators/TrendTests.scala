@@ -325,6 +325,105 @@ object TrendTests {
     } finally pinnedH.release()
   }
 
+  /** Jonckheere–Terpstra ordered-alternative test (Jonckheere 1954;
+    * Terpstra 1952) — [[cochranArmitage]] for VALUES: Kruskal–Wallis
+    * (q319) spends k−1 df asking "do the tiers differ at all"; JT
+    * spends one df on "do the values RISE with tier order", the
+    * question an ordered factor actually poses. JT = Σ_{i<j} U_ij
+    * (Mann–Whitney counts between every ordered tier pair, ties ½).
+    *
+    * The pair space never materializes: over the tiers×values grid,
+    * 2·JT = Σ_{(s,v)} c·(2·P + Q) with P = Σ_{i<s} C_i(<v) and
+    * Q = Σ_{i<s} c_i(v) — two nested cumsum windows (values within
+    * tier, tiers within value), the chatterjee/wasserstein discipline.
+    *
+    * Exactness: 2·JT and 2·E[JT] = (N² − Σnᵢ²)/2 are exact integers;
+    * the null variance uses the FULL Hollander–Wolfe tie correction
+    * (§6.2: three terms from tier sizes nᵢ and tie multiplicities
+    * t_u), every numerator an exact DECIMAL(38,0) sum, the close one
+    * fixed double tree. One row: (k, n, jt2, e2, z).
+    *
+    * Scale shape: one (tier, value) census; the grid explodes to
+    * tiers×values (loudly bounded: k ≤ 64, values ≤ 2²⁰ — wider
+    * domains pre-bucket) and everything runs on grid windows. */
+  def jonckheereTerpstra(df: DataFrame, scoreCol: String,
+                         valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,
+      LongType}
+    Seq(scoreCol, valueCol).foreach { c =>
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"jonckheereTerpstra: '$c' is $dt — integer-scaled only")
+    }
+    val cells = df.filter(col(scoreCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(scoreCol).cast("long").as("__s"),
+        col(valueCol).cast("long").as("__v"))
+      .groupBy(col("__s"), col("__v")).agg(count(lit(1)).as("__c"))
+    val spark = df.sparkSession
+    Pinned.withCheckpoint(cells) { cs =>
+      val tiers = cs.select(col("__s")).distinct()
+      val values = cs.select(col("__v")).distinct()
+      val k = tiers.count(); val nv = values.count()
+      require(k >= 2 && k <= 64,
+        s"jonckheereTerpstra: $k tiers outside [2, 64]")
+      require(nv >= 2 && nv <= (1 << 20),
+        s"jonckheereTerpstra: $nv distinct values outside [2, 2^20] — " +
+          "pre-bucket the value column first")
+      val d0 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val grid = tiers.crossJoin(values)
+        .join(cs, Seq("__s", "__v"), "left")
+        .withColumn("__c0", coalesce(col("__c"), lit(0L)))
+      val wv = Window.partitionBy(col("__s")).orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ws = Window.partitionBy(col("__v")).orderBy(col("__s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val staged = grid
+        .withColumn("__cb", sum(col("__c0")).over(wv) - col("__c0"))
+        .withColumn("__p", sum(col("__cb")).over(ws) - col("__cb"))
+        .withColumn("__q", sum(col("__c0")).over(ws) - col("__c0"))
+      val jt2 = BigDecimal(staged
+        .agg(sum(d0(col("__c0")) * (lit(2) * col("__p") + col("__q"))))
+        .head().getDecimal(0)).toLongExact
+      // tier sizes and tie multiplicities feed E and the tie-corrected
+      // variance (Hollander & Wolfe, Nonparametric Statistical Methods)
+      val tierSums = cs.groupBy(col("__s")).agg(sum(col("__c")).as("__n"))
+        .agg(sum(col("__n")).as("n"),
+          sum(d0(col("__n")) * col("__n")).as("sn2"),
+          sum(d0(col("__n")) * (col("__n") - 1) *
+            (lit(2) * col("__n") + 5)).as("sn25"),
+          sum(d0(col("__n")) * (col("__n") - 1) * (col("__n") - 2))
+            .as("sn3"),
+          sum(d0(col("__n")) * (col("__n") - 1)).as("snn")).head()
+      val tieSums = cs.groupBy(col("__v")).agg(sum(col("__c")).as("__t"))
+        .agg(sum(d0(col("__t")) * (col("__t") - 1) *
+          (lit(2) * col("__t") + 5)).as("st25"),
+          sum(d0(col("__t")) * (col("__t") - 1) * (col("__t") - 2))
+            .as("st3"),
+          sum(d0(col("__t")) * (col("__t") - 1)).as("stt")).head()
+      val n = tierSums.getLong(0)
+      val sn2 = BigDecimal(tierSums.getDecimal(1))
+      val sn25 = BigDecimal(tierSums.getDecimal(2)).toDouble
+      val sn3 = BigDecimal(tierSums.getDecimal(3)).toDouble
+      val snn = BigDecimal(tierSums.getDecimal(4)).toDouble
+      val st25 = BigDecimal(tieSums.getDecimal(0)).toDouble
+      val st3 = BigDecimal(tieSums.getDecimal(1)).toDouble
+      val stt = BigDecimal(tieSums.getDecimal(2)).toDouble
+      val e2 = ((BigDecimal(n) * n - sn2) / 2).toLongExact
+      val nd = n.toDouble
+      val t1 = (nd * (nd - 1.0) * (2.0 * nd + 5.0) - sn25 - st25) / 72.0
+      val t2 = sn3 * st3 / (36.0 * (nd * (nd - 1.0) * (nd - 2.0)))
+      val t3 = snn * stt / (8.0 * (nd * (nd - 1.0)))
+      val v = t1 + t2 + t3
+      require(v > 0.0,
+        "jonckheereTerpstra: zero null variance — a single tier or a " +
+          "constant value column")
+      val z = (jt2 - e2).toDouble / (2.0 * math.sqrt(v))
+      spark.range(1).select(lit(k).as("k"), lit(n).as("n"),
+        lit(jt2).as("jt2"), lit(e2).as("e2"),
+        round(lit(z), 6).as("z_jt"))
+    }
+  }
+
   /** Cochran–Armitage trend-in-proportions test (Cochran 1954;
     * Armitage 1955) — the ORDERED alternative for binary rates that
     * the suite's omnibus tests throw power away on: χ² (q174) and the

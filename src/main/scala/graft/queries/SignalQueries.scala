@@ -1296,6 +1296,74 @@ object SignalQueries extends QuerySet {
       |      * (s3 - s2 * s2 / CAST(n AS DOUBLE))), 6) AS z_ca
       |FROM cl""".stripMargin
 
+  /** Jonckheere–Terpstra: does order VALUE rise with priority tier —
+    * the one-df ordered alternative beside q319's unordered KW and
+    * q388's binary CA, with the full tie-corrected null variance. */
+  private def q389(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+      .filter(col("o_orderpriority").isNotNull &&
+        col("o_totalprice").isNotNull)
+      .select(col("o_orderpriority").substr(1, 1).cast("long").as("tier"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TrendTests.jonckheereTerpstra(o, "tier", "cents")
+  }
+
+  private val q389Sql =
+    """WITH cells AS (
+      |  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS s,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM orders WHERE o_orderpriority IS NOT NULL
+      |    AND o_totalprice IS NOT NULL
+      |  GROUP BY 1, 2),
+      |tiers AS (SELECT DISTINCT s FROM cells),
+      |vals AS (SELECT DISTINCT v FROM cells),
+      |grid AS (SELECT t.s, va.v, COALESCE(c.c, 0) AS c0
+      |  FROM tiers t CROSS JOIN vals va
+      |  LEFT JOIN cells c ON c.s = t.s AND c.v = va.v),
+      |st AS (SELECT s, v, c0,
+      |  SUM(c0) OVER (PARTITION BY s ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c0 AS cb
+      |  FROM grid),
+      |st2 AS (SELECT s, v, c0, cb,
+      |  SUM(cb) OVER (PARTITION BY v ORDER BY s
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cb AS p,
+      |  SUM(c0) OVER (PARTITION BY v ORDER BY s
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c0 AS q
+      |  FROM st),
+      |jt AS (SELECT CAST(SUM(CAST(c0 AS HUGEINT) * (2 * p + q))
+      |  AS BIGINT) AS jt2 FROM st2),
+      |tn AS (SELECT CAST(SUM(nn) AS BIGINT) AS n,
+      |  SUM(CAST(nn AS HUGEINT) * nn) AS sn2,
+      |  SUM(CAST(nn AS HUGEINT) * (nn - 1) * (2 * nn + 5)) AS sn25,
+      |  SUM(CAST(nn AS HUGEINT) * (nn - 1) * (nn - 2)) AS sn3,
+      |  SUM(CAST(nn AS HUGEINT) * (nn - 1)) AS snn
+      |  FROM (SELECT s, CAST(SUM(c) AS BIGINT) AS nn FROM cells
+      |    GROUP BY s)),
+      |tt AS (SELECT
+      |  SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS st25,
+      |  SUM(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS st3,
+      |  SUM(CAST(t AS HUGEINT) * (t - 1)) AS stt
+      |  FROM (SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM cells
+      |    GROUP BY v)),
+      |cl AS (SELECT jt.jt2, tn.n,
+      |  CAST((CAST(tn.n AS HUGEINT) * tn.n - tn.sn2) // 2 AS BIGINT)
+      |    AS e2,
+      |  (CAST(tn.n AS DOUBLE) * (CAST(tn.n AS DOUBLE) - 1.0)
+      |      * (2.0 * CAST(tn.n AS DOUBLE) + 5.0)
+      |    - CAST(tn.sn25 AS DOUBLE) - CAST(tt.st25 AS DOUBLE)) / 72.0
+      |  + CAST(tn.sn3 AS DOUBLE) * CAST(tt.st3 AS DOUBLE)
+      |    / (36.0 * (CAST(tn.n AS DOUBLE) * (CAST(tn.n AS DOUBLE) - 1.0)
+      |      * (CAST(tn.n AS DOUBLE) - 2.0)))
+      |  + CAST(tn.snn AS DOUBLE) * CAST(tt.stt AS DOUBLE)
+      |    / (8.0 * (CAST(tn.n AS DOUBLE) * (CAST(tn.n AS DOUBLE) - 1.0)))
+      |    AS var
+      |  FROM jt, tn, tt)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tiers) AS k, n, jt2,
+      |  e2, round(CAST(jt2 - e2 AS DOUBLE) / (2.0 * sqrt(var)), 6)
+      |    AS z_jt
+      |FROM cl""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q361_energy_distance", q361, Some(q361Sql)),
     Q("q362_anova_f", q362, Some(q362Sql)),
@@ -1324,5 +1392,6 @@ object SignalQueries extends QuerySet {
     Q("q385_streaming_reconcile", q385, Some(q385Sql)),
     Q("q386_spiegelhalter_z", q386, Some(q386Sql)),
     Q("q387_kupiec_pof", q387, Some(q387Sql)),
-    Q("q388_cochran_armitage", q388, Some(q388Sql)))
+    Q("q388_cochran_armitage", q388, Some(q388Sql)),
+    Q("q389_jonckheere", q389, Some(q389Sql)))
 }

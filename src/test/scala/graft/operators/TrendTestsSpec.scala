@@ -236,6 +236,50 @@ class TrendTestsSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(z - want) < 1e-6, s"z=$z want=$want")
   }
 
+  test("jonckheere matches the brute-force pairwise count with ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val rows = (1 to 240).map(i =>
+      ((i % 4 + 1).toLong, rnd.nextInt(12).toLong))
+    val r = TrendTests.jonckheereTerpstra(rows.toDF("s", "v")
+      .repartition(9), "s", "v").head()
+    var jt2 = 0L
+    for (a <- rows; b <- rows if a._1 < b._1) {
+      if (a._2 < b._2) jt2 += 2
+      else if (a._2 == b._2) jt2 += 1
+    }
+    assert(r.getAs[Long]("jt2") == jt2, s"got ${r.getAs[Long]("jt2")}")
+    // E[2JT] = (N^2 - sum n_i^2) / 2 with four tiers of 60
+    assert(r.getAs[Long]("e2") == (240L * 240 - 4 * 60 * 60) / 2)
+  }
+
+  test("jonckheere: planted rising tiers read large +Z, reversal flips it") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val rising = (1 to 4).flatMap { s =>
+      (1 to 80).map(_ => (s.toLong, s * 100L + rnd.nextInt(120)))
+    }.toDF("s", "v")
+    val zUp = TrendTests.jonckheereTerpstra(rising, "s", "v")
+      .head().getAs[Double]("z_jt")
+    assert(zUp > 8.0, s"zUp=$zUp")
+    val zDown = TrendTests.jonckheereTerpstra(
+      rising.selectExpr("5 - s AS s", "v"), "s", "v")
+      .head().getAs[Double]("z_jt")
+    assert(math.abs(zDown + zUp) < 1e-6)
+  }
+
+  test("jonckheere refuses constant values and fractional inputs") {
+    import spark.implicits._
+    assert(intercept[IllegalArgumentException] {
+      TrendTests.jonckheereTerpstra(
+        (1 to 20).map(i => ((i % 3).toLong, 7L)).toDF("s", "v"), "s", "v")
+    }.getMessage.contains("values outside"))
+    assert(intercept[IllegalArgumentException] {
+      TrendTests.jonckheereTerpstra(
+        Seq((1.5, 2L), (2.5, 3L)).toDF("s", "v"), "s", "v")
+    }.getMessage.contains("integer"))
+  }
+
   test("cochran-armitage refuses fractional scores and degenerate outcomes") {
     import spark.implicits._
     assert(intercept[IllegalArgumentException] {
