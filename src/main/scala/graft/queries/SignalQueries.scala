@@ -4,10 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Association, Backtesting, Binning, CalibrationTest,
-  Cohorts, Correlation, Drift, Extremes, GraphStats, Hurst, Inequality,
-  ItemCf, PrCurve, Regression, Smoothing, Streaks, Stylometry, Survival,
-  TrendTests, Turnover, Variance}
+import graft.operators.{Association, Backtesting, Binning, Bridge,
+  CalibrationTest, Cohorts, Correlation, Drift, Extremes, GraphStats,
+  Hurst, Inequality, ItemCf, PrCurve, Regression, Smoothing, Streaks,
+  Stylometry, Survival, TrendTests, Turnover, Variance}
 
 /** Round-17 signal/association extensions (q361+): the energy-distance
   * drift closer (the squared-CDF companion to q280's W₁), the
@@ -1364,6 +1364,50 @@ object SignalQueries extends QuerySet {
       |    AS z_jt
       |FROM cl""".stripMargin
 
+  /** Revenue bridge 1995→1996 per brand: the exact price/volume
+    * waterfall behind the "revenue is up" total — segment rows expose
+    * the mix shifts the aggregate hides, and the two effects sum to
+    * the exact delta identically. */
+  private def q390(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("l_shipdate").isNotNull)
+      .select(col("p_brand").as("brand"),
+        year(col("l_shipdate")).cast("long").as("yr"),
+        round(col("l_quantity")).cast("long").as("q"),
+        round(col("l_extendedprice") * 100).cast("long").as("r"))
+    Bridge.revenueBridge(li, "brand", "yr", "q", "r", 1995L, 1996L)
+  }
+
+  private val q390Sql =
+    """WITH u AS (
+      |  SELECT p_brand AS g, CAST(year(l_shipdate) AS BIGINT) AS p,
+      |    CAST(round(l_quantity) AS BIGINT) AS q,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS r
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate IS NOT NULL AND p_brand IS NOT NULL
+      |    AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      |    AND year(l_shipdate) IN (1995, 1996)),
+      |cells AS (SELECT g,
+      |  CAST(SUM(CASE WHEN p = 1995 THEN q ELSE 0 END) AS BIGINT)
+      |    AS q1,
+      |  CAST(SUM(CASE WHEN p = 1996 THEN q ELSE 0 END) AS BIGINT)
+      |    AS q2,
+      |  CAST(SUM(CASE WHEN p = 1995 THEN r ELSE 0 END) AS BIGINT)
+      |    AS r1,
+      |  CAST(SUM(CASE WHEN p = 1996 THEN r ELSE 0 END) AS BIGINT)
+      |    AS r2
+      |  FROM u GROUP BY g)
+      |SELECT g AS segment, q1 AS qty1, q2 AS qty2, r1 AS rev1_cents,
+      |  r2 AS rev2_cents, r2 - r1 AS delta_cents,
+      |  round(CAST(q2 - q1 AS DOUBLE)
+      |    * (CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)), 6)
+      |    AS volume_effect,
+      |  round((CAST(r2 AS DOUBLE) / CAST(q2 AS DOUBLE)
+      |    - CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE))
+      |    * CAST(q2 AS DOUBLE), 6) AS price_effect
+      |FROM cells ORDER BY segment""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q361_energy_distance", q361, Some(q361Sql)),
     Q("q362_anova_f", q362, Some(q362Sql)),
@@ -1393,5 +1437,6 @@ object SignalQueries extends QuerySet {
     Q("q386_spiegelhalter_z", q386, Some(q386Sql)),
     Q("q387_kupiec_pof", q387, Some(q387Sql)),
     Q("q388_cochran_armitage", q388, Some(q388Sql)),
-    Q("q389_jonckheere", q389, Some(q389Sql)))
+    Q("q389_jonckheere", q389, Some(q389Sql)),
+    Q("q390_revenue_bridge", q390, Some(q390Sql)))
 }
