@@ -38,7 +38,9 @@ object Extremes {
       .agg(max(col(valueCol).cast("long")).as("__m"))
     val r = maxima.agg(count(lit(1)).as("m"),
       sum(col("__m")).as("s"),
-      sum((col("__m") * col("__m")).cast("decimal(38,0)")).as("q")).head()
+      // cast BEFORE the multiply — a cent-scaled block maximum squared
+      // can wrap int64
+      sum(col("__m").cast("decimal(38,0)") * col("__m")).as("q")).head()
     val m = r.getLong(0)
     require(m >= 20,
       s"gumbelBlockMaxima: $m blocks (need >= 20 for a moments fit)")

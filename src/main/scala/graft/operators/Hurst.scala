@@ -60,8 +60,8 @@ object Hurst {
         .withColumn("__cum", sum(col("__v")).over(wb))
         .withColumn("__j", row_number().over(wb).cast("long"))
         .withColumn("__tot", sum(col("__v")).over(full))
-        .withColumn("__totq", sum((col("__v") * col("__v"))
-          .cast("decimal(38,0)")).over(full))
+        .withColumn("__totq", sum(col("__v").cast("decimal(38,0)")
+          * col("__v")).over(full))
         .withColumn("__z",
           col("__cum").cast("double") - col("__j").cast("double") * mu)
         .withColumn("__s2",

@@ -131,7 +131,9 @@ object Variance {
         col(valueCol).cast("long").as("__x"))
     val census = u.groupBy(col("__g"))
       .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"),
-        sum((col("__x") * col("__x")).cast("decimal(38,0)")).as("__q"))
+        // cast BEFORE the multiply — x² of a cent-scaled value can
+        // wrap int64
+        sum(col("__x").cast("decimal(38,0)") * col("__x")).as("__q"))
     // bounded collect BEFORE any driver hold (the Grids discipline): a
     // continuous group column must refuse, not OOM
     val cells = census.limit((1 << 10) + 1).collect().sortBy(_.getString(0))
