@@ -65,4 +65,67 @@ object Rfm {
         col("__mt").cast("double").as("monetary_total"))
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
+
+  /** Per-customer coarse segment at one as-of date — the scoring half
+    * of [[segments]] re-expressed per customer, shared by the snapshot
+    * cells and the [[migration]] cross-tab. Only orders strictly
+    * BEFORE `asOfDate` count (the snapshot must not see the future). */
+  private def segmentAt(orders: DataFrame, custCol: String, tsCol: String,
+                        amountCol: String, asOfDate: String): DataFrame = {
+    val perCust = orders
+      .filter(col(custCol).isNotNull && col(tsCol).isNotNull &&
+        col(amountCol).isNotNull &&
+        to_date(col(tsCol)) < to_date(lit(asOfDate)))
+      .groupBy(col(custCol).as("__cust"))
+      .agg(datediff(to_date(lit(asOfDate)), max(to_date(col(tsCol))))
+          .cast("long").as("__rec"),
+        count(lit(1)).as("__freq"))
+    perCust
+      .withColumn("__r", ntile(5).over(
+        Window.orderBy(col("__rec").desc, col("__cust").asc)))
+      .withColumn("__f", ntile(5).over(
+        Window.orderBy(col("__freq").asc, col("__cust").asc)))
+      .select(col("__cust"),
+        when(col("__r") >= 4 && col("__f") >= 4, lit("champions"))
+          .when(col("__f") >= 4, lit("loyal"))
+          .when(col("__r") >= 4, lit("recent"))
+          .when(col("__r") <= 2 && col("__f") >= 3, lit("at_risk"))
+          .otherwise(lit("hibernating")).as("__seg"))
+  }
+
+  /** RFM segment migration between two as-of snapshots — the FLOW face
+    * of [[segments]]' static cells: each customer present at BOTH
+    * cutoffs lands in exactly one (from, to) transition, and the
+    * matrix says where the champions WENT (a stable champion count can
+    * hide full churn-and-replace — visible only here). Customers with
+    * no orders before the first cutoff are out of frame (they have no
+    * "from"); the snapshot-A scoring sees only pre-A orders, so the
+    * matrix never leaks the future into the past.
+    *
+    * Exactness: both snapshots score by deterministic NTILE over the
+    * (metric, customer) total order; transition counts are exact
+    * BIGINTs; the row share is one closing division.
+    *
+    * Scale shape: two customer-dimension aggregates + NTILEs (the
+    * q320 caveat: the dimension sorts, never the order corpus), one
+    * customer-keyed join, one census onto the 5×5 segment grid. */
+  def migration(orders: DataFrame, custCol: String, tsCol: String,
+                amountCol: String, asOfA: String,
+                asOfB: String): DataFrame = {
+    require(asOfA < asOfB, s"migration: asOfA=$asOfA !< asOfB=$asOfB")
+    val a = segmentAt(orders, custCol, tsCol, amountCol, asOfA)
+      .withColumnRenamed("__seg", "segment_from")
+    val b = segmentAt(orders, custCol, tsCol, amountCol, asOfB)
+      .withColumnRenamed("__seg", "segment_to")
+    val trans = a.join(b, "__cust")
+      .groupBy(col("segment_from"), col("segment_to"))
+      .agg(count(lit(1)).as("customers"))
+    val rowTot = trans.groupBy(col("segment_from"))
+      .agg(sum(col("customers")).as("__rt"))
+    trans.join(rowTot, "segment_from")
+      .select(col("segment_from"), col("segment_to"), col("customers"),
+        round(col("customers").cast("double") / col("__rt").cast("double"),
+          6).as("row_share"))
+      .orderBy(col("segment_from"), col("segment_to"))
+  }
 }

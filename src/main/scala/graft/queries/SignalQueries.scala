@@ -4,10 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Association, Backtesting, Binning, Bridge,
-  CalibrationTest, Cohorts, Correlation, Drift, Extremes, GraphStats,
-  Hurst, Inequality, ItemCf, PrCurve, Regression, Smoothing, Streaks,
-  Stylometry, Survival, TrendTests, Turnover, Variance}
+import graft.operators.{AdoptionOrder, Association, Backtesting, Binning,
+  Bridge, CalibrationTest, Cohorts, Correlation, Drift, Extremes,
+  GraphStats, Hurst, Inequality, ItemCf, PrCurve, Regression, Rfm,
+  Smoothing, Streaks, Stylometry, Survival, TrendTests, Turnover,
+  Variance}
 
 /** Round-17 signal/association extensions (q361+): the energy-distance
   * drift closer (the squared-CDF companion to q280's W₁), the
@@ -1408,6 +1409,86 @@ object SignalQueries extends QuerySet {
       |    * CAST(q2 AS DOUBLE), 6) AS price_effect
       |FROM cells ORDER BY segment""".stripMargin
 
+  /** Adoption-order rules over event types: of the users who ever did
+    * A, how many did A strictly before their first B — the temporal
+    * direction co-occurrence confidence (q204) cannot see. */
+  private def q391(s: SparkSession, d: String): DataFrame =
+    AdoptionOrder.rules(t(s, d, "events"), "user_id", "event_type", "ts")
+
+  private val q391Sql =
+    """WITH firsts AS (
+      |  SELECT user_id AS u, CAST(event_type AS VARCHAR) AS i,
+      |    CAST(MIN(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+      |      AS BIGINT) AS d
+      |  FROM events WHERE user_id IS NOT NULL
+      |    AND event_type IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY 1, 2),
+      |cnt AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM firsts
+      |  GROUP BY i),
+      |pairs AS (SELECT a.i AS type_a, b.i AS type_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_both,
+      |  CAST(SUM(CASE WHEN a.d < b.d THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_ordered
+      |  FROM firsts a JOIN firsts b ON a.u = b.u AND a.i <> b.i
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, ca.n AS n_a, cb.n AS n_b, n_both,
+      |  n_ordered,
+      |  round(CAST(n_ordered AS DOUBLE) / CAST(ca.n AS DOUBLE), 6)
+      |    AS confidence,
+      |  round(CAST(n_ordered AS DOUBLE) / CAST(n_both AS DOUBLE), 6)
+      |    AS directionality
+      |FROM pairs JOIN cnt ca ON type_a = ca.i
+      |JOIN cnt cb ON type_b = cb.i
+      |WHERE n_ordered >= 1
+      |ORDER BY n_ordered DESC, type_a, type_b""".stripMargin
+
+  /** RFM segment migration 1999 → end-of-data: where the champions
+    * WENT — the flow face of q320's static cells; snapshot-A scoring
+    * sees only pre-1999 orders (no future leak). */
+  private def q392(s: SparkSession, d: String): DataFrame =
+    Rfm.migration(t(s, d, "orders"), "o_custkey", "o_orderdate",
+      "o_totalprice", "1999-01-01", "2002-01-01")
+
+  private val q392Sql =
+    """WITH o AS (
+      |  SELECT o_custkey AS c, CAST(o_orderdate AS DATE) AS dt
+      |  FROM orders WHERE o_custkey IS NOT NULL
+      |    AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+      |pa AS (SELECT c,
+      |  CAST(datediff('day', MAX(dt), DATE '1999-01-01') AS BIGINT)
+      |    AS rec,
+      |  CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM o WHERE dt < DATE '1999-01-01' GROUP BY c),
+      |sa AS (SELECT c,
+      |  NTILE(5) OVER (ORDER BY rec DESC, c ASC) AS r,
+      |  NTILE(5) OVER (ORDER BY freq ASC, c ASC) AS f FROM pa),
+      |ga AS (SELECT c, CASE WHEN r >= 4 AND f >= 4 THEN 'champions'
+      |  WHEN f >= 4 THEN 'loyal' WHEN r >= 4 THEN 'recent'
+      |  WHEN r <= 2 AND f >= 3 THEN 'at_risk'
+      |  ELSE 'hibernating' END AS seg FROM sa),
+      |pb AS (SELECT c,
+      |  CAST(datediff('day', MAX(dt), DATE '2002-01-01') AS BIGINT)
+      |    AS rec,
+      |  CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM o WHERE dt < DATE '2002-01-01' GROUP BY c),
+      |sb AS (SELECT c,
+      |  NTILE(5) OVER (ORDER BY rec DESC, c ASC) AS r,
+      |  NTILE(5) OVER (ORDER BY freq ASC, c ASC) AS f FROM pb),
+      |gb AS (SELECT c, CASE WHEN r >= 4 AND f >= 4 THEN 'champions'
+      |  WHEN f >= 4 THEN 'loyal' WHEN r >= 4 THEN 'recent'
+      |  WHEN r <= 2 AND f >= 3 THEN 'at_risk'
+      |  ELSE 'hibernating' END AS seg FROM sb),
+      |tr AS (SELECT ga.seg AS segment_from, gb.seg AS segment_to,
+      |  CAST(COUNT(*) AS BIGINT) AS customers
+      |  FROM ga JOIN gb USING (c) GROUP BY 1, 2),
+      |rt AS (SELECT segment_from, CAST(SUM(customers) AS BIGINT) AS rt
+      |  FROM tr GROUP BY 1)
+      |SELECT tr.segment_from, tr.segment_to, tr.customers,
+      |  round(CAST(tr.customers AS DOUBLE) / CAST(rt.rt AS DOUBLE), 6)
+      |    AS row_share
+      |FROM tr JOIN rt USING (segment_from)
+      |ORDER BY 1, 2""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q361_energy_distance", q361, Some(q361Sql)),
     Q("q362_anova_f", q362, Some(q362Sql)),
@@ -1438,5 +1519,7 @@ object SignalQueries extends QuerySet {
     Q("q387_kupiec_pof", q387, Some(q387Sql)),
     Q("q388_cochran_armitage", q388, Some(q388Sql)),
     Q("q389_jonckheere", q389, Some(q389Sql)),
-    Q("q390_revenue_bridge", q390, Some(q390Sql)))
+    Q("q390_revenue_bridge", q390, Some(q390Sql)),
+    Q("q391_adoption_order", q391, Some(q391Sql)),
+    Q("q392_rfm_migration", q392, Some(q392Sql)))
 }
