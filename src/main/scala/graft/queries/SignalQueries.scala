@@ -1489,6 +1489,91 @@ object SignalQueries extends QuerySet {
       |FROM tr JOIN rt USING (segment_from)
       |ORDER BY 1, 2""".stripMargin
 
+  /** Order-to-ship latency SLA audit per priority tier: exact type-1
+    * p50/p90/p99 (rank ⌈q·n⌉ off the per-tier latency census), the
+    * >90-day breach rate, AND the impossible-latency count (ship
+    * before order — this corpus has them, and an SLA dashboard that
+    * silently averages them in is lying twice). One corpus pass onto
+    * the (tier, day) census; everything after runs on the grid. */
+  private def q393(s: SparkSession, d: String): DataFrame = {
+    val lat = t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate").isNotNull && col("o_orderdate").isNotNull &&
+        col("o_orderpriority").isNotNull)
+      .select(col("o_orderpriority").as("tier"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("lat"))
+    graft.operators.Pinned.withCheckpoint(
+      lat.groupBy(col("tier"), col("lat")).agg(count(lit(1)).as("c"))
+    ) { cells =>
+      val base = cells.groupBy(col("tier"))
+        .agg(sum(col("c")).as("n_lines"),
+          sum(when(col("lat") < 0, col("c")).otherwise(0L)).as("n_invalid"))
+      val valid = cells.filter(col("lat") >= 0)
+      val vn = valid.groupBy(col("tier")).agg(sum(col("c")).as("__nv"))
+      val w = Window.partitionBy(col("tier")).orderBy(col("lat"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = valid.withColumn("__hi", sum(col("c")).over(w))
+        .join(vn, "tier")
+      def pct(q: Int) = cum
+        // floor(x/100) on positives ≡ integer division (Spark `/` on
+        // longs is double division)
+        .filter(col("__hi") >=
+          floor((col("__nv") * q + 99) / 100).cast("long"))
+        .groupBy(col("tier")).agg(min(col("lat")).as(s"p$q"))
+      val breach = valid.filter(col("lat") > 90)
+        .groupBy(col("tier")).agg(sum(col("c")).as("__b"))
+      val out = base.join(vn, "tier")
+        .join(pct(50), "tier").join(pct(90), "tier").join(pct(99), "tier")
+        .join(breach, Seq("tier"), "left")
+        .select(col("tier"), col("n_lines"), col("n_invalid"),
+          col("__nv").as("n_valid"), col("p50"), col("p90"), col("p99"),
+          round(coalesce(col("__b"), lit(0L)).cast("double") /
+            col("__nv").cast("double"), 6).as("breach_rate"))
+        .orderBy(col("tier"))
+      graft.operators.Grids.collectBounded(out, "sla tier grid")
+    }
+  }
+
+  private val q393Sql =
+    """WITH lat AS (
+      |  SELECT o_orderpriority AS tier,
+      |    CAST(datediff('day', CAST(o_orderdate AS DATE),
+      |      CAST(l_shipdate AS DATE)) AS BIGINT) AS lat
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL
+      |    AND o_orderpriority IS NOT NULL),
+      |cells AS (SELECT tier, lat, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM lat GROUP BY 1, 2),
+      |base AS (SELECT tier, CAST(SUM(c) AS BIGINT) AS n_lines,
+      |  CAST(SUM(CASE WHEN lat < 0 THEN c ELSE 0 END) AS BIGINT)
+      |    AS n_invalid
+      |  FROM cells GROUP BY tier),
+      |valid AS (SELECT * FROM cells WHERE lat >= 0),
+      |vn AS (SELECT tier, CAST(SUM(c) AS BIGINT) AS nv FROM valid
+      |  GROUP BY tier),
+      |cum AS (SELECT v.tier, v.lat,
+      |  CAST(SUM(v.c) OVER (PARTITION BY v.tier ORDER BY v.lat
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS hi, vn.nv
+      |  FROM valid v JOIN vn ON v.tier = vn.tier),
+      |p50 AS (SELECT tier, MIN(lat) AS p50 FROM cum
+      |  WHERE hi >= (nv * 50 + 99) // 100 GROUP BY tier),
+      |p90 AS (SELECT tier, MIN(lat) AS p90 FROM cum
+      |  WHERE hi >= (nv * 90 + 99) // 100 GROUP BY tier),
+      |p99 AS (SELECT tier, MIN(lat) AS p99 FROM cum
+      |  WHERE hi >= (nv * 99 + 99) // 100 GROUP BY tier),
+      |br AS (SELECT tier, CAST(SUM(c) AS BIGINT) AS b FROM valid
+      |  WHERE lat > 90 GROUP BY tier)
+      |SELECT base.tier, base.n_lines, base.n_invalid, vn.nv AS n_valid,
+      |  p50.p50, p90.p90, p99.p99,
+      |  round(CAST(COALESCE(br.b, 0) AS DOUBLE) / CAST(vn.nv AS DOUBLE),
+      |    6) AS breach_rate
+      |FROM base JOIN vn USING (tier) JOIN p50 USING (tier)
+      |JOIN p90 USING (tier) JOIN p99 USING (tier)
+      |LEFT JOIN br USING (tier)
+      |ORDER BY tier""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q361_energy_distance", q361, Some(q361Sql)),
     Q("q362_anova_f", q362, Some(q362Sql)),
@@ -1521,5 +1606,6 @@ object SignalQueries extends QuerySet {
     Q("q389_jonckheere", q389, Some(q389Sql)),
     Q("q390_revenue_bridge", q390, Some(q390Sql)),
     Q("q391_adoption_order", q391, Some(q391Sql)),
-    Q("q392_rfm_migration", q392, Some(q392Sql)))
+    Q("q392_rfm_migration", q392, Some(q392Sql)),
+    Q("q393_ship_latency_sla", q393, Some(q393Sql)))
 }
