@@ -111,4 +111,47 @@ object Dispersion {
     Grids.collectBounded(out, "zero-inflation group grid")
     }
   }
+
+  /** Negative-binomial moments fit over a count column — the MODEL
+    * step after [[fano]]'s diagnosis: Fano > 1 says "overdispersed vs
+    * Poisson"; the NB(r, p) moments fit says by HOW MUCH structure —
+    * r̂ = m²/(s²−m) is the clumping parameter (small r = heavy user
+    * heterogeneity, r → ∞ recovers Poisson), and the fitted p̂ = m/s²
+    * feeds the standard count-model machinery (Gamma-mixed Poisson).
+    * Underdispersion (s² ≤ m) refuses — an NB fit there would return
+    * a negative r and poison anything downstream.
+    *
+    * Exactness: n, Σx and Σx² are exact (DECIMAL(38,0) for the
+    * squares); m, the (n−1)-denominator s², r̂, p̂ and the dispersion
+    * index close in one fixed double tree. One row:
+    * (n, mean, variance, dispersion, r_hat, p_hat).
+    *
+    * Scale shape: ONE map-side-combined corpus pass. */
+  def negBinFit(df: DataFrame, countCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,
+      LongType}
+    val dt = df.schema(countCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"negBinFit: '$countCol' is $dt — counts are integers")
+    val u = df.filter(col(countCol).isNotNull && col(countCol) >= 0)
+      .select(col(countCol).cast("long").as("__x"))
+    val r = u.agg(count(lit(1)).as("n"), sum(col("__x")).as("s"),
+      sum(col("__x").cast("decimal(38,0)") * col("__x")).as("q")).head()
+    val n = r.getLong(0)
+    require(n >= 3, s"negBinFit needs >= 3 rows, got $n")
+    val s = r.getLong(1)
+    val q = BigDecimal(r.getDecimal(2)).toDouble
+    val m = s.toDouble / n.toDouble
+    val v = (q - s.toDouble * s.toDouble / n.toDouble) / (n - 1).toDouble
+    require(v > m,
+      f"negBinFit: variance $v%.4f <= mean $m%.4f — not overdispersed; " +
+        "an NB fit is undefined (use Poisson)")
+    val rHat = m * m / (v - m)
+    val pHat = m / v
+    val spark = df.sparkSession
+    spark.range(1).select(lit(n).as("n"), round(lit(m), 6).as("mean"),
+      round(lit(v), 6).as("variance"),
+      round(lit(v / m), 6).as("dispersion"),
+      round(lit(rHat), 6).as("r_hat"), round(lit(pHat), 6).as("p_hat"))
+  }
 }

@@ -1574,6 +1574,124 @@ object SignalQueries extends QuerySet {
       |LEFT JOIN br USING (tier)
       |ORDER BY tier""".stripMargin
 
+  /** Negative-binomial moments fit on the per-(user, week) activity
+    * panel (zero cells included — they carry the dispersion) — the
+    * MODEL step after q294's Fano diagnosis: how much heterogeneity,
+    * as the NB clumping parameter r̂. (The purchase-only panel is
+    * UNDERdispersed at sf0.001 and the operator correctly refuses it
+    * — all-event activity is the overdispersed behavior here.) */
+  private def q394(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val week = (datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+      .cast("long") / 7L).cast("long")
+    val users = ev.filter(col("user_id").isNotNull)
+      .select(col("user_id").as("u")).distinct()
+    val weeks = ev.filter(col("ts").isNotNull)
+      .select(week.as("w")).distinct()
+    val cnt = ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(col("user_id").as("u"), week.as("w"))
+      .agg(count(lit(1)).as("c"))
+    val panel = users.crossJoin(weeks)
+      .join(cnt, Seq("u", "w"), "left")
+      .select(coalesce(col("c"), lit(0L)).as("x"))
+    graft.operators.Dispersion.negBinFit(panel, "x")
+  }
+
+  private val q394Sql =
+    """WITH users AS (SELECT DISTINCT user_id AS u FROM events
+      |  WHERE user_id IS NOT NULL),
+      |weeks AS (SELECT DISTINCT
+      |  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS w
+      |  FROM events WHERE ts IS NOT NULL),
+      |cnt AS (SELECT user_id AS u,
+      |  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS w,
+      |  CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY 1, 2),
+      |panel AS (SELECT COALESCE(cnt.c, 0) AS x
+      |  FROM users CROSS JOIN weeks
+      |  LEFT JOIN cnt ON cnt.u = users.u AND cnt.w = weeks.w),
+      |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(x) AS BIGINT) AS s,
+      |  SUM(CAST(x AS HUGEINT) * x) AS q FROM panel),
+      |cl AS (SELECT n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+      |  (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |    / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS v
+      |  FROM st)
+      |SELECT n, round(m, 6) AS mean, round(v, 6) AS variance,
+      |  round(v / m, 6) AS dispersion,
+      |  round(m * m / (v - m), 6) AS r_hat,
+      |  round(m / v, 6) AS p_hat
+      |FROM cl""".stripMargin
+
+  /** Taylor's power law across users: log(variance) on log(mean) of
+    * per-user daily activity — b ≈ 1 is Poisson-like traffic, b → 2
+    * is bursty/clumped; the fleet-wide burstiness exponent one OLS
+    * away from q350's per-user CV². */
+  private def q395(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val day = datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+      .cast("long")
+    val users = ev.filter(col("user_id").isNotNull)
+      .select(col("user_id").as("u")).distinct()
+    val days = ev.filter(col("ts").isNotNull)
+      .select(day.as("dy")).distinct()
+    val cnt = ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(col("user_id").as("u"), day.as("dy"))
+      .agg(count(lit(1)).as("c"))
+    val perUser = users.crossJoin(days)
+      .join(cnt, Seq("u", "dy"), "left")
+      .select(col("u"), coalesce(col("c"), lit(0L)).as("x"))
+      .groupBy(col("u"))
+      .agg(count(lit(1)).as("nd"), sum(col("x")).as("s"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("q"))
+      .withColumn("m", col("s").cast("double") / col("nd").cast("double"))
+      .withColumn("v", (col("q").cast("double") -
+        col("s").cast("double") * col("s").cast("double") /
+          col("nd").cast("double")) / (col("nd") - 1).cast("double"))
+      .filter(col("m") > 0 && col("v") > 0)
+      .select(log(col("m")).as("x"), log(col("v")).as("y"))
+    Regression.ols1(perUser, "x", "y")
+  }
+
+  private val q395Sql =
+    """WITH users AS (SELECT DISTINCT user_id AS u FROM events
+      |  WHERE user_id IS NOT NULL),
+      |days AS (SELECT DISTINCT
+      |  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dy
+      |  FROM events WHERE ts IS NOT NULL),
+      |cnt AS (SELECT user_id AS u,
+      |  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dy,
+      |  CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY 1, 2),
+      |panel AS (SELECT users.u, COALESCE(cnt.c, 0) AS x
+      |  FROM users CROSS JOIN days
+      |  LEFT JOIN cnt ON cnt.u = users.u AND cnt.dy = days.dy),
+      |pu AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS nd,
+      |  CAST(SUM(x) AS BIGINT) AS s,
+      |  SUM(CAST(x AS HUGEINT) * x) AS q FROM panel GROUP BY u),
+      |mv AS (SELECT u,
+      |  CAST(s AS DOUBLE) / CAST(nd AS DOUBLE) AS m,
+      |  (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |    / CAST(nd AS DOUBLE)) / CAST(nd - 1 AS DOUBLE) AS v
+      |  FROM pu),
+      |pts AS (SELECT ln(m) AS x, ln(v) AS y FROM mv
+      |  WHERE m > 0 AND v > 0),
+      |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+      |  CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+      |  CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+      |  CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+      |  CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+      |  FROM pts),
+      |c AS (SELECT n, sxx * n - sx * sx AS cxx, sxy * n - sx * sy AS cxy,
+      |  syy * n - sy * sy AS cyy, sx, sy FROM st)
+      |SELECT n, round(cxy / cxx, 6) AS slope,
+      |  round((sy - cxy / cxx * sx) / n, 6) AS intercept,
+      |  round(cxy * cxy / (cxx * cyy), 6) AS r2
+      |FROM c""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q361_energy_distance", q361, Some(q361Sql)),
     Q("q362_anova_f", q362, Some(q362Sql)),
@@ -1607,5 +1725,7 @@ object SignalQueries extends QuerySet {
     Q("q390_revenue_bridge", q390, Some(q390Sql)),
     Q("q391_adoption_order", q391, Some(q391Sql)),
     Q("q392_rfm_migration", q392, Some(q392Sql)),
-    Q("q393_ship_latency_sla", q393, Some(q393Sql)))
+    Q("q393_ship_latency_sla", q393, Some(q393Sql)),
+    Q("q394_negbin_fit", q394, Some(q394Sql)),
+    Q("q395_taylors_law", q395, Some(q395Sql)))
 }

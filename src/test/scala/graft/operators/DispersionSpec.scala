@@ -44,4 +44,35 @@ class DispersionSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(p0 - 1.0 / 3.0) < 1e-6)
     assert(math.abs(excess - (1.0 / 3.0 - math.exp(-2.0 / 3.0))) < 1e-5)
   }
+
+  test("negBinFit hand-computed on {0,0,3,5}: r and p from moments") {
+    import spark.implicits._
+    // m = 2, s2 = (0+0+9+25 − 16)/3 = 6; r = 4/(6−2) = 1, p = 2/6
+    val r = Dispersion.negBinFit(Seq(0L, 0L, 3L, 5L).toDF("x")
+      .repartition(3), "x").head()
+    assert(r.getAs[Double]("mean") == 2.0)
+    assert(r.getAs[Double]("variance") == 6.0)
+    assert(r.getAs[Double]("r_hat") == 1.0)
+    assert(math.abs(r.getAs[Double]("p_hat") - 1.0 / 3.0) < 1e-6)
+  }
+
+  test("negBinFit: a planted gamma-mixture recovers small r; refusals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(73)
+    // two user classes with 5x different rates → strong overdispersion
+    val counts = (1 to 600).map { i =>
+      val rate = if (i % 2 == 0) 2 else 10
+      (0 until rate).count(_ => rnd.nextDouble() < 0.9).toLong
+    }
+    val r = Dispersion.negBinFit(counts.toDF("x"), "x").head()
+    assert(r.getAs[Double]("dispersion") > 2.0)
+    assert(r.getAs[Double]("r_hat") < 10.0)
+    // equidispersed/underdispersed refuses
+    assert(intercept[IllegalArgumentException] {
+      Dispersion.negBinFit(Seq.fill(50)(4L).toDF("x"), "x")
+    }.getMessage.contains("overdispersed"))
+    assert(intercept[IllegalArgumentException] {
+      Dispersion.negBinFit(Seq(1.5, 2.5).toDF("x"), "x")
+    }.getMessage.contains("integers"))
+  }
 }
