@@ -325,6 +325,58 @@ object TrendTests {
     } finally pinnedH.release()
   }
 
+  /** Running-records trend test (Foster & Stuart 1954) — the
+    * EXTREMES-sensitive trend read [[mannKendall]]'s pair census is
+    * not: MK weighs every pair equally; the records test counts only
+    * NEW MAXIMA, so a series whose body is flat while its peaks climb
+    * (capacity-style degradation) lights up here first. Under
+    * exchangeability the i-th observation is a record with probability
+    * 1/i, independently: E[R] = H_n, Var[R] = H_n − H_n⁽²⁾,
+    * z = (R − H_n)/√Var.
+    *
+    * Pinned tie rule: a record is a STRICT new maximum (a tie with
+    * the running max is not a record) — the conservative choice for
+    * integer data.
+    *
+    * Exactness: records come from one running-max window over the
+    * bounded grid (exact integers); H_n and H_n⁽²⁾ fold 1/i and 1/i²
+    * doubles through DECIMAL(38,12) ledgers (order-independent); one
+    * closing tree. One row: (n, records, e_records, z_records). */
+  def recordsTest(df: DataFrame, tCol: String, vCol: String): DataFrame = {
+    val g = df.select(col(tCol).cast("long").as("__t"),
+        col(vCol).cast("long").as("__v"))
+      .filter(col("__t").isNotNull && col("__v").isNotNull)
+    val spark = df.sparkSession
+    Pinned.withCheckpoint(g) { gg =>
+      val n = gg.count()
+      require(n >= 10 && n <= (1 << 16),
+        s"recordsTest: $n grid positions outside [10, 65536]")
+      val w = Window.orderBy(col("__t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val idx = Window.orderBy(col("__t"))
+      val r = gg
+        .withColumn("__i", row_number().over(idx).cast("long"))
+        .withColumn("__pm", max(col("__v")).over(w))
+        .agg(
+          sum(when(col("__pm").isNull || col("__v") > col("__pm"), 1L)
+            .otherwise(0L)).as("rec"),
+          sum((lit(1.0) / col("__i").cast("double"))
+            .cast("decimal(38,12)")).as("h1"),
+          sum((lit(1.0) / (col("__i").cast("double") *
+            col("__i").cast("double"))).cast("decimal(38,12)")).as("h2"))
+        .head()
+      val rec = r.getLong(0)
+      val h1 = BigDecimal(r.getDecimal(1)).toDouble
+      val h2 = BigDecimal(r.getDecimal(2)).toDouble
+      val v = h1 - h2
+      require(v > 0.0, "recordsTest: degenerate variance")
+      val z = (rec.toDouble - h1) / math.sqrt(v)
+      spark.range(1).select(lit(n).as("n"), lit(rec).as("records"),
+        round(lit(h1), 6).as("e_records"),
+        round(lit(z), 6).as("z_records"))
+    }
+  }
+
   /** Jonckheere–Terpstra ordered-alternative test (Jonckheere 1954;
     * Terpstra 1952) — [[cochranArmitage]] for VALUES: Kruskal–Wallis
     * (q319) spends k−1 df asking "do the tiers differ at all"; JT

@@ -163,4 +163,68 @@ object Variance {
       round(lit(f), 6).as("f_stat"),
       round(lit(ssb / sst), 6).as("eta_sq"))
   }
+
+  /** One-way random-effects ICC(1) + design effect — the CLUSTERING
+    * answer [[anovaOneWay]]'s fixed-effects F cannot give, on a group
+    * key that is CORPUS-keyed (customers, sessions), not
+    * metadata-bounded: how much of the variance lives BETWEEN clusters
+    * (ICC), and therefore how much a clustered sample's information
+    * shrinks (DEFF = 1 + (m̄−1)·ICC, n_eff = N/DEFF — the number every
+    * cluster-randomized readout silently needs). Unbalanced ANOVA
+    * estimator (Searle): with n₀ = (N − Σnᵢ²/N)/(k−1),
+    * ICC = (MSB − MSW)/(MSB + (n₀−1)·MSW).
+    *
+    * Exactness: the group census stays DISTRIBUTED (no driver collect
+    * — the group key is corpus-cardinality by design); per-group
+    * double terms S²/n and the exact integers n, n² accumulate as
+    * DECIMAL(38,12)/(38,0) ledgers; the close is one fixed double
+    * tree. One row: (k, n, icc, deff, n_eff).
+    *
+    * Scale shape: one map-side-combined census onto the group key, one
+    * ledger aggregate over the census — two shuffles total, nothing
+    * driver-sized anywhere. */
+  def iccOneWay(df: DataFrame, groupCol: String,
+                valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,
+      LongType}
+    val vt = df.schema(valueCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(vt),
+      s"iccOneWay: valueCol '$valueCol' is $vt — integer-scaled only")
+    val census = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__x"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"),
+        sum(col("__x").cast("decimal(38,0)") * col("__x")).as("__q"))
+      .filter(col("__n") >= 2) // singleton clusters carry no within info
+    val r = census.agg(count(lit(1)).as("k"),
+      sum(col("__n")).as("n"), sum(col("__s")).as("s"),
+      sum(col("__q")).as("q"),
+      sum(col("__n").cast("decimal(38,0)") * col("__n")).as("sn2"),
+      sum((col("__s").cast("double") * col("__s").cast("double") /
+        col("__n").cast("double")).cast("decimal(38,12)")).as("a"))
+      .head()
+    val k = r.getLong(0)
+    require(k >= 2, s"iccOneWay: $k clusters with >= 2 rows (need >= 2)")
+    val n = r.getLong(1)
+    val s = r.getLong(2)
+    val q = BigDecimal(r.getDecimal(3)).toDouble
+    val sn2 = BigDecimal(r.getDecimal(4)).toDouble
+    val a = BigDecimal(r.getDecimal(5)).toDouble
+    val cf = s.toDouble * s.toDouble / n.toDouble
+    val ssb = a - cf
+    val ssw = q - a
+    require(ssw > 0.0, "iccOneWay: zero within-cluster variance")
+    val msb = ssb / (k - 1).toDouble
+    val msw = ssw / (n - k).toDouble
+    val n0 = (n.toDouble - sn2 / n.toDouble) / (k - 1).toDouble
+    val icc = (msb - msw) / (msb + (n0 - 1.0) * msw)
+    val mbar = n.toDouble / k.toDouble
+    val deff = 1.0 + (mbar - 1.0) * icc
+    require(deff > 0.0, "iccOneWay: non-positive design effect")
+    val spark = df.sparkSession
+    spark.range(1).select(lit(k).as("k"), lit(n).as("n"),
+      round(lit(icc), 6).as("icc"), round(lit(deff), 6).as("deff"),
+      round(lit(n.toDouble / deff), 6).as("n_eff"))
+  }
 }

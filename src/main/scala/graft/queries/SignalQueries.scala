@@ -1692,6 +1692,90 @@ object SignalQueries extends QuerySet {
       |  round(cxy * cxy / (cxx * cyy), 6) AS r2
       |FROM c""".stripMargin
 
+  /** ICC(1) + design effect of order spend clustered by customer —
+    * how much spend variance lives BETWEEN customers, and what a
+    * customer-clustered sample is really worth (n_eff = N/DEFF): the
+    * number every cluster-randomized readout silently needs. */
+  private def q396(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+      .filter(col("o_custkey").isNotNull && col("o_totalprice").isNotNull)
+      .select(col("o_custkey").as("cust"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    Variance.iccOneWay(o, "cust", "cents")
+  }
+
+  private val q396Sql =
+    """WITH census AS (
+      |  SELECT o_custkey AS g, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS ssum,
+      |    SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+      |      * CAST(round(o_totalprice * 100) AS BIGINT)) AS qsum
+      |  FROM orders WHERE o_custkey IS NOT NULL
+      |    AND o_totalprice IS NOT NULL
+      |  GROUP BY 1 HAVING COUNT(*) >= 2),
+      |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      |  CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(ssum) AS BIGINT) AS s,
+      |  CAST(SUM(qsum) AS DOUBLE) AS q,
+      |  CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS DOUBLE) AS sn2,
+      |  CAST(SUM(CAST(CAST(ssum AS DOUBLE) * CAST(ssum AS DOUBLE)
+      |    / CAST(cnt AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS a
+      |  FROM census),
+      |cl AS (SELECT k, n,
+      |  a - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |    AS ssb,
+      |  q - a AS ssw,
+      |  (CAST(n AS DOUBLE) - sn2 / CAST(n AS DOUBLE))
+      |    / CAST(k - 1 AS DOUBLE) AS n0
+      |  FROM agg),
+      |ms AS (SELECT k, n, ssb / CAST(k - 1 AS DOUBLE) AS msb,
+      |  ssw / CAST(n - k AS DOUBLE) AS msw, n0 FROM cl),
+      |ic AS (SELECT k, n,
+      |  (msb - msw) / (msb + (n0 - 1.0) * msw) AS icc FROM ms),
+      |de AS (SELECT k, n, icc,
+      |  1.0 + (CAST(n AS DOUBLE) / CAST(k AS DOUBLE) - 1.0) * icc
+      |    AS deff FROM ic)
+      |SELECT k, n, round(icc, 6) AS icc, round(deff, 6) AS deff,
+      |  round(CAST(n AS DOUBLE) / deff, 6) AS n_eff
+      |FROM de""".stripMargin
+
+  /** Running-records trend test on hourly revenue: are new all-time
+    * peak hours arriving faster than exchangeability allows — the
+    * extremes-sensitive trend read q252's pair census is not. */
+  private def q397(s: SparkSession, d: String): DataFrame = {
+    val grid = t(s, d, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(floor(unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+        .cast("long").as("t"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+    TrendTests.recordsTest(grid, "t", "y")
+  }
+
+  private val q397Sql =
+    """WITH g AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600
+      |      AS t,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1),
+      |idx AS (SELECT y,
+      |  CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i,
+      |  MAX(y) OVER (ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM g),
+      |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN pm IS NULL OR y > pm THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS rec,
+      |  CAST(SUM(CAST(1.0 / CAST(i AS DOUBLE) AS DECIMAL(38,12)))
+      |    AS DOUBLE) AS h1,
+      |  CAST(SUM(CAST(1.0 / (CAST(i AS DOUBLE) * CAST(i AS DOUBLE))
+      |    AS DECIMAL(38,12))) AS DOUBLE) AS h2
+      |  FROM idx)
+      |SELECT n, rec AS records, round(h1, 6) AS e_records,
+      |  round((CAST(rec AS DOUBLE) - h1) / sqrt(h1 - h2), 6)
+      |    AS z_records
+      |FROM st""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q361_energy_distance", q361, Some(q361Sql)),
     Q("q362_anova_f", q362, Some(q362Sql)),
@@ -1727,5 +1811,7 @@ object SignalQueries extends QuerySet {
     Q("q392_rfm_migration", q392, Some(q392Sql)),
     Q("q393_ship_latency_sla", q393, Some(q393Sql)),
     Q("q394_negbin_fit", q394, Some(q394Sql)),
-    Q("q395_taylors_law", q395, Some(q395Sql)))
+    Q("q395_taylors_law", q395, Some(q395Sql)),
+    Q("q396_icc_design_effect", q396, Some(q396Sql)),
+    Q("q397_records_test", q397, Some(q397Sql)))
 }

@@ -236,6 +236,29 @@ class TrendTestsSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(z - want) < 1e-6, s"z=$z want=$want")
   }
 
+  test("records test: monotone series records everything; ties are not records") {
+    import spark.implicits._
+    val inc = (1L to 50L).map(i => (i, i * 10)).toDF("t", "v")
+    val r = TrendTests.recordsTest(inc, "t", "v").head()
+    assert(r.getAs[Long]("records") == 50L)
+    assert(r.getAs[Double]("z_records") > 20.0)
+    // constant after the first: exactly 1 record (strict > pins ties out)
+    val const = (1L to 50L).map(i => (i, 7L)).toDF("t", "v")
+    assert(TrendTests.recordsTest(const, "t", "v").head()
+      .getAs[Long]("records") == 1L)
+  }
+
+  test("records test: E[R] = H_n on any data; exchangeable data reads |z| small") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    val sh = (1L to 400L).map(i => (i, rnd.nextInt(100000).toLong))
+      .toDF("t", "v")
+    val r = TrendTests.recordsTest(sh.repartition(9), "t", "v").head()
+    val hn = (1 to 400).map(1.0 / _).sum
+    assert(math.abs(r.getAs[Double]("e_records") - hn) < 1e-5)
+    assert(math.abs(r.getAs[Double]("z_records")) < 3.0)
+  }
+
   test("jonckheere matches the brute-force pairwise count with ties") {
     import spark.implicits._
     val rnd = new scala.util.Random(59)

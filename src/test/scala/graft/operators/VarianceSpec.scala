@@ -80,4 +80,43 @@ class VarianceSpec extends AnyFunSuite with SparkSuite {
       Variance.anovaOneWay(wide, "g", "x")
     }.getMessage.contains("outside"))
   }
+
+  test("icc: planted cluster structure reads high; independence reads ~0") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(79)
+    // each cluster has its own level ±small noise → ICC near 1
+    val clustered = (1 to 200).flatMap { g =>
+      val base = rnd.nextInt(10000).toLong
+      (1 to 5).map(_ => (g.toLong, base + rnd.nextInt(10)))
+    }.toDF("g", "x")
+    val hi = Variance.iccOneWay(clustered.repartition(7), "g", "x")
+      .head()
+    assert(hi.getAs[Double]("icc") > 0.95)
+    assert(hi.getAs[Double]("deff") > 4.0) // m̄ = 5, icc ~1 → deff ~5
+    // values independent of cluster → ICC ~ 0, deff ~ 1
+    val indep = (1 to 200).flatMap { g =>
+      (1 to 5).map(_ => (g.toLong, rnd.nextInt(10000).toLong))
+    }.toDF("g", "x")
+    val lo = Variance.iccOneWay(indep, "g", "x").head()
+    assert(math.abs(lo.getAs[Double]("icc")) < 0.1)
+    assert(math.abs(lo.getAs[Double]("deff") - 1.0) < 0.5)
+  }
+
+  test("icc drops singleton clusters and refuses degenerate input") {
+    import spark.implicits._
+    // singletons contribute no within info: result equals the no-
+    // singleton subset
+    val base = (1 to 50).flatMap(g => (1 to 3).map(i =>
+      (g.toLong, (g * 7 + i * 13).toLong)))
+    val withSingles = (base ++ (100 to 120).map(g => (g.toLong, 5L)))
+      .toDF("g", "x")
+    val a = Variance.iccOneWay(withSingles, "g", "x").head()
+    val b = Variance.iccOneWay(base.toDF("g", "x"), "g", "x").head()
+    assert(a.toString == b.toString)
+    assert(intercept[IllegalArgumentException] {
+      Variance.iccOneWay(
+        Seq((1L, 5L), (1L, 5L), (2L, 5L), (2L, 5L)).toDF("g", "x"),
+        "g", "x")
+    }.getMessage.contains("within"))
+  }
 }
