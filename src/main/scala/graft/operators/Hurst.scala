@@ -66,10 +66,23 @@ object Hurst {
           col("__cum").cast("double") - col("__j").cast("double") * mu)
         .withColumn("__s2",
           col("__totq").cast("double") / col("k").cast("double") - mu * mu)
-      val perBlock = rows.groupBy(col("k"), col("__b"))
+      // Constancy is decided EXACTLY (min(v)==max(v) per block), not by
+      // the float s2: E[x²]−μ² can cancel to ≤0 for a large-valued
+      // near-constant block with genuine variance, and silently dropping
+      // such a block would bias the per-scale R/S mean (r16 advisor
+      // finding). Truly constant blocks drop (R/S undefined); a
+      // NON-constant block whose s2 cancels to ≤0 refuses loudly.
+      val perBlock0 = rows.groupBy(col("k"), col("__b"))
         .agg(max(col("__z")).as("__zx"), min(col("__z")).as("__zn"),
-          max(col("__s2")).as("__s2"))
-        .filter(col("__s2") > 0)
+          max(col("__s2")).as("__s2"),
+          max(col("__v")).as("__vx"), min(col("__v")).as("__vn"))
+        .filter(col("__vx") > col("__vn"))
+      val cancelled = perBlock0.filter(col("__s2") <= 0).count()
+      require(cancelled == 0,
+        s"hurstRs: $cancelled non-constant block(s) whose float variance " +
+          "cancelled to <= 0 — values too large for double E[x²]−μ²; " +
+          "rescale the series (e.g. subtract a base offset) first")
+      val perBlock = perBlock0
         .withColumn("__rs",
           (col("__zx") - col("__zn")) / sqrt(col("__s2")))
       val perK = perBlock.groupBy(col("k"))

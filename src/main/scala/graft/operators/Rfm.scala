@@ -106,6 +106,15 @@ object Rfm {
     * (metric, customer) total order; transition counts are exact
     * BIGINTs; the row share is one closing division.
     *
+    * SEGMENTS ARE R/F-ONLY BY DESIGN (r16 advisor note): the coarse
+    * segment rule (champions/loyal/recent/at_risk/hibernating) reads
+    * recency and frequency alone — the same rule [[segments]] applies
+    * to its 5×5×5 cells, where monetary shows up as the m_score axis,
+    * not in the label. `amountCol` is still required here so that BOTH
+    * faces qualify exactly the same rows (an order with a NULL amount
+    * is out of frame in [[segments]] and must be out of frame in the
+    * migration too, or the two surfaces disagree on who exists).
+    *
     * Scale shape: two customer-dimension aggregates + NTILEs (the
     * q320 caveat: the dimension sorts, never the order corpus), one
     * customer-keyed join, one census onto the 5×5 segment grid. */

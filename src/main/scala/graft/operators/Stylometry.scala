@@ -84,6 +84,11 @@ object Stylometry {
       require(cancelled == 0,
         s"burrowsDelta: $cancelled top word(s) whose float variance " +
           "cancelled to <= 0 — lower topWords")
+      // divide by the ACTUAL marker-word count, not the requested one:
+      // limit(topWords) returns fewer words when the corpus vocabulary
+      // is smaller, and dividing by topWords would silently deflate
+      // delta by the missing-word ratio (r16 advisor finding)
+      val nTop = top.count()
       val z = grid.join(broadcast(stats
           .select(col("__w"), col("__mean"), sqrt(col("__var")).as("__sd"))),
         "__w")
@@ -95,7 +100,7 @@ object Stylometry {
         .groupBy(col("a.__g").as("src_a"), col("b.__g").as("src_b"))
         .agg((sum(abs(col("a.__z") - col("b.__z"))
           .cast("decimal(38,12)")).cast("double") /
-          lit(topWords.toDouble)).as("__d"))
+          lit(nTop.toDouble)).as("__d"))
         .select(col("src_a"), col("src_b"), round(col("__d"), 6).as("delta"))
         .orderBy(col("delta"), col("src_a"), col("src_b"))
       Grids.collectBounded(out, "burrowsDelta source-pair grid")

@@ -729,18 +729,22 @@ object SignalQueries extends QuerySet {
       |  CAST(row_number() OVER (PARTITION BY k, blk ORDER BY i)
       |    AS BIGINT) AS j,
       |  CAST(SUM(y) OVER (PARTITION BY k, blk) AS BIGINT) AS tot,
-      |  SUM(CAST(y AS HUGEINT) * y) OVER (PARTITION BY k, blk) AS totq
+      |  SUM(CAST(y AS HUGEINT) * y) OVER (PARTITION BY k, blk) AS totq,
+      |  MAX(y) OVER (PARTITION BY k, blk) AS vx,
+      |  MIN(y) OVER (PARTITION BY k, blk) AS vn
       |  FROM ex),
-      |z AS (SELECT k, blk,
+      |z AS (SELECT k, blk, vx, vn,
       |  CAST(cum AS DOUBLE) - CAST(j AS DOUBLE)
       |    * (CAST(tot AS DOUBLE) / CAST(k AS DOUBLE)) AS z,
       |  CAST(totq AS DOUBLE) / CAST(k AS DOUBLE)
       |    - (CAST(tot AS DOUBLE) / CAST(k AS DOUBLE))
       |      * (CAST(tot AS DOUBLE) / CAST(k AS DOUBLE)) AS s2
       |  FROM win),
-      |bs AS (SELECT k, blk, MAX(z) AS zx, MIN(z) AS zn, MAX(s2) AS s2
+      |bs AS (SELECT k, blk, MAX(z) AS zx, MIN(z) AS zn, MAX(s2) AS s2,
+      |    MAX(vx) AS vx, MAX(vn) AS vn
       |  FROM z GROUP BY k, blk),
-      |rsb AS (SELECT k, (zx - zn) / sqrt(s2) AS rs FROM bs WHERE s2 > 0),
+      |rsb AS (SELECT k, (zx - zn) / sqrt(s2) AS rs FROM bs
+      |  WHERE vx > vn),
       |perk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS blocks,
       |  CAST(SUM(CAST(rs AS DECIMAL(38,12))) AS DOUBLE)
       |    / CAST(COUNT(*) AS DOUBLE) AS rs
@@ -1073,7 +1077,8 @@ object SignalQueries extends QuerySet {
       |  FROM grid JOIN st2 USING (w))
       |SELECT a.g AS src_a, b.g AS src_b,
       |  round(CAST(SUM(CAST(abs(a.z - b.z) AS DECIMAL(38,12)))
-      |    AS DOUBLE) / 30.0, 6) AS delta
+      |    AS DOUBLE) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM top),
+      |    6) AS delta
       |FROM z a JOIN z b ON a.w = b.w AND a.g < b.g
       |GROUP BY 1, 2 ORDER BY delta, src_a, src_b""".stripMargin
 
@@ -1083,7 +1088,16 @@ object SignalQueries extends QuerySet {
     * its own lines, then plants two perturbation classes that land in
     * DISTINCT batches by construction (k ≡ 7 mod 40 → +12.5%, batch 2
     * only, must alert; k ≡ 11 mod 40 → +0.5%, batch 1 only, must NOT):
-    * the gate checks the alert fires exactly where planted. */
+    * the gate checks the alert fires exactly where planted.
+    *
+    * The gate drives the monitor through its batch-replay surface
+    * (`applyBatch`, the exact method the foreachBatch harness calls)
+    * with PINNED batch ids — the r16 advisor flagged the previous
+    * mtime-staged file stream as brittle on coarse-mtime filesystems
+    * (file pickup order could diverge from the k%5 oracle mapping).
+    * The streaming `start` path itself is covered by
+    * ReconcileMonitorSpec's rate-stream case and the other eight
+    * monitor gates that share LedgerMonitor.start. */
   private def q385(s: SparkSession, d: String): DataFrame = {
     // k ≡ 3 (mod 4) keeps BOTH planted classes (7 and 11 mod 40 are
     // ≡ 3 mod 4) while quartering the staged feed — the gate's cost is
@@ -1103,25 +1117,12 @@ object SignalQueries extends QuerySet {
             col("cc") + (col("cc") / 200).cast("long"))
           .otherwise(col("cc")))
       .select(col("k"), col("c"), col("stated"))
-    val srcDir = new java.io.File(Scratch.dir("q385-src"))
-    val base = System.currentTimeMillis()
-    (0 to 4).foreach { i =>
-      val tmp = new java.io.File(Scratch.dir("q385-stage"))
-      feed0.filter(col("k") % 5 === i).coalesce(1)
-        .write.mode("overwrite").parquet(tmp.toString)
-      tmp.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
-        val dst = new java.io.File(srcDir, s"batch$i.parquet")
-        java.nio.file.Files.move(f.toPath, dst.toPath)
-        dst.setLastModified(base + i * 1000L)
-      }
-    }
     val store = new graft.store.DocumentStore(s, Scratch.dir("q385-store"))
-    val feed = s.readStream.schema(feed0.schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
-    val qy = graft.streaming.ReconcileMonitor.start(feed, store,
-      "rledger", "rverdict", "k", "c", "stated",
-      Scratch.dir("q385-ckpt"))
-    try qy.processAllAvailable() finally qy.stop()
+    (0 to 4).foreach { i =>
+      graft.streaming.ReconcileMonitor.applyBatch(
+        feed0.filter(col("k") % 5 === i), i.toLong, store,
+        "rledger", "rverdict", "k", "c", "stated")
+    }
     store.read("rverdict")
       .select(col("batch_id"), col("n_keys"), col("n_conflict"),
         col("n_exact"), col("n_within_0_1"), col("n_within_1"),

@@ -17,6 +17,11 @@ import graft.store.DocumentStore
   * any key lands beyond 10% — with the cumulative beyond count read
   * from the persisted ledger, never from state.
   *
+  * Column contracts: the key column is an opaque grouping handle (any
+  * type — string invoice ids group as-is); the two cents columns must
+  * be exact integers (the bands are integer cross-multiplication), and
+  * a cents value that does not cast to long refuses the batch loudly.
+  *
   * Bands: 0_conflict (one key stated two ways inside a batch — a feed
   * bug the monitor must SURFACE, not average away), 1_exact,
   * 2_within_0_1pct, 3_within_1pct, 4_within_10pct, 5_beyond_10pct.
@@ -39,11 +44,26 @@ final class ReconcileMonitor(
   override protected def ledgerKeys: Seq[String] = Seq("batch_id", "band")
 
   protected def census(batch: DataFrame, bid: Long): DataFrame = {
-    val rows = batch.select(col(keyCol).cast("long").as("__k"),
-        col(childCentsCol).cast("long").as("__c"),
-        col(statedCentsCol).cast("long").as("__p"))
-      .filter(col("__k").isNotNull && col("__c").isNotNull &&
-        col("__p").isNotNull)
+    // The key is only a GROUPING handle — never cast it (an r16 advisor
+    // finding: casting string invoice ids to long nulled every row and
+    // the monitor wrote a clean zero verdict instead of alerting). The
+    // cents columns DO carry an integer contract (exact-band arithmetic
+    // needs exact longs), so a cast that nulls a non-NULL cent value is
+    // a feed-shape bug the monitor must refuse loudly, not filter away.
+    val raw = batch.select(col(keyCol).cast("string").as("__k"),
+        col(childCentsCol).as("__rc"), col(statedCentsCol).as("__rp"))
+      .filter(col("__k").isNotNull && col("__rc").isNotNull &&
+        col("__rp").isNotNull)
+      .withColumn("__c", col("__rc").try_cast("long"))
+      .withColumn("__p", col("__rp").try_cast("long"))
+    val blinded = raw
+      .filter(col("__c").isNull || col("__p").isNull).count()
+    require(blinded == 0,
+      s"ReconcileMonitor: $blinded row(s) in batch $bid carry non-NULL " +
+        s"cents ($childCentsCol/$statedCentsCol) that cast to NULL long " +
+        "— the cents columns must be exact integers; refusing rather " +
+        "than silently blinding the integrity monitor")
+    val rows = raw.select(col("__k"), col("__c"), col("__p"))
     rows.groupBy(col("__k"))
       .agg(sum(col("__c")).as("__cc"), max(col("__p")).as("__pp"),
         countDistinct(col("__p")).as("__ds"))

@@ -45,6 +45,19 @@ class HurstSpec extends AnyFunSuite with SparkSuite {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
+  test("float-cancelled variance on a NON-constant block refuses loudly") {
+    // offset 3e9: E[x²]−μ² in doubles loses the genuine 0.25 variance
+    // entirely (computes exactly 0.0 — verified bit-for-bit) — pre-r17
+    // such blocks silently dropped and biased the per-scale R/S mean;
+    // now a non-constant block with cancelled variance refuses
+    val base = 3000000000L
+    val vals = (0 until 128).map(i => base + (i % 2).toLong)
+    val ex = intercept[IllegalArgumentException] {
+      Hurst.hurstRs(series(vals), "t", "v")
+    }
+    assert(ex.getMessage.contains("cancelled"), ex.getMessage)
+  }
+
   test("refuses short grids and constant series") {
     assert(intercept[IllegalArgumentException] {
       Hurst.hurstRs(series(Seq.fill(20)(1L)), "t", "v")

@@ -34,6 +34,19 @@ class StylometrySpec extends AnyFunSuite with SparkSuite {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
+  test("small vocabulary divides by the ACTUAL marker count, not topWords") {
+    import spark.implicits._
+    // vocabulary is exactly 5 words; asking for 500 markers must give
+    // the same deltas as asking for 5 (pre-r17 the sum was divided by
+    // the REQUESTED 500, deflating every delta by 100×)
+    val df = docs.toDF("src", "text")
+    val want5 = Stylometry.burrowsDelta(df, "text", "src", topWords = 5)
+      .collect().map(_.toString).toSeq
+    val want500 = Stylometry.burrowsDelta(df, "text", "src", topWords = 500)
+      .collect().map(_.toString).toSeq
+    assert(want5 == want500)
+  }
+
   test("refuses zero-variance top words and too few sources") {
     import spark.implicits._
     val same = Seq(("A", "x y z w v"), ("B", "x y z w v"),

@@ -47,6 +47,48 @@ class ReconcileMonitorSpec extends AnyFunSuite with SparkSuite {
     assert(r.getAs[Boolean]("alert"))
   }
 
+  test("string keys group as-is — no numeric-cast blinding") {
+    val st = store()
+    val m = new ReconcileMonitor(st, "led", "ver", "k", "c", "p")
+    // string invoice ids: pre-r17 the long cast nulled every row and
+    // the monitor wrote a clean zero verdict instead of alerting
+    val batch = Seq(("INV-1", 1000L, 1000L), ("INV-2", 100L, 1000L))
+      .toDF("k", "c", "p")
+    m.applyBatch(batch, 0L)
+    val r = st.read("ver").head()
+    assert(r.getAs[Long]("n_keys") == 2L)
+    assert(r.getAs[Long]("n_exact") == 1L)
+    assert(r.getAs[Long]("n_beyond") == 1L)
+    assert(r.getAs[Boolean]("alert"))
+  }
+
+  test("non-integer cents refuse loudly instead of blinding the monitor") {
+    val st = store()
+    val m = new ReconcileMonitor(st, "led", "ver", "k", "c", "p")
+    val batch = Seq(("INV-1", "not-a-number", "1000"))
+      .toDF("k", "c", "p")
+    val ex = intercept[IllegalArgumentException](m.applyBatch(batch, 0L))
+    assert(ex.getMessage.contains("cast to NULL long"))
+  }
+
+  test("the streaming start path lands verdicts through foreachBatch") {
+    val st = store()
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long)]
+    val qy = ReconcileMonitor.start(mem.toDF().toDF("k", "c", "p"), st,
+      "led", "ver", "k", "c", "p",
+      java.nio.file.Files.createTempDirectory("graft-rec-ckpt").toString)
+    try {
+      mem.addData((1L, 1000L, 1000L), (2L, 100L, 1000L))
+      qy.processAllAvailable()
+    } finally qy.stop()
+    val r = st.read("ver").head()
+    assert(r.getAs[Long]("n_exact") == 1L)
+    assert(r.getAs[Long]("n_beyond") == 1L)
+    assert(r.getAs[Boolean]("alert"))
+  }
+
   test("cumulative beyond count ledgers across batches") {
     val st = store()
     val m = new ReconcileMonitor(st, "led", "ver", "k", "c", "p")
