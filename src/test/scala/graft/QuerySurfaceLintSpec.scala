@@ -44,6 +44,10 @@ class QuerySurfaceLintSpec extends AnyFunSuite {
         "q148_hnsw_ef_tune") ++
       fam("point-filtered k-NN = exact k-NN + predicate",
         "q112_knn_filtered", "q30_knn_exact") ++
+      fam("HNSW gate emits the exact top-10 it is required to equal " +
+        "(recall 1.0 enforced in-query) — one exact oracle, graph-served " +
+        "path vs brute force vs predicate variant",
+        "q82_knn_hnsw", "q30_knn_exact", "q112_knn_filtered") ++
       fam("same Jaccard-dedup truth, exact shingle join vs MinHash+LSH",
         "q41_dedup_ngram_jaccard", "q42_dedup_minhash_lsh") ++
       fam("one index-sync oracle, three lifecycle splits (blended/sync/gate)",
