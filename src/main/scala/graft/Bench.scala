@@ -26,13 +26,21 @@ object Bench {
     // the load the run actually started at; if the box never quiets
     // down within the budget we run anyway (a late number beats none)
     // and the elevated start load self-documents the capture.
+    // r16 finding: the driver's capture STARTED at loadavg 5.69 (the
+    // 900 s budget expired) and the whole kNN family read 1.3-1.6×
+    // slower with zero code cause. The wait budget is now 3600 s, and
+    // a capture that still starts loud self-labels `dirty_capture`
+    // prominently in the JSON so a drifted number is machine-readably
+    // untrustworthy rather than silently published as the round figure.
     val quietBelow = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_LOAD", "2.0").toDouble
-    val quietWaitMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT_SEC", "900").toLong
+    val quietWaitMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT_SEC", "3600").toLong
     val waitT0 = System.nanoTime()
     while (loadavg >= quietBelow &&
         (System.nanoTime() - waitT0) / 1e9 < quietWaitMax)
       Thread.sleep(5000)
     val quietWaited = (System.nanoTime() - waitT0) / 1e9
+    val startLoad = loadavg
+    val dirtyStart = startLoad >= quietBelow
     // one warm-up pass over a cheap query to absorb codegen/JIT cost
     qmap(names.head)(spark, sfDir).count()
     // POLLUTION TRIPWIRE (r13 finding: one query leaking localCheckpoint
@@ -68,8 +76,13 @@ object Bench {
       (rt.totalMemory() - rt.freeMemory()) / (1024L * 1024L)
     }
     // CONVERGED interleaved passes: full passes over the headline list,
-    // repeated until the pass total's pass-over-pass delta is <10% (min
-    // 3 passes, cap 6), per-query median over the LAST three passes.
+    // repeated until TWO CONSECUTIVE pass totals agree within 5% (min
+    // 3 passes, cap 8 — tightened from 10%/6 per the r16 verdict after
+    // a 3-pass capture with a non-monotone tail published a 1.3-1.6×
+    // uniform kNN drift). Per-query numbers are published from the
+    // AGREEING PAIR (the min of the last two passes — the steady-state
+    // estimator a transient co-scheduling stall cannot inflate), and
+    // `published_pass` records which pass each query's number came from.
     // Interleaving spreads a transient co-scheduling stall across
     // different queries' single runs, which the per-query median then
     // rejects (observed: the same query swinging 0.7 s ↔ 7.7 s between
@@ -91,7 +104,7 @@ object Bench {
     def passTotal(p: Map[String, Double]): Double =
       names.map(n => math.max(p(n), 0.0)).sum
     val minPasses = 3
-    val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_PASSES", "6").toInt
+    val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_PASSES", "8").toInt
     var converged = false
     while (passes.length < maxPasses && !converged) {
       sweptInPass = 0
@@ -102,23 +115,30 @@ object Bench {
       if (passes.length >= minPasses) {
         val t1 = passTotal(passes(passes.length - 2))
         val t2 = passTotal(passes.last)
-        converged = math.abs(t1 - t2) <= 0.10 * math.max(t1, t2)
+        converged = math.abs(t1 - t2) <= 0.05 * math.max(t1, t2)
       }
     }
-    val window = passes.takeRight(3)
+    // publish from the agreeing pair: per query, the faster of the last
+    // two passes, with the pass index recorded (1-based)
+    val lastIdx = passes.length - 1
     val results = names.map { name =>
-      val ts = window.map(_(name))
-      name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.length / 2))
+      val a = passes(lastIdx - 1)(name)
+      val b = passes(lastIdx)(name)
+      if (a < 0 || b < 0) name -> (-1.0, -1)
+      else if (a <= b) name -> (a, lastIdx) // 1-based: pass lastIdx-1+1
+      else name -> (b, lastIdx + 1)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val publishedPass = results.map { case (k, (_, p)) => "\"" + k + "\":" + p }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
     def fmt(d: Double): String = "%.3f".format(d)
     val passTotals = passes.map(p => fmt(passTotal(p))).mkString("[", ",", "]")
     val loadsJson = loads.map(fmt).mkString("[", ",", "]")
     val sweptJson = swept.mkString("[", ",", "]")
     val heapsJson = heaps.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passTotals,"converged":$converged,"loadavg":$loadsJson,"swept_rdds":$sweptJson,"heap_used_mb":$heapsJson,"quiet_waited_sec":${fmt(quietWaited)},"cpus":$cpus}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passTotals,"converged":$converged,"published_pass":$publishedPass,"dirty_capture":$dirtyStart,"start_loadavg":${fmt(startLoad)},"loadavg":$loadsJson,"swept_rdds":$sweptJson,"heap_used_mb":$heapsJson,"quiet_waited_sec":${fmt(quietWaited)},"cpus":$cpus}""")
     spark.stop()
   }
 }
