@@ -1605,7 +1605,193 @@ object RagQueries extends QuerySet {
       |  ks_num * 4 >= nb * nr AS alert
       |FROM m JOIN tot ON tot.b = m.b ORDER BY batch_id""".stripMargin
 
+  // ------------------------------------------------------- q398 chat turn
+
+  /** SQL-replayable embedder for the q398 chat-turn gate: four exact
+    * integer counts (a constant 1, words, chars, 'e's) as the vector, so
+    * DuckDB recomputes every corpus and probe vector from the text and
+    * the cosine replays bit-for-bit (counts are exact in float32; the
+    * codegen cosine accumulates in double exactly like DuckDB's
+    * list_cosine_similarity over DOUBLE lists — the q30 parity). The
+    * REAL plumbing is unchanged: this embedder rides
+    * Embed.withEmbedding's batched mapPartitions stage and the
+    * config-selected searcher exactly like HashProjectionEmbedder. */
+  private final class CountEmbedder extends graft.embed.Embedder {
+    override def dims: Int = 4
+    override def embed(batch: Seq[String]): Seq[Array[Float]] =
+      batch.map { t0 =>
+        val t = if (t0 == null) "" else t0
+        val words = if (t.isEmpty) 0f else (t.count(_ == ' ') + 1).toFloat
+        Array(1f, words, t.length.toFloat, t.count(_ == 'e').toFloat)
+      }
+  }
+
+  /** Deterministic stub completion whose TEXT encodes the assembled
+    * prompt sizes — `tokens <systemTokens> plus <userTokens>` — so the
+    * oracle verifies the window/trim math through the committed
+    * completion rows, not just the counters (a one-token drift anywhere
+    * in W1/T5 changes the committed text and the hash). */
+  private final class SqlReplayClient extends graft.rag.CompletionClient {
+    override def complete(systemPrompt: String,
+                          userPrompt: String): (String, Int, Int) = {
+      val st = graft.functions.Tokenizer.count(systemPrompt)
+      val ut = graft.functions.Tokenizer.count(userPrompt)
+      val text = s"tokens $st plus $ut"
+      (text, st + ut, graft.functions.Tokenizer.count(text))
+    }
+  }
+
+  private val chatQs = Seq(
+    "what products are in the bike catalog",
+    "tell me about recent orders and shipping",
+    "summarize the customer feedback please")
+
+  /** §3.1 — the reference's canonical chat turn END TO END, gated
+    * (ChatService.cs:119-165): embed prompt → V2 cosine top-k over the
+    * ingested corpus → W1 history window (budget 12, tight enough that
+    * turn 3 drops turn 1 — the `<=`-after-increment quirk engaged) →
+    * T5 proportional trim (budget 300; the float-percentage
+    * Math.Round(half-even) path taken every turn) → completion → TX1
+    * single-commit (session row + prompt + completion) with the A1
+    * running TokensUsed total. Three turns, so the window and the
+    * running total both carry state across commits.
+    *
+    * Determinism: pinned session id, [[CountEmbedder]] vectors and
+    * [[SqlReplayClient]] completions are pure functions of text, and the
+    * committed output drops the UUID/timestamp columns (their ORDER is
+    * implied by the window contents the oracle replays). The corpus is
+    * sanitized to single-spaced [a-z ] words so the `{"text":...}`
+    * retrieval JSON concatenates identically in both engines; the oracle
+    * replays the TOKENIZER ITSELF via regexp_extract_all over the same
+    * lexer pattern, then the whole window/trim/commit dataflow
+    * relationally. */
+  private def q398(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id").cast("long").as("id"),
+        array_join(slice(split(trim(regexp_replace(regexp_replace(
+          lower(col("text")), "[^a-z ]", ""), " +", " ")), " "), 1, 30), " ")
+          .as("text"))
+      .filter(col("text") =!= "")
+    val store = new DocumentStore(s, Scratch.dir("q398-store"))
+    val eng = new graft.rag.ChatEngine(s, store,
+      embedder = new CountEmbedder,
+      completions = new SqlReplayClient,
+      maxConversationTokens = 12,
+      maxCompletionTokens = 300)
+    eng.ingest("corpus", docs, "text")
+    val sid = eng.createSession("chat gate", id = "gate-session")
+    chatQs.foreach(q => eng.complete(sid, "corpus", q))
+    store.read(eng.CompletionsTable)
+      .select(col("Type").as("type"),
+        coalesce(col("Sender"), lit("")).as("sender"),
+        coalesce(col("Tokens"), lit(-1)).cast("long").as("tokens"),
+        coalesce(col("PromptTokens"), lit(-1)).cast("long").as("prompt_tokens"),
+        coalesce(col("TokensUsed"), lit(-1)).cast("long").as("tokens_used"),
+        coalesce(col("Name"), lit("")).as("name"),
+        coalesce(col("Text"), lit("")).as("text"))
+      .orderBy(col("type"), col("sender"), col("text"), col("tokens"))
+  }
+
+  /** The q398 oracle is GENERATED per turn (the three turns share one
+    * template), replaying: the corpus sanitize + count-embed, cosine
+    * top-10 (string_agg in (sim DESC, id) order), the engine's token
+    * LEXER itself (regexp_extract_all over the identical pattern), the
+    * W1 running-sum window (filter on a desc running sum == takeWhile,
+    * tokens being non-negative), the T5 float-percentage trim with
+    * half-even rounding, the stub completion, and the A1 total. */
+  private val q398Sql: String = {
+    val pat = """ ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"""
+    def tok(x: String) = s"len(regexp_extract_all($x, '$pat'))"
+    def rint(x: String) =
+      s"(CASE WHEN ($x) - floor($x) = 0.5 THEN floor($x) + " +
+        s"CAST(CAST(floor($x) AS BIGINT) % 2 AS DOUBLE) " +
+        s"ELSE floor(($x) + 0.5) END)"
+    def qvec(q: String) =
+      s"[CAST(1 AS DOUBLE), CAST(length('$q') - length(replace('$q', ' ', '')) + 1 AS DOUBLE), " +
+        s"CAST(length('$q') AS DOUBLE), CAST(length('$q') - length(replace('$q', 'e', '')) AS DOUBLE)]"
+    val sys = "'You are an intelligent assistant for the Cosmic Works Bike Company.' " +
+      "|| chr(10) || 'You are designed to provide helpful answers to user questions about' " +
+      "|| chr(10) || 'products and orders, using only the provided JSON strings.'"
+    // one turn: retrieval, assembled sizes, trim, stub completion
+    def turn(k: Int, q: String, histSql: String): String = {
+      val ql = s"'$q'"
+      s"""r$k AS (SELECT string_agg('{"text":"' || ctext || '"}', ' ' ORDER BY sim DESC, id) AS retrieved
+         |  FROM (SELECT ctext, id, list_cosine_similarity(v, ${qvec(q)}) AS sim
+         |        FROM emb ORDER BY sim DESC, id LIMIT 10)),
+         |h$k AS ($histSql),
+         |a$k AS (SELECT retrieved, conversation,
+         |    ${tok("retrieved")} AS rag, ${tok("conversation")} AS cnv,
+         |    ${tok(ql)} AS up
+         |  FROM r$k, h$k),
+         |a${k}t AS (SELECT *, rag + cnv + up + 200 AS total FROM a$k),
+         |b${k}0 AS (SELECT *,
+         |    CAST(CAST(rag AS REAL) - (CAST(rag AS REAL) / CAST(total AS REAL)) * CAST(total - 300 AS REAL) AS DOUBLE) AS xr,
+         |    CAST(CAST(cnv AS REAL) - (CAST(cnv AS REAL) / CAST(total AS REAL)) * CAST(total - 300 AS REAL) AS DOUBLE) AS xc
+         |  FROM a${k}t),
+         |b$k AS (SELECT *,
+         |    CASE WHEN total > 300 THEN CAST(${rint("xr")} AS BIGINT) ELSE rag END AS nrag,
+         |    CASE WHEN total > 300 THEN CAST(${rint("xc")} AS BIGINT) ELSE cnv END AS ncnv
+         |  FROM b${k}0),
+         |c$k AS (SELECT *,
+         |    CASE WHEN total > 300 THEN COALESCE(array_to_string((regexp_extract_all(retrieved, '$pat'))[1:nrag], ''), '') ELSE retrieved END AS augmented,
+         |    CASE WHEN total > 300 THEN COALESCE(array_to_string((regexp_extract_all(conversation, '$pat'))[(cnv - ncnv + 1):cnv], ''), '') ELSE conversation END AS trimmedconv
+         |  FROM b$k),
+         |d$k AS (SELECT ${tok(s"$sys || chr(10) || augmented")} AS st,
+         |    ${tok(s"trimmedconv || chr(10) || $ql")} AS ut
+         |  FROM c$k),
+         |f$k AS (SELECT st, ut, st + ut AS ptok,
+         |    ${tok(s"'tokens ' || CAST(st AS VARCHAR) || ' plus ' || CAST(ut AS VARCHAR)")} AS ctok,
+         |    'tokens ' || CAST(st AS VARCHAR) || ' plus ' || CAST(ut AS VARCHAR) AS ctext
+         |  FROM d$k)""".stripMargin
+    }
+    // W1 history: running sum over (ord DESC) filtered to the budget ==
+    // takeWhile, then string_agg back in ascending order
+    def hist(rows: String): String =
+      s"""SELECT COALESCE(string_agg(txt, chr(10) ORDER BY ord), '') AS conversation FROM (
+         |  SELECT ord, txt FROM (
+         |    SELECT ord, txt, SUM(tk) OVER (ORDER BY ord DESC) AS cum FROM ($rows))
+         |  WHERE cum <= 12)""".stripMargin
+    val Seq(q1, q2, q3) = chatQs
+    val m2 =
+      s"""SELECT 1 AS ord, ${tok(s"'$q1'")} AS tk, '$q1' AS txt
+         |    UNION ALL SELECT 2, ctok, ctext FROM f1""".stripMargin
+    val m3 =
+      s"""$m2
+         |    UNION ALL SELECT 3, ${tok(s"'$q2'")}, '$q2'
+         |    UNION ALL SELECT 4, ctok, ctext FROM f2""".stripMargin
+    s"""WITH corpus AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS id,
+       |    array_to_string((string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')), ' '))[1:30], ' ') AS ctext
+       |  FROM documents WHERE doc_id < 200),
+       |cp AS (SELECT id, ctext FROM corpus WHERE ctext <> ''),
+       |emb AS (SELECT id, ctext, [CAST(1 AS DOUBLE),
+       |    CAST(length(ctext) - length(replace(ctext, ' ', '')) + 1 AS DOUBLE),
+       |    CAST(length(ctext) AS DOUBLE),
+       |    CAST(length(ctext) - length(replace(ctext, 'e', '')) AS DOUBLE)] AS v
+       |  FROM cp),
+       |${turn(1, q1, "SELECT '' AS conversation")},
+       |${turn(2, q2, hist(m2))},
+       |${turn(3, q3, hist(m3))},
+       |out AS (
+       |  SELECT 'Message' AS type, 'User' AS sender, CAST(${tok(s"'$q1'")} AS BIGINT) AS tokens,
+       |    CAST(0 AS BIGINT) AS prompt_tokens, CAST(-1 AS BIGINT) AS tokens_used, '' AS name, '$q1' AS text
+       |  UNION ALL SELECT 'Message', 'User', ${tok(s"'$q2'")}, 0, -1, '', '$q2'
+       |  UNION ALL SELECT 'Message', 'User', ${tok(s"'$q3'")}, 0, -1, '', '$q3'
+       |  UNION ALL SELECT 'Message', 'Assistant', ctok, ptok, -1, '', ctext FROM f1
+       |  UNION ALL SELECT 'Message', 'Assistant', ctok, ptok, -1, '', ctext FROM f2
+       |  UNION ALL SELECT 'Message', 'Assistant', ctok, ptok, -1, '', ctext FROM f3
+       |  UNION ALL SELECT 'Session', '', -1, -1,
+       |    (SELECT ${tok(s"'$q1'")} + ptok + ctok FROM f1)
+       |      + (SELECT ${tok(s"'$q2'")} + ptok + ctok FROM f2)
+       |      + (SELECT ${tok(s"'$q3'")} + ptok + ctok FROM f3),
+       |    'chat gate', '')
+       |SELECT type, sender, tokens, prompt_tokens, tokens_used, name, text
+       |FROM out ORDER BY type, sender, text, tokens""".stripMargin
+  }
+
   override val queries: Seq[Q] = Seq(
+    Q("q398_chat_turn", q398, Some(q398Sql), headline = true),
     Q("q60_rag_retrieval", q60, Some(q60Sql), headline = true),
     Q("q64_ingest_embed_1536", q64, Some(q64Sql), headline = true),
     Q("q61_store_upsert", q61, Some(q61Sql)),

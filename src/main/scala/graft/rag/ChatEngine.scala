@@ -86,8 +86,10 @@ class ChatEngine(
     store.create(table, withVec, partitionCol)
   }
 
-  def createSession(name: String = "New Chat"): String = {
-    val id = UUID.randomUUID().toString
+  /** `id` defaults to a fresh UUID (the reference's behavior); callers
+    * that need a replayable session (the q398 gate) may pin it. */
+  def createSession(name: String = "New Chat",
+                    id: String = UUID.randomUUID().toString): String = {
     if (!store.exists(CompletionsTable))
       store.create(CompletionsTable, Seq(CompletionRow.session(id, name)).toDS().toDF(),
         partitionCol = Some("SessionId"))
