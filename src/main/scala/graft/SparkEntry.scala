@@ -14,9 +14,11 @@ import graft.queries._
 object SparkEntry {
 
   def querySets: Seq[QuerySet] =
-    Seq(Relational, AdvancedQueries, VectorQueries, TextQueries, RagQueries,
+    Seq(Relational, AdvancedQueries, VectorQueries, TextQueries,
+      TextIndexQueries, TextEvalQueries, RagQueries,
       RankingQueries, StreamingQueries, CurationQueries, ExperimentQueries,
-      PipelineQueries, GrowthQueries, AuditQueries, SignalQueries)
+      PipelineQueries, GrowthQueries, AuditQueries, AuditTrendQueries,
+      SignalQueries)
 
   private lazy val all: Seq[Q] = querySets.flatMap(_.queries)
 
