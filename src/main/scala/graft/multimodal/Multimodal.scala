@@ -141,6 +141,17 @@ object Multimodal {
   object GifVideoCodec extends MediaCodec {
     override def decode(kind: String, bytes: Array[Byte]): MediaFeatures = {
       if (bytes == null || bytes.isEmpty) return MediaFeatures(0, 0, 0, 0L)
+      if (Y4m.isY4m(bytes)) { // r17: second real container, pure-JDK path
+        val hd = Y4m.parseHeader(bytes)
+        var sum = 0L; var n = 0
+        Y4m.lumaFrames(bytes).foreach { luma =>
+          var i = 0
+          while (i < luma.length) { sum += luma(i); i += 1 }
+          n += 1
+        }
+        require(n > 0, "video container with zero decodable frames")
+        return MediaFeatures(bytes.length, hd.w, hd.h, sum, 0, n)
+      }
       val (r, iis) = openReader(bytes)
       try {
         val n = r.getNumImages(true)
@@ -349,7 +360,24 @@ object Multimodal {
           val bytes = row.getAs[Array[Byte]](bIdx)
           val sums: Seq[Long] =
             if (bytes == null || bytes.isEmpty) Seq.empty
-            else {
+            else if (Y4m.isY4m(bytes)) {
+              // pure-JDK Y4M path: sample the luma stream in one walk —
+              // the iterator holds one plane at a time, so sampling a
+              // long clip never materializes it
+              val wanted = scala.collection.mutable.ArrayBuffer.empty[Long]
+              var i = 0
+              val it = Y4m.lumaFrames(bytes)
+              while (it.hasNext && wanted.length < maxFrames) {
+                val luma = it.next()
+                if (i % everyK == 0) {
+                  var sum = 0L; var j = 0
+                  while (j < luma.length) { sum += luma(j); j += 1 }
+                  wanted += sum
+                }
+                i += 1
+              }
+              wanted.toSeq
+            } else {
               val (r, iis) = openReader(bytes)
               try {
                 val n = r.getNumImages(true)

@@ -25,8 +25,32 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType, StructFiel
 object VideoFeatures {
 
   /** (frame_idx ≥ 1, Σ|gray_f − gray_{f−1}|) per consecutive frame
-    * pair; gray = blue channel (identity-palette GIFs are gray). */
-  def frameDeltas(bytes: Array[Byte]): Seq[(Int, Long)] = {
+    * pair. Container dispatch by magic bytes, like production ingest:
+    * YUV4MPEG2 payloads stream through the pure-JDK [[Y4m]] luma
+    * iterator (gray = luma); anything else goes to ImageIO's
+    * multi-frame reader (animated GIF; gray = blue channel —
+    * identity-palette GIFs are gray), which refuses loudly on
+    * containers it cannot parse. */
+  def frameDeltas(bytes: Array[Byte]): Seq[(Int, Long)] =
+    if (Y4m.isY4m(bytes)) {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      var prev: Array[Int] = null
+      var f = 0
+      Y4m.lumaFrames(bytes).foreach { cur =>
+        if (prev != null) {
+          var d = 0L
+          var i = 0
+          while (i < cur.length) { d += math.abs(cur(i) - prev(i)); i += 1 }
+          out += ((f, d))
+        }
+        prev = cur
+        f += 1
+      }
+      require(f > 0, "video container with zero decodable frames")
+      out.toSeq
+    } else frameDeltasImageIo(bytes)
+
+  private def frameDeltasImageIo(bytes: Array[Byte]): Seq[(Int, Long)] = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     val readers = javax.imageio.ImageIO.getImageReaders(iis)

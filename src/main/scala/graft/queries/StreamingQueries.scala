@@ -245,7 +245,72 @@ object StreamingQueries extends QuerySet {
     Q("q129_image_phash_dedup", q129, Some(q129Sql)),
     Q("q142_audio_frame_features", q142, Some(q142Sql)),
     Q("q143_video_scene_deltas", q143, Some(q143Sql)),
-    Q("q144_audio_segments", q144, Some(q144Sql)))
+    Q("q144_audio_segments", q144, Some(q144Sql)),
+    Q("q399_y4m_scene_deltas", q399, Some(q399Sql)),
+    Q("q400_y4m_frame_sample", q400, Some(q400Sql)))
+
+  /** q143's scene-delta signal over a SECOND real container: YUV4MPEG2
+    * via the pure-JDK [[graft.multimodal.Y4m]] decoder (r17 — retires
+    * the "real video only for animated GIF" honesty note). The payload
+    * uses 4:2:0 chroma, so the luma reader must SKIP two chroma planes
+    * per frame exactly — a framing bug drags chroma bytes into the
+    * deltas and breaks the hash. Even dimensions by construction
+    * (C420's contract); the luma closed form is syntheticGif's, so the
+    * oracle replays decode → frame iteration → differencing with no
+    * video stack. */
+  private def q399(s: SparkSession, d: String): DataFrame = {
+    val gen = udf { (id: Long) =>
+      graft.multimodal.Y4m.synthetic(id, (6 + (id % 5) * 2).toInt,
+        (4 + ((id * 3) % 4) * 2).toInt, (2 + id % 4).toInt)
+    }
+    val media = t(s, d, "documents")
+      .select(col("doc_id"), gen(col("doc_id")).as("bytes"))
+    graft.multimodal.VideoFeatures.withFrameDeltas(media, "bytes")
+      .select(col("doc_id"), col("frame_idx"), col("delta"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  private lazy val q399Sql = // lazy: declared below the `queries` val
+    """WITH f AS (
+      |  SELECT doc_id, unnest(range(1, 2 + doc_id % 4)) AS fi FROM documents)
+      |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+      |  CAST(list_sum(flatten(list_transform(range(4 + ((doc_id*3) % 4)*2), y ->
+      |    list_transform(range(6 + (doc_id % 5)*2), x ->
+      |      abs((x*31 + y*17 + doc_id + fi*11) % 256
+      |        - (x*31 + y*17 + doc_id + (fi-1)*11) % 256))))) AS BIGINT) AS delta
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** q81's every-kth frame sampling over the Y4M container — the luma
+    * stream is sampled in ONE forward walk (one plane in memory), the
+    * shape a 100 TB video corpus needs; same closed-form oracle
+    * discipline as q81. */
+  private def q400(s: SparkSession, d: String): DataFrame = {
+    val gen = udf { (id: Long) =>
+      graft.multimodal.Y4m.synthetic(id, (6 + (id % 4) * 2).toInt,
+        (4 + (id % 3) * 2).toInt, (3 + id % 20).toInt)
+    }
+    val media = t(s, d, "documents")
+      .select(col("doc_id"), gen(col("doc_id")).as("bytes"))
+    Multimodal.sampleVideoFrames(media, "bytes", everyK = 4, maxFrames = 6)
+      .select(col("doc_id"), col("n_sampled"),
+        element_at(col("frame_sums"), 1).as("first_sum"),
+        aggregate(col("frame_sums"), lit(0L), (a, b) => a + b).as("total_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q400Sql = // lazy: declared below the `queries` val
+    """SELECT doc_id,
+      |  LEAST(6, CAST(ceil((3 + doc_id % 20) / 4.0) AS INT)) AS n_sampled,
+      |  CAST(list_sum(flatten(list_transform(range(4 + (doc_id % 3)*2), y ->
+      |    list_transform(range(6 + (doc_id % 4)*2), x ->
+      |      (x * 31 + y * 17 + doc_id) % 256)))) AS BIGINT) AS first_sum,
+      |  CAST(list_sum(flatten(list_transform(
+      |    range(LEAST(6, CAST(ceil((3 + doc_id % 20) / 4.0) AS INT))), j ->
+      |      flatten(list_transform(range(4 + (doc_id % 3)*2), y ->
+      |        list_transform(range(6 + (doc_id % 4)*2), x ->
+      |          (x * 31 + y * 17 + (4 * j) * 11 + doc_id) % 256)))))) AS BIGINT)
+      |    AS total_sum
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Frame-level energy + zero-crossing features over REALLY decoded
     * PCM via [[graft.multimodal.AudioFeatures]] (the VAD/silence-trim

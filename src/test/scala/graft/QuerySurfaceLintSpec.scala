@@ -63,6 +63,11 @@ class QuerySurfaceLintSpec extends AnyFunSuite {
       fam("multimodal decode feature scaffold shared by features/resize " +
         "(different decode stages, same audit frame)",
         "q70_multimodal_features", "q115_multimodal_resize") ++
+      fam("same closed-form scene-delta truth, animated-GIF decode vs " +
+        "pure-JDK Y4M decode (the container is the point)",
+        "q143_video_scene_deltas", "q399_y4m_scene_deltas") ++
+      fam("same frame-sampling truth, GIF vs Y4M container",
+        "q81_frame_sample", "q400_y4m_frame_sample") ++
       fam("same k-occurrence truth, exact n² audit vs ANN-candidate path " +
         "(different k and probe set; the scaffold is the point)",
         "q304_hubness_audit", "q314_hubness_ann")).toMap
