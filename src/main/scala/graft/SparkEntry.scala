@@ -18,7 +18,7 @@ object SparkEntry {
       TextIndexQueries, TextEvalQueries, RagQueries,
       RankingQueries, StreamingQueries, CurationQueries, ExperimentQueries,
       PipelineQueries, GrowthQueries, AuditQueries, AuditTrendQueries,
-      SignalQueries)
+      SignalQueries, InferenceQueries)
 
   private lazy val all: Seq[Q] = querySets.flatMap(_.queries)
 

@@ -245,4 +245,76 @@ object Survival {
         .as("rmst"),
       col("median_t"), lit(nTimes).as("n_times"))
   }
+  /** Aalen–Johansen cumulative incidence under COMPETING RISKS — the
+    * estimator [[kaplanMeier]] cannot be: with two ways to exit (churn
+    * vs upgrade, error vs purchase), "1 − KM of cause 1 treating cause
+    * 2 as censoring" overstates cause-1 incidence because a unit taken
+    * by cause 2 was never going to contribute a cause-1 event later.
+    * The AJ estimator allocates each event time's hazard to its cause
+    * against the ALL-CAUSE survival just before it:
+    *
+    *   CIF_k(t) = Σ_{tᵢ ≤ t} S(tᵢ⁻) · d_{k,i} / nᵢ
+    *
+    * with S the all-cause product-limit curve; CIF₁ + CIF₂ + S(t) = 1
+    * at every step (the identity the naive per-cause KM breaks).
+    *
+    * `causeCol`: 0 = censored, 1 / 2 = the two competing causes.
+    * Exactness: the (time, cause) census and shared risk sets are
+    * exact BIGINTs; S(t⁻) folds factors in strict-time order (the KM
+    * sorted-struct fold, strict inequality); each CIF term evaluates
+    * once in doubles and cumulates as DECIMAL(38,12) (the nelsonAalen
+    * replay pattern). Scale shape: one census onto the day-bounded
+    * duration grid; the strict-prefix product join is grid², bounded
+    * by the same calendar argument as KM. */
+  def aalenJohansen(df: DataFrame, durationCol: String,
+                    causeCol: String): DataFrame = {
+    val rows = df.select(col(durationCol).cast("long").as("__t"),
+        col(causeCol).cast("int").as("__k"))
+      .filter(col("__t").isNotNull && col("__t") >= 0 && col("__k").isNotNull)
+    val bad = rows.filter(!col("__k").isin(0, 1, 2)).count()
+    require(bad == 0,
+      s"aalenJohansen: $bad row(s) with cause outside {0 (censored), 1, 2}")
+    val grid = rows.groupBy(col("__t"))
+      .agg(sum(when(col("__k") === 1, 1L).otherwise(0L)).as("__d1"),
+        sum(when(col("__k") === 2, 1L).otherwise(0L)).as("__d2"),
+        sum(when(col("__k") === 0, 1L).otherwise(0L)).as("__c"))
+    val n = grid.agg(coalesce(sum(col("__d1") + col("__d2") + col("__c")),
+      lit(0L)).as("__n"))
+    val w = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atRisk = grid.crossJoin(broadcast(n))
+      .withColumn("__gone",
+        sum(col("__d1") + col("__d2") + col("__c")).over(w))
+      .withColumn("n_risk",
+        col("__n") - col("__gone") + col("__d1") + col("__d2") + col("__c"))
+    val evt = atRisk.filter(col("__d1") + col("__d2") > 0)
+    val g2 = evt.select(col("__t").as("__u"),
+      (col("__d1") + col("__d2")).as("__du"), col("n_risk").as("__nu"))
+    // S(t-): strict-prefix product in time order (prepended 1.0 keeps
+    // the first event time's factor list non-empty)
+    val sMinus = evt.as("g")
+      .join(g2, col("__u") < col("__t"), "left")
+      .groupBy(col("__t"))
+      .agg(first(col("n_risk")).as("n_risk"),
+        first(col("__d1")).as("d1"), first(col("__d2")).as("d2"),
+        array_sort(collect_list(when(col("__u").isNotNull,
+          struct(col("__u"), ((col("__nu") - col("__du")).cast("double") /
+            col("__nu").cast("double")).as("__f"))))).as("__ps"))
+      .withColumn("__sminus",
+        aggregate(expr("transform(__ps, p -> p.__f)"), lit(1.0),
+          (acc, f) => acc * f))
+    sMinus
+      .withColumn("__term1", (col("__sminus") * col("d1").cast("double") /
+        col("n_risk").cast("double")).cast("decimal(38,12)"))
+      .withColumn("__term2", (col("__sminus") * col("d2").cast("double") /
+        col("n_risk").cast("double")).cast("decimal(38,12)"))
+      .withColumn("__cif1", sum(col("__term1")).over(w))
+      .withColumn("__cif2", sum(col("__term2")).over(w))
+      .select(col("__t").as("t"), col("n_risk"), col("d1"), col("d2"),
+        round(col("__cif1").cast("double"), 6).as("cif1"),
+        round(col("__cif2").cast("double"), 6).as("cif2"),
+        round(col("__sminus") * (col("n_risk") - col("d1") - col("d2"))
+          .cast("double") / col("n_risk").cast("double"), 6).as("km_all"))
+      .orderBy(col("t"))
+  }
 }

@@ -195,4 +195,50 @@ object VocabStats {
           .as("unseen_mass"))
       .orderBy(col(groupCol))
   }
+
+  /** Repeat-concentration per group — the FREQUENCY-SPECTRUM face the
+    * ratio family ([[lexicalDiversity]]) and the unseen-mass face
+    * ([[richness]]) both miss: two sources with identical TTR can
+    * differ wildly in how repetition CONCENTRATES (one word used 1000
+    * times vs 1000 words used once each beyond the shared types).
+    *
+    *   Yule's K  = 10⁴ · (Σ_f f²·V_f − N) / N²   (repeat rate,
+    *               length-invariant — Yule 1944)
+    *   Simpson D = Σ_f V_f·f·(f−1) / (N·(N−1))   (probability two
+    *               random tokens are the same type)
+    *
+    * Both are exact integer functionals of the frequency spectrum V_f
+    * (how many types occur f times); K is Simpson's D rescaled free of
+    * the −1 correction, reported together because K is the stylometry
+    * convention and D the ecology one. High K flags boilerplate/
+    * template sources — the dedup-adjacent read a curation pass ranks
+    * sources by.
+    *
+    * Exactness: Σ f²·V_f = Σ over types of f² — exact BIGINT off the
+    * wordcount census (no separate spectrum pass needed); two closing
+    * double divisions, 6-dp. Requires ≥ 2 tokens per group (D's
+    * denominator). Scale shape: one tokenize + one map-side-combined
+    * (group, term) census + one group rollup. */
+  def concentration(df: DataFrame, groupCol: String,
+                    textCol: String): DataFrame = {
+    val tf = df.filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("__g"), explode(
+        regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
+        .as("term"))
+      .groupBy(col("__g"), col("term"))
+      .agg(count(lit(1)).as("__f"))
+    tf.groupBy(col("__g"))
+      .agg(count(lit(1)).as("types"), sum(col("__f")).as("tokens"),
+        sum(col("__f") * col("__f")).as("__sff"),
+        sum(col("__f") * (col("__f") - 1)).as("__sff1"))
+      .filter(col("tokens") >= 2)
+      .select(col("__g").as(groupCol), col("types"), col("tokens"),
+        round(lit(10000.0) * (col("__sff") - col("tokens")).cast("double") /
+          (col("tokens").cast("double") * col("tokens").cast("double")), 6)
+          .as("yule_k"),
+        round(col("__sff1").cast("double") /
+          (col("tokens").cast("double") * (col("tokens") - 1).cast("double")),
+          6).as("simpson_d"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -142,4 +142,55 @@ class SurvivalSpec extends AnyFunSuite with SparkSuite {
       assert(h <= km(t) + 1e-9, "H(t) lower-bounds -ln S(t)")
     }
   }
+  test("aalenJohansen hand-computed: CIFs allocate hazard by cause and sum with S to 1") {
+    // (1,c1) (2,c2) (2,c1) (3,cens) (4,c1) (5,cens) — N=6
+    // t=1: n=6, S(1-)=1,    cif1 += 1/6
+    // t=2: n=5, S(2-)=5/6,  cif1 += 1/6, cif2 += 1/6
+    // t=4: n=2, S(4-)=1/2,  cif1 += 1/4
+    val df = Seq((1L, 1), (2L, 2), (2L, 1), (3L, 0), (4L, 1), (5L, 0))
+      .toDF("dur", "cause")
+    val out = Survival.aalenJohansen(df, "dur", "cause").collect()
+    assert(out.map(_.getAs[Long]("t")).toSeq == Seq(1L, 2L, 4L))
+    assert(out.map(_.getAs[Long]("n_risk")).toSeq == Seq(6L, 5L, 2L))
+    assert(out.map(_.getAs[Double]("cif1")).toSeq ==
+      Seq(0.166667, 0.333333, 0.583333))
+    assert(out.map(_.getAs[Double]("cif2")).toSeq ==
+      Seq(0.0, 0.166667, 0.166667))
+    assert(out.map(_.getAs[Double]("km_all")).toSeq ==
+      Seq(0.833333, 0.5, 0.25))
+    // the identity the naive per-cause KM breaks: CIF1+CIF2+S = 1
+    out.foreach { r =>
+      val s = r.getAs[Double]("cif1") + r.getAs[Double]("cif2") +
+        r.getAs[Double]("km_all")
+      assert(math.abs(s - 1.0) < 1e-5, r.toString)
+    }
+  }
+
+  test("aalenJohansen with one cause only reduces to 1 - KM") {
+    val df = Seq((1L, 1), (2L, 1), (2L, 0), (3L, 1), (4L, 0))
+      .toDF("dur", "cause")
+    val aj = Survival.aalenJohansen(df, "dur", "cause").collect()
+    val km = Survival.kaplanMeier(
+      df.selectExpr("dur", "cause = 1 AS ev"), "dur", "ev").collect()
+    val kmS = km.map(r => r.getAs[Long]("t") ->
+      math.rint(r.getAs[Double]("surv") * 1e6) / 1e6).toMap
+    aj.foreach { r =>
+      val t = r.getAs[Long]("t")
+      assert(math.abs(r.getAs[Double]("cif1") - (1.0 - kmS(t))) < 2e-6,
+        s"t=$t")
+      assert(r.getAs[Double]("cif2") == 0.0)
+    }
+  }
+
+  test("aalenJohansen refuses causes outside {0,1,2} and is partition-invariant") {
+    assert(intercept[IllegalArgumentException] {
+      Survival.aalenJohansen(Seq((1L, 3)).toDF("dur", "cause"),
+        "dur", "cause")
+    }.getMessage.contains("cause"))
+    val df = Seq((1L, 1), (2L, 2), (2L, 1), (3L, 0), (4L, 1), (5L, 0),
+      (6L, 2), (7L, 1)).toDF("dur", "cause")
+    val a = Survival.aalenJohansen(df, "dur", "cause").collect()
+    val b = Survival.aalenJohansen(df.repartition(5), "dur", "cause").collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
 }

@@ -107,4 +107,50 @@ class VocabStatsSpec extends AnyFunSuite with SparkSuite {
     assert(r.getLong(3) == 0 && r.getDouble(6) == 0.0)
     assert(r.getDouble(5) == 3.0)   // chao1 collapses to observed types
   }
+  test("concentration: hand-computed Yule K and Simpson D") {
+    import spark.implicits._
+    // "a a a b": N=4, V={a:3, b:1}; sum f^2 = 10; sum f(f-1) = 6
+    // K = 1e4 (10-4)/16 = 3750; D = 6/(4*3) = 0.5
+    val df = Seq(("g", "a a a b")).toDF("src", "text")
+    val r = VocabStats.concentration(df, "src", "text").head()
+    assert(r.getAs[Long]("types") == 2L && r.getAs[Long]("tokens") == 4L)
+    assert(r.getAs[Double]("yule_k") == 3750.0)
+    assert(r.getAs[Double]("simpson_d") == 0.5)
+  }
+
+  test("concentration separates template-heavy from uniform sources at equal TTR") {
+    import spark.implicits._
+    // both sources: 4 types / 8 tokens (TTR 0.5); repeats concentrate
+    // on one word in A, spread evenly in B
+    val df = Seq(
+      ("A", "w w w w w x y z"),
+      ("B", "w w x x y y z z")).toDF("src", "text")
+    val out = VocabStats.concentration(df, "src", "text").collect()
+      .map(r => r.getAs[String]("src") ->
+        (r.getAs[Double]("yule_k"), r.getAs[Double]("simpson_d"))).toMap
+    assert(out("A")._1 > out("B")._1)
+    assert(out("A")._2 > out("B")._2)
+    // equal-TTR check: identical type/token counts
+    val tt = VocabStats.lexicalDiversity(df, "src", "text").collect()
+      .map(r => r.getAs[Double]("ttr")).distinct
+    assert(tt.length == 1)
+  }
+
+  test("concentration: single-token groups are excluded (D undefined)") {
+    import spark.implicits._
+    val df = Seq(("g", "solo"), ("h", "two words")).toDF("src", "text")
+    val out = VocabStats.concentration(df, "src", "text").collect()
+    assert(out.map(_.getAs[String]("src")).toSeq == Seq("h"))
+  }
+
+  test("concentration is partition-invariant") {
+    import spark.implicits._
+    val df = Seq(("A", "w w w w w x y z"), ("B", "w w x x y y z z"),
+      ("A", "more words w w")).toDF("src", "text")
+    val a = VocabStats.concentration(df, "src", "text")
+      .collect().map(_.toString).toSeq
+    val b = VocabStats.concentration(df.repartition(5), "src", "text")
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+  }
 }
