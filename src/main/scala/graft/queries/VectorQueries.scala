@@ -1106,7 +1106,60 @@ object VectorQueries extends QuerySet {
       |  / (1048576.0 * 1048576.0) AS cov
       |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin
 
+  /** Matryoshka-style dimension-truncation audit (Kusupati et al.
+    * 2022, arXiv:2205.13147): rank the corpus by cosine on only the
+    * FIRST D dims (D = 8/16/32/64) and read recall@10 against the
+    * full-dimension truth — the serve-cost/quality tradeoff table
+    * behind every "store a prefix of the vector" deployment (a D-dim
+    * prefix scan moves D/64ths of the bytes; the audit says what that
+    * buys). Top-10 per D plus the per-D recall, all exact: sliced
+    * cosine is the same sequential double fold as q30, recall is a
+    * 10-row set intersection. */
+  private def q406(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings").cache()
+    val probe = probeVec(s, d, 0L)
+    val full = VectorSearch.exactTopK(e, "embedding", "vec_id", probe, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet // k rows only
+    val parts = Seq(8, 16, 32, 64).map { dd =>
+      val proj = e.select(col("vec_id"),
+        slice(col("embedding"), 1, dd).as("emb"))
+      val top = VectorSearch.exactTopK(proj, "emb", "vec_id",
+        probe.take(dd), 10)
+      val ids = top.select("vec_id").collect().map(_.getLong(0)) // k rows
+      val recall = ids.count(full.contains) / 10.0
+      top.select(lit(dd).as("dims"), col("vec_id"),
+        round(col("sim"), 6).as("sim"),
+        round(lit(recall), 6).as("recall_at_10"))
+    }
+    val out = parts.reduce(_.unionByName(_))
+      .orderBy(col("dims"), col("sim").desc, col("vec_id"))
+    e.unpersist()
+    out
+  }
+
+  private val q406Sql =
+    s"""WITH q AS (SELECT ${dl("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+       |ds AS (SELECT CAST(unnest([8, 16, 32, 64]) AS INT) AS dims),
+       |scored AS (
+       |  SELECT ds.dims, e.vec_id,
+       |    list_cosine_similarity(${dl("e.embedding")}[1:ds.dims],
+       |      qv[1:ds.dims]) AS sim
+       |  FROM embeddings e CROSS JOIN ds CROSS JOIN q),
+       |top AS (SELECT dims, vec_id, sim,
+       |    row_number() OVER (PARTITION BY dims ORDER BY sim DESC, vec_id)
+       |      AS rn
+       |  FROM scored),
+       |t10 AS (SELECT * FROM top WHERE rn <= 10),
+       |full10 AS (SELECT vec_id FROM t10 WHERE dims = 64),
+       |rec AS (SELECT t.dims, CAST(COUNT(*) AS DOUBLE) / 10.0 AS r
+       |  FROM t10 t JOIN full10 USING (vec_id) GROUP BY t.dims)
+       |SELECT t.dims, t.vec_id, round(t.sim, 6) AS sim,
+       |  round(rec.r, 6) AS recall_at_10
+       |FROM t10 t JOIN rec ON rec.dims = t.dims
+       |ORDER BY t.dims, round(t.sim, 6) DESC, t.vec_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
+    Q("q406_dim_truncation_recall", q406, Some(q406Sql)),
     Q("q30_knn_exact", q30, Some(q30Sql), headline = true),
     Q("q31_knn_join_window", q31, Some(knnJoinSql)),
     Q("q32_knn_join_agg", q32, Some(knnJoinSql), headline = true),
