@@ -112,7 +112,7 @@ object ScaleSmoke {
         .withColumn("user_id", col("user_id") + lit(c.toLong * IdStride))
     }.reduce(_ unionByName _)
 
-  private def buildIfMissing(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+  private[graft] def buildIfMissing(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     val out = new java.io.File(outDir)
     if (new java.io.File(out, "_READY").exists()) return
     out.mkdirs()

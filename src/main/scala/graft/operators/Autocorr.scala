@@ -255,4 +255,73 @@ object Autocorr {
       .select(col("lag"), col("acf"), round(col("pacf"), 6).as("pacf"))
       .orderBy(col("lag"))
   }
+  /** Durbin–Watson statistic of the DETRENDED grid — the standard
+    * "are my regression residuals serially correlated" read, reported
+    * with its von Neumann ratio face (VN = DW·n/(n−1)) and the implied
+    * lag-1 residual correlation (ρ̂ ≈ 1 − DW/2). DW ≈ 2 is white;
+    * DW → 0 is positive serial correlation (every OLS standard error
+    * downstream is overstated), DW → 4 negative. Complements
+    * [[ljungBox]]: LB tests many lags jointly on the raw series, DW is
+    * the single-lag residual diagnostic tied to a specific FIT.
+    *
+    * The fit is the exact-ledger OLS line (trend) over grid positions;
+    * residuals are per-row doubles off the ledger-closed (a, b) — the
+    * same value in any engine — and both quadratic forms cumulate as
+    * DECIMAL(38,12) casts of per-row doubles (order-independent, the
+    * nelsonAalen replay pattern).
+    *
+    * Scale shape: one exact ledger aggregate + one lag window over
+    * GRID rows (bounded by the acf contract). */
+  def durbinWatson(grid: DataFrame, tCol: String, yCol: String): DataFrame = {
+    val g = grid.select(col(tCol).as("__t"),
+        col(yCol).cast("decimal(18,6)").as("__y"))
+      .filter(col("__t").isNotNull && col("__y").isNotNull)
+    Pinned.withCheckpoint(g) { gg =>
+      val n = gg.count()
+      require(n >= 8 && n <= (1L << 12),
+        s"durbinWatson: $n grid positions outside [8, 4096]")
+      val base = gg.withColumn("__i",
+        (row_number().over(Window.orderBy(col("__t"))) - 1)
+          .cast("decimal(18,6)"))
+      val r = base.agg(
+        sum(col("__i").cast("decimal(38,12)")).as("sx"),
+        sum(col("__y").cast("decimal(38,12)")).as("sy"),
+        sum((col("__i") * col("__i")).cast("decimal(38,12)")).as("sxx"),
+        sum((col("__i") * col("__y")).cast("decimal(38,12)")).as("sxy"))
+        .head()
+      val Seq(sx, sy, sxx, sxy) = (0 to 3).map(i => BigDecimal(r.getDecimal(i)))
+      val den = sxx.toDouble * n - sx.toDouble * sx.toDouble
+      require(den != 0.0, "durbinWatson: degenerate time axis")
+      val b = (sxy.toDouble * n - sx.toDouble * sy.toDouble) / den
+      val a = (sy.toDouble - b * sx.toDouble) / n
+      val w = Window.orderBy(col("__t"))
+      val res = base.withColumn("__e",
+          col("__y").cast("double") - lit(a) - lit(b) * col("__i").cast("double"))
+        .withColumn("__ep", lag(col("__e"), 1).over(w))
+      val agg = res.agg(
+        sum((col("__e") * col("__e")).cast("decimal(38,12)")).as("ss"),
+        sum(when(col("__ep").isNotNull,
+          (col("__e") - col("__ep")) * (col("__e") - col("__ep")))
+          .cast("decimal(38,12)")).as("sd")).head()
+      val ss = BigDecimal(agg.getDecimal(0)).toDouble
+      val sd = BigDecimal(agg.getDecimal(1)).toDouble
+      require(ss > 0, "durbinWatson: zero residual variance (exact " +
+        "linear series) — serial correlation undefined")
+      val dw = sd / ss
+      val spark = grid.sparkSession
+      import spark.implicits._
+      Seq((n, dw, dw * n / (n - 1).toDouble, 1.0 - dw / 2.0, b, a))
+        .toDF("n", "dw", "von_neumann", "rho1_implied", "trend_slope",
+          "trend_intercept")
+        .select(col("n"), round(col("dw"), 6).as("dw"),
+          round(col("von_neumann"), 6).as("von_neumann"),
+          round(col("rho1_implied"), 6).as("rho1_implied"),
+          // trend terms can be cent-scaled: floor-scaling (the Causal
+          // pattern) replays at any magnitude where round(,6) does not
+          (floor(col("trend_slope") * lit(10000.0)) / lit(10000.0))
+            .as("trend_slope"),
+          (floor(col("trend_intercept") * lit(10000.0)) / lit(10000.0))
+            .as("trend_intercept"))
+    }
+  }
 }

@@ -175,4 +175,63 @@ object Causal {
         (floor(col("r2_left") * lit(10000.0)) / lit(10000.0)).as("r2_left"),
         (floor(col("r2_right") * lit(10000.0)) / lit(10000.0)).as("r2_right"))
   }
+  /** Oaxaca–Blinder decomposition of a two-group mean gap (Oaxaca
+    * 1973, Blinder 1973) — the "is the gap composition or treatment"
+    * split a raw group comparison hides: with per-group linear models
+    * y = a_g + b_g·x,
+    *
+    *   ȳ_A − ȳ_B = b_B·(x̄_A − x̄_B)            EXPLAINED (endowments,
+    *                                            priced at B's slope)
+    *             + (a_A − a_B) + (b_A − b_B)·x̄_A  UNEXPLAINED
+    *                                            (coefficients)
+    *
+    * — reference group B (the standard two-fold form; the choice is
+    * part of the contract and documented in the output's column
+    * names). Single covariate by design: that is where the
+    * decomposition is exactly identified from the [[Regression.ols1]]
+    * ledgers, and the one-covariate read ("how much of the spend gap
+    * is balance mix") is the audit this family ships.
+    *
+    * Exactness: one grouped decimal-ledger aggregate (both groups in
+    * one pass), fixed closing double tree, identity
+    * gap = explained + unexplained holds to the last double bit by
+    * construction. Refuses degenerate groups. */
+  def oaxacaBlinder(df: DataFrame, groupCol: Column, xCol: String,
+                    yCol: String): DataFrame = {
+    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(groupCol.cast("boolean").as("__g"),
+        dec(col(xCol)).as("__x"), dec(col(yCol)).as("__y"))
+      .filter(col("__g").isNotNull)
+    val gs = rows.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), dsum(col("__x")).as("sx"),
+        dsum(col("__y")).as("sy"),
+        dsum(col("__x") * col("__x")).as("sxx"),
+        dsum(col("__x") * col("__y")).as("sxy"))
+      .collect()
+    require(gs.length == 2,
+      "oaxacaBlinder: both groups must be populated")
+    def fit(r: org.apache.spark.sql.Row): (Long, Double, Double, Double, Double) = {
+      val n = r.getLong(1)
+      require(n >= 3, s"oaxacaBlinder: a group has only $n rows (need >= 3)")
+      val Seq(sx, sy, sxx, sxy) = (2 to 5).map(i => BigDecimal(r.getDecimal(i)))
+      val den = sxx.toDouble * n - sx.toDouble * sx.toDouble
+      require(den != 0.0, "oaxacaBlinder: degenerate covariate in a group")
+      val b = (sxy.toDouble * n - sx.toDouble * sy.toDouble) / den
+      val a = (sy.toDouble - b * sx.toDouble) / n
+      (n, a, b, sx.toDouble / n, sy.toDouble / n)
+    }
+    val byG = gs.map(r => r.getBoolean(0) -> fit(r)).toMap
+    val (nA, aA, bA, mxA, myA) = byG(true)
+    val (nB, aB, bB, mxB, myB) = byG(false)
+    val gap = myA - myB
+    val explained = bB * (mxA - mxB)
+    val unexplained = (aA - aB) + (bA - bB) * mxA
+    val spark = df.sparkSession
+    import spark.implicits._
+    def f4d(x: Double): Double = math.floor(x * 10000.0) / 10000.0
+    Seq((nA, nB, f4d(gap), f4d(explained), f4d(unexplained),
+      f4d(bA), f4d(bB), f4d(mxA), f4d(mxB)))
+      .toDF("n_a", "n_b", "gap", "explained_by_x", "unexplained",
+        "slope_a", "slope_b", "mean_x_a", "mean_x_b")
+  }
 }

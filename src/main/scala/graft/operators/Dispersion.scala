@@ -154,4 +154,52 @@ object Dispersion {
       round(lit(v / m), 6).as("dispersion"),
       round(lit(rHat), 6).as("r_hat"), round(lit(pHat), 6).as("p_hat"))
   }
+  /** Gries' DP word dispersion (Gries 2008) — WORD-level burstiness,
+    * the corpus-linguistics complement to the user-level [[fano]]:
+    * for each word, how unevenly its occurrences spread across corpus
+    * parts (sources), normalized for part size:
+    *
+    *   DP(w) = ½ · Σ_parts | v_p/f  −  s_p |
+    *
+    * with v_p the word's count in part p, f its corpus frequency, and
+    * s_p the part's token share. DP ≈ 0 = the word follows the corpus
+    * (function words); DP → 1 = the word lives in one part
+    * (boilerplate/template markers, the dedup-adjacent flag). Reported
+    * for the top `k` most-frequent words — the band where dispersion
+    * is statistically meaningful and a reader actually looks.
+    *
+    * Exactness: all censuses are exact BIGINTs; each |v/f − s| term is
+    * one double off exact longs and the per-word fold over parts
+    * cumulates as DECIMAL(38,12) (order-independent). Scale shape: one
+    * tokenize + one (part, word) census; the DP fold runs on
+    * (top-k words × parts) rows. */
+  def griesDp(df: DataFrame, partCol: String, textCol: String,
+              k: Int = 20): DataFrame = {
+    require(k >= 1 && k <= 500, s"griesDp: k=$k outside [1, 500]")
+    val toks = df.filter(col(textCol).isNotNull && col(partCol).isNotNull)
+      .select(col(partCol).cast("string").as("__p"), explode(
+        regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
+        .as("__w"))
+    val cells = toks.groupBy(col("__p"), col("__w"))
+      .agg(count(lit(1)).as("__v"))
+    val parts = cells.groupBy(col("__p")).agg(sum(col("__v")).as("__pt"))
+    val nTot = parts.agg(coalesce(sum(col("__pt")), lit(0L))).head().getLong(0)
+    require(nTot >= 2, s"griesDp: corpus has $nTot tokens")
+    val top = cells.groupBy(col("__w")).agg(sum(col("__v")).as("__f"))
+      .orderBy(col("__f").desc, col("__w")).limit(k)
+    // full (top word × part) grid, zero-filled — absence from a part
+    // contributes |0 − s_p|, which a sparse join would silently drop
+    val grid = parts.crossJoin(broadcast(top))
+      .join(cells, Seq("__p", "__w"), "left")
+      .withColumn("__term", abs(
+        coalesce(col("__v"), lit(0L)).cast("double") /
+          col("__f").cast("double") -
+        col("__pt").cast("double") / lit(nTot.toDouble))
+        .cast("decimal(38,12)"))
+    grid.groupBy(col("__w"), col("__f"))
+      .agg((sum(col("__term")).cast("double") / 2.0).as("__dp"))
+      .select(col("__w").as("word"), col("__f").as("freq"),
+        round(col("__dp"), 6).as("dp"))
+      .orderBy(col("dp").desc, col("word"))
+  }
 }

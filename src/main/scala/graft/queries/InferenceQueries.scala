@@ -332,7 +332,350 @@ object InferenceQueries extends QuerySet {
       |    AS simpson_d
       |FROM agg WHERE tokens >= 2 ORDER BY source""".stripMargin
 
+
+  /** Durbin–Watson residual-autocorrelation diagnostic of the
+    * detrended hourly revenue — the single-lag residual read tied to a
+    * specific fit, next to q344's many-lag Ljung-Box on the raw
+    * series. */
+  private def q408(s: SparkSession, d: String): DataFrame = {
+    val grid = t(s, d, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+        .cast("long").as("t"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+    graft.operators.Autocorr.durbinWatson(grid, "t", "y")
+  }
+
+  private val q408Sql =
+    """WITH g AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS t,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1),
+      |base AS (SELECT CAST(y AS DECIMAL(18,6)) AS y,
+      |    CAST(CAST(row_number() OVER (ORDER BY t) - 1 AS BIGINT)
+      |      AS DECIMAL(18,6)) AS i, t
+      |  FROM g),
+      |led AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(i AS DECIMAL(38,12))) AS sx,
+      |    SUM(CAST(y AS DECIMAL(38,12))) AS sy,
+      |    SUM(CAST(CAST(i AS DECIMAL(19,6)) * CAST(i AS DECIMAL(19,6))
+      |      AS DECIMAL(38,12))) AS sxx,
+      |    SUM(CAST(CAST(i AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
+      |      AS DECIMAL(38,12))) AS sxy
+      |  FROM base),
+      |ab AS (SELECT n,
+      |    (CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+      |    CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+      |  FROM led),
+      |ab2 AS (SELECT n, b, (syd - b * sxd) / n AS a FROM ab),
+      |res AS (SELECT base.t,
+      |    CAST(base.y AS DOUBLE) - ab2.a - ab2.b * CAST(base.i AS DOUBLE) AS e
+      |  FROM base CROSS JOIN ab2),
+      |res2 AS (SELECT e, lag(e) OVER (ORDER BY t) AS ep FROM res),
+      |qf AS (SELECT SUM(CAST(e * e AS DECIMAL(38,12))) AS ss,
+      |    SUM(CASE WHEN ep IS NOT NULL
+      |      THEN CAST((e - ep) * (e - ep) AS DECIMAL(38,12)) END) AS sd
+      |  FROM res2),
+      |cl AS (SELECT ab2.n, ab2.a, ab2.b,
+      |    CAST(qf.sd AS DOUBLE) / CAST(qf.ss AS DOUBLE) AS dw
+      |  FROM qf CROSS JOIN ab2)
+      |SELECT n, round(dw, 6) AS dw,
+      |  round(dw * n / CAST(n - 1 AS DOUBLE), 6) AS von_neumann,
+      |  round(1.0 - dw / 2.0, 6) AS rho1_implied,
+      |  floor(b * 10000.0) / 10000.0 AS trend_slope,
+      |  floor(a * 10000.0) / 10000.0 AS trend_intercept
+      |FROM cl""".stripMargin
+
+  /** Bass diffusion fit of customer adoption (first order) by month —
+    * the finite customer pool acquired over the order history IS an
+    * adoption curve, so this is the operator's natural habitat:
+    * `bass_shape` says whether acquisition bends toward saturation
+    * (c < 0) or streams in flat, and the m/p/q/peak closes replay
+    * relationally either way. */
+  private def q409(s: SparkSession, d: String): DataFrame = {
+    val first = t(s, d, "orders")
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("d0"))
+      .select((year(col("d0")) * 12 + month(col("d0"))).cast("long")
+        .as("period"))
+    graft.operators.Diffusion.bassFit(first, "period")
+  }
+
+  private val q409Sql =
+    """WITH first AS (
+      |  SELECT o_custkey,
+      |    CAST(year(MIN(o_orderdate)) * 12 + month(MIN(o_orderdate))
+      |      AS BIGINT) AS period
+      |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY o_custkey),
+      |cnt AS (SELECT period AS p, CAST(COUNT(*) AS BIGINT) AS nn
+      |  FROM first GROUP BY period),
+      |rows_ AS (SELECT CAST(nn AS DECIMAL(18,6)) AS y,
+      |    CAST(COALESCE(SUM(nn) OVER (ORDER BY p
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS DECIMAL(18,6)) AS x1,
+      |    CAST(COALESCE(SUM(nn) OVER (ORDER BY p
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      * COALESCE(SUM(nn) OVER (ORDER BY p
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS DECIMAL(18,6)) AS x2
+      |  FROM cnt),
+      |led AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x1 AS DECIMAL(38,12))) AS s1,
+      |    SUM(CAST(x2 AS DECIMAL(38,12))) AS s2,
+      |    SUM(CAST(y AS DECIMAL(38,12))) AS sy,
+      |    SUM(CAST(CAST(CAST(x1 AS DECIMAL(19,6)) * CAST(x1 AS DECIMAL(19,6)) AS DECIMAL(38,12)) AS DECIMAL(38,12))) AS s11,
+      |    SUM(CAST(CAST(x2 AS DECIMAL(19,6)) * CAST(x2 AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS s22,
+      |    SUM(CAST(CAST(x1 AS DECIMAL(19,6)) * CAST(x2 AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS s12,
+      |    SUM(CAST(CAST(x1 AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS s1y,
+      |    SUM(CAST(CAST(x2 AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS s2y
+      |  FROM rows_),
+      |tot AS (SELECT CAST(SUM(nn) AS BIGINT) AS adopters FROM cnt),
+      |cm AS (SELECT n,
+      |    CAST(s11 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS c11,
+      |    CAST(s22 AS DOUBLE) * n - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS c22,
+      |    CAST(s12 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS c12,
+      |    CAST(s1y AS DOUBLE) * n - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) AS c1y,
+      |    CAST(s2y AS DOUBLE) * n - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) AS c2y,
+      |    CAST(sy AS DOUBLE) AS syd, CAST(s1 AS DOUBLE) AS s1d,
+      |    CAST(s2 AS DOUBLE) AS s2d
+      |  FROM led),
+      |bc AS (SELECT n, syd, s1d, s2d,
+      |    (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b,
+      |    (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS c
+      |  FROM cm),
+      |abc AS (SELECT n, b, c, (syd - b * s1d - c * s2d) / n AS a FROM bc),
+      |full_ AS (SELECT n, a, b, c, b * b - 4.0 * a * c AS disc,
+      |    (c < 0.0 AND b * b - 4.0 * a * c > 0.0) AS shaped
+      |  FROM abc),
+      |mpq AS (SELECT *,
+      |    CASE WHEN shaped THEN (-b - sqrt(disc)) / (2.0 * c) END AS m
+      |  FROM full_),
+      |pq AS (SELECT *, CASE WHEN shaped THEN a / m END AS p FROM mpq),
+      |qq AS (SELECT *, CASE WHEN shaped THEN b + p END AS q FROM pq)
+      |SELECT n AS n_periods, (SELECT adopters FROM tot) AS adopters,
+      |  floor(a * 10000.0) / 10000.0 AS a,
+      |  round(b, 6) AS b, round(c, 9) AS c, shaped AS bass_shape,
+      |  floor(m * 10000.0) / 10000.0 AS m,
+      |  round(p, 6) AS p, round(q, 6) AS q,
+      |  round(CASE WHEN shaped AND p > 0 AND q > 0
+      |    THEN ln(q / p) / (p + q) END, 6) AS peak_t
+      |FROM qq""".stripMargin
+
+  /** Laspeyres/Paasche/Fisher price indices between the first and last
+    * full shipping years — how much of the revenue move is PRICE on
+    * the matched basket, the question q38x's revenue bridge leaves
+    * implicit. */
+  private def q410(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .select(col("l_partkey").as("pk"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty"),
+        year(col("l_shipdate")).as("yr"))
+    graft.operators.PriceIndex.bilateral(li, "pk", "cents", "qty",
+      col("yr") === 1995, col("yr") === 2000)
+  }
+
+  private val q410Sql =
+    """WITH r AS (
+      |  SELECT l_partkey AS i,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS rv,
+      |    CAST(l_quantity AS BIGINT) AS q,
+      |    CASE WHEN year(l_shipdate) = 1995 THEN 0
+      |         WHEN year(l_shipdate) = 2000 THEN 1 END AS t
+      |  FROM lineitem WHERE l_partkey IS NOT NULL),
+      |per AS (SELECT i, t, CAST(SUM(rv) AS BIGINT) AS rev,
+      |    CAST(SUM(q) AS BIGINT) AS qty
+      |  FROM r WHERE t IS NOT NULL GROUP BY i, t HAVING SUM(q) > 0),
+      |b AS (SELECT i, rev AS r0, qty AS q0 FROM per WHERE t = 0),
+      |c AS (SELECT i, rev AS r1, qty AS q1 FROM per WHERE t = 1),
+      |m AS (SELECT * FROM b JOIN c USING (i)),
+      |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(r0) AS BIGINT) AS rev0, CAST(SUM(r1) AS BIGINT) AS rev1,
+      |    SUM(CAST(CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+      |      * CAST(q0 AS DOUBLE) AS DECIMAL(38,12))) AS p1q0,
+      |    SUM(CAST(CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)
+      |      * CAST(q1 AS DOUBLE) AS DECIMAL(38,12))) AS p0q1
+      |  FROM m),
+      |xx AS (SELECT n,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM b
+      |      WHERE i NOT IN (SELECT i FROM c)) AS ob,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM c
+      |      WHERE i NOT IN (SELECT i FROM b)) AS oc,
+      |    rev0, rev1,
+      |    CAST(p1q0 AS DOUBLE) / CAST(rev0 AS DOUBLE) AS lasp,
+      |    CAST(rev1 AS DOUBLE) / CAST(p0q1 AS DOUBLE) AS paas
+      |  FROM agg)
+      |SELECT n AS n_matched, ob AS n_only_base, oc AS n_only_curr,
+      |  rev0 AS rev_base, rev1 AS rev_curr,
+      |  round(lasp, 6) AS laspeyres, round(paas, 6) AS paasche,
+      |  round(sqrt(lasp * paas), 6) AS fisher
+      |FROM xx""".stripMargin
+
+  /** Oaxaca–Blinder decomposition of the AUTOMOBILE-vs-rest spend gap
+    * into the part balance mix explains vs the coefficient gap — the
+    * composition-or-treatment split a raw segment comparison hides. */
+  private def q411(s: SparkSession, d: String): DataFrame = {
+    val spend = t(s, d, "orders")
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val cust = t(s, d, "customer")
+      .join(spend, col("c_custkey") === col("ck"), "left")
+      .select((col("c_mktsegment") === "AUTOMOBILE").as("grp"),
+        col("c_acctbal").as("bal"),
+        coalesce(col("cents"), lit(0L)).as("spend"))
+    graft.operators.Causal.oaxacaBlinder(cust, col("grp"), "bal", "spend")
+  }
+
+  private val q411Sql =
+    """WITH spend AS (
+      |  SELECT o_custkey AS ck,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |cu AS (
+      |  SELECT c_mktsegment = 'AUTOMOBILE' AS g,
+      |    CAST(c_acctbal AS DECIMAL(18,6)) AS x,
+      |    CAST(COALESCE(spend.cents, 0) AS DECIMAL(18,6)) AS y
+      |  FROM customer LEFT JOIN spend ON c_custkey = spend.ck
+      |  WHERE c_acctbal IS NOT NULL),
+      |gs AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS DECIMAL(38,12))) AS sx,
+      |    SUM(CAST(y AS DECIMAL(38,12))) AS sy,
+      |    SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))
+      |      AS DECIMAL(38,12))) AS sxx,
+      |    SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
+      |      AS DECIMAL(38,12))) AS sxy
+      |  FROM cu GROUP BY g),
+      |fit AS (SELECT g, n,
+      |    (CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+      |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      |  FROM gs),
+      |fit2 AS (SELECT g, n, b, (syd - b * sxd) / n AS a,
+      |    sxd / n AS mx, syd / n AS my FROM fit)
+      |SELECT a_.n AS n_a, b_.n AS n_b,
+      |  floor((a_.my - b_.my) * 10000.0) / 10000.0 AS gap,
+      |  floor((b_.b * (a_.mx - b_.mx)) * 10000.0) / 10000.0
+      |    AS explained_by_x,
+      |  floor(((a_.a - b_.a) + (a_.b - b_.b) * a_.mx) * 10000.0) / 10000.0
+      |    AS unexplained,
+      |  floor(a_.b * 10000.0) / 10000.0 AS slope_a,
+      |  floor(b_.b * 10000.0) / 10000.0 AS slope_b,
+      |  floor(a_.mx * 10000.0) / 10000.0 AS mean_x_a,
+      |  floor(b_.mx * 10000.0) / 10000.0 AS mean_x_b
+      |FROM (SELECT * FROM fit2 WHERE g) a_
+      |CROSS JOIN (SELECT * FROM fit2 WHERE NOT g) b_""".stripMargin
+
+  /** Gries' DP dispersion of the top-20 corpus words across sources —
+    * which frequent words CLUMP into one source (template markers) vs
+    * spread with the corpus (function words). */
+  private def q412(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dispersion.griesDp(t(s, d, "documents"),
+      "source", "text", k = 20)
+
+  private val q412Sql =
+    """WITH toks AS (
+      |  SELECT CAST(source AS VARCHAR) AS p,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+      |cells AS (SELECT p, w, CAST(COUNT(*) AS BIGINT) AS v
+      |  FROM toks GROUP BY p, w),
+      |parts AS (SELECT p, CAST(SUM(v) AS BIGINT) AS pt FROM cells GROUP BY p),
+      |nt AS (SELECT CAST(SUM(pt) AS BIGINT) AS n FROM parts),
+      |top AS (SELECT w, CAST(SUM(v) AS BIGINT) AS f FROM cells
+      |  GROUP BY w ORDER BY f DESC, w LIMIT 20),
+      |grid AS (SELECT parts.p, parts.pt, top.w, top.f,
+      |    COALESCE(cells.v, 0) AS v
+      |  FROM parts CROSS JOIN top
+      |  LEFT JOIN cells ON cells.p = parts.p AND cells.w = top.w),
+      |terms AS (SELECT w, f,
+      |    CAST(abs(CAST(v AS DOUBLE) / CAST(f AS DOUBLE)
+      |      - CAST(pt AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM nt))
+      |      AS DECIMAL(38,12)) AS term
+      |  FROM grid)
+      |SELECT w AS word, f AS freq,
+      |  round(CAST(SUM(term) AS DOUBLE) / 2.0, 6) AS dp
+      |FROM terms GROUP BY w, f ORDER BY dp DESC, word""".stripMargin
+
+  /** ARCH-effect (volatility clustering) read: Ljung–Box applied to
+    * SQUARED detrended hourly-revenue increments — Engle's LM test in
+    * its portmanteau form, composed from the gated q344 machinery over
+    * the squared series (dollar-scaled so the decimal ledgers keep
+    * exactness). A flat LB on the raw increments with a firing LB on
+    * their squares is the volatility-clustering signature. */
+  private def q413(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = t(s, d, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+        .cast("long").as("t"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+    val w = Window.orderBy(col("t"))
+    val sq = grid.withColumn("__p", lag(col("y"), 1).over(w))
+      .filter(col("__p").isNotNull)
+      // dollar-scaled |increments| (cents² would overflow the acf
+      // ledger's DECIMAL(18,6)); abs BEFORE the integer division so
+      // Spark's truncating div and DuckDB's flooring // agree
+      .select(col("t"), expr("abs(y - __p) div 100").as("da"))
+      .select(col("t"), (col("da") * col("da")).as("d2"))
+    graft.operators.Autocorr.ljungBox(sq, "t", "d2", maxLag = 8)
+  }
+
+
+  private val q413Sql =
+    """WITH g0 AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS t,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1),
+      |dd AS (SELECT t, abs(y - lag(y) OVER (ORDER BY t)) // 100 AS da
+      |  FROM g0),
+      |g AS (SELECT t, CAST(da * da AS DECIMAL(18,6)) AS y FROM dd
+      |  WHERE da IS NOT NULL),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g),
+      |idx AS (SELECT t, y, row_number() OVER (ORDER BY t) AS rn FROM g),
+      |tot AS (SELECT CAST(SUM(y) AS DECIMAL(28,6)) AS s FROM idx),
+      |c AS (
+      |  SELECT rn,
+      |    CAST(CAST(CAST(y * nn.n AS DECIMAL(28,6)) - tot.s AS VARCHAR)
+      |      AS DOUBLE) AS cy
+      |  FROM idx, nn, tot),
+      |lags AS (SELECT unnest(range(0, 9)) AS lag),
+      |pairs AS (
+      |  SELECT lags.lag, a.rn, a.cy * b.cy AS term
+      |  FROM c a JOIN lags ON true
+      |  JOIN c b ON b.rn = a.rn + lags.lag),
+      |agg AS (
+      |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(term ORDER BY rn)), (x, z) -> x + z) AS num
+      |  FROM pairs GROUP BY lag),
+      |den AS (SELECT num AS d FROM agg WHERE lag = 0),
+      |rho AS (
+      |  SELECT CAST(agg.lag AS BIGINT) AS lag,
+      |    round(agg.num / den.d, 6) AS acf
+      |  FROM agg, den WHERE agg.lag >= 1),
+      |q AS (
+      |  SELECT rho.lag, rho.acf,
+      |    (CAST(nn.n AS DOUBLE) * CAST(nn.n + 2 AS DOUBLE))
+      |      * SUM(rho.acf * rho.acf / CAST(nn.n - rho.lag AS DOUBLE))
+      |        OVER (ORDER BY rho.lag
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ql
+      |  FROM rho, nn)
+      |SELECT lag, acf, round(ql, 6) AS q_lb, lag AS df
+      |FROM q ORDER BY lag""".stripMargin
+
   override val queries: Seq[Q] = Seq(
+    Q("q408_durbin_watson", q408, Some(q408Sql)),
+    Q("q409_bass_fit", q409, Some(q409Sql)),
+    Q("q410_price_index", q410, Some(q410Sql)),
+    Q("q411_oaxaca_blinder", q411, Some(q411Sql)),
+    Q("q412_word_dispersion", q412, Some(q412Sql)),
+    Q("q413_arch_effect", q413, Some(q413Sql)),
+
     Q("q401_variance_ratio", q401, Some(q401Sql)),
     Q("q402_diff_in_diff", q402, Some(q402Sql)),
     Q("q403_regression_discontinuity", q403, Some(q403Sql)),

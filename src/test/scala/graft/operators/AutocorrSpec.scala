@@ -140,4 +140,54 @@ class AutocorrSpec extends AnyFunSuite with SparkSuite {
       Autocorr.ccf(const, "t", "x", "y", 4))
     assert(e.getMessage.contains("zero variance"))
   }
+  test("durbinWatson: alternating residuals read DW near 4, a smooth " +
+      "ramp with AR(1)-ish noise reads DW well below 2") {
+    import spark.implicits._
+    // perfectly alternating around a flat trend: e_t = ±1, so
+    // sum (e_t - e_{t-1})^2 = sum (±2)^2 = 4(n-1), ss = n -> DW -> 4
+    val alt = (0 until 64).map(i => (i.toLong, if (i % 2 == 0) 10L else 8L))
+      .toDF("t", "y")
+    val dwAlt = Autocorr.durbinWatson(alt, "t", "y").head()
+    assert(dwAlt.getAs[Double]("dw") > 3.5, dwAlt.toString)
+    assert(dwAlt.getAs[Double]("rho1_implied") < -0.7)
+    // positively-autocorrelated residuals: slow sine-ish wave around
+    // the trend -> adjacent residuals similar -> DW small
+    val wave = (0 until 64).map(i =>
+      (i.toLong, 100L + i + math.round(20 * math.sin(i / 8.0))))
+      .toDF("t", "y")
+    val dwWave = Autocorr.durbinWatson(wave, "t", "y").head()
+    assert(dwWave.getAs[Double]("dw") < 1.0, dwWave.toString)
+    // von Neumann is DW * n/(n-1) exactly
+    assert(dwWave.getAs[Double]("von_neumann") >= dwWave.getAs[Double]("dw"))
+  }
+
+  test("durbinWatson: detrending actually happens (a pure ramp is white)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val ramp = (0 until 128).map(i =>
+      (i.toLong, 1000L + 7 * i + rnd.nextInt(5))).toDF("t", "y")
+    val out = Autocorr.durbinWatson(ramp, "t", "y").head()
+    // slope recovered (floor-scaled 4dp, noise pulls it off 7 slightly)
+    assert(math.abs(out.getAs[Double]("trend_slope") - 7.0) < 0.1)
+    assert(out.getAs[Double]("dw") > 1.5 && out.getAs[Double]("dw") < 2.6)
+  }
+
+  test("durbinWatson: partition-invariant; refuses exact lines and " +
+      "short grids") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val df = (0 until 100).map(i => (i.toLong, rnd.nextInt(50).toLong))
+      .toDF("t", "y")
+    val a = Autocorr.durbinWatson(df, "t", "y").head().toString
+    val b = Autocorr.durbinWatson(df.repartition(7), "t", "y")
+      .head().toString
+    assert(a == b)
+    val line = (0 until 32).map(i => (i.toLong, 5L + 3 * i)).toDF("t", "y")
+    assert(intercept[IllegalArgumentException] {
+      Autocorr.durbinWatson(line, "t", "y")
+    }.getMessage.contains("zero residual"))
+    assert(intercept[IllegalArgumentException] {
+      Autocorr.durbinWatson(df.limit(4), "t", "y")
+    }.getMessage.contains("outside"))
+  }
 }

@@ -94,4 +94,36 @@ class CausalSpec extends AnyFunSuite with SparkSuite {
       0.0, 20.0).head().toString
     assert(c == e)
   }
+  test("oaxacaBlinder: identity gap = explained + unexplained; a pure " +
+      "composition gap is fully explained") {
+    import spark.implicits._
+    // both groups share y = 10x + 5 exactly; group A just has larger x
+    // -> the whole gap is endowments, unexplained = 0
+    val comp = ((1L to 10L).map(x => (true, x + 10L, 10 * (x + 10L) + 5L)) ++
+      (1L to 10L).map(x => (false, x, 10 * x + 5L)))
+      .toDF("g", "x", "y")
+    val out = Causal.oaxacaBlinder(comp, col("g"), "x", "y").head()
+    assert(out.getAs[Double]("unexplained") == 0.0)
+    assert(out.getAs[Double]("explained_by_x") == 100.0) // 10 * (15.5-5.5)
+    assert(out.getAs[Double]("gap") == 100.0)
+    // a pure coefficient gap: same x, A pays double slope
+    val coef = ((1L to 10L).map(x => (true, x, 20 * x)) ++
+      (1L to 10L).map(x => (false, x, 10 * x))).toDF("g", "x", "y")
+    val out2 = Causal.oaxacaBlinder(coef, col("g"), "x", "y").head()
+    assert(out2.getAs[Double]("explained_by_x") == 0.0)
+    assert(out2.getAs[Double]("gap") == out2.getAs[Double]("unexplained"))
+  }
+
+  test("oaxacaBlinder refuses missing or degenerate groups") {
+    import spark.implicits._
+    val one = (1L to 10L).map(x => (true, x, x)).toDF("g", "x", "y")
+    assert(intercept[IllegalArgumentException] {
+      Causal.oaxacaBlinder(one, col("g"), "x", "y")
+    }.getMessage.contains("both groups"))
+    val degen = ((1L to 5L).map(_ => (true, 3L, 7L)) ++
+      (1L to 5L).map(x => (false, x, x))).toDF("g", "x", "y")
+    assert(intercept[IllegalArgumentException] {
+      Causal.oaxacaBlinder(degen, col("g"), "x", "y")
+    }.getMessage.contains("degenerate"))
+  }
 }

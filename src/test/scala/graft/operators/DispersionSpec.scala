@@ -75,4 +75,41 @@ class DispersionSpec extends AnyFunSuite with SparkSuite {
       Dispersion.negBinFit(Seq(1.5, 2.5).toDF("x"), "x")
     }.getMessage.contains("integers"))
   }
+  test("griesDp: a one-part word reads DP = 1 - its part share; an " +
+      "everywhere-proportional word reads DP = 0") {
+    import spark.implicits._
+    // two equal-size parts (10 tokens each): "even" appears 2+2,
+    // "clump" appears 4 times only in part A
+    val df = Seq(
+      ("A", "even even clump clump clump clump x x x x"),
+      ("B", "even even y y y y y y y y")).toDF("src", "text")
+    val out = Dispersion.griesDp(df, "src", "text", k = 10).collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Double]("dp")).toMap
+    assert(out("even") == 0.0)
+    // clump: |4/4 - 1/2|/2 + |0 - 1/2|/2 = 1/2
+    assert(out("clump") == 0.5)
+    // the clumped word must rank above the even one
+    val ranked = Dispersion.griesDp(df, "src", "text", k = 10).collect()
+    assert(ranked.head.getAs[Double]("dp") >= ranked.last.getAs[Double]("dp"))
+  }
+
+  test("griesDp: zero-filled grid (absence from a part is counted) and " +
+      "partition invariance") {
+    import spark.implicits._
+    val df = Seq(("A", "only here words words"), ("B", "other stuff words"),
+      ("C", "third part words")).toDF("src", "text")
+    val out = Dispersion.griesDp(df, "src", "text", k = 5).collect()
+    val only = out.find(_.getAs[String]("word") == "only")
+    assert(only.nonEmpty && only.get.getAs[Double]("dp") > 0.5,
+      "a single-part word must read high DP against two absent parts")
+    val a = Dispersion.griesDp(df, "src", "text", k = 5)
+      .collect().map(_.toString).toSeq
+    val b = Dispersion.griesDp(df.repartition(5), "src", "text", k = 5)
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+    assert(intercept[IllegalArgumentException] {
+      Dispersion.griesDp(Seq.empty[(String, String)].toDF("src", "text"),
+        "src", "text")
+    }.getMessage.contains("tokens"))
+  }
 }
