@@ -234,4 +234,102 @@ object Causal {
       .toDF("n_a", "n_b", "gap", "explained_by_x", "unexplained",
         "slope_a", "slope_b", "mean_x_a", "mean_x_b")
   }
+  /** Event-study profile — the DYNAMIC face of [[diffInDiff]]'s four
+    * cells: the treated−control mean gap PER TICK, re-indexed relative
+    * to the intervention. Flat pre-period gaps are the parallel-trends
+    * assumption made visible tick by tick (the picture every DiD
+    * referee asks for); the post-period gap path is the effect's
+    * trajectory, which a single pooled `did` averages away (a fading
+    * effect and a growing one can pool identically).
+    *
+    * Exactness: one grouped decimal-ledger census over (tick, group);
+    * per-tick means and gaps close as doubles, floor-scaled. Ticks
+    * missing a group emit NULL means/gap rather than silently
+    * dropping (an empty treated cell in one tick is a finding).
+    *
+    * Scale shape: one map-side-combined census onto the (tick × 2)
+    * grid; everything after runs on grid rows. */
+  def eventStudy(df: DataFrame, valueCol: String, tickCol: String,
+                 treated: Column, eventTick: Long): DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull && col(tickCol).isNotNull)
+      .select(dec(col(valueCol)).as("__y"),
+        col(tickCol).cast("long").as("__t"),
+        treated.cast("boolean").as("__g"))
+      .filter(col("__g").isNotNull)
+    val cells = rows.groupBy(col("__t"), col("__g"))
+      .agg(count(lit(1)).as("__n"), dsum(col("__y")).as("__sy"))
+    def side(g: Boolean, pfx: String) = cells.filter(col("__g") === g)
+      .select(col("__t"), col("__n").as(s"n_$pfx"),
+        (col("__sy").cast("double") / col("__n")).as(s"__m_$pfx"))
+    val f4 = (c: Column) => floor(c * lit(10000.0)) / lit(10000.0)
+    side(true, "t").join(side(false, "c"), Seq("__t"), "full")
+      .select((col("__t") - lit(eventTick)).as("rel_tick"),
+        coalesce(col("n_t"), lit(0L)).as("n_t"),
+        coalesce(col("n_c"), lit(0L)).as("n_c"),
+        f4(col("__m_t")).as("mean_t"), f4(col("__m_c")).as("mean_c"),
+        f4(col("__m_t") - col("__m_c")).as("gap"))
+      .orderBy(col("rel_tick"))
+  }
+
+  /** Randomization-inference DiD — the PLACEBO test that replaces a
+    * distributional assumption with the design itself (Fisher-style;
+    * the modern DiD practice when clusters are few): re-estimate the
+    * DiD under `k` deterministic pseudo-assignments (unit-hash splits,
+    * so replay is exact), and read where the REAL |did| ranks among
+    * them. p = (1 + #{placebo |did| ≥ |real|}) / (k + 1) — if the real
+    * assignment's effect is indistinguishable from hash noise, the
+    * rank says so without a variance formula.
+    *
+    * Exactness: ONE grouped decimal-ledger census over
+    * ((assignment j) × group × post) — the unit rows fan out k+1 ways
+    * (j = 0 is the real assignment), 4(k+1) cells total; every did
+    * closes in the diffInDiff double tree; the rank is integer. A
+    * placebo with an empty cell refuses loudly (k too large for the
+    * unit count).
+    *
+    * Scale shape: the fan-out is a map-side k+1 multiplier into one
+    * census — no per-placebo passes; cells are 4(k+1) rows. */
+  def placeboDid(df: DataFrame, valueCol: String, unitCol: String,
+                 treated: Column, post: Column, k: Int = 16): DataFrame = {
+    require(k >= 4 && k <= 64, s"placeboDid: k=$k outside [4, 64]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(dec(col(valueCol)).as("__y"), col(unitCol).as("__u"),
+        treated.cast("boolean").as("__g0"), post.cast("boolean").as("__p"))
+      .filter(col("__g0").isNotNull && col("__p").isNotNull)
+    val js = (0 to k).toDF("__j")
+    val h1 = (abs(col("__u").cast("long")) % lit(2147483648L) * lit(2654435761L)
+      + col("__j") * lit(97L)) % lit(2147483648L)
+    val h2 = (h1 * lit(1597334677L)) % lit(2147483648L)
+    val fanned = rows.crossJoin(broadcast(js))
+      .withColumn("__g", when(col("__j") === 0, col("__g0"))
+        .otherwise(shiftright(h2, 15) % 2 === 1))
+    val cells = fanned.groupBy(col("__j"), col("__g"), col("__p"))
+      .agg(count(lit(1)).as("n"), dsum(col("__y")).as("sy"))
+      .collect()
+    require(cells.length == 4 * (k + 1),
+      s"placeboDid: ${4 * (k + 1) - cells.length} empty (assignment × " +
+        "group × post) cell(s) — k too large for the unit count")
+    val byJ = cells.groupBy(_.getInt(0))
+    def didOf(j: Int): Double = {
+      val m = byJ(j).map(r => (r.getBoolean(1), r.getBoolean(2)) ->
+        (BigDecimal(r.getDecimal(4)).toDouble / r.getLong(3))).toMap
+      (m((true, true)) - m((true, false))) -
+        (m((false, true)) - m((false, false)))
+    }
+    val real = didOf(0)
+    val placebos = (1 to k).map(didOf)
+    val nGe = placebos.count(p => math.abs(p) >= math.abs(real))
+    def f4d(x: Double): Double = math.floor(x * 10000.0) / 10000.0
+    val sorted = placebos.map(math.abs).sorted
+    Seq((f4d(real), k, nGe, (1.0 + nGe) / (k + 1).toDouble,
+      f4d(sorted.head), f4d(sorted(k / 2)), f4d(sorted.last)))
+      .toDF("did_real", "n_placebos", "n_ge_real", "p_value",
+        "placebo_abs_min", "placebo_abs_med", "placebo_abs_max")
+      .select(col("did_real"), col("n_placebos"), col("n_ge_real"),
+        round(col("p_value"), 6).as("p_value"),
+        col("placebo_abs_min"), col("placebo_abs_med"),
+        col("placebo_abs_max"))
+  }
 }

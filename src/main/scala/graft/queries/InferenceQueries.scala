@@ -9,9 +9,15 @@ import graft.operators.{Causal, Keyness, Survival, VarianceRatio, VocabStats}
   * (difference-in-differences with the parallel-trends pre-check,
   * sharp regression discontinuity), the Lo–MacKinlay variance-ratio
   * random-walk test, Aalen–Johansen competing-risks incidence, Dunning
-  * G² keyness, and frequency-spectrum lexical concentration. House
-  * hash-parity rules throughout (exact decimal ledgers, fixed closing
-  * double trees, round-6 outputs, total ORDER BY).
+  * G² keyness, and frequency-spectrum lexical concentration — plus
+  * the round's second wave: Durbin–Watson, Bass diffusion, bilateral
+  * price indices, Oaxaca–Blinder, Gries' DP, the ARCH-effect
+  * composition, the event-study profile, and randomization-inference
+  * placebo DiD. House hash-parity rules throughout (exact decimal
+  * ledgers, fixed closing double trees, total ORDER BY); cent-scale
+  * closes floor-scale (floor(x·1e4)/1e4) instead of round(,6) — see
+  * Causal.diffInDiff's body note on why rounding large doubles is not
+  * engine-replayable.
   */
 object InferenceQueries extends QuerySet {
 
@@ -668,6 +674,102 @@ object InferenceQueries extends QuerySet {
       |SELECT lag, acf, round(ql, 6) AS q_lb, lag AS df
       |FROM q ORDER BY lag""".stripMargin
 
+
+  /** Event-study profile of the q402 setting: the treated-control
+    * purchase-value gap per day, re-indexed to the day-16
+    * intervention — parallel trends made visible tick by tick, and
+    * the effect's trajectory a pooled did averages away. */
+  private def q414(s: SparkSession, d: String): DataFrame = {
+    val rows = t(s, d, "events")
+      .filter(col("event_type") === "purchase" &&
+        col("ts").isNotNull && col("value").isNotNull)
+      .select(round(col("value") * 100).cast("long").as("cents"),
+        dayofmonth(col("ts")).cast("long").as("tick"),
+        (col("user_id") % 2 === 1).as("treated"))
+    graft.operators.Causal.eventStudy(rows, "cents", "tick",
+      col("treated"), eventTick = 16L)
+  }
+
+  private val q414Sql =
+    """WITH r AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS c,
+      |    CAST(day(ts) AS BIGINT) AS tick, user_id % 2 = 1 AS g
+      |  FROM events WHERE event_type = 'purchase'
+      |    AND ts IS NOT NULL AND value IS NOT NULL),
+      |cells AS (SELECT tick, g, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(CAST(c AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS sy
+      |  FROM r GROUP BY tick, g),
+      |tt AS (SELECT tick, n AS n_t, CAST(sy AS DOUBLE) / n AS mt
+      |  FROM cells WHERE g),
+      |cc AS (SELECT tick, n AS n_c, CAST(sy AS DOUBLE) / n AS mc
+      |  FROM cells WHERE NOT g)
+      |SELECT tick - 16 AS rel_tick,
+      |  COALESCE(n_t, 0) AS n_t, COALESCE(n_c, 0) AS n_c,
+      |  floor(mt * 10000.0) / 10000.0 AS mean_t,
+      |  floor(mc * 10000.0) / 10000.0 AS mean_c,
+      |  floor((mt - mc) * 10000.0) / 10000.0 AS gap
+      |FROM tt FULL JOIN cc USING (tick) ORDER BY rel_tick""".stripMargin
+
+  /** Randomization-inference placebo test for the q402 DiD: the real
+    * |did| ranked against 16 exact-arithmetic pseudo-assignments —
+    * inference from the design, no variance formula. On randomized
+    * synthetic data the honest p is large (the real split IS hash
+    * noise); the gate verifies the whole rank machinery relationally. */
+  private def q415(s: SparkSession, d: String): DataFrame = {
+    // orders, not events: the placebo family needs enough UNITS that
+    // 16 hash splits all populate (sf0.001 has only 15 event users but
+    // 150 customers)
+    val rows = t(s, d, "orders")
+      .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_custkey").as("uid"),
+        (col("o_custkey") % 2 === 1).as("treated"),
+        (year(col("o_orderdate")) >= 1998).as("post"))
+    graft.operators.Causal.placeboDid(rows, "cents", "uid",
+      col("treated"), col("post"), k = 16)
+  }
+
+  private val q415Sql =
+    """WITH r AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+      |    o_custkey AS u, o_custkey % 2 = 1 AS g0,
+      |    year(o_orderdate) >= 1998 AS p
+      |  FROM orders
+      |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+      |js AS (SELECT CAST(unnest(range(0, 17)) AS BIGINT) AS j),
+      |fan AS (SELECT r.c, r.p, js.j,
+      |    CASE WHEN js.j = 0 THEN r.g0 ELSE
+      |      ((((abs(u) % 2147483648) * 2654435761 + j * 97)
+      |        % 2147483648) * 1597334677 % 2147483648 >> 15) % 2 = 1
+      |    END AS g
+      |  FROM r CROSS JOIN js),
+      |cells AS (SELECT j, g, p, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(CAST(c AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS sy
+      |  FROM fan GROUP BY j, g, p),
+      |dids AS (
+      |  SELECT j,
+      |    (MAX(CASE WHEN g AND p THEN CAST(sy AS DOUBLE) / n END)
+      |     - MAX(CASE WHEN g AND NOT p THEN CAST(sy AS DOUBLE) / n END))
+      |    - (MAX(CASE WHEN NOT g AND p THEN CAST(sy AS DOUBLE) / n END)
+      |     - MAX(CASE WHEN NOT g AND NOT p THEN CAST(sy AS DOUBLE) / n END))
+      |      AS did
+      |  FROM cells GROUP BY j),
+      |realv AS (SELECT did FROM dids WHERE j = 0),
+      |pl AS (SELECT abs(did) AS ad FROM dids WHERE j >= 1),
+      |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      |    CAST(SUM(CASE WHEN pl.ad >= abs(realv.did) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS nge,
+      |    MIN(ad) AS mn, MAX(ad) AS mx
+      |  FROM pl CROSS JOIN realv),
+      |med AS (SELECT ad AS md FROM pl ORDER BY ad LIMIT 1 OFFSET 8)
+      |SELECT floor(realv.did * 10000.0) / 10000.0 AS did_real,
+      |  CAST(stats.k AS INT) AS n_placebos, CAST(nge AS INT) AS n_ge_real,
+      |  round((1.0 + nge) / (stats.k + 1), 6) AS p_value,
+      |  floor(mn * 10000.0) / 10000.0 AS placebo_abs_min,
+      |  floor(med.md * 10000.0) / 10000.0 AS placebo_abs_med,
+      |  floor(mx * 10000.0) / 10000.0 AS placebo_abs_max
+      |FROM realv CROSS JOIN stats CROSS JOIN med""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q408_durbin_watson", q408, Some(q408Sql)),
     Q("q409_bass_fit", q409, Some(q409Sql)),
@@ -675,6 +777,8 @@ object InferenceQueries extends QuerySet {
     Q("q411_oaxaca_blinder", q411, Some(q411Sql)),
     Q("q412_word_dispersion", q412, Some(q412Sql)),
     Q("q413_arch_effect", q413, Some(q413Sql)),
+    Q("q414_event_study", q414, Some(q414Sql)),
+    Q("q415_placebo_did", q415, Some(q415Sql)),
 
     Q("q401_variance_ratio", q401, Some(q401Sql)),
     Q("q402_diff_in_diff", q402, Some(q402Sql)),

@@ -126,4 +126,66 @@ class CausalSpec extends AnyFunSuite with SparkSuite {
       Causal.oaxacaBlinder(degen, col("g"), "x", "y")
     }.getMessage.contains("degenerate"))
   }
+  test("eventStudy: flat pre gaps, the planted post trajectory, and " +
+      "NULL means where a tick misses a group") {
+    import spark.implicits._
+    // control 10+tick; treated 20+tick, +5 at ticks 6-7, +9 at 8-10
+    val rows = (for {
+      tick <- 1L to 10L; g <- Seq(false, true)
+    } yield {
+      val eff = if (g && tick >= 8) 9L else if (g && tick >= 6) 5L else 0L
+      ((if (g) 20L + tick else 10L + tick) + eff, tick, g)
+    }).toDF("v", "tick", "g")
+    val out = Causal.eventStudy(rows, "v", "tick", col("g"), eventTick = 6L)
+      .collect()
+    val gaps = out.map(r => r.getAs[Long]("rel_tick") ->
+      r.getAs[Double]("gap")).toMap
+    assert((-5L to -1L).forall(gaps(_) == 10.0), gaps)
+    assert(gaps(0L) == 15.0 && gaps(1L) == 15.0)
+    assert((2L to 4L).forall(gaps(_) == 19.0))
+    // a tick missing the treated side reads NULL mean/gap, not a drop
+    val holes = rows.filter(!(col("g") && col("tick") === 3L))
+    val h = Causal.eventStudy(holes, "v", "tick", col("g"), 6L)
+      .filter(col("rel_tick") === -3L).head()
+    assert(h.getAs[Long]("n_t") == 0L)
+    assert(h.isNullAt(h.fieldIndex("mean_t")))
+    assert(h.isNullAt(h.fieldIndex("gap")))
+  }
+
+  test("placeboDid: a huge planted effect ranks above every placebo; " +
+      "the mixer's splits are balanced enough to estimate") {
+    import spark.implicits._
+    // 200 units x (pre, post); REAL treated (u % 2 = 1) gains +1000
+    // post — hash placebos mix treated and control, so each placebo
+    // did sits near 500, strictly below the real 1000
+    val rows = (for {
+      u <- 0L until 200L; p <- Seq(false, true)
+    } yield {
+      val y = 100L + (if (p && u % 2 == 1) 1000L else 0L)
+      (y, u, u % 2 == 1, p)
+    }).toDF("v", "u", "g", "p")
+    val out = Causal.placeboDid(rows, "v", "u", col("g"), col("p"), k = 16)
+      .head()
+    assert(out.getAs[Double]("did_real") == 1000.0)
+    assert(out.getAs[Int]("n_ge_real") == 0)
+    assert(out.getAs[Double]("p_value") == math.rint(1.0 / 17 * 1e6) / 1e6)
+    assert(out.getAs[Double]("placebo_abs_max") < 1000.0)
+  }
+
+  test("placeboDid: a null effect ranks inside the placebo cloud; " +
+      "refuses k too large for the unit count") {
+    import spark.implicits._
+    // outcome independent of the real split -> real did is hash noise
+    val rows = (for {
+      u <- 0L until 100L; p <- Seq(false, true)
+    } yield ((u * 37 % 101) + (if (p) 5L else 0L), u, u % 2 == 1, p))
+      .toDF("v", "u", "g", "p")
+    val out = Causal.placeboDid(rows, "v", "u", col("g"), col("p"), k = 8)
+      .head()
+    assert(out.getAs[Double]("p_value") > 0.1, out.toString)
+    val tiny = rows.filter(col("u") < 2)
+    assert(intercept[IllegalArgumentException] {
+      Causal.placeboDid(tiny, "v", "u", col("g"), col("p"), k = 16)
+    }.getMessage.contains("empty"))
+  }
 }
