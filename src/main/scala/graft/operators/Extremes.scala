@@ -62,4 +62,55 @@ object Extremes {
         round(col("__lvl"), 6).as("return_level"))
       .orderBy(col("return_period"))
   }
+  /** Peaks-over-threshold GPD fit by the method of moments — the
+    * THIRD tail lens next to [[gumbelBlockMaxima]] (block maxima) and
+    * Outliers.hillPlot (log-rank slope): model the top-k excesses over
+    * the (k+1)-th largest value u as Generalized Pareto, with
+    *
+    *   ξ̂ = ½·(1 − m²/s²)        σ̂ = ½·m·(m²/s² + 1)
+    *
+    * from the excess mean m and variance s² (Hosking & Wallis 1987).
+    * ξ > 0 is a heavy (Pareto-like) tail — finite moments run out at
+    * order 1/ξ; ξ ≈ 0 exponential; ξ < 0 a finite endpoint at
+    * u + σ/|ξ| (the "there is a maximum order size" read). Where Hill
+    * assumes the heavy case and estimates its index, the GPD moments
+    * fit DECIDES the case.
+    *
+    * Exactness: the top-(k+1) order statistics pin u and the excesses
+    * deterministically ((value desc, id) total order; ties at u enter
+    * with excess 0 — the standard convention); Σe and Σe² fold as
+    * exact decimals off integer inputs; ξ/σ close in one fixed double
+    * tree. Refuses zero excess variance (a flat tail has no GPD).
+    *
+    * Scale shape: one TakeOrderedAndProject of k+1 rows; the moments
+    * run on those rows only. */
+  def gpdMomentsFit(df: DataFrame, valueCol: String, idCol: String,
+                    k: Int = 100): DataFrame = {
+    require(k >= 16 && k <= 4096, s"gpdMomentsFit: k=$k outside [16, 4096]")
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("__v"), col(idCol).as("__id"))
+      .orderBy(col("__v").desc, col("__id"))
+      .limit(k + 1)
+    val top = rows.collect() // k+1 rows by contract
+    require(top.length == k + 1,
+      s"gpdMomentsFit: corpus has only ${top.length} rows (need > $k)")
+    val u = top.last.getLong(0)
+    val ex = top.take(k).map(_.getLong(0) - u)
+    val m = ex.map(BigDecimal(_)).sum.toDouble / k
+    val s2 = ex.map(e => BigDecimal(e) * BigDecimal(e)).sum.toDouble / k - m * m
+    require(s2 > 0,
+      s"gpdMomentsFit: zero excess variance over u=$u — flat tail, " +
+        "no GPD shape to estimate")
+    val r = m * m / s2
+    val xi = 0.5 * (1.0 - r)
+    val sigma = 0.5 * m * (r + 1.0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((u, k.toLong, math.floor(m * 10000.0) / 10000.0, xi, sigma))
+      .toDF("threshold", "k", "mean_excess", "xi_hat", "sigma_hat")
+      .select(col("threshold"), col("k"), col("mean_excess"),
+        round(col("xi_hat"), 6).as("xi_hat"),
+        (floor(col("sigma_hat") * lit(10000.0)) / lit(10000.0))
+          .as("sigma_hat"))
+  }
 }

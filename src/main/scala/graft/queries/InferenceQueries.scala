@@ -770,6 +770,80 @@ object InferenceQueries extends QuerySet {
       |  floor(mx * 10000.0) / 10000.0 AS placebo_abs_max
       |FROM realv CROSS JOIN stats CROSS JOIN med""".stripMargin
 
+
+  /** Little's law audit over the sessionized event stream (q24's 6-h
+    * rule): does "average concurrent sessions" (sampled at minute
+    * boundaries) equal "arrival rate × mean session length" on this
+    * corpus, and by how much do window edge effects pull them apart —
+    * the sanity check behind every capacity dashboard that divides one
+    * to forecast the other. */
+  private def q416(s: SparkSession, d: String): DataFrame =
+    graft.operators.Queueing.littleLaw(t(s, d, "events"), "user_id", "ts")
+
+  private val q416Sql =
+    """WITH ev AS (
+      |  SELECT user_id AS u, epoch_us(ts) AS t FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |s0 AS (SELECT u, t,
+      |    CASE WHEN lag(t) OVER (PARTITION BY u ORDER BY t) IS NULL
+      |      OR t - lag(t) OVER (PARTITION BY u ORDER BY t) > 21600000000
+      |      THEN 1 ELSE 0 END AS nw
+      |  FROM ev),
+      |s1 AS (SELECT u, t,
+      |    SUM(nw) OVER (PARTITION BY u ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM s0),
+      |ses AS (SELECT u, sid, MIN(t) AS st, MAX(t) AS en
+      |  FROM s1 GROUP BY u, sid),
+      |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(en - st) AS BIGINT) AS dur,
+      |    CAST(SUM(en // 60000000 - st // 60000000) AS BIGINT) AS bnd,
+      |    MIN(st) AS t0, MAX(en) AS t1
+      |  FROM ses)
+      |SELECT n AS n_sessions, (t1 - t0) // 1000000 AS span_sec,
+      |  round(CAST(n AS DOUBLE) / (CAST(t1 - t0 AS DOUBLE) / 3.6e9), 6)
+      |    AS lambda_per_hour,
+      |  round(CAST(dur AS DOUBLE) / n / 1e6, 6) AS w_mean_sec,
+      |  round(CAST(dur AS DOUBLE) / (t1 - t0), 6) AS l_identity,
+      |  round(CAST(bnd AS DOUBLE) / (t1 // 60000000 - t0 // 60000000), 6)
+      |    AS l_sampled,
+      |  round((CAST(bnd AS DOUBLE) / (t1 // 60000000 - t0 // 60000000)
+      |      - CAST(dur AS DOUBLE) / (t1 - t0))
+      |    / (CAST(dur AS DOUBLE) / (t1 - t0)), 6) AS rel_gap
+      |FROM agg""".stripMargin
+
+  /** GPD peaks-over-threshold fit of the order-value tail (top 256
+    * excesses): ξ decides heavy / exponential / finite-endpoint — the
+    * tail CASE, where q359's Hill assumes heavy and reads only the
+    * index. */
+  private def q417(s: SparkSession, d: String): DataFrame = {
+    val v = t(s, d, "orders")
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey"))
+    graft.operators.Extremes.gpdMomentsFit(v, "cents", "o_orderkey", k = 256)
+  }
+
+  private val q417Sql =
+    """WITH v AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+      |    o_orderkey AS id
+      |  FROM orders WHERE o_totalprice IS NOT NULL),
+      |top AS (SELECT v, row_number() OVER (ORDER BY v DESC, id) AS rn
+      |  FROM v),
+      |uu AS (SELECT v AS u FROM top WHERE rn = 257),
+      |ex AS (SELECT top.v - uu.u AS e FROM top CROSS JOIN uu
+      |  WHERE rn <= 256),
+      |mm AS (SELECT
+      |    CAST(SUM(CAST(e AS DECIMAL(38,0))) AS DOUBLE) / 256 AS m,
+      |    CAST(SUM(CAST(e AS DECIMAL(38,0)) * e) AS DOUBLE) / 256 AS m2
+      |  FROM ex)
+      |SELECT (SELECT u FROM uu) AS threshold, CAST(256 AS BIGINT) AS k,
+      |  floor(m * 10000.0) / 10000.0 AS mean_excess,
+      |  round(0.5 * (1.0 - m * m / (m2 - m * m)), 6) AS xi_hat,
+      |  floor((0.5 * m * (m * m / (m2 - m * m) + 1.0)) * 10000.0)
+      |    / 10000.0 AS sigma_hat
+      |FROM mm""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q408_durbin_watson", q408, Some(q408Sql)),
     Q("q409_bass_fit", q409, Some(q409Sql)),
@@ -779,6 +853,8 @@ object InferenceQueries extends QuerySet {
     Q("q413_arch_effect", q413, Some(q413Sql)),
     Q("q414_event_study", q414, Some(q414Sql)),
     Q("q415_placebo_did", q415, Some(q415Sql)),
+    Q("q416_little_law", q416, Some(q416Sql)),
+    Q("q417_gpd_tail", q417, Some(q417Sql)),
 
     Q("q401_variance_ratio", q401, Some(q401Sql)),
     Q("q402_diff_in_diff", q402, Some(q402Sql)),

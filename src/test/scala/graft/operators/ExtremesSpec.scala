@@ -70,4 +70,50 @@ class ExtremesSpec extends AnyFunSuite with SparkSuite {
         Seq(50L))
     }.getMessage.contains("constant"))
   }
+  test("gpdMomentsFit: an exact Pareto tail reads xi > 0, an " +
+      "exponential-ish tail reads xi near 0, a bounded tail xi < 0") {
+    import spark.implicits._
+    // Pareto(alpha=2) via inverse CDF on a deterministic unit grid:
+    // x_i = 1e6 / sqrt(i/n) -> heavy, true xi = 1/alpha = 0.5
+    val n = 2000
+    val pareto = (1 to n).map(i =>
+      (math.round(1e6 / math.sqrt(i.toDouble / n)), i.toLong))
+      .toDF("v", "id")
+    val xiP = Extremes.gpdMomentsFit(pareto, "v", "id", k = 200)
+      .head().getAs[Double]("xi_hat")
+    assert(xiP > 0.25, s"xiP=$xiP")
+    // exponential via inverse CDF: x_i = -1e6 ln(i/n) -> xi ~ 0
+    val expo = (1 to n).map(i =>
+      (math.round(-1e6 * math.log(i.toDouble / n)), i.toLong))
+      .toDF("v", "id")
+    val xiE = Extremes.gpdMomentsFit(expo, "v", "id", k = 200)
+      .head().getAs[Double]("xi_hat")
+    assert(math.abs(xiE) < 0.2, s"xiE=$xiE")
+    // uniform (finite endpoint): xi -> -... negative
+    val unif = (1 to n).map(i => (i.toLong * 1000, i.toLong)).toDF("v", "id")
+    val xiU = Extremes.gpdMomentsFit(unif, "v", "id", k = 200)
+      .head().getAs[Double]("xi_hat")
+    assert(xiU < -0.2, s"xiU=$xiU")
+    assert(xiP > xiE && xiE > xiU, "the three regimes must order")
+  }
+
+  test("gpdMomentsFit: threshold is the (k+1)-th order statistic; " +
+      "partition-invariant; refusals") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("v", "id")
+    val out = Extremes.gpdMomentsFit(df, "v", "id", k = 16).head()
+    assert(out.getAs[Long]("threshold") == 84L) // 17th largest of 1..100
+    assert(out.getAs[Long]("k") == 16L)
+    val a = Extremes.gpdMomentsFit(df, "v", "id", k = 16).head().toString
+    val b = Extremes.gpdMomentsFit(df.repartition(9), "v", "id", k = 16)
+      .head().toString
+    assert(a == b)
+    val flat = (1 to 50).map(i => (7L, i.toLong)).toDF("v", "id")
+    assert(intercept[IllegalArgumentException] {
+      Extremes.gpdMomentsFit(flat, "v", "id", k = 16)
+    }.getMessage.contains("flat tail"))
+    assert(intercept[IllegalArgumentException] {
+      Extremes.gpdMomentsFit(df.limit(10), "v", "id", k = 16)
+    }.getMessage.contains("only"))
+  }
 }
