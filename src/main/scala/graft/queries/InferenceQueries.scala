@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.operators.{Causal, Keyness, Survival, VarianceRatio, VocabStats}
+import graft.store.DocumentStore
 
 /** Round-17 inference extensions: the engine's first CAUSAL family
   * (difference-in-differences with the parallel-trends pre-check,
@@ -844,6 +845,66 @@ object InferenceQueries extends QuerySet {
       |    / 10000.0 AS sigma_hat
       |FROM mm""".stripMargin
 
+
+  /** Schema evolution under the driver's eye (S5's Delta-mergeSchema
+    * face, previously spec-only): a batch carrying a NEW column
+    * upserts into a cust-partitioned table — updated rows get values,
+    * untouched partitions read back NULL under the widened committed
+    * schema with NO rewrite (the manifest carries the schema; reads
+    * never infer), and the same commit also lands fresh inserts. The
+    * oracle replays create → evolve-upsert → read relationally.
+    *
+    * Partitioning is by a BOUNDED bucket (cust % 32), not raw cust —
+    * the 100 TB rule that partition cardinality is a layout budget,
+    * not a data property (raw-cust spray measured pathological at the
+    * sf1 scale row: 15k one-file manifest partitions). */
+  private def q418(s: SparkSession, d: String): DataFrame = {
+    val store = new DocumentStore(s, Scratch.dir("q418-store"))
+    val base = t(s, d, "orders").filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+        (col("o_custkey") % 32).as("bkt"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    store.create("ords", base, partitionCol = Some("bkt"))
+    val src = t(s, d, "orders")
+    val upd = src.filter(col("o_orderkey") % 14 === 0)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+        (col("o_custkey") % 32).as("bkt"),
+        (round(col("o_totalprice") * 100).cast("long") + 1).as("cents"),
+        concat(lit("web-"), (col("o_custkey") % 3).cast("string"))
+          .as("channel"))
+    val ins = src.filter(col("o_orderkey") % 14 === 7)
+      .select((col("o_orderkey") + 90000000L).as("k"),
+        col("o_custkey").as("cust"), (col("o_custkey") % 32).as("bkt"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        concat(lit("web-"), (col("o_custkey") % 3).cast("string"))
+          .as("channel"))
+    store.upsert("ords", upd.unionByName(ins), keys = Seq("k"))
+    store.read("ords")
+      .select(col("k"), col("cust"), col("cents"), col("channel"))
+      .orderBy(col("k"))
+  }
+
+  private val q418Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_custkey AS cust,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |upd AS (
+      |  SELECT o_orderkey AS k, o_custkey AS cust,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) + 1 AS cents,
+      |    'web-' || CAST(o_custkey % 3 AS VARCHAR) AS channel
+      |  FROM orders WHERE o_orderkey % 14 = 0),
+      |ins AS (
+      |  SELECT o_orderkey + 90000000 AS k, o_custkey AS cust,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    'web-' || CAST(o_custkey % 3 AS VARCHAR) AS channel
+      |  FROM orders WHERE o_orderkey % 14 = 7)
+      |SELECT b.k, b.cust, b.cents, CAST(NULL AS VARCHAR) AS channel
+      |FROM base b WHERE b.k NOT IN (SELECT k FROM upd)
+      |UNION ALL SELECT k, cust, cents, channel FROM upd
+      |UNION ALL SELECT k, cust, cents, channel FROM ins
+      |ORDER BY k""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q408_durbin_watson", q408, Some(q408Sql)),
     Q("q409_bass_fit", q409, Some(q409Sql)),
@@ -855,6 +916,7 @@ object InferenceQueries extends QuerySet {
     Q("q415_placebo_did", q415, Some(q415Sql)),
     Q("q416_little_law", q416, Some(q416Sql)),
     Q("q417_gpd_tail", q417, Some(q417Sql)),
+    Q("q418_schema_evolution", q418, Some(q418Sql)),
 
     Q("q401_variance_ratio", q401, Some(q401Sql)),
     Q("q402_diff_in_diff", q402, Some(q402Sql)),
