@@ -299,12 +299,17 @@ object Causal {
         treated.cast("boolean").as("__g0"), post.cast("boolean").as("__p"))
       .filter(col("__g0").isNotNull && col("__p").isNotNull)
     val js = (0 to k).toDF("__j")
+    // j enters MULTIPLICATIVELY (an r17 advisor finding: the old +97*j
+    // additive mix left adjacent pseudo-assignments correlated over
+    // clustered unit-id ranges, shrinking the effective k), and the bit
+    // xors two distant bit positions of the final mix for good measure.
     val h1 = (abs(col("__u").cast("long")) % lit(2147483648L) * lit(2654435761L)
-      + col("__j") * lit(97L)) % lit(2147483648L)
+      + col("__j") * lit(2246822519L)) % lit(2147483648L)
     val h2 = (h1 * lit(1597334677L)) % lit(2147483648L)
     val fanned = rows.crossJoin(broadcast(js))
       .withColumn("__g", when(col("__j") === 0, col("__g0"))
-        .otherwise(shiftright(h2, 15) % 2 === 1))
+        .otherwise(
+          (shiftright(h2, 15).bitwiseXOR(shiftright(h2, 7))) % 2 === 1))
     val cells = fanned.groupBy(col("__j"), col("__g"), col("__p"))
       .agg(count(lit(1)).as("n"), dsum(col("__y")).as("sy"))
       .collect()

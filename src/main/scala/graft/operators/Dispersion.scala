@@ -50,7 +50,9 @@ object Dispersion {
       .na.fill(0L, Seq("__c"))
     val out = dense.groupBy(col("__g"))
       .agg(count(lit(1)).as("periods"), sum(col("__c")).as("total"),
-        sum(col("__c") * col("__c")).as("__scc"))
+        // cast BEFORE the multiply (the Extremes.gumbelBlockMaxima rule):
+        // long*long overflows ANSI at period counts above ~3.04e9
+        sum(col("__c").cast("decimal(38,0)") * col("__c")).as("__scc"))
       .filter(col("periods") >= 2 && col("total") > 0)
       .select(col("__g").as(groupCol), col("periods"), col("total"),
         round(col("total").cast("double") / col("periods").cast("double"),

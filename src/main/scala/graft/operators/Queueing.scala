@@ -58,6 +58,9 @@ object Queueing {
     require(spanUs > 0, "littleLaw: zero observation span")
     val spanBnd = t1 / 60000000L - t0 / 60000000L
     require(spanBnd > 0, "littleLaw: span shorter than one minute")
+    // all-instantaneous sessions carry zero occupancy: rel_gap's
+    // denominator vanishes — refuse rather than publish NaN/Infinity
+    require(durUs > 0, "littleLaw: zero total session duration")
     val lIdentity = durUs.toDouble / spanUs
     val lSampled = bnd.toDouble / spanBnd
     val spark = events.sparkSession

@@ -229,8 +229,10 @@ object VocabStats {
       .agg(count(lit(1)).as("__f"))
     tf.groupBy(col("__g"))
       .agg(count(lit(1)).as("types"), sum(col("__f")).as("tokens"),
-        sum(col("__f") * col("__f")).as("__sff"),
-        sum(col("__f") * (col("__f") - 1)).as("__sff1"))
+        // cast BEFORE the multiply (the Extremes.gumbelBlockMaxima rule):
+        // long*long overflows ANSI once a term repeats ~3.04e9 times
+        sum(col("__f").cast("decimal(38,0)") * col("__f")).as("__sff"),
+        sum(col("__f").cast("decimal(38,0)") * (col("__f") - 1)).as("__sff1"))
       .filter(col("tokens") >= 2)
       .select(col("__g").as(groupCol), col("types"), col("tokens"),
         round(lit(10000.0) * (col("__sff") - col("tokens")).cast("double") /

@@ -740,8 +740,10 @@ object InferenceQueries extends QuerySet {
       |js AS (SELECT CAST(unnest(range(0, 17)) AS BIGINT) AS j),
       |fan AS (SELECT r.c, r.p, js.j,
       |    CASE WHEN js.j = 0 THEN r.g0 ELSE
-      |      ((((abs(u) % 2147483648) * 2654435761 + j * 97)
-      |        % 2147483648) * 1597334677 % 2147483648 >> 15) % 2 = 1
+      |      xor((((abs(u) % 2147483648) * 2654435761 + j * 2246822519)
+      |            % 2147483648) * 1597334677 % 2147483648 >> 15,
+      |          (((abs(u) % 2147483648) * 2654435761 + j * 2246822519)
+      |            % 2147483648) * 1597334677 % 2147483648 >> 7) % 2 = 1
       |    END AS g
       |  FROM r CROSS JOIN js),
       |cells AS (SELECT j, g, p, CAST(COUNT(*) AS BIGINT) AS n,

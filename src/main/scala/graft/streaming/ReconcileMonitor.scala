@@ -56,17 +56,16 @@ final class ReconcileMonitor(
         col("__rp").isNotNull)
       .withColumn("__c", col("__rc").try_cast("long"))
       .withColumn("__p", col("__rp").try_cast("long"))
-    val blinded = raw
-      .filter(col("__c").isNull || col("__p").isNull).count()
-    require(blinded == 0,
-      s"ReconcileMonitor: $blinded row(s) in batch $bid carry non-NULL " +
-        s"cents ($childCentsCol/$statedCentsCol) that cast to NULL long " +
-        "— the cents columns must be exact integers; refusing rather " +
-        "than silently blinding the integrity monitor")
-    val rows = raw.select(col("__k"), col("__c"), col("__p"))
-    rows.groupBy(col("__k"))
+    // ONE pass over the batch: the blind count rides the key rollup
+    // (an r17 advisor finding: a separate count() action re-scanned and
+    // re-cast the whole micro-batch just to guard), and the ≤6-row band
+    // census is collected locally so the base's write and the verdict's
+    // reads never touch the batch lineage again.
+    val perBand = raw.groupBy(col("__k"))
       .agg(sum(col("__c")).as("__cc"), max(col("__p")).as("__pp"),
-        countDistinct(col("__p")).as("__ds"))
+        countDistinct(col("__p")).as("__ds"),
+        sum(when(col("__c").isNull || col("__p").isNull, 1L)
+          .otherwise(0L)).as("__blind"))
       .withColumn("__d", abs(col("__cc") - col("__pp")))
       .withColumn("band",
         when(col("__ds") > 1, "0_conflict")
@@ -76,9 +75,18 @@ final class ReconcileMonitor(
           .when(col("__d") * 10 <= abs(col("__pp")), "4_within_10pct")
           .otherwise("5_beyond_10pct"))
       .groupBy(col("band"))
-      .agg(count(lit(1)).as("n_keys"))
-      .withColumn("batch_id", lit(bid))
-      .select(col("batch_id"), col("band"), col("n_keys"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("__blind")).as("__blind"))
+      .collect()
+    val blinded = perBand.map(_.getLong(2)).sum
+    require(blinded == 0,
+      s"ReconcileMonitor: $blinded row(s) in batch $bid carry non-NULL " +
+        s"cents ($childCentsCol/$statedCentsCol) that cast to NULL long " +
+        "— the cents columns must be exact integers; refusing rather " +
+        "than silently blinding the integrity monitor")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    perBand.map(r => (bid, r.getString(0), r.getLong(1))).toSeq
+      .toDF("batch_id", "band", "n_keys")
   }
 
   protected def verdict(bid: Long, census: DataFrame,

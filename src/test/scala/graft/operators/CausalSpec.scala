@@ -188,4 +188,27 @@ class CausalSpec extends AnyFunSuite with SparkSuite {
       Causal.placeboDid(tiny, "v", "u", col("g"), col("p"), k = 16)
     }.getMessage.contains("empty"))
   }
+
+  test("placeboDid: adjacent pseudo-assignments decorrelate over a " +
+      "clustered unit-id range (the r17 advisor finding)") {
+    import spark.implicits._
+    // replay the operator's mixer directly over a contiguous id block —
+    // the worst case for the old +97*j additive mix — and require every
+    // adjacent-j pair to disagree on a healthy fraction of units
+    def bit(u: Long, j: Long): Int = {
+      val h1 = ((math.abs(u) % 2147483648L) * 2654435761L +
+        j * 2246822519L) % 2147483648L
+      val h2 = (h1 * 1597334677L) % 2147483648L
+      (((h2 >> 15) ^ (h2 >> 7)) % 2).toInt
+    }
+    val units = 0L until 512L
+    for (j <- 1L until 16L) {
+      val agree = units.count(u => bit(u, j) == bit(u, j + 1))
+      val frac = agree.toDouble / units.size
+      assert(frac > 0.35 && frac < 0.65,
+        s"adjacent assignments j=$j,${j + 1} agree on $frac of units")
+      val ones = units.count(bit(_, j) == 1).toDouble / units.size
+      assert(ones > 0.35 && ones < 0.65, s"j=$j split is $ones treated")
+    }
+  }
 }

@@ -59,4 +59,13 @@ class QueueingSpec extends AnyFunSuite with SparkSuite {
         "u", "t")
     }.getMessage.contains("session"))
   }
+
+  test("refuses all-instantaneous sessions (rel_gap denominator is 0)") {
+    // every session is a single event: durUs = 0, so l_identity = 0 and
+    // rel_gap would read NaN/Infinity — the operator must refuse loudly
+    val rows = (0L until 5L).map(u => (u, ts(u * 120))).toDF("u", "t")
+    assert(intercept[IllegalArgumentException] {
+      Queueing.littleLaw(rows, "u", "t")
+    }.getMessage.contains("zero total session duration"))
+  }
 }
