@@ -382,12 +382,13 @@ object Dedup {
       .withColumn("__sim", cosine_sim(col("__va"), col("__vb")))
       .filter(col("__sim") >= tau)
       .select(col("a_id"), col("b_id"))
-    // the keepers table stays pinned until the RESULT is consumed (the
-    // semi-join references its checkpoint blocks — releasing earlier
-    // would truncate lineage under the caller); id-only rows, metadata-
-    // scale. Harnesses sweep it after consumption (the Bench/Verify
-    // tripwire attributes it here by name).
-    val keep = Clusters.keepers(df, idCol, pairs, "a_id", "b_id").localCheckpoint()
+    // the keepers table (id-only, metadata-scale) is rematerialized to
+    // scratch parquet, NOT local-checkpointed: the semi-join below then
+    // references files instead of pinned blocks, so nothing stays in the
+    // block manager after the result is consumed (the r17 bench
+    // attributed one leaked checkpoint per call to this line).
+    val keep = graft.store.Scratch.rematerialize(
+      Clusters.keepers(df, idCol, pairs, "a_id", "b_id"), "semantic-keepers")
     df.join(keep, Seq(idCol), "left_semi")
   }
 

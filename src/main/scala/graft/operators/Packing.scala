@@ -50,15 +50,17 @@ object Packing {
       .withColumn("pid", spark_partition_id())
     // per-partition running sums: every window group is one partition's
     // rows — parallel across pids, never a single global sort.
-    // Lazily checkpointed: the totals collect below materializes it, the
-    // final emit then reuses the SAME materialized layout — without this
-    // the range shuffle + window run twice, and the base offsets would
+    // Rematerialized to scratch parquet: the totals collect below and the
+    // final emit must read the SAME materialization — without it the
+    // range shuffle + window run twice, and the base offsets would
     // silently depend on two executions of the range sampler agreeing on
-    // partition boundaries. The pinned rows are (id, n, pid, cum) — four
-    // longs per document, metadata-scale next to the corpus.
-    val local = wc.withColumn("local_cum",
-      sum(col("n")).over(Window.partitionBy(col("pid")).orderBy(col("id"))))
-      .localCheckpoint(false)
+    // partition boundaries. The staged rows are (id, n, pid, cum) — four
+    // longs per document, metadata-scale next to the corpus — and scratch
+    // (unlike a local checkpoint) pins no blocks in the returned plan.
+    val local = graft.store.Scratch.rematerialize(
+      wc.withColumn("local_cum",
+        sum(col("n")).over(Window.partitionBy(col("pid")).orderBy(col("id")))),
+      "packing-offsets")
     // partition totals -> exclusive base offsets (numPartitions rows)
     val totals = local.groupBy(col("pid")).agg(max(col("local_cum")).as("tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)

@@ -49,11 +49,12 @@ object PageRank {
     * truncation loss only). Self-loops and duplicate edges are legal;
     * duplicates are collapsed.
     *
-    * The returned DataFrame is an eager local checkpoint: its blocks
-    * (MEMORY_AND_DISK) back every later action without replaying the
-    * fixpoint, and they are reclaimed by the ContextCleaner once the
-    * caller drops the reference — no explicit unpersist needed, and
-    * nothing is pinned in the CacheManager across invocations.
+    * The returned DataFrame is a clean scan of the final rank table,
+    * rematerialized once to scratch parquet ([[graft.store.Scratch]]):
+    * every later action reads the files instead of replaying the
+    * fixpoint, and NO persistent-RDD blocks remain pinned after run()
+    * returns (each iteration's local checkpoint is released as soon as
+    * the next one lands, the last one right after the scratch write).
     *
     * `redistributeDangling = true` switches to the mass-conserving
     * variant: each iteration the dangling nodes' aggregate rank S is
@@ -234,7 +235,14 @@ object PageRank {
     e.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     if (redistributeDangling) dangling.unpersist(blocking = false)
-    ranks
+    // The FINAL table leaves the block manager entirely: one node-sized
+    // scratch-parquet write, release the last checkpoint, return a clean
+    // scan. Nothing stays pinned after run() returns (the r17 bench
+    // attributed one leaked checkpoint per call to this return), and the
+    // result survives executor loss — which a local checkpoint cannot.
+    val out = graft.store.Scratch.rematerialize(ranks, "pagerank")
+    release(ranksIds)
+    out
   }
 
   /** The matching DuckDB oracle: unrolled iteration CTEs replaying the

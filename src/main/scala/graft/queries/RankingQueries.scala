@@ -29,11 +29,14 @@ object RankingQueries extends QuerySet {
     * and CLOSE the index before returning: a gate that drops the index
     * reference leaves its corpus-sized tf/lens checkpoint blocks pinned
     * in the shared harness JVM until GC (the r13 q250 pollution class).
-    * The result's own pinned blocks are output-sized (topK-bounded) and
-    * the harness' per-query persistent-RDD sweep releases them. */
+    * The result itself goes through [[graft.store.Scratch]] — one
+    * output-sized (topK-bounded) parquet write, zero pinned blocks in
+    * the returned plan (r17's bench swept one result checkpoint per
+    * call here). */
   private def closing(idx: KeywordRank.KeywordIndex)
                      (f: KeywordRank.KeywordIndex => DataFrame): DataFrame =
-    try f(idx).localCheckpoint() finally idx.close()
+    try graft.store.Scratch.rematerialize(f(idx), "tfidf-gate")
+    finally idx.close()
 
   /** TF-IDF: top-3 characteristic terms per document. Uses the cached
     * keyword index (tf feeds both the df-counts and the score join and

@@ -51,17 +51,26 @@ class LeakHygieneSpec extends AnyFunSuite with SparkSuite {
     assert(pinned == 0, "close() must release the index blocks")
   }
 
-  test("the q65/q66 gate shape pins at most its own result checkpoint") {
+  test("the q65/q66 gate shape pins NOTHING after evaluation") {
     sweep()
     val res = SparkEntry.queries("q65_tfidf")(spark, sf)
     assert(res.count() > 0)
-    // the index (tf + lens = 2 blocks) must be closed; only the gate's
-    // own eagerly-evaluated result checkpoint may survive, and the
-    // harness sweep releases that
-    assert(pinned <= 1,
-      s"q65 gate left $pinned persistent RDDs — index not closed")
-    sweep()
-    assert(pinned == 0)
+    // the index (tf + lens = 2 blocks) must be closed, and as of r18 the
+    // gate's own result goes through Scratch.rematerialize — a parquet
+    // scan, not a checkpoint — so zero blocks survive the call
+    assert(pinned == 0,
+      s"q65 gate left $pinned persistent RDDs — index not closed or " +
+        "result checkpointed instead of rematerialized")
+  }
+
+  test("the four r17-flagged gates leave zero pinned RDDs " +
+      "(pagerank, tfidf, pack_sequences, semantic_dedup)") {
+    for (q <- Seq("q155_pagerank", "q65_tfidf", "q86_pack_sequences",
+        "q94_semantic_dedup")) {
+      sweep()
+      assert(SparkEntry.queries(q)(spark, sf).count() > 0, q)
+      assert(pinned == 0, s"$q left $pinned persistent RDDs pinned")
+    }
   }
 
   test("Drift.wasserstein1 releases its pinned value grid") {
