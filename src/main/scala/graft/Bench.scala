@@ -128,17 +128,38 @@ object Bench {
       else if (a <= b) name -> (a, lastIdx) // 1-based: pass lastIdx-1+1
       else name -> (b, lastIdx + 1)
     }
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
+    val total = results.map(_._2._1).sum
+    def fmt(d: Double): String = "%.3f".format(d)
+    // compact medians (ms precision): the artifact-survival budget — the
+    // driver preserves only the LAST ~2 KB of stdout, so the line that
+    // must survive whole is printed LAST and kept under that budget
+    // (r17 finding: 40+ of 55 medians fell off the front of one big line
+    // and the round artifact carried `parsed: null`)
+    val qs = results.map { case (k, (v, _)) =>
+      "\"" + k + "\":" + (if (v < 0) "-1" else fmt(v)) }
       .mkString("{", ",", "}")
     val publishedPass = results.map { case (k, (_, p)) => "\"" + k + "\":" + p }
       .mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum
-    def fmt(d: Double): String = "%.3f".format(d)
     val passTotals = passes.map(p => fmt(passTotal(p))).mkString("[", ",", "]")
     val loadsJson = loads.map(fmt).mkString("[", ",", "]")
     val sweptJson = swept.mkString("[", ",", "]")
     val heapsJson = heaps.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passTotals,"converged":$converged,"published_pass":$publishedPass,"dirty_capture":$dirtyStart,"start_loadavg":${fmt(startLoad)},"loadavg":$loadsJson,"swept_rdds":$sweptJson,"heap_used_mb":$heapsJson,"quiet_waited_sec":${fmt(quietWaited)},"cpus":$cpus}""")
+    val diag = s"""{"metric":"bench_diag","published_pass":$publishedPass,"loadavg":$loadsJson,"heap_used_mb":$heapsJson,"quiet_waited_sec":${fmt(quietWaited)}}"""
+    val main = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passTotals,"converged":$converged,"dirty_capture":$dirtyStart,"start_loadavg":${fmt(startLoad)},"swept_rdds":$sweptJson,"cpus":$cpus}"""
+    // full-precision artifact to a file the tail cap cannot touch
+    try {
+      val full = s"""{"main":$main,"diag":$diag,"full_precision_queries":${
+        results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        full.getBytes("UTF-8"))
+    } catch { case _: Exception => () }
+    println(diag)
+    // LAST line = the driver-contract metric line, sized for the tail
+    println(main)
+    if (main.length > 1900)
+      System.err.println(s"[bench] WARNING: metric line ${main.length} B " +
+        "may exceed the driver's ~2 KB tail capture")
     spark.stop()
   }
 }
