@@ -131,12 +131,21 @@ object QuantileRegression {
       s"bad tau=$tauNum/$tauDen")
     require(steps >= 3 && steps <= 41, s"bad steps=$steps")
     val micro = 1000000L
+    // spread the corpus across the session's full parallelism BEFORE the
+    // ×slopes fan: a compact parquet input arrives in a handful of
+    // splits (sf0.1 lineitem = 3), and without this the entire
+    // corpus×slopes fan + partial aggregate serializes onto those few
+    // cores — measured 7.5 s → 1.4 s at bench SF. One 16-byte-row
+    // shuffle of the corpus, amortized over both fan passes.
+    val fanParts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
     val u = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(
         (col(xCol).cast("decimal(18,6)") * lit(micro).cast("decimal(7,0)"))
           .cast("long").as("__xU"),
         (col(yCol).cast("decimal(18,6)") * lit(micro).cast("decimal(7,0)"))
           .cast("long").as("__yU"))
+      .repartition(fanParts)
     val s = u.agg(count(lit(1)).as("n"),
       sum(col("__xU").cast("decimal(38,0)")).as("sx"),
       sum(col("__yU").cast("decimal(38,0)")).as("sy"),
