@@ -60,6 +60,32 @@ object SimpleKMeans {
           maxTrainPoints: Int = 0): Array[Array[Float]] = {
     val sampleKey = pmod(pmod(col(idCol).cast("long"), lit(2147483648L)) *
       2654435761L, lit(4294967296L))
+    // Bounded sample + integral ids = the DRIVER-LOCAL Lloyd path: the
+    // sample is ≤ maxTrainPoints by construction, so iterating over it
+    // in memory replaces (1 checkpoint + 1 init collect + iters ×
+    // (assign + UDAF shuffle + collect)) Spark jobs with ONE TakeOrdered
+    // collect — the r17 q103 root cause was exactly this per-iteration
+    // job overhead (k-means over 2000 vectors costing ~1.4 s of
+    // scheduling). Numerically it replays the same recipe — k-lowest-id
+    // init, index-order double cosine folds, mean-then-spherical-
+    // normalize with per-iteration float32 rounding — so the unrolled
+    // SQL oracle replays (q33/q103) stay green: the float32 rounding
+    // absorbs sub-ULP summation-order differences exactly as it already
+    // does between Spark's and DuckDB's fold orders.
+    val idIsIntegral = df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (maxTrainPoints > 0 && idIsIntegral)
+      return fitLocal(
+        df.select(col(idCol).cast("long"), col(vecCol))
+          .orderBy(sampleKey, col(idCol)).limit(maxTrainPoints)
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)),
+        k, iters)
     val dataP =
       if (maxTrainPoints <= 0) None
       else Some(graft.operators.Pinned.checkpoint(
@@ -101,6 +127,64 @@ object SimpleKMeans {
     // centroids are driver arrays — the pinned training sample must not
     // outlive the fit (Pinned release discipline)
     } finally dataP.foreach(_.release())
+  }
+
+  /** Driver-local Lloyd over a collected bounded sample — the SAME
+    * arithmetic as the distributed path, step for step: init = k
+    * lowest-id sample vectors; assignment = first-max argmax of the
+    * index-order double cosine fold ([[graft.functions.VectorExpressions]]
+    * CosineSimilarity's exact loop); update = double mean over the
+    * assigned vectors (sample order), spherical-normalized, rounded to
+    * float32 per iteration; empty clusters keep their previous centroid. */
+  private def fitLocal(sample: Array[(Long, Array[Float])], k: Int,
+                       iters: Int): Array[Array[Float]] = {
+    var centroids: Array[Array[Float]] =
+      sample.sortBy(_._1).take(k).map(_._2)
+    def cos(x: Array[Float], c: Array[Float]): Double = {
+      val n = math.min(x.length, c.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val xv = x(i).toDouble; val yv = c(i).toDouble
+        dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (_ <- 1 to iters) {
+      val sums = Array.ofDim[Double](k, if (sample.isEmpty) 0 else sample.head._2.length)
+      val counts = new Array[Long](k)
+      sample.foreach { case (_, v) =>
+        // first-max argmax — array_position(sims, array_max(sims)) ties
+        // to the LOWEST centroid index, i.e. strictly-greater scan
+        var best = 0; var bestSim = cos(v, centroids(0)); var c = 1
+        while (c < centroids.length) {
+          val s = cos(v, centroids(c))
+          if (s > bestSim) { best = c; bestSim = s }
+          c += 1
+        }
+        val acc = sums(best); var p = 0
+        while (p < v.length && p < acc.length) { acc(p) += v(p); p += 1 }
+        counts(best) += 1
+      }
+      // exactly the distributed update: start from the previous
+      // centroids as doubles, overwrite the clusters that received
+      // points with their double means, then spherical-normalize EVERY
+      // row (an empty cluster's previous centroid goes through the same
+      // double→normalize→float32 round-trip it does distributedly)
+      val next = Array.tabulate(k)(i => centroids(i).map(_.toDouble))
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var p = 0
+          while (p < next(c).length) { next(c)(p) = sums(c)(p) / counts(c); p += 1 }
+        }
+        c += 1
+      }
+      centroids = next.map { m =>
+        val n = math.sqrt(m.map(x => x * x).sum)
+        if (n == 0.0) m.map(_.toFloat) else m.map(x => (x / n).toFloat)
+      }
+    }
+    centroids
   }
 
   /** Append `centroid_id` = argmax cosine to the broadcast centroid
