@@ -360,7 +360,19 @@ object Multimodal {
           val bytes = row.getAs[Array[Byte]](bIdx)
           val sums: Seq[Long] =
             if (bytes == null || bytes.isEmpty) Seq.empty
-            else if (Y4m.isY4m(bytes)) {
+            else if (Avi.isAvi(bytes)) {
+              // RIFF/AVI: the container walk indexes frame chunks
+              // without decoding, so every-kth sampling decodes ONLY the
+              // sampled frames — the point of a coded container
+              val fmt = Avi.parseFormat(bytes)
+              val chunks = Avi.frameChunks(bytes)
+              chunks.indices.by(everyK).take(maxFrames).map { i =>
+                val g = Avi.grayFrameAt(bytes, chunks(i), fmt)
+                var sum = 0L; var j = 0
+                while (j < g.length) { sum += g(j); j += 1 }
+                sum
+              }
+            } else if (Y4m.isY4m(bytes)) {
               // pure-JDK Y4M path: sample the luma stream in one walk —
               // the iterator holds one plane at a time, so sampling a
               // long clip never materializes it

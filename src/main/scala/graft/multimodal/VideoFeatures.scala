@@ -32,23 +32,28 @@ object VideoFeatures {
     * identity-palette GIFs are gray), which refuses loudly on
     * containers it cannot parse. */
   def frameDeltas(bytes: Array[Byte]): Seq[(Int, Long)] =
-    if (Y4m.isY4m(bytes)) {
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
-      var prev: Array[Int] = null
-      var f = 0
-      Y4m.lumaFrames(bytes).foreach { cur =>
-        if (prev != null) {
-          var d = 0L
-          var i = 0
-          while (i < cur.length) { d += math.abs(cur(i) - prev(i)); i += 1 }
-          out += ((f, d))
-        }
-        prev = cur
-        f += 1
+    if (Y4m.isY4m(bytes)) deltasOf(Y4m.lumaFrames(bytes))
+    else if (Avi.isAvi(bytes)) deltasOf(Avi.grayFrames(bytes))
+    else frameDeltasImageIo(bytes)
+
+  private def deltasOf(frames: Iterator[Array[Int]]): Seq[(Int, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var prev: Array[Int] = null
+    var f = 0
+    frames.foreach { cur =>
+      if (prev != null) {
+        require(cur.length == prev.length, "frame size changed mid-clip")
+        var d = 0L
+        var i = 0
+        while (i < cur.length) { d += math.abs(cur(i) - prev(i)); i += 1 }
+        out += ((f, d))
       }
-      require(f > 0, "video container with zero decodable frames")
-      out.toSeq
-    } else frameDeltasImageIo(bytes)
+      prev = cur
+      f += 1
+    }
+    require(f > 0, "video container with zero decodable frames")
+    out.toSeq
+  }
 
   private def frameDeltasImageIo(bytes: Array[Byte]): Seq[(Int, Long)] = {
     val iis = javax.imageio.ImageIO.createImageInputStream(

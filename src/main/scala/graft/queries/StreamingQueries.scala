@@ -247,7 +247,9 @@ object StreamingQueries extends QuerySet {
     Q("q143_video_scene_deltas", q143, Some(q143Sql)),
     Q("q144_audio_segments", q144, Some(q144Sql)),
     Q("q399_y4m_scene_deltas", q399, Some(q399Sql)),
-    Q("q400_y4m_frame_sample", q400, Some(q400Sql)))
+    Q("q400_y4m_frame_sample", q400, Some(q400Sql)),
+    Q("q419_avi_scene_deltas", q419, Some(q419Sql)),
+    Q("q420_mjpeg_scene_cuts", q420, Some(q420Sql)))
 
   /** q143's scene-delta signal over a SECOND real container: YUV4MPEG2
     * via the pure-JDK [[graft.multimodal.Y4m]] decoder (r17 — retires
@@ -311,6 +313,70 @@ object StreamingQueries extends QuerySet {
       |          (x * 31 + y * 17 + (4 * j) * 11 + doc_id) % 256)))))) AS BIGINT)
       |    AS total_sum
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q399's scene-delta signal over a THIRD real container: RIFF/AVI
+    * via the pure-JDK [[graft.multimodal.Avi]] walker (r18 — retires
+    * the "compressed container" residual's plumbing half). The payload
+    * is BI_RGB 24bpp — LOSSLESS, so the oracle replays the whole
+    * container walk in exact arithmetic: widths 5–8 include strides the
+    * 4-byte row padding must skip, and frames are stored BOTTOM-UP, so
+    * a walker that misses either drags pad bytes / flips rows and
+    * breaks the hash. (The MJPEG/JPEG half of the container rides
+    * q420, where decode noise is isolated behind robust cut flags.) */
+  private def q419(s: SparkSession, d: String): DataFrame = {
+    val gen = udf { (id: Long) =>
+      graft.multimodal.Avi.syntheticDib(id, (5 + id % 4).toInt,
+        (4 + (id * 3) % 3).toInt, (2 + id % 4).toInt)
+    }
+    val media = t(s, d, "documents")
+      .select(col("doc_id"), gen(col("doc_id")).as("bytes"))
+    graft.multimodal.VideoFeatures.withFrameDeltas(media, "bytes")
+      .select(col("doc_id"), col("frame_idx"), col("delta"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  private lazy val q419Sql = // lazy: declared below the `queries` val
+    """WITH f AS (
+      |  SELECT doc_id, unnest(range(1, 2 + doc_id % 4)) AS fi FROM documents)
+      |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+      |  CAST(list_sum(flatten(list_transform(range(4 + (doc_id*3) % 3), y ->
+      |    list_transform(range(5 + doc_id % 4), x ->
+      |      abs((x*31 + y*17 + doc_id + fi*11) % 256
+      |        - (x*31 + y*17 + doc_id + (fi-1)*11) % 256))))) AS BIGINT) AS delta
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Hard-cut detection over REAL MJPEG — every frame chunk is a
+    * genuine ImageIO-encoded JPEG, decoded by the stock JPEG reader
+    * inside the RIFF walk. JPEG is lossy, so the gate emits
+    * DECODE-NOISE-ROBUST output: uniform frames at gray 64/192 decode
+    * within ±4 of their input (AviSpec measures it), and the cut flag
+    * thresholds the delta at HALF the 128-level gap — the closed form
+    * replays the planted cut positions exactly while the pixels
+    * themselves stay honestly lossy. A framing bug (pad byte, chunk
+    * desync) still breaks the hash: it shifts which frames decode. */
+  private def q420(s: SparkSession, d: String): DataFrame = {
+    val w = 16; val h = 12
+    val gen = udf { (id: Long) =>
+      graft.multimodal.Avi.syntheticMjpeg(id, w, h, (6 + id % 6).toInt,
+        cutEvery = (3 + id % 3).toInt)
+    }
+    val media = t(s, d, "documents")
+      .select(col("doc_id"), gen(col("doc_id")).as("bytes"))
+    graft.multimodal.VideoFeatures.withFrameDeltas(media, "bytes")
+      .select(col("doc_id"), col("frame_idx"),
+        (col("delta") > lit(w.toLong * h * 64)).as("is_cut"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  private lazy val q420Sql = // lazy: declared below the `queries` val
+    """WITH f AS (
+      |  SELECT doc_id, 3 + doc_id % 3 AS ce,
+      |    unnest(range(1, 6 + doc_id % 6)) AS fi
+      |  FROM documents)
+      |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+      |  ((fi % ce) = (doc_id % ce)) <> (((fi-1) % ce) = (doc_id % ce))
+      |    AS is_cut
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
   /** Frame-level energy + zero-crossing features over REALLY decoded
     * PCM via [[graft.multimodal.AudioFeatures]] (the VAD/silence-trim
