@@ -74,9 +74,12 @@ object Bfs {
       h += 1
     }
     e.unpersist(blocking = false)
-    // final checkpoint blocks reclaimed by the ContextCleaner when the
-    // caller drops the reference (the PageRank.run contract)
-    reached
+    // the reach table is rematerialized to scratch and the final
+    // frontier checkpoint released inside the call: nothing stays
+    // pinned after return (the r18 PageRank.run contract)
+    val out = graft.store.Scratch.rematerialize(reached, "bfs")
+    release(reachedIds)
+    out
   }
 
   /** Sampled-source harmonic centrality (Eppstein & Wang 2004 shape):

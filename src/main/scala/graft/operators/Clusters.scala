@@ -174,7 +174,10 @@ object Clusters {
                          threshold: Double = 0.8): DataFrame = {
     val (pairs, cleanup) =
       Dedup.minhashLshPairsManaged(df, idCol, textCol, n, numHashes, bands, threshold)
-    val keep = keepers(df, idCol, pairs, "a_id", "b_id").localCheckpoint()
+    // id-only keepers rematerialized to scratch (not checkpointed): the
+    // returned semi-join references files, nothing stays pinned
+    val keep = graft.store.Scratch.rematerialize(
+      keepers(df, idCol, pairs, "a_id", "b_id"), "neardup-keepers")
     cleanup()
     df.join(keep, Seq(idCol), "left_semi")
   }

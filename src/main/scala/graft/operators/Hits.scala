@@ -92,10 +92,10 @@ object Hits {
         col("score").as("auth")))
       .groupBy(col("node"))
       .agg(max(col("hub")).as("hub"), max(col("auth")).as("auth"))
-    // result re-checkpoints so the released iteration pins are not
-    // referenced by the returned plan (the PageRank return discipline);
-    // ContextCleaner reclaims it once the caller drops the reference
-    val res = out.localCheckpoint(true)
+    // result is rematerialized to scratch so the released iteration pins
+    // are not referenced by the returned plan AND nothing stays pinned
+    // after return (the r18 PageRank.run contract)
+    val res = graft.store.Scratch.rematerialize(out, "hits")
     hubs.release(); auths.release(); e.unpersist(blocking = false)
     res
   }

@@ -80,10 +80,12 @@ object KCore {
         round += 1
       }
     }
-    // the returned frame reads the final checkpoint's blocks — they are
-    // reclaimed by the ContextCleaner once the caller drops the
-    // reference (the PageRank.run contract), never released here
-    degrees(e)
+    // the OUTPUT (node, deg — core-sized) is rematerialized to scratch
+    // and the final peel checkpoint released inside the call: nothing
+    // stays pinned after return (the r18 PageRank.run contract)
+    val out = graft.store.Scratch.rematerialize(degrees(e), "kcore")
+    release(eIds)
+    out
   }
 
   /** Unrolled peel CTEs for the DuckDB oracle: `edgesCte` must define a

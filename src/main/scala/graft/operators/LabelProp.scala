@@ -94,9 +94,12 @@ object LabelProp {
       i += 1
     }
     e.unpersist(blocking = false)
-    // blocks reclaimed by the ContextCleaner when the caller drops the
-    // reference (the PageRank.run contract)
-    labels
+    // the label table is rematerialized to scratch and the final
+    // iteration checkpoint released inside the call: nothing stays
+    // pinned after return (the r18 PageRank.run contract)
+    val out = graft.store.Scratch.rematerialize(labels, "labelprop")
+    release(labelIds)
+    out
   }
 
   /** Unrolled oracle CTEs: `edgesCte` must define a deduplicated

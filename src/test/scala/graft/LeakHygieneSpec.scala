@@ -73,6 +73,29 @@ class LeakHygieneSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("every iterative graph gate leaves zero pinned RDDs " +
+      "(kcore, label_prop, bfs, harmonic, hits)") {
+    for (q <- Seq("q190_kcore", "q191_label_propagation", "q194_bfs_hops",
+        "q217_harmonic_centrality", "q317_hits")) {
+      sweep()
+      // evaluate fully (q190's k=80 core is legitimately EMPTY at this
+      // sf — the pinned check is the assertion, not the row count)
+      assert(SparkEntry.queries(q)(spark, sf).count() >= 0, q)
+      assert(pinned == 0, s"$q left $pinned persistent RDDs pinned")
+    }
+  }
+
+  test("Clusters.dropNearDuplicates leaves zero pinned RDDs") {
+    sweep()
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"tok${i % 7} alpha beta gamma delta tok${i % 7} " * 3))
+      .toDF("doc_id", "text")
+    assert(graft.operators.Clusters
+      .dropNearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      .count() > 0)
+    assert(pinned == 0, "dropNearDuplicates left persistent RDDs pinned")
+  }
+
   test("Drift.wasserstein1 releases its pinned value grid") {
     sweep()
     val a = (1 to 200).map(i => Tuple1((i % 23).toLong)).toDF("v")

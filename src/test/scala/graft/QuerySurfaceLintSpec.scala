@@ -64,8 +64,11 @@ class QuerySurfaceLintSpec extends AnyFunSuite {
         "(different decode stages, same audit frame)",
         "q70_multimodal_features", "q115_multimodal_resize") ++
       fam("same closed-form scene-delta truth, animated-GIF decode vs " +
-        "pure-JDK Y4M decode (the container is the point)",
-        "q143_video_scene_deltas", "q399_y4m_scene_deltas") ++
+        "pure-JDK Y4M decode vs pure-JDK RIFF/AVI BI_RGB decode (the " +
+        "container is the point: chroma skipping, stride padding, and " +
+        "row flips are each hash-load-bearing on their own path)",
+        "q143_video_scene_deltas", "q399_y4m_scene_deltas",
+        "q419_avi_scene_deltas") ++
       fam("same frame-sampling truth, GIF vs Y4M container",
         "q81_frame_sample", "q400_y4m_frame_sample") ++
       fam("same k-occurrence truth, exact n² audit vs ANN-candidate path " +
