@@ -88,6 +88,84 @@ object ExactQuantile {
       .select(col("rank"), col("__v").as("value"))
   }
 
+  /** Per-GROUP exact order statistics in ONE two-phase pass — the
+    * batched form of [[globalRanks]] for k features/groups. A caller
+    * that loops `globalRanks` per feature pays the full job ladder
+    * (histogram, totals, bucket collect, selection) k times over the
+    * same corpus; this form pays it ONCE with the group key riding
+    * every stage (the r18 q263 finding: 2 features × globalRanks was
+    * ~90% of the stump's warm cost). Returns (group, rank, value) —
+    * one row per requested (group, rank).
+    *
+    * Same contract as [[globalRanks]]: integral values, 1-based ranks,
+    * rank > group population fails loudly, and a group in `ranksOf`
+    * absent from the data fails loudly. */
+  def groupedRanks(df: DataFrame, groupCol: String, valueCol: String,
+                   ranksOf: Map[String, Seq[Long]],
+                   lowBits: Int = 8): DataFrame = {
+    require(ranksOf.nonEmpty && ranksOf.values.forall(_.nonEmpty),
+      "need at least one rank per group")
+    require(ranksOf.values.flatten.forall(_ >= 1),
+      s"ranks are 1-based, got ${ranksOf.values.flatten.min}")
+    require(lowBits >= 0 && lowBits <= 40, s"bad lowBits=$lowBits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("long").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    // phase 1: per-group coarse histogram; the window partitions by
+    // group, so the grid stays bounded per group and parallel across
+    val hist = vals
+      .groupBy(col("__g"), shiftright(col("__v"), lowBits).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val wb = Window.partitionBy(col("__g")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("__hi", sum(col("__c")).over(wb))
+      .withColumn("__lo", col("__hi") - col("__c"))
+    val rdf = ranksOf.toSeq
+      .flatMap { case (g, rs) => rs.distinct.map(r => (g, r)) }
+      .toDF("__rg", "rank")
+    // ONE phase-1 action: the located rows collect (bounded by Σ|ranks|
+    // — the audited bounded-collect family) and double as the
+    // population check — a rank beyond its group's population (or a
+    // group with no rows) simply fails to locate, and the missing
+    // (group, rank) pairs name themselves in the refusal. The collected
+    // rows then drive phase 2 as LITERALS, so no later job recomputes
+    // the histogram.
+    val locRows = cum.join(broadcast(rdf),
+        col("__g") === col("__rg") &&
+          col("rank") > col("__lo") && col("rank") <= col("__hi"))
+      .select(col("__g"), col("rank"), col("__b"),
+        (col("rank") - col("__lo")).as("__rr"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val foundPairs = locRows.map(t => (t._1, t._2)).toSet
+    val missing = ranksOf.toSeq.flatMap { case (g, rs) =>
+      rs.distinct.collect { case r if !foundPairs((g, r)) => (g, r) } }
+    require(missing.isEmpty,
+      "groupedRanks: rank beyond the group's non-null population (or " +
+        s"group absent from the data): ${missing.mkString(", ")}")
+    val located = locRows.toSeq.toDF("__g", "rank", "__b", "__rr")
+    // phase 2: located (group, bucket) pairs become literal predicates
+    val width = 1L << lowBits
+    val pairs = locRows.map(t => (t._1, t._3)).distinct
+    val inBuckets = pairs.groupBy(_._1).map { case (g, bs) =>
+      col("__g") === g && bs.map(_._2).distinct
+        .map(b => col("__v") >= b * width && col("__v") <= b * width + (width - 1))
+        .reduce(_ || _)
+    }.reduce(_ || _)
+    val picked = vals.filter(inBuckets)
+      .withColumn("__b", shiftright(col("__v"), lowBits))
+      .groupBy(col("__g"), col("__b"), col("__v")).agg(count(lit(1)).as("__c"))
+    val wv = Window.partitionBy(col("__g"), col("__b")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gridded = picked.withColumn("__vhi", sum(col("__c")).over(wv))
+      .withColumn("__vlo", col("__vhi") - col("__c"))
+    located.join(gridded, Seq("__g", "__b"))
+      .filter(col("__rr") > col("__vlo") && col("__rr") <= col("__vhi"))
+      .select(col("__g").as(groupCol), col("rank"), col("__v").as("value"))
+  }
+
   /** Distribution-free confidence interval for the median (the
     * order-statistic / binomial construction — Hahn & Meeker 1991
     * §5.2, normal-approximated ranks): the UNCERTAINTY readout the

@@ -37,19 +37,6 @@ object Stump {
     require(featureCols.nonEmpty && thresholds >= 1, "bad stump config")
     val spark = df.sparkSession
     import spark.implicits._
-    val candidates: Seq[(String, Long)] = featureCols.flatMap { f =>
-      val vals = df.filter(col(f).isNotNull && col(labelCol).isNotNull)
-        .select(col(f).cast("long").as("__x"))
-      val n = vals.count()
-      require(n >= 2, s"stump: feature $f has $n usable rows")
-      ExactQuantile.globalRanks(vals, "__x",
-          (1 to thresholds).map(k => (k * n + thresholds) / (thresholds + 1))
-            .filter(_ >= 1).distinct, lowBits = 8)
-        .collect().map(r => f -> r.getLong(1)).toSeq
-    }.distinct
-    val cand = candidates.toDF("feature", "threshold")
-    // one pass per feature: (feature, candidate) cells via a broadcast
-    // range join of rows against the bounded candidate grid
     val base = df.filter(col(labelCol).isNotNull)
       .select(featureCols.map(f => col(f).cast("long").as(f)) :+
         col(labelCol).cast("boolean").as("__y"): _*)
@@ -58,6 +45,26 @@ object Stump {
       .select(col("__fx.feature").as("feature"), col("__fx.__x").as("__x"),
         col("__y"))
       .filter(col("__x").isNotNull)
+    // candidate thresholds: one BATCHED per-feature order-statistic pass
+    // (ExactQuantile.groupedRanks — r18: the per-feature globalRanks
+    // loop was ~90% of the stump's warm cost at 2 features; the grouped
+    // form pays the two-phase job ladder once for ALL features)
+    val nOf = long.groupBy(col("feature")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    featureCols.foreach { f =>
+      require(nOf.getOrElse(f, 0L) >= 2,
+        s"stump: feature $f has ${nOf.getOrElse(f, 0L)} usable rows")
+    }
+    val ranksOf = featureCols.map { f =>
+      val n = nOf(f)
+      f -> (1 to thresholds).map(k => (k * n + thresholds) / (thresholds + 1))
+        .filter(_ >= 1).distinct.map(_.toLong)
+    }.toMap
+    val candidates: Seq[(String, Long)] =
+      ExactQuantile.groupedRanks(long.select(col("feature"), col("__x")),
+          "feature", "__x", ranksOf, lowBits = 8)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq.distinct
+    val cand = candidates.toDF("feature", "threshold")
     val tot = long.groupBy(col("feature"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("__y"), 1L).otherwise(0L)).as("pos"))

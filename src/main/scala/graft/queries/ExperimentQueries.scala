@@ -882,7 +882,10 @@ object ExperimentQueries extends QuerySet {
     * criterion. The winning split is whatever best separates — the
     * gate pins that the TRAINED model replays exactly. */
   private def q263(s: SparkSession, d: String): DataFrame = {
-    val base = t(s, d, "documents").select(
+    // spread BEFORE the tokenize: the compact documents parquet is one
+    // input split, and every train job re-pays the regexp over it —
+    // serialized on one core without this (the r18 q299 finding)
+    val base = t(s, d, "documents").repartition(col("doc_id")).select(
       col("n_chars").as("n_chars"),
       size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
         .cast("long").as("n_tokens"),
@@ -1582,7 +1585,9 @@ object ExperimentQueries extends QuerySet {
     * over survivors. Driver sees only the 1-row stump and the
     * bins-sized iso map (broadcast back). */
   private def q276(s: SparkSession, d: String): DataFrame = {
-    val base = t(s, d, "documents").select(
+    // spread before the tokenize (see q263) — the pipeline re-reads
+    // `base` across train/calibrate/gains stages
+    val base = t(s, d, "documents").repartition(col("doc_id")).select(
       col("doc_id"),
       col("n_chars").cast("long").as("n_chars"),
       size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))

@@ -136,4 +136,38 @@ class ExactQuantileSpec extends AnyFunSuite with SparkSuite {
     intercept[IllegalArgumentException](
       ExactQuantile.medianCi((1 to 5).map(_.toLong).toDF("v"), "v"))
   }
+
+  test("groupedRanks == per-group globalRanks (one pass, same values)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 500).map(_ => ("a", rnd.nextInt(100000).toLong)) ++
+      (1 to 300).map(_ => ("b", rnd.nextInt(50).toLong)) ++ // heavy ties
+      (1 to 7).map(i => ("c", i.toLong * 1000000))          // tiny + sparse
+    val df = rows.toDF("g", "v")
+    val ranksOf = Map(
+      "a" -> Seq(1L, 250L, 500L, 100L),
+      "b" -> Seq(150L, 1L, 300L),
+      "c" -> Seq(1L, 7L, 4L))
+    val got = ExactQuantile.groupedRanks(df, "g", "v", ranksOf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for ((g, rs) <- ranksOf) {
+      val want = ExactQuantile.globalRanks(
+          df.filter(col("g") === g).select(col("v")), "v", rs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      for (r <- rs.distinct)
+        assert(got((g, r)) == want(r), s"group $g rank $r")
+    }
+    assert(got.size == ranksOf.values.map(_.distinct.size).sum)
+  }
+
+  test("groupedRanks refusals: absent group, rank beyond population") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    assert(intercept[RuntimeException](
+      ExactQuantile.groupedRanks(df, "g", "v", Map("zz" -> Seq(1L)))
+    ).getMessage.contains("zz"))
+    assert(intercept[IllegalArgumentException](
+      ExactQuantile.groupedRanks(df, "g", "v", Map("a" -> Seq(3L)))
+    ).getMessage.contains("beyond"))
+  }
 }
