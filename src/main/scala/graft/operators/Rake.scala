@@ -45,7 +45,12 @@ object Rake {
     // can't match [a-z0-9]+), which the stop flag then treats exactly
     // like a stopword.
     val cleaned = regexp_replace(lower(col(textCol)), "[^a-z0-9 ]+", " . ")
-    val toks = docs.select(col(idCol).as("__id"),
+    // spread BEFORE the tokenize: a compact parquet input is one split,
+    // and without this the regexp + posexplode serialize on one core
+    // (the r18 q299 finding); the id-hash layout is the same one the
+    // per-doc window needs, so the exchange is not an extra shuffle
+    val toks = docs.repartition(col(idCol))
+      .select(col(idCol).as("__id"),
         posexplode(split(cleaned, " ")).as(Seq("__pos", "__w")))
       .withColumn("__stop",
         col("__w") === "" || col("__w") === "." ||
