@@ -85,7 +85,8 @@ object ScaleLedger {
     "q95_knn_pq" -> Row(0.438, 0.952),
     "q96_lm_surprisal" -> Row(0.163, 0.186),
     "q97_domain_mix" -> Row(0.745, 1.343),
-    // non-headline rows worth carrying (r18 video container gates)
+    // non-headline rows worth carrying (r18 additions)
     "q419_avi_scene_deltas" -> Row(0.425, 0.470),
-    "q420_mjpeg_scene_cuts" -> Row(6.712, 20.851))
+    "q420_mjpeg_scene_cuts" -> Row(6.712, 20.851),
+    "q421_grouped_quantiles" -> Row(2.456, 3.648))
 }

@@ -472,6 +472,57 @@ object CurationQueries extends QuerySet {
       |FROM ranks r JOIN ordered o ON o.rn = r.rank
       |ORDER BY rank""".stripMargin
 
+  /** Per-source exact token-count quantiles (p25/p50/p75/p95) — the
+    * per-domain length-distribution readout every mixture decision
+    * reads, batched through ONE two-phase pass for ALL sources
+    * ([[graft.operators.ExactQuantile.groupedRanks]], r18) instead of a
+    * per-source loop; no global or per-group sort anywhere. The oracle
+    * is the plain per-group order statistic at the same ⌈q·n_g⌉ ranks. */
+  private def q421(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.ExactQuantile
+    val spark = s
+    import spark.implicits._
+    val v = t(s, d, "documents").filter(col("text").isNotNull)
+      .repartition(col("doc_id")) // spread before tokenize (q299 class)
+      .select(col("source").as("g"),
+        size(filter(split(col("text"), " "), x => x =!= ""))
+          .cast("long").as("v"))
+    val nOf = v.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val qs = Seq((1L, 4L), (1L, 2L), (3L, 4L), (95L, 100L))
+    val ranksOf = nOf.map { case (g, n) =>
+      g -> qs.map { case (a, b) => (a * n + b - 1) / b }.distinct }
+    val qdf = nOf.toSeq.flatMap { case (g, n) =>
+      qs.map { case (a, b) => (g, a, b, (a * n + b - 1) / b) } }
+      .toDF("g", "q_num", "q_den", "rank")
+    ExactQuantile.groupedRanks(v, "g", "v", ranksOf)
+      .join(broadcast(qdf), Seq("g", "rank"))
+      .select(col("g").as("source"), col("q_num"), col("q_den"),
+        col("rank"), col("value"))
+      .orderBy(col("source"), col("rank"), col("q_num"))
+  }
+
+  private val q421Sql =
+    """WITH v AS (
+      |  SELECT source AS g,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS BIGINT) AS v
+      |  FROM documents WHERE text IS NOT NULL),
+      |n AS (SELECT g, COUNT(*) AS n FROM v GROUP BY g),
+      |qs(q_num, q_den) AS (VALUES (1, 4), (1, 2), (3, 4), (95, 100)),
+      |ranks AS (
+      |  SELECT n.g, CAST(q_num AS BIGINT) AS q_num,
+      |    CAST(q_den AS BIGINT) AS q_den,
+      |    (q_num * n.n + q_den - 1) // q_den AS rank
+      |  FROM qs CROSS JOIN n),
+      |ordered AS (
+      |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+      |  FROM v)
+      |SELECT r.g AS source, r.q_num, r.q_den,
+      |  CAST(r.rank AS BIGINT) AS rank, o.v AS value
+      |FROM ranks r JOIN ordered o ON o.g = r.g AND o.rn = r.rank
+      |ORDER BY source, rank, q_num""".stripMargin
+
   /** k-anonymity release audit over customer quasi-identifiers
     * (nation, segment, thousand-rounded balance) —
     * [[graft.operators.KAnonymity.violations]] with the one-row
@@ -1070,6 +1121,7 @@ object CurationQueries extends QuerySet {
     Q("q231_nearest_join", q231, Some(q231Sql)),
     Q("q232_negative_samples", q232, Some(q232Sql)),
     Q("q233_exact_quantiles", q233, Some(q233Sql)),
+    Q("q421_grouped_quantiles", q421, Some(q421Sql)),
     Q("q234_k_anonymity", q234, Some(q234Sql)),
     Q("q235_streaming_seasonal", q235, Some(q235Sql)),
     Q("q236_matryoshka_audit", q236, Some(q236Sql)),
