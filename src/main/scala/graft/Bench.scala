@@ -146,8 +146,11 @@ object Bench {
     val heapsJson = heaps.mkString("[", ",", "]")
     val diag = s"""{"metric":"bench_diag","published_pass":$publishedPass,"loadavg":$loadsJson,"heap_used_mb":$heapsJson,"quiet_waited_sec":${fmt(quietWaited)}}"""
     val main = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passTotals,"converged":$converged,"dirty_capture":$dirtyStart,"start_loadavg":${fmt(startLoad)},"swept_rdds":$sweptJson,"cpus":$cpus}"""
-    // full-precision artifact to a file the tail cap cannot touch
-    try {
+    // full-precision artifact to a file the tail cap cannot touch —
+    // FULL runs only: a SPARK_GRAFT_ONLY probe run must never overwrite
+    // the round's full-suite capture (r18: an isolated q260 probe
+    // clobbered the closing artifact minutes before its commit)
+    if (only.isEmpty) try {
       val full = s"""{"main":$main,"diag":$diag,"full_precision_queries":${
         results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")}}"""
