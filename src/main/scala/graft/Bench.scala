@@ -66,6 +66,9 @@ object Bench {
         System.err.println(
           s"[bench] swept ${leaked.size} RDD(s) left by $prevQuery")
       leaked.values.foreach(_.unpersist(blocking = false))
+      // previous query's scratch dirs (result already counted) — final
+      // operator outputs legitimately live here, so nonzero is normal
+      graft.store.Scratch.sweep()
       prevQuery = name
       val t0 = System.nanoTime()
       try { qmap(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }

@@ -21,6 +21,9 @@ object Verify {
       // blocks dropped without unpersist) — the r13 q250 pollution class
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // and the previous query's scratch-parquet dirs (its result is
+      // fully written by now) — bounds session temp disk to one query
+      graft.store.Scratch.sweep()
       try {
         val df = fn(spark, sfDir)
         GateLint.assertGateSafe(name, df.schema) // q184/q240 dtype family

@@ -59,12 +59,27 @@ object Avi {
 
   /** Walk `hdrl` for the first video stream's BITMAPINFOHEADER.
     * Refuses loudly when absent — a frame chunk without its format is
-    * undecodable, not skippable. */
+    * undecodable, not skippable.
+    *
+    * A `strf`'s MEANING depends on its stream's `strh` fccType: inside
+    * an audio strl it is a WAVEFORMATEX whose nSamplesPerSec /
+    * nAvgBytesPerSec land exactly where a BITMAPINFOHEADER keeps
+    * width/height (44100/176400 would pass any sane range check), so
+    * the walk keeps the fccType of the most recent `strh` and only
+    * accepts a `strf` whose stream header said `vids` — never a
+    * value-range guess (an r18 advisor finding: real AVIs commonly put
+    * the audio strl first). */
   def parseFormat(bytes: Array[Byte]): Format = {
     require(isAvi(bytes), "not a RIFF/AVI payload (bad magic)")
     var fmt: Option[Format] = None
+    // chunks arrive in document order, so the strh preceding a strf in
+    // the same strl is always the last strh seen
+    var lastStrhType: String = ""
     walkList(bytes, 12, bytes.length, (id, listType, start, len) => {
-      if (id == "strf" && fmt.isEmpty && len >= 40) {
+      if (id == "strh" && listType == "strl" && len >= 4)
+        lastStrhType = fourcc(bytes, start)
+      else if (id == "strf" && listType == "strl" && fmt.isEmpty &&
+        len >= 40 && lastStrhType == "vids") {
         // BITMAPINFOHEADER: biSize, biWidth, biHeight, planes, bitcount,
         // biCompression (0 = BI_RGB, else a fourcc)
         val w = u32(bytes, start + 4).toInt
@@ -73,10 +88,7 @@ object Avi {
         val comp = u32(bytes, start + 16)
         val compStr =
           if (comp == 0L) "BI_RGB" else fourcc(bytes, start + 16)
-        // only claim it if it looks like a VIDEO strf (audio strf is a
-        // WAVEFORMATEX, whose layout would put absurd values here)
-        if (w > 0 && w < (1 << 20) && math.abs(h) > 0 && math.abs(h) < (1 << 20))
-          fmt = Some(Format(w, h, bc, compStr))
+        fmt = Some(Format(w, h, bc, compStr))
       }
     })
     fmt.getOrElse(sys.error("AVI without a video strf BITMAPINFOHEADER"))

@@ -35,14 +35,10 @@ object Bfs {
            sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, "maxHops must be non-negative")
     val spark = edges.sparkSession
-    val sc = spark.sparkContext
-    def materialize(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint(eager = true)
-      (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
-    }
-    def release(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    // per-hop materialization through the shared seam — reliable
+    // (scratch-parquet) every N-th hop under
+    // spark.graft.reliableCheckpointInterval (see [[IterCheckpoint]])
+    val iter = new IterCheckpoint(spark, "bfs")
 
     val half = edges
       .select(least(col(aCol), col(bCol)).cast("long").as("a"),
@@ -53,23 +49,22 @@ object Bfs {
       .union(half.select(col("b").as("src"), col("a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var (reached, reachedIds) = materialize(
+    var reached = iter.materialize(
       sources.select(col("node").cast("long").as("node")).distinct()
         .withColumn("dist", lit(0L)))
     var h = 1L
     var frontierEmpty = false
     while (h <= maxHops && !frontierEmpty) {
-      val frontier = reached.filter(col("dist") === (h - 1)).select(col("node"))
+      val frontier = reached.df.filter(col("dist") === (h - 1)).select(col("node"))
       val fresh = e.join(frontier.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node")).distinct()
-        .join(reached.select(col("node")), Seq("node"), "left_anti")
+        .join(reached.df.select(col("node")), Seq("node"), "left_anti")
       if (fresh.isEmpty) frontierEmpty = true
       else {
-        val (next, nextIds) = materialize(
-          reached.unionByName(fresh.withColumn("dist", lit(h))))
-        release(reachedIds)
+        val next = iter.materialize(
+          reached.df.unionByName(fresh.withColumn("dist", lit(h))))
+        reached.release()
         reached = next
-        reachedIds = nextIds
       }
       h += 1
     }
@@ -77,8 +72,9 @@ object Bfs {
     // the reach table is rematerialized to scratch and the final
     // frontier checkpoint released inside the call: nothing stays
     // pinned after return (the r18 PageRank.run contract)
-    val out = graft.store.Scratch.rematerialize(reached, "bfs")
-    release(reachedIds)
+    val out = graft.store.Scratch.rematerialize(reached.df, "bfs",
+      coalesceTo = graft.store.Scratch.outputFiles(spark))
+    reached.release()
     out
   }
 

@@ -299,10 +299,14 @@ object Causal {
         treated.cast("boolean").as("__g0"), post.cast("boolean").as("__p"))
       .filter(col("__g0").isNotNull && col("__p").isNotNull)
     val js = (0 to k).toDF("__j")
-    // j enters MULTIPLICATIVELY (an r17 advisor finding: the old +97*j
-    // additive mix left adjacent pseudo-assignments correlated over
-    // clustered unit-id ranges, shrinking the effective k), and the bit
-    // xors two distant bit positions of the final mix for good measure.
+    // j is mixed via a LARGE ODD MULTIPLIER (j * 2246822519) added into
+    // the pre-multiply state before the h2 stage, and the assignment bit
+    // xors two distant bit positions of the final mix (an r17 advisor
+    // finding: the old +97*j mix left adjacent pseudo-assignments
+    // correlated over clustered unit-id ranges, shrinking the effective
+    // k — the large-constant spread plus the two-tap xor decorrelates
+    // them, measured by CausalSpec). The mix is still ADDITIVE in j; the
+    // decorrelation comes from the constant's size, not a j-multiply.
     val h1 = (abs(col("__u").cast("long")) % lit(2147483648L) * lit(2654435761L)
       + col("__j") * lit(2246822519L)) % lit(2147483648L)
     val h2 = (h1 * lit(1597334677L)) % lit(2147483648L)

@@ -78,10 +78,13 @@ object Clusters {
                           maxRounds: Int = 50,
                           driverMaxEdges: Long = 1L << 20): DataFrame = {
     // tracked checkpoints throughout: each round's stale edge list is
-    // released via its captured RDD ids — a bare Dataset.unpersist on a
+    // released via its handle — a bare Dataset.unpersist on a
     // localCheckpoint'd frame is a silent no-op (see [[Pinned]]), which
-    // used to pin EVERY round's edge table until GC
-    var p = Pinned.checkpoint(
+    // used to pin EVERY round's edge table until GC. Rounds go through
+    // the shared seam: spark.graft.reliableCheckpointInterval routes
+    // every N-th through scratch parquet (see [[IterCheckpoint]])
+    val iter = new IterCheckpoint(nodes.sparkSession, "cc")
+    var p = iter.materialize(
       edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct())
@@ -96,7 +99,7 @@ object Clusters {
         var converged = false
         var round = 0
         while (!converged && round < maxRounds) {
-          val np = Pinned.checkpoint(smallStar(largeStar(e)))
+          val np = iter.materialize(smallStar(largeStar(e)))
           val cur = checksum(np.df)
           converged = cur == prev
           prev = cur

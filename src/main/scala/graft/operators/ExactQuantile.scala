@@ -35,6 +35,49 @@ import org.apache.spark.sql.functions._
   * bounded-state AND distributed. */
 object ExactQuantile {
 
+  /** Two-level distributed prefix sum over a (sparse) coarse-bucket
+    * histogram: adds exact cumulative bounds __hi/__lo to a
+    * (groupCols…, __b, __c) frame.
+    *
+    * The r18 advisor finding this replaces: a single
+    * `Window.orderBy(__b)` cumulation funnels EVERY populated bucket
+    * through one task — trivial for token lengths, but a wide integer
+    * domain (bytes, cents over 1e12) makes that millions of rows in one
+    * window. Standard two-level scan instead:
+    *   1. per SUPER-bucket (__b >> superBits) totals — a map-side
+    *      combined aggregate, 2^superBits× smaller than the grid;
+    *   2. EXCLUSIVE prefix sum over the super totals (a window over the
+    *      super grid — span/2^(lowBits+superBits) rows, e.g. ≤ 60k for
+    *      a 1e12 value span at the defaults, vs millions of buckets);
+    *   3. per-bucket cumsum WITHIN each super-bucket (partitioned
+    *      window — parallel across supers) plus the broadcast offset.
+    * Integer sums at every level — bit-identical to the single-window
+    * form on any partitioning (spec-asserted).
+    *
+    * Honest cap: a domain sparse over the FULL 64-bit range could
+    * populate one bucket per super (offsets ~ bucket count again) —
+    * raise lowBits/superBits for such domains; at the defaults the
+    * offsets relation stays broadcast-sized for any span ≤ 2^40. */
+  private[operators] def cumulateBuckets(hist: DataFrame,
+                                         groupCols: Seq[String],
+                                         superBits: Int = 16): DataFrame = {
+    val gcols = groupCols.map(col)
+    val withSb = hist.withColumn("__sb", shiftright(col("__b"), superBits))
+    val superTotals = withSb.groupBy((gcols :+ col("__sb")): _*)
+      .agg(sum(col("__c")).as("__sc"))
+    val wOff = Window.partitionBy(gcols: _*).orderBy(col("__sb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = superTotals
+      .withColumn("__off", coalesce(sum(col("__sc")).over(wOff), lit(0L)))
+      .select((gcols :+ col("__sb") :+ col("__off")): _*)
+    val wIn = Window.partitionBy((gcols :+ col("__sb")): _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withSb.join(broadcast(offsets), groupCols :+ "__sb")
+      .withColumn("__hi", sum(col("__c")).over(wIn) + col("__off"))
+      .withColumn("__lo", col("__hi") - col("__c"))
+      .drop("__sb", "__off")
+  }
+
   /** (rank, value) for each requested 1-based global rank over
     * `valueCol` (NULLs excluded). */
   def globalRanks(df: DataFrame, valueCol: String, ranks: Seq[Long],
@@ -47,12 +90,10 @@ object ExactQuantile {
     val vals = df.select(col(valueCol).cast("long").as("__v"))
       .filter(col("__v").isNotNull)
     // phase 1: coarse-bucket histogram (grid-bounded), cumulative ranks
+    // via the two-level scan (no one-task funnel on wide domains)
     val hist = vals.groupBy(shiftright(col("__v"), lowBits).as("__b"))
       .agg(count(lit(1)).as("__c"))
-    val wb = Window.orderBy(col("__b"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("__hi", sum(col("__c")).over(wb))
-      .withColumn("__lo", col("__hi") - col("__c"))
+    val cum = cumulateBuckets(hist, Nil)
     val rdf = ranks.distinct.toDF("rank")
     // locate each rank's bucket + residual rank within the bucket
     val located = cum.join(broadcast(rdf),
@@ -113,15 +154,13 @@ object ExactQuantile {
     val vals = df.select(col(groupCol).cast("string").as("__g"),
         col(valueCol).cast("long").as("__v"))
       .filter(col("__g").isNotNull && col("__v").isNotNull)
-    // phase 1: per-group coarse histogram; the window partitions by
-    // group, so the grid stays bounded per group and parallel across
+    // phase 1: per-group coarse histogram, cumulated with the two-level
+    // scan (parallel across groups AND across super-buckets within a
+    // group — one wide-domain group can no longer funnel one task)
     val hist = vals
       .groupBy(col("__g"), shiftright(col("__v"), lowBits).as("__b"))
       .agg(count(lit(1)).as("__c"))
-    val wb = Window.partitionBy(col("__g")).orderBy(col("__b"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("__hi", sum(col("__c")).over(wb))
-      .withColumn("__lo", col("__hi") - col("__c"))
+    val cum = cumulateBuckets(hist, Seq("__g"))
     val rdf = ranksOf.toSeq
       .flatMap { case (g, rs) => rs.distinct.map(r => (g, r)) }
       .toDF("__rg", "rank")
@@ -253,10 +292,7 @@ object ExactQuantile {
         "positive integers (tokens, bytes, cents)")
     val hist = vals.groupBy(shiftright(col("__v"), lowBits).as("__b"))
       .agg(sum(col("__w")).as("__c"))
-    val wb = Window.orderBy(col("__b"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("__hi", sum(col("__c")).over(wb))
-      .withColumn("__lo", col("__hi") - col("__c"))
+    val cum = cumulateBuckets(hist, Nil)
     val totalRow = cum.agg(max(col("__hi"))).head()
     require(!totalRow.isNullAt(0), "weightedQuantiles: empty population")
     val wTot = totalRow.getLong(0)

@@ -63,17 +63,21 @@ object Hits {
       ((prod - pmod(prod, lit(maxV))) / lit(maxV)).cast("long")
     }
     // hubs start uniform at scale; each half-step is an aggregate over
-    // the edge join followed by the exact L∞ rescale
-    var hubs = Pinned.checkpoint(
+    // the edge join followed by the exact L∞ rescale. Half-steps are
+    // materialized through the shared seam — reliable (scratch-parquet)
+    // every N-th under spark.graft.reliableCheckpointInterval
+    // (see [[IterCheckpoint]])
+    val iter = new IterCheckpoint(spark, "hits")
+    var hubs = iter.materialize(
       e.select(col("src").as("node")).distinct()
         .withColumn("score", lit(scale)))
-    var auths: Pinned.Df = null
+    var auths: IterCheckpoint.Handle = null
     for (_ <- 1 to iterations) {
       val aRaw = e.join(hubs.df.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("score")).as("raw"))
       val aMax = aRaw.agg(max(col("raw"))).head().getLong(0)
-      val aNew = Pinned.checkpoint(
+      val aNew = iter.materialize(
         aRaw.select(col("node"), rescale(col("raw"), aMax).as("score")))
       if (auths != null) auths.release()
       auths = aNew
@@ -81,7 +85,7 @@ object Hits {
         .groupBy(col("src").as("node"))
         .agg(sum(col("score")).as("raw"))
       val hMax = hRaw.agg(max(col("raw"))).head().getLong(0)
-      val hNew = Pinned.checkpoint(
+      val hNew = iter.materialize(
         hRaw.select(col("node"), rescale(col("raw"), hMax).as("score")))
       hubs.release()
       hubs = hNew
@@ -95,7 +99,8 @@ object Hits {
     // result is rematerialized to scratch so the released iteration pins
     // are not referenced by the returned plan AND nothing stays pinned
     // after return (the r18 PageRank.run contract)
-    val res = graft.store.Scratch.rematerialize(out, "hits")
+    val res = graft.store.Scratch.rematerialize(out, "hits",
+      coalesceTo = graft.store.Scratch.outputFiles(spark))
     hubs.release(); auths.release(); e.unpersist(blocking = false)
     res
   }

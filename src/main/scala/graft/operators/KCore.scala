@@ -43,16 +43,12 @@ object KCore {
     require(k >= 1, s"bad k $k")
     require(maxRounds >= 1, s"bad maxRounds $maxRounds")
     val spark = edges.sparkSession
-    val sc = spark.sparkContext
-    def materialize(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint(eager = true)
-      (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
-    }
-    def release(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    // per-round materialization through the shared seam — reliable
+    // (scratch-parquet) every N-th round under
+    // spark.graft.reliableCheckpointInterval (see [[IterCheckpoint]])
+    val iter = new IterCheckpoint(spark, "kcore")
 
-    var (e, eIds) = materialize(edges
+    var e = iter.materialize(edges
       .select(least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull)
@@ -65,26 +61,26 @@ object KCore {
     var round = 0
     var converged = false
     while (!converged) {
-      val bad = degrees(e).filter(col("deg") < k).select(col("node"))
+      val bad = degrees(e.df).filter(col("deg") < k).select(col("node"))
       if (bad.isEmpty) converged = true
       else {
         require(round < maxRounds,
           s"k-core did not converge within $maxRounds peel rounds — raise maxRounds")
-        val (next, nextIds) = materialize(e
+        val next = iter.materialize(e.df
           .join(bad.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
           .join(bad.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
           .select(col("a"), col("b")))
-        release(eIds)
+        e.release()
         e = next
-        eIds = nextIds
         round += 1
       }
     }
     // the OUTPUT (node, deg — core-sized) is rematerialized to scratch
     // and the final peel checkpoint released inside the call: nothing
     // stays pinned after return (the r18 PageRank.run contract)
-    val out = graft.store.Scratch.rematerialize(degrees(e), "kcore")
-    release(eIds)
+    val out = graft.store.Scratch.rematerialize(degrees(e.df), "kcore",
+      coalesceTo = graft.store.Scratch.outputFiles(spark))
+    e.release()
     out
   }
 

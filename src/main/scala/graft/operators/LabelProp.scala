@@ -48,14 +48,10 @@ object LabelProp {
           iterations: Int, stopWhenStable: Boolean = false): DataFrame = {
     require(iterations >= 0, "iterations must be non-negative")
     val spark = edges.sparkSession
-    val sc = spark.sparkContext
-    def materialize(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint(eager = true)
-      (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
-    }
-    def release(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    // per-round materialization through the shared seam — reliable
+    // (scratch-parquet) every N-th round under
+    // spark.graft.reliableCheckpointInterval (see [[IterCheckpoint]])
+    val iter = new IterCheckpoint(spark, "labelprop")
 
     // undirected vote flow = both directions materialized once
     val half = edges
@@ -68,15 +64,15 @@ object LabelProp {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("dst").as("node")).distinct()
 
-    var (labels, labelIds) = materialize(nodes.select(col("node"), col("node").as("label")))
+    var labels = iter.materialize(nodes.select(col("node"), col("node").as("label")))
     var i = 0
     var moved = true
     while (i < iterations && moved) {
       val votes = e
-        .join(labels.withColumnRenamed("node", "src"), "src")
+        .join(labels.df.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("label"))
-        .union(labels) // self-vote: damps synchronous 2-cycles
-      val (next, nextIds) = materialize(votes
+        .union(labels.df) // self-vote: damps synchronous 2-cycles
+      val next = iter.materialize(votes
         .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
         .withColumn("__rn", row_number().over(
           Window.partitionBy(col("node"))
@@ -84,21 +80,21 @@ object LabelProp {
         .filter(col("__rn") === 1)
         .select(col("node"), col("label")))
       if (stopWhenStable) {
-        val changed = next.join(labels.withColumnRenamed("label", "__prev"), "node")
+        val changed = next.df.join(labels.df.withColumnRenamed("label", "__prev"), "node")
           .filter(col("label") =!= col("__prev")).limit(1).count()
         moved = changed > 0
       }
-      release(labelIds)
+      labels.release()
       labels = next
-      labelIds = nextIds
       i += 1
     }
     e.unpersist(blocking = false)
     // the label table is rematerialized to scratch and the final
     // iteration checkpoint released inside the call: nothing stays
     // pinned after return (the r18 PageRank.run contract)
-    val out = graft.store.Scratch.rematerialize(labels, "labelprop")
-    release(labelIds)
+    val out = graft.store.Scratch.rematerialize(labels.df, "labelprop",
+      coalesceTo = graft.store.Scratch.outputFiles(spark))
+    labels.release()
     out
   }
 

@@ -181,22 +181,16 @@ object PageRank {
     // analysis/stringification alone OOMs the driver — the classic
     // iterative-Spark failure. localCheckpoint replaces the plan with a
     // leaf LogicalRDD, so plan depth is genuinely constant at any
-    // iteration count. The previous iteration's checkpoint blocks are
-    // released EXPLICITLY (tracked via getPersistentRDDs — only the
-    // no-longer-referenced table is dropped, never the one being
-    // returned). Cluster caveat: local checkpoints cannot recompute
-    // after executor loss — on long unattended runs, a reliable
-    // checkpoint dir is the standard remedy.
-    val sc = spark.sparkContext
-    def materialize(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint(eager = true)
-      (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
-    }
-    def release(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    // iteration count. The previous iteration's blocks are released
+    // EXPLICITLY via the handle. Cluster insurance: local checkpoints
+    // cannot recompute after executor loss, so
+    // spark.graft.reliableCheckpointInterval routes every N-th iteration
+    // through scratch parquet instead (see [[IterCheckpoint]] — the
+    // shared seam of all six fixpoint operators; proved survivable under
+    // continual block loss by ReliableCheckpointSpec).
+    val iter = new IterCheckpoint(spark, "pagerank")
 
-    var (ranks, ranksIds) = materialize(nodes.selectExpr("node",
+    var ranks = iter.materialize(nodes.selectExpr("node",
       s"CASE WHEN __seed THEN CAST(${scale / nSeed} AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pr"))
 
     var i = 0
@@ -207,14 +201,14 @@ object PageRank {
       // truncating / == floor). Zero when the variant is off.
       val sinkShare: Long =
         if (!redistributeDangling) 0L
-        else ranks.join(dangling, "node")
+        else ranks.df.join(dangling, "node")
           .agg(coalesce(sum(col("pr")), lit(0L))).head().getLong(0) / nSeed
-      val r = ranks.withColumnRenamed("node", "src")
+      val r = ranks.df.withColumnRenamed("node", "src")
       val contribs = e
         .join(if (broadcastRanks) broadcast(r) else r, "src")
         .selectExpr("dst", "(pr * w) div wsum AS c")
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-      val (next, nextIds) = materialize(nodes
+      val next = iter.materialize(nodes
         .join(if (broadcastRanks) broadcast(contribs) else contribs,
           nodes("node") === contribs("dst"), "left")
         .selectExpr("node",
@@ -222,26 +216,27 @@ object PageRank {
             s" + ($dampNum * (coalesce(sc, CAST(0 AS BIGINT))" +
             s" + (CASE WHEN __seed THEN CAST($sinkShare AS BIGINT) ELSE CAST(0 AS BIGINT) END))) div $dampDen AS pr"))
       if (toleranceMicro > 0) {
-        val delta = next.join(ranks.withColumnRenamed("pr", "pr0"), "node")
+        val delta = next.df.join(ranks.df.withColumnRenamed("pr", "pr0"), "node")
           .agg(coalesce(sum(abs(col("pr") - col("pr0"))), lit(0L)))
           .head().getLong(0)
         moved = delta > toleranceMicro
       }
-      release(ranksIds)
+      ranks.release()
       ranks = next
-      ranksIds = nextIds
       i += 1
     }
     e.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     if (redistributeDangling) dangling.unpersist(blocking = false)
     // The FINAL table leaves the block manager entirely: one node-sized
-    // scratch-parquet write, release the last checkpoint, return a clean
-    // scan. Nothing stays pinned after run() returns (the r17 bench
-    // attributed one leaked checkpoint per call to this return), and the
-    // result survives executor loss — which a local checkpoint cannot.
-    val out = graft.store.Scratch.rematerialize(ranks, "pagerank")
-    release(ranksIds)
+    // scratch-parquet write (coalesced to a few right-sized files — the
+    // r18 q155 bench overhead was mostly per-file open/commit cost of 32
+    // tiny ones), release the last checkpoint, return a clean scan.
+    // Nothing stays pinned after run() returns, and the result survives
+    // executor loss — which a local checkpoint cannot.
+    val out = graft.store.Scratch.rematerialize(ranks.df, "pagerank",
+      coalesceTo = graft.store.Scratch.outputFiles(spark))
+    ranks.release()
     out
   }
 

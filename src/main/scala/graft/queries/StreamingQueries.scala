@@ -326,7 +326,7 @@ object StreamingQueries extends QuerySet {
   private def q419(s: SparkSession, d: String): DataFrame = {
     val gen = udf { (id: Long) =>
       graft.multimodal.Avi.syntheticDib(id, (5 + id % 4).toInt,
-        (4 + (id * 3) % 3).toInt, (2 + id % 4).toInt)
+        (4 + id % 3).toInt, (2 + id % 4).toInt)
     }
     val media = t(s, d, "documents")
       .select(col("doc_id"), gen(col("doc_id")).as("bytes"))
@@ -339,7 +339,7 @@ object StreamingQueries extends QuerySet {
     """WITH f AS (
       |  SELECT doc_id, unnest(range(1, 2 + doc_id % 4)) AS fi FROM documents)
       |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
-      |  CAST(list_sum(flatten(list_transform(range(4 + (doc_id*3) % 3), y ->
+      |  CAST(list_sum(flatten(list_transform(range(4 + doc_id % 3), y ->
       |    list_transform(range(5 + doc_id % 4), x ->
       |      abs((x*31 + y*17 + doc_id + fi*11) % 256
       |        - (x*31 + y*17 + doc_id + (fi-1)*11) % 256))))) AS BIGINT) AS delta

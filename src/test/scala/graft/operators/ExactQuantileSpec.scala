@@ -160,6 +160,71 @@ class ExactQuantileSpec extends AnyFunSuite with SparkSuite {
     assert(got.size == ranksOf.values.map(_.distinct.size).sum)
   }
 
+  test("two-level cumulation: exact on a 1e12-range domain, and the " +
+    "bucket-level window is partitioned (no one-task funnel)") {
+    import spark.implicits._
+    // values spread over ~[0, 1e12): at lowBits=8 the bucket grid spans
+    // ~4e9 ids — the domain class the old global-window cumsum funneled
+    // through one task
+    val vals = (1L to 4000L).map(i => (i * 250000259L) % 1000000000000L)
+    val df = vals.toDF("v").repartition(13)
+    val sorted = vals.sorted
+    val ranks = Seq(1L, 1000L, 2000L, 3999L, 4000L)
+    val got = ExactQuantile.globalRanks(df, "v", ranks)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ranks.foreach(r => assert(got(r) == sorted((r - 1).toInt), s"rank $r"))
+
+    // plan hygiene: the __b-ordered cumsum window must carry the __sb
+    // partition spec — a global (unpartitioned) window ordering by __b
+    // is exactly the funnel the two-level scan removes
+    val hist = df.select(col("v").cast("long").as("__v"))
+      .groupBy(shiftright(col("__v"), 8).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = ExactQuantile.cumulateBuckets(hist, Nil)
+    val plan = cum.queryExecution.executedPlan.toString
+    val bucketWindows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("__b#"))
+      .filter(l => l.matches(""".*\], \[__b#\d+L? ASC.*""")) // ordered by __b
+      .toSeq
+    assert(bucketWindows.nonEmpty, s"no bucket-level window found in:\n$plan")
+    bucketWindows.foreach(l =>
+      assert(l.matches(""".*\], \[__sb#\d+L?\], \[__b#\d+L? ASC.*"""),
+        s"bucket-level window is NOT partitioned by __sb:\n$l"))
+    // and the spread is real: this domain populates thousands of
+    // distinct super-buckets, so the partitioned window genuinely
+    // parallelizes instead of degenerating to one partition
+    val supers = hist.select(shiftright(col("__b"), 16).as("__sb"))
+      .distinct().count()
+    assert(supers > 1000, s"expected a wide super grid, got $supers")
+
+    // bit-identical to the single-window cumsum it replaced
+    val wb = org.apache.spark.sql.expressions.Window.orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ref = hist.withColumn("__hi", sum(col("__c")).over(wb))
+      .withColumn("__lo", col("__hi") - col("__c"))
+      .orderBy("__b").collect().map(_.toSeq).toSeq
+    val twoLevel = cum.orderBy("__b")
+      .select(col("__b"), col("__c"), col("__hi"), col("__lo"))
+      .collect().map(_.toSeq).toSeq
+    assert(twoLevel == ref)
+  }
+
+  test("groupedRanks on a wide-domain group matches brute force") {
+    import spark.implicits._
+    val wide = (1L to 1500L).map(i => ("w", (i * 777000777L) % 999999999999L))
+    val tiny = (1L to 40L).map(i => ("t", i % 7))
+    val df = (wide ++ tiny).toDF("g", "v").repartition(11)
+    val got = ExactQuantile.groupedRanks(df, "g", "v",
+        Map("w" -> Seq(1L, 750L, 1500L), "t" -> Seq(1L, 20L, 40L)))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ws = wide.map(_._2).sorted; val ts = tiny.map(_._2).sorted
+    assert(got(("w", 1L)) == ws(0) && got(("w", 750L)) == ws(749) &&
+      got(("w", 1500L)) == ws(1499))
+    assert(got(("t", 1L)) == ts(0) && got(("t", 20L)) == ts(19) &&
+      got(("t", 40L)) == ts(39))
+  }
+
   test("groupedRanks refusals: absent group, rank beyond population") {
     import spark.implicits._
     val df = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
