@@ -60,6 +60,42 @@ object TextExprUtils {
     new GenericArrayData(out)
   }
 
+  /** Per-OFFSET xxhash64 of the word n-gram shingles — NOT
+    * deduplicated: element i is the hash of the window starting at word
+    * offset i, so callers can map a duplicated span back to the exact
+    * token interval [i, i+n-1] it covers (the span-REMOVAL form,
+    * [[graft.operators.Dedup.removeDuplicatedSpans]]). [[shingleHashes]]'s
+    * distinct set serves the membership family (q41/q100). */
+  def shingleHashesPos(text: UTF8String, n: Int, seed: Long): ArrayData = {
+    val words = new java.util.ArrayList[String]()
+    val s = text.toString
+    var start = 0; var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        if (i > start) words.add(s.substring(start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    val m = words.size - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](m)
+    val sb = new java.lang.StringBuilder
+    var j = 0
+    while (j < m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(words.get(j + k)); k += 1
+      }
+      val u = UTF8String.fromString(sb.toString)
+      out(j) = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, seed)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature: slot i = min over shingle hashes h of
     * xxhash64(h, baseSeed+i). Empty input yields Long.MaxValue slots
     * (all-empty docs collide; their Jaccard 0 filters them later). */
@@ -136,6 +172,23 @@ case class ShingleHashesExpr(child: Expression, n: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** text -> array<long>: per-offset hashed word n-gram shingles. */
+case class ShingleHashesPosExpr(child: Expression, n: Int, seed: Long)
+    extends UnaryExpression {
+  override def prettyName: String = "shingle_hashes_pos"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"shingle_hashes_pos expects string, got $other")
+  }
+  override def nullSafeEval(t: Any): Any =
+    TextExprUtils.shingleHashesPos(t.asInstanceOf[UTF8String], n, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextExprUtils.shingleHashesPos($c, $n, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** array<long> -> array<long>: k-slot MinHash signature. */
 case class MinHashSigExpr(child: Expression, k: Int, baseSeed: Long)
     extends UnaryExpression {
@@ -192,6 +245,8 @@ object TextExpressions {
 
   def shingle_hashes(text: Column, n: Int, seed: Long = 3L): Column =
     col(ShingleHashesExpr(e(text), n, seed))
+  def shingle_hashes_pos(text: Column, n: Int, seed: Long = 3L): Column =
+    col(ShingleHashesPosExpr(e(text), n, seed))
   def minhash_sig(hashes: Column, k: Int, baseSeed: Long = 0L): Column =
     col(MinHashSigExpr(e(hashes), k, baseSeed))
   def lsh_band_keys(sig: Column, bands: Int, rowsPerBand: Int): Column =

@@ -407,6 +407,75 @@ object Dedup {
     * hamming ≤ chunks-1 always share a chunk; with 4 chunks every pair
     * with ≤3 differing bits is guaranteed a candidate (and most with ≤6
     * in practice). */
+  /** Span-level dedup REMOVAL — the execution half of q100's detection
+    * (Lee, Ippolito, Nystrom et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better": after flagging duplicated
+    * substrings, a curation run EXCISES them and keeps the rest of the
+    * document). A word window of `k` tokens is duplicated when it
+    * appears in ≥ `minDocs` distinct documents; every token covered by
+    * any duplicated window is removed; maximal contiguous removed
+    * regions are merged (overlapping AND touching windows — the
+    * lag→flag→cumsum islands shape over window offsets) so the
+    * accounting reports runs, not raw windows.
+    *
+    * Returns one row per input document:
+    *   (idCol, n_tokens, n_removed, n_runs, new_text)
+    * where `new_text` is the kept tokens joined by single spaces (text
+    * is whitespace-normalized by construction — the same `split`+filter
+    * word semantics as the rest of the dedup family). A fully-
+    * duplicated document comes back with `new_text = ""` — the caller's
+    * drop filter, exactly like q100's `dup_frac` one.
+    *
+    * Scale shape: the duplicated-window set rides 8-byte span hashes
+    * (positional — [[graft.functions.TextExpressions.shingle_hashes_pos]]),
+    * never span strings; the islands merge is a doc-keyed window over
+    * only the DUPLICATED offsets (a sliver of the corpus at any sane
+    * dup rate); the cut itself is one per-doc array expression — no
+    * token-level shuffle, no range join. */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 20, minDocs: Int = 2): DataFrame = {
+    require(k >= 2, s"bad span width $k")
+    require(minDocs >= 2, s"bad minDocs $minDocs")
+    val base = df.select(col(idCol), col(textCol))
+    val spans = spread(base, idCol).select(col(idCol),
+      posexplode(shingle_hashes_pos(col(textCol), k)).as(Seq("off", "h")))
+    // duplicated = present in >= minDocs DISTINCT docs (within-doc
+    // repeats alone do not qualify — q100's distinct-span convention)
+    val hot = spans.select(col("h"), col(idCol)).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("h"))
+    val dup = spans.join(hot, Seq("h"), "left_semi")
+    // islands: window offsets whose k-token covers touch or overlap
+    // (gap <= k) merge into one maximal removed region [lo, hi]
+    val wo = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("off"))
+    val runs = dup
+      .withColumn("__new",
+        when(col("off") - lag(col("off"), 1).over(wo) <= k, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("__run", sum(col("__new")).over(
+        wo.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col(idCol), col("__run"))
+      .agg(min(col("off")).cast("long").as("lo"),
+        (max(col("off")) + (k - 1)).cast("long").as("hi"))
+    val runList = runs.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("lo"), col("hi")))).as("__runs"))
+    base.join(runList, Seq(idCol), "left")
+      .withColumn("__rs", coalesce(col("__runs"),
+        array().cast("array<struct<lo:bigint,hi:bigint>>")))
+      .withColumn("__w", filter(split(col(textCol), " "), x => x =!= ""))
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_tokens"),
+        aggregate(col("__rs"), lit(0L),
+          (a, r) => a + (r("hi") - r("lo") + 1L)).as("n_removed"),
+        size(col("__rs")).cast("long").as("n_runs"),
+        array_join(
+          filter(col("__w"), (tk, i) => !exists(col("__rs"),
+            r => i.cast("long") >= r("lo") && i.cast("long") <= r("hi"))),
+          " ").as("new_text"))
+  }
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, maxHamming: Int = 3): DataFrame = {
     val sig = spread(df, idCol).select(col(idCol).as("doc"),

@@ -758,6 +758,59 @@ object TextQueries extends QuerySet {
       |FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN dup USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Span-level dedup REMOVAL — the execution half of q100's detection
+    * (the missing step of Lee et al. 2022: after `dup_frac` flags
+    * duplicated substrings, a curation run EXCISES them). Duplicated
+    * 20-token windows merge into maximal contiguous removed regions
+    * (lag→flag→cumsum islands over window offsets, the q24 shape) and
+    * each document is rewritten with those regions cut out, plus
+    * removed-token/run accounting. The engine rides positional 8-byte
+    * span hashes; the oracle replays the whole
+    * window→merge→cut chain with string spans — identical output absent
+    * a 64-bit collision (the q41/q100 equivalence), so a wrong island
+    * boundary, off-by-one cover, or mis-cut token anywhere breaks the
+    * hash. */
+  private def q422(s: SparkSession, d: String): DataFrame =
+    Dedup.removeDuplicatedSpans(t(s, d, "documents"), "doc_id", "text", k = 20)
+      .orderBy(col("doc_id"))
+
+  private val q422Sql =
+    """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |           FROM documents),
+      |sp AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |         array_to_string(w[(i+1):(i+20)], ' ') AS s
+      |       FROM (SELECT doc_id, w, unnest(range(len(w) - 19)) AS i
+      |             FROM w WHERE len(w) >= 20)),
+      |hot AS (SELECT s FROM (SELECT s, COUNT(DISTINCT doc_id) AS nd
+      |                       FROM sp GROUP BY s) WHERE nd >= 2),
+      |dup AS (SELECT doc_id, i FROM sp WHERE s IN (SELECT s FROM hot)),
+      |fl AS (SELECT doc_id, i,
+      |         CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i) <= 20
+      |              THEN 0 ELSE 1 END AS nw
+      |       FROM dup),
+      |isl AS (SELECT doc_id, i,
+      |          SUM(nw) OVER (PARTITION BY doc_id ORDER BY i) AS run
+      |        FROM fl),
+      |runs AS (SELECT doc_id, MIN(i) AS lo, MAX(i) + 19 AS hi
+      |         FROM isl GROUP BY doc_id, run),
+      |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS i, w[i+1] AS tk
+      |        FROM (SELECT doc_id, w, unnest(range(len(w))) AS i FROM w)),
+      |kept AS (SELECT t.doc_id, t.i, t.tk FROM tok t
+      |         WHERE NOT EXISTS (SELECT 1 FROM runs r
+      |           WHERE r.doc_id = t.doc_id AND t.i BETWEEN r.lo AND r.hi)),
+      |rr AS (SELECT doc_id, CAST(SUM(hi - lo + 1) AS BIGINT) AS n_removed,
+      |         CAST(COUNT(*) AS BIGINT) AS n_runs FROM runs GROUP BY doc_id),
+      |kt AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS new_text
+      |       FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(rr.n_removed, 0) AS BIGINT) AS n_removed,
+      |  CAST(COALESCE(rr.n_runs, 0) AS BIGINT) AS n_runs,
+      |  COALESCE(kt.new_text, '') AS new_text
+      |FROM documents d JOIN w ON w.doc_id = d.doc_id
+      |LEFT JOIN rr ON rr.doc_id = d.doc_id
+      |LEFT JOIN kt ON kt.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Mixture resampling — the data-mixing step that turns corpus
     * proportions into training proportions, with oversampling expressed
     * as real row repetition the way a training loader consumes it:
@@ -862,7 +915,8 @@ object TextQueries extends QuerySet {
     Q("q110_group_split", q110, Some(q110Sql)),
     Q("q122_pipeline_e2e", q122, Some(q122Sql), headline = true),
     Q("q137_bpe_train", q137, Some(q137Sql)),
-    Q("q195_neardup_communities", q195, Some(q195Sql)))
+    Q("q195_neardup_communities", q195, Some(q195Sql)),
+    Q("q422_span_removal", q422, Some(q422Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the
