@@ -4,6 +4,20 @@ package graft
   * Times the headline (scale-sensitive) queries; `count()` forces full
   * plan execution without driver-side result materialization. */
 object Bench {
+
+  /** The BENCH_FULL no-clobber rule as a testable seam (r18: a filtered
+    * SPARK_GRAFT_ONLY probe run overwrote the round's closing full-suite
+    * artifact minutes before commit; the rule landed untested). A
+    * FILTERED capture must never touch the artifact — returns whether a
+    * write happened. */
+  private[graft] def writeFullArtifact(path: java.nio.file.Path,
+                                       filtered: Boolean,
+                                       content: String): Boolean =
+    if (filtered) false
+    else {
+      java.nio.file.Files.write(path, content.getBytes("UTF-8"))
+      true
+    }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -153,12 +167,12 @@ object Bench {
     // FULL runs only: a SPARK_GRAFT_ONLY probe run must never overwrite
     // the round's full-suite capture (r18: an isolated q260 probe
     // clobbered the closing artifact minutes before its commit)
-    if (only.isEmpty) try {
+    try {
       val full = s"""{"main":$main,"diag":$diag,"full_precision_queries":${
         results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")}}"""
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-        full.getBytes("UTF-8"))
+      writeFullArtifact(java.nio.file.Paths.get("BENCH_FULL.json"),
+        filtered = only.nonEmpty, full)
     } catch { case _: Exception => () }
     println(diag)
     // LAST line = the driver-contract metric line, sized for the tail

@@ -96,6 +96,54 @@ object TextExprUtils {
     new GenericArrayData(out)
   }
 
+  /** Replace every maximal run of chars outside [a-z0-9 ] with " . " —
+    * the compiled form of `regexp_replace(s, "[^a-z0-9 ]+", " . ")`
+    * (RAKE's phrase-boundary sentinel; callers lower() first so CJK /
+    * locale casing stays Spark's own). The r19 finding motivating it:
+    * java.util.regex replacement ran at ~0.3 MB/s/core on the corpus —
+    * 4.5 s of q260's 10 s sf1 wall for 42 MB of text; this single-pass
+    * scan is ~GB/s. Operates on UTF-16 code units exactly like Java
+    * regex, so surrogate pairs land inside runs identically. */
+  def punctToDot(text: UTF8String): UTF8String = {
+    val s = text.toString
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n + 16)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' ') {
+        sb.append(c); i += 1
+      } else {
+        while (i < n && {
+          val d = s.charAt(i)
+          !((d >= 'a' && d <= 'z') || (d >= '0' && d <= '9') || d == ' ')
+        }) i += 1
+        sb.append(" . ")
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Count of maximal [a-z0-9] runs — the compiled form of
+    * `size(regexp_extract_all(s, "[a-z0-9]+", 0))` (the token-count
+    * feature of the q263/q276 model band; same r19 java-regex finding
+    * as [[punctToDot]]). Callers lower() first. */
+  def alnumRunCount(text: UTF8String): Int = {
+    val s = text.toString
+    val n = s.length
+    var count = 0
+    var inRun = false
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      val alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (alnum && !inRun) count += 1
+      inRun = alnum
+      i += 1
+    }
+    count
+  }
+
   /** MinHash signature: slot i = min over shingle hashes h of
     * xxhash64(h, baseSeed+i). Empty input yields Long.MaxValue slots
     * (all-empty docs collide; their Jaccard 0 filters them later). */
@@ -169,6 +217,36 @@ case class ShingleHashesExpr(child: Expression, n: Int, seed: Long)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.TextExprUtils.shingleHashes($c, $n, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** text -> text: punctuation runs to the ' . ' phrase-boundary sentinel. */
+case class PunctToDotExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "punct_to_dot"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"punct_to_dot expects string, got $other")
+  }
+  override def nullSafeEval(t: Any): Any =
+    TextExprUtils.punctToDot(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprUtils.punctToDot($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** text -> int: count of maximal [a-z0-9] runs. */
+case class AlnumRunCountExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "alnum_run_count"
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"alnum_run_count expects string, got $other")
+  }
+  override def nullSafeEval(t: Any): Any =
+    TextExprUtils.alnumRunCount(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprUtils.alnumRunCount($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -247,6 +325,8 @@ object TextExpressions {
     col(ShingleHashesExpr(e(text), n, seed))
   def shingle_hashes_pos(text: Column, n: Int, seed: Long = 3L): Column =
     col(ShingleHashesPosExpr(e(text), n, seed))
+  def punct_to_dot(text: Column): Column = col(PunctToDotExpr(e(text)))
+  def alnum_run_count(text: Column): Column = col(AlnumRunCountExpr(e(text)))
   def minhash_sig(hashes: Column, k: Int, baseSeed: Long = 0L): Column =
     col(MinHashSigExpr(e(hashes), k, baseSeed))
   def lsh_band_keys(sig: Column, bands: Int, rowsPerBand: Int): Column =

@@ -27,7 +27,7 @@ object Decontaminate {
                    idCol: String, textCol: String, n: Int = 8): DataFrame = {
     // per-doc distinct shingles: (doc, s) rows are unique by construction
     val tr = train
-      .repartition(col(idCol)) // spread shingling (see Dedup.spread)
+      .transform(Spread.byKey(_, idCol)) // spread shingling (see Dedup.spread)
       .select(col(idCol), explode(array_distinct(shingles(col(textCol), n))).as("s"))
     val bs = bench
       .select(explode(array_distinct(shingles(col(textCol), n))).as("s"))

@@ -37,9 +37,10 @@ object Dedup {
     * single-row-group source otherwise pins the whole CPU-bound stage to
     * one task (parquet cannot split inside a row group). The shuffled
     * payload is the raw text — tiny next to the shingle streams derived
-    * from it. */
+    * from it. Explicit partition count via [[Spread]] — an un-numbered
+    * repartition is AQE-coalescible right back to one task (r19). */
   private def spread(df: DataFrame, idCol: String): DataFrame =
-    df.repartition(col(idCol))
+    Spread.byKey(df, idCol)
 
   /** Exact dedup: one representative (min id) per distinct key. */
   def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =

@@ -75,7 +75,7 @@ object NgramLm {
   def score(target: DataFrame, idCol: String, textCol: String,
             model: Model): DataFrame = {
     val bi = target
-      .repartition(col(idCol)) // spread the per-doc compute (Dedup.spread)
+      .transform(Spread.byKey(_, idCol)) // spread the per-doc compute (Dedup.spread)
       .select(col(idCol), words(col(textCol)).as("w"))
       .filter(size(col("w")) >= 2)
       .select(col(idCol), explode(zip_with(

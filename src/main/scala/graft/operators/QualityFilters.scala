@@ -26,7 +26,7 @@ object QualityFilters {
   /** Per-doc repetition signals: (idCol, dup_word_frac, top_bigram_frac). */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = df
-      .repartition(col(idCol)) // spread the per-doc compute (Dedup.spread)
+      .transform(Spread.byKey(_, idCol)) // spread the per-doc compute (Dedup.spread)
       .select(col(idCol), words(col(textCol)).as("w"))
     val wordStats = base.select(col(idCol),
       size(col("w")).as("n_words"),
@@ -62,7 +62,7 @@ object QualityFilters {
     * partial-agg shuffle — nothing driver-side, nothing n². */
   def unigramRarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val occ = df
-      .repartition(col(idCol)) // spread the per-doc compute (Dedup.spread)
+      .transform(Spread.byKey(_, idCol)) // spread the per-doc compute (Dedup.spread)
       .select(col(idCol), explode(words(col(textCol))).as("w"))
     val cf = occ.groupBy(col("w")).agg(count(lit(1)).as("cf"))
     // total-corpus bit length as a broadcast 1-row aggregate (derived

@@ -43,13 +43,18 @@ object Rake {
     // [^a-z0-9]+ split would fuse "descent, stochastic" into one run.
     // Punctuation runs become a sentinel '.' token (never a word — '.'
     // can't match [a-z0-9]+), which the stop flag then treats exactly
-    // like a stopword.
-    val cleaned = regexp_replace(lower(col(textCol)), "[^a-z0-9 ]+", " . ")
+    // like a stopword. Compiled scan, not regexp_replace: java.util.regex
+    // replacement measured ~0.3 MB/s/core here — 4.5 s of q260's sf1
+    // wall (r19); the compiled pass is equality-specced against the
+    // regexp form, so the oracle's regexp_replace replay is unchanged.
+    val cleaned = graft.functions.TextExpressions.punct_to_dot(lower(col(textCol)))
     // spread BEFORE the tokenize: a compact parquet input is one split,
     // and without this the regexp + posexplode serialize on one core
     // (the r18 q299 finding); the id-hash layout is the same one the
-    // per-doc window needs, so the exchange is not an extra shuffle
-    val toks = docs.repartition(col(idCol))
+    // per-doc window needs, so the exchange is not an extra shuffle.
+    // EXPLICIT count (r19): the un-numbered form was AQE-coalesced back
+    // to ~1 task at sf1 — 5.5 s of tokenize on one core
+    val toks = Spread.byKey(docs, col(idCol))
       .select(col(idCol).as("__id"),
         posexplode(split(cleaned, " ")).as(Seq("__pos", "__w")))
       .withColumn("__stop",

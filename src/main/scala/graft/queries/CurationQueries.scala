@@ -483,7 +483,7 @@ object CurationQueries extends QuerySet {
     val spark = s
     import spark.implicits._
     val v = t(s, d, "documents").filter(col("text").isNotNull)
-      .repartition(col("doc_id")) // spread before tokenize (q299 class)
+      .transform(graft.operators.Spread.byKey(_, "doc_id")) // spread before tokenize (q299 class; explicit count, r19)
       .select(col("source").as("g"),
         size(filter(split(col("text"), " "), x => x =!= ""))
           .cast("long").as("v"))

@@ -885,10 +885,10 @@ object ExperimentQueries extends QuerySet {
     // spread BEFORE the tokenize: the compact documents parquet is one
     // input split, and every train job re-pays the regexp over it —
     // serialized on one core without this (the r18 q299 finding)
-    val base = t(s, d, "documents").repartition(col("doc_id")).select(
+    val base = graft.operators.Spread.byKey(t(s, d, "documents"), "doc_id").select(
       col("n_chars").as("n_chars"),
-      size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
-        .cast("long").as("n_tokens"),
+      graft.functions.TextExpressions.alnum_run_count(lower(col("text")))
+        .cast("long").as("n_tokens"), // compiled regexp_extract_all-count (r19)
       (col("lang") === "en").as("is_en"))
     Stump.train(base, Seq("n_chars", "n_tokens"), "is_en", thresholds = 16)
   }
@@ -1587,11 +1587,11 @@ object ExperimentQueries extends QuerySet {
   private def q276(s: SparkSession, d: String): DataFrame = {
     // spread before the tokenize (see q263) — the pipeline re-reads
     // `base` across train/calibrate/gains stages
-    val base = t(s, d, "documents").repartition(col("doc_id")).select(
+    val base = graft.operators.Spread.byKey(t(s, d, "documents"), "doc_id").select(
       col("doc_id"),
       col("n_chars").cast("long").as("n_chars"),
-      size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
-        .cast("long").as("n_tokens"),
+      graft.functions.TextExpressions.alnum_run_count(lower(col("text")))
+        .cast("long").as("n_tokens"), // compiled regexp_extract_all-count (r19)
       (col("lang") === "en").as("is_en"))
     // stage 1 — trained gate: one bounded row; keep the purer side
     // (exact single-division rates, ties keep left)

@@ -721,7 +721,7 @@ object TextQueries extends QuerySet {
     * equivalence q41 rides). */
   private def q100(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
-    val spans = docs.repartition(col("doc_id"))
+    val spans = graft.operators.Spread.byKey(docs, "doc_id")
       .select(col("doc_id"),
         explode(graft.functions.TextExpressions.shingle_hashes(col("text"), 20)).as("h"))
     val hot = spans.groupBy(col("h")).agg(count(lit(1)).as("nd"))

@@ -21,8 +21,13 @@ class ScaleLedgerLintSpec extends AnyFunSuite {
     ScaleLedger.rows.foreach { case (q, r) =>
       assert(r.sf01Sec > 0 && r.sf1Sec > 0, s"$q carries a non-positive time")
       // 10x data must not cost more than ~12x time (allowing measurement
-      // noise over the linear bound); far above that = superlinear design
-      assert(r.ratio < 12.0 || r.sf1Sec < 60.0,
+      // noise over the linear bound); far above that = superlinear
+      // design. Rows are STEADY-STATE as of r19 (ScaleRows warms both
+      // scales), so cold-build folds no longer excuse a high ratio —
+      // the only escape is the sub-second fixed-cost noise domain
+      // (was `sf1 < 60`, which would have excused a real 19x serve
+      // regression).
+      assert(r.ratio < 12.0 || r.sf1Sec < 1.0,
         s"$q scales at ${r.ratio}x for 10x data — superlinear, investigate")
     }
   }

@@ -1,5 +1,6 @@
 package graft.search
 
+import org.apache.spark.sql.functions.format_string
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkSuite
 
@@ -41,6 +42,38 @@ class SimpleKMeansSpec extends AnyFunSuite with SparkSuite {
     val b = SimpleKMeans.fit(df.repartition(7), "vec", "id", 4, 3,
       maxTrainPoints = 64)
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("local (integral-id) and distributed (string-id) SAMPLED paths agree") {
+    // the r18 advisor's scenario: the SAME data reaches fitLocal via
+    // integral ids but the distributed sampled Lloyd via any other id
+    // type — the two accumulation orders (sample order vs partition
+    // order) must wash out in the per-iteration float32 rounding, and
+    // this pins it on a corpus bigger than the sample
+    val longIds = corpus(300, 12)
+    val strIds = longIds.select(
+      format_string("%04d", $"id").as("id"), $"vec") // zero-padded: string
+    val local = SimpleKMeans.fit(longIds, "vec", "id", k = 6, iters = 4,
+      maxTrainPoints = 96)
+    val dist = SimpleKMeans.fit(strIds.repartition(5), "vec", "id", k = 6,
+      iters = 4, maxTrainPoints = 96)
+    assert(local.map(_.toSeq).toSeq == dist.map(_.toSeq).toSeq)
+  }
+
+  test("both paths agree on a NEAR-TIE corpus (adversarial argmax)") {
+    // many vectors nearly equidistant between two planted directions:
+    // a summation-order-sensitive argmax or a sum on a float32 rounding
+    // boundary would flip assignments between the paths
+    val df = (0 until 240).map { i =>
+      val a = 0.5f + ((i % 7) - 3) * 1e-7f // hugs the tie point
+      (i.toLong, Seq(a, 1.0f - a, 0.25f + (i % 11) * 1e-6f, 0.75f))
+    }.toDF("id", "vec")
+    val local = SimpleKMeans.fit(df, "vec", "id", k = 4, iters = 5,
+      maxTrainPoints = 500)
+    val strDf = df.select(format_string("%04d", $"id").as("id"), $"vec")
+    val dist = SimpleKMeans.fit(strDf.repartition(7), "vec", "id", k = 4,
+      iters = 5, maxTrainPoints = 500)
+    assert(local.map(_.toSeq).toSeq == dist.map(_.toSeq).toSeq)
   }
 
   test("centroids live on the unit sphere; empty-cluster rows survive") {
