@@ -54,7 +54,7 @@ object ScaleLedger {
     "q118_streaming_ingest" -> Row(2.203, 3.044),
     "q122_pipeline_e2e" -> Row(0.399, 0.609),
     "q131_bloom_pruned_join" -> Row(0.594, 1.045),
-    "q155_pagerank" -> Row(3.965, 6.544),
+    "q155_pagerank" -> Row(4.316, 7.156),
     "q159_build" -> Row(4.519, 5.193),
     "q159_serve" -> Row(0.257, 0.264),
     "q164_pmi_collocations" -> Row(0.439, 1.342),

@@ -171,9 +171,84 @@ object PageRank {
     // the last.
     val broadcastRanks = n <= 4000000L
 
+    // DRIVER-RESIDENT rank loop (the SimpleKMeans.fitLocal precedent,
+    // r19): whenever the node table fits the SAME broadcast envelope the
+    // join path ships EVERY iteration anyway, the per-iteration Spark
+    // job ladder — broadcast build for the rank side, broadcast build
+    // for the contrib side, an eager checkpoint, a tracked release — is
+    // pure scheduling overhead (measured: q155's 21k-node graph spent
+    // ~20 jobs on 5 iterations). Holding the node-sized rank vector on
+    // the driver reduces each iteration to ONE distributed aggregate
+    // (edges ⋈ broadcast ranks → per-dst sums, node-sized collect) with
+    // the update applied locally in the IDENTICAL integer arithmetic —
+    // bit-equal by construction (integer sums are order-free), and MORE
+    // executor-loss-robust than any checkpoint (the state lives on the
+    // driver; the edge persist recovers via lineage). Edges stay
+    // distributed — corpus-scale work never lands on the driver; the
+    // driver holds 16 bytes per node. Threshold 100k nodes (measured
+    // crossover: at 21k nodes the driver loop wins ~30% — q155 bench
+    // 4.9 → 3.4 s; at 210k nodes the per-iteration collect/rebuild has
+    // eaten the gain and the A/B reads even-to-slightly-worse, so the
+    // big case keeps the distributed iterate + its reliable-checkpoint
+    // option). `spark.graft.pagerank.driverLoopMaxNodes` overrides
+    // (0 disables — the spec hook forcing the distributed path).
+    val driverLoopMax = spark.conf
+      .getOption("spark.graft.pagerank.driverLoopMaxNodes")
+      .map(_.trim.toLong).getOrElse(100000L)
+
     // dangling nodes (no out-edges) — only needed for redistribution
     lazy val dangling = nodes.join(e.select(col("src").as("node")).distinct(),
       Seq("node"), "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
+
+    if (n <= driverLoopMax) {
+      import spark.implicits._
+      val nodeRows: Array[(Long, Boolean)] =
+        nodes.select(col("node"), col("__seed")).as[(Long, Boolean)].collect()
+      val danglingSet: Array[Long] =
+        if (redistributeDangling) dangling.select(col("node")).as[Long].collect()
+        else Array.empty
+      val rank = new scala.collection.mutable.LongMap[Long](nodeRows.length * 2)
+      nodeRows.foreach { case (nd, sd) => rank(nd) = if (sd) scale / nSeed else 0L }
+      var i = 0
+      var moved = true
+      while (i < iterations && moved) {
+        val sinkShare: Long =
+          if (!redistributeDangling) 0L
+          else {
+            var s = 0L; var d = 0
+            while (d < danglingSet.length) { s += rank(danglingSet(d)); d += 1 }
+            s / nSeed
+          }
+        // RDD-backed leaf, NOT a LocalRelation: embedding a node-sized
+        // literal table in the plan makes every iteration's analysis /
+        // optimization walk the data (measured +50% at 210k nodes); the
+        // parallelize costs one tiny job per iteration instead
+        val rdf = spark.sparkContext
+          .parallelize(rank.toSeq, 1).toDF("src", "pr")
+        val contribs = e.join(broadcast(rdf), "src")
+          .selectExpr("dst", "(pr * w) div wsum AS c")
+          .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+          .as[(Long, Long)].collect()
+        val sc2 = new scala.collection.mutable.LongMap[Long](contribs.length * 2)
+        contribs.foreach { case (nd, s0) => sc2(nd) = s0 }
+        var delta = 0L
+        nodeRows.foreach { case (nd, sd) =>
+          val baseTerm = if (sd) base else 0L
+          val sink = if (sd) sinkShare else 0L
+          val next = baseTerm + dampNum * (sc2.getOrElse(nd, 0L) + sink) / dampDen
+          if (toleranceMicro > 0) delta += math.abs(next - rank(nd))
+          rank(nd) = next
+        }
+        if (toleranceMicro > 0) moved = delta > toleranceMicro
+        i += 1
+      }
+      e.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      if (redistributeDangling) dangling.unpersist(blocking = false)
+      return graft.store.Scratch.rematerialize(
+        rank.toSeq.toDF("node", "pr"), "pagerank",
+        coalesceTo = graft.store.Scratch.outputFiles(spark))
+    }
 
     // Iteration materialization is an EAGER LOCAL CHECKPOINT, not
     // persist+count: persist caches the rows but the LOGICAL PLAN keeps

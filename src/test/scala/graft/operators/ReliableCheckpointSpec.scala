@@ -60,31 +60,47 @@ class ReliableCheckpointSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("PageRank completes under continual block loss and matches the undisturbed run") {
-    val expected = PageRank.run(edges, "src", "dst", iterations = 8)
-      .orderBy("node").as[(Long, Long)].collect().toSeq
+    // force the DISTRIBUTED iterate path — the driver-resident fast
+    // path (r19) holds its state off-executor and would pass trivially
+    withConf("spark.graft.pagerank.driverLoopMaxNodes", "0") {
+      val expected = PageRank.run(edges, "src", "dst", iterations = 8)
+        .orderBy("node").as[(Long, Long)].collect().toSeq
 
-    // kill EVERY persistent block after EVERY job — normal persists
-    // (edge/node tables) recover via lineage; local checkpoints would
-    // not, which is why this only passes in reliable mode
-    val killer = new SparkListener {
-      override def onJobEnd(end: SparkListenerJobEnd): Unit =
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-    }
-    spark.sparkContext.addSparkListener(killer)
-    try {
-      val got = withConf("spark.graft.reliableCheckpointInterval", "1") {
-        PageRank.run(edges, "src", "dst", iterations = 8)
-          .orderBy("node").as[(Long, Long)].collect().toSeq
+      // kill EVERY persistent block after EVERY job — normal persists
+      // (edge/node tables) recover via lineage; local checkpoints would
+      // not, which is why this only passes in reliable mode
+      val killer = new SparkListener {
+        override def onJobEnd(end: SparkListenerJobEnd): Unit =
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
       }
-      assert(got == expected)
-    } finally spark.sparkContext.removeSparkListener(killer)
+      spark.sparkContext.addSparkListener(killer)
+      try {
+        val got = withConf("spark.graft.reliableCheckpointInterval", "1") {
+          PageRank.run(edges, "src", "dst", iterations = 8)
+            .orderBy("node").as[(Long, Long)].collect().toSeq
+        }
+        assert(got == expected)
+      } finally spark.sparkContext.removeSparkListener(killer)
+    }
+  }
+
+  test("driver-resident and distributed PageRank paths are bit-identical") {
+    val viaDriver = PageRank.run(edges, "src", "dst", iterations = 7)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val viaDistributed = withConf("spark.graft.pagerank.driverLoopMaxNodes", "0") {
+      PageRank.run(edges, "src", "dst", iterations = 7)
+        .orderBy("node").as[(Long, Long)].collect().toSeq
+    }
+    assert(viaDriver == viaDistributed)
   }
 
   test("reliable iterations release their scratch dirs as the run advances") {
     val before = graft.store.Scratch.liveCount
     withConf("spark.graft.reliableCheckpointInterval", "1") {
-      PageRank.run(edges, "src", "dst", iterations = 6).count()
+      withConf("spark.graft.pagerank.driverLoopMaxNodes", "0") {
+        PageRank.run(edges, "src", "dst", iterations = 6).count()
+      }
     }
     // every per-iteration dir was freed by its successor's release();
     // only the FINAL rank table (the returned scan) may remain live
