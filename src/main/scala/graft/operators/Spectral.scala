@@ -66,19 +66,27 @@ object Spectral {
       df.select(col(vecCol).as("__x")).filter(col("__x").isNotNull))
     val vecs = pinned.df
     try {
-    val head = vecs.head()
-    val dims = head.getSeq[Float](0).length
-    val n = vecs.count()
-    require(n >= 2, s"topComponent needs >= 2 vectors, got $n")
-    // mean, float32-rounded (the replay cast)
-    val sums = vecs
+    // ONE pass for sums + count (dims falls out of the sum vector's
+    // length) — head()/count()/mean were three separate jobs, and at
+    // small SF this operator is job-compile-bound, not data-bound (r19)
+    val firstRow = vecs
       .select(transform(col("__x"), x => x.cast("double")).as("__xd"))
-      .agg(vsum(col("__xd"))).head().getSeq[Double](0)
+      .agg(vsum(col("__xd")).as("s"), count(lit(1)).as("n")).head()
+    val sums = firstRow.getSeq[Double](0)
+    val n = firstRow.getLong(1)
+    require(n >= 2, s"topComponent needs >= 2 vectors, got $n")
+    val dims = sums.length
+    // mean, float32-rounded (the replay cast)
     val mu: Array[Float] = sums.map(s => (s / n).toFloat).toArray
     var v: Array[Float] = Array.fill(dims)((1.0 / math.sqrt(dims.toDouble)).toFloat)
     var eigval = 0.0
     var it = 0
     while (it < iters) {
+      // literal μ/v per iteration: an A/B against a broadcast 1-row
+      // params frame (hoping for codegen-cache hits across iterations)
+      // measured SLOWER (+0.5 s) — the HOF lambdas don't recompile per
+      // literal the way plain projections do, and the extra broadcast
+      // exchange per iteration is pure cost. Keep the literals.
       val muL = typedlit(mu.toSeq); val vL = typedlit(v.toSeq)
       // per-row: proj = Σ_d (x_d − μ_d)·v_d folded in index order;
       // contribution = (x − μ)·proj — one dense array per row into the

@@ -163,9 +163,12 @@ object InvertedIndex {
     // manifest prunes buckets; this prunes inside them). Incrementally
     // rewritten buckets lose the clustering until rebuilt/compacted —
     // pruning degrades gracefully, correctness never depends on it.
-    store.create("postings", post.repartition(col("bucket")),
+    // EXPLICIT partition count (r19): an un-numbered repartition(col) is
+    // AQE-coalescible down to one task, serializing the whole partitioned
+    // write; `buckets` hash partitions keep ~one write task per bucket
+    store.create("postings", post.repartition(buckets, col("bucket")),
       partitionCol = Some("bucket"), sortBy = Seq("term"))
-    store.create("docmap", dmap.repartition(col("dbucket")),
+    store.create("docmap", dmap.repartition(buckets, col("dbucket")),
       partitionCol = Some("dbucket"), sortBy = Seq("doc_id"))
     writeMeta(store, Meta(buckets, nAll, st.getLong(0), st.getLong(1), tok))
     post.unpersist(blocking = false)
