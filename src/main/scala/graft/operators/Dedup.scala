@@ -427,14 +427,25 @@ object Dedup {
     * duplicated document comes back with `new_text = ""` — the caller's
     * drop filter, exactly like q100's `dup_frac` one.
     *
+    * `keepFirst = true` switches to the KEEP-ONE form (what Lee et
+    * al.'s ExactSubstr dedup actually executes — duplicated text
+    * survives in exactly one place): each duplicated span's globally
+    * FIRST occurrence (lexicographic min (doc, offset)) is exempt from
+    * removal; every other occurrence is cut. Caveat, inherent to
+    * interval-union removal and replayed identically by the oracle: a
+    * keeper occurrence's tokens can still fall inside ANOTHER
+    * duplicated span's removed run in the same doc.
+    *
     * Scale shape: the duplicated-window set rides 8-byte span hashes
     * (positional — [[graft.functions.TextExpressions.shingle_hashes_pos]]),
     * never span strings; the islands merge is a doc-keyed window over
     * only the DUPLICATED offsets (a sliver of the corpus at any sane
     * dup rate); the cut itself is one per-doc array expression — no
-    * token-level shuffle, no range join. */
+    * token-level shuffle, no range join. The keeper table is one row
+    * per duplicated span (min-struct aggregate — map-side combined). */
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-                            k: Int = 20, minDocs: Int = 2): DataFrame = {
+                            k: Int = 20, minDocs: Int = 2,
+                            keepFirst: Boolean = false): DataFrame = {
     require(k >= 2, s"bad span width $k")
     require(minDocs >= 2, s"bad minDocs $minDocs")
     val base = df.select(col(idCol), col(textCol))
@@ -445,7 +456,19 @@ object Dedup {
     val hot = spans.select(col("h"), col(idCol)).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs).select(col("h"))
-    val dup = spans.join(hot, Seq("h"), "left_semi")
+    val dupAll = spans.join(hot, Seq("h"), "left_semi")
+    val dup =
+      if (!keepFirst) dupAll
+      else {
+        // one keeper occurrence per span: lexicographic min (doc, off)
+        // — struct min is map-side combined, one row per hot hash
+        val keeper = dupAll
+          .groupBy(col("h"))
+          .agg(min(struct(col(idCol).as("kd"), col("off").as("ko"))).as("k"))
+        dupAll.join(keeper, Seq("h"))
+          .filter(!(col(idCol) === col("k.kd") && col("off") === col("k.ko")))
+          .select(col(idCol), col("off"), col("h"))
+      }
     // islands: window offsets whose k-token covers touch or overlap
     // (gap <= k) merge into one maximal removed region [lo, hi]
     val wo = org.apache.spark.sql.expressions.Window

@@ -811,6 +811,57 @@ object TextQueries extends QuerySet {
       |LEFT JOIN kt ON kt.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q422's KEEP-ONE form — the variant Lee et al.'s ExactSubstr dedup
+    * actually ships: duplicated text survives in exactly one place
+    * (each span's globally first occurrence by (doc, offset) is exempt;
+    * every other occurrence is excised). The oracle replays the keeper
+    * selection as a QUALIFY row_number over string spans, then the same
+    * island-merge-cut chain — so a wrong keeper pick, tie-break, or
+    * exemption leak anywhere breaks the hash. */
+  private def q423(s: SparkSession, d: String): DataFrame =
+    Dedup.removeDuplicatedSpans(t(s, d, "documents"), "doc_id", "text",
+        k = 20, keepFirst = true)
+      .orderBy(col("doc_id"))
+
+  private val q423Sql =
+    """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |           FROM documents),
+      |sp AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |         array_to_string(w[(i+1):(i+20)], ' ') AS s
+      |       FROM (SELECT doc_id, w, unnest(range(len(w) - 19)) AS i
+      |             FROM w WHERE len(w) >= 20)),
+      |hot AS (SELECT s FROM (SELECT s, COUNT(DISTINCT doc_id) AS nd
+      |                       FROM sp GROUP BY s) WHERE nd >= 2),
+      |ha AS (SELECT doc_id, i, s FROM sp WHERE s IN (SELECT s FROM hot)),
+      |dup AS (SELECT doc_id, i FROM ha
+      |        QUALIFY ROW_NUMBER() OVER (PARTITION BY s ORDER BY doc_id, i) > 1),
+      |fl AS (SELECT doc_id, i,
+      |         CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i) <= 20
+      |              THEN 0 ELSE 1 END AS nw
+      |       FROM dup),
+      |isl AS (SELECT doc_id, i,
+      |          SUM(nw) OVER (PARTITION BY doc_id ORDER BY i) AS run
+      |        FROM fl),
+      |runs AS (SELECT doc_id, MIN(i) AS lo, MAX(i) + 19 AS hi
+      |         FROM isl GROUP BY doc_id, run),
+      |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS i, w[i+1] AS tk
+      |        FROM (SELECT doc_id, w, unnest(range(len(w))) AS i FROM w)),
+      |kept AS (SELECT t.doc_id, t.i, t.tk FROM tok t
+      |         WHERE NOT EXISTS (SELECT 1 FROM runs r
+      |           WHERE r.doc_id = t.doc_id AND t.i BETWEEN r.lo AND r.hi)),
+      |rr AS (SELECT doc_id, CAST(SUM(hi - lo + 1) AS BIGINT) AS n_removed,
+      |         CAST(COUNT(*) AS BIGINT) AS n_runs FROM runs GROUP BY doc_id),
+      |kt AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS new_text
+      |       FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(rr.n_removed, 0) AS BIGINT) AS n_removed,
+      |  CAST(COALESCE(rr.n_runs, 0) AS BIGINT) AS n_runs,
+      |  COALESCE(kt.new_text, '') AS new_text
+      |FROM documents d JOIN w ON w.doc_id = d.doc_id
+      |LEFT JOIN rr ON rr.doc_id = d.doc_id
+      |LEFT JOIN kt ON kt.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Mixture resampling — the data-mixing step that turns corpus
     * proportions into training proportions, with oversampling expressed
     * as real row repetition the way a training loader consumes it:
@@ -916,7 +967,8 @@ object TextQueries extends QuerySet {
     Q("q122_pipeline_e2e", q122, Some(q122Sql), headline = true),
     Q("q137_bpe_train", q137, Some(q137Sql)),
     Q("q195_neardup_communities", q195, Some(q195Sql)),
-    Q("q422_span_removal", q422, Some(q422Sql)))
+    Q("q422_span_removal", q422, Some(q422Sql)),
+    Q("q423_span_removal_keep_first", q423, Some(q423Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the

@@ -123,6 +123,80 @@ class DedupSpanRemovalSpec extends AnyFunSuite with SparkSuite {
     assert(got(2L) == ((2L, 0L, 0L, "a b")))
   }
 
+  private def runKeepFirst(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long, String)] =
+    Dedup.removeDuplicatedSpans(docs.toDF("id", "text"), "id", "text",
+        k = K, keepFirst = true)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+
+  /** keepFirst brute force: the span's min (doc, off) occurrence is
+    * exempt; everything else duplicated is covered. */
+  private def expectKeepFirst(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long, String)] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+    val occ = scala.collection.mutable.Map.empty[String, Vector[(Long, Int)]]
+    for ((id, w) <- docs.map(d => d._1 -> toks(d._1)); i <- 0 to w.length - K)
+      occ.updateWith(w.slice(i, i + K).mkString(" "))(
+        v => Some(v.getOrElse(Vector.empty) :+ ((id, i))))
+    val hot = occ.filter(_._2.map(_._1).toSet.size >= 2)
+    val keeper = hot.map { case (s, os) => s -> os.min }
+    docs.map { case (id, _) =>
+      val w = toks(id)
+      val removable = (0 to w.length - K).filter { i =>
+        val s = w.slice(i, i + K).mkString(" ")
+        hot.contains(s) && keeper(s) != ((id, i))
+      }
+      val covered = removable.flatMap(i => i until i + K).toSet
+      val runs = covered.toSeq.sorted.foldLeft(List.empty[(Int, Int)]) {
+        case ((lo, hi) :: rest, t) if t == hi + 1 => (lo, t) :: rest
+        case (acc, t) => (t, t) :: acc
+      }
+      val kept = w.zipWithIndex.collect { case (tk, i) if !covered(i) => tk }
+      id -> ((w.length.toLong, covered.size.toLong, runs.size.toLong,
+        kept.mkString(" ")))
+    }.toMap
+  }
+
+  test("keepFirst: the first occurrence survives, later copies are cut") {
+    val docs = Seq(
+      (1L, "head C1 C2 C3 tail one"),
+      (2L, "other words C1 C2 C3 more here"),
+      (3L, "third copy C1 C2 C3 end bits"))
+    val got = runKeepFirst(docs)
+    assert(got == expectKeepFirst(docs))
+    assert(got(1L)._4 == "head C1 C2 C3 tail one", "doc 1 holds the keeper")
+    assert(got(2L)._4 == "other words more here")
+    assert(got(3L)._4 == "third copy end bits")
+  }
+
+  test("keepFirst: identical docs keep exactly one full copy") {
+    val text = "a b c d e f g h"
+    val docs = Seq((5L, text), (9L, text), (7L, text))
+    val got = runKeepFirst(docs)
+    assert(got == expectKeepFirst(docs))
+    assert(got(5L)._4 == text, "lowest doc id keeps the text")
+    assert(got(7L)._4 == "" && got(9L)._4 == "")
+  }
+
+  test("keepFirst: a keeper can still be cut by ANOTHER span's run (documented)") {
+    // doc 1 holds the keeper for Y1 Y2 Y3 but its copy sits INSIDE the
+    // X-run doc 1 shares with doc 2 as a LATER occurrence
+    val docs = Seq(
+      (0L, "X1 X2 X3 X4 X5 solo0"),
+      (1L, "pre X1 X2 X3 X4 X5 Y1 Y2 Y3 post"),
+      (2L, "zz Y1 Y2 Y3 ww vv uu"))
+    val got = runKeepFirst(docs)
+    assert(got == expectKeepFirst(docs))
+  }
+
+  test("keepFirst matches brute force on a planted corpus") {
+    val docs = (0L until 30L).map { i =>
+      val shared = if (i % 3 == 0) "S1 S2 S3 S4 " else ""
+      (i, shared + (0 until 8).map(j => s"w${i}_$j").mkString(" "))
+    }
+    assert(runKeepFirst(docs) == expectKeepFirst(docs))
+  }
+
   test("matches brute force on a generated corpus with planted duplication") {
     // planted: every 4th doc shares a 6-token block; plus randomized tails
     val docs = (0L until 40L).map { i =>
