@@ -73,7 +73,12 @@ class QuerySurfaceLintSpec extends AnyFunSuite {
         "q81_frame_sample", "q400_y4m_frame_sample") ++
       fam("same k-occurrence truth, exact n² audit vs ANN-candidate path " +
         "(different k and probe set; the scaffold is the point)",
-        "q304_hubness_audit", "q314_hubness_ann")).toMap
+        "q304_hubness_audit", "q314_hubness_ann") ++
+      fam("same window→merge→cut excision chain; q423 adds only the " +
+        "keep-first exemption (QUALIFY row_number keeper selection) on " +
+        "top of q422's remove-all policy — the shared scaffold is the " +
+        "point, the keeper predicate is the delta under test",
+        "q422_span_removal", "q423_span_removal_keep_first")).toMap
   }
 
   test("no two gates share near-identical oracle SQL unless allowlisted") {
