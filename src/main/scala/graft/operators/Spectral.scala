@@ -58,12 +58,39 @@ object Spectral {
   def topComponent(df: DataFrame, vecCol: String, iters: Int = 4): DataFrame = {
     require(iters >= 1 && iters <= 16, s"bad iters=$iters")
     val spark = df.sparkSession
+    // Small corpora hold the vectors on the driver and run the whole
+    // trajectory locally (the q155 driver-loop precedent,
+    // PageRank.scala:180): at bench scale each distributed iteration is
+    // plan-compile-bound — 64-literal HOF lambdas re-codegen per
+    // iteration — so iters+2 jobs cost seconds over kilobytes. The
+    // local loop is the identical float32-rounded arithmetic; cross-row
+    // double sums land in collected order instead of partition-merge
+    // order, which the per-iteration float32 casts absorb — the SAME
+    // absorption the DuckDB oracle replay already relies on
+    // (SpectralSpec pins driver == distributed on real corpora).
+    // `spark.graft.spectral.driverLoopMaxRows` overrides (0 disables —
+    // the spec hook forcing the distributed path). The probe is a
+    // limit(max+1) collect: over-threshold corpora pay one
+    // early-terminating bounded scan, never a full collect.
+    val driverLoopMax = spark.conf
+      .getOption("spark.graft.spectral.driverLoopMaxRows")
+      .map(_.trim.toLong).getOrElse(200000L)
+    val srcVecs = df.select(col(vecCol).as("__x")).filter(col("__x").isNotNull)
+    if (driverLoopMax > 0 && driverLoopMax <= Int.MaxValue - 1) {
+      val probe = srcVecs
+        .select(transform(col("__x"), x => x.cast("double")).as("__xd"))
+        .limit(driverLoopMax.toInt + 1).collect()
+      if (probe.length <= driverLoopMax) {
+        val rows: Array[Array[Double]] =
+          probe.map(_.getSeq[Double](0).toArray)
+        return localTopComponent(spark, rows, iters)
+      }
+    }
     val vsum = udaf(new DVecSumAgg)
     // iters + 2 passes over the projection input; tracked so the blocks
     // are FREED on return (Dataset.unpersist cannot release a
     // localCheckpoint — see [[Pinned]])
-    val pinned = Pinned.checkpoint(
-      df.select(col(vecCol).as("__x")).filter(col("__x").isNotNull))
+    val pinned = Pinned.checkpoint(srcVecs)
     val vecs = pinned.df
     try {
     // ONE pass for sums + count (dims falls out of the sum vector's
@@ -106,9 +133,6 @@ object Spectral {
       eigval = (norm / n).toFloat.toDouble // ||Cv|| with unit v, float32-rounded
       it += 1
     }
-    // sign convention: flip so the largest-|loading| component is positive
-    val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
-    if (v(pivot) < 0) v = v.map(x => -x)
     // total variance = Σ_d Var_d via the same float32-rounded pass
     val sq = vecs
       .select(zip_with(col("__x"), typedlit(mu.toSeq),
@@ -116,14 +140,67 @@ object Spectral {
         .as("__d2"))
       .agg(vsum(col("__d2"))).head().getSeq[Double](0)
     val totalVar = (sq.sum / n).toFloat.toDouble
+    assemble(spark, mu, v, eigval, totalVar)
+    // the result is driver-materialized rows — the pinned projection input
+    // must not outlive the call (the PageRank.scala release discipline)
+    } finally pinned.release()
+  }
+
+  /** The whole trajectory on the driver — dim-indexed double loops in
+    * the EXACT shape of the distributed projections: per-row proj folds
+    * dims in index order against the float32 μ/v, cross-row sums
+    * accumulate in collected order, every iteration (and the mean)
+    * closes with the float32 replay cast. */
+  private def localTopComponent(
+      spark: org.apache.spark.sql.SparkSession,
+      rows: Array[Array[Double]], iters: Int): DataFrame = {
+    val n = rows.length.toLong
+    require(n >= 2, s"topComponent needs >= 2 vectors, got $n")
+    val dims = rows(0).length
+    val sums = new Array[Double](dims)
+    rows.foreach { x =>
+      var d = 0; while (d < dims) { sums(d) += x(d); d += 1 } }
+    val mu: Array[Float] = sums.map(s => (s / n).toFloat)
+    var v: Array[Float] = Array.fill(dims)((1.0 / math.sqrt(dims.toDouble)).toFloat)
+    var eigval = 0.0
+    var it = 0
+    while (it < iters) {
+      val w = new Array[Double](dims)
+      rows.foreach { x =>
+        var proj = 0.0
+        var d = 0
+        while (d < dims) {
+          proj += (x(d) - mu(d).toDouble) * v(d).toDouble; d += 1 }
+        d = 0
+        while (d < dims) { w(d) += (x(d) - mu(d).toDouble) * proj; d += 1 }
+      }
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      require(norm > 0, "power iteration collapsed to the zero vector")
+      v = w.map(x => (x / norm).toFloat)
+      eigval = (norm / n).toFloat.toDouble
+      it += 1
+    }
+    val sq = new Array[Double](dims)
+    rows.foreach { x =>
+      var d = 0
+      while (d < dims) {
+        val c = x(d) - mu(d).toDouble; sq(d) += c * c; d += 1 } }
+    val totalVar = (sq.sum / n).toFloat.toDouble
+    assemble(spark, mu, v, eigval, totalVar)
+  }
+
+  private def assemble(
+      spark: org.apache.spark.sql.SparkSession, mu: Array[Float],
+      v0: Array[Float], eigval: Double, totalVar: Double): DataFrame = {
+    // sign convention: flip so the largest-|loading| component is positive
+    var v = v0
+    val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    if (v(pivot) < 0) v = v.map(x => -x)
     val rows = v.indices.map(i => (i, mu(i).toDouble, v(i).toDouble))
     spark.createDataFrame(rows).toDF("dim", "mu", "loading")
       .withColumn("eigval", lit(eigval))
       .withColumn("total_var", lit(totalVar))
       .withColumn("var_explained", round(lit(eigval / totalVar), 6))
       .orderBy(col("dim"))
-    // the result is driver-materialized rows — the pinned projection input
-    // must not outlive the call (the PageRank.scala release discipline)
-    } finally pinned.release()
   }
 }

@@ -47,6 +47,44 @@ class SpectralSpec extends AnyFunSuite with SparkSuite {
     assert(a == b)
   }
 
+  test("driver loop == distributed path, bit for bit (real + planted corpora)") {
+    // The driver-resident loop (plan-compile-bound small corpora) must
+    // reproduce the distributed trajectory exactly — the float32 replay
+    // casts absorb the collected-order vs partition-merge-order double
+    // sums, the same absorption the DuckDB oracle replay relies on.
+    val key = "spark.graft.spectral.driverLoopMaxRows"
+    val e = graft.Tables.t(spark, sf, "embeddings").select($"embedding")
+    val p = planted(400, 8).map(Tuple1(_)).toDF("embedding").repartition(7)
+    for (df <- Seq(e, p)) {
+      spark.conf.unset(key) // default: driver loop engages (corpus is tiny)
+      val local = Spectral.topComponent(df, "embedding", iters = 5)
+        .collect().map(_.toString).toSeq
+      spark.conf.set(key, "0") // spec hook: force the distributed path
+      try {
+        val dist = Spectral.topComponent(df, "embedding", iters = 5)
+          .collect().map(_.toString).toSeq
+        assert(local == dist)
+      } finally spark.conf.unset(key)
+    }
+  }
+
+  test("over-threshold corpora take the distributed path (bounded probe)") {
+    val key = "spark.graft.spectral.driverLoopMaxRows"
+    val df = planted(400, 8).map(Tuple1(_)).toDF("embedding")
+    spark.conf.set(key, "100") // 400 rows > 100: probe must fall through
+    try {
+      val out = Spectral.topComponent(df, "embedding", iters = 4).collect()
+      assert(out.length == 8) // still the full per-dim result
+      val small = planted(90, 8).map(Tuple1(_)).toDF("embedding")
+      val a = Spectral.topComponent(small, "embedding").collect()
+        .map(_.toString).toSeq
+      spark.conf.unset(key)
+      val b = Spectral.topComponent(small, "embedding").collect()
+        .map(_.toString).toSeq
+      assert(a == b) // under-threshold at 100 == default-threshold result
+    } finally spark.conf.unset(key)
+  }
+
   test("guards: tiny corpora and bad iteration counts fail loudly") {
     val one = Seq(Tuple1(Seq(1.0f, 2.0f))).toDF("embedding")
     intercept[IllegalArgumentException] {
