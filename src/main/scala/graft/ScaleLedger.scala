@@ -21,8 +21,9 @@ package graft
   * 5.1 s / steady 0.26 s).
   *
   * Known measurement shapes (not regressions):
-  *  - q250_power_iteration is iteration-count-dominated (ratio < 1 is
-  *    convergence luck at the synthetic sf1's spectrum);
+  *  - q250_power_iteration runs the driver-resident loop at both
+  *    scales (collect-bound; the distributed path engages only past
+  *    spark.graft.spectral.driverLoopMaxRows);
   *  - the synthetic sf1 documents table carries ~29× sf0.1's TEXT BYTES
   *    (854 vs 297 chars/doc), so text-mass-bound rows (q260) overstate
   *    the 10× ratio by ~3×.
@@ -66,7 +67,8 @@ object ScaleLedger {
     "q226_boilerplate_segments" -> Row(0.161, 0.191),
     "q23_asof_join" -> Row(0.202, 0.292),
     "q24_sessionize" -> Row(0.319, 0.511),
-    "q250_power_iteration" -> Row(3.993, 2.951),
+    "q250_power_iteration" -> Row(0.484, 0.512),
+    "q425_dsir_selection" -> Row(1.124, 1.566),
     "q260_rake_keywords" -> Row(1.105, 1.072),
     "q263_decision_stump" -> Row(1.734, 1.928),
     "q276_model_pipeline" -> Row(5.034, 6.003),

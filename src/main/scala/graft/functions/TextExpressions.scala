@@ -96,6 +96,53 @@ object TextExprUtils {
     new GenericArrayData(out)
   }
 
+  /** DSIR hashed-ngram feature stream ([[graft.operators.Dsir]]): one
+    * bucket id per uni- AND bigram of `text`, in gram order — unigrams
+    * first, then adjacent pairs joined with ' ' (the order the HOF form
+    * `concat(w, bigrams)` emits; callers count, so order is cosmetic
+    * but kept for parity). Bucket = charfold mod `buckets`, where the
+    * charfold is fingerprint()'s arithmetic — (acc*31 + codepoint) mod
+    * 1e9+7 folded over CODEPOINTS (split(s, "") + ascii() semantics:
+    * Java regex split never cuts a surrogate pair, so the SQL form sees
+    * codepoints too). Compiled for the same reason as the shingle
+    * kernels above: the HOF composition (split per gram + two lambda
+    * dispatches per char) dominated q425's scan. */
+  def dsirGramBuckets(text: UTF8String, buckets: Int): ArrayData = {
+    val s = text.toString
+    val words = new java.util.ArrayList[String]()
+    var start = 0; var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        if (i > start) words.add(s.substring(start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    val nw = words.size
+    if (nw == 0) return new GenericArrayData(Array.empty[Long])
+    def fold(acc0: Long, w: String): Long = {
+      var acc = acc0; var p = 0
+      while (p < w.length) {
+        val cp = w.codePointAt(p)
+        acc = (acc * 31L + cp) % 1000000007L
+        p += Character.charCount(cp)
+      }
+      acc
+    }
+    val out = new Array[Long](nw + (nw - 1))
+    var j = 0
+    while (j < nw) { out(j) = fold(0L, words.get(j)) % buckets; j += 1 }
+    j = 0
+    while (j < nw - 1) {
+      // "w1 w2" = fold w1, then ' ' (32), then w2 — no string rebuild
+      val h = fold((fold(0L, words.get(j)) * 31L + 32L) % 1000000007L,
+        words.get(j + 1))
+      out(nw + j) = h % buckets
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Replace every maximal run of chars outside [a-z0-9 ] with " . " —
     * the compiled form of `regexp_replace(s, "[^a-z0-9 ]+", " . ")`
     * (RAKE's phrase-boundary sentinel; callers lower() first so CJK /
@@ -301,6 +348,23 @@ case class BandKeysExpr(child: Expression, bands: Int, rowsPerBand: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** text -> array<long>: DSIR uni+bigram charfold bucket ids. */
+case class DsirGramBucketsExpr(child: Expression, buckets: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "dsir_gram_buckets"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"dsir_gram_buckets expects string, got $other")
+  }
+  override def nullSafeEval(t: Any): Any =
+    TextExprUtils.dsirGramBuckets(t.asInstanceOf[UTF8String], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextExprUtils.dsirGramBuckets($c, $buckets)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** array<long> -> long: SimHash-64 fingerprint. */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
@@ -332,4 +396,6 @@ object TextExpressions {
   def lsh_band_keys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     col(BandKeysExpr(e(sig), bands, rowsPerBand))
   def simhash64_fast(hashes: Column): Column = col(SimHash64Expr(e(hashes)))
+  def dsir_gram_buckets(text: Column, buckets: Int): Column =
+    col(DsirGramBucketsExpr(e(text), buckets))
 }

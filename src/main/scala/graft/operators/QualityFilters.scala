@@ -81,4 +81,69 @@ object QualityFilters {
         coalesce(round(col("rarity_sum").cast("double") / col("n_words"), 6), lit(0.0))
           .as("mean_rarity"))
   }
+
+  /** Gopher's eight required stopwords (Rae et al. 2021, table A1's
+    * "stop word" rule) — distinct-presence count, threshold 2. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The NON-repetition half of the Gopher rule battery (Rae et al.
+    * 2021, table A1; the repetition half is [[repetitionSignals]]):
+    * per-document word-level structure rules with per-rule verdicts and
+    * the conjunctive `keep` — the form a curation run consumes (audit
+    * WHICH rule rejected a document, not just that one did).
+    *
+    *  - word count in [50, 100 000];
+    *  - mean word length in [3, 10] (true word-length mean — q45's
+    *    `mean_word_len` is the alnum-chars/words ratio, a different
+    *    feature);
+    *  - symbol-to-word ratio ≤ 0.1 ('#' occurrences + '...' runs);
+    *  - ≥ 80 % of words contain an alphabetic character;
+    *  - ≥ 2 distinct hits among [[GopherStopwords]].
+    *
+    * The published thresholds are defaults, not knobs the corpus tuned:
+    * on symbol-free corpora `symbol_word_ratio` is identically 0 and
+    * the rule passes vacuously (the spec exercises it on adversarial
+    * docs). Everything is a narrow per-row expression — no shuffle, no
+    * joins; the only doubles are three final ratios, round(6)-closed
+    * for oracle parity. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val nWords = size(w).cast("long")
+    val sumLen = aggregate(
+      transform(w, x => length(x).cast("long")), lit(0L), (a, b) => a + b)
+    val nAlpha = size(filter(w, x => x.rlike("[a-zA-Z]"))).cast("long")
+    // '#' count by single-char strip; '...' runs by non-overlapping
+    // left-to-right replace (both engines' replace semantics) — the
+    // removed length is always a multiple of 3, so the div is exact
+    val nHash = length(col(textCol)) -
+      length(regexp_replace(col(textCol), "#", ""))
+    val nEllipsis = ((length(col(textCol)) -
+      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / lit(3))
+      .cast("long")
+    val nStop = size(array_intersect(
+      words(lower(col(textCol))), typedlit(GopherStopwords))).cast("long")
+    val meanLen = when(nWords === 0, lit(0.0))
+      .otherwise(sumLen.cast("double") / nWords.cast("double"))
+    val fracAlpha = when(nWords === 0, lit(0.0))
+      .otherwise(nAlpha.cast("double") / nWords.cast("double"))
+    val symRatio = when(nWords === 0, lit(0.0))
+      .otherwise((nHash + nEllipsis).cast("double") / nWords.cast("double"))
+    df.select(col(idCol),
+        nWords.as("n_words"),
+        round(meanLen, 6).as("mean_word_len"),
+        round(symRatio, 6).as("symbol_word_ratio"),
+        round(fracAlpha, 6).as("frac_alpha_words"),
+        nStop.as("n_req_stopwords"))
+      .withColumn("pass_word_count",
+        col("n_words") >= 50L && col("n_words") <= 100000L)
+      .withColumn("pass_word_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("pass_symbol", col("symbol_word_ratio") <= 0.1)
+      .withColumn("pass_alpha", col("frac_alpha_words") >= 0.8)
+      .withColumn("pass_stopwords", col("n_req_stopwords") >= 2L)
+      .withColumn("keep",
+        col("pass_word_count") && col("pass_word_len") &&
+          col("pass_symbol") && col("pass_alpha") && col("pass_stopwords"))
+  }
 }

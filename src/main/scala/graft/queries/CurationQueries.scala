@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
-import graft.operators.{Agreement, Boilerplate, Calibration, TextProfile}
+import graft.operators.{Agreement, Boilerplate, Calibration, Dsir,
+  QualityFilters, TextProfile}
 
 /** Round-12 curation/eval extensions (q222–q240): corpus profiling
   * (Heaps curve), annotation agreement (Fleiss κ), score calibration
@@ -1108,7 +1109,104 @@ object CurationQueries extends QuerySet {
       |JOIN degl da ON da.s = lab.l JOIN degl db ON db.s = lab.r
       |ORDER BY label, lab.l, lab.r""".stripMargin
 
+  /** The non-repetition Gopher rule battery with per-rule verdicts —
+    * [[graft.operators.QualityFilters.gopherRules]] (Rae et al. 2021,
+    * table A1; the repetition half is q84). Reference analog: the
+    * quality gate ahead of vectorize-on-write ingestion. */
+  private def q424(s: SparkSession, d: String): DataFrame =
+    QualityFilters.gopherRules(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val q424Sql = {
+    val stop = QualityFilters.GopherStopwords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH f AS (SELECT doc_id,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS w, text
+       |  FROM documents),
+       |g AS (SELECT doc_id,
+       |  CAST(len(w) AS BIGINT) AS n_words,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(w, x -> CAST(length(x) AS BIGINT))),
+       |    (a, b) -> a + b) AS sum_len,
+       |  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+       |    AS BIGINT) AS n_alpha,
+       |  CAST(length(text) - length(replace(text, '#', ''))
+       |    AS BIGINT) AS n_hash,
+       |  CAST((length(text) - length(replace(text, '...', ''))) // 3
+       |    AS BIGINT) AS n_ell,
+       |  CAST(len(list_intersect(
+       |    list_filter(string_split(lower(text), ' '), x -> x <> ''),
+       |    $stop)) AS BIGINT) AS n_req_stopwords
+       |FROM f),
+       |r AS (SELECT doc_id, n_words,
+       |  round(CASE WHEN n_words = 0 THEN 0.0
+       |    ELSE sum_len * 1.0 / n_words END, 6) AS mean_word_len,
+       |  round(CASE WHEN n_words = 0 THEN 0.0
+       |    ELSE (n_hash + n_ell) * 1.0 / n_words END, 6) AS symbol_word_ratio,
+       |  round(CASE WHEN n_words = 0 THEN 0.0
+       |    ELSE n_alpha * 1.0 / n_words END, 6) AS frac_alpha_words,
+       |  n_req_stopwords FROM g)
+       |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+       |  frac_alpha_words, n_req_stopwords,
+       |  n_words BETWEEN 50 AND 100000 AS pass_word_count,
+       |  mean_word_len BETWEEN 3.0 AND 10.0 AS pass_word_len,
+       |  symbol_word_ratio <= 0.1 AS pass_symbol,
+       |  frac_alpha_words >= 0.8 AS pass_alpha,
+       |  n_req_stopwords >= 2 AS pass_stopwords,
+       |  (n_words BETWEEN 50 AND 100000)
+       |    AND (mean_word_len BETWEEN 3.0 AND 10.0)
+       |    AND symbol_word_ratio <= 0.1 AND frac_alpha_words >= 0.8
+       |    AND n_req_stopwords >= 2 AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  /** DSIR importance selection (Xie et al. 2023) — hashed uni+bigram
+    * LM log-ratio scores against a curated target slice (sources
+    * src0/src1), exact top-50 by rounded score —
+    * [[graft.operators.Dsir.selectTopK]]. The oracle replays the
+    * char-fold bucket hash, both smoothed LMs, and the cut. */
+  private def q425(s: SparkSession, d: String): DataFrame =
+    Dsir.selectTopK(t(s, d, "documents"), "doc_id", "text",
+      isTarget = col("source").isin("src0", "src1"), k = 50)
+
+  private val q425Sql =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS w,
+      |    source IN ('src0', 'src1') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, t, unnest(list_concat(w,
+      |    list_transform(range(len(w) - 1),
+      |      i -> w[CAST(i + 1 AS INTEGER)] || ' ' ||
+      |           w[CAST(i + 2 AS INTEGER)]))) AS g
+      |  FROM docs),
+      |feat AS (
+      |  SELECT doc_id, t,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(g, ''),
+      |        c -> CAST(ascii(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) % 4096 AS b,
+      |    COUNT(*) AS n
+      |  FROM grams GROUP BY 1, 2, 3),
+      |lm AS (SELECT b,
+      |    CAST(SUM(CASE WHEN t THEN n ELSE 0 END) AS BIGINT) AS ct,
+      |    CAST(SUM(CASE WHEN NOT t THEN n ELSE 0 END) AS BIGINT) AS cr
+      |  FROM feat GROUP BY b),
+      |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+      |    CAST(SUM(cr) AS BIGINT) AS nr FROM lm),
+      |lam AS (SELECT b,
+      |    ln((ct + 1) * 1.0 / (nt + 4096)) -
+      |    ln((cr + 1) * 1.0 / (nr + 4096)) AS ld
+      |  FROM lm, tot)
+      |SELECT doc_id, round(SUM(n * ld), 6) AS score
+      |FROM feat JOIN lam USING (b) WHERE NOT t
+      |GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+
   def queries: Seq[Q] = Seq(
+    Q("q424_gopher_rules", q424, Some(q424Sql)),
+    Q("q425_dsir_selection", q425, Some(q425Sql), headline = true),
     Q("q222_vocab_growth", q222, Some(q222Sql)),
     Q("q223_fleiss_kappa", q223, Some(q223Sql)),
     Q("q224_calibration_ece", q224, Some(q224Sql)),
