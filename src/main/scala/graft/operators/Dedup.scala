@@ -519,4 +519,38 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
+
+  /** LSH parameter design audit: folds the corpus' OWN exact-Jaccard
+    * pair distribution through the (bands, rowsPerBand) S-curve
+    * p(s) = 1 − (1 − s^r)^b — the question a dedup run answers before
+    * trusting [[minhashLshPairs]]'s parameters on a new corpus: "how
+    * many of OUR near-dup pairs would the band join actually surface?"
+    * (The curve note on minhashLshPairs quotes p at j=0.8/0.9; this is
+    * that argument evaluated against measured pair mass, bin by bin.)
+    *
+    * Input: `pairs` with a `jaccard` column (from [[ngramJaccardPairs]]
+    * at a LOW threshold so the curve's soft region is populated).
+    * Output per similarity bin [bin/bins, (bin+1)/bins): pair count,
+    * the mid-bin capture probability, and the expected caught pairs —
+    * doubles round(6)-closed (pow ulps absorbed). Bins with no pairs
+    * are omitted (the join defines the support). Scale: a `bins`-row
+    * aggregate over the pair stream; the expensive part is the exact
+    * pair join the caller already bounded (shingle-df / maxDf). */
+  def lshCaptureAudit(pairs: DataFrame, bands: Int, rowsPerBand: Int,
+      bins: Int = 20): DataFrame = {
+    val bin = least(floor(col("jaccard") * bins).cast("long"),
+      lit(bins.toLong - 1L))
+    val sMid = (col("bin").cast("double") + lit(0.5)) / lit(bins.toDouble)
+    val p = lit(1.0) -
+      pow(lit(1.0) - pow(sMid, lit(rowsPerBand.toDouble)),
+        lit(bands.toDouble))
+    pairs.select(bin.as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
+      .select(col("bin"),
+        round(col("bin").cast("double") / lit(bins.toDouble), 6).as("s_lo"),
+        col("n_pairs"),
+        round(p, 6).as("capture_prob"),
+        round(col("n_pairs").cast("double") * p, 6).as("expected_caught"))
+      .orderBy(col("bin"))
+  }
 }

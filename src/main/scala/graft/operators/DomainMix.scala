@@ -174,4 +174,56 @@ object DomainMix {
         .drop("shuffle_key", "quota", "thresh")
     }
   }
+
+  /** Epoch-repeat schedule under a token budget — the data-constrained
+    * scaling plan (Muennighoff et al. 2022, arXiv:2305.16264): when the
+    * compute budget asks for more tokens than a source has, the source
+    * is REPEATED, and repeated epochs are worth less than fresh ones —
+    * the paper fits the decay as exponentials with half-life `rStar`
+    * (≈15 repeats) and finds ~16 epochs is where marginal value hits
+    * zero (`maxEpochs`).
+    *
+    * Per source g with unique tokens U_g: the budget splits uniformly
+    * across sources (alloc = ΣU·budgetMultiple / n_sources — the
+    * compute-allocation convention; weighting lives in q97/q212),
+    * epochs = min(alloc/U_g, maxEpochs), repeats R = max(epochs−1, 0),
+    * and the effective (fresh-equivalent) token yield is
+    *
+    *   D'_g = min(alloc, U_g) + U_g · rStar · (1 − e^(−R/rStar))
+    *
+    * — the first read counts in full (or pro-rata when the allocation
+    * doesn't even cover one epoch), every repeat decays. `utilization`
+    * = D'/alloc is the fraction of allocated compute that buys
+    * fresh-equivalent signal; `capped` marks sources whose allocation
+    * exceeded the value ceiling (the surplus should be re-allocated —
+    * the audit a mixing run does before committing a schedule).
+    *
+    * Scale shape: one wordcount-style group aggregate + a broadcast
+    * 1-row totals join; everything after is per-group closed-form
+    * arithmetic (n_sources rows). All doubles close with round(6) —
+    * exp ulps across engines are absorbed. */
+  def repeatSchedule(docs: DataFrame, groupCol: String, tokenCount: Column,
+      budgetMultiple: Double = 4.0, rStar: Double = 15.0,
+      maxEpochs: Double = 16.0): DataFrame = {
+    val g = docs
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(tokenCount).as("unique_tokens"))
+    val tot = g.agg(sum(col("unique_tokens")).as("__ut"),
+      count(lit(1)).as("__ng"))
+    val u = col("unique_tokens").cast("double")
+    val alloc = col("__ut").cast("double") * lit(budgetMultiple) /
+      col("__ng").cast("double")
+    val epochsRaw = alloc / u
+    val epochs = least(epochsRaw, lit(maxEpochs))
+    val r = greatest(epochs - lit(1.0), lit(0.0))
+    val eff = least(alloc, u) +
+      u * lit(rStar) * (lit(1.0) - exp(-r / lit(rStar)))
+    g.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"), col("unique_tokens"),
+        round(alloc, 6).as("alloc_tokens"),
+        round(epochs, 6).as("epochs"),
+        (epochsRaw > lit(maxEpochs)).as("capped"),
+        round(eff, 6).as("effective_tokens"),
+        round(eff / alloc, 6).as("utilization"))
+  }
 }

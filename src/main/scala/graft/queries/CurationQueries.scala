@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
-import graft.operators.{Agreement, Boilerplate, Calibration, Dsir,
+import graft.operators.{Agreement, Boilerplate, Calibration, DomainMix, Dsir,
   QualityFilters, TextProfile}
 
 /** Round-12 curation/eval extensions (q222–q240): corpus profiling
@@ -1204,8 +1204,44 @@ object CurationQueries extends QuerySet {
       |GROUP BY doc_id
       |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
 
+  /** Epoch-repeat schedule under a 4× token budget —
+    * [[graft.operators.DomainMix.repeatSchedule]] (Muennighoff et al.
+    * 2022's data-constrained scaling audit). The oracle replays the
+    * group sums, the uniform allocation, the epoch cap, and the
+    * exponential-decay effective-token yield. */
+  private def q426(s: SparkSession, d: String): DataFrame =
+    DomainMix.repeatSchedule(t(s, d, "documents"), "source",
+        size(graft.functions.TextFunctions.words(col("text"))).cast("long"))
+      .orderBy(col("source"))
+
+  private val q426Sql =
+    """WITH g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+      |      AS BIGINT) AS unique_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(unique_tokens) AS BIGINT) AS ut,
+      |    COUNT(*) AS ng FROM g),
+      |a AS (SELECT source, n_docs, unique_tokens,
+      |    ut * 4.0 / ng AS alloc,
+      |    (ut * 4.0 / ng) / unique_tokens AS epochs_raw,
+      |    least((ut * 4.0 / ng) / unique_tokens, 16.0) AS epochs
+      |  FROM g CROSS JOIN tot),
+      |e AS (SELECT source, n_docs, unique_tokens, alloc, epochs_raw, epochs,
+      |    least(alloc, unique_tokens * 1.0) +
+      |      unique_tokens * 15.0 *
+      |        (1.0 - exp(-greatest(epochs - 1.0, 0.0) / 15.0)) AS eff
+      |  FROM a)
+      |SELECT source, n_docs, unique_tokens,
+      |  round(alloc, 6) AS alloc_tokens,
+      |  round(epochs, 6) AS epochs,
+      |  epochs_raw > 16.0 AS capped,
+      |  round(eff, 6) AS effective_tokens,
+      |  round(eff / alloc, 6) AS utilization
+      |FROM e ORDER BY source""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q424_gopher_rules", q424, Some(q424Sql)),
+    Q("q426_repeat_schedule", q426, Some(q426Sql)),
     Q("q425_dsir_selection", q425, Some(q425Sql), headline = true),
     Q("q222_vocab_growth", q222, Some(q222Sql)),
     Q("q223_fleiss_kappa", q223, Some(q223Sql)),

@@ -862,6 +862,32 @@ object TextQueries extends QuerySet {
       |LEFT JOIN kt ON kt.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** LSH design audit — the corpus' exact-Jaccard pair mass folded
+    * through the production (b=8, r=3) S-curve,
+    * [[graft.operators.Dedup.lshCaptureAudit]]: per similarity bin,
+    * how many pairs exist and how many the band join would surface.
+    * Pairs come from the exact join at a LOW threshold (0.05) so the
+    * soft region of the curve is populated; the oracle replays the
+    * q41 pair chain, the binning, and the power-curve fold. */
+  private def q427(s: SparkSession, d: String): DataFrame =
+    Dedup.lshCaptureAudit(
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.05, hashShingles = true),
+      bands = 8, rowsPerBand = 3)
+
+  private val q427Sql =
+    s"""WITH ${pairCtes("0.05")},
+       |b AS (SELECT least(CAST(floor(jac * 20) AS BIGINT), 19) AS bin
+       |      FROM pairs),
+       |n AS (SELECT bin, COUNT(*) AS n_pairs FROM b GROUP BY bin)
+       |SELECT bin, round(bin / 20.0, 6) AS s_lo, n_pairs,
+       |  round(1.0 - power(1.0 - power((bin + 0.5) / 20.0, 3.0), 8.0), 6)
+       |    AS capture_prob,
+       |  round(n_pairs *
+       |    (1.0 - power(1.0 - power((bin + 0.5) / 20.0, 3.0), 8.0)), 6)
+       |    AS expected_caught
+       |FROM n ORDER BY bin""".stripMargin
+
   /** Mixture resampling — the data-mixing step that turns corpus
     * proportions into training proportions, with oversampling expressed
     * as real row repetition the way a training loader consumes it:
@@ -968,7 +994,8 @@ object TextQueries extends QuerySet {
     Q("q137_bpe_train", q137, Some(q137Sql)),
     Q("q195_neardup_communities", q195, Some(q195Sql)),
     Q("q422_span_removal", q422, Some(q422Sql)),
-    Q("q423_span_removal_keep_first", q423, Some(q423Sql)))
+    Q("q423_span_removal_keep_first", q423, Some(q423Sql)),
+    Q("q427_lsh_design_audit", q427, Some(q427Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the
