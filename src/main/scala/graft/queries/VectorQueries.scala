@@ -1158,8 +1158,53 @@ object VectorQueries extends QuerySet {
        |FROM t10 t JOIN rec ON rec.dims = t.dims
        |ORDER BY t.dims, round(t.sim, 6) DESC, t.vec_id""".stripMargin
 
+  /** Semantic answer cache, full serve-or-admit cycle —
+    * [[graft.rag.SemanticCache.serveAndAdmit]]: cached questions are
+    * the even vec_ids, the probe batch the vec_ids divisible by 3, so
+    * the gate exercises all three outcomes (exact repeats at sim 1.0,
+    * paraphrase hits above the 0.38 threshold, misses that get
+    * admitted and then serve themselves). The oracle replays both
+    * lookup passes — including the REAL second pass against
+    * cache ∪ admitted misses — relationally. */
+  private def q428(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    graft.rag.SemanticCache.serveAndAdmit(
+        e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        threshold = 0.38)
+      .select(col("probe_id"), col("served_id"),
+        round(col("sim"), 6).as("sim"), col("hit"), col("post_served_id"))
+      .orderBy(col("probe_id"))
+  }
+
+  private val q428Sql =
+    s"""WITH cache AS (SELECT vec_id AS cid, ${dl("embedding")} AS cv
+       |              FROM embeddings WHERE vec_id % 2 = 0),
+       |probes AS (SELECT vec_id AS probe_id, ${dl("embedding")} AS pv
+       |           FROM embeddings WHERE vec_id % 3 = 0),
+       |s1 AS (SELECT probe_id, cid, list_cosine_similarity(cv, pv) AS sim
+       |       FROM probes, cache),
+       |pre AS (SELECT probe_id, cid AS served_id, sim, sim >= 0.38 AS hit
+       |        FROM (SELECT *, ROW_NUMBER() OVER
+       |                (PARTITION BY probe_id ORDER BY sim DESC, cid) AS rn
+       |              FROM s1) WHERE rn = 1),
+       |adm AS (SELECT cid, cv FROM cache
+       |        UNION ALL
+       |        SELECT p.probe_id, p.pv FROM probes p
+       |        JOIN pre ON pre.probe_id = p.probe_id AND NOT pre.hit),
+       |s2 AS (SELECT probe_id, cid, list_cosine_similarity(cv, pv) AS sim
+       |       FROM probes, adm),
+       |post AS (SELECT probe_id, cid AS post_served_id
+       |         FROM (SELECT *, ROW_NUMBER() OVER
+       |                 (PARTITION BY probe_id ORDER BY sim DESC, cid) AS rn
+       |               FROM s2) WHERE rn = 1)
+       |SELECT pre.probe_id, pre.served_id, round(pre.sim, 6) AS sim,
+       |  pre.hit, post.post_served_id
+       |FROM pre JOIN post USING (probe_id) ORDER BY probe_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("q406_dim_truncation_recall", q406, Some(q406Sql)),
+    Q("q428_semantic_cache", q428, Some(q428Sql)),
     Q("q30_knn_exact", q30, Some(q30Sql), headline = true),
     Q("q31_knn_join_window", q31, Some(knnJoinSql)),
     Q("q32_knn_join_agg", q32, Some(knnJoinSql), headline = true),
