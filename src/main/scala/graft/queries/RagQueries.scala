@@ -777,6 +777,65 @@ object RagQueries extends QuerySet {
   private val q121Sql =
     "SELECT event_id, event_type FROM events ORDER BY event_id"
 
+  /** Streaming semantic cache ([[graft.streaming.CacheIngest]]): three
+    * probe micro-batches (vec_id mod 3, file-source trigger order)
+    * against a store-backed cache seeded with the vec_id%7 slice; each
+    * batch's misses are admitted before the next trigger, so later
+    * batches hit paraphrases asked earlier. The oracle replays the
+    * batch-by-batch cache evolution — lookup, verdict, admit — three
+    * rounds deep; any leak of an admit into its OWN batch, or a missed
+    * admit into the next, breaks the hash. */
+  private def q430(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val dir = Files.createTempDirectory("graft-q430-src").toFile
+    val base = System.currentTimeMillis()
+    for (k <- 0 until 3)
+      stage(e.filter(col("vec_id") % 3 === k), dir, base + k * 60000L,
+        nFiles = 1)
+    val store = new DocumentStore(
+      s, Files.createTempDirectory("graft-q430-store").toString)
+    store.create("cache", e.filter(col("vec_id") % 7 === 0))
+    val outDir = Files.createTempDirectory("graft-q430-out").toString
+    val src = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val qy = graft.streaming.CacheIngest.start(src, store, "cache",
+      "vec_id", "embedding", threshold = 0.38, resultDir = outDir,
+      checkpointDir = Files.createTempDirectory("graft-q430-ck").toString)
+    try qy.processAllAvailable() finally qy.stop()
+    s.read.parquet(outDir)
+      .select(col("probe_id"), col("served_id"),
+        round(col("sim"), 6).as("sim"), col("hit"))
+      .orderBy(col("probe_id"))
+  }
+
+  private val q430Sql = {
+    def dl(c: String) = s"list_transform($c, x -> CAST(x AS DOUBLE))"
+    def round2(k: Int) =
+      s"""r$k AS (SELECT probe_id, cid AS served_id, sim, sim >= 0.38 AS hit
+         |  FROM (SELECT p.vec_id AS probe_id, c.vec_id AS cid,
+         |          list_cosine_similarity(c.v, p.v) AS sim,
+         |          ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |            ORDER BY list_cosine_similarity(c.v, p.v) DESC,
+         |              c.vec_id) AS rn
+         |        FROM p$k p, c$k c) WHERE rn = 1),
+         |c${k + 1} AS (SELECT vec_id, v FROM c$k
+         |  UNION ALL
+         |  SELECT p.vec_id, p.v FROM p$k p
+         |  JOIN r$k ON r$k.probe_id = p.vec_id AND NOT r$k.hit)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, ${dl("embedding")} AS v FROM embeddings),
+       |c0 AS (SELECT vec_id, v FROM e WHERE vec_id % 7 = 0),
+       |p0 AS (SELECT vec_id, v FROM e WHERE vec_id % 3 = 0),
+       |p1 AS (SELECT vec_id, v FROM e WHERE vec_id % 3 = 1),
+       |p2 AS (SELECT vec_id, v FROM e WHERE vec_id % 3 = 2),
+       |${round2(0)},
+       |${round2(1)},
+       |${round2(2)}
+       |SELECT probe_id, served_id, round(sim, 6) AS sim, hit
+       |FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1
+       |      UNION ALL SELECT * FROM r2)
+       |ORDER BY probe_id""".stripMargin
+  }
+
   /** Stream-stream INTERVAL JOIN under the driver gate: views and
     * purchases arrive as two REAL file-source streams (time-ranged
     * staging, no driver collect), and the watermarked interval join —
@@ -1832,6 +1891,7 @@ object RagQueries extends QuerySet {
     Q("q119_streaming_sessionize", q119, Some(q119Sql)),
     Q("q120_streaming_window_agg", q120, Some(q120Sql)),
     Q("q121_streaming_dedup", q121, Some(q121Sql)),
+    Q("q430_streaming_semantic_cache", q430, Some(q430Sql)),
     Q("q125_streaming_interval_join", q125, Some(q125Sql)),
     Q("q135_streaming_outer_join", q135, Some(q135Sql)),
     Q("q153_streaming_threshold", q153, Some(q153Sql)),

@@ -171,6 +171,54 @@ object TextQueries extends QuerySet {
        |  len(regexp_extract_all(text, '$bpePattern')) AS bpe_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Tokenizer fertility audit per language (Rust et al. 2021's
+    * multilingual-tokenizer metric): subword tokens per whitespace
+    * word ("fertility" — how many pieces the tokenizer shatters a word
+    * into) and characters per token (compression), rolled up by lang —
+    * the audit that tells a multilingual curation run WHICH languages
+    * a tokenizer serves badly (high fertility = the lang pays more
+    * sequence length per word). Uses the q46 BPE-ish lexer; a
+    * lang-count aggregate over narrow per-row counts. */
+  private def q429(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("lang"),
+        size(words(col("text"))).cast("long").as("ws"),
+        size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+          .cast("long").as("bt"),
+        col("n_chars").cast("long").as("nc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("sum_words"),
+        sum(col("bt")).as("sum_bpe_tokens"), sum(col("nc")).as("sum_chars"))
+      .select(col("lang"), col("n_docs"), col("sum_words"),
+        col("sum_bpe_tokens"),
+        when(col("sum_words") === 0, lit(0.0))
+          .otherwise(round(col("sum_bpe_tokens").cast("double") /
+            col("sum_words").cast("double"), 6)).as("fertility"),
+        when(col("sum_bpe_tokens") === 0, lit(0.0))
+          .otherwise(round(col("sum_chars").cast("double") /
+            col("sum_bpe_tokens").cast("double"), 6)).as("chars_per_token"))
+      .orderBy(col("lang"))
+
+  private val q429Sql =
+    s"""WITH f AS (SELECT lang,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |      AS BIGINT) AS ws,
+       |    CAST(len(regexp_extract_all(text, '$bpePattern')) AS BIGINT) AS bt,
+       |    CAST(n_chars AS BIGINT) AS nc
+       |  FROM documents),
+       |g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(ws) AS BIGINT) AS sum_words,
+       |    CAST(SUM(bt) AS BIGINT) AS sum_bpe_tokens,
+       |    CAST(SUM(nc) AS BIGINT) AS sum_chars
+       |  FROM f GROUP BY lang)
+       |SELECT lang, n_docs, sum_words, sum_bpe_tokens,
+       |  CASE WHEN sum_words = 0 THEN 0.0
+       |    ELSE round(sum_bpe_tokens * 1.0 / sum_words, 6) END AS fertility,
+       |  CASE WHEN sum_bpe_tokens = 0 THEN 0.0
+       |    ELSE round(sum_chars * 1.0 / sum_bpe_tokens, 6) END
+       |    AS chars_per_token
+       |FROM g ORDER BY lang""".stripMargin
+
   /** Rolling polynomial document fingerprint (exact integer fold). */
   private def q47(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
@@ -995,7 +1043,8 @@ object TextQueries extends QuerySet {
     Q("q195_neardup_communities", q195, Some(q195Sql)),
     Q("q422_span_removal", q422, Some(q422Sql)),
     Q("q423_span_removal_keep_first", q423, Some(q423Sql)),
-    Q("q427_lsh_design_audit", q427, Some(q427Sql)))
+    Q("q427_lsh_design_audit", q427, Some(q427Sql)),
+    Q("q429_tokenizer_fertility", q429, Some(q429Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the
