@@ -37,15 +37,20 @@ object CacheIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val cache = store.read(cacheTable).select(col(idCol), col(vecCol))
+          // two consumers in separate actions (result write, then the
+          // admit) — persist so the lookup's cache pass runs once per
+          // trigger (the IndexIngest discipline)
           val res = SemanticCache.lookup(batch, idCol, vecCol,
-            cache, idCol, vecCol, threshold)
-          res.withColumn("batch", lit(batchId))
-            .write.mode("append").parquet(resultDir)
-          val misses = batch
-            .join(res.filter(!col("hit")).select(col("probe_id").as(idCol)),
-              Seq(idCol))
-            .select(col(idCol), col(vecCol))
-          if (!misses.isEmpty) store.upsert(cacheTable, misses, Seq(idCol))
+            cache, idCol, vecCol, threshold).persist()
+          try {
+            res.withColumn("batch", lit(batchId))
+              .write.mode("append").parquet(resultDir)
+            val misses = batch
+              .join(res.filter(!col("hit")).select(col("probe_id").as(idCol)),
+                Seq(idCol))
+              .select(col(idCol), col(vecCol))
+            if (!misses.isEmpty) store.upsert(cacheTable, misses, Seq(idCol))
+          } finally { res.unpersist(); () }
         }
         ()
       }
