@@ -557,7 +557,9 @@ object TextQueries extends QuerySet {
     * trick), so the score is bit-identical across engines; only the
     * final mean divides. A real trained LM plugs into the same dataflow
     * (counts table → join → per-doc sum). */
-  private def q96(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc bigram-LM surprisal (the q96 chain), reused by q431's
+    * CCNet bucketing. */
+  private def surprisalPerDoc(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     val words = split(col("text"), " ")
     val w = docs.select(col("doc_id"),
@@ -583,11 +585,15 @@ object TextQueries extends QuerySet {
         coalesce(col("surprisal_sum"), lit(0L)).as("surprisal_sum"),
         coalesce(round(col("surprisal_sum").cast("double") / col("n_bigrams"), 6),
           lit(0.0)).as("mean_surprisal"))
-      .orderBy(col("doc_id"))
   }
 
-  private val q96Sql =
-    """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  private def q96(s: SparkSession, d: String): DataFrame =
+    surprisalPerDoc(s, d).orderBy(col("doc_id"))
+
+  /** The q96 CTE chain through `agg` (per-doc bigram surprisal),
+    * shared with q431's oracle. */
+  private val surprisalCtes =
+    """w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
       |           FROM documents),
       |bg AS (SELECT doc_id,
       |         unnest(list_transform(range(len(w) - 1),
@@ -599,12 +605,52 @@ object TextQueries extends QuerySet {
       |sc AS (SELECT doc_id, CAST(length(bin(c1 // c2)) AS BIGINT) AS r
       |       FROM p JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
       |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(r) AS BIGINT) AS surprisal_sum
-      |        FROM sc GROUP BY doc_id)
-      |SELECT d.doc_id,
+      |        FROM sc GROUP BY doc_id),
+      |sdoc AS (SELECT d.doc_id,
       |  CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
       |  CAST(COALESCE(surprisal_sum, 0) AS BIGINT) AS surprisal_sum,
       |  COALESCE(round(CAST(surprisal_sum AS DOUBLE) / n_bigrams, 6), 0.0) AS mean_surprisal
-      |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+      |FROM documents d LEFT JOIN agg USING (doc_id))""".stripMargin
+
+  private val q96Sql =
+    s"""WITH $surprisalCtes
+       |SELECT doc_id, n_bigrams, surprisal_sum, mean_surprisal
+       |FROM sdoc ORDER BY doc_id""".stripMargin
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    * language, documents rank by mean bigram surprisal (the engine's
+    * LM-score stand-in, q96) and split into head/middle/tail terciles
+    * — head = most predictable (the slice CCNet keeps or upsamples),
+    * tail = the gibberish end. NTILE is the standard rank split (group
+    * sizes differ by ≤1, larger first) over a fully deterministic
+    * order (mean, doc_id), so the assignment is engine-portable. One
+    * window over doc-count rows per lang — the corpus-sized work is
+    * the q96 counts join underneath. */
+  private def q431(s: SparkSession, d: String): DataFrame = {
+    val sd = surprisalPerDoc(s, d)
+      .join(t(s, d, "documents").select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("mean_surprisal"), col("doc_id"))
+    sd.withColumn("t", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("mean_surprisal"),
+        when(col("t") === 1, lit("head"))
+          .when(col("t") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q431Sql =
+    s"""WITH $surprisalCtes,
+       |ranked AS (SELECT s.doc_id, d.lang, s.n_bigrams, s.mean_surprisal,
+       |    NTILE(3) OVER (PARTITION BY d.lang
+       |      ORDER BY s.mean_surprisal, s.doc_id) AS t
+       |  FROM sdoc s JOIN documents d USING (doc_id))
+       |SELECT doc_id, lang, n_bigrams, mean_surprisal,
+       |  CASE WHEN t = 1 THEN 'head' WHEN t = 2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM ranked ORDER BY doc_id""".stripMargin
 
   /** Domain-mix sampling for training-data curation: per-source quotas
     * from log₂-bucketed counts (an integer-exact "temperature" that
@@ -1044,7 +1090,8 @@ object TextQueries extends QuerySet {
     Q("q422_span_removal", q422, Some(q422Sql)),
     Q("q423_span_removal_keep_first", q423, Some(q423Sql)),
     Q("q427_lsh_design_audit", q427, Some(q427Sql)),
-    Q("q429_tokenizer_fertility", q429, Some(q429Sql)))
+    Q("q429_tokenizer_fertility", q429, Some(q429Sql)),
+    Q("q431_ccnet_buckets", q431, Some(q431Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the
