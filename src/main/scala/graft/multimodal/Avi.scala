@@ -73,11 +73,17 @@ object Avi {
     require(isAvi(bytes), "not a RIFF/AVI payload (bad magic)")
     var fmt: Option[Format] = None
     // chunks arrive in document order, so the strh preceding a strf in
-    // the same strl is always the last strh seen
+    // the same strl is always the last strh seen; the state RESETS at
+    // every strl boundary (and on a truncated strh), so a stream list
+    // with a missing/short strh can never inherit the previous
+    // stream's 'vids' and misparse its WAVEFORMATEX as a
+    // BITMAPINFOHEADER (r19 review finding)
     var lastStrhType: String = ""
     walkList(bytes, 12, bytes.length, (id, listType, start, len) => {
-      if (id == "strh" && listType == "strl" && len >= 4)
-        lastStrhType = fourcc(bytes, start)
+      if (id == "LIST" && listType == "strl")
+        lastStrhType = ""
+      else if (id == "strh" && listType == "strl")
+        lastStrhType = if (len >= 4) fourcc(bytes, start) else ""
       else if (id == "strf" && listType == "strl" && fmt.isEmpty &&
         len >= 40 && lastStrhType == "vids") {
         // BITMAPINFOHEADER: biSize, biWidth, biHeight, planes, bitcount,
@@ -112,6 +118,10 @@ object Avi {
       val dataStart = off + 8
       if (id == "LIST" && len >= 4) {
         val lt = fourcc(bytes, dataStart)
+        // announce list ENTRY before the children: walkers with
+        // per-stream state (parseFormat's lastStrhType) reset at the
+        // strl boundary instead of inheriting the previous stream's
+        f("LIST", lt, dataStart + 4, len.toInt - 4)
         walkList(bytes, dataStart + 4, dataStart + len.toInt, f, lt)
       } else f(id, listType, dataStart, len.toInt)
       off = dataStart + len.toInt + (len.toInt & 1) // even alignment

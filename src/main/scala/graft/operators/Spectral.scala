@@ -70,20 +70,27 @@ object Spectral {
     // (SpectralSpec pins driver == distributed on real corpora).
     // `spark.graft.spectral.driverLoopMaxRows` overrides (0 disables —
     // the spec hook forcing the distributed path). The probe is a
-    // limit(max+1) collect: over-threshold corpora pay one
-    // early-terminating bounded scan, never a full collect.
+    // limit(max+1) COUNT — no vector payload leaves the executors to
+    // answer "is this corpus small?" (collecting max+1 wide rows just
+    // to discover the corpus is big would be a driver-memory hazard
+    // the distributed-only code never had); only an under-threshold
+    // corpus pays the actual collect.
     val driverLoopMax = spark.conf
       .getOption("spark.graft.spectral.driverLoopMaxRows")
       .map(_.trim.toLong).getOrElse(200000L)
     val srcVecs = df.select(col(vecCol).as("__x")).filter(col("__x").isNotNull)
     if (driverLoopMax > 0 && driverLoopMax <= Int.MaxValue - 1) {
-      val probe = srcVecs
-        .select(transform(col("__x"), x => x.cast("double")).as("__xd"))
-        .limit(driverLoopMax.toInt + 1).collect()
-      if (probe.length <= driverLoopMax) {
-        val rows: Array[Array[Double]] =
-          probe.map(_.getSeq[Double](0).toArray)
-        return localTopComponent(spark, rows, iters)
+      val bounded = srcVecs.limit(driverLoopMax.toInt + 1).count()
+      if (bounded <= driverLoopMax) {
+        // still bounded on the collect: a source that grew between the
+        // count and the collect (re-listed files) must not flood the
+        // driver — over-threshold growth falls through to distributed
+        val probe = srcVecs
+          .select(transform(col("__x"), x => x.cast("double")).as("__xd"))
+          .limit(driverLoopMax.toInt + 1).collect()
+        if (probe.length <= driverLoopMax)
+          return localTopComponent(spark,
+            probe.map(_.getSeq[Double](0).toArray), iters)
       }
     }
     val vsum = udaf(new DVecSumAgg)

@@ -28,16 +28,26 @@ import graft.search.VectorSearch
 object SemanticCache {
 
   /** One lookup pass: per probe, the nearest cached entry, its cosine,
-    * and the serve verdict. Output: (probe_id, served_id, sim, hit). */
+    * and the serve verdict. Output: (probe_id, served_id, sim, hit).
+    * Probes with NO cache candidates (an empty or freshly bootstrapped
+    * cache) come back as misses with a null served_id/sim — the inner
+    * knn aggregate alone would silently drop them, which in the
+    * streaming form means an empty cache never admits and never
+    * bootstraps. */
   def lookup(probes: DataFrame, probeIdCol: String, probeVecCol: String,
       cache: DataFrame, cacheIdCol: String, cacheVecCol: String,
-      threshold: Double): DataFrame =
-    VectorSearch.knnJoinAgg(probes, probeIdCol, probeVecCol,
+      threshold: Double): DataFrame = {
+    val nearest = VectorSearch.knnJoinAgg(probes, probeIdCol, probeVecCol,
         cache, cacheIdCol, cacheVecCol, k = 1)
       .select(col("probe_id"),
         col(cacheIdCol).as("served_id"),
         col("sim"),
         (col("sim") >= threshold).as("hit"))
+    probes.select(col(probeIdCol).as("probe_id"))
+      .join(nearest, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("served_id"), col("sim"),
+        coalesce(col("hit"), lit(false)).as("hit"))
+  }
 
   /** The full serve-or-admit cycle: look up every probe, admit the
     * misses (their own id becomes the cached answer), then re-resolve —

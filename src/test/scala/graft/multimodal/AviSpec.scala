@@ -92,4 +92,60 @@ class AviSpec extends AnyFunSuite {
     assert(intercept[Exception](Avi.parseFormat(empty))
       .getMessage.contains("strf"))
   }
+
+  // -- hand-built RIFF shells for the strl-boundary state machine --
+
+  private def le32(v: Long): Array[Byte] =
+    Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+  private def rchunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(id.getBytes("US-ASCII")); bos.write(le32(body.length.toLong))
+    bos.write(body)
+    if ((body.length & 1) == 1) bos.write(0)
+    bos.toByteArray
+  }
+
+  private def rlist(tp: String, kids: Seq[Array[Byte]]): Array[Byte] =
+    rchunk("LIST", tp.getBytes("US-ASCII") ++ kids.flatten)
+
+  private def riff(kids: Array[Byte]*): Array[Byte] =
+    rchunk("RIFF", "AVI ".getBytes("US-ASCII") ++ kids.toSeq.flatten)
+
+  /** 40-byte WAVEFORMATEX-ish strf: 44100/176400 land exactly where a
+    * BITMAPINFOHEADER keeps width/height. */
+  private val waveStrf: Array[Byte] =
+    le32(40L) ++ le32(44100L) ++ le32(176400L) ++ Array.fill(28)(0: Byte)
+
+  private val videoStrl: Array[Byte] = rlist("strl", Seq(
+    rchunk("strh", "vids".getBytes("US-ASCII") ++ Array.fill(36)(0: Byte)),
+    rchunk("strf", le32(40L) ++ le32(6L) ++ le32(4L) ++
+      Array[Byte](1, 0, 24, 0) ++ le32(0L) ++ Array.fill(20)(0: Byte))))
+
+  test("a TRUNCATED strh never inherits the previous strl's 'vids'") {
+    // video strl (vids strh, NO strf) then an audio strl whose strh is
+    // 2 bytes: before the boundary reset, the audio WAVEFORMATEX was
+    // parsed as a BITMAPINFOHEADER (width 44100) — now it must refuse
+    val videoNoStrf = rlist("strl", Seq(
+      rchunk("strh", "vids".getBytes("US-ASCII") ++ Array.fill(36)(0: Byte))))
+    val audioTruncStrh = rlist("strl", Seq(
+      rchunk("strh", Array[Byte](1, 2)), rchunk("strf", waveStrf)))
+    val bytes = riff(rlist("hdrl", Seq(videoNoStrf, audioTruncStrh)))
+    assert(Avi.isAvi(bytes))
+    assert(intercept[Exception](Avi.parseFormat(bytes))
+      .getMessage.contains("strf"))
+  }
+
+  test("audio-first layouts still resolve the real video format") {
+    val audioTruncStrh = rlist("strl", Seq(
+      rchunk("strh", Array[Byte](1, 2)), rchunk("strf", waveStrf)))
+    val audioFull = rlist("strl", Seq(
+      rchunk("strh", "auds".getBytes("US-ASCII") ++ Array.fill(36)(0: Byte)),
+      rchunk("strf", waveStrf)))
+    for (audio <- Seq(audioTruncStrh, audioFull)) {
+      val bytes = riff(rlist("hdrl", Seq(audio, videoStrl)))
+      val fmt = Avi.parseFormat(bytes)
+      assert(fmt.width == 6 && fmt.height == 4 && fmt.compression == "BI_RGB")
+    }
+  }
 }

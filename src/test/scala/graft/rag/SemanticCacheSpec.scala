@@ -71,6 +71,26 @@ class SemanticCacheSpec extends AnyFunSuite with SparkSuite {
     assert(out(1L).getAs[Long]("post_served_id") == 2L) // refreshed cache
   }
 
+  test("an EMPTY cache misses every probe instead of dropping them") {
+    // the inner knn aggregate alone yields zero rows against an empty
+    // cache — the r19 review finding: the streaming cache would never
+    // bootstrap. lookup must emit one miss per probe (null served_id),
+    // and serveAndAdmit must then self-serve all of them.
+    val cache = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val probes = Seq((1L, v(1, 0)), (2L, v(0, 1))).toDF("vec_id", "embedding")
+    val lk = SemanticCache.lookup(probes, "vec_id", "embedding",
+      cache, "vec_id", "embedding", threshold = 0.5).collect()
+    assert(lk.length == 2)
+    assert(lk.forall(!_.getAs[Boolean]("hit")))
+    assert(lk.forall(_.isNullAt(lk.head.fieldIndex("served_id"))))
+    val out = SemanticCache.serveAndAdmit(probes, "vec_id", "embedding",
+        cache, "vec_id", "embedding", threshold = 0.5)
+      .collect().map(r => r.getAs[Long]("probe_id") -> r).toMap
+    assert(out.size == 2)
+    assert(out.forall { case (id, r) =>
+      !r.getAs[Boolean]("hit") && r.getAs[Long]("post_served_id") == id })
+  }
+
   test("corpus end-to-end: every probe ends served, outcomes partition") {
     val e = graft.Tables.t(spark, sf, "embeddings")
     val out = SemanticCache.serveAndAdmit(
