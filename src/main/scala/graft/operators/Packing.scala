@@ -86,6 +86,67 @@ object Packing {
       .withColumnRenamed("id", idCol)
   }
 
+  /** NO-SPLIT document bin packing — the SFT layout, where a document
+    * must stay intact inside one training sequence (cross-doc
+    * attention contamination is the thing being avoided, so
+    * [[concatChunk]]'s span-the-boundary behavior is exactly wrong).
+    * Next-fit-decreasing within deterministic shards:
+    *
+    *  1. shard by `id mod shards` (corpus-wide sort is the scale
+    *     killer; shard-local packing bounds the waste increase — each
+    *     shard wastes at most one partial bin more than a global pack,
+    *     and shards pack in parallel);
+    *  2. within a shard, documents sort (tokens desc, id) and a single
+    *     streaming fold assigns bins: fits-in-current → same bin, else
+    *     open the next. O(n) per shard, one comparison per document —
+    *     no quadratic first-fit bin scan, and the decreasing order
+    *     gives NFD its classic near-FFD packing quality;
+    *  3. documents longer than `seqLen` cannot pack without splitting
+    *     and come back with bin = -1 (the caller truncates or routes
+    *     them to [[concatChunk]]).
+    *
+    * Everything is exact integer state, so the fold replays in SQL as
+    * a recursive CTE advancing every shard's rank-r document per step
+    * (the q432 oracle) — a wrong sort order, shard hash, overflow
+    * rule, or fill transition breaks the hash.
+    *
+    * Output: (idCol, n_tokens, shard, bin) with bin LOCAL to the shard
+    * (global sequence id = shard * maxBinsPerShard + bin if needed).
+    * Zero-token docs are dropped (they contribute nothing). */
+  def binPackDocs(df: DataFrame, idCol: String,
+      tokensExpr: org.apache.spark.sql.Column, seqLen: Long,
+      shards: Int = 0): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nShards = if (shards > 0) shards
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val docs = df
+      .select(col(idCol).cast("long").as("doc"), tokensExpr.cast("long").as("tok"))
+      .filter(col("tok") > 0)
+      .withColumn("shard", pmod(col("doc"), lit(nShards.toLong)))
+    docs
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("tok").desc, col("doc"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        // hash partitioning may co-locate several shards in one task;
+        // rows arrive shard-contiguous (leading sort key), so the fold
+        // resets at each shard boundary. Sentinel (bin=-1, fill=cap)
+        // makes the first packable doc open bin 0 via the normal rule.
+        var shard = Long.MinValue
+        var bin = -1L
+        var fill = 0L
+        it.map { case (doc, tok, sh) =>
+          if (sh != shard) { shard = sh; bin = -1L; fill = seqLen }
+          if (tok > seqLen) (doc, tok, sh, -1L)
+          else if (fill + tok <= seqLen) { fill += tok; (doc, tok, sh, bin) }
+          else { bin += 1L; fill = tok; (doc, tok, sh, bin) }
+        }
+      }
+      .toDF(idCol, "n_tokens", "shard", "bin")
+  }
+
   /** Packing efficiency summary: sequences, their fill (last sequence is
     * the only ragged one by construction — fill = tokens/seqLen). */
   def packingStats(packed: DataFrame, seqLen: Long): DataFrame =

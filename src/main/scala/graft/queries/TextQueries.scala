@@ -956,6 +956,50 @@ object TextQueries extends QuerySet {
       |LEFT JOIN kt ON kt.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** No-split SFT bin packing — [[graft.operators.Packing.binPackDocs]]
+    * (documents stay intact in their sequence; q86's concat-then-chunk
+    * is the pretraining layout, this is the instruction-tuning one):
+    * shard-local next-fit-decreasing over whitespace token counts,
+    * seqLen 128, 8 shards. The oracle replays the stateful fold as a
+    * recursive CTE advancing every shard's rank-r document per step —
+    * sort order, shard hash, overflow rule, and fill transition are
+    * all hash-load-bearing. */
+  private def q432(s: SparkSession, d: String): DataFrame =
+    graft.operators.Packing.binPackDocs(t(s, d, "documents"), "doc_id",
+        size(words(col("text"))), seqLen = 128L, shards = 8)
+      .orderBy(col("doc_id"))
+
+  private val q432Sql =
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id AS doc,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS BIGINT) AS tok,
+      |    doc_id % 8 AS shard
+      |  FROM documents),
+      |r AS (SELECT doc, tok, shard,
+      |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY tok DESC, doc) AS rn
+      |  FROM d WHERE tok > 0),
+      |st AS (
+      |  SELECT doc, tok, shard, rn,
+      |    CAST(CASE WHEN tok > 128 THEN -1 ELSE 0 END AS BIGINT) AS bin,
+      |    CAST(CASE WHEN tok > 128 THEN -1 ELSE 0 END AS BIGINT) AS cur_bin,
+      |    CAST(CASE WHEN tok > 128 THEN 128 ELSE tok END AS BIGINT) AS fill
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.doc, r.tok, r.shard, r.rn,
+      |    CASE WHEN r.tok > 128 THEN CAST(-1 AS BIGINT)
+      |         WHEN st.fill + r.tok <= 128 THEN st.cur_bin
+      |         ELSE st.cur_bin + 1 END AS bin,
+      |    CASE WHEN r.tok > 128 THEN st.cur_bin
+      |         WHEN st.fill + r.tok <= 128 THEN st.cur_bin
+      |         ELSE st.cur_bin + 1 END AS cur_bin,
+      |    CASE WHEN r.tok > 128 THEN st.fill
+      |         WHEN st.fill + r.tok <= 128 THEN st.fill + r.tok
+      |         ELSE r.tok END AS fill
+      |  FROM st JOIN r ON r.shard = st.shard AND r.rn = st.rn + 1)
+      |SELECT doc AS doc_id, tok AS n_tokens, shard, bin
+      |FROM st ORDER BY doc""".stripMargin
+
   /** LSH design audit — the corpus' exact-Jaccard pair mass folded
     * through the production (b=8, r=3) S-curve,
     * [[graft.operators.Dedup.lshCaptureAudit]]: per similarity bin,
@@ -1091,7 +1135,8 @@ object TextQueries extends QuerySet {
     Q("q423_span_removal_keep_first", q423, Some(q423Sql)),
     Q("q427_lsh_design_audit", q427, Some(q427Sql)),
     Q("q429_tokenizer_fertility", q429, Some(q429Sql)),
-    Q("q431_ccnet_buckets", q431, Some(q431Sql)))
+    Q("q431_ccnet_buckets", q431, Some(q431Sql)),
+    Q("q432_sft_packing", q432, Some(q432Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the
