@@ -956,6 +956,60 @@ object TextQueries extends QuerySet {
       |LEFT JOIN kt ON kt.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Competence-based curriculum pacing (Platanios et al. 2019): docs
+    * rank by difficulty (mean bigram surprisal — the q96 chain — with
+    * PERCENT_RANK over the deterministic (score, id) order) and the
+    * competence function c(t) = min(1, √(t/T·(1−c0²)+c0²)) (c0 = 0.1,
+    * T = 20) gates which difficulty prefix is trainable at each step —
+    * the schedule a curriculum loader executes. Per step: competence,
+    * eligible docs, eligible token mass. The eligibility compare uses
+    * the UNROUNDED competence (identical doubles both engines — sqrt
+    * is correctly rounded); the docs×steps fan is a constant ×T
+    * broadcast, not a corpus shuffle. Honest cap: the PERCENT_RANK
+    * here is a global one-partition window (oracle-parity form); at
+    * corpus scale the percentile comes from
+    * [[graft.operators.ExactQuantile.globalRanks]]' two-phase
+    * bucket-select instead — the schedule needs only the T threshold
+    * scores, not a ranked corpus. */
+  private def q433(s: SparkSession, d: String): DataFrame = {
+    val diff = surprisalPerDoc(s, d)
+      .join(t(s, d, "documents")
+        .select(col("doc_id"), size(words(col("text"))).cast("long").as("nw")),
+        Seq("doc_id"))
+      .withColumn("pr", percent_rank().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("mean_surprisal"), col("doc_id"))))
+    val steps = s.range(1, 21).select(col("id").as("step"))
+    val c = least(lit(1.0),
+      sqrt(col("step").cast("double") / lit(20.0) * lit(0.99) + lit(0.01)))
+    diff.crossJoin(broadcast(steps.withColumn("__c", c)))
+      .filter(col("pr") <= col("__c"))
+      .groupBy(col("step"))
+      .agg(count(lit(1)).as("n_eligible"), sum(col("nw")).as("eligible_tokens"))
+      .join(steps.withColumn("competence", round(c, 6)), Seq("step"))
+      .select(col("step"), col("competence"), col("n_eligible"),
+        col("eligible_tokens"))
+      .orderBy(col("step"))
+  }
+
+  private val q433Sql =
+    s"""WITH $surprisalCtes,
+       |nw AS (SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |      AS BIGINT) AS nw
+       |  FROM documents),
+       |diff AS (SELECT s.doc_id, nw.nw,
+       |    PERCENT_RANK() OVER (ORDER BY s.mean_surprisal, s.doc_id) AS pr
+       |  FROM sdoc s JOIN nw USING (doc_id)),
+       |steps AS (SELECT CAST(unnest(range(1, 21)) AS BIGINT) AS step),
+       |comp AS (SELECT step,
+       |    least(1.0, sqrt(step / 20.0 * 0.99 + 0.01)) AS c FROM steps)
+       |SELECT comp.step, round(comp.c, 6) AS competence,
+       |  CAST(COUNT(*) AS BIGINT) AS n_eligible,
+       |  CAST(SUM(diff.nw) AS BIGINT) AS eligible_tokens
+       |FROM comp JOIN diff ON diff.pr <= comp.c
+       |GROUP BY comp.step, comp.c ORDER BY comp.step""".stripMargin
+
   /** No-split SFT bin packing — [[graft.operators.Packing.binPackDocs]]
     * (documents stay intact in their sequence; q86's concat-then-chunk
     * is the pretraining layout, this is the instruction-tuning one):
@@ -1136,7 +1190,8 @@ object TextQueries extends QuerySet {
     Q("q427_lsh_design_audit", q427, Some(q427Sql)),
     Q("q429_tokenizer_fertility", q429, Some(q429Sql)),
     Q("q431_ccnet_buckets", q431, Some(q431Sql)),
-    Q("q432_sft_packing", q432, Some(q432Sql)))
+    Q("q432_sft_packing", q432, Some(q432Sql)),
+    Q("q433_curriculum_pacing", q433, Some(q433Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the
