@@ -787,20 +787,22 @@ object RagQueries extends QuerySet {
     * admit into the next, breaks the hash. */
   private def q430(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-    val dir = Files.createTempDirectory("graft-q430-src").toFile
+    // fixed reused scratch paths (wiped per call) — repeated verify/
+    // bench passes must not accumulate /tmp copies, and a FRESH
+    // checkpoint per call is load-bearing for a streaming gate
+    val dir = new java.io.File(Scratch.dir("q430-src"))
     val base = System.currentTimeMillis()
     for (k <- 0 until 3)
       stage(e.filter(col("vec_id") % 3 === k), dir, base + k * 60000L,
         nFiles = 1)
-    val store = new DocumentStore(
-      s, Files.createTempDirectory("graft-q430-store").toString)
+    val store = new DocumentStore(s, Scratch.dir("q430-store"))
     store.create("cache", e.filter(col("vec_id") % 7 === 0))
-    val outDir = Files.createTempDirectory("graft-q430-out").toString
+    val outDir = Scratch.dir("q430-out")
     val src = s.readStream.schema(e.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
     val qy = graft.streaming.CacheIngest.start(src, store, "cache",
       "vec_id", "embedding", threshold = 0.38, resultDir = outDir,
-      checkpointDir = Files.createTempDirectory("graft-q430-ck").toString)
+      checkpointDir = Scratch.dir("q430-ck"))
     try qy.processAllAvailable() finally qy.stop()
     s.read.parquet(outDir)
       .select(col("probe_id"), col("served_id"),
