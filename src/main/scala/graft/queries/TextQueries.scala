@@ -414,6 +414,49 @@ object TextQueries extends QuerySet {
        |  n_tokens AS rep_tokens
        |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
+  /** Leakage-safe train/val/test splitting: a naive per-doc hash split
+    * puts near-duplicates on opposite sides of the train/test fence —
+    * the classic eval-inflation leak — so the split hash is taken on
+    * the q85 CLUSTER id instead: every member of a near-dup cluster
+    * lands in one split by construction. The gate emits BOTH
+    * assignments (the naive one as the audit contrast); the oracle
+    * replays the recursive cluster resolution plus both Knuth-hash
+    * bucket maps, and LeakageSafeSplitSpec proves the invariant (no
+    * ≥0.8-Jaccard pair straddles safe_split) and that the naive split
+    * really does leak on planted twins. */
+  private def q434(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.8, hashShingles = true)
+    val cl = Clusters.connectedComponents(docs, "doc_id", pairs, "a_id", "b_id")
+    val naive = Splits.withSplit(docs.select(col("doc_id")), "doc_id")
+      .withColumnRenamed("split", "naive_split")
+    val safe = Splits.withSplit(cl, "cluster_id")
+      .withColumnRenamed("split", "safe_split")
+    naive.join(safe, Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        col("naive_split"), col("safe_split"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q434Sql =
+    s"""WITH RECURSIVE ${pairCtes("0.8")},
+       |e AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |      UNION ALL SELECT b_id, a_id FROM pairs),
+       |r(u, v) AS (SELECT doc_id, doc_id FROM documents
+       |            UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+       |cl AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM r GROUP BY u),
+       |sp AS (SELECT doc_id, cluster_id,
+       |    (doc_id % 2147483648) * 2654435761 % 4294967296 % 100 AS bd,
+       |    (cluster_id % 2147483648) * 2654435761 % 4294967296 % 100 AS bc
+       |  FROM cl)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN bd < 80 THEN 'train' WHEN bd < 90 THEN 'val'
+       |       ELSE 'test' END AS naive_split,
+       |  CASE WHEN bc < 80 THEN 'train' WHEN bc < 90 THEN 'val'
+       |       ELSE 'test' END AS safe_split
+       |FROM sp ORDER BY doc_id""".stripMargin
+
   /** Sequence packing (concat-then-chunk, seqLen=512): distributed
     * two-phase global offset vs the oracle's single window cumsum —
     * identical layout row-for-row. */
@@ -1191,7 +1234,8 @@ object TextQueries extends QuerySet {
     Q("q429_tokenizer_fertility", q429, Some(q429Sql)),
     Q("q431_ccnet_buckets", q431, Some(q431Sql)),
     Q("q432_sft_packing", q432, Some(q432Sql)),
-    Q("q433_curriculum_pacing", q433, Some(q433Sql)))
+    Q("q433_curriculum_pacing", q433, Some(q433Sql)),
+    Q("q434_leakage_safe_split", q434, Some(q434Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the
