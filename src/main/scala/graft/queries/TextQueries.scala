@@ -414,6 +414,57 @@ object TextQueries extends QuerySet {
        |  n_tokens AS rep_tokens
        |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
+  /** Degenerate-generation loop detection — the inference-output QA
+    * filter (Holtzman et al. 2020's neural text degeneration shows up
+    * as a repeating tail cycle): over the last 30 tokens, the smallest
+    * period p ∈ [1, 10] such that tail[i] == tail[i+p] for every
+    * aligned i, requiring at least two full cycles. Exact token
+    * equality, CASE-chained smallest-p — integer/string logic end to
+    * end, no floats. q84's dup-word fraction catches WORD-level
+    * repetition; this catches the phrase-cycle shape ("the cat sat
+    * the cat sat …") a sampler stuck in a loop emits. Narrow per-row
+    * expressions over the tail slice only — no shuffle. */
+  private def q435(s: SparkSession, d: String): DataFrame = {
+    val w = words(col("text"))
+    val tail = when(size(w) >= 30, slice(w, -30, 30)).otherwise(w)
+    def periodic(p: Int) = {
+      val n = size(col("__tl"))
+      (n >= 2 * p) && forall(
+        sequence(lit(1), n - lit(p), lit(1)),
+        i => element_at(col("__tl"), i) === element_at(col("__tl"), i + p))
+    }
+    val period = (1 to 10).foldRight(lit(0)) { (p, acc) =>
+      when(periodic(p), lit(p)).otherwise(acc)
+    }
+    t(s, d, "documents")
+      .select(col("doc_id"), tail.as("__tl"))
+      .filter(size(col("__tl")) >= 2)
+      .select(col("doc_id"), size(col("__tl")).as("tail_len"),
+        period.as("period"))
+      .withColumn("is_degenerate", col("period") >= 1)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q435Sql = {
+    def periodic(p: Int) =
+      s"(len(tl) >= ${2 * p} AND len(list_filter(range(1, len(tl) - ${p - 1}), " +
+        s"i -> tl[CAST(i AS INTEGER)] <> tl[CAST(i + $p AS INTEGER)])) = 0)"
+    val chain = (1 to 10).foldRight("0") { (p, acc) =>
+      s"CASE WHEN ${periodic(p)} THEN $p ELSE $acc END"
+    }
+    s"""WITH w AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS w0
+       |  FROM documents),
+       |tl AS (SELECT doc_id,
+       |    CASE WHEN len(w0) >= 30 THEN w0[-30:] ELSE w0 END AS tl
+       |  FROM w),
+       |p AS (SELECT doc_id, CAST(len(tl) AS INTEGER) AS tail_len,
+       |    $chain AS period
+       |  FROM tl WHERE len(tl) >= 2)
+       |SELECT doc_id, tail_len, period, period >= 1 AS is_degenerate
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   /** Leakage-safe train/val/test splitting: a naive per-doc hash split
     * puts near-duplicates on opposite sides of the train/test fence —
     * the classic eval-inflation leak — so the split hash is taken on
@@ -1235,7 +1286,8 @@ object TextQueries extends QuerySet {
     Q("q431_ccnet_buckets", q431, Some(q431Sql)),
     Q("q432_sft_packing", q432, Some(q432Sql)),
     Q("q433_curriculum_pacing", q433, Some(q433Sql)),
-    Q("q434_leakage_safe_split", q434, Some(q434Sql)))
+    Q("q434_leakage_safe_split", q434, Some(q434Sql)),
+    Q("q435_loop_detection", q435, Some(q435Sql)))
 
   /** BPE vocabulary training via [[graft.operators.BpeTrainer]]: 12
     * merges induced from the documents corpus (one corpus pass for the
