@@ -139,6 +139,11 @@ object QuantileRegression {
     // shuffle of the corpus, amortized over both fan passes.
     val fanParts = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt
+    // persist the 16-byte-row projection: the operator makes THREE full
+    // passes over it (sums, histogram fan, in-bucket fan) and each one
+    // re-paid the parquet scan + decimal cast + spread shuffle (guide
+    // §2.4 — share one exchange instead of three). Released before
+    // return via the bounded-collect of the 1-row result below.
     val u = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(
         (col(xCol).cast("decimal(18,6)") * lit(micro).cast("decimal(7,0)"))
@@ -146,6 +151,7 @@ object QuantileRegression {
         (col(yCol).cast("decimal(18,6)") * lit(micro).cast("decimal(7,0)"))
           .cast("long").as("__yU"))
       .repartition(fanParts)
+      .persist()
     val s = u.agg(count(lit(1)).as("n"),
       sum(col("__xU").cast("decimal(38,0)")).as("sx"),
       sum(col("__yU").cast("decimal(38,0)")).as("sy"),
@@ -234,7 +240,7 @@ object QuantileRegression {
           col("__nPlus")) * tauNum +
           (col("__a").cast("decimal(38,0)") * col("__nMinus") -
             col("__sMinus")) * (tauDen - tauNum)).cast("decimal(38,0)"))
-    losses
+    val out = losses
       .orderBy(col("__key").asc, col("__bU").asc)
       .limit(1)
       .select(lit(tauNum.toDouble / tauDen).as("tau"),
@@ -243,5 +249,12 @@ object QuantileRegression {
         round(col("__key").cast("double") /
           (n.toDouble * tauDen * 1e6), 6).as("loss"),
         lit(n).as("n"))
+    // localize the 1-row argmin (bounded by construction — the PageRank
+    // driver-loop precedent) so the corpus cache releases NOW instead of
+    // riding the returned plan into the caller's action
+    val rows = out.collect().toSeq
+    u.unpersist(blocking = false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
   }
 }
