@@ -1220,7 +1220,7 @@ object RagQueries extends QuerySet {
       p
     })
     val dir = Files.createTempDirectory("graft-q172-idx").toString
-    copyTree(pristine, dir)
+    graft.tools.Timing("copyTree")(copyTree(pristine, dir))
     val epochA = docs.filter(col("doc_id") % 17 === 3)
         .select(lit("delete").as("change"), col("doc_id"), col("text"))
       .unionByName(docs.filter(col("doc_id") % 13 === 1 && col("doc_id") % 17 =!= 3)
@@ -1232,14 +1232,17 @@ object RagQueries extends QuerySet {
         concat(lit("graftstream table "), col("text")).as("text"))
     val srcDir = Files.createTempDirectory("graft-q172-src").toFile
     val base = System.currentTimeMillis()
-    stage(epochA, srcDir, base)
-    stage(epochB, srcDir, base + 60000)
+    graft.tools.Timing("stage-epochs") {
+      stage(epochA, srcDir, base)
+      stage(epochB, srcDir, base + 60000)
+    }
     val feed = s.readStream.schema(epochA.schema)
       .option("maxFilesPerTrigger", "4").parquet(srcDir.toString)
     val qy = graft.streaming.IndexIngest.start(feed, dir,
       "doc_id", "text", "change",
       Files.createTempDirectory("graft-q172-ckpt").toString)
-    try qy.processAllAvailable() finally qy.stop()
+    graft.tools.Timing("stream-drain")(
+      try qy.processAllAvailable() finally qy.stop())
     dir
   }
 
@@ -1275,7 +1278,9 @@ object RagQueries extends QuerySet {
     import graft.search.InvertedIndex
     def rebuild(): String = {
       val p = Files.createTempDirectory("graft-q172-rebuild").toString
-      InvertedIndex.build(q172FinalCorpus(s, d), "doc_id", "text", p)
+      // parity rebuild: pin to the synced index's committed layout
+      InvertedIndex.build(q172FinalCorpus(s, d), "doc_id", "text", p,
+        buckets = InvertedIndex.layoutBuckets(s, dir))
       p
     }
     val dir2 = if (cacheRebuild) q172RebuildCache.computeIfAbsent(d, _ => rebuild())

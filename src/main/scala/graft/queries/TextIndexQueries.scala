@@ -80,7 +80,10 @@ object TextIndexQueries extends QuerySet {
     * recompute from the persisted docmap. */
   private def q159b(s: SparkSession, d: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft-q159b").toString
-    graft.search.InvertedIndex.build(t(s, d, "documents"), "doc_id", "text", dir)
+    // buckets PINNED: this gate's output groups by bucket id and the
+    // oracle replays the routing as `% 64` — the one layout-visible gate
+    graft.search.InvertedIndex.build(t(s, d, "documents"), "doc_id", "text", dir,
+      buckets = 64)
     val store = new graft.store.DocumentStore(s, dir)
     val meta = store.read("meta").head() // (buckets, n_docs, n_tokened, total_len, tok)
     val fromMap = store.read("docmap").agg(
@@ -169,7 +172,9 @@ object TextIndexQueries extends QuerySet {
         .select(col("doc_id"), col("text")), "doc_id", "text")
     feed.unpersist(blocking = false)
     val dir2 = Files.createTempDirectory("graft-q161-rebuild").toString
-    InvertedIndex.build(src.read("docs"), "doc_id", "text", dir2)
+    // parity rebuild: pin to the maintained index's committed layout
+    InvertedIndex.build(src.read("docs"), "doc_id", "text", dir2,
+      buckets = InvertedIndex.layoutBuckets(s, dir))
     val sA = new graft.store.DocumentStore(s, dir)
     val sB = new graft.store.DocumentStore(s, dir2)
     val synced = Seq("postings", "docmap", "meta").forall { tb =>

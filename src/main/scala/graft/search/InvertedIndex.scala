@@ -80,10 +80,22 @@ object InvertedIndex {
   private final case class Meta(buckets: Int, nDocs: Long, nTokened: Long,
                                 totalLen: Long, tok: String)
 
-  private def readMeta(store: DocumentStore): Meta = {
-    val r = store.read("meta").head()
-    Meta(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
-  }
+  /** Version-keyed meta memo: the 1-row meta table is re-read on every
+    * search/maintenance call and each read is a full Spark query
+    * (~150-300 ms of plan+job+task for one row). The committed version
+    * is a cheap `_CURRENT` file read; any mutation bumps it, so a memo
+    * keyed by (table path, version) can never serve stale — the same
+    * contract as a table format's manifest cache. Bounded: one tiny
+    * entry per (index dir, committed version) seen by this process. */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Meta]()
+
+  private def readMeta(store: DocumentStore): Meta =
+    metaCache.computeIfAbsent(
+      (store.tablePath("meta"), store.version("meta")), _ => {
+        val r = store.read("meta").head()
+        Meta(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      })
 
   private def writeMeta(store: DocumentStore, m: Meta): Unit = {
     val spark = store.spark
@@ -144,17 +156,38 @@ object InvertedIndex {
         coalesce(col("buckets"), array().cast("array<int>")).as("buckets"))
   }
 
+  /** Default bucket count for a corpus of `nDocs` documents: one bucket
+    * per `spark.graft.index.docsPerBucket` (default 1024) documents,
+    * clamped to [8, 4096]. A FIXED count is wrong at both ends of the
+    * scale axis (r19, guide §2.2/§6): every COW maintenance commit pays
+    * ~a file write + listing + rename PER TOUCHED BUCKET DIR, so 64
+    * buckets on a 5k-doc corpus is pure fixed cost (measured: the q172
+    * trigger's postings rewrite spent ~1.8 s mostly on 64-dir fan-out),
+    * while 64 buckets on a 100 TB corpus would mean multi-TB partitions.
+    * The count is persisted in meta at build time; routing and
+    * maintenance read it from there, so an index stays self-consistent
+    * whatever rule built it. Callers whose gated OUTPUT includes bucket
+    * ids (q159_build's oracle replays `% 64`) pin `buckets` explicitly. */
+  def adaptiveBuckets(spark: SparkSession, nDocs: Long): Int = {
+    val per = spark.conf.getOption("spark.graft.index.docsPerBucket")
+      .map(_.trim.toLong).getOrElse(1024L)
+    math.max(8L, math.min(4096L, (nDocs + per - 1) / per)).toInt
+  }
+
   /** Full build under `dir`. `repartition(bucket)` before the partitioned
     * write keeps each bucket one coherent file run instead of every write
     * task spraying a sliver into every bucket directory (tasks × buckets
-    * small files — the classic partitionBy mistake at scale). */
+    * small files — the classic partitionBy mistake at scale).
+    * `buckets = 0` (the default) sizes the bucket count to the corpus
+    * via [[adaptiveBuckets]]. */
   def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
-            buckets: Int = 64, tok: String = TokWhitespace): Unit = {
+            buckets: Int = 0, tok: String = TokWhitespace): Unit = {
     val spark = docs.sparkSession
     val store = new DocumentStore(spark, dir)
     val nAll = docs.count()
-    val post = postingsOf(docs, idCol, textCol, tok, buckets).persist()
-    val dmap = docmapOf(docs, idCol, post, buckets).persist()
+    val b = if (buckets > 0) buckets else adaptiveBuckets(spark, nAll)
+    val post = postingsOf(docs, idCol, textCol, tok, b).persist()
+    val dmap = docmapOf(docs, idCol, post, b).persist()
     val st = dmap.agg(
       count(when(col("len") > 0, 1)).as("n_tokened"),
       coalesce(sum(col("len")), lit(0L)).as("total_len")).head()
@@ -166,14 +199,23 @@ object InvertedIndex {
     // EXPLICIT partition count (r19): an un-numbered repartition(col) is
     // AQE-coalescible down to one task, serializing the whole partitioned
     // write; `buckets` hash partitions keep ~one write task per bucket
-    store.create("postings", post.repartition(buckets, col("bucket")),
+    store.create("postings", post.repartition(b, col("bucket")),
       partitionCol = Some("bucket"), sortBy = Seq("term"))
-    store.create("docmap", dmap.repartition(buckets, col("dbucket")),
+    store.create("docmap", dmap.repartition(b, col("dbucket")),
       partitionCol = Some("dbucket"), sortBy = Seq("doc_id"))
-    writeMeta(store, Meta(buckets, nAll, st.getLong(0), st.getLong(1), tok))
+    writeMeta(store, Meta(b, nAll, st.getLong(0), st.getLong(1), tok))
     post.unpersist(blocking = false)
     dmap.unpersist(blocking = false)
   }
+
+  /** The committed bucket count of an existing index. Parity gates that
+    * rebuild from scratch and compare table-for-table MUST pin the
+    * rebuild to the reference index's layout: with adaptive bucket
+    * sizing, a mutated corpus near a sizing boundary would otherwise
+    * rebuild into a different bucket count and fail parity for layout,
+    * not content. */
+  def layoutBuckets(spark: SparkSession, dir: String): Int =
+    readMeta(new DocumentStore(spark, dir)).buckets
 
   /** Docmap rows for a set of ids: manifest-pruned to the ids' dbuckets,
     * delta-bounded collect (one short row per existing victim). */
@@ -276,16 +318,30 @@ object InvertedIndex {
     * last-change-per-key dedup guarantees it; a delete+reinsert batch
     * lands as the reinsert). */
   def applyChanges(spark: SparkSession, dir: String, dels: Seq[Long],
-                   ups: DataFrame, idCol: String, textCol: String): Unit = {
+                   ups: DataFrame, idCol: String, textCol: String): Unit =
+    applyChangesImpl(spark, dir, dels, ups, idCol, textCol, knownUpIds = None)
+
+  /** [[applyChanges]] with the upsert ids already known to the caller
+    * (the streaming sink collects them once from its deduped batch) —
+    * skips the per-trigger dropDuplicates shuffle and id re-collect.
+    * Caller contract: `ups` is unique per id and `knownUpIds` is exactly
+    * its id set. */
+  private[graft] def applyChangesImpl(spark: SparkSession, dir: String,
+                   dels: Seq[Long], ups: DataFrame, idCol: String,
+                   textCol: String, knownUpIds: Option[Seq[Long]]): Unit = {
+    import graft.tools.Timing
     val store = new DocumentStore(spark, dir)
-    val meta = readMeta(store)
-    val batch = ups.select(col(idCol).cast("long").as("doc_id"),
-      col(textCol).as("__text")).dropDuplicates("doc_id").persist()
+    val meta = Timing("readMeta")(readMeta(store))
+    val batch0 = ups.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("__text"))
+    val batch = (if (knownUpIds.isEmpty) batch0.dropDuplicates("doc_id")
+                 else batch0).persist()
     try {
-      val upIds = batch.select("doc_id").collect().map(_.getLong(0)).toSeq
+      val upIds = knownUpIds.getOrElse(Timing("collect-upIds")(
+        batch.select("doc_id").collect().map(_.getLong(0)).toSeq))
       val delIds = dels.distinct.filterNot(upIds.toSet)
       if (upIds.isEmpty && delIds.isEmpty) return
-      val victims = victimRows(store, delIds ++ upIds, meta)
+      val victims = Timing("victimRows")(victimRows(store, delIds ++ upIds, meta))
       val oldBuckets = victims.flatMap(_._3).distinct
       val post = postingsOf(batch, "doc_id", "__text", meta.tok,
         meta.buckets).persist()
@@ -293,31 +349,31 @@ object InvertedIndex {
       import spark.implicits._
       if (victims.isEmpty) {
         // pure insert: nothing to drop anywhere — both tables append
-        if (upIds.nonEmpty) { store.append("postings", post)
-                              store.append("docmap", dmap) }
+        if (upIds.nonEmpty) { Timing("append-postings")(store.append("postings", post))
+                              Timing("append-docmap")(store.append("docmap", dmap)) }
       } else {
         val victimIdsDf = victims.map(_._1).toSeq.toDF("doc_id")
-        store.upsertDropping("postings", post,
+        Timing("upsertDropping-postings")(store.upsertDropping("postings", post,
           keys = Seq("bucket", "term", "doc_id"),
           dropKeysDf = victimIdsDf, dropKeys = Seq("doc_id"),
-          dropParts = Some(oldBuckets.map(_.toString)))
+          dropParts = Some(oldBuckets.map(_.toString))))
         val delVictims = victims.filter(v => delIds.contains(v._1))
         val delDbs = docBuckets(spark, delVictims.map(_._1).toSeq,
           meta.buckets).values.toSeq.distinct
-        store.upsertDropping("docmap", dmap,
+        Timing("upsertDropping-docmap")(store.upsertDropping("docmap", dmap,
           keys = Seq("dbucket", "doc_id"),
           dropKeysDf = delVictims.map(_._1).toSeq.toDF("doc_id"),
           dropKeys = Seq("doc_id"),
-          dropParts = Some(delDbs.map(_.toString)))
+          dropParts = Some(delDbs.map(_.toString))))
       }
-      val st = post.groupBy(col("doc_id")).agg(first(col("len")).as("len"))
+      val st = Timing("stats-agg")(post.groupBy(col("doc_id")).agg(first(col("len")).as("len"))
         .agg(count(lit(1)).as("nt"),
-          coalesce(sum(col("len")), lit(0L)).as("tl")).head()
+          coalesce(sum(col("len")), lit(0L)).as("tl")).head())
       post.unpersist(blocking = false)
-      writeMeta(store, meta.copy(
+      Timing("writeMeta")(writeMeta(store, meta.copy(
         nDocs = meta.nDocs + upIds.size - victims.length,
         nTokened = meta.nTokened + st.getLong(0) - victims.count(_._2 > 0),
-        totalLen = meta.totalLen + st.getLong(1) - victims.map(_._2).sum))
+        totalLen = meta.totalLen + st.getLong(1) - victims.map(_._2).sum)))
     } finally batch.unpersist(blocking = false)
   }
 

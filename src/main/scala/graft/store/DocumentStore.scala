@@ -466,11 +466,13 @@ class DocumentStore(val spark: SparkSession, root: String) {
                      dropKeysDf: DataFrame, dropKeys: Seq[String],
                      dropParts: Option[Seq[String]] = None): Unit = {
     require(keys.nonEmpty && dropKeys.nonEmpty, "need key columns")
+    import graft.tools.Timing
     val pc = partCol(table)
     val v0 = currentVersion(table); val v = v0 + 1
     val m0 = manifest(table, v0)
-    val updatePartKeys = updates.select(partExpr(pc).as("__part")).distinct()
-      .collect().map(_.getString(0)).toSet
+    val updatePartKeys = Timing(s"ud-$table-partkeys")(
+      updates.select(partExpr(pc).as("__part")).distinct()
+        .collect().map(_.getString(0)).toSet)
     require(pc.isEmpty || keys.contains(pc.get),
       "upsertDropping requires the partition column in the upsert key " +
         "(the reference-shape compound keys); use upsert + delete otherwise")
@@ -512,8 +514,10 @@ class DocumentStore(val spark: SparkSession, root: String) {
       case Some(c) if touchedKeys.size > 1 => merged0.repartition(col(c))
       case _ => merged0
     }
-    val (written, schema) = writeSegments(table, merged, v, pc)
-    commit(table, v0, v, (m0 -- touchedKeys) ++ written, Some(schema))
+    val (written, schema) = Timing(s"ud-$table-write")(
+      writeSegments(table, merged, v, pc))
+    Timing(s"ud-$table-commit")(
+      commit(table, v0, v, (m0 -- touchedKeys) ++ written, Some(schema)))
   }
 
   /** Append-only insert commit — the LSM half of the COW store: `rows`
@@ -543,7 +547,18 @@ class DocumentStore(val spark: SparkSession, root: String) {
     val pc = partCol(table)
     val v0 = currentVersion(table); val v = v0 + 1
     val m0 = manifest(table, v0)
-    val (written, schemaJson) = writeSegments(table, rows, v, pc)
+    // cluster the append by partition — the same discipline as
+    // upsertDropping's rewrite: without it every task of `rows` sprays
+    // a sliver file into every partition dir it holds rows for
+    // (tasks × partitions tiny files PER TRIGGER for a streaming
+    // append), and every later read/rewrite pays the file count back.
+    // The un-numbered repartition is AQE-sized: a 20-doc trigger
+    // coalesces to one write task, a bulk append spreads.
+    val clustered = pc match {
+      case Some(c) => rows.repartition(col(c))
+      case None => rows
+    }
+    val (written, schemaJson) = writeSegments(table, clustered, v, pc)
     val schema: String =
       if (m0.isEmpty) schemaJson
       else schemaOf(table, v0) match {

@@ -43,31 +43,40 @@ object IndexIngest {
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          // last change per key wins within the batch
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col(idCol))
-            .orderBy(versionCol.map(col(_).desc)
-              .getOrElse(monotonically_increasing_id().desc))
-          val one = batch
-            .withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1).drop("__rn")
-            .persist()
-          try {
-            val dels = one.filter(col(changeCol) === "delete")
-              .select(col(idCol).cast("long"))
-              .collect().map(_.getLong(0)).toSeq // delta-bounded
+        import graft.tools.Timing
+        val spark = batch.sparkSession
+        // last change per key wins within the batch
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol))
+          .orderBy(versionCol.map(col(_).desc)
+            .getOrElse(monotonically_increasing_id().desc))
+        val one = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .persist()
+        try {
+          // ONE delta-bounded collect serves emptiness, the delete ids,
+          // AND the upsert ids (the per-trigger isEmpty probe plus two
+          // id collects each cost a full driver job — guide §5)
+          val changed = Timing("collect-changes")(one
+            .select(col(changeCol).as("__c"), col(idCol).cast("long").as("__id"))
+            .collect())
+          if (changed.nonEmpty) {
+            val dels = changed.iterator
+              .filter(_.getString(0) == "delete").map(_.getLong(1)).toSeq
+            val upIds = changed.iterator
+              .filter(r => r.getString(0) == "insert" || r.getString(0) == "update")
+              .map(_.getLong(1)).toSeq
             val ups = one.filter(col(changeCol).isin("insert", "update"))
               .select(col(idCol), col(textCol))
             // ONE postings commit + ONE docmap commit for the whole
             // batch (deletes and re-adds drop in the same COW cycle the
             // new rows land in; pure inserts append) — remove-then-add
             // paid two full cycles over the same buckets per trigger
-            InvertedIndex.applyChanges(spark, indexDir, dels, ups,
-              idCol, textCol)
-          } finally { one.unpersist(); () }
-        }
+            InvertedIndex.applyChangesImpl(spark, indexDir, dels, ups,
+              idCol, textCol, knownUpIds = Some(upIds))
+          }
+        } finally { one.unpersist(); () }
         ()
       }
       .start()

@@ -29,11 +29,12 @@ object JobProfile {
     val taskCount = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val desc = Option(js.properties)
+        val cs = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+        val d0 = Option(js.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
-          .orElse(Option(js.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short"))))
-          .getOrElse("")
+          .map(_.replace('\n', ' ').take(40)).getOrElse("")
+        val desc = s"$cs | $d0"
         jobs.put(js.jobId, (js.time, desc, js.stageInfos.map(_.numTasks).sum))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
@@ -41,7 +42,14 @@ object JobProfile {
           done.add((je.jobId, t0, je.time, desc, nt))
         }
       }
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = ()
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val dur = (for {s <- si.submissionTime; e <- si.completionTime}
+          yield e - s).getOrElse(-1L)
+        if (dur >= 150)
+          System.out.println(f"[stage] ${si.stageId}%5d ${dur}%6dms " +
+            f"tasks=${si.numTasks}%-4d ${si.name.take(90)}")
+      }
     })
     val t0 = System.nanoTime()
     val rows = qmap(name)(spark, sfDir).count()
