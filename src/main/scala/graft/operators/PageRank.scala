@@ -135,9 +135,14 @@ object PageRank {
               coalesce(col("w1").cast("string"), lit("NULL")))))
             .otherwise(col("w1")).as("w"))
     }
-    val e = eBase
-      .withColumn("wsum", sum(col("w")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+    // out-weight via aggregate + join rather than a window: the window
+    // re-shuffled the FULL edge table by src; the aggregate reuses the
+    // edge build's exchange (ReuseExchange) and produces a node-sized
+    // table that AQE broadcast-joins at small n and shuffle-joins at
+    // scale — one full-edge exchange saved per run, identical wsum
+    // values (same Σw per src, exact integers).
+    val outw = eBase.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    val e = eBase.join(outw, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))

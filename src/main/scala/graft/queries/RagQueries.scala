@@ -53,7 +53,12 @@ object RagQueries extends QuerySet {
     * sims); any drift across the write/read boundary zeroes the output,
     * so the driver's rows>0 check sees a round-trip failure. */
   private def q60(s: SparkSession, d: String): DataFrame = {
+    // persist: the embedded corpus fed three consumers (in-memory top-k,
+    // the store write, and the returned plan's re-evaluation), each
+    // re-running the embed stage (guide §2.4/§5 — the q64 finding). The
+    // k-row result is localized below, so the cache releases in-query.
     val docs = Embed.withEmbedding(t(s, d, "documents"), "text", "vector", embedder)
+      .persist()
     val probe = embedder.embedOne("spark query filter join window")
     // HASH-EXACT oracle face: retrieval ids + cosine scores on the 2^-20
     // integer grid. The oracle replays the 64-d embedder (the q64 hash
@@ -68,9 +73,15 @@ object RagQueries extends QuerySet {
     val mem = top10(docs)
     val store = new DocumentStore(s, Files.createTempDirectory("graft-q60").toString)
     store.create("docs", docs)
-    val roundTripExact = // k rows each side — driver-trivial compare
-      mem.collect().toSeq == top10(store.read("docs")).collect().toSeq
-    if (roundTripExact) mem else mem.limit(0)
+    val memRows = mem.collect().toSeq // k rows — driver-trivial
+    val roundTripExact =
+      memRows == top10(store.read("docs")).collect().toSeq
+    docs.unpersist(blocking = false)
+    // the k verified rows, localized (bounded by k) — returning `mem`
+    // would re-run the whole embed+search at the caller's action
+    val out = s.createDataFrame(
+      s.sparkContext.parallelize(memRows, 1), mem.schema)
+    if (roundTripExact) out else out.limit(0)
   }
 
   /** One 64-d replay of the q64 hash stack (shared shape, dims=64) for
