@@ -168,8 +168,8 @@ class DocumentStore(val spark: SparkSession, root: String) {
     // every committed version knows its own partition column
     writeString(new HPath(vd, s"v$v.partcol"),
       pc.getOrElse(partColAt(table, base)).getOrElse(""))
-    refreshStats(table, base, v, m)
-    refreshBlooms(table, base, v, m)
+    graft.tools.Timing(s"commit-stats-$table")(refreshStats(table, base, v, m))
+    graft.tools.Timing(s"commit-blooms-$table")(refreshBlooms(table, base, v, m))
     val tmp = new HPath(tdir(table), s"_CURRENT.tmp$v")
     writeString(tmp, v.toString)
     fc.rename(tmp, new HPath(tdir(table), "_CURRENT"), Options.Rename.OVERWRITE)
@@ -193,11 +193,72 @@ class DocumentStore(val spark: SparkSession, root: String) {
     * footer sniffing across segment dirs is an IO pass of its own, and
     * schema evolution (upsert adding a column) would otherwise depend
     * on which segment the reader lists first. */
+  /** Rows of a LocalRelation-rooted plan (unwrapping repartition/coalesce
+    * wrappers), when at most `maxRows` — the driver-local write fast
+    * path's gate. None for anything distributed: this must NEVER pull
+    * computed data to the driver, only recognize data already there. */
+  private def localTinyRows(df: DataFrame, maxRows: Int = 10000): Option[Seq[Row]] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan, Repartition, RepartitionByExpression}
+    @annotation.tailrec
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case r: Repartition => unwrap(r.child)
+      case r: RepartitionByExpression => unwrap(r.child)
+      case other => other
+    }
+    unwrap(df.queryExecution.optimizedPlan) match {
+      case lr: LocalRelation if lr.data.lengthCompare(maxRows) <= 0 =>
+        Some(df.collect().toSeq)
+      case _ => None
+    }
+  }
+
+  /** Driver-side replica of [[partExpr]] for the atomic types whose
+    * JVM toString equals Spark's string cast. None = partition type not
+    * safely replicable, caller falls back to the Spark write. */
+  private def localPartKey(partitionCol: Option[String],
+                           schema: StructType): Option[Row => String] =
+    partitionCol match {
+      case None => Some(_ => "all")
+      case Some(c) =>
+        val idx = schema.fieldIndex(c)
+        def sanitized(r: Row): String =
+          if (r.isNullAt(idx)) "__null"
+          else r.get(idx).toString.replaceAll("[^A-Za-z0-9_\\-]", "_")
+        schema(idx).dataType match {
+          case org.apache.spark.sql.types.StringType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.BooleanType =>
+            Some(sanitized(_))
+          case _ => None
+        }
+    }
+
   private[store] def writeSegments(table: String, df: DataFrame, v: Int,
                             partitionCol: Option[String],
                             sortBy: Seq[String] = Nil): (Map[String, String], String) = {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val out = new HPath(new HPath(tdir(table), "data"), s"v$v-$token")
+    // METADATA-SCALE FAST PATH (guide §5): a tiny frame already on the
+    // driver (1-row meta tables, a chat session row) does not need a
+    // Spark write job — plan+schedule+commit cost ~200-900 ms per call
+    // where parquet-mr writes the same file in ~10 ms. Strictly gated:
+    // rows must be a LocalRelation (never collects computed data),
+    // atomic types only, no sortBy, replicable partition key.
+    if (sortBy.isEmpty && LocalParquet.supports(df.schema)) {
+      localPartKey(partitionCol, df.schema).foreach { keyFn =>
+        localTinyRows(df).foreach { rows =>
+          val parts = rows.groupBy(keyFn).map { case (k, rs) =>
+            val dir = new HPath(out, s"__part=$k")
+            fs.mkdirs(dir)
+            LocalParquet.write(hconf, new HPath(dir, s"part-00000-$token.parquet"),
+              df.schema, rs)
+            k -> dir.toString
+          }
+          return (parts, df.schema.json)
+        }
+      }
+    }
     val keyed = df.withColumn("__part", partExpr(partitionCol))
     // the dynamic-partition writer sorts each task by __part (unstably)
     // unless the incoming ordering already leads with it — so clustering
@@ -206,7 +267,8 @@ class DocumentStore(val spark: SparkSession, root: String) {
     val prepared =
       if (sortBy.isEmpty) keyed
       else keyed.sortWithinPartitions(col("__part") +: sortBy.map(col): _*)
-    prepared.write.mode("overwrite").partitionBy("__part").parquet(out.toString)
+    graft.tools.Timing(s"ws-$table")(
+      prepared.write.mode("overwrite").partitionBy("__part").parquet(out.toString))
     val parts = fs.listStatus(out).iterator
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("__part="))
       .map { st =>
