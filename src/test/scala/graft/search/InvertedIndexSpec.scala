@@ -302,4 +302,37 @@ class InvertedIndexSpec extends AnyFunSuite with SparkSuite {
   test("phrase search: candidate phase is index-pruned (unknown term short-circuits)") {
     assert(phrase(Seq("apple", "zzz")).isEmpty)
   }
+
+  test("adaptive buckets: sizing rule, meta persistence, and parity pinning across a boundary") {
+    import spark.implicits._
+    assert(InvertedIndex.adaptiveBuckets(spark, 1L) == 8)       // clamp floor
+    assert(InvertedIndex.adaptiveBuckets(spark, 50000L) == 49)  // ceil(n/1024)
+    assert(InvertedIndex.adaptiveBuckets(spark, 100000000L) == 4096) // clamp cap
+    // boundary scenario: with docsPerBucket=2, a 20-doc corpus sizes to
+    // 10 buckets while its 16-doc mutation would size to 8 — a parity
+    // rebuild MUST pin to the reference layout or it fails for layout
+    spark.conf.set("spark.graft.index.docsPerBucket", "2")
+    try {
+      val docs = (1L to 20L).map(i => (i, s"term$i shared word")).toDF("doc_id", "text")
+      val d1 = Files.createTempDirectory("graft-adapt-a").toString
+      InvertedIndex.build(docs, "doc_id", "text", d1)
+      assert(InvertedIndex.layoutBuckets(spark, d1) == 10)
+      // mutate: remove 4 docs through the maintenance path
+      InvertedIndex.remove(spark, d1, Seq(17L, 18L, 19L, 20L))
+      val mutated = docs.filter(col("doc_id") <= 16)
+      val d2 = Files.createTempDirectory("graft-adapt-b").toString
+      InvertedIndex.build(mutated, "doc_id", "text", d2,
+        buckets = InvertedIndex.layoutBuckets(spark, d1))
+      val sA = new DocumentStore(spark, d1)
+      val sB = new DocumentStore(spark, d2)
+      Seq("postings", "docmap", "meta").foreach { tb =>
+        val a = sA.read(tb); val b = sB.read(tb)
+        assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+          s"table $tb diverged between maintained and pinned rebuild")
+      }
+      // and the unpinned rebuild really would have chosen a different
+      // layout (the hazard the pinning exists for)
+      assert(InvertedIndex.adaptiveBuckets(spark, 16L) == 8)
+    } finally spark.conf.unset("spark.graft.index.docsPerBucket")
+  }
 }
