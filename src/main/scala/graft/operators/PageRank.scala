@@ -140,9 +140,18 @@ object PageRank {
     // edge build's exchange (ReuseExchange) and produces a node-sized
     // table that AQE broadcast-joins at small n and shuffle-joins at
     // scale — one full-edge exchange saved per run, identical wsum
-    // values (same Σw per src, exact integers).
-    val outw = eBase.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
-    val e = eBase.join(outw, "src")
+    // values (same Σw per src, exact integers). A NULL/uncastable src
+    // fails loudly HERE (r19 advisor): a null join key never matches,
+    // so the aggregate+join form would silently drop the edge — and its
+    // dst from the node set — where the window kept it; the check keeps
+    // the loud-failure contract the weight validation already carries.
+    val eChecked = eBase.select(
+      when(col("src").isNull,
+        raise_error(lit("PageRank: NULL or uncastable src node id")))
+        .otherwise(col("src")).as("src"),
+      col("dst"), col("w"))
+    val outw = eChecked.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    val e = eChecked.join(outw, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))

@@ -57,11 +57,40 @@ object IndexIngest {
         try {
           // ONE delta-bounded collect serves emptiness, the delete ids,
           // AND the upsert ids (the per-trigger isEmpty probe plus two
-          // id collects each cost a full driver job — guide §5)
+          // id collects each cost a full driver job — guide §5).
+          // GUARDED (r20): the collect is only delta-bounded because
+          // triggers are (maxFilesPerTrigger) — a bulk backfill replayed
+          // through this sink would collect millions of ids, so the
+          // probe stops at the threshold and oversized batches take the
+          // fully distributed path instead (guide §5: the driver does
+          // no data work it cannot bound).
+          val maxCollect = spark.conf
+            .getOption("spark.graft.index.maxTriggerCollect")
+            .map(_.trim) match {
+            case None => 100000
+            case Some(s) =>
+              val v = try s.toInt catch {
+                case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    "spark.graft.index.maxTriggerCollect must be a " +
+                      s"positive integer, got '$s'")
+              }
+              require(v >= 1,
+                s"spark.graft.index.maxTriggerCollect must be >= 1, got $v")
+              v
+          }
           val changed = Timing("collect-changes")(one
             .select(col(changeCol).as("__c"), col(idCol).cast("long").as("__id"))
+            .limit(maxCollect + 1)
             .collect())
-          if (changed.nonEmpty) {
+          if (changed.length > maxCollect) {
+            // oversized trigger: never finish the collect — apply the
+            // whole batch distributed (bounded driver results only)
+            InvertedIndex.applyChangesDistributed(spark, indexDir,
+              one.select(col(changeCol).as("__change"),
+                col(idCol).cast("long").as("doc_id"),
+                col(textCol).as("__text")))
+          } else if (changed.nonEmpty) {
             val dels = changed.iterator
               .filter(_.getString(0) == "delete").map(_.getLong(1)).toSeq
             val upIds = changed.iterator

@@ -335,4 +335,37 @@ class InvertedIndexSpec extends AnyFunSuite with SparkSuite {
       assert(InvertedIndex.adaptiveBuckets(spark, 16L) == 8)
     } finally spark.conf.unset("spark.graft.index.docsPerBucket")
   }
+
+  test("adaptive buckets: bad docsPerBucket config fails loudly by name") {
+    for (bad <- Seq("zero" -> "0", "negative" -> "-5", "junk" -> "lots")) {
+      spark.conf.set("spark.graft.index.docsPerBucket", bad._2)
+      try {
+        val e = intercept[IllegalArgumentException](
+          InvertedIndex.adaptiveBuckets(spark, 1000L))
+        assert(e.getMessage.contains("spark.graft.index.docsPerBucket"),
+          s"${bad._1}: ${e.getMessage}")
+      } finally spark.conf.unset("spark.graft.index.docsPerBucket")
+    }
+  }
+
+  test("meta memo stays bounded: one live version per index path") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, s"w$i common")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-memo").toString
+    InvertedIndex.build(docs, "doc_id", "text", dir)
+    val before = InvertedIndex.metaCacheSize
+    // 6 mutation epochs: each bumps the meta version; the memo must not
+    // accumulate one entry per epoch for the same index path
+    (1L to 3L).foreach(i => InvertedIndex.remove(spark, dir, Seq(i)))
+    (11L to 13L).foreach { i =>
+      InvertedIndex.add(spark, dir, Seq((i, s"new$i common")).toDF("doc_id", "text"),
+        "doc_id", "text")
+    }
+    assert(InvertedIndex.metaCacheSize <= before + 1,
+      s"memo grew: $before -> ${InvertedIndex.metaCacheSize}")
+    // and the memo serves the CURRENT stats (never stale)
+    val hits = InvertedIndex.search(spark, dir, Seq("common"), k = 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(4L, 5L, 6L, 11L, 12L, 13L))
+  }
 }

@@ -59,4 +59,38 @@ class LocalParquetSpec extends AnyFunSuite with SparkSuite {
     assert(store.layout("t").keySet == Set("x", "__null"))
     assert(store.read("t").count() == 2)
   }
+
+  test("readIfExact round-trips write's encoding and rejects foreign layouts") {
+    import java.sql.{Date, Timestamp}
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "i INT, l BIGINT, f FLOAT, d DOUBLE, b BOOLEAN, s STRING, t TIMESTAMP, dt DATE")
+    val ts = Timestamp.valueOf("1931-02-03 04:05:06.123456") // pre-epoch micros
+    val rows = Seq(
+      Row(1, 10L, 1.5f, 2.5, true, "alpha", ts, Date.valueOf("2026-02-03")),
+      Row(2, null, null, null, null, null, null, null))
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = java.nio.file.Files.createTempDirectory("lp-read").toString
+    val f = new org.apache.hadoop.fs.Path(dir, "a.parquet")
+    LocalParquet.write(conf, f, schema, rows)
+    val back = LocalParquet.readIfExact(conf, f, schema)
+    assert(back.contains(rows))
+    // a footer whose physical layout differs from the requested schema
+    // must decline (the caller then falls back to the Spark reader)
+    val narrower = org.apache.spark.sql.types.StructType.fromDDL(
+      "i INT, l INT, f FLOAT, d DOUBLE, b BOOLEAN, s STRING, t TIMESTAMP, dt DATE")
+    assert(LocalParquet.readIfExact(conf, f, narrower).isEmpty)
+  }
+
+  test("write accepts java.time Instant/LocalDate rows (java8API parity)") {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("t TIMESTAMP, dt DATE")
+    val ins = java.time.Instant.parse("2026-02-03T04:05:06.123456Z")
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = java.nio.file.Files.createTempDirectory("lp-java8").toString
+    val f = new org.apache.hadoop.fs.Path(dir, "a.parquet")
+    LocalParquet.write(conf, f, schema,
+      Seq(Row(ins, java.time.LocalDate.of(2026, 2, 3))))
+    val back = LocalParquet.readIfExact(conf, f, schema).get.head
+    assert(back.get(0) == java.sql.Timestamp.from(ins))
+    assert(back.get(1) == java.sql.Date.valueOf("2026-02-03"))
+  }
 }

@@ -67,6 +67,68 @@ class IndexIngestSpec extends AnyFunSuite with SparkSuite {
     assert(indexEquals(dir, snap))
   }
 
+  test("oversized trigger takes the distributed path and still converges") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-iis-big").toString
+    InvertedIndex.build(corpus((1L, "alpha beta"), (2L, "beta gamma"),
+      (3L, "gamma delta"), (4L, "delta rho")), "doc_id", "text", dir)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long, String)]
+    // threshold far below the batch size: the sink must refuse the id
+    // collect and route the whole trigger through applyChangesDistributed
+    spark.conf.set("spark.graft.index.maxTriggerCollect", "2")
+    val qy = IndexIngest.start(
+      mem.toDF().toDF("change", "doc_id", "text"), dir,
+      "doc_id", "text", "change",
+      Files.createTempDirectory("graft-iis-big-ckpt").toString)
+    try {
+      mem.addData(("delete", 2L, ""), ("update", 1L, "alpha beta epsilon"),
+        ("insert", 9L, "epsilon zeta"), ("insert", 10L, "zeta iota"),
+        ("insert", 11L, "iota kappa"), ("delete", 4L, ""))
+      qy.processAllAvailable()
+    } finally {
+      qy.stop()
+      spark.conf.unset("spark.graft.index.maxTriggerCollect")
+    }
+    val dir2 = Files.createTempDirectory("graft-iis-big-rebuild").toString
+    InvertedIndex.build(corpus((1L, "alpha beta epsilon"), (3L, "gamma delta"),
+      (9L, "epsilon zeta"), (10L, "zeta iota"), (11L, "iota kappa")),
+      "doc_id", "text", dir2,
+      buckets = InvertedIndex.layoutBuckets(spark, dir))
+    assert(indexEquals(dir, dir2))
+    val hits = InvertedIndex.search(spark, dir, Seq("iota"), k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(10L, 11L))
+  }
+
+  test("pure-insert oversized trigger appends through the distributed path") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-iis-bi").toString
+    InvertedIndex.build(corpus((1L, "alpha beta"), (2L, "beta gamma")),
+      "doc_id", "text", dir)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long, String)]
+    spark.conf.set("spark.graft.index.maxTriggerCollect", "1")
+    val qy = IndexIngest.start(
+      mem.toDF().toDF("change", "doc_id", "text"), dir,
+      "doc_id", "text", "change",
+      Files.createTempDirectory("graft-iis-bi-ckpt").toString)
+    try {
+      mem.addData(("insert", 7L, "mu nu"), ("insert", 8L, "nu xi"),
+        ("insert", 9L, "xi omicron"))
+      qy.processAllAvailable()
+    } finally {
+      qy.stop()
+      spark.conf.unset("spark.graft.index.maxTriggerCollect")
+    }
+    val dir2 = Files.createTempDirectory("graft-iis-bi-rebuild").toString
+    InvertedIndex.build(corpus((1L, "alpha beta"), (2L, "beta gamma"),
+      (7L, "mu nu"), (8L, "nu xi"), (9L, "xi omicron")),
+      "doc_id", "text", dir2,
+      buckets = InvertedIndex.layoutBuckets(spark, dir))
+    assert(indexEquals(dir, dir2))
+  }
+
   test("in-batch delete+reinsert of one key lands as the reinsert (last wins)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-iis-lw").toString
