@@ -128,8 +128,23 @@ object InvertedIndex {
   private def writeMeta(store: DocumentStore, m: Meta): Unit = {
     val spark = store.spark
     import spark.implicits._
+    val path = store.tablePath("meta")
+    val v0 = store.version("meta")
     store.create("meta", Seq((m.buckets, m.nDocs, m.nTokened, m.totalLen, m.tok))
       .toDF("buckets", "n_docs", "n_tokened", "total_len", "tok").coalesce(1))
+    // Memoize what we just committed (r20): the writer KNOWS the new
+    // meta, so the next maintenance/search call's readMeta becomes a
+    // pure hit instead of a ~200 ms Spark read job per mutation epoch.
+    // Guarded by the version delta: if any concurrent commit slipped
+    // around ours (nothing does under the single-writer contract, but
+    // the CAS makes it possible to observe), the delta isn't exactly +1
+    // and we memoize nothing — readMeta then re-reads from disk.
+    val v1 = store.version("meta")
+    if (v1 == v0 + 1) {
+      if (metaCache.size >= MetaCacheMaxEntries) metaCache.clear()
+      metaCache.put((path, v1), m)
+      metaCache.keySet.removeIf(k => k._1 == path && k._2 != v1)
+    }
   }
 
   /** Term → bucket routing, computed by the ENGINE'S OWN column
@@ -297,7 +312,7 @@ object InvertedIndex {
       // buckets — located via docmap, never a scan — without the
       // delete-then-upsert double rewrite of the touched buckets.
       val post = postingsOf(batch, "doc_id", "__text", meta.tok, meta.buckets).persist()
-      val dmap = docmapOf(batch, "doc_id", post, meta.buckets)
+      val dmap = docmapOf(batch, "doc_id", post, meta.buckets).persist()
       if (victims.isEmpty) {
         store.append("postings", post)
         store.append("docmap", dmap)
@@ -310,10 +325,15 @@ object InvertedIndex {
           dropParts = Some(oldBuckets.map(_.toString)))
         store.upsert("docmap", dmap, keys = Seq("dbucket", "doc_id"))
       }
-      // 3. exact stat delta: batch contribution minus victim contribution
-      val st = post.groupBy(col("doc_id")).agg(first(col("len")).as("len"))
-        .agg(count(lit(1)).as("nt"), coalesce(sum(col("len")), lit(0L)).as("tl")).head()
+      // 3. exact stat delta: batch contribution minus victim contribution.
+      // Aggregated over the CACHED dmap the docmap write just
+      // materialized (r20) — count(len>0)/sum(len) there equal the old
+      // per-post-group count/first(len) sums exactly (len = Σtf > 0 iff
+      // the doc has postings), without re-running the posting aggregate.
+      val st = dmap.agg(count(when(col("len") > 0, 1)).as("nt"),
+        coalesce(sum(col("len")), lit(0L)).as("tl")).head()
       post.unpersist(blocking = false)
+      dmap.unpersist(blocking = false)
       writeMeta(store, meta.copy(
         nDocs = meta.nDocs + ids.size - victims.length,
         nTokened = meta.nTokened + st.getLong(0) - victims.count(_._2 > 0),
@@ -386,7 +406,7 @@ object InvertedIndex {
       val oldBuckets = victims.flatMap(_._3).distinct
       val post = postingsOf(batch, "doc_id", "__text", meta.tok,
         meta.buckets).persist()
-      val dmap = docmapOf(batch, "doc_id", post, meta.buckets)
+      val dmap = docmapOf(batch, "doc_id", post, meta.buckets).persist()
       import spark.implicits._
       if (victims.isEmpty) {
         // pure insert: nothing to drop anywhere — both tables append
@@ -407,10 +427,14 @@ object InvertedIndex {
           dropKeys = Seq("doc_id"),
           dropParts = Some(delDbs.map(_.toString))))
       }
-      val st = Timing("stats-agg")(post.groupBy(col("doc_id")).agg(first(col("len")).as("len"))
-        .agg(count(lit(1)).as("nt"),
-          coalesce(sum(col("len")), lit(0L)).as("tl")).head())
+      // stat delta over the CACHED dmap (r20): count(len>0)/sum(len)
+      // equal the per-post-group count/first(len) sums exactly, and the
+      // docmap write just materialized the cache — no posting re-aggregate
+      val st = Timing("stats-agg")(dmap.agg(
+        count(when(col("len") > 0, 1)).as("nt"),
+        coalesce(sum(col("len")), lit(0L)).as("tl")).head())
       post.unpersist(blocking = false)
+      dmap.unpersist(blocking = false)
       Timing("writeMeta")(writeMeta(store, meta.copy(
         nDocs = meta.nDocs + upIds.size - victims.length,
         nTokened = meta.nTokened + st.getLong(0) - victims.count(_._2 > 0),
@@ -457,7 +481,7 @@ object InvertedIndex {
       val nVictims = vstat.getLong(0)
       val post = postingsOf(b.filter(col("__change").isin("insert", "update")),
         "doc_id", "__text", meta.tok, meta.buckets).persist()
-      val dmap = docmapOf(ups, "doc_id", post, meta.buckets)
+      val dmap = docmapOf(ups, "doc_id", post, meta.buckets).persist()
       if (nVictims == 0) {
         if (upCount > 0) {
           Timing("append-postings")(store.append("postings", post))
@@ -483,11 +507,11 @@ object InvertedIndex {
           dropKeys = Seq("doc_id"),
           dropParts = Some(delDbs.map(_.toString))))
       }
-      val st = Timing("stats-agg")(post.groupBy(col("doc_id"))
-        .agg(first(col("len")).as("len"))
-        .agg(count(lit(1)).as("nt"),
-          coalesce(sum(col("len")), lit(0L)).as("tl")).head())
+      val st = Timing("stats-agg")(dmap.agg(
+        count(when(col("len") > 0, 1)).as("nt"),
+        coalesce(sum(col("len")), lit(0L)).as("tl")).head())
       post.unpersist(blocking = false)
+      dmap.unpersist(blocking = false)
       victims.unpersist(blocking = false)
       Timing("writeMeta")(writeMeta(store, meta.copy(
         nDocs = meta.nDocs + upCount - nVictims,
